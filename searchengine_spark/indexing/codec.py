@@ -1,0 +1,118 @@
+"""Delta-gap + variable-byte posting codec, vectorized in numpy.
+
+The reference serializes postings as plain text 'doc:freq' lines
+(src/models/spimi.py:230, src/models/rankers/bm25.py:59-63, no compression
+anywhere — SURVEY.md §1.3). At 10^12 turns that is untenable; the north_star
+mandates delta-gap + varbyte compressed postings with per-term block-max
+metadata, which is what this module provides (classic IR layout: Manning,
+Raghavan & Schütze, IIR §5.3).
+
+Payload layout per posting chunk (doc-sorted ascending):
+    varbyte stream of interleaved triples (doc_gap, tf, dlq) where
+      doc_gap = doc_id[0] for the first posting, doc_id[i]-doc_id[i-1] after;
+      tf      = term frequency;
+      dlq     = round(dl_norm*1000) — the 3-dp-rounded dl/avgdl
+                (bm25.py:76-81) quantized losslessly, so the packed index is
+                SELF-CONTAINED for BM25 scoring (no doc_lengths join at query
+                time; dlq/1000.0 reproduces the stored double bit-for-bit).
+
+Block-max metadata: for fixed BLOCK postings, (last_doc, max tf_sat) where
+tf_sat is the BM25 saturation term at the build's (k, b) — exact per-block
+upper bounds for WAND/MaxScore pruning (Broder et al. 2003; Ding & Suel
+2011 block-max).
+
+All encode/decode paths are O(bytes) numpy, no per-value Python loops
+(bounded 10-iteration byte-fill loop only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128  # postings per block-max block
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Varbyte (7-bit groups, MSB=continuation, little-endian groups)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    idx = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    cur = v.copy()
+    remaining = nbytes.copy()
+    for _ in range(10):  # uint64 -> at most 10 varbyte groups
+        mask = remaining > 0
+        if not mask.any():
+            break
+        byte = (cur[mask] & np.uint64(0x7F)).astype(np.uint8)
+        byte |= ((remaining[mask] > 1).astype(np.uint8)) << 7
+        out[idx[mask]] = byte
+        cur[mask] = cur[mask] >> np.uint64(7)
+        idx[mask] += 1
+        remaining[mask] -= 1
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = ends.size
+    lens = ends - starts + 1
+    group = np.repeat(np.arange(n), lens)
+    within = (np.arange(b.size) - starts[group]).astype(np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within)
+    values = np.zeros(n, dtype=np.uint64)
+    np.add.at(values, group, contrib)
+    return values
+
+
+def tf_saturation(tf: np.ndarray, dl_norm: np.ndarray, k: float, b: float) -> np.ndarray:
+    """BM25 saturation term (src/models/rankers/bm25.py:53)."""
+    tf = tf.astype(np.float64)
+    return (tf * (k + 1.0)) / (tf + k * (1.0 - b + b * dl_norm))
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dlqs: np.ndarray) -> bytes:
+    """doc_ids must be sorted ascending and unique."""
+    n = len(doc_ids)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:].view(np.int64))
+    inter = np.empty(3 * n, dtype=np.uint64)
+    inter[0::3] = gaps
+    inter[1::3] = np.asarray(tfs, dtype=np.uint64)
+    inter[2::3] = np.asarray(dlqs, dtype=np.uint64)
+    return varbyte_encode(inter)
+
+
+def decode_postings(buf: bytes):
+    """-> (doc_ids int64, tfs int64, dl_norm float64)"""
+    vals = varbyte_decode(buf)
+    gaps = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int64)
+    dl_norm = vals[2::3].astype(np.float64) / 1000.0
+    doc_ids = np.cumsum(gaps)
+    return doc_ids, tfs, dl_norm
+
+
+def block_max(doc_ids: np.ndarray, tfs: np.ndarray, dl_norm: np.ndarray, k: float, b: float):
+    """-> (block_last_doc int64[], block_max_tfsat float64[]) per BLOCK."""
+    n = len(doc_ids)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    sat = tf_saturation(np.asarray(tfs), np.asarray(dl_norm, np.float64), k, b)
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    last = np.asarray(doc_ids)[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
+    mx = np.array([sat[i * BLOCK : (i + 1) * BLOCK].max() for i in range(n_blocks)])
+    return last.astype(np.int64), mx
