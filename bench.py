@@ -1,0 +1,151 @@
+"""Benchmark harness. Prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Headline metric: end-to-end index build + BM25 query suite time (sec) over a
+deterministic synthetic transcripts corpus scaled to $SPARK_GRAFT_SF_DIR,
+plus per-query timings. Extra keys report index-build throughput in
+turns/sec (the BASELINE.json metric) and corpus size.
+
+  python bench.py                  # one run at local[$SPARK_GRAFT_CPUS]
+  python bench.py --scaling        # same job at local[8] and local[32]
+                                   # -> scaling efficiency (BASELINE.md rule)
+
+Everything is deterministic: generation is executor-side and a pure function
+of (conv index, seed) — identical corpus at any parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+OUT = os.path.join(REPO, ".bench_out")
+
+
+def _sf() -> float:
+    tail = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"searchengine_spark_bench_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_suite(spark, sf: float, cpus: int) -> dict:
+    """Build the packed index over the synthetic transcripts corpus, then
+    serve the 15 reference queries from the on-disk index. Returns timings."""
+    from searchengine_spark.fixtures.transcripts import (
+        REFERENCE_QUERIES,
+        transcripts_distributed,
+    )
+    from searchengine_spark.indexing.build import Bm25Params
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    cfg = TokenizerConfig(min_token_length=3,
+                          stop_words=TokenizerConfig.load_stop_words(
+                              "/root/reference/stop_words.txt"))
+    params = Bm25Params(k=1.2, b=0.75)
+    n_conv = max(200, int(500_000 * sf))
+    idx_path = os.path.join(OUT, f"index_sf{sf}_c{cpus}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    timings: dict = {}
+    corpus = transcripts_distributed(spark, n_conv=n_conv, n_partitions=cpus * 2)
+
+    t0 = time.perf_counter()
+    manifest = build_packed_index(corpus, cfg, idx_path, params=params,
+                                  n_partitions=cpus * 2)
+    timings["index_build"] = time.perf_counter() - t0
+    n_turns = manifest["n_docs"]
+
+    t0 = time.perf_counter()
+    pidx = load_packed_index(spark, idx_path)
+    topk = bm25_topk_packed_batch(pidx, REFERENCE_QUERIES, cfg, k=10, params=params)
+    n_results = topk.count()
+    timings["bm25_15q_cold"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    topk = bm25_topk_packed_batch(pidx, REFERENCE_QUERIES, cfg, k=10, params=params)
+    topk.count()
+    timings["bm25_15q_warm"] = time.perf_counter() - t0
+
+    timings["_n_turns"] = n_turns
+    timings["_n_results"] = n_results
+    return timings
+
+
+def one_run(cpus: int) -> dict:
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return run_suite(spark, _sf(), cpus)
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    os.makedirs(OUT, exist_ok=True)
+    sf = _sf()
+
+    t = one_run(CPUS)
+    n_turns = t.pop("_n_turns")
+    t.pop("_n_results", None)
+    total = sum(t.values())
+    result = {
+        "metric": "index_build_plus_bm25_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in t.items()},
+        "sf": sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / t["index_build"], 1),
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        lo_cpus = max(2, CPUS // 4)
+        lo = one_run(lo_cpus)
+        lo.pop("_n_results", None)
+        lo_turns = lo.pop("_n_turns")
+        thr_hi = n_turns / t["index_build"]
+        thr_lo = lo_turns / lo["index_build"]
+        result["scaling"] = {
+            "cpus_lo": lo_cpus,
+            "cpus_hi": CPUS,
+            "turns_per_sec_lo": round(thr_lo, 1),
+            "turns_per_sec_hi": round(thr_hi, 1),
+            "speedup": round(thr_hi / thr_lo, 3),
+            "efficiency": round(thr_hi / thr_lo / (CPUS / lo_cpus), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

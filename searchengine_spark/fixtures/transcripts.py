@@ -162,6 +162,55 @@ def transcripts_df(spark, n_conv: int = 200, seed: int = 20260816, n_partitions:
     return df
 
 
+def transcripts_distributed(spark, n_conv: int, seed: int = 20260816, n_partitions: int | None = None):
+    """Executor-side transcripts generator for bench scale.
+
+    Each conversation's rows are a pure function of (conv index, seed) — the
+    output multiset is identical for ANY partitioning / parallelism, which is
+    what makes the local[8]-vs-local[32] scaling comparison apples-to-apples
+    (and is how you'd synthesize a 10^12-turn corpus on a real cluster: no
+    driver-side materialization, no collect).
+
+    No query planting / adversarial rows (bench corpus, not the pytest
+    fixture) — but the same Zipf vocab, so the 15 reference queries still hit.
+    """
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+    base = spark.range(0, n_conv, 1, n_partitions)
+
+    def gen(batches):
+        vocab = _vocab(np.random.default_rng(seed))
+        v = len(vocab)
+        weights = 1.0 / np.arange(1, v + 1) ** 1.05
+        weights /= weights.sum()
+        epoch = dt.datetime(2026, 1, 1)
+        for pdf in batches:
+            for conv in pdf["id"].to_numpy():
+                rng = np.random.default_rng(seed * 1_000_003 + int(conv))
+                k = 512 if conv % 97 == 0 else max(1, min(int(rng.zipf(1.5)), 64))
+                lens = rng.integers(5, 81, size=k)
+                flat = rng.choice(v, size=int(lens.sum()), p=weights)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                texts = [" ".join(vocab[flat[offs[i]: offs[i + 1]]]) for i in range(k)]
+                turn = np.arange(k, dtype=np.int32)
+                roles = np.array(_ROLES)[turn % 3]
+                tool = pd.Series(
+                    np.where(roles == "tool", np.char.add("tool", (turn % 5).astype(str)), None),
+                    dtype=object,
+                )
+                yield pd.DataFrame(
+                    {
+                        "conv_id": f"conv{int(conv):09d}",
+                        "turn_idx": turn,
+                        "role": roles,
+                        "text": texts,
+                        "tool": tool,
+                        "ts": pd.Timestamp(epoch) + pd.to_timedelta(int(conv) * 86400 + turn, unit="s"),
+                    }
+                )
+
+    return base.mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+
+
 def write_transcripts(spark, path: str, n_conv: int = 200, seed: int = 20260816) -> None:
     """Materialize as a parquet table (Iceberg-layout fallback; SURVEY.md §7
     hard-parts note: no iceberg runtime jar in the sandbox)."""

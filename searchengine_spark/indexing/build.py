@@ -81,8 +81,18 @@ def build_index(
     order_cols=("conv_id", "turn_idx"),
     positional: bool = False,
     n_partitions: Optional[int] = None,
+    id_col: Optional[str] = None,
 ) -> IndexTables:
-    docs = tokenized_docs(transcripts, cfg, text_col, order_cols, n_partitions).persist()
+    """``id_col``: use a pre-assigned dense docID column instead of deriving
+    one from ``order_cols`` (e.g. the testdata ``documents.doc_id``)."""
+    if id_col is not None:
+        docs = transcripts.withColumn(DOC_ID, F.col(id_col).cast("long"))
+        if id_col != DOC_ID:
+            docs = docs.drop(id_col)
+        docs = docs.withColumn("tokens", tokens_column(F.col(text_col), cfg)).persist()
+        order_cols = (DOC_ID,) if id_col == DOC_ID else tuple(order_cols)
+    else:
+        docs = tokenized_docs(transcripts, cfg, text_col, order_cols, n_partitions).persist()
 
     doc_lengths = docs.select(DOC_ID, F.size("tokens").alias("dl"))
     # N and avgdl are two scalars over the same tiny agg — one job
@@ -110,9 +120,10 @@ def build_index(
         "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 3)
     )
 
+    map_cols = [c for c in order_cols if c != DOC_ID]
     return IndexTables(
         docs=docs,
-        docmap=docs.select(DOC_ID, *order_cols),
+        docmap=docs.select(DOC_ID, *map_cols),
         doc_lengths=doc_lengths,
         index=index,
         term_stats=term_stats,

@@ -55,7 +55,13 @@ def with_doc_ids(
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = df.schema.add(DOC_ID, "long", False)
+    # NB: StructType.add mutates (and df.schema is cached) — build a fresh
+    # StructType so repeated with_doc_ids on one DataFrame stays correct
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(DOC_ID, T.LongType(), False)]
+    )
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(offsets)
 

@@ -1,0 +1,144 @@
+"""Block-max top-k BM25 over the packed index (M3 serving path).
+
+Reference scoring semantics (src/models/rankers/bm25.py:34-57 — OR over
+unique query terms, stored 3-dp idf / dl_norm inputs) but with safe
+block-max pruning (Broder et al. 2003 WAND; Ding & Suel 2011 block-max):
+
+- a *chunk* (doc-range slice of a term's postings, indexing/packed.py) is
+  the pruning block; because chunk boundaries are shared across terms
+  (chunk = doc_id // chunk_docs), every doc's full score lives inside one
+  chunk id — so "skip chunk if Σ_t idf_t·max_tfsat_t(chunk) < θ" is exact.
+- per query: chunks are processed in descending upper-bound order with a
+  running top-k threshold θ — classic WAND, vectorized in numpy per chunk.
+- across queries: applyInPandas(groupBy query_id) — queries score in
+  parallel, the natural unit of serving concurrency.
+
+Plan shape: broadcast-join the (tiny) query-term table against the
+term-range-partitioned index (parquet min/max stats prune non-matching
+files — the reference's sorted-file binary search, index.py:93-131, for
+free), broadcast-join idf, then one applyInPandas. The only shuffle is the
+groupBy(query_id) hash exchange of matched chunks.
+
+Safety is gated by tests/test_packed_wand.py: WAND top-k == exhaustive
+top-k (same docs, same scores) on every fixture query.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..indexing.build import Bm25Params
+from ..indexing.codec import decode_postings, tf_saturation
+from ..indexing.packed import PackedIndex
+from ..tokenizer import TokenizerConfig, tokenize_text
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+
+def _wand_scorer(k_top: int, params: Bm25Params):
+    kk, bb = float(params.k), float(params.b)
+
+    def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        # per-chunk upper bound Σ_t idf_t * max_tfsat_t(chunk)
+        ub = (
+            (pdf["idf"] * pdf["max_tfsat"])
+            .groupby(pdf["chunk"])
+            .sum()
+            .sort_values(ascending=False)
+        )
+        by_chunk = dict(tuple(pdf.groupby("chunk")))
+        heap: list = []  # min-heap of (score, -doc_id) — worst kept on top
+        pruned = 0
+        results_docs: list = []
+        results_scores: list = []
+        for chunk, bound in ub.items():
+            if len(heap) >= k_top and bound < heap[0][0]:
+                pruned += 1
+                continue  # safe skip: every doc in chunk scores <= bound
+            rows = by_chunk[chunk]
+            docs_all: list = []
+            contrib_all: list = []
+            for idf, buf in zip(rows["idf"].to_numpy(), rows["postings"]):
+                doc_ids, tfs, dl_norm = decode_postings(bytes(buf))
+                contrib_all.append(idf * tf_saturation(tfs, dl_norm, kk, bb))
+                docs_all.append(doc_ids)
+            docs = np.concatenate(docs_all)
+            contribs = np.concatenate(contrib_all)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            scores = np.zeros(len(uniq))
+            np.add.at(scores, inv, contribs)
+            for d, s in zip(uniq, scores):
+                item = (float(s), -int(d))
+                if len(heap) < k_top:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [-d for _, d in out],
+                "score": [s for s, _ in out],
+                "rank": np.arange(1, len(out) + 1, dtype=np.int32),
+            }
+        )
+
+    return score_query
+
+
+def bm25_topk_packed_batch(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    params: Bm25Params | None = None,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
+
+    ``exhaustive=True`` disables block-max pruning (used by the safety gate
+    and as the reference-exact fallback; SURVEY.md §4)."""
+    params = params or pidx.params
+    spark = pidx.spark
+    rows = []
+    for qid, q in enumerate(queries):
+        # unique terms: query-term multiplicity ignored (bm25.py:44-53 quirk)
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
+    if not rows:
+        qdf = qdf.limit(0)
+
+    matched = pidx.index.join(F.broadcast(qdf), "term")
+    matched = matched.join(
+        F.broadcast(pidx.term_stats.select("term", "idf")), "term"
+    )
+    k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
+    scorer = _wand_scorer(k_top, params)
+    out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
+    if exhaustive:
+        out = out.filter(F.col("rank") <= k)
+    return out
+
+
+def resolve_docs(pidx: PackedIndex, topk: DataFrame) -> DataFrame:
+    """docID -> external id resolve (Q8; searcher.py:50-58 analog): join the
+    docmap instead of a binary search over a mapping file."""
+    return topk.join(pidx.docmap, "doc_id").select(
+        "query_id", "doc_id", "conv_id", "turn_idx", "score", "rank"
+    )

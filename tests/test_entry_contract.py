@@ -1,0 +1,70 @@
+"""Driver-contract gate: every queries() entry must match its oracle_sql()
+on the sf0.01 testdata, the same compare the driver records in
+CORRECTNESS_r{N}.json (row count + schema-ish + order-insensitive values).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df_pandas):
+    """Sort columns by name, canonicalize values, sort rows -> list of tuples."""
+    pdf = df_pandas[sorted(df_pandas.columns)]
+
+    def canon_val(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NULL"
+            return f"{v:.9g}"
+        return str(v)
+
+    rows = [tuple(canon_val(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    got = _canon(sdf.toPandas())
+    if name not in ORACLES:
+        assert len(got) >= 0  # rows-only check, like the driver's weak path
+        return
+    want = _canon(ddb.execute(ORACLES[name]).fetchdf())
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, f"{name}: first mismatches {mism[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"doc_id", "score"} <= set(df.columns)

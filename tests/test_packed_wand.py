@@ -1,0 +1,151 @@
+"""M2/M3 gates: packed index ≡ exact index; WAND == exhaustive; resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.transcripts import REFERENCE_QUERIES, transcripts_df
+from searchengine_spark.indexing.build import Bm25Params, build_index
+from searchengine_spark.indexing.packed import (
+    build_packed_index,
+    exploded_view,
+    load_packed_index,
+)
+from searchengine_spark.query.bm25 import bm25_topk_batch
+from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+from searchengine_spark.tokenizer import TokenizerConfig
+
+PARAMS = Bm25Params(k=1.2, b=0.75)
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=200, n_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("packed") / "idx")
+    # small chunk size so the fixture corpus spans many chunks -> pruning
+    # paths actually exercised
+    build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    return load_packed_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def exact(corpus, cfg):
+    return build_index(corpus, cfg).cache()
+
+
+def test_manifest(packed):
+    m = packed.manifest
+    assert m["n_docs"] > 2000
+    assert m["n_terms"] > 100
+    assert m["n_postings"] > m["n_terms"]
+    assert m["metrics"]["build_seconds"] > 0
+    assert set(m["metrics"]["stage_seconds"]) == {
+        "docs", "lineage", "index", "term_stats", "docmap"
+    }
+
+
+def test_packed_equals_exact_index(packed, exact):
+    """Decoded packed postings == M1 exploded index (term, doc_id, tf, dl_norm)."""
+    dec = exploded_view(packed)
+    dln = exact.doc_lengths.select(
+        F.col("doc_id").alias("_did"), F.col("dl_norm").alias("_dln")
+    )
+    ref = exact.index.join(dln, F.col("doc_id") == F.col("_did")).select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf"),
+        F.col("_dln").alias("dl_norm"),
+    )
+    diff = dec.exceptAll(ref).union(ref.exceptAll(dec))
+    assert diff.count() == 0
+    assert packed.manifest["n_docs"] == exact.n_docs
+    assert abs(packed.manifest["avgdl"] - exact.avgdl) < 1e-9
+
+
+def test_term_stats_match(packed, exact):
+    got = {r["term"]: (r["df"], r["idf"]) for r in packed.term_stats.collect()}
+    want = {r["term"]: (r["df"], r["idf"]) for r in exact.term_stats.collect()}
+    assert got == want
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_wand_equals_exhaustive(packed, cfg):
+    wand = _topk_map(
+        bm25_topk_packed_batch(packed, REFERENCE_QUERIES, cfg, k=10, params=PARAMS)
+    )
+    full = _topk_map(
+        bm25_topk_packed_batch(
+            packed, REFERENCE_QUERIES, cfg, k=10, params=PARAMS, exhaustive=True
+        )
+    )
+    assert set(wand) == set(full)
+    for q in full:
+        assert [(r, d) for r, d, _ in wand[q]] == [(r, d) for r, d, _ in full[q]], q
+        ws = np.array([s for _, _, s in wand[q]])
+        fs = np.array([s for _, _, s in full[q]])
+        np.testing.assert_allclose(ws, fs, rtol=0, atol=0)  # identical code path
+
+
+def test_wand_equals_m1_exact(packed, exact, cfg):
+    """Packed+WAND serving == M1 DataFrame join-agg scorer (rank identical,
+    scores to 1e-9 — different float summation orders)."""
+    wand = _topk_map(
+        bm25_topk_packed_batch(packed, REFERENCE_QUERIES, cfg, k=10, params=PARAMS)
+    )
+    m1 = _topk_map(bm25_topk_batch(exact, list(REFERENCE_QUERIES), cfg, k=10, params=PARAMS))
+    assert set(wand) == set(m1)
+    for q in m1:
+        assert [(r, d) for r, d, _ in wand[q]] == [(r, d) for r, d, _ in m1[q]], q
+        ws = np.array([s for _, _, s in wand[q]])
+        ms = np.array([s for _, _, s in m1[q]])
+        np.testing.assert_allclose(ws, ms, rtol=1e-9)
+
+
+def test_resolve_docs(packed, cfg):
+    topk = bm25_topk_packed_batch(packed, ["greatest rock album"], cfg, k=5, params=PARAMS)
+    res = resolve_docs(packed, topk)
+    rows = res.collect()
+    assert len(rows) == 5
+    assert all(r["conv_id"].startswith("conv") for r in rows)
+
+
+def test_resume_skips_completed_stages(spark, corpus, cfg, tmp_path):
+    path = str(tmp_path / "idx")
+    m1 = build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    docs_mtime = os.path.getmtime(os.path.join(path, "docs", "_SUCCESS"))
+    idx_mtime = os.path.getmtime(os.path.join(path, "index", "_SUCCESS"))
+    # simulate a crash after the index stage: stats + manifest lost
+    os.remove(os.path.join(path, "manifest.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "term_stats"))
+    m2 = build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256, resume=True)
+    assert os.path.getmtime(os.path.join(path, "docs", "_SUCCESS")) == docs_mtime
+    assert os.path.getmtime(os.path.join(path, "index", "_SUCCESS")) == idx_mtime
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["n_postings"] == m1["n_postings"]
+    assert json.load(open(os.path.join(path, "manifest.json")))["n_terms"] == m1["n_terms"]
+
+
+def test_lineage_covers_corpus(spark, packed):
+    lin = spark.read.parquet(os.path.join(packed.path, "lineage"))
+    total = lin.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == packed.manifest["n_docs"]
