@@ -234,6 +234,147 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- training-data pipeline ops
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-crawl sample (every 5th doc duplicated at id+100000) —
+    gives the dedup operators non-trivial positives on dedup-free testdata."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+_CORPUS2_CTE = """
+corpus2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import exact_duplicates
+
+    return exact_duplicates(_docs_with_copies(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import minhash_lsh_candidates
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _docs_with_copies(spark, sf_dir)
+    return minhash_lsh_candidates(docs, tokens_column(F.col("text"), CFG))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import ngram_jaccard_pairs
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _docs_with_copies(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, tokens_column(F.col("text"), CFG), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import simhash_table
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return simhash_table(docs, tokens_column(F.col("text"), CFG))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
+
+
+N_CENTROIDS = 8
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import ivf_topk, make_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = make_centroids(N_CENTROIDS, 64)
+    return ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=5, exclude_ids=(0,))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops.quality import lang_id
+    from searchengine_spark.tokenizer import tokens_column
+
+    return lang_id(_documents(spark, sf_dir), tokens_column(F.col("text"), CFG))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops.quality import LANG_PROFILES, quality_score
+    from searchengine_spark.tokenizer import tokens_column
+
+    return quality_score(
+        _documents(spark, sf_dir),
+        tokens_column(F.col("text"), CFG),
+        stop_words=LANG_PROFILES["en"],
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops.quality import token_stats
+
+    return token_stats(_documents(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops.quality import doc_fingerprints
+
+    return doc_fingerprints(_documents(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.textops import extract_features, with_binary_payload
+
+    feats = extract_features(with_binary_payload(_documents(spark, sf_dir)))
+    return feats.select("doc_id", "n_bytes", "checksum")
+
+
+def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end packed-index path on synthetic transcripts (rows-only
+    check: transcripts aren't a DuckDB view). Small corpus, full pipeline:
+    generate -> packed build (resume-capable) -> WAND top-k -> resolve."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    cfg = TokenizerConfig(
+        min_token_length=3,
+        stop_words=TokenizerConfig.load_stop_words("/root/reference/stop_words.txt"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx")
+    corpus = transcripts_df(spark, n_conv=60, n_partitions=8)
+    build_packed_index(corpus, cfg, path, chunk_docs=256)
+    pidx = load_packed_index(spark, path)
+    topk = bm25_topk_packed_batch(
+        pidx, ["greatest rock album", "house party songs"], cfg, k=10
+    )
+    return resolve_docs(pidx, topk)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -248,6 +389,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "docid_dense": q_docid_dense,
         "positional_index": q_positional_index,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "transcripts_wand_topk": q_transcripts_wand_topk,  # rows-only (no view)
     }
 
 
@@ -326,5 +479,226 @@ SELECT term, doc_id, count(*)::BIGINT AS tf,
        string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
 FROM posed WHERE term IN ('vector', 'merge')
 GROUP BY term, doc_id
+"""
+
+    # ---------------- training-data pipeline ops ----------------
+
+    # DuckDB twin of shingles_col (token 3-grams, distinct)
+    tok2 = _TOK_SQL.replace("text", "corpus2.text")
+    shingled = f"""
+{_CORPUS2_CTE},
+tokd AS (
+  SELECT doc_id AS id, {tok2} AS tokens FROM corpus2
+),
+shingled AS (
+  SELECT id,
+         list_distinct([tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                        for i in range(greatest(len(tokens) - 2, 0))]) AS shingles
+  FROM tokd
+)
+"""
+
+    sqls["dedup_exact"] = f"""
+WITH {_CORPUS2_CTE}
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS canonical_id,
+       count(*)::BIGINT AS n_dups
+FROM corpus2 GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    sqls["dedup_minhash"] = f"""
+WITH {shingled},
+sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
+hk AS (
+  SELECT id, i AS hash_idx, min(md5(i::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i) GROUP BY id, i
+),
+keys AS (
+  SELECT id, (hash_idx // 3)::INT AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+  FROM hk GROUP BY id, hash_idx // 3
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
+FROM keys a JOIN keys b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+    sqls["dedup_ngram_jaccard"] = f"""
+WITH {shingled},
+sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_int
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT id_a, id_b,
+         round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = inter.id_a
+  JOIN sizes sb ON sb.id = inter.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+    sqls["dedup_simhash"] = f"""
+WITH tokd AS (
+  SELECT doc_id AS id, {_TOK_SQL} AS tokens FROM documents WHERE doc_id < 50
+),
+toks AS (SELECT id, unnest(tokens) AS term FROM tokd),
+tb AS (
+  SELECT id, j,
+         ((strpos('0123456789abcdef', substr(md5(term), (j // 4)::INT + 1, 1)) - 1)
+          >> (j % 4)::INT) & 1 AS bit
+  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j)
+),
+sig AS (
+  SELECT id, j, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+  FROM tb GROUP BY id, j
+)
+SELECT id,
+       sum(CASE WHEN j >= 32 THEN sbit * (2 ** (j - 32))::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
+       sum(CASE WHEN j <  32 THEN sbit * (2 ** j)::BIGINT       ELSE 0 END)::BIGINT AS sim_lo
+FROM sig GROUP BY id
+"""
+
+    _dot = (
+        "list_sum([{a}[i+1] * {b}[i+1] for i in range(64)])"
+    )
+    sqls["emb_cosine_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+         round({_dot.format(a='(embedding::DOUBLE[])', b='qe')} /
+               (sqrt({_dot.format(a='(embedding::DOUBLE[])', b='(embedding::DOUBLE[])')}) *
+                sqrt({_dot.format(a='qe', b='qe')})), 6) AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    from searchengine_spark.textops import make_centroids
+
+    cents = make_centroids(N_CENTROIDS, 64)
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {i} AS cid, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[] AS cvec"
+        for i, c in enumerate(cents)
+    )
+    _l2 = "round(list_sum([({e}[i+1] - cvec[i+1]) ^ 2 for i in range(64)]), 9)"
+    sqls["emb_ivf_topk"] = f"""
+WITH cent AS ({cent_rows}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qc AS (
+  SELECT cid FROM (
+    SELECT cid, {_l2.format(e='qe')} AS d FROM cent, q
+  ) ORDER BY d, cid LIMIT 1
+),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2.format(e='(e.embedding::DOUBLE[])')}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+bucket AS (
+  SELECT e.vec_id, a.centroid_id,
+         round({_dot.format(a='(e.embedding::DOUBLE[])', b='qe')} /
+               (sqrt({_dot.format(a='(e.embedding::DOUBLE[])', b='(e.embedding::DOUBLE[])')}) *
+                sqrt({_dot.format(a='qe', b='qe')})), 6) AS cosine
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN qc ON a.centroid_id = qc.cid
+  CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, centroid_id, cosine FROM bucket
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+"""
+
+    from searchengine_spark.textops.quality import BPE_ISH, LANG_PROFILES, LANG_ORDER
+
+    def _inlist(words):
+        return ", ".join(_sql_quote(w) for w in words)
+
+    hits_cols = ",\n       ".join(
+        f"len(list_filter(tokens, t -> t IN ({_inlist(LANG_PROFILES[lang])})))::BIGINT AS {lang}_hits"
+        for lang in LANG_ORDER
+    )
+    sqls["lang_id"] = f"""
+WITH tokd AS (SELECT doc_id AS id, {_TOK_SQL} AS tokens FROM documents),
+h AS (
+  SELECT id,
+       {hits_cols}
+  FROM tokd
+)
+SELECT id, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+            WHEN fr_hits >= es_hits THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM h
+"""
+
+    sqls["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id AS id, text, {_TOK_SQL} AS tokens FROM documents
+),
+feat AS (
+  SELECT id,
+         len(tokens)::BIGINT AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')) AS n_punct,
+         list_sum([length(t) for t in tokens]) AS tok_chars,
+         len(list_filter(tokens, t -> t IN ({_inlist(LANG_PROFILES["en"])})))::BIGINT AS n_stop
+  FROM base
+),
+r AS (
+  SELECT id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_tok_len_x,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio_x,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio_x
+  FROM feat
+)
+SELECT id, n_tokens,
+       floor(mean_tok_len_x * 10000) / 10000 AS mean_tok_len,
+       floor(punct_ratio_x * 10000) / 10000 AS punct_ratio,
+       floor(stop_ratio_x * 10000) / 10000 AS stop_ratio,
+       floor((stop_ratio_x * 0.3 + (1.0 - punct_ratio_x) * 0.3
+              + least(n_tokens / 100.0, 1.0) * 0.4) * 10000) / 10000 AS quality
+FROM r
+"""
+
+    bpe_sql = _sql_quote(BPE_ISH)
+    sqls["token_stats"] = f"""
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, {bpe_sql}))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+    sqls["doc_fingerprints"] = """
+WITH g AS (
+  SELECT doc_id,
+         [md5(substr(text, i+1, 5)) for i in range(greatest(length(text) - 4, 0))] AS grams
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4
+              THEN [list_min(grams[j+1:j+4]) for j in range(len(grams) - 3)]
+              ELSE grams END AS mins
+  FROM g
+),
+f AS (SELECT doc_id, list_distinct(mins) AS fp FROM m)
+SELECT doc_id AS id, len(fp)::BIGINT AS n_fp, list_min(fp) AS min_fp FROM f
+"""
+
+    sqls["multimodal_features"] = """
+SELECT d.doc_id, 16::BIGINT AS n_bytes,
+       sum(strpos('0123456789abcdef', substr(md5(d.text), i + 1, 1)) - 1)::BIGINT AS checksum
+FROM documents d CROSS JOIN (SELECT unnest(range(32)) AS i)
+GROUP BY d.doc_id
 """
     return sqls

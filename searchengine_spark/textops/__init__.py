@@ -1,0 +1,25 @@
+"""Large-scale training-data pipeline operators (beyond the reference).
+
+The reference engine (tiagorainho/SearchEngine) is an IR indexer/searcher;
+a 100 TB corpus pipeline additionally needs dedup, similarity search, text
+quality analysis and multimodal plumbing. Everything here is expressed with
+native Spark SQL functions (JVM, whole-stage codegen) except the explicitly
+stubbed multimodal decoders (Arrow-batched mapInPandas).
+"""
+
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_duplicate_pairs,
+    simhash_table,
+    shingles_col,
+)
+from .multimodal import extract_features, with_binary_payload  # noqa: F401
+from .quality import (  # noqa: F401
+    doc_fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from .similarity import cosine_topk, ivf_assign, ivf_topk, make_centroids  # noqa: F401

@@ -1,0 +1,146 @@
+"""Text analysis: language-ID heuristic, quality scoring, token counting,
+document fingerprinting (winnowing). All native Spark SQL expressions —
+zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import PUNCT_CLASS
+
+# tiny inline stop-word profiles for the n-gram/stop-word language heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for", "with", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "dans", "une", "que", "sur"),
+    "es": ("el", "los", "las", "y", "es", "para", "en", "una", "que", "con"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # tie precedence
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def lang_id(docs: DataFrame, tokens_col: Column, id_col: str = "doc_id") -> DataFrame:
+    """Stop-word-profile language ID -> (id, <lang>_hits..., pred_lang).
+    Prediction = argmax hit count with fixed precedence (LANG_ORDER)."""
+    cols = [F.col(id_col).alias("id")]
+    for lang in LANG_ORDER:
+        cols.append(_hits(tokens_col, LANG_PROFILES[lang]).cast("long").alias(f"{lang}_hits"))
+    out = docs.select(*cols)
+    pred = None
+    for lang in reversed(LANG_ORDER):  # build nested whens; earlier langs win ties
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"{lang}_hits") >= F.col(f"{other}_hits") if LANG_ORDER.index(
+                other
+            ) > LANG_ORDER.index(lang) else F.col(f"{lang}_hits") > F.col(f"{other}_hits")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_score(
+    docs: DataFrame,
+    tokens_col: Column,
+    stop_words: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heuristic quality features + score (rounded 4dp):
+    n_tokens, mean token length, punctuation ratio, stop-word ratio,
+    score = stop_ratio * 0.3 + (1 - punct_ratio) * 0.3
+            + least(n_tokens/100, 1) * 0.4
+    (Gopher/C4-style ratio filters; the exact weights are ours.)"""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    toks = tokens_col
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop_words)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+    )
+
+    # truncate-to-4dp instead of round: round() disagrees across engines on
+    # decimal ties (Spark rounds the exact binary value, DuckDB the shortest
+    # decimal repr); floor of the same double is engine-independent
+    def t4(c: Column) -> Column:
+        return F.floor(c * 10000) / 10000
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        t4(mean_tok_len).alias("mean_tok_len"),
+        t4(punct_ratio).alias("punct_ratio"),
+        t4(stop_ratio).alias("stop_ratio"),
+        t4(score).alias("quality"),
+    )
+
+
+# BPE-ish pre-tokenization pattern: letter runs | digit runs | single
+# non-alnum-non-space (GPT-2-style pre-tokenizer, simplified to a portable
+# RE2/Java-common subset)
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, ws_tokens, bpe_tokens): whitespace token count + BPE-ish regex
+    token count — the cheap proxy for 'how many training tokens is this'."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(text, F.lit(r"\S+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_ISH)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): md5 of char k-grams,
+    per-window lexicographic min, distinct -> (id, n_fp, min_fp).
+
+    Entirely native: sequence/transform/slice/array_min higher-order
+    functions, no UDF."""
+    text = F.col(text_col)
+    n = F.length(text)
+    # NB sequence(1, 0) DESCENDS in Spark — guard short/empty texts explicitly
+    grams = F.when(
+        n >= kgram,
+        F.transform(
+            F.sequence(F.lit(1), n - (kgram - 1)),
+            lambda i: F.md5(text.substr(i, F.lit(kgram))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    mins = F.when(
+        n_g >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_g - (window - 1)),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        ),
+    ).otherwise(grams)
+    fp = F.array_distinct(mins)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(fp).cast("long").alias("n_fp"),
+        F.array_min(fp).alias("min_fp"),
+    )
