@@ -1,0 +1,86 @@
+"""Relevance-evaluation metrics, formula-identical to the reference.
+
+Reference: src/efficiency.py:41-91 (Efficiency.calculate_stats /
+query_thoughput). Quirks kept for comparable reporting (SURVEY.md Q9):
+- NDCG's DCG uses 2^(engine score) - 1 over the RESULT scores while iDCG
+  uses 2^grade - 1 over the relevance file's rows IN FILE ORDER
+  (efficiency.py:66-78) — not a textbook NDCG; reproduced verbatim.
+- throughput counter adds len(results) per query (efficiency.py:45).
+
+Plain-Python over collected top-k rows (query batches are tiny); a
+DataFrame variant would only matter for millions of queries.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from statistics import mean, median
+from typing import Dict, List, Sequence, Tuple
+
+
+def parse_relevance_file(path: str) -> Dict[str, List[Tuple[str, int]]]:
+    """Parse the reference's queries.relevance.txt format: 'Q:<query>'
+    header + 'docid\\tgrade' lines (efficiency.py:28-39)."""
+    out: Dict[str, List[Tuple[str, int]]] = {}
+    cur: List[Tuple[str, int]] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("Q:"):
+                cur = []
+                out[line[2:]] = cur
+            else:
+                doc, grade = line.split("\t")
+                cur.append((doc, int(grade)))
+    return out
+
+
+@dataclass
+class EvalStats:
+    reference_results: Dict[str, List[Tuple[str, int]]]
+    counter: int = 0
+    search_times: List[float] = field(default_factory=list)
+    precisions: Dict[str, float] = field(default_factory=dict)
+    recalls: Dict[str, float] = field(default_factory=dict)
+    fscores: Dict[str, float] = field(default_factory=dict)
+    ndcg: Dict[str, float] = field(default_factory=dict)
+
+    def add(self, query: str, results: Sequence[Tuple[object, float]], search_time: float | None = None) -> None:
+        self.counter += len(results)  # quirky throughput counter (efficiency.py:45)
+        if search_time is not None:
+            self.search_times.append(search_time)
+        reference = self.reference_results.get(query)
+        if reference is None:
+            return
+        ref_ids = [str(r[0]) for r in reference]
+        relevant = sum(1 for doc_id, _ in results if str(doc_id) in ref_ids)
+        recall = relevant / len(reference)
+        precision = relevant / len(results) if results else 0.0
+        f_score = 0.0
+        if recall + precision > 0:
+            f_score = 2 * (precision * recall) / (precision + recall)
+        self.precisions[query] = precision
+        self.recalls[query] = recall
+        self.fscores[query] = f_score
+        dcg = sum(
+            (2 ** score - 1) / math.log2(i + 2) for i, (_, score) in enumerate(results)
+        )
+        idcg = sum(
+            (2 ** float(g) - 1) / math.log2(i + 2) for i, (_, g) in enumerate(reference)
+        )
+        self.ndcg[query] = dcg / idcg if idcg else 0.0
+
+    def query_throughput(self) -> float:
+        return self.counter / sum(self.search_times)
+
+    def mean_precision(self) -> float:
+        return mean(self.precisions.values())
+
+    def mean_latency(self) -> float:
+        return mean(self.search_times)
+
+    def median_latency(self) -> float:
+        return median(self.search_times)

@@ -1,0 +1,215 @@
+"""Positional proximity-boost rankers: BM25_OPTIMIZED / TF_IDF_OPTIMIZED.
+
+Reference: src/models/rankers/bm25_positional.py:26-103 and
+td_idf_positional.py:31-130. Semantics reproduced exactly, including the
+quirks (SURVEY.md Q6):
+
+- pair iteration runs over the FULL query token list (duplicates included,
+  equal terms skipped) with 1-based indices, and the pair "query distance"
+  is (i+j+1) - i — one more than the actual positional gap
+  (bm25_positional.py:66-71 passes j+i+1);
+- per (p1) the best-scoring p2 is taken with a 0 floor (max_score starts at
+  0), distances beyond max_distance=10 are skipped, backward matches are
+  damped by 0.8; c = log10(15);
+- doc boost = log10(sum) if sum > 0 else 0;
+- BM25 variant: score += 0.01 * boost / log2((dl_norm-min)/(max-min)+1);
+  the reference raises ZeroDivisionError when a boosted doc has the
+  corpus-min dl_norm (bm25_positional.py:100-101, §2.6.9 reproduced bug) —
+  we instead SKIP the boost for such docs (documented deviation);
+- TF-IDF variant: score += 0.1 * boost, no normalization
+  (td_idf_positional.py:127-128).
+
+Execution shape: the exact BM25/TF-IDF base score is the usual broadcast
+join + agg; the boost needs token positions per (query, doc), which is
+genuinely pairwise-imperative -> applyInPandas per query_id over the
+matched positional postings (parallel across queries). At 10^12-doc scale
+you boost only the base-score top-N candidates (rerank pattern); the
+candidate cut is a parameter here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..indexing.build import Bm25Params, IndexTables
+from ..tokenizer import TokenizerConfig, tokenize_text
+from .tfidf import _uniform_tf_py, validate_schema
+
+MAX_DISTANCE = 10
+C = math.log10(MAX_DISTANCE * 1.5)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+
+def _compute_distance(i: int, positions1: List[int], j2: int, positions2: List[int]) -> float:
+    """bm25_positional.py:33-50, verbatim semantics."""
+    score = 0.0
+    query_distance = j2 - i
+    for p1 in positions1:
+        max_score = 0.0
+        for p2 in positions2:
+            pd_ = p2 - p1
+            if abs(pd_) > MAX_DISTANCE:
+                continue
+            signal = -1 if pd_ < 0 else 1
+            distance = signal * (query_distance - pd_)
+            if distance >= 0:
+                aux = -math.log10(distance + 1) + C
+            else:
+                aux = (math.log10(-distance + 1) + C) * 0.8
+            if aux > max_score:
+                max_score = aux
+        score += max_score
+    return score
+
+
+def _calculate_boost(query: List[str], positions: Dict[str, List[int]]) -> float:
+    """bm25_positional.py:53-76: full-list pair loop, 1-based, j2=i+j+1."""
+    score = 0.0
+    for i, term1 in enumerate(query, start=1):
+        p1 = positions.get(term1, [])
+        for j, term2 in enumerate(query[i:], start=1):
+            if term1 == term2:
+                continue
+            p2 = positions.get(term2, [])
+            score += _compute_distance(i, p1, j + i + 1, p2)
+    return math.log10(score) if score > 0 else 0.0
+
+
+def _scorer(
+    query_tokens: Dict[int, List[str]],
+    mode: str,
+    params: Bm25Params,
+    dl_min: float,
+    dl_max: float,
+    qltc: Dict[int, Dict[str, float]],
+    k_top: int,
+):
+    kk, bb = float(params.k), float(params.b)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        qtoks = query_tokens[qid]
+        uniq = list(dict.fromkeys(qtoks))
+        positions_by_doc: Dict[int, Dict[str, List[int]]] = {}
+        scores: Dict[int, float] = {}
+        dln: Dict[int, float] = {}
+        for row in pdf.itertuples(index=False):
+            doc = int(row.doc_id)
+            positions_by_doc.setdefault(doc, {})[row.term] = list(row.positions)
+            dln[doc] = float(row.dl_norm)
+            freq = len(row.positions)
+            if mode == "bm25":
+                sat = (freq * (kk + 1)) / (freq + kk * (1 - bb + bb * row.dl_norm))
+                scores[doc] = scores.get(doc, 0.0) + float(row.idf) * sat
+            else:  # tf-idf lnc.ltc base
+                scores[doc] = scores.get(doc, 0.0) + float(row.w) * qltc[qid][row.term]
+        for doc in list(scores):
+            boost = _calculate_boost(qtoks, positions_by_doc[doc])
+            if boost > 0:
+                if mode == "bm25":
+                    denom_x = (dln[doc] - dl_min) / (dl_max - dl_min) + 1
+                    norm = math.log2(denom_x)
+                    if norm == 0:
+                        # reference raises ZeroDivisionError here
+                        # (bm25_positional.py:100-101); we skip the boost
+                        continue
+                    scores[doc] += 0.01 * boost / norm
+                else:
+                    scores[doc] += 0.1 * boost
+        out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k_top]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for d, _ in out],
+                "score": [s for _, s in out],
+                "rank": range(1, len(out) + 1),
+            }
+        )
+
+    return score_group
+
+
+def proximity_topk_batch(
+    it: IndexTables,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    mode: str = "bm25",
+    params: Bm25Params = Bm25Params(),
+    schema: str = "lnc.ltc",
+) -> DataFrame:
+    """Top-k with proximity boost over a POSITIONAL index
+    (build_index(..., positional=True)) -> (query_id, doc_id, score, rank)."""
+    if "positions" not in it.index.columns:
+        raise ValueError("proximity ranking needs a positional index")
+    spark = it.index.sparkSession
+
+    query_tokens = {qid: tokenize_text(q, cfg) for qid, q in enumerate(queries)}
+    rows = [(qid, t) for qid, toks in query_tokens.items() for t in dict.fromkeys(toks)]
+    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
+    if not rows:
+        qdf = qdf.limit(0)
+
+    # corpus dl_norm range (reference reads it from the footer map,
+    # bm25_positional.py:82-84)
+    r = it.doc_lengths.agg(F.min("dl_norm"), F.max("dl_norm")).collect()[0]
+    dl_min, dl_max = float(r[0]), float(r[1])
+
+    matched = it.index.join(F.broadcast(qdf), "term").join(
+        F.broadcast(it.term_stats.select("term", "idf")), "term"
+    )
+    qltc: Dict[int, Dict[str, float]] = {}
+    if mode == "tfidf":
+        validate_schema(schema)
+        from .tfidf import tfidf_weights
+
+        # rename-join: w shares lineage with it.index -> avoid self-join
+        # attribute ambiguity
+        w = tfidf_weights(it, schema).select(
+            F.col("term").alias("_wt"), F.col("doc_id").alias("_wd"), "w"
+        )
+        matched = matched.join(
+            w, (matched["term"] == w["_wt"]) & (matched["doc_id"] == w["_wd"])
+        ).drop("_wt", "_wd")
+        # query-side ltc over PRESENT terms (td_idf_positional.py:97-110)
+        idf_map = {
+            row["term"]: row["idf"]
+            for row in it.term_stats.join(
+                F.broadcast(qdf.select("term").distinct()), "term"
+            ).collect()
+        }
+        for qid, toks in query_tokens.items():
+            ltc = {
+                t: _uniform_tf_py(toks.count(t), schema[4]) * idf_map[t]
+                for t in dict.fromkeys(toks)
+                if t in idf_map
+            }
+            if schema[6] == "c":
+                norm = math.sqrt(sum(v * v for v in ltc.values()))
+                ltc = {t: v / norm for t, v in ltc.items()} if norm else ltc
+            elif schema[6] == "n":
+                ltc = {t: 1.0 for t in ltc}
+            qltc[qid] = ltc
+    else:
+        matched = matched.withColumn("w", F.lit(0.0))
+    dln = it.doc_lengths.select(
+        F.col("doc_id").alias("_did"), F.col("dl_norm")
+    )
+    matched = matched.join(dln, matched["doc_id"] == dln["_did"]).drop("_did")
+
+    scorer = _scorer(query_tokens, mode, params, dl_min, dl_max, qltc, k)
+    return matched.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

@@ -92,6 +92,7 @@ def ref_build_and_search(
     b: float = 0.75,
     schema: str = "lnc.ltc",
     max_block_size: int = 50_000,
+    posting: str = "frequency",
 ) -> Tuple[List[List[Tuple[int, float]]], Dict[str, object]]:
     """Run the reference build+search (real disk pipeline) over pre-tokenized
     docs (doc i -> internal docID i). Returns per-query [(doc_id, score)]
@@ -108,7 +109,7 @@ def ref_build_and_search(
     blocks.mkdir(parents=True, exist_ok=True)
     out_index = str(base / "out.index")
 
-    posting_type = PostingType.FREQUENCY
+    posting_type = PostingType(posting)
     ranker = RankerFactory(RankingMethod(ranking_method))(posting_type, schema=schema, k=k, b=b)
     spimi = Spimi(
         ranker=ranker,
