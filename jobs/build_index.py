@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: build (or resume) a packed BM25 index.
+
+Cluster usage (north_rule packaging):
+
+    zip -r searchengine_spark.zip searchengine_spark
+    spark-submit --py-files searchengine_spark.zip jobs/build_index.py \\
+        --input  <parquet/Iceberg path of transcripts> \\
+        --output <index path> \\
+        --min-token-length 3 --stop-words stop_words.txt \\
+        --k 1.2 --b 0.75 [--resume] [--positional-chunk-docs 65536]
+
+Local smoke (this sandbox):
+
+    python jobs/build_index.py --synthetic 200 --output /tmp/idx
+
+The job prints the manifest JSON (metrics incl. docs/sec, per-stage times)
+on success — the driver-side contract for orchestration systems.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts table path (parquet dir)")
+    ap.add_argument("--input-format", default="parquet", choices=["parquet", "tsv"])
+    ap.add_argument("--tsv-doc-id-column", default="review_id")
+    ap.add_argument("--tsv-columns", default="review_headline,review_body")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic conversations instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-token-length", type=int, default=3)
+    ap.add_argument("--stop-words", default=None)
+    ap.add_argument("--language", default=None, help="Snowball stemmer language")
+    ap.add_argument("--k", type=float, default=1.2)
+    ap.add_argument("--b", type=float, default=0.75)
+    ap.add_argument("--chunk-docs", type=int, default=65536)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.indexing.build import Bm25Params
+    from searchengine_spark.indexing.packed import build_packed_index
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    spark = SparkSession.builder.appName("searchengine_spark.build_index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = TokenizerConfig(
+        min_token_length=args.min_token_length,
+        stop_words=TokenizerConfig.load_stop_words(args.stop_words)
+        if args.stop_words
+        else None,
+        stem_lang=args.language,
+    )
+    params = Bm25Params(k=args.k, b=args.b)
+
+    order_cols = ("conv_id", "turn_idx")
+    if args.synthetic:
+        from searchengine_spark.fixtures.transcripts import transcripts_distributed
+
+        df = transcripts_distributed(spark, n_conv=args.synthetic)
+    elif args.input_format == "tsv":
+        from searchengine_spark.sources import read_tsv_docs
+
+        df = read_tsv_docs(
+            spark, args.input, args.tsv_doc_id_column, args.tsv_columns.split(",")
+        )
+        order_cols = ("ext_id",)
+    else:
+        df = spark.read.parquet(args.input)
+
+    manifest = build_packed_index(
+        df,
+        cfg,
+        args.output,
+        params=params,
+        order_cols=order_cols,
+        chunk_docs=args.chunk_docs,
+        n_partitions=args.partitions,
+        resume=args.resume,
+    )
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: serve BM25 top-k queries from a packed index.
+
+    spark-submit --py-files searchengine_spark.zip jobs/search.py \\
+        --index <index path> --query "greatest rock album" [-n 10] [--exhaustive]
+
+Multiple --query flags run as one batch plan. Prints one JSON line per
+query: {"query": ..., "results": [{doc_id, conv_id, turn_idx, score, rank}]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("-n", type=int, default=10)
+    ap.add_argument("--min-token-length", type=int, default=3)
+    ap.add_argument("--stop-words", default=None)
+    ap.add_argument("--exhaustive", action="store_true",
+                    help="disable block-max pruning (exact fallback path)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.indexing.packed import load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    spark = SparkSession.builder.appName("searchengine_spark.search").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = TokenizerConfig(
+        min_token_length=args.min_token_length,
+        stop_words=TokenizerConfig.load_stop_words(args.stop_words)
+        if args.stop_words
+        else None,
+    )
+    pidx = load_packed_index(spark, args.index)
+    topk = bm25_topk_packed_batch(
+        pidx, args.query, cfg, k=args.n, exhaustive=args.exhaustive
+    )
+    rows = resolve_docs(pidx, topk).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(args.query):
+        res = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "results": [
+                        {
+                            "doc_id": r["doc_id"],
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            "score": r["score"],
+                            "rank": r["rank"],
+                        }
+                        for r in res
+                    ],
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
