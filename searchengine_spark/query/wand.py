@@ -124,7 +124,13 @@ def bm25_topk_packed_batch(
     if not rows:
         qdf = qdf.limit(0)
 
-    matched = pidx.index.join(F.broadcast(qdf), "term")
+    # pre-filter with the literal term set: compiles to a pushed-down
+    # In(term, …) predicate, so the term-sorted parquet layout prunes row
+    # groups via min/max stats — the reference's sorted-file binary search
+    # (index.py:93-131) done by the scan itself
+    all_terms = sorted({t for _, t in rows})
+    pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
+    matched = pruned.join(F.broadcast(qdf), "term")
     matched = matched.join(
         F.broadcast(pidx.term_stats.select("term", "idf")), "term"
     )

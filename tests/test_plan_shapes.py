@@ -1,0 +1,64 @@
+"""Plan-shape regression gates: the optimizations we rely on must stay in
+the physical plan (SURVEY.md §4 / README scale design)."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.wand import bm25_topk_packed_batch
+from searchengine_spark.tokenizer import TokenizerConfig
+
+CFG = TokenizerConfig(min_token_length=3)
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "idx")
+    build_packed_index(transcripts_df(spark, n_conv=30), CFG, path, chunk_docs=256)
+    return load_packed_index(spark, path)
+
+
+def explain_str(df) -> str:
+    from contextlib import redirect_stdout
+    import io
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_wand_scan_pushes_term_filter(pidx):
+    df = bm25_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    # the literal In(term, …) predicate must reach the parquet scan: that is
+    # the reference's sorted-file binary search (index.py:93-131) done by
+    # row-group pruning
+    assert "PushedFilters" in plan
+    assert "In(term" in plan
+
+
+def test_wand_broadcasts_small_sides(pidx):
+    df = bm25_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # query terms + term_stats
+    assert "SortMergeJoin" not in plan
+
+
+def test_wand_single_shuffle(pidx):
+    df = bm25_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    # one hash exchange (groupBy query_id into the scorer); broadcast
+    # exchanges excluded
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_exact_scorer_reads_pruned_columns(spark, pidx):
+    # column pruning: scoring never reads the postings blob's siblings it
+    # doesn't need (df_chunk/first_doc/last_doc stay, but e.g. docmap cols
+    # never enter the scan)
+    df = bm25_topk_packed_batch(pidx, ["rock"], CFG, k=5)
+    plan = explain_str(df)
+    assert "conv_id" not in plan
