@@ -204,7 +204,10 @@ def transcripts_distributed(spark, n_conv: int, seed: int = 20260816, n_partitio
                         "role": roles,
                         "text": texts,
                         "tool": tool,
-                        "ts": pd.Timestamp(epoch) + pd.to_timedelta(int(conv) * 86400 + turn, unit="s"),
+                        # bounded offset: pandas Timestamp overflows past year
+                        # 2262, so wrap conv into a ~3-year window
+                        "ts": pd.Timestamp(epoch)
+                        + pd.to_timedelta((int(conv) % 1_000_000) * 100 + turn, unit="s"),
                     }
                 )
 

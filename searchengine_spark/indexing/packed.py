@@ -106,7 +106,7 @@ def _encode_group(params: Bm25Params):
     return encode
 
 
-def _encode_partition(params: Bm25Params):
+def _encode_partition(params: Bm25Params, chunk_docs: int = 0):
     """Partition-level encoder: input batches are (term, chunk, doc_id)-
     sorted within the partition; groups may straddle Arrow batch
     boundaries, so the trailing (possibly incomplete) group of each batch
@@ -124,8 +124,13 @@ def _encode_partition(params: Bm25Params):
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
             terms = pdf["term"].to_numpy()
-            chunks = pdf["chunk"].to_numpy(np.int64)
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            # chunk derived from doc_id (monotone) — not shuffled as a column
+            chunks = (
+                pdf["chunk"].to_numpy(np.int64)
+                if "chunk" in pdf.columns
+                else doc_ids // chunk_docs
+            )
             dlqs = pdf["dlq"].to_numpy(np.int64)
             w = (
                 pdf["tf"].to_numpy(np.int64)
@@ -179,11 +184,14 @@ def _encode_partition(params: Bm25Params):
                 leftover = None
             if len(pdf) == 0:
                 continue
-            lt = pdf["term"].iloc[-1]
-            lc = pdf["chunk"].iloc[-1]
-            tail = (pdf["term"].to_numpy() == lt) & (
-                pdf["chunk"].to_numpy(np.int64) == int(lc)
+            chunk_col = (
+                pdf["chunk"].to_numpy(np.int64)
+                if "chunk" in pdf.columns
+                else pdf["doc_id"].to_numpy(np.int64) // chunk_docs
             )
+            lt = pdf["term"].iloc[-1]
+            lc = chunk_col[-1]
+            tail = (pdf["term"].to_numpy() == lt) & (chunk_col == int(lc))
             run = int(np.cumprod(tail[::-1]).sum())  # trailing-run length
             cut = len(pdf) - run
             if cut > 0:
@@ -258,18 +266,20 @@ def build_packed_index(
         tok = docs.select(
             DOC_ID, "dlq", F.explode(tokens_column(F.col(text_col), cfg)).alias("term")
         )
-        tok = tok.withColumn("chunk", (F.col(DOC_ID) / chunk_docs).cast("long"))
-        # ONE shuffle: raw token occurrences range-partitioned by (term,
-        # chunk) and sorted by (term, chunk, doc_id); the partition encoder
-        # computes tf as run lengths, so no (term, doc) pre-agg exchange is
-        # needed. The range layout doubles as the merged, sorted on-disk
-        # index (spimi.py:211-236 analog); min/max parquet stats on `term`
-        # then give point-lookup pruning like the reference's binary search
-        # (index.py:93-131).
-        sorted_tok = tok.repartitionByRange("term", "chunk").sortWithinPartitions(
-            "term", "chunk", DOC_ID
+        # ONE shuffle: raw token occurrences range-partitioned + sorted by
+        # (term, doc_id) — chunk is monotone in doc_id so this order equals
+        # (term, chunk, doc_id), and the encoder derives chunk itself (one
+        # fewer shuffled column). tf comes out as run lengths, so no
+        # (term, doc) pre-agg exchange is needed. The range layout doubles
+        # as the merged, sorted on-disk index (spimi.py:211-236 analog);
+        # min/max parquet stats on `term` then give point-lookup pruning
+        # like the reference's binary search (index.py:93-131).
+        sorted_tok = tok.repartitionByRange("term", DOC_ID).sortWithinPartitions(
+            "term", DOC_ID
         )
-        chunks = sorted_tok.mapInPandas(_encode_partition(params), schema=INDEX_SCHEMA)
+        chunks = sorted_tok.mapInPandas(
+            _encode_partition(params, chunk_docs), schema=INDEX_SCHEMA
+        )
         chunks.write.mode("overwrite").parquet(dirs["index"])
     metrics["stages"]["index"] = time.perf_counter() - t0
 
