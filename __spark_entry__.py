@@ -210,6 +210,17 @@ def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean OR mode: posting-list set union (BooleanPostingList.merge,
+    src/models/posting_lists/boolean_posting_list.py:30-36) — presence-only
+    payload, plus how many query terms matched."""
+    it = _doc_index(spark, sf_dir)
+    terms = _qterms(1)
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = it.index.join(F.broadcast(qdf), "term")
+    return hits.groupBy("doc_id").agg(F.countDistinct("term").alias("n_terms"))
+
+
 def q_docid_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2: scale-safe dense docID assignment (two-pass offsets, no global
     window) — checked against the SQL row_number() oracle."""
@@ -350,6 +361,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "checksum")
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: TF-IDF lnc.ltc ranking (stored 3dp doc weights, query-side
+    multiplicity + present-term normalization — reference semantics)."""
+    from searchengine_spark.query.tfidf import tfidf_topk_batch
+
+    it = _doc_index(spark, sf_dir)
+    scored = tfidf_topk_batch(it, [QUERY_STRINGS[0]], CFG, k=1 << 20)
+    out = scored.select("doc_id", F.round("score", 6).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end packed-index path on synthetic transcripts (rows-only
     check: transcripts aren't a DuckDB view). Small corpus, full pipeline:
@@ -387,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_batch": q_bm25_topk_batch,
         "boolean_and": q_boolean_and,
+        "boolean_or": q_boolean_or,
         "docid_dense": q_docid_dense,
         "positional_index": q_positional_index,
         "dedup_exact": q_dedup_exact,
@@ -400,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "tfidf_topk": q_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,  # rows-only (no view)
     }
 
@@ -458,6 +482,13 @@ WITH {_INDEX_CTES},
 q AS (SELECT unnest({_sql_term_list(and_terms)}) AS term)
 SELECT doc_id FROM idx JOIN q USING (term)
 GROUP BY doc_id HAVING count(DISTINCT term) = {len(and_terms)}
+"""
+
+    sqls["boolean_or"] = f"""
+WITH {_INDEX_CTES},
+q AS (SELECT unnest({_sql_term_list(and_terms)}) AS term)
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms
+FROM idx JOIN q USING (term) GROUP BY doc_id
 """
 
     sqls["docid_dense"] = """
@@ -693,6 +724,39 @@ m AS (
 ),
 f AS (SELECT doc_id, list_distinct(mins) AS fp FROM m)
 SELECT doc_id AS id, len(fp)::BIGINT AS n_fp, list_min(fp) AS min_fp FROM f
+"""
+
+    import math as _math
+
+    tfidf_terms = _qterms(0)
+    toks0 = tokenize_text(QUERY_STRINGS[0], CFG)
+    qtfs = [repr(1.0 + _math.log(toks0.count(t))) for t in tfidf_terms]
+    sqls["tfidf_topk"] = f"""
+WITH {_INDEX_CTES},
+w AS (
+  SELECT term, doc_id, 1.0 + ln(tf) AS wr FROM idx
+),
+dnorm AS (
+  SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id
+),
+wt AS (
+  SELECT term, w.doc_id, round(wr / nrm, 3) AS w3
+  FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
+),
+q AS (
+  SELECT unnest({_sql_term_list(tfidf_terms)}) AS term,
+         unnest([{", ".join(qtfs)}]) AS qtf
+),
+ql AS (
+  SELECT q.term, q.qtf * term_stats.idf AS ltc FROM q JOIN term_stats USING (term)
+),
+qn AS (SELECT sqrt(sum(ltc * ltc)) AS qnrm FROM ql),
+scored AS (
+  SELECT wt.doc_id, sum(wt.w3 * ql.ltc / (SELECT qnrm FROM qn)) AS s
+  FROM wt JOIN ql USING (term) GROUP BY wt.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10
 """
 
     sqls["multimodal_features"] = """
