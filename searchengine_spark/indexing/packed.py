@@ -308,8 +308,17 @@ def build_packed_index(
         ).collect()[0]
     )
     build_s = sum(metrics["stages"].values())
+    conf = spark.conf
     manifest = {
         "format": "searchengine_spark.packed/1",
+        "spark_conf": {
+            "shuffle_partitions": conf.get("spark.sql.shuffle.partitions", None),
+            "adaptive_enabled": conf.get("spark.sql.adaptive.enabled", None),
+            "skew_join_enabled": conf.get(
+                "spark.sql.adaptive.skewJoin.enabled", None
+            ),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        },
         "n_docs": n_docs,
         "avgdl": avgdl,
         "k": params.k,
