@@ -72,6 +72,7 @@ def _stage_dirs(path: str) -> dict:
         "term_stats": os.path.join(path, "term_stats"),
         "docmap": os.path.join(path, "docmap"),
         "lineage": os.path.join(path, "lineage"),
+        "lineage_index": os.path.join(path, "lineage_index"),
         "manifest": os.path.join(path, "manifest.json"),
         "state": os.path.join(path, "build_state.json"),
     }
@@ -284,6 +285,28 @@ def build_packed_index(
     metrics["stages"]["index"] = time.perf_counter() - t0
 
     index = spark.read.parquet(dirs["index"])
+
+    # ---- index-stage segment lineage: per-output-file (== per encode
+    # partition) metrics — postings written, segment sizes, term ranges
+    # (north_rule: per-partition lineage and metrics) --------------------
+    t0 = time.perf_counter()
+    if not (resume and _done(dirs["lineage_index"])):
+        (
+            index.withColumn("file", F.input_file_name())
+            .groupBy("file")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.count("*").alias("n_chunks"),
+                F.sum("df_chunk").alias("n_postings"),
+                F.sum(F.length("postings")).alias("postings_bytes"),
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+            )
+            .withColumn("stage", F.lit("index"))
+            .write.mode("overwrite")
+            .parquet(dirs["lineage_index"])
+        )
+    metrics["stages"]["lineage_index"] = time.perf_counter() - t0
 
     # ---- stage stats: df/idf sidecar (the '.tiny', spimi.py:233-242) ------
     t0 = time.perf_counter()

@@ -54,7 +54,7 @@ def test_manifest(packed):
     assert m["n_postings"] > m["n_terms"]
     assert m["metrics"]["build_seconds"] > 0
     assert set(m["metrics"]["stage_seconds"]) == {
-        "docs", "lineage", "index", "term_stats", "docmap"
+        "docs", "lineage", "index", "lineage_index", "term_stats", "docmap"
     }
 
 
@@ -149,3 +149,13 @@ def test_lineage_covers_corpus(spark, packed):
     lin = spark.read.parquet(os.path.join(packed.path, "lineage"))
     total = lin.agg(F.sum("n_rows")).collect()[0][0]
     assert total == packed.manifest["n_docs"]
+
+
+def test_index_lineage_accounts_all_postings(spark, packed):
+    lin = spark.read.parquet(os.path.join(packed.path, "lineage_index"))
+    row = lin.agg(
+        F.sum("n_postings"), F.sum("n_chunks"), F.sum("postings_bytes")
+    ).collect()[0]
+    assert row[0] == packed.manifest["n_postings"]
+    assert row[1] == packed.manifest["n_chunks"]
+    assert row[2] > 0
