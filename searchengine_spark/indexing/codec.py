@@ -157,6 +157,48 @@ def encode_posting_groups(
     return buffers, first, last, counts
 
 
+def encode_position_groups(
+    starts_occ: np.ndarray,
+    posting_first_occ: np.ndarray,
+    positions: np.ndarray,
+):
+    """Vectorized position-stream encode (positional payload sidecar).
+
+    ``positions``: flat, occurrence-level token positions, grouped by
+    posting (ascending within each posting). ``posting_first_occ``: int64
+    occurrence index of each posting's first occurrence (ascending).
+    ``starts_occ``: occurrence index where each (term, chunk) GROUP starts
+    (subset of posting starts). Returns list[bytes], one per group: varbyte
+    of per-posting delta-encoded positions (first absolute, rest gaps);
+    decodable given the tf stream of the sibling frequency payload."""
+    n = len(positions)
+    if n == 0:
+        return []
+    positions = np.asarray(positions, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = positions[1:] - positions[:-1]
+    deltas[posting_first_occ] = positions[posting_first_occ]
+    buf = varbyte_encode(deltas.astype(np.uint64))
+    byte_lens = _varbyte_lengths(deltas.astype(np.uint64))
+    cum = np.concatenate(([0], np.cumsum(byte_lens)))
+    ends_occ = np.append(starts_occ[1:], n)
+    mv = memoryview(buf)
+    return [bytes(mv[int(cum[s]):int(cum[e])]) for s, e in zip(starts_occ, ends_occ)]
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray):
+    """-> (flat_positions int64, occ_starts int64): per-posting absolute
+    positions, vectorized (one varbyte pass + segmented cumsum)."""
+    deltas = varbyte_decode(buf).astype(np.int64)
+    occ_starts = np.concatenate(([0], np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]))
+    csum = np.cumsum(deltas)
+    # segmented cumsum: subtract the carry accumulated before each posting
+    carry = np.zeros(len(deltas), dtype=np.int64)
+    carry[occ_starts[1:]] = csum[occ_starts[1:] - 1]
+    flat = csum - np.maximum.accumulate(carry)
+    return flat, occ_starts
+
+
 def block_max(doc_ids: np.ndarray, tfs: np.ndarray, dl_norm: np.ndarray, k: float, b: float):
     """-> (block_last_doc int64[], block_max_tfsat float64[]) per BLOCK."""
     n = len(doc_ids)

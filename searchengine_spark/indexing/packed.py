@@ -57,6 +57,7 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("max_tfsat", T.DoubleType(), False),
         T.StructField("postings", T.BinaryType(), False),
+        T.StructField("positions", T.BinaryType(), True),  # positional mode only
     ]
 )
 
@@ -101,13 +102,14 @@ def _encode_group(params: Bm25Params):
                 "last_doc": [int(doc_ids[-1])],
                 "max_tfsat": [float(sat.max())],
                 "postings": [buf],
+                "positions": [None],
             }
         )
 
     return encode
 
 
-def _encode_partition(params: Bm25Params, chunk_docs: int = 0):
+def _encode_partition(params: Bm25Params, chunk_docs: int = 0, positional: bool = False):
     """Partition-level encoder: input batches are (term, chunk, doc_id)-
     sorted within the partition; groups may straddle Arrow batch
     boundaries, so the trailing (possibly incomplete) group of each batch
@@ -160,11 +162,17 @@ def _encode_partition(params: Bm25Params, chunk_docs: int = 0):
             newg[0] = True
             newg[1:] = (cterms[1:] != cterms[:-1]) | (cchunks[1:] != cchunks[:-1])
             starts = np.flatnonzero(newg)
-            from .codec import encode_posting_groups
+            from .codec import encode_posting_groups, encode_position_groups
 
             buffers, first, last, counts = encode_posting_groups(
                 starts, cdocs, tfs, cdlqs
             )
+            if positional:
+                pos_bufs = encode_position_groups(
+                    pstarts[starts], pstarts, pdf["pos"].to_numpy(np.int64)
+                )
+            else:
+                pos_bufs = None
             sat = tf_saturation(tfs, cdlqs.astype(np.float64) / 1000.0, k, b)
             max_sat = np.maximum.reduceat(sat, starts)
             return pd.DataFrame(
@@ -176,6 +184,7 @@ def _encode_partition(params: Bm25Params, chunk_docs: int = 0):
                     "last_doc": last,
                     "max_tfsat": max_sat,
                     "postings": buffers,
+                    "positions": pos_bufs,
                 }
             )
 
@@ -214,6 +223,7 @@ def build_packed_index(
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     n_partitions: Optional[int] = None,
     resume: bool = False,
+    positional: bool = False,
 ) -> dict:
     """Build the packed index at ``path``; returns the manifest dict."""
     spark = transcripts.sparkSession
@@ -255,6 +265,8 @@ def build_packed_index(
                 F.min(DOC_ID).alias("min_doc"),
                 F.max(DOC_ID).alias("max_doc"),
                 F.sum("dl").alias("n_tokens"),
+                F.min("dlq").alias("min_dlq"),
+                F.max("dlq").alias("max_dlq"),
             )
             .withColumn("stage", F.lit("docs"))
         )
@@ -264,9 +276,16 @@ def build_packed_index(
     # ---- stage index: explode -> tf -> chunked varbyte postings -----------
     t0 = time.perf_counter()
     if not (resume and _done(dirs["index"])):
-        tok = docs.select(
-            DOC_ID, "dlq", F.explode(tokens_column(F.col(text_col), cfg)).alias("term")
-        )
+        if positional:
+            tok = docs.select(
+                DOC_ID,
+                "dlq",
+                F.posexplode(tokens_column(F.col(text_col), cfg)).alias("pos", "term"),
+            )
+        else:
+            tok = docs.select(
+                DOC_ID, "dlq", F.explode(tokens_column(F.col(text_col), cfg)).alias("term")
+            )
         # ONE shuffle: raw token occurrences range-partitioned + sorted by
         # (term, doc_id) — chunk is monotone in doc_id so this order equals
         # (term, chunk, doc_id), and the encoder derives chunk itself (one
@@ -275,11 +294,12 @@ def build_packed_index(
         # as the merged, sorted on-disk index (spimi.py:211-236 analog);
         # min/max parquet stats on `term` then give point-lookup pruning
         # like the reference's binary search (index.py:93-131).
+        sort_cols = ["term", DOC_ID] + (["pos"] if positional else [])
         sorted_tok = tok.repartitionByRange("term", DOC_ID).sortWithinPartitions(
-            "term", DOC_ID
+            *sort_cols
         )
         chunks = sorted_tok.mapInPandas(
-            _encode_partition(params, chunk_docs), schema=INDEX_SCHEMA
+            _encode_partition(params, chunk_docs, positional), schema=INDEX_SCHEMA
         )
         chunks.write.mode("overwrite").parquet(dirs["index"])
     metrics["stages"]["index"] = time.perf_counter() - t0
@@ -332,8 +352,13 @@ def build_packed_index(
     )
     build_s = sum(metrics["stages"].values())
     conf = spark.conf
+    lin = spark.read.parquet(dirs["lineage"])
+    dl_row = lin.agg(F.min("min_dlq"), F.max("max_dlq")).collect()[0]
     manifest = {
         "format": "searchengine_spark.packed/1",
+        "positional": positional,
+        "dl_norm_min": (dl_row[0] or 0) / 1000.0,
+        "dl_norm_max": (dl_row[1] or 0) / 1000.0,
         "spark_conf": {
             "shuffle_partitions": conf.get("spark.sql.shuffle.partitions", None),
             "adaptive_enabled": conf.get("spark.sql.adaptive.enabled", None),
@@ -387,30 +412,40 @@ def load_packed_index(spark: SparkSession, path: str) -> PackedIndex:
     return PackedIndex(spark, path)
 
 
-def exploded_view(pidx: PackedIndex) -> DataFrame:
-    """Decode the packed index back to (term, doc_id, tf, dl_norm) rows —
-    the uncompressed test view (SURVEY.md §1.3); gates M2 ≡ M1."""
-    out_schema = T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("tf", T.LongType(), False),
-            T.StructField("dl_norm", T.DoubleType(), False),
-        ]
-    )
+def exploded_view(pidx: PackedIndex, include_positions: bool = False) -> DataFrame:
+    """Decode the packed index back to (term, doc_id, tf, dl_norm
+    [, positions]) rows — the uncompressed test view (SURVEY.md §1.3);
+    gates M2 ≡ M1. ``include_positions`` requires a positional build and
+    emits the comma-joined string form ('doc:pos1,pos2,…' payloads,
+    positional_posting_list.py:50-51)."""
+    fields = [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl_norm", T.DoubleType(), False),
+    ]
+    if include_positions:
+        fields.append(T.StructField("positions", T.StringType(), False))
+    out_schema = T.StructType(fields)
 
     def decode(batches: Iterable[pd.DataFrame]):
-        from .codec import decode_postings
+        from .codec import decode_positions, decode_postings
 
         for pdf in batches:
             frames = []
-            for term, buf in zip(pdf["term"], pdf["postings"]):
+            for i, (term, buf) in enumerate(zip(pdf["term"], pdf["postings"])):
                 doc_ids, tfs, dl_norm = decode_postings(bytes(buf))
-                frames.append(
-                    pd.DataFrame(
-                        {"term": term, "doc_id": doc_ids, "tf": tfs, "dl_norm": dl_norm}
+                cols = {"term": term, "doc_id": doc_ids, "tf": tfs, "dl_norm": dl_norm}
+                if include_positions:
+                    flat, occ_starts = decode_positions(
+                        bytes(pdf["positions"].iloc[i]), tfs
                     )
-                )
+                    ends = list(occ_starts[1:]) + [len(flat)]
+                    cols["positions"] = [
+                        ",".join(map(str, flat[s:e]))
+                        for s, e in zip(occ_starts, ends)
+                    ]
+                frames.append(pd.DataFrame(cols))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

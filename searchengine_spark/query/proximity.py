@@ -143,6 +143,82 @@ def _scorer(
     return score_group
 
 
+def proximity_topk_packed_batch(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    params: Bm25Params | None = None,
+) -> DataFrame:
+    """BM25_OPTIMIZED serving from the PACKED positional index: same
+    broadcast-join plan as WAND, with positions decoded inside the
+    per-query scorer. (TF_IDF_OPTIMIZED needs the doc-side weight table and
+    stays on the exact-path API.)"""
+    from ..indexing.packed import PackedIndex  # noqa: F401 (type only)
+
+    if not pidx.manifest.get("positional"):
+        raise ValueError("packed index was not built with positional=True")
+    params = params or pidx.params
+    kk, bb = float(params.k), float(params.b)
+    dl_min = float(pidx.manifest["dl_norm_min"])
+    dl_max = float(pidx.manifest["dl_norm_max"])
+    spark = pidx.spark
+
+    query_tokens = {qid: tokenize_text(q, cfg) for qid, q in enumerate(queries)}
+    rows = [(qid, t) for qid, toks in query_tokens.items() for t in dict.fromkeys(toks)]
+    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
+    if not rows:
+        qdf = qdf.limit(0)
+    all_terms = sorted({t for _, t in rows})
+    pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
+    matched = pruned.join(F.broadcast(qdf), "term").join(
+        F.broadcast(pidx.term_stats.select("term", "idf")), "term"
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..indexing.codec import decode_positions, decode_postings
+
+        qid = int(pdf["query_id"].iloc[0])
+        qtoks = query_tokens[qid]
+        scores: Dict[int, float] = {}
+        positions_by_doc: Dict[int, Dict[str, List[int]]] = {}
+        dln: Dict[int, float] = {}
+        for row in pdf.itertuples(index=False):
+            doc_ids, tfs, dl_norm = decode_postings(bytes(row.postings))
+            flat, occ_starts = decode_positions(bytes(row.positions), tfs)
+            ends = np.append(occ_starts[1:], len(flat))
+            sat = (tfs * (kk + 1)) / (tfs + kk * (1 - bb + bb * dl_norm))
+            contrib = float(row.idf) * sat
+            for j, doc in enumerate(doc_ids):
+                d = int(doc)
+                scores[d] = scores.get(d, 0.0) + float(contrib[j])
+                dln[d] = float(dl_norm[j])
+                positions_by_doc.setdefault(d, {})[row.term] = flat[
+                    occ_starts[j] : ends[j]
+                ].tolist()
+        for doc in list(scores):
+            boost = _calculate_boost(qtoks, positions_by_doc[doc])
+            if boost > 0:
+                denom_x = (dln[doc] - dl_min) / (dl_max - dl_min) + 1
+                norm = math.log2(denom_x)
+                if norm == 0:
+                    continue  # reference's ZeroDivisionError site — skip boost
+                scores[doc] += 0.01 * boost / norm
+        out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for d, _ in out],
+                "score": [s for _, s in out],
+                "rank": list(range(1, len(out) + 1)),
+            }
+        )
+
+    return matched.groupBy("query_id").applyInPandas(score_group, schema=_OUT_SCHEMA)
+
+
 def proximity_topk_batch(
     it: IndexTables,
     queries: Sequence[str],
