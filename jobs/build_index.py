@@ -43,6 +43,8 @@ def main() -> None:
     ap.add_argument("--k", type=float, default=1.2)
     ap.add_argument("--b", type=float, default=0.75)
     ap.add_argument("--chunk-docs", type=int, default=65536)
+    ap.add_argument("--positional", action="store_true",
+                    help="store positional payloads (proximity ranking)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -89,6 +91,7 @@ def main() -> None:
         chunk_docs=args.chunk_docs,
         n_partitions=args.partitions,
         resume=args.resume,
+        positional=args.positional,
     )
     print(json.dumps(manifest))
 
