@@ -6,8 +6,8 @@ plus per-query timings. Extra keys report index-build throughput in
 turns/sec (the BASELINE.json metric) and corpus size.
 
   python bench.py                  # one run at local[$SPARK_GRAFT_CPUS]
-  python bench.py --scaling        # same job at local[8] and local[32]
-                                   # -> scaling efficiency (BASELINE.md rule)
+  python bench.py --scaling        # same job at N and 4N taskset-pinned
+                                   # cores -> scaling efficiency (BENCH.md)
 
 Everything is deterministic: generation is executor-side and a pure function
 of (conv index, seed) — identical corpus at any parallelism.
