@@ -367,9 +367,10 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.query.tfidf import tfidf_topk_batch
 
     it = _doc_index(spark, sf_dir)
-    scored = tfidf_topk_batch(it, [QUERY_STRINGS[0]], CFG, k=1 << 20)
-    out = scored.select("doc_id", F.round("score", 6).alias("score"))
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    # rank_dp=6: rank by the ROUNDED score inside the window (cross-engine
+    # policy) so the cut happens at k=10, not over all matched docs
+    scored = tfidf_topk_batch(it, [QUERY_STRINGS[0]], CFG, k=10, rank_dp=6)
+    return scored.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,8 +23,12 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", action="append", required=True)
     ap.add_argument("-n", type=int, default=10)
-    ap.add_argument("--min-token-length", type=int, default=3)
-    ap.add_argument("--stop-words", default=None)
+    # tokenizer flags default to the config STORED IN THE INDEX MANIFEST —
+    # queries must be tokenized like the docs were, or results silently skew;
+    # pass a flag explicitly only to deliberately override the build config
+    ap.add_argument("--min-token-length", type=int, default=None)
+    ap.add_argument("--stop-words", default=None,
+                    help="stop-word file; 'none' disables the manifest list")
     ap.add_argument("--exhaustive", action="store_true",
                     help="disable block-max pruning (exact fallback path)")
     args = ap.parse_args()
@@ -38,13 +42,14 @@ def main() -> None:
     spark = SparkSession.builder.appName("searchengine_spark.search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    cfg = TokenizerConfig(
-        min_token_length=args.min_token_length,
-        stop_words=TokenizerConfig.load_stop_words(args.stop_words)
-        if args.stop_words
-        else None,
-    )
     pidx = load_packed_index(spark, args.index)
+    cfg = TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    if args.min_token_length is not None:
+        cfg = TokenizerConfig(args.min_token_length, cfg.stop_words, cfg.stem_lang)
+    if args.stop_words is not None:
+        sw = (None if args.stop_words.lower() == "none"
+              else TokenizerConfig.load_stop_words(args.stop_words))
+        cfg = TokenizerConfig(cfg.min_token_length, sw, cfg.stem_lang)
     topk = bm25_topk_packed_batch(
         pidx, args.query, cfg, k=args.n, exhaustive=args.exhaustive
     )

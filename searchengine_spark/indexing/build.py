@@ -61,6 +61,16 @@ class IndexTables:
         self.term_stats = self.term_stats.cache()
         return self
 
+    def unpersist(self) -> None:
+        """Release every persist this build holds (docs + any cache() marks
+        + the with_doc_ids internal handle) — long-lived sessions building
+        many indexes leak executor memory otherwise."""
+        from .docids import unpersist_doc_ids
+
+        for df in (self.doc_lengths, self.index, self.term_stats, self.docs):
+            df.unpersist()
+        unpersist_doc_ids(self.docs)
+
 
 def tokenized_docs(
     transcripts: DataFrame,

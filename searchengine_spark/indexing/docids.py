@@ -54,7 +54,9 @@ def with_doc_ids(
     )
     counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     if not counts:  # empty input
-        return part.drop("_pid").withColumn(DOC_ID, F.lit(0).cast("long"))
+        out = part.drop("_pid").withColumn(DOC_ID, F.lit(0).cast("long"))
+        out._se_persisted = part  # type: ignore[attr-defined]
+        return out
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -67,11 +69,25 @@ def with_doc_ids(
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
     local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-    return (
+    out = (
         part.withColumn(
             DOC_ID, (offset_map[F.col("_pid")] + local).cast("long")
         ).drop("_pid")
     )
+    # the persist above is load-bearing (stable range bounds across the two
+    # passes) but must be releasable by callers once ids are materialized —
+    # expose the handle for unpersist_doc_ids()
+    out._se_persisted = part  # type: ignore[attr-defined]
+    return out
+
+
+def unpersist_doc_ids(df: DataFrame) -> None:
+    """Release the internal persist created by :func:`with_doc_ids`. Call
+    after the id-carrying rows are materialized (e.g. written to parquet);
+    no-op for DataFrames without the handle."""
+    part = getattr(df, "_se_persisted", None)
+    if part is not None:
+        part.unpersist()
 
 
 def with_doc_ids_window(

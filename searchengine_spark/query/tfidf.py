@@ -106,8 +106,14 @@ def tfidf_topk_batch(
     k: int = 10,
     schema: str = DEFAULT_SCHEMA,
     weights: DataFrame | None = None,
+    rank_dp: int | None = None,
 ) -> DataFrame:
-    """All queries in one plan -> (query_id, doc_id, score, rank), rank<=k."""
+    """All queries in one plan -> (query_id, doc_id, score, rank), rank<=k.
+
+    ``rank_dp``: round scores to this many decimals and rank BY the rounded
+    value (doc_id tie-break) — the cross-engine-stable ordering used by the
+    DuckDB oracle entries, so top-k can cut at k directly instead of ranking
+    the full candidate set and re-cutting outside."""
     validate_schema(schema)
     spark = it.index.sparkSession
     if weights is None:
@@ -140,6 +146,8 @@ def tfidf_topk_batch(
     # doc-side lnc: schema[1]=='n' -> idf factor 1 (validated above)
     contrib = F.col("w") * F.col("ltc")
     agg = matched.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
+    if rank_dp is not None:
+        agg = agg.withColumn("score", F.round("score", rank_dp))
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return agg.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= k)
 

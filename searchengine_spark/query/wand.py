@@ -112,8 +112,20 @@ def bm25_topk_packed_batch(
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
     ``exhaustive=True`` disables block-max pruning (used by the safety gate
-    and as the reference-exact fallback; SURVEY.md §4)."""
+    and as the reference-exact fallback; SURVEY.md §4).
+
+    ``params`` other than the build-time (k, b) require ``exhaustive=True``:
+    the stored ``max_tfsat`` block bounds were computed at build params, so
+    pruning with different params is unsafe (could silently drop true top-k
+    docs) — we refuse rather than mis-serve."""
     params = params or pidx.params
+    built = pidx.params
+    if (float(params.k), float(params.b)) != (float(built.k), float(built.b)) and not exhaustive:
+        raise ValueError(
+            f"query params k={params.k} b={params.b} differ from build-time "
+            f"k={built.k} b={built.b}: stored block-max bounds are invalid for "
+            "them — pass exhaustive=True (no pruning) or rebuild the index"
+        )
     spark = pidx.spark
     rows = []
     for qid, q in enumerate(queries):

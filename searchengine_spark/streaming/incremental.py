@@ -51,6 +51,13 @@ def append_batch(
     spark = batch.sparkSession
     dirs = _stage_dirs(path)
     manifest = json.load(open(dirs["manifest"]))
+    if manifest.get("positional"):
+        # _encode_group writes positions=None; appending it to a positional
+        # index would silently corrupt positional serving (bytes(None)).
+        raise NotImplementedError(
+            "streaming append into a positional index is not supported; "
+            "rebuild, or build the index with positional=False"
+        )
     offset = int(manifest["n_docs"])
     avgdl = float(manifest["avgdl"])  # frozen (module docstring)
     chunk_docs = int(manifest["chunk_docs"])

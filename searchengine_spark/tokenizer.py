@@ -63,11 +63,25 @@ class TokenizerConfig:
             return frozenset(fh.read().split("\n"))
 
     def to_manifest(self) -> dict:
+        # the full (sorted) stop-word list is persisted so a search job can
+        # reconstruct the EXACT build-time tokenizer from the manifest alone
+        # (jobs/search.py defaults to it; flag/build mismatch silently skews
+        # results otherwise)
         return {
             "min_token_length": self.min_token_length,
             "n_stop_words": len(self.stop_words) if self.stop_words else 0,
+            "stop_words": sorted(self.stop_words) if self.stop_words else None,
             "stem_lang": self.stem_lang,
         }
+
+    @staticmethod
+    def from_manifest(m: dict) -> "TokenizerConfig":
+        sw = m.get("stop_words")
+        return TokenizerConfig(
+            min_token_length=m.get("min_token_length"),
+            stop_words=frozenset(sw) if sw is not None else None,
+            stem_lang=m.get("stem_lang"),
+        )
 
 
 def _make_stemmer(lang: str):
