@@ -6,45 +6,58 @@ term->postings file with idf sidecar and per-doc dl_norm footer
 (src/models/spimi.py:211-271). Here each piece becomes a Spark stage whose
 shuffle IS the merge:
 
-  stage docs   : input -> dense docIDs (two-pass, docids.py) + dl + dlq
-                 (dlq = round(dl_norm*1000), lossless 3-dp quantization)
-  stage index  : explode tokens -> groupBy(term, doc_id) [map-side combine]
-                 -> groupBy(term, chunk) applyInPandas varbyte-encode
+  stage docs   : input -> dense docIDs (two-pass, docids.py) + tokens + dl,
+                 ONE write job; N and avgdl ride the write as observed
+                 metrics (no separate aggregation pass). Tokenization
+                 happens exactly once — the index stage explodes the STORED
+                 token arrays instead of re-tokenizing text.
+  stage index  : explode stored tokens -> one range shuffle on (term,
+                 doc_id) -> vectorized varbyte encode per partition.
                  chunk = doc_id // chunk_docs: a term's postings are split
                  into doc-range chunks, so no posting list is ever
                  materialized whole — the hot-term (stop-word-like) skew that
                  would blow a collect_list is bounded by chunk_docs. Chunks
                  double as WAND blocks: (first_doc, last_doc, max_tfsat) per
                  chunk is exact block-max metadata (Ding & Suel 2011).
+                 dlq (= round(dl_norm*1000), lossless 3-dp quantization) is
+                 derived here from dl + the observed avgdl scalar.
   stage stats  : term_stats (df, idf=round(ln(N/df),3)) from chunk counts
-  stage docmap : doc_id -> (conv_id, turn_idx) resolve table
+  (docmap)     : NOT a stage — doc_id -> (conv_id, turn_idx) resolution is a
+                 column-pruned view over the docs stage parquet (columnar
+                 format means reading just those columns; a separate docmap
+                 sink would rewrite the same bytes and add a whole job)
 
 Each stage writes Parquet + Spark's _SUCCESS marker; ``resume=True`` skips
 completed stages (checkpoint-resumable, north_rule). ``lineage`` records
-per-partition row counts and doc ranges; ``manifest.json`` (written LAST =
-commit marker) records scalars, config, per-stage wall times and throughput.
+per-file row counts and doc ranges; ``manifest.json`` (written LAST =
+commit marker) records scalars, config, per-stage wall times and
+throughput. Manifest totals (n_postings, n_chunks) are aggregated from the
+tiny lineage sidecars — the index itself is scanned exactly twice after
+being written (per-file lineage + term df), never for scalar bookkeeping.
 
-On a real cluster the same code ships via spark-submit --py-files
-(jobs/build_index.py); paths may be any Hadoop-FS URI.
+All sidecar metadata IO (markers, state, manifest) goes through the JVM
+Hadoop FileSystem (fsio.py), so ``path`` may be any Hadoop-FS URI
+(``file://``, ``hdfs://``, ``s3a://``) — the same code ships to a real
+cluster via spark-submit --py-files (jobs/build_index.py).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Iterable, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..tokenizer import TokenizerConfig, tokens_column
+from . import fsio
 from .build import Bm25Params
 from .codec import encode_postings, tf_saturation
-from .docids import DOC_ID, with_doc_ids
+from .docids import DOC_ID, unpersist_doc_ids, with_doc_ids
 
 DEFAULT_CHUNK_DOCS = 1 << 16  # postings chunk = 65536-doc range
 
@@ -62,20 +75,19 @@ INDEX_SCHEMA = T.StructType(
 )
 
 
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _done(spark: SparkSession, path: str) -> bool:
+    return fsio.exists(spark, fsio.join(path, "_SUCCESS"))
 
 
 def _stage_dirs(path: str) -> dict:
     return {
-        "docs": os.path.join(path, "docs"),
-        "index": os.path.join(path, "index"),
-        "term_stats": os.path.join(path, "term_stats"),
-        "docmap": os.path.join(path, "docmap"),
-        "lineage": os.path.join(path, "lineage"),
-        "lineage_index": os.path.join(path, "lineage_index"),
-        "manifest": os.path.join(path, "manifest.json"),
-        "state": os.path.join(path, "build_state.json"),
+        "docs": fsio.join(path, "docs"),
+        "index": fsio.join(path, "index"),
+        "term_stats": fsio.join(path, "term_stats"),
+        "lineage": fsio.join(path, "lineage"),
+        "lineage_index": fsio.join(path, "lineage_index"),
+        "manifest": fsio.join(path, "manifest.json"),
+        "state": fsio.join(path, "build_state.json"),
     }
 
 
@@ -230,43 +242,49 @@ def build_packed_index(
     dirs = _stage_dirs(path)
     metrics: dict = {"stages": {}}
 
-    # ---- stage docs: dense docIDs + lengths -------------------------------
+    # ---- stage docs: dense docIDs + tokens + lengths, ONE write job -------
+    # N and avgdl ride the write as observed metrics instead of a separate
+    # aggregation pass; tokens are stored so the index stage never
+    # re-tokenizes (tokenization runs exactly once per corpus).
     t0 = time.perf_counter()
-    if not (resume and _done(dirs["docs"]) and os.path.exists(dirs["state"])):
-        docs = with_doc_ids(transcripts, order_cols=order_cols, n_partitions=n_partitions)
-        docs = docs.withColumn("tokens", tokens_column(F.col(text_col), cfg))
-        docs = docs.withColumn("dl", F.size("tokens").cast("long"))
-        docs = docs.select(DOC_ID, *order_cols, text_col, "dl").persist()
-        row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
-        # dlq = round(dl/avgdl, 3)*1000 — integerized EXACTLY like the stored
-        # footer value (bm25.py:76-81): round-half-even on the double, then *1000
-        docs = docs.withColumn(
-            "dlq", F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
+    if not (resume and _done(spark, dirs["docs"]) and fsio.exists(spark, dirs["state"])):
+        base = transcripts.select(
+            *order_cols, tokens_column(F.col(text_col), cfg).alias("tokens")
         )
-        docs.write.mode("overwrite").parquet(dirs["docs"])
-        docs.unpersist()
-        with open(dirs["state"], "w") as fh:
-            json.dump({"n_docs": n_docs, "avgdl": avgdl}, fh)
-    state = json.load(open(dirs["state"]))
+        docs = with_doc_ids(base, order_cols=order_cols, n_partitions=n_partitions)
+        docs = docs.withColumn("dl", F.size("tokens").cast("long"))
+        obs = Observation()
+        (
+            docs.select(DOC_ID, *order_cols, "tokens", "dl")
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+            .write.mode("overwrite")
+            .parquet(dirs["docs"])
+        )
+        got = obs.get
+        n_docs, avgdl = int(got["n"]), float(got["avgdl"])
+        unpersist_doc_ids(docs)
+        fsio.write_text(
+            spark, dirs["state"], json.dumps({"n_docs": n_docs, "avgdl": avgdl})
+        )
+    state = json.loads(fsio.read_text(spark, dirs["state"]))
     n_docs, avgdl = state["n_docs"], state["avgdl"]
     metrics["stages"]["docs"] = time.perf_counter() - t0
 
     docs = spark.read.parquet(dirs["docs"])
 
-    # ---- stage lineage: per-partition counts + doc ranges -----------------
+    # ---- stage lineage: per-file counts + doc ranges (pruned 2-col scan) --
     t0 = time.perf_counter()
-    if not (resume and _done(dirs["lineage"])):
+    if not (resume and _done(spark, dirs["lineage"])):
         lineage = (
-            docs.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
+            docs.select(DOC_ID, "dl", F.input_file_name().alias("file"))
+            .groupBy("file")
             .agg(
                 F.count("*").alias("n_rows"),
                 F.min(DOC_ID).alias("min_doc"),
                 F.max(DOC_ID).alias("max_doc"),
                 F.sum("dl").alias("n_tokens"),
-                F.min("dlq").alias("min_dlq"),
-                F.max("dlq").alias("max_dlq"),
+                F.min("dl").alias("min_dl"),
+                F.max("dl").alias("max_dl"),
             )
             .withColumn("stage", F.lit("docs"))
         )
@@ -275,17 +293,16 @@ def build_packed_index(
 
     # ---- stage index: explode -> tf -> chunked varbyte postings -----------
     t0 = time.perf_counter()
-    if not (resume and _done(dirs["index"])):
+    if not (resume and _done(spark, dirs["index"])):
+        # dlq = round(dl/avgdl, 3)*1000 — integerized EXACTLY like the stored
+        # footer value (bm25.py:76-81): round-half-even on the double, *1000
+        dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
         if positional:
             tok = docs.select(
-                DOC_ID,
-                "dlq",
-                F.posexplode(tokens_column(F.col(text_col), cfg)).alias("pos", "term"),
+                DOC_ID, dlq.alias("dlq"), F.posexplode("tokens").alias("pos", "term")
             )
         else:
-            tok = docs.select(
-                DOC_ID, "dlq", F.explode(tokens_column(F.col(text_col), cfg)).alias("term")
-            )
+            tok = docs.select(DOC_ID, dlq.alias("dlq"), F.explode("tokens").alias("term"))
         # ONE shuffle: raw token occurrences range-partitioned + sorted by
         # (term, doc_id) — chunk is monotone in doc_id so this order equals
         # (term, chunk, doc_id), and the encoder derives chunk itself (one
@@ -310,7 +327,7 @@ def build_packed_index(
     # partition) metrics — postings written, segment sizes, term ranges
     # (north_rule: per-partition lineage and metrics) --------------------
     t0 = time.perf_counter()
-    if not (resume and _done(dirs["lineage_index"])):
+    if not (resume and _done(spark, dirs["lineage_index"])):
         (
             index.withColumn("file", F.input_file_name())
             .groupBy("file")
@@ -330,7 +347,7 @@ def build_packed_index(
 
     # ---- stage stats: df/idf sidecar (the '.tiny', spimi.py:233-242) ------
     t0 = time.perf_counter()
-    if not (resume and _done(dirs["term_stats"])):
+    if not (resume and _done(spark, dirs["term_stats"])):
         ts = index.groupBy("term").agg(F.sum("df_chunk").alias("df"))
         ts = ts.withColumn(
             "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 3)
@@ -338,27 +355,29 @@ def build_packed_index(
         ts.coalesce(8).write.mode("overwrite").parquet(dirs["term_stats"])
     metrics["stages"]["term_stats"] = time.perf_counter() - t0
 
-    # ---- stage docmap ------------------------------------------------------
-    t0 = time.perf_counter()
-    if not (resume and _done(dirs["docmap"])):
-        docs.select(DOC_ID, *order_cols).write.mode("overwrite").parquet(dirs["docmap"])
-    metrics["stages"]["docmap"] = time.perf_counter() - t0
-
     # ---- manifest = commit marker (written last) ---------------------------
-    n_chunks, n_postings, n_terms = (
-        index.agg(
-            F.count("*"), F.sum("df_chunk"), F.countDistinct("term")
-        ).collect()[0]
+    # totals come from the TINY lineage/stats sidecars — no rescan of the
+    # index for scalar bookkeeping (three O(#files)/O(#terms) micro-jobs)
+    li_row = spark.read.parquet(dirs["lineage_index"]).agg(
+        F.sum("n_chunks"), F.sum("n_postings")
+    ).collect()[0]
+    n_chunks, n_postings = int(li_row[0] or 0), int(li_row[1] or 0)
+    n_terms = spark.read.parquet(dirs["term_stats"]).count()
+    dl_row = (
+        spark.read.parquet(dirs["lineage"])
+        .agg(
+            F.min(F.round(F.col("min_dl") / F.lit(avgdl), 3)),
+            F.max(F.round(F.col("max_dl") / F.lit(avgdl), 3)),
+        )
+        .collect()[0]
     )
     build_s = sum(metrics["stages"].values())
     conf = spark.conf
-    lin = spark.read.parquet(dirs["lineage"])
-    dl_row = lin.agg(F.min("min_dlq"), F.max("max_dlq")).collect()[0]
     manifest = {
         "format": "searchengine_spark.packed/1",
         "positional": positional,
-        "dl_norm_min": (dl_row[0] or 0) / 1000.0,
-        "dl_norm_max": (dl_row[1] or 0) / 1000.0,
+        "dl_norm_min": float(dl_row[0] or 0.0),
+        "dl_norm_max": float(dl_row[1] or 0.0),
         "spark_conf": {
             "shuffle_partitions": conf.get("spark.sql.shuffle.partitions", None),
             "adaptive_enabled": conf.get("spark.sql.adaptive.enabled", None),
@@ -384,8 +403,7 @@ def build_packed_index(
             "postings_per_sec": round(int(n_postings) / max(build_s, 1e-9), 1),
         },
     }
-    with open(dirs["manifest"], "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    fsio.write_text(spark, dirs["manifest"], json.dumps(manifest, indent=1))
     return manifest
 
 
@@ -394,13 +412,28 @@ class PackedIndex:
 
     def __init__(self, spark: SparkSession, path: str):
         dirs = _stage_dirs(path)
-        if not os.path.exists(dirs["manifest"]):
+        if not fsio.exists(spark, dirs["manifest"]):
             raise FileNotFoundError(f"no committed index at {path} (manifest.json missing)")
         self.path = path
-        self.manifest = json.load(open(dirs["manifest"]))
-        self.index = spark.read.parquet(dirs["index"])
-        self.term_stats = spark.read.parquet(dirs["term_stats"])
-        self.docmap = spark.read.parquet(dirs["docmap"])
+        self.manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
+        # streaming appends live in epoch dirs registered in the manifest —
+        # only COMMITTED epochs are visible (exactly-once; incremental.py)
+        epochs = [a["batch_id"] for a in self.manifest.get("appends", [])]
+        index_paths = [dirs["index"]] + [
+            fsio.join(path, "index_appends", str(b)) for b in epochs
+        ]
+        docs_paths = [dirs["docs"]] + [
+            fsio.join(path, "docs_appends", str(b)) for b in epochs
+        ]
+        self.index = spark.read.parquet(*index_paths)
+        self.term_stats = spark.read.parquet(
+            fsio.join(path, self.manifest.get("term_stats_dir", "term_stats"))
+        )
+        # docmap is a column-pruned view over the docs stage (no separate
+        # sink): parquet reads just (doc_id, *order_cols) column chunks
+        self.docmap = spark.read.parquet(*docs_paths).select(
+            DOC_ID, *self.manifest["order_cols"]
+        )
         self.spark = spark
 
     @property

@@ -11,46 +11,70 @@ Semantics (defined by us, recorded in the manifest):
 - ``avgdl`` is FROZEN at initial build: appended postings carry dlq
   computed against the frozen avgdl (standard practice for incremental
   IR indexes — a full rebuild re-normalizes);
-- ``term_stats`` (df, idf) are recomputed EXACTLY from the full chunk
-  table after each append (N grows, so idf shifts — scores stay exact
-  w.r.t. the current corpus, unlike frozen-idf designs);
+- ``term_stats`` stays EXACT for the grown corpus via a delta merge:
+  old stats full-outer-joined with the batch's per-term df deltas
+  (O(vocab + batch terms) — never a re-aggregation of the whole chunk
+  table), idf recomputed on the merged rows for the new N;
 - appends may add a second row for an existing (term, chunk): the WAND
   scorer already concatenates same-chunk rows, and chunk upper bounds
   remain valid upper bounds.
 
-Exactly-once: the streaming checkpoint dedups input batches; the append
-itself writes new parquet files then flips the manifest last (same
-commit-marker discipline as the batch build).
+Exactly-once commit protocol (readers + retries):
+- every append stages its files in epoch dirs INVISIBLE to readers
+  (``docs_appends/<batch_id>``, ``index_appends/<batch_id>``, and a fresh
+  ``term_stats_v<batch_id>``) — a :class:`~..indexing.packed.PackedIndex`
+  only reads dirs the manifest lists, so a reader never sees a
+  half-written append;
+- the manifest update (atomic write-then-rename, fsio.py) is the single
+  commit point: it registers the epoch in ``appends`` and swings
+  ``term_stats_dir`` to the new version;
+- a foreachBatch retry re-runs with the SAME batch_id (Structured
+  Streaming contract): if the manifest already lists it the append is a
+  no-op, otherwise the staging dirs are simply overwritten — either way
+  no duplicate postings, no double-counted df;
+- the previous term_stats version is GC'd only after the commit (the
+  newest-but-one is kept for readers holding the old manifest).
+
+All metadata IO goes through the Hadoop FileSystem (fsio.py): the index
+path may be any Hadoop-FS URI; nothing here touches the driver-local FS.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..indexing import fsio
 from ..indexing.build import Bm25Params
 from ..indexing.packed import _encode_group, _stage_dirs, INDEX_SCHEMA
 from ..tokenizer import TokenizerConfig, tokens_column
-from ..indexing.docids import DOC_ID, with_doc_ids
+from ..indexing.docids import DOC_ID, unpersist_doc_ids, with_doc_ids
+
+
+def _append_dirs(path: str, batch_id: int) -> dict:
+    return {
+        "docs": fsio.join(path, "docs_appends", f"{batch_id}"),
+        "index": fsio.join(path, "index_appends", f"{batch_id}"),
+        "term_stats": fsio.join(path, f"term_stats_v{batch_id}"),
+    }
 
 
 def append_batch(
     batch: DataFrame,
     path: str,
     cfg: TokenizerConfig,
+    batch_id: int = 0,
     text_col: str = "text",
     order_cols=("conv_id", "turn_idx"),
 ) -> dict:
     """Append one micro-batch of transcript rows to the packed index at
-    ``path``; returns the updated manifest."""
+    ``path``; returns the updated manifest. Idempotent per ``batch_id``."""
     spark = batch.sparkSession
     dirs = _stage_dirs(path)
-    manifest = json.load(open(dirs["manifest"]))
+    manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
     if manifest.get("positional"):
         # _encode_group writes positions=None; appending it to a positional
         # index would silently corrupt positional serving (bytes(None)).
@@ -58,30 +82,39 @@ def append_batch(
             "streaming append into a positional index is not supported; "
             "rebuild, or build the index with positional=False"
         )
+    committed = {a["batch_id"] for a in manifest.get("appends", [])}
+    if batch_id in committed:
+        return manifest  # retried after a successful commit: no-op
+
     offset = int(manifest["n_docs"])
     avgdl = float(manifest["avgdl"])  # frozen (module docstring)
     chunk_docs = int(manifest["chunk_docs"])
     params = Bm25Params(k=manifest["k"], b=manifest["b"])
+    adirs = _append_dirs(path, batch_id)
 
     docs = with_doc_ids(batch, order_cols=order_cols)
     docs = docs.withColumn(DOC_ID, F.col(DOC_ID) + offset)
     docs = docs.withColumn("tokens", tokens_column(F.col(text_col), cfg))
     docs = docs.withColumn("dl", F.size("tokens").cast("long"))
-    docs = docs.withColumn(
-        "dlq", F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
-    ).persist()
+    # same docs-stage schema as the base build (docmap view unions them)
+    docs = docs.select(DOC_ID, *order_cols, "tokens", "dl").persist()
     n_new = docs.count()
     if n_new == 0:
+        docs.unpersist()
+        unpersist_doc_ids(docs)
         return manifest
 
-    tok = docs.select(DOC_ID, "dlq", F.explode("tokens").alias("term"))
+    dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
+    tok = docs.select(DOC_ID, dlq.alias("dlq"), F.explode("tokens").alias("term"))
     tf = tok.groupBy("term", DOC_ID, "dlq").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("chunk", (F.col(DOC_ID) / chunk_docs).cast("long"))
     chunks = tf.groupBy("term", "chunk").applyInPandas(
         _encode_group(params), schema=INDEX_SCHEMA
     )
-    chunks.write.mode("append").parquet(dirs["index"])
-    docs.select(DOC_ID, *order_cols).write.mode("append").parquet(dirs["docmap"])
+    # staging writes: overwrite (a retried half-written epoch is replaced)
+    chunks.write.mode("overwrite").parquet(adirs["index"])
+    docs.write.mode("overwrite").parquet(adirs["docs"])
+
     # streaming lineage sidecar: per-append doc ranges + counts
     (
         docs.groupBy()
@@ -92,32 +125,48 @@ def append_batch(
             F.sum("dl").alias("n_tokens"),
         )
         .withColumn("stage", F.lit("stream_append"))
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("append")
-        .parquet(os.path.join(path, "lineage_stream"))
+        .parquet(fsio.join(path, "lineage_stream"))
     )
     docs.unpersist()
+    unpersist_doc_ids(docs)
 
-    # exact df/idf recompute over the grown corpus (atomic dir swap)
+    # df/idf delta merge: O(vocab + batch terms), NOT a rescan of the index.
+    # batch df comes from the just-written epoch chunks (tiny parquet).
     n_docs = offset + n_new
-    index = spark.read.parquet(dirs["index"])
-    ts = index.groupBy("term").agg(F.sum("df_chunk").alias("df"))
-    ts = ts.withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 3))
-    tmp = dirs["term_stats"] + "_tmp_" + uuid.uuid4().hex[:8]
-    ts.coalesce(8).write.mode("overwrite").parquet(tmp)
-    old = dirs["term_stats"]
-    back = old + "_old"
-    shutil.rmtree(back, ignore_errors=True)
-    os.rename(old, back)
-    os.rename(tmp, old)
-    shutil.rmtree(back, ignore_errors=True)
-
-    manifest["n_docs"] = n_docs
-    manifest["n_postings"] = int(
-        index.agg(F.sum("df_chunk")).collect()[0][0]
+    epoch = spark.read.parquet(adirs["index"])
+    deltas = epoch.groupBy("term").agg(F.sum("df_chunk").alias("df_delta"))
+    n_post_delta = int(epoch.agg(F.sum("df_chunk")).collect()[0][0] or 0)
+    old_dir = manifest.get("term_stats_dir", "term_stats")
+    old = spark.read.parquet(fsio.join(path, old_dir)).select("term", "df")
+    merged = old.join(deltas, "term", "full_outer").select(
+        "term",
+        (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_delta"), F.lit(0))).alias("df"),
     )
-    manifest.setdefault("appends", []).append({"n_new": n_new})
-    with open(dirs["manifest"], "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    merged = merged.withColumn(
+        "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 3)
+    )
+    merged.coalesce(8).write.mode("overwrite").parquet(adirs["term_stats"])
+
+    # ---- the commit point: one atomic manifest replace --------------------
+    prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
+    manifest["n_docs"] = n_docs
+    manifest["n_postings"] = int(manifest["n_postings"]) + n_post_delta
+    manifest["term_stats_dir"] = f"term_stats_v{batch_id}"
+    manifest.setdefault("appends", []).append(
+        {"batch_id": batch_id, "n_new": n_new, "n_postings": n_post_delta}
+    )
+    manifest["gc_pending"] = [d for d in manifest.get("gc_pending", [])] + (
+        [prev_ts_dir] if prev_ts_dir != "term_stats" else []
+    )
+    # GC all but the newest-but-one version BEFORE committing the new
+    # manifest is unsafe (an in-flight reader may hold it) — GC the older
+    # backlog now, keep prev for one more epoch
+    gc_now, manifest["gc_pending"] = manifest["gc_pending"][:-1], manifest["gc_pending"][-1:]
+    fsio.write_text(spark, dirs["manifest"], json.dumps(manifest, indent=1))
+    for d in gc_now:
+        fsio.delete(spark, fsio.join(path, d))
     return manifest
 
 
@@ -132,7 +181,8 @@ def stream_append(
 ) -> None:
     """availableNow-run a parquet-directory stream of transcript rows into
     the packed index; the checkpoint (inside the index dir) makes re-runs
-    no-ops until new files arrive."""
+    no-ops until new files arrive, and batch_id-keyed epochs make retried
+    batches idempotent (module docstring)."""
     if schema is None:
         from ..fixtures.transcripts import TRANSCRIPTS_SCHEMA
 
@@ -140,7 +190,10 @@ def stream_append(
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        append_batch(batch, path, cfg, text_col=text_col, order_cols=order_cols)
+        append_batch(
+            batch, path, cfg, batch_id=int(batch_id),
+            text_col=text_col, order_cols=order_cols,
+        )
 
     (
         stream.writeStream.foreachBatch(sink)

@@ -53,8 +53,9 @@ def test_manifest(packed):
     assert m["n_terms"] > 100
     assert m["n_postings"] > m["n_terms"]
     assert m["metrics"]["build_seconds"] > 0
+    # docmap is no longer a stage: resolve reads a pruned view of docs/
     assert set(m["metrics"]["stage_seconds"]) == {
-        "docs", "lineage", "index", "lineage_index", "term_stats", "docmap"
+        "docs", "lineage", "index", "lineage_index", "term_stats"
     }
 
 

@@ -52,7 +52,11 @@ def test_append_updates_counts(spark, built):
     idx, n0, _ = built
     m = json.load(open(os.path.join(idx, "manifest.json")))
     assert m["n_docs"] == n0 + 5
-    assert m["appends"] == [{"n_new": 5}]
+    assert len(m["appends"]) == 1
+    assert m["appends"][0]["n_new"] == 5
+    assert m["appends"][0]["batch_id"] == 0
+    assert m["appends"][0]["n_postings"] > 0
+    assert m["term_stats_dir"] == "term_stats_v0"
 
 
 def test_appended_docs_searchable(spark, cfg, built):
@@ -66,15 +70,53 @@ def test_appended_docs_searchable(spark, cfg, built):
 
 
 def test_idf_recomputed_exactly(spark, built):
+    """Delta-merged term_stats must equal an exact recompute for BOTH the
+    new vocabulary and pre-existing terms (idf shifts for every term when
+    N grows)."""
     idx, _, _ = built
     m = json.load(open(os.path.join(idx, "manifest.json")))
-    ts = spark.read.parquet(os.path.join(idx, "term_stats"))
+    ts = spark.read.parquet(os.path.join(idx, m["term_stats_dir"]))
     row = ts.filter(F.col("term") == "blorptastic").collect()
     assert len(row) == 1
     assert row[0]["df"] == 5
     import math
 
     assert row[0]["idf"] == round(math.log(m["n_docs"] / 5), 3)
+    # an old term: df unchanged by the append, idf recomputed for new N
+    old = ts.orderBy(F.desc("df")).first()
+    assert old["idf"] == round(math.log(m["n_docs"] / old["df"]), 3)
+
+
+def test_append_retry_is_idempotent(spark, cfg, built):
+    """foreachBatch retry semantics: re-running a COMMITTED batch_id is a
+    no-op (manifest unchanged, no duplicate postings)."""
+    import datetime as dt
+
+    from searchengine_spark.streaming.incremental import append_batch
+
+    idx, n0, _ = built
+    before = json.load(open(os.path.join(idx, "manifest.json")))
+    rows = [("zconv9", 0, "user", "retry text", None, dt.datetime(2026, 3, 1))]
+    batch = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    after = append_batch(batch, idx, cfg, batch_id=0)  # 0 already committed
+    assert after["n_docs"] == before["n_docs"]
+    assert len(after.get("appends", [])) == len(before.get("appends", []))
+
+
+def test_positional_append_refused(spark, cfg, tmp_path):
+    import datetime as dt
+
+    from searchengine_spark.streaming.incremental import append_batch
+
+    idx = str(tmp_path / "pidx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=5), cfg, idx, params=PARAMS,
+        chunk_docs=256, positional=True,
+    )
+    rows = [("zconv9", 0, "user", "some text", None, dt.datetime(2026, 3, 1))]
+    batch = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        append_batch(batch, idx, cfg, batch_id=1)
 
 
 def test_rerun_is_noop(spark, cfg, built):
