@@ -373,6 +373,37 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION serving path, oracle-gated end-to-end: packed on-disk
+    index build (chunked varbyte postings + block-max metadata) -> WAND
+    top-k with pruning ON -> docmap resolve. round_dp=6 ranks by the
+    6dp-rounded score (doc_id tie-break) with an epsilon-slack threshold so
+    pruning stays exact under the cross-engine rounding policy."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end packed-index path on synthetic transcripts (rows-only
     check: transcripts aren't a DuckDB view). Small corpus, full pipeline:
@@ -425,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "tfidf_topk": q_tfidf_topk,
+        "packed_wand_topk": q_packed_wand_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,  # rows-only (no view)
     }
 
@@ -475,6 +507,28 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+    # packed serving path: same BM25 math as bm25_topk_batch (the packed
+    # index stores EXACTLY round(dl/avgdl,3) via dlq quantization and 3dp
+    # idf), ranked by the 6dp-rounded score — the oracle never sees the
+    # postings encoding, which is the point: compressed serving must equal
+    # plain SQL over the raw corpus
+    sqls["packed_wand_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     and_terms = _qterms(1)

@@ -63,17 +63,10 @@ def main() -> None:
             json.dumps(
                 {
                     "query": q,
-                    "results": [
-                        {
-                            "doc_id": r["doc_id"],
-                            "conv_id": r["conv_id"],
-                            "turn_idx": r["turn_idx"],
-                            "score": r["score"],
-                            "rank": r["rank"],
-                        }
-                        for r in res
-                    ],
-                }
+                    # external-id columns follow the index's order_cols
+                    "results": [r.asDict() for r in res],
+                },
+                default=str,
             )
         )
 

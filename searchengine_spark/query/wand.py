@@ -49,8 +49,14 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
-def _wand_scorer(k_top: int, params: Bm25Params):
+def _wand_scorer(k_top: int, params: Bm25Params, round_dp: int | None = None):
+    """``round_dp``: round per-doc scores to this many decimals and rank by
+    the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
+    ordering the DuckDB oracle uses. Pruning stays safe under rounding via
+    an epsilon slack on the threshold (a chunk is skipped only when no doc
+    in it could even TIE the rounded heap minimum)."""
     kk, bb = float(params.k), float(params.b)
+    eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
 
     def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -63,12 +69,8 @@ def _wand_scorer(k_top: int, params: Bm25Params):
         )
         by_chunk = dict(tuple(pdf.groupby("chunk")))
         heap: list = []  # min-heap of (score, -doc_id) — worst kept on top
-        pruned = 0
-        results_docs: list = []
-        results_scores: list = []
         for chunk, bound in ub.items():
-            if len(heap) >= k_top and bound < heap[0][0]:
-                pruned += 1
+            if len(heap) >= k_top and bound < heap[0][0] - eps:
                 continue  # safe skip: every doc in chunk scores <= bound
             rows = by_chunk[chunk]
             docs_all: list = []
@@ -82,12 +84,26 @@ def _wand_scorer(k_top: int, params: Bm25Params):
             uniq, inv = np.unique(docs, return_inverse=True)
             scores = np.zeros(len(uniq))
             np.add.at(scores, inv, contribs)
-            for d, s in zip(uniq, scores):
-                item = (float(s), -int(d))
+            if round_dp is not None:
+                scores = np.round(scores, round_dp)
+            # vectorized candidate cut: only the chunk's top-k by
+            # (score desc, doc_id asc) can enter the heap — a hot chunk at
+            # chunk_docs=65536 would otherwise cost ~1e5 Python heap
+            # iterations; now it's one partition + <=k pushes
+            n = len(uniq)
+            if n > k_top:
+                thresh = np.partition(scores, n - k_top)[n - k_top]
+                keep = scores >= thresh  # ties kept; lexsort settles them
+                uniq, scores = uniq[keep], scores[keep]
+            order = np.lexsort((uniq, -scores))[:k_top]
+            for i in order:
+                item = (float(scores[i]), -int(uniq[i]))
                 if len(heap) < k_top:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
+                else:
+                    break  # candidates are sorted: the rest can't enter
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return pd.DataFrame(
             {
@@ -108,6 +124,7 @@ def bm25_topk_packed_batch(
     k: int = 10,
     params: Bm25Params | None = None,
     exhaustive: bool = False,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -143,11 +160,15 @@ def bm25_topk_packed_batch(
     all_terms = sorted({t for _, t in rows})
     pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
     matched = pruned.join(F.broadcast(qdf), "term")
-    matched = matched.join(
-        F.broadcast(pidx.term_stats.select("term", "idf")), "term"
-    )
+    # term_stats is ALSO pre-filtered to the query terms: broadcasting the
+    # whole df/idf sidecar ships the entire vocabulary to every executor —
+    # fine at toy scale, pathological on a 1e12-turn corpus
+    stats = pidx.term_stats.select("term", "idf")
+    if all_terms:
+        stats = stats.filter(F.col("term").isin(all_terms))
+    matched = matched.join(F.broadcast(stats), "term")
     k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
-    scorer = _wand_scorer(k_top, params)
+    scorer = _wand_scorer(k_top, params, round_dp)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k)
@@ -156,7 +177,10 @@ def bm25_topk_packed_batch(
 
 def resolve_docs(pidx: PackedIndex, topk: DataFrame) -> DataFrame:
     """docID -> external id resolve (Q8; searcher.py:50-58 analog): join the
-    docmap instead of a binary search over a mapping file."""
+    docmap instead of a binary search over a mapping file. External-id
+    columns come from the index's ``order_cols`` (transcripts:
+    conv_id/turn_idx; TSV: ext_id; any corpus: whatever keyed the build)."""
+    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
     return topk.join(pidx.docmap, "doc_id").select(
-        "query_id", "doc_id", "conv_id", "turn_idx", "score", "rank"
+        "query_id", "doc_id", *ext_cols, "score", "rank"
     )

@@ -105,6 +105,24 @@ def test_wand_equals_exhaustive(packed, cfg):
         np.testing.assert_allclose(ws, fs, rtol=0, atol=0)  # identical code path
 
 
+def test_wand_rounded_rank_equals_exhaustive(packed, cfg):
+    """round_dp mode (the oracle serving contract): pruning with the
+    epsilon-slack threshold must still pick the same rounded-ranked top-k
+    as an exhaustive rounded scan."""
+    wand = _topk_map(
+        bm25_topk_packed_batch(
+            packed, REFERENCE_QUERIES, cfg, k=10, params=PARAMS, round_dp=6
+        )
+    )
+    full = _topk_map(
+        bm25_topk_packed_batch(
+            packed, REFERENCE_QUERIES, cfg, k=10, params=PARAMS,
+            round_dp=6, exhaustive=True,
+        )
+    )
+    assert wand == full
+
+
 def test_wand_equals_m1_exact(packed, exact, cfg):
     """Packed+WAND serving == M1 DataFrame join-agg scorer (rank identical,
     scores to 1e-9 — different float summation orders)."""
