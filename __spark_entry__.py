@@ -296,6 +296,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs, tokens_column(F.col("text"), CFG))
 
 
+def q_dedup_jaccard_on_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale composition: MinHash-LSH candidate pairs (hot-bucket
+    capped) verified by exact n-gram Jaccard — intersections computed only
+    for candidates, never all-pairs."""
+    from searchengine_spark.textops import minhash_lsh_candidates, ngram_jaccard_pairs
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _docs_with_copies(spark, sf_dir)
+    toks = tokens_column(F.col("text"), CFG)
+    cands = minhash_lsh_candidates(docs, toks)
+    return ngram_jaccard_pairs(docs, toks, threshold=0.5, candidates=cands)
+
+
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 4x16-bit band join + exact hamming<=3 filter over
+    the re-crawl corpus (copies give hamming-0 positives)."""
+    from searchengine_spark.textops import simhash_near_pairs, simhash_table
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _docs_with_copies(spark, sf_dir).filter((F.col("doc_id") % 100000) < 50)
+    sigs = simhash_table(docs, tokens_column(F.col("text"), CFG), id_col="doc_id")
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
     row = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -448,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard_on_lsh": q_dedup_jaccard_on_lsh,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "lang_id": q_lang_id,
@@ -591,24 +617,40 @@ SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS canonical_id,
 FROM corpus2 GROUP BY md5(text) HAVING count(*) > 1
 """
 
-    sqls["dedup_minhash"] = f"""
-WITH {shingled},
-sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
+    # band-bucket candidate generation with the hot-bucket cap (lowest-64
+    # ids per (band, band_key) bucket) — mirrors DEFAULT_BUCKET_CAP
+    _minhash_keys_cte = """
 hk AS (
   SELECT id, i AS hash_idx, min(md5(i::VARCHAR || '|' || shingle)) AS minhash
   FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i) GROUP BY id, i
 ),
-keys AS (
+keys0 AS (
   SELECT id, (hash_idx // 3)::INT AS band,
          md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
   FROM hk GROUP BY id, hash_idx // 3
+),
+keys AS (
+  SELECT id, band, band_key FROM (
+    SELECT id, band, band_key,
+           row_number() OVER (PARTITION BY band, band_key ORDER BY id) AS rn
+    FROM keys0
+  ) WHERE rn <= 64
 )
+"""
+
+    sqls["dedup_minhash"] = f"""
+WITH {shingled},
+sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
+{_minhash_keys_cte}
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
 FROM keys a JOIN keys b
   ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 GROUP BY a.id, b.id
 """
 
+    # floor-truncation (NOT round) on the ratio: round() disagrees between
+    # engines on exact decimal ties (1/160 = 0.00625), memory/CLAUDE.md rule
+    _JACC = "floor(n_int / (sa.n_sh + sb.n_sh - n_int) * 10000) / 10000"
     sqls["dedup_ngram_jaccard"] = f"""
 WITH {shingled},
 sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
@@ -619,8 +661,35 @@ inter AS (
   GROUP BY a.id, b.id
 ),
 j AS (
-  SELECT id_a, id_b,
-         round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+  SELECT id_a, id_b, {_JACC} AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = inter.id_a
+  JOIN sizes sb ON sb.id = inter.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+    # the 100 TB composition: LSH candidates -> exact Jaccard verify,
+    # intersections routed through the candidate pairs (no all-pairs join)
+    sqls["dedup_jaccard_on_lsh"] = f"""
+WITH {shingled},
+sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
+{_minhash_keys_cte},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_int
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+j AS (
+  SELECT id_a, id_b, {_JACC} AS jaccard
   FROM inter
   JOIN sizes sa ON sa.id = inter.id_a
   JOIN sizes sb ON sb.id = inter.id_b
@@ -647,6 +716,48 @@ SELECT id,
        sum(CASE WHEN j >= 32 THEN sbit * (2 ** (j - 32))::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
        sum(CASE WHEN j <  32 THEN sbit * (2 ** j)::BIGINT       ELSE 0 END)::BIGINT AS sim_lo
 FROM sig GROUP BY id
+"""
+
+    sqls["dedup_simhash_near"] = f"""
+WITH {_CORPUS2_CTE},
+tokd AS (
+  SELECT doc_id AS id, {_TOK_SQL} AS tokens FROM corpus2
+  WHERE (doc_id % 100000) < 50
+),
+toks AS (SELECT id, unnest(tokens) AS term FROM tokd),
+tb AS (
+  SELECT id, j,
+         ((strpos('0123456789abcdef', substr(md5(term), (j // 4)::INT + 1, 1)) - 1)
+          >> (j % 4)::INT) & 1 AS bit
+  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j)
+),
+sig AS (
+  SELECT id, j, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+  FROM tb GROUP BY id, j
+),
+sig64 AS (
+  SELECT id,
+         sum(CASE WHEN j >= 32 THEN sbit * (2 ** (j - 32))::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
+         sum(CASE WHEN j <  32 THEN sbit * (2 ** j)::BIGINT       ELSE 0 END)::BIGINT AS sim_lo
+  FROM sig GROUP BY id
+),
+b AS (
+  SELECT id, sim_hi, sim_lo, j2,
+         CASE j2 WHEN 0 THEN (sim_hi >> 16) & 65535
+                 WHEN 1 THEN sim_hi & 65535
+                 WHEN 2 THEN (sim_lo >> 16) & 65535
+                 ELSE sim_lo & 65535 END AS v
+  FROM sig64 CROSS JOIN (SELECT unnest(range(4)) AS j2)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a, bb.sim_hi AS hi_b, bb.sim_lo AS lo_b
+  FROM b a JOIN b bb ON a.j2 = bb.j2 AND a.v = bb.v AND a.id < bb.id
+)
+SELECT id_a, id_b,
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 """
 
     _dot = (

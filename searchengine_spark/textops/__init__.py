@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_duplicate_pairs,
+    simhash_near_pairs,
     simhash_table,
     shingles_col,
 )

@@ -20,11 +20,17 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_K = 12
 MINHASH_BANDS = 4  # 3 rows per band
+# Hot-bucket candidate cap: a boilerplate band bucket with B docs generates
+# B^2/2 pairs — one viral template at 100 TB is a cartesian bomb. Keeping
+# the (deterministic) lowest-id ``cap`` docs per bucket bounds any bucket's
+# pair count at cap^2/2; near-dup clusters bigger than the cap still chain
+# together transitively through their lowest-id members.
+DEFAULT_BUCKET_CAP = 64
 
 
 def shingles_col(tokens: Column, n: int = 3) -> Column:
@@ -72,18 +78,30 @@ def _minhash_sigs(docs: DataFrame, tokens_col: Column, id_col: str) -> DataFrame
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, tokens_col: Column, id_col: str = "doc_id"
+    docs: DataFrame,
+    tokens_col: Column,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash signatures -> banded LSH -> candidate pairs (id_a < id_b).
 
     Returns (id_a, id_b, n_bands) where n_bands = number of bands in which
-    the two docs share a bucket (>=1)."""
+    the two docs share a bucket (>=1). ``bucket_cap`` bounds the quadratic
+    blowup of hot (boilerplate) buckets: only the ``cap`` lowest-id docs of
+    each (band, band_key) bucket generate pairs (DEFAULT_BUCKET_CAP note)."""
     sigs = _minhash_sigs(docs, tokens_col, id_col)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     banded = sigs.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
     keys = banded.groupBy("id", "band").agg(
         F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key")
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("id")
+        keys = (
+            keys.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = keys.select(F.col("id").alias("id_a"), "band", F.col("band_key"))
     b = keys.select(F.col("id").alias("id_b"), F.col("band").alias("band_b"),
                     F.col("band_key").alias("band_key_b"))
@@ -102,30 +120,53 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold -> (id_a, id_b, jaccard).
+    """n-gram Jaccard >= threshold -> (id_a, id_b, jaccard).
 
-    Shared-shingle join (only pairs with >=1 common shingle are generated),
-    then |A∩B| / (|A| + |B| - |A∩B|). At scale: run on LSH candidates."""
+    Without ``candidates``: all-pairs via shared-shingle self-join (only
+    pairs with >=1 common shingle are generated) — quadratic on common
+    shingles, verification-scale only. With ``candidates`` (id_a, id_b —
+    e.g. :func:`minhash_lsh_candidates` output): cost is linear in
+    Σ_pairs |shingles|, the 100 TB composition (LSH prunes, Jaccard
+    verifies).
+
+    The ratio is floor-truncated to 4dp (NOT round(): round() disagrees
+    between engines on exact decimal ties like 1/160, breaking both the
+    oracle contract and the >= threshold cut)."""
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(tokens_col, n)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_int"))
-    )
+    if candidates is None:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+        inter = (
+            a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_int"))
+        )
+    else:
+        # candidate-pair intersection: route the pair through (id, shingle)
+        # joins — each candidate pair costs |A| + matched rows, never a
+        # shingle-keyed cartesian across the corpus
+        pairs = candidates.select("id_a", "id_b")
+        wa = sh.select(F.col("id").alias("id_a"), "shingle")
+        wb = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("shingle_b"))
+        inter = (
+            pairs.join(wa, "id_a")
+            .join(wb, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_int"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     j = inter.join(sa, "id_a").join(sb, "id_b")
     j = j.withColumn(
         "jaccard",
-        F.round(
-            F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int")), 4
-        ),
+        F.floor(
+            F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int")) * 10000
+        ) / 10000,
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -168,8 +209,8 @@ def simhash_table(docs: DataFrame, tokens_col: Column, id_col: str = "doc_id") -
 
 def simhash_duplicate_pairs(simhashes: DataFrame) -> DataFrame:
     """Pairs with identical 64-bit simhash (id_a < id_b) — the exact-match
-    band of simhash dedup; near-match (hamming<=k) joins on rotated key
-    prefixes at scale."""
+    band of simhash dedup; :func:`simhash_near_pairs` is the hamming<=k
+    generalization."""
     a = simhashes.select(F.col("id").alias("id_a"), "sim_hi", "sim_lo")
     b = simhashes.select(
         F.col("id").alias("id_b"), F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b")
@@ -180,3 +221,55 @@ def simhash_duplicate_pairs(simhashes: DataFrame) -> DataFrame:
         & (F.col("sim_lo") == F.col("lo_b"))
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
+
+
+def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by 64-bit simhash hamming distance <= k
+    -> (id_a, id_b, hamming).
+
+    Banding (Manku et al. 2007, WWW: detecting near-duplicates for web
+    crawling): split the signature into 4 x 16-bit bands; any two
+    signatures within hamming 3 agree EXACTLY on >=1 band (pigeonhole), so
+    a per-band equi-join finds every such pair — no quadratic all-pairs
+    scan, and each band key is a well-distributed 16-bit shuffle key. The
+    exact hamming filter then runs only on banded candidates.
+
+    ``max_hamming`` must be < number of bands (4) for the pigeonhole
+    guarantee; larger k needs more bands."""
+    if max_hamming >= 4:
+        raise ValueError("max_hamming must be <= 3 for 4-band exactness")
+    bands = simhashes.select(
+        "id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                F.expr("named_struct('j', 0, 'v', shiftright(sim_hi, 16) & 65535)"),
+                F.expr("named_struct('j', 1, 'v', sim_hi & 65535)"),
+                F.expr("named_struct('j', 2, 'v', shiftright(sim_lo, 16) & 65535)"),
+                F.expr("named_struct('j', 3, 'v', sim_lo & 65535)"),
+            )
+        ).alias("band"),
+    ).select("id", "sim_hi", "sim_lo", F.col("band.j").alias("j"), F.col("band.v").alias("v"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"), "j", "v",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"), F.col("j").alias("j_b"), F.col("v").alias("v_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("j") == F.col("j_b"))
+        & (F.col("v") == F.col("v_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+    ham = (
+        F.expr("bit_count(hi_a ^ hi_b)") + F.expr("bit_count(lo_a ^ lo_b)")
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
