@@ -338,14 +338,71 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 8
+IVF_ITERS = 2
+IVF_PROBE = 2
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from searchengine_spark.textops import build_ivf_index
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_ivf_{tag}")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ivf_index(emb, path, n_centroids=N_CENTROIDS, dim=64, n_iters=IVF_ITERS)
+    return path
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from searchengine_spark.textops import ivf_topk, make_centroids
+    """Servable IVF: integer-exact k-means train -> bucketed parquet layout
+    (partitionBy centroid) -> multi-probe partition-pruned query. The
+    DuckDB oracle replicates the ENTIRE pipeline (train included) — the
+    integer micro-unit arithmetic makes k-means bit-identical cross-engine
+    (similarity.py module docstring)."""
+    from searchengine_spark.textops import ivf_topk_indexed
 
+    path = _ivf_index(spark, sf_dir)
+    return ivf_topk_indexed(
+        spark, path, _query_vec(spark, sf_dir), k=5, n_probe=IVF_PROBE,
+        exclude_ids=(0,),
+    )
+
+
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 vs brute-force cosine ground truth, both computed by
+    the engine (and both replicated in the oracle). NOTE the testdata
+    embeddings are uniform random — the degenerate worst case for ANY
+    partitioning ANN (neighbor mass spreads ~evenly over buckets, so
+    recall ~= probed mass fraction). tests/test_ivf.py proves >=0.9 recall
+    at n_probe=2 on clusterable data; this entry records the honest
+    fixture number."""
+    from searchengine_spark.textops import cosine_topk, ivf_topk_indexed
+
+    path = _ivf_index(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = make_centroids(N_CENTROIDS, 64)
-    return ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=5, exclude_ids=(0,))
+    rows = []
+    for qid in (0, 1, 2):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        ivf = {
+            r["vec_id"]
+            for r in ivf_topk_indexed(
+                spark, path, qv, k=10, n_probe=IVF_PROBE, exclude_ids=(qid,)
+            ).collect()
+        }
+        true = {
+            r["vec_id"]
+            for r in cosine_topk(emb, qv, k=10, exclude_ids=(qid,)).collect()
+        }
+        n_hit = len(ivf & true)
+        rows.append((qid, n_hit, n_hit / 10.0))
+    return spark.createDataFrame(
+        rows, "query_vec_id int, n_hit long, recall double"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_recall": q_emb_ivf_recall,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -775,43 +833,139 @@ c AS (
 SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
-    from searchengine_spark.textops import make_centroids
+    # ---- IVF: full pipeline replica (k-means train -> assign -> probe).
+    # All training arithmetic is exact-integer micro-units, so the SQL
+    # reproduces the Spark build bit-for-bit (similarity.py docstring).
+    from searchengine_spark.textops import initial_centroids_micro
 
-    cents = make_centroids(N_CENTROIDS, 64)
-    cent_rows = " UNION ALL ".join(
-        f"SELECT {i} AS cid, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[] AS cvec"
-        for i, c in enumerate(cents)
+    cents0 = initial_centroids_micro(N_CENTROIDS, 64)
+    c0_rows = " UNION ALL ".join(
+        f"SELECT {i} AS cid, [{', '.join(str(x) for x in c)}]::BIGINT[] AS cm"
+        for i, c in enumerate(cents0)
     )
-    _l2 = "round(list_sum([({e}[i+1] - cvec[i+1]) ^ 2 for i in range(64)]), 9)"
-    sqls["emb_ivf_topk"] = f"""
-WITH cent AS ({cent_rows}),
-q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-qc AS (
-  SELECT cid FROM (
-    SELECT cid, {_l2.format(e='qe')} AS d FROM cent, q
-  ) ORDER BY d, cid LIMIT 1
-),
-assign AS (
+    _il2 = (
+        "list_sum([({m}[i+1] - {c}[i+1]) * ({m}[i+1] - {c}[i+1]) "
+        "for i in range(64)])"
+    )
+
+    def _km_assign(cn: str, an: str) -> str:
+        return f"""
+{an} AS (
   SELECT vec_id, cid AS centroid_id FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_l2.format(e='(e.embedding::DOUBLE[])')}, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cent c
+    SELECT em.vec_id, c.cid,
+           row_number() OVER (PARTITION BY em.vec_id
+                              ORDER BY {_il2.format(m='em.m', c='c.cm')}, c.cid) AS rn
+    FROM em CROSS JOIN {cn} c
   ) WHERE rn = 1
+)"""
+
+    def _km_update(an: str, prev: str, cn: str) -> str:
+        return f"""
+{cn}_s AS (
+  SELECT a.centroid_id AS cid, i AS dim,
+         sum(em.m[i+1])::BIGINT AS s, count(*)::BIGINT AS c
+  FROM {an} a JOIN em USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(64)) AS i)
+  GROUP BY a.centroid_id, i
 ),
-bucket AS (
-  SELECT e.vec_id, a.centroid_id,
-         round({_dot.format(a='(e.embedding::DOUBLE[])', b='qe')} /
-               (sqrt({_dot.format(a='(e.embedding::DOUBLE[])', b='(e.embedding::DOUBLE[])')}) *
-                sqrt({_dot.format(a='qe', b='qe')})), 6) AS cosine
-  FROM embeddings e
-  JOIN assign a ON a.vec_id = e.vec_id
-  JOIN qc ON a.centroid_id = qc.cid
-  CROSS JOIN q
-  WHERE e.vec_id <> 0
+{cn} AS (
+  SELECT p.cid, COALESCE(u.cm, p.cm) AS cm
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(floor(s::DOUBLE / c)::BIGINT ORDER BY dim) AS cm
+    FROM {cn}_s GROUP BY cid
+  ) u USING (cid)
+)"""
+
+    # 2 Lloyd iterations (IVF_ITERS), then the final assignment afinal
+    _kmeans_ctes = f"""
+em AS (
+  SELECT vec_id,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS m
+  FROM embeddings
+),
+c0 AS ({c0_rows}),
+{_km_assign('c0', 'a1')},
+{_km_update('a1', 'c0', 'c1')},
+{_km_assign('c1', 'a2')},
+{_km_update('a2', 'c1', 'c2')},
+{_km_assign('c2', 'afinal')}
+"""
+
+    _cos6 = (
+        "round({dot} / (sqrt({nn}) * sqrt({qq})), 6)".format(
+            dot=_dot.format(a="(e.embedding::DOUBLE[])", b="q.qe"),
+            nn=_dot.format(a="(e.embedding::DOUBLE[])", b="(e.embedding::DOUBLE[])"),
+            qq=_dot.format(a="q.qe", b="q.qe"),
+        )
+    )
+
+    sqls["emb_ivf_topk"] = f"""
+WITH {_kmeans_ctes},
+q AS (
+  SELECT embedding::DOUBLE[] AS qe,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS qm
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_il2.format(m='q.qm', c='c.cm')} AS d FROM c2 c, q
+  ) ORDER BY d, cid LIMIT {IVF_PROBE}
 )
-SELECT vec_id, centroid_id, cosine FROM bucket
-ORDER BY cosine DESC, vec_id ASC LIMIT 5
+SELECT e.vec_id, a.centroid_id, {_cos6} AS cosine
+FROM embeddings e
+JOIN afinal a ON a.vec_id = e.vec_id
+JOIN probe p ON a.centroid_id = p.cid
+CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 5
+"""
+
+    sqls["emb_ivf_recall"] = f"""
+WITH {_kmeans_ctes},
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS qm
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+probed AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_il2.format(m='q.qm', c='c.cm')}, c.cid) AS rn
+    FROM c2 c CROSS JOIN q
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT q.qid, e.vec_id, a.centroid_id, {_cos6} AS cosine
+  FROM embeddings e
+  JOIN afinal a ON a.vec_id = e.vec_id
+  CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ivf10 AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cosine DESC, s.vec_id ASC) AS rn
+    FROM scored s JOIN probed p ON s.qid = p.qid AND s.centroid_id = p.cid
+  ) WHERE rn <= 10
+),
+brute10 AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+)
+SELECT q.qid AS query_vec_id,
+       COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+       COALESCE(h.n_hit, 0) / 10.0 AS recall
+FROM (SELECT DISTINCT qid FROM q) q
+LEFT JOIN (
+  SELECT qid, count(*)::BIGINT AS n_hit
+  FROM ivf10 JOIN brute10 USING (qid, vec_id) GROUP BY qid
+) h USING (qid)
 """
 
     from searchengine_spark.textops.quality import BPE_ISH, LANG_PROFILES, LANG_ORDER

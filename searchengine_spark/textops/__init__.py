@@ -23,4 +23,13 @@ from .quality import (  # noqa: F401
     quality_score,
     token_stats,
 )
-from .similarity import cosine_topk, ivf_assign, ivf_topk, make_centroids  # noqa: F401
+from .similarity import (  # noqa: F401
+    build_ivf_index,
+    cosine_topk,
+    initial_centroids_micro,
+    ivf_assign,
+    ivf_topk_indexed,
+    kmeans_micro,
+    make_centroids,
+    probe_centroids,
+)

@@ -4,18 +4,37 @@
   scan, no shuffle until the final TakeOrderedAndProject; dot products run
   as sequential left-folds (F.aggregate) inside codegen, so results are
   bit-deterministic (no float summation-order variance between runs).
-- IVF (inverted-file) path — the 100 TB scale path: assign every vector to
-  its nearest of C coarse centroids (one cross join with a C-row broadcast
-  table, C small), store bucketed; a query probes only its bucket(s).
-  Centroids here are seeded-deterministic (numpy PCG64) — on a real corpus
-  you'd k-means them (same assign machinery iterated).
+- IVF (inverted-file) path — the 100 TB scale path, SERVABLE layout:
+  :func:`kmeans_micro` trains C coarse centroids (k-means in exact integer
+  micro-unit arithmetic — see below), :func:`build_ivf_index` persists the
+  corpus bucketed by nearest centroid (``partitionBy(centroid_id)``
+  parquet + fsio manifest), :func:`ivf_topk_indexed` answers a query by
+  reading ONLY its ``n_probe`` nearest buckets (partition pruning: the
+  scan never touches the other C - n_probe buckets). Assignment happens
+  once at build, never per query.
+
+Integer micro-unit arithmetic: every embedding value is quantized to
+``floor(x * 1e6)`` (exact: float32 -> float64 widening and the multiply
+are IEEE-identical everywhere). Distances are BIGINT sums of squared
+integer diffs (exact, order-independent), centroid updates are
+``floor(int_sum / count)`` in IEEE double (identical in Spark, DuckDB and
+Python for sums < 2^53). k-means therefore produces BIT-IDENTICAL
+centroids/assignments on every engine — which is what lets the DuckDB
+oracle replicate the whole train->bucket->probe pipeline and hash-match
+it. At 100 TB the same property makes builds reproducible across
+clusters/retries (no float summation-order drift).
 """
 
 from __future__ import annotations
 
+import json
+import math
+
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+MICRO = 1_000_000
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -86,28 +105,178 @@ def ivf_assign(
     return best
 
 
-def ivf_topk(
+def micro_col(vec: Column) -> Column:
+    """array<float> -> array<long> of floor(x * 1e6) micro-units."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(MICRO))).cast("long")
+    )
+
+
+def _micro_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def initial_centroids_micro(
+    n_centroids: int, dim: int, seed: int = 20260816
+) -> list[list[int]]:
+    """Seeded initial centroids quantized to micro-units (the shared
+    starting point for the Spark build AND the DuckDB oracle replica)."""
+    return [
+        [int(math.floor(x * MICRO)) for x in c]
+        for c in make_centroids(n_centroids, dim, seed)
+    ]
+
+
+def _assign_micro(m: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
+    """(id, m: array<long>) x centroid list -> (id, centroid_id) by exact
+    integer L2, centroid_id tie-break. One broadcast cross join + min_by."""
+    spark = m.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cm array<bigint>"
+    )
+    d = m.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col), F.col("cid"), _micro_l2(F.col("m"), F.col("cm")).alias("d")
+    )
+    return d.groupBy(id_col).agg(
+        F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("centroid_id")
+    )
+
+
+def kmeans_micro(
     embeddings: DataFrame,
-    centroids: np.ndarray,
-    query_vec: list[float],
-    k: int = 5,
+    n_centroids: int = 8,
+    dim: int = 64,
+    n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 20260816,
+) -> list[list[int]]:
+    """Lloyd's k-means over micro-unit vectors, ``n_iters`` rounds.
+
+    Per round: one broadcast-join assignment pass + one (cid, dim) integer
+    sum/count aggregation (C x dim rows collected — tiny). Updates are
+    floor(sum/count) in IEEE double; empty clusters keep their previous
+    centroid. Everything is integer-exact, so any engine/cluster/retry
+    reproduces identical centroids (module docstring)."""
+    m = embeddings.select(F.col(id_col), micro_col(F.col(vec_col)).alias("m")).persist()
+    cents = initial_centroids_micro(n_centroids, dim, seed)
+    try:
+        for _ in range(n_iters):
+            assign = _assign_micro(m, cents, id_col)
+            sums = (
+                assign.join(m, id_col)
+                .select("centroid_id", F.posexplode("m").alias("dim", "v"))
+                .groupBy("centroid_id", "dim")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty clusters keep old position
+            for r in sums:
+                new[r["centroid_id"]][r["dim"]] = int(
+                    math.floor(float(r["s"]) / float(r["c"]))
+                )
+            cents = new
+    finally:
+        m.unpersist()
+    return cents
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    dim: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 20260816,
+) -> dict:
+    """Train centroids, assign once, persist the corpus BUCKETED by
+    centroid (``partitionBy(centroid_id)`` parquet) + a manifest with the
+    trained centroids. Queries then read only their probed buckets —
+    assignment cost is paid at build time, never per query."""
+    spark = embeddings.sparkSession
+    from ..indexing import fsio
+
+    cents = kmeans_micro(embeddings, n_centroids, dim, n_iters, id_col, vec_col, seed)
+    m = embeddings.select(
+        F.col(id_col), F.col(vec_col), micro_col(F.col(vec_col)).alias("m")
+    )
+    assign = _assign_micro(m.select(id_col, "m"), cents, id_col)
+    (
+        m.drop("m")
+        .join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(fsio.join(path, "buckets"))
+    )
+    manifest = {
+        "format": "searchengine_spark.ivf/1",
+        "n_centroids": n_centroids,
+        "dim": dim,
+        "n_iters": n_iters,
+        "seed": seed,
+        "micro": MICRO,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids_micro": cents,
+    }
+    fsio.write_text(spark, fsio.join(path, "ivf_manifest.json"), json.dumps(manifest))
+    return manifest
+
+
+def probe_centroids(
+    centroids_micro: list[list[int]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe nearest centroid ids to the query, by the same exact
+    integer L2 (centroid-id tie-break) the build used."""
+    qm = [int(math.floor(float(x) * MICRO)) for x in query_vec]
+    dists = [
+        (sum((a - b) * (a - b) for a, b in zip(qm, c)), i)
+        for i, c in enumerate(centroids_micro)
+    ]
+    return [i for _, i in sorted(dists)[:n_probe]]
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 2,
     exclude_ids: tuple = (),
 ) -> DataFrame:
-    """ANN: probe only the query's nearest-centroid bucket, cosine-rank
-    within it -> (vec_id, centroid_id, cosine[6dp])."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qc = int(np.argmin(((centroids - q) ** 2).sum(axis=1)))
-    assign = ivf_assign(embeddings, centroids, id_col, vec_col)
-    bucket = embeddings.join(
-        assign.filter(F.col("centroid_id") == qc), id_col
+    """ANN over the persisted bucketed layout: probe the ``n_probe``
+    nearest buckets (partition-pruned scan — the filter on the partition
+    column prunes all other bucket directories), cosine-rank within them
+    -> (vec_id, centroid_id, cosine[6dp])."""
+    from ..indexing import fsio
+
+    man = json.loads(fsio.read_text(spark, fsio.join(path, "ivf_manifest.json")))
+    probes = probe_centroids(man["centroids_micro"], query_vec, n_probe)
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    bucket = spark.read.parquet(fsio.join(path, "buckets")).filter(
+        F.col("centroid_id").isin(probes)
     )
+    q = np.asarray(query_vec, dtype=np.float64)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(q, q)))
     v = as_double(F.col(vec_col))
     cos = _dot(v, qcol) / (F.sqrt(_dot(v, v)) * F.lit(qn))
-    out = bucket.select(F.col(id_col), F.col("centroid_id"), F.round(cos, 6).alias("cosine"))
+    out = bucket.select(
+        F.col(id_col), F.col("centroid_id"), F.round(cos, 6).alias("cosine")
+    )
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(*exclude_ids))
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# (the former per-query-assignment ivf_topk was removed: it recomputed the
+# full corpus x centroid assignment on every query — a correctness demo,
+# not servable. ivf_topk_indexed over build_ivf_index's bucketed layout is
+# the serving path; ivf_assign remains for ad-hoc assignment analysis.)
