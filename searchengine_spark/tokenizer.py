@@ -85,14 +85,22 @@ class TokenizerConfig:
 
 
 def _make_stemmer(lang: str):
+    """nltk's SnowballStemmer when available (exact reference parity —
+    the reference stems through nltk, src/models/tokenizer.py:59-70);
+    otherwise the vendored from-spec Porter2 for English (stemmer.py)."""
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
-    except ImportError as exc:  # pragma: no cover - sandbox has no nltk
+
+        return SnowballStemmer(language=lang)
+    except ImportError as exc:
+        if lang == "english":
+            from .stemmer import EnglishStemmer
+
+            return EnglishStemmer()
         raise ImportError(
-            f"stem_lang={lang!r} requires nltk (not installed); "
-            "run with stem_lang=None or install nltk"
+            f"stem_lang={lang!r} requires nltk (not installed); only "
+            "'english' has a vendored fallback (stemmer.py)"
         ) from exc
-    return SnowballStemmer(language=lang)
 
 
 def tokenize_text(text: str, cfg: TokenizerConfig, _memo: Optional[dict] = None) -> List[str]:
