@@ -84,6 +84,7 @@ def _stage_dirs(path: str) -> dict:
         "docs": fsio.join(path, "docs"),
         "index": fsio.join(path, "index"),
         "term_stats": fsio.join(path, "term_stats"),
+        "doc_norms": fsio.join(path, "doc_norms"),
         "lineage": fsio.join(path, "lineage"),
         "lineage_index": fsio.join(path, "lineage_index"),
         "manifest": fsio.join(path, "manifest.json"),
@@ -236,8 +237,15 @@ def build_packed_index(
     n_partitions: Optional[int] = None,
     resume: bool = False,
     positional: bool = False,
+    tfidf_sidecar: bool = False,
 ) -> dict:
-    """Build the packed index at ``path``; returns the manifest dict."""
+    """Build the packed index at ``path``; returns the manifest dict.
+
+    ``tfidf_sidecar=True`` additionally writes per-doc lnc norms
+    (doc_norms: doc_id, nrm = sqrt Σ_t (1+ln tf)^2) so TF_IDF_OPTIMIZED
+    serves from the packed index (query/proximity.py) — the stored-3dp
+    doc-weight contract (tf_idf.py:114-115) derives w at decode as
+    round((1+ln tf)/nrm, 3)."""
     spark = transcripts.sparkSession
     dirs = _stage_dirs(path)
     metrics: dict = {"stages": {}}
@@ -355,6 +363,24 @@ def build_packed_index(
         ts.coalesce(8).write.mode("overwrite").parquet(dirs["term_stats"])
     metrics["stages"]["term_stats"] = time.perf_counter() - t0
 
+    # ---- optional stage doc_norms: lnc norm per doc (TF-IDF sidecar) ------
+    if tfidf_sidecar:
+        t0 = time.perf_counter()
+        if not (resume and _done(spark, dirs["doc_norms"])):
+            tfagg = (
+                docs.select(DOC_ID, F.explode("tokens").alias("term"))
+                .groupBy(DOC_ID, "term")
+                .agg(F.count("*").alias("tf"))
+            )
+            wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+            (
+                tfagg.groupBy(DOC_ID)
+                .agg(F.sqrt(F.sum(wr * wr)).alias("nrm"))
+                .write.mode("overwrite")
+                .parquet(dirs["doc_norms"])
+            )
+        metrics["stages"]["doc_norms"] = time.perf_counter() - t0
+
     # ---- manifest = commit marker (written last) ---------------------------
     # totals come from the TINY lineage/stats sidecars — no rescan of the
     # index for scalar bookkeeping (three O(#files)/O(#terms) micro-jobs)
@@ -376,6 +402,7 @@ def build_packed_index(
     manifest = {
         "format": "searchengine_spark.packed/1",
         "positional": positional,
+        "tfidf_sidecar": tfidf_sidecar,
         "dl_norm_min": float(dl_row[0] or 0.0),
         "dl_norm_max": float(dl_row[1] or 0.0),
         "spark_conf": {
@@ -433,6 +460,11 @@ class PackedIndex:
         # sink): parquet reads just (doc_id, *order_cols) column chunks
         self.docmap = spark.read.parquet(*docs_paths).select(
             DOC_ID, *self.manifest["order_cols"]
+        )
+        self.doc_norms = (
+            spark.read.parquet(dirs["doc_norms"])
+            if self.manifest.get("tfidf_sidecar")
+            else None
         )
         self.spark = spark
 

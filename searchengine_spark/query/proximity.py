@@ -149,11 +149,24 @@ def proximity_topk_packed_batch(
     cfg: TokenizerConfig,
     k: int = 10,
     params: Bm25Params | None = None,
+    mode: str = "bm25",
+    schema: str = "lnc.ltc",
 ) -> DataFrame:
-    """BM25_OPTIMIZED serving from the PACKED positional index: same
-    broadcast-join plan as WAND, with positions decoded inside the
-    per-query scorer. (TF_IDF_OPTIMIZED needs the doc-side weight table and
-    stays on the exact-path API.)"""
+    """BM25_OPTIMIZED / TF_IDF_OPTIMIZED serving from the PACKED positional
+    index — all four reference rankers now serve from the on-disk index
+    (reference src/searcher.py:67).
+
+    mode="bm25": same broadcast-join plan as WAND, positions decoded inside
+    the per-query scorer.
+
+    mode="tfidf": needs a build with ``tfidf_sidecar=True`` — matched
+    chunks are decoded (vectorized mapInPandas) to (term, doc, tf,
+    positions) candidate rows, joined with the tiny per-doc lnc-norm
+    sidecar, and the stored-3dp weight contract w = round((1+ln tf)/nrm, 3)
+    is evaluated with the SAME Spark expression the exact path uses
+    (bit-identical scores). The norms join is over the bounded candidate
+    set — the rerank pattern; at extreme scale you'd bucket doc_norms by
+    doc_id so the join co-locates."""
     from ..indexing.packed import PackedIndex  # noqa: F401 (type only)
 
     if not pidx.manifest.get("positional"):
@@ -171,9 +184,15 @@ def proximity_topk_packed_batch(
         qdf = qdf.limit(0)
     all_terms = sorted({t for _, t in rows})
     pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
-    matched = pruned.join(F.broadcast(qdf), "term").join(
-        F.broadcast(pidx.term_stats.select("term", "idf")), "term"
-    )
+    stats = pidx.term_stats.select("term", "idf")
+    if all_terms:
+        stats = stats.filter(F.col("term").isin(all_terms))
+    matched = pruned.join(F.broadcast(qdf), "term").join(F.broadcast(stats), "term")
+
+    if mode == "tfidf":
+        return _tfidf_packed(
+            pidx, matched, query_tokens, qdf, schema, k, params
+        )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -217,6 +236,97 @@ def proximity_topk_packed_batch(
         )
 
     return matched.groupBy("query_id").applyInPandas(score_group, schema=_OUT_SCHEMA)
+
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("positions", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params):
+    """TF_IDF_OPTIMIZED over the packed index: decode matched chunks ->
+    join lnc-norm sidecar -> stored-3dp weights -> positional boost."""
+    validate_schema(schema)
+    if schema[:3] != "lnc":
+        raise ValueError(
+            "packed TF-IDF serving stores lnc doc norms; "
+            f"doc-side schema {schema[:3]!r} needs the exact-path API"
+        )
+    if pidx.doc_norms is None:
+        raise ValueError("index was not built with tfidf_sidecar=True")
+
+    def decode_rows(batches):
+        import numpy as np
+
+        from ..indexing.codec import decode_positions, decode_postings
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs, _dl = decode_postings(bytes(row.postings))
+                flat, occ_starts = decode_positions(bytes(row.positions), tfs)
+                ends = np.append(occ_starts[1:], len(flat))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": row.query_id,
+                            "term": row.term,
+                            "doc_id": doc_ids,
+                            "tf": tfs,
+                            "positions": [
+                                flat[s:e].tolist()
+                                for s, e in zip(occ_starts, ends)
+                            ],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    decoded = matched.select(
+        "query_id", "term", "postings", "positions"
+    ).mapInPandas(decode_rows, schema=_DECODED_SCHEMA)
+    # the SAME Spark expression as tfidf_weights -> bit-identical stored-3dp
+    # weights between packed and exact paths
+    wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+    joined = decoded.join(pidx.doc_norms, "doc_id").select(
+        "query_id",
+        "term",
+        "doc_id",
+        "positions",
+        F.round(wr / F.col("nrm"), 3).alias("w"),
+        F.lit(0.0).alias("dl_norm"),
+    )
+
+    # query-side ltc over PRESENT terms, stored 3dp idf (exact-path twin)
+    idf_map = {
+        r["term"]: r["idf"]
+        for r in pidx.term_stats.join(
+            F.broadcast(qdf.select("term").distinct()), "term"
+        ).collect()
+    }
+    qltc: Dict[int, Dict[str, float]] = {}
+    for qid, toks in query_tokens.items():
+        ltc = {
+            t: _uniform_tf_py(toks.count(t), schema[4]) * idf_map[t]
+            for t in dict.fromkeys(toks)
+            if t in idf_map
+        }
+        if schema[6] == "c":
+            norm = math.sqrt(sum(v * v for v in ltc.values()))
+            ltc = {t: v / norm for t, v in ltc.items()} if norm else ltc
+        elif schema[6] == "n":
+            ltc = {t: 1.0 for t in ltc}
+        qltc[qid] = ltc
+
+    scorer = _scorer(query_tokens, "tfidf", params, 0.0, 1.0, qltc, k)
+    return joined.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
 
 
 def proximity_topk_batch(

@@ -38,7 +38,8 @@ def corpus(spark):
 def packed(spark, corpus, cfg, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("pospacked") / "idx")
     build_packed_index(
-        corpus, cfg, path, params=PARAMS, chunk_docs=256, positional=True
+        corpus, cfg, path, params=PARAMS, chunk_docs=256, positional=True,
+        tfidf_sidecar=True,
     )
     return load_packed_index(spark, path)
 
@@ -82,3 +83,34 @@ def test_packed_proximity_equals_exact_path(packed, exact, cfg):
         ).collect()
     }
     assert got == want
+
+
+def test_packed_tfidf_proximity_equals_exact_path(packed, exact, cfg):
+    """TF_IDF_OPTIMIZED from the packed index (doc_norms sidecar + stored
+    3dp weights at decode) == exact-path scorer, rank + score identical."""
+    queries = list(REFERENCE_QUERIES[:8])
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in proximity_topk_packed_batch(
+            packed, queries, cfg, k=10, params=PARAMS, mode="tfidf"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in proximity_topk_batch(
+            exact, queries, cfg, k=10, mode="tfidf", params=PARAMS
+        ).collect()
+    }
+    assert got == want
+
+
+def test_packed_tfidf_requires_sidecar(spark, corpus, cfg, tmp_path):
+    path = str(tmp_path / "nosidecar")
+    build_packed_index(
+        corpus, cfg, path, params=PARAMS, chunk_docs=256, positional=True
+    )
+    pidx = load_packed_index(spark, path)
+    with pytest.raises(ValueError, match="tfidf_sidecar"):
+        proximity_topk_packed_batch(
+            pidx, ["greatest rock album"], cfg, k=5, mode="tfidf"
+        ).collect()
