@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--chunk-docs", type=int, default=65536)
     ap.add_argument("--positional", action="store_true",
                     help="store positional payloads (proximity ranking)")
+    ap.add_argument("--tfidf-sidecar", action="store_true",
+                    help="write per-doc lnc norms (TF-IDF serving)")
+    ap.add_argument("--payload", default="freq", choices=["freq", "boolean"],
+                    help="boolean = doc-ids-only postings (smaller index)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -92,6 +96,8 @@ def main() -> None:
         n_partitions=args.partitions,
         resume=args.resume,
         positional=args.positional,
+        tfidf_sidecar=args.tfidf_sidecar,
+        payload=args.payload,
     )
     print(json.dumps(manifest))
 

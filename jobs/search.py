@@ -1,11 +1,25 @@
 #!/usr/bin/env python3
-"""spark-submit entrypoint: serve BM25 top-k queries from a packed index.
+"""spark-submit entrypoint: serve queries from a packed index.
+
+Batch:
 
     spark-submit --py-files searchengine_spark.zip jobs/search.py \\
-        --index <index path> --query "greatest rock album" [-n 10] [--exhaustive]
+        --index <index path> --query "greatest rock album" [-n 10] \\
+        [--ranker bm25|bm25_optimized|tfidf|tfidf_optimized|boolean_and|boolean_or] \\
+        [--exhaustive] [--relevance queries.relevance.txt]
 
-Multiple --query flags run as one batch plan. Prints one JSON line per
-query: {"query": ..., "results": [{doc_id, conv_id, turn_idx, score, rank}]}.
+Interactive (reference src/searcher.py:73-84 REPL analog) — omit --query
+(run via ``python jobs/search.py`` or a spark-submit with a TTY: some
+spark-submit setups do not forward stdin):
+
+    python jobs/search.py --index <path>
+    Search (exit interactive search with 'q'): greatest rock album
+    ... results + per-query timing + Efficiency stats ...
+
+Tokenizer config defaults to the one STORED IN THE INDEX MANIFEST; pass
+flags only to deliberately override the build config. ``--relevance``
+evaluates precision/recall/F1/NDCG + throughput against a reference
+relevance file (reference src/efficiency.py semantics).
 """
 
 from __future__ import annotations
@@ -14,34 +28,79 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RANKERS = (
+    "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
+    "boolean_and", "boolean_or",
+)
+
+
+def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive):
+    """-> list per query of result-row dicts (rank-ordered)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.proximity import (
+        proximity_topk_packed_batch,
+        tfidf_topk_packed_batch,
+    )
+    from searchengine_spark.query.wand import (
+        bm25_topk_packed_batch,
+        boolean_search_packed,
+        resolve_docs,
+    )
+
+    if ranker == "bm25":
+        topk = bm25_topk_packed_batch(pidx, queries, cfg, k=n, exhaustive=exhaustive)
+    elif ranker == "bm25_optimized":
+        topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
+    elif ranker == "tfidf_optimized":
+        topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="tfidf")
+    elif ranker == "tfidf":
+        topk = tfidf_topk_packed_batch(pidx, queries, cfg, k=n)
+    else:  # boolean_and / boolean_or — unranked set retrieval
+        op = ranker.split("_")[1]
+        hits = boolean_search_packed(pidx, queries, cfg, op=op)
+        topk = hits.select(
+            "query_id", "doc_id",
+            F.lit(1.0).alias("score"), F.lit(0).alias("rank"),
+        )
+    rows = resolve_docs(pidx, topk).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r.asDict())
+    return [sorted(by_q.get(i, []), key=lambda r: (r["rank"], r["doc_id"]))
+            for i in range(len(queries))]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("--query", action="append",
+                    help="repeatable; omit entirely for the interactive REPL")
     ap.add_argument("-n", type=int, default=10)
-    # tokenizer flags default to the config STORED IN THE INDEX MANIFEST —
-    # queries must be tokenized like the docs were, or results silently skew;
-    # pass a flag explicitly only to deliberately override the build config
+    ap.add_argument("--ranker", choices=RANKERS, default="bm25")
     ap.add_argument("--min-token-length", type=int, default=None)
     ap.add_argument("--stop-words", default=None,
                     help="stop-word file; 'none' disables the manifest list")
     ap.add_argument("--exhaustive", action="store_true",
                     help="disable block-max pruning (exact fallback path)")
+    ap.add_argument("--relevance", default=None,
+                    help="queries.relevance.txt for precision/recall/NDCG stats")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from searchengine_spark.indexing.packed import load_packed_index
-    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+    from searchengine_spark.query.eval import EvalStats, parse_relevance_file
     from searchengine_spark.tokenizer import TokenizerConfig
 
     spark = SparkSession.builder.appName("searchengine_spark.search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    t0 = time.perf_counter()
     pidx = load_packed_index(spark, args.index)
     cfg = TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
     if args.min_token_length is not None:
@@ -50,25 +109,52 @@ def main() -> None:
         sw = (None if args.stop_words.lower() == "none"
               else TokenizerConfig.load_stop_words(args.stop_words))
         cfg = TokenizerConfig(cfg.min_token_length, sw, cfg.stem_lang)
-    topk = bm25_topk_packed_batch(
-        pidx, args.query, cfg, k=args.n, exhaustive=args.exhaustive
-    )
-    rows = resolve_docs(pidx, topk).collect()
-    by_q: dict[int, list] = {}
-    for r in rows:
-        by_q.setdefault(r["query_id"], []).append(r)
-    for qid, q in enumerate(args.query):
-        res = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
-        print(
-            json.dumps(
-                {
-                    "query": q,
-                    # external-id columns follow the index's order_cols
-                    "results": [r.asDict() for r in res],
-                },
-                default=str,
-            )
-        )
+    print(f"index loaded in {(time.perf_counter() - t0) * 1000:.1f}ms "
+          f"({pidx.manifest['n_docs']} docs, {pidx.manifest['n_terms']} terms)",
+          file=sys.stderr)
+
+    stats = None
+    if args.relevance:
+        stats = EvalStats(parse_relevance_file(args.relevance))
+
+    def serve(queries: list[str]) -> None:
+        t1 = time.perf_counter()
+        per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
+                             args.n, args.exhaustive)
+        dt = time.perf_counter() - t1
+        for q, res in zip(queries, per_q):
+            print(json.dumps({"query": q, "results": res}, default=str))
+        print(f"search in {dt * 1000:.1f}ms ({len(queries)} queries)",
+              file=sys.stderr)
+        if stats is not None:
+            for q, res in zip(queries, per_q):
+                ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+                stats.add(
+                    q,
+                    [(r[ext[0]] if ext else r["doc_id"], r.get("score", 0.0))
+                     for r in res],
+                    search_time=dt / max(len(queries), 1),
+                )
+
+    if args.query:
+        serve(args.query)
+    else:
+        # interactive loop (reference searcher.py:73-84)
+        while True:
+            try:
+                line = input("Search (exit interactive search with 'q'): ")
+            except EOFError:
+                break
+            if line.strip().lower() == "q":
+                break
+            if not line.strip():
+                continue
+            serve([line.strip()])
+            if stats is not None:
+                print(stats.summary(), file=sys.stderr)
+
+    if stats is not None and stats.search_times:
+        print(stats.summary(), file=sys.stderr)
 
 
 if __name__ == "__main__":

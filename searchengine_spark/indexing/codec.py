@@ -157,6 +157,36 @@ def encode_posting_groups(
     return buffers, first, last, counts
 
 
+def encode_doc_groups(starts: np.ndarray, doc_ids: np.ndarray):
+    """Boolean-payload twin of :func:`encode_posting_groups`: doc gaps ONLY
+    (no tf, no dlq) — the reference's BooleanPostingList stores bare doc ids
+    (src/models/posting_lists/boolean_posting_list.py), and a boolean-mode
+    index is ~3x smaller for the same doc coverage. Returns
+    (buffers, first_doc, last_doc, counts)."""
+    n = len(doc_ids)
+    if n == 0:
+        return [], np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    counts = ends - starts
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]
+    buf = varbyte_encode(gaps.astype(np.uint64))
+    byte_lens = _varbyte_lengths(gaps.astype(np.uint64))
+    cum = np.concatenate(([0], np.cumsum(byte_lens)))
+    mv = memoryview(buf)
+    buffers = [bytes(mv[int(cum[s]):int(cum[e])]) for s, e in zip(starts, ends)]
+    return buffers, doc_ids[starts], doc_ids[ends - 1], counts
+
+
+def decode_docs(buf: bytes) -> np.ndarray:
+    """Boolean payload decode -> doc_ids int64."""
+    gaps = varbyte_decode(buf).astype(np.int64)
+    return np.cumsum(gaps)
+
+
 def encode_position_groups(
     starts_occ: np.ndarray,
     posting_first_occ: np.ndarray,

@@ -122,7 +122,12 @@ def _encode_group(params: Bm25Params):
     return encode
 
 
-def _encode_partition(params: Bm25Params, chunk_docs: int = 0, positional: bool = False):
+def _encode_partition(
+    params: Bm25Params,
+    chunk_docs: int = 0,
+    positional: bool = False,
+    payload: str = "freq",
+):
     """Partition-level encoder: input batches are (term, chunk, doc_id)-
     sorted within the partition; groups may straddle Arrow batch
     boundaries, so the trailing (possibly incomplete) group of each batch
@@ -175,19 +180,30 @@ def _encode_partition(params: Bm25Params, chunk_docs: int = 0, positional: bool 
             newg[0] = True
             newg[1:] = (cterms[1:] != cterms[:-1]) | (cchunks[1:] != cchunks[:-1])
             starts = np.flatnonzero(newg)
-            from .codec import encode_posting_groups, encode_position_groups
-
-            buffers, first, last, counts = encode_posting_groups(
-                starts, cdocs, tfs, cdlqs
+            from .codec import (
+                encode_doc_groups,
+                encode_posting_groups,
+                encode_position_groups,
             )
-            if positional:
-                pos_bufs = encode_position_groups(
-                    pstarts[starts], pstarts, pdf["pos"].to_numpy(np.int64)
-                )
-            else:
+
+            if payload == "boolean":
+                # presence-only postings: doc gaps, no tf/dlq (the
+                # reference's BooleanPostingList — ~3x smaller index)
+                buffers, first, last, counts = encode_doc_groups(starts, cdocs)
                 pos_bufs = None
-            sat = tf_saturation(tfs, cdlqs.astype(np.float64) / 1000.0, k, b)
-            max_sat = np.maximum.reduceat(sat, starts)
+                max_sat = np.ones(len(starts), dtype=np.float64)
+            else:
+                buffers, first, last, counts = encode_posting_groups(
+                    starts, cdocs, tfs, cdlqs
+                )
+                if positional:
+                    pos_bufs = encode_position_groups(
+                        pstarts[starts], pstarts, pdf["pos"].to_numpy(np.int64)
+                    )
+                else:
+                    pos_bufs = None
+                sat = tf_saturation(tfs, cdlqs.astype(np.float64) / 1000.0, k, b)
+                max_sat = np.maximum.reduceat(sat, starts)
             return pd.DataFrame(
                 {
                     "term": cterms[starts],
@@ -238,6 +254,7 @@ def build_packed_index(
     resume: bool = False,
     positional: bool = False,
     tfidf_sidecar: bool = False,
+    payload: str = "freq",
 ) -> dict:
     """Build the packed index at ``path``; returns the manifest dict.
 
@@ -245,7 +262,16 @@ def build_packed_index(
     (doc_norms: doc_id, nrm = sqrt Σ_t (1+ln tf)^2) so TF_IDF_OPTIMIZED
     serves from the packed index (query/proximity.py) — the stored-3dp
     doc-weight contract (tf_idf.py:114-115) derives w at decode as
-    round((1+ln tf)/nrm, 3)."""
+    round((1+ln tf)/nrq, 3).
+
+    ``payload``: "freq" (doc_gap, tf, dlq triples — BM25/TF-IDF-servable)
+    or "boolean" (doc gaps only — the reference's BooleanPostingList
+    option, ~3x smaller, boolean queries only)."""
+    if payload not in ("freq", "boolean"):
+        raise ValueError(f"unknown payload {payload!r}")
+    if payload == "boolean" and (positional or tfidf_sidecar):
+        raise ValueError("boolean payload stores no tf — it cannot be "
+                         "positional and has no tfidf sidecar")
     spark = transcripts.sparkSession
     dirs = _stage_dirs(path)
     metrics: dict = {"stages": {}}
@@ -324,7 +350,8 @@ def build_packed_index(
             *sort_cols
         )
         chunks = sorted_tok.mapInPandas(
-            _encode_partition(params, chunk_docs, positional), schema=INDEX_SCHEMA
+            _encode_partition(params, chunk_docs, positional, payload),
+            schema=INDEX_SCHEMA,
         )
         chunks.write.mode("overwrite").parquet(dirs["index"])
     metrics["stages"]["index"] = time.perf_counter() - t0
@@ -403,6 +430,7 @@ def build_packed_index(
         "format": "searchengine_spark.packed/1",
         "positional": positional,
         "tfidf_sidecar": tfidf_sidecar,
+        "payload": payload,
         "dl_norm_min": float(dl_row[0] or 0.0),
         "dl_norm_max": float(dl_row[1] or 0.0),
         "spark_conf": {
@@ -492,14 +520,25 @@ def exploded_view(pidx: PackedIndex, include_positions: bool = False) -> DataFra
     if include_positions:
         fields.append(T.StructField("positions", T.StringType(), False))
     out_schema = T.StructType(fields)
+    boolean = pidx.manifest.get("payload", "freq") == "boolean"
+    if boolean and include_positions:
+        raise ValueError("boolean payload stores no positions")
 
     def decode(batches: Iterable[pd.DataFrame]):
-        from .codec import decode_positions, decode_postings
+        import numpy as np
+
+        from .codec import decode_docs, decode_positions, decode_postings
 
         for pdf in batches:
             frames = []
             for i, (term, buf) in enumerate(zip(pdf["term"], pdf["postings"])):
-                doc_ids, tfs, dl_norm = decode_postings(bytes(buf))
+                if boolean:
+                    # presence-only payload: tf=1, dl_norm unavailable (0.0)
+                    doc_ids = decode_docs(bytes(buf))
+                    tfs = np.ones(len(doc_ids), dtype=np.int64)
+                    dl_norm = np.zeros(len(doc_ids), dtype=np.float64)
+                else:
+                    doc_ids, tfs, dl_norm = decode_postings(bytes(buf))
                 cols = {"term": term, "doc_id": doc_ids, "tf": tfs, "dl_norm": dl_norm}
                 if include_positions:
                     flat, occ_starts = decode_positions(

@@ -84,3 +84,17 @@ class EvalStats:
 
     def median_latency(self) -> float:
         return median(self.search_times)
+
+    def summary(self) -> str:
+        """Reference Efficiency.__str__ analog (efficiency.py:89-91):
+        per-query precision/recall/fscore/ndcg + throughput, one string."""
+        parts = [
+            f"precision: {self.precisions}",
+            f"recall: {self.recalls}",
+            f"fscore: {self.fscores}",
+        ]
+        if self.search_times:
+            parts.append(f"query_throughput: {self.query_throughput():.2f}")
+            parts.append(f"median_latency_s: {self.median_latency():.4f}")
+        parts.append(f"ndcg: {self.ndcg}")
+        return "\n".join(parts)

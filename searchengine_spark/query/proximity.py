@@ -118,6 +118,8 @@ def _scorer(
             else:  # tf-idf lnc.ltc base
                 scores[doc] = scores.get(doc, 0.0) + float(row.w) * qltc[qid][row.term]
         for doc in list(scores):
+            if mode == "tfidf_plain":
+                break  # base TF-IDF ranking, no positional boost
             boost = _calculate_boost(qtoks, positions_by_doc[doc])
             if boost > 0:
                 if mode == "bm25":
@@ -249,9 +251,10 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params):
-    """TF_IDF_OPTIMIZED over the packed index: decode matched chunks ->
-    join lnc-norm sidecar -> stored-3dp weights -> positional boost."""
+def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
+                  boost: bool = True):
+    """TF_IDF(_OPTIMIZED) over the packed index: decode matched chunks ->
+    join lnc-norm sidecar -> stored-3dp weights [-> positional boost]."""
     validate_schema(schema)
     if schema[:3] != "lnc":
         raise ValueError(
@@ -270,8 +273,14 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params):
             outs = []
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs, _dl = decode_postings(bytes(row.postings))
-                flat, occ_starts = decode_positions(bytes(row.positions), tfs)
-                ends = np.append(occ_starts[1:], len(flat))
+                if row.positions is not None:
+                    flat, occ_starts = decode_positions(bytes(row.positions), tfs)
+                    ends = np.append(occ_starts[1:], len(flat))
+                    poss = [
+                        flat[s:e].tolist() for s, e in zip(occ_starts, ends)
+                    ]
+                else:  # non-positional build (plain TF-IDF ranking)
+                    poss = [[] for _ in range(len(doc_ids))]
                 outs.append(
                     pd.DataFrame(
                         {
@@ -279,10 +288,7 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params):
                             "term": row.term,
                             "doc_id": doc_ids,
                             "tf": tfs,
-                            "positions": [
-                                flat[s:e].tolist()
-                                for s, e in zip(occ_starts, ends)
-                            ],
+                            "positions": poss,
                         }
                     )
                 )
@@ -325,8 +331,37 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params):
             ltc = {t: 1.0 for t in ltc}
         qltc[qid] = ltc
 
-    scorer = _scorer(query_tokens, "tfidf", params, 0.0, 1.0, qltc, k)
+    scorer = _scorer(
+        query_tokens, "tfidf" if boost else "tfidf_plain", params, 0.0, 1.0,
+        qltc, k,
+    )
     return joined.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+
+
+def tfidf_topk_packed_batch(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    schema: str = "lnc.ltc",
+    params: Bm25Params | None = None,
+) -> DataFrame:
+    """Plain TF_IDF ranking from the packed index (no positional boost; a
+    non-positional ``tfidf_sidecar=True`` build suffices). Same stored-3dp
+    weight contract as the exact path (tfidf.py)."""
+    params = params or pidx.params
+    spark = pidx.spark
+    query_tokens = {qid: tokenize_text(q, cfg) for qid, q in enumerate(queries)}
+    rows = [(qid, t) for qid, toks in query_tokens.items() for t in dict.fromkeys(toks)]
+    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
+    if not rows:
+        qdf = qdf.limit(0)
+    all_terms = sorted({t for _, t in rows})
+    pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
+    matched = pruned.join(F.broadcast(qdf), "term")
+    return _tfidf_packed(
+        pidx, matched, query_tokens, qdf, schema, k, params, boost=False
+    )
 
 
 def proximity_topk_batch(

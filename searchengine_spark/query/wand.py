@@ -135,6 +135,11 @@ def bm25_topk_packed_batch(
     the stored ``max_tfsat`` block bounds were computed at build params, so
     pruning with different params is unsafe (could silently drop true top-k
     docs) — we refuse rather than mis-serve."""
+    if pidx.manifest.get("payload", "freq") == "boolean":
+        raise ValueError(
+            "boolean-payload index stores no tf/dlq — BM25 needs a "
+            "payload='freq' build; use boolean_search_packed here"
+        )
     params = params or pidx.params
     built = pidx.params
     if (float(params.k), float(params.b)) != (float(built.k), float(built.b)) and not exhaustive:
@@ -173,6 +178,77 @@ def bm25_topk_packed_batch(
     if exhaustive:
         out = out.filter(F.col("rank") <= k)
     return out
+
+
+def boolean_search_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    op: str = "and",
+) -> DataFrame:
+    """Boolean retrieval from the packed index -> (query_id, doc_id
+    [, n_terms for OR]). Works on BOTH payloads: 'boolean' (doc gaps only,
+    the small index) and 'freq' (postings carry tf/dlq; ignored here).
+    Reference: BooleanPostingList merge semantics
+    (src/models/posting_lists/boolean_posting_list.py:30-36)."""
+    if op not in ("and", "or"):
+        raise ValueError(f"op must be 'and' or 'or', got {op!r}")
+    spark = pidx.spark
+    boolean = pidx.manifest.get("payload", "freq") == "boolean"
+    rows = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
+    if not rows:
+        qdf = qdf.limit(0)
+    all_terms = sorted({t for _, t in rows})
+    pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
+    matched = pruned.select("term", "postings").join(F.broadcast(qdf), "term")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+        ]
+    )
+
+    def explode_docs(batches):
+        from ..indexing.codec import decode_docs, decode_postings
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                docs = (
+                    decode_docs(bytes(row.postings))
+                    if boolean
+                    else decode_postings(bytes(row.postings))[0]
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": row.query_id, "term": row.term, "doc_id": docs}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    hits = matched.mapInPandas(explode_docs, schema=out_schema)
+    agg = hits.groupBy("query_id", "doc_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    if op == "or":
+        return agg
+    n_by_q = spark.createDataFrame(
+        [(qid, len({t for i, t in rows if i == qid})) for qid in
+         sorted({i for i, _ in rows})] or [(0, 0)],
+        "query_id int, n_query_terms int",
+    )
+    return (
+        agg.join(F.broadcast(n_by_q), "query_id")
+        .filter(F.col("n_terms") == F.col("n_query_terms"))
+        .select("query_id", "doc_id")
+    )
 
 
 def resolve_docs(pidx: PackedIndex, topk: DataFrame) -> DataFrame:

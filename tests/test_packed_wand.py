@@ -146,6 +146,41 @@ def test_resolve_docs(packed, cfg):
     assert all(r["conv_id"].startswith("conv") for r in rows)
 
 
+def test_boolean_payload_index(spark, corpus, cfg, packed, tmp_path):
+    """payload='boolean' (BooleanPostingList analog): same boolean query
+    answers as the freq index, materially smaller postings, BM25 refused."""
+    from searchengine_spark.query.wand import boolean_search_packed
+
+    path = str(tmp_path / "bool_idx")
+    build_packed_index(
+        corpus, cfg, path, params=PARAMS, chunk_docs=256, payload="boolean"
+    )
+    bidx = load_packed_index(spark, path)
+    queries = ["greatest rock album", "house party songs"]
+    for op in ("and", "or"):
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in boolean_search_packed(bidx, queries, cfg, op=op).collect()
+        }
+        want = {
+            (r["query_id"], r["doc_id"])
+            for r in boolean_search_packed(packed, queries, cfg, op=op).collect()
+        }
+        assert got == want and got, op
+    # size: boolean postings must be well under the freq payload's
+    import pyspark.sql.functions as _F
+
+    def bytes_of(p):
+        return (
+            spark.read.parquet(os.path.join(p, "lineage_index"))
+            .agg(_F.sum("postings_bytes")).collect()[0][0]
+        )
+
+    assert bytes_of(path) < 0.6 * bytes_of(packed.path)
+    with pytest.raises(ValueError, match="boolean"):
+        bm25_topk_packed_batch(bidx, ["rock"], cfg, k=5)
+
+
 def test_resume_skips_completed_stages(spark, corpus, cfg, tmp_path):
     path = str(tmp_path / "idx")
     m1 = build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
