@@ -91,15 +91,17 @@ def _make_stemmer(lang: str):
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
 
-        return SnowballStemmer(language=lang)
-    except ImportError as exc:
+        st = SnowballStemmer(language=lang)
+        st.stem("test")  # probe: a stubbed/broken nltk fails here, not later
+        return st
+    except Exception as exc:
         if lang == "english":
             from .stemmer import EnglishStemmer
 
             return EnglishStemmer()
         raise ImportError(
-            f"stem_lang={lang!r} requires nltk (not installed); only "
-            "'english' has a vendored fallback (stemmer.py)"
+            f"stem_lang={lang!r} requires a working nltk (not installed); "
+            "only 'english' has a vendored fallback (stemmer.py)"
         ) from exc
 
 
