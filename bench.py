@@ -135,7 +135,7 @@ def _single(cpus: int) -> dict:
     n_turns = t.pop("_n_turns")
     t.pop("_n_results", None)
     total = sum(t.values())
-    return {
+    out = {
         "metric": "index_build_plus_bm25_suite",
         "value": round(total, 3),
         "unit": "sec",
@@ -145,6 +145,18 @@ def _single(cpus: int) -> dict:
         "turns_per_sec": round(n_turns / t["index_build"], 1),
         "cpus": cpus,
     }
+    # attach the committed pinned N-vs-4N scaling record (produced by
+    # `python bench.py --scaling`, protocol in BENCH.md) so the per-round
+    # JSON carries the north-rule scaling evidence without re-running the
+    # ~hour-long pinned protocol on every driver bench
+    rec = os.path.join(REPO, "BENCH_scaling.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as fh:
+                out["scaling"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
+    return out
 
 
 def _subprocess_run(cpus: int) -> dict:
@@ -221,6 +233,16 @@ def main() -> None:
         "speedup": round(thr_hi / thr_lo, 3),
         "efficiency": round(thr_hi / thr_lo / (hi_cpus / lo_cpus), 3),
     }
+    hi["scaling"]["n_turns"] = hi["n_turns"]
+    hi["scaling"]["protocol"] = (
+        "taskset-pinned cores, fresh JVM per level, untimed sf0.001 warmup "
+        "suite per process, interleaved trials, best-of-N by build time "
+        "(BENCH.md)"
+    )
+    hi["scaling"]["recorded_unix"] = int(time.time())
+    # persist as the committed scaling record that plain bench.py runs attach
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as fh:
+        json.dump(hi["scaling"], fh, indent=1)
     print(json.dumps(hi))
 
 
