@@ -50,6 +50,15 @@ def make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.local.dir", local_dir)
+        # zstd shuffle/spill compression: fewer bytes through the memory
+        # system per row at slightly more CPU — on this VM memory bandwidth
+        # scales at ~0.73 from 1->4 pinned cores while pure CPU scales at
+        # ~0.92 (BENCH.md host probes), so trading bytes for cycles helps
+        # both absolute throughput and the N-vs-4N ratio
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "zstd"))
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         .appName(f"searchengine_spark_bench_{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -194,8 +203,12 @@ def main() -> None:
     #   of both corpus size and parallelism.
     hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 4))
     lo_cpus = max(1, hi_cpus // 4)
-    n_conv_scale = int(os.environ.get("SPARK_GRAFT_SCALE_N_CONV",
-                                      max(800, int(2_000_000 * _sf()))))
+    # 50k conversations = 840k turns: the stage-folded build's fixed cost
+    # (~4-6 s of micro-jobs + scheduling) is ~3% of the 1-core build here,
+    # so W dominates F — while trials stay short enough that interleaved
+    # best-of-N samples several multi-tenant host windows per level
+    # (long single trials were repeatedly hit by 40%+ host drift; BENCH.md)
+    n_conv_scale = int(os.environ.get("SPARK_GRAFT_SCALE_N_CONV", 50_000))
     os.environ["SPARK_GRAFT_N_CONV"] = str(n_conv_scale)
     # materialize the scaling corpus once, full parallelism, untimed
     spark = make_spark(CPUS)
