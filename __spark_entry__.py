@@ -405,6 +405,30 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS, brute all-pairs on a subset (the
+    verification-scale mode of textops.cosine_near_pairs)."""
+    from searchengine_spark.textops import cosine_near_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    return cosine_near_pairs(emb, threshold=0.35)
+
+
+def q_emb_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates restricted to
+    SAME-IVF-BUCKET pairs (quadratic term bounded by bucket sizes — the
+    LSH->verify composition for embeddings). Buckets come from the same
+    integer-exact k-means as the IVF index, so the DuckDB oracle replicates
+    training + bucketing + pair scoring end-to-end."""
+    from searchengine_spark.textops import cosine_near_pairs, kmeans_micro
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_micro(emb, n_centroids=N_CENTROIDS, dim=64, n_iters=IVF_ITERS)
+    return cosine_near_pairs(emb, threshold=0.3, bucket_by=cents)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops.quality import lang_id
     from searchengine_spark.tokenizer import tokens_column
@@ -534,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "emb_near_pairs": q_emb_near_pairs,
+        "emb_near_pairs_bucketed": q_emb_near_pairs_bucketed,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -966,6 +992,42 @@ LEFT JOIN (
   SELECT qid, count(*)::BIGINT AS n_hit
   FROM ivf10 JOIN brute10 USING (qid, vec_id) GROUP BY qid
 ) h USING (qid)
+"""
+
+    _pair_cos = (
+        "round(list_sum([a.e[i+1] * b.e[i+1] for i in range(64)]) / "
+        "(a.nrm * b.nrm), 6)"
+    )
+    sqls["emb_near_pairs"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum([(embedding::DOUBLE[])[i+1] * (embedding::DOUBLE[])[i+1]
+                        for i in range(64)])) AS nrm
+  FROM embeddings WHERE vec_id < 150
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_cos} AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+"""
+
+    sqls["emb_near_pairs_bucketed"] = f"""
+WITH {_kmeans_ctes},
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum([(embedding::DOUBLE[])[i+1] * (embedding::DOUBLE[])[i+1]
+                        for i in range(64)])) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_cos} AS cosine
+  FROM afinal pa
+  JOIN afinal pb ON pa.centroid_id = pb.centroid_id AND pa.vec_id < pb.vec_id
+  JOIN v a ON a.vec_id = pa.vec_id
+  JOIN v b ON b.vec_id = pb.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
 """
 
     from searchengine_spark.textops.quality import BPE_ISH, LANG_PROFILES, LANG_ORDER

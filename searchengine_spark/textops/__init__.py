@@ -25,6 +25,7 @@ from .quality import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     build_ivf_index,
+    cosine_near_pairs,
     cosine_topk,
     initial_centroids_micro,
     ivf_assign,

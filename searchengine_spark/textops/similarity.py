@@ -276,7 +276,53 @@ def ivf_topk_indexed(
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-# (the former per-query-assignment ivf_topk was removed: it recomputed the
-# full corpus x centroid assignment on every query — a correctness demo,
-# not servable. ivf_topk_indexed over build_ivf_index's bucketed layout is
-# the serving path; ivf_assign remains for ad-hoc assignment analysis.)
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_by: list[list[int]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS -> (id_a, id_b, cosine[6dp])
+    with rounded cosine >= threshold, id_a < id_b.
+
+    ``bucket_by=None``: all-pairs self-join — O(n^2), verification scale.
+    ``bucket_by=<micro centroids>`` (e.g. from :func:`kmeans_micro`):
+    candidates are restricted to SAME-BUCKET pairs — the IVF composition
+    (bucket sizes bound the quadratic term to Σ_b |b|^2; near-duplicates
+    land in the same coarse cell with high probability). Same engineering
+    shape as MinHash-LSH -> Jaccard for text."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    v = v.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    if bucket_by is not None:
+        m = embeddings.select(
+            F.col(id_col).alias("id"), micro_col(F.col(vec_col)).alias("m")
+        )
+        assign = _assign_micro(m, bucket_by, "id")
+        v = v.join(assign, "id")
+        key = ["centroid_id"]
+    else:
+        v = v.withColumn("centroid_id", F.lit(0))
+        key = ["centroid_id"]
+    a = v.select(
+        F.col("centroid_id"), F.col("id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("centroid_id").alias("_cb"), F.col("id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("centroid_id") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -78,6 +78,30 @@ def test_bucketed_layout_partition_prunes(spark, ivf_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan
 
 
+def test_cosine_near_pairs_bucketed_subset(spark, clustered):
+    """Bucketed near-pair candidates are exactly the brute pairs restricted
+    to same-bucket ids (approximation is the restriction, nothing else),
+    and on clustered data they recover (almost) all true near pairs."""
+    from searchengine_spark.textops import cosine_near_pairs, kmeans_micro
+
+    small = clustered.filter(F.col("vec_id") < 120)
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_pairs(small, threshold=0.95).collect()
+    }
+    cents = kmeans_micro(small, n_centroids=4, dim=DIM, n_iters=2)
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_pairs(small, threshold=0.95, bucket_by=cents).collect()
+    }
+    assert set(bucketed) <= set(brute)
+    for k, v in bucketed.items():
+        assert v == brute[k]
+    assert brute, "fixture must produce near pairs"
+    # clustered data: same-cluster near-dups stay in one coarse cell
+    assert len(bucketed) / len(brute) >= 0.8
+
+
 def test_kmeans_micro_deterministic(spark, clustered):
     """Integer micro-unit arithmetic: identical centroids on repeat runs
     (the property that lets the DuckDB oracle replicate training)."""
