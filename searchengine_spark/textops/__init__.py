@@ -28,7 +28,6 @@ from .similarity import (  # noqa: F401
     cosine_near_pairs,
     cosine_topk,
     initial_centroids_micro,
-    ivf_assign,
     ivf_topk_indexed,
     kmeans_micro,
     make_centroids,

@@ -75,34 +75,9 @@ def make_centroids(n_centroids: int, dim: int, seed: int = 20260816) -> np.ndarr
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    centroids: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(vec_id, centroid_id) — nearest centroid by L2; the C-row centroid
-    table broadcasts, assignment is one narrow cross join + min-by."""
-    spark = embeddings.sparkSession
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cdf = spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
-    v = as_double(F.col(vec_col))
-    diff2 = F.aggregate(
-        F.zip_with(v, F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # 9-dp round before the argmin: kills cross-engine last-ulp noise while
-    # keeping assignment effectively exact (distances are O(1..100))
-    d = embeddings.crossJoin(F.broadcast(cdf)).select(
-        F.col(id_col), F.col("centroid_id"), F.round(diff2, 9).alias("l2sq")
-    )
-    best = d.groupBy(id_col).agg(
-        F.min_by("centroid_id", F.struct(F.col("l2sq"), F.col("centroid_id"))).alias(
-            "centroid_id"
-        )
-    )
-    return best
+# (the float-based ivf_assign was superseded by _assign_micro: integer
+# micro-unit distances are exactly reproducible across engines/retries,
+# which float L2 rounding only approximated.)
 
 
 def micro_col(vec: Column) -> Column:

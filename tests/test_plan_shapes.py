@@ -55,6 +55,35 @@ def test_wand_single_shuffle(pidx):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
 
 
+def test_boolean_packed_plan(pidx):
+    """Boolean packed search: pushed term filter + broadcast query side;
+    the only wide exchange is the (query_id, doc_id) count-distinct agg."""
+    from searchengine_spark.query.wand import boolean_search_packed
+
+    df = boolean_search_packed(pidx, ["greatest rock album"], CFG, op="and")
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and "In(term" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_packed_plan(spark, tmp_path_factory):
+    """TF-IDF packed serving: pushed term filter, broadcast query joins;
+    the doc_norms join runs over the bounded candidate set (no cartesian)."""
+    from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+
+    path = str(tmp_path_factory.mktemp("plans_tfidf") / "idx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=30), CFG, path, chunk_docs=256,
+        tfidf_sidecar=True,
+    )
+    pidx = load_packed_index(spark, path)
+    df = tfidf_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and "In(term" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_exact_scorer_reads_pruned_columns(spark, pidx):
     # column pruning: scoring never reads the postings blob's siblings it
     # doesn't need (df_chunk/first_doc/last_doc stay, but e.g. docmap cols
