@@ -341,18 +341,34 @@ N_CENTROIDS = 8
 IVF_ITERS = 2
 IVF_PROBE = 2
 
+# k-means training is deterministic in (corpus, params) — memoize per
+# sf_dir so the four IVF-family entries don't retrain in one driver run
+_IVF_STATE: dict[str, tuple[str, list]] = {}
+
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    return _ivf_state(spark, sf_dir)[0]
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    return _ivf_state(spark, sf_dir)[1]
+
+
+def _ivf_state(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     import os
     import tempfile
 
-    from searchengine_spark.textops import build_ivf_index
+    if sf_dir not in _IVF_STATE:
+        from searchengine_spark.textops import build_ivf_index
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"se_entry_ivf_{tag}")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    build_ivf_index(emb, path, n_centroids=N_CENTROIDS, dim=64, n_iters=IVF_ITERS)
-    return path
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        path = os.path.join(tempfile.gettempdir(), f"se_entry_ivf_{tag}")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        man = build_ivf_index(
+            emb, path, n_centroids=N_CENTROIDS, dim=64, n_iters=IVF_ITERS
+        )
+        _IVF_STATE[sf_dir] = (path, man["centroids_micro"])
+    return _IVF_STATE[sf_dir]
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,10 +438,10 @@ def q_emb_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH->verify composition for embeddings). Buckets come from the same
     integer-exact k-means as the IVF index, so the DuckDB oracle replicates
     training + bucketing + pair scoring end-to-end."""
-    from searchengine_spark.textops import cosine_near_pairs, kmeans_micro
+    from searchengine_spark.textops import cosine_near_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = kmeans_micro(emb, n_centroids=N_CENTROIDS, dim=64, n_iters=IVF_ITERS)
+    cents = _ivf_centroids(spark, sf_dir)  # same training as the IVF index
     return cosine_near_pairs(emb, threshold=0.3, bucket_by=cents)
 
 
@@ -464,6 +480,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = extract_features(with_binary_payload(_documents(spark, sf_dir)))
     return feats.select("doc_id", "n_bytes", "checksum")
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: nearest-neighbor byte resampling of the fake
+    payloads through the same mapInPandas shape a Pillow kernel would use."""
+    from searchengine_spark.textops import resize_images, with_binary_payload
+
+    out = resize_images(with_binary_payload(_documents(spark, sf_dir)), out_len=4)
+    return out.select("doc_id", "out_bytes", "checksum")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-2nd-frame slices of the fake
+    multi-frame payloads, metadata-driven (meta.n_frames)."""
+    from searchengine_spark.textops import sample_frames, with_video_payload
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return sample_frames(with_video_payload(docs), every_k=2)
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,  # rows-only (no view)
@@ -1146,5 +1182,33 @@ SELECT d.doc_id, 16::BIGINT AS n_bytes,
        sum(strpos('0123456789abcdef', substr(md5(d.text), i + 1, 1)) - 1)::BIGINT AS checksum
 FROM documents d CROSS JOIN (SELECT unnest(range(32)) AS i)
 GROUP BY d.doc_id
+"""
+
+    # nearest-neighbor byte resample of the 16-byte payload to 4 bytes:
+    # idx_j = j*16//4 -> bytes 0,4,8,12; byte value recomputed from md5 hex
+    sqls["multimodal_resize"] = """
+SELECT d.doc_id, 4::BIGINT AS out_bytes,
+       sum((strpos('0123456789abcdef', substr(md5(d.text), 2 * idx + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(d.text), 2 * idx + 2, 1)) - 1))::BIGINT AS checksum
+FROM documents d CROSS JOIN (SELECT unnest([0, 4, 8, 12]) AS idx)
+GROUP BY d.doc_id
+"""
+
+    # every-2nd-frame sampling of nf = doc_id%4+1 fake frames, frame i =
+    # md5(text || '#' || i); checksum = nibble sum over the 32 hex digits
+    sqls["multimodal_frames"] = """
+WITH fr AS (
+  SELECT doc_id, (doc_id % 4 + 1)::INT AS nf, text FROM documents WHERE doc_id < 200
+),
+sampled AS (
+  SELECT doc_id, i::INT AS frame_idx, text
+  FROM fr CROSS JOIN (SELECT unnest(range(0, 4, 2)) AS i)
+  WHERE i < nf
+)
+SELECT doc_id, frame_idx, 16::BIGINT AS n_bytes,
+       sum(strpos('0123456789abcdef',
+                  substr(md5(text || '#' || frame_idx::VARCHAR), j + 1, 1)) - 1)::BIGINT AS checksum
+FROM sampled CROSS JOIN (SELECT unnest(range(32)) AS j)
+GROUP BY doc_id, frame_idx
 """
     return sqls

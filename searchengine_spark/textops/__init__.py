@@ -16,7 +16,13 @@ from .dedup import (  # noqa: F401
     simhash_table,
     shingles_col,
 )
-from .multimodal import extract_features, with_binary_payload  # noqa: F401
+from .multimodal import (  # noqa: F401
+    extract_features,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+    with_video_payload,
+)
 from .quality import (  # noqa: F401
     doc_fingerprints,
     lang_id,

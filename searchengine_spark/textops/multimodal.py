@@ -54,6 +54,110 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_video_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake VIDEO payload: n_frames = 1 + doc_id % 4 frames,
+    frame i = md5(text + '#' + i) (16 bytes each), concatenated — plus the
+    typed metadata struct. Payload construction is the only fake part; the
+    sampling/decode plumbing downstream treats it as opaque binary."""
+    nf = (F.col(id_col) % 4 + 1).cast("int")
+    hexcat = F.aggregate(
+        F.sequence(F.lit(0), nf - 1),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc, F.md5(F.concat_ws("#", F.col(text_col), i.cast("string")))
+        ),
+    )
+    return docs.withColumn("payload", F.unhex(hexcat)).withColumn(
+        "modality", F.lit("video/fake")
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(4).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            nf.alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_bytes", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def resize_images(docs_with_payload: DataFrame, out_len: int = 4) -> DataFrame:
+    """'Resize' binary image payloads to ``out_len`` bytes by
+    nearest-neighbor index sampling (idx_j = floor(j * n / out_len)) —
+    the real resampling arithmetic over the fake payloads; swap the kernel
+    body for Pillow's resize where the lib exists. Arrow-batched
+    mapInPandas, same batch/schema shape as a real decoder."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"].astype(np.int64), "out_bytes": [],
+                    "resized": [], "checksum": []}
+            for buf in pdf["payload"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                idx = (np.arange(out_len, dtype=np.int64) * b.size) // out_len
+                r = b[idx]
+                rows["out_bytes"].append(int(r.size))
+                rows["resized"].append(r.tobytes())
+                rows["checksum"].append(int(r.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),  # nibble sum
+    ]
+)
+
+
+def sample_frames(video_docs: DataFrame, every_k: int = 2, frame_bytes: int = 16) -> DataFrame:
+    """Sample every ``every_k``-th frame from fixed-frame-size video
+    payloads -> one row per sampled frame (doc_id, frame_idx, stats).
+    Frame count comes from the metadata struct; the payload is sliced as
+    opaque binary — exactly the shape a real ffmpeg-backed sampler has."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_nb, out_ck = [], [], [], []
+            for doc, buf, nf in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                for i in range(0, int(nf), every_k):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_doc.append(int(doc))
+                    out_idx.append(i)
+                    out_nb.append(int(fr.size))
+                    out_ck.append(int((fr >> 4).sum() + (fr & 0x0F).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_doc, dtype=np.int64),
+                    "frame_idx": np.asarray(out_idx, dtype=np.int32),
+                    "n_bytes": np.asarray(out_nb, dtype=np.int64),
+                    "checksum": np.asarray(out_ck, dtype=np.int64),
+                }
+            )
+
+    return video_docs.select(
+        "doc_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    ).mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def extract_features(docs_with_payload: DataFrame, feature_dim: int = 4) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
