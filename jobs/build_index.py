@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="transcripts table path (parquet dir)")
-    ap.add_argument("--input-format", default="parquet", choices=["parquet", "tsv"])
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "parquet", "iceberg", "tsv"],
+                    help="auto: catalog.db.table -> iceberg, path -> parquet")
     ap.add_argument("--tsv-doc-id-column", default="review_id")
     ap.add_argument("--tsv-columns", default="review_headline,review_body")
     ap.add_argument("--synthetic", type=int, default=0,
@@ -84,7 +86,9 @@ def main() -> None:
         )
         order_cols = ("ext_id",)
     else:
-        df = spark.read.parquet(args.input)
+        from searchengine_spark.sources import read_transcripts
+
+        df = read_transcripts(spark, args.input, fmt=args.input_format)
 
     manifest = build_packed_index(
         df,

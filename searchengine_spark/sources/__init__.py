@@ -1,1 +1,2 @@
+from .transcripts import read_transcripts  # noqa: F401
 from .tsv import read_tsv_docs  # noqa: F401
