@@ -49,8 +49,11 @@ def main() -> None:
                     help="store positional payloads (proximity ranking)")
     ap.add_argument("--tfidf-sidecar", action="store_true",
                     help="write per-doc lnc norms (TF-IDF serving)")
-    ap.add_argument("--payload", default="freq", choices=["freq", "boolean"],
-                    help="boolean = doc-ids-only postings (smaller index)")
+    ap.add_argument("--payload", default="freq",
+                    choices=["freq", "boolean", "tfidf"],
+                    help="boolean = doc-ids-only postings (smaller index); "
+                         "tfidf = stored-3dp weights in postings "
+                         "(doc:freq/w, joinless TF-IDF serving)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()

@@ -202,8 +202,15 @@ def _encode_partition(
                     )
                 else:
                     pos_bufs = None
-                sat = tf_saturation(tfs, cdlqs.astype(np.float64) / 1000.0, k, b)
-                max_sat = np.maximum.reduceat(sat, starts)
+                if payload == "tfidf":
+                    # chunk bound = max stored weight (a WAND-style upper
+                    # bound for TF-IDF scoring; slot 3 holds wq here)
+                    max_sat = np.maximum.reduceat(
+                        cdlqs.astype(np.float64) / 1000.0, starts
+                    )
+                else:
+                    sat = tf_saturation(tfs, cdlqs.astype(np.float64) / 1000.0, k, b)
+                    max_sat = np.maximum.reduceat(sat, starts)
             return pd.DataFrame(
                 {
                     "term": cterms[starts],
@@ -264,14 +271,24 @@ def build_packed_index(
     doc-weight contract (tf_idf.py:114-115) derives w at decode as
     round((1+ln tf)/nrq, 3).
 
-    ``payload``: "freq" (doc_gap, tf, dlq triples — BM25/TF-IDF-servable)
-    or "boolean" (doc gaps only — the reference's BooleanPostingList
-    option, ~3x smaller, boolean queries only)."""
-    if payload not in ("freq", "boolean"):
+    ``payload``: "freq" (doc_gap, tf, dlq triples — BM25/TF-IDF-servable),
+    "boolean" (doc gaps only — the reference's BooleanPostingList option,
+    ~3x smaller, boolean queries only), or "tfidf" (doc_gap, tf, wq triples
+    where wq = the stored-3dp lnc weight x1000 — the reference's
+    'doc:freq/w' index-line format, tf_idf.py:114-115: plain TF-IDF serves
+    joinlessly from the postings; BM25 refused, no dl payload). The tfidf
+    payload pre-aggregates (term, doc) tf to attach weights (two shuffles
+    instead of one) and does not combine with positional — use
+    ``tfidf_sidecar`` + positional for TF_IDF_OPTIMIZED."""
+    if payload not in ("freq", "boolean", "tfidf"):
         raise ValueError(f"unknown payload {payload!r}")
     if payload == "boolean" and (positional or tfidf_sidecar):
         raise ValueError("boolean payload stores no tf — it cannot be "
                          "positional and has no tfidf sidecar")
+    if payload == "tfidf" and positional:
+        raise ValueError("tfidf payload pre-aggregates (term, doc) rows — "
+                         "positions need the occurrence stream; build "
+                         "positional=True with tfidf_sidecar instead")
     spark = transcripts.sparkSession
     dirs = _stage_dirs(path)
     metrics: dict = {"stages": {}}
@@ -331,7 +348,26 @@ def build_packed_index(
         # dlq = round(dl/avgdl, 3)*1000 — integerized EXACTLY like the stored
         # footer value (bm25.py:76-81): round-half-even on the double, *1000
         dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
-        if positional:
+        if payload == "tfidf":
+            # reference 'doc:freq/w' lines: pre-agg tf, attach the stored-3dp
+            # lnc weight (the SAME Spark expression as tfidf.tfidf_weights ->
+            # bit-identical stored values), quantize losslessly into the
+            # third triple slot
+            occ = docs.select(DOC_ID, F.explode("tokens").alias("term"))
+            tfagg = occ.groupBy("term", DOC_ID).agg(F.count("*").alias("tf"))
+            wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+            norms = tfagg.groupBy(DOC_ID).agg(
+                F.sqrt(F.sum(wr * wr)).alias("nrm")
+            ).select(F.col(DOC_ID).alias("_nd"), "nrm")
+            tok = tfagg.join(norms, F.col(DOC_ID) == F.col("_nd")).select(
+                "term",
+                DOC_ID,
+                "tf",
+                F.round(F.round(wr / F.col("nrm"), 3) * 1000.0)
+                .cast("long")
+                .alias("dlq"),  # triple slot 3 = wq for this payload
+            )
+        elif positional:
             tok = docs.select(
                 DOC_ID, dlq.alias("dlq"), F.posexplode("tokens").alias("pos", "term")
             )
@@ -511,18 +547,22 @@ def exploded_view(pidx: PackedIndex, include_positions: bool = False) -> DataFra
     gates M2 ≡ M1. ``include_positions`` requires a positional build and
     emits the comma-joined string form ('doc:pos1,pos2,…' payloads,
     positional_posting_list.py:50-51)."""
+    payload = pidx.manifest.get("payload", "freq")
+    # third decoded value: dl_norm for freq payloads, the stored-3dp lnc
+    # weight for tfidf payloads ('doc:freq/w' analog), absent for boolean
+    third = "w" if payload == "tfidf" else "dl_norm"
     fields = [
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
-        T.StructField("dl_norm", T.DoubleType(), False),
+        T.StructField(third, T.DoubleType(), False),
     ]
     if include_positions:
         fields.append(T.StructField("positions", T.StringType(), False))
     out_schema = T.StructType(fields)
-    boolean = pidx.manifest.get("payload", "freq") == "boolean"
-    if boolean and include_positions:
-        raise ValueError("boolean payload stores no positions")
+    boolean = payload == "boolean"
+    if include_positions and payload != "freq":
+        raise ValueError(f"{payload} payload stores no positions")
 
     def decode(batches: Iterable[pd.DataFrame]):
         import numpy as np
@@ -539,7 +579,7 @@ def exploded_view(pidx: PackedIndex, include_positions: bool = False) -> DataFra
                     dl_norm = np.zeros(len(doc_ids), dtype=np.float64)
                 else:
                     doc_ids, tfs, dl_norm = decode_postings(bytes(buf))
-                cols = {"term": term, "doc_id": doc_ids, "tf": tfs, "dl_norm": dl_norm}
+                cols = {"term": term, "doc_id": doc_ids, "tf": tfs, third: dl_norm}
                 if include_positions:
                     flat, occ_starts = decode_positions(
                         bytes(pdf["positions"].iloc[i]), tfs

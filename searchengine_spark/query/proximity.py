@@ -246,6 +246,7 @@ _DECODED_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
+        T.StructField("w", T.DoubleType(), False),  # tfidf payload only
         T.StructField("positions", T.ArrayType(T.LongType()), False),
     ]
 )
@@ -253,15 +254,27 @@ _DECODED_SCHEMA = T.StructType(
 
 def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
                   boost: bool = True):
-    """TF_IDF(_OPTIMIZED) over the packed index: decode matched chunks ->
-    join lnc-norm sidecar -> stored-3dp weights [-> positional boost]."""
+    """TF_IDF(_OPTIMIZED) over the packed index.
+
+    payload='tfidf' builds (the reference's 'doc:freq/w' format): weights
+    decode straight out of the postings — joinless, no sidecar needed
+    (plain ranking only; no positions in that payload).
+
+    freq-payload builds: decode matched chunks -> join the lnc-norm
+    sidecar -> derive the stored-3dp weights [-> positional boost]."""
     validate_schema(schema)
     if schema[:3] != "lnc":
         raise ValueError(
-            "packed TF-IDF serving stores lnc doc norms; "
+            "packed TF-IDF serving stores lnc weights/norms; "
             f"doc-side schema {schema[:3]!r} needs the exact-path API"
         )
-    if pidx.doc_norms is None:
+    embedded_w = pidx.manifest.get("payload", "freq") == "tfidf"
+    if embedded_w and boost:
+        raise ValueError(
+            "tfidf payload stores no positions — TF_IDF_OPTIMIZED needs a "
+            "positional=True, tfidf_sidecar=True build"
+        )
+    if not embedded_w and pidx.doc_norms is None:
         raise ValueError("index was not built with tfidf_sidecar=True")
 
     def decode_rows(batches):
@@ -272,7 +285,7 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
-                doc_ids, tfs, _dl = decode_postings(bytes(row.postings))
+                doc_ids, tfs, third = decode_postings(bytes(row.postings))
                 if row.positions is not None:
                     flat, occ_starts = decode_positions(bytes(row.positions), tfs)
                     ends = np.append(occ_starts[1:], len(flat))
@@ -288,6 +301,8 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
                             "term": row.term,
                             "doc_id": doc_ids,
                             "tf": tfs,
+                            # tfidf payload: slot 3 IS the stored-3dp weight
+                            "w": third if embedded_w else np.zeros(len(doc_ids)),
                             "positions": poss,
                         }
                     )
@@ -298,17 +313,24 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
     decoded = matched.select(
         "query_id", "term", "postings", "positions"
     ).mapInPandas(decode_rows, schema=_DECODED_SCHEMA)
-    # the SAME Spark expression as tfidf_weights -> bit-identical stored-3dp
-    # weights between packed and exact paths
-    wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
-    joined = decoded.join(pidx.doc_norms, "doc_id").select(
-        "query_id",
-        "term",
-        "doc_id",
-        "positions",
-        F.round(wr / F.col("nrm"), 3).alias("w"),
-        F.lit(0.0).alias("dl_norm"),
-    )
+    if embedded_w:
+        # 'doc:freq/w' payload: weights came out of the postings — joinless
+        joined = decoded.select(
+            "query_id", "term", "doc_id", "positions", "w",
+            F.lit(0.0).alias("dl_norm"),
+        )
+    else:
+        # the SAME Spark expression as tfidf_weights -> bit-identical
+        # stored-3dp weights between packed and exact paths
+        wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+        joined = decoded.join(pidx.doc_norms, "doc_id").select(
+            "query_id",
+            "term",
+            "doc_id",
+            "positions",
+            F.round(wr / F.col("nrm"), 3).alias("w"),
+            F.lit(0.0).alias("dl_norm"),
+        )
 
     # query-side ltc over PRESENT terms, stored 3dp idf (exact-path twin)
     idf_map = {

@@ -135,10 +135,11 @@ def bm25_topk_packed_batch(
     the stored ``max_tfsat`` block bounds were computed at build params, so
     pruning with different params is unsafe (could silently drop true top-k
     docs) — we refuse rather than mis-serve."""
-    if pidx.manifest.get("payload", "freq") == "boolean":
+    if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
-            "boolean-payload index stores no tf/dlq — BM25 needs a "
-            "payload='freq' build; use boolean_search_packed here"
+            f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
+            "BM25 needs a payload='freq' build (boolean: use "
+            "boolean_search_packed; tfidf: use tfidf_topk_packed_batch)"
         )
     params = params or pidx.params
     built = pidx.params
