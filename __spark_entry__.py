@@ -543,10 +543,25 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRANSCRIPTS_N_CONV = 60
+TRANSCRIPTS_QUERIES = ["greatest rock album", "house party songs"]
+
+
+def _transcripts_cfg() -> TokenizerConfig:
+    return TokenizerConfig(
+        min_token_length=3,
+        stop_words=TokenizerConfig.load_stop_words("/root/reference/stop_words.txt"),
+    )
+
+
 def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end packed-index path on synthetic transcripts (rows-only
-    check: transcripts aren't a DuckDB view). Small corpus, full pipeline:
-    generate -> packed build (resume-capable) -> WAND top-k -> resolve."""
+    """End-to-end packed-index path on the NORTH-RULE INPUT SHAPE (synthetic
+    multi-turn transcripts): generate -> packed build (resume-capable) ->
+    block-max WAND top-k (round_dp=6 cross-engine ranking) -> docmap
+    resolve. The DuckDB oracle inlines the seed-pure corpus as VALUES and
+    replicates tokenizer (min_len 3 + reference stop words), dense docIDs,
+    and the full BM25 contract in SQL — the one driver entry that
+    hash-gates the complete production pipeline on the transcripts schema."""
     import os
     import tempfile
 
@@ -554,18 +569,20 @@ def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
     from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
 
-    cfg = TokenizerConfig(
-        min_token_length=3,
-        stop_words=TokenizerConfig.load_stop_words("/root/reference/stop_words.txt"),
-    )
+    cfg = _transcripts_cfg()
     path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx")
-    corpus = transcripts_df(spark, n_conv=60, n_partitions=8)
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
     build_packed_index(corpus, cfg, path, chunk_docs=256)
     pidx = load_packed_index(spark, path)
     topk = bm25_topk_packed_batch(
-        pidx, ["greatest rock album", "house party songs"], cfg, k=10
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6
     )
-    return resolve_docs(pidx, topk)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", "doc_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -603,7 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
-        "transcripts_wand_topk": q_transcripts_wand_topk,  # rows-only (no view)
+        "transcripts_wand_topk": q_transcripts_wand_topk,
     }
 
 
@@ -1210,5 +1227,64 @@ SELECT doc_id, frame_idx, 16::BIGINT AS n_bytes,
                   substr(md5(text || '#' || frame_idx::VARCHAR), j + 1, 1)) - 1)::BIGINT AS checksum
 FROM sampled CROSS JOIN (SELECT unnest(range(32)) AS j)
 GROUP BY doc_id, frame_idx
+"""
+
+    # ---- transcripts end-to-end: the seed-pure fixture corpus inlined as
+    # VALUES, tokenizer (min_len 3 + reference stop words), dense docIDs by
+    # (conv_id, turn_idx), full BM25 contract, 6dp-rounded ranking — the
+    # DuckDB twin of the packed build -> WAND -> resolve pipeline
+    from searchengine_spark.fixtures.transcripts import generate_transcripts_pdf
+
+    tw_cfg = _transcripts_cfg()
+    tpdf = generate_transcripts_pdf(n_conv=TRANSCRIPTS_N_CONV)
+    vals = ",\n".join(
+        f"({_sql_quote(c)}, {int(t)}, {_sql_quote(x)})"
+        for c, t, x in zip(tpdf["conv_id"], tpdf["turn_idx"], tpdf["text"])
+    )
+    sw_inline = ", ".join(_sql_quote(w) for w in sorted(tw_cfg.stop_words) if w)
+    tok3 = (
+        "list_filter(regexp_split_to_array(lower(regexp_replace(text, "
+        f"{_PUNCT_SQL}, ' ', 'g')), '\\s+'), "
+        f"t -> length(t) >= 3 AND t NOT IN ({sw_inline}))"
+    )
+    tq_selects = []
+    for qid, q in enumerate(TRANSCRIPTS_QUERIES):
+        terms = _sql_term_list(list(dict.fromkeys(tokenize_text(q, tw_cfg))))
+        tq_selects.append(
+            f"SELECT {qid} AS query_id, term FROM (SELECT unnest({terms}) AS term)"
+        )
+    sqls["transcripts_wand_topk"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
 """
     return sqls
