@@ -119,6 +119,20 @@ def run_suite(spark, sf: float, cpus: int) -> dict:
     topk.count()
     timings["bm25_15q_warm"] = time.perf_counter() - t0
 
+    # per-query warm latency (one job per query — the reference's serving
+    # unit, README.md:279: ~446 ms/query single-node). Skipped inside the
+    # pinned scaling trials: there the metric is build throughput and 15
+    # extra serial jobs would just stretch the trial's host-noise window.
+    if not os.environ.get("SPARK_GRAFT_SKIP_LAT"):
+        lat = []
+        for q in REFERENCE_QUERIES:
+            t0 = time.perf_counter()
+            bm25_topk_packed_batch(pidx, [q], cfg, k=10, params=params).count()
+            lat.append((time.perf_counter() - t0) * 1000.0)
+        lat.sort()
+        timings["_lat_p50_ms"] = lat[len(lat) // 2]
+        timings["_lat_p95_ms"] = lat[int(len(lat) * 0.95) - 1]
+
     timings["_n_turns"] = n_turns
     timings["_n_results"] = n_results
     return timings
@@ -143,6 +157,8 @@ def _single(cpus: int) -> dict:
     t = one_run(cpus)
     n_turns = t.pop("_n_turns")
     t.pop("_n_results", None)
+    p50 = t.pop("_lat_p50_ms", None)
+    p95 = t.pop("_lat_p95_ms", None)
     total = sum(t.values())
     out = {
         "metric": "index_build_plus_bm25_suite",
@@ -152,6 +168,8 @@ def _single(cpus: int) -> dict:
         "sf": _sf(),
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / t["index_build"], 1),
+        "query_latency_p50_ms": round(p50, 1) if p50 is not None else None,
+        "query_latency_p95_ms": round(p95, 1) if p95 is not None else None,
         "cpus": cpus,
     }
     # attach the committed pinned N-vs-4N scaling record (produced by
@@ -180,7 +198,7 @@ def _subprocess_run(cpus: int) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__)]
     if _sh.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SKIP_LAT="1")
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 

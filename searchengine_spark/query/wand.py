@@ -13,11 +13,13 @@ block-max pruning (Broder et al. 2003 WAND; Ding & Suel 2011 block-max):
 - across queries: applyInPandas(groupBy query_id) — queries score in
   parallel, the natural unit of serving concurrency.
 
-Plan shape: broadcast-join the (tiny) query-term table against the
+Plan shape (join-free): pushed-down In(term, …) scan of the
 term-range-partitioned index (parquet min/max stats prune non-matching
 files — the reference's sorted-file binary search, index.py:93-131, for
-free), broadcast-join idf, then one applyInPandas. The only shuffle is the
-groupBy(query_id) hash exchange of matched chunks.
+free), a literal term->query_ids map projection for the fan-out, idf
+shipped in the scorer closure, then one applyInPandas. The only shuffle is
+the groupBy(query_id) hash exchange of matched chunks; a query batch is
+ONE job (plus the tiny pruned idf collect).
 
 Safety is gated by tests/test_packed_wand.py: WAND top-k == exhaustive
 top-k (same docs, same scores) on every fixture query.
@@ -49,17 +51,29 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
-def _wand_scorer(k_top: int, params: Bm25Params, round_dp: int | None = None):
+def _wand_scorer(
+    k_top: int,
+    params: Bm25Params,
+    round_dp: int | None = None,
+    idf_map: dict | None = None,
+):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
     ordering the DuckDB oracle uses. Pruning stays safe under rounding via
     an epsilon slack on the threshold (a chunk is skipped only when no doc
-    in it could even TIE the rounded heap minimum)."""
+    in it could even TIE the rounded heap minimum).
+
+    ``idf_map``: {term: stored 3dp idf} captured in the closure — the
+    join-free serving path ships idf with the task instead of broadcast-
+    joining the stats table (one Spark job per query batch instead of
+    three; the map is bounded by the query's term count)."""
     kk, bb = float(params.k), float(params.b)
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
 
     def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        if idf_map is not None:
+            pdf = pdf.assign(idf=pdf["term"].map(idf_map))
         # per-chunk upper bound Σ_t idf_t * max_tfsat_t(chunk)
         ub = (
             (pdf["idf"] * pdf["max_tfsat"])
@@ -155,26 +169,42 @@ def bm25_topk_packed_batch(
         # unique terms: query-term multiplicity ignored (bm25.py:44-53 quirk)
         for t in dict.fromkeys(tokenize_text(q, cfg)):
             rows.append((qid, t))
-    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
     if not rows:
-        qdf = qdf.limit(0)
+        return spark.createDataFrame([], _TOPK_SCHEMA)
 
     # pre-filter with the literal term set: compiles to a pushed-down
     # In(term, …) predicate, so the term-sorted parquet layout prunes row
     # groups via min/max stats — the reference's sorted-file binary search
     # (index.py:93-131) done by the scan itself
     all_terms = sorted({t for _, t in rows})
-    pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
-    matched = pruned.join(F.broadcast(qdf), "term")
-    # term_stats is ALSO pre-filtered to the query terms: broadcasting the
-    # whole df/idf sidecar ships the entire vocabulary to every executor —
-    # fine at toy scale, pathological on a 1e12-turn corpus
-    stats = pidx.term_stats.select("term", "idf")
-    if all_terms:
-        stats = stats.filter(F.col("term").isin(all_terms))
-    matched = matched.join(F.broadcast(stats), "term")
+    pruned = pidx.index.filter(F.col("term").isin(all_terms))
+
+    # JOIN-FREE serving: idf for the (bounded) query-term set is collected
+    # once (term-pruned scan of the tiny stats sidecar) and shipped in the
+    # scorer closure; the term -> query_ids fan-out is a literal map
+    # projection. The whole batch is then ONE scan job + ONE hash exchange
+    # — against the broadcast-join formulation this removes two broadcast
+    # jobs per batch, which dominate single-query latency.
+    stats = pidx.term_stats.select("term", "idf").filter(
+        F.col("term").isin(all_terms)
+    )
+    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    map_entries = [
+        x
+        for t, qs in qids_by_term.items()
+        if t in idf_map  # terms absent from the index match nothing (OR)
+        for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+    ]
+    if not map_entries:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    matched = pruned.withColumn(
+        "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+    )
     k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
-    scorer = _wand_scorer(k_top, params, round_dp)
+    scorer = _wand_scorer(k_top, params, round_dp, idf_map)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k)

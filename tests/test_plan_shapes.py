@@ -40,11 +40,14 @@ def test_wand_scan_pushes_term_filter(pidx):
     assert "In(term" in plan
 
 
-def test_wand_broadcasts_small_sides(pidx):
+def test_wand_is_join_free(pidx):
+    """The serving batch is join-FREE: query-id fan-out is a literal map
+    projection and idf rides the scorer closure — no broadcast exchanges,
+    no join operators at all (single-query latency = one scan job)."""
     df = bm25_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
     plan = explain_str(df)
-    assert plan.count("BroadcastHashJoin") >= 2  # query terms + term_stats
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_wand_single_shuffle(pidx):
