@@ -186,10 +186,26 @@ def proximity_topk_packed_batch(
         qdf = qdf.limit(0)
     all_terms = sorted({t for _, t in rows})
     pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
+    # join-free (same shape as wand.py): idf collected once into the scorer
+    # closure, term -> query_ids fan-out as a literal map projection
     stats = pidx.term_stats.select("term", "idf")
     if all_terms:
         stats = stats.filter(F.col("term").isin(all_terms))
-    matched = pruned.join(F.broadcast(qdf), "term").join(F.broadcast(stats), "term")
+    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    qids_by_term: Dict[str, List[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    map_entries = [
+        x
+        for t, qs in qids_by_term.items()
+        if t in idf_map
+        for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+    ]
+    if not map_entries:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    matched = pruned.withColumn(
+        "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+    )
 
     if mode == "tfidf":
         return _tfidf_packed(
@@ -211,7 +227,7 @@ def proximity_topk_packed_batch(
             flat, occ_starts = decode_positions(bytes(row.positions), tfs)
             ends = np.append(occ_starts[1:], len(flat))
             sat = (tfs * (kk + 1)) / (tfs + kk * (1 - bb + bb * dl_norm))
-            contrib = float(row.idf) * sat
+            contrib = idf_map[row.term] * sat
             for j, doc in enumerate(doc_ids):
                 d = int(doc)
                 scores[d] = scores.get(d, 0.0) + float(contrib[j])
