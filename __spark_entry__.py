@@ -445,6 +445,73 @@ def q_emb_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(emb, threshold=0.3, bucket_by=cents)
 
 
+N_CLUSTERED = 320
+
+
+def _clustered_embeddings(spark: SparkSession) -> DataFrame:
+    """Deterministic CLUSTERED vectors both engines derive bit-identically
+    (md5-hex-digit arithmetic — no RNG): 8 well-separated centers, small
+    per-vector noise. e[i][d] = (digit(md5('c{i%8}_{d}')) - 7.5)*2
+    + (digit(md5('v{i}_{d}')) - 7.5)*0.1."""
+    ids = spark.range(N_CLUSTERED).select(F.col("id").cast("long").alias("vec_id"))
+
+    def dig(s):
+        return F.conv(F.substring(F.md5(s), 1, 1), 16, 10).cast("double")
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            dig(F.concat(F.lit("c"), (F.col("vec_id") % 8).cast("string"),
+                         F.lit("_"), d.cast("string"))) - 7.5
+        ) * 2.0
+        + (
+            dig(F.concat(F.lit("v"), F.col("vec_id").cast("string"),
+                         F.lit("_"), d.cast("string"))) - 7.5
+        ) * 0.1,
+    )
+    return ids.withColumn("embedding", vec)
+
+
+def q_emb_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 @ n_probe=2 on CLUSTERABLE data — the regime IVF
+    targets (the sf fixture is uniform random, ANN's degenerate case). The
+    corpus is derived from md5 digits, so the DuckDB oracle replicates
+    generation + k-means training + bucketing + scoring end-to-end and
+    hash-verifies the recall numbers, which clear the >=0.9 bar
+    (tests/test_ivf.py::test_clustered_recall_entry asserts it)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.textops import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = _clustered_embeddings(spark)
+    path = os.path.join(tempfile.gettempdir(), "se_entry_ivf_clustered")
+    build_ivf_index(emb, path, n_centroids=N_CENTROIDS, dim=64, n_iters=IVF_ITERS)
+    rows = []
+    for qid in (0, 1, 2):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        ivf = {
+            r["vec_id"]
+            for r in ivf_topk_indexed(
+                spark, path, qv, k=10, n_probe=IVF_PROBE, exclude_ids=(qid,)
+            ).collect()
+        }
+        true = {
+            r["vec_id"]
+            for r in cosine_topk(emb, qv, k=10, exclude_ids=(qid,)).collect()
+        }
+        n_hit = len(ivf & true)
+        rows.append((qid, n_hit, n_hit / 10.0))
+    return spark.createDataFrame(
+        rows, "query_vec_id int, n_hit long, recall double"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops.quality import lang_id
     from searchengine_spark.tokenizer import tokens_column
@@ -609,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "emb_ivf_recall_clustered": q_emb_ivf_recall_clustered,
         "emb_near_pairs": q_emb_near_pairs,
         "emb_near_pairs_bucketed": q_emb_near_pairs_bucketed,
         "lang_id": q_lang_id,
@@ -955,13 +1023,11 @@ SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
   ) u USING (cid)
 )"""
 
-    # 2 Lloyd iterations (IVF_ITERS), then the final assignment afinal
-    _kmeans_ctes = f"""
-em AS (
-  SELECT vec_id,
-         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS m
-  FROM embeddings
-),
+    # 2 Lloyd iterations (IVF_ITERS), then the final assignment afinal;
+    # ``em_sql`` supplies (vec_id, m: BIGINT[64] micro-units)
+    def _kmeans_chain(em_sql: str) -> str:
+        return f"""
+em AS ({em_sql}),
 c0 AS ({c0_rows}),
 {_km_assign('c0', 'a1')},
 {_km_update('a1', 'c0', 'c1')},
@@ -969,6 +1035,11 @@ c0 AS ({c0_rows}),
 {_km_update('a2', 'c1', 'c2')},
 {_km_assign('c2', 'afinal')}
 """
+
+    _kmeans_ctes = _kmeans_chain(
+        "SELECT vec_id, [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT "
+        "for i in range(64)] AS m FROM embeddings"
+    )
 
     _cos6 = (
         "round({dot} / (sqrt({nn}) * sqrt({qq})), 6)".format(
@@ -1020,6 +1091,71 @@ scored AS (
   JOIN afinal a ON a.vec_id = e.vec_id
   CROSS JOIN q
   WHERE e.vec_id <> q.qid
+),
+ivf10 AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cosine DESC, s.vec_id ASC) AS rn
+    FROM scored s JOIN probed p ON s.qid = p.qid AND s.centroid_id = p.cid
+  ) WHERE rn <= 10
+),
+brute10 AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+)
+SELECT q.qid AS query_vec_id,
+       COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+       COALESCE(h.n_hit, 0) / 10.0 AS recall
+FROM (SELECT DISTINCT qid FROM q) q
+LEFT JOIN (
+  SELECT qid, count(*)::BIGINT AS n_hit
+  FROM ivf10 JOIN brute10 USING (qid, vec_id) GROUP BY qid
+) h USING (qid)
+"""
+
+    # clustered recall: the whole pipeline (corpus generation from md5
+    # digits -> micro k-means -> bucketing -> probe -> recall) replicated
+    _clustered_embc = f"""
+embc AS (
+  SELECT i::BIGINT AS vec_id,
+         [(((strpos('0123456789abcdef',
+                    substr(md5('c' || (i % 8)::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) - 7.5) * 2.0
+           + ((strpos('0123456789abcdef',
+                      substr(md5('v' || i::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) - 7.5) * 0.1)
+          for d in range(64)] AS e
+  FROM (SELECT unnest(range({N_CLUSTERED})) AS i)
+)
+"""
+    sqls["emb_ivf_recall_clustered"] = f"""
+WITH {_clustered_embc},
+{_kmeans_chain("SELECT vec_id, [floor(e[j+1] * 1000000)::BIGINT for j in range(64)] AS m FROM embc")},
+q AS (
+  SELECT vec_id AS qid, e AS qe,
+         [floor(e[j+1] * 1000000)::BIGINT for j in range(64)] AS qm
+  FROM embc WHERE vec_id IN (0, 1, 2)
+),
+probed AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_il2.format(m='q.qm', c='c.cm')}, c.cid) AS rn
+    FROM c2 c CROSS JOIN q
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT q.qid, s.vec_id, a.centroid_id,
+         round({_dot.format(a='s.e', b='q.qe')} /
+               (sqrt({_dot.format(a='s.e', b='s.e')}) *
+                sqrt({_dot.format(a='q.qe', b='q.qe')})), 6) AS cosine
+  FROM embc s
+  JOIN afinal a ON a.vec_id = s.vec_id
+  CROSS JOIN q
+  WHERE s.vec_id <> q.qid
 ),
 ivf10 AS (
   SELECT qid, vec_id FROM (

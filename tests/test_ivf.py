@@ -102,6 +102,18 @@ def test_cosine_near_pairs_bucketed_subset(spark, clustered):
     assert len(bucketed) / len(brute) >= 0.8
 
 
+def test_clustered_recall_entry(spark):
+    """The oracle-gated clustered-recall entry must clear the >=0.9 @
+    n_probe=2 bar (its VALUES are also hash-checked vs the full DuckDB
+    pipeline replica by the driver contract)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_emb_ivf_recall_clustered(spark, "/root/testdata/sf0.01").collect()
+    recalls = [r["recall"] for r in rows]
+    assert len(recalls) == 3
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_kmeans_micro_deterministic(spark, clustered):
     """Integer micro-unit arithmetic: identical centroids on repeat runs
     (the property that lets the DuckDB oracle replicate training)."""
