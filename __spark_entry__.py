@@ -621,6 +621,40 @@ def _transcripts_cfg() -> TokenizerConfig:
     )
 
 
+def q_tfidf_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tfidf-PAYLOAD serving pipeline, oracle-gated end-to-end: packed
+    build with stored-3dp weights embedded in the postings (the reference's
+    'doc:freq/w' format) -> joinless decode scoring -> rounded-rank top-10.
+    The oracle computes the same stored-weight contract in plain SQL over
+    the raw corpus — the compressed weight payload must round-trip it."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_tfidfpay_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256, payload="tfidf",
+    )
+    pidx = load_packed_index(spark, path)
+    topk = tfidf_topk_packed_batch(
+        pidx, [QUERY_STRINGS[0]], CFG, k=10, round_dp=6
+    )
+    docmap = pidx.docmap
+    return (
+        topk.join(docmap, "doc_id")
+        .select(
+            F.col("ext_id").alias("doc_id"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end packed-index path on the NORTH-RULE INPUT SHAPE (synthetic
     multi-turn transcripts): generate -> packed build (resume-capable) ->
@@ -688,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
+        "tfidf_packed_topk": q_tfidf_packed_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
     }
 
@@ -1328,6 +1363,40 @@ scored AS (
 )
 SELECT doc_id, round(s, 6) AS score FROM scored
 ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+    # same stored-weight contract, but the Spark side serves from the
+    # tfidf-PAYLOAD packed index (weights decoded out of the postings)
+    sqls["tfidf_packed_topk"] = f"""
+WITH {_INDEX_CTES},
+w AS (
+  SELECT term, doc_id, 1.0 + ln(tf) AS wr FROM idx
+),
+dnorm AS (
+  SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id
+),
+wt AS (
+  SELECT term, w.doc_id, round(wr / nrm, 3) AS w3
+  FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
+),
+q AS (
+  SELECT unnest({_sql_term_list(tfidf_terms)}) AS term,
+         unnest([{", ".join(qtfs)}]) AS qtf
+),
+ql AS (
+  SELECT q.term, q.qtf * term_stats.idf AS ltc FROM q JOIN term_stats USING (term)
+),
+qn AS (SELECT sqrt(sum(ltc * ltc)) AS qnrm FROM ql),
+scored AS (
+  SELECT wt.doc_id, sum(wt.w3 * ql.ltc / (SELECT qnrm FROM qn)) AS s
+  FROM wt JOIN ql USING (term) GROUP BY wt.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     sqls["multimodal_features"] = """

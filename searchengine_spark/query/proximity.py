@@ -97,7 +97,10 @@ def _scorer(
     dl_max: float,
     qltc: Dict[int, Dict[str, float]],
     k_top: int,
+    round_dp: int | None = None,
 ):
+    """``round_dp``: rank by the rounded score (doc_id tie-break) — the
+    cross-engine-stable ordering the DuckDB oracle entries use."""
     kk, bb = float(params.k), float(params.b)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -132,6 +135,8 @@ def _scorer(
                     scores[doc] += 0.01 * boost / norm
                 else:
                     scores[doc] += 0.1 * boost
+        if round_dp is not None:
+            scores = {d: round(s, round_dp) for d, s in scores.items()}
         out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k_top]
         return pd.DataFrame(
             {
@@ -269,7 +274,7 @@ _DECODED_SCHEMA = T.StructType(
 
 
 def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
-                  boost: bool = True):
+                  boost: bool = True, round_dp: int | None = None):
     """TF_IDF(_OPTIMIZED) over the packed index.
 
     payload='tfidf' builds (the reference's 'doc:freq/w' format): weights
@@ -371,7 +376,7 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
 
     scorer = _scorer(
         query_tokens, "tfidf" if boost else "tfidf_plain", params, 0.0, 1.0,
-        qltc, k,
+        qltc, k, round_dp,
     )
     return joined.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
 
@@ -383,6 +388,7 @@ def tfidf_topk_packed_batch(
     k: int = 10,
     schema: str = "lnc.ltc",
     params: Bm25Params | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Plain TF_IDF ranking from the packed index (no positional boost; a
     non-positional ``tfidf_sidecar=True`` build suffices). Same stored-3dp
@@ -398,7 +404,8 @@ def tfidf_topk_packed_batch(
     pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
     matched = pruned.join(F.broadcast(qdf), "term")
     return _tfidf_packed(
-        pidx, matched, query_tokens, qdf, schema, k, params, boost=False
+        pidx, matched, query_tokens, qdf, schema, k, params, boost=False,
+        round_dp=round_dp,
     )
 
 
