@@ -16,6 +16,7 @@ of (conv index, seed) — identical corpus at any parallelism.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -131,7 +132,9 @@ def run_suite(spark, sf: float, cpus: int) -> dict:
             lat.append((time.perf_counter() - t0) * 1000.0)
         lat.sort()
         timings["_lat_p50_ms"] = lat[len(lat) // 2]
-        timings["_lat_p95_ms"] = lat[int(len(lat) * 0.95) - 1]
+        # ceil-rank p95: for n=15 this is lat[14] (int(n*.95)-1 = lat[13]
+        # was the 93.3rd percentile — systematic under-report, ADVICE r02)
+        timings["_lat_p95_ms"] = lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)]
 
     timings["_n_turns"] = n_turns
     timings["_n_results"] = n_results

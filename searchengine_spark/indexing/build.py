@@ -81,7 +81,12 @@ def tokenized_docs(
 ) -> DataFrame:
     """transcripts -> + dense doc_id + tokens column."""
     docs = with_doc_ids(transcripts, order_cols=order_cols, n_partitions=n_partitions)
-    return docs.withColumn("tokens", tokens_column(F.col(text_col), cfg))
+    # carry the internal persist handle onto the derived frame so
+    # IndexTables.unpersist() actually releases it (withColumn makes a new
+    # DataFrame object; the attribute would otherwise be lost — ADVICE r02)
+    from .docids import carry_doc_id_handle
+
+    return carry_doc_id_handle(docs, docs.withColumn("tokens", tokens_column(F.col(text_col), cfg)))
 
 
 def build_index(

@@ -84,10 +84,29 @@ def with_doc_ids(
 def unpersist_doc_ids(df: DataFrame) -> None:
     """Release the internal persist created by :func:`with_doc_ids`. Call
     after the id-carrying rows are materialized (e.g. written to parquet);
-    no-op for DataFrames without the handle."""
+    no-op for DataFrames without the handle.
+
+    The handle lives as a Python attribute on the exact DataFrame object
+    ``with_doc_ids`` returned — any ``withColumn``/``select`` creates a NEW
+    object without it, silently turning this into a no-op (a real leak we
+    shipped once). Either call this on the untransformed return value, or
+    thread the handle through derivations with :func:`carry_doc_id_handle`.
+    (``df.persist()`` returns ``self``, so it does NOT drop the handle.)
+    """
     part = getattr(df, "_se_persisted", None)
     if part is not None:
         part.unpersist()
+        df._se_persisted = None  # type: ignore[attr-defined]
+
+
+def carry_doc_id_handle(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Propagate the :func:`with_doc_ids` persist handle from ``src`` onto a
+    derived DataFrame ``out`` so ``unpersist_doc_ids(out)`` still releases
+    it after ``withColumn``/``select`` chains."""
+    part = getattr(src, "_se_persisted", None)
+    if part is not None:
+        out._se_persisted = part  # type: ignore[attr-defined]
+    return out
 
 
 def with_doc_ids_window(

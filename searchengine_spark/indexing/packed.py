@@ -303,6 +303,7 @@ def build_packed_index(
             *order_cols, tokens_column(F.col(text_col), cfg).alias("tokens")
         )
         docs = with_doc_ids(base, order_cols=order_cols, n_partitions=n_partitions)
+        id_handle = docs  # untransformed return value carries the persist handle
         docs = docs.withColumn("dl", F.size("tokens").cast("long"))
         obs = Observation()
         (
@@ -313,7 +314,7 @@ def build_packed_index(
         )
         got = obs.get
         n_docs, avgdl = int(got["n"]), float(got["avgdl"])
-        unpersist_doc_ids(docs)
+        unpersist_doc_ids(id_handle)
         fsio.write_text(
             spark, dirs["state"], json.dumps({"n_docs": n_docs, "avgdl": avgdl})
         )

@@ -42,7 +42,6 @@ path may be any Hadoop-FS URI; nothing here touches the driver-local FS.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,6 +81,23 @@ def append_batch(
             "streaming append into a positional index is not supported; "
             "rebuild, or build the index with positional=False"
         )
+    if manifest.get("payload", "freq") != "freq":
+        # _encode_group emits freq-format (gap, tf, dlq) triples; a
+        # boolean-payload reader would decode them as doc gaps (garbage
+        # doc_ids) and a tfidf-payload reader would take dlq for weights —
+        # both silently WRONG, so refuse instead (ADVICE r02).
+        raise NotImplementedError(
+            f"streaming append into a payload={manifest.get('payload')!r} "
+            "index is not supported; build with payload='freq'"
+        )
+    if manifest.get("tfidf_sidecar"):
+        # appended docs would get no doc_norms rows and silently vanish
+        # from packed TF-IDF ranking (inner join on the sidecar).
+        raise NotImplementedError(
+            "streaming append into a tfidf_sidecar index is not supported: "
+            "appended docs would be missing from doc_norms and silently "
+            "drop out of TF-IDF ranking; rebuild with tfidf_sidecar=False"
+        )
     committed = {a["batch_id"] for a in manifest.get("appends", [])}
     if batch_id in committed:
         return manifest  # retried after a successful commit: no-op
@@ -93,6 +109,7 @@ def append_batch(
     adirs = _append_dirs(path, batch_id)
 
     docs = with_doc_ids(batch, order_cols=order_cols)
+    id_handle = docs  # untransformed return value carries the persist handle
     docs = docs.withColumn(DOC_ID, F.col(DOC_ID) + offset)
     docs = docs.withColumn("tokens", tokens_column(F.col(text_col), cfg))
     docs = docs.withColumn("dl", F.size("tokens").cast("long"))
@@ -101,7 +118,7 @@ def append_batch(
     n_new = docs.count()
     if n_new == 0:
         docs.unpersist()
-        unpersist_doc_ids(docs)
+        unpersist_doc_ids(id_handle)
         return manifest
 
     dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
@@ -130,7 +147,7 @@ def append_batch(
         .parquet(fsio.join(path, "lineage_stream"))
     )
     docs.unpersist()
-    unpersist_doc_ids(docs)
+    unpersist_doc_ids(id_handle)
 
     # df/idf delta merge: O(vocab + batch terms), NOT a rescan of the index.
     # batch df comes from the just-written epoch chunks (tiny parquet).
@@ -197,7 +214,7 @@ def stream_append(
 
     (
         stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(path, "stream_checkpoint"))
+        .option("checkpointLocation", fsio.join(path, "stream_checkpoint"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

@@ -77,6 +77,17 @@ class TokenizerConfig:
     @staticmethod
     def from_manifest(m: dict) -> "TokenizerConfig":
         sw = m.get("stop_words")
+        if sw is None and m.get("n_stop_words", 0) > 0:
+            # pre-round-2 manifest: the build used a stop list but only its
+            # COUNT was persisted. Reconstructing a stop-word-free tokenizer
+            # would silently skew query tokenization vs the build (ADVICE
+            # r02) — fail loudly instead.
+            raise ValueError(
+                f"manifest records n_stop_words={m['n_stop_words']} but no "
+                "'stop_words' list (index built before the list was "
+                "persisted); pass the original stop-word file explicitly "
+                "instead of relying on the manifest"
+            )
         return TokenizerConfig(
             min_token_length=m.get("min_token_length"),
             stop_words=frozenset(sw) if sw is not None else None,
