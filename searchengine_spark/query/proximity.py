@@ -23,8 +23,12 @@ Execution shape: the exact BM25/TF-IDF base score is the usual broadcast
 join + agg; the boost needs token positions per (query, doc), which is
 genuinely pairwise-imperative -> applyInPandas per query_id over the
 matched positional postings (parallel across queries). At 10^12-doc scale
-you boost only the base-score top-N candidates (rerank pattern); the
-candidate cut is a parameter here.
+you boost only the base-score top-N candidates (rerank pattern): pass
+``rerank_n`` and the O(|q|^2 * positions^2) boost loop runs over at most N
+docs per query (selected by base score, doc_id tie-break); docs outside
+the cut keep their base score and still compete for the final top-k.
+``rerank_n=None`` (default) boosts every matched doc — exact reference
+semantics; ``rerank_n >= #matched`` is provably identical to it.
 """
 
 from __future__ import annotations
@@ -89,6 +93,15 @@ def _calculate_boost(query: List[str], positions: Dict[str, List[int]]) -> float
     return math.log10(score) if score > 0 else 0.0
 
 
+def _rerank_candidates(scores: Dict[int, float], rerank_n: int | None) -> List[int]:
+    """Docs eligible for the positional boost: all of them (rerank_n=None),
+    else the top-N by base score (doc_id tie-break — deterministic)."""
+    if rerank_n is None or len(scores) <= rerank_n:
+        return list(scores)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:rerank_n]
+    return [d for d, _ in top]
+
+
 def _scorer(
     query_tokens: Dict[int, List[str]],
     mode: str,
@@ -98,9 +111,11 @@ def _scorer(
     qltc: Dict[int, Dict[str, float]],
     k_top: int,
     round_dp: int | None = None,
+    rerank_n: int | None = None,
 ):
     """``round_dp``: rank by the rounded score (doc_id tie-break) — the
-    cross-engine-stable ordering the DuckDB oracle entries use."""
+    cross-engine-stable ordering the DuckDB oracle entries use.
+    ``rerank_n``: boost only the base-score top-N docs (module docstring)."""
     kk, bb = float(params.k), float(params.b)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -120,9 +135,8 @@ def _scorer(
                 scores[doc] = scores.get(doc, 0.0) + float(row.idf) * sat
             else:  # tf-idf lnc.ltc base
                 scores[doc] = scores.get(doc, 0.0) + float(row.w) * qltc[qid][row.term]
-        for doc in list(scores):
-            if mode == "tfidf_plain":
-                break  # base TF-IDF ranking, no positional boost
+        cand = [] if mode == "tfidf_plain" else _rerank_candidates(scores, rerank_n)
+        for doc in cand:
             boost = _calculate_boost(qtoks, positions_by_doc[doc])
             if boost > 0:
                 if mode == "bm25":
@@ -158,6 +172,8 @@ def proximity_topk_packed_batch(
     params: Bm25Params | None = None,
     mode: str = "bm25",
     schema: str = "lnc.ltc",
+    round_dp: int | None = None,
+    rerank_n: int | None = None,
 ) -> DataFrame:
     """BM25_OPTIMIZED / TF_IDF_OPTIMIZED serving from the PACKED positional
     index — all four reference rankers now serve from the on-disk index
@@ -214,7 +230,8 @@ def proximity_topk_packed_batch(
 
     if mode == "tfidf":
         return _tfidf_packed(
-            pidx, matched, query_tokens, qdf, schema, k, params
+            pidx, matched, query_tokens, qdf, schema, k, params,
+            round_dp=round_dp, rerank_n=rerank_n,
         )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -240,7 +257,7 @@ def proximity_topk_packed_batch(
                 positions_by_doc.setdefault(d, {})[row.term] = flat[
                     occ_starts[j] : ends[j]
                 ].tolist()
-        for doc in list(scores):
+        for doc in _rerank_candidates(scores, rerank_n):
             boost = _calculate_boost(qtoks, positions_by_doc[doc])
             if boost > 0:
                 denom_x = (dln[doc] - dl_min) / (dl_max - dl_min) + 1
@@ -248,6 +265,8 @@ def proximity_topk_packed_batch(
                 if norm == 0:
                     continue  # reference's ZeroDivisionError site — skip boost
                 scores[doc] += 0.01 * boost / norm
+        if round_dp is not None:
+            scores = {d: round(s, round_dp) for d, s in scores.items()}
         out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return pd.DataFrame(
             {
@@ -274,7 +293,8 @@ _DECODED_SCHEMA = T.StructType(
 
 
 def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
-                  boost: bool = True, round_dp: int | None = None):
+                  boost: bool = True, round_dp: int | None = None,
+                  rerank_n: int | None = None):
     """TF_IDF(_OPTIMIZED) over the packed index.
 
     payload='tfidf' builds (the reference's 'doc:freq/w' format): weights
@@ -376,7 +396,7 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
 
     scorer = _scorer(
         query_tokens, "tfidf" if boost else "tfidf_plain", params, 0.0, 1.0,
-        qltc, k, round_dp,
+        qltc, k, round_dp, rerank_n,
     )
     return joined.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
 
@@ -417,6 +437,8 @@ def proximity_topk_batch(
     mode: str = "bm25",
     params: Bm25Params = Bm25Params(),
     schema: str = "lnc.ltc",
+    round_dp: int | None = None,
+    rerank_n: int | None = None,
 ) -> DataFrame:
     """Top-k with proximity boost over a POSITIONAL index
     (build_index(..., positional=True)) -> (query_id, doc_id, score, rank)."""
@@ -477,5 +499,6 @@ def proximity_topk_batch(
     )
     matched = matched.join(dln, matched["doc_id"] == dln["_did"]).drop("_did")
 
-    scorer = _scorer(query_tokens, mode, params, dl_min, dl_max, qltc, k)
+    scorer = _scorer(query_tokens, mode, params, dl_min, dl_max, qltc, k,
+                     round_dp, rerank_n)
     return matched.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)

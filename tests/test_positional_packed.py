@@ -104,6 +104,62 @@ def test_packed_tfidf_proximity_equals_exact_path(packed, exact, cfg):
     assert got == want
 
 
+def test_rerank_candidates_unit():
+    from searchengine_spark.query.proximity import _rerank_candidates
+
+    scores = {3: 1.0, 1: 2.0, 2: 2.0, 4: 0.5}
+    assert sorted(_rerank_candidates(scores, None)) == [1, 2, 3, 4]
+    assert sorted(_rerank_candidates(scores, 10)) == [1, 2, 3, 4]
+    # top-N by score, doc_id tie-break (1 beats 2 at equal score)
+    assert set(_rerank_candidates(scores, 2)) == {1, 2}
+    assert set(_rerank_candidates(scores, 3)) == {1, 2, 3}
+    assert _rerank_candidates(scores, 0) == []
+
+
+def test_rerank_cut_identity(packed, exact, cfg):
+    """rerank_n >= #matched docs is provably identical to the unbounded
+    boost (module docstring) — packed AND exact paths."""
+    queries = list(REFERENCE_QUERIES[:4])
+    for fn, idx in ((proximity_topk_packed_batch, packed), (proximity_topk_batch, exact)):
+        kw = {} if fn is proximity_topk_packed_batch else {"mode": "bm25"}
+        full = {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+            for r in fn(idx, queries, cfg, k=10, params=PARAMS, **kw).collect()
+        }
+        cut = {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+            for r in fn(
+                idx, queries, cfg, k=10, params=PARAMS, rerank_n=10_000, **kw
+            ).collect()
+        }
+        assert cut == full
+
+
+def test_rerank_cut_bounds_boosted_docs(packed, cfg):
+    """With rerank_n=N, at most N docs per query deviate from the pure base
+    score (rerank_n=0 disables every boost -> base BM25); deviating docs
+    must agree with the unbounded-boost scores (they ARE the top-N)."""
+    queries = [REFERENCE_QUERIES[0]]
+    K = 50
+    run = lambda n: {
+        r["doc_id"]: round(r["score"], 9)
+        for r in proximity_topk_packed_batch(
+            packed, queries, cfg, k=K, params=PARAMS, rerank_n=n
+        ).collect()
+    }
+    base, cut, full = run(0), run(3), run(None)
+    # base top-3 actually received boosts in the full run (non-degenerate)
+    assert sum(1 for d, s in full.items() if base.get(d) not in (None, s)) >= 3
+    changed = {d for d, s in cut.items() if base.get(d) not in (None, s)}
+    assert 0 < len(changed) <= 3
+    for d in changed:
+        assert cut[d] == full[d]
+    # everyone outside the cut keeps the exact base score
+    for d, s in cut.items():
+        if d not in changed and d in base:
+            assert s == base[d]
+
+
 def test_packed_tfidf_requires_sidecar(spark, corpus, cfg, tmp_path):
     path = str(tmp_path / "nosidecar")
     build_packed_index(
