@@ -610,6 +610,71 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: BM25_OPTIMIZED serving from the packed POSITIONAL index — the
+    proximity-boost ranker family's driver gate (reference
+    bm25_positional.py:26-103). The oracle replicates the full boost in
+    SQL: per (ordered query pair, doc, p1) best-p2 aux with the 0 floor,
+    -log10(d+1)+log10(15) forward / 0.8-damped backward, log10(Σ) doc
+    boost, 0.01·boost/log2((dl_norm-min)/(max-min)+1) — over the same
+    positional postings the `positional_index` entry hash-gates."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.proximity import proximity_topk_packed_batch
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_pospacked_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256, positional=True,
+    )
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = proximity_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_proximity_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: TF_IDF_OPTIMIZED from the packed positional index with the
+    lnc-norm sidecar (reference td_idf_positional.py:31-130): stored-3dp
+    doc weights x present-term-normalized ltc query side, plus 0.1·boost
+    (no dl normalization on this variant)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.proximity import proximity_topk_packed_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_postfidf_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256, positional=True,
+        tfidf_sidecar=True,
+    )
+    pidx = load_packed_index(spark, path)
+    topk = proximity_topk_packed_batch(
+        pidx, [QUERY_STRINGS[0]], CFG, k=10, mode="tfidf", round_dp=6
+    )
+    docmap = pidx.docmap
+    return topk.join(docmap, "doc_id").select(
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 TRANSCRIPTS_N_CONV = 60
 TRANSCRIPTS_QUERIES = ["greatest rock album", "house party songs"]
 
@@ -723,8 +788,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
         "tfidf_packed_topk": q_tfidf_packed_topk,
+        "proximity_topk": q_proximity_topk,
+        "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
     }
+
+
+def _proximity_pairs(qids: list[int]) -> list[tuple[int, int, int, int, str, str]]:
+    """Static twin of proximity._calculate_boost's pair loop: FULL token
+    list (duplicates kept), 1-based i, j2 = i+j+1 (the reference's
+    off-by-one 'query distance' quirk, bm25_positional.py:66-71), equal
+    terms skipped -> (query_id, i, j2, qd, term1, term2)."""
+    rows = []
+    for qid in qids:
+        toks = tokenize_text(QUERY_STRINGS[qid], CFG)
+        for i, t1 in enumerate(toks, start=1):
+            for j, t2 in enumerate(toks[i:], start=1):
+                if t1 == t2:
+                    continue
+                j2 = j + i + 1
+                rows.append((qid, i, j2, j2 - i, t1, t2))
+    return rows
+
+
+def _boost_ctes(qids: list[int]) -> str:
+    """DuckDB replica of the positional boost (proximity.py:61-93 ==
+    reference bm25_positional.py:33-76): needs `tok` in scope; yields
+    `boost(query_id, doc_id, boost)`."""
+    import math as _math
+
+    pairs = _proximity_pairs(qids)
+    vals = ",\n".join(
+        f"({q}, {i}, {j2}, {qd}, {_sql_quote(t1)}, {_sql_quote(t2)})"
+        for q, i, j2, qd, t1, t2 in pairs
+    )
+    terms = sorted({t for p in pairs for t in (p[4], p[5])})
+    in_list = ", ".join(_sql_quote(t) for t in terms)
+    c = repr(_math.log10(15.0))
+    return f"""
+qpairs(query_id, i, j2, qd, term1, term2) AS (VALUES
+{vals}
+),
+posed AS (
+  SELECT doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok, (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens) AND tokens[i + 1] IN ({in_list})
+),
+pdist AS (
+  SELECT qp.query_id, qp.i, qp.j2, a.doc_id, a.pos AS p1,
+         (CASE WHEN b.pos - a.pos < 0 THEN -1 ELSE 1 END)
+           * (qp.qd - (b.pos - a.pos)) AS distance
+  FROM qpairs qp
+  JOIN posed a ON a.term = qp.term1
+  JOIN posed b ON b.term = qp.term2 AND b.doc_id = a.doc_id
+  WHERE abs(b.pos - a.pos) <= 10
+),
+auxv AS (
+  SELECT query_id, i, j2, doc_id, p1,
+         max(CASE WHEN distance >= 0
+                  THEN -log10(distance + 1.0) + {c}
+                  ELSE (log10(-distance + 1.0) + {c}) * 0.8 END) AS max_aux
+  FROM pdist GROUP BY query_id, i, j2, doc_id, p1
+),
+btotal AS (
+  SELECT query_id, doc_id, sum(greatest(max_aux, 0.0)) AS total
+  FROM auxv GROUP BY query_id, doc_id
+),
+boost AS (
+  SELECT query_id, doc_id,
+         CASE WHEN total > 0 THEN log10(total) ELSE 0.0 END AS boost
+  FROM btotal
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1395,6 +1530,81 @@ ranked AS (
   SELECT doc_id, round(s, 6) AS score,
          row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
   FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # proximity rankers: base score CTEs + the SQL boost replica. The
+    # division guard mirrors the skip-on-zero-norm deviation (proximity.py
+    # docstring: the reference raises ZeroDivisionError there, §2.6.9).
+    sqls["proximity_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+{_boost_ctes(sorted(QUERY_STRINGS))},
+bounds AS (SELECT min(dl_norm) AS dmin, max(dl_norm) AS dmax FROM dln),
+final AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + CASE
+           WHEN coalesce(b.boost, 0.0) > 0
+                AND log2((d.dl_norm - bb.dmin) / (bb.dmax - bb.dmin) + 1) <> 0
+           THEN 0.01 * b.boost
+                / log2((d.dl_norm - bb.dmin) / (bb.dmax - bb.dmin) + 1)
+           ELSE 0.0 END AS s
+  FROM scored s
+  JOIN dln d ON d.doc_id = s.doc_id
+  CROSS JOIN bounds bb
+  LEFT JOIN boost b ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM final
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    sqls["proximity_tfidf_topk"] = f"""
+WITH {_INDEX_CTES},
+w AS (
+  SELECT term, doc_id, 1.0 + ln(tf) AS wr FROM idx
+),
+dnorm AS (
+  SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id
+),
+wt AS (
+  SELECT term, w.doc_id, round(wr / nrm, 3) AS w3
+  FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
+),
+q AS (
+  SELECT unnest({_sql_term_list(tfidf_terms)}) AS term,
+         unnest([{", ".join(qtfs)}]) AS qtf
+),
+ql AS (
+  SELECT q.term, q.qtf * term_stats.idf AS ltc FROM q JOIN term_stats USING (term)
+),
+qn AS (SELECT sqrt(sum(ltc * ltc)) AS qnrm FROM ql),
+scored AS (
+  SELECT wt.doc_id, sum(wt.w3 * ql.ltc / (SELECT qnrm FROM qn)) AS s
+  FROM wt JOIN ql USING (term) GROUP BY wt.doc_id
+),
+{_boost_ctes([0])},
+final AS (
+  SELECT s.doc_id,
+         s.s + CASE WHEN coalesce(b.boost, 0.0) > 0
+                    THEN 0.1 * b.boost ELSE 0.0 END AS s
+  FROM scored s
+  LEFT JOIN boost b ON b.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM final
 )
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
 """
