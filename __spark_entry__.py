@@ -320,6 +320,19 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sigs, max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair->cluster resolution: exact ∪ LSH+Jaccard-verified ∪ SimHash
+    near-dup pairs -> connected components (iterative min-label + pointer
+    jump) -> (id, canonical_id) keep-list; keep iff id == canonical_id.
+    The oracle resolves the same pair graph with a recursive CTE
+    (reachability min)."""
+    from searchengine_spark.textops import dedup_keeplist
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _docs_with_copies(spark, sf_dir).filter((F.col("doc_id") % 100000) < 200)
+    return dedup_keeplist(docs, tokens_column(F.col("text"), CFG))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
     row = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -772,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_on_lsh": q_dedup_jaccard_on_lsh,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_clusters": q_dedup_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -1070,6 +1084,103 @@ j AS (
   JOIN sizes sb ON sb.id = inter.id_b
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+    # pair -> cluster resolution: same three edge families (exact within
+    # md5 groups — star vs clique is component-invariant — LSH+Jaccard
+    # verified, simhash hamming<=3) on the %<200 sub-corpus, resolved by a
+    # recursive reachability-min CTE == connected-component min label
+    tokc = _TOK_SQL.replace("text", "corpus2.text")
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE corpus2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id < 200
+),
+tokd AS (
+  SELECT doc_id AS id, {tokc} AS tokens FROM corpus2
+),
+shingled AS (
+  SELECT id,
+         list_distinct([tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                        for i in range(greatest(len(tokens) - 2, 0))]) AS shingles
+  FROM tokd
+),
+sh AS (SELECT id, unnest(shingles) AS shingle FROM shingled),
+{_minhash_keys_cte},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_int
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+j AS (
+  SELECT id_a, id_b, {_JACC} AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = inter.id_a
+  JOIN sizes sb ON sb.id = inter.id_b
+),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM corpus2 a JOIN corpus2 b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+sm_toks AS (SELECT id, unnest(tokens) AS term FROM tokd),
+sm_tb AS (
+  SELECT id, jj,
+         ((strpos('0123456789abcdef', substr(md5(term), (jj // 4)::INT + 1, 1)) - 1)
+          >> (jj % 4)::INT) & 1 AS bit
+  FROM sm_toks CROSS JOIN (SELECT unnest(range(64)) AS jj)
+),
+sm_sig AS (
+  SELECT id, jj, CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+  FROM sm_tb GROUP BY id, jj
+),
+sm_sig64 AS (
+  SELECT id,
+         sum(CASE WHEN jj >= 32 THEN sbit * (2 ** (jj - 32))::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
+         sum(CASE WHEN jj <  32 THEN sbit * (2 ** jj)::BIGINT       ELSE 0 END)::BIGINT AS sim_lo
+  FROM sm_sig GROUP BY id
+),
+sm_b AS (
+  SELECT id, sim_hi, sim_lo, j2,
+         CASE j2 WHEN 0 THEN (sim_hi >> 16) & 65535
+                 WHEN 1 THEN sim_hi & 65535
+                 WHEN 2 THEN (sim_lo >> 16) & 65535
+                 ELSE sim_lo & 65535 END AS v
+  FROM sm_sig64 CROSS JOIN (SELECT unnest(range(4)) AS j2)
+),
+sm_pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM sm_b a JOIN sm_b bb ON a.j2 = bb.j2 AND a.v = bb.v AND a.id < bb.id
+  WHERE bit_count(xor(a.sim_hi, bb.sim_hi)) + bit_count(xor(a.sim_lo, bb.sim_lo)) <= 3
+),
+edges0 AS (
+  SELECT id_a, id_b FROM ex
+  UNION
+  SELECT id_a, id_b FROM j WHERE jaccard >= 0.5
+  UNION
+  SELECT id_a, id_b FROM sm_pairs
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM corpus2
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id::BIGINT AS id, min(lab)::BIGINT AS canonical_id FROM walk GROUP BY id
 """
 
     sqls["dedup_simhash"] = f"""

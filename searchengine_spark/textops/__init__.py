@@ -8,6 +8,9 @@ stubbed multimodal decoders (Arrow-batched mapInPandas).
 """
 
 from .dedup import (  # noqa: F401
+    connected_components,
+    dedup_keeplist,
+    exact_duplicate_pairs,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,

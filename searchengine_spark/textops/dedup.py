@@ -171,6 +171,113 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def exact_duplicate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dup PAIR form (id_a < id_b) of :func:`exact_duplicates`, for
+    composition into the pair graph. Star-shaped per hash group (min-id
+    hub), so a group of B docs emits B-1 edges, not B^2/2."""
+    h = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+    hub = h.groupBy("text_hash").agg(F.min("id").alias("id_a"))
+    return (
+        h.join(hub, "text_hash")
+        .filter(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 32,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> (id,
+    canonical_id) with canonical_id = min doc id of the component
+    (deterministic keep-list semantics: keep id == canonical_id).
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min label over itself + neighbors, then shortcuts
+    through its label's label — O(log diameter) rounds, each a bounded
+    number of hash shuffles on the node id. Labels are localCheckpoint'd
+    every round so lineage stays flat (iterative-plan rule); the driver
+    loop exchanges only a changed-row COUNT per round, never rows.
+
+    ``ids``: optional (id) universe — nodes absent from ``pairs`` come out
+    as singletons (canonical_id = id). ``max_iter`` is a safety bound; the
+    loop exits on fixpoint (near-dup components are shallow — exact-dup
+    stars have diameter 2, LSH chains rarely exceed a handful of hops)."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id"))
+    if ids is not None:
+        nodes = nodes.union(ids.select(F.col(ids.columns[0]).cast("long").alias("id")))
+    labels = nodes.distinct().select("id", F.col("id").alias("lab")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # min over neighbors' labels (rename-join: shared-lineage rule)
+        lab_src = labels.select(F.col("id").alias("_s"), F.col("lab").alias("slab"))
+        nbr = (
+            edges.join(lab_src, edges["src"] == lab_src["_s"])
+            .groupBy("dst")
+            .agg(F.min("slab").alias("nlab"))
+            .select(F.col("dst").alias("id"), "nlab")
+        )
+        new = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab")
+        )
+        # pointer jump: lab <- label(lab) (labels cover every node id)
+        lab_of = new.select(F.col("id").alias("_l"), F.col("lab").alias("jlab"))
+        new = (
+            new.join(lab_of, new["lab"] == lab_of["_l"], "left")
+            .select("id", F.coalesce("jlab", F.col("lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("lab").alias("_old")), "id")
+            .filter(F.col("lab") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("lab").alias("canonical_id"))
+
+
+def dedup_keeplist(
+    docs: DataFrame,
+    tokens_col: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 3,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """The full training-data dedup composition -> (id, canonical_id):
+    exact md5 pairs ∪ LSH-candidate Jaccard-verified pairs ∪ SimHash
+    hamming<=k pairs, resolved to components; keep a doc iff
+    id == canonical_id. Every stage is the capped/candidate-routed scale
+    path — no all-pairs joins anywhere."""
+    exact = exact_duplicate_pairs(docs, id_col, text_col).select("id_a", "id_b")
+    cands = minhash_lsh_candidates(docs, tokens_col, id_col, bucket_cap)
+    jacc = ngram_jaccard_pairs(
+        docs, tokens_col, id_col, threshold=jaccard_threshold, candidates=cands
+    ).select("id_a", "id_b")
+    sims = simhash_near_pairs(
+        simhash_table(docs, tokens_col, id_col), max_hamming
+    ).select("id_a", "id_b")
+    edges = exact.union(jacc).union(sims)
+    return connected_components(edges, ids=docs.select(id_col))
+
+
 def simhash_table(docs: DataFrame, tokens_col: Column, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc as two int32 halves -> (id, sim_hi, sim_lo).
 

@@ -7,6 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from searchengine_spark.textops import (
+    connected_components,
+    dedup_keeplist,
+    exact_duplicate_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -60,6 +63,58 @@ def test_jaccard_on_candidates_restricts_pairs(spark):
     }
     assert got == {(0, 1): allp[(0, 1)]}  # (2,3) shares nothing; (0,2) not a candidate
     assert allp[(0, 1)] == 1.0
+
+
+def test_connected_components_resolution(spark):
+    """Chain 1-2-3-4 collapses to min label 1 (transitive, beyond any
+    single pair); star 10-(11,12); singleton 20 via ids=; 5-6 from a
+    second edge family unioned in."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (5, 6)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 12, 20]],
+                                "doc_id long")
+    got = {r["id"]: r["canonical_id"]
+           for r in connected_components(edges, ids=ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 64-node path converges well under max_iter=32 thanks to pointer
+    jumping (plain propagation would need 63 rounds)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = connected_components(edges, max_iter=12)
+    assert got.filter(F.col("canonical_id") != 0).count() == 0
+    assert got.count() == 64
+
+
+def test_exact_pairs_star_shape(spark):
+    """B identical docs emit B-1 hub edges, not C(B,2)."""
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(5)] + [(9, "other")],
+        "doc_id long, text string",
+    )
+    pairs = exact_duplicate_pairs(docs).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(0, i) for i in range(1, 5)]
+
+
+def test_dedup_keeplist_composition(spark):
+    """exact copy (0,1), near-dup (2), unrelated (3): keep-list keeps the
+    lowest id of the near-dup cluster and the singleton."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base), (2, base.replace("dog", "cat")),
+            (3, "completely unrelated text about database query optimizers")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["canonical_id"]
+           for r in dedup_keeplist(docs, _toks()).collect()}
+    assert got[0] == 0 and got[1] == 0 and got[3] == 3
+    assert got[2] == 0  # jaccard/simhash links the near-dup into the cluster
+    keep = {i for i, c in got.items() if i == c}
+    assert keep == {0, 3}
 
 
 def test_simhash_near_pairs_hamming(spark):
