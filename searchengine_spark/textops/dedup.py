@@ -283,35 +283,36 @@ def simhash_table(docs: DataFrame, tokens_col: Column, id_col: str = "doc_id") -
 
     Bit j of md5(token)'s first 16 hex digits (digit j//4, bit j%4); bit j of
     the signature = majority sign of sum over token OCCURRENCES of (2*bit-1).
-    Ties (sum==0) -> 0. All-native: conv() does hex-digit decode."""
-    spark = docs.sparkSession
+    Ties (sum==0) -> 0. All-native: conv() does hex-digit decode.
+
+    Bit-PARALLEL build: one projection decodes the 16 hex nibbles per
+    (doc, token) row, then ONE groupBy(id) carries 64 map-side-combinable
+    sums (columns, not rows) — the shuffle moves (docs, 64) values with no
+    64x row explosion anywhere in the plan (the r02 formulation
+    cross-joined 64 bit-index rows per token before aggregating)."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_col).alias("term")
     ).withColumn("hex", F.substring(F.md5("term"), 1, 16))
-    bits = spark.range(64).select(F.col("id").cast("int").alias("j"))
-    tb = toks.crossJoin(bits)
-    tb = tb.withColumn(
-        "digit",
-        F.conv(F.substring(F.col("hex"), (F.col("j") / 4).cast("int") + 1, 1), 16, 10).cast("int"),
+    nibbles = toks.select(
+        "id",
+        *[
+            F.conv(F.substring("hex", i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
+            for i in range(16)
+        ],
     )
-    tb = tb.withColumn("w", F.expr("(shiftright(digit, j % 4) & 1) * 2 - 1"))
-    sig = tb.groupBy("id", "j").agg(F.sum("w").alias("s"))
-    sig = sig.withColumn("bit", (F.col("s") > 0).cast("long"))
-    half = F.when(F.col("j") >= 32, F.lit("hi")).otherwise(F.lit("lo"))
-    sig = sig.withColumn("half", half).withColumn(
-        "contrib", F.col("bit") * F.pow(F.lit(2.0), (F.col("j") % 32).cast("double")).cast("long")
+    sums = nibbles.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(d{j // 4}, {j % 4}) & 1) * 2 - 1")).alias(f"s{j}")
+            for j in range(64)
+        ]
     )
-    out = (
-        sig.groupBy("id")
-        .pivot("half", ["hi", "lo"])
-        .sum("contrib")
-        .select(
-            "id",
-            F.coalesce(F.col("hi"), F.lit(0)).alias("sim_hi"),
-            F.coalesce(F.col("lo"), F.lit(0)).alias("sim_lo"),
-        )
-    )
-    return out
+    def _half(lo: int) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(lo, lo + 32):
+            out = out + (F.col(f"s{j}") > 0).cast("long") * F.lit(1 << (j - lo)).cast("long")
+        return out
+
+    return sums.select("id", _half(32).alias("sim_hi"), _half(0).alias("sim_lo"))
 
 
 def simhash_duplicate_pairs(simhashes: DataFrame) -> DataFrame:

@@ -87,6 +87,30 @@ def test_tfidf_packed_plan(spark, tmp_path_factory):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_plan_is_bit_parallel(spark):
+    """SimHash signature build must not explode rows 64x: no cross join /
+    cartesian / explode-of-bit-indices in the plan — exactly ONE exchange
+    (the id groupBy carrying the 64 partial sums as columns), and exactly
+    one generator (the tokens explode)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops import simhash_table
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = spark.createDataFrame(
+        [(0, "some text here"), (1, "more text there")], "doc_id long, text string"
+    )
+    df = simhash_table(docs, tokens_column(F.col("text"), CFG), id_col="doc_id")
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # formatted explain lists each node once in the tree and once as a
+    # "(N) Generate" detail header — exactly one generator node = the
+    # tokens explode, no bit-index explode
+    assert plan.count(") Generate") == 1, plan
+    assert "partial_sum" in plan  # map-side combine of the 64 bit sums
+
+
 def test_exact_scorer_reads_pruned_columns(spark, pidx):
     # column pruning: scoring never reads the postings blob's siblings it
     # doesn't need (df_chunk/first_doc/last_doc stay, but e.g. docmap cols
