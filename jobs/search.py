@@ -87,6 +87,12 @@ def main() -> None:
                     help="stop-word file; 'none' disables the manifest list")
     ap.add_argument("--exhaustive", action="store_true",
                     help="disable block-max pruning (exact fallback path)")
+    ap.add_argument("--serve-mode", choices=("auto", "local", "spark"),
+                    default="auto",
+                    help="'local': in-process LocalSearcher (no Spark job "
+                         "per query — the interactive tier); 'spark': "
+                         "distributed batch paths; 'auto' (default): local "
+                         "for the interactive REPL, spark for --query batch")
     ap.add_argument("--relevance", default=None,
                     help="queries.relevance.txt for precision/recall/NDCG stats")
     args = ap.parse_args()
@@ -117,10 +123,29 @@ def main() -> None:
     if args.relevance:
         stats = EvalStats(parse_relevance_file(args.relevance))
 
+    use_local = args.serve_mode == "local" or (
+        args.serve_mode == "auto" and not args.query
+    )
+    local = None
+    if use_local:
+        from searchengine_spark.query.serve import LocalSearcher
+
+        t1 = time.perf_counter()
+        local = LocalSearcher(pidx, cfg=cfg)
+        print(f"local serving snapshot in {(time.perf_counter() - t1) * 1000:.0f}ms",
+              file=sys.stderr)
+
     def serve(queries: list[str]) -> None:
         t1 = time.perf_counter()
-        per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
-                             args.n, args.exhaustive)
+        if local is not None:
+            per_q = [
+                sorted(local.search(q, k=args.n, ranker=args.ranker),
+                       key=lambda r: (r["rank"], r["doc_id"]))
+                for q in queries
+            ]
+        else:
+            per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
+                                 args.n, args.exhaustive)
         dt = time.perf_counter() - t1
         for q, res in zip(queries, per_q):
             print(json.dumps({"query": q, "results": res}, default=str))

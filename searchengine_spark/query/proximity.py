@@ -93,6 +93,29 @@ def _calculate_boost(query: List[str], positions: Dict[str, List[int]]) -> float
     return math.log10(score) if score > 0 else 0.0
 
 
+def _query_ltc(
+    query_tokens: Dict[int, List[str]],
+    idf_map: Dict[str, float],
+    schema: str,
+) -> Dict[int, Dict[str, float]]:
+    """Query-side ltc weights over PRESENT terms (td_idf_positional.py:
+    97-110): slot-4 tf variant x stored 3dp idf, slot-6 normalization."""
+    qltc: Dict[int, Dict[str, float]] = {}
+    for qid, toks in query_tokens.items():
+        ltc = {
+            t: _uniform_tf_py(toks.count(t), schema[4]) * idf_map[t]
+            for t in dict.fromkeys(toks)
+            if t in idf_map
+        }
+        if schema[6] == "c":
+            norm = math.sqrt(sum(v * v for v in ltc.values()))
+            ltc = {t: v / norm for t, v in ltc.items()} if norm else ltc
+        elif schema[6] == "n":
+            ltc = {t: 1.0 for t in ltc}
+        qltc[qid] = ltc
+    return qltc
+
+
 def _rerank_candidates(scores: Dict[int, float], rerank_n: int | None) -> List[int]:
     """Docs eligible for the positional boost: all of them (rerank_n=None),
     else the top-N by base score (doc_id tie-break — deterministic)."""
@@ -234,6 +257,28 @@ def proximity_topk_packed_batch(
             round_dp=round_dp, rerank_n=rerank_n,
         )
 
+    score_group = packed_prox_scorer(
+        query_tokens, idf_map, params, dl_min, dl_max, k, round_dp, rerank_n
+    )
+    return matched.groupBy("query_id").applyInPandas(score_group, schema=_OUT_SCHEMA)
+
+
+def packed_prox_scorer(
+    query_tokens: Dict[int, List[str]],
+    idf_map: Dict[str, float],
+    params: Bm25Params,
+    dl_min: float,
+    dl_max: float,
+    k: int,
+    round_dp: int | None = None,
+    rerank_n: int | None = None,
+):
+    """BM25_OPTIMIZED scorer over PACKED rows (query_id, term, postings,
+    positions) — pandas-in/pandas-out so the distributed path
+    (applyInPandas) and the in-process :class:`~..query.serve.LocalSearcher`
+    run the identical code."""
+    kk, bb = float(params.k), float(params.b)
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -277,7 +322,7 @@ def proximity_topk_packed_batch(
             }
         )
 
-    return matched.groupBy("query_id").applyInPandas(score_group, schema=_OUT_SCHEMA)
+    return score_group
 
 
 _DECODED_SCHEMA = T.StructType(
@@ -380,19 +425,7 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
             F.broadcast(qdf.select("term").distinct()), "term"
         ).collect()
     }
-    qltc: Dict[int, Dict[str, float]] = {}
-    for qid, toks in query_tokens.items():
-        ltc = {
-            t: _uniform_tf_py(toks.count(t), schema[4]) * idf_map[t]
-            for t in dict.fromkeys(toks)
-            if t in idf_map
-        }
-        if schema[6] == "c":
-            norm = math.sqrt(sum(v * v for v in ltc.values()))
-            ltc = {t: v / norm for t, v in ltc.items()} if norm else ltc
-        elif schema[6] == "n":
-            ltc = {t: 1.0 for t in ltc}
-        qltc[qid] = ltc
+    qltc = _query_ltc(query_tokens, idf_map, schema)
 
     scorer = _scorer(
         query_tokens, "tfidf" if boost else "tfidf_plain", params, 0.0, 1.0,
@@ -480,18 +513,7 @@ def proximity_topk_batch(
                 F.broadcast(qdf.select("term").distinct()), "term"
             ).collect()
         }
-        for qid, toks in query_tokens.items():
-            ltc = {
-                t: _uniform_tf_py(toks.count(t), schema[4]) * idf_map[t]
-                for t in dict.fromkeys(toks)
-                if t in idf_map
-            }
-            if schema[6] == "c":
-                norm = math.sqrt(sum(v * v for v in ltc.values()))
-                ltc = {t: v / norm for t, v in ltc.items()} if norm else ltc
-            elif schema[6] == "n":
-                ltc = {t: 1.0 for t in ltc}
-            qltc[qid] = ltc
+        qltc = _query_ltc(query_tokens, idf_map, schema)
     else:
         matched = matched.withColumn("w", F.lit(0.0))
     dln = it.doc_lengths.select(

@@ -1,0 +1,315 @@
+"""In-process single-query serving: :class:`LocalSearcher`.
+
+The reference's interactive searcher (src/searcher.py:73-84) is an
+in-process loop over a locally loaded index — ~446 ms/query single-node
+(reference README.md:279). Paying a distributed Spark job per interactive
+query is the wrong execution tier: job scheduling + task launch dominate
+(p50 ~0.5-1.3 s regardless of data size). LocalSearcher serves the hot
+path with ZERO Spark jobs: the packed index's matched slices live in
+driver memory and queries run the SAME pandas/numpy scorer code the
+distributed batch paths use (``_wand_scorer``, ``packed_prox_scorer``,
+``_scorer``) — results are gated identical in tests/test_serve.py.
+
+Two modes:
+
+- ``preload=True``: snapshot the whole index + sidecars + docmap at open
+  (one Spark job each). Right for indexes that fit driver memory — the
+  interactive/edge serving replica. ``preload="auto"`` preloads when the
+  manifest says < ``AUTO_PRELOAD_POSTINGS`` postings.
+- ``preload=False`` (lazy): nothing is snapshotted; a query's UNSEEN terms
+  cost one pruned-scan collect (pushed ``In(term, …)`` row-group pruning,
+  same as the distributed path), then stay cached — cold ~a Spark job,
+  hot terms are milliseconds at ANY index size. Resolve/doc-norm rows are
+  fetched and cached the same way.
+
+Batch analytics (many queries, full-corpus rerank) stays on the
+distributed ``*_batch`` paths — this class is the serving tier, not a
+replacement for them.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Dict, List, Sequence
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..indexing.build import Bm25Params
+from ..indexing.codec import decode_docs, decode_positions, decode_postings
+from ..indexing.packed import PackedIndex
+from ..tokenizer import TokenizerConfig, tokenize_text
+from .proximity import _query_ltc, _scorer, packed_prox_scorer, validate_schema
+from .wand import _wand_scorer
+
+AUTO_PRELOAD_POSTINGS = 200_000_000  # ~hundreds of MB varbyte — driver-safe
+
+RANKERS = (
+    "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
+    "boolean_and", "boolean_or",
+)
+
+
+def _round3_half_up(x: float) -> float:
+    """Python twin of Spark's F.round(double, 3): BigDecimal.valueOf(x)
+    (shortest decimal repr — == Python repr) rounded HALF_UP. Needed for
+    bit-identical stored-weight parity with the distributed TF-IDF path
+    (Python round() is banker's and disagrees on decimal ties)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP))
+
+
+class LocalSearcher:
+    """Driver-side serving handle over a :class:`PackedIndex`."""
+
+    def __init__(
+        self,
+        pidx: PackedIndex,
+        preload: bool | str = "auto",
+        cfg: TokenizerConfig | None = None,
+    ):
+        self.pidx = pidx
+        self.manifest = pidx.manifest
+        self.params: Bm25Params = pidx.params
+        self.cfg = cfg or TokenizerConfig.from_manifest(
+            self.manifest.get("tokenizer", {})
+        )
+        self._positional = bool(self.manifest.get("positional"))
+        self._payload = self.manifest.get("payload", "freq")
+        self._sidecar = bool(self.manifest.get("tfidf_sidecar"))
+        self._ext_cols = [c for c in self.manifest["order_cols"] if c != "doc_id"]
+        self._index_cols = ["term", "chunk", "max_tfsat", "postings"] + (
+            ["positions"] if self._positional else []
+        )
+        # caches (term -> pandas slice; scalars by id)
+        self._slices: Dict[str, pd.DataFrame] = {}
+        self._idf: Dict[str, float] = {}
+        self._docmap: Dict[int, tuple] = {}
+        self._norms: Dict[int, float] = {}
+        self._all_terms_cached = False
+        self._all_docs_cached = False
+
+        if preload == "auto":
+            preload = self.manifest.get("n_postings", 0) <= AUTO_PRELOAD_POSTINGS
+        if preload:
+            self._preload()
+
+    # ------------------------------------------------------------- loading
+
+    def _preload(self) -> None:
+        pdf = self.pidx.index.select(*self._index_cols).toPandas()
+        self._slices = {t: g for t, g in pdf.groupby("term", sort=False)}
+        self._idf = {
+            r["term"]: float(r["idf"])
+            for r in self.pidx.term_stats.select("term", "idf").collect()
+        }
+        dm = self.pidx.docmap.toPandas()
+        self._docmap = {
+            int(r[0]): tuple(r[1:]) for r in dm.itertuples(index=False)
+        }
+        if self._sidecar and self.pidx.doc_norms is not None:
+            nz = self.pidx.doc_norms.toPandas()
+            self._norms = {
+                int(r[0]): float(r[1]) for r in nz.itertuples(index=False)
+            }
+        self._all_terms_cached = True
+        self._all_docs_cached = True
+
+    def _ensure_terms(self, terms: Sequence[str]) -> None:
+        if self._all_terms_cached:
+            return
+        missing = sorted(t for t in terms if t not in self._slices)
+        if not missing:
+            return
+        pdf = (
+            self.pidx.index.filter(F.col("term").isin(missing))
+            .select(*self._index_cols)
+            .toPandas()
+        )
+        grouped = {t: g for t, g in pdf.groupby("term", sort=False)}
+        empty = pdf.iloc[0:0]
+        for t in missing:
+            self._slices[t] = grouped.get(t, empty)  # negative-cache misses
+        for r in (
+            self.pidx.term_stats.select("term", "idf")
+            .filter(F.col("term").isin(missing))
+            .collect()
+        ):
+            self._idf[r["term"]] = float(r["idf"])
+
+    def _ensure_docs(self, doc_ids: Sequence[int]) -> None:
+        if self._all_docs_cached:
+            return
+        missing = sorted(d for d in doc_ids if d not in self._docmap)
+        if not missing:
+            return
+        for r in self.pidx.docmap.filter(F.col("doc_id").isin(missing)).collect():
+            self._docmap[int(r["doc_id"])] = tuple(r[c] for c in self._ext_cols)
+
+    def _ensure_norms(self, doc_ids: Sequence[int]) -> None:
+        if self._all_docs_cached or self.pidx.doc_norms is None:
+            return
+        missing = sorted(d for d in doc_ids if d not in self._norms)
+        if not missing:
+            return
+        for r in self.pidx.doc_norms.filter(F.col("doc_id").isin(missing)).collect():
+            self._norms[int(r["doc_id"])] = float(r["nrm"])
+
+    # ------------------------------------------------------------- serving
+
+    def _matched(self, terms: List[str]) -> pd.DataFrame | None:
+        self._ensure_terms(terms)
+        parts = [self._slices[t] for t in terms if t in self._slices]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return None
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf["query_id"] = 0
+        return pdf
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        ranker: str = "bm25",
+        schema: str = "lnc.ltc",
+        round_dp: int | None = None,
+        rerank_n: int | None = None,
+        resolve: bool = True,
+    ) -> List[dict]:
+        """One interactive query -> rank-ordered result dicts
+        (doc_id, *order_cols, score, rank). No Spark jobs when the needed
+        term/doc slices are cached (always, in preload mode)."""
+        if ranker not in RANKERS:
+            raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        toks = tokenize_text(query, self.cfg)
+        terms = list(dict.fromkeys(toks))
+        if not terms:
+            return []
+        pdf = self._matched(terms)
+        if pdf is None:
+            return []
+
+        if ranker.startswith("boolean_"):
+            return self._boolean(pdf, len(terms), ranker == "boolean_and", resolve)
+        if ranker == "bm25":
+            if self._payload != "freq":
+                raise ValueError("BM25 needs a payload='freq' build")
+            scorer = _wand_scorer(k, self.params, round_dp, self._idf)
+            out = scorer(pdf)
+        elif ranker == "bm25_optimized":
+            if not self._positional:
+                raise ValueError("packed index was not built with positional=True")
+            scorer = packed_prox_scorer(
+                {0: toks}, self._idf, self.params,
+                float(self.manifest["dl_norm_min"]),
+                float(self.manifest["dl_norm_max"]),
+                k, round_dp, rerank_n,
+            )
+            out = scorer(pdf)
+        else:  # tfidf / tfidf_optimized
+            out = self._tfidf(pdf, toks, k, ranker == "tfidf_optimized",
+                              schema, round_dp, rerank_n)
+        return self._resolve(out, resolve)
+
+    def _tfidf(self, pdf, toks, k, boost, schema, round_dp, rerank_n):
+        """Local twin of proximity._tfidf_packed: decode -> stored-3dp
+        weights (embedded or sidecar-derived with Spark-identical HALF_UP
+        rounding) -> _scorer."""
+        validate_schema(schema)
+        if schema[:3] != "lnc":
+            raise ValueError(
+                "packed TF-IDF serving stores lnc weights/norms; "
+                f"doc-side schema {schema[:3]!r} needs the exact-path API"
+            )
+        embedded_w = self._payload == "tfidf"
+        if embedded_w and boost:
+            raise ValueError(
+                "tfidf payload stores no positions — TF_IDF_OPTIMIZED needs "
+                "a positional=True, tfidf_sidecar=True build"
+            )
+        if not embedded_w and not self._sidecar:
+            raise ValueError("index was not built with tfidf_sidecar=True")
+        recs: list = []
+        all_docs: list = []
+        for row in pdf.itertuples(index=False):
+            doc_ids, tfs, third = decode_postings(bytes(row.postings))
+            all_docs.append((row.term, doc_ids, tfs, third, getattr(row, "positions", None)))
+        if not embedded_w:
+            self._ensure_norms(
+                [int(d) for _, doc_ids, _, _, _ in all_docs for d in doc_ids]
+            )
+        import numpy as np
+
+        for term, doc_ids, tfs, third, posbuf in all_docs:
+            if posbuf is not None:
+                flat, occ_starts = decode_positions(bytes(posbuf), tfs)
+                ends = np.append(occ_starts[1:], len(flat))
+                poss = [flat[s:e].tolist() for s, e in zip(occ_starts, ends)]
+            else:
+                poss = [[] for _ in range(len(doc_ids))]
+            for j, d in enumerate(doc_ids):
+                d = int(d)
+                w = (
+                    float(third[j])
+                    if embedded_w
+                    else _round3_half_up((1.0 + math.log(float(tfs[j]))) / self._norms[d])
+                )
+                recs.append((0, term, d, int(tfs[j]), w, poss[j], 0.0))
+        joined = pd.DataFrame(
+            recs,
+            columns=["query_id", "term", "doc_id", "tf", "w", "positions", "dl_norm"],
+        )
+        joined["idf"] = 0.0  # _scorer reads idf only in bm25 mode
+        qltc = _query_ltc({0: toks}, self._idf, schema)
+        scorer = _scorer(
+            {0: toks}, "tfidf" if boost else "tfidf_plain", self.params,
+            0.0, 1.0, qltc, k, round_dp, rerank_n,
+        )
+        return scorer(joined)
+
+    def _boolean(self, pdf, n_terms, is_and, resolve):
+        sets: Dict[str, set] = {}
+        for row in pdf.itertuples(index=False):
+            docs = (
+                decode_docs(bytes(row.postings))
+                if self._payload == "boolean"
+                else decode_postings(bytes(row.postings))[0]
+            )
+            sets.setdefault(row.term, set()).update(int(d) for d in docs)
+        if not sets:
+            return []
+        if is_and:
+            if len(sets) < n_terms:
+                return []  # a query term matched nothing -> empty AND
+            hit = sorted(set.intersection(*sets.values()))
+            counts = {d: n_terms for d in hit}
+        else:
+            counts: Dict[int, int] = {}
+            for s in sets.values():
+                for d in s:
+                    counts[d] = counts.get(d, 0) + 1
+            hit = sorted(counts)
+        out = pd.DataFrame(
+            {
+                "query_id": 0,
+                "doc_id": hit,
+                "score": [float(counts[d]) for d in hit],
+                "rank": [0] * len(hit),
+            }
+        )
+        return self._resolve(out, resolve)
+
+    def _resolve(self, out: pd.DataFrame, resolve: bool) -> List[dict]:
+        rows = out.to_dict("records")
+        if resolve and self._ext_cols:
+            self._ensure_docs([int(r["doc_id"]) for r in rows])
+            for r in rows:
+                ext = self._docmap.get(int(r["doc_id"]))
+                if ext is not None:
+                    r.update(dict(zip(self._ext_cols, ext)))
+        for r in rows:
+            r["doc_id"] = int(r["doc_id"])
+            r["rank"] = int(r["rank"])
+            r.pop("query_id", None)
+        return rows

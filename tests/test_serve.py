@@ -1,0 +1,134 @@
+"""LocalSearcher gates: in-process serving ≡ the distributed packed paths
+for all six rankers; lazy ≡ preload; zero Spark jobs on the preloaded hot
+path."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.fixtures.transcripts import REFERENCE_QUERIES, transcripts_df
+from searchengine_spark.indexing.build import Bm25Params
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.proximity import (
+    proximity_topk_packed_batch,
+    tfidf_topk_packed_batch,
+)
+from searchengine_spark.query.serve import LocalSearcher
+from searchengine_spark.query.wand import bm25_topk_packed_batch, boolean_search_packed
+from searchengine_spark.tokenizer import TokenizerConfig
+
+PARAMS = Bm25Params(1.2, 0.75)
+N_CONV = 60
+QUERIES = list(REFERENCE_QUERIES[:8])
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("serve") / "idx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=N_CONV, n_partitions=4), cfg, path,
+        params=PARAMS, chunk_docs=256, positional=True, tfidf_sidecar=True,
+    )
+    return load_packed_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def local(pidx, cfg):
+    return LocalSearcher(pidx, preload=True, cfg=cfg)
+
+
+def _dist(df):
+    by_q = {}
+    for r in df.collect():
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = (
+            r["doc_id"], round(r["score"], 9)
+        )
+    return by_q
+
+
+def _loc(res):
+    return {r["rank"]: (r["doc_id"], round(r["score"], 9)) for r in res}
+
+
+def test_bm25_parity(pidx, local, cfg):
+    want = _dist(bm25_topk_packed_batch(pidx, QUERIES, cfg, k=10, params=PARAMS))
+    for qid, q in enumerate(QUERIES):
+        got = _loc(local.search(q, k=10, ranker="bm25", resolve=False))
+        assert got == want.get(qid, {}), q
+
+
+def test_bm25_optimized_parity(pidx, local, cfg):
+    want = _dist(proximity_topk_packed_batch(pidx, QUERIES, cfg, k=10, params=PARAMS))
+    for qid, q in enumerate(QUERIES):
+        got = _loc(local.search(q, k=10, ranker="bm25_optimized", resolve=False))
+        assert got == want.get(qid, {}), q
+
+
+def test_tfidf_parity(pidx, local, cfg):
+    want = _dist(tfidf_topk_packed_batch(pidx, QUERIES, cfg, k=10))
+    for qid, q in enumerate(QUERIES):
+        got = _loc(local.search(q, k=10, ranker="tfidf", resolve=False))
+        assert got == want.get(qid, {}), q
+
+
+def test_tfidf_optimized_parity(pidx, local, cfg):
+    want = _dist(
+        proximity_topk_packed_batch(pidx, QUERIES, cfg, k=10, mode="tfidf")
+    )
+    for qid, q in enumerate(QUERIES):
+        got = _loc(local.search(q, k=10, ranker="tfidf_optimized", resolve=False))
+        assert got == want.get(qid, {}), q
+
+
+def test_boolean_parity(pidx, local, cfg):
+    for op in ("and", "or"):
+        df = boolean_search_packed(pidx, QUERIES, cfg, op=op)
+        want = {}
+        for r in df.collect():
+            want.setdefault(r["query_id"], set()).add(r["doc_id"])
+        for qid, q in enumerate(QUERIES):
+            got = {r["doc_id"] for r in local.search(q, ranker=f"boolean_{op}",
+                                                     resolve=False)}
+            assert got == want.get(qid, set()), (op, q)
+
+
+def test_resolve_ext_cols(pidx, local, cfg):
+    res = local.search(QUERIES[0], k=3, ranker="bm25")
+    assert res and all("conv_id" in r and "turn_idx" in r for r in res)
+
+
+def test_preload_hot_path_runs_zero_spark_jobs(spark, pidx, local, cfg):
+    sc = spark.sparkContext
+    sc.setJobGroup("serve_probe", "local-serve hot path")
+    try:
+        for q in QUERIES[:4]:
+            local.search(q, k=10, ranker="bm25")
+            local.search(q, k=10, ranker="bm25_optimized")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("serve_probe")
+    assert list(jobs) == []
+
+
+def test_lazy_equals_preload(pidx, local, cfg):
+    lazy = LocalSearcher(pidx, preload=False, cfg=cfg)
+    for q in QUERIES[:4]:
+        for ranker in ("bm25", "bm25_optimized", "tfidf", "tfidf_optimized"):
+            assert _loc(lazy.search(q, k=10, ranker=ranker, resolve=False)) == _loc(
+                local.search(q, k=10, ranker=ranker, resolve=False)
+            ), (q, ranker)
+    # cached second pass: identical, and no new term fetches (slices cached)
+    n_slices = len(lazy._slices)
+    assert _loc(lazy.search(QUERIES[0], k=10, ranker="bm25", resolve=False))
+    assert len(lazy._slices) == n_slices
+
+
+def test_unknown_and_empty_queries(local):
+    assert local.search("zzzqqqxxx unknownterm") == []
+    assert local.search("") == []
+    assert local.search("the and of") == []  # stop words only
