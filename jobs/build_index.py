@@ -56,7 +56,20 @@ def main() -> None:
                          "(doc:freq/w, joinless TF-IDF serving)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--output-format", default="auto",
+                    choices=["auto", "parquet", "iceberg"],
+                    help="'iceberg': after the parquet build commits, "
+                         "publish the searchable stages as Iceberg tables "
+                         "(--iceberg-prefix catalog.db.name required; the "
+                         "parquet layout stays the source of truth); "
+                         "'auto': publish iff --iceberg-prefix is given")
+    ap.add_argument("--iceberg-prefix", default=None,
+                    help="Iceberg table identifier prefix for published "
+                         "stages: <prefix>_index, <prefix>_term_stats, "
+                         "<prefix>_docs[, <prefix>_doc_norms]")
     args = ap.parse_args()
+    if args.output_format == "iceberg" and not args.iceberg_prefix:
+        ap.error("--output-format iceberg requires --iceberg-prefix")
 
     from pyspark.sql import SparkSession
 
@@ -106,6 +119,11 @@ def main() -> None:
         tfidf_sidecar=args.tfidf_sidecar,
         payload=args.payload,
     )
+    if args.iceberg_prefix and args.output_format in ("auto", "iceberg"):
+        from searchengine_spark.sources import publish_index_iceberg
+
+        tables = publish_index_iceberg(spark, args.output, args.iceberg_prefix)
+        manifest["iceberg_tables"] = tables
     print(json.dumps(manifest))
 
 

@@ -30,3 +30,44 @@ def test_iceberg_dispatch(spark):
 def test_bad_fmt(spark):
     with pytest.raises(ValueError):
         read_transcripts(spark, "x", fmt="orc")
+
+
+# ---------------------------------------------------------- sink seam
+
+
+def test_sink_parquet_passthrough(spark, tmp_path):
+    from searchengine_spark.sources import write_stage
+
+    df = transcripts_df(spark, n_conv=3)
+    p = str(tmp_path / "out.parquet")
+    write_stage(df, p)  # auto: path-like -> parquet
+    assert spark.read.parquet(p).count() == df.count()
+    p2 = str(tmp_path / "out2.parquet")
+    write_stage(df, p2, partition_by=["conv_id"])
+    assert spark.read.parquet(p2).count() == df.count()
+    write_stage(df, p2, partition_by=["conv_id"], mode="append")
+    assert spark.read.parquet(p2).count() == 2 * df.count()
+
+
+def test_sink_iceberg_jar_absent_error(spark):
+    """Table identifiers route to the Iceberg DSv2 writeTo; without the
+    runtime jar the error must say so, never silently write parquet."""
+    from searchengine_spark.sources import write_stage
+
+    df = transcripts_df(spark, n_conv=2)
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        write_stage(df, "catalog.db.sink_probe")  # auto -> iceberg
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        write_stage(df, "catalog.db.sink_probe", fmt="iceberg")
+
+
+def test_sink_bad_args(spark):
+    from searchengine_spark.sources import publish_index_iceberg, write_stage
+
+    df = transcripts_df(spark, n_conv=2)
+    with pytest.raises(ValueError):
+        write_stage(df, "x", fmt="orc")
+    with pytest.raises(ValueError):
+        write_stage(df, "x", mode="upsert")
+    with pytest.raises(ValueError, match="identifier"):
+        publish_index_iceberg(spark, "/tmp/idx", "/not/an/ident")
