@@ -98,7 +98,9 @@ class TokenizerConfig:
 def _make_stemmer(lang: str):
     """nltk's SnowballStemmer when available (exact reference parity —
     the reference stems through nltk, src/models/tokenizer.py:59-70);
-    otherwise the vendored from-spec Porter2 for English (stemmer.py)."""
+    otherwise the vendored from-spec Snowball implementations: english
+    (Porter2, stemmer.py), spanish (stemmer_es.py), french
+    (stemmer_fr.py)."""
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
 
@@ -110,9 +112,18 @@ def _make_stemmer(lang: str):
             from .stemmer import EnglishStemmer
 
             return EnglishStemmer()
+        if lang == "spanish":
+            from .stemmer_es import SpanishStemmer
+
+            return SpanishStemmer()
+        if lang == "french":
+            from .stemmer_fr import FrenchStemmer
+
+            return FrenchStemmer()
         raise ImportError(
             f"stem_lang={lang!r} requires a working nltk (not installed); "
-            "only 'english' has a vendored fallback (stemmer.py)"
+            "vendored fallbacks cover english/spanish/french "
+            "(stemmer.py, stemmer_es.py, stemmer_fr.py)"
         ) from exc
 
 
