@@ -108,6 +108,7 @@ def run_suite(spark, sf: float, cpus: int) -> dict:
                                   n_partitions=cpus * 2)
     timings["index_build"] = time.perf_counter() - t0
     n_turns = manifest["n_docs"]
+    timings["_stages"] = manifest["metrics"]["stage_seconds"]
 
     t0 = time.perf_counter()
     pidx = load_packed_index(spark, idx_path)
@@ -185,6 +186,7 @@ def _single(cpus: int) -> dict:
     sj50 = t.pop("_lat_sparkjob_p50_ms", None)
     sj95 = t.pop("_lat_sparkjob_p95_ms", None)
     open_ms = t.pop("_local_open_ms", None)
+    stages = t.pop("_stages", None)
     total = sum(t.values())
     out = {
         "metric": "index_build_plus_bm25_suite",
@@ -199,6 +201,7 @@ def _single(cpus: int) -> dict:
         "query_latency_sparkjob_p50_ms": round(sj50, 1) if sj50 is not None else None,
         "query_latency_sparkjob_p95_ms": round(sj95, 1) if sj95 is not None else None,
         "local_serve_open_ms": round(open_ms, 1) if open_ms is not None else None,
+        "build_stage_seconds": stages,
         "cpus": cpus,
     }
     # attach the committed pinned N-vs-4N scaling record (produced by
@@ -212,6 +215,18 @@ def _single(cpus: int) -> dict:
                 out["scaling"] = json.load(fh)
         except (OSError, ValueError):
             pass
+    # likewise attach the committed sf1.0 scale point (one full bench run at
+    # 500k conversations / ~8.4M turns, produced by
+    # `SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench.py` and saved as
+    # BENCH_sf1.json) — order-of-magnitude evidence for the per-round JSON
+    if _sf() != 1.0:
+        rec = os.path.join(REPO, "BENCH_sf1.json")
+        if os.path.exists(rec):
+            try:
+                with open(rec) as fh:
+                    out["sf1_record"] = json.load(fh)
+            except (OSError, ValueError):
+                pass
     return out
 
 
