@@ -733,6 +733,42 @@ def q_tfidf_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_packed_bnc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMART doc-side schema generalization (round-3): packed TF-IDF
+    serving under bnc.ltc — binary doc tf, cosine norm from the
+    multi-letter doc_norms sidecar's nrm_b column (sqrt #distinct terms).
+    The oracle replicates round(1/sqrt(n_terms_d), 3) stored weights in
+    plain SQL; exact binary 3dp ties (1/sqrt(256)=0.0625) round identically
+    in Spark (BigDecimal HALF_UP) and DuckDB (half away from zero), and the
+    sf corpus tops out far below the first tie-prone term count."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_bnc_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256, tfidf_sidecar=True,
+    )
+    pidx = load_packed_index(spark, path)
+    topk = tfidf_topk_packed_batch(
+        pidx, [QUERY_STRINGS[0]], CFG, k=10, schema="bnc.ltc", round_dp=6
+    )
+    docmap = pidx.docmap
+    return (
+        topk.join(docmap, "doc_id")
+        .select(
+            F.col("ext_id").alias("doc_id"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end packed-index path on the NORTH-RULE INPUT SHAPE (synthetic
     multi-turn transcripts): generate -> packed build (resume-capable) ->
@@ -802,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
         "tfidf_packed_topk": q_tfidf_packed_topk,
+        "tfidf_packed_bnc": q_tfidf_packed_bnc,
         "proximity_topk": q_proximity_topk,
         "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
@@ -1592,7 +1629,7 @@ dnorm AS (
   SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id
 ),
 wt AS (
-  SELECT term, w.doc_id, round(wr / nrm, 3) AS w3
+  SELECT term, w.doc_id, round_even(wr / nrm, 3) AS w3
   FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
 ),
 q AS (
@@ -1622,8 +1659,40 @@ dnorm AS (
   SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id
 ),
 wt AS (
-  SELECT term, w.doc_id, round(wr / nrm, 3) AS w3
+  SELECT term, w.doc_id, round_even(wr / nrm, 3) AS w3
   FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
+),
+q AS (
+  SELECT unnest({_sql_term_list(tfidf_terms)}) AS term,
+         unnest([{", ".join(qtfs)}]) AS qtf
+),
+ql AS (
+  SELECT q.term, q.qtf * term_stats.idf AS ltc FROM q JOIN term_stats USING (term)
+),
+qn AS (SELECT sqrt(sum(ltc * ltc)) AS qnrm FROM ql),
+scored AS (
+  SELECT wt.doc_id, sum(wt.w3 * ql.ltc / (SELECT qnrm FROM qn)) AS s
+  FROM wt JOIN ql USING (term) GROUP BY wt.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # doc-side schema generalization: bnc (binary tf, cosine norm) served
+    # from the multi-letter doc_norms sidecar (nrm_b) — stored weight is
+    # round(1/sqrt(#distinct terms in doc), 3)
+    sqls["tfidf_packed_bnc"] = f"""
+WITH {_INDEX_CTES},
+dnorm AS (
+  SELECT doc_id, sqrt(count(*)) AS nrm FROM idx GROUP BY doc_id
+),
+wt AS (
+  SELECT term, idx.doc_id, round_even(1.0 / nrm, 3) AS w3
+  FROM idx JOIN dnorm ON idx.doc_id = dnorm.doc_id
 ),
 q AS (
   SELECT unnest({_sql_term_list(tfidf_terms)}) AS term,
@@ -1689,7 +1758,7 @@ dnorm AS (
   SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id
 ),
 wt AS (
-  SELECT term, w.doc_id, round(wr / nrm, 3) AS w3
+  SELECT term, w.doc_id, round_even(wr / nrm, 3) AS w3
   FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
 ),
 q AS (

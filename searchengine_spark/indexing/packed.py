@@ -262,26 +262,42 @@ def build_packed_index(
     positional: bool = False,
     tfidf_sidecar: bool = False,
     payload: str = "freq",
+    tfidf_doc_schema: str = "lnc",
 ) -> dict:
     """Build the packed index at ``path``; returns the manifest dict.
 
-    ``tfidf_sidecar=True`` additionally writes per-doc lnc norms
-    (doc_norms: doc_id, nrm = sqrt Σ_t (1+ln tf)^2) so TF_IDF_OPTIMIZED
-    serves from the packed index (query/proximity.py) — the stored-3dp
-    doc-weight contract (tf_idf.py:114-115) derives w at decode as
-    round((1+ln tf)/nrq, 3).
+    ``tfidf_sidecar=True`` additionally writes per-doc cosine norms for
+    ALL THREE doc-side tf letters (doc_norms: doc_id, nrm = sqrt Σ_t
+    (1+ln tf)^2 [the lnc norm], nrm_b = sqrt #terms, nrm_n = sqrt Σ tf^2)
+    so TF-IDF serves from the packed index (query/proximity.py) under any
+    SMART doc-side schema l|b|n × c — the stored-3dp doc-weight contract
+    (tf_idf.py:114-115) derives w at decode as round(tf_w/nrm, 3).
+    Non-cosine norms ('n'/'b') never need the sidecar.
 
     ``payload``: "freq" (doc_gap, tf, dlq triples — BM25/TF-IDF-servable),
     "boolean" (doc gaps only — the reference's BooleanPostingList option,
     ~3x smaller, boolean queries only), or "tfidf" (doc_gap, tf, wq triples
-    where wq = the stored-3dp lnc weight x1000 — the reference's
-    'doc:freq/w' index-line format, tf_idf.py:114-115: plain TF-IDF serves
-    joinlessly from the postings; BM25 refused, no dl payload). The tfidf
-    payload pre-aggregates (term, doc) tf to attach weights (two shuffles
-    instead of one) and does not combine with positional — use
-    ``tfidf_sidecar`` + positional for TF_IDF_OPTIMIZED."""
+    where wq = the stored-3dp weight x1000 under ``tfidf_doc_schema``
+    (default lnc) — the reference's 'doc:freq/w' index-line format,
+    tf_idf.py:114-115: plain TF-IDF serves joinlessly from the postings;
+    BM25 refused, no dl payload; the manifest records the baked schema and
+    serving validates against it). The tfidf payload pre-aggregates
+    (term, doc) tf to attach weights (two shuffles instead of one) and
+    does not combine with positional — use ``tfidf_sidecar`` + positional
+    for TF_IDF_OPTIMIZED."""
     if payload not in ("freq", "boolean", "tfidf"):
         raise ValueError(f"unknown payload {payload!r}")
+    if payload == "tfidf" and not (
+        len(tfidf_doc_schema) == 3
+        and tfidf_doc_schema[0] in "lbn"
+        and tfidf_doc_schema[1] == "n"
+        and tfidf_doc_schema[2] in "cbn"
+    ):
+        raise ValueError(
+            f"unsupported tfidf_doc_schema {tfidf_doc_schema!r} "
+            "(doc-side SMART triple: tf in l|b|n, df must be 'n', "
+            "norm in c|b|n)"
+        )
     if payload == "boolean" and (positional or tfidf_sidecar):
         raise ValueError("boolean payload stores no tf — it cannot be "
                          "positional and has no tfidf sidecar")
@@ -351,20 +367,30 @@ def build_packed_index(
         dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
         if payload == "tfidf":
             # reference 'doc:freq/w' lines: pre-agg tf, attach the stored-3dp
-            # lnc weight (the SAME Spark expression as tfidf.tfidf_weights ->
-            # bit-identical stored values), quantize losslessly into the
-            # third triple slot
+            # weight under tfidf_doc_schema (the SAME Spark expressions as
+            # tfidf.tfidf_weights -> bit-identical stored values), quantize
+            # losslessly into the third triple slot
+            from ..query.tfidf import _uniform_tf_col
+
             occ = docs.select(DOC_ID, F.explode("tokens").alias("term"))
             tfagg = occ.groupBy("term", DOC_ID).agg(F.count("*").alias("tf"))
-            wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
-            norms = tfagg.groupBy(DOC_ID).agg(
-                F.sqrt(F.sum(wr * wr)).alias("nrm")
-            ).select(F.col(DOC_ID).alias("_nd"), "nrm")
-            tok = tfagg.join(norms, F.col(DOC_ID) == F.col("_nd")).select(
+            wr = _uniform_tf_col(F.col("tf"), tfidf_doc_schema[0])
+            if tfidf_doc_schema[2] == "c":
+                norms = tfagg.groupBy(DOC_ID).agg(
+                    F.sqrt(F.sum(wr * wr)).alias("nrm")
+                ).select(F.col(DOC_ID).alias("_nd"), "nrm")
+                tok = tfagg.join(norms, F.col(DOC_ID) == F.col("_nd"))
+                w_raw = wr / F.col("nrm")
+            else:
+                # 'n': every weight is 1 (reference uniform_weight 'n',
+                # tf_idf.py:201); 'b': identity (no reference branch)
+                tok = tfagg
+                w_raw = F.lit(1.0) if tfidf_doc_schema[2] == "n" else wr
+            tok = tok.select(
                 "term",
                 DOC_ID,
                 "tf",
-                F.round(F.round(wr / F.col("nrm"), 3) * 1000.0)
+                F.round(F.bround(w_raw, 3) * 1000.0)
                 .cast("long")
                 .alias("dlq"),  # triple slot 3 = wq for this payload
             )
@@ -427,7 +453,11 @@ def build_packed_index(
         ts.coalesce(8).write.mode("overwrite").parquet(dirs["term_stats"])
     metrics["stages"]["term_stats"] = time.perf_counter() - t0
 
-    # ---- optional stage doc_norms: lnc norm per doc (TF-IDF sidecar) ------
+    # ---- optional stage doc_norms: cosine norms per doc (TF-IDF sidecar) --
+    # one shuffle, three aggregates: the cosine denominator for each
+    # doc-side tf letter (l: 1+ln tf, b: 0/1, n: raw tf) so packed serving
+    # accepts any SMART doc-side schema; `nrm` keeps its pre-generalization
+    # name (the lnc norm) for old-index compatibility
     if tfidf_sidecar:
         t0 = time.perf_counter()
         if not (resume and _done(spark, dirs["doc_norms"])):
@@ -437,9 +467,14 @@ def build_packed_index(
                 .agg(F.count("*").alias("tf"))
             )
             wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+            tfd = F.col("tf").cast("double")
             (
                 tfagg.groupBy(DOC_ID)
-                .agg(F.sqrt(F.sum(wr * wr)).alias("nrm"))
+                .agg(
+                    F.sqrt(F.sum(wr * wr)).alias("nrm"),
+                    F.sqrt(F.count("*").cast("double")).alias("nrm_b"),
+                    F.sqrt(F.sum(tfd * tfd)).alias("nrm_n"),
+                )
                 .write.mode("overwrite")
                 .parquet(dirs["doc_norms"])
             )
@@ -468,6 +503,7 @@ def build_packed_index(
         "positional": positional,
         "tfidf_sidecar": tfidf_sidecar,
         "payload": payload,
+        **({"tfidf_doc_schema": tfidf_doc_schema} if payload == "tfidf" else {}),
         "dl_norm_min": float(dl_row[0] or 0.0),
         "dl_norm_max": float(dl_row[1] or 0.0),
         "spark_conf": {

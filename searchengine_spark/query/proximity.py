@@ -346,22 +346,36 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
     decode straight out of the postings — joinless, no sidecar needed
     (plain ranking only; no positions in that payload).
 
-    freq-payload builds: decode matched chunks -> join the lnc-norm
-    sidecar -> derive the stored-3dp weights [-> positional boost]."""
+    freq-payload builds: decode matched chunks -> derive the stored-3dp
+    weights under any SMART doc-side schema (cosine norms join the
+    doc_norms sidecar column for the schema's tf letter; 'n'/'b' norms
+    are joinless) [-> positional boost]."""
     validate_schema(schema)
-    if schema[:3] != "lnc":
-        raise ValueError(
-            "packed TF-IDF serving stores lnc weights/norms; "
-            f"doc-side schema {schema[:3]!r} needs the exact-path API"
-        )
     embedded_w = pidx.manifest.get("payload", "freq") == "tfidf"
-    if embedded_w and boost:
-        raise ValueError(
-            "tfidf payload stores no positions — TF_IDF_OPTIMIZED needs a "
-            "positional=True, tfidf_sidecar=True build"
-        )
-    if not embedded_w and pidx.doc_norms is None:
-        raise ValueError("index was not built with tfidf_sidecar=True")
+    nrm_col = None
+    if embedded_w:
+        baked = pidx.manifest.get("tfidf_doc_schema", "lnc")
+        if schema[:3] != baked:
+            raise ValueError(
+                f"this tfidf-payload index baked doc-side schema {baked!r} "
+                f"into the postings; schema {schema[:3]!r} needs a "
+                "freq+sidecar build or the exact-path API"
+            )
+        if boost:
+            raise ValueError(
+                "tfidf payload stores no positions — TF_IDF_OPTIMIZED needs "
+                "a positional=True, tfidf_sidecar=True build"
+            )
+    elif schema[2] == "c":
+        if pidx.doc_norms is None:
+            raise ValueError("index was not built with tfidf_sidecar=True")
+        nrm_col = {"l": "nrm", "b": "nrm_b", "n": "nrm_n"}[schema[0]]
+        if nrm_col not in pidx.doc_norms.columns:
+            raise ValueError(
+                f"doc_norms sidecar predates multi-letter norms (has only "
+                f"the lnc column); doc-side schema {schema[:3]!r} needs a "
+                "rebuilt sidecar"
+            )
 
     def decode_rows(batches):
         import numpy as np
@@ -406,15 +420,23 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
             F.lit(0.0).alias("dl_norm"),
         )
     else:
-        # the SAME Spark expression as tfidf_weights -> bit-identical
+        # the SAME Spark expressions as tfidf_weights -> bit-identical
         # stored-3dp weights between packed and exact paths
-        wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
-        joined = decoded.join(pidx.doc_norms, "doc_id").select(
+        from .tfidf import _uniform_tf_col
+
+        wr = _uniform_tf_col(F.col("tf"), schema[0])
+        if nrm_col is not None:  # cosine norm: join the sidecar column
+            w_raw = wr / F.col(nrm_col)
+            src = decoded.join(pidx.doc_norms.select("doc_id", nrm_col), "doc_id")
+        else:  # 'n': uniform_weight maps all to 1; 'b': identity — joinless
+            w_raw = F.lit(1.0) if schema[2] == "n" else wr
+            src = decoded
+        joined = src.select(
             "query_id",
             "term",
             "doc_id",
             "positions",
-            F.round(wr / F.col("nrm"), 3).alias("w"),
+            F.bround(w_raw, 3).alias("w"),  # banker's: tfidf.tfidf_weights twin
             F.lit(0.0).alias("dl_norm"),
         )
 

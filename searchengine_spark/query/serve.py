@@ -29,8 +29,7 @@ replacement for them.
 
 from __future__ import annotations
 
-import math
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import ROUND_HALF_EVEN, Decimal
 from typing import Dict, List, Sequence
 
 import pandas as pd
@@ -51,12 +50,13 @@ RANKERS = (
 )
 
 
-def _round3_half_up(x: float) -> float:
-    """Python twin of Spark's F.round(double, 3): BigDecimal.valueOf(x)
-    (shortest decimal repr — == Python repr) rounded HALF_UP. Needed for
-    bit-identical stored-weight parity with the distributed TF-IDF path
-    (Python round() is banker's and disagrees on decimal ties)."""
-    return float(Decimal(repr(x)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP))
+def _round3(x: float) -> float:
+    """Python twin of Spark's F.bround(double, 3): BigDecimal.valueOf(x)
+    (shortest decimal repr — == Python repr) rounded HALF_EVEN — which is
+    what the reference's Python round(w, 3) does on the exact-binary-tie
+    doubles (0.0625-class) that bnc/nnc weights can produce. Needed for
+    bit-identical stored-weight parity with the distributed TF-IDF path."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.001"), rounding=ROUND_HALF_EVEN))
 
 
 class LocalSearcher:
@@ -81,11 +81,12 @@ class LocalSearcher:
         self._index_cols = ["term", "chunk", "max_tfsat", "postings"] + (
             ["positions"] if self._positional else []
         )
-        # caches (term -> pandas slice; scalars by id)
+        # caches (term -> pandas slice; scalars by id; norms per sidecar
+        # column — one cosine denominator per doc-side tf letter)
         self._slices: Dict[str, pd.DataFrame] = {}
         self._idf: Dict[str, float] = {}
         self._docmap: Dict[int, tuple] = {}
-        self._norms: Dict[int, float] = {}
+        self._norms: Dict[str, Dict[int, float]] = {}
         self._all_terms_cached = False
         self._all_docs_cached = False
 
@@ -109,9 +110,11 @@ class LocalSearcher:
         }
         if self._sidecar and self.pidx.doc_norms is not None:
             nz = self.pidx.doc_norms.toPandas()
-            self._norms = {
-                int(r[0]): float(r[1]) for r in nz.itertuples(index=False)
-            }
+            for col in nz.columns:
+                if col != "doc_id":
+                    self._norms[col] = dict(
+                        zip(nz["doc_id"].astype(int), nz[col].astype(float))
+                    )
         self._all_terms_cached = True
         self._all_docs_cached = True
 
@@ -146,14 +149,19 @@ class LocalSearcher:
         for r in self.pidx.docmap.filter(F.col("doc_id").isin(missing)).collect():
             self._docmap[int(r["doc_id"])] = tuple(r[c] for c in self._ext_cols)
 
-    def _ensure_norms(self, doc_ids: Sequence[int]) -> None:
+    def _ensure_norms(self, doc_ids: Sequence[int], col: str) -> None:
         if self._all_docs_cached or self.pidx.doc_norms is None:
             return
-        missing = sorted(d for d in doc_ids if d not in self._norms)
+        cache = self._norms.setdefault(col, {})
+        missing = sorted(d for d in doc_ids if d not in cache)
         if not missing:
             return
-        for r in self.pidx.doc_norms.filter(F.col("doc_id").isin(missing)).collect():
-            self._norms[int(r["doc_id"])] = float(r["nrm"])
+        for r in (
+            self.pidx.doc_norms.select("doc_id", col)
+            .filter(F.col("doc_id").isin(missing))
+            .collect()
+        ):
+            cache[int(r["doc_id"])] = float(r[col])
 
     # ------------------------------------------------------------- serving
 
@@ -214,31 +222,50 @@ class LocalSearcher:
 
     def _tfidf(self, pdf, toks, k, boost, schema, round_dp, rerank_n):
         """Local twin of proximity._tfidf_packed: decode -> stored-3dp
-        weights (embedded or sidecar-derived with Spark-identical HALF_UP
-        rounding) -> _scorer."""
+        weights under any SMART doc-side schema (embedded, sidecar-derived
+        cosine, or norm-free — all with Spark-identical HALF_UP rounding)
+        -> _scorer."""
         validate_schema(schema)
-        if schema[:3] != "lnc":
-            raise ValueError(
-                "packed TF-IDF serving stores lnc weights/norms; "
-                f"doc-side schema {schema[:3]!r} needs the exact-path API"
-            )
         embedded_w = self._payload == "tfidf"
-        if embedded_w and boost:
-            raise ValueError(
-                "tfidf payload stores no positions — TF_IDF_OPTIMIZED needs "
-                "a positional=True, tfidf_sidecar=True build"
-            )
-        if not embedded_w and not self._sidecar:
-            raise ValueError("index was not built with tfidf_sidecar=True")
+        nrm_col = None
+        if embedded_w:
+            baked = self.manifest.get("tfidf_doc_schema", "lnc")
+            if schema[:3] != baked:
+                raise ValueError(
+                    f"this tfidf-payload index baked doc-side schema "
+                    f"{baked!r} into the postings; schema {schema[:3]!r} "
+                    "needs a freq+sidecar build or the exact-path API"
+                )
+            if boost:
+                raise ValueError(
+                    "tfidf payload stores no positions — TF_IDF_OPTIMIZED "
+                    "needs a positional=True, tfidf_sidecar=True build"
+                )
+        elif schema[2] == "c":
+            if not self._sidecar:
+                raise ValueError("index was not built with tfidf_sidecar=True")
+            nrm_col = {"l": "nrm", "b": "nrm_b", "n": "nrm_n"}[schema[0]]
+            if (
+                self.pidx.doc_norms is not None
+                and nrm_col not in self.pidx.doc_norms.columns
+            ):
+                raise ValueError(
+                    f"doc_norms sidecar predates multi-letter norms; "
+                    f"doc-side schema {schema[:3]!r} needs a rebuilt sidecar"
+                )
         recs: list = []
         all_docs: list = []
         for row in pdf.itertuples(index=False):
             doc_ids, tfs, third = decode_postings(bytes(row.postings))
             all_docs.append((row.term, doc_ids, tfs, third, getattr(row, "positions", None)))
-        if not embedded_w:
+        if nrm_col is not None:
             self._ensure_norms(
-                [int(d) for _, doc_ids, _, _, _ in all_docs for d in doc_ids]
+                [int(d) for _, doc_ids, _, _, _ in all_docs for d in doc_ids],
+                nrm_col,
             )
+        norms = self._norms.get(nrm_col, {}) if nrm_col is not None else None
+        from .tfidf import _uniform_tf_py
+
         import numpy as np
 
         for term, doc_ids, tfs, third, posbuf in all_docs:
@@ -250,11 +277,16 @@ class LocalSearcher:
                 poss = [[] for _ in range(len(doc_ids))]
             for j, d in enumerate(doc_ids):
                 d = int(d)
-                w = (
-                    float(third[j])
-                    if embedded_w
-                    else _round3_half_up((1.0 + math.log(float(tfs[j]))) / self._norms[d])
-                )
+                if embedded_w:
+                    w = float(third[j])
+                elif nrm_col is not None:  # cosine norm from the sidecar
+                    w = _round3(
+                        _uniform_tf_py(int(tfs[j]), schema[0]) / norms[d]
+                    )
+                elif schema[2] == "n":  # uniform_weight 'n': all weights 1
+                    w = 1.0
+                else:  # 'b' norm: identity over the tf weight
+                    w = _round3(_uniform_tf_py(int(tfs[j]), schema[0]))
                 recs.append((0, term, d, int(tfs[j]), w, poss[j], 0.0))
         joined = pd.DataFrame(
             recs,

@@ -94,8 +94,13 @@ def tfidf_weights(it: IndexTables, schema: str = DEFAULT_SCHEMA) -> DataFrame:
         weights = weights.withColumn("w_raw", F.lit(1.0))
     # 'b' is accepted by the validator but has no uniform_weight branch in
     # the reference -> returns None and crashes there; we treat as identity
+    # bround (HALF_EVEN), not round: the reference stores Python
+    # round(w, 3) (tf_idf.py:115) which is banker's on exact binary ties —
+    # measure-zero for lnc's ln() values, but REAL for bnc/nnc where
+    # tf/sqrt(Σtf²) lands on 0.0625-class doubles (Python 0.062, HALF_UP
+    # would give 0.063)
     return weights.select(
-        "term", "doc_id", "tf", F.round("w_raw", 3).alias("w")
+        "term", "doc_id", "tf", F.bround("w_raw", 3).alias("w")
     )
 
 
