@@ -60,18 +60,30 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Byte-position loop (<=10 masked gather|shift passes), not a byte-level
+    scatter-add: np.add.at is unbuffered and made decode the hot ~80% of a
+    big-index query — this formulation decodes the same stream ~5-10x
+    faster (one O(n_groups) pass per byte of the WIDEST group, so typical
+    2-3-byte streams cost 2-3 vector passes)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
     ends = np.flatnonzero((b & 0x80) == 0)
-    starts = np.concatenate(([0], ends[:-1] + 1))
     n = ends.size
+    if n == b.size:  # all groups single-byte: the stream IS the values
+        return payload
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    group = np.repeat(np.arange(n), lens)
-    within = (np.arange(b.size) - starts[group]).astype(np.uint64)
-    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within)
-    values = np.zeros(n, dtype=np.uint64)
-    np.add.at(values, group, contrib)
+    # np.take, not payload[idx]: fancy uint64 gathers show 20x timing
+    # instability on some allocators/hosts; take is flat-fast
+    values = np.take(payload, starts)
+    for j in range(1, int(lens.max())):
+        m = lens > j
+        idx = np.compress(m, starts) + j
+        values[m] |= np.take(payload, idx) << np.uint64(7 * j)
     return values
 
 

@@ -29,6 +29,7 @@ replacement for them.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from decimal import ROUND_HALF_EVEN, Decimal
 from typing import Dict, List, Sequence
 
@@ -43,6 +44,7 @@ from .proximity import _query_ltc, _scorer, packed_prox_scorer, validate_schema
 from .wand import _wand_scorer
 
 AUTO_PRELOAD_POSTINGS = 200_000_000  # ~hundreds of MB varbyte — driver-safe
+DECODED_CACHE_POSTINGS = 100_000_000  # decoded-postings LRU cap (~2.4 GB)
 
 RANKERS = (
     "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
@@ -67,6 +69,7 @@ class LocalSearcher:
         pidx: PackedIndex,
         preload: bool | str = "auto",
         cfg: TokenizerConfig | None = None,
+        decoded_cache_postings: int = DECODED_CACHE_POSTINGS,
     ):
         self.pidx = pidx
         self.manifest = pidx.manifest
@@ -89,6 +92,13 @@ class LocalSearcher:
         self._norms: Dict[str, Dict[int, float]] = {}
         self._all_terms_cached = False
         self._all_docs_cached = False
+        # decoded-postings LRU: varbyte decode dominates big-index queries
+        # (~80% measured at 252M postings) — repeat terms skip it entirely.
+        # Keyed by id(buf); the buffer is kept in the value so the id can't
+        # be recycled while the entry lives. Capped by Σ decoded postings.
+        self.decoded_cache_postings = decoded_cache_postings
+        self._decoded: OrderedDict = OrderedDict()
+        self._dec_postings = 0
 
         if preload == "auto":
             preload = self.manifest.get("n_postings", 0) <= AUTO_PRELOAD_POSTINGS
@@ -163,6 +173,27 @@ class LocalSearcher:
         ):
             cache[int(r["doc_id"])] = float(r[col])
 
+    def _decode_cached(self, buf, fn=decode_postings):
+        """Memoized ``fn(bytes(buf))`` — see the LRU comment in __init__.
+        One index serves one payload type, so the key never sees two fns."""
+        key = id(buf)
+        hit = self._decoded.get(key)
+        if hit is not None:
+            self._decoded.move_to_end(key)
+            return hit[1]
+        arrs = fn(bytes(buf))
+        first = arrs[0] if isinstance(arrs, tuple) else arrs
+        self._decoded[key] = (buf, arrs)
+        self._dec_postings += len(first)
+        while (
+            self._dec_postings > self.decoded_cache_postings
+            and len(self._decoded) > 1
+        ):
+            _, (_obuf, oarrs) = self._decoded.popitem(last=False)
+            ofirst = oarrs[0] if isinstance(oarrs, tuple) else oarrs
+            self._dec_postings -= len(ofirst)
+        return arrs
+
     # ------------------------------------------------------------- serving
 
     def _matched(self, terms: List[str]) -> pd.DataFrame | None:
@@ -203,7 +234,9 @@ class LocalSearcher:
         if ranker == "bm25":
             if self._payload != "freq":
                 raise ValueError("BM25 needs a payload='freq' build")
-            scorer = _wand_scorer(k, self.params, round_dp, self._idf)
+            scorer = _wand_scorer(
+                k, self.params, round_dp, self._idf, decode=self._decode_cached
+            )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":
             if not self._positional:
@@ -256,7 +289,7 @@ class LocalSearcher:
         recs: list = []
         all_docs: list = []
         for row in pdf.itertuples(index=False):
-            doc_ids, tfs, third = decode_postings(bytes(row.postings))
+            doc_ids, tfs, third = self._decode_cached(row.postings)
             all_docs.append((row.term, doc_ids, tfs, third, getattr(row, "positions", None)))
         if nrm_col is not None:
             self._ensure_norms(
@@ -304,9 +337,9 @@ class LocalSearcher:
         sets: Dict[str, set] = {}
         for row in pdf.itertuples(index=False):
             docs = (
-                decode_docs(bytes(row.postings))
+                self._decode_cached(row.postings, decode_docs)
                 if self._payload == "boolean"
-                else decode_postings(bytes(row.postings))[0]
+                else self._decode_cached(row.postings)[0]
             )
             sets.setdefault(row.term, set()).update(int(d) for d in docs)
         if not sets:

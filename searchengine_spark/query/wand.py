@@ -56,6 +56,7 @@ def _wand_scorer(
     params: Bm25Params,
     round_dp: int | None = None,
     idf_map: dict | None = None,
+    decode=None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -69,6 +70,10 @@ def _wand_scorer(
     three; the map is bounded by the query's term count)."""
     kk, bb = float(params.k), float(params.b)
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
+    # ``decode``: optional (buf) -> (doc_ids, tfs, dl_norm) hook so a
+    # long-lived serving tier (LocalSearcher) can memoize decoded postings
+    # across queries; the distributed batch path keeps the default
+    dec = decode or (lambda buf: decode_postings(bytes(buf)))
 
     def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -90,7 +95,7 @@ def _wand_scorer(
             docs_all: list = []
             contrib_all: list = []
             for idf, buf in zip(rows["idf"].to_numpy(), rows["postings"]):
-                doc_ids, tfs, dl_norm = decode_postings(bytes(buf))
+                doc_ids, tfs, dl_norm = dec(buf)
                 contrib_all.append(idf * tf_saturation(tfs, dl_norm, kk, bb))
                 docs_all.append(doc_ids)
             docs = np.concatenate(docs_all)

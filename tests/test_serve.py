@@ -132,3 +132,28 @@ def test_unknown_and_empty_queries(local):
     assert local.search("zzzqqqxxx unknownterm") == []
     assert local.search("") == []
     assert local.search("the and of") == []  # stop words only
+
+
+def test_decoded_cache_repeat_identical_and_bounded(pidx, cfg):
+    """Repeat queries hit the decoded-postings LRU (no re-decode) with
+    identical results; the cache honors its postings cap."""
+    ls = LocalSearcher(pidx, preload=True, cfg=cfg)
+    first = {q: _loc(ls.search(q, k=10, resolve=False)) for q in QUERIES}
+    assert ls._dec_postings > 0 and len(ls._decoded) > 0
+    n_entries = len(ls._decoded)
+    again = {q: _loc(ls.search(q, k=10, resolve=False)) for q in QUERIES}
+    assert again == first
+    assert len(ls._decoded) == n_entries  # pure hits, no growth
+    # tiny cap: eviction keeps Σ postings bounded, results unchanged
+    small = LocalSearcher(pidx, preload=True, cfg=cfg, decoded_cache_postings=64)
+    capped = {q: _loc(small.search(q, k=10, resolve=False)) for q in QUERIES}
+    assert capped == first
+    assert len(small._decoded) <= 2  # evicts down to the cap (+1 oversize)
+
+
+def test_decoded_cache_all_rankers_repeat(pidx, cfg):
+    ls = LocalSearcher(pidx, preload=True, cfg=cfg)
+    for ranker in ("bm25", "tfidf", "tfidf_optimized", "boolean_and", "boolean_or"):
+        a = ls.search(QUERIES[1], k=10, ranker=ranker, resolve=False)
+        b = ls.search(QUERIES[1], k=10, ranker=ranker, resolve=False)
+        assert a == b and (a or ranker.startswith("boolean"))
