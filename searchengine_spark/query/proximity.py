@@ -272,11 +272,20 @@ def packed_prox_scorer(
     k: int,
     round_dp: int | None = None,
     rerank_n: int | None = None,
+    decode=None,
+    decode_pos=None,
 ):
     """BM25_OPTIMIZED scorer over PACKED rows (query_id, term, postings,
     positions) — pandas-in/pandas-out so the distributed path
     (applyInPandas) and the in-process :class:`~..query.serve.LocalSearcher`
-    run the identical code."""
+    run the identical code.
+
+    Two passes: base scores accumulate VECTORIZED (np.bincount adds in the
+    same concatenation order as the old per-posting loop — bit-identical
+    doubles), then positions are decoded and per-doc dicts built ONLY for
+    the boost candidates (all docs at rerank_n=None, reference semantics).
+    ``decode``/``decode_pos``: optional memoizing hooks for a long-lived
+    serving tier (LocalSearcher)."""
     kk, bb = float(params.k), float(params.b)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -284,25 +293,58 @@ def packed_prox_scorer(
 
         from ..indexing.codec import decode_positions, decode_postings
 
+        dec = decode or (lambda buf: decode_postings(bytes(buf)))
+        dec_pos = decode_pos or (
+            lambda buf, tfs: decode_positions(bytes(buf), tfs)
+        )
         qid = int(pdf["query_id"].iloc[0])
         qtoks = query_tokens[qid]
-        scores: Dict[int, float] = {}
+        rows = []
+        docs_all: list = []
+        contribs_all: list = []
+        for row in pdf.itertuples(index=False):
+            doc_ids, tfs, dl_norm = dec(row.postings)
+            sat = (tfs * (kk + 1)) / (tfs + kk * (1 - bb + bb * dl_norm))
+            contribs_all.append(idf_map[row.term] * sat)
+            docs_all.append(doc_ids)
+            rows.append((row.term, doc_ids, tfs, dl_norm, row.positions))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        docs = np.concatenate(docs_all)
+        contribs = np.concatenate(contribs_all)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        base = np.bincount(inv, weights=contribs, minlength=len(uniq))
+        scores: Dict[int, float] = dict(zip(uniq.tolist(), base.tolist()))
+
+        cand = _rerank_candidates(scores, rerank_n)
+        cand_arr = np.sort(np.asarray(cand, dtype=np.int64))
         positions_by_doc: Dict[int, Dict[str, List[int]]] = {}
         dln: Dict[int, float] = {}
-        for row in pdf.itertuples(index=False):
-            doc_ids, tfs, dl_norm = decode_postings(bytes(row.postings))
-            flat, occ_starts = decode_positions(bytes(row.positions), tfs)
+        for term, doc_ids, tfs, dl_norm, posbuf in rows:
+            if not len(cand_arr):
+                break
+            # sorted-membership: cand_arr[pos] == doc iff doc is a candidate
+            pos = np.searchsorted(cand_arr, doc_ids)
+            pos[pos == len(cand_arr)] = 0
+            m = np.flatnonzero(cand_arr[pos] == doc_ids)
+            if not len(m):
+                continue
+            flat, occ_starts = dec_pos(posbuf, tfs)
             ends = np.append(occ_starts[1:], len(flat))
-            sat = (tfs * (kk + 1)) / (tfs + kk * (1 - bb + bb * dl_norm))
-            contrib = idf_map[row.term] * sat
-            for j, doc in enumerate(doc_ids):
-                d = int(doc)
-                scores[d] = scores.get(d, 0.0) + float(contrib[j])
+            for j in m:
+                d = int(doc_ids[j])
                 dln[d] = float(dl_norm[j])
-                positions_by_doc.setdefault(d, {})[row.term] = flat[
+                positions_by_doc.setdefault(d, {})[term] = flat[
                     occ_starts[j] : ends[j]
                 ].tolist()
-        for doc in _rerank_candidates(scores, rerank_n):
+        for doc in cand:
             boost = _calculate_boost(qtoks, positions_by_doc[doc])
             if boost > 0:
                 denom_x = (dln[doc] - dl_min) / (dl_max - dl_min) + 1

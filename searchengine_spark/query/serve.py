@@ -194,6 +194,27 @@ class LocalSearcher:
             self._dec_postings -= len(ofirst)
         return arrs
 
+    def _decode_pos_cached(self, buf, tfs):
+        """Positions twin of :meth:`_decode_cached` — sound to key by the
+        buffer alone because ``tfs`` is a pure function of the sibling
+        postings buffer of the same row."""
+        key = id(buf)
+        hit = self._decoded.get(key)
+        if hit is not None:
+            self._decoded.move_to_end(key)
+            return hit[1]
+        arrs = decode_positions(bytes(buf), tfs)
+        self._decoded[key] = (buf, arrs)
+        self._dec_postings += len(arrs[0])
+        while (
+            self._dec_postings > self.decoded_cache_postings
+            and len(self._decoded) > 1
+        ):
+            _, (_obuf, oarrs) = self._decoded.popitem(last=False)
+            ofirst = oarrs[0] if isinstance(oarrs, tuple) else oarrs
+            self._dec_postings -= len(ofirst)
+        return arrs
+
     # ------------------------------------------------------------- serving
 
     def _matched(self, terms: List[str]) -> pd.DataFrame | None:
@@ -246,6 +267,8 @@ class LocalSearcher:
                 float(self.manifest["dl_norm_min"]),
                 float(self.manifest["dl_norm_max"]),
                 k, round_dp, rerank_n,
+                decode=self._decode_cached,
+                decode_pos=self._decode_pos_cached,
             )
             out = scorer(pdf)
         else:  # tfidf / tfidf_optimized

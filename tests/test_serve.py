@@ -153,7 +153,8 @@ def test_decoded_cache_repeat_identical_and_bounded(pidx, cfg):
 
 def test_decoded_cache_all_rankers_repeat(pidx, cfg):
     ls = LocalSearcher(pidx, preload=True, cfg=cfg)
-    for ranker in ("bm25", "tfidf", "tfidf_optimized", "boolean_and", "boolean_or"):
+    for ranker in ("bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
+                   "boolean_and", "boolean_or"):
         a = ls.search(QUERIES[1], k=10, ranker=ranker, resolve=False)
         b = ls.search(QUERIES[1], k=10, ranker=ranker, resolve=False)
         assert a == b and (a or ranker.startswith("boolean"))
