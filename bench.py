@@ -150,6 +150,16 @@ def run_suite(spark, sf: float, cpus: int) -> dict:
             lat.append((time.perf_counter() - t0) * 1000.0)
         timings["_lat_p50_ms"], timings["_lat_p95_ms"] = _pcts(lat)
 
+        # second pass over the same queries: the serving tier's
+        # decoded-postings LRU makes repeat terms decode-free — the
+        # steady-state number for a REPL/serving replica
+        lat = []
+        for q in REFERENCE_QUERIES:
+            t0 = time.perf_counter()
+            local.search(q, k=10)
+            lat.append((time.perf_counter() - t0) * 1000.0)
+        timings["_lat_rep_p50_ms"], timings["_lat_rep_p95_ms"] = _pcts(lat)
+
         lat = []
         for q in REFERENCE_QUERIES:
             t0 = time.perf_counter()
@@ -183,6 +193,8 @@ def _single(cpus: int) -> dict:
     t.pop("_n_results", None)
     p50 = t.pop("_lat_p50_ms", None)
     p95 = t.pop("_lat_p95_ms", None)
+    rp50 = t.pop("_lat_rep_p50_ms", None)
+    rp95 = t.pop("_lat_rep_p95_ms", None)
     sj50 = t.pop("_lat_sparkjob_p50_ms", None)
     sj95 = t.pop("_lat_sparkjob_p95_ms", None)
     open_ms = t.pop("_local_open_ms", None)
@@ -198,6 +210,8 @@ def _single(cpus: int) -> dict:
         "turns_per_sec": round(n_turns / t["index_build"], 1),
         "query_latency_p50_ms": round(p50, 1) if p50 is not None else None,
         "query_latency_p95_ms": round(p95, 1) if p95 is not None else None,
+        "query_latency_repeat_p50_ms": round(rp50, 1) if rp50 is not None else None,
+        "query_latency_repeat_p95_ms": round(rp95, 1) if rp95 is not None else None,
         "query_latency_sparkjob_p50_ms": round(sj50, 1) if sj50 is not None else None,
         "query_latency_sparkjob_p95_ms": round(sj95, 1) if sj95 is not None else None,
         "local_serve_open_ms": round(open_ms, 1) if open_ms is not None else None,

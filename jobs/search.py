@@ -38,7 +38,8 @@ RANKERS = (
 )
 
 
-def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive):
+def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
+                 schema="lnc.ltc"):
     """-> list per query of result-row dicts (rank-ordered)."""
     from pyspark.sql import functions as F
 
@@ -57,9 +58,10 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive):
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
-        topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="tfidf")
+        topk = proximity_topk_packed_batch(
+            pidx, queries, cfg, k=n, mode="tfidf", schema=schema)
     elif ranker == "tfidf":
-        topk = tfidf_topk_packed_batch(pidx, queries, cfg, k=n)
+        topk = tfidf_topk_packed_batch(pidx, queries, cfg, k=n, schema=schema)
     else:  # boolean_and / boolean_or — unranked set retrieval
         op = ranker.split("_")[1]
         hits = boolean_search_packed(pidx, queries, cfg, op=op)
@@ -85,6 +87,10 @@ def main() -> None:
     ap.add_argument("--min-token-length", type=int, default=None)
     ap.add_argument("--stop-words", default=None,
                     help="stop-word file; 'none' disables the manifest list")
+    ap.add_argument("--schema", default="lnc.ltc",
+                    help="SMART ddd.qqq schema for the tfidf rankers "
+                         "(any doc-side l|b|n x c|b|n serves from the "
+                         "packed index)")
     ap.add_argument("--exhaustive", action="store_true",
                     help="disable block-max pruning (exact fallback path)")
     ap.add_argument("--serve-mode", choices=("auto", "local", "spark"),
@@ -139,13 +145,14 @@ def main() -> None:
         t1 = time.perf_counter()
         if local is not None:
             per_q = [
-                sorted(local.search(q, k=args.n, ranker=args.ranker),
+                sorted(local.search(q, k=args.n, ranker=args.ranker,
+                                    schema=args.schema),
                        key=lambda r: (r["rank"], r["doc_id"]))
                 for q in queries
             ]
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
-                                 args.n, args.exhaustive)
+                                 args.n, args.exhaustive, args.schema)
         dt = time.perf_counter() - t1
         for q, res in zip(queries, per_q):
             print(json.dumps({"query": q, "results": res}, default=str))
