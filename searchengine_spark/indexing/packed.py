@@ -563,7 +563,10 @@ class PackedIndex:
             DOC_ID, *self.manifest["order_cols"]
         )
         self.doc_norms = (
-            spark.read.parquet(dirs["doc_norms"])
+            spark.read.parquet(
+                dirs["doc_norms"],
+                *[fsio.join(path, "doc_norms_appends", str(b)) for b in epochs],
+            )
             if self.manifest.get("tfidf_sidecar")
             else None
         )

@@ -17,7 +17,10 @@ Semantics (defined by us, recorded in the manifest):
   table), idf recomputed on the merged rows for the new N;
 - appends may add a second row for an existing (term, chunk): the WAND
   scorer already concatenates same-chunk rows, and chunk upper bounds
-  remain valid upper bounds.
+  remain valid upper bounds;
+- ``tfidf_sidecar`` indexes get per-epoch ``doc_norms_appends/<batch_id>``
+  rows (the cosine norm is a pure per-doc function, so epoch extension is
+  exact); positional and non-freq payload indexes still REFUSE appends.
 
 Exactly-once commit protocol (readers + retries):
 - every append stages its files in epoch dirs INVISIBLE to readers
@@ -57,6 +60,7 @@ def _append_dirs(path: str, batch_id: int) -> dict:
     return {
         "docs": fsio.join(path, "docs_appends", f"{batch_id}"),
         "index": fsio.join(path, "index_appends", f"{batch_id}"),
+        "doc_norms": fsio.join(path, "doc_norms_appends", f"{batch_id}"),
         "term_stats": fsio.join(path, f"term_stats_v{batch_id}"),
     }
 
@@ -89,14 +93,6 @@ def append_batch(
         raise NotImplementedError(
             f"streaming append into a payload={manifest.get('payload')!r} "
             "index is not supported; build with payload='freq'"
-        )
-    if manifest.get("tfidf_sidecar"):
-        # appended docs would get no doc_norms rows and silently vanish
-        # from packed TF-IDF ranking (inner join on the sidecar).
-        raise NotImplementedError(
-            "streaming append into a tfidf_sidecar index is not supported: "
-            "appended docs would be missing from doc_norms and silently "
-            "drop out of TF-IDF ranking; rebuild with tfidf_sidecar=False"
         )
     committed = {a["batch_id"] for a in manifest.get("appends", [])}
     if batch_id in committed:
@@ -131,6 +127,32 @@ def append_batch(
     # staging writes: overwrite (a retried half-written epoch is replaced)
     chunks.write.mode("overwrite").parquet(adirs["index"])
     docs.write.mode("overwrite").parquet(adirs["docs"])
+
+    # tfidf sidecar: per-doc cosine norms for the BATCH's docs (a pure
+    # per-doc function — epoch-append-safe; ADVICE r02's "extend doc_norms
+    # per epoch" option). Columns mirror the BASE sidecar so the reader's
+    # multi-dir parquet union keeps one schema (pre-generalization indexes
+    # have only the lnc `nrm`).
+    if manifest.get("tfidf_sidecar"):
+        base_cols = spark.read.parquet(fsio.join(path, "doc_norms")).columns
+        tfagg = (
+            docs.select(DOC_ID, F.explode("tokens").alias("term"))
+            .groupBy(DOC_ID, "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        wr = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+        tfd = F.col("tf").cast("double")
+        aggs = [F.sqrt(F.sum(wr * wr)).alias("nrm")]
+        if "nrm_b" in base_cols:
+            aggs.append(F.sqrt(F.count("*").cast("double")).alias("nrm_b"))
+        if "nrm_n" in base_cols:
+            aggs.append(F.sqrt(F.sum(tfd * tfd)).alias("nrm_n"))
+        (
+            tfagg.groupBy(DOC_ID)
+            .agg(*aggs)
+            .write.mode("overwrite")
+            .parquet(adirs["doc_norms"])
+        )
 
     # streaming lineage sidecar: per-append doc ranges + counts
     (

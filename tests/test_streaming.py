@@ -125,3 +125,57 @@ def test_rerun_is_noop(spark, cfg, built):
     m = json.load(open(os.path.join(idx, "manifest.json")))
     assert m["n_docs"] == n0 + 5
     assert len(m.get("appends", [])) == 1
+
+
+def test_sidecar_append_tfidf_exact(spark, cfg, tmp_path):
+    """Appends into a tfidf_sidecar index extend doc_norms per epoch:
+    packed TF-IDF over base+append == exact path over the rebuilt union
+    corpus — for lnc (nrm) AND bnc (nrm_b) doc schemas — and appended-only
+    vocabulary is rankable (the round-2 refusal's failure mode was those
+    docs silently dropping out of the norms join)."""
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+    from searchengine_spark.query.tfidf import tfidf_topk_batch
+    from searchengine_spark.streaming.incremental import append_batch
+
+    corpus = transcripts_df(spark, n_conv=12)
+    idx = str(tmp_path / "idx")
+    build_packed_index(
+        corpus, cfg, idx, params=PARAMS, chunk_docs=256, tfidf_sidecar=True
+    )
+    rows = [
+        ("zzconv", i, "user", f"{PHRASE} appended ranking text {i}", None,
+         dt.datetime(2026, 3, 1, 0, 0, i))
+        for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    append_batch(batch, idx, cfg, batch_id=0)
+    pidx = load_packed_index(spark, idx)
+    assert set(pidx.doc_norms.columns) == {"doc_id", "nrm", "nrm_b", "nrm_n"}
+    # every APPENDED doc has an epoch norms row (token-less docs never get
+    # norms rows, in base builds and appends alike)
+    offset = pidx.manifest["n_docs"] - 4
+    assert pidx.doc_norms.filter(F.col("doc_id") >= offset).count() == 4
+
+    # "zzconv" sorts after every base conv_id -> the union rebuild assigns
+    # the SAME dense docIDs as base+offset (comparable directly)
+    it = build_index(corpus.unionByName(batch), cfg).cache()
+    queries = ["zxqv blorptastic", "greatest rock album", "appended ranking"]
+    for schema in ("lnc.ltc", "bnc.ltc"):
+        got = sorted(
+            (r["query_id"], round(r["score"], 9), r["doc_id"])
+            for r in tfidf_topk_packed_batch(
+                pidx, queries, cfg, k=100_000, schema=schema
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], round(r["score"], 9), r["doc_id"])
+            for r in tfidf_topk_batch(
+                it, queries, cfg, k=100_000, schema=schema
+            ).collect()
+        )
+        assert got == want and got, schema
+    # the appended-only-vocabulary query really ranks appended docs
+    hit = tfidf_topk_packed_batch(pidx, [queries[0]], cfg, k=10).collect()
+    assert hit and all(r["doc_id"] >= 12 * 30 for r in hit)  # appended range
+    it.unpersist()
