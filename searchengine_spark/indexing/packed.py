@@ -92,10 +92,12 @@ def _stage_dirs(path: str) -> dict:
     }
 
 
-def _encode_group(params: Bm25Params):
+def _encode_group(params: Bm25Params, payload: str = "freq"):
     """Per-(term, chunk) encoder for applyInPandas — used by the streaming
     append path where batches are small. The bulk build uses the vectorized
-    partition encoder below (_encode_partition)."""
+    partition encoder below (_encode_partition). ``payload='tfidf'``: the
+    dlq column carries wq (stored weight ×1000) and the chunk bound is the
+    max stored weight, mirroring _encode_partition."""
     k, b = float(params.k), float(params.b)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -104,7 +106,10 @@ def _encode_group(params: Bm25Params):
         tfs = pdf["tf"].to_numpy(np.int64)
         dlqs = pdf["dlq"].to_numpy(np.int64)
         dl_norm = dlqs.astype(np.float64) / 1000.0
-        sat = tf_saturation(tfs, dl_norm, k, b)
+        if payload == "tfidf":
+            sat = dl_norm  # slot 3 is wq: bound = max stored weight
+        else:
+            sat = tf_saturation(tfs, dl_norm, k, b)
         buf = encode_postings(doc_ids, tfs, dlqs)
         return pd.DataFrame(
             {

@@ -19,8 +19,9 @@ Semantics (defined by us, recorded in the manifest):
   scorer already concatenates same-chunk rows, and chunk upper bounds
   remain valid upper bounds;
 - ``tfidf_sidecar`` indexes get per-epoch ``doc_norms_appends/<batch_id>``
-  rows (the cosine norm is a pure per-doc function, so epoch extension is
-  exact); positional and non-freq payload indexes still REFUSE appends.
+  rows, and ``payload='tfidf'`` appends bake stored weights under the
+  manifest's doc schema (both are pure per-doc functions, so epoch
+  extension is exact); positional and boolean indexes still REFUSE.
 
 Exactly-once commit protocol (readers + retries):
 - every append stages its files in epoch dirs INVISIBLE to readers
@@ -85,14 +86,14 @@ def append_batch(
             "streaming append into a positional index is not supported; "
             "rebuild, or build the index with positional=False"
         )
-    if manifest.get("payload", "freq") != "freq":
-        # _encode_group emits freq-format (gap, tf, dlq) triples; a
-        # boolean-payload reader would decode them as doc gaps (garbage
-        # doc_ids) and a tfidf-payload reader would take dlq for weights —
-        # both silently WRONG, so refuse instead (ADVICE r02).
+    payload = manifest.get("payload", "freq")
+    if payload == "boolean":
+        # _encode_group emits (gap, tf, wq-or-dlq) triples; a boolean
+        # reader would decode them as doc gaps — garbage doc_ids, silently
+        # WRONG, so refuse (ADVICE r02). freq and tfidf payloads append.
         raise NotImplementedError(
-            f"streaming append into a payload={manifest.get('payload')!r} "
-            "index is not supported; build with payload='freq'"
+            "streaming append into a payload='boolean' index is not "
+            "supported; build with payload='freq' or 'tfidf'"
         )
     committed = {a["batch_id"] for a in manifest.get("appends", [])}
     if batch_id in committed:
@@ -117,12 +118,38 @@ def append_batch(
         unpersist_doc_ids(id_handle)
         return manifest
 
-    dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
-    tok = docs.select(DOC_ID, dlq.alias("dlq"), F.explode("tokens").alias("term"))
-    tf = tok.groupBy("term", DOC_ID, "dlq").agg(F.count("*").alias("tf"))
+    if payload == "tfidf":
+        # 'doc:freq/w' payload: the triple's third slot is the stored-3dp
+        # weight ×1000 under the manifest's baked doc schema — the same
+        # Spark expressions as the base build (packed.py) and
+        # tfidf.tfidf_weights, so appended stored weights are bit-identical
+        # to a rebuild's
+        from ..query.tfidf import _uniform_tf_col
+
+        doc_schema = manifest.get("tfidf_doc_schema", "lnc")
+        occ = docs.select(DOC_ID, F.explode("tokens").alias("term"))
+        tfagg = occ.groupBy("term", DOC_ID).agg(F.count("*").alias("tf"))
+        wr = _uniform_tf_col(F.col("tf"), doc_schema[0])
+        if doc_schema[2] == "c":
+            norms = tfagg.groupBy(DOC_ID).agg(
+                F.sqrt(F.sum(wr * wr)).alias("_nrm")
+            ).select(F.col(DOC_ID).alias("_nd"), "_nrm")
+            tf = tfagg.join(norms, F.col(DOC_ID) == F.col("_nd"))
+            w_raw = wr / F.col("_nrm")
+        else:
+            tf = tfagg
+            w_raw = F.lit(1.0) if doc_schema[2] == "n" else wr
+        tf = tf.select(
+            "term", DOC_ID, "tf",
+            F.round(F.bround(w_raw, 3) * 1000.0).cast("long").alias("dlq"),
+        )
+    else:
+        dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
+        tok = docs.select(DOC_ID, dlq.alias("dlq"), F.explode("tokens").alias("term"))
+        tf = tok.groupBy("term", DOC_ID, "dlq").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("chunk", (F.col(DOC_ID) / chunk_docs).cast("long"))
     chunks = tf.groupBy("term", "chunk").applyInPandas(
-        _encode_group(params), schema=INDEX_SCHEMA
+        _encode_group(params, payload), schema=INDEX_SCHEMA
     )
     # staging writes: overwrite (a retried half-written epoch is replaced)
     chunks.write.mode("overwrite").parquet(adirs["index"])

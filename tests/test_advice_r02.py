@@ -1,8 +1,9 @@
 """Regression gates for the round-2 ADVICE findings.
 
-1. append_batch must REFUSE payload != 'freq' indexes (it would silently
-   corrupt boolean/tfidf decode). tfidf_sidecar indexes were refused in
-   round 2 and are SUPPORTED since round 3 (per-epoch doc_norms).
+1. append_batch must REFUSE payload='boolean' indexes (it would silently
+   corrupt doc-gap decode). tfidf_sidecar and payload='tfidf' indexes were
+   refused in round 2 and are SUPPORTED since round 3 (per-epoch
+   doc_norms / baked epoch weights).
 2. the with_doc_ids internal persist must actually be RELEASED by every
    caller (it used to be a silent no-op: the handle lived on the exact
    DataFrame object with_doc_ids returned and withColumn/select derivations
@@ -48,9 +49,9 @@ def _n_persistent(spark) -> int:
     "kwargs,msg",
     [
         ({"payload": "boolean"}, "payload='boolean'"),
-        ({"payload": "tfidf"}, "payload='tfidf'"),
-        # tfidf_sidecar appends are SUPPORTED since round 3 (per-epoch
-        # doc_norms) — gated in tests/test_streaming.py, no longer refused
+        # tfidf_sidecar and payload='tfidf' appends are SUPPORTED since
+        # round 3 (per-epoch doc_norms / baked epoch weights) — gated in
+        # tests/test_streaming.py, no longer refused
     ],
 )
 def test_append_refuses_non_freq_indexes(spark, tmp_path, kwargs, msg):

@@ -179,3 +179,51 @@ def test_sidecar_append_tfidf_exact(spark, cfg, tmp_path):
     hit = tfidf_topk_packed_batch(pidx, [queries[0]], cfg, k=10).collect()
     assert hit and all(r["doc_id"] >= 12 * 30 for r in hit)  # appended range
     it.unpersist()
+
+
+@pytest.mark.parametrize("doc_schema", ["lnc", "bnc"])
+def test_tfidf_payload_append_exact(spark, cfg, tmp_path, doc_schema):
+    """payload='tfidf' appends bake stored weights under the manifest's
+    doc schema: packed joinless serving over base+append == exact path
+    over the rebuilt union corpus, and appended stored weights are
+    bit-identical to a rebuild's (exploded_view vs tfidf_weights)."""
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.indexing.packed import exploded_view
+    from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+    from searchengine_spark.query.tfidf import tfidf_topk_batch, tfidf_weights
+    from searchengine_spark.streaming.incremental import append_batch
+
+    corpus = transcripts_df(spark, n_conv=10)
+    idx = str(tmp_path / f"idx_{doc_schema}")
+    build_packed_index(
+        corpus, cfg, idx, params=PARAMS, chunk_docs=256, payload="tfidf",
+        tfidf_doc_schema=doc_schema,
+    )
+    rows = [
+        ("zzconv", i, "user", f"{PHRASE} payload append text {i}", None,
+         dt.datetime(2026, 4, 1, 0, 0, i))
+        for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    append_batch(batch, idx, cfg, batch_id=0)
+    pidx = load_packed_index(spark, idx)
+
+    it = build_index(corpus.unionByName(batch), cfg).cache()
+    schema = f"{doc_schema}.ltc"
+    dec = exploded_view(pidx).select("term", "doc_id", "w")
+    ref = tfidf_weights(it, schema).select("term", "doc_id", "w")
+    assert dec.exceptAll(ref).union(ref.exceptAll(dec)).count() == 0
+
+    queries = ["zxqv blorptastic", "greatest rock album"]
+    got = sorted(
+        (r["query_id"], round(r["score"], 9), r["doc_id"])
+        for r in tfidf_topk_packed_batch(
+            pidx, queries, cfg, k=100_000, schema=schema
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], round(r["score"], 9), r["doc_id"])
+        for r in tfidf_topk_batch(it, queries, cfg, k=100_000, schema=schema).collect()
+    )
+    assert got == want and got
+    it.unpersist()
