@@ -92,25 +92,51 @@ def _stage_dirs(path: str) -> dict:
     }
 
 
-def _encode_group(params: Bm25Params, payload: str = "freq"):
+def _encode_group(params: Bm25Params, payload: str = "freq",
+                  positional: bool = False):
     """Per-(term, chunk) encoder for applyInPandas — used by the streaming
     append path where batches are small. The bulk build uses the vectorized
     partition encoder below (_encode_partition). ``payload='tfidf'``: the
     dlq column carries wq (stored weight ×1000) and the chunk bound is the
-    max stored weight, mirroring _encode_partition."""
+    max stored weight. ``payload='boolean'``: doc gaps only (bound 1.0).
+    ``positional=True``: input rows are token OCCURRENCES (doc_id, dlq,
+    pos); postings derive from run lengths and the position stream encodes
+    per-posting deltas — all mirroring _encode_partition."""
     k, b = float(params.k), float(params.b)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dlqs = pdf["dlq"].to_numpy(np.int64)
-        dl_norm = dlqs.astype(np.float64) / 1000.0
-        if payload == "tfidf":
-            sat = dl_norm  # slot 3 is wq: bound = max stored weight
+        from .codec import encode_doc_groups, encode_position_groups
+
+        pos_buf = None
+        if positional:
+            pdf = pdf.sort_values(["doc_id", "pos"])
+            occ_docs = pdf["doc_id"].to_numpy(np.int64)
+            n = len(occ_docs)
+            newp = np.empty(n, dtype=bool)
+            newp[0] = True
+            newp[1:] = occ_docs[1:] != occ_docs[:-1]
+            pstarts = np.flatnonzero(newp)
+            doc_ids = occ_docs[pstarts]
+            tfs = np.diff(np.append(pstarts, n))
+            dlqs = pdf["dlq"].to_numpy(np.int64)[pstarts]
+            pos_buf = encode_position_groups(
+                np.zeros(1, np.int64), pstarts, pdf["pos"].to_numpy(np.int64)
+            )[0]
         else:
-            sat = tf_saturation(tfs, dl_norm, k, b)
-        buf = encode_postings(doc_ids, tfs, dlqs)
+            pdf = pdf.sort_values("doc_id")
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dlqs = pdf["dlq"].to_numpy(np.int64)
+        dl_norm = dlqs.astype(np.float64) / 1000.0
+        if payload == "boolean":
+            buf = encode_doc_groups(np.zeros(1, np.int64), doc_ids)[0][0]
+            sat = np.ones(1, dtype=np.float64)
+        else:
+            buf = encode_postings(doc_ids, tfs, dlqs)
+            if payload == "tfidf":
+                sat = dl_norm  # slot 3 is wq: bound = max stored weight
+            else:
+                sat = tf_saturation(tfs, dl_norm, k, b)
         return pd.DataFrame(
             {
                 "term": [pdf["term"].iloc[0]],
@@ -120,7 +146,7 @@ def _encode_group(params: Bm25Params, payload: str = "freq"):
                 "last_doc": [int(doc_ids[-1])],
                 "max_tfsat": [float(sat.max())],
                 "postings": [buf],
-                "positions": [None],
+                "positions": [pos_buf],
             }
         )
 

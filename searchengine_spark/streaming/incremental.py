@@ -18,10 +18,13 @@ Semantics (defined by us, recorded in the manifest):
 - appends may add a second row for an existing (term, chunk): the WAND
   scorer already concatenates same-chunk rows, and chunk upper bounds
   remain valid upper bounds;
-- ``tfidf_sidecar`` indexes get per-epoch ``doc_norms_appends/<batch_id>``
-  rows, and ``payload='tfidf'`` appends bake stored weights under the
-  manifest's doc schema (both are pure per-doc functions, so epoch
-  extension is exact); positional and boolean indexes still REFUSE.
+- EVERY build configuration appends: ``tfidf_sidecar`` indexes get
+  per-epoch ``doc_norms_appends/<batch_id>`` rows, ``payload='tfidf'``
+  appends bake stored weights under the manifest's doc schema (both pure
+  per-doc functions — epoch extension exact), ``payload='boolean'``
+  appends encode doc gaps, and positional appends encode the per-posting
+  position delta stream (widening the manifest dl_norm bounds so the
+  BM25_OPTIMIZED boost normalization stays in-domain for appended docs).
 
 Exactly-once commit protocol (readers + retries):
 - every append stages its files in epoch dirs INVISIBLE to readers
@@ -79,22 +82,8 @@ def append_batch(
     spark = batch.sparkSession
     dirs = _stage_dirs(path)
     manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
-    if manifest.get("positional"):
-        # _encode_group writes positions=None; appending it to a positional
-        # index would silently corrupt positional serving (bytes(None)).
-        raise NotImplementedError(
-            "streaming append into a positional index is not supported; "
-            "rebuild, or build the index with positional=False"
-        )
     payload = manifest.get("payload", "freq")
-    if payload == "boolean":
-        # _encode_group emits (gap, tf, wq-or-dlq) triples; a boolean
-        # reader would decode them as doc gaps — garbage doc_ids, silently
-        # WRONG, so refuse (ADVICE r02). freq and tfidf payloads append.
-        raise NotImplementedError(
-            "streaming append into a payload='boolean' index is not "
-            "supported; build with payload='freq' or 'tfidf'"
-        )
+    positional = bool(manifest.get("positional"))
     committed = {a["batch_id"] for a in manifest.get("appends", [])}
     if batch_id in committed:
         return manifest  # retried after a successful commit: no-op
@@ -143,13 +132,21 @@ def append_batch(
             "term", DOC_ID, "tf",
             F.round(F.bround(w_raw, 3) * 1000.0).cast("long").alias("dlq"),
         )
+    elif positional:
+        # occurrence rows: the group encoder derives run-length tfs and the
+        # per-posting position delta stream (mirrors the base build)
+        dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
+        tf = docs.select(
+            DOC_ID, dlq.alias("dlq"),
+            F.posexplode("tokens").alias("pos", "term"),
+        )
     else:
         dlq = F.round(F.round(F.col("dl") / F.lit(avgdl), 3) * 1000.0).cast("long")
         tok = docs.select(DOC_ID, dlq.alias("dlq"), F.explode("tokens").alias("term"))
         tf = tok.groupBy("term", DOC_ID, "dlq").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("chunk", (F.col(DOC_ID) / chunk_docs).cast("long"))
     chunks = tf.groupBy("term", "chunk").applyInPandas(
-        _encode_group(params, payload), schema=INDEX_SCHEMA
+        _encode_group(params, payload, positional), schema=INDEX_SCHEMA
     )
     # staging writes: overwrite (a retried half-written epoch is replaced)
     chunks.write.mode("overwrite").parquet(adirs["index"])
@@ -195,6 +192,18 @@ def append_batch(
         .write.mode("append")
         .parquet(fsio.join(path, "lineage_stream"))
     )
+    # positional indexes serve BM25_OPTIMIZED, whose boost normalizes by
+    # the manifest dl_norm bounds — widen them with the batch (the rebuild-
+    # consistent direction; values stay on the frozen avgdl) so appended
+    # docs can't push log2((d-min)/(max-min)+1) out of domain
+    dl_bounds = None
+    if positional:
+        r = docs.agg(
+            F.min(F.round(F.col("dl") / F.lit(avgdl), 3)),
+            F.max(F.round(F.col("dl") / F.lit(avgdl), 3)),
+        ).collect()[0]
+        dl_bounds = (float(r[0]), float(r[1]))
+
     docs.unpersist()
     unpersist_doc_ids(id_handle)
 
@@ -217,6 +226,9 @@ def append_batch(
 
     # ---- the commit point: one atomic manifest replace --------------------
     prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
+    if dl_bounds is not None:
+        manifest["dl_norm_min"] = min(manifest["dl_norm_min"], dl_bounds[0])
+        manifest["dl_norm_max"] = max(manifest["dl_norm_max"], dl_bounds[1])
     manifest["n_docs"] = n_docs
     manifest["n_postings"] = int(manifest["n_postings"]) + n_post_delta
     manifest["term_stats_dir"] = f"term_stats_v{batch_id}"

@@ -103,20 +103,111 @@ def test_append_retry_is_idempotent(spark, cfg, built):
     assert len(after.get("appends", [])) == len(before.get("appends", []))
 
 
-def test_positional_append_refused(spark, cfg, tmp_path):
-    import datetime as dt
-
+def test_positional_append_exact(spark, cfg, tmp_path):
+    """Positional appends encode the per-posting position stream: appended
+    rows decode identically to a positional rebuild of the union corpus
+    (term/doc/tf/positions — avgdl-free), TF_IDF_OPTIMIZED (whose boost
+    uses no dl normalization) is fully rebuild-exact, and BM25_OPTIMIZED
+    ranks appended-vocabulary docs (its dl_norms keep the documented
+    frozen-avgdl append semantics)."""
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.indexing.packed import exploded_view
+    from searchengine_spark.query.proximity import (
+        proximity_topk_batch,
+        proximity_topk_packed_batch,
+    )
     from searchengine_spark.streaming.incremental import append_batch
 
+    corpus = transcripts_df(spark, n_conv=10)
     idx = str(tmp_path / "pidx")
     build_packed_index(
-        transcripts_df(spark, n_conv=5), cfg, idx, params=PARAMS,
-        chunk_docs=256, positional=True,
+        corpus, cfg, idx, params=PARAMS, chunk_docs=256, positional=True,
+        tfidf_sidecar=True,
     )
-    rows = [("zconv9", 0, "user", "some text", None, dt.datetime(2026, 3, 1))]
+    rows = [
+        ("zzconv", i, "user", f"{PHRASE} positional append {i} {PHRASE}", None,
+         dt.datetime(2026, 5, 1, 0, 0, i))
+        for i in range(4)
+    ]
     batch = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
-    with pytest.raises(NotImplementedError):
-        append_batch(batch, idx, cfg, batch_id=1)
+    append_batch(batch, idx, cfg, batch_id=0)
+    pidx = load_packed_index(spark, idx)
+    offset = pidx.manifest["n_docs"] - 4
+
+    union = corpus.unionByName(batch)
+    it = build_index(union, cfg, positional=True).cache()
+    # decoded appended rows == positional rebuild (positions exact)
+    dec = exploded_view(pidx, include_positions=True).filter(
+        F.col("doc_id") >= offset
+    ).select("term", "doc_id", "tf", "positions")
+    ref = it.index.filter(F.col("doc_id") >= offset).select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf"),
+        F.array_join(F.col("positions").cast("array<string>"), ",").alias("positions"),
+    )
+    assert dec.exceptAll(ref).union(ref.exceptAll(dec)).count() == 0
+    # TF_IDF_OPTIMIZED: packed-after-append == exact over rebuilt union
+    queries = ["zxqv blorptastic", "greatest rock album"]
+    got = sorted(
+        (r["query_id"], round(r["score"], 9), r["doc_id"])
+        for r in proximity_topk_packed_batch(
+            pidx, queries, cfg, k=100_000, params=PARAMS, mode="tfidf"
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], round(r["score"], 9), r["doc_id"])
+        for r in proximity_topk_batch(
+            it, queries, cfg, k=100_000, mode="tfidf", params=PARAMS
+        ).collect()
+    )
+    assert got == want and got
+    # BM25_OPTIMIZED serves appended docs (frozen-avgdl semantics)
+    hit = proximity_topk_packed_batch(
+        pidx, [queries[0]], cfg, k=10, params=PARAMS, mode="bm25"
+    ).collect()
+    assert hit and all(r["doc_id"] >= offset for r in hit)
+    it.unpersist()
+
+
+def test_boolean_append_exact(spark, cfg, tmp_path):
+    """Boolean-payload appends encode doc gaps: AND/OR retrieval over
+    base+append equals set algebra over a rebuilt exact index."""
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.query.wand import boolean_search_packed
+    from searchengine_spark.streaming.incremental import append_batch
+
+    corpus = transcripts_df(spark, n_conv=10)
+    idx = str(tmp_path / "bidx")
+    build_packed_index(
+        corpus, cfg, idx, params=PARAMS, chunk_docs=256, payload="boolean"
+    )
+    rows = [
+        ("zzconv", i, "user", f"{PHRASE} boolean append {i}", None,
+         dt.datetime(2026, 6, 1, 0, 0, i))
+        for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    append_batch(batch, idx, cfg, batch_id=0)
+    pidx = load_packed_index(spark, idx)
+
+    it = build_index(corpus.unionByName(batch), cfg).cache()
+    from searchengine_spark.tokenizer import tokenize_text
+
+    for q in ["zxqv blorptastic", "greatest rock album"]:
+        terms = list(dict.fromkeys(tokenize_text(q, cfg)))
+        sets = {
+            t: {r["doc_id"] for r in
+                it.index.filter(F.col("term") == t).select("doc_id").collect()}
+            for t in terms
+        }
+        want_and = set.intersection(*sets.values()) if all(sets.values()) else set()
+        want_or = set.union(*sets.values())
+        got_and = {r["doc_id"] for r in
+                   boolean_search_packed(pidx, [q], cfg, op="and").collect()}
+        got_or = {r["doc_id"] for r in
+                  boolean_search_packed(pidx, [q], cfg, op="or").collect()}
+        assert got_and == want_and and got_or == want_or, q
+    assert any(d >= 300 for d in got_or)  # appended docs present
+    it.unpersist()
 
 
 def test_rerun_is_noop(spark, cfg, built):
