@@ -245,6 +245,22 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phrase retrieval over the positional index (query/phrase.py): corpus
+# phrases chosen so both a dense bigram (47 docs) and a multi-occurrence
+# trigram (9 occurrences across 6 docs) are exercised.
+PHRASES = ["table hash", "slow hash batch"]
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (positional postings, MRS Ch. 2.4): docs where
+    every phrase slot matches consecutively post-tokenization; ranked by
+    occurrence count. All-integer output — no float policy needed."""
+    from searchengine_spark.query.phrase import phrase_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return phrase_topk_batch(it, PHRASES, CFG, k=10)
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": q_boolean_or,
         "docid_dense": q_docid_dense,
         "positional_index": q_positional_index,
+        "phrase_topk": q_phrase_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1017,6 +1034,51 @@ SELECT term, doc_id, count(*)::BIGINT AS tf,
        string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
 FROM posed WHERE term IN ('vector', 'merge')
 GROUP BY term, doc_id
+"""
+
+    phrase_slot_rows = [
+        (qid, slot, term)
+        for qid, p in enumerate(PHRASES)
+        for slot, term in enumerate(tokenize_text(p, CFG))
+    ]
+    phrase_slot_vals = ", ".join(
+        f"({q}, {s}, {_sql_quote(t)})" for q, s, t in phrase_slot_rows
+    )
+    phrase_n_vals = ", ".join(
+        f"({qid}, {len(tokenize_text(p, CFG))})" for qid, p in enumerate(PHRASES)
+    )
+    sqls["phrase_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+posed AS (
+  SELECT doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok, (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens)
+),
+s(query_id, slot, term) AS (VALUES {phrase_slot_vals}),
+qn(query_id, n) AS (VALUES {phrase_n_vals}),
+hits AS (
+  SELECT s.query_id, s.slot, posed.doc_id, posed.pos - s.slot AS start
+  FROM posed JOIN s USING (term)
+),
+occ AS (
+  SELECT h.query_id, h.doc_id, h.start
+  FROM hits h JOIN qn USING (query_id)
+  GROUP BY h.query_id, h.doc_id, h.start, qn.n
+  HAVING count(DISTINCT h.slot) = qn.n
+),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_occurrences,
+         min(start)::BIGINT AS first_pos
+  FROM occ GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_occurrences, first_pos,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
 """
 
     # ---------------- training-data pipeline ops ----------------

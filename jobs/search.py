@@ -5,7 +5,7 @@ Batch:
 
     spark-submit --py-files searchengine_spark.zip jobs/search.py \\
         --index <index path> --query "greatest rock album" [-n 10] \\
-        [--ranker bm25|bm25_optimized|tfidf|tfidf_optimized|boolean_and|boolean_or] \\
+        [--ranker bm25|bm25_optimized|tfidf|tfidf_optimized|boolean_and|boolean_or|phrase] \\
         [--exhaustive] [--relevance queries.relevance.txt]
 
 Interactive (reference src/searcher.py:73-84 REPL analog) — omit --query
@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RANKERS = (
     "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
-    "boolean_and", "boolean_or",
+    "boolean_and", "boolean_or", "phrase",
 )
 
 
@@ -62,6 +62,15 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
             pidx, queries, cfg, k=n, mode="tfidf", schema=schema)
     elif ranker == "tfidf":
         topk = tfidf_topk_packed_batch(pidx, queries, cfg, k=n, schema=schema)
+    elif ranker == "phrase":  # exact-phrase retrieval (positional build)
+        from searchengine_spark.query.phrase import phrase_topk_packed_batch
+
+        ph = phrase_topk_packed_batch(pidx, queries, cfg, k=n)
+        topk = ph.select(
+            "query_id", "doc_id",
+            F.col("n_occurrences").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     else:  # boolean_and / boolean_or — unranked set retrieval
         op = ranker.split("_")[1]
         hits = boolean_search_packed(pidx, queries, cfg, op=op)
@@ -144,12 +153,17 @@ def main() -> None:
     def serve(queries: list[str]) -> None:
         t1 = time.perf_counter()
         if local is not None:
-            per_q = [
-                sorted(local.search(q, k=args.n, ranker=args.ranker,
-                                    schema=args.schema),
-                       key=lambda r: (r["rank"], r["doc_id"]))
-                for q in queries
-            ]
+            if args.ranker == "phrase":
+                from searchengine_spark.query.phrase import local_phrase
+
+                per_q = [local_phrase(local, q, k=args.n) for q in queries]
+            else:
+                per_q = [
+                    sorted(local.search(q, k=args.n, ranker=args.ranker,
+                                        schema=args.schema),
+                           key=lambda r: (r["rank"], r["doc_id"]))
+                    for q in queries
+                ]
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema)

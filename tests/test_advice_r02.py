@@ -45,23 +45,10 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-@pytest.mark.parametrize(
-    "kwargs,msg",
-    [
-        ({"payload": "boolean"}, "payload='boolean'"),
-        # tfidf_sidecar and payload='tfidf' appends are SUPPORTED since
-        # round 3 (per-epoch doc_norms / baked epoch weights) — gated in
-        # tests/test_streaming.py, no longer refused
-    ],
-)
-def test_append_refuses_non_freq_indexes(spark, tmp_path, kwargs, msg):
-    idx = str(tmp_path / "idx")
-    build_packed_index(
-        transcripts_df(spark, n_conv=6), CFG, idx, params=PARAMS,
-        chunk_docs=64, **kwargs,
-    )
-    with pytest.raises(NotImplementedError, match=msg.split("=")[0]):
-        append_batch(_batch(spark), idx, CFG, batch_id=0)
+# The round-2 ADVICE refusal matrix is fully superseded: appends into
+# tfidf_sidecar, payload='tfidf', positional AND payload='boolean' indexes
+# are all SUPPORTED since round 3 and gated in tests/test_streaming.py
+# (per-epoch doc_norms / baked epoch weights / position deltas / doc gaps).
 
 
 def test_packed_build_releases_docid_persist(spark, tmp_path):

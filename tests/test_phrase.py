@@ -1,0 +1,155 @@
+"""Exact-phrase retrieval gates: handcrafted expectations on a tiny corpus,
+brute-force Python oracle on the transcripts fixture, and three-way parity
+exact ≡ packed ≡ LocalSearcher."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.build import build_index
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.phrase import (
+    local_phrase,
+    phrase_topk_batch,
+    phrase_topk_packed_batch,
+)
+from searchengine_spark.query.serve import LocalSearcher
+from searchengine_spark.tokenizer import TokenizerConfig, tokenize_text
+
+N_CONV = 60
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=N_CONV, n_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def exact(corpus, cfg):
+    return build_index(corpus, cfg, positional=True).cache()
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("phrasepacked") / "idx")
+    build_packed_index(corpus, cfg, path, chunk_docs=256, positional=True)
+    return load_packed_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(exact):
+    return {
+        int(r["doc_id"]): list(r["tokens"])
+        for r in exact.docs.select("doc_id", "tokens").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def phrases(doc_tokens, cfg):
+    """Real phrases harvested from the corpus plus known-tricky shapes."""
+    toks_by_len = sorted(doc_tokens.items(), key=lambda kv: -len(kv[1]))
+    long_doc = toks_by_len[0][1]
+    got = [
+        " ".join(long_doc[2:4]),      # present bigram
+        " ".join(long_doc[5:8]),      # present trigram
+        long_doc[0],                  # single-term phrase: occurrences == tf
+        " ".join([long_doc[1]] * 2),  # repeated-term phrase
+        "zzzzunseen " + long_doc[0],  # absent term -> empty
+    ]
+    assert all(tokenize_text(p, cfg) for p in got[:4])
+    return got
+
+
+def brute_phrase(doc_tokens, slots):
+    n = len(slots)
+    out = {}
+    for doc_id, toks in doc_tokens.items():
+        starts = [
+            p
+            for p in range(len(toks) - n + 1)
+            if all(toks[p + i] == slots[i] for i in range(n))
+        ]
+        if starts:
+            out[doc_id] = (len(starts), starts[0])
+    return out
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["doc_id"]): (r["n_occurrences"], r["first_pos"], r["rank"])
+        for r in df.collect()
+    }
+
+
+def test_tiny_corpus_handcrafted(spark, stop_words):
+    cfg = TokenizerConfig(min_token_length=3, stop_words=stop_words)
+    rows = [
+        ("c0", 0, "user", "merge sort beats quick sort", None, None),
+        ("c1", 0, "user", "merge the sort keys", None, None),  # stop word gap
+        ("c2", 0, "user", "merge merge sort merge sort", None, None),
+        ("c3", 0, "user", "sort merge", None, None),
+        ("c4", 0, "user", "nothing relevant here", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    it = build_index(df, cfg, positional=True)
+    got = _rows(phrase_topk_batch(it, ["merge sort"], cfg, k=None))
+    # 'the' is a stop word -> c1 tokenizes to [merge, sort, keys]: adjacent
+    # post-filter. c2 = [merge, merge, sort, merge, sort] has TWO
+    # occurrences (starts 1 and 3); c3 is reversed -> no match.
+    assert got == {
+        (0, 2): (2, 1, 1),  # two occurrences -> rank 1
+        (0, 0): (1, 0, 2),  # one occurrence at start 0, doc tie-break
+        (0, 1): (1, 0, 3),
+    }
+
+
+def test_exact_vs_brute(exact, doc_tokens, phrases, cfg):
+    got = _rows(phrase_topk_batch(exact, phrases, cfg, k=None))
+    for qid, p in enumerate(phrases):
+        slots = tokenize_text(p, cfg)
+        want = brute_phrase(doc_tokens, slots) if slots else {}
+        got_q = {d: v for (q, d), v in got.items() if q == qid}
+        assert {d: v[:2] for d, v in got_q.items()} == want, p
+        # rank ordering: by occurrences desc then doc_id
+        ranked = sorted(got_q.items(), key=lambda kv: kv[1][2])
+        assert [d for d, _ in ranked] == [
+            d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        ]
+
+
+def test_packed_equals_exact(exact, packed, phrases, cfg):
+    want = _rows(phrase_topk_batch(exact, phrases, cfg, k=10))
+    got = _rows(phrase_topk_packed_batch(packed, phrases, cfg, k=10))
+    assert got == want
+
+
+def test_local_equals_packed(packed, phrases, cfg):
+    want = _rows(phrase_topk_packed_batch(packed, phrases, cfg, k=10))
+    searcher = LocalSearcher(packed, preload=False, cfg=cfg)
+    for qid, p in enumerate(phrases):
+        rows = local_phrase(searcher, p, k=10, resolve=False)
+        got = {
+            (qid, r["doc_id"]): (r["n_occurrences"], r["first_pos"], r["rank"])
+            for r in rows
+        }
+        assert got == {kk: v for kk, v in want.items() if kk[0] == qid}, p
+
+
+def test_local_resolves_external_ids(packed, phrases, cfg):
+    searcher = LocalSearcher(packed, preload=False, cfg=cfg)
+    rows = local_phrase(searcher, phrases[0], k=5)
+    assert rows and all("conv_id" in r and "turn_idx" in r for r in rows)
+
+
+def test_nonpositional_refuses(corpus, cfg, spark, tmp_path_factory):
+    it = build_index(corpus, cfg, positional=False)
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk_batch(it, ["merge sort"], cfg)
