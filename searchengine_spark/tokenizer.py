@@ -100,7 +100,7 @@ def _make_stemmer(lang: str):
     the reference stems through nltk, src/models/tokenizer.py:59-70);
     otherwise the vendored from-spec Snowball implementations: english
     (Porter2, stemmer.py), spanish (stemmer_es.py), french
-    (stemmer_fr.py)."""
+    (stemmer_fr.py), portuguese (stemmer_pt.py)."""
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
 
@@ -120,10 +120,14 @@ def _make_stemmer(lang: str):
             from .stemmer_fr import FrenchStemmer
 
             return FrenchStemmer()
+        if lang == "portuguese":
+            from .stemmer_pt import PortugueseStemmer
+
+            return PortugueseStemmer()
         raise ImportError(
             f"stem_lang={lang!r} requires a working nltk (not installed); "
-            "vendored fallbacks cover english/spanish/french "
-            "(stemmer.py, stemmer_es.py, stemmer_fr.py)"
+            "vendored fallbacks cover english/spanish/french/portuguese "
+            "(stemmer.py, stemmer_es.py, stemmer_fr.py, stemmer_pt.py)"
         ) from exc
 
 

@@ -1,9 +1,10 @@
-"""Spanish + French Snowball stemmer gates (vendored from the published
-algorithm descriptions, stemmer_es.py / stemmer_fr.py).
+"""Spanish + French + Portuguese Snowball stemmer gates (vendored from the
+published algorithm descriptions, stemmer_es.py / stemmer_fr.py /
+stemmer_pt.py).
 
 Golden vectors are hand-traced through the published specs
-(snowballstem.org/algorithms/{spanish,french}/stemmer.html) — each entry
-was verified step-by-step (regions, longest-match suffix, rule
+(snowballstem.org/algorithms/{spanish,french,portuguese}/stemmer.html) —
+each entry was verified step-by-step (regions, longest-match suffix, rule
 conditions). The nltk cross-check auto-activates when nltk is importable
 (the reference environment) — that is the full-vocabulary parity path.
 """
@@ -14,6 +15,7 @@ import pytest
 
 from searchengine_spark.stemmer_es import stem_spanish
 from searchengine_spark.stemmer_fr import stem_french
+from searchengine_spark.stemmer_pt import stem_portuguese
 from searchengine_spark.tokenizer import TokenizerConfig, tokenize_text
 
 GOLDEN_ES = {
@@ -75,9 +77,40 @@ GOLDEN_FR = {
 }
 
 
+GOLDEN_PT = {
+    # step 1 standard suffixes (R2-gated) + developments
+    "amoroso": "amor", "amorosamente": "amor", "rapidamente": "rapid",
+    "nacionalidade": "nacional", "nacionalização": "nacionaliz",
+    "comunicação": "comunic", "importante": "import", "felicidade": "felic",
+    "experiência": "experient", "trabalhadores": "trabalh",
+    # R2 too short -> step-1 suffix refused, later steps pick up the rest
+    "lógica": "lógic", "pensamento": "pensament", "pensamentos": "pensament",
+    "cidades": "cidad", "cidade": "cidad", "biologia": "biolog",
+    # step 2 verb suffixes
+    "falando": "fal", "falaram": "fal", "bebendo": "beb", "partiu": "part",
+    "chegou": "cheg", "cheguei": "chegu", "trabalhando": "trabalh",
+    "grandes": "grand",
+    # step 3: i after c
+    "diferenciei": "diferenc",
+    # step 4 residuals (accents are KEPT, unlike Spanish)
+    "bonito": "bonit", "bonita": "bonit", "meninos": "menin",
+    "ativa": "ativ", "trabalho": "trabalh",
+    # step 5: final e with gu adjustment; ç -> c; nasal postlude
+    "pague": "pag", "esperança": "esperanc", "corações": "coraçõ",
+    "cão": "cã",
+    # short words unchanged
+    "de": "de", "os": "os", "": "",
+}
+
+
 @pytest.mark.parametrize("word,want", sorted(GOLDEN_ES.items()))
 def test_golden_spanish(word, want):
     assert stem_spanish(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(GOLDEN_PT.items()))
+def test_golden_portuguese(word, want):
+    assert stem_portuguese(word) == want
 
 
 @pytest.mark.parametrize("word,want", sorted(GOLDEN_FR.items()))
@@ -103,6 +136,10 @@ def test_tokenizer_dispatch_langs():
     assert tokenize_text("les chevaux arrivaient", cfg_fr) == [
         "le", "cheval", "arriv"
     ]
+    cfg_pt = TokenizerConfig(min_token_length=2, stem_lang="portuguese")
+    assert tokenize_text("os meninos falando", cfg_pt) == [
+        "os", "menin", "fal"
+    ]
     with pytest.raises(ImportError, match="english/spanish/french"):
         tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="german"))
 
@@ -110,6 +147,7 @@ def test_tokenizer_dispatch_langs():
 @pytest.mark.parametrize("lang,text,query,stem", [
     ("spanish", "los trabajadores trabajando duro", "trabajos", "trabaj"),
     ("french", "les joueurs jouaient au ballon", "jouer", "jou"),
+    ("portuguese", "os trabalhadores trabalhando muito", "trabalho", "trabalh"),
 ])
 def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
     """Build + query a stemmed index per language: a different inflection
@@ -128,6 +166,7 @@ def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
 
 @pytest.mark.parametrize("lang,fn", [
     ("spanish", stem_spanish), ("french", stem_french),
+    ("portuguese", stem_portuguese),
 ])
 def test_nltk_parity_when_available(lang, fn):
     """Full parity vs nltk's SnowballStemmer — the reference's stemmer —
@@ -140,6 +179,8 @@ def test_nltk_parity_when_available(lang, fn):
         ref.stem("test")
     except Exception:
         pytest.skip("nltk absent or stubbed (ref_oracle shim)")
-    vocab = sorted((GOLDEN_ES if lang == "spanish" else GOLDEN_FR))
+    vocab = sorted(
+        {"spanish": GOLDEN_ES, "french": GOLDEN_FR, "portuguese": GOLDEN_PT}[lang]
+    )
     mism = {w: (fn(w), ref.stem(w)) for w in vocab if fn(w) != ref.stem(w)}
     assert not mism, mism
