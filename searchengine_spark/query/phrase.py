@@ -81,8 +81,12 @@ def _rank_occurrences(hits: DataFrame, slots: Dict[int, List[str]], k: int | Non
             for x in (F.lit(qid), F.lit(len(toks)))
         ]
     )
+    # hit rows are UNIQUE per (query_id, doc_id, start, slot): a slot is one
+    # term, and a term's positions are unique within a doc — so a plain
+    # count equals countDistinct(slot) here and saves the distinct's extra
+    # exchange (plan-gated at 3 shuffles in test_plan_shapes.py)
     starts = hits.groupBy("query_id", "doc_id", "start").agg(
-        F.countDistinct("slot").alias("ns")
+        F.count(F.lit(1)).alias("ns")
     )
     occ = starts.filter(F.col("ns") == n_map[F.col("query_id")])
     per_doc = occ.groupBy("query_id", "doc_id").agg(

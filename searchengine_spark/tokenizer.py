@@ -100,7 +100,7 @@ def _make_stemmer(lang: str):
     the reference stems through nltk, src/models/tokenizer.py:59-70);
     otherwise the vendored from-spec Snowball implementations: english
     (Porter2, stemmer.py), spanish (stemmer_es.py), french
-    (stemmer_fr.py), portuguese (stemmer_pt.py)."""
+    (stemmer_fr.py), portuguese (stemmer_pt.py), german (stemmer_de.py)."""
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
 
@@ -124,10 +124,14 @@ def _make_stemmer(lang: str):
             from .stemmer_pt import PortugueseStemmer
 
             return PortugueseStemmer()
+        if lang == "german":
+            from .stemmer_de import GermanStemmer
+
+            return GermanStemmer()
         raise ImportError(
             f"stem_lang={lang!r} requires a working nltk (not installed); "
-            "vendored fallbacks cover english/spanish/french/portuguese "
-            "(stemmer.py, stemmer_es.py, stemmer_fr.py, stemmer_pt.py)"
+            "vendored fallbacks cover english/spanish/french/portuguese/"
+            "german (stemmer.py, stemmer_{es,fr,pt,de}.py)"
         ) from exc
 
 

@@ -87,6 +87,26 @@ def test_tfidf_packed_plan(spark, tmp_path_factory):
     assert "CartesianProduct" not in plan
 
 
+def test_phrase_packed_plan(spark, tmp_path_factory):
+    """Packed phrase retrieval: pushed term filter (only the phrase terms'
+    chunks are scanned), broadcast slot join, no cartesian; the wide
+    exchanges are the two keyed groupBys + the per-query rank window."""
+    from searchengine_spark.query.phrase import phrase_topk_packed_batch
+
+    path = str(tmp_path_factory.mktemp("plans_phrase") / "idx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=30), CFG, path, chunk_docs=256,
+        positional=True,
+    )
+    pidx = load_packed_index(spark, path)
+    df = phrase_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and "In(term" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 3, plan
+    assert "partial_count" in plan or "partial_min" in plan  # map-side combine
+
+
 def test_simhash_plan_is_bit_parallel(spark):
     """SimHash signature build must not explode rows 64x: no cross join /
     cartesian / explode-of-bit-indices in the plan — exactly ONE exchange

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pytest
 
+from searchengine_spark.stemmer_de import stem_german
 from searchengine_spark.stemmer_es import stem_spanish
 from searchengine_spark.stemmer_fr import stem_french
 from searchengine_spark.stemmer_pt import stem_portuguese
@@ -113,6 +114,30 @@ def test_golden_portuguese(word, want):
     assert stem_portuguese(word) == want
 
 
+GOLDEN_DE = {
+    # step 1 suffixes + the valid-s-ending condition
+    "kinder": "kind", "kindern": "kind", "kindes": "kind",
+    "jahren": "jahr", "jahres": "jahr", "jahre": "jahr",
+    "katzen": "katz", "lesen": "les", "aufgabe": "aufgab",
+    "hauses": "haus", "autos": "autos",  # 'o' is not a valid s-ending
+    "bedürfnissen": "bedurfnis",         # the niss -> nis adjustment
+    # prelude: ß -> ss, u/y between vowels marked as consonants
+    "größer": "gross", "bauern": "bau",
+    # step 2 + step 3 d-suffixes (R2 gating)
+    "verschiedenen": "verschied", "freundlichen": "freundlich",
+    "einigkeit": "einig", "aufeinander": "aufeinand",
+    # umlaut removal in the postlude
+    "häuser": "haus", "mädchen": "madch", "schönheit": "schonheit",
+    # unchanged
+    "wunderbar": "wunderbar", "de": "de", "": "",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GOLDEN_DE.items()))
+def test_golden_german(word, want):
+    assert stem_german(word) == want
+
+
 @pytest.mark.parametrize("word,want", sorted(GOLDEN_FR.items()))
 def test_golden_french(word, want):
     assert stem_french(word) == want
@@ -140,14 +165,17 @@ def test_tokenizer_dispatch_langs():
     assert tokenize_text("os meninos falando", cfg_pt) == [
         "os", "menin", "fal"
     ]
+    cfg_de = TokenizerConfig(min_token_length=2, stem_lang="german")
+    assert tokenize_text("die kinder lesen", cfg_de) == ["die", "kind", "les"]
     with pytest.raises(ImportError, match="english/spanish/french"):
-        tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="german"))
+        tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="italian"))
 
 
 @pytest.mark.parametrize("lang,text,query,stem", [
     ("spanish", "los trabajadores trabajando duro", "trabajos", "trabaj"),
     ("french", "les joueurs jouaient au ballon", "jouer", "jou"),
     ("portuguese", "os trabalhadores trabalhando muito", "trabalho", "trabalh"),
+    ("german", "die kinder lesen viele bücher", "kindes", "kind"),
 ])
 def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
     """Build + query a stemmed index per language: a different inflection
@@ -166,7 +194,7 @@ def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
 
 @pytest.mark.parametrize("lang,fn", [
     ("spanish", stem_spanish), ("french", stem_french),
-    ("portuguese", stem_portuguese),
+    ("portuguese", stem_portuguese), ("german", stem_german),
 ])
 def test_nltk_parity_when_available(lang, fn):
     """Full parity vs nltk's SnowballStemmer — the reference's stemmer —
@@ -180,7 +208,8 @@ def test_nltk_parity_when_available(lang, fn):
     except Exception:
         pytest.skip("nltk absent or stubbed (ref_oracle shim)")
     vocab = sorted(
-        {"spanish": GOLDEN_ES, "french": GOLDEN_FR, "portuguese": GOLDEN_PT}[lang]
+        {"spanish": GOLDEN_ES, "french": GOLDEN_FR,
+         "portuguese": GOLDEN_PT, "german": GOLDEN_DE}[lang]
     )
     mism = {w: (fn(w), ref.stem(w)) for w in vocab if fn(w) != ref.stem(w)}
     assert not mism, mism
