@@ -153,3 +153,78 @@ def test_nonpositional_refuses(corpus, cfg, spark, tmp_path_factory):
     it = build_index(corpus, cfg, positional=False)
     with pytest.raises(ValueError, match="positional"):
         phrase_topk_batch(it, ["merge sort"], cfg)
+
+
+def test_phrase_random_property(spark, cfg):
+    """Seeded-random corpora over a tiny vocabulary (so phrases repeat and
+    overlap) vs the brute-force oracle — exercises repeated terms,
+    multi-occurrence docs and absent slots far beyond the harvested cases."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["alpha", "beta", "gamma", "delta", "alpha"]  # skewed
+    rows = [
+        ("c%02d" % (i // 8), i % 8, "user",
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))),
+         None, None)
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    it = build_index(df, cfg, positional=True).cache()
+    toks = {
+        int(r["doc_id"]): list(r["tokens"])
+        for r in it.docs.select("doc_id", "tokens").collect()
+    }
+    phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        for _ in range(12)
+    ]
+    got = _rows(phrase_topk_batch(it, phrases, cfg, k=None))
+    for qid, p in enumerate(phrases):
+        want = brute_phrase(toks, tokenize_text(p, cfg))
+        got_q = {d: v[:2] for (q, d), v in got.items() if q == qid}
+        assert got_q == want, p
+    it.unpersist()
+
+
+def test_phrase_on_appended_index(spark, cfg, tmp_path):
+    """Streaming-append interaction: phrase retrieval over base+appended
+    epochs equals a positional rebuild of the union corpus (appended
+    same-chunk rows and widened manifests feed the same aggregation)."""
+    import datetime as dt
+
+    from searchengine_spark.streaming.incremental import append_batch
+
+    corpus = transcripts_df(spark, n_conv=10)
+    idx = str(tmp_path / "pidx")
+    build_packed_index(corpus, cfg, idx, chunk_docs=256, positional=True)
+    rows = [
+        ("zzconv", i, "user", f"merge sort appended turn {i} merge sort",
+         None, dt.datetime(2026, 7, 1, 0, 0, i))
+        for i in range(3)
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    append_batch(batch, idx, cfg, batch_id=0)
+    pidx = load_packed_index(spark, idx)
+
+    rebuilt = build_index(corpus.unionByName(batch), cfg, positional=True)
+    want = _rows(phrase_topk_batch(rebuilt, ["merge sort"], cfg, k=None))
+    got = _rows(phrase_topk_packed_batch(pidx, ["merge sort"], cfg, k=None))
+    assert got == want
+    n_base = int(corpus.count())
+    assert any(d >= n_base for (_, d) in got), "appended docs must match"
+    # the LocalSearcher tier sees the appended epoch too
+    searcher = LocalSearcher(pidx, preload=False, cfg=cfg)
+    local = {
+        (0, r["doc_id"]): (r["n_occurrences"], r["first_pos"], r["rank"])
+        for r in local_phrase(searcher, "merge sort", k=None, resolve=False)
+    }
+    assert local == want
