@@ -261,6 +261,21 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_batch(it, PHRASES, CFG, k=10)
 
 
+# Minimal-window span retrieval (query/spans.py): q0 = a 2-term AND, q1 =
+# a single term (span_len 1, lo = first occurrence).
+MINSPAN_QUERIES = ["table hash", "vector"]
+
+
+def q_minspan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tightest window covering all query terms per doc (MRS Ch. 2.4.2
+    positional intersection / minimal cover) — ranked by span length,
+    integer-only output."""
+    from searchengine_spark.query.spans import minspan_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return minspan_topk_batch(it, MINSPAN_QUERIES, CFG, k=10)
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_dense": q_docid_dense,
         "positional_index": q_positional_index,
         "phrase_topk": q_phrase_topk,
+        "minspan_topk": q_minspan_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1078,6 +1094,47 @@ SELECT query_id, doc_id, n_occurrences, first_pos,
           PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id
         ))::BIGINT AS rank
 FROM perdoc
+QUALIFY rank <= 10
+"""
+
+    ms0 = tokenize_text(MINSPAN_QUERIES[0], CFG)  # 2-term AND
+    ms1 = tokenize_text(MINSPAN_QUERIES[1], CFG)  # single term
+    sqls["minspan_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+posed AS (
+  SELECT doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok, (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens)
+),
+pairs0 AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) + 1 AS span, least(a.pos, b.pos) AS lo
+  FROM posed a JOIN posed b USING (doc_id)
+  WHERE a.term = {_sql_quote(ms0[0])} AND b.term = {_sql_quote(ms0[1])}
+),
+best0 AS (SELECT doc_id, min(span) AS span_len FROM pairs0 GROUP BY doc_id),
+win0 AS (
+  SELECT p.doc_id, b.span_len, min(p.lo) AS lo
+  FROM pairs0 p JOIN best0 b ON p.doc_id = b.doc_id AND p.span = b.span_len
+  GROUP BY p.doc_id, b.span_len
+),
+q0 AS (
+  SELECT 0 AS query_id, doc_id, span_len::BIGINT AS span_len,
+         lo::BIGINT AS lo, (lo + span_len - 1)::BIGINT AS hi
+  FROM win0
+),
+q1 AS (
+  SELECT 1 AS query_id, doc_id, 1::BIGINT AS span_len,
+         min(pos)::BIGINT AS lo, min(pos)::BIGINT AS hi
+  FROM posed WHERE term = {_sql_quote(ms1[0])} GROUP BY doc_id
+),
+allq AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1)
+SELECT query_id, doc_id, span_len, lo, hi,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY span_len, doc_id
+        ))::BIGINT AS rank
+FROM allq
 QUALIFY rank <= 10
 """
 

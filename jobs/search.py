@@ -5,7 +5,7 @@ Batch:
 
     spark-submit --py-files searchengine_spark.zip jobs/search.py \\
         --index <index path> --query "greatest rock album" [-n 10] \\
-        [--ranker bm25|bm25_optimized|tfidf|tfidf_optimized|boolean_and|boolean_or|phrase] \\
+        [--ranker bm25|bm25_optimized|tfidf|tfidf_optimized|boolean_and|boolean_or|phrase|minspan] \\
         [--exhaustive] [--relevance queries.relevance.txt]
 
 Interactive (reference src/searcher.py:73-84 REPL analog) — omit --query
@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RANKERS = (
     "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
-    "boolean_and", "boolean_or", "phrase",
+    "boolean_and", "boolean_or", "phrase", "minspan",
 )
 
 
@@ -69,6 +69,15 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
         topk = ph.select(
             "query_id", "doc_id",
             F.col("n_occurrences").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    elif ranker == "minspan":  # tightest all-terms window (positional build)
+        from searchengine_spark.query.spans import minspan_topk_packed_batch
+
+        ms = minspan_topk_packed_batch(pidx, queries, cfg, k=n)
+        topk = ms.select(
+            "query_id", "doc_id",
+            F.col("span_len").cast("double").alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
     else:  # boolean_and / boolean_or — unranked set retrieval
@@ -157,6 +166,10 @@ def main() -> None:
                 from searchengine_spark.query.phrase import local_phrase
 
                 per_q = [local_phrase(local, q, k=args.n) for q in queries]
+            elif args.ranker == "minspan":
+                from searchengine_spark.query.spans import local_minspan
+
+                per_q = [local_minspan(local, q, k=args.n) for q in queries]
             else:
                 per_q = [
                     sorted(local.search(q, k=args.n, ranker=args.ranker,

@@ -1,0 +1,336 @@
+"""Minimal-window span retrieval over the positional index.
+
+Classic proximity operator (MRS Ch. 2.4.2 positional intersection; the
+standard "minimal cover" merge): a doc matches when it contains EVERY
+unique query term (AND semantics), and is ranked by the length of the
+tightest window of filtered-token positions covering one occurrence of
+each term — tighter span = better rank (doc_id tie-break). This is also
+the snippet-selection primitive: (lo, hi) is the best text window to
+display for the hit.
+
+Output per (query, doc): ``span_len`` = hi - lo + 1, ``lo``/``hi`` = the
+FIRST (lowest-lo) optimal window — deterministic, integer-only, so the
+driver oracle hash-gates it with no float policy.
+
+Execution shape mirrors the proximity rankers: pruned chunk scan for the
+query terms -> per-query applyInPandas scorer (pandas-in/pandas-out, so
+the distributed path and LocalSearcher run identical code). The scorer
+intersects doc sets vectorized (AND bounds the candidate set the way a
+WAND conjunction would), then runs the O(P log k) sliding-window merge
+only over the intersection's positions.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..indexing.build import IndexTables
+from ..tokenizer import TokenizerConfig, tokenize_text
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("span_len", T.LongType(), False),
+        T.StructField("lo", T.LongType(), False),
+        T.StructField("hi", T.LongType(), False),
+        T.StructField("rank", T.LongType(), False),
+    ]
+)
+
+
+def min_span(pos_lists: List[List[int]]) -> tuple[int, int] | None:
+    """Smallest window [lo, hi] covering >= one position from every list;
+    among equal-length windows the one with the smallest lo (the k-way
+    sliding-window merge — first strict improvement wins, and the merge
+    scans lo ascending). None when any list is empty."""
+    k = len(pos_lists)
+    if k == 0 or any(not p for p in pos_lists):
+        return None
+    if k == 1:
+        p = min(pos_lists[0])
+        return (p, p)
+    # merged ascending (pos, list_id) stream
+    merged = heapq.merge(*[[(p, i) for p in sorted(ps)] for i, ps in enumerate(pos_lists)])
+    need = k
+    count = [0] * k
+    best: tuple[int, int] | None = None
+    window: List[tuple[int, int]] = []
+    head = 0
+    for pos, lid in merged:
+        window.append((pos, lid))
+        if count[lid] == 0:
+            need -= 1
+        count[lid] += 1
+        if need:
+            continue
+        # shrink from the left while still covering
+        while True:
+            hpos, hlid = window[head]
+            if count[hlid] > 1:
+                count[hlid] -= 1
+                head += 1
+            else:
+                break
+        lo, hi = window[head][0], pos
+        if best is None or hi - lo < best[1] - best[0]:
+            best = (lo, hi)
+        # drop the head occurrence to look for the next window
+        count[window[head][1]] -= 1
+        head += 1
+        need = 1
+    return best
+
+
+def _span_scorer(
+    query_terms: Dict[int, List[str]],
+    k_top: int | None,
+    decode=None,
+    decode_pos=None,
+):
+    """Packed rows (query_id, term, postings, positions) -> per-doc minimal
+    spans for docs containing ALL the query's present terms. A query term
+    absent from the whole index empties the result (AND), enforced by the
+    caller via ``query_terms`` (only queries whose every term matched are
+    fed through)."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..indexing.codec import decode_positions, decode_postings
+
+        dec = decode or (lambda buf: decode_postings(bytes(buf)))
+        dec_pos = decode_pos or (lambda buf, tfs: decode_positions(bytes(buf), tfs))
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_len": pd.Series([], dtype="int64"),
+                "lo": pd.Series([], dtype="int64"),
+                "hi": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        terms = query_terms[qid]
+        per_term: Dict[str, list] = {t: [] for t in terms}
+        for row in pdf.itertuples(index=False):
+            if row.term in per_term:
+                per_term[row.term].append(row)
+        if any(not rows for rows in per_term.values()):
+            return empty  # a term matched no chunk -> empty AND
+        # vectorized doc-set intersection across terms
+        docs_by_term: Dict[str, np.ndarray] = {}
+        decoded: Dict[str, list] = {}
+        for t, rows in per_term.items():
+            arrs = []
+            for row in rows:
+                doc_ids, tfs, _ = dec(row.postings)
+                arrs.append(doc_ids.astype(np.int64))
+                decoded.setdefault(t, []).append((doc_ids, tfs, row.positions))
+            docs_by_term[t] = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        cand = docs_by_term[terms[0]]
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, docs_by_term[t], assume_unique=False)
+        if not len(cand):
+            return empty
+        cand_sorted = np.sort(cand)
+        # positions per (candidate doc, term)
+        pos_map: Dict[int, Dict[str, List[int]]] = {int(d): {} for d in cand_sorted}
+        for t, chunks in decoded.items():
+            for doc_ids, tfs, posbuf in chunks:
+                idx = np.searchsorted(cand_sorted, doc_ids)
+                idx[idx == len(cand_sorted)] = 0
+                m = np.flatnonzero(cand_sorted[idx] == doc_ids)
+                if not len(m):
+                    continue
+                flat, occ_starts = dec_pos(posbuf, tfs)
+                ends = np.append(occ_starts[1:], len(flat))
+                for j in m:
+                    d = int(doc_ids[j])
+                    pos_map[d].setdefault(t, []).extend(
+                        flat[occ_starts[j] : ends[j]].tolist()
+                    )
+        recs = []
+        for d in cand_sorted.tolist():
+            span = min_span([pos_map[d].get(t, []) for t in terms])
+            if span is not None:
+                lo, hi = span
+                recs.append((d, hi - lo + 1, lo, hi))
+        recs.sort(key=lambda r: (r[1], r[0]))
+        if k_top is not None:
+            recs = recs[:k_top]
+        if not recs:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [r[0] for r in recs],
+                "span_len": [r[1] for r in recs],
+                "lo": [r[2] for r in recs],
+                "hi": [r[3] for r in recs],
+                "rank": range(1, len(recs) + 1),
+            }
+        )
+
+    return score_group
+
+
+def minspan_topk_packed_batch(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Packed-path minimal-span retrieval -> (query_id, doc_id, span_len,
+    lo, hi, rank), rank by span_len asc (doc_id tie-break)."""
+    if not pidx.manifest.get("positional"):
+        raise ValueError("packed index was not built with positional=True")
+    spark = pidx.spark
+    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    query_terms = {
+        qid: list(dict.fromkeys(tokenize_text(q, cfg)))
+        for qid, q in enumerate(queries)
+    }
+    rows = [(qid, t) for qid, ts in query_terms.items() for t in ts]
+    if not rows:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    all_terms = sorted({t for _, t in rows})
+    pruned = pidx.index.filter(F.col("term").isin(all_terms))
+    qids_by_term: Dict[str, List[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    map_entries = [
+        x for t, qs in qids_by_term.items()
+        for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+    ]
+    matched = pruned.withColumn(
+        "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+    ).select("query_id", "term", "postings", "positions")
+    scorer = _span_scorer(query_terms, k)
+    return matched.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+
+
+def minspan_topk_batch(
+    it: IndexTables,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int | None = 10,
+) -> DataFrame:
+    """Exact-path twin over a positional ``build_index(...,
+    positional=True)`` — all-native hit explode + the same aggregation
+    semantics, checked identical to the packed path in tests."""
+    if "positions" not in it.index.columns:
+        raise ValueError("minimal-span retrieval needs a positional index")
+    spark = it.index.sparkSession
+    query_terms = {
+        qid: list(dict.fromkeys(tokenize_text(q, cfg)))
+        for qid, q in enumerate(queries)
+    }
+    rows = [(qid, t) for qid, ts in query_terms.items() for t in ts]
+    if not rows:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    qdf = spark.createDataFrame(rows, "query_id int, term string")
+    matched = it.index.join(F.broadcast(qdf), "term")
+    # exact path: positions already decoded; reuse min_span per (q, doc)
+    adapted = matched.select(
+        "query_id",
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("positions").cast("array<long>").alias("positions"),
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_len": pd.Series([], dtype="int64"),
+                "lo": pd.Series([], dtype="int64"),
+                "hi": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        terms = query_terms[qid]
+        pos_map: Dict[int, Dict[str, List[int]]] = {}
+        seen_terms = set()
+        for row in pdf.itertuples(index=False):
+            pos_map.setdefault(int(row.doc_id), {}).setdefault(
+                row.term, []
+            ).extend(int(p) for p in row.positions)
+            seen_terms.add(row.term)
+        if set(terms) - seen_terms:
+            return empty  # AND: a query term matched nothing
+        recs = []
+        for d, by_term in pos_map.items():
+            if len(by_term) < len(terms):
+                continue
+            span = min_span([by_term[t] for t in terms])
+            if span is not None:
+                lo, hi = span
+                recs.append((d, hi - lo + 1, lo, hi))
+        recs.sort(key=lambda r: (r[1], r[0]))
+        if k is not None:
+            recs = recs[:k]
+        if not recs:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [r[0] for r in recs],
+                "span_len": [r[1] for r in recs],
+                "lo": [r[2] for r in recs],
+                "hi": [r[3] for r in recs],
+                "rank": range(1, len(recs) + 1),
+            }
+        )
+
+    return adapted.groupBy("query_id").applyInPandas(score_group, schema=_OUT_SCHEMA)
+
+
+def local_minspan(searcher, query: str, k: int | None = 10,
+                  resolve: bool = True) -> List[dict]:
+    """In-process minimal-span query off a LocalSearcher — same scorer as
+    the distributed packed path (gated identical)."""
+    if not searcher._positional:
+        raise ValueError("packed index was not built with positional=True")
+    terms = list(dict.fromkeys(tokenize_text(query, searcher.cfg)))
+    if not terms:
+        return []
+    searcher._ensure_terms(terms)
+    parts = []
+    for t in terms:
+        sl = searcher._slices.get(t)
+        if sl is None or not len(sl):
+            return []  # AND semantics
+        parts.append(sl)
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf["query_id"] = 0
+    scorer = _span_scorer(
+        {0: terms}, k,
+        decode=searcher._decode_cached,
+        decode_pos=searcher._decode_pos_cached,
+    )
+    out = scorer(pdf)
+    rows = out.to_dict("records")
+    if resolve and searcher._ext_cols:
+        searcher._ensure_docs([int(r["doc_id"]) for r in rows])
+        for r in rows:
+            ext = searcher._docmap.get(int(r["doc_id"]))
+            if ext is not None:
+                r.update(dict(zip(searcher._ext_cols, ext)))
+    for r in rows:
+        for c in ("doc_id", "span_len", "lo", "hi", "rank"):
+            r[c] = int(r[c])
+        r.pop("query_id", None)
+    return rows
