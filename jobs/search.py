@@ -95,6 +95,45 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
             for i in range(len(queries))]
 
 
+def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
+    """Fetch the result rows' source texts (one pruned read over the
+    bounded result set) and attach a best-window snippet to each."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.snippet import extract_snippet
+
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    keys = {
+        tuple(r[c] for c in ext) for res in per_q for r in res if ext
+    }
+    if not keys:
+        return
+    src = spark.read.parquet(source)
+    cond = reduce(
+        lambda a, b: a | b,
+        (
+            reduce(lambda x, y: x & y,
+                   (F.col(c) == F.lit(v) for c, v in zip(ext, key)))
+            for key in keys
+        ),
+    )
+    texts = {
+        tuple(r[c] for c in ext): r["text"]
+        for r in src.filter(cond).select(*ext, "text").collect()
+    }
+    memo: dict = {}
+    for q, res in zip(queries, per_q):
+        for r in res:
+            text = texts.get(tuple(r.get(c) for c in ext))
+            if text is None:
+                continue
+            sn = extract_snippet(text, q, cfg, _memo=memo)
+            if sn is not None:
+                r["snippet"] = sn["snippet"]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
@@ -119,6 +158,10 @@ def main() -> None:
                          "for the interactive REPL, spark for --query batch")
     ap.add_argument("--relevance", default=None,
                     help="queries.relevance.txt for precision/recall/NDCG stats")
+    ap.add_argument("--snippet-source", default=None,
+                    help="parquet dir of the source table keyed by the "
+                         "index's order_cols; attaches a best-window text "
+                         "snippet to every result row")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -180,6 +223,9 @@ def main() -> None:
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema)
+        if args.snippet_source:
+            _attach_snippets(spark, args.snippet_source, pidx, cfg,
+                             queries, per_q)
         dt = time.perf_counter() - t1
         for q, res in zip(queries, per_q):
             print(json.dumps({"query": q, "results": res}, default=str))
