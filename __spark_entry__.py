@@ -319,6 +319,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, tokens_column(F.col("text"), CFG), threshold=0.5)
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (textops/contamination.py): per training
+    doc, distinct token 3-grams and how many collide with the 'eval set'
+    (every 7th doc). Eval docs come out fully contaminated; others show
+    partial overlap through the corpus's shared phrasing."""
+    from searchengine_spark.textops import ngram_contamination, reference_shingles
+    from searchengine_spark.tokenizer import tokens_column
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    toks = tokens_column(F.col("text"), CFG)
+    refs = reference_shingles(d.filter(F.col("doc_id") % 7 == 0), toks, n=3)
+    return ngram_contamination(d, refs, toks, n=3).select(
+        F.col("id").alias("doc_id"), "n_ngrams", "n_contaminated"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops import simhash_table
     from searchengine_spark.tokenizer import tokens_column
@@ -855,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_on_lsh": q_dedup_jaccard_on_lsh,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
+        "decontamination": q_decontamination,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -1139,6 +1156,29 @@ QUALIFY rank <= 10
 """
 
     # ---------------- training-data pipeline ops ----------------
+
+    sqls["decontamination"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                               for i in range(greatest(len(tokens) - 2, 0))])) AS shingle
+  FROM tok
+),
+refset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+counts AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS n_ngrams,
+         sum(CASE WHEN refset.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_contaminated
+  FROM sh LEFT JOIN refset ON sh.shingle = refset.shingle
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id, coalesce(c.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+"""
 
     # DuckDB twin of shingles_col (token 3-grams, distinct)
     tok2 = _TOK_SQL.replace("text", "corpus2.text")

@@ -19,6 +19,10 @@ from .dedup import (  # noqa: F401
     simhash_table,
     shingles_col,
 )
+from .contamination import (  # noqa: F401
+    ngram_contamination,
+    reference_shingles,
+)
 from .multimodal import (  # noqa: F401
     extract_features,
     resize_images,
