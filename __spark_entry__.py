@@ -335,6 +335,33 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (textops/dataset.py): pure
+    md5 arithmetic over (salt, doc_id) — stable across corpus growth,
+    retries and engines."""
+    from searchengine_spark.textops import hash_split
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    return hash_split(
+        d, {"train": 8, "val": 1, "test": 1}, salt="r3"
+    ).select("doc_id", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of docs into 128-token bins per md5
+    bucket (pretraining context-window assembly)."""
+    from searchengine_spark.textops import pack_sequences
+    from searchengine_spark.tokenizer import tokens_column
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.size(tokens_column(F.col("text"), CFG)).alias("dl")
+    )
+    out = pack_sequences(d, "dl", budget=128, n_buckets=8, salt="r3")
+    return out.select(
+        F.col("id").alias("doc_id"), "bucket", "bin_idx", "offset"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops import simhash_table
     from searchengine_spark.tokenizer import tokens_column
@@ -872,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
         "decontamination": q_decontamination,
+        "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -1156,6 +1185,46 @@ QUALIFY rank <= 10
 """
 
     # ---------------- training-data pipeline ops ----------------
+
+    # 4-nibble md5 prefix -> 0..65535, the Spark _hash16 twin
+    def _hash16_sql(arg: str, salt: str) -> str:
+        h = f"md5('{salt}' || '|' || {arg})"
+        return (
+            f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+            f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+            f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+        )
+
+    h16 = _hash16_sql("doc_id::VARCHAR", "r3")
+    sqls["dataset_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {h16} % 10 < 8 THEN 'train'
+            WHEN {h16} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+    sqls["pack_sequences"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+base AS (
+  SELECT doc_id, ({h16} % 8)::BIGINT AS bucket, len(tokens)::BIGINT AS dl
+  FROM tok
+),
+packed AS (
+  SELECT doc_id, bucket,
+         coalesce(sum(dl) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS pre
+  FROM base
+)
+SELECT doc_id, bucket, (pre // 128)::BIGINT AS bin_idx,
+       (pre % 128)::BIGINT AS offset
+FROM packed
+"""
 
     sqls["decontamination"] = f"""
 WITH tok AS (

@@ -23,6 +23,11 @@ from .contamination import (  # noqa: F401
     ngram_contamination,
     reference_shingles,
 )
+from .dataset import (  # noqa: F401
+    hash_sample,
+    hash_split,
+    pack_sequences,
+)
 from .multimodal import (  # noqa: F401
     extract_features,
     resize_images,

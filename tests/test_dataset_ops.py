@@ -1,0 +1,90 @@
+"""Dataset-assembly gates: split stability under corpus growth, sample
+bounds, and packing contiguity/spillover semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.textops import hash_sample, hash_split, pack_sequences
+
+
+def _h16(salt: str, i: int) -> int:
+    return int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:4], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(500).select(F.col("id").alias("doc_id"))
+
+
+def test_split_matches_python_md5(spark, docs):
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, {"train": 8, "val": 1, "test": 1}, salt="s"
+        ).collect()
+    }
+    for d, s in got.items():
+        b = _h16("s", d) % 10
+        assert s == ("train" if b < 8 else "val" if b < 9 else "test")
+    # all three splits non-empty at 500 docs and roughly weighted
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"]
+
+
+def test_split_stable_under_growth(spark, docs):
+    """A doc's split must not change when the corpus grows — the property
+    random-number splits lack."""
+    small = hash_split(
+        docs.filter(F.col("doc_id") < 100), {"a": 1, "b": 1}, salt="x"
+    )
+    big = hash_split(docs, {"a": 1, "b": 1}, salt="x")
+    sm = {r["doc_id"]: r["split"] for r in small.collect()}
+    bg = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(bg[d] == s for d, s in sm.items())
+
+
+def test_sample_rate_and_determinism(spark, docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 1, 10, salt="z").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 1, 10, salt="z").collect()}
+    assert a == b
+    assert 20 <= len(a) <= 90  # ~50 expected of 500
+    assert a == {d for d in range(500) if _h16("z", d) % 10 < 1}
+
+
+def test_pack_sequences_contiguous(spark):
+    rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, dl long")
+    out = pack_sequences(df, "dl", budget=100, n_buckets=4, salt="p")
+    got = [(r["id"], r["bucket"], r["bin_idx"], r["offset"]) for r in out.collect()]
+    dl = dict(rows)
+    by_bucket: dict = {}
+    for i, b, bi, off in got:
+        by_bucket.setdefault(b, []).append((i, bi, off))
+    assert set(len(v) for v in by_bucket.values()) and sum(
+        len(v) for v in by_bucket.values()
+    ) == 200
+    for b, items in by_bucket.items():
+        items.sort()
+        pre = 0
+        for i, bi, off in items:
+            assert bi == pre // 100 and off == pre % 100, (b, i)
+            pre += dl[i]
+        assert {i for i, _, _ in items} == {
+            i for i in range(200) if _h16("p", i) % 4 == b
+        }
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(0, 5)], "doc_id long, dl long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "dl", budget=0)
+    with pytest.raises(ValueError):
+        hash_sample(df, 3, 2)
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": -1, "b": 2})
