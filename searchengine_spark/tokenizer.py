@@ -100,7 +100,8 @@ def _make_stemmer(lang: str):
     the reference stems through nltk, src/models/tokenizer.py:59-70);
     otherwise the vendored from-spec Snowball implementations: english
     (Porter2, stemmer.py), spanish (stemmer_es.py), french
-    (stemmer_fr.py), portuguese (stemmer_pt.py), german (stemmer_de.py)."""
+    (stemmer_fr.py), portuguese (stemmer_pt.py), german (stemmer_de.py),
+    italian (stemmer_it.py)."""
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
 
@@ -128,10 +129,14 @@ def _make_stemmer(lang: str):
             from .stemmer_de import GermanStemmer
 
             return GermanStemmer()
+        if lang == "italian":
+            from .stemmer_it import ItalianStemmer
+
+            return ItalianStemmer()
         raise ImportError(
             f"stem_lang={lang!r} requires a working nltk (not installed); "
             "vendored fallbacks cover english/spanish/french/portuguese/"
-            "german (stemmer.py, stemmer_{es,fr,pt,de}.py)"
+            "german/italian (stemmer.py, stemmer_{es,fr,pt,de,it}.py)"
         ) from exc
 
 

@@ -16,6 +16,7 @@ import pytest
 from searchengine_spark.stemmer_de import stem_german
 from searchengine_spark.stemmer_es import stem_spanish
 from searchengine_spark.stemmer_fr import stem_french
+from searchengine_spark.stemmer_it import stem_italian
 from searchengine_spark.stemmer_pt import stem_portuguese
 from searchengine_spark.tokenizer import TokenizerConfig, tokenize_text
 
@@ -138,6 +139,33 @@ def test_golden_german(word, want):
     assert stem_german(word) == want
 
 
+GOLDEN_IT = {
+    # step 0 attached pronoun (ar/er/ir -> +e; ando/endo deletion)
+    "arrivederci": "arrived", "mangiandolo": "mang",
+    # step 1 standard suffixes (R2/RV-gated)
+    "pericolosa": "pericol", "organizzazione": "organizz",
+    "rapidamente": "rapid", "felicità": "felic",
+    "conoscenza": "conoscent",   # enza -> ente, then step-3a final e
+    "differenza": "different",   # likewise (R2 starts before the suffix)
+    "cambiamento": "camb",       # amento in RV, then step-3a i
+    # R2 too short -> suffix refused, later steps pick up the rest
+    "nazione": "nazion", "bellissimo": "bellissim",
+    # step 2 verb suffixes
+    "abbandonati": "abbandon", "parlando": "parl", "parlerò": "parl",
+    "mangiamo": "mang", "finisco": "fin",
+    # step 3a residual vowel (+ preceding i), prelude markers
+    "libri": "libr", "libro": "libr", "città": "citt",
+    "quindi": "quind", "gioia": "gioi",
+    # short words unchanged
+    "de": "de", "": "",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GOLDEN_IT.items()))
+def test_golden_italian(word, want):
+    assert stem_italian(word) == want
+
+
 @pytest.mark.parametrize("word,want", sorted(GOLDEN_FR.items()))
 def test_golden_french(word, want):
     assert stem_french(word) == want
@@ -167,8 +195,12 @@ def test_tokenizer_dispatch_langs():
     ]
     cfg_de = TokenizerConfig(min_token_length=2, stem_lang="german")
     assert tokenize_text("die kinder lesen", cfg_de) == ["die", "kind", "les"]
+    cfg_it = TokenizerConfig(min_token_length=2, stem_lang="italian")
+    assert tokenize_text("libri bellissimi parlando", cfg_it) == [
+        "libr", "bellissim", "parl"
+    ]
     with pytest.raises(ImportError, match="english/spanish/french"):
-        tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="italian"))
+        tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="russian"))
 
 
 @pytest.mark.parametrize("lang,text,query,stem", [
@@ -176,6 +208,7 @@ def test_tokenizer_dispatch_langs():
     ("french", "les joueurs jouaient au ballon", "jouer", "jou"),
     ("portuguese", "os trabalhadores trabalhando muito", "trabalho", "trabalh"),
     ("german", "die kinder lesen viele bücher", "kindes", "kind"),
+    ("italian", "i libri della nazione italiana", "libro", "libr"),
 ])
 def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
     """Build + query a stemmed index per language: a different inflection
@@ -195,6 +228,7 @@ def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
 @pytest.mark.parametrize("lang,fn", [
     ("spanish", stem_spanish), ("french", stem_french),
     ("portuguese", stem_portuguese), ("german", stem_german),
+    ("italian", stem_italian),
 ])
 def test_nltk_parity_when_available(lang, fn):
     """Full parity vs nltk's SnowballStemmer — the reference's stemmer —
@@ -208,8 +242,8 @@ def test_nltk_parity_when_available(lang, fn):
     except Exception:
         pytest.skip("nltk absent or stubbed (ref_oracle shim)")
     vocab = sorted(
-        {"spanish": GOLDEN_ES, "french": GOLDEN_FR,
-         "portuguese": GOLDEN_PT, "german": GOLDEN_DE}[lang]
+        {"spanish": GOLDEN_ES, "french": GOLDEN_FR, "portuguese": GOLDEN_PT,
+         "german": GOLDEN_DE, "italian": GOLDEN_IT}[lang]
     )
     mism = {w: (fn(w), ref.stem(w)) for w in vocab if fn(w) != ref.stem(w)}
     assert not mism, mism
