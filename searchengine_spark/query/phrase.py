@@ -23,10 +23,16 @@ Execution shape (scale-first, all-native aggregation):
 
 Two shuffles, both keyed on (query_id, doc_id[, start]) — partial
 aggregation is map-side combinable and the explode is bounded by the
-postings of the phrase terms only. The packed path decodes matched chunks
-with one vectorized mapInPandas (numpy repeat/subtract — no per-row
-Python) and feeds the identical aggregation. Every output column is an
-integer -> cross-engine hash-stable with no rounding policy needed.
+postings of the phrase terms only.
+
+The PACKED path is cheaper still: chunk boundaries are doc-range cuts
+shared by every term, so each (query_id, chunk) group holds every posting
+of its docs for every phrase slot — the whole match runs inside the group
+as a numpy key intersection (:func:`_phrase_group`, the same core the
+LocalSearcher tier runs) and the shuffle moves chunk rows, never
+per-posting hits (measured 10x+ on common-term phrases at sf0.1). Every
+output column is an integer -> cross-engine hash-stable with no rounding
+policy needed.
 """
 
 from __future__ import annotations
@@ -40,15 +46,6 @@ from pyspark.sql import types as T
 
 from ..indexing.build import IndexTables
 from ..tokenizer import TokenizerConfig, tokenize_text
-
-_HIT_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.IntegerType(), False),
-        T.StructField("slot", T.IntegerType(), False),
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("start", T.LongType(), False),
-    ]
-)
 
 _OUT_COLS = ("query_id", "doc_id", "n_occurrences", "first_pos", "rank")
 
@@ -129,91 +126,32 @@ def phrase_topk_batch(
     return _rank_occurrences(hits, slots, k)
 
 
-def phrase_topk_packed_batch(
-    pidx,
-    phrases: Sequence[str],
-    cfg: TokenizerConfig | None = None,
-    k: int | None = 10,
-) -> DataFrame:
-    """Packed-path phrase retrieval: pruned chunk scan for the phrase terms
-    -> vectorized decode to hit rows -> the same native aggregation as the
-    exact path (gated identical in tests/test_phrase.py)."""
-    if not pidx.manifest.get("positional"):
-        raise ValueError("packed index was not built with positional=True")
-    spark = pidx.spark
-    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
-    slots = phrase_slots(phrases, cfg)
-    sdf, rows = _slot_df(spark, slots)
-    all_terms = sorted({t for _, _, t in rows})
-    pruned = (
-        pidx.index.filter(F.col("term").isin(all_terms))
-        if all_terms
-        else pidx.index.limit(0)
-    )
-    matched = pruned.join(F.broadcast(sdf), "term").select(
-        "query_id", "slot", "postings", "positions"
-    )
+def _phrase_group(toks, rows_by_slot, decode, decode_pos):
+    """Core numpy key-intersection over one self-contained group of packed
+    rows: key = doc_id * 2^32 + start, one sorted intersect per slot.
+    Self-contained = every posting of each contained doc for each slot term
+    is in the group (true for the whole index, and true PER CHUNK because
+    chunk boundaries are doc-range cuts shared by all terms).
 
-    def decode_hits(batches):
-        import numpy as np
-
-        from ..indexing.codec import decode_positions, decode_postings
-
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                doc_ids, tfs, _ = decode_postings(bytes(row.postings))
-                flat, _occ = decode_positions(bytes(row.positions), tfs)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": row.query_id,
-                            "slot": row.slot,
-                            "doc_id": np.repeat(doc_ids, tfs),
-                            "start": flat.astype("int64") - int(row.slot),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    hits = matched.mapInPandas(decode_hits, schema=_HIT_SCHEMA)
-    return _rank_occurrences(hits, slots, k)
-
-
-def local_phrase(searcher, phrase: str, k: int | None = 10,
-                 resolve: bool = True) -> List[dict]:
-    """In-process phrase query off a :class:`~.serve.LocalSearcher` —
-    zero Spark jobs when the term slices are cached. Same semantics as the
-    distributed paths (gated identical); numpy key-intersection:
-    key = doc_id * STRIDE + start, one sorted intersect per slot.
-
-    The int64 key packs (doc_id, start); STRIDE bounds positions, which is
-    safe because dl (and so any position) is bounded by the longest
-    document — checked against the manifest at call time."""
+    -> (uniq_docs, counts, first_starts) numpy arrays, or None when some
+    slot has no rows / the intersection empties. The int64 key is safe:
+    positions are bounded by the longest doc (checked)."""
     import numpy as np
 
-    if not searcher._positional:
-        raise ValueError("packed index was not built with positional=True")
-    toks = tokenize_text(phrase, searcher.cfg)
-    if not toks:
-        return []
-    searcher._ensure_terms(list(dict.fromkeys(toks)))
     stride = np.int64(1) << np.int64(32)
-
-    keys: "np.ndarray | None" = None
-    for slot, term in enumerate(toks):
-        sl = searcher._slices.get(term)
-        if sl is None or not len(sl):
-            return []
+    keys = None
+    for slot in range(len(toks)):
+        rows = rows_by_slot.get(slot)
+        if not rows:
+            return None
         slot_keys = []
-        for row in sl.itertuples(index=False):
-            doc_ids, tfs, _ = searcher._decode_cached(row.postings)
-            flat, _occ = searcher._decode_pos_cached(row.positions, tfs)
+        for row in rows:
+            doc_ids, tfs, _ = decode(row.postings)
+            flat, _occ = decode_pos(row.positions, tfs)
             start = flat.astype(np.int64) - slot
             ok = start >= 0
             if start.size and int(flat.max()) >= (1 << 32):
-                raise ValueError("position exceeds the local key stride")
+                raise ValueError("position exceeds the phrase key stride")
             slot_keys.append(
                 np.repeat(doc_ids.astype(np.int64), tfs)[ok] * stride + start[ok]
             )
@@ -224,11 +162,138 @@ def local_phrase(searcher, phrase: str, k: int | None = 10,
             else np.intersect1d(keys, merged, assume_unique=True)
         )
         if not len(keys):
-            return []
-
+            return None
     docs = keys // stride
     starts = keys % stride
     uniq, first_idx, counts = np.unique(docs, return_index=True, return_counts=True)
+    return uniq, counts, starts[first_idx]
+
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_occurrences", T.LongType(), False),
+        T.StructField("first_pos", T.LongType(), False),
+    ]
+)
+
+_EMPTY_PART = pd.DataFrame(
+    {
+        "query_id": pd.Series([], dtype="int32"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_occurrences": pd.Series([], dtype="int64"),
+        "first_pos": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def phrase_topk_packed_batch(
+    pidx,
+    phrases: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Packed-path phrase retrieval. The whole match runs INSIDE each
+    (query_id, chunk) group: chunk boundaries are doc-range cuts shared by
+    every term, so a doc's postings for all phrase slots co-reside in one
+    chunk (streaming appends add same-chunk rows, also grouped here) and
+    the numpy key intersection is exact per group. The shuffle moves only
+    chunk rows — never per-posting hits — and each group emits at most k
+    docs (safe cut: per-doc results are complete within the group).
+    Gated identical to the exact path in tests/test_phrase.py."""
+    if not pidx.manifest.get("positional"):
+        raise ValueError("packed index was not built with positional=True")
+    spark = pidx.spark
+    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    slots = phrase_slots(phrases, cfg)
+    sdf, rows = _slot_df(spark, slots)
+    all_terms = sorted({t for _, _, t in rows})
+    if not all_terms:
+        return spark.createDataFrame([], _rank_schema())
+    pruned = pidx.index.filter(F.col("term").isin(all_terms))
+    matched = pruned.join(F.broadcast(sdf), "term").select(
+        "query_id", "chunk", "slot", "postings", "positions"
+    )
+
+    def chunk_scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..indexing.codec import decode_positions, decode_postings
+
+        if not len(pdf):
+            return _EMPTY_PART
+        qid = int(pdf["query_id"].iloc[0])
+        toks = slots[qid]
+        rows_by_slot: Dict[int, list] = {}
+        for row in pdf.itertuples(index=False):
+            rows_by_slot.setdefault(int(row.slot), []).append(row)
+        got = _phrase_group(
+            toks,
+            rows_by_slot,
+            lambda buf: decode_postings(bytes(buf)),
+            lambda buf, tfs: decode_positions(bytes(buf), tfs),
+        )
+        if got is None:
+            return _EMPTY_PART
+        uniq, counts, firsts = got
+        if k is not None and len(uniq) > k:
+            order = np.lexsort((uniq, -counts))[:k]
+            uniq, counts, firsts = uniq[order], counts[order], firsts[order]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": uniq,
+                "n_occurrences": counts,
+                "first_pos": firsts,
+            }
+        )
+
+    part = matched.groupBy("query_id", "chunk").applyInPandas(
+        chunk_scorer, schema=_PART_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    ranked = part.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(*_OUT_COLS)
+
+
+def _rank_schema():
+    return T.StructType(
+        list(_PART_SCHEMA.fields) + [T.StructField("rank", T.LongType(), False)]
+    )
+
+
+def local_phrase(searcher, phrase: str, k: int | None = 10,
+                 resolve: bool = True) -> List[dict]:
+    """In-process phrase query off a :class:`~.serve.LocalSearcher` —
+    zero Spark jobs when the term slices are cached. Runs the SAME
+    :func:`_phrase_group` core as the distributed chunk scorer (gated
+    identical), over all cached rows at once, through the searcher's
+    decoded-postings LRU."""
+    import numpy as np
+
+    if not searcher._positional:
+        raise ValueError("packed index was not built with positional=True")
+    toks = tokenize_text(phrase, searcher.cfg)
+    if not toks:
+        return []
+    searcher._ensure_terms(list(dict.fromkeys(toks)))
+    rows_by_slot: Dict[int, list] = {}
+    for slot, term in enumerate(toks):
+        sl = searcher._slices.get(term)
+        if sl is None or not len(sl):
+            return []
+        rows_by_slot[slot] = list(sl.itertuples(index=False))
+    got = _phrase_group(
+        toks, rows_by_slot, searcher._decode_cached, searcher._decode_pos_cached
+    )
+    if got is None:
+        return []
+    uniq, counts, firsts = got
     order = np.lexsort((uniq, -counts))
     if k is not None:
         order = order[:k]
@@ -243,6 +308,6 @@ def local_phrase(searcher, phrase: str, k: int | None = 10,
     rows = searcher._resolve(out, resolve)
     for r, oi in zip(rows, order):
         r["n_occurrences"] = int(counts[oi])
-        r["first_pos"] = int(starts[first_idx[oi]])
+        r["first_pos"] = int(firsts[oi])
         r.pop("score", None)
     return rows

@@ -27,7 +27,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -89,6 +89,50 @@ def min_span(pos_lists: List[List[int]]) -> tuple[int, int] | None:
     return best
 
 
+def _min_spans_vectorized(docs, pos, tid, k):
+    """All-docs-at-once minimal cover (numpy twin of :func:`min_span`,
+    property-gated identical in tests): for every occurrence i in the
+    (doc, pos)-sorted stream, the tightest window ENDING at i starts at
+    min over terms of that term's latest position at-or-before i — a
+    per-term prefix max over the stream. Per-doc resets fall out of a
+    doc-offset key (earlier-doc leakage is detected by key // STRIDE).
+    The per-doc answer is the (span, lo)-lexicographic minimum — the same
+    smallest-lo-among-minimal-windows rule the merge scan yields.
+
+    -> (doc, span_len, lo, hi) arrays for docs covering all k terms.
+    O(N·k) vectorized; N = candidate occurrences, k = query terms."""
+    import numpy as np
+
+    stride = np.int64(1) << np.int64(32)
+    if pos.size and int(pos.max()) >= (1 << 32):
+        raise ValueError("position exceeds the span key stride")
+    g = docs * stride + pos
+    order = np.argsort(g, kind="stable")  # (doc, pos) ascending; keys unique
+    g = g[order]
+    tid_o = tid[order]
+    docs_o = docs[order]
+    pos_o = pos[order]
+    prev_min = np.full(len(g), np.iinfo(np.int64).max, dtype=np.int64)
+    valid = np.ones(len(g), dtype=bool)
+    for t in range(k):
+        x = np.where(tid_o == t, g, np.int64(-1))
+        acc = np.maximum.accumulate(x)
+        # a prefix max inherited from an earlier doc (or -1) means term t
+        # has not occurred in THIS doc yet -> no window ends here
+        valid &= acc // stride == docs_o
+        prev_min = np.minimum(prev_min, acc)
+    if not valid.any():
+        return (np.empty(0, np.int64),) * 4
+    vdoc = docs_o[valid]
+    vlo = prev_min[valid] % stride
+    vhi = pos_o[valid]
+    vspan = vhi - vlo + 1
+    o2 = np.lexsort((vlo, vspan, vdoc))
+    vdoc, vspan, vlo, vhi = vdoc[o2], vspan[o2], vlo[o2], vhi[o2]
+    first = np.concatenate(([True], vdoc[1:] != vdoc[:-1]))
+    return vdoc[first], vspan[first], vlo[first], vhi[first]
+
+
 def _span_scorer(
     query_terms: Dict[int, List[str]],
     k_top: int | None,
@@ -142,41 +186,41 @@ def _span_scorer(
         if not len(cand):
             return empty
         cand_sorted = np.sort(cand)
-        # positions per (candidate doc, term)
-        pos_map: Dict[int, Dict[str, List[int]]] = {int(d): {} for d in cand_sorted}
-        for t, chunks in decoded.items():
-            for doc_ids, tfs, posbuf in chunks:
-                idx = np.searchsorted(cand_sorted, doc_ids)
+        # gather (doc, pos, term_id) occurrence arrays for candidate docs
+        docs_l, pos_l, tid_l = [], [], []
+        for ti, t in enumerate(terms):
+            for doc_ids, tfs, posbuf in decoded[t]:
+                doc_rep = np.repeat(doc_ids.astype(np.int64), tfs)
+                idx = np.searchsorted(cand_sorted, doc_rep)
                 idx[idx == len(cand_sorted)] = 0
-                m = np.flatnonzero(cand_sorted[idx] == doc_ids)
-                if not len(m):
+                mask = cand_sorted[idx] == doc_rep
+                if not mask.any():
                     continue
-                flat, occ_starts = dec_pos(posbuf, tfs)
-                ends = np.append(occ_starts[1:], len(flat))
-                for j in m:
-                    d = int(doc_ids[j])
-                    pos_map[d].setdefault(t, []).extend(
-                        flat[occ_starts[j] : ends[j]].tolist()
-                    )
-        recs = []
-        for d in cand_sorted.tolist():
-            span = min_span([pos_map[d].get(t, []) for t in terms])
-            if span is not None:
-                lo, hi = span
-                recs.append((d, hi - lo + 1, lo, hi))
-        recs.sort(key=lambda r: (r[1], r[0]))
-        if k_top is not None:
-            recs = recs[:k_top]
-        if not recs:
+                flat, _occ = dec_pos(posbuf, tfs)
+                docs_l.append(doc_rep[mask])
+                pos_l.append(flat.astype(np.int64)[mask])
+                tid_l.append(np.full(int(mask.sum()), ti, dtype=np.int64))
+        if not docs_l:
             return empty
+        d_doc, d_span, d_lo, d_hi = _min_spans_vectorized(
+            np.concatenate(docs_l),
+            np.concatenate(pos_l),
+            np.concatenate(tid_l),
+            len(terms),
+        )
+        if not len(d_doc):
+            return empty
+        order = np.lexsort((d_doc, d_span))
+        if k_top is not None:
+            order = order[:k_top]
         return pd.DataFrame(
             {
                 "query_id": qid,
-                "doc_id": [r[0] for r in recs],
-                "span_len": [r[1] for r in recs],
-                "lo": [r[2] for r in recs],
-                "hi": [r[3] for r in recs],
-                "rank": range(1, len(recs) + 1),
+                "doc_id": d_doc[order],
+                "span_len": d_span[order],
+                "lo": d_lo[order],
+                "hi": d_hi[order],
+                "rank": np.arange(1, len(order) + 1),
             }
         )
 
@@ -190,7 +234,15 @@ def minspan_topk_packed_batch(
     k: int | None = 10,
 ) -> DataFrame:
     """Packed-path minimal-span retrieval -> (query_id, doc_id, span_len,
-    lo, hi, rank), rank by span_len asc (doc_id tie-break)."""
+    lo, hi, rank), rank by span_len asc (doc_id tie-break).
+
+    Scoring runs per (query_id, chunk) group: chunk boundaries are
+    doc-range cuts shared by every term, so a doc's postings for all the
+    query's terms co-reside in one group and the per-doc span is exact
+    there; a chunk missing one of the query's terms correctly contributes
+    nothing (its docs cannot satisfy the AND). The shuffle moves chunk
+    rows only, each group emits at most k docs (safe cut — per-doc
+    results are complete within the group), and a global window re-ranks."""
     if not pidx.manifest.get("positional"):
         raise ValueError("packed index was not built with positional=True")
     spark = pidx.spark
@@ -213,9 +265,18 @@ def minspan_topk_packed_batch(
     ]
     matched = pruned.withColumn(
         "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
-    ).select("query_id", "term", "postings", "positions")
+    ).select("query_id", "chunk", "term", "postings", "positions")
     scorer = _span_scorer(query_terms, k)
-    return matched.groupBy("query_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+    part = matched.groupBy("query_id", "chunk").applyInPandas(
+        scorer, schema=_OUT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("span_len"), F.asc("doc_id"))
+    ranked = part.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        "query_id", "doc_id", "span_len", "lo", "hi", "rank"
+    )
 
 
 def minspan_topk_batch(

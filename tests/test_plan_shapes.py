@@ -89,8 +89,9 @@ def test_tfidf_packed_plan(spark, tmp_path_factory):
 
 def test_phrase_packed_plan(spark, tmp_path_factory):
     """Packed phrase retrieval: pushed term filter (only the phrase terms'
-    chunks are scanned), broadcast slot join, no cartesian; the wide
-    exchanges are the two keyed groupBys + the per-query rank window."""
+    chunks are scanned), broadcast slot join, no cartesian; the shuffle
+    moves CHUNK rows into the (query_id, chunk) group scorer — exactly two
+    wide exchanges (group scorer + rank window), never per-posting hits."""
     from searchengine_spark.query.phrase import phrase_topk_packed_batch
 
     path = str(tmp_path_factory.mktemp("plans_phrase") / "idx")
@@ -103,8 +104,11 @@ def test_phrase_packed_plan(spark, tmp_path_factory):
     plan = explain_str(df)
     assert "PushedFilters" in plan and "In(term" in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Arguments: hashpartitioning") <= 3, plan
-    assert "partial_count" in plan or "partial_min" in plan  # map-side combine
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-chunk group scorer
+    # no per-posting explode before the exchange: the only generator-free
+    # path from scan to scorer carries (chunk, postings, positions) rows
+    assert ") Generate" not in plan, plan
 
 
 def test_simhash_plan_is_bit_parallel(spark):

@@ -95,6 +95,50 @@ def test_min_span_property():
             )
 
 
+def test_vectorized_matches_min_span():
+    """The all-docs numpy kernel must agree with the per-doc merge (and so
+    with the exponential brute) on random multi-doc streams."""
+    import numpy as np
+
+    from searchengine_spark.query.spans import _min_spans_vectorized
+
+    rng = random.Random(20260818)
+    for trial in range(200):
+        k = rng.randint(1, 4)
+        n_docs = rng.randint(1, 6)
+        docs_l, pos_l, tid_l, want = [], [], [], {}
+        for d in range(n_docs):
+            lists = [
+                sorted(rng.sample(range(40), rng.randint(0, 6)))
+                for _ in range(k)
+            ]
+            # occupancy conflict: a position may host only one term
+            seen = set()
+            lists = [
+                [p for p in ps if p not in seen and not seen.add(p)]
+                for ps in lists
+            ]
+            for ti, ps in enumerate(lists):
+                for p in ps:
+                    docs_l.append(d)
+                    pos_l.append(p)
+                    tid_l.append(ti)
+            span = min_span(lists)
+            if span is not None:
+                want[d] = (span[1] - span[0] + 1, span[0], span[1])
+        got_doc, got_span, got_lo, got_hi = _min_spans_vectorized(
+            np.array(docs_l, dtype=np.int64),
+            np.array(pos_l, dtype=np.int64),
+            np.array(tid_l, dtype=np.int64),
+            k,
+        )
+        got = {
+            int(d): (int(s), int(lo), int(hi))
+            for d, s, lo, hi in zip(got_doc, got_span, got_lo, got_hi)
+        }
+        assert got == want, (trial, k)
+
+
 def test_min_span_handcrafted():
     assert min_span([[0, 10], [2, 12]]) == (0, 2)
     assert min_span([[5]]) == (5, 5)
