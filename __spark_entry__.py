@@ -335,6 +335,48 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII planted (emails on every 3rd doc,
+    IPs on every 5th, phone numbers on every 7th) — gives the scrubber
+    real positives on PII-free testdata, reproducibly in both engines."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call +1 555 0100 "), did),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (textops/scrub.py): per-doc span counts + md5 of the
+    redacted text (the md5 keeps the full redaction output hash-gated
+    without shipping long strings)."""
+    from searchengine_spark.textops import pii_stats, redact_pii
+
+    injected = _pii_injected(spark, sf_dir)
+    stats = pii_stats(injected)
+    red = redact_pii(injected).select(
+        F.col("doc_id").alias("_rid"), F.md5("text").alias("redacted_md5")
+    )
+    return stats.join(red, stats["id"] == red["_rid"]).select(
+        F.col("id").alias("doc_id"), "n_email", "n_ip", "n_phone", "redacted_md5"
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (textops/dataset.py): pure
     md5 arithmetic over (salt, doc_id) — stable across corpus growth,
@@ -899,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
         "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1185,6 +1228,43 @@ QUALIFY rank <= 10
 """
 
     # ---------------- training-data pipeline ops ----------------
+
+    from searchengine_spark.textops.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    _inject_sql = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call +1 555 0100 ' || doc_id::VARCHAR
+            ELSE '' END AS t
+  FROM documents
+"""
+    sqls["pii_redact"] = f"""
+WITH injected AS ({_inject_sql}),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_email,
+         regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+  FROM injected
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ip,
+         regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phone,
+         regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS redacted_md5 FROM s3
+"""
 
     # 4-nibble md5 prefix -> 0..65535, the Spark _hash16 twin
     def _hash16_sql(arg: str, salt: str) -> str:

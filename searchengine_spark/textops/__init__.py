@@ -41,6 +41,10 @@ from .quality import (  # noqa: F401
     quality_score,
     token_stats,
 )
+from .scrub import (  # noqa: F401
+    pii_stats,
+    redact_pii,
+)
 from .similarity import (  # noqa: F401
     build_ivf_index,
     cosine_near_pairs,
