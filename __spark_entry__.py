@@ -739,6 +739,37 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream/... vocab
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term retrieval ('s*'): sorted-dictionary prefix expansion
+    done by the parquet scan (pushed StringStartsWith), OR-retrieval with
+    per-doc expansion count + summed tf — all-integer output."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import prefix_search_packed
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    # same build config as q_packed_wand_topk -> share its index dir
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    pidx = load_packed_index(spark, path)
+    hits = prefix_search_packed(pidx, PREFIX_QUERY)
+    # internal docIDs == ext_id here (docs arrive doc_id-ordered), but
+    # resolve through the docmap anyway (the contract the reference has)
+    return (
+        hits.join(pidx.docmap, "doc_id")
+        .select(F.col("ext_id").alias("doc_id"), "n_terms", "total_tf")
+    )
+
+
 def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: BM25_OPTIMIZED serving from the packed POSITIONAL index — the
     proximity-boost ranker family's driver gate (reference
@@ -959,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
+        "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
         "proximity_topk": q_proximity_topk,
@@ -1225,6 +1257,13 @@ SELECT query_id, doc_id, span_len, lo, hi,
         ))::BIGINT AS rank
 FROM allq
 QUALIFY rank <= 10
+"""
+
+    sqls["prefix_search"] = f"""
+WITH {_INDEX_CTES}
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf
+FROM idx WHERE term LIKE {_sql_quote(PREFIX_QUERY + "%")}
+GROUP BY doc_id
 """
 
     # ---------------- training-data pipeline ops ----------------

@@ -287,6 +287,55 @@ def boolean_search_packed(
     )
 
 
+def prefix_search_packed(pidx: PackedIndex, prefix: str) -> DataFrame:
+    """Wildcard (``prefix*``) term retrieval from the packed index ->
+    (doc_id, n_terms, total_tf): docs containing ANY term with the prefix,
+    with how many distinct expansions matched and their summed tf.
+
+    The expansion is free at the storage layer: the index is term-sorted
+    parquet, so ``startswith(term, prefix)`` pushes down as a
+    StringStartsWith range filter and only the matching terms' chunk rows
+    are read (plan-gated) — the classic sorted-dictionary prefix scan,
+    done by the scan instead of a B-tree. Freq payload only ('boolean'
+    stores no tf; use boolean_search_packed with explicit expansions)."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    if pidx.manifest.get("payload", "freq") != "freq":
+        raise ValueError("prefix_search_packed needs a payload='freq' build")
+    matched = pidx.index.filter(F.col("term").startswith(prefix)).select(
+        "term", "postings"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.LongType(), False),
+        ]
+    )
+
+    def explode_postings(batches):
+        from ..indexing.codec import decode_postings
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs, _ = decode_postings(bytes(row.postings))
+                outs.append(
+                    pd.DataFrame(
+                        {"term": row.term, "doc_id": doc_ids, "tf": tfs}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    hits = matched.mapInPandas(explode_postings, schema=out_schema)
+    # (term, doc) pairs are unique across chunk rows -> count(*) == distinct
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("total_tf")
+    )
+
+
 def resolve_docs(pidx: PackedIndex, topk: DataFrame) -> DataFrame:
     """docID -> external id resolve (Q8; searcher.py:50-58 analog): join the
     docmap instead of a binary search over a mapping file. External-id

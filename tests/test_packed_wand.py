@@ -213,3 +213,54 @@ def test_index_lineage_accounts_all_postings(spark, packed):
     assert row[0] == packed.manifest["n_postings"]
     assert row[1] == packed.manifest["n_chunks"]
     assert row[2] > 0
+
+
+def test_prefix_search_matches_exact(packed, exact):
+    """prefix_search_packed == brute aggregation over the exact index for
+    several prefixes (incl. one matching nothing)."""
+    from searchengine_spark.query.wand import prefix_search_packed
+
+    for prefix in ("ro", "albu", "zzzznope"):
+        want = {
+            (r["doc_id"], r["n_terms"], r["total_tf"])
+            for r in exact.index.filter(F.col("term").startswith(prefix))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("tf").cast("long").alias("total_tf"),
+            )
+            .collect()
+        }
+        got = {
+            (r["doc_id"], r["n_terms"], r["total_tf"])
+            for r in prefix_search_packed(packed, prefix).collect()
+        }
+        assert got == want, prefix
+    assert prefix_search_packed(packed, "ro").count() > 0
+
+
+def test_prefix_search_plan_pushes_startswith(packed):
+    from contextlib import redirect_stdout
+    import io
+
+    from searchengine_spark.query.wand import prefix_search_packed
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        prefix_search_packed(packed, "ro").explain("formatted")
+    plan = buf.getvalue()
+    assert "StringStartsWith" in plan  # pushed to the term-sorted scan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_prefix_search_refuses_boolean_payload(spark, corpus, cfg, tmp_path_factory):
+    from searchengine_spark.query.wand import prefix_search_packed
+
+    path = str(tmp_path_factory.mktemp("prefbool") / "idx")
+    build_packed_index(
+        corpus, cfg, path, params=PARAMS, chunk_docs=512, payload="boolean"
+    )
+    with pytest.raises(ValueError, match="freq"):
+        prefix_search_packed(load_packed_index(spark, path), "ro")
+    with pytest.raises(ValueError, match="prefix"):
+        prefix_search_packed(load_packed_index(spark, path), "")
