@@ -114,6 +114,8 @@ def phrase_topk_batch(
     spark = it.index.sparkSession
     slots = phrase_slots(phrases, cfg)
     sdf, rows = _slot_df(spark, slots)
+    if not rows:  # all phrases tokenize empty: create_map() can't type-check
+        return spark.createDataFrame([], _rank_schema())
     matched = it.index.join(F.broadcast(sdf), "term")
     hits = matched.select(
         "query_id", "slot", "doc_id", F.explode("positions").alias("pos")

@@ -46,7 +46,11 @@ def tokenize_with_spans(
 
     The token sequence equals ``tokenize_text(text, cfg)`` exactly (gated
     in tests); spans index into the returned display string (the original
-    text when offsets align, else the lowered translation)."""
+    text when offsets align, else the lowered translation). NULL text
+    (permitted by the corpus schema, guarded the same way in
+    tokenize_pandas_udf) yields no tokens instead of crashing."""
+    if text is None:
+        return [], ""
     lowered = text.translate(_PUNCT_TO_SPACE).lower()
     src = text if len(lowered) == len(text) else lowered
     stemmer = _make_stemmer(cfg.stem_lang) if cfg.stem_lang is not None else None
@@ -77,13 +81,18 @@ def extract_snippet(
     max_chars: int = 240,
     pad_tokens: int = 3,
     _memo: Optional[dict] = None,
+    _terms: Optional[List[str]] = None,
 ) -> Optional[dict]:
     """Best display window for ``query`` in ``text`` (None when the text
     does not contain every query term): the minimal all-terms span widened
     by ``pad_tokens`` context tokens on each side, trimmed back toward the
     core while it exceeds ``max_chars``."""
     kept, src = tokenize_with_spans(text, cfg, _memo=_memo)
-    terms = list(dict.fromkeys(tokenize_text(query, cfg)))
+    terms = (
+        list(dict.fromkeys(tokenize_text(query, cfg)))
+        if _terms is None
+        else _terms
+    )
     if not terms or not kept:
         return None
     by_term: Dict[str, List[int]] = {}
@@ -139,12 +148,16 @@ def snippets_table(
 
     def run(batches):
         memo: dict = {}
+        # the constant query tokenizes ONCE per task, not once per row —
+        # with nltk present, per-row stemmer construction dominates
+        terms = list(dict.fromkeys(tokenize_text(query, cfg)))
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
                 sn = extract_snippet(
                     getattr(row, text_col), query, cfg,
                     max_chars=max_chars, pad_tokens=pad_tokens, _memo=memo,
+                    _terms=terms,
                 )
                 if sn is None:
                     continue

@@ -383,15 +383,19 @@ def local_minspan(searcher, query: str, k: int | None = 10,
         decode_pos=searcher._decode_pos_cached,
     )
     out = scorer(pdf)
-    rows = out.to_dict("records")
-    if resolve and searcher._ext_cols:
-        searcher._ensure_docs([int(r["doc_id"]) for r in rows])
-        for r in rows:
-            ext = searcher._docmap.get(int(r["doc_id"]))
-            if ext is not None:
-                r.update(dict(zip(searcher._ext_cols, ext)))
+    # route through the searcher's shared resolve (one copy of the
+    # doc-metadata join), then restore the span columns it doesn't know
+    spans = {
+        int(d): (int(s), int(lo), int(hi))
+        for d, s, lo, hi in zip(
+            out["doc_id"], out["span_len"], out["lo"], out["hi"]
+        )
+    }
+    out = out.assign(score=0.0)
+    rows = searcher._resolve(
+        out[["query_id", "doc_id", "score", "rank"]], resolve
+    )
     for r in rows:
-        for c in ("doc_id", "span_len", "lo", "hi", "rank"):
-            r[c] = int(r[c])
-        r.pop("query_id", None)
+        r["span_len"], r["lo"], r["hi"] = spans[r["doc_id"]]
+        r.pop("score", None)
     return rows

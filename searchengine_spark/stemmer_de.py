@@ -111,6 +111,9 @@ def _step3(word: str, r1: int, r2: int) -> str:
 
 def stem_german(word: str) -> str:
     """Stem one lowercase German word (Snowball german)."""
+    # the ss-replacement happens BEFORE the short-word return: 'aß' is a
+    # real 2-char token that must come out 'ass' like the full pipeline
+    word = word.replace("ß", "ss")
     if len(word) <= 2:
         return word.translate(_POSTLUDE)
     word = _prelude(word)

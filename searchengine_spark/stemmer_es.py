@@ -167,12 +167,18 @@ def _step1(word: str, r1: int, r2: int) -> tuple[str, bool]:
 
 
 def _step2a(word: str, rv: int) -> tuple[str, bool]:
+    # the verb-suffix search is LIMITED to RV (spec: "longest among the
+    # following suffixes in RV"): a match extending before RV is not a
+    # match at all, and SHORTER in-RV suffixes must still be tried —
+    # unlike step 1, whose longest whole-word match fails with no fallback
     for suf in _STEP2A:
         if word.endswith(suf):
             start = len(word) - len(suf)
-            if start >= rv and word[:start].endswith("u"):
+            if start < rv:
+                continue  # crosses the RV boundary -> keep scanning
+            if word[:start].endswith("u"):
                 return word[:start], True
-            return word, False
+            return word, False  # matched in RV; the u condition failed
     return word, False
 
 
@@ -180,12 +186,12 @@ def _step2b(word: str, rv: int) -> str:
     for suf in _STEP2B:
         if word.endswith(suf):
             start = len(word) - len(suf)
-            if start >= rv:
-                w = word[:start]
-                if suf in _STEP2B_GU and w.endswith("gu"):
-                    w = w[:-1]  # the gu need not be in RV
-                return w
-            return word
+            if start < rv:
+                continue  # RV-limited match (see _step2a)
+            w = word[:start]
+            if suf in _STEP2B_GU and w.endswith("gu"):
+                w = w[:-1]  # the gu need not be in RV
+            return w
     return word
 
 

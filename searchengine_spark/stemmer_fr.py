@@ -205,13 +205,17 @@ def _step1(word: str, r1: int, r2: int, rv: int) -> tuple[str, bool, bool]:
 
 
 def _step2a(word: str, rv: int) -> tuple[str, bool]:
+    # verb-suffix matching is LIMITED to RV (spec: "longest among ... in
+    # RV"): an over-the-boundary match is no match — fall through to
+    # shorter suffixes (unlike step 1's no-fallback longest-match)
     for suf in _STEP2A:
         if word.endswith(suf):
             start = len(word) - len(suf)
-            if start >= rv and start >= 1 and word[start - 1] not in _VOWELS \
-                    and start - 1 >= rv:
+            if start < rv:
+                continue
+            if start >= 1 and word[start - 1] not in _VOWELS and start - 1 >= rv:
                 return word[:start], True
-            return word, False
+            return word, False  # matched in RV; non-vowel condition failed
     return word, False
 
 
@@ -221,7 +225,7 @@ def _step2b(word: str, r2: int, rv: int) -> tuple[str, bool]:
             continue
         start = len(word) - len(suf)
         if start < rv:
-            return word, False
+            continue  # RV-limited match (see _step2a)
         if group == "ions":
             if start >= r2:
                 return word[:start], True

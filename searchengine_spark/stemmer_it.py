@@ -73,15 +73,19 @@ _STEP2 = sorted(
 def _prelude(word: str) -> str:
     word = word.translate(_ACUTE_TO_GRAVE)
     out = list(word)
-    for i in range(1, len(word)):
-        c = word[i]
-        if c == "u" and word[i - 1] == "q":
+    # the scan reads the MUTATED left context (Snowball's `repeat goto`
+    # rewrites as it walks): in 'quia' the u is marked first, so the i is
+    # no longer intervocalic ('qUia', not 'qUIa') — region computation
+    # diverges otherwise
+    for i in range(1, len(out)):
+        c = out[i]
+        if c == "u" and out[i - 1] == "q":
             out[i] = "U"
         elif (
             c in ("u", "i")
-            and word[i - 1] in _VOWELS
-            and i + 1 < len(word)
-            and word[i + 1] in _VOWELS
+            and out[i - 1] in _VOWELS
+            and i + 1 < len(out)
+            and out[i + 1] in _VOWELS
         ):
             out[i] = c.upper()
     return "".join(out)
@@ -171,11 +175,16 @@ def _step1(word: str, r1: int, r2: int, rv: int) -> tuple[str, bool]:
 
 
 def _step2(word: str, rv: int) -> str:
+    # verb-suffix matching is LIMITED to RV (spec: "longest among the
+    # following suffixes in RV"): a match crossing the RV boundary is no
+    # match — fall through to shorter in-RV suffixes (e.g. 'lavano':
+    # 'avano' starts before RV, the in-RV 'ano' must still fire -> 'lav')
     for suf in _STEP2:
         if word.endswith(suf):
-            if len(word) - len(suf) >= rv:
-                return word[: -len(suf)]
-            return word
+            start = len(word) - len(suf)
+            if start < rv:
+                continue
+            return word[:start]
     return word
 
 

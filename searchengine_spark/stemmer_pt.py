@@ -57,6 +57,10 @@ _STEP2 = sorted(
         "emos", "aremos", "eremos", "iremos", "ássemos", "êssemos",
         "íssemos", "imos", "armos", "ermos", "irmos", "amos", "aram",
         "eram", "iram", "avam", "em", "arem", "erem", "irem", "assem",
+        # NB the published list genuinely ends "... eu iu ou ira iras":
+        # unaccented ira/iras are the pluperfect forms (partira), symmetric
+        # with the listed ara/era/aras/eras; step 1's "ira preceded by e ->
+        # ir" rewrite handles the -eira noun family BEFORE step 2 runs
         "essem", "issem", "eu", "iu", "ou", "ira", "iras",
     ),
     key=len, reverse=True,
@@ -132,12 +136,16 @@ def _step1(word: str, r1: int, r2: int, rv: int) -> tuple[str, bool]:
 
 
 def _step2(word: str, rv: int) -> tuple[str, bool]:
+    # verb-suffix matching is LIMITED to RV (spec: "longest among the
+    # following suffixes in RV"): a match crossing the RV boundary is no
+    # match — fall through to shorter in-RV suffixes (e.g. 'lavam': 'avam'
+    # starts before RV, the in-RV 'am' must still fire -> 'lav')
     for suf in _STEP2:
         if word.endswith(suf):
             start = len(word) - len(suf)
-            if start >= rv:
-                return word[:start], True
-            return word, False
+            if start < rv:
+                continue
+            return word[:start], True
     return word, False
 
 

@@ -46,6 +46,11 @@ def hash_split(
     total = sum(weights.values())
     if total <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative with a positive sum")
+    if total > HASH_SPACE:
+        raise ValueError(
+            f"sum of weights ({total}) exceeds the {HASH_SPACE} hash space —"
+            " buckets past it would be empty; scale the weights down"
+        )
     bucket = _hash16(F.col(id_col), salt) % total
     expr = None
     acc = 0
@@ -67,6 +72,11 @@ def hash_sample(
     deterministic ~num/den sample, stable across runs and engine."""
     if not (0 <= num <= den) or den <= 0:
         raise ValueError("need 0 <= num <= den, den > 0")
+    if den > HASH_SPACE:
+        raise ValueError(
+            f"den ({den}) exceeds the {HASH_SPACE} hash space — the actual"
+            " rate would silently distort; reduce the fraction"
+        )
     return docs.filter(_hash16(F.col(id_col), salt) % den < num)
 
 

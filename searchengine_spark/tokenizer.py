@@ -95,6 +95,11 @@ class TokenizerConfig:
         )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)  # stemmers are stateless; nltk's ctor +
+# probe are expensive enough to dominate per-row callers otherwise
 def _make_stemmer(lang: str):
     """nltk's SnowballStemmer when available (exact reference parity —
     the reference stems through nltk, src/models/tokenizer.py:59-70);

@@ -88,3 +88,9 @@ def test_pack_rejects_bad_budget(spark):
         hash_sample(df, 3, 2)
     with pytest.raises(ValueError):
         hash_split(df, {"a": -1, "b": 2})
+    # denominators/weights beyond the 16-bit hash space silently distort
+    # rates -> refused
+    with pytest.raises(ValueError, match="hash space"):
+        hash_sample(df, 50000, 100000)
+    with pytest.raises(ValueError, match="hash space"):
+        hash_split(df, {"a": 70000, "b": 70000})

@@ -155,6 +155,14 @@ def test_nonpositional_refuses(corpus, cfg, spark, tmp_path_factory):
         phrase_topk_batch(it, ["merge sort"], cfg)
 
 
+def test_empty_and_stopword_phrases(exact, packed, cfg):
+    """No phrases / phrases that tokenize to nothing: empty frame, not an
+    AnalysisException (create_map() with zero entries cannot type-check)."""
+    for phrases in ([], ["the", "of the"]):  # stop words vanish entirely
+        assert phrase_topk_batch(exact, phrases, cfg).count() == 0
+        assert phrase_topk_packed_batch(packed, phrases, cfg).count() == 0
+
+
 def test_phrase_random_property(spark, cfg):
     """Seeded-random corpora over a tiny vocabulary (so phrases repeat and
     overlap) vs the brute-force oracle — exercises repeated terms,

@@ -90,6 +90,16 @@ def test_snippets_table_matches_function(spark):
     assert got == want and 2 not in got and len(got) == 3
 
 
+def test_null_text_rows_skipped(spark):
+    cfg = TokenizerConfig(min_token_length=2)
+    docs = spark.createDataFrame(
+        [(0, "merge sort here"), (1, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in snippets_table(docs, "merge sort", cfg).collect()}
+    assert got == {0}
+    assert extract_snippet(None, "merge sort", cfg) is None
+
+
 def test_snippet_lo_hi_match_index_minspan(spark):
     """The text-side span must agree with the index-side operator: same
     tokenizer, same positions, same minimal window."""

@@ -33,7 +33,9 @@ GOLDEN_ES = {
     "lógica": "logic",
     # step 2a (y-verbs after u) and RV gating
     "construyendo": "constru", "tuya": "tuy", "oyendo": "oyend",
-    # step 2b verb suffixes incl. the gu adjustment
+    # step 2b verb suffixes incl. the gu adjustment; 'daban' exercises the
+    # RV-limited match ('aban' crosses RV, the in-RV 'an' must fire)
+    "daban": "dab",
     "canciones": "cancion", "corriendo": "corr", "bebiendo": "beb",
     "caminaba": "camin", "caminábamos": "camin", "comieron": "com",
     "viviendo": "viv", "trabajando": "trabaj", "llegue": "lleg",
@@ -88,10 +90,11 @@ GOLDEN_PT = {
     # R2 too short -> step-1 suffix refused, later steps pick up the rest
     "lógica": "lógic", "pensamento": "pensament", "pensamentos": "pensament",
     "cidades": "cidad", "cidade": "cidad", "biologia": "biolog",
-    # step 2 verb suffixes
+    # step 2 verb suffixes; 'lavam' exercises the RV-limited match
+    # ('avam' crosses RV, the in-RV 'am' must fire)
     "falando": "fal", "falaram": "fal", "bebendo": "beb", "partiu": "part",
     "chegou": "cheg", "cheguei": "chegu", "trabalhando": "trabalh",
-    "grandes": "grand",
+    "grandes": "grand", "lavam": "lav",
     # step 3: i after c
     "diferenciei": "diferenc",
     # step 4 residuals (accents are KEPT, unlike Spanish)
@@ -122,8 +125,8 @@ GOLDEN_DE = {
     "katzen": "katz", "lesen": "les", "aufgabe": "aufgab",
     "hauses": "haus", "autos": "autos",  # 'o' is not a valid s-ending
     "bedürfnissen": "bedurfnis",         # the niss -> nis adjustment
-    # prelude: ß -> ss, u/y between vowels marked as consonants
-    "größer": "gross", "bauern": "bau",
+    # prelude: ß -> ss (also for <=2-char words), u/y marking
+    "größer": "gross", "bauern": "bau", "aß": "ass",
     # step 2 + step 3 d-suffixes (R2 gating)
     "verschiedenen": "verschied", "freundlichen": "freundlich",
     "einigkeit": "einig", "aufeinander": "aufeinand",
@@ -150,12 +153,14 @@ GOLDEN_IT = {
     "cambiamento": "camb",       # amento in RV, then step-3a i
     # R2 too short -> suffix refused, later steps pick up the rest
     "nazione": "nazion", "bellissimo": "bellissim",
-    # step 2 verb suffixes
+    # step 2 verb suffixes; lavano/bevano exercise the RV-limited match
+    # ('avano'/'evano' cross RV, the in-RV 'ano' must fire)
     "abbandonati": "abbandon", "parlando": "parl", "parlerò": "parl",
-    "mangiamo": "mang", "finisco": "fin",
-    # step 3a residual vowel (+ preceding i), prelude markers
+    "mangiamo": "mang", "finisco": "fin", "lavano": "lav", "bevano": "bev",
+    # step 3a residual vowel (+ preceding i), prelude markers; 'quia'
+    # exercises the progressive u/i marking (qUia, not qUIa)
     "libri": "libr", "libro": "libr", "città": "citt",
-    "quindi": "quind", "gioia": "gioi",
+    "quindi": "quind", "gioia": "gioi", "quia": "qui",
     # short words unchanged
     "de": "de", "": "",
 }
