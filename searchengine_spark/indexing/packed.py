@@ -576,14 +576,16 @@ class PackedIndex:
         self.path = path
         self.manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
         # streaming appends live in epoch dirs registered in the manifest —
-        # only COMMITTED epochs are visible (exactly-once; incremental.py)
+        # only COMMITTED epochs are visible (exactly-once; incremental.py).
+        # Base stage dirs are manifest-driven so compaction (compact.py) can
+        # swing readers to a merged layout with one manifest replace.
         epochs = [a["batch_id"] for a in self.manifest.get("appends", [])]
-        index_paths = [dirs["index"]] + [
-            fsio.join(path, "index_appends", str(b)) for b in epochs
-        ]
-        docs_paths = [dirs["docs"]] + [
-            fsio.join(path, "docs_appends", str(b)) for b in epochs
-        ]
+        index_paths = [
+            fsio.join(path, self.manifest.get("index_dir", "index"))
+        ] + [fsio.join(path, "index_appends", str(b)) for b in epochs]
+        docs_paths = [
+            fsio.join(path, self.manifest.get("docs_dir", "docs"))
+        ] + [fsio.join(path, "docs_appends", str(b)) for b in epochs]
         self.index = spark.read.parquet(*index_paths)
         self.term_stats = spark.read.parquet(
             fsio.join(path, self.manifest.get("term_stats_dir", "term_stats"))
@@ -595,13 +597,29 @@ class PackedIndex:
         )
         self.doc_norms = (
             spark.read.parquet(
-                dirs["doc_norms"],
+                fsio.join(path, self.manifest.get("doc_norms_dir", "doc_norms")),
                 *[fsio.join(path, "doc_norms_appends", str(b)) for b in epochs],
             )
             if self.manifest.get("tfidf_sidecar")
             else None
         )
         self.spark = spark
+        self._delete_mask_loaded = False
+        self._delete_mask = None
+
+    def delete_mask(self):
+        """Committed tombstone set as a :class:`~.deletes.DeleteMask`
+        (None when the manifest lists no deletes). Loaded once, lazily —
+        the serving paths pass it into their decode hooks so deleted docs
+        never reach a scorer (indexing/deletes.py)."""
+        if not self._delete_mask_loaded:
+            from .deletes import load_delete_mask
+
+            self._delete_mask = load_delete_mask(
+                self.spark, self.path, self.manifest
+            )
+            self._delete_mask_loaded = True
+        return self._delete_mask
 
     @property
     def params(self) -> Bm25Params:

@@ -217,6 +217,7 @@ def phrase_topk_packed_batch(
     matched = pruned.join(F.broadcast(sdf), "term").select(
         "query_id", "chunk", "slot", "postings", "positions"
     )
+    mask = pidx.delete_mask()
 
     def chunk_scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -225,17 +226,16 @@ def phrase_topk_packed_batch(
 
         if not len(pdf):
             return _EMPTY_PART
+        dec = lambda buf: decode_postings(bytes(buf))  # noqa: E731
+        dec_pos = lambda buf, tfs: decode_positions(bytes(buf), tfs)  # noqa: E731
+        if mask is not None:
+            dec, dec_pos = mask.wrap_decoders(dec, dec_pos)
         qid = int(pdf["query_id"].iloc[0])
         toks = slots[qid]
         rows_by_slot: Dict[int, list] = {}
         for row in pdf.itertuples(index=False):
             rows_by_slot.setdefault(int(row.slot), []).append(row)
-        got = _phrase_group(
-            toks,
-            rows_by_slot,
-            lambda buf: decode_postings(bytes(buf)),
-            lambda buf, tfs: decode_positions(bytes(buf), tfs),
-        )
+        got = _phrase_group(toks, rows_by_slot, dec, dec_pos)
         if got is None:
             return _EMPTY_PART
         uniq, counts, firsts = got
@@ -291,7 +291,7 @@ def local_phrase(searcher, phrase: str, k: int | None = 10,
             return []
         rows_by_slot[slot] = list(sl.itertuples(index=False))
     got = _phrase_group(
-        toks, rows_by_slot, searcher._decode_cached, searcher._decode_pos_cached
+        toks, rows_by_slot, searcher._dec, searcher._dec_pos
     )
     if got is None:
         return []

@@ -257,8 +257,11 @@ def proximity_topk_packed_batch(
             round_dp=round_dp, rerank_n=rerank_n,
         )
 
+    mask = pidx.delete_mask()
+    dec, dec_pos = mask.wrap_decoders() if mask is not None else (None, None)
     score_group = packed_prox_scorer(
-        query_tokens, idf_map, params, dl_min, dl_max, k, round_dp, rerank_n
+        query_tokens, idf_map, params, dl_min, dl_max, k, round_dp, rerank_n,
+        decode=dec, decode_pos=dec_pos,
     )
     return matched.groupBy("query_id").applyInPandas(score_group, schema=_OUT_SCHEMA)
 
@@ -419,6 +422,8 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
                 "rebuilt sidecar"
             )
 
+    mask = pidx.delete_mask()
+
     def decode_rows(batches):
         import numpy as np
 
@@ -428,14 +433,23 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
             outs = []
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs, third = decode_postings(bytes(row.postings))
+                keep = mask.keep_mask(doc_ids) if mask is not None else None
+                if keep is not None:
+                    doc_ids, third = doc_ids[keep], third[keep]
                 if row.positions is not None:
+                    # decode with the ORIGINAL tfs (the stream's slicing
+                    # contract), then drop tombstoned postings' groups
                     flat, occ_starts = decode_positions(bytes(row.positions), tfs)
                     ends = np.append(occ_starts[1:], len(flat))
                     poss = [
                         flat[s:e].tolist() for s, e in zip(occ_starts, ends)
                     ]
+                    if keep is not None:
+                        poss = [p for p, kp in zip(poss, keep) if kp]
                 else:  # non-positional build (plain TF-IDF ranking)
                     poss = [[] for _ in range(len(doc_ids))]
+                if keep is not None:
+                    tfs = tfs[keep]
                 outs.append(
                     pd.DataFrame(
                         {

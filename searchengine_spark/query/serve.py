@@ -99,6 +99,16 @@ class LocalSearcher:
         self.decoded_cache_postings = decoded_cache_postings
         self._decoded: OrderedDict = OrderedDict()
         self._dec_postings = 0
+        # tombstones: wrap the LRU hooks in the live-doc mask ONCE (the LRU
+        # keeps the unmasked decode; masking is a cheap sorted-membership
+        # pass per hit) — every local ranker path then serves deletes
+        self._mask = pidx.delete_mask()
+        if self._mask is not None:
+            self._dec, self._dec_pos = self._mask.wrap_decoders(
+                self._decode_cached, self._decode_pos_cached
+            )
+        else:
+            self._dec, self._dec_pos = self._decode_cached, self._decode_pos_cached
 
         if preload == "auto":
             preload = self.manifest.get("n_postings", 0) <= AUTO_PRELOAD_POSTINGS
@@ -256,7 +266,7 @@ class LocalSearcher:
             if self._payload != "freq":
                 raise ValueError("BM25 needs a payload='freq' build")
             scorer = _wand_scorer(
-                k, self.params, round_dp, self._idf, decode=self._decode_cached
+                k, self.params, round_dp, self._idf, decode=self._dec
             )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":
@@ -267,8 +277,8 @@ class LocalSearcher:
                 float(self.manifest["dl_norm_min"]),
                 float(self.manifest["dl_norm_max"]),
                 k, round_dp, rerank_n,
-                decode=self._decode_cached,
-                decode_pos=self._decode_pos_cached,
+                decode=self._dec,
+                decode_pos=self._dec_pos,
             )
             out = scorer(pdf)
         else:  # tfidf / tfidf_optimized
@@ -312,7 +322,7 @@ class LocalSearcher:
         recs: list = []
         all_docs: list = []
         for row in pdf.itertuples(index=False):
-            doc_ids, tfs, third = self._decode_cached(row.postings)
+            doc_ids, tfs, third = self._dec(row.postings)
             all_docs.append((row.term, doc_ids, tfs, third, getattr(row, "positions", None)))
         if nrm_col is not None:
             self._ensure_norms(
@@ -326,7 +336,7 @@ class LocalSearcher:
 
         for term, doc_ids, tfs, third, posbuf in all_docs:
             if posbuf is not None:
-                flat, occ_starts = decode_positions(bytes(posbuf), tfs)
+                flat, occ_starts = self._dec_pos(posbuf, tfs)
                 ends = np.append(occ_starts[1:], len(flat))
                 poss = [flat[s:e].tolist() for s, e in zip(occ_starts, ends)]
             else:
@@ -362,8 +372,10 @@ class LocalSearcher:
             docs = (
                 self._decode_cached(row.postings, decode_docs)
                 if self._payload == "boolean"
-                else self._decode_cached(row.postings)[0]
+                else self._dec(row.postings)[0]
             )
+            if self._payload == "boolean" and self._mask is not None:
+                docs = self._mask.mask_docs(docs)
             sets.setdefault(row.term, set()).update(int(d) for d in docs)
         if not sets:
             return []

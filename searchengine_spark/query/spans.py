@@ -266,7 +266,9 @@ def minspan_topk_packed_batch(
     matched = pruned.withColumn(
         "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
     ).select("query_id", "chunk", "term", "postings", "positions")
-    scorer = _span_scorer(query_terms, k)
+    mask = pidx.delete_mask()
+    dec, dec_pos = mask.wrap_decoders() if mask is not None else (None, None)
+    scorer = _span_scorer(query_terms, k, decode=dec, decode_pos=dec_pos)
     part = matched.groupBy("query_id", "chunk").applyInPandas(
         scorer, schema=_OUT_SCHEMA
     )
@@ -379,8 +381,8 @@ def local_minspan(searcher, query: str, k: int | None = 10,
     pdf["query_id"] = 0
     scorer = _span_scorer(
         {0: terms}, k,
-        decode=searcher._decode_cached,
-        decode_pos=searcher._decode_pos_cached,
+        decode=searcher._dec,
+        decode_pos=searcher._dec_pos,
     )
     out = scorer(pdf)
     # route through the searcher's shared resolve (one copy of the

@@ -209,7 +209,11 @@ def bm25_topk_packed_batch(
         "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
     )
     k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
-    scorer = _wand_scorer(k_top, params, round_dp, idf_map)
+    # tombstoned docs are masked at decode (indexing/deletes.py); chunk
+    # upper bounds stay valid over any subset, so pruning is unchanged
+    mask = pidx.delete_mask()
+    dec = mask.wrap_decoders()[0] if mask is not None else None
+    scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k)
@@ -241,6 +245,7 @@ def boolean_search_packed(
     all_terms = sorted({t for _, t in rows})
     pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
     matched = pruned.select("term", "postings").join(F.broadcast(qdf), "term")
+    mask = pidx.delete_mask()
 
     out_schema = T.StructType(
         [
@@ -261,6 +266,8 @@ def boolean_search_packed(
                     if boolean
                     else decode_postings(bytes(row.postings))[0]
                 )
+                if mask is not None:
+                    docs = mask.mask_docs(docs)
                 outs.append(
                     pd.DataFrame(
                         {"query_id": row.query_id, "term": row.term, "doc_id": docs}
@@ -305,6 +312,7 @@ def prefix_search_packed(pidx: PackedIndex, prefix: str) -> DataFrame:
     matched = pidx.index.filter(F.col("term").startswith(prefix)).select(
         "term", "postings"
     )
+    mask = pidx.delete_mask()
 
     out_schema = T.StructType(
         [
@@ -321,6 +329,10 @@ def prefix_search_packed(pidx: PackedIndex, prefix: str) -> DataFrame:
             outs = []
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs, _ = decode_postings(bytes(row.postings))
+                if mask is not None:
+                    keep = mask.keep_mask(doc_ids)
+                    if keep is not None:
+                        doc_ids, tfs = doc_ids[keep], tfs[keep]
                 outs.append(
                     pd.DataFrame(
                         {"term": row.term, "doc_id": doc_ids, "tf": tfs}

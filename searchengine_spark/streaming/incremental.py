@@ -158,7 +158,9 @@ def append_batch(
     # multi-dir parquet union keeps one schema (pre-generalization indexes
     # have only the lnc `nrm`).
     if manifest.get("tfidf_sidecar"):
-        base_cols = spark.read.parquet(fsio.join(path, "doc_norms")).columns
+        base_cols = spark.read.parquet(
+            fsio.join(path, manifest.get("doc_norms_dir", "doc_norms"))
+        ).columns
         tfagg = (
             docs.select(DOC_ID, F.explode("tokens").alias("term"))
             .groupBy(DOC_ID, "term")
@@ -209,7 +211,10 @@ def append_batch(
 
     # df/idf delta merge: O(vocab + batch terms), NOT a rescan of the index.
     # batch df comes from the just-written epoch chunks (tiny parquet).
+    # n_docs is the docID high-water mark; idf uses the LIVE count, which
+    # differs only when tombstones exist (indexing/deletes.py).
     n_docs = offset + n_new
+    n_live = int(manifest.get("n_docs_live", offset)) + n_new
     epoch = spark.read.parquet(adirs["index"])
     deltas = epoch.groupBy("term").agg(F.sum("df_chunk").alias("df_delta"))
     n_post_delta = int(epoch.agg(F.sum("df_chunk")).collect()[0][0] or 0)
@@ -220,7 +225,7 @@ def append_batch(
         (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_delta"), F.lit(0))).alias("df"),
     )
     merged = merged.withColumn(
-        "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 3)
+        "idf", F.round(F.log(F.lit(float(n_live)) / F.col("df")), 3)
     )
     merged.coalesce(8).write.mode("overwrite").parquet(adirs["term_stats"])
 
@@ -230,6 +235,8 @@ def append_batch(
         manifest["dl_norm_min"] = min(manifest["dl_norm_min"], dl_bounds[0])
         manifest["dl_norm_max"] = max(manifest["dl_norm_max"], dl_bounds[1])
     manifest["n_docs"] = n_docs
+    if "n_docs_live" in manifest:
+        manifest["n_docs_live"] = n_live
     manifest["n_postings"] = int(manifest["n_postings"]) + n_post_delta
     manifest["term_stats_dir"] = f"term_stats_v{batch_id}"
     manifest.setdefault("appends", []).append(
