@@ -166,10 +166,14 @@ def delete_docs(
     dirs_manifest = fsio.join(path, "manifest.json")
     manifest = json.loads(fsio.read_text(spark, dirs_manifest))
     committed = {d["version"] for d in manifest.get("deletes", [])}
+    # delete_seq is MONOTONIC across compactions (which clear the deletes
+    # ledger): version numbers must never be reused while a superseded
+    # deletes/<v> or term_stats_d<v> dir is still awaiting delayed GC
+    seq = int(manifest.get("delete_seq", 0))
     version = (
         delete_id
         if delete_id is not None
-        else (max(committed) + 1 if committed else 0)
+        else max(seq, max(committed) + 1 if committed else 0)
     )
     if version in committed:
         return manifest  # retried after a successful commit: no-op
@@ -239,6 +243,7 @@ def delete_docs(
 
     # ---- the commit point: one atomic manifest replace --------------------
     manifest["n_docs_live"] = new_live
+    manifest["delete_seq"] = version + 1
     manifest["n_postings"] = int(manifest["n_postings"]) - n_post_delta
     manifest["term_stats_dir"] = new_ts_dir
     manifest.setdefault("deletes", []).append(
