@@ -770,6 +770,63 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_PRED = "ext_id % 7 = 3"  # oracle twin: documents.doc_id % 7 = 3
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str, compact: bool):
+    """Build packed -> tombstone ~1/7 of the corpus [-> compact]. The
+    delete contract (indexing/deletes.py): idf recomputed at the live N by
+    the exact delta merge, avgdl and stored dlq frozen at build time."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.compact import compact_index
+    from searchengine_spark.indexing.deletes import delete_docs
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_del_{tag}_{int(compact)}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    delete_docs(spark, path, where=DELETE_PRED)
+    if compact:
+        compact_index(spark, path)
+    return load_packed_index(spark, path)
+
+
+def _deleted_search(spark: SparkSession, sf_dir: str, compact: bool) -> DataFrame:
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    pidx = _deleted_index(spark, sf_dir, compact)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_delete_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone serving: WAND top-10 with live-doc decode masks after
+    delete_docs — scores must equal BM25 over the remaining corpus with
+    frozen avgdl and idf = round(ln(N_live/df_live), 3) (the oracle
+    computes exactly that from the raw corpus, never seeing tombstones)."""
+    return _deleted_search(spark, sf_dir, compact=False)
+
+
+def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query set after compact_index physically folded the tombstones
+    (decode -> drop -> re-encode through the build's own encoder): results
+    must STILL equal the oracle — compaction changes bytes, not answers."""
+    return _deleted_search(spark, sf_dir, compact=True)
+
+
 def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: BM25_OPTIMIZED serving from the packed POSITIONAL index — the
     proximity-boost ranker family's driver gate (reference
@@ -990,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
+        "delete_then_search": q_delete_then_search,
+        "compacted_search": q_compacted_search,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -1136,6 +1195,42 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
+
+    # deletes: the oracle never sees tombstones or epochs — it computes
+    # BM25 over the REMAINING corpus directly, with avgdl (and therefore
+    # dl_norm) from the FULL original corpus (frozen at build, the
+    # incremental-maintenance contract: indexing/deletes.py docstring) and
+    # idf = round(ln(N_live/df_live), 3). Both the tombstone-masked path
+    # (delete_then_search) and the physically folded one (compacted_search)
+    # must hash-match it.
+    delete_search_sql = f"""
+WITH {_INDEX_CTES},
+live AS (SELECT doc_id FROM documents WHERE NOT (doc_id % 7 = 3)),
+idx_live AS (SELECT idx.* FROM idx JOIN live USING (doc_id)),
+ts_live AS (
+  SELECT term, count(*)::BIGINT AS df,
+         round(ln((SELECT count(*) FROM live)::DOUBLE / count(*)), 3) AS idf
+  FROM idx_live GROUP BY term
+),
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx_live.doc_id,
+         sum(ts_live.idf * (idx_live.tf * ({K} + 1.0)) /
+             (idx_live.tf + {K} * (1.0 - {B} + {B} * dln.dl_norm))) AS s
+  FROM idx_live JOIN q USING (term) JOIN ts_live USING (term)
+  JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx_live.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+    sqls["delete_then_search"] = delete_search_sql
+    sqls["compacted_search"] = delete_search_sql
 
     and_terms = _qterms(1)
     sqls["boolean_and"] = f"""
