@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: packed-index maintenance — append, delete,
+compact. The lifecycle half the batch-only reference lacks (its answer to
+new/removed documents is a rebuild; SURVEY.md §2.5).
+
+    zip -r searchengine_spark.zip searchengine_spark
+    spark-submit --py-files searchengine_spark.zip jobs/maintain.py \\
+        --index <index path> \\
+        [--append <parquet dir of new transcript rows> [--stream]] \\
+        [--delete-where "conv_id = 'conv123'" | --delete-ids 7,9,12] \\
+        [--compact | --compact-if-debt N]
+
+Actions run in the argument order shown (append -> delete -> compact);
+each is exactly-once on retry (epoch/version-keyed; see
+streaming/incremental.py and indexing/deletes.py). ``--compact-if-debt N``
+compacts only when appends+deletes ledgers hold >= N entries — the knob a
+scheduled maintenance job uses so small indexes aren't churned.
+
+Prints the final manifest JSON (ledgers, live counts, compaction version)
+— the driver-side contract for orchestration systems.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="packed index path")
+    ap.add_argument("--append", default=None,
+                    help="parquet dir of new transcript rows to append")
+    ap.add_argument("--stream", action="store_true",
+                    help="append via Structured Streaming availableNow "
+                         "(checkpointed: re-runs no-op until new files "
+                         "arrive); default is one batch append")
+    ap.add_argument("--batch-id", type=int, default=None,
+                    help="epoch id for a non-stream append (default: next)")
+    ap.add_argument("--delete-where", default=None,
+                    help="SQL predicate over the docs stage "
+                         "(doc_id, *order_cols, dl)")
+    ap.add_argument("--delete-ids", default=None,
+                    help="comma-separated internal docIDs to tombstone")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold epochs + tombstones into a fresh base")
+    ap.add_argument("--compact-if-debt", type=int, default=None, metavar="N",
+                    help="compact only when len(appends)+len(deletes) >= N")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="range partitions for the compaction re-encode")
+    args = ap.parse_args()
+    if args.delete_where and args.delete_ids:
+        ap.error("pass at most one of --delete-where / --delete-ids")
+    if not any((args.append, args.delete_where, args.delete_ids,
+                args.compact, args.compact_if_debt is not None)):
+        ap.error("nothing to do: pass --append / --delete-* / --compact")
+
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.indexing import fsio
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    spark = SparkSession.builder.appName("searchengine_spark.maintain").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    manifest = json.loads(
+        fsio.read_text(spark, fsio.join(args.index, "manifest.json"))
+    )
+    # build/query tokenizer parity: the manifest is the single source of
+    # truth for appends (same rule jobs/search.py applies)
+    cfg = TokenizerConfig.from_manifest(manifest.get("tokenizer", {}))
+
+    if args.append:
+        if args.stream:
+            from searchengine_spark.streaming.incremental import stream_append
+
+            stream_append(spark, args.append, args.index, cfg)
+        else:
+            from searchengine_spark.streaming.incremental import append_batch
+
+            batch_id = args.batch_id
+            if batch_id is None:
+                used = {a["batch_id"] for a in manifest.get("appends", [])}
+                batch_id = max(used) + 1 if used else 0
+            append_batch(
+                spark.read.parquet(args.append), args.index, cfg,
+                batch_id=batch_id,
+            )
+
+    if args.delete_where or args.delete_ids:
+        from searchengine_spark.indexing.deletes import delete_docs
+
+        delete_docs(
+            spark,
+            args.index,
+            where=args.delete_where,
+            doc_ids=[int(x) for x in args.delete_ids.split(",")]
+            if args.delete_ids
+            else None,
+        )
+
+    manifest = json.loads(
+        fsio.read_text(spark, fsio.join(args.index, "manifest.json"))
+    )
+    debt = len(manifest.get("appends", [])) + len(manifest.get("deletes", []))
+    if args.compact or (
+        args.compact_if_debt is not None and debt >= args.compact_if_debt
+    ):
+        from searchengine_spark.indexing.compact import compact_index
+
+        manifest = compact_index(
+            spark, args.index, n_partitions=args.partitions, force=args.compact
+        )
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()
