@@ -1988,6 +1988,18 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
         f"len(list_filter(tokens, t -> t IN ({_inlist(LANG_PROFILES[lang])})))::BIGINT AS {lang}_hits"
         for lang in LANG_ORDER
     )
+    # argmax with earliest-in-LANG_ORDER tie win: each WHEN only compares
+    # against LATER languages (an earlier language that tied or beat this
+    # one would have taken its own WHEN already) — generated generically
+    # so widening LANG_PROFILES keeps both engines in lockstep
+    lang_whens = "\n            ".join(
+        "WHEN "
+        + " AND ".join(
+            f"{lang}_hits >= {other}_hits" for other in LANG_ORDER[i + 1:]
+        )
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(LANG_ORDER[:-1])
+    )
     sqls["lang_id"] = f"""
 WITH tokd AS (SELECT doc_id AS id, {_TOK_SQL} AS tokens FROM documents),
 h AS (
@@ -1995,11 +2007,9 @@ h AS (
        {hits_cols}
   FROM tokd
 )
-SELECT id, en_hits, de_hits, fr_hits, es_hits,
-       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
-            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
-            WHEN fr_hits >= es_hits THEN 'fr'
-            ELSE 'es' END AS pred_lang
+SELECT id, {", ".join(f"{lang}_hits" for lang in LANG_ORDER)},
+       CASE {lang_whens}
+            ELSE '{LANG_ORDER[-1]}' END AS pred_lang
 FROM h
 """
 

@@ -10,14 +10,44 @@ from pyspark.sql import functions as F
 
 from ..tokenizer import PUNCT_CLASS
 
-# tiny inline stop-word profiles for the n-gram/stop-word language heuristic
+# Function-word profiles for the stop-word language heuristic (the
+# McNamee "language ID by closed-class words" family; still lexical, not
+# the full Cavnar–Trenkle trigram ranking — honest scope). ~28 words per
+# language, every word >= 2 chars (survives the default tokenizer), drawn
+# from the languages the vendored Snowball stemmers cover plus Dutch.
+# Cross-language collisions (Romance articles, es/de 'es', nl/pt 'de') are
+# expected: prediction is argmax over hit counts, not set membership.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "and", "of", "to", "in", "is", "for", "with", "on"),
-    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
-    "fr": ("le", "la", "les", "et", "est", "pour", "dans", "une", "que", "sur"),
-    "es": ("el", "los", "las", "y", "es", "para", "en", "una", "que", "con"),
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with", "on",
+           "that", "it", "as", "are", "this", "was", "be", "at", "by",
+           "not", "have", "from", "or", "an", "they", "you", "will",
+           "all", "their"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "mit", "für", "auf", "den", "dem", "von", "zu", "sich",
+           "auch", "werden", "oder", "aber", "wir", "ich", "im",
+           "durch", "wenn", "noch", "nur", "bei"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "dans", "une", "que",
+           "sur", "des", "du", "au", "avec", "ne", "pas", "ce", "qui",
+           "plus", "mais", "nous", "vous", "ils", "elle", "je", "son",
+           "ses", "aux"),
+    "es": ("el", "los", "las", "es", "para", "en", "una", "que", "con",
+           "del", "por", "se", "no", "como", "más", "pero", "sus", "ya",
+           "este", "esta", "sin", "sobre", "también", "fue", "han",
+           "entre", "cuando", "muy"),
+    "pt": ("de", "os", "as", "um", "uma", "não", "com", "por", "para",
+           "mais", "como", "mas", "foi", "ele", "ela", "seu", "sua",
+           "ou", "quando", "muito", "já", "isso", "pelo", "pela", "são",
+           "tem", "dos", "das"),
+    "it": ("il", "lo", "la", "gli", "che", "di", "non", "per", "una",
+           "sono", "del", "al", "si", "più", "anche", "come", "ma",
+           "nel", "alla", "con", "della", "questo", "essere", "ha",
+           "hanno", "sul", "dalla", "le"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "niet", "op",
+           "te", "zijn", "met", "voor", "aan", "er", "maar", "ook",
+           "als", "dan", "bij", "uit", "naar", "over", "nog", "wel",
+           "geen", "deze", "dit"),
 }
-LANG_ORDER = ("en", "de", "fr", "es")  # tie precedence
+LANG_ORDER = ("en", "de", "fr", "es", "pt", "it", "nl")  # tie precedence
 
 
 def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
