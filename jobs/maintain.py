@@ -52,12 +52,18 @@ def main() -> None:
                     help="compact only when len(appends)+len(deletes) >= N")
     ap.add_argument("--partitions", type=int, default=None,
                     help="range partitions for the compaction re-encode")
+    ap.add_argument("--fsck", action="store_true",
+                    help="verify index integrity after the actions "
+                         "(metadata-level; exits 1 on corruption)")
+    ap.add_argument("--fsck-deep", action="store_true",
+                    help="fsck + decode every posting row (full-scan cost)")
     args = ap.parse_args()
     if args.delete_where and args.delete_ids:
         ap.error("pass at most one of --delete-where / --delete-ids")
     if not any((args.append, args.delete_where, args.delete_ids,
-                args.compact, args.compact_if_debt is not None)):
-        ap.error("nothing to do: pass --append / --delete-* / --compact")
+                args.compact, args.compact_if_debt is not None,
+                args.fsck, args.fsck_deep)):
+        ap.error("nothing to do: pass --append / --delete-* / --compact / --fsck")
 
     from pyspark.sql import SparkSession
 
@@ -115,6 +121,15 @@ def main() -> None:
         manifest = compact_index(
             spark, args.index, n_partitions=args.partitions, force=args.compact
         )
+    if args.fsck or args.fsck_deep:
+        from searchengine_spark.indexing.fsck import verify_index
+
+        report = verify_index(spark, args.index, deep=args.fsck_deep)
+        manifest = dict(manifest)
+        manifest["fsck"] = report
+        if not report["ok"]:
+            print(json.dumps(manifest))
+            sys.exit(1)
     print(json.dumps(manifest))
 
 
