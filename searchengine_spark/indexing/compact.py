@@ -106,6 +106,39 @@ def _decode_to_rows(payload: str, positional: bool, mask):
     return run
 
 
+def merged_index_plan(
+    spark: SparkSession,
+    manifest: dict,
+    index_paths: list,
+    mask,
+    n_partitions: Optional[int] = None,
+):
+    """The compaction index-rewrite DataFrame (separated so the plan-shape
+    gate can assert it stays ONE wide exchange, like a build)."""
+    payload = manifest.get("payload", "freq")
+    positional = bool(manifest.get("positional"))
+    params = Bm25Params(k=manifest["k"], b=manifest["b"])
+    chunk_docs = int(manifest["chunk_docs"])
+    rows = spark.read.parquet(*index_paths).mapInPandas(
+        _decode_to_rows(payload, positional, mask),
+        schema=(
+            "term string, doc_id long, dlq long, pos long"
+            if positional
+            else "term string, doc_id long, tf long, dlq long"
+        ),
+    )
+    sort_cols = ["term", "doc_id"] + (["pos"] if positional else [])
+    parted = (
+        rows.repartitionByRange(n_partitions, "term", "doc_id")
+        if n_partitions
+        else rows.repartitionByRange("term", "doc_id")
+    )
+    return parted.sortWithinPartitions(*sort_cols).mapInPandas(
+        _encode_partition(params, chunk_docs, positional, payload),
+        schema=INDEX_SCHEMA,
+    )
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -123,10 +156,6 @@ def compact_index(
     if not appends and not deletes and not force:
         return manifest
 
-    payload = manifest.get("payload", "freq")
-    positional = bool(manifest.get("positional"))
-    params = Bm25Params(k=manifest["k"], b=manifest["b"])
-    chunk_docs = int(manifest["chunk_docs"])
     version = int(manifest.get("compaction", 0)) + 1
     mask = load_delete_mask(spark, path, manifest)
 
@@ -145,23 +174,8 @@ def compact_index(
     old_tombs = tombstone_dirs(path, manifest)
 
     # ---- index rewrite: decode -> mask -> the build's own encode stage ----
-    rows = spark.read.parquet(*old_index).mapInPandas(
-        _decode_to_rows(payload, positional, mask),
-        schema=(
-            "term string, doc_id long, dlq long, pos long"
-            if positional
-            else "term string, doc_id long, tf long, dlq long"
-        ),
-    )
-    sort_cols = ["term", "doc_id"] + (["pos"] if positional else [])
-    parted = (
-        rows.repartitionByRange(n_partitions, "term", "doc_id")
-        if n_partitions
-        else rows.repartitionByRange("term", "doc_id")
-    )
-    merged = parted.sortWithinPartitions(*sort_cols).mapInPandas(
-        _encode_partition(params, chunk_docs, positional, payload),
-        schema=INDEX_SCHEMA,
+    merged = merged_index_plan(
+        spark, manifest, old_index, mask, n_partitions=n_partitions
     )
     new_index = fsio.join(path, f"index_v{version}")
     merged.write.mode("overwrite").parquet(new_index)

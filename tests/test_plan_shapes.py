@@ -142,3 +142,41 @@ def test_exact_scorer_reads_pruned_columns(spark, pidx):
     df = bm25_topk_packed_batch(pidx, ["rock"], CFG, k=5)
     plan = explain_str(df)
     assert "conv_id" not in plan
+
+
+def test_compaction_is_single_wide_shuffle(spark, pidx, tmp_path_factory):
+    """The compaction index rewrite must be exactly a build's index stage:
+    decode (narrow) -> ONE range exchange -> encode. No joins, no hash
+    exchanges, no generators."""
+    import numpy as np
+
+    from searchengine_spark.indexing.compact import merged_index_plan
+    from searchengine_spark.indexing.deletes import DeleteMask
+
+    mask = DeleteMask(np.array([3, 7], dtype=np.int64))
+    df = merged_index_plan(
+        spark, pidx.manifest, [pidx.path + "/index"], mask
+    )
+    plan = explain_str(df)
+    assert plan.count("Arguments: rangepartitioning") == 1, plan
+    assert "Arguments: hashpartitioning" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert ") Generate" not in plan, plan  # decode is mapInPandas, not explode
+
+
+def test_masked_wand_keeps_join_free_plan(spark, tmp_path_factory):
+    """Tombstones ride the scorer closure: a deleted index must serve with
+    the SAME plan shape as a clean one (no tombstone join, no extra
+    exchange, filter still pushed)."""
+    from searchengine_spark.indexing.deletes import delete_docs
+
+    path = str(tmp_path_factory.mktemp("plansdel") / "idx")
+    build_packed_index(transcripts_df(spark, n_conv=10), CFG, path, chunk_docs=256)
+    delete_docs(spark, path, where="doc_id % 4 = 0")
+    pidx = load_packed_index(spark, path)
+    assert pidx.delete_mask() is not None
+    df = bm25_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "PushedFilters" in plan and "In(term" in plan
