@@ -219,7 +219,9 @@ def compact_index(
     manifest["gc_groups"] = [
         sorted(set(old_index + old_docs + old_norms + old_tombs))
     ]
-    fsio.write_text(spark, manifest_path, json.dumps(manifest, indent=1))
+    from .snapshots import commit_manifest
+
+    commit_manifest(spark, path, manifest)
     for group in prev_groups:
         for d in group:
             fsio.delete(spark, d)

@@ -258,7 +258,9 @@ def delete_docs(
         manifest["gc_pending"][:-1],
         manifest["gc_pending"][-1:],
     )
-    fsio.write_text(spark, dirs_manifest, json.dumps(manifest, indent=1))
+    from .snapshots import commit_manifest
+
+    commit_manifest(spark, path, manifest)
     for d in gc_now:
         fsio.delete(spark, fsio.join(path, d))
     return manifest

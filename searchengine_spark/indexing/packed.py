@@ -562,6 +562,10 @@ def build_packed_index(
             "postings_per_sec": round(int(n_postings) / max(build_s, 1e-9), 1),
         },
     }
+    # a fresh build starts snapshot history at 0 (maintenance commits
+    # archive superseded manifests under snapshots/; indexing/snapshots.py)
+    manifest["snapshot_seq"] = 0
+    fsio.delete(spark, fsio.join(path, "snapshots"))
     fsio.write_text(spark, dirs["manifest"], json.dumps(manifest, indent=1))
     return manifest
 
@@ -569,12 +573,20 @@ def build_packed_index(
 class PackedIndex:
     """Handle over an on-disk packed index (lazy DataFrames + manifest)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, snapshot: int | None = None):
         dirs = _stage_dirs(path)
         if not fsio.exists(spark, dirs["manifest"]):
             raise FileNotFoundError(f"no committed index at {path} (manifest.json missing)")
         self.path = path
-        self.manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
+        if snapshot is not None:
+            # time travel: the archived manifest of a past commit
+            # (indexing/snapshots.py — raises SnapshotExpired past the
+            # delayed-GC retention window)
+            from .snapshots import load_snapshot_manifest
+
+            self.manifest = load_snapshot_manifest(spark, path, snapshot)
+        else:
+            self.manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
         # streaming appends live in epoch dirs registered in the manifest —
         # only COMMITTED epochs are visible (exactly-once; incremental.py).
         # Base stage dirs are manifest-driven so compaction (compact.py) can
@@ -626,8 +638,10 @@ class PackedIndex:
         return Bm25Params(k=self.manifest["k"], b=self.manifest["b"])
 
 
-def load_packed_index(spark: SparkSession, path: str) -> PackedIndex:
-    return PackedIndex(spark, path)
+def load_packed_index(
+    spark: SparkSession, path: str, snapshot: int | None = None
+) -> PackedIndex:
+    return PackedIndex(spark, path, snapshot=snapshot)
 
 
 def exploded_view(pidx: PackedIndex, include_positions: bool = False) -> DataFrame:

@@ -249,7 +249,9 @@ def append_batch(
     # manifest is unsafe (an in-flight reader may hold it) — GC the older
     # backlog now, keep prev for one more epoch
     gc_now, manifest["gc_pending"] = manifest["gc_pending"][:-1], manifest["gc_pending"][-1:]
-    fsio.write_text(spark, dirs["manifest"], json.dumps(manifest, indent=1))
+    from ..indexing.snapshots import commit_manifest
+
+    commit_manifest(spark, path, manifest)
     for d in gc_now:
         fsio.delete(spark, fsio.join(path, d))
     return manifest
