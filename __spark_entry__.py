@@ -659,6 +659,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-line fractions, top-2-gram and
+    duplicated-5-gram char mass) — the boilerplate/spam signals of a
+    pretraining pipeline, exact definitions in textops/quality.py."""
+    from searchengine_spark.textops.quality import repetition_stats
+    from searchengine_spark.tokenizer import tokens_column
+
+    return repetition_stats(_documents(spark, sf_dir), tokens_column(F.col("text"), CFG))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops.quality import token_stats
 
@@ -1040,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_pairs_bucketed": q_emb_near_pairs_bucketed,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "token_stats": q_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
@@ -2040,6 +2051,75 @@ SELECT id, n_tokens,
        floor((stop_ratio_x * 0.3 + (1.0 - punct_ratio_x) * 0.3
               + least(n_tokens / 100.0, 1.0) * 0.4) * 10000) / 10000 AS quality
 FROM r
+"""
+
+    # repetition_stats: exact definitions in textops/quality.py — n-gram
+    # char mass = length(space-joined gram) × count; 0-denominator -> 0;
+    # top-2-gram tie-break (count desc, gram asc); floor-truncated 4dp
+    sqls["repetition_stats"] = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         {_TOK_SQL} AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT id,
+         [array_to_string(list_slice(tokens, i, i + 1), ' ')
+          for i in range(1, len(tokens))] AS g2,
+         [array_to_string(list_slice(tokens, i, i + 4), ' ')
+          for i in range(1, len(tokens) - 3)] AS g5
+  FROM base
+),
+lc0 AS (
+  SELECT id, v, count(*)::BIGINT AS cnt
+  FROM (SELECT id, unnest(lines) AS v FROM base) GROUP BY id, v
+),
+lc AS (
+  SELECT id,
+         floor((1.0 - count(*)::DOUBLE / sum(cnt)) * 10000) / 10000 AS dup_line_frac,
+         CASE WHEN sum(cnt * length(v)) > 0
+              THEN floor(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(v) ELSE 0 END)::DOUBLE
+                         / sum(cnt * length(v)) * 10000) / 10000
+              ELSE 0.0 END AS dup_line_char_frac
+  FROM lc0 GROUP BY id
+),
+g2c0 AS (
+  SELECT id, v, count(*)::BIGINT AS cnt
+  FROM (SELECT id, unnest(g2) AS v FROM grams) GROUP BY id, v
+),
+g2top AS (
+  SELECT id, v, cnt,
+         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, v ASC) AS rn,
+         sum(cnt * length(v)) OVER (PARTITION BY id) AS mass
+  FROM g2c0
+),
+g2c AS (
+  SELECT id,
+         CASE WHEN mass > 0
+              THEN floor((cnt * length(v))::DOUBLE / mass * 10000) / 10000
+              ELSE 0.0 END AS top_2gram_char_frac
+  FROM g2top WHERE rn = 1
+),
+g5c0 AS (
+  SELECT id, v, count(*)::BIGINT AS cnt
+  FROM (SELECT id, unnest(g5) AS v FROM grams) GROUP BY id, v
+),
+g5c AS (
+  SELECT id,
+         CASE WHEN sum(cnt * length(v)) > 0
+              THEN floor(sum(CASE WHEN cnt > 1 THEN cnt * length(v) ELSE 0 END)::DOUBLE
+                         / sum(cnt * length(v)) * 10000) / 10000
+              ELSE 0.0 END AS dup_5gram_char_frac
+  FROM g5c0 GROUP BY id
+)
+SELECT base.id,
+       coalesce(lc.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(lc.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(g2c.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       coalesce(g5c.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac
+FROM base LEFT JOIN lc USING (id) LEFT JOIN g2c USING (id)
+LEFT JOIN g5c USING (id)
 """
 
     bpe_sql = _sql_quote(BPE_ISH)

@@ -121,6 +121,132 @@ def quality_score(
     )
 
 
+def _word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams (empty array when the doc is shorter)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    tokens_col: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1 family) —
+    the signals a pretraining pipeline uses to drop boilerplate/spam. Exact
+    definitions (ours, fixed for the cross-engine oracle; n-gram char mass
+    = length of the space-joined n-gram × its count; 0-denominators -> 0):
+
+      dup_line_frac       = 1 - distinct_lines / lines        ('\\n' lines)
+      dup_line_char_frac  = Σ_{line cnt>1} (cnt-1)·len / Σ cnt·len
+      top_2gram_char_frac = top 2-gram's char mass / all 2-gram char mass
+                            (tie on count -> lexicographically smallest)
+      dup_5gram_char_frac = Σ_{5-gram cnt>1} char mass / all 5-gram mass
+
+    Fractions floor-truncated to 4dp (engine-independent; CLAUDE.md float
+    policy). Shape at scale: three explode->groupBy pipelines, every agg
+    map-side combinable, joined back on id (co-partitioned)."""
+    did = F.col(id_col).alias("id")
+    base = docs.select(
+        did,
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("lines"),
+        _word_ngrams(tokens_col, 2).alias("g2"),
+        _word_ngrams(tokens_col, 5).alias("g5"),
+    )
+
+    def t4(c: Column) -> Column:
+        return F.floor(c * 10000) / 10000
+
+    lc = (
+        base.select("id", F.explode("lines").alias("v"))
+        .groupBy("id", "v")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("cnt") * F.length("v")).alias("mass"),
+            F.sum(
+                F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("v"))
+                .otherwise(F.lit(0))
+            ).alias("dup_mass"),
+        )
+        .select(
+            "id",
+            t4(F.lit(1.0) - F.col("n_distinct") / F.col("n_lines")).alias(
+                "dup_line_frac"
+            ),
+            t4(
+                F.when(F.col("mass") > 0, F.col("dup_mass") / F.col("mass"))
+                .otherwise(F.lit(0.0))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    g2c = (
+        base.select("id", F.explode("g2").alias("v"))
+        .groupBy("id", "v")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            # (count desc, gram asc) tie-break via min of (-cnt, gram)
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("v").alias("v"))).alias("top"),
+            F.sum(F.col("cnt") * F.length("v")).alias("mass"),
+        )
+        .select(
+            "id",
+            t4(
+                F.when(
+                    F.col("mass") > 0,
+                    (-F.col("top.nc")) * F.length("top.v") / F.col("mass"),
+                ).otherwise(F.lit(0.0))
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+
+    g5c = (
+        base.select("id", F.explode("g5").alias("v"))
+        .groupBy("id", "v")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("cnt") * F.length("v")).alias("mass"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("v"))
+                .otherwise(F.lit(0))
+            ).alias("dup_mass"),
+        )
+        .select(
+            "id",
+            t4(
+                F.when(F.col("mass") > 0, F.col("dup_mass") / F.col("mass"))
+                .otherwise(F.lit(0.0))
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+    zero = F.lit(0.0)
+    return (
+        base.select("id")
+        .join(lc, "id", "left")
+        .join(g2c, "id", "left")
+        .join(g5c, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dup_line_frac", zero).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", zero).alias("dup_line_char_frac"),
+            F.coalesce("top_2gram_char_frac", zero).alias("top_2gram_char_frac"),
+            F.coalesce("dup_5gram_char_frac", zero).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
 # BPE-ish pre-tokenization pattern: letter runs | digit runs | single
 # non-alnum-non-space (GPT-2-style pre-tokenizer, simplified to a portable
 # RE2/Java-common subset)

@@ -38,3 +38,44 @@ def test_real_sentences_classified(spark):
     out = lang_id(df, tokens_column(F.col("text"), cfg), id_col="true_lang")
     got = {r["id"]: r["pred_lang"] for r in out.collect()}
     assert got == {lang: lang for lang in SENTENCES}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Crafted docs with known repetition structure (exact fractions in
+    textops/quality.py definitions; oracle hash parity is the driver's job)."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.textops.quality import repetition_stats
+    from searchengine_spark.tokenizer import TokenizerConfig, tokens_column
+
+    cfg = TokenizerConfig(min_token_length=2)
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, one duplicated: dup_line_frac = 1 - 2/3
+            # dup_line_char_frac = (2-1)*5 / (2*5 + 4) = 5/14
+            (0, "aa bb\naa bb\ncc d"),
+            # "xy xy xy xy": 2-grams = [xy xy]x3 -> top frac = 1.0; <5 tokens -> g5 = 0
+            (1, "xy xy xy xy"),
+            # no repetition at all
+            (2, "one two three four five six"),
+            # 6 tokens "ab ab ab ab ab ab": 5-grams both identical -> dup frac 1.0
+            (3, "ab ab ab ab ab ab"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in repetition_stats(docs, tokens_column(F.col("text"), cfg)).collect()
+    }
+    import math
+
+    assert math.isclose(out[0]["dup_line_frac"], math.floor((1 - 2 / 3) * 10000) / 10000)
+    assert math.isclose(out[0]["dup_line_char_frac"], math.floor(5 / 14 * 10000) / 10000)
+    assert out[1]["top_2gram_char_frac"] == 1.0
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] < 0.3
+    assert out[3]["dup_5gram_char_frac"] == 1.0
+    assert out[4]["top_2gram_char_frac"] == 0.0  # NULL text -> all zeros
