@@ -158,6 +158,10 @@ def main() -> None:
                          "for the interactive REPL, spark for --query batch")
     ap.add_argument("--relevance", default=None,
                     help="queries.relevance.txt for precision/recall/NDCG stats")
+    ap.add_argument("--snapshot", type=int, default=None,
+                    help="pin a historical index state (snapshot seq; "
+                         "indexing/snapshots.py — time travel to e.g. the "
+                         "pre-delete or pre-compaction state)")
     ap.add_argument("--snippet-source", default=None,
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
@@ -174,7 +178,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.perf_counter()
-    pidx = load_packed_index(spark, args.index)
+    pidx = load_packed_index(spark, args.index, snapshot=args.snapshot)
     cfg = TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
     if args.min_token_length is not None:
         cfg = TokenizerConfig(args.min_token_length, cfg.stop_words, cfg.stem_lang)
