@@ -90,8 +90,13 @@ def main() -> None:
 
             batch_id = args.batch_id
             if batch_id is None:
+                # append_seq survives compactions (which clear the ledger
+                # while epoch dirs await group GC) — never restart at 0
                 used = {a["batch_id"] for a in manifest.get("appends", [])}
-                batch_id = max(used) + 1 if used else 0
+                batch_id = max(
+                    int(manifest.get("append_seq", 0)),
+                    max(used) + 1 if used else 0,
+                )
             append_batch(
                 spark.read.parquet(args.append), args.index, cfg,
                 batch_id=batch_id,

@@ -206,17 +206,34 @@ def compact_index(
     )
 
     # ---- commit: one atomic manifest replace -------------------------------
-    prev_groups = manifest.get("gc_groups", [])
+    # groups from earlier compactions that still have dirs on disk (a crash
+    # between a past commit and its GC loop leaves survivors) are CARRIED
+    # into the new manifest and re-deleted below — self-healing, no orphans
+    prev_groups = [
+        g
+        for g in manifest.get("gc_groups", [])
+        if any(fsio.exists(spark, d) for d in g)
+    ]
     manifest["compaction"] = version
     manifest["index_dir"] = f"index_v{version}"
     manifest["docs_dir"] = f"docs_v{version}"
     if new_norms is not None:
         manifest["doc_norms_dir"] = f"doc_norms_v{version}"
+    # clearing the ledgers must never reset the epoch/delete high-water
+    # marks (retried or defaulted ids would reuse pending-GC dir names)
+    manifest["append_seq"] = max(
+        int(manifest.get("append_seq", 0)),
+        max((int(a["batch_id"]) for a in appends), default=-1) + 1,
+    )
+    manifest["delete_seq"] = max(
+        int(manifest.get("delete_seq", 0)),
+        max((int(d["version"]) for d in deletes), default=-1) + 1,
+    )
     manifest["appends"] = []
     manifest["deletes"] = []
     # everything the OLD manifest referenced retires as one group — deleted
     # only by the NEXT compaction (see module docstring)
-    manifest["gc_groups"] = [
+    manifest["gc_groups"] = prev_groups + [
         sorted(set(old_index + old_docs + old_norms + old_tombs))
     ]
     from .snapshots import commit_manifest

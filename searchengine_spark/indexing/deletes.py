@@ -39,7 +39,6 @@ the logical corpus size that idf uses.
 from __future__ import annotations
 
 import json
-from collections import OrderedDict
 from typing import Optional, Sequence
 
 import numpy as np
@@ -49,7 +48,7 @@ from pyspark.sql import functions as F
 from . import fsio
 from .codec import decode_positions, decode_postings
 
-_STASH_CAP = 8192  # paired-decoder stash entries (per wrapper instance)
+_STASH_CAP = 8192  # dead-weakref purge threshold for the paired-decoder stash
 
 
 class DeleteMask:
@@ -89,10 +88,19 @@ class DeleteMask:
     def wrap_decoders(self, dec=None, dec_pos=None):
         """-> (masked_dec, masked_dec_pos) wrapping the given hooks (or the
         raw codec decoders). Safe to share one pair across many scorer
-        calls (LocalSearcher wraps its LRU hooks once, at open)."""
+        calls (LocalSearcher wraps its LRU hooks once, at open).
+
+        The pairing stash is WEAKREF-keyed on the masked tf array: an
+        entry lives exactly as long as the caller can still pass that
+        array back — so it can neither be evicted early (a capacity-based
+        eviction would make masked_dec_pos silently mis-slice positions
+        with the masked tfs) nor leak (dropping the array garbage-collects
+        the entry; postings-only paths like WAND hold rows transiently)."""
+        import weakref
+
         base_dec = dec or (lambda buf: decode_postings(bytes(buf)))
         base_pos = dec_pos or (lambda buf, tfs: decode_positions(bytes(buf), tfs))
-        stash: OrderedDict = OrderedDict()  # id(masked_tfs) -> (masked_tfs, orig_tfs, keep)
+        stash: dict = {}  # id(masked_tfs) -> (weakref(masked_tfs), orig_tfs, keep)
 
         def masked_dec(buf):
             doc_ids, tfs, third = base_dec(buf)
@@ -100,16 +108,18 @@ class DeleteMask:
             if keep is None:
                 return doc_ids, tfs, third
             mtfs = tfs[keep]
-            stash[id(mtfs)] = (mtfs, tfs, keep)  # mtfs kept alive -> id stable
-            while len(stash) > _STASH_CAP:
-                stash.popitem(last=False)
+            stash[id(mtfs)] = (weakref.ref(mtfs), tfs, keep)
+            if len(stash) > _STASH_CAP:  # purge dead entries, never live ones
+                for k in [k for k, (w, _, _) in stash.items() if w() is None]:
+                    del stash[k]
             return doc_ids[keep], mtfs, third[keep]
 
         def masked_dec_pos(buf, tfs):
             hit = stash.get(id(tfs))
-            if hit is None:
-                # tfs didn't come from masked_dec => that row had no
-                # tombstoned doc; decode plain
+            # identity check: a dead weakref means the id was recycled —
+            # then (and when there is no entry) tfs must be an ORIGINAL
+            # array from an unmasked row; decode plain
+            if hit is None or hit[0]() is not tfs:
                 return base_pos(buf, tfs)
             _, orig_tfs, keep = hit
             flat, _occ = base_pos(buf, orig_tfs)
@@ -168,15 +178,17 @@ def delete_docs(
     committed = {d["version"] for d in manifest.get("deletes", [])}
     # delete_seq is MONOTONIC across compactions (which clear the deletes
     # ledger): version numbers must never be reused while a superseded
-    # deletes/<v> or term_stats_d<v> dir is still awaiting delayed GC
+    # deletes/<v> or term_stats_d<v> dir is still awaiting delayed GC —
+    # so an explicit delete_id BELOW the high-water mark is by definition
+    # a retry of an already-committed (possibly already-compacted) delete
+    # and must be a no-op, never a dir-clobbering re-execution
     seq = int(manifest.get("delete_seq", 0))
-    version = (
-        delete_id
-        if delete_id is not None
-        else max(seq, max(committed) + 1 if committed else 0)
-    )
-    if version in committed:
-        return manifest  # retried after a successful commit: no-op
+    if delete_id is not None:
+        if delete_id in committed or delete_id < seq:
+            return manifest  # retried after a successful commit: no-op
+        version = delete_id
+    else:
+        version = max(seq, max(committed) + 1 if committed else 0)
 
     docs = spark.read.parquet(*_docs_paths(path, manifest))
     if where is not None:
@@ -243,7 +255,7 @@ def delete_docs(
 
     # ---- the commit point: one atomic manifest replace --------------------
     manifest["n_docs_live"] = new_live
-    manifest["delete_seq"] = version + 1
+    manifest["delete_seq"] = max(seq, version + 1)
     manifest["n_postings"] = int(manifest["n_postings"]) - n_post_delta
     manifest["term_stats_dir"] = new_ts_dir
     manifest.setdefault("deletes", []).append(

@@ -85,7 +85,14 @@ def append_batch(
     payload = manifest.get("payload", "freq")
     positional = bool(manifest.get("positional"))
     committed = {a["batch_id"] for a in manifest.get("appends", [])}
-    if batch_id in committed:
+    # append_seq is the epoch high-water mark, MONOTONIC across
+    # compactions (which clear the appends ledger while the epoch dirs
+    # await group GC): a batch_id below it is a retry of an epoch that was
+    # already committed — and possibly already folded by a compaction —
+    # so it must be a no-op, never a re-append (duplicate postings) or a
+    # dir-clobbering overwrite of a pending-GC epoch
+    append_seq = int(manifest.get("append_seq", 0))
+    if batch_id in committed or batch_id < append_seq:
         return manifest  # retried after a successful commit: no-op
 
     offset = int(manifest["n_docs"])
@@ -237,6 +244,7 @@ def append_batch(
     manifest["n_docs"] = n_docs
     if "n_docs_live" in manifest:
         manifest["n_docs_live"] = n_live
+    manifest["append_seq"] = max(append_seq, batch_id + 1)
     manifest["n_postings"] = int(manifest["n_postings"]) + n_post_delta
     manifest["term_stats_dir"] = f"term_stats_v{batch_id}"
     manifest.setdefault("appends", []).append(

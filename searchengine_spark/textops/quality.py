@@ -150,100 +150,64 @@ def repetition_stats(
       dup_5gram_char_frac = Σ_{5-gram cnt>1} char mass / all 5-gram mass
 
     Fractions floor-truncated to 4dp (engine-independent; CLAUDE.md float
-    policy). Shape at scale: three explode->groupBy pipelines, every agg
-    map-side combinable, joined back on id (co-partitioned)."""
+    policy). Shape at scale: ONE corpus scan (lines + both gram sizes
+    tagged into a single explode), two map-side-combinable exchanges
+    ((id, n, v) counts then the per-id rollup with conditional aggregates),
+    no joins — every doc yields >= 1 line row ('' splits to ['']), so the
+    rollup itself is the complete id spine."""
+
+    def tag(n: int, arr: Column) -> Column:
+        return F.transform(
+            arr, lambda v: F.struct(F.lit(n).alias("n"), v.alias("v"))
+        )
+
     did = F.col(id_col).alias("id")
-    base = docs.select(
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    exploded = docs.select(
         did,
-        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("lines"),
-        _word_ngrams(tokens_col, 2).alias("g2"),
-        _word_ngrams(tokens_col, 5).alias("g5"),
+        F.explode(
+            F.concat(
+                tag(0, lines),
+                tag(2, _word_ngrams(tokens_col, 2)),
+                tag(5, _word_ngrams(tokens_col, 5)),
+            )
+        ).alias("t"),
+    ).select("id", F.col("t.n").alias("n"), F.col("t.v").alias("v"))
+
+    cnt, n, ln = F.col("cnt"), F.col("n"), F.length("v")
+    counts = exploded.groupBy("id", "n", "v").agg(F.count("*").alias("cnt"))
+
+    def when_n(k: int, c: Column) -> Column:
+        return F.when(n == k, c)
+
+    rolled = counts.groupBy("id").agg(
+        F.sum(when_n(0, cnt)).alias("n_lines"),
+        F.count(when_n(0, F.lit(1))).alias("n_distinct_lines"),
+        F.sum(when_n(0, cnt * ln)).alias("l_mass"),
+        F.sum(F.coalesce(when_n(0, F.when(cnt > 1, (cnt - 1) * ln)), F.lit(0))).alias("l_dup"),
+        # (count desc, gram asc) tie-break via min of (-cnt, gram)
+        F.min(when_n(2, F.struct((-cnt).alias("nc"), F.col("v").alias("v")))).alias("top2"),
+        F.sum(F.coalesce(when_n(2, cnt * ln), F.lit(0))).alias("g2_mass"),
+        F.sum(F.coalesce(when_n(5, cnt * ln), F.lit(0))).alias("g5_mass"),
+        F.sum(F.coalesce(when_n(5, F.when(cnt > 1, cnt * ln)), F.lit(0))).alias("g5_dup"),
     )
 
     def t4(c: Column) -> Column:
         return F.floor(c * 10000) / 10000
 
-    lc = (
-        base.select("id", F.explode("lines").alias("v"))
-        .groupBy("id", "v")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum("cnt").alias("n_lines"),
-            F.count("*").alias("n_distinct"),
-            F.sum(F.col("cnt") * F.length("v")).alias("mass"),
-            F.sum(
-                F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("v"))
-                .otherwise(F.lit(0))
-            ).alias("dup_mass"),
-        )
-        .select(
-            "id",
-            t4(F.lit(1.0) - F.col("n_distinct") / F.col("n_lines")).alias(
-                "dup_line_frac"
-            ),
-            t4(
-                F.when(F.col("mass") > 0, F.col("dup_mass") / F.col("mass"))
-                .otherwise(F.lit(0.0))
-            ).alias("dup_line_char_frac"),
-        )
-    )
+    def frac(num: Column, den: Column) -> Column:
+        return t4(F.when(den > 0, num / den).otherwise(F.lit(0.0)))
 
-    g2c = (
-        base.select("id", F.explode("g2").alias("v"))
-        .groupBy("id", "v")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("id")
-        .agg(
-            # (count desc, gram asc) tie-break via min of (-cnt, gram)
-            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("v").alias("v"))).alias("top"),
-            F.sum(F.col("cnt") * F.length("v")).alias("mass"),
-        )
-        .select(
-            "id",
-            t4(
-                F.when(
-                    F.col("mass") > 0,
-                    (-F.col("top.nc")) * F.length("top.v") / F.col("mass"),
-                ).otherwise(F.lit(0.0))
-            ).alias("top_2gram_char_frac"),
-        )
-    )
-
-    g5c = (
-        base.select("id", F.explode("g5").alias("v"))
-        .groupBy("id", "v")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum(F.col("cnt") * F.length("v")).alias("mass"),
-            F.sum(
-                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("v"))
-                .otherwise(F.lit(0))
-            ).alias("dup_mass"),
-        )
-        .select(
-            "id",
-            t4(
-                F.when(F.col("mass") > 0, F.col("dup_mass") / F.col("mass"))
-                .otherwise(F.lit(0.0))
-            ).alias("dup_5gram_char_frac"),
-        )
-    )
-
-    zero = F.lit(0.0)
-    return (
-        base.select("id")
-        .join(lc, "id", "left")
-        .join(g2c, "id", "left")
-        .join(g5c, "id", "left")
-        .select(
-            "id",
-            F.coalesce("dup_line_frac", zero).alias("dup_line_frac"),
-            F.coalesce("dup_line_char_frac", zero).alias("dup_line_char_frac"),
-            F.coalesce("top_2gram_char_frac", zero).alias("top_2gram_char_frac"),
-            F.coalesce("dup_5gram_char_frac", zero).alias("dup_5gram_char_frac"),
-        )
+    return rolled.select(
+        "id",
+        t4(F.lit(1.0) - F.col("n_distinct_lines") / F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("l_dup"), F.col("l_mass")).alias("dup_line_char_frac"),
+        frac(
+            (-F.col("top2.nc")) * F.length("top2.v"), F.col("g2_mass")
+        ).alias("top_2gram_char_frac"),
+        frac(F.col("g5_dup"), F.col("g5_mass")).alias("dup_5gram_char_frac"),
     )
 
 

@@ -214,3 +214,42 @@ def test_append_after_compaction(spark, cfg, tmp_path):
     )
     assert bad == 0
     assert bm25_topk_packed_batch(pidx, QUERIES, cfg, k=5).count() > 0
+
+
+def test_epoch_retry_after_compaction_is_noop(spark, cfg, tmp_path):
+    """A foreachBatch retry of an epoch that a compaction already FOLDED
+    must be a no-op (append_seq high-water), never a duplicate re-append or
+    an overwrite of an epoch dir awaiting group GC."""
+    path = str(tmp_path / "idx")
+    build_packed_index(transcripts_df(spark, n_conv=8), cfg, path, chunk_docs=256)
+    append_batch(_batch(spark, 3, "x_"), path, cfg, batch_id=0)
+    m1 = compact_index(spark, path)
+    assert m1["append_seq"] == 1 and m1["appends"] == []
+    n_before = m1["n_docs"]
+    m2 = append_batch(_batch(spark, 3, "x_"), path, cfg, batch_id=0)  # retry
+    assert m2["n_docs"] == n_before and m2.get("appends", []) == []
+    # the next legitimate epoch takes a FRESH id and appends normally
+    m3 = append_batch(_batch(spark, 2, "y_"), path, cfg, batch_id=m2["append_seq"])
+    assert m3["appends"][0]["batch_id"] == 1 and m3["n_docs"] > n_before
+
+
+def test_gc_self_heals_after_crashed_cleanup(spark, cfg, tmp_path):
+    """A dir left behind by a crash between a compaction's commit and its
+    GC loop is carried in gc_groups and removed by the NEXT compaction."""
+    import os
+
+    from searchengine_spark.indexing import fsio
+
+    path = str(tmp_path / "idx")
+    _grow(spark, cfg, path)
+    compact_index(spark, path)
+    append_batch(_batch(spark, 2, "z_"), path, cfg, batch_id=9)
+    compact_index(spark, path)  # deletes group 1
+    # simulate the crashed-cleanup survivor: resurrect a group-1 dir
+    ghost = path + "/index"  # the original base dir, retired in group 1
+    os.makedirs(ghost, exist_ok=True)
+    open(ghost + "/orphan.parquet", "w").write("x")
+    m = compact_index(spark, path, force=True)
+    assert m["compaction"] == 3
+    compact_index(spark, path, force=True)  # the NEXT one removes survivors
+    assert not fsio.exists(spark, ghost)

@@ -221,3 +221,49 @@ def test_delete_all_docs_of_a_term(spark, cfg, tmp_path):
     assert bm25_topk_packed_batch(pidx, ["zebra"], cfg, k=5).count() == 0
     rows = bm25_topk_packed_batch(pidx, ["words"], cfg, k=5).collect()
     assert sorted(r.doc_id for r in rows) == [1, 2]
+
+
+def test_delete_id_below_highwater_is_noop(spark, cfg, tmp_path):
+    """An explicit delete_id below delete_seq is a retry of a delete that
+    was committed (and possibly compacted away) — a no-op, never a
+    re-execution that would clobber pending-GC dirs."""
+    from searchengine_spark.indexing.compact import compact_index
+
+    path = str(tmp_path / "idx")
+    build_packed_index(transcripts_df(spark, n_conv=8), cfg, path, chunk_docs=256)
+    m0 = delete_docs(spark, path, where="doc_id % 2 = 0")
+    compact_index(spark, path)
+    m1 = delete_docs(spark, path, where="doc_id % 2 = 1", delete_id=0)  # retry id
+    assert m1["deletes"] == [] and m1["n_docs_live"] == m0["n_docs_live"]
+    m2 = delete_docs(spark, path, where="doc_id % 5 = 1")  # fresh default id
+    assert m2["deletes"][0]["version"] == 1
+    assert m2["delete_seq"] == 2
+
+
+def test_stash_survives_capacity_pressure():
+    """The paired-decoder stash is weakref-keyed: entries live exactly as
+    long as the caller holds the masked tf array — far more rows than the
+    purge threshold cannot evict a live pairing (the old FIFO cap would
+    have mis-sliced positions here)."""
+    import numpy as np
+
+    from searchengine_spark.indexing.codec import (
+        encode_position_groups,
+        encode_postings,
+    )
+    from searchengine_spark.indexing.deletes import _STASH_CAP
+
+    mask = DeleteMask(np.array([1], dtype=np.int64))
+    dec, dec_pos = mask.wrap_decoders()
+    doc_ids = np.array([1, 2], dtype=np.int64)
+    tfs = np.array([2, 1], dtype=np.int64)
+    buf = encode_postings(doc_ids, tfs, np.array([500, 600], dtype=np.int64))
+    posbuf = encode_position_groups(
+        np.zeros(1, np.int64), np.array([0, 2], np.int64),
+        np.array([4, 9, 3], np.int64),
+    )[0]
+    first = dec(buf)  # row containing the tombstoned doc -> stashed pairing
+    held = [dec(buf) for _ in range(_STASH_CAP + 100)]  # pressure, all live
+    flat, starts = dec_pos(posbuf, first[1])
+    assert flat.tolist() == [3] and starts.tolist() == [0]  # doc 1's occs dropped
+    del held
