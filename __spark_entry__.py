@@ -404,6 +404,84 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents restructured into deterministic web-page-like text (lines,
+    terminal punctuation, javascript/brace/lorem/bad-word plants, a shared
+    3-sentence block on every doc_id % 10 < 2) — gives the C4 filters real
+    positives on the punctuation-free testdata, reproducibly in both
+    engines (pure doc_id arithmetic + substr, the _pii_injected pattern)."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+
+    def when_mod(m: int, s: str) -> F.Column:
+        return F.when(did % m == 0, F.concat(F.lit(s), nl)).otherwise(F.lit(""))
+
+    t = F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit("."), nl,
+        F.lit("Click here"), nl,
+        when_mod(4, "Please enable javascript to continue."),
+        when_mod(17, "body { color: red }"),
+        when_mod(19, "Lorem ipsum dolor sit amet."),
+        when_mod(23, "This page contains badword content."),
+        F.repeat(
+            F.concat(
+                F.lit("Filler sentence number "),
+                (did % 7).cast("string"),
+                F.lit(" here. "),
+            ),
+            (did % 5).cast("int"),
+        ),
+        nl,
+        F.when(
+            did % 10 < 2,
+            F.lit("Alpha beta gamma. Delta epsilon zeta. Eta theta iota."),
+        ).otherwise(
+            F.concat(F.lit("Distinct tail "), did.cast("string"), F.lit(" closes the page."))
+        ),
+    )
+    return d.select("doc_id", t.alias("text"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line rules (Raffel et al. 2020 §2.2, textops/clean.py): terminal
+    punctuation + min-words + no-javascript, zero-exchange map; md5 of the
+    cleaned text keeps the full output hash-gated without long strings."""
+    from searchengine_spark.textops import c4_line_filter
+
+    lf = c4_line_filter(_c4_injected(spark, sf_dir))
+    return lf.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_lines_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def q_c4_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page rules: brace / lorem-ipsum / bad-word / few-sentences with
+    fixed first-failure precedence (reason is part of the contract)."""
+    from searchengine_spark.textops import c4_doc_filter
+
+    out = c4_doc_filter(_c4_injected(spark, sf_dir), bad_words=("badword",))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("keep").cast("long").alias("keep"),
+        "reason",
+    )
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's dedup unit: non-canonical occurrences of any 3-sentence span
+    occurring more than once corpus-wide — ONE hash exchange (row_number
+    over the span digest), no join back."""
+    from searchengine_spark.textops import span_dedup
+
+    return span_dedup(_c4_injected(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "span_idx", "span_md5"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops import simhash_table
     from searchengine_spark.tokenizer import tokens_column
@@ -1042,6 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
+        "c4_line_filter": q_c4_line_filter,
+        "c4_doc_filter": q_c4_doc_filter,
+        "c4_span_dedup": q_c4_span_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -1449,6 +1530,89 @@ packed AS (
 SELECT doc_id, bucket, (pre // 128)::BIGINT AS bin_idx,
        (pre % 128)::BIGINT AS offset
 FROM packed
+"""
+
+    # _c4_injected's twin: pure doc_id arithmetic + substr (plain string —
+    # the literal braces in the planted CSS line must not hit f-string
+    # interpolation)
+    _c4_inject_sql = """
+  SELECT doc_id,
+    substr(text, 1, 40) || '.' || chr(10)
+    || 'Click here' || chr(10)
+    || CASE WHEN doc_id % 4 = 0
+            THEN 'Please enable javascript to continue.' || chr(10)
+            ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+            THEN 'body { color: red }' || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 19 = 0
+            THEN 'Lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 23 = 0
+            THEN 'This page contains badword content.' || chr(10) ELSE '' END
+    || repeat('Filler sentence number ' || (doc_id % 7)::VARCHAR || ' here. ',
+              doc_id % 5) || chr(10)
+    || CASE WHEN doc_id % 10 < 2
+            THEN 'Alpha beta gamma. Delta epsilon zeta. Eta theta iota.'
+            ELSE 'Distinct tail ' || doc_id::VARCHAR || ' closes the page.'
+            END AS t
+  FROM documents
+"""
+
+    # trimmed non-empty segments of the whitespace-normalized text split
+    # on [.!?]+ — textops/clean.py::sentences_col's twin ('g' flag: DuckDB
+    # regexp_replace is first-match-only by default, Spark replaces all)
+    _c4_sent_sql = (
+        r"list_filter(list_transform(regexp_split_to_array("
+        r"regexp_replace(t, '\s+', ' ', 'g'), '[.!?]+'), x -> trim(x)),"
+        r" x -> x <> '')"
+    )
+
+    sqls["c4_line_filter"] = rf"""
+WITH injected AS ({_c4_inject_sql}),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM injected),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+           right(rtrim(x), 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                               w -> w <> '')) >= 3
+           AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kl
+  FROM l
+)
+SELECT doc_id, len(ls)::BIGINT AS n_lines, len(kl)::BIGINT AS n_lines_kept,
+       md5(array_to_string(kl, chr(10))) AS clean_md5
+FROM k
+"""
+
+    sqls["c4_doc_filter"] = rf"""
+WITH injected AS ({_c4_inject_sql}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN contains(t, '{{') OR contains(t, '}}') THEN 'brace'
+              WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+              WHEN regexp_matches(lower(t), '\b(badword)\b') THEN 'bad_word'
+              WHEN len({_c4_sent_sql}) < 5 THEN 'few_sentences'
+              ELSE '' END AS reason
+  FROM injected
+)
+SELECT doc_id, (reason = '')::BIGINT AS keep, reason FROM s
+"""
+
+    sqls["c4_span_dedup"] = rf"""
+WITH injected AS ({_c4_inject_sql}),
+sent AS (SELECT doc_id, {_c4_sent_sql} AS ss FROM injected),
+spans AS (
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(ss) - 1)])::BIGINT AS span_idx,
+         unnest([md5(array_to_string(list_slice(ss, i, i + 2), ' '))
+                 for i in range(1, len(ss) - 1)]) AS span_md5
+  FROM sent
+)
+SELECT doc_id, span_idx, span_md5 FROM (
+  SELECT doc_id, span_idx, span_md5,
+         row_number() OVER (PARTITION BY span_md5
+                            ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+) WHERE rn > 1
 """
 
     sqls["decontamination"] = f"""

@@ -35,6 +35,13 @@ from .multimodal import (  # noqa: F401
     with_binary_payload,
     with_video_payload,
 )
+from .clean import (  # noqa: F401
+    c4_clean,
+    c4_doc_filter,
+    c4_line_filter,
+    sentences_col,
+    span_dedup,
+)
 from .quality import (  # noqa: F401
     doc_fingerprints,
     lang_id,
