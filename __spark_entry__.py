@@ -482,6 +482,31 @@ def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style fuzzy term correction (query/fuzzy.py): top-3
+    Levenshtein<=1 dictionary neighbors for a fixed typo set, exact-first
+    then df desc then term asc. The oracle brute-forces levenshtein() over
+    the whole dictionary — independently validating that symmetric-delete
+    generation + verification equals plain distance semantics."""
+    from searchengine_spark.query.fuzzy import fuzzy_candidates
+    from searchengine_spark.tokenizer import tokens_column
+
+    d = _documents(spark, sf_dir)
+    dictionary = (
+        d.select(
+            F.explode(
+                F.array_distinct(tokens_column(F.col("text"), CFG))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    qterms = ["tble", "scann", "windoww", "vlue", "spark", "qzqzqz"]
+    return fuzzy_candidates(dictionary, qterms, k=3).select(
+        "qterm", "term", "df", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops import simhash_table
     from searchengine_spark.tokenizer import tokens_column
@@ -1123,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "c4_doc_filter": q_c4_doc_filter,
         "c4_span_dedup": q_c4_span_dedup,
+        "fuzzy_correct": q_fuzzy_correct,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -1613,6 +1639,30 @@ SELECT doc_id, span_idx, span_md5 FROM (
                             ORDER BY doc_id, span_idx) AS rn
   FROM spans
 ) WHERE rn > 1
+"""
+
+    # brute-force levenshtein join — the SEMANTIC contract the Spark
+    # symmetric-delete generator + verify pipeline must equal
+    sqls["fuzzy_correct"] = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS tokens FROM documents),
+dict AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM tok)
+  GROUP BY term
+),
+qv AS (SELECT unnest(['tble', 'scann', 'windoww', 'vlue', 'spark',
+                      'qzqzqz']) AS qterm),
+cand AS (
+  SELECT q.qterm, d.term, d.df
+  FROM qv q JOIN dict d ON levenshtein(q.qterm, d.term) <= 1
+)
+SELECT qterm, term, df, rank FROM (
+  SELECT qterm, term, df,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY (term = qterm) DESC, df DESC, term
+                           )::BIGINT AS rank
+  FROM cand
+) WHERE rank <= 3
 """
 
     sqls["decontamination"] = f"""

@@ -39,7 +39,7 @@ RANKERS = (
 
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
-                 schema="lnc.ltc"):
+                 schema="lnc.ltc", fuzzy=False):
     """-> list per query of result-row dicts (rank-ordered)."""
     from pyspark.sql import functions as F
 
@@ -53,8 +53,12 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
         resolve_docs,
     )
 
+    if fuzzy and ranker != "bm25":
+        raise SystemExit("--fuzzy is wired to --ranker bm25 (OOV query-term "
+                         "correction happens in the WAND batch entry point)")
     if ranker == "bm25":
-        topk = bm25_topk_packed_batch(pidx, queries, cfg, k=n, exhaustive=exhaustive)
+        topk = bm25_topk_packed_batch(
+            pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -150,6 +154,11 @@ def main() -> None:
                          "packed index)")
     ap.add_argument("--exhaustive", action="store_true",
                     help="disable block-max pruning (exact fallback path)")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="correct out-of-vocabulary query terms to their "
+                         "best Levenshtein distance-1 dictionary neighbor "
+                         "(SymSpell symmetric-delete, query/fuzzy.py); "
+                         "bm25 ranker, distributed path")
     ap.add_argument("--serve-mode", choices=("auto", "local", "spark"),
                     default="auto",
                     help="'local': in-process LocalSearcher (no Spark job "
@@ -194,8 +203,12 @@ def main() -> None:
     if args.relevance:
         stats = EvalStats(parse_relevance_file(args.relevance))
 
-    use_local = args.serve_mode == "local" or (
-        args.serve_mode == "auto" and not args.query
+    if args.fuzzy and args.serve_mode == "local":
+        raise SystemExit("--fuzzy needs the distributed path "
+                         "(--serve-mode spark); the in-process tier has no "
+                         "variant table")
+    use_local = args.serve_mode != "spark" and not args.fuzzy and (
+        args.serve_mode == "local" or not args.query
     )
     local = None
     if use_local:
@@ -226,7 +239,8 @@ def main() -> None:
                 ]
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
-                                 args.n, args.exhaustive, args.schema)
+                                 args.n, args.exhaustive, args.schema,
+                                 fuzzy=args.fuzzy)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

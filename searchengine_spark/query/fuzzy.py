@@ -1,0 +1,120 @@
+"""SymSpell-style fuzzy term correction: Levenshtein distance <= 1
+(symmetric-delete candidate generation, Garbe's published algorithm;
+https://github.com/wolfgarbe/SymSpell describes the method — implemented
+here from the description, Spark-first).
+
+Candidate generation: two terms within edit distance 1 ALWAYS have
+intersecting deletion-1 neighborhoods ({term} ∪ single-character
+deletions) — equal strings share the term itself; for insert/delete the
+shorter IS a deletion of the longer; a substitution shares the deletion
+at the substituted position; lengths differing by 2+ can never collide.
+The converse does NOT hold (e.g. "aba"/"bab" share deletions at
+distance 2), so — exactly like SymSpell — candidates are verified, with
+the JVM-native ``levenshtein()`` (its DuckDB twin makes the whole
+operator oracle-replicable; transposition-only neighbors are therefore
+deliberately NOT matches — the contract is plain Levenshtein, not OSA).
+
+Shape at scale: the dictionary side is one explode of the (tiny
+relative to the corpus) term_stats sidecar, the query side is a LITERAL
+variant → query-term map fan-out (the join-free pattern of
+query/wand.py), and ranking is a window over the bounded verified
+candidate set. No joins; the variants explode is O(vocab · avg_len)
+rows — still sidecar-sized at 100 TB.
+
+Ranking contract (deterministic, engine-independent): exact match
+first, then document frequency descending, then term ascending.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CAND_SCHEMA = "qterm string, term string, df long, rank int"
+
+
+def del1(term: str) -> set[str]:
+    """Python twin of :func:`deletion_variants_col` for the literal
+    query side (queries are bounded; the driver computes their tiny
+    neighborhoods locally, exactly like wand.py computes idf maps)."""
+    return {term[:i] + term[i + 1 :] for i in range(len(term))}
+
+
+def deletion_variants_col(term: Column) -> Column:
+    """array<string>: the term plus each distinct single-char deletion."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            F.substr(term, F.lit(1), i - 1),
+            F.substr(term, i + 1, F.length(term)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(term), dels))
+
+
+def fuzzy_candidates(
+    dictionary: DataFrame,
+    qterms: Sequence[str],
+    k: int = 3,
+) -> DataFrame:
+    """-> (qterm, term, df, rank): for each query term, the top-k
+    dictionary terms within Levenshtein distance 1, ranked exact-first
+    then df desc then term asc. ``dictionary`` needs (term, df) — the
+    index's term_stats sidecar qualifies as-is."""
+    spark = dictionary.sparkSession
+    qterms = list(dict.fromkeys(qterms))
+    if not qterms:
+        return spark.createDataFrame([], CAND_SCHEMA)
+
+    qts_by_variant: dict[str, list[str]] = {}
+    for q in qterms:
+        for v in {q} | del1(q):
+            qts_by_variant.setdefault(v, []).append(q)
+    entries = [
+        x
+        for v, qs in qts_by_variant.items()
+        for x in (F.lit(v), F.array(*[F.lit(q) for q in qs]))
+    ]
+
+    lens = [len(q) for q in qterms]
+    cand = (
+        dictionary
+        # length prune BEFORE the variants explode: a d<=1 neighbor's
+        # length is within +-1 of some query term's
+        .filter(F.length("term").between(min(lens) - 1, max(lens) + 1))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.explode(deletion_variants_col(F.col("term"))).alias("variant"),
+        )
+        .filter(F.col("variant").isin(list(qts_by_variant)))
+        # literal variant -> query-terms fan-out (join-free, wand.py style)
+        .withColumn("qterm", F.explode(F.create_map(*entries)[F.col("variant")]))
+        # a pair can collide via several shared variants -> dedupe
+        .groupBy("qterm", "term")
+        .agg(F.first("df").alias("df"))
+        # the SymSpell verification pass: shared-deletion collisions at
+        # distance 2 (equal-length, e.g. transpositions) are rejected
+        .filter(F.levenshtein(F.col("qterm"), F.col("term")) <= 1)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        (F.col("term") == F.col("qterm")).desc(), F.col("df").desc(), F.col("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qterm", "term", "df", "rank")
+    )
+
+
+def correct_terms(
+    dictionary: DataFrame, qterms: Sequence[str]
+) -> Mapping[str, str]:
+    """Top-1 correction map for the given query terms. Exact dictionary
+    hits map to themselves; terms with no distance<=1 neighbor are
+    absent (callers keep the original, which then matches nothing — OR
+    semantics unchanged). ONE bounded Spark job."""
+    rows = fuzzy_candidates(dictionary, qterms, k=1).collect()
+    return {r["qterm"]: r["term"] for r in rows}

@@ -144,11 +144,20 @@ def bm25_topk_packed_batch(
     params: Bm25Params | None = None,
     exhaustive: bool = False,
     round_dp: int | None = None,
+    fuzzy: bool = False,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
     ``exhaustive=True`` disables block-max pruning (used by the safety gate
     and as the reference-exact fallback; SURVEY.md §4).
+
+    ``fuzzy=True`` rewrites out-of-vocabulary query terms to their best
+    Levenshtein distance-1 dictionary neighbor (query/fuzzy.py, SymSpell
+    symmetric-delete) before scoring — ONE extra bounded job over the
+    term_stats sidecar, only when requested. Terms with no neighbor keep
+    OR semantics (match nothing); corrections are applied on the FINAL
+    token space (post stop-word/stem), so build/query tokenizer parity
+    is untouched.
 
     ``params`` other than the build-time (k, b) require ``exhaustive=True``:
     the stored ``max_tfsat`` block bounds were computed at build params, so
@@ -176,6 +185,14 @@ def bm25_topk_packed_batch(
             rows.append((qid, t))
     if not rows:
         return spark.createDataFrame([], _TOPK_SCHEMA)
+
+    if fuzzy:
+        from .fuzzy import correct_terms
+
+        corr = correct_terms(pidx.term_stats, sorted({t for _, t in rows}))
+        # re-dedupe per query: two typos may correct to the same term, and
+        # a duplicate (qid, term) would double-score it via the map fan-out
+        rows = list(dict.fromkeys((qid, corr.get(t, t)) for qid, t in rows))
 
     # pre-filter with the literal term set: compiles to a pushed-down
     # In(term, …) predicate, so the term-sorted parquet layout prunes row

@@ -1,0 +1,127 @@
+"""SymSpell-style fuzzy correction (query/fuzzy.py): candidate-generation
+completeness, verification exactness (Levenshtein <= 1, transposition
+collisions rejected), ranking contract, and the WAND fuzzy=True e2e."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.query.fuzzy import correct_terms, del1, fuzzy_candidates
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+WORD = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+@settings(max_examples=300, deadline=None)
+@given(WORD, WORD)
+def test_deletion_intersection_generates_all_lev1_pairs(a, b):
+    """Completeness: distance <= 1 implies intersecting deletion-1
+    neighborhoods (so the generator never loses a true neighbor); the
+    converse is handled by the levenshtein verify filter."""
+    if _lev(a, b) <= 1:
+        assert ({a} | del1(a)) & ({b} | del1(b))
+
+
+def test_transposition_collision_is_rejected(spark):
+    """'aba'/'bab' share deletions but sit at distance 2 — the SymSpell
+    verification pass must reject them."""
+    d = spark.createDataFrame([("bab", 5)], "term string, df long")
+    assert fuzzy_candidates(d, ["aba"]).collect() == []
+    assert ({"aba"} | del1("aba")) & ({"bab"} | del1("bab"))  # would collide
+
+
+def test_candidate_ranking_contract(spark):
+    d = spark.createDataFrame(
+        [("table", 40), ("cable", 90), ("tale", 90), ("tables", 7),
+         ("stable", 3), ("label", 2), ("zzz", 99)],
+        "term string, df long",
+    )
+    rows = fuzzy_candidates(d, ["table"], k=10).collect()
+    got = [(r["term"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # exact first, then df desc, then term asc; 'label' is d=2 (excluded)
+    assert got == [("table", 1), ("cable", 2), ("tale", 3), ("tables", 4),
+                   ("stable", 5)]
+
+
+def test_correct_terms_identity_and_oov(spark):
+    d = spark.createDataFrame(
+        [("spark", 10), ("shark", 3)], "term string, df long"
+    )
+    m = correct_terms(d, ["spark", "spork", "qqqqqq"])
+    assert m["spark"] == "spark"  # exact hit maps to itself
+    assert m["spork"] == "spark"  # df 10 beats shark's 3 (both d=1)
+    assert "qqqqqq" not in m  # no neighbor: caller keeps the original
+
+
+def test_empty_query_terms(spark):
+    d = spark.createDataFrame([("a", 1)], "term string, df long")
+    assert fuzzy_candidates(d, []).collect() == []
+
+
+@pytest.fixture(scope="module")
+def fuzzy_pidx(spark, stop_words, tmp_path_factory):
+    from searchengine_spark.fixtures import transcripts_df
+    from searchengine_spark.indexing.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    cfg = TokenizerConfig(min_token_length=3, stop_words=stop_words)
+    path = str(tmp_path_factory.mktemp("fuzzy") / "idx")
+    build_packed_index(transcripts_df(spark, n_conv=30), cfg, path,
+                       chunk_docs=256)
+    return load_packed_index(spark, path), cfg
+
+
+def test_wand_fuzzy_e2e_matches_clean_query(fuzzy_pidx):
+    """A typo'd query with fuzzy=True returns the intended query's exact
+    ranking (corrections land on the final token space, scoring unchanged)."""
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    pidx, cfg = fuzzy_pidx
+    clean = bm25_topk_packed_batch(pidx, ["greatest rock album"], cfg, k=5)
+    typo = bm25_topk_packed_batch(
+        pidx, ["greatst rock albumm"], cfg, k=5, fuzzy=True
+    )
+    want = [(r["doc_id"], round(r["score"], 6)) for r in clean.collect()]
+    got = [(r["doc_id"], round(r["score"], 6)) for r in typo.collect()]
+    assert want and got == want
+
+
+def test_wand_fuzzy_dedupes_colliding_corrections(fuzzy_pidx):
+    """Two typos correcting to the SAME term must not double-score it:
+    scores equal the single-term query's."""
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    pidx, cfg = fuzzy_pidx
+    one = bm25_topk_packed_batch(pidx, ["album"], cfg, k=5)
+    two = bm25_topk_packed_batch(pidx, ["albumm albom"], cfg, k=5, fuzzy=True)
+    want = [(r["doc_id"], round(r["score"], 6)) for r in one.collect()]
+    got = [(r["doc_id"], round(r["score"], 6)) for r in two.collect()]
+    assert want and got == want
+
+
+def test_wand_fuzzy_oov_without_neighbor_is_or_neutral(fuzzy_pidx):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    pidx, cfg = fuzzy_pidx
+    base = bm25_topk_packed_batch(pidx, ["album"], cfg, k=5)
+    plus = bm25_topk_packed_batch(
+        pidx, ["album zzzzqqqqzzzz"], cfg, k=5, fuzzy=True
+    )
+    assert [r.asDict() for r in base.collect()] == [
+        r.asDict() for r in plus.collect()
+    ]
