@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: end-to-end corpus cleaning pipeline
+(textops/pipeline.py) — the pretraining-data composition: C4 rules,
+PII redaction, Gopher repetition filters, quality floor, language
+filter, exact/near dedup, eval-set decontamination, split assignment.
+
+Cluster usage:
+
+    zip -r searchengine_spark.zip searchengine_spark
+    spark-submit --py-files searchengine_spark.zip jobs/clean_corpus.py \\
+        --input <documents parquet: (doc_id, text)> --output <dir> \\
+        --c4 --redact-pii --max-dup-line-frac 0.3 --lang en \\
+        --dedup near --eval-corpus <parquet> \\
+        --split train:8,val:1,test:1
+
+Prints ONE JSON line: the per-stage doc-count funnel (the cleaning
+job's contract for orchestration systems).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_split(s: str) -> dict:
+    out = {}
+    for part in s.split(","):
+        name, w = part.split(":")
+        out[name.strip()] = int(w)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--c4", action="store_true",
+                    help="C4 line + page rules (Raffel et al. 2020 §2.2)")
+    ap.add_argument("--min-words", type=int, default=3)
+    ap.add_argument("--min-sentences", type=int, default=5)
+    ap.add_argument("--bad-words", default=None,
+                    help="comma-separated bad-word list for the C4 page rule")
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None)
+    ap.add_argument("--max-top2gram-frac", type=float, default=None)
+    ap.add_argument("--max-dup5gram-frac", type=float, default=None)
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--lang", default=None,
+                    help="keep docs whose predicted language matches")
+    ap.add_argument("--dedup", default="none",
+                    choices=["none", "exact", "near"],
+                    help="exact: keep-first by md5(text); near: exact ∪ "
+                         "MinHash-LSH+Jaccard ∪ SimHash components")
+    ap.add_argument("--jaccard-threshold", type=float, default=0.5)
+    ap.add_argument("--eval-corpus", default=None,
+                    help="parquet of (doc_id, text) eval docs; drops "
+                         "training docs sharing 13-gram shingles")
+    ap.add_argument("--max-contaminated", type=int, default=0)
+    ap.add_argument("--split", default=None,
+                    help="name:weight,... e.g. train:8,val:1,test:1")
+    ap.add_argument("--split-salt", default="")
+    ap.add_argument("--min-token-length", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.textops.pipeline import CleanConfig, clean_corpus
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    spark = SparkSession.builder.appName("searchengine_clean_corpus").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = CleanConfig(
+        c4=args.c4,
+        min_words=args.min_words,
+        min_sentences=args.min_sentences,
+        bad_words=tuple(args.bad_words.split(",")) if args.bad_words else (),
+        pii=args.redact_pii,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_2gram_char_frac=args.max_top2gram_frac,
+        max_dup_5gram_char_frac=args.max_dup5gram_frac,
+        min_quality=args.min_quality,
+        lang=args.lang,
+        dedup=args.dedup,
+        jaccard_threshold=args.jaccard_threshold,
+        eval_corpus=(
+            spark.read.parquet(args.eval_corpus) if args.eval_corpus else None
+        ),
+        max_contaminated=args.max_contaminated,
+        split=_parse_split(args.split) if args.split else None,
+        split_salt=args.split_salt,
+        tokenizer=TokenizerConfig(min_token_length=args.min_token_length),
+    )
+    out, stats = clean_corpus(spark.read.parquet(args.input), cfg)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"stages": stats, "output": args.output}))
+
+
+if __name__ == "__main__":
+    main()

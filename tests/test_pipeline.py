@@ -1,0 +1,86 @@
+"""Corpus cleaning pipeline (textops/pipeline.py): stage composition,
+funnel stats, and per-stage effects on a handcrafted corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.textops.pipeline import CleanConfig, clean_corpus
+
+GOOD = " ".join(f"Sentence number {i} talks about the weather." for i in range(6))
+
+
+def _corpus(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),  # exact dup of 1
+        (3, GOOD.replace("number 3", "number three")),  # near-dup of 1
+        (4, "Contact me at bob@example.com today.\n" + GOOD),
+        (5, "var x = { a: 1 }\n" + GOOD),  # brace line (line filter drops it)
+        (6, "der die das und ist nicht ein eine mit für.\n"
+            "auf den dem von zu sich auch werden oder aber."),  # German
+        (7, "Repeat me again and again and again.\n" * 12),  # repetitive
+        (8, "Too short to survive. Only two sentences."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_funnel_and_composition(spark):
+    out, stats = clean_corpus(
+        _corpus(spark),
+        CleanConfig(
+            c4=True,
+            pii=True,
+            max_dup_line_frac=0.5,
+            lang="en",
+            dedup="exact",
+            split={"train": 8, "val": 1, "test": 1},
+        ),
+    )
+    assert list(stats) == [
+        "input", "c4", "pii_redact", "repetition", "lang", "dedup_exact",
+        "split", "output",
+    ]
+    assert stats["input"] == 8
+    # every stage can only shrink (split assigns, never drops)
+    counts = [stats[k] for k in list(stats)[:-2]]
+    assert counts == sorted(counts, reverse=True)
+    assert stats["split"] == stats["dedup_exact"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    # 6 and 8 die at C4 (< 5 sentences), 7 at repetition (12 dup lines);
+    # the LINE filter strips doc 5's brace line, making its cleaned text
+    # an exact dup of doc 1's — so exact dedup folds {1,2,5} to 1
+    assert set(rows) == {1, 3, 4}
+    assert "<EMAIL>" in rows[4]["text"] and "bob@" not in rows[4]["text"]
+    assert stats["c4"] == 6 and stats["repetition"] == 5
+    assert stats["dedup_exact"] == 3
+
+
+def test_near_dedup_folds_near_duplicates(spark):
+    out, stats = clean_corpus(
+        _corpus(spark), CleanConfig(dedup="near", jaccard_threshold=0.5)
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # {1,2,3,5} form one near-dup component (5's raw text is GOOD plus
+    # one extra line); min id 1 is the canonical keeper
+    assert kept == {1, 4, 6, 7, 8}
+    assert stats["dedup_near"] == 5
+
+
+def test_decontamination_drops_eval_overlap(spark):
+    ev = spark.createDataFrame([(100, GOOD)], "doc_id long, text string")
+    out, stats = clean_corpus(
+        _corpus(spark).where(F.col("doc_id").isin(1, 6)),
+        CleanConfig(eval_corpus=ev),
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {6}  # doc 1 shares 13-gram shingles with the eval set
+    assert stats["decontamination"] == 1
+
+
+def test_noop_config_passes_through(spark):
+    docs = _corpus(spark)
+    out, stats = clean_corpus(docs, CleanConfig())
+    assert stats == {"input": 8, "output": 8}
+    assert out.count() == 8 and set(out.columns) == {"doc_id", "text"}
