@@ -157,8 +157,8 @@ def main() -> None:
     ap.add_argument("--fuzzy", action="store_true",
                     help="correct out-of-vocabulary query terms to their "
                          "best Levenshtein distance-1 dictionary neighbor "
-                         "(SymSpell symmetric-delete, query/fuzzy.py); "
-                         "bm25 ranker, distributed path")
+                         "(SymSpell symmetric-delete, query/fuzzy.py); any "
+                         "local-tier ranker, bm25 on the distributed path")
     ap.add_argument("--serve-mode", choices=("auto", "local", "spark"),
                     default="auto",
                     help="'local': in-process LocalSearcher (no Spark job "
@@ -203,12 +203,11 @@ def main() -> None:
     if args.relevance:
         stats = EvalStats(parse_relevance_file(args.relevance))
 
-    if args.fuzzy and args.serve_mode == "local":
-        raise SystemExit("--fuzzy needs the distributed path "
-                         "(--serve-mode spark); the in-process tier has no "
-                         "variant table")
-    use_local = args.serve_mode != "spark" and not args.fuzzy and (
-        args.serve_mode == "local" or not args.query
+    if args.fuzzy and args.ranker in ("phrase", "minspan"):
+        raise SystemExit("--fuzzy is not wired to the positional phrase/"
+                         "minspan rankers")
+    use_local = args.serve_mode == "local" or (
+        args.serve_mode == "auto" and not args.query
     )
     local = None
     if use_local:
@@ -233,7 +232,7 @@ def main() -> None:
             else:
                 per_q = [
                     sorted(local.search(q, k=args.n, ranker=args.ranker,
-                                        schema=args.schema),
+                                        schema=args.schema, fuzzy=args.fuzzy),
                            key=lambda r: (r["rank"], r["doc_id"]))
                     for q in queries
                 ]

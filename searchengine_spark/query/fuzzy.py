@@ -35,6 +35,18 @@ from pyspark.sql import functions as F
 CAND_SCHEMA = "qterm string, term string, df long, rank int"
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance — the driver-side twin of the JVM
+    ``levenshtein()`` verify (query terms are short; O(len²) is fine)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def del1(term: str) -> set[str]:
     """Python twin of :func:`deletion_variants_col` for the literal
     query side (queries are bounded; the driver computes their tiny

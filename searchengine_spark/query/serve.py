@@ -88,6 +88,8 @@ class LocalSearcher:
         # column — one cosine denominator per doc-side tf letter)
         self._slices: Dict[str, pd.DataFrame] = {}
         self._idf: Dict[str, float] = {}
+        self._df: Dict[str, int] = {}
+        self._variants: Dict[str, list] | None = None  # fuzzy, lazy
         self._docmap: Dict[int, tuple] = {}
         self._norms: Dict[str, Dict[int, float]] = {}
         self._all_terms_cached = False
@@ -120,10 +122,9 @@ class LocalSearcher:
     def _preload(self) -> None:
         pdf = self.pidx.index.select(*self._index_cols).toPandas()
         self._slices = {t: g for t, g in pdf.groupby("term", sort=False)}
-        self._idf = {
-            r["term"]: float(r["idf"])
-            for r in self.pidx.term_stats.select("term", "idf").collect()
-        }
+        for r in self.pidx.term_stats.select("term", "df", "idf").collect():
+            self._idf[r["term"]] = float(r["idf"])
+            self._df[r["term"]] = int(r["df"])
         dm = self.pidx.docmap.toPandas()
         self._docmap = {
             int(r[0]): tuple(r[1:]) for r in dm.itertuples(index=False)
@@ -154,11 +155,49 @@ class LocalSearcher:
         for t in missing:
             self._slices[t] = grouped.get(t, empty)  # negative-cache misses
         for r in (
-            self.pidx.term_stats.select("term", "idf")
+            self.pidx.term_stats.select("term", "df", "idf")
             .filter(F.col("term").isin(missing))
             .collect()
         ):
             self._idf[r["term"]] = float(r["idf"])
+            self._df[r["term"]] = int(r["df"])
+
+    # ------------------------------------------------------------- fuzzy
+
+    def _fuzzy_rewrite(self, toks: List[str]) -> List[str]:
+        """Rewrite OOV tokens to their best Levenshtein<=1 dictionary
+        neighbor (query/fuzzy.py contract: exact first, df desc, term
+        asc). Preload mode corrects in-process against a lazily built
+        symmetric-delete variant index (O(vocab · avg_len) dict entries,
+        built once on the first fuzzy query — the preload tier already
+        holds the whole index in memory); lazy mode delegates to the
+        bounded correct_terms Spark job, which lazy-mode term fetches
+        already pay per miss anyway."""
+        from .fuzzy import correct_terms, del1, levenshtein
+
+        self._ensure_terms(sorted(dict.fromkeys(toks)))
+        oov = sorted({t for t in toks if t not in self._idf})
+        if not oov:
+            return toks
+        if not self._all_terms_cached:
+            corr = correct_terms(self.pidx.term_stats, oov)
+        else:
+            if self._variants is None:
+                self._variants = {}
+                for t in self._idf:
+                    for v in {t} | del1(t):
+                        self._variants.setdefault(v, []).append(t)
+            corr = {}
+            for q in oov:
+                cands = {
+                    c
+                    for v in ({q} | del1(q))
+                    for c in self._variants.get(v, ())
+                    if levenshtein(q, c) <= 1
+                }
+                if cands:
+                    corr[q] = min(cands, key=lambda c: (-self._df[c], c))
+        return [corr.get(t, t) for t in toks]
 
     def _ensure_docs(self, doc_ids: Sequence[int]) -> None:
         if self._all_docs_cached:
@@ -246,13 +285,21 @@ class LocalSearcher:
         round_dp: int | None = None,
         rerank_n: int | None = None,
         resolve: bool = True,
+        fuzzy: bool = False,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
-        term/doc slices are cached (always, in preload mode)."""
+        term/doc slices are cached (always, in preload mode).
+
+        ``fuzzy=True`` rewrites OOV tokens to their best Levenshtein<=1
+        dictionary neighbor before ranking (any ranker — the rewrite is
+        token-level, multiplicity preserved for the tfidf/proximity
+        paths); zero Spark jobs in preload mode."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
         toks = tokenize_text(query, self.cfg)
+        if fuzzy and toks:
+            toks = self._fuzzy_rewrite(toks)
         terms = list(dict.fromkeys(toks))
         if not terms:
             return []

@@ -82,7 +82,7 @@ def fuzzy_pidx(spark, stop_words, tmp_path_factory):
     cfg = TokenizerConfig(min_token_length=3, stop_words=stop_words)
     path = str(tmp_path_factory.mktemp("fuzzy") / "idx")
     build_packed_index(transcripts_df(spark, n_conv=30), cfg, path,
-                       chunk_docs=256)
+                       chunk_docs=256, tfidf_sidecar=True)
     return load_packed_index(spark, path), cfg
 
 
@@ -112,6 +112,34 @@ def test_wand_fuzzy_dedupes_colliding_corrections(fuzzy_pidx):
     want = [(r["doc_id"], round(r["score"], 6)) for r in one.collect()]
     got = [(r["doc_id"], round(r["score"], 6)) for r in two.collect()]
     assert want and got == want
+
+
+def test_local_fuzzy_preload_matches_distributed(fuzzy_pidx):
+    """The in-memory symmetric-delete correction (preload tier) must make
+    the same rewrites as the Spark path: typo'd == clean, bit-identical,
+    with ZERO Spark jobs after the variant index is built."""
+    from searchengine_spark.query.serve import LocalSearcher
+
+    pidx, cfg = fuzzy_pidx
+    ls = LocalSearcher(pidx, preload=True, cfg=cfg)
+    clean = ls.search("greatest rock album", k=5)
+    typo = ls.search("greatst rock albumm", k=5, fuzzy=True)
+    assert clean and typo == clean
+    # tfidf through the same rewrite (token-level, any ranker)
+    t_clean = ls.search("greatest rock album", k=5, ranker="tfidf")
+    t_typo = ls.search("greatst rock albumm", k=5, ranker="tfidf", fuzzy=True)
+    assert t_clean and t_typo == t_clean
+
+
+def test_local_fuzzy_lazy_delegates_to_spark_job(fuzzy_pidx):
+    from searchengine_spark.query.serve import LocalSearcher
+
+    pidx, cfg = fuzzy_pidx
+    lazy = LocalSearcher(pidx, preload=False, cfg=cfg)
+    clean = lazy.search("greatest rock album", k=5)
+    typo = lazy.search("greatst rock albumm", k=5, fuzzy=True)
+    assert clean and typo == clean
+    assert lazy._variants is None  # lazy mode never builds the dict
 
 
 def test_wand_fuzzy_oov_without_neighbor_is_or_neutral(fuzzy_pidx):
