@@ -482,6 +482,57 @@ def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipe_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injection for the clean_pipeline entry, designed so each composed
+    stage FIRES: doc_id % 3 == 0 pages share an intro line (after the
+    line filter their cleaned texts collide -> exact dedup), doc_id % 11
+    pages get a 2-sentence filler (page rule drops them), the rest carry
+    a distinct 40-char substr lead line."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.when(
+            did % 3 == 0, F.lit("Shared intro sentence for this page.")
+        ).otherwise(F.concat(F.substring(F.col("text"), 1, 40), F.lit("."))),
+        nl,
+        F.when(
+            did % 11 == 0,
+            F.lit("Filler one is here. Filler two is here."),
+        ).otherwise(
+            F.lit("Filler one is here. Filler two is here. "
+                  "Filler three is here. Filler four is here.")
+        ),
+        nl,
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("Extra sentence number "),
+                     (did % 2).cast("string"), F.lit(" closes.")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", t.alias("text"))
+
+
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-pipeline COMPOSITION (textops/pipeline.py): C4 rules ->
+    exact keep-first dedup -> split assignment, end-to-end engine-exact.
+    Each operator's depth is gated by its own entry; this one gates the
+    plumbing between them (stage order, cleaned-text dedup interplay,
+    split stability)."""
+    from searchengine_spark.textops.pipeline import CleanConfig, clean_corpus
+
+    out, _stats = clean_corpus(
+        _pipe_injected(spark, sf_dir),
+        CleanConfig(
+            c4=True,
+            dedup="exact",
+            split={"train": 8, "val": 1, "test": 1},
+            split_salt="r3",
+        ),
+    )
+    return out.select("doc_id", "split", F.md5("text").alias("clean_md5"))
+
+
 def q_fuzzy_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SymSpell-style fuzzy term correction (query/fuzzy.py): top-3
     Levenshtein<=1 dictionary neighbors for a fixed typo set, exact-first
@@ -1149,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_doc_filter": q_c4_doc_filter,
         "c4_span_dedup": q_c4_span_dedup,
         "fuzzy_correct": q_fuzzy_correct,
+        "clean_pipeline": q_clean_pipeline,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -1586,22 +1638,31 @@ FROM packed
     # trimmed non-empty segments of the whitespace-normalized text split
     # on [.!?]+ — textops/clean.py::sentences_col's twin ('g' flag: DuckDB
     # regexp_replace is first-match-only by default, Spark replaces all)
-    _c4_sent_sql = (
-        r"list_filter(list_transform(regexp_split_to_array("
-        r"regexp_replace(t, '\s+', ' ', 'g'), '[.!?]+'), x -> trim(x)),"
-        r" x -> x <> '')"
-    )
+    def _sent_sql(col: str) -> str:
+        return (
+            r"list_filter(list_transform(regexp_split_to_array("
+            rf"regexp_replace({col}, '\s+', ' ', 'g'), '[.!?]+'), "
+            r"x -> trim(x)), x -> x <> '')"
+        )
+
+    _c4_sent_sql = _sent_sql("t")
+
+    # the C4 line predicate (terminal punct / >=3 words / no javascript)
+    # as a list_filter over a lines array column
+    def _line_filter_sql(lines_col: str) -> str:
+        return (
+            rf"""list_filter({lines_col}, x ->
+           right(rtrim(x), 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                               w -> w <> '')) >= 3
+           AND NOT regexp_matches(lower(x), '\bjavascript\b'))"""
+        )
 
     sqls["c4_line_filter"] = rf"""
 WITH injected AS ({_c4_inject_sql}),
 l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM injected),
 k AS (
-  SELECT doc_id, ls,
-         list_filter(ls, x ->
-           right(rtrim(x), 1) IN ('.', '!', '?', '"')
-           AND len(list_filter(regexp_split_to_array(x, '\s+'),
-                               w -> w <> '')) >= 3
-           AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kl
+  SELECT doc_id, ls, {_line_filter_sql('ls')} AS kl
   FROM l
 )
 SELECT doc_id, len(ls)::BIGINT AS n_lines, len(kl)::BIGINT AS n_lines_kept,
@@ -1663,6 +1724,50 @@ SELECT qterm, term, df, rank FROM (
                            )::BIGINT AS rank
   FROM cand
 ) WHERE rank <= 3
+"""
+
+    # _pipe_injected's twin, then the full composition: C4 line + page
+    # rules -> exact keep-first dedup on the CLEANED text -> hash split
+    _pipe_inject_sql = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'Shared intro sentence for this page.'
+         ELSE substr(text, 1, 40) || '.' END || chr(10)
+    || CASE WHEN doc_id % 11 = 0
+            THEN 'Filler one is here. Filler two is here.'
+            ELSE 'Filler one is here. Filler two is here. ' ||
+                 'Filler three is here. Filler four is here.' END || chr(10)
+    || CASE WHEN doc_id % 5 = 0
+            THEN 'Extra sentence number ' || (doc_id % 2)::VARCHAR
+                 || ' closes.'
+            ELSE '' END AS t
+  FROM documents
+"""
+
+    sqls["clean_pipeline"] = rf"""
+WITH injected AS ({_pipe_inject_sql}),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM injected),
+k AS (
+  SELECT doc_id,
+         array_to_string({_line_filter_sql('ls')}, chr(10)) AS ct
+  FROM l
+),
+page AS (
+  SELECT doc_id, ct FROM k
+  WHERE NOT contains(ct, '{{') AND NOT contains(ct, '}}')
+    AND NOT contains(lower(ct), 'lorem ipsum')
+    AND len({_sent_sql('ct')}) >= 5
+),
+dd AS (
+  SELECT doc_id, ct,
+         row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id) AS rn
+  FROM page
+)
+SELECT doc_id,
+       CASE WHEN {h16} % 10 < 8 THEN 'train'
+            WHEN {h16} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       md5(ct) AS clean_md5
+FROM dd WHERE rn = 1
 """
 
     sqls["decontamination"] = f"""
