@@ -158,7 +158,8 @@ def main() -> None:
                     help="correct out-of-vocabulary query terms to their "
                          "best Levenshtein distance-1 dictionary neighbor "
                          "(SymSpell symmetric-delete, query/fuzzy.py); any "
-                         "local-tier ranker, bm25 on the distributed path")
+                         "non-positional local-tier ranker, bm25 on the "
+                         "distributed path")
     ap.add_argument("--serve-mode", choices=("auto", "local", "spark"),
                     default="auto",
                     help="'local': in-process LocalSearcher (no Spark job "

@@ -89,7 +89,8 @@ class LocalSearcher:
         self._slices: Dict[str, pd.DataFrame] = {}
         self._idf: Dict[str, float] = {}
         self._df: Dict[str, int] = {}
-        self._variants: Dict[str, list] | None = None  # fuzzy, lazy
+        self._variants: Dict[str, list] | None = None  # fuzzy, lazy-built
+        self._fuzzy_corr: Dict[str, str] = {}  # OOV term -> correction
         self._docmap: Dict[int, tuple] = {}
         self._norms: Dict[str, Dict[int, float]] = {}
         self._all_terms_cached = False
@@ -176,9 +177,15 @@ class LocalSearcher:
         from .fuzzy import correct_terms, del1, levenshtein
 
         self._ensure_terms(sorted(dict.fromkeys(toks)))
-        oov = sorted({t for t in toks if t not in self._idf})
+        # corrections are cached like term slices (an uncorrectable term
+        # caches as itself): a repeated typo'd query never re-runs the
+        # lazy-mode dictionary job — this handle serves one index
+        # SNAPSHOT, so the dictionary cannot grow under it
+        oov = sorted(
+            {t for t in toks if t not in self._idf and t not in self._fuzzy_corr}
+        )
         if not oov:
-            return toks
+            return [self._fuzzy_corr.get(t, t) for t in toks]
         if not self._all_terms_cached:
             corr = correct_terms(self.pidx.term_stats, oov)
         else:
@@ -197,7 +204,9 @@ class LocalSearcher:
                 }
                 if cands:
                     corr[q] = min(cands, key=lambda c: (-self._df[c], c))
-        return [corr.get(t, t) for t in toks]
+        for q in oov:
+            self._fuzzy_corr[q] = corr.get(q, q)
+        return [self._fuzzy_corr.get(t, t) for t in toks]
 
     def _ensure_docs(self, doc_ids: Sequence[int]) -> None:
         if self._all_docs_cached:

@@ -186,31 +186,44 @@ def bm25_topk_packed_batch(
     if not rows:
         return spark.createDataFrame([], _TOPK_SCHEMA)
 
-    if fuzzy:
-        from .fuzzy import correct_terms
-
-        corr = correct_terms(pidx.term_stats, sorted({t for _, t in rows}))
-        # re-dedupe per query: two typos may correct to the same term, and
-        # a duplicate (qid, term) would double-score it via the map fan-out
-        rows = list(dict.fromkeys((qid, corr.get(t, t)) for qid, t in rows))
-
-    # pre-filter with the literal term set: compiles to a pushed-down
-    # In(term, …) predicate, so the term-sorted parquet layout prunes row
-    # groups via min/max stats — the reference's sorted-file binary search
-    # (index.py:93-131) done by the scan itself
-    all_terms = sorted({t for _, t in rows})
-    pruned = pidx.index.filter(F.col("term").isin(all_terms))
-
     # JOIN-FREE serving: idf for the (bounded) query-term set is collected
     # once (term-pruned scan of the tiny stats sidecar) and shipped in the
     # scorer closure; the term -> query_ids fan-out is a literal map
     # projection. The whole batch is then ONE scan job + ONE hash exchange
     # — against the broadcast-join formulation this removes two broadcast
     # jobs per batch, which dominate single-query latency.
-    stats = pidx.term_stats.select("term", "idf").filter(
-        F.col("term").isin(all_terms)
-    )
-    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    def _idf_for(terms: list) -> dict:
+        stats = pidx.term_stats.select("term", "idf").filter(
+            F.col("term").isin(terms)
+        )
+        return {r["term"]: float(r["idf"]) for r in stats.collect()}
+
+    all_terms = sorted({t for _, t in rows})
+    idf_map = _idf_for(all_terms)
+
+    # the idf collect doubles as the vocabulary probe: correct ONLY the
+    # missing terms (a fully in-vocab batch pays no correction job at all
+    # — exact hits map to themselves by the exact-first ranking anyway)
+    oov = [t for t in all_terms if t not in idf_map]
+    if fuzzy and oov:
+        from .fuzzy import correct_terms
+
+        corr = correct_terms(pidx.term_stats, oov)
+        if corr:
+            # re-dedupe per query: two typos may correct to the same term,
+            # and a duplicate (qid, term) would double-score it via the
+            # map fan-out
+            rows = list(dict.fromkeys((qid, corr.get(t, t)) for qid, t in rows))
+            all_terms = sorted({t for _, t in rows})
+            new_terms = sorted(set(corr.values()) - set(idf_map))
+            if new_terms:
+                idf_map.update(_idf_for(new_terms))
+
+    # pre-filter with the literal term set: compiles to a pushed-down
+    # In(term, …) predicate, so the term-sorted parquet layout prunes row
+    # groups via min/max stats — the reference's sorted-file binary search
+    # (index.py:93-131) done by the scan itself
+    pruned = pidx.index.filter(F.col("term").isin(all_terms))
     qids_by_term: dict[str, list[int]] = {}
     for qid, t in rows:
         qids_by_term.setdefault(t, []).append(qid)

@@ -78,13 +78,24 @@ def c4_line_filter(
 def _doc_reason(
     text: Column, min_sentences: int, bad_words: Sequence[str]
 ) -> Column:
+    import re
+
     lt = F.lower(text)
     checks = [
         ("brace", text.contains("{") | text.contains("}")),
         ("lorem_ipsum", lt.contains("lorem ipsum")),
     ]
-    if bad_words:
-        pat = r"\b(" + "|".join(bad_words) + r")\b"
+    # escape + lowercase the user-supplied words: regex metachars must be
+    # literals (never a PatternSyntaxException in executors), empties must
+    # not become a match-anything '||' alternation, and the pattern runs
+    # against LOWERED text. Boundaries are explicit (^|\W)…(\W|$) classes
+    # rather than \b: a \b after a word ENDING in a non-word char (c++)
+    # never fires, and the class form stays in the Java-regex/RE2 common
+    # subset (equivalent to \b for ordinary words, so the DuckDB oracle's
+    # \b replica is unchanged)
+    words = [re.escape(w.lower()) for w in bad_words if w]
+    if words:
+        pat = r"(^|\W)(" + "|".join(words) + r")(\W|$)"
         checks.append(("bad_word", lt.rlike(pat)))
     checks.append(
         ("few_sentences", F.size(sentences_col(text)) < F.lit(min_sentences))

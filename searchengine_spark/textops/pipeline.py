@@ -121,9 +121,13 @@ def clean_corpus(
         step("repetition", out.select(*docs_cols(cur)))
 
     if cfg.min_quality is not None:
-        q = quality_score(cur, toks, stop_words=LANG_PROFILES["en"])
-        out = _attach(cur, q.select("id", "score")).where(
-            F.col("score") >= cfg.min_quality
+        # score with the TARGET language's stop-word profile (an English
+        # list would cap every non-English doc's stop_ratio term at ~0
+        # and silently gut e.g. a --lang de corpus before the lang stage)
+        profile = LANG_PROFILES.get(cfg.lang or "en", LANG_PROFILES["en"])
+        q = quality_score(cur, toks, stop_words=profile)
+        out = _attach(cur, q.select("id", "quality")).where(
+            F.col("quality") >= cfg.min_quality
         )
         step("quality", out.select(*docs_cols(cur)))
 

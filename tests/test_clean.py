@@ -84,6 +84,24 @@ def test_doc_filter_reason_precedence(spark):
     assert {r["id"]: (r["keep"], r["reason"]) for r in rows} == want
 
 
+def test_bad_words_escaped_cased_and_empty_safe(spark):
+    """User-supplied bad words are regex-escaped (metachars never throw),
+    lowercased (match the lowered text), and empty elements are dropped
+    (never a match-everything '||' alternation)."""
+    five = "One two three. Four five six. Seven more. Eight nine. Ten here."
+    rows = c4_doc_filter(
+        _docs(
+            spark,
+            [(1, "I know C++ quite well. " + five),
+             (2, "Contains a BADWORD too. " + five),
+             (3, five)],
+        ),
+        bad_words=("c++", "", "BadWord"),
+    ).collect()
+    got = {r["id"]: r["reason"] for r in rows}
+    assert got == {1: "bad_word", 2: "bad_word", 3: ""}
+
+
 def test_clean_composition_applies_page_rules_to_cleaned_text(spark):
     # the brace line is dropped by the LINE filter, so the page survives
     # the brace rule; it still needs >= min_sentences cleaned sentences

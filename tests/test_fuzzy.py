@@ -142,6 +142,43 @@ def test_local_fuzzy_lazy_delegates_to_spark_job(fuzzy_pidx):
     assert lazy._variants is None  # lazy mode never builds the dict
 
 
+def test_wand_fuzzy_in_vocab_batch_skips_correction(fuzzy_pidx, monkeypatch):
+    """fuzzy=True on a fully in-vocabulary batch must not pay the
+    dictionary variants-explode job (the idf collect doubles as the
+    vocabulary probe)."""
+    import searchengine_spark.query.fuzzy as fz
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    pidx, cfg = fuzzy_pidx
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("correct_terms ran for an in-vocab batch")
+
+    monkeypatch.setattr(fz, "correct_terms", boom)
+    out = bm25_topk_packed_batch(pidx, ["greatest rock album"], cfg, k=3,
+                                 fuzzy=True)
+    assert out.count() == 3
+
+
+def test_local_lazy_fuzzy_caches_corrections(fuzzy_pidx, monkeypatch):
+    """A repeated typo'd query on a lazy searcher runs the dictionary
+    job ONCE; the correction (and the no-neighbor negative) is cached."""
+    import searchengine_spark.query.fuzzy as fz
+    from searchengine_spark.query.serve import LocalSearcher
+
+    pidx, cfg = fuzzy_pidx
+    lazy = LocalSearcher(pidx, preload=False, cfg=cfg)
+    calls = []
+    real = fz.correct_terms
+    monkeypatch.setattr(
+        fz, "correct_terms", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    first = lazy.search("greatst rock zzzqqq", k=3, fuzzy=True)
+    again = lazy.search("greatst rock zzzqqq", k=3, fuzzy=True)
+    assert first and again == first
+    assert len(calls) == 1
+
+
 def test_wand_fuzzy_oov_without_neighbor_is_or_neutral(fuzzy_pidx):
     from searchengine_spark.query.wand import bm25_topk_packed_batch
 

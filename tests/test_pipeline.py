@@ -79,6 +79,19 @@ def test_decontamination_drops_eval_overlap(spark):
     assert stats["decontamination"] == 1
 
 
+def test_quality_floor_uses_target_language_profile(spark):
+    """--lang de + a quality floor must score with the GERMAN stop-word
+    profile: an English profile would cap every German doc's stop_ratio
+    term at ~0 and gut the corpus before the lang stage runs."""
+    out, stats = clean_corpus(
+        _corpus(spark).where(F.col("doc_id").isin(1, 6)),
+        CleanConfig(lang="de", min_quality=0.6),
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {6}
+    assert stats["quality"] >= 1  # the German doc survived its own floor
+
+
 def test_noop_config_passes_through(spark):
     docs = _corpus(spark)
     out, stats = clean_corpus(docs, CleanConfig())
