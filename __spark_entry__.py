@@ -1168,6 +1168,43 @@ def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered retrieval (Lucene filtered-search analog,
+    query/wand.py filter_doc_ids + doc_filter): BM25 top-10 over ONLY the
+    role='user' turns — the filter applies BEFORE the top-k heap (post-
+    filtering an unfiltered top-k would return <k or wrong docs), shipped
+    as per-chunk sorted allowed-arrays joined to the matched chunk rows.
+    idf/avgdl stay corpus-wide (the filter constrains candidates, not the
+    statistics). The oracle replicates it by ranking the full-corpus BM25
+    scores restricted to user turns."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import (
+        bm25_topk_packed_batch,
+        filter_doc_ids,
+        resolve_docs,
+    )
+
+    cfg = _transcripts_cfg()
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx_filtered")
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    build_packed_index(corpus, cfg, path, chunk_docs=256)
+    pidx = load_packed_index(spark, path)
+    allowed = filter_doc_ids(pidx, corpus, "role = 'user'")
+    topk = bm25_topk_packed_batch(
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6, doc_filter=allowed
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", "doc_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1225,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": q_proximity_topk,
         "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
+        "filtered_search": q_filtered_search,
     }
 
 
@@ -2729,6 +2767,52 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
   FROM scored
+)
+SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # ---- attribute-filtered retrieval: the same transcripts BM25 contract
+    # but ranked over ONLY role='user' turns — docIDs / idf / avgdl stay
+    # corpus-wide (the filter constrains candidates, not statistics), so the
+    # allowed set joins scored, never tok/idx
+    vals_role = ",\n".join(
+        f"({_sql_quote(c)}, {int(t)}, {_sql_quote(r)}, {_sql_quote(x)})"
+        for c, t, r, x in zip(
+            tpdf["conv_id"], tpdf["turn_idx"], tpdf["role"], tpdf["text"]
+        )
+    )
+    sqls["filtered_search"] = f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES
+{vals_role}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, role, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+allowed AS (SELECT doc_id FROM docs WHERE role = 'user'),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored JOIN allowed USING (doc_id)
 )
 SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10

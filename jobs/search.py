@@ -39,7 +39,7 @@ RANKERS = (
 
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
-                 schema="lnc.ltc", fuzzy=False):
+                 schema="lnc.ltc", fuzzy=False, doc_filter=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     from pyspark.sql import functions as F
 
@@ -56,9 +56,14 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
     if fuzzy and ranker != "bm25":
         raise SystemExit("--fuzzy is wired to --ranker bm25 (OOV query-term "
                          "correction happens in the WAND batch entry point)")
+    if doc_filter is not None and ranker not in ("bm25", "boolean_and",
+                                                 "boolean_or"):
+        raise SystemExit("--filter is wired to the bm25/boolean rankers on "
+                         "the distributed path")
     if ranker == "bm25":
         topk = bm25_topk_packed_batch(
-            pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy)
+            pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
+            doc_filter=doc_filter)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -87,6 +92,9 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
     else:  # boolean_and / boolean_or — unranked set retrieval
         op = ranker.split("_")[1]
         hits = boolean_search_packed(pidx, queries, cfg, op=op)
+        if doc_filter is not None:
+            # no top-k in boolean retrieval -> a post semi-join is exact
+            hits = hits.join(doc_filter.select("doc_id"), "doc_id")
         topk = hits.select(
             "query_id", "doc_id",
             F.lit(1.0).alias("score"), F.lit(0).alias("rank"),
@@ -176,6 +184,16 @@ def main() -> None:
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
                          "snippet to every result row")
+    ap.add_argument("--filter", default=None,
+                    help="SQL predicate over --attrs columns (e.g. "
+                         "\"role = 'user'\"): attribute-filtered retrieval "
+                         "— the top-k is computed over only matching docs "
+                         "(bm25/boolean rankers)")
+    ap.add_argument("--attrs", default=None,
+                    help="parquet dir of the attribute table carrying the "
+                         "index's order_cols plus the --filter columns "
+                         "(typically the source corpus); required with "
+                         "--filter")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -207,9 +225,26 @@ def main() -> None:
     if args.fuzzy and args.ranker in ("phrase", "minspan"):
         raise SystemExit("--fuzzy is not wired to the positional phrase/"
                          "minspan rankers")
+    doc_filter = None
+    filter_ids = None
+    if args.filter:
+        if not args.attrs:
+            raise SystemExit("--filter needs --attrs (the table carrying "
+                             "the index's order_cols + filter columns)")
+        if args.ranker not in ("bm25", "boolean_and", "boolean_or"):
+            raise SystemExit("--filter is wired to the bm25/boolean rankers")
+        from searchengine_spark.query.wand import filter_doc_ids
+
+        doc_filter = filter_doc_ids(
+            pidx, spark.read.parquet(args.attrs), args.filter
+        )
     use_local = args.serve_mode == "local" or (
         args.serve_mode == "auto" and not args.query
     )
+    if use_local and doc_filter is not None:
+        # the local tier takes the resolved id set directly (one bounded
+        # job here, zero per query after that)
+        filter_ids = [int(r["doc_id"]) for r in doc_filter.collect()]
     local = None
     if use_local:
         from searchengine_spark.query.serve import LocalSearcher
@@ -233,14 +268,15 @@ def main() -> None:
             else:
                 per_q = [
                     sorted(local.search(q, k=args.n, ranker=args.ranker,
-                                        schema=args.schema, fuzzy=args.fuzzy),
+                                        schema=args.schema, fuzzy=args.fuzzy,
+                                        filter_docs=filter_ids),
                            key=lambda r: (r["rank"], r["doc_id"]))
                     for q in queries
                 ]
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,
-                                 fuzzy=args.fuzzy)
+                                 fuzzy=args.fuzzy, doc_filter=doc_filter)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -33,6 +33,7 @@ from collections import OrderedDict
 from decimal import ROUND_HALF_EVEN, Decimal
 from typing import Dict, List, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -41,7 +42,7 @@ from ..indexing.codec import decode_docs, decode_positions, decode_postings
 from ..indexing.packed import PackedIndex
 from ..tokenizer import TokenizerConfig, tokenize_text
 from .proximity import _query_ltc, _scorer, packed_prox_scorer, validate_schema
-from .wand import _wand_scorer
+from .wand import _member_mask, _wand_scorer
 
 AUTO_PRELOAD_POSTINGS = 200_000_000  # ~hundreds of MB varbyte — driver-safe
 DECODED_CACHE_POSTINGS = 100_000_000  # decoded-postings LRU cap (~2.4 GB)
@@ -295,6 +296,7 @@ class LocalSearcher:
         rerank_n: int | None = None,
         resolve: bool = True,
         fuzzy: bool = False,
+        filter_docs=None,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -303,9 +305,28 @@ class LocalSearcher:
         ``fuzzy=True`` rewrites OOV tokens to their best Levenshtein<=1
         dictionary neighbor before ranking (any ranker — the rewrite is
         token-level, multiplicity preserved for the tfidf/proximity
-        paths); zero Spark jobs in preload mode."""
+        paths); zero Spark jobs in preload mode.
+
+        ``filter_docs``: optional doc_id iterable/array — attribute-
+        filtered retrieval (the in-process twin of the distributed
+        ``doc_filter``): the top-k/result set is computed over only those
+        docs, applied before the heap (bm25) / on the decoded sets
+        (boolean). In-process the set rides the scorer closure directly —
+        fine for the serving tier, whose inputs are driver-resident by
+        construction; batch-scale filters belong on the distributed path.
+        tfidf/proximity rankers refuse (use the distributed batch APIs)."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        allowed = None
+        if filter_docs is not None:
+            allowed = np.unique(np.asarray(list(filter_docs)
+                                           if not isinstance(filter_docs, np.ndarray)
+                                           else filter_docs, dtype=np.int64))
+            if ranker in ("tfidf", "tfidf_optimized", "bm25_optimized"):
+                raise NotImplementedError(
+                    f"filter_docs is not wired into the {ranker!r} local "
+                    "scorer — use the distributed batch path's doc_filter"
+                )
         toks = tokenize_text(query, self.cfg)
         if fuzzy and toks:
             toks = self._fuzzy_rewrite(toks)
@@ -317,12 +338,14 @@ class LocalSearcher:
             return []
 
         if ranker.startswith("boolean_"):
-            return self._boolean(pdf, len(terms), ranker == "boolean_and", resolve)
+            return self._boolean(pdf, len(terms), ranker == "boolean_and",
+                                 resolve, allowed=allowed)
         if ranker == "bm25":
             if self._payload != "freq":
                 raise ValueError("BM25 needs a payload='freq' build")
             scorer = _wand_scorer(
-                k, self.params, round_dp, self._idf, decode=self._dec
+                k, self.params, round_dp, self._idf, decode=self._dec,
+                allowed=allowed,
             )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":
@@ -422,7 +445,7 @@ class LocalSearcher:
         )
         return scorer(joined)
 
-    def _boolean(self, pdf, n_terms, is_and, resolve):
+    def _boolean(self, pdf, n_terms, is_and, resolve, allowed=None):
         sets: Dict[str, set] = {}
         for row in pdf.itertuples(index=False):
             docs = (
@@ -432,6 +455,9 @@ class LocalSearcher:
             )
             if self._payload == "boolean" and self._mask is not None:
                 docs = self._mask.mask_docs(docs)
+            if allowed is not None:
+                docs = np.asarray(docs, dtype=np.int64)
+                docs = docs[_member_mask(docs, allowed)]
             sets.setdefault(row.term, set()).update(int(d) for d in docs)
         if not sets:
             return []

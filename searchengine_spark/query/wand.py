@@ -51,12 +51,24 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
+def _member_mask(doc_ids: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """Bool mask: which ``doc_ids`` (any order) are members of the SORTED
+    unique ``allowed`` array — the attribute-filter twin of
+    DeleteMask.keep_mask (indexing/deletes.py), inverted sense."""
+    if allowed.size == 0:
+        return np.zeros(len(doc_ids), dtype=bool)
+    idx = np.searchsorted(allowed, doc_ids)
+    idx[idx == allowed.size] = 0
+    return allowed[idx] == doc_ids
+
+
 def _wand_scorer(
     k_top: int,
     params: Bm25Params,
     round_dp: int | None = None,
     idf_map: dict | None = None,
     decode=None,
+    allowed: np.ndarray | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -67,7 +79,17 @@ def _wand_scorer(
     ``idf_map``: {term: stored 3dp idf} captured in the closure — the
     join-free serving path ships idf with the task instead of broadcast-
     joining the stats table (one Spark job per query batch instead of
-    three; the map is bounded by the query's term count)."""
+    three; the map is bounded by the query's term count).
+
+    ``allowed``: optional SORTED unique doc_id array — attribute-filtered
+    retrieval (Lucene filtered-search analog). Docs outside it are dropped
+    BEFORE the heap, so the result is the true filtered top-k (post-hoc
+    filtering of an unfiltered top-k would be wrong). Pruning stays safe:
+    a chunk's stored upper bound holds for any doc subset — the same
+    argument that keeps tombstone masking safe. The distributed path ships
+    the filter per-chunk instead (an ``allowed`` array column joined on
+    chunk, see bm25_topk_packed_batch) so the set never rides the closure;
+    the closure form serves the in-process LocalSearcher tier."""
     kk, bb = float(params.k), float(params.b)
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
     # ``decode``: optional (buf) -> (doc_ids, tfs, dl_norm) hook so a
@@ -100,6 +122,17 @@ def _wand_scorer(
                 docs_all.append(doc_ids)
             docs = np.concatenate(docs_all)
             contribs = np.concatenate(contrib_all)
+            allow = allowed
+            if allow is None and "allowed" in rows.columns:
+                # per-chunk filter column (joined on chunk): same array on
+                # every row of the chunk group — Spark's sort_array already
+                # sorted + deduped it
+                allow = np.asarray(rows["allowed"].iloc[0], dtype=np.int64)
+            if allow is not None:
+                m = _member_mask(docs, allow)
+                docs, contribs = docs[m], contribs[m]
+                if docs.size == 0:
+                    continue
             uniq, inv = np.unique(docs, return_inverse=True)
             scores = np.zeros(len(uniq))
             np.add.at(scores, inv, contribs)
@@ -136,6 +169,48 @@ def _wand_scorer(
     return score_query
 
 
+def filter_doc_ids(pidx: PackedIndex, attrs: DataFrame, predicate) -> DataFrame:
+    """Resolve an attribute predicate to a one-column (doc_id) DataFrame.
+
+    ``attrs`` is any table carrying the index's external-id columns
+    (``order_cols``, e.g. conv_id/turn_idx for transcripts) plus whatever
+    attribute columns the predicate needs (role, tool, ts, …). The
+    predicate (SQL string or Column) evaluates ON THE ATTRS SCAN — filters
+    push down to parquet/Iceberg — and the surviving keys join the docmap
+    to become doc_ids. Attributes are deliberately NOT duplicated into the
+    index (the source table stays the attribute store, the Iceberg way);
+    the join is one exchange on the external key, sized by the filter's
+    selectivity, and AQE broadcasts it when small."""
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    missing = [c for c in ext if c not in attrs.columns]
+    if missing:
+        raise ValueError(
+            f"attrs table lacks the index's external-id columns {missing} "
+            f"(order_cols={pidx.manifest['order_cols']})"
+        )
+    return (
+        attrs.filter(predicate)
+        .select(*ext)
+        .join(pidx.docmap, ext)
+        .select("doc_id")
+    )
+
+
+def _allowed_by_chunk(pidx: PackedIndex, allowed_docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (chunk, allowed sorted-array) — the filter set grouped
+    to the index's pruning blocks so it joins matched chunk rows instead of
+    riding a closure/broadcast (O(selected docs) stays distributed)."""
+    chunk_docs = int(pidx.manifest["chunk_docs"])
+    return (
+        allowed_docs.select(
+            (F.col("doc_id").cast("long") / F.lit(chunk_docs)).cast("long").alias("chunk"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .groupBy("chunk")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("allowed"))
+    )
+
+
 def bm25_topk_packed_batch(
     pidx: PackedIndex,
     queries: Sequence[str],
@@ -145,6 +220,7 @@ def bm25_topk_packed_batch(
     exhaustive: bool = False,
     round_dp: int | None = None,
     fuzzy: bool = False,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -162,7 +238,16 @@ def bm25_topk_packed_batch(
     ``params`` other than the build-time (k, b) require ``exhaustive=True``:
     the stored ``max_tfsat`` block bounds were computed at build params, so
     pruning with different params is unsafe (could silently drop true top-k
-    docs) — we refuse rather than mis-serve."""
+    docs) — we refuse rather than mis-serve.
+
+    ``doc_filter``: optional one-column (doc_id) DataFrame — attribute-
+    filtered retrieval (build it with ``filter_doc_ids``). The top-k is
+    computed over ONLY those docs (the filter applies before the heap —
+    post-filtering a top-k would silently return < k or wrong docs). The
+    filter set is grouped per chunk and JOINED to the matched chunk rows
+    (one extra exchange sized by selectivity; never collected or shipped
+    in a closure), and chunks with no allowed docs drop out of the scan
+    entirely. Pruning stays safe: chunk bounds hold for any doc subset."""
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -238,6 +323,9 @@ def bm25_topk_packed_batch(
     matched = pruned.withColumn(
         "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
     )
+    if doc_filter is not None:
+        # inner join: chunks whose allowed-set is empty vanish before decode
+        matched = matched.join(_allowed_by_chunk(pidx, doc_filter), "chunk")
     k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
     # tombstoned docs are masked at decode (indexing/deletes.py); chunk
     # upper bounds stay valid over any subset, so pruning is unchanged

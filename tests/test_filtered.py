@@ -1,0 +1,218 @@
+"""Attribute-filtered retrieval gates (Lucene filtered-search analog).
+
+The filter must apply BEFORE the top-k heap — post-filtering an unfiltered
+top-k silently returns < k rows (or the wrong docs) whenever the true
+filtered hits rank below the global cut. These gates pin:
+
+- filtered WAND == brute filtered re-rank of exhaustive full scores
+- pruning safety under a filter (chunk bounds hold for any doc subset)
+- all-docs filter == unfiltered; empty filter == empty results
+- composition with tombstone deletes
+- LocalSearcher filter_docs == distributed doc_filter (bm25 + boolean)
+- filter_doc_ids predicate resolution through the docmap
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.build import Bm25Params
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.serve import LocalSearcher
+from searchengine_spark.query.wand import (
+    bm25_topk_packed_batch,
+    boolean_search_packed,
+    filter_doc_ids,
+)
+from searchengine_spark.tokenizer import TokenizerConfig
+
+PARAMS = Bm25Params(k=1.2, b=0.75)
+QUERIES = ["greatest rock album", "house party songs", "guitar solo"]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=120, n_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("filtered") / "idx")
+    build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    return load_packed_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def user_docs(packed, corpus):
+    """doc_ids of role='user' turns, via the predicate resolver."""
+    return filter_doc_ids(packed, corpus, "role = 'user'")
+
+
+@pytest.fixture(scope="module")
+def user_ids(user_docs):
+    return {int(r["doc_id"]) for r in user_docs.collect()}
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+        )
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def _brute_filtered(packed, cfg, allowed_ids, k=10):
+    """Exhaustive full scores -> keep allowed -> re-rank in pandas."""
+    n = int(packed.manifest["n_docs"])
+    full = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=n, exhaustive=True, round_dp=6
+    ).toPandas()
+    full = full[full["doc_id"].isin(allowed_ids)]
+    rows = []
+    for qid, g in full.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        for i, r in enumerate(g.itertuples(index=False), start=1):
+            rows.append((qid, int(r.doc_id), round(float(r.score), 6), i))
+    return {
+        q: sorted((rk, d, s) for (qq, d, s, rk) in rows if qq == q)
+        for q in {r[0] for r in rows}
+    }
+
+
+def test_filtered_equals_brute(packed, cfg, user_docs, user_ids):
+    got = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs
+        )
+    )
+    want = _brute_filtered(packed, cfg, user_ids)
+    assert got == want
+    # the filter actually bites: some unfiltered top-10 doc is not a user turn
+    unf = _topk_map(bm25_topk_packed_batch(packed, QUERIES, cfg, k=10, round_dp=6))
+    assert any(
+        d not in user_ids for v in unf.values() for (_, d, _) in v
+    ), "fixture too weak: unfiltered top-10 is all user turns"
+    for v in got.values():
+        assert all(d in user_ids for (_, d, _) in v)
+
+
+def test_pruning_safe_under_filter(packed, cfg, user_docs):
+    pruned = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs
+        )
+    )
+    exh = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs,
+            exhaustive=True,
+        )
+    )
+    assert pruned == exh
+
+
+def test_all_docs_filter_equals_unfiltered(packed, cfg):
+    everything = packed.docmap.select("doc_id")
+    got = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=everything
+        )
+    )
+    want = _topk_map(bm25_topk_packed_batch(packed, QUERIES, cfg, k=10, round_dp=6))
+    assert got == want
+
+
+def test_empty_filter_empty_results(spark, packed, cfg):
+    empty = spark.createDataFrame([], "doc_id long")
+    out = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=empty
+    )
+    assert out.count() == 0
+
+
+def test_filter_composes_with_deletes(spark, corpus, cfg, user_docs, tmp_path):
+    from searchengine_spark.indexing.deletes import delete_docs
+
+    path = str(tmp_path / "idx_del")
+    build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    pidx0 = load_packed_index(spark, path)
+    base = _topk_map(
+        bm25_topk_packed_batch(
+            pidx0, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs
+        )
+    )
+    victims = sorted({d for v in base.values() for (_, d, _) in v})[:3]
+    delete_docs(spark, path, doc_ids=victims)
+    pidx = load_packed_index(spark, path)
+    got = _topk_map(
+        bm25_topk_packed_batch(
+            pidx, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs
+        )
+    )
+    for v in got.values():
+        assert all(d not in victims for (_, d, _) in v)
+
+
+def test_local_searcher_filter_matches_packed(packed, cfg, user_docs, user_ids):
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    dist = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs
+        )
+    )
+    for qid, q in enumerate(QUERIES):
+        rows = ls.search(q, k=10, ranker="bm25", round_dp=6,
+                         filter_docs=sorted(user_ids), resolve=False)
+        got = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows
+        )
+        assert got == dist.get(qid, []), q
+
+
+def test_local_boolean_filter(packed, cfg, user_ids):
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    q = "guitar solo"
+    unfiltered = {r["doc_id"] for r in
+                  ls.search(q, ranker="boolean_and", resolve=False)}
+    filtered = {r["doc_id"] for r in
+                ls.search(q, ranker="boolean_and", resolve=False,
+                          filter_docs=sorted(user_ids))}
+    assert filtered == (unfiltered & user_ids)
+    assert filtered != unfiltered, "fixture too weak: AND set all user turns"
+
+
+def test_boolean_packed_composes_with_filter_semijoin(packed, cfg, user_docs):
+    # boolean retrieval has no top-k, so a post semi-join IS correct there;
+    # pin that the documented composition gives the same set as the local
+    # filtered path
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    q = "guitar solo"
+    dist = boolean_search_packed(packed, [q], cfg, op="and").join(
+        user_docs, "doc_id"
+    )
+    got = {int(r["doc_id"]) for r in dist.collect()}
+    want = {r["doc_id"] for r in
+            ls.search(q, ranker="boolean_and", resolve=False,
+                      filter_docs=[int(r["doc_id"]) for r in user_docs.collect()])}
+    assert got == want
+
+
+def test_filter_doc_ids_validates_columns(packed, corpus):
+    with pytest.raises(ValueError, match="external-id columns"):
+        filter_doc_ids(packed, corpus.select("role", "text"), "role = 'user'")
+
+
+def test_local_refuses_unwired_rankers(packed, cfg):
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    with pytest.raises(NotImplementedError, match="filter_docs"):
+        ls.search("guitar solo", ranker="tfidf", filter_docs=[1, 2, 3])
