@@ -903,6 +903,75 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRF_R, PRF_M, PRF_BETA = 3, 3, 0.5  # feedback depth / expansion width / weight
+MLT_SOURCES = [0, 7, 42]  # more-like-this source docs (ext ids == doc ids)
+MLT_M = 5
+
+
+def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (query/feedback.py): rounded-rank
+    top-r feedback docs -> top-m expansion terms by Σ(1+ln tf)·idf (6dp,
+    term-asc ties) -> re-rank with original terms at weight 1 and
+    expansion terms at beta=0.5, riding the weighted-term WAND path. The
+    oracle replicates both passes and the selection in SQL."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    # same build config as q_packed_wand_topk -> share its index dir
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = prf_bm25_topk_packed_batch(
+        pidx, qs, CFG, k=10, r=PRF_R, m=PRF_M, beta=PRF_BETA, round_dp=6
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis analog (query/feedback.py): a document's top-m
+    terms by (1+ln tf)·idf become an unweighted BM25 query; the source doc
+    is excluded and ranks renumbered. query_id i == MLT_SOURCES[i]."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.feedback import more_like_this_packed
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    pidx = load_packed_index(spark, path)
+    topk = more_like_this_packed(pidx, MLT_SOURCES, k=10, m=MLT_M, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream/... vocab
 
 
@@ -1263,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
         "filtered_search": q_filtered_search,
+        "prf_search": q_prf_search,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -2816,5 +2887,91 @@ ranked AS (
 )
 SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # ---- Rocchio PRF: both retrieval passes + the expansion selection,
+    # replicated per query. Feedback cut and expansion ordering use the
+    # same rounded-6dp / asc-tie-break policy as every ranking entry.
+    prf_chains, prf_finals = [], []
+    for qid in sorted(QUERY_STRINGS):
+        terms = _sql_term_list(_qterms(qid))
+        prf_chains.append(f"""
+q{qid} AS (SELECT unnest({terms}) AS term),
+scored{qid} AS (
+  SELECT idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q{qid} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+),
+fb{qid} AS (
+  SELECT doc_id FROM scored{qid}
+  ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {PRF_R}
+),
+mass{qid} AS (
+  SELECT idx.term, sum(1.0 + ln(idx.tf::DOUBLE)) AS tf_mass
+  FROM idx JOIN fb{qid} USING (doc_id)
+  GROUP BY idx.term
+),
+exp{qid} AS (
+  SELECT m.term FROM mass{qid} m JOIN term_stats USING (term)
+  WHERE m.term NOT IN (SELECT term FROM q{qid})
+  ORDER BY round(m.tf_mass * term_stats.idf, 6) DESC, m.term ASC
+  LIMIT {PRF_M}
+),
+wq{qid} AS (
+  SELECT term, 1.0 AS w FROM q{qid}
+  UNION ALL SELECT term, {PRF_BETA} AS w FROM exp{qid}
+),
+final{qid} AS (
+  SELECT {qid} AS query_id, idx.doc_id, sum(wq{qid}.w * {_bm25_contrib_sql()}) AS s
+  FROM idx JOIN wq{qid} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+)""")
+        prf_finals.append(f"SELECT * FROM final{qid}")
+    sqls["prf_search"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(prf_chains)},
+allf AS ({' UNION ALL '.join(prf_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- more-like-this: source doc's top-m (1+ln tf)·idf terms as an
+    # unweighted query, source excluded before ranking
+    mlt_chains, mlt_finals = [], []
+    for i, sid in enumerate(MLT_SOURCES):
+        mlt_chains.append(f"""
+src{i} AS (
+  SELECT idx.term FROM idx JOIN term_stats USING (term)
+  WHERE idx.doc_id = {sid}
+  ORDER BY round((1.0 + ln(idx.tf::DOUBLE)) * term_stats.idf, 6) DESC,
+           idx.term ASC
+  LIMIT {MLT_M}
+),
+mfinal{i} AS (
+  SELECT {i} AS query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN src{i} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  WHERE idx.doc_id <> {sid}
+  GROUP BY idx.doc_id
+)""")
+        mlt_finals.append(f"SELECT * FROM mfinal{i}")
+    sqls["more_like_this"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(mlt_chains)},
+allf AS ({' UNION ALL '.join(mlt_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
 """
     return sqls

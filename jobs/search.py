@@ -39,7 +39,7 @@ RANKERS = (
 
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
-                 schema="lnc.ltc", fuzzy=False, doc_filter=None):
+                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     from pyspark.sql import functions as F
 
@@ -60,7 +60,16 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                                                  "boolean_or"):
         raise SystemExit("--filter is wired to the bm25/boolean rankers on "
                          "the distributed path")
-    if ranker == "bm25":
+    if ranker == "bm25" and prf:
+        from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
+
+        if fuzzy or doc_filter is not None:
+            raise SystemExit("--prf does not combine with --fuzzy/--filter")
+        r, m, beta = prf
+        topk = prf_bm25_topk_packed_batch(
+            pidx, queries, cfg, k=n, r=r, m=m, beta=beta,
+            exhaustive=exhaustive)
+    elif ranker == "bm25":
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter)
@@ -184,6 +193,16 @@ def main() -> None:
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
                          "snippet to every result row")
+    ap.add_argument("--mlt", default=None, metavar="DOC_IDS",
+                    help="comma-separated source doc ids: more-like-this "
+                         "retrieval (the doc's top terms become the "
+                         "query; --query is ignored)")
+    ap.add_argument("--prf", default=None, metavar="R,M,BETA",
+                    help="Rocchio pseudo-relevance feedback on the bm25 "
+                         "ranker: top-R feedback docs contribute the M "
+                         "highest-weight expansion terms at weight BETA "
+                         "(e.g. '5,5,0.5'); runs on the distributed tier "
+                         "(two retrieval passes)")
     ap.add_argument("--filter", default=None,
                     help="SQL predicate over --attrs columns (e.g. "
                          "\"role = 'user'\"): attribute-filtered retrieval "
@@ -225,6 +244,34 @@ def main() -> None:
     if args.fuzzy and args.ranker in ("phrase", "minspan"):
         raise SystemExit("--fuzzy is not wired to the positional phrase/"
                          "minspan rankers")
+    if args.mlt:
+        from searchengine_spark.query.feedback import more_like_this_packed
+        from searchengine_spark.query.wand import resolve_docs
+
+        ids = [int(x) for x in args.mlt.split(",")]
+        t1 = time.perf_counter()
+        rows = resolve_docs(
+            pidx, more_like_this_packed(pidx, ids, k=args.n)
+        ).collect()
+        by_src: dict[int, list] = {}
+        for r in rows:
+            by_src.setdefault(r["query_id"], []).append(r.asDict())
+        for i, d in enumerate(ids):
+            res = sorted(by_src.get(i, []), key=lambda r: r["rank"])
+            print(json.dumps({"more_like": d, "results": res}, default=str))
+        print(f"more-like-this in {(time.perf_counter() - t1) * 1000:.1f}ms "
+              f"({len(ids)} sources)", file=sys.stderr)
+        return
+
+    prf = None
+    if args.prf:
+        if args.ranker != "bm25":
+            raise SystemExit("--prf is wired to --ranker bm25")
+        try:
+            r_s, m_s, beta_s = args.prf.split(",")
+            prf = (int(r_s), int(m_s), float(beta_s))
+        except ValueError:
+            raise SystemExit("--prf expects 'R,M,BETA' (e.g. '5,5,0.5')")
     doc_filter = None
     filter_ids = None
     if args.filter:
@@ -238,8 +285,12 @@ def main() -> None:
         doc_filter = filter_doc_ids(
             pidx, spark.read.parquet(args.attrs), args.filter
         )
-    use_local = args.serve_mode == "local" or (
-        args.serve_mode == "auto" and not args.query
+    if prf and args.serve_mode == "local":
+        raise SystemExit("--prf runs on the distributed tier "
+                         "(serve-mode auto/spark)")
+    use_local = not prf and (
+        args.serve_mode == "local"
+        or (args.serve_mode == "auto" and not args.query)
     )
     if use_local and doc_filter is not None:
         # the local tier takes the resolved id set directly (one bounded
@@ -276,7 +327,8 @@ def main() -> None:
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,
-                                 fuzzy=args.fuzzy, doc_filter=doc_filter)
+                                 fuzzy=args.fuzzy, doc_filter=doc_filter,
+                                 prf=prf)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -616,8 +616,20 @@ class PackedIndex:
             else None
         )
         self.spark = spark
+        self._docs_paths = docs_paths
         self._delete_mask_loaded = False
         self._delete_mask = None
+
+    def doc_tokens(self) -> DataFrame:
+        """(doc_id, tokens) pruned view over the docs stage — the stored
+        token streams (tokenization ran exactly once, at build; the index
+        stage and this view both read them instead of re-tokenizing).
+        Feeds PRF expansion / more-like-this (query/feedback.py), which
+        need document term vectors for a BOUNDED doc set — callers
+        semi-join it with their doc ids so the scan stays pruned."""
+        return self.spark.read.parquet(*self._docs_paths).select(
+            DOC_ID, "tokens"
+        )
 
     def delete_mask(self):
         """Committed tombstone set as a :class:`~.deletes.DeleteMask`

@@ -69,6 +69,7 @@ def _wand_scorer(
     idf_map: dict | None = None,
     decode=None,
     allowed: np.ndarray | None = None,
+    qweights: dict | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -101,6 +102,16 @@ def _wand_scorer(
         qid = int(pdf["query_id"].iloc[0])
         if idf_map is not None:
             pdf = pdf.assign(idf=pdf["term"].map(idf_map))
+        if qweights:
+            # per-(query, term) multiplicative weight (weighted-query /
+            # PRF-expanded retrieval) folded into idf BEFORE the chunk
+            # bounds are computed, so pruning stays exact for the
+            # weighted scores too
+            wmap = qweights.get(qid)
+            if wmap:
+                pdf = pdf.assign(
+                    idf=pdf["idf"] * pdf["term"].map(wmap).fillna(1.0)
+                )
         # per-chunk upper bound Σ_t idf_t * max_tfsat_t(chunk)
         ub = (
             (pdf["idf"] * pdf["max_tfsat"])
@@ -221,6 +232,8 @@ def bm25_topk_packed_batch(
     round_dp: int | None = None,
     fuzzy: bool = False,
     doc_filter: DataFrame | None = None,
+    query_terms: Sequence[Sequence[str]] | None = None,
+    term_weights: dict | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -247,7 +260,14 @@ def bm25_topk_packed_batch(
     filter set is grouped per chunk and JOINED to the matched chunk rows
     (one extra exchange sized by selectivity; never collected or shipped
     in a closure), and chunks with no allowed docs drop out of the scan
-    entirely. Pruning stays safe: chunk bounds hold for any doc subset."""
+    entirely. Pruning stays safe: chunk bounds hold for any doc subset.
+
+    ``query_terms``: pre-tokenized unique term lists, one per query —
+    bypasses tokenization (``queries`` is then only used for count/ids).
+    ``term_weights``: {query_id: {term: w}} multiplicative weight on a
+    term's score contribution (default 1.0) — the weighted-query API that
+    PRF-expanded retrieval (query/feedback.py) rides; weights fold into
+    idf before the chunk bounds, so block-max pruning stays exact."""
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -264,10 +284,15 @@ def bm25_topk_packed_batch(
         )
     spark = pidx.spark
     rows = []
-    for qid, q in enumerate(queries):
-        # unique terms: query-term multiplicity ignored (bm25.py:44-53 quirk)
-        for t in dict.fromkeys(tokenize_text(q, cfg)):
-            rows.append((qid, t))
+    if query_terms is not None:
+        for qid, terms in enumerate(query_terms):
+            for t in dict.fromkeys(terms):
+                rows.append((qid, t))
+    else:
+        for qid, q in enumerate(queries):
+            # unique terms: query-term multiplicity ignored (bm25.py:44-53 quirk)
+            for t in dict.fromkeys(tokenize_text(q, cfg)):
+                rows.append((qid, t))
     if not rows:
         return spark.createDataFrame([], _TOPK_SCHEMA)
 
@@ -283,6 +308,11 @@ def bm25_topk_packed_batch(
         )
         return {r["term"]: float(r["idf"]) for r in stats.collect()}
 
+    if fuzzy and term_weights:
+        raise ValueError(
+            "fuzzy OOV rewriting would orphan term_weights keys — "
+            "correct the terms first, then pass weights on the final terms"
+        )
     all_terms = sorted({t for _, t in rows})
     idf_map = _idf_for(all_terms)
 
@@ -331,7 +361,8 @@ def bm25_topk_packed_batch(
     # upper bounds stay valid over any subset, so pruning is unchanged
     mask = pidx.delete_mask()
     dec = mask.wrap_decoders()[0] if mask is not None else None
-    scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec)
+    scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
+                          qweights=term_weights)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k)
