@@ -972,6 +972,29 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_PREFIX = "st"
+
+
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary auto-complete (wand.suggest_terms): terms with the
+    prefix ranked by live df desc / term asc, read from the term_stats
+    sidecar only (no postings)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import suggest_terms
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    return suggest_terms(load_packed_index(spark, path), SUGGEST_PREFIX, k=10)
+
+
 PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream/... vocab
 
 
@@ -1334,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
+        "suggest_terms": q_suggest_terms,
     }
 
 
@@ -2887,6 +2911,13 @@ ranked AS (
 )
 SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    sqls["suggest_terms"] = f"""
+WITH {_INDEX_CTES}
+SELECT term, df::BIGINT AS df FROM term_stats
+WHERE term LIKE {_sql_quote(SUGGEST_PREFIX + '%')} AND df > 0
+ORDER BY df DESC, term ASC LIMIT 10
 """
 
     # ---- Rocchio PRF: both retrieval passes + the expansion selection,

@@ -193,6 +193,9 @@ def main() -> None:
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
                          "snippet to every result row")
+    ap.add_argument("--suggest", default=None, metavar="PREFIX",
+                    help="dictionary auto-complete: print terms with the "
+                         "prefix ranked by live df and exit")
     ap.add_argument("--mlt", default=None, metavar="DOC_IDS",
                     help="comma-separated source doc ids: more-like-this "
                          "retrieval (the doc's top terms become the "
@@ -244,6 +247,17 @@ def main() -> None:
     if args.fuzzy and args.ranker in ("phrase", "minspan"):
         raise SystemExit("--fuzzy is not wired to the positional phrase/"
                          "minspan rankers")
+    if args.suggest:
+        from searchengine_spark.query.wand import suggest_terms
+
+        rows = suggest_terms(pidx, args.suggest, k=args.n).collect()
+        print(json.dumps({
+            "prefix": args.suggest,
+            "suggestions": [{"term": r["term"], "df": int(r["df"])}
+                            for r in rows],
+        }))
+        return
+
     if args.mlt:
         from searchengine_spark.query.feedback import more_like_this_packed
         from searchengine_spark.query.wand import resolve_docs

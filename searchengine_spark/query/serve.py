@@ -116,6 +116,7 @@ class LocalSearcher:
 
         if preload == "auto":
             preload = self.manifest.get("n_postings", 0) <= AUTO_PRELOAD_POSTINGS
+        self._preloaded = bool(preload)
         if preload:
             self._preload()
 
@@ -364,6 +365,27 @@ class LocalSearcher:
             out = self._tfidf(pdf, toks, k, ranker == "tfidf_optimized",
                               schema, round_dp, rerank_n)
         return self._resolve(out, resolve)
+
+    def suggest(self, prefix: str, k: int = 10) -> List[dict]:
+        """Dictionary auto-complete: terms with ``prefix`` ranked by live
+        df (desc, term-asc ties). The preload tier answers from the
+        in-memory dictionary (zero Spark jobs — the suggest-as-you-type
+        path); the lazy tier delegates to the pruned term_stats scan."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        if self._preloaded:
+            hits = sorted(
+                ((t, d) for t, d in self._df.items()
+                 if d > 0 and t.startswith(prefix)),
+                key=lambda td: (-td[1], td[0]),
+            )[:k]
+            return [{"term": t, "df": d} for t, d in hits]
+        from .wand import suggest_terms
+
+        return [
+            {"term": r["term"], "df": int(r["df"])}
+            for r in suggest_terms(self.pidx, prefix, k).collect()
+        ]
 
     def _tfidf(self, pdf, toks, k, boost, schema, round_dp, rerank_n):
         """Local twin of proximity._tfidf_packed: decode -> stored-3dp

@@ -120,6 +120,7 @@ def _wand_scorer(
             .sort_values(ascending=False)
         )
         by_chunk = dict(tuple(pdf.groupby("chunk")))
+        has_allowed_col = "allowed" in pdf.columns
         heap: list = []  # min-heap of (score, -doc_id) — worst kept on top
         for chunk, bound in ub.items():
             if len(heap) >= k_top and bound < heap[0][0] - eps:
@@ -134,7 +135,7 @@ def _wand_scorer(
             docs = np.concatenate(docs_all)
             contribs = np.concatenate(contrib_all)
             allow = allowed
-            if allow is None and "allowed" in rows.columns:
+            if allow is None and has_allowed_col:
                 # per-chunk filter column (joined on chunk): same array on
                 # every row of the chunk group — Spark's sort_array already
                 # sorted + deduped it
@@ -494,6 +495,25 @@ def prefix_search_packed(pidx: PackedIndex, prefix: str) -> DataFrame:
     # (term, doc) pairs are unique across chunk rows -> count(*) == distinct
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("total_tf")
+    )
+
+
+def suggest_terms(pidx: PackedIndex, prefix: str, k: int = 10) -> DataFrame:
+    """Dictionary auto-complete -> (term, df): terms with the prefix
+    ranked by live collection df (desc, term-asc ties) — the classic
+    suggest-as-you-type over the sorted dictionary (MRS Ch. 3.1 prefix
+    lookup). Touches ONLY the tiny term_stats sidecar (pushed
+    StringStartsWith scan; no postings are read), and df is the
+    delete-exact live count (indexing/deletes.py maintains it), so
+    suggestions never surface fully-tombstoned terms."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    return (
+        pidx.term_stats.filter(F.col("term").startswith(prefix))
+        .filter(F.col("df") > 0)
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
     )
 
 

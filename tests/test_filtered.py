@@ -216,3 +216,30 @@ def test_local_refuses_unwired_rankers(packed, cfg):
     ls = LocalSearcher(packed, preload=True, cfg=cfg)
     with pytest.raises(NotImplementedError, match="filter_docs"):
         ls.search("guitar solo", ranker="tfidf", filter_docs=[1, 2, 3])
+
+
+def test_suggest_terms_matches_brute(packed):
+    from searchengine_spark.query.wand import suggest_terms
+
+    stats = {r["term"]: int(r["df"]) for r in
+             packed.term_stats.select("term", "df").collect()}
+    want = sorted(
+        ((t, d) for t, d in stats.items() if t.startswith("gu") and d > 0),
+        key=lambda td: (-td[1], td[0]),
+    )[:5]
+    got = [(r["term"], int(r["df"]))
+           for r in suggest_terms(packed, "gu", k=5).collect()]
+    assert got == want and got, "prefix 'gu' should hit guitar/... vocab"
+    with pytest.raises(ValueError):
+        suggest_terms(packed, "")
+
+
+def test_local_suggest_matches_distributed(packed, cfg):
+    from searchengine_spark.query.wand import suggest_terms
+
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    lazy = LocalSearcher(packed, preload=False, cfg=cfg)
+    want = [{"term": r["term"], "df": int(r["df"])}
+            for r in suggest_terms(packed, "s", k=8).collect()]
+    assert ls.suggest("s", k=8) == want
+    assert lazy.suggest("s", k=8) == want
