@@ -972,6 +972,23 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLOC_MIN_COUNT, COLLOC_K = 5, 50
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations (textops/collocations.py, Church & Hanks 1990):
+    adjacent-pair counts + PMI = ln(c·N / (c1·c2)) over the same
+    tokenization as the index, min-count floored, (count desc, w1, w2)
+    deterministic ordering."""
+    from searchengine_spark.textops.collocations import bigram_collocations
+    from searchengine_spark.tokenizer import tokens_column
+
+    toks = _documents(spark, sf_dir).select(
+        tokens_column(F.col("text"), CFG).alias("tokens")
+    )
+    return bigram_collocations(toks, min_count=COLLOC_MIN_COUNT, k=COLLOC_K)
+
+
 SUGGEST_PREFIX = "st"
 
 
@@ -1358,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
+        "collocations": q_collocations,
     }
 
 
@@ -2911,6 +2929,29 @@ ranked AS (
 )
 SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    sqls["collocations"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+uni AS (SELECT unnest(tokens) AS w FROM tok),
+ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+n AS (SELECT count(*)::BIGINT AS n FROM uni),
+pairs AS (
+  SELECT tokens[g.i] AS w1, tokens[g.i + 1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1)) AS i) g
+),
+big AS (
+  SELECT w1, w2, count(*)::BIGINT AS pair_count
+  FROM pairs GROUP BY w1, w2
+  HAVING count(*) >= {COLLOC_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.pair_count,
+       round(ln((b.pair_count::DOUBLE * (SELECT n FROM n)::DOUBLE)
+                / (c1.c::DOUBLE * c2.c::DOUBLE)), 6) AS pmi
+FROM big b JOIN ucnt c1 ON b.w1 = c1.w JOIN ucnt c2 ON b.w2 = c2.w
+ORDER BY b.pair_count DESC, b.w1 ASC, b.w2 ASC LIMIT {COLLOC_K}
 """
 
     sqls["suggest_terms"] = f"""
