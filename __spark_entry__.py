@@ -972,6 +972,38 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) ranked retrieval: BM25 top-10 over only
+    the docs containing EVERY query term (the reference's AND mode is
+    unranked; this is the ranked version, wand.py conjunctive=True —
+    per-chunk coverage counts inside the WAND scorer, pruning unchanged)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(
+        pidx, qs, CFG, k=10, round_dp=6, conjunctive=True
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 COLLOC_MIN_COUNT, COLLOC_K = 5, 50
 
 
@@ -1376,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
         "collocations": q_collocations,
+        "bm25_and_topk": q_bm25_and_topk,
     }
 
 
@@ -2929,6 +2962,27 @@ ranked AS (
 )
 SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # conjunctive (AND-semantics) ranked retrieval: only docs matched by
+    # every query term score; matched-term count rides the scored agg
+    sqls["bm25_and_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+qn AS (SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY query_id),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s,
+         count(*)::BIGINT AS matched
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s, 6) DESC, s.doc_id ASC) AS rank
+  FROM scored s JOIN qn USING (query_id) WHERE s.matched = qn.n
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     sqls["collocations"] = f"""

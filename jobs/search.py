@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RANKERS = (
-    "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
+    "bm25", "bm25_and", "bm25_optimized", "tfidf", "tfidf_optimized",
     "boolean_and", "boolean_or", "phrase", "minspan",
 )
 
@@ -56,8 +56,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
     if fuzzy and ranker != "bm25":
         raise SystemExit("--fuzzy is wired to --ranker bm25 (OOV query-term "
                          "correction happens in the WAND batch entry point)")
-    if doc_filter is not None and ranker not in ("bm25", "boolean_and",
-                                                 "boolean_or"):
+    if doc_filter is not None and ranker not in ("bm25", "bm25_and",
+                                                 "boolean_and", "boolean_or"):
         raise SystemExit("--filter is wired to the bm25/boolean rankers on "
                          "the distributed path")
     if ranker == "bm25" and prf:
@@ -69,10 +69,10 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
         topk = prf_bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, r=r, m=m, beta=beta,
             exhaustive=exhaustive)
-    elif ranker == "bm25":
+    elif ranker in ("bm25", "bm25_and"):
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
-            doc_filter=doc_filter)
+            doc_filter=doc_filter, conjunctive=ranker == "bm25_and")
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -292,8 +292,9 @@ def main() -> None:
         if not args.attrs:
             raise SystemExit("--filter needs --attrs (the table carrying "
                              "the index's order_cols + filter columns)")
-        if args.ranker not in ("bm25", "boolean_and", "boolean_or"):
-            raise SystemExit("--filter is wired to the bm25/boolean rankers")
+        if args.ranker not in ("bm25", "bm25_and", "boolean_and",
+                               "boolean_or"):
+            raise SystemExit("--filter is wired to the bm25*/boolean rankers")
         from searchengine_spark.query.wand import filter_doc_ids
 
         doc_filter = filter_doc_ids(

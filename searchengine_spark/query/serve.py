@@ -48,7 +48,7 @@ AUTO_PRELOAD_POSTINGS = 200_000_000  # ~hundreds of MB varbyte — driver-safe
 DECODED_CACHE_POSTINGS = 100_000_000  # decoded-postings LRU cap (~2.4 GB)
 
 RANKERS = (
-    "bm25", "bm25_optimized", "tfidf", "tfidf_optimized",
+    "bm25", "bm25_and", "bm25_optimized", "tfidf", "tfidf_optimized",
     "boolean_and", "boolean_or",
 )
 
@@ -341,12 +341,19 @@ class LocalSearcher:
         if ranker.startswith("boolean_"):
             return self._boolean(pdf, len(terms), ranker == "boolean_and",
                                  resolve, allowed=allowed)
-        if ranker == "bm25":
+        if ranker in ("bm25", "bm25_and"):
             if self._payload != "freq":
                 raise ValueError("BM25 needs a payload='freq' build")
+            require_all = None
+            if ranker == "bm25_and":
+                # conjunctive contract: any OOV term -> empty AND set
+                # (_matched already ensured the term slices/idf are loaded)
+                if any(t not in self._idf for t in terms):
+                    return []
+                require_all = {0: len(terms)}
             scorer = _wand_scorer(
                 k, self.params, round_dp, self._idf, decode=self._dec,
-                allowed=allowed,
+                allowed=allowed, require_all=require_all,
             )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":

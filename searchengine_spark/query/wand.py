@@ -70,6 +70,7 @@ def _wand_scorer(
     decode=None,
     allowed: np.ndarray | None = None,
     qweights: dict | None = None,
+    require_all: dict | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -90,7 +91,14 @@ def _wand_scorer(
     argument that keeps tombstone masking safe. The distributed path ships
     the filter per-chunk instead (an ``allowed`` array column joined on
     chunk, see bm25_topk_packed_batch) so the set never rides the closure;
-    the closure form serves the in-process LocalSearcher tier."""
+    the closure form serves the in-process LocalSearcher tier.
+
+    ``require_all``: {query_id: n} — conjunctive (AND) ranked retrieval:
+    only docs matched by exactly ``n`` of the query's terms score (every
+    doc appears at most once per term per chunk, and a doc's whole score
+    lives in one chunk, so the per-chunk coverage count IS the global
+    one). Chunk bounds still upper-bound the conjunctive subset's scores,
+    so pruning stays safe (looser, never wrong)."""
     kk, bb = float(params.k), float(params.b)
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
     # ``decode``: optional (buf) -> (doc_ids, tfs, dl_norm) hook so a
@@ -145,9 +153,18 @@ def _wand_scorer(
                 docs, contribs = docs[m], contribs[m]
                 if docs.size == 0:
                     continue
-            uniq, inv = np.unique(docs, return_inverse=True)
+            uniq, inv, cov = np.unique(
+                docs, return_inverse=True, return_counts=True
+            )
             scores = np.zeros(len(uniq))
             np.add.at(scores, inv, contribs)
+            if require_all is not None:
+                need = require_all.get(qid)
+                if need is not None:
+                    hit = cov == need
+                    if not hit.any():
+                        continue
+                    uniq, scores = uniq[hit], scores[hit]
             if round_dp is not None:
                 scores = np.round(scores, round_dp)
             # vectorized candidate cut: only the chunk's top-k by
@@ -235,6 +252,7 @@ def bm25_topk_packed_batch(
     doc_filter: DataFrame | None = None,
     query_terms: Sequence[Sequence[str]] | None = None,
     term_weights: dict | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -268,7 +286,12 @@ def bm25_topk_packed_batch(
     ``term_weights``: {query_id: {term: w}} multiplicative weight on a
     term's score contribution (default 1.0) — the weighted-query API that
     PRF-expanded retrieval (query/feedback.py) rides; weights fold into
-    idf before the chunk bounds, so block-max pruning stays exact."""
+    idf before the chunk bounds, so block-max pruning stays exact.
+
+    ``conjunctive=True``: ranked AND retrieval — only docs containing
+    EVERY query term score (BM25 ranking over the boolean-AND set; the
+    reference's AND mode is unranked). A query with any out-of-vocabulary
+    term returns nothing, the AND contract."""
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -339,6 +362,22 @@ def bm25_topk_packed_batch(
     # In(term, …) predicate, so the term-sorted parquet layout prunes row
     # groups via min/max stats — the reference's sorted-file binary search
     # (index.py:93-131) done by the scan itself
+    require_all = None
+    if conjunctive:
+        # per-query unique-term requirement; a query with an OOV term can
+        # match nothing -> drop its rows (and so its map entries) entirely
+        n_req: dict[int, int] = {}
+        dead: set[int] = set()
+        for qid, t in rows:
+            n_req[qid] = n_req.get(qid, 0) + 1
+            if t not in idf_map:
+                dead.add(qid)
+        rows = [(qid, t) for qid, t in rows if qid not in dead]
+        if not rows:
+            return spark.createDataFrame([], _TOPK_SCHEMA)
+        require_all = {q: n for q, n in n_req.items() if q not in dead}
+        all_terms = sorted({t for _, t in rows})
+
     pruned = pidx.index.filter(F.col("term").isin(all_terms))
     qids_by_term: dict[str, list[int]] = {}
     for qid, t in rows:
@@ -363,7 +402,7 @@ def bm25_topk_packed_batch(
     mask = pidx.delete_mask()
     dec = mask.wrap_decoders()[0] if mask is not None else None
     scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
-                          qweights=term_weights)
+                          qweights=term_weights, require_all=require_all)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k)

@@ -243,3 +243,73 @@ def test_local_suggest_matches_distributed(packed, cfg):
             for r in suggest_terms(packed, "s", k=8).collect()]
     assert ls.suggest("s", k=8) == want
     assert lazy.suggest("s", k=8) == want
+
+
+# ---------------------------------------------------------- conjunctive
+
+def test_conjunctive_equals_brute(packed, cfg):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    n = int(packed.manifest["n_docs"])
+    and_sets: dict[int, set] = {}
+    for r in boolean_search_packed(packed, QUERIES, cfg, op="and").collect():
+        and_sets.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    full = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=n, exhaustive=True, round_dp=6
+    ).toPandas()
+    want: dict[int, list] = {}
+    for qid in and_sets:
+        g = full[(full["query_id"] == qid)
+                 & full["doc_id"].isin(and_sets[qid])]
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+        want[qid] = sorted(
+            (i + 1, int(r.doc_id), round(float(r.score), 6))
+            for i, r in enumerate(g.itertuples(index=False))
+        )
+    got = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, conjunctive=True
+        )
+    )
+    assert got == want
+    assert any(want.values()), "fixture too weak: no conjunctive matches"
+
+
+def test_conjunctive_oov_term_empty(packed, cfg):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    out = bm25_topk_packed_batch(
+        packed, ["guitar zzzunknownzzz"], cfg, k=10, conjunctive=True
+    )
+    assert out.count() == 0
+
+
+def test_local_conjunctive_matches_packed(packed, cfg):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    dist = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, conjunctive=True
+        )
+    )
+    for qid, q in enumerate(QUERIES):
+        rows = ls.search(q, k=10, ranker="bm25_and", round_dp=6, resolve=False)
+        got = sorted((r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows)
+        assert got == dist.get(qid, []), q
+    assert ls.search("guitar zzzunknownzzz", ranker="bm25_and") == []
+
+
+def test_conjunctive_composes_with_filter(packed, cfg, user_docs, user_ids):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    out = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, conjunctive=True,
+        doc_filter=user_docs,
+    )
+    and_sets: dict[int, set] = {}
+    for r in boolean_search_packed(packed, QUERIES, cfg, op="and").collect():
+        and_sets.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    for r in out.collect():
+        d = int(r["doc_id"])
+        assert d in user_ids and d in and_sets[r["query_id"]]
