@@ -313,3 +313,76 @@ def test_conjunctive_composes_with_filter(packed, cfg, user_docs, user_ids):
     for r in out.collect():
         d = int(r["doc_id"])
         assert d in user_ids and d in and_sets[r["query_id"]]
+
+
+def test_new_ops_on_maintained_index(spark, corpus, cfg, tmp_path):
+    """Interplay gate: conjunctive / filtered / suggest stay internally
+    consistent over an index that has seen appends AND deletes (appended
+    docs retrievable, tombstoned docs gone, df live-exact)."""
+    import datetime as dt
+
+    from searchengine_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+    from searchengine_spark.indexing.deletes import delete_docs
+    from searchengine_spark.query.wand import (
+        bm25_topk_packed_batch,
+        suggest_terms,
+    )
+    from searchengine_spark.streaming.incremental import append_batch
+
+    path = str(tmp_path / "m_idx")
+    build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    rows = [
+        ("zzconv", i, "user", f"greatest rock album encore {i}", None,
+         dt.datetime(2026, 3, 1, 0, 0, i))
+        for i in range(5)
+    ]
+    append_batch(
+        spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA), path, cfg, batch_id=0
+    )
+    pidx = load_packed_index(spark, path)
+    appended = sorted(
+        int(r["doc_id"]) for r in
+        pidx.docmap.filter(F.col("conv_id") == "zzconv").collect()
+    )
+    assert len(appended) == 5
+    delete_docs(spark, path, doc_ids=[appended[0]])
+    pidx = load_packed_index(spark, path)
+
+    q = ["greatest rock album"]
+    got = _topk_map(
+        bm25_topk_packed_batch(pidx, q, cfg, k=10, round_dp=6,
+                               conjunctive=True)
+    )[0]
+    got_ids = {d for (_, d, _) in got}
+    assert set(appended[1:]) <= got_ids, "appended conjunctive docs missing"
+    assert appended[0] not in got_ids, "tombstoned doc resurfaced"
+    # brute: exhaustive OR scores restricted to the boolean-AND set
+    and_set = {int(r["doc_id"]) for r in
+               boolean_search_packed(pidx, q, cfg, op="and").collect()}
+    assert and_set and appended[0] not in and_set
+    n = int(pidx.manifest["n_docs"])
+    full = bm25_topk_packed_batch(
+        pidx, q, cfg, k=n, exhaustive=True, round_dp=6
+    ).toPandas()
+    g = full[full["doc_id"].isin(and_set)].sort_values(
+        ["score", "doc_id"], ascending=[False, True]).head(10)
+    want = sorted(
+        (i + 1, int(r.doc_id), round(float(r.score), 6))
+        for i, r in enumerate(g.itertuples(index=False))
+    )
+    assert got == want
+
+    # suggest df is live-exact: 'encore' appears in 4 live appended docs
+    sug = {r["term"]: int(r["df"])
+           for r in suggest_terms(pidx, "encore", k=5).collect()}
+    assert sug.get("encore") == 4
+
+    # filtered retrieval over base+appended attrs
+    attrs = corpus.unionByName(
+        spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA))
+    allowed = filter_doc_ids(pidx, attrs, "conv_id = 'zzconv'")
+    f = _topk_map(
+        bm25_topk_packed_batch(pidx, q, cfg, k=10, round_dp=6,
+                               doc_filter=allowed)
+    )[0]
+    assert {d for (_, d, _) in f} == set(appended[1:])
