@@ -92,6 +92,7 @@ class LocalSearcher:
         self._df: Dict[str, int] = {}
         self._variants: Dict[str, list] | None = None  # fuzzy, lazy-built
         self._fuzzy_corr: Dict[str, str] = {}  # OOV term -> correction
+        self._doc_tokens_cache: Dict[int, list] = {}  # more_like sources
         self._docmap: Dict[int, tuple] = {}
         self._norms: Dict[str, Dict[int, float]] = {}
         self._all_terms_cached = False
@@ -393,6 +394,56 @@ class LocalSearcher:
             {"term": r["term"], "df": int(r["df"])}
             for r in suggest_terms(self.pidx, prefix, k).collect()
         ]
+
+    def more_like(
+        self,
+        doc_id: int,
+        k: int = 10,
+        m: int = 10,
+        round_dp: int | None = None,
+        resolve: bool = True,
+    ) -> List[dict]:
+        """Interactive more-like-this (the local twin of
+        query/feedback.more_like_this_packed, same selection contract):
+        the source doc's top-``m`` terms by (1+ln tf)·idf — rounded 6dp,
+        term-asc ties — become an unweighted BM25 query; the source is
+        excluded and ranks renumbered. Costs ONE bounded Spark job for
+        the source doc's stored tokens (cached per doc afterwards) plus,
+        in lazy mode, the usual unseen-term slice fetch."""
+        did = int(doc_id)
+        toks = self._doc_tokens_cache.get(did)
+        if toks is None:
+            rows = (
+                self.pidx.doc_tokens()
+                .filter(F.col("doc_id") == did)
+                .collect()
+            )
+            if not rows:
+                raise KeyError(f"doc_id {did} not in the docs stage")
+            toks = list(rows[0]["tokens"])
+            self._doc_tokens_cache[did] = toks
+        import math
+
+        uniq = sorted(set(toks))
+        self._ensure_terms(uniq)
+        w = {
+            t: round((1.0 + math.log(toks.count(t))) * self._idf[t], 6)
+            for t in uniq if t in self._idf
+        }
+        top = [t for t, _ in sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:m]]
+        if not top:
+            return []
+        pdf = self._matched(top)
+        if pdf is None:
+            return []
+        if self._payload != "freq":
+            raise ValueError("more_like needs a payload='freq' build")
+        out = _wand_scorer(
+            k + 1, self.params, round_dp, self._idf, decode=self._dec
+        )(pdf)
+        out = out[out["doc_id"] != did].head(k).reset_index(drop=True)
+        out["rank"] = out.index + 1
+        return self._resolve(out, resolve)
 
     def _tfidf(self, pdf, toks, k, boost, schema, round_dp, rerank_n):
         """Local twin of proximity._tfidf_packed: decode -> stored-3dp

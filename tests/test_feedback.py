@@ -205,3 +205,31 @@ def test_mlt_excludes_source_and_matches_brute(packed, cfg, idf_map, doc_tokens)
 
 def test_mlt_empty_ids(packed):
     assert more_like_this_packed(packed, [], k=5).count() == 0
+
+
+def test_local_more_like_matches_distributed(packed, cfg):
+    from searchengine_spark.query.serve import LocalSearcher
+
+    base = bm25_topk_packed_batch(packed, QUERIES[:1], cfg, k=1, round_dp=6)
+    src = int(base.collect()[0]["doc_id"])
+    dist = sorted(
+        (int(r["rank"]), int(r["doc_id"]), round(float(r["score"]), 6))
+        for r in more_like_this_packed(
+            packed, [src], k=10, m=5, round_dp=6).collect()
+    )
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    got = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in ls.more_like(src, k=10, m=5, round_dp=6, resolve=False)
+    )
+    assert got == dist and got
+    # lazy tier agrees too, and unknown docs raise
+    lazy = LocalSearcher(packed, preload=False, cfg=cfg)
+    got_lazy = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in lazy.more_like(src, k=10, m=5, round_dp=6, resolve=False)
+    )
+    assert got_lazy == dist
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        ls.more_like(10 ** 9)
