@@ -180,3 +180,58 @@ def test_masked_wand_keeps_join_free_plan(spark, tmp_path_factory):
     assert "Join" not in plan and "BroadcastExchange" not in plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_filtered_wand_plan(pidx, spark, tmp_path):
+    """Filtered retrieval on the production shape (attrs from parquet):
+    the predicate PUSHES DOWN to the attrs scan, the In(term) pruning is
+    intact, and the only additions are the docmap-resolution join and the
+    per-chunk allowed-set join — the filter never rides a
+    closure/broadcast-collect."""
+    from searchengine_spark.query.wand import filter_doc_ids
+
+    apath = str(tmp_path / "attrs")
+    transcripts_df(spark, n_conv=30).write.mode("overwrite").parquet(apath)
+    attrs = spark.read.parquet(apath)
+    allowed = filter_doc_ids(pidx, attrs, "role = 'user'")
+    df = bm25_topk_packed_batch(
+        pidx, ["greatest rock album"], CFG, k=5, doc_filter=allowed
+    )
+    plan = explain_str(df)
+    assert "In(term" in plan                      # scan pruning intact
+    assert "EqualTo(role,user)" in plan, plan     # predicate at the scan
+    # conjunctive / unweighted paths add no plan operators at all
+    base = explain_str(
+        bm25_topk_packed_batch(pidx, ["greatest rock album"], CFG, k=5,
+                               conjunctive=True)
+    )
+    assert "Join" not in base and "BroadcastExchange" not in base
+
+
+def test_suggest_plan_is_stats_only(pidx):
+    """suggest never scans the postings: its only file source is the
+    term_stats sidecar, with the prefix pushed down."""
+    from searchengine_spark.query.wand import suggest_terms
+
+    plan = explain_str(suggest_terms(pidx, "gr", k=5))
+    assert "StringStartsWith(term,gr)" in plan, plan
+    assert "term_stats" in plan
+    assert "/index" not in plan.replace("term_stats", "")
+
+
+def test_collocations_bigram_extraction_no_pre_agg_exchange(spark):
+    """The pair stream must reach its groupBy straight from the scan: the
+    only exchanges in the whole plan are the two count aggregations and
+    the post-floor unigram joins (no positional self-join of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.collocations import bigram_collocations
+    from searchengine_spark.tokenizer import tokens_column
+
+    toks = transcripts_df(spark, n_conv=10).select(
+        tokens_column(F.col("text"), CFG).alias("tokens")
+    )
+    plan = explain_str(bigram_collocations(toks, min_count=2, k=10))
+    # no window functions, no cartesian/positional self-join of token rows
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
