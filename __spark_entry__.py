@@ -1346,6 +1346,45 @@ def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOST_CASE = ("CASE WHEN role = 'user' THEN 1.5 "
+              "WHEN role = 'tool' THEN 0.25 ELSE 1.0 END")
+
+
+def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-boosted retrieval (wand.boost_doc_ids + doc_boost; the SOFT
+    twin of filtered_search — Lucene function-query analog): final BM25
+    scores multiply by a role-derived factor (user 1.5, tool 0.25),
+    shipped per chunk; each chunk's pruning bound scales by its own max
+    boost so block-max skipping stays exact. Oracle multiplies the same
+    CASE into the full-corpus scores."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import (
+        bm25_topk_packed_batch,
+        boost_doc_ids,
+        resolve_docs,
+    )
+
+    cfg = _transcripts_cfg()
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx_filtered")
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    build_packed_index(corpus, cfg, path, chunk_docs=256, resume=True)
+    pidx = load_packed_index(spark, path)
+    boost = boost_doc_ids(pidx, corpus, BOOST_CASE)
+    topk = bm25_topk_packed_batch(
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6, doc_boost=boost
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", "doc_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1409,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "collocations": q_collocations,
         "bm25_and_topk": q_bm25_and_topk,
+        "boosted_search": q_boosted_search,
     }
 
 
@@ -3013,6 +3053,45 @@ WITH {_INDEX_CTES}
 SELECT term, df::BIGINT AS df FROM term_stats
 WHERE term LIKE {_sql_quote(SUGGEST_PREFIX + '%')} AND df > 0
 ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+    # ---- doc-boosted retrieval: same transcripts BM25 contract, final
+    # scores multiplied by the role CASE before the 6dp rounding/ranking
+    sqls["boosted_search"] = f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES
+{vals_role}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, role, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.s * ({BOOST_CASE.replace("role", "d.role")}), 6) AS score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY round(sc.s * ({BOOST_CASE.replace("role", "d.role")}), 6) DESC,
+                                     sc.doc_id ASC) AS rank
+  FROM scored sc JOIN docs d USING (doc_id)
+)
+SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
 """
 
     # ---- Rocchio PRF: both retrieval passes + the expansion selection,

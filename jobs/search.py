@@ -39,7 +39,8 @@ RANKERS = (
 
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
-                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None):
+                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
+                 doc_boost=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     from pyspark.sql import functions as F
 
@@ -72,7 +73,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
     elif ranker in ("bm25", "bm25_and"):
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
-            doc_filter=doc_filter, conjunctive=ranker == "bm25_and")
+            doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
+            doc_boost=doc_boost)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -211,6 +213,11 @@ def main() -> None:
                          "\"role = 'user'\"): attribute-filtered retrieval "
                          "— the top-k is computed over only matching docs "
                          "(bm25/boolean rankers)")
+    ap.add_argument("--boost", default=None, metavar="EXPR",
+                    help="SQL expression over --attrs columns producing a "
+                         "non-negative score multiplier (e.g. \"CASE WHEN "
+                         "role='user' THEN 1.5 ELSE 1.0 END\"): doc-boosted "
+                         "retrieval on the bm25 rankers")
     ap.add_argument("--attrs", default=None,
                     help="parquet dir of the attribute table carrying the "
                          "index's order_cols plus the --filter columns "
@@ -286,6 +293,17 @@ def main() -> None:
             prf = (int(r_s), int(m_s), float(beta_s))
         except ValueError:
             raise SystemExit("--prf expects 'R,M,BETA' (e.g. '5,5,0.5')")
+    doc_boost = None
+    if args.boost:
+        if not args.attrs:
+            raise SystemExit("--boost needs --attrs")
+        if args.ranker not in ("bm25", "bm25_and"):
+            raise SystemExit("--boost is wired to the bm25* rankers")
+        from searchengine_spark.query.wand import boost_doc_ids
+
+        doc_boost = boost_doc_ids(
+            pidx, spark.read.parquet(args.attrs), args.boost
+        )
     doc_filter = None
     filter_ids = None
     if args.filter:
@@ -303,7 +321,7 @@ def main() -> None:
     if prf and args.serve_mode == "local":
         raise SystemExit("--prf runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    use_local = not prf and (
+    use_local = not prf and doc_boost is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     )
@@ -343,7 +361,7 @@ def main() -> None:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,
                                  fuzzy=args.fuzzy, doc_filter=doc_filter,
-                                 prf=prf)
+                                 prf=prf, doc_boost=doc_boost)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -71,6 +71,7 @@ def _wand_scorer(
     allowed: np.ndarray | None = None,
     qweights: dict | None = None,
     require_all: dict | None = None,
+    boosts: tuple | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -98,7 +99,15 @@ def _wand_scorer(
     doc appears at most once per term per chunk, and a doc's whole score
     lives in one chunk, so the per-chunk coverage count IS the global
     one). Chunk bounds still upper-bound the conjunctive subset's scores,
-    so pruning stays safe (looser, never wrong)."""
+    so pruning stays safe (looser, never wrong).
+
+    ``boosts``: (sorted doc_id array, aligned multiplier array) — doc
+    boosting (the SOFT twin of ``allowed``; Lucene function-query /
+    recency-boost analog): final per-doc scores multiply by the doc's
+    boost (absent docs boost 1.0). Pruning stays safe by scaling each
+    chunk's upper bound by max(1, max boost) — the distributed path
+    computes that per chunk from the joined arrays, the closure form
+    scales by the global max."""
     kk, bb = float(params.k), float(params.b)
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
     # ``decode``: optional (buf) -> (doc_ids, tfs, dl_norm) hook so a
@@ -129,11 +138,27 @@ def _wand_scorer(
         )
         by_chunk = dict(tuple(pdf.groupby("chunk")))
         has_allowed_col = "allowed" in pdf.columns
+        has_boost_col = "bids" in pdf.columns
+        gb_ids, gb_vals = boosts if boosts is not None else (None, None)
         heap: list = []  # min-heap of (score, -doc_id) — worst kept on top
         for chunk, bound in ub.items():
-            if len(heap) >= k_top and bound < heap[0][0] - eps:
-                continue  # safe skip: every doc in chunk scores <= bound
             rows = by_chunk[chunk]
+            b_ids, b_vals = gb_ids, gb_vals
+            if b_ids is None and has_boost_col:
+                first = rows["bids"].iloc[0]
+                if first is not None:
+                    b_ids = np.asarray(first, dtype=np.int64)
+                    b_vals = np.asarray(rows["bvals"].iloc[0], dtype=np.float64)
+            scale = 1.0
+            if b_vals is not None and len(b_vals):
+                if float(np.min(b_vals)) < 0.0:
+                    raise ValueError(
+                        "doc boosts must be non-negative (a negative "
+                        "multiplier would break the pruning upper bound)"
+                    )
+                scale = max(1.0, float(np.max(b_vals)))
+            if len(heap) >= k_top and bound * scale < heap[0][0] - eps:
+                continue  # safe skip: every doc in chunk scores <= bound*scale
             docs_all: list = []
             contrib_all: list = []
             for idf, buf in zip(rows["idf"].to_numpy(), rows["postings"]):
@@ -165,6 +190,14 @@ def _wand_scorer(
                     if not hit.any():
                         continue
                     uniq, scores = uniq[hit], scores[hit]
+            if b_ids is not None and b_ids.size:
+                bidx = np.searchsorted(b_ids, uniq)
+                bidx[bidx == b_ids.size] = 0
+                hitb = b_ids[bidx] == uniq
+                if hitb.any():
+                    mult = np.ones(len(uniq))
+                    mult[hitb] = b_vals[bidx[hitb]]
+                    scores = scores * mult
             if round_dp is not None:
                 scores = np.round(scores, round_dp)
             # vectorized candidate cut: only the chunk's top-k by
@@ -240,6 +273,53 @@ def _allowed_by_chunk(pidx: PackedIndex, allowed_docs: DataFrame) -> DataFrame:
     )
 
 
+def boost_doc_ids(pidx: PackedIndex, attrs: DataFrame, boost_expr) -> DataFrame:
+    """Resolve an attribute boost expression to a (doc_id, boost)
+    DataFrame (the soft twin of filter_doc_ids). ``boost_expr`` is a SQL
+    expression string (or Column) over the attrs columns producing a
+    non-negative multiplier — e.g. a role weighting
+    ``\"CASE WHEN role = 'user' THEN 1.5 ELSE 1.0 END\"`` or a recency
+    decay over ts. No-op boosts (== 1.0) are dropped so the shipped set
+    is sized by the boosted fraction, not the corpus."""
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    missing = [c for c in ext if c not in attrs.columns]
+    if missing:
+        raise ValueError(
+            f"attrs table lacks the index's external-id columns {missing} "
+            f"(order_cols={pidx.manifest['order_cols']})"
+        )
+    col = F.expr(boost_expr) if isinstance(boost_expr, str) else boost_expr
+    return (
+        attrs.select(*ext, col.cast("double").alias("boost"))
+        .filter(F.col("boost") != 1.0)
+        .join(pidx.docmap, ext)
+        .select("doc_id", "boost")
+    )
+
+
+def _boost_by_chunk(pidx: PackedIndex, doc_boost: DataFrame) -> DataFrame:
+    """(doc_id, boost) -> (chunk, bids sorted-ids array, bvals aligned
+    multipliers) — the soft twin of _allowed_by_chunk; same join-the-
+    matched-chunk-rows distribution (nothing collected/closure-shipped)."""
+    chunk_docs = int(pidx.manifest["chunk_docs"])
+    sortd = (
+        doc_boost.select(
+            (F.col("doc_id").cast("long") / F.lit(chunk_docs)).cast("long").alias("chunk"),
+            F.struct(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("boost").cast("double").alias("boost"),
+            ).alias("db"),
+        )
+        .groupBy("chunk")
+        .agg(F.array_sort(F.collect_list("db")).alias("arr"))
+    )
+    return sortd.select(
+        "chunk",
+        F.expr("transform(arr, x -> x.doc_id)").alias("bids"),
+        F.expr("transform(arr, x -> x.boost)").alias("bvals"),
+    )
+
+
 def bm25_topk_packed_batch(
     pidx: PackedIndex,
     queries: Sequence[str],
@@ -253,6 +333,7 @@ def bm25_topk_packed_batch(
     query_terms: Sequence[Sequence[str]] | None = None,
     term_weights: dict | None = None,
     conjunctive: bool = False,
+    doc_boost: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -291,7 +372,15 @@ def bm25_topk_packed_batch(
     ``conjunctive=True``: ranked AND retrieval — only docs containing
     EVERY query term score (BM25 ranking over the boolean-AND set; the
     reference's AND mode is unranked). A query with any out-of-vocabulary
-    term returns nothing, the AND contract."""
+    term returns nothing, the AND contract.
+
+    ``doc_boost``: optional (doc_id, boost) DataFrame — final scores
+    multiply by the doc's NON-NEGATIVE boost (absent docs boost 1.0): the
+    soft twin of ``doc_filter`` (Lucene function-query / recency-boost
+    analog; build it with any attribute expression over the source table
+    + the docmap, like filter_doc_ids). Shipped per chunk like the
+    filter; each chunk's pruning bound scales by its own max boost, so
+    block-max skipping stays exact."""
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -396,6 +485,9 @@ def bm25_topk_packed_batch(
     if doc_filter is not None:
         # inner join: chunks whose allowed-set is empty vanish before decode
         matched = matched.join(_allowed_by_chunk(pidx, doc_filter), "chunk")
+    if doc_boost is not None:
+        # LEFT join: chunks without boosted docs keep default 1.0 boosts
+        matched = matched.join(_boost_by_chunk(pidx, doc_boost), "chunk", "left")
     k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
     # tombstoned docs are masked at decode (indexing/deletes.py); chunk
     # upper bounds stay valid over any subset, so pruning is unchanged

@@ -386,3 +386,101 @@ def test_new_ops_on_maintained_index(spark, corpus, cfg, tmp_path):
                                doc_filter=allowed)
     )[0]
     assert {d for (_, d, _) in f} == set(appended[1:])
+
+
+# ---------------------------------------------------------- doc boosts
+
+BOOST_EXPR = ("CASE WHEN role = 'user' THEN 1.5 "
+              "WHEN role = 'tool' THEN 0.25 ELSE 1.0 END")
+
+
+@pytest.fixture(scope="module")
+def role_boost(packed, corpus):
+    from searchengine_spark.query.wand import boost_doc_ids
+
+    return boost_doc_ids(packed, corpus, BOOST_EXPR)
+
+
+def test_boosted_equals_brute(packed, cfg, corpus, role_boost):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    boosts = {int(r["doc_id"]): float(r["boost"]) for r in role_boost.collect()}
+    assert boosts and all(b != 1.0 for b in boosts.values())
+    n = int(packed.manifest["n_docs"])
+    raw = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=n, exhaustive=True
+    ).toPandas()
+    want: dict[int, list] = {}
+    for qid, g in raw.groupby("query_id"):
+        scored = sorted(
+            ((round(float(r.score) * boosts.get(int(r.doc_id), 1.0), 6),
+              int(r.doc_id)) for r in g.itertuples(index=False)),
+            key=lambda x: (-x[0], x[1]),
+        )[:10]
+        want[qid] = sorted((i + 1, d, s) for i, (s, d) in enumerate(scored))
+    got = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_boost=role_boost
+        )
+    )
+    assert got == want
+    unb = _topk_map(bm25_topk_packed_batch(packed, QUERIES, cfg, k=10, round_dp=6))
+    assert got != unb, "fixture too weak: boosting changed nothing"
+
+
+def test_boost_pruning_safe(packed, cfg, spark):
+    # stress the bound scaling: huge boosts on docs that are NOT in the
+    # unboosted top-k must still surface (a chunk the old bound would
+    # skip now wins)
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    unb = _topk_map(bm25_topk_packed_batch(packed, QUERIES, cfg, k=10, round_dp=6))
+    n = int(packed.manifest["n_docs"])
+    raw = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=n, exhaustive=True).toPandas()
+    top_ids = {d for v in unb.values() for (_, d, _) in v}
+    losers = sorted(set(raw["doc_id"].astype(int)) - top_ids)[:5]
+    assert losers
+    bdf = spark.createDataFrame([(d, 50.0) for d in losers],
+                                "doc_id long, boost double")
+    pruned = _topk_map(bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, doc_boost=bdf))
+    exh = _topk_map(bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, doc_boost=bdf,
+        exhaustive=True))
+    assert pruned == exh
+    boosted_ids = {d for v in pruned.values() for (_, d, _) in v}
+    assert set(losers) & boosted_ids, "boosted losers should surface"
+
+
+def test_boost_identity_and_negative(packed, cfg, spark):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    ones = packed.docmap.select("doc_id").withColumn("boost", F.lit(1.0))
+    got = _topk_map(bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, doc_boost=ones))
+    want = _topk_map(bm25_topk_packed_batch(packed, QUERIES, cfg, k=10,
+                                            round_dp=6))
+    assert got == want
+    neg = spark.createDataFrame([(0, -1.0)], "doc_id long, boost double")
+    with pytest.raises(Exception, match="non-negative"):
+        bm25_topk_packed_batch(
+            packed, ["guitar solo"], cfg, k=5, doc_boost=neg).collect()
+
+
+def test_boost_composes_with_filter_and_conjunctive(packed, cfg, user_docs,
+                                                    user_ids, role_boost):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    out = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, conjunctive=True,
+        doc_filter=user_docs, doc_boost=role_boost,
+    )
+    and_sets: dict[int, set] = {}
+    for r in boolean_search_packed(packed, QUERIES, cfg, op="and").collect():
+        and_sets.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        d = int(r["doc_id"])
+        assert d in user_ids and d in and_sets[r["query_id"]]
