@@ -299,6 +299,7 @@ class LocalSearcher:
         resolve: bool = True,
         fuzzy: bool = False,
         filter_docs=None,
+        boost_docs=None,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -316,7 +317,12 @@ class LocalSearcher:
         (boolean). In-process the set rides the scorer closure directly —
         fine for the serving tier, whose inputs are driver-resident by
         construction; batch-scale filters belong on the distributed path.
-        tfidf/proximity rankers refuse (use the distributed batch APIs)."""
+        tfidf/proximity rankers refuse (use the distributed batch APIs).
+
+        ``boost_docs``: optional {doc_id: non-negative multiplier} — the
+        soft twin (doc boosting): final scores multiply by the doc's
+        boost before rounding, pruning bound scaled by the max boost
+        (the distributed doc_boost's closure form; bm25/bm25_and)."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
         allowed = None
@@ -329,6 +335,16 @@ class LocalSearcher:
                     f"filter_docs is not wired into the {ranker!r} local "
                     "scorer — use the distributed batch path's doc_filter"
                 )
+        boosts = None
+        if boost_docs is not None:
+            if ranker not in ("bm25", "bm25_and"):
+                raise NotImplementedError(
+                    f"boost_docs is not wired into the {ranker!r} local "
+                    "scorer — use the distributed batch path's doc_boost"
+                )
+            b_ids = np.asarray(sorted(boost_docs), dtype=np.int64)
+            b_vals = np.asarray([float(boost_docs[int(d)]) for d in b_ids])
+            boosts = (b_ids, b_vals)
         toks = tokenize_text(query, self.cfg)
         if fuzzy and toks:
             toks = self._fuzzy_rewrite(toks)
@@ -354,7 +370,7 @@ class LocalSearcher:
                 require_all = {0: len(terms)}
             scorer = _wand_scorer(
                 k, self.params, round_dp, self._idf, decode=self._dec,
-                allowed=allowed, require_all=require_all,
+                allowed=allowed, require_all=require_all, boosts=boosts,
             )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":

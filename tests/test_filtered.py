@@ -484,3 +484,23 @@ def test_boost_composes_with_filter_and_conjunctive(packed, cfg, user_docs,
     for r in rows:
         d = int(r["doc_id"])
         assert d in user_ids and d in and_sets[r["query_id"]]
+
+
+def test_local_boost_matches_distributed(packed, cfg, role_boost):
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    boosts = {int(r["doc_id"]): float(r["boost"]) for r in role_boost.collect()}
+    dist = _topk_map(
+        bm25_topk_packed_batch(
+            packed, QUERIES, cfg, k=10, round_dp=6, doc_boost=role_boost
+        )
+    )
+    ls = LocalSearcher(packed, preload=True, cfg=cfg)
+    for qid, q in enumerate(QUERIES):
+        rows = ls.search(q, k=10, ranker="bm25", round_dp=6,
+                         boost_docs=boosts, resolve=False)
+        got = sorted((r["rank"], r["doc_id"], round(r["score"], 6))
+                     for r in rows)
+        assert got == dist.get(qid, []), q
+    with pytest.raises(NotImplementedError):
+        ls.search("guitar solo", ranker="tfidf", boost_docs={0: 2.0})
