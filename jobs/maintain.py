@@ -57,13 +57,19 @@ def main() -> None:
                          "(metadata-level; exits 1 on corruption)")
     ap.add_argument("--fsck-deep", action="store_true",
                     help="fsck + decode every posting row (full-scan cost)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print a JSON index report: manifest rollup, "
+                         "per-stage lineage totals, epoch/tombstone "
+                         "ledgers, available snapshots (tiny-sidecar "
+                         "reads only — never scans postings)")
     args = ap.parse_args()
     if args.delete_where and args.delete_ids:
         ap.error("pass at most one of --delete-where / --delete-ids")
     if not any((args.append, args.delete_where, args.delete_ids,
                 args.compact, args.compact_if_debt is not None,
-                args.fsck, args.fsck_deep)):
-        ap.error("nothing to do: pass --append / --delete-* / --compact / --fsck")
+                args.fsck, args.fsck_deep, args.stats)):
+        ap.error("nothing to do: pass --append / --delete-* / --compact / "
+                 "--fsck / --stats")
 
     from pyspark.sql import SparkSession
 
@@ -135,6 +141,53 @@ def main() -> None:
         if not report["ok"]:
             print(json.dumps(manifest))
             sys.exit(1)
+    if args.stats:
+        from pyspark.sql import functions as F
+
+        manifest = dict(manifest)
+        lineage = spark.read.parquet(fsio.join(args.index, "lineage"))
+        rollup = {
+            r["stage"]: {
+                "files": int(r["files"]), "rows": int(r["rows"]),
+                "min_doc": int(r["min_doc"]), "max_doc": int(r["max_doc"]),
+            }
+            for r in lineage.groupBy("stage").agg(
+                F.count(F.lit(1)).alias("files"),
+                F.sum("n_rows").alias("rows"),
+                F.min("min_doc").alias("min_doc"),
+                F.max("max_doc").alias("max_doc"),
+            ).collect()
+        }
+        idx_lineage = fsio.join(args.index, "lineage_index")
+        if fsio.exists(spark, idx_lineage):
+            for r in (
+                spark.read.parquet(idx_lineage).groupBy("stage").agg(
+                    F.count(F.lit(1)).alias("files"),
+                    F.sum("n_postings").alias("postings"),
+                    F.sum("n_chunks").alias("chunk_rows"),
+                    F.sum("postings_bytes").alias("postings_bytes"),
+                ).collect()
+            ):
+                rollup[r["stage"]] = {
+                    "files": int(r["files"]),
+                    "postings": int(r["postings"]),
+                    "chunk_rows": int(r["chunk_rows"]),
+                    "postings_bytes": int(r["postings_bytes"]),
+                }
+        # snapshots are numbered 0..snapshot_seq-1; expired ones raise at
+        # load time (delayed-GC retention), the ledger lists what EXISTS
+        snapshots = [
+            s for s in range(int(manifest.get("snapshot_seq", 0)))
+            if fsio.exists(spark, fsio.join(args.index, "snapshots", f"{s}.json"))
+        ]
+        manifest["stats"] = {
+            "lineage": rollup,
+            "append_epochs": [a["batch_id"] for a in manifest.get("appends", [])],
+            "pending_tombstones": sum(
+                int(d.get("n_docs", 0)) for d in manifest.get("deletes", [])
+            ),
+            "snapshots": snapshots,
+        }
     print(json.dumps(manifest))
 
 
