@@ -261,9 +261,77 @@ def _subprocess_run(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_textops(spark, sf: float) -> dict:
+    """LLM-pipeline family throughput over the testdata documents table:
+    each stage timed end-to-end (docs/sec), plus the composed cleaning
+    pipeline. Opt-in (``--textops``) — the driver's plain run keeps the
+    index+query contract line."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    out: dict = {"metric": "textops_throughput", "unit": "docs_per_sec",
+                 "sf": sf, "n_docs": n_docs, "stages": {}}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        res = fn()
+        dt = time.perf_counter() - t0
+        out["stages"][name] = {
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "rows_out": res,
+        }
+
+    from searchengine_spark.textops.clean import c4_doc_filter
+    from searchengine_spark.textops.collocations import bigram_collocations
+    from searchengine_spark.textops.dedup import (
+        exact_duplicates,
+        minhash_lsh_candidates,
+    )
+    from searchengine_spark.textops.quality import (
+        LANG_PROFILES,
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+    from searchengine_spark.textops.scrub import redact_pii
+    from searchengine_spark.tokenizer import TokenizerConfig, tokens_column
+
+    cfg = TokenizerConfig(min_token_length=2)
+    toks = tokens_column(F.col("text"), cfg)
+    timed("exact_dedup", lambda: exact_duplicates(docs).count())
+    timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, toks).count())
+    timed("quality", lambda: quality_score(
+        docs, toks, stop_words=LANG_PROFILES["en"]).count())
+    timed("repetition", lambda: repetition_stats(docs, toks).count())
+    timed("lang_id", lambda: lang_id(docs, toks).count())
+    timed("pii_redact", lambda: redact_pii(docs).count())
+    timed("c4_doc_filter", lambda: c4_doc_filter(docs).count())
+    timed(
+        "collocations",
+        lambda: bigram_collocations(
+            docs.select(toks.alias("tokens")), min_count=5, k=100,
+        ).count(),
+    )
+    total = sum(s["sec"] for s in out["stages"].values())
+    out["value"] = round(total, 3)
+    out["docs_per_sec_all_stages"] = round(n_docs * len(out["stages"]) / total, 1)
+    return out
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     os.makedirs(OUT, exist_ok=True)
+
+    if "--textops" in sys.argv:
+        spark = make_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(run_textops(spark, _sf())))
+        spark.stop()
+        return
 
     if not scaling:
         print(json.dumps(_single(CPUS)))
