@@ -16,6 +16,11 @@ spark-submit setups do not forward stdin):
     Search (exit interactive search with 'q'): greatest rock album
     ... results + per-query timing + Efficiency stats ...
 
+REPL extras: a single token ending in '*' prints dictionary completions
+(suggest-as-you-type; wildcard OR-retrieval stays on the
+prefix_search_packed API); '~<doc_id>' runs more-like-this on the local
+tier.
+
 Tokenizer config defaults to the one STORED IN THE INDEX MANIFEST; pass
 flags only to deliberately override the build config. ``--relevance``
 evaluates precision/recall/F1/NDCG + throughput against a reference
@@ -392,6 +397,35 @@ def main() -> None:
             if line.strip().lower() == "q":
                 break
             if not line.strip():
+                continue
+            if line.strip().endswith("*") and " " not in line.strip():
+                # single trailing-star token -> dictionary auto-complete
+                # (suggest-as-you-type; zero Spark jobs on the preload tier)
+                prefix = line.strip()[:-1]
+                if not prefix:
+                    continue
+                sug = (local.suggest(prefix, k=args.n) if local is not None
+                       else None)
+                if sug is None:
+                    from searchengine_spark.query.wand import suggest_terms
+
+                    sug = [{"term": r["term"], "df": int(r["df"])}
+                           for r in suggest_terms(pidx, prefix, k=args.n).collect()]
+                print(json.dumps({"prefix": prefix, "suggestions": sug}))
+                continue
+            if line.strip().startswith("~"):
+                # ~<doc_id> -> interactive more-like-this on the local tier
+                ref = line.strip()[1:]
+                if local is not None and ref.isdigit():
+                    t1 = time.perf_counter()
+                    res = local.more_like(int(ref), k=args.n)
+                    print(json.dumps({"more_like": int(ref), "results": res},
+                                     default=str))
+                    print(f"more-like in {(time.perf_counter() - t1) * 1000:.1f}ms",
+                          file=sys.stderr)
+                else:
+                    print("~<doc_id> needs the local tier and a numeric id",
+                          file=sys.stderr)
                 continue
             serve([line.strip()])
             if stats is not None:
