@@ -43,10 +43,12 @@ RANKERS = (
 )
 
 
-def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
-                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                 doc_boost=None):
-    """-> list per query of result-row dicts (rank-ordered)."""
+def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
+                schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
+                doc_boost=None):
+    """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
+    rank) — NOT collected, so huge query batches can stream straight to a
+    parquet sink (--queries-file/--output) instead of the driver."""
     from pyspark.sql import functions as F
 
     from searchengine_spark.query.proximity import (
@@ -115,7 +117,15 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
             "query_id", "doc_id",
             F.lit(1.0).alias("score"), F.lit(0).alias("rank"),
         )
-    rows = resolve_docs(pidx, topk).collect()
+    return resolve_docs(pidx, topk)
+
+
+def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
+                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
+                 doc_boost=None):
+    """-> list per query of result-row dicts (rank-ordered)."""
+    rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
+                       schema, fuzzy, doc_filter, prf, doc_boost).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -200,6 +210,14 @@ def main() -> None:
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
                          "snippet to every result row")
+    ap.add_argument("--queries-file", default=None,
+                    help="text file, one query per line: batch mode at "
+                         "scale — pairs with --output to stream results "
+                         "to parquet without a driver collect")
+    ap.add_argument("--output", default=None,
+                    help="parquet dir for batch results (query_id, query, "
+                         "doc_id, *external ids, score, rank); one Spark "
+                         "job for the whole file")
     ap.add_argument("--suggest", default=None, metavar="PREFIX",
                     help="dictionary auto-complete: print terms with the "
                          "prefix ranked by live df and exit")
@@ -323,6 +341,37 @@ def main() -> None:
         doc_filter = filter_doc_ids(
             pidx, spark.read.parquet(args.attrs), args.filter
         )
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            file_queries = [ln.strip() for ln in fh if ln.strip()]
+        if not file_queries:
+            raise SystemExit(f"no queries in {args.queries_file}")
+        if args.output:
+            # cluster batch mode: ONE Spark job for the whole file, results
+            # stream to parquet — the driver never materializes them
+            from pyspark.sql import functions as F
+
+            t1 = time.perf_counter()
+            frame = _topk_frame(
+                spark, pidx, cfg, file_queries, args.ranker, args.n,
+                args.exhaustive, args.schema, fuzzy=args.fuzzy,
+                doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
+            )
+            qdf = spark.createDataFrame(
+                list(enumerate(file_queries)), "query_id int, query string"
+            )
+            frame.join(F.broadcast(qdf), "query_id").write.mode(
+                "overwrite"
+            ).parquet(args.output)
+            dt = time.perf_counter() - t1
+            print(json.dumps({
+                "queries": len(file_queries), "output": args.output,
+                "seconds": round(dt, 3),
+                "queries_per_sec": round(len(file_queries) / dt, 2),
+            }))
+            return
+        args.query = (args.query or []) + file_queries
+
     if prf and args.serve_mode == "local":
         raise SystemExit("--prf runs on the distributed tier "
                          "(serve-mode auto/spark)")
