@@ -29,7 +29,8 @@ def reference_shingles(
     """Distinct shingle set of the reference/eval corpus -> one-column
     ``shingle`` DataFrame (cache it when checking many training shards)."""
     return (
-        ref.select(F.explode(shingles_col(tokens_col, n)).alias("shingle"))
+        ref.select(tokens_col.alias("_toks"))  # bind once: no CSE in HOFs
+        .select(F.explode(shingles_col(F.col("_toks"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -48,8 +49,9 @@ def ngram_contamination(
     ``n`` tokens yield (0, 0) rows — present, never silently dropped.
     Filter ``n_contaminated > 0`` (or a ratio threshold) downstream."""
     sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(tokens_col, n)).alias("shingle"),
+        F.col(id_col).alias("id"), tokens_col.alias("_toks")
+    ).select(  # bind once: no CSE in HOFs (see dedup._minhash_sigs)
+        "id", F.explode(shingles_col(F.col("_toks"), n)).alias("shingle")
     )
     marked = ref_shingles.select("shingle").withColumn("_hit", F.lit(1))
     if broadcast_ref:

@@ -63,8 +63,16 @@ def _minhash_sigs(docs: DataFrame, tokens_col: Column, id_col: str) -> DataFrame
     """(id, hash_idx, minhash) — minhash_i = min over shingles of
     md5(i || '|' || shingle); lexicographic min over hex = a portable
     128-bit universal-ish hash family."""
+    # bind tokens ONCE before the shingle transform: interpreted
+    # higher-order lambdas get no common-subexpression elimination, so an
+    # inline tokenize expression would re-evaluate per element_at reference
+    # (~3n tokenizations/doc — measured 26x slower); a separate projection
+    # survives CollapseProject (repeated non-cheap reference) and computes
+    # it once per row
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(tokens_col)).alias("shingle")
+        F.col(id_col).alias("id"), tokens_col.alias("_toks")
+    ).select(
+        "id", F.explode(shingles_col(F.col("_toks"))).alias("shingle")
     )
     hk = sh.join(
         docs.sparkSession.range(MINHASH_K).select(F.col("id").cast("int").alias("hash_idx")),
@@ -134,9 +142,11 @@ def ngram_jaccard_pairs(
     The ratio is floor-truncated to 4dp (NOT round(): round() disagrees
     between engines on exact decimal ties like 1/160, breaking both the
     oracle contract and the >= threshold cut)."""
+    # bind-once projection (see _minhash_sigs: inline tokenize expressions
+    # re-evaluate per lambda reference inside the shingle transform)
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(tokens_col, n)).alias("shingle")
-    )
+        F.col(id_col).alias("id"), tokens_col.alias("_toks")
+    ).select("id", F.explode(shingles_col(F.col("_toks"), n)).alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
         a = sh.select(F.col("id").alias("id_a"), "shingle")

@@ -57,10 +57,16 @@ def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
 def lang_id(docs: DataFrame, tokens_col: Column, id_col: str = "doc_id") -> DataFrame:
     """Stop-word-profile language ID -> (id, <lang>_hits..., pred_lang).
     Prediction = argmax hit count with fixed precedence (LANG_ORDER)."""
-    cols = [F.col(id_col).alias("id")]
+    # bind tokens once (see dedup._minhash_sigs): the 7 per-language
+    # F.filter HOFs are interpreted — an inline tokenize expression would
+    # re-evaluate per language
+    pre = docs.select(F.col(id_col).alias("id"), tokens_col.alias("_toks"))
+    cols = [F.col("id")]
     for lang in LANG_ORDER:
-        cols.append(_hits(tokens_col, LANG_PROFILES[lang]).cast("long").alias(f"{lang}_hits"))
-    out = docs.select(*cols)
+        cols.append(
+            _hits(F.col("_toks"), LANG_PROFILES[lang]).cast("long").alias(f"{lang}_hits")
+        )
+    out = pre.select(*cols)
     pred = None
     for lang in reversed(LANG_ORDER):  # build nested whens; earlier langs win ties
         cond = None
@@ -87,10 +93,16 @@ def quality_score(
     score = stop_ratio * 0.3 + (1 - punct_ratio) * 0.3
             + least(n_tokens/100, 1) * 0.4
     (Gopher/C4-style ratio filters; the exact weights are ours.)"""
+    # bind tokens once (see dedup._minhash_sigs): size/aggregate/filter
+    # below reference the array repeatedly and HOFs get no CSE
+    docs = docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col),
+        tokens_col.alias("_toks"),
+    )
     text = F.col(text_col)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    toks = tokens_col
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -161,15 +173,21 @@ def repetition_stats(
             arr, lambda v: F.struct(F.lit(n).alias("n"), v.alias("v"))
         )
 
-    did = F.col(id_col).alias("id")
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    exploded = docs.select(
-        did,
+    # bind tokens ONCE: _word_ngrams slices the tokens column per position
+    # inside an interpreted transform lambda (no CSE there) — an inline
+    # tokenize expression would re-run per n-gram (see dedup._minhash_sigs)
+    pre = docs.select(
+        F.col(id_col).alias("id"), lines.alias("_lines"),
+        tokens_col.alias("_toks"),
+    )
+    exploded = pre.select(
+        "id",
         F.explode(
             F.concat(
-                tag(0, lines),
-                tag(2, _word_ngrams(tokens_col, 2)),
-                tag(5, _word_ngrams(tokens_col, 5)),
+                tag(0, F.col("_lines")),
+                tag(2, _word_ngrams(F.col("_toks"), 2)),
+                tag(5, _word_ngrams(F.col("_toks"), 5)),
             )
         ).alias("t"),
     ).select("id", F.col("t.n").alias("n"), F.col("t.v").alias("v"))

@@ -235,3 +235,34 @@ def test_collocations_bigram_extraction_no_pre_agg_exchange(spark):
     # no window functions, no cartesian/positional self-join of token rows
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_textops_bind_tokens_once(spark):
+    """Tokenize expressions must be BOUND to a column before any
+    interpreted higher-order lambda references them: HOFs get no
+    common-subexpression elimination, so an inline tokenize re-runs per
+    element reference (measured 26x on minhash shingles). Gate: the
+    tokenizer's regexp appears in each optimized plan a bounded number of
+    times (one binding projection per input branch), not once per lambda
+    reference."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.dedup import minhash_lsh_candidates
+    from searchengine_spark.textops.quality import repetition_stats
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    toks = tokens_column(F.col("text"), CFG)
+    for df, cap in (
+        (minhash_lsh_candidates(docs, toks), 3),
+        (repetition_stats(docs, toks), 3),
+    ):
+        plan = explain_str(df)
+        # the tokenizer's punct->space translate pass; the formatted plan
+        # lists the binding Project in <= 3 sections, the broken inline
+        # form repeats it once per lambda reference (>> cap)
+        n = plan.count("translate(")
+        assert 1 <= n <= cap, f"tokenize evaluated {n} times:\n{plan[:2000]}"
