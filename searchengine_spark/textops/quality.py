@@ -268,17 +268,23 @@ def doc_fingerprints(
             lambda i: F.md5(text.substr(i, F.lit(kgram))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_g = F.size(grams)
+    # staged BINDING projections (CLAUDE.md bind-once rule): the window-min
+    # lambda slices the gram array per position and interpreted HOFs get no
+    # CSE — inlining ``grams`` would recompute ALL n md5s per window
+    # (O(n^2) hashes/doc); same for ``fp`` referenced twice below
+    step1 = docs.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+    gc = F.col("_grams")
+    n_g = F.size(gc)
     mins = F.when(
         n_g >= window,
         F.transform(
             F.sequence(F.lit(1), n_g - (window - 1)),
-            lambda j: F.array_min(F.slice(grams, j, window)),
+            lambda j: F.array_min(F.slice(gc, j, window)),
         ),
-    ).otherwise(grams)
-    fp = F.array_distinct(mins)
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.size(fp).cast("long").alias("n_fp"),
-        F.array_min(fp).alias("min_fp"),
+    ).otherwise(gc)
+    step2 = step1.select("id", F.array_distinct(mins).alias("_fp"))
+    return step2.select(
+        "id",
+        F.size("_fp").cast("long").alias("n_fp"),
+        F.array_min("_fp").alias("min_fp"),
     )

@@ -266,3 +266,10 @@ def test_textops_bind_tokens_once(spark):
         # form repeats it once per lambda reference (>> cap)
         n = plan.count("translate(")
         assert 1 <= n <= cap, f"tokenize evaluated {n} times:\n{plan[:2000]}"
+    # winnowing: the kgram md5 array must be bound before the window-min
+    # lambda slices it (inline => O(n^2) hashes per doc)
+    from searchengine_spark.textops.quality import doc_fingerprints
+
+    plan = explain_str(doc_fingerprints(docs))
+    n = plan.count("substr(")
+    assert 1 <= n <= 3, f"kgram array evaluated {n} times:\n{plan[:2000]}"
