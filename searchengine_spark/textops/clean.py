@@ -155,7 +155,14 @@ def span_dedup(
     canonical keeper is the minimum (id, span_idx), expressed as
     row_number = 1 so the whole operator is ONE hash exchange on the
     span digest — no join back, no second shuffle)."""
-    sents = sentences_col(F.col(text_col))
+    # bind the sentence array ONCE (CLAUDE.md bind-once rule): the span
+    # lambda below slices it per index and interpreted HOFs get no CSE —
+    # inlining sentences_col would re-run the whole segmentation per span
+    pre = docs.select(
+        F.col(id_col).alias("id"),
+        sentences_col(F.col(text_col)).alias("_sents"),
+    )
+    sents = F.col("_sents")
     n = F.size(sents)
     idxs = F.when(n >= span, F.sequence(F.lit(0), n - span)).otherwise(
         F.array().cast("array<int>")  # sequence(a,b) DESCENDS when a > b
@@ -169,7 +176,7 @@ def span_dedup(
             ),
         ),
     )
-    ex = docs.select(F.col(id_col).alias("id"), F.explode(spans).alias("s")).select(
+    ex = pre.select("id", F.explode(spans).alias("s")).select(
         "id",
         F.col("s.span_idx").alias("span_idx"),
         F.col("s.span_md5").alias("span_md5"),
