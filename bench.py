@@ -316,6 +316,10 @@ def run_textops(spark, sf: float) -> dict:
             docs.select(toks.alias("tokens")), min_count=5, k=100,
         ).count(),
     )
+    from searchengine_spark.textops.quality import doc_fingerprints, token_stats
+
+    timed("fingerprints", lambda: doc_fingerprints(docs).count())
+    timed("token_stats", lambda: token_stats(docs).count())
     total = sum(s["sec"] for s in out["stages"].values())
     out["value"] = round(total, 3)
     out["docs_per_sec_all_stages"] = round(n_docs * len(out["stages"]) / total, 1)
