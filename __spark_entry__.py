@@ -2042,13 +2042,19 @@ FROM corpus2 GROUP BY md5(text) HAVING count(*) > 1
     # band-bucket candidate generation with the hot-bucket cap (lowest-64
     # ids per (band, band_key) bucket) — mirrors DEFAULT_BUCKET_CAP
     _minhash_keys_cte = """
+hs AS (
+  SELECT id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT % 2147483647 AS h1,
+         ('0x' || substr(md5(shingle), 13, 12))::BIGINT % 2147483647 AS h2
+  FROM sh
+),
 hk AS (
-  SELECT id, i AS hash_idx, min(md5(i::VARCHAR || '|' || shingle)) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i) GROUP BY id, i
+  SELECT id, i AS hash_idx, min((h1 + i * h2) % 2147483647) AS minhash
+  FROM hs CROSS JOIN (SELECT unnest(range(12)) AS i) GROUP BY id, i
 ),
 keys0 AS (
   SELECT id, (hash_idx // 3)::INT AS band,
-         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+         md5(string_agg(minhash::VARCHAR, '|' ORDER BY hash_idx)) AS band_key
   FROM hk GROUP BY id, hash_idx // 3
 ),
 keys AS (

@@ -7,10 +7,11 @@ in results).
 
 Scale notes (100 TB):
 - exact: one shuffle on a 128-bit key — trivially scalable.
-- MinHash LSH: cost is (docs x shingles x K) row explosion before the
-  min-agg; the min-agg is map-side combinable so the shuffle carries only
-  (doc, K) rows. Band join shuffles (doc, BANDS) rows. Hot buckets (boiler-
-  plate texts) are the skew risk -> cap candidates per bucket.
+- MinHash LSH: ONE md5 per shingle; the K-hash family is double-hashing
+  arithmetic over the digest halves (no K-row explosion), the K mins ride
+  as columns through a single map-side-combinable groupBy(id), and band
+  keys are projections of that row — one shuffle end-to-end. Hot buckets
+  (boilerplate texts) are the skew risk -> cap candidates per bucket.
 - SimHash: (docs x tokens x 64) explosion is the worst-case; grouped
   map-side so the shuffle is (doc, 64). Pair join on exact signature is a
   shuffle on a well-distributed 64-bit key.
@@ -25,6 +26,10 @@ from pyspark.sql import functions as F
 
 MINHASH_K = 12
 MINHASH_BANDS = 4  # 3 rows per band
+# Kirsch-Mitzenmacher field: g_i = (h1 + i*h2) mod p over the md5 halves.
+# p = 2^31-1 keeps every intermediate < 2^36 — exact and identical in Spark
+# BIGINT, DuckDB BIGINT and Python int (no unsigned/overflow divergence).
+MINHASH_P = (1 << 31) - 1
 # Hot-bucket candidate cap: a boilerplate band bucket with B docs generates
 # B^2/2 pairs — one viral template at 100 TB is a cartesian bomb. Keeping
 # the (deterministic) lowest-id ``cap`` docs per bucket bounds any bucket's
@@ -60,9 +65,19 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _minhash_sigs(docs: DataFrame, tokens_col: Column, id_col: str) -> DataFrame:
-    """(id, hash_idx, minhash) — minhash_i = min over shingles of
-    md5(i || '|' || shingle); lexicographic min over hex = a portable
-    128-bit universal-ish hash family."""
+    """(id, mh0..mh{K-1}) — K minhashes per doc from ONE md5 per shingle.
+
+    g_i(s) = (h1(s) + i*h2(s)) mod p (Kirsch & Mitzenmacher, "Less hashing,
+    same performance", ESA 2006) with h1/h2 the digest's two 48-bit halves
+    reduced mod p = 2^31-1 (MINHASH_P — all arithmetic exact cross-engine).
+
+    Scale shape: the r02 formulation cross-joined K=12 hash-index rows per
+    shingle (12x the rows, 12 md5s per shingle) and needed a SECOND shuffle
+    to band the tall (id, hash_idx) signatures. This one hashes each
+    shingle once, carries the K mins as COLUMNS through a single
+    map-side-combinable groupBy(id), and band keys become projections of
+    that row — one shuffle end-to-end, zero row explosion.
+    """
     # bind tokens ONCE before the shingle transform: interpreted
     # higher-order lambdas get no common-subexpression elimination, so an
     # inline tokenize expression would re-evaluate per element_at reference
@@ -73,16 +88,18 @@ def _minhash_sigs(docs: DataFrame, tokens_col: Column, id_col: str) -> DataFrame
         F.col(id_col).alias("id"), tokens_col.alias("_toks")
     ).select(
         "id", F.explode(shingles_col(F.col("_toks"))).alias("shingle")
+    ).select("id", F.md5("shingle").alias("_d"))
+    hs = sh.select(
+        "id",
+        (F.conv(F.substring("_d", 1, 12), 16, 10).cast("long") % MINHASH_P).alias("_h1"),
+        (F.conv(F.substring("_d", 13, 12), 16, 10).cast("long") % MINHASH_P).alias("_h2"),
     )
-    hk = sh.join(
-        docs.sparkSession.range(MINHASH_K).select(F.col("id").cast("int").alias("hash_idx")),
-        how="cross",
+    return hs.groupBy("id").agg(
+        *[
+            F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % MINHASH_P).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    hk = hk.withColumn(
-        "h", F.md5(F.concat_ws("|", F.col("hash_idx").cast("string"), F.col("shingle")))
-    )
-    # map-side combinable min-agg: shuffle carries only (id, K) rows
-    return hk.groupBy("id", "hash_idx").agg(F.min("h").alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -99,9 +116,18 @@ def minhash_lsh_candidates(
     each (band, band_key) bucket generate pairs (DEFAULT_BUCKET_CAP note)."""
     sigs = _minhash_sigs(docs, tokens_col, id_col)
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    banded = sigs.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-    keys = banded.groupBy("id", "band").agg(
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key")
+    # band keys as projections of the one-row-per-doc signature (fixed
+    # hash_idx order — no collect_list, no second shuffle), then a 4-row
+    # posexplode to the (id, band, band_key) key table
+    band_keys = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]))
+        for b in range(MINHASH_BANDS)
+    ])
+    keys = sigs.select(
+        "id", F.posexplode(band_keys).alias("band", "band_key")
     )
     if bucket_cap is not None:
         w = Window.partitionBy("band", "band_key").orderBy("id")

@@ -105,7 +105,13 @@ def test_exact_pairs_star_shape(spark):
 def test_dedup_keeplist_composition(spark):
     """exact copy (0,1), near-dup (2), unrelated (3): keep-list keeps the
     lowest id of the near-dup cluster and the singleton."""
-    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # near-dup at HIGH Jaccard (one word of ~40 changed -> J ~ 0.9): the
+    # pair must be found by the LSH composition itself, not by a lucky
+    # band collision of a borderline J ~ 0.5 pair (family-dependent)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today while the patient owl watches from the tall oak tree "
+            "near the quiet river bank counting silver fish that swim "
+            "slowly beneath the old wooden bridge at sunset every evening")
     rows = [(0, base), (1, base), (2, base.replace("dog", "cat")),
             (3, "completely unrelated text about database query optimizers")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")

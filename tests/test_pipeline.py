@@ -7,7 +7,23 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.textops.pipeline import CleanConfig, clean_corpus
 
-GOOD = " ".join(f"Sentence number {i} talks about the weather." for i in range(6))
+# varied content words keep the distinct-shingle set large (~30), so the
+# one-token near-dup edit below lands at Jaccard ~0.9 — found by ANY
+# reasonable LSH family, not by a lucky band collision of a borderline pair
+_TOPICS = ["morning weather", "harbor traffic", "garden soil",
+           "market prices", "violin practice", "mountain trails"]
+GOOD = " ".join(
+    f"Sentence number {i} talks about {t} in careful detail."
+    for i, t in enumerate(_TOPICS)
+)
+# doc 4's prefix carries enough DISTINCT shingle mass to push its Jaccard
+# vs GOOD below the 0.5 threshold: even when LSH proposes the pair, the
+# exact-Jaccard verification rejects it (family-independent outcome)
+_EMAIL_PREFIX = (
+    "Contact me at bob@example.com today about renewing the library card.\n"
+    "Our office moved beside the northern bakery last cold february week.\n"
+    "Parking remains free for visiting members until the spring festival.\n"
+)
 
 
 def _corpus(spark):
@@ -15,7 +31,7 @@ def _corpus(spark):
         (1, GOOD),
         (2, GOOD),  # exact dup of 1
         (3, GOOD.replace("number 3", "number three")),  # near-dup of 1
-        (4, "Contact me at bob@example.com today.\n" + GOOD),
+        (4, _EMAIL_PREFIX + GOOD),
         (5, "var x = { a: 1 }\n" + GOOD),  # brace line (line filter drops it)
         (6, "der die das und ist nicht ein eine mit für.\n"
             "auf den dem von zu sich auch werden oder aber."),  # German
