@@ -106,7 +106,7 @@ def _make_stemmer(lang: str):
     otherwise the vendored from-spec Snowball implementations: english
     (Porter2, stemmer.py), spanish (stemmer_es.py), french
     (stemmer_fr.py), portuguese (stemmer_pt.py), german (stemmer_de.py),
-    italian (stemmer_it.py)."""
+    italian (stemmer_it.py), dutch (stemmer_nl.py)."""
     try:
         from nltk.stem.snowball import SnowballStemmer  # type: ignore
 
@@ -138,10 +138,14 @@ def _make_stemmer(lang: str):
             from .stemmer_it import ItalianStemmer
 
             return ItalianStemmer()
+        if lang == "dutch":
+            from .stemmer_nl import DutchStemmer
+
+            return DutchStemmer()
         raise ImportError(
             f"stem_lang={lang!r} requires a working nltk (not installed); "
             "vendored fallbacks cover english/spanish/french/portuguese/"
-            "german/italian (stemmer.py, stemmer_{es,fr,pt,de,it}.py)"
+            "german/italian/dutch (stemmer.py, stemmer_{es,fr,pt,de,it,nl}.py)"
         ) from exc
 
 

@@ -17,6 +17,7 @@ from searchengine_spark.stemmer_de import stem_german
 from searchengine_spark.stemmer_es import stem_spanish
 from searchengine_spark.stemmer_fr import stem_french
 from searchengine_spark.stemmer_it import stem_italian
+from searchengine_spark.stemmer_nl import stem_dutch
 from searchengine_spark.stemmer_pt import stem_portuguese
 from searchengine_spark.tokenizer import TokenizerConfig, tokenize_text
 
@@ -171,6 +172,48 @@ def test_golden_italian(word, want):
     assert stem_italian(word) == want
 
 
+GOLDEN_NL = {
+    # step 1 en/ene after a valid en-ending, with kk/dd/tt undoubling
+    "boeken": "boek", "huizen": "huiz", "kansen": "kans", "manen": "man",
+    "gemakken": "gemak", "bedden": "bed", "katten": "kat",
+    "gemeenschappen": "gemeenschapp", "werkenden": "werkend",
+    # the 'gem' guard blocks the en-ending; no fallback to shorter rules
+    "gemen": "gemen",
+    # among longest-match must NOT fall back: failing 'ene' leaves step 2
+    # to strip the final e
+    "gene": "gen",
+    # step 1 s/se after a valid s-ending (non-vowel other than j)
+    "kans": "kan", "hollandse": "holland", "huis": "huis",
+    # step 2 final e after a non-vowel
+    "kleine": "klein", "kleinere": "kleiner", "café": "caf",
+    "coordinatie": "coordinatie", "coördinatie": "coordinatie",
+    # heden -> heid (step 1) and the step 3a heid chain
+    "waarheid": "waarheid", "waarheden": "waarheid",
+    "overheid": "over", "overheden": "over",
+    "mogelijkheid": "mogelijk", "mogelijkheden": "mogelijk",
+    # step 3b d-suffixes: lijk repeats step 2; end/ing with the chained
+    # ig deletion; baar always, bar only after a step-2 e removal
+    "lichamelijk": "licham", "lichamelijke": "licham",
+    "lichamelijkheden": "licham", "eerlijkheid": "eerlijk",
+    "eerlijk": "eerlijk", "opening": "open", "instelling": "instell",
+    "verwarrend": "verwarr", "dragend": "dragend",
+    "beledigingen": "beled", "huldiging": "huldig",
+    "voorzichtig": "voorzicht", "koning": "koning",
+    "openbaar": "open", "openbare": "open",
+    # step 4 undouble vowel (CVD, D other than I)
+    "maan": "man", "brood": "brod",
+    # prelude consonant-marking of i between vowels / y after a vowel
+    "baaien": "baai", "royale": "royal",
+    # short words unchanged
+    "de": "de", "het": "het", "": "",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GOLDEN_NL.items()))
+def test_golden_dutch(word, want):
+    assert stem_dutch(word) == want
+
+
 @pytest.mark.parametrize("word,want", sorted(GOLDEN_FR.items()))
 def test_golden_french(word, want):
     assert stem_french(word) == want
@@ -204,6 +247,10 @@ def test_tokenizer_dispatch_langs():
     assert tokenize_text("libri bellissimi parlando", cfg_it) == [
         "libr", "bellissim", "parl"
     ]
+    cfg_nl = TokenizerConfig(min_token_length=2, stem_lang="dutch")
+    assert tokenize_text("de boeken openbare", cfg_nl) == [
+        "de", "boek", "open"
+    ]
     with pytest.raises(ImportError, match="english/spanish/french"):
         tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="russian"))
 
@@ -214,6 +261,7 @@ def test_tokenizer_dispatch_langs():
     ("portuguese", "os trabalhadores trabalhando muito", "trabalho", "trabalh"),
     ("german", "die kinder lesen viele bücher", "kindes", "kind"),
     ("italian", "i libri della nazione italiana", "libro", "libr"),
+    ("dutch", "de boeken over mogelijkheden", "mogelijkheid", "mogelijk"),
 ])
 def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
     """Build + query a stemmed index per language: a different inflection
@@ -233,7 +281,7 @@ def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
 @pytest.mark.parametrize("lang,fn", [
     ("spanish", stem_spanish), ("french", stem_french),
     ("portuguese", stem_portuguese), ("german", stem_german),
-    ("italian", stem_italian),
+    ("italian", stem_italian), ("dutch", stem_dutch),
 ])
 def test_nltk_parity_when_available(lang, fn):
     """Full parity vs nltk's SnowballStemmer — the reference's stemmer —
@@ -248,7 +296,7 @@ def test_nltk_parity_when_available(lang, fn):
         pytest.skip("nltk absent or stubbed (ref_oracle shim)")
     vocab = sorted(
         {"spanish": GOLDEN_ES, "french": GOLDEN_FR, "portuguese": GOLDEN_PT,
-         "german": GOLDEN_DE, "italian": GOLDEN_IT}[lang]
+         "german": GOLDEN_DE, "italian": GOLDEN_IT, "dutch": GOLDEN_NL}[lang]
     )
     mism = {w: (fn(w), ref.stem(w)) for w in vocab if fn(w) != ref.stem(w)}
     assert not mism, mism
