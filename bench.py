@@ -270,7 +270,15 @@ def run_textops(spark, sf: float) -> dict:
 
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # the sf0.1 table is ONE parquet file = ONE input split: without this,
+    # every stage's tokenize/shingle work runs on a single core and the
+    # numbers measure the file layout, not the operators (at cluster scale
+    # the input arrives as many splits; maxPartitionBytes does the same)
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(CPUS)
+        .persist()
+    )
     n_docs = docs.count()
     out: dict = {"metric": "textops_throughput", "unit": "docs_per_sec",
                  "sf": sf, "n_docs": n_docs, "stages": {}}
