@@ -107,16 +107,31 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             F.col("span_len").cast("double").alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
-    else:  # boolean_and / boolean_or — unranked set retrieval
+    else:  # boolean_and / boolean_or — set retrieval, score = match count
+        from searchengine_spark.tokenizer import tokenize_text
+
         op = ranker.split("_")[1]
         hits = boolean_search_packed(pidx, queries, cfg, op=op)
         if doc_filter is not None:
             # no top-k in boolean retrieval -> a post semi-join is exact
             hits = hits.join(doc_filter.select("doc_id"), "doc_id")
-        topk = hits.select(
-            "query_id", "doc_id",
-            F.lit(1.0).alias("score"), F.lit(0).alias("rank"),
-        )
+        if op == "or":
+            # same score the local tier emits: matched-term count
+            topk = hits.select(
+                "query_id", "doc_id",
+                F.col("n_terms").cast("double").alias("score"),
+                F.lit(0).alias("rank"),
+            )
+        else:
+            # AND hits all match every term -> per-query constant score
+            nq = spark.createDataFrame(
+                [(i, float(len(dict.fromkeys(tokenize_text(q, cfg)))))
+                 for i, q in enumerate(queries)],
+                "query_id int, score double",
+            )
+            topk = hits.join(F.broadcast(nq), "query_id").select(
+                "query_id", "doc_id", "score", F.lit(0).alias("rank"),
+            )
     return resolve_docs(pidx, topk)
 
 
@@ -136,8 +151,6 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
 def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
     """Fetch the result rows' source texts (one pruned read over the
     bounded result set) and attach a best-window snippet to each."""
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     from searchengine_spark.query.snippet import extract_snippet
@@ -149,17 +162,12 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
     if not keys:
         return
     src = spark.read.parquet(source)
-    cond = reduce(
-        lambda a, b: a | b,
-        (
-            reduce(lambda x, y: x & y,
-                   (F.col(c) == F.lit(v) for c, v in zip(ext, key)))
-            for key in keys
-        ),
-    )
+    # bounded-set fetch as a broadcast semi-join (a literal OR-of-AND
+    # predicate tree grows with the result set and doesn't push down)
+    kdf = spark.createDataFrame(sorted(keys), schema=src.select(*ext).schema)
     texts = {
         tuple(r[c] for c in ext): r["text"]
-        for r in src.filter(cond).select(*ext, "text").collect()
+        for r in src.join(F.broadcast(kdf), on=ext).select(*ext, "text").collect()
     }
     memo: dict = {}
     for q, res in zip(queries, per_q):
@@ -375,7 +383,7 @@ def main() -> None:
     if prf and args.serve_mode == "local":
         raise SystemExit("--prf runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    use_local = not prf and doc_boost is None and (
+    use_local = not prf and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     )
@@ -383,6 +391,13 @@ def main() -> None:
         # the local tier takes the resolved id set directly (one bounded
         # job here, zero per query after that)
         filter_ids = [int(r["doc_id"]) for r in doc_filter.collect()]
+    boost_map = None
+    if use_local and doc_boost is not None:
+        # bounded: boost_doc_ids drops no-op (==1.0) boosts, so this is
+        # sized by the boosted fraction — one job here, zero per query
+        boost_map = {
+            int(r["doc_id"]): float(r["boost"]) for r in doc_boost.collect()
+        } or None
     local = None
     if use_local:
         from searchengine_spark.query.serve import LocalSearcher
@@ -407,7 +422,8 @@ def main() -> None:
                 per_q = [
                     sorted(local.search(q, k=args.n, ranker=args.ranker,
                                         schema=args.schema, fuzzy=args.fuzzy,
-                                        filter_docs=filter_ids),
+                                        filter_docs=filter_ids,
+                                        boost_docs=boost_map),
                            key=lambda r: (r["rank"], r["doc_id"]))
                     for q in queries
                 ]

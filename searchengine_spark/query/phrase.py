@@ -154,6 +154,9 @@ def _phrase_group(toks, rows_by_slot, decode, decode_pos):
             ok = start >= 0
             if start.size and int(flat.max()) >= (1 << 32):
                 raise ValueError("position exceeds the phrase key stride")
+            if doc_ids.size and int(doc_ids.max()) >= (1 << 31):
+                # doc*stride+start must fit a signed int64 (numpy wraps)
+                raise ValueError("doc_id exceeds the phrase key stride")
             slot_keys.append(
                 np.repeat(doc_ids.astype(np.int64), tfs)[ok] * stride + start[ok]
             )

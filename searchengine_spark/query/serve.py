@@ -130,8 +130,13 @@ class LocalSearcher:
             self._idf[r["term"]] = float(r["idf"])
             self._df[r["term"]] = int(r["df"])
         dm = self.pidx.docmap.toPandas()
+        # .item() numpy scalars so resolved rows JSON-serialize identically
+        # to the distributed tier's Row.collect() (int, not np.int64->str)
         self._docmap = {
-            int(r[0]): tuple(r[1:]) for r in dm.itertuples(index=False)
+            int(r[0]): tuple(
+                v.item() if isinstance(v, np.generic) else v for v in r[1:]
+            )
+            for r in dm.itertuples(index=False)
         }
         if self._sidecar and self.pidx.doc_norms is not None:
             nz = self.pidx.doc_norms.toPandas()
@@ -386,6 +391,12 @@ class LocalSearcher:
             )
             out = scorer(pdf)
         else:  # tfidf / tfidf_optimized
+            if ranker == "tfidf_optimized" and not self._positional:
+                # same refusal as the distributed twin
+                # (proximity_topk_packed_batch): without stored positions
+                # the boost would silently be 0 for every doc — plain
+                # tfidf ranking mislabeled as tfidf_optimized.
+                raise ValueError("packed index was not built with positional=True")
             out = self._tfidf(pdf, toks, k, ranker == "tfidf_optimized",
                               schema, round_dp, rerank_n)
         return self._resolve(out, resolve)
@@ -439,11 +450,13 @@ class LocalSearcher:
             toks = list(rows[0]["tokens"])
             self._doc_tokens_cache[did] = toks
         import math
+        from collections import Counter
 
-        uniq = sorted(set(toks))
+        tf = Counter(toks)  # one O(n) pass, not O(n·uniq) list.count calls
+        uniq = sorted(tf)
         self._ensure_terms(uniq)
         w = {
-            t: round((1.0 + math.log(toks.count(t))) * self._idf[t], 6)
+            t: round((1.0 + math.log(tf[t])) * self._idf[t], 6)
             for t in uniq if t in self._idf
         }
         top = [t for t, _ in sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:m]]

@@ -106,6 +106,9 @@ def _min_spans_vectorized(docs, pos, tid, k):
     stride = np.int64(1) << np.int64(32)
     if pos.size and int(pos.max()) >= (1 << 32):
         raise ValueError("position exceeds the span key stride")
+    if docs.size and int(docs.max()) >= (1 << 31):
+        # docs*stride+pos must fit a signed int64; numpy wraps silently
+        raise ValueError("doc_id exceeds the span key stride")
     g = docs * stride + pos
     order = np.argsort(g, kind="stable")  # (doc, pos) ascending; keys unique
     g = g[order]

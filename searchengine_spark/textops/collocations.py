@@ -10,9 +10,11 @@ analytics; this is the standard extension over the same tokenization.
 
 Spark shape: bigram extraction is a zero-exchange map (slice + zip on the
 token arrays — no positional self-join), then ONE wide groupBy for pair
-counts (map-side combinable) and one for unigram counts; the two
-unigram-count joins land AFTER the ``min_count`` floor so their input is
-the surviving bigram set, not the raw pair stream. Token arrays come
+counts (map-side combinable) and ONE for unigram counts, consumed through
+a single melted join (the surviving bigrams unpivot to (side, w) rows) so
+the unigram aggregate is computed once, not once per join side; the join
+lands AFTER the ``min_count`` floor so its input is the surviving bigram
+set, not the raw pair stream. Token arrays come
 from the caller — pass the docs stage's STORED tokens
 (``PackedIndex.doc_tokens()``) to avoid re-tokenizing an indexed corpus.
 
@@ -40,12 +42,24 @@ def bigram_collocations(
     count toward the unigram totals."""
     t = F.col(tokens_col)
     toks = tokens_df.select(t.alias("tokens"))
+    # N = total token count: a shuffle-free scan (sum of array sizes),
+    # NOT an eager materialization of the unigram aggregate — uni below
+    # is then referenced exactly once in the returned plan.
+    n_tokens = int(
+        toks.agg(
+            F.sum(
+                F.when(F.col("tokens").isNull(), F.lit(0)).otherwise(
+                    F.size("tokens")
+                )
+            )
+        ).collect()[0][0]
+        or 0
+    )
     uni = (
         toks.select(F.explode("tokens").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_tokens = uni.agg(F.sum("c")).collect()[0][0] or 0
     pairs = (
         toks.filter(F.size("tokens") >= 2)
         .select(
@@ -63,8 +77,29 @@ def bigram_collocations(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
-    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
-    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # both unigram lookups through ONE join (melt the surviving bigrams
+    # to (side, w) rows) so the corpus-scale uni aggregation runs once
+    # per execution instead of once per join side
+    melt = big.select(
+        "w1", "w2", "pair_count",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("side"), F.col("w1").alias("w")),
+                F.struct(F.lit(2).alias("side"), F.col("w2").alias("w")),
+            )
+        ).alias("m"),
+    ).select(
+        "w1", "w2", "pair_count",
+        F.col("m.side").alias("side"), F.col("m.w").alias("w"),
+    )
+    cnt = (
+        melt.join(uni, "w")
+        .groupBy("w1", "w2", "pair_count")
+        .agg(
+            F.max(F.when(F.col("side") == 1, F.col("c"))).alias("c1"),
+            F.max(F.when(F.col("side") == 2, F.col("c"))).alias("c2"),
+        )
+    )
     pmi = F.round(
         F.log(
             (F.col("pair_count").cast("double") * F.lit(float(n_tokens)))
@@ -73,9 +108,7 @@ def bigram_collocations(
         6,
     )
     return (
-        big.join(c1, "w1")
-        .join(c2, "w2")
-        .select(
+        cnt.select(
             "w1", "w2", F.col("pair_count").cast("long").alias("pair_count"),
             pmi.alias("pmi"),
         )

@@ -38,7 +38,12 @@ def pii_stats(
     Counts follow the same sequential-redaction view as :func:`redact_pii`
     (each class is counted on the text with the previous classes already
     replaced), so n_* sums to the number of placeholders redact emits."""
-    out = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    # NULL text counts as zero PII spans, not NULL counts (a downstream
+    # sum/filter must not silently skip/drop the doc)
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
     counts = []
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumn(

@@ -236,3 +236,25 @@ def test_phrase_on_appended_index(spark, cfg, tmp_path):
         for r in local_phrase(searcher, "merge sort", k=None, resolve=False)
     }
     assert local == want
+
+
+def test_phrase_kernel_doc_id_guard():
+    # doc*2^32+start must fit int64 — the kernel refuses past 2^31 docs
+    import numpy as np
+    from types import SimpleNamespace
+
+    from searchengine_spark.query.phrase import _phrase_group
+
+    docs = np.array([1 << 31], dtype=np.int64)
+    tfs = np.array([1], dtype=np.int64)
+    row = SimpleNamespace(postings=b"", positions=b"")
+    with pytest.raises(ValueError, match="doc_id exceeds"):
+        _phrase_group(
+            ["alpha"],
+            {0: [row]},
+            lambda buf: (docs, tfs, None),
+            lambda buf, t: (
+                np.zeros(1, dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+            ),
+        )

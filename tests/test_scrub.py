@@ -54,3 +54,17 @@ def test_counts_equal_placeholders(spark, docs):
         assert stats[d] == (
             text.count("<EMAIL>"), text.count("<IP>"), text.count("<PHONE>")
         ), d
+
+
+def test_null_text_counts_zero(spark):
+    # NULL text is zero PII spans, not NULL counts (a sum/filter
+    # downstream must not silently skip/drop the doc)
+    docs = spark.createDataFrame(
+        [(0, None), (1, "bob@x.io")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_email"], r["n_ip"], r["n_phone"])
+        for r in pii_stats(docs).collect()
+    }
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (1, 0, 0)

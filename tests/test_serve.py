@@ -97,6 +97,26 @@ def test_boolean_parity(pidx, local, cfg):
             assert got == want.get(qid, set()), (op, q)
 
 
+def test_boolean_or_score_is_match_count(pidx, local, cfg):
+    # the serving tiers agree on the OR score: matched-term count, the
+    # n_terms column boolean_search_packed emits (jobs/search.py forwards
+    # it as the spark-tier score)
+    df = boolean_search_packed(pidx, QUERIES, cfg, op="or")
+    want = {}
+    for r in df.collect():
+        want.setdefault(r["query_id"], {})[r["doc_id"]] = float(r["n_terms"])
+    from searchengine_spark.tokenizer import tokenize_text
+
+    for qid, q in enumerate(QUERIES):
+        res = local.search(q, ranker="boolean_or", resolve=False)
+        got = {r["doc_id"]: r["score"] for r in res}
+        assert got == want.get(qid, {}), q
+        # AND hits score the per-query constant: unique query-term count
+        n_uniq = float(len(dict.fromkeys(tokenize_text(q, cfg))))
+        for r in local.search(q, ranker="boolean_and", resolve=False):
+            assert r["score"] == n_uniq, q
+
+
 def test_resolve_ext_cols(pidx, local, cfg):
     res = local.search(QUERIES[0], k=3, ranker="bm25")
     assert res and all("conv_id" in r and "turn_idx" in r for r in res)
@@ -158,3 +178,29 @@ def test_decoded_cache_all_rankers_repeat(pidx, cfg):
         a = ls.search(QUERIES[1], k=10, ranker=ranker, resolve=False)
         b = ls.search(QUERIES[1], k=10, ranker=ranker, resolve=False)
         assert a == b and (a or ranker.startswith("boolean"))
+
+
+def test_optimized_rankers_refuse_non_positional(spark, cfg, tmp_path_factory):
+    # without stored positions the local tier must refuse (the distributed
+    # twin raises) — not silently serve unboosted scores under the
+    # *_optimized label
+    path = str(tmp_path_factory.mktemp("serve_nopos") / "idx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=6, n_partitions=2), cfg, path,
+        params=PARAMS, chunk_docs=256, positional=False, tfidf_sidecar=True,
+    )
+    ls = LocalSearcher(load_packed_index(spark, path), preload=True, cfg=cfg)
+    for ranker in ("bm25_optimized", "tfidf_optimized"):
+        with pytest.raises(ValueError, match="positional=True"):
+            ls.search(QUERIES[0], ranker=ranker, resolve=False)
+
+
+def test_resolve_returns_native_python_types(local):
+    # preload-tier resolve must emit plain Python scalars (json-identical
+    # to the distributed tier's Row.collect()), not numpy scalars
+    res = local.search(QUERIES[0], k=3, ranker="bm25")
+    assert res
+    for r in res:
+        assert type(r["doc_id"]) is int
+        assert type(r["turn_idx"]) is int
+        assert type(r["conv_id"]) is str

@@ -213,3 +213,17 @@ def test_nonpositional_refuses(corpus, cfg):
     it = build_index(corpus, cfg, positional=False)
     with pytest.raises(ValueError, match="positional"):
         minspan_topk_batch(it, ["merge sort"], cfg)
+
+
+def test_minspan_kernel_doc_id_guard():
+    # docs*2^32+pos must fit int64: numpy wraps silently past 2^31 docs,
+    # so the kernel refuses instead of corrupting the sort order
+    import numpy as np
+
+    from searchengine_spark.query.spans import _min_spans_vectorized
+
+    docs = np.array([1 << 31], dtype=np.int64)
+    pos = np.array([0], dtype=np.int64)
+    tid = np.array([0], dtype=np.int64)
+    with pytest.raises(ValueError, match="doc_id exceeds"):
+        _min_spans_vectorized(docs, pos, tid, 1)
