@@ -8,7 +8,7 @@ Cluster usage (north_rule packaging):
         --input  <parquet/Iceberg path of transcripts> \\
         --output <index path> \\
         --min-token-length 3 --stop-words stop_words.txt \\
-        --k 1.2 --b 0.75 [--resume] [--positional-chunk-docs 65536]
+        --k 1.2 --b 0.75 [--resume] [--positional] [--chunk-docs 65536]
 
 Local smoke (this sandbox):
 
@@ -70,6 +70,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.output_format == "iceberg" and not args.iceberg_prefix:
         ap.error("--output-format iceberg requires --iceberg-prefix")
+    if not args.synthetic and not args.input:
+        ap.error("one of --input / --synthetic is required")
 
     from pyspark.sql import SparkSession
 

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from . import fsio
 from .build import Bm25Params
 from .codec import decode_docs, decode_positions, decode_postings
-from .deletes import load_delete_mask, tombstone_dirs
+from .deletes import load_delete_mask
 from .packed import INDEX_SCHEMA, _encode_partition
 
 
@@ -159,19 +159,13 @@ def compact_index(
     version = int(manifest.get("compaction", 0)) + 1
     mask = load_delete_mask(spark, path, manifest)
 
-    old_index = [fsio.join(path, manifest.get("index_dir", "index"))] + [
-        fsio.join(path, "index_appends", str(a["batch_id"])) for a in appends
-    ]
-    old_docs = [fsio.join(path, manifest.get("docs_dir", "docs"))] + [
-        fsio.join(path, "docs_appends", str(a["batch_id"])) for a in appends
-    ]
-    old_norms = (
-        [fsio.join(path, manifest.get("doc_norms_dir", "doc_norms"))]
-        + [fsio.join(path, "doc_norms_appends", str(a["batch_id"])) for a in appends]
-        if manifest.get("tfidf_sidecar")
-        else []
-    )
-    old_tombs = tombstone_dirs(path, manifest)
+    from .snapshots import referenced_dirs_by_kind
+
+    kinds = referenced_dirs_by_kind(path, manifest)  # canonical inventory
+    old_index = kinds["index"]
+    old_docs = kinds["docs"]
+    old_norms = kinds.get("doc_norms", [])
+    old_tombs = kinds["tombstones"]
 
     # ---- index rewrite: decode -> mask -> the build's own encode stage ----
     merged = merged_index_plan(
@@ -196,14 +190,6 @@ def compact_index(
             )
         new_norms = fsio.join(path, f"doc_norms_v{version}")
         norms.write.mode("overwrite").parquet(new_norms)
-
-    # lineage record (north_rule: per-partition lineage + metrics)
-    spark.createDataFrame(
-        [(version, len(appends), len(deletes), int(manifest["n_postings"]))],
-        "version long, n_appends long, n_deletes long, n_postings long",
-    ).withColumn("stage", F.lit("compaction")).write.mode("append").parquet(
-        fsio.join(path, "lineage_stream")
-    )
 
     # ---- commit: one atomic manifest replace -------------------------------
     # groups from earlier compactions that still have dirs on disk (a crash
@@ -239,6 +225,15 @@ def compact_index(
     from .snapshots import commit_manifest
 
     commit_manifest(spark, path, manifest)
+    # lineage record (north_rule: per-partition lineage + metrics), written
+    # POST-commit: lineage_stream is append-mode, so a pre-commit write
+    # would leave an orphan row when a crashed compaction is retried
+    spark.createDataFrame(
+        [(version, len(appends), len(deletes), int(manifest["n_postings"]))],
+        "version long, n_appends long, n_deletes long, n_postings long",
+    ).withColumn("stage", F.lit("compaction")).write.mode("append").parquet(
+        fsio.join(path, "lineage_stream")
+    )
     for group in prev_groups:
         for d in group:
             fsio.delete(spark, d)

@@ -153,11 +153,9 @@ def load_delete_mask(spark: SparkSession, path: str, manifest: dict) -> Optional
 
 
 def _docs_paths(path: str, manifest: dict) -> list:
-    base = fsio.join(path, manifest.get("docs_dir", "docs"))
-    return [base] + [
-        fsio.join(path, "docs_appends", str(a["batch_id"]))
-        for a in manifest.get("appends", [])
-    ]
+    from .snapshots import referenced_dirs_by_kind
+
+    return referenced_dirs_by_kind(path, manifest)["docs"]
 
 
 def delete_docs(
@@ -245,14 +243,6 @@ def delete_docs(
     deltas.unpersist()
     target.unpersist()
 
-    # lineage sidecar: per-delete counts (north_rule: per-partition lineage)
-    spark.createDataFrame(
-        [(version, n_del, n_post_delta)],
-        "version long, n_docs long, n_postings long",
-    ).withColumn("stage", F.lit("delete")).write.mode("append").parquet(
-        fsio.join(path, "lineage_stream")
-    )
-
     # ---- the commit point: one atomic manifest replace --------------------
     manifest["n_docs_live"] = new_live
     manifest["delete_seq"] = max(seq, version + 1)
@@ -273,6 +263,16 @@ def delete_docs(
     from .snapshots import commit_manifest
 
     commit_manifest(spark, path, manifest)
+    # lineage sidecar: per-delete counts (north_rule: per-partition
+    # lineage). Written POST-commit — lineage_stream is append-mode, so a
+    # pre-commit write would leave an orphan row when a crashed delete is
+    # retried under the same (or a reused) version.
+    spark.createDataFrame(
+        [(version, n_del, n_post_delta)],
+        "version long, n_docs long, n_postings long",
+    ).withColumn("stage", F.lit("delete")).write.mode("append").parquet(
+        fsio.join(path, "lineage_stream")
+    )
     for d in gc_now:
         fsio.delete(spark, fsio.join(path, d))
     return manifest

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from . import fsio
 from .codec import decode_docs, decode_positions, decode_postings, tf_saturation
-from .deletes import load_delete_mask, tombstone_dirs
+from .deletes import load_delete_mask
 
 MAX_ERRORS = 50  # keep the report bounded
 
@@ -122,24 +122,12 @@ def verify_index(spark: SparkSession, path: str, deep: bool = False) -> dict:
     manifest = json.loads(fsio.read_text(spark, manifest_path))
     n_docs = int(manifest["n_docs"])
     n_live = int(manifest.get("n_docs_live", n_docs))
-    appends = manifest.get("appends", [])
     deletes = manifest.get("deletes", [])
 
-    # ---- dirs the manifest references ------------------------------------
-    dirs = {
-        "index": [fsio.join(path, manifest.get("index_dir", "index"))]
-        + [fsio.join(path, "index_appends", str(a["batch_id"])) for a in appends],
-        "docs": [fsio.join(path, manifest.get("docs_dir", "docs"))]
-        + [fsio.join(path, "docs_appends", str(a["batch_id"])) for a in appends],
-        "term_stats": [
-            fsio.join(path, manifest.get("term_stats_dir", "term_stats"))
-        ],
-        "tombstones": tombstone_dirs(path, manifest),
-    }
-    if manifest.get("tfidf_sidecar"):
-        dirs["doc_norms"] = [
-            fsio.join(path, manifest.get("doc_norms_dir", "doc_norms"))
-        ] + [fsio.join(path, "doc_norms_appends", str(a["batch_id"])) for a in appends]
+    # ---- dirs the manifest references (the shared canonical inventory) ----
+    from .snapshots import referenced_dirs_by_kind
+
+    dirs = referenced_dirs_by_kind(path, manifest)
     for kind, ds in dirs.items():
         for d in ds:
             if not fsio.exists(spark, d):

@@ -53,27 +53,43 @@ def commit_manifest(spark: SparkSession, path: str, manifest: dict) -> dict:
     return manifest
 
 
-def referenced_dirs(path: str, manifest: dict) -> list:
-    """Every dir a manifest needs to serve (the loader's liveness check and
-    fsck's dir inventory share this)."""
+def referenced_dirs_by_kind(path: str, manifest: dict) -> dict:
+    """The dirs a manifest needs to serve, keyed by stage kind — the ONE
+    inventory that fsck's checks, compaction's retirement groups, the
+    delete path's docs reads and the snapshot liveness check all derive
+    from (a new manifest-listed stage dir is added here, nowhere else)."""
     from .deletes import tombstone_dirs
 
     appends = manifest.get("appends", [])
-    dirs = (
-        [fsio.join(path, manifest.get("index_dir", "index"))]
-        + [fsio.join(path, "index_appends", str(a["batch_id"])) for a in appends]
-        + [fsio.join(path, manifest.get("docs_dir", "docs"))]
-        + [fsio.join(path, "docs_appends", str(a["batch_id"])) for a in appends]
-        + [fsio.join(path, manifest.get("term_stats_dir", "term_stats"))]
-        + tombstone_dirs(path, manifest)
-    )
+    kinds = {
+        "index": [fsio.join(path, manifest.get("index_dir", "index"))]
+        + [fsio.join(path, "index_appends", str(a["batch_id"])) for a in appends],
+        "docs": [fsio.join(path, manifest.get("docs_dir", "docs"))]
+        + [fsio.join(path, "docs_appends", str(a["batch_id"])) for a in appends],
+        "term_stats": [
+            fsio.join(path, manifest.get("term_stats_dir", "term_stats"))
+        ],
+        "tombstones": tombstone_dirs(path, manifest),
+    }
     if manifest.get("tfidf_sidecar"):
-        dirs.append(fsio.join(path, manifest.get("doc_norms_dir", "doc_norms")))
-        dirs += [
+        kinds["doc_norms"] = [
+            fsio.join(path, manifest.get("doc_norms_dir", "doc_norms"))
+        ] + [
             fsio.join(path, "doc_norms_appends", str(a["batch_id"]))
             for a in appends
         ]
-    return dirs
+    return kinds
+
+
+def referenced_dirs(path: str, manifest: dict) -> list:
+    """Flat view of :func:`referenced_dirs_by_kind` (the loader's liveness
+    check and snapshot expiry use it)."""
+    kinds = referenced_dirs_by_kind(path, manifest)
+    return [
+        d
+        for k in ("index", "docs", "term_stats", "tombstones", "doc_norms")
+        for d in kinds.get(k, ())
+    ]
 
 
 def load_snapshot_manifest(spark: SparkSession, path: str, snapshot: int) -> dict:

@@ -75,13 +75,27 @@ def append_batch(
     cfg: TokenizerConfig,
     batch_id: int = 0,
     text_col: str = "text",
-    order_cols=("conv_id", "turn_idx"),
+    order_cols=None,
 ) -> dict:
     """Append one micro-batch of transcript rows to the packed index at
-    ``path``; returns the updated manifest. Idempotent per ``batch_id``."""
+    ``path``; returns the updated manifest. Idempotent per ``batch_id``.
+
+    ``order_cols`` defaults to the MANIFEST's recorded external-id columns
+    (build/append parity — the appended docs stage must union cleanly with
+    the base docs stage); passing a conflicting set is an error, not a
+    silent schema divergence."""
     spark = batch.sparkSession
     dirs = _stage_dirs(path)
     manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
+    m_order = tuple(c for c in manifest["order_cols"] if c != "doc_id")
+    if order_cols is None:
+        order_cols = m_order
+    elif tuple(order_cols) != m_order:
+        raise ValueError(
+            f"order_cols {tuple(order_cols)} conflicts with the index's "
+            f"recorded order_cols {m_order}; appended docs must share the "
+            "base docs-stage schema"
+        )
     payload = manifest.get("payload", "freq")
     positional = bool(manifest.get("positional"))
     committed = {a["batch_id"] for a in manifest.get("appends", [])}
@@ -187,20 +201,16 @@ def append_batch(
             .parquet(adirs["doc_norms"])
         )
 
-    # streaming lineage sidecar: per-append doc ranges + counts
-    (
-        docs.groupBy()
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min(DOC_ID).alias("min_doc"),
-            F.max(DOC_ID).alias("max_doc"),
-            F.sum("dl").alias("n_tokens"),
-        )
-        .withColumn("stage", F.lit("stream_append"))
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("append")
-        .parquet(fsio.join(path, "lineage_stream"))
-    )
+    # streaming lineage stats (one row): computed here while ``docs`` is
+    # still persisted, WRITTEN only after the commit point below —
+    # lineage_stream is append-mode, so a pre-commit write would leave an
+    # orphan/duplicate row when a crashed epoch is retried
+    lrow = docs.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.min(DOC_ID).alias("min_doc"),
+        F.max(DOC_ID).alias("max_doc"),
+        F.sum("dl").alias("n_tokens"),
+    ).collect()[0]
     # positional indexes serve BM25_OPTIMIZED, whose boost normalizes by
     # the manifest dl_norm bounds — widen them with the batch (the rebuild-
     # consistent direction; values stay on the frozen avgdl) so appended
@@ -260,6 +270,18 @@ def append_batch(
     from ..indexing.snapshots import commit_manifest
 
     commit_manifest(spark, path, manifest)
+    # informational sidecar, written post-commit (exactly-once: a retry of
+    # a crashed epoch is a manifest no-op, so it never duplicates a row; a
+    # crash in the tiny commit→write window loses one stats row, which is
+    # the honest trade for an append-mode file)
+    spark.createDataFrame(
+        [(
+            int(lrow["n_rows"]), int(lrow["min_doc"]), int(lrow["max_doc"]),
+            int(lrow["n_tokens"]), "stream_append", batch_id,
+        )],
+        "n_rows long, min_doc long, max_doc long, n_tokens long, "
+        "stage string, batch_id long",
+    ).write.mode("append").parquet(fsio.join(path, "lineage_stream"))
     for d in gc_now:
         fsio.delete(spark, fsio.join(path, d))
     return manifest
@@ -272,7 +294,7 @@ def stream_append(
     cfg: TokenizerConfig,
     schema=None,
     text_col: str = "text",
-    order_cols=("conv_id", "turn_idx"),
+    order_cols=None,
 ) -> None:
     """availableNow-run a parquet-directory stream of transcript rows into
     the packed index; the checkpoint (inside the index dir) makes re-runs

@@ -106,9 +106,16 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pre = F.coalesce(F.sum("_dl").over(w), F.lit(0))
+    # integer `div`, not floor(double /): double division loses exactness
+    # past 2^52 cumulative tokens and breaks the module's integer-only
+    # cross-engine contract (the DuckDB oracle uses `//`)
     return base.select(
         "id",
         "bucket",
-        F.floor(pre / budget).cast("long").alias("bin_idx"),
-        (pre % budget).cast("long").alias("offset"),
+        pre.alias("_pre"),
+    ).select(
+        "id",
+        "bucket",
+        F.expr(f"_pre div {int(budget)}").cast("long").alias("bin_idx"),
+        (F.col("_pre") % budget).cast("long").alias("offset"),
     )

@@ -58,7 +58,11 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     canonical_id=min id, n_dups). One groupBy shuffle on the hash."""
     h = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
     return (
-        h.groupBy("text_hash")
+        # md5(NULL) is NULL and groupBy KEEPS the null key — without the
+        # filter every NULL-text doc lands in one fake dup group while the
+        # pair form (NULL never equi-joins) emits no edge for them
+        h.filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
         .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") > 1)
     )
@@ -213,7 +217,9 @@ def exact_duplicate_pairs(
     """Exact-dup PAIR form (id_a < id_b) of :func:`exact_duplicates`, for
     composition into the pair graph. Star-shaped per hash group (min-id
     hub), so a group of B docs emits B-1 edges, not B^2/2."""
-    h = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+    h = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash")
+    ).filter(F.col("text_hash").isNotNull())  # match exact_duplicates
     hub = h.groupBy("text_hash").agg(F.min("id").alias("id_a"))
     return (
         h.join(hub, "text_hash")

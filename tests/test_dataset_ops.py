@@ -94,3 +94,18 @@ def test_pack_rejects_bad_budget(spark):
         hash_sample(df, 50000, 100000)
     with pytest.raises(ValueError, match="hash space"):
         hash_split(df, {"a": 70000, "b": 70000})
+
+
+def test_pack_sequences_integer_div_past_double_precision(spark):
+    # bin_idx must use exact integer division: floor(double /) rounds a
+    # cumulative count near 2^53 to the wrong bin
+    big = (1 << 53) - 1  # largest odd long a double cannot represent +1 of
+    rows = [(0, big), (1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, dl long")
+    out = {
+        r["id"]: (r["bin_idx"], r["offset"])
+        for r in pack_sequences(df, "dl", budget=2, n_buckets=1).collect()
+    }
+    assert out[0] == (0, 0)
+    # python int arithmetic is the oracle: pre=big for doc 1
+    assert out[1] == (big // 2, big % 2)

@@ -141,3 +141,22 @@ def test_simhash_near_pairs_hamming(spark):
     assert (0, 3) not in near and (1, 3) not in near
     with pytest.raises(ValueError):
         simhash_near_pairs(sigs, max_hamming=4)
+
+
+def test_exact_dedup_null_text_consistent(spark):
+    # NULL-text docs are never duplicates in EITHER form: the group form
+    # must not collapse them into one fake md5(NULL) group the pair form
+    # (NULL never equi-joins) would disagree with
+    from searchengine_spark.textops.dedup import (
+        exact_duplicate_pairs,
+        exact_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, "same"), (3, "same")],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["canonical_id"] == 2
+    pairs = {(r["id_a"], r["id_b"]) for r in exact_duplicate_pairs(docs).collect()}
+    assert pairs == {(2, 3)}

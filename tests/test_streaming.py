@@ -318,3 +318,49 @@ def test_tfidf_payload_append_exact(spark, cfg, tmp_path, doc_schema):
     )
     assert got == want and got
     it.unpersist()
+
+
+def test_append_order_cols_from_manifest(spark, cfg, tmp_path_factory):
+    """Appends default to the MANIFEST's order_cols: an index built over a
+    non-default external-id schema (e.g. TSV ext_id) appends cleanly, and
+    an explicitly conflicting order_cols raises instead of committing an
+    epoch whose docs-stage schema diverges from the base."""
+    from searchengine_spark.streaming.incremental import append_batch
+
+    idx = str(tmp_path_factory.mktemp("oc") / "idx")
+    base = spark.createDataFrame(
+        [(f"d{i:03d}", f"alpha beta doc{i}") for i in range(20)],
+        "ext_id string, text string",
+    )
+    build_packed_index(base, cfg, idx, params=PARAMS, order_cols=("ext_id",))
+    batch = spark.createDataFrame(
+        [(f"x{i:03d}", f"gamma delta doc{i}") for i in range(5)],
+        "ext_id string, text string",
+    )
+    man = append_batch(batch, idx, cfg, batch_id=0)
+    assert man["n_docs"] == 25
+    pidx = load_packed_index(spark, idx)
+    got = resolve_docs(
+        pidx, bm25_topk_packed_batch(pidx, ["gamma"], cfg, k=5, params=PARAMS)
+    ).collect()
+    assert got and all(r["ext_id"].startswith("x") for r in got)
+    with pytest.raises(ValueError, match="order_cols"):
+        append_batch(batch, idx, cfg, batch_id=1,
+                     order_cols=("conv_id", "turn_idx"))
+
+
+def test_lineage_stream_written_post_commit(spark, cfg, tmp_path_factory):
+    """One lineage_stream row per COMMITTED epoch — a retried batch_id
+    (manifest no-op) must not append a duplicate row."""
+    from searchengine_spark.streaming.incremental import append_batch
+
+    idx = str(tmp_path_factory.mktemp("ls") / "idx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=4, n_partitions=2), cfg, idx,
+        params=PARAMS,
+    )
+    batch = transcripts_df(spark, n_conv=2, n_partitions=1, seed=99)
+    append_batch(batch, idx, cfg, batch_id=0)
+    append_batch(batch, idx, cfg, batch_id=0)  # retry: no-op
+    rows = spark.read.parquet(os.path.join(idx, "lineage_stream")).collect()
+    assert [r["batch_id"] for r in rows] == [0]
