@@ -53,7 +53,9 @@ class EvalStats:
         if search_time is not None:
             self.search_times.append(search_time)
         reference = self.reference_results.get(query)
-        if reference is None:
+        if not reference:
+            # no entry OR an empty one (a 'Q:' header with no doc lines):
+            # recall would divide by len([]) — nothing to evaluate against
             return
         ref_ids = [str(r[0]) for r in reference]
         relevant = sum(1 for doc_id, _ in results if str(doc_id) in ref_ids)

@@ -159,11 +159,17 @@ def _scorer(
             else:  # tf-idf lnc.ltc base
                 scores[doc] = scores.get(doc, 0.0) + float(row.w) * qltc[qid][row.term]
         cand = [] if mode == "tfidf_plain" else _rerank_candidates(scores, rerank_n)
+        span = dl_max - dl_min
         for doc in cand:
             boost = _calculate_boost(qtoks, positions_by_doc[doc])
             if boost > 0:
                 if mode == "bm25":
-                    denom_x = (dln[doc] - dl_min) / (dl_max - dl_min) + 1
+                    if span == 0:
+                        # degenerate corpus (every dl_norm equal): the
+                        # reference divides 0/0 here — skip the boost,
+                        # same convention as the norm==0 site below
+                        continue
+                    denom_x = (dln[doc] - dl_min) / span + 1
                     norm = math.log2(denom_x)
                     if norm == 0:
                         # reference raises ZeroDivisionError here
@@ -218,7 +224,6 @@ def proximity_topk_packed_batch(
     if not pidx.manifest.get("positional"):
         raise ValueError("packed index was not built with positional=True")
     params = params or pidx.params
-    kk, bb = float(params.k), float(params.b)
     dl_min = float(pidx.manifest["dl_norm_min"])
     dl_max = float(pidx.manifest["dl_norm_max"])
     spark = pidx.spark
@@ -330,13 +335,12 @@ def packed_prox_scorer(
         cand_arr = np.sort(np.asarray(cand, dtype=np.int64))
         positions_by_doc: Dict[int, Dict[str, List[int]]] = {}
         dln: Dict[int, float] = {}
+        from .wand import _member_mask
+
         for term, doc_ids, tfs, dl_norm, posbuf in rows:
             if not len(cand_arr):
                 break
-            # sorted-membership: cand_arr[pos] == doc iff doc is a candidate
-            pos = np.searchsorted(cand_arr, doc_ids)
-            pos[pos == len(cand_arr)] = 0
-            m = np.flatnonzero(cand_arr[pos] == doc_ids)
+            m = np.flatnonzero(_member_mask(doc_ids, cand_arr))
             if not len(m):
                 continue
             flat, occ_starts = dec_pos(posbuf, tfs)
@@ -347,10 +351,13 @@ def packed_prox_scorer(
                 positions_by_doc.setdefault(d, {})[term] = flat[
                     occ_starts[j] : ends[j]
                 ].tolist()
+        span = dl_max - dl_min
         for doc in cand:
             boost = _calculate_boost(qtoks, positions_by_doc[doc])
             if boost > 0:
-                denom_x = (dln[doc] - dl_min) / (dl_max - dl_min) + 1
+                if span == 0:
+                    continue  # degenerate corpus: reference divides 0/0
+                denom_x = (dln[doc] - dl_min) / span + 1
                 norm = math.log2(denom_x)
                 if norm == 0:
                     continue  # reference's ZeroDivisionError site — skip boost

@@ -109,6 +109,18 @@ def _wand_scorer(
     computes that per chunk from the joined arrays, the closure form
     scales by the global max."""
     kk, bb = float(params.k), float(params.b)
+    if qweights:
+        # same safety rule as doc boosts: a negative coefficient makes
+        # idf_w * max_tfsat the chunk MINIMUM, not maximum — the pruning
+        # upper bound would silently under-estimate and skip true top-k
+        for _q, _wm in qweights.items():
+            for _t, _w in (_wm or {}).items():
+                if _w < 0.0:
+                    raise ValueError(
+                        "term weights must be non-negative (a negative "
+                        "weight would break the pruning upper bound); "
+                        f"got {_w} for {_t!r}"
+                    )
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
     # ``decode``: optional (buf) -> (doc_ids, tfs, dl_norm) hook so a
     # long-lived serving tier (LocalSearcher) can memoize decoded postings
@@ -520,11 +532,15 @@ def boolean_search_packed(
     for qid, q in enumerate(queries):
         for t in dict.fromkeys(tokenize_text(q, cfg)):
             rows.append((qid, t))
-    qdf = spark.createDataFrame(rows or [(0, "")], "query_id int, term string")
     if not rows:
-        qdf = qdf.limit(0)
+        # all queries tokenized to nothing: same early return as the BM25
+        # path — never fall through to an unpruned full-index scan
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, n_terms long"
+        ).select("query_id", "doc_id", *([] if op == "and" else ["n_terms"]))
+    qdf = spark.createDataFrame(rows, "query_id int, term string")
     all_terms = sorted({t for _, t in rows})
-    pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
+    pruned = pidx.index.filter(F.col("term").isin(all_terms))
     matched = pruned.select("term", "postings").join(F.broadcast(qdf), "term")
     mask = pidx.delete_mask()
 

@@ -102,7 +102,16 @@ def resize_images(docs_with_payload: DataFrame, out_len: int = 4) -> DataFrame:
             rows = {"doc_id": pdf["doc_id"].astype(np.int64), "out_bytes": [],
                     "resized": [], "checksum": []}
             for buf in pdf["payload"]:
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype=np.uint8
+                )
+                if b.size == 0:
+                    # NULL/empty payload: deterministic empty output row,
+                    # never an IndexError that kills the whole task
+                    rows["out_bytes"].append(0)
+                    rows["resized"].append(b"")
+                    rows["checksum"].append(0)
+                    continue
                 idx = (np.arange(out_len, dtype=np.int64) * b.size) // out_len
                 r = b[idx]
                 rows["out_bytes"].append(int(r.size))
@@ -174,12 +183,19 @@ def extract_features(docs_with_payload: DataFrame, feature_dim: int = 4) -> Data
             checksum = np.empty(n, dtype=np.int64)
             feats = []
             for i, buf in enumerate(pdf["payload"]):
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype=np.uint8
+                )
                 n_bytes[i] = b.size
                 # nibble sum == sum of hex-digit values (oracle-checkable)
                 checksum[i] = int((b >> 4).sum() + (b & 0x0F).sum())
+                # zero-pad to feature_dim*4 so variable-size payloads yield
+                # FIXED-dim vectors (a 10-byte payload used to crash the
+                # ragged reshape; an 8-byte one returned 2 dims, not 4)
                 f = b[: feature_dim * 4].astype(np.float64)
-                f = f.reshape(-1, 4).mean(axis=1) if f.size >= 4 else np.zeros(feature_dim)
+                if f.size < feature_dim * 4:
+                    f = np.pad(f, (0, feature_dim * 4 - f.size))
+                f = f.reshape(feature_dim, 4).mean(axis=1)
                 feats.append((f / 255.0).round(6).tolist())
             yield pd.DataFrame(
                 {

@@ -228,7 +228,12 @@ def tokenize_col(col: Column, cfg: TokenizerConfig) -> Column:
             "standalone-token parity); use tokenize_pandas_udf below that"
         )
     cleaned = F.lower(F.translate(col, PUNCTUATION, " " * len(PUNCTUATION)))
-    toks = F.split(cleaned, r"\s+")
+    # Java \s is ASCII-only; the parity contract is Python's \S+ (reference
+    # tokenizer.py:50), whose whitespace set is Unicode White_Space plus
+    # U+001C-001F. (?U) makes Java \s match White_Space; the class adds the
+    # four separator controls. Without this, 'foo bar' indexes as ONE
+    # token while the Python query path sees two — silent recall loss.
+    toks = F.split(cleaned, r"(?U)[\s\x1c-\x1f]+")
     m = cfg.min_token_length
     if cfg.stop_words:
         sw = sorted(cfg.stop_words)

@@ -264,3 +264,28 @@ def test_prefix_search_refuses_boolean_payload(spark, corpus, cfg, tmp_path_fact
         prefix_search_packed(load_packed_index(spark, path), "ro")
     with pytest.raises(ValueError, match="prefix"):
         prefix_search_packed(load_packed_index(spark, path), "")
+
+
+def test_negative_term_weights_refused(packed, cfg):
+    # a negative query-term weight inverts that term's chunk-bound
+    # contribution (max becomes min) — pruning would silently skip true
+    # top-k chunks, so the scorer refuses up front like negative boosts
+    import pytest
+
+    with pytest.raises(Exception, match="non-negative"):
+        bm25_topk_packed_batch(
+            packed, REFERENCE_QUERIES[:1], cfg, k=5, params=PARAMS,
+            term_weights={0: {"music": -0.5}},
+        ).collect()
+
+
+def test_boolean_empty_query_batch_early_return(packed, cfg):
+    # all-stop-word/empty queries must return an empty frame without
+    # touching the index (the BM25 path's early return, mirrored)
+    from searchengine_spark.query.wand import boolean_search_packed
+
+    for op in ("and", "or"):
+        out = boolean_search_packed(packed, ["", "the and of"], cfg, op=op)
+        # a LocalTableScan (empty literal frame), not an index scan
+        assert "parquet" not in out._jdf.queryExecution().executedPlan().toString().lower()
+        assert out.count() == 0

@@ -84,3 +84,40 @@ def test_tfidf_optimized_parity(setup, tmp_path):
         it, list(REFERENCE_QUERIES), cfg, k=TOPK, mode="tfidf"
     )
     _compare(got, ref, REFERENCE_QUERIES)
+
+
+def test_uniform_length_corpus_boost_skips_not_crashes(spark, stop_words):
+    # dl_norm_max == dl_norm_min (every doc the same length): the boost's
+    # deviation term is 0/0 — the scorer must SKIP the boost (the module's
+    # documented ZeroDivisionError-site convention), not crash the job
+    cfg = TokenizerConfig(min_token_length=3, stop_words=stop_words)
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "alpha beta gamma delta"),
+            ("c0", 1, "alpha beta epsilon zeta"),
+            ("c1", 0, "ietaa kappa lambda muon"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    it = build_index(docs, cfg, positional=True)
+    for mode in ("bm25", "tfidf"):
+        got = proximity_topk_batch(
+            it, ["alpha beta"], cfg, k=5, mode=mode,
+            params=Bm25Params(1.2, 0.75),
+        ).collect()
+        assert got, mode
+    # packed twin: same corpus through the packed scorer
+    import tempfile
+
+    from searchengine_spark.indexing.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+    from searchengine_spark.query.proximity import proximity_topk_packed_batch
+
+    p = tempfile.mkdtemp() + "/unif_idx"
+    build_packed_index(
+        docs, cfg, p, params=Bm25Params(1.2, 0.75), positional=True
+    )
+    pidx = load_packed_index(spark, p)
+    assert proximity_topk_packed_batch(pidx, ["alpha beta"], cfg, k=5).collect()

@@ -128,3 +128,13 @@ def test_eval_on_relevance_file():
     assert "greatest rock album" in rels
     grades = {g for rows in rels.values() for _, g in rows}
     assert grades <= {1, 2, 3}
+
+
+def test_eval_add_empty_relevance_entry_no_crash():
+    # a 'Q:' header with no doc lines parses to an empty list — add() must
+    # treat it like a missing entry, not divide recall by zero
+    from searchengine_spark.query.eval import EvalStats
+
+    st = EvalStats({"ghost query": []})
+    st.add("ghost query", [(1, 2.0), (2, 1.0)])
+    assert "ghost query" not in st.recalls

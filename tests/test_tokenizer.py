@@ -101,3 +101,23 @@ def test_native_col_rejects_unsafe_configs():
         tokenize_col(None, TokenizerConfig(min_token_length=1))
     with pytest.raises(ValueError):
         tokenize_col(None, TokenizerConfig(min_token_length=3, stem_lang="english"))
+
+
+def test_native_split_matches_python_unicode_whitespace(spark):
+    # Java \s is ASCII-only; the parity contract is the reference's Python
+    # \S+ (tokenizer.py:50), whose whitespace set is Unicode White_Space
+    # plus U+001C-001F. The native path uses (?U)[\s C0-seps]+ to match.
+    from pyspark.sql import functions as F
+
+    cfg = TokenizerConfig(min_token_length=2)
+    ws = [0x00A0, 0x1680, 0x2000, 0x2009, 0x2028, 0x2029, 0x202F,
+          0x205F, 0x3000, 0x0085, 0x001C, 0x001D, 0x001E, 0x001F]
+    texts = ["plain text here", "tabs\tand\nnewlines"] + [
+        f"aa{chr(c)}bb and{chr(c)}cc" for c in ws
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        tokenize_col(F.col("text"), cfg).alias("t")
+    ).collect()
+    for t, r in zip(texts, rows):
+        assert r["t"] == tokenize_text(t, cfg), t.encode()
