@@ -626,6 +626,21 @@ IVF_PROBE = 2
 
 # k-means training is deterministic in (corpus, params) — memoize per
 # sf_dir so the four IVF-family entries don't retrain in one driver run
+# packed builds are deterministic in (corpus, config); the six entries
+# sharing se_entry_packed_<tag> (and the filtered/boosted pair) pay ONE
+# build per driver run — and never resume across runs (a stale dir left
+# by an older fixture/code version must be rebuilt). The delete/compact
+# entries stay UN-memoized: they mutate their index after building, so
+# they need a fresh base every call.
+_PACKED_BUILT: set = set()
+
+
+def _build_packed_once(path: str, builder) -> None:
+    if path not in _PACKED_BUILT:
+        builder()
+        _PACKED_BUILT.add(path)
+
+
 _IVF_STATE: dict[str, tuple[str, list]] = {}
 
 
@@ -887,10 +902,10 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
-    build_packed_index(
+    _build_packed_once(path, lambda: build_packed_index(
         docs, CFG, path, params=Bm25Params(K, B), text_col="text",
         order_cols=("ext_id",), chunk_docs=256,
-    )
+    ))
     pidx = load_packed_index(spark, path)
     qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
     topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
@@ -925,10 +940,10 @@ def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     # same build config as q_packed_wand_topk -> share its index dir
     path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
-    build_packed_index(
+    _build_packed_once(path, lambda: build_packed_index(
         docs, CFG, path, params=Bm25Params(K, B), text_col="text",
         order_cols=("ext_id",), chunk_docs=256,
-    )
+    ))
     pidx = load_packed_index(spark, path)
     qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
     topk = prf_bm25_topk_packed_batch(
@@ -957,10 +972,10 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
-    build_packed_index(
+    _build_packed_once(path, lambda: build_packed_index(
         docs, CFG, path, params=Bm25Params(K, B), text_col="text",
         order_cols=("ext_id",), chunk_docs=256,
-    )
+    ))
     pidx = load_packed_index(spark, path)
     topk = more_like_this_packed(pidx, MLT_SOURCES, k=10, m=MLT_M, round_dp=6)
     out = resolve_docs(pidx, topk)
@@ -986,10 +1001,10 @@ def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
-    build_packed_index(
+    _build_packed_once(path, lambda: build_packed_index(
         docs, CFG, path, params=Bm25Params(K, B), text_col="text",
         order_cols=("ext_id",), chunk_docs=256,
-    )
+    ))
     pidx = load_packed_index(spark, path)
     qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
     topk = bm25_topk_packed_batch(
@@ -1037,10 +1052,10 @@ def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
-    build_packed_index(
+    _build_packed_once(path, lambda: build_packed_index(
         docs, CFG, path, params=Bm25Params(K, B), text_col="text",
         order_cols=("ext_id",), chunk_docs=256,
-    )
+    ))
     return suggest_terms(load_packed_index(spark, path), SUGGEST_PREFIX, k=10)
 
 
@@ -1061,10 +1076,10 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     # same build config as q_packed_wand_topk -> share its index dir
     path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
-    build_packed_index(
+    _build_packed_once(path, lambda: build_packed_index(
         docs, CFG, path, params=Bm25Params(K, B), text_col="text",
         order_cols=("ext_id",), chunk_docs=256,
-    )
+    ))
     pidx = load_packed_index(spark, path)
     hits = prefix_search_packed(pidx, PREFIX_QUERY)
     # internal docIDs == ext_id here (docs arrive doc_id-ordered), but
@@ -1332,7 +1347,7 @@ def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = _transcripts_cfg()
     path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx_filtered")
     corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
-    build_packed_index(corpus, cfg, path, chunk_docs=256)
+    _build_packed_once(path, lambda: build_packed_index(corpus, cfg, path, chunk_docs=256))
     pidx = load_packed_index(spark, path)
     allowed = filter_doc_ids(pidx, corpus, "role = 'user'")
     topk = bm25_topk_packed_batch(
@@ -1371,7 +1386,10 @@ def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = _transcripts_cfg()
     path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx_filtered")
     corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
-    build_packed_index(corpus, cfg, path, chunk_docs=256, resume=True)
+    # shared with q_filtered_search via the per-run memo; NOT resume=True
+    # (resume would happily serve a stale on-disk build from an older
+    # fixture/code version across driver runs)
+    _build_packed_once(path, lambda: build_packed_index(corpus, cfg, path, chunk_docs=256))
     pidx = load_packed_index(spark, path)
     boost = boost_doc_ids(pidx, corpus, BOOST_CASE)
     topk = bm25_topk_packed_batch(

@@ -310,6 +310,10 @@ def run_textops(spark, sf: float) -> dict:
 
     cfg = TokenizerConfig(min_token_length=2)
     toks = tokens_column(F.col("text"), cfg)
+    # untimed warmup (same discipline as the main suite): pay codegen/JIT/
+    # Arrow startup here, not inside the first timed stage's number
+    exact_duplicates(docs.limit(512)).count()
+    quality_score(docs.limit(512), toks, stop_words=LANG_PROFILES["en"]).count()
     timed("exact_dedup", lambda: exact_duplicates(docs).count())
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, toks).count())
     timed("quality", lambda: quality_score(

@@ -53,19 +53,34 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write-then-rename: the file appears at ``path`` only complete, so a
-    reader never observes a torn commit marker (rename is atomic on local
-    FS/HDFS; on object stores it degrades to copy+delete, still
-    whole-file-visible)."""
+    """Write-then-rename-OVERWRITE: the file appears at ``path`` only
+    complete, and an UPDATE replaces the old content in one atomic rename
+    (local FS/HDFS). The naive delete-then-rename would open a window with
+    NO file at all — a concurrent reader's manifest load fails, and a
+    writer crash inside the window permanently loses the commit marker.
+    Falls back to delete+rename only where no AbstractFileSystem binding
+    exists for the scheme (some object-store connectors), which are
+    non-atomic for renames anyway."""
     fs, hpath = _fs(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(
-        path + ".tmp." + uuid.uuid4().hex[:8]
-    )
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp." + uuid.uuid4().hex[:8])
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    try:
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            hpath.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        ren[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(tmp, hpath, ren)
+        return
+    except Exception:  # UnsupportedFileSystemException and kin
+        pass
     if fs.exists(hpath):
         fs.delete(hpath, False)
     if not fs.rename(tmp, hpath):

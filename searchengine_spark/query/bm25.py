@@ -100,7 +100,7 @@ def bm25_topk_batch(
     matched = matched.join(F.broadcast(it.term_stats.select("term", "idf")), "term")
     scored = matched.join(it.doc_lengths.select("doc_id", "dl_norm"), "doc_id")
     contrib = F.col("idf") * _tf_saturation(
-        F.col("tf").cast("double"), F.col("dl_norm"), Bm25Params(params.k, params.b)
+        F.col("tf").cast("double"), F.col("dl_norm"), params
     )
     agg = scored.groupBy("query_id", "doc_id").agg(F.sum(contrib).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -241,7 +241,9 @@ class LocalSearcher:
 
     def _decode_cached(self, buf, fn=decode_postings):
         """Memoized ``fn(bytes(buf))`` — see the LRU comment in __init__.
-        One index serves one payload type, so the key never sees two fns."""
+        Keyed by the buffer object alone: one index serves one payload
+        type, and the positions twin passes a DISTINCT buffer object, so
+        the key never maps to two different fn outputs."""
         key = id(buf)
         hit = self._decoded.get(key)
         if hit is not None:
@@ -261,25 +263,13 @@ class LocalSearcher:
         return arrs
 
     def _decode_pos_cached(self, buf, tfs):
-        """Positions twin of :meth:`_decode_cached` — sound to key by the
-        buffer alone because ``tfs`` is a pure function of the sibling
-        postings buffer of the same row."""
-        key = id(buf)
-        hit = self._decoded.get(key)
-        if hit is not None:
-            self._decoded.move_to_end(key)
-            return hit[1]
-        arrs = decode_positions(bytes(buf), tfs)
-        self._decoded[key] = (buf, arrs)
-        self._dec_postings += len(arrs[0])
-        while (
-            self._dec_postings > self.decoded_cache_postings
-            and len(self._decoded) > 1
-        ):
-            _, (_obuf, oarrs) = self._decoded.popitem(last=False)
-            ofirst = oarrs[0] if isinstance(oarrs, tuple) else oarrs
-            self._dec_postings -= len(ofirst)
-        return arrs
+        """Positions twin of :meth:`_decode_cached` (delegates — one LRU
+        insert/evict implementation). Sound to key by the buffer alone
+        because ``tfs`` is a pure function of the sibling postings buffer
+        of the same row, and the positions buffer is a DISTINCT object
+        from the postings buffer, so the shared id-keyed dict never
+        collides across the two decode kinds."""
+        return self._decode_cached(buf, fn=lambda b: decode_positions(b, tfs))
 
     # ------------------------------------------------------------- serving
 
@@ -480,6 +470,11 @@ class LocalSearcher:
         cosine, or norm-free — all with Spark-identical HALF_UP rounding)
         -> _scorer."""
         validate_schema(schema)
+        if self._payload == "boolean":
+            # doc-gaps-only postings carry no tf: decode_postings would
+            # parse the gap stream as (gap, tf, dlq) triples — garbage.
+            # Same refusal the bm25/more_like paths give.
+            raise ValueError("TF-IDF needs a payload='freq' or 'tfidf' build")
         embedded_w = self._payload == "tfidf"
         nrm_col = None
         if embedded_w:

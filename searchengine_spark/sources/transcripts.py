@@ -10,8 +10,10 @@ the parquet-directory layout of the same schema is the tested fallback; the
 dispatch below is the real seam, not a stub.
 
 Identifier convention:
-- ``catalog.db.table`` (no '/', no scheme) -> Iceberg table identifier
-- anything path-like (contains '/' or a '://' scheme) -> parquet directory
+- ``catalog.db.table`` (no '/', no data-file extension, not an existing
+  local path) -> Iceberg table identifier
+- anything path-like (a '/', a known extension like ``x.parquet``, or an
+  existing relative dir) -> parquet
 - ``fmt`` overrides the guess.
 """
 
@@ -20,8 +22,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+_DATA_EXTS = (".parquet", ".pq", ".orc", ".csv", ".tsv", ".json", ".gz")
+
+
 def _looks_like_table_ident(s: str) -> bool:
-    return "/" not in s and "://" not in s and not s.startswith(".")
+    """catalog.db.table — NOT a bare relative file/dir name: a known data
+    extension ('transcripts.parquet') or an existing local path routes to
+    parquet instead of a doomed jar-less Iceberg load."""
+    import os
+
+    if "/" in s or s.startswith("."):
+        return False
+    if s.lower().endswith(_DATA_EXTS):
+        return False
+    return not os.path.exists(s)
 
 
 def read_transcripts(

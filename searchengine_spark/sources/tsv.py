@@ -49,6 +49,14 @@ def read_tsv_docs(
         .option("nullValue", "\u0000")
         .csv(path)
     )
+    missing = sorted(set(columns) - set(df.columns))
+    if missing or doc_id_column not in df.columns:
+        # a typo'd column list must fail loudly, not silently index an
+        # empty-text corpus (the reference's DictReader KeyErrors here)
+        raise ValueError(
+            f"TSV header {df.columns} lacks requested columns "
+            f"{missing + ([doc_id_column] if doc_id_column not in df.columns else [])}"
+        )
     selected = [c for c in df.columns if c in set(columns)]  # header order
     return df.select(
         F.col(doc_id_column).alias("ext_id"),

@@ -69,8 +69,15 @@ class CleanConfig:
 
 def _attach(docs: DataFrame, feat: DataFrame) -> DataFrame:
     """Left-join per-doc features (id, ...) back onto (doc_id, ...) —
-    rename-join, never `on=` (shared-parent ambiguity)."""
+    rename-join, never `on=` (shared-parent ambiguity). Feature columns
+    land under a reserved ``_se_`` prefix so a passthrough doc column
+    named e.g. 'quality' or 'pred_lang' never collides (the 'extra
+    columns pass through untouched' promise); each stage filters on the
+    prefixed name and re-selects the original doc columns."""
     f = feat.withColumnRenamed("id", "_fid")
+    for c in f.columns:
+        if c != "_fid":
+            f = f.withColumnRenamed(c, f"_se_{c}")
     out = docs.join(f, docs["doc_id"] == F.col("_fid"), "left")
     return out.drop("_fid")
 
@@ -117,7 +124,9 @@ def clean_corpus(
         out = _attach(cur, rep)
         for col, lim in rep_limits:
             if lim is not None:
-                out = out.where(F.coalesce(F.col(col), F.lit(0.0)) <= lim)
+                out = out.where(
+                    F.coalesce(F.col(f"_se_{col}"), F.lit(0.0)) <= lim
+                )
         step("repetition", out.select(*docs_cols(cur)))
 
     if cfg.min_quality is not None:
@@ -127,13 +136,13 @@ def clean_corpus(
         profile = LANG_PROFILES.get(cfg.lang or "en", LANG_PROFILES["en"])
         q = quality_score(cur, toks, stop_words=profile)
         out = _attach(cur, q.select("id", "quality")).where(
-            F.col("quality") >= cfg.min_quality
+            F.col("_se_quality") >= cfg.min_quality
         )
         step("quality", out.select(*docs_cols(cur)))
 
     if cfg.lang is not None:
         lid = lang_id(cur, toks).select("id", "pred_lang")
-        out = _attach(cur, lid).where(F.col("pred_lang") == cfg.lang)
+        out = _attach(cur, lid).where(F.col("_se_pred_lang") == cfg.lang)
         step("lang", out.select(*docs_cols(cur)))
 
     if cfg.dedup == "exact":
@@ -152,7 +161,7 @@ def clean_corpus(
             max_hamming=cfg.max_hamming,
         )
         out = _attach(cur, keep).where(
-            F.col("doc_id") == F.col("canonical_id")
+            F.col("doc_id") == F.col("_se_canonical_id")
         )
         step("dedup_near", out.select(*docs_cols(cur)))
 
@@ -164,7 +173,7 @@ def clean_corpus(
         )
         cont = ngram_contamination(cur, ref, toks, n=cfg.contamination_n)
         out = _attach(cur, cont.select("id", "n_contaminated")).where(
-            F.col("n_contaminated") <= cfg.max_contaminated
+            F.col("_se_n_contaminated") <= cfg.max_contaminated
         )
         step("decontamination", out.select(*docs_cols(cur)))
 

@@ -71,3 +71,17 @@ def test_streaming_append_via_uri(spark, cfg, tmp_path):
     topk = bm25_topk_packed_batch(pidx, ["xyzzyq"], cfg, k=3)
     got = resolve_docs(pidx, topk).collect()
     assert len(got) == 1 and got[0]["conv_id"] == "zc"
+
+
+def test_write_text_update_leaves_no_tmp_and_no_gap(spark, tmp_path):
+    """Manifest UPDATES go through an atomic OVERWRITE rename: no
+    .tmp leftovers, and the path must exist continuously (a delete-then-
+    rename window would lose the commit marker on a writer crash)."""
+    import os
+
+    uri = f"file://{tmp_path}/m/manifest.json"
+    for i in range(5):
+        fsio.write_text(spark, uri, f'{{"v": {i}}}')
+        assert fsio.read_text(spark, uri) == f'{{"v": {i}}}'
+    leftovers = [f for f in os.listdir(f"{tmp_path}/m") if ".tmp." in f]
+    assert leftovers == []

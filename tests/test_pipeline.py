@@ -113,3 +113,32 @@ def test_noop_config_passes_through(spark):
     out, stats = clean_corpus(docs, CleanConfig())
     assert stats == {"input": 8, "output": 8}
     assert out.count() == 8 and set(out.columns) == {"doc_id", "text"}
+
+
+def test_passthrough_columns_never_collide_with_features(spark, stop_words):
+    """Docs carrying columns named like pipeline features (quality,
+    pred_lang, canonical_id, n_contaminated, dup_line_frac) must pass
+    through untouched — the stage joins alias features to _se_* names."""
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    rows = [
+        (i, f"the quick brown fox jumps over dog number {i} " * 3,
+         0.99, "xx", 7, 7, 0.5)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, quality double, pred_lang string, "
+        "canonical_id long, n_contaminated long, dup_line_frac double",
+    )
+    cfg = CleanConfig(
+        min_quality=0.0,
+        lang="en",
+        dedup="near",
+        tokenizer=TokenizerConfig(min_token_length=2),
+    )
+    out, stats = clean_corpus(docs, cfg)
+    got = out.collect()
+    assert got, stats
+    # passthrough values survive verbatim (never overwritten by features)
+    assert all(r["quality"] == 0.99 and r["pred_lang"] == "xx" for r in got)

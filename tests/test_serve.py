@@ -204,3 +204,17 @@ def test_resolve_returns_native_python_types(local):
         assert type(r["doc_id"]) is int
         assert type(r["turn_idx"]) is int
         assert type(r["conv_id"]) is str
+
+
+def test_tfidf_refuses_boolean_payload(spark, cfg, tmp_path_factory):
+    # gap-only postings carry no tf — decoding them as (gap, tf, dlq)
+    # triples yields garbage, so the tfidf local path must refuse like
+    # the bm25/more_like paths do
+    path = str(tmp_path_factory.mktemp("serve_bool") / "idx")
+    build_packed_index(
+        transcripts_df(spark, n_conv=6, n_partitions=2), cfg, path,
+        params=PARAMS, chunk_docs=256, payload="boolean",
+    )
+    ls = LocalSearcher(load_packed_index(spark, path), preload=True, cfg=cfg)
+    with pytest.raises(ValueError, match="payload"):
+        ls.search(QUERIES[0], ranker="tfidf", schema="lnn.ltc", resolve=False)

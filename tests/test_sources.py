@@ -52,3 +52,15 @@ def test_tsv_parity(spark, tsv_gz):
         ).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_tsv_missing_columns_raise(spark, tsv_gz):
+    # a typo'd --tsv-columns list must fail loudly, not silently build an
+    # index of empty documents (the reference's DictReader KeyErrors)
+    import pytest
+
+    from searchengine_spark.sources import read_tsv_docs
+
+    with pytest.raises(ValueError, match="lacks requested columns"):
+        read_tsv_docs(spark, tsv_gz, "review_id",
+                      ["review_headline", "no_such_column"]).collect()

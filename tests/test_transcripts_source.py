@@ -71,3 +71,23 @@ def test_sink_bad_args(spark):
         write_stage(df, "x", mode="upsert")
     with pytest.raises(ValueError, match="identifier"):
         publish_index_iceberg(spark, "/tmp/idx", "/not/an/ident")
+
+
+def test_auto_detect_bare_filenames_route_to_parquet(spark, tmp_path):
+    """A bare relative name with a data extension (or an existing local
+    path) must never be guessed as an Iceberg identifier."""
+    from searchengine_spark.sources.transcripts import _looks_like_table_ident
+
+    assert not _looks_like_table_ident("transcripts.parquet")
+    assert not _looks_like_table_ident("dump.tsv.gz")
+    assert _looks_like_table_ident("catalog.db.transcripts")
+    import os
+
+    d = tmp_path / "localdir"
+    d.mkdir()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert not _looks_like_table_ident("localdir")
+    finally:
+        os.chdir(cwd)
