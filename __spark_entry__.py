@@ -1147,6 +1147,46 @@ def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _deleted_search(spark, sf_dir, compact=True)
 
 
+APPEND_PRED = "ext_id % 5 = 4"  # ~1/5 of the corpus arrives as the epoch
+
+
+def q_append_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-append serving (streaming/incremental.py): build the base
+    index WITHOUT the docs matching APPEND_PRED, append them as one epoch
+    (append_batch — the foreachBatch sink's unit), search the grown index.
+    The incremental contract the oracle replicates from the raw corpus:
+    avgdl FROZEN at the base build (appended dlq computed against it),
+    term_stats EXACT at the full N via the df delta merge
+    (idf = round(ln(N_total/df_total), 3)). Built fresh per call — the
+    append MUTATES the index, like the delete/compact entries."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+    from searchengine_spark.streaming.incremental import append_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_app_{tag}")
+    build_packed_index(
+        docs.filter(~F.expr(APPEND_PRED)), CFG, path,
+        params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    append_batch(docs.filter(F.expr(APPEND_PRED)), path, CFG, batch_id=0)
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: BM25_OPTIMIZED serving from the packed POSITIONAL index — the
     proximity-boost ranker family's driver gate (reference
@@ -1454,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_wand_topk": q_packed_wand_topk,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
+        "append_then_search": q_append_then_search,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -1643,6 +1684,63 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
     sqls["delete_then_search"] = delete_search_sql
     sqls["compacted_search"] = delete_search_sql
+
+    # streaming append: the oracle computes BM25 over the FULL corpus with
+    # the incremental-maintenance semantics the manifest records — avgdl
+    # (hence every doc's dl_norm) from the BASE half only (frozen at
+    # build; appended dlq is quantized against it), idf at the full N from
+    # the exact df delta merge. The epoch encoding, the second (term,
+    # chunk) rows, and the term_stats version swing are invisible to it.
+    sqls["append_then_search"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok
+),
+base AS (
+  SELECT doc_id, dl FROM dl WHERE NOT (doc_id % 5 = 4)
+),
+corpus AS (
+  SELECT (SELECT count(*) FROM dl)::BIGINT AS n,
+         (SELECT sum(dl)::DOUBLE / count(*) FROM base) AS avgdl
+),
+dln AS (
+  SELECT doc_id, dl, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl
+),
+exploded AS (
+  SELECT doc_id, unnest(tokens) AS term FROM tok
+),
+idx AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id
+),
+term_stats AS (
+  SELECT term, count(*)::BIGINT AS df,
+         round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+internal AS (
+  -- the docID-allocation contract: base docs keep their dense rank,
+  -- the appended epoch gets [n_base, n) ranked by ext id WITHIN the
+  -- batch — WAND breaks rounded-score ties on THIS id, not the ext id
+  SELECT doc_id,
+         row_number() OVER (ORDER BY (doc_id % 5 = 4), doc_id) - 1 AS iid
+  FROM dl
+),
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, internal.iid ASC) AS rank
+  FROM scored JOIN internal USING (doc_id)
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
 
     and_terms = _qterms(1)
     sqls["boolean_and"] = f"""
