@@ -1147,6 +1147,40 @@ def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _deleted_search(spark, sf_dir, compact=True)
 
 
+def q_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (indexing/snapshots.py): after delete_docs
+    commits, ``snapshots/0.json`` pins the pre-delete state — searching it
+    must equal the FULL-corpus packed search bit-for-bit (the
+    packed_wand_topk oracle verbatim) even though the live manifest
+    already masks the tombstoned fifth of the corpus. Built fresh per
+    call (the delete mutates the index)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.deletes import delete_docs
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_snap_{tag}")
+    build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    )
+    delete_docs(spark, path, where=DELETE_PRED)
+    pidx = load_packed_index(spark, path, snapshot=0)  # pre-delete state
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 APPEND_PRED = "ext_id % 5 = 4"  # ~1/5 of the corpus arrives as the epoch
 
 
@@ -1495,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
+        "snapshot_search": q_snapshot_search,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -1684,6 +1719,9 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
     sqls["delete_then_search"] = delete_search_sql
     sqls["compacted_search"] = delete_search_sql
+    # time travel: the pre-delete snapshot must answer exactly like the
+    # never-deleted index — the full-corpus packed oracle, verbatim
+    sqls["snapshot_search"] = sqls["packed_wand_topk"]
 
     # streaming append: the oracle computes BM25 over the FULL corpus with
     # the incremental-maintenance semantics the manifest records — avgdl
