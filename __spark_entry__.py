@@ -1181,6 +1181,35 @@ def q_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boolean_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload='boolean' serving (the ~3x-smaller doc-gaps-only index,
+    codec.encode_doc_groups/decode_docs): OR retrieval over the whole
+    query batch — (query_id, doc_id, n_terms) must equal plain SQL
+    counting each doc's matched query terms. Gates the gap-only codec +
+    packed boolean reader end-to-end (previously pytest-only)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import boolean_search_packed
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_boolpay_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256, payload="boolean",
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    hits = boolean_search_packed(pidx, qs, CFG, op="or")
+    return hits.join(pidx.docmap, "doc_id").select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+    )
+
+
 APPEND_PRED = "ext_id % 5 = 4"  # ~1/5 of the corpus arrives as the epoch
 
 
@@ -1530,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
         "snapshot_search": q_snapshot_search,
+        "boolean_packed": q_boolean_packed,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -1722,6 +1752,15 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
     # time travel: the pre-delete snapshot must answer exactly like the
     # never-deleted index — the full-corpus packed oracle, verbatim
     sqls["snapshot_search"] = sqls["packed_wand_topk"]
+
+    # gap-only boolean payload: matched-term counts over the query batch
+    sqls["boolean_packed"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q})
+SELECT q.query_id, idx.doc_id, count(DISTINCT idx.term)::BIGINT AS n_terms
+FROM idx JOIN q USING (term)
+GROUP BY q.query_id, idx.doc_id
+"""
 
     # streaming append: the oracle computes BM25 over the FULL corpus with
     # the incremental-maintenance semantics the manifest records — avgdl
