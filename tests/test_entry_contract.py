@@ -55,8 +55,9 @@ def test_query_matches_oracle(name, spark, ddb):
     sdf = QUERIES[name](spark, SF_DIR)
     got = _canon(sdf.toPandas())
     if name not in ORACLES:
-        assert len(got) >= 0  # rows-only check, like the driver's weak path
-        return
+        # the driver's weak rows-only path exists for genuinely non-SQL
+        # ops, but it must be VISIBLE, never a silently-green gate
+        pytest.skip(f"{name}: no oracle_sql entry (rows-only driver check)")
     want = _canon(ddb.execute(ORACLES[name]).fetchdf())
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     mism = [(g, w) for g, w in zip(got, want) if g != w]

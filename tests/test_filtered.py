@@ -140,7 +140,8 @@ def test_empty_filter_empty_results(spark, packed, cfg):
     assert out.count() == 0
 
 
-def test_filter_composes_with_deletes(spark, corpus, cfg, user_docs, tmp_path):
+def test_filter_composes_with_deletes(spark, corpus, cfg, user_docs, user_ids,
+                                      tmp_path):
     from searchengine_spark.indexing.deletes import delete_docs
 
     path = str(tmp_path / "idx_del")
@@ -159,8 +160,11 @@ def test_filter_composes_with_deletes(spark, corpus, cfg, user_docs, tmp_path):
             pidx, QUERIES, cfg, k=10, round_dp=6, doc_filter=user_docs
         )
     )
+    # non-vacuous: every query still returns filtered survivors, all of
+    # them user docs, none tombstoned
+    assert got and all(v for v in got.values())
     for v in got.values():
-        assert all(d not in victims for (_, d, _) in v)
+        assert all(d not in victims and d in user_ids for (_, d, _) in v)
 
 
 def test_local_searcher_filter_matches_packed(packed, cfg, user_docs, user_ids):
@@ -310,7 +314,9 @@ def test_conjunctive_composes_with_filter(packed, cfg, user_docs, user_ids):
     and_sets: dict[int, set] = {}
     for r in boolean_search_packed(packed, QUERIES, cfg, op="and").collect():
         and_sets.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
-    for r in out.collect():
+    rows = out.collect()
+    assert rows  # non-vacuous: the composition really returns hits
+    for r in rows:
         d = int(r["doc_id"])
         assert d in user_ids and d in and_sets[r["query_id"]]
 

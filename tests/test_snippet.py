@@ -35,12 +35,19 @@ ADVERSARIAL = [
 def test_spans_tokens_match_tokenize_text(cfg, text):
     kept, src = tokenize_with_spans(text, cfg)
     assert [t for t, _, _ in kept] == tokenize_text(text, cfg)
-    # spans index the display source and cover the pre-stem surface form
+    # spans index the display source and cover the pre-stem surface form:
+    # punct-translated + lowered surface == the token (== its stem source
+    # under stem_lang) — a wrong offset highlights the wrong text
+    from searchengine_spark.stemmer import stem_english
+
     for t, s, e in kept:
         surf = src[s:e].translate(
             str.maketrans({c: " " for c in "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"})
         ).lower()
-        assert surf == src[s:e].lower() or True  # surface may contain punct
+        if cfg.stem_lang is None:
+            assert surf == t, (t, src[s:e])
+        else:
+            assert stem_english(surf) == t, (t, src[s:e])
         assert e > s and 0 <= s < len(src) + 1
 
 

@@ -206,7 +206,18 @@ def test_boolean_append_exact(spark, cfg, tmp_path):
         got_or = {r["doc_id"] for r in
                   boolean_search_packed(pidx, [q], cfg, op="or").collect()}
         assert got_and == want_and and got_or == want_or, q
-    assert any(d >= 300 for d in got_or)  # appended docs present
+    # fixture-strength guard: the appended-only-vocabulary AND query hits
+    # EXACTLY the epoch's 4 docs (ids [n_base, n_base+4)) — proves the
+    # appended gap-postings decode AND that the rebuilt-union comparison
+    # above wasn't vacuous on appended vocabulary
+    n_base = pidx.manifest["n_docs"] - 4
+    got_app = {
+        r["doc_id"]
+        for r in boolean_search_packed(
+            pidx, ["zxqv blorptastic"], cfg, op="and"
+        ).collect()
+    }
+    assert got_app == set(range(n_base, n_base + 4))
     it.unpersist()
 
 
@@ -268,7 +279,7 @@ def test_sidecar_append_tfidf_exact(spark, cfg, tmp_path):
         assert got == want and got, schema
     # the appended-only-vocabulary query really ranks appended docs
     hit = tfidf_topk_packed_batch(pidx, [queries[0]], cfg, k=10).collect()
-    assert hit and all(r["doc_id"] >= 12 * 30 for r in hit)  # appended range
+    assert hit and all(r["doc_id"] >= offset for r in hit)  # appended range
     it.unpersist()
 
 

@@ -131,8 +131,11 @@ def test_packed_boosted_equals_exact(packed, exact, cfg, schema):
     assert got == want and got
 
 
-@pytest.mark.parametrize("schema", ["bnc.ltc", "lnn.ltc"])
+@pytest.mark.parametrize("schema", ["bnc.ltc", "lnn.ltc", "nnc.ltc"])
 def test_local_searcher_parity(packed, cfg, schema):
+    # nnc is load-bearing: it is the ONLY schema whose fixture hits the
+    # 0.0625-class banker's-rounding ties serve._round3 exists for — a
+    # HALF_UP regression there passes the tie-free bnc/lnn legs
     from searchengine_spark.query.serve import LocalSearcher
 
     local = LocalSearcher(packed, preload=True, cfg=cfg)
