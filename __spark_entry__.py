@@ -1427,6 +1427,42 @@ def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-build pattern: the fixture corpus split into two shards
+    INTERLEAVED in (conv_id, turn_idx) order (turn parity), each built as
+    an independent packed index, then folded into one by the shard merge
+    (indexing/merge.py) — which re-sorts the shards' stored token streams
+    globally and rebuilds every downstream stage through the build's own
+    resume seam. The merge contract is bit-identity with a fresh build
+    over the concatenated corpora, so the oracle is EXACTLY the
+    transcripts_wand_topk SQL (full-corpus BM25): a merge that
+    concatenated shard docID ranges, blended shard avgdl/idf, or dropped
+    a stage would hash-mismatch here."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.merge import merge_packed_indexes
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    base = os.path.join(tempfile.gettempdir(), "se_spark_entry_merge")
+    pa, pb, out = (os.path.join(base, d) for d in ("shard_a", "shard_b", "merged"))
+    build_packed_index(corpus.filter(F.col("turn_idx") % 2 == 0), cfg, pa, chunk_docs=256)
+    build_packed_index(corpus.filter(F.col("turn_idx") % 2 == 1), cfg, pb, chunk_docs=256)
+    merge_packed_indexes(spark, [pa, pb], out, check_disjoint=True)
+    pidx = load_packed_index(spark, out)
+    topk = bm25_topk_packed_batch(pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6)
+    res = resolve_docs(pidx, topk)
+    return res.select(
+        "query_id", "doc_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered retrieval (Lucene filtered-search analog,
     query/wand.py filter_doc_ids + doc_filter): BM25 top-10 over ONLY the
@@ -1566,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": q_proximity_topk,
         "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
+        "sharded_merge_search": q_sharded_merge_search,
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
@@ -3156,6 +3193,12 @@ ranked AS (
 SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
 """
+
+    # ---- shard merge: the contract IS bit-identity with a fresh build over
+    # the concatenated shard corpora, so the oracle is exactly the
+    # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
+    # blending, or stale downstream stage in the merge hash-mismatches
+    sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
 
     # ---- attribute-filtered retrieval: the same transcripts BM25 contract
     # but ranked over ONLY role='user' turns — docIDs / idf / avgdl stay

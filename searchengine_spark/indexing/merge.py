@@ -1,0 +1,156 @@
+"""Shard merge: fold N independently-built packed indexes into ONE.
+
+The distributed-build pattern the reference's single-process SPIMI cannot
+express (reference src/models/spimi.py merges BLOCKS of one build; it has
+no notion of merging two finished indexes): partition a 100-TB corpus,
+build each partition's index in parallel (separate jobs, separate
+clusters, separate days), then merge the shards into one servable index.
+
+Contract — ``merge_packed_indexes(shards) == build_packed_index(concat of
+the shards' LIVE corpora)``, bit for bit:
+
+- the merged docs stage is rebuilt from the shards' STORED token streams
+  (docs stage schema ``doc_id, *order_cols, tokens, dl``) with a global
+  ``order_cols`` re-sort and dense docID re-assignment — exactly what a
+  fresh build does after tokenizing, so a merge never re-tokenizes;
+- every downstream stage (index encode, term_stats/idf, doc_norms,
+  lineage, manifest) is the BUILD'S OWN code via its resume seam
+  (``build_packed_index(resume=True)`` skips only the docs stage);
+- avgdl / N / idf are recomputed over the merged corpus (a shard's local
+  statistics are never blended — blending is how merged rankings drift);
+- each shard's tombstones are folded (anti-join before the union), like a
+  compaction: deleted docs do not survive a merge.
+
+Scale shape: reads only the shards' docs stages (columnar: order_cols +
+tokens), ONE range shuffle for docID assignment, then the build's one
+index shuffle. Tombstone sets ride a broadcast anti-join (DeleteMask is a
+bounded driver-side array by design, indexing/deletes.py).
+
+Refusals are loud: shards must agree on tokenizer, BM25 params,
+chunk_docs, payload, positional, tfidf_sidecar, tfidf_doc_schema and
+order_cols — merging indexes built under different contracts silently
+produces an index that matches neither, so any mismatch raises.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenizer import TokenizerConfig
+from .build import Bm25Params
+from .docids import DOC_ID
+from .packed import (
+    _stage_dirs,
+    build_packed_index,
+    load_packed_index,
+    write_docs_stage,
+)
+
+# manifest keys that must agree across shards (with their build defaults,
+# so a key an older manifest omits still compares)
+_COMPAT_KEYS = (
+    ("tokenizer", None),
+    ("k", None),
+    ("b", None),
+    ("chunk_docs", None),
+    ("payload", "freq"),
+    ("positional", False),
+    ("tfidf_sidecar", False),
+    ("tfidf_doc_schema", None),
+    ("order_cols", None),
+)
+
+
+def _compat_view(manifest: dict) -> dict:
+    return {k: manifest.get(k, d) for k, d in _COMPAT_KEYS}
+
+
+def merge_packed_indexes(
+    spark: SparkSession,
+    shard_paths: Sequence[str],
+    out_path: str,
+    n_partitions: Optional[int] = None,
+    check_disjoint: bool = False,
+) -> dict:
+    """Merge the packed indexes at ``shard_paths`` into a fresh index at
+    ``out_path``; returns the new manifest.
+
+    ``check_disjoint=True`` additionally asserts no two shards share an
+    ``order_cols`` key (one count-distinct pass over the union — duplicate
+    keys make dense docID assignment order-ambiguous, the same caller
+    contract a fresh build has; opt-in because the check is a full
+    aggregation at merge scale).
+    """
+    if len(shard_paths) < 2:
+        raise ValueError("merge needs at least two shard indexes")
+    if str(out_path).rstrip("/") in {str(p).rstrip("/") for p in shard_paths}:
+        raise ValueError(
+            "out_path must differ from every shard path (the output "
+            "location is clobbered before the merged build)"
+        )
+    shards = [load_packed_index(spark, p) for p in shard_paths]
+
+    ref = _compat_view(shards[0].manifest)
+    for p, s in zip(shard_paths[1:], shards[1:]):
+        got = _compat_view(s.manifest)
+        if got != ref:
+            diff = {k: (ref[k], got[k]) for k in ref if ref[k] != got[k]}
+            raise ValueError(
+                f"shard {p!r} was built under a different contract than "
+                f"{shard_paths[0]!r}; differing keys (first, this): {diff}"
+            )
+
+    order_cols = list(ref["order_cols"])
+    parts = []
+    for s in shards:
+        docs = s.docs_stage()
+        mask = s.delete_mask()
+        if mask is not None:
+            tomb = spark.createDataFrame(
+                [(int(x),) for x in mask.arr], schema=f"{DOC_ID} long"
+            )
+            docs = docs.join(F.broadcast(tomb), on=DOC_ID, how="left_anti")
+        parts.append(docs.select(*order_cols, "tokens"))
+    union = reduce(DataFrame.unionByName, parts)
+
+    if check_disjoint:
+        row = union.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*order_cols)).alias("nd"),
+        ).collect()[0]
+        if int(row["n"]) != int(row["nd"]):
+            raise ValueError(
+                f"shards overlap: {int(row['n']) - int(row['nd'])} duplicate "
+                f"{tuple(order_cols)} keys across shard corpora"
+            )
+
+    # clobber the output first (overwrite semantics, like the build's
+    # stage writes): a leftover index at out_path would otherwise let the
+    # resume seam below skip downstream stages that are STALE for the new
+    # docs stage
+    from . import fsio
+
+    fsio.delete(spark, out_path)
+
+    # docs stage from the stored token streams (no re-tokenization), then
+    # the build's own downstream stages via its resume seam
+    write_docs_stage(union, order_cols, _stage_dirs(out_path), n_partitions=n_partitions)
+    m = shards[0].manifest
+    return build_packed_index(
+        union,  # resume skips the docs stage; this carries the session only
+        TokenizerConfig.from_manifest(m["tokenizer"]),
+        out_path,
+        params=Bm25Params(k=m["k"], b=m["b"]),
+        order_cols=tuple(order_cols),
+        chunk_docs=int(m["chunk_docs"]),
+        n_partitions=n_partitions,
+        resume=True,
+        positional=bool(m.get("positional", False)),
+        tfidf_sidecar=bool(m.get("tfidf_sidecar", False)),
+        payload=m.get("payload", "freq"),
+        tfidf_doc_schema=m.get("tfidf_doc_schema") or "lnc",
+    )

@@ -280,6 +280,43 @@ def _encode_partition(
     return encode
 
 
+def write_docs_stage(
+    tokenized: DataFrame,
+    order_cols,
+    dirs: dict,
+    n_partitions: Optional[int] = None,
+) -> dict:
+    """Write the docs stage from an already-TOKENIZED frame
+    (``*order_cols, tokens``): dense docIDs in global order_cols order,
+    dl = token count, with N/avgdl observed on the write (no second pass)
+    and committed to ``build_state.json``. Shared by the fresh build
+    (which tokenizes first) and the shard merge (``merge.py``, which
+    reuses the shards' STORED token streams — a merge never re-tokenizes).
+    Returns the state dict."""
+    spark = tokenized.sparkSession
+    docs = with_doc_ids(tokenized, order_cols=order_cols, n_partitions=n_partitions)
+    id_handle = docs  # untransformed return value carries the persist handle
+    docs = docs.withColumn("dl", F.size("tokens").cast("long"))
+    obs = Observation()
+    (
+        docs.select(DOC_ID, *order_cols, "tokens", "dl")
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .write.mode("overwrite")
+        .parquet(dirs["docs"])
+    )
+    got = obs.get
+    if int(got["n"]) == 0:
+        unpersist_doc_ids(id_handle)
+        raise ValueError(
+            "docs stage is empty — refusing to commit an index with no "
+            "documents (avgdl undefined)"
+        )
+    state = {"n_docs": int(got["n"]), "avgdl": float(got["avgdl"])}
+    unpersist_doc_ids(id_handle)
+    fsio.write_text(spark, dirs["state"], json.dumps(state))
+    return state
+
+
 def build_packed_index(
     transcripts: DataFrame,
     cfg: TokenizerConfig,
@@ -349,22 +386,7 @@ def build_packed_index(
         base = transcripts.select(
             *order_cols, tokens_column(F.col(text_col), cfg).alias("tokens")
         )
-        docs = with_doc_ids(base, order_cols=order_cols, n_partitions=n_partitions)
-        id_handle = docs  # untransformed return value carries the persist handle
-        docs = docs.withColumn("dl", F.size("tokens").cast("long"))
-        obs = Observation()
-        (
-            docs.select(DOC_ID, *order_cols, "tokens", "dl")
-            .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-            .write.mode("overwrite")
-            .parquet(dirs["docs"])
-        )
-        got = obs.get
-        n_docs, avgdl = int(got["n"]), float(got["avgdl"])
-        unpersist_doc_ids(id_handle)
-        fsio.write_text(
-            spark, dirs["state"], json.dumps({"n_docs": n_docs, "avgdl": avgdl})
-        )
+        write_docs_stage(base, order_cols, dirs, n_partitions=n_partitions)
     state = json.loads(fsio.read_text(spark, dirs["state"]))
     n_docs, avgdl = state["n_docs"], state["avgdl"]
     metrics["stages"]["docs"] = time.perf_counter() - t0
@@ -619,6 +641,13 @@ class PackedIndex:
         self._docs_paths = docs_paths
         self._delete_mask_loaded = False
         self._delete_mask = None
+
+    def docs_stage(self) -> DataFrame:
+        """The FULL docs stage (doc_id, *order_cols, tokens, dl) across the
+        base layout and every committed epoch — the stored token streams
+        with their external keys. Feeds the shard merge (indexing/merge.py),
+        which re-sorts these rows globally instead of re-tokenizing."""
+        return self.spark.read.parquet(*self._docs_paths)
 
     def doc_tokens(self) -> DataFrame:
         """(doc_id, tokens) pruned view over the docs stage — the stored

@@ -1,0 +1,161 @@
+"""Shard merge gates (indexing/merge.py).
+
+The merge contract is equality with a fresh build: merging N shard
+indexes must produce BIT-IDENTICAL statistics, postings and rankings to
+``build_packed_index`` over the concatenation of the shards' live
+corpora. The shards here INTERLEAVE in ``order_cols`` space (split by
+turn parity), so a merge that concatenated shard docID ranges instead of
+globally re-sorting would produce a different docID assignment and fail
+the docmap/ranking equality below.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from searchengine_spark.fixtures import transcripts_df
+from searchengine_spark.indexing.deletes import delete_docs
+from searchengine_spark.indexing.merge import merge_packed_indexes
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.wand import bm25_topk_packed_batch
+from searchengine_spark.tokenizer import TokenizerConfig
+
+QUERIES = ["greatest rock album", "guitar solo legendary", "drummer tour"]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=10).persist()
+
+
+def _split(corpus):
+    """Two shards interleaved in (conv_id, turn_idx) order."""
+    a = corpus.filter(F.col("turn_idx") % 2 == 0)
+    b = corpus.filter(F.col("turn_idx") % 2 == 1)
+    return a, b
+
+
+def _stats(manifest):
+    return {k: manifest[k] for k in
+            ("n_docs", "avgdl", "n_terms", "n_chunks", "n_postings",
+             "dl_norm_min", "dl_norm_max")}
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _topk(pidx, cfg):
+    return _rows(
+        bm25_topk_packed_batch(pidx, QUERIES, cfg, k=10, round_dp=6),
+        ("query_id", "doc_id", "score", "rank"),
+    )
+
+
+def _assert_merged_equals_fresh(spark, merged_path, fresh_path, cfg):
+    merged = load_packed_index(spark, merged_path)
+    fresh = load_packed_index(spark, fresh_path)
+    assert _stats(merged.manifest) == _stats(fresh.manifest)
+    assert _rows(merged.term_stats, ("term", "df", "idf")) == _rows(
+        fresh.term_stats, ("term", "df", "idf")
+    )
+    dm_cols = ("doc_id", "conv_id", "turn_idx")
+    assert _rows(merged.docmap, dm_cols) == _rows(fresh.docmap, dm_cols)
+    got = _topk(merged, cfg)
+    assert got == _topk(fresh, cfg)
+    assert got  # non-vacuous: the fixture queries hit docs
+    return merged
+
+
+def test_merge_equals_fresh_build(spark, cfg, corpus, tmp_path):
+    a, b = _split(corpus)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, chunk_docs=64)
+    build_packed_index(b, cfg, pb, chunk_docs=64)
+    build_packed_index(corpus, cfg, str(tmp_path / "fresh"), chunk_docs=64)
+
+    out = str(tmp_path / "merged")
+    merge_packed_indexes(spark, [pa, pb], out, check_disjoint=True)
+    merged = _assert_merged_equals_fresh(spark, out, str(tmp_path / "fresh"), cfg)
+    # a merged index is a FRESH index: empty ledgers, snapshot history reset
+    assert merged.manifest.get("appends", []) == []
+    assert merged.manifest.get("deletes", []) == []
+    assert merged.manifest["snapshot_seq"] == 0
+
+
+def test_merge_folds_tombstones(spark, cfg, corpus, tmp_path):
+    """Tombstoned docs do not survive a merge: merge(delete(A, conv), B)
+    == fresh build over (A minus conv) + B — avgdl/idf recomputed over
+    the LIVE union, not the shard high-water corpora."""
+    a, b = _split(corpus)
+    victim = a.select("conv_id").first()["conv_id"]
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, chunk_docs=64)
+    build_packed_index(b, cfg, pb, chunk_docs=64)
+    delete_docs(spark, pa, where=f"conv_id = '{victim}'")
+
+    live = corpus.filter(
+        (F.col("turn_idx") % 2 == 1) | (F.col("conv_id") != victim)
+    )
+    build_packed_index(live, cfg, str(tmp_path / "fresh"), chunk_docs=64)
+
+    out = str(tmp_path / "merged")
+    merge_packed_indexes(spark, [pa, pb], out)
+    merged = _assert_merged_equals_fresh(spark, out, str(tmp_path / "fresh"), cfg)
+    assert merged.manifest["n_docs"] < corpus.count()  # fold really dropped docs
+
+
+def test_merge_positional_sidecar(spark, cfg, corpus, tmp_path):
+    """The resume seam rebuilds EVERY downstream stage: a positional +
+    tfidf_sidecar shard merge serves the proximity ranker identically to
+    a fresh build."""
+    from searchengine_spark.query.proximity import proximity_topk_packed_batch
+
+    a, b = _split(corpus)
+    kw = dict(chunk_docs=64, positional=True, tfidf_sidecar=True)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, **kw)
+    build_packed_index(b, cfg, pb, **kw)
+    build_packed_index(corpus, cfg, str(tmp_path / "fresh"), **kw)
+
+    out = str(tmp_path / "merged")
+    merge_packed_indexes(spark, [pa, pb], out)
+    merged = _assert_merged_equals_fresh(spark, out, str(tmp_path / "fresh"), cfg)
+    assert merged.manifest["positional"] and merged.manifest["tfidf_sidecar"]
+
+    cols = ("query_id", "doc_id", "score", "rank")
+    for mode in ("bm25", "tfidf"):
+        got = _rows(
+            proximity_topk_packed_batch(
+                load_packed_index(spark, out), QUERIES, cfg, k=10,
+                mode=mode, round_dp=6),
+            cols,
+        )
+        want = _rows(
+            proximity_topk_packed_batch(
+                load_packed_index(spark, str(tmp_path / "fresh")), QUERIES,
+                cfg, k=10, mode=mode, round_dp=6),
+            cols,
+        )
+        assert got == want and got
+
+
+def test_merge_refusals(spark, cfg, corpus, tmp_path):
+    a, b = _split(corpus)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, chunk_docs=64)
+    build_packed_index(b, cfg, pb, chunk_docs=128)  # contract mismatch
+
+    with pytest.raises(ValueError, match="different contract.*chunk_docs"):
+        merge_packed_indexes(spark, [pa, pb], str(tmp_path / "out1"))
+    with pytest.raises(ValueError, match="at least two"):
+        merge_packed_indexes(spark, [pa], str(tmp_path / "out2"))
+    # overlap detection: merging a shard with itself duplicates every key
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_packed_indexes(
+            spark, [pa, pa], str(tmp_path / "out3"), check_disjoint=True
+        )
