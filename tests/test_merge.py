@@ -72,14 +72,18 @@ def _assert_merged_equals_fresh(spark, merged_path, fresh_path, cfg):
 
 
 def test_merge_equals_fresh_build(spark, cfg, corpus, tmp_path):
-    a, b = _split(corpus)
-    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
-    build_packed_index(a, cfg, pa, chunk_docs=64)
-    build_packed_index(b, cfg, pb, chunk_docs=64)
+    """THREE shards (N > 2), interleaved by turn_idx % 3."""
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}")
+        build_packed_index(
+            corpus.filter(F.col("turn_idx") % 3 == i), cfg, p, chunk_docs=64
+        )
+        paths.append(p)
     build_packed_index(corpus, cfg, str(tmp_path / "fresh"), chunk_docs=64)
 
     out = str(tmp_path / "merged")
-    merge_packed_indexes(spark, [pa, pb], out, check_disjoint=True)
+    merge_packed_indexes(spark, paths, out, check_disjoint=True)
     merged = _assert_merged_equals_fresh(spark, out, str(tmp_path / "fresh"), cfg)
     # a merged index is a FRESH index: empty ledgers, snapshot history reset
     assert merged.manifest.get("appends", []) == []
@@ -87,26 +91,37 @@ def test_merge_equals_fresh_build(spark, cfg, corpus, tmp_path):
     assert merged.manifest["snapshot_seq"] == 0
 
 
-def test_merge_folds_tombstones(spark, cfg, corpus, tmp_path):
-    """Tombstoned docs do not survive a merge: merge(delete(A, conv), B)
-    == fresh build over (A minus conv) + B — avgdl/idf recomputed over
-    the LIVE union, not the shard high-water corpora."""
+def test_merge_folds_tombstones_and_epochs(spark, cfg, corpus, tmp_path):
+    """A merge sees each shard's COMMITTED state: tombstones do not
+    survive (merge(delete(A, conv), B) folds them) and committed append
+    epochs DO (merge(A', append(B, batch)) includes the batch) — all
+    equal to a fresh build over the live union, avgdl/idf recomputed
+    (never the shard high-water statistics)."""
+    from searchengine_spark.streaming.incremental import append_batch
+
     a, b = _split(corpus)
     victim = a.select("conv_id").first()["conv_id"]
+    extra = transcripts_df(spark, n_conv=2, seed=9900).withColumn(
+        "conv_id", F.concat(F.lit("xx_"), F.col("conv_id"))
+    ).persist()
     pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
     build_packed_index(a, cfg, pa, chunk_docs=64)
     build_packed_index(b, cfg, pb, chunk_docs=64)
     delete_docs(spark, pa, where=f"conv_id = '{victim}'")
+    append_batch(extra, pb, cfg, batch_id=0)
 
     live = corpus.filter(
         (F.col("turn_idx") % 2 == 1) | (F.col("conv_id") != victim)
-    )
+    ).unionByName(extra)
     build_packed_index(live, cfg, str(tmp_path / "fresh"), chunk_docs=64)
 
     out = str(tmp_path / "merged")
     merge_packed_indexes(spark, [pa, pb], out)
     merged = _assert_merged_equals_fresh(spark, out, str(tmp_path / "fresh"), cfg)
-    assert merged.manifest["n_docs"] < corpus.count()  # fold really dropped docs
+    n_extra = extra.count()
+    extra.unpersist()
+    assert merged.manifest["n_docs"] < corpus.count() + n_extra  # deletes folded
+    assert merged.manifest["n_docs"] > corpus.count() // 2       # epoch included
 
 
 def test_merge_positional_sidecar(spark, cfg, corpus, tmp_path):
