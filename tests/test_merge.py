@@ -56,7 +56,11 @@ def _topk(pidx, cfg):
     )
 
 
-def _assert_merged_equals_fresh(spark, merged_path, fresh_path, cfg):
+def _assert_merged_equals_fresh(spark, merged_path, fresh_path, cfg, search=True):
+    from searchengine_spark.indexing.fsck import verify_index
+
+    v = verify_index(spark, merged_path)
+    assert v["ok"], v["errors"]
     merged = load_packed_index(spark, merged_path)
     fresh = load_packed_index(spark, fresh_path)
     assert _stats(merged.manifest) == _stats(fresh.manifest)
@@ -65,9 +69,10 @@ def _assert_merged_equals_fresh(spark, merged_path, fresh_path, cfg):
     )
     dm_cols = ("doc_id", "conv_id", "turn_idx")
     assert _rows(merged.docmap, dm_cols) == _rows(fresh.docmap, dm_cols)
-    got = _topk(merged, cfg)
-    assert got == _topk(fresh, cfg)
-    assert got  # non-vacuous: the fixture queries hit docs
+    if search:  # BM25 WAND serving (freq payload only)
+        got = _topk(merged, cfg)
+        assert got == _topk(fresh, cfg)
+        assert got  # non-vacuous: the fixture queries hit docs
     return merged
 
 
@@ -157,6 +162,61 @@ def test_merge_positional_sidecar(spark, cfg, corpus, tmp_path):
             cols,
         )
         assert got == want and got
+
+
+def test_merge_payload_matrix(spark, cfg, corpus, tmp_path):
+    """The remaining payload contracts survive a merge: 'boolean' (gap-only
+    postings, membership serving) and 'tfidf' (baked doc:freq/w triples,
+    joinless plain TF-IDF) — merged indexes serve identically to fresh
+    builds, and the merged manifest keeps the baked schema."""
+    from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+    from searchengine_spark.query.wand import boolean_search_packed
+
+    a, b = _split(corpus)
+
+    def shards(tag, **kw):
+        pa, pb = str(tmp_path / f"{tag}_a"), str(tmp_path / f"{tag}_b")
+        build_packed_index(a, cfg, pa, chunk_docs=64, **kw)
+        build_packed_index(b, cfg, pb, chunk_docs=64, **kw)
+        fresh = str(tmp_path / f"{tag}_fresh")
+        build_packed_index(corpus, cfg, fresh, chunk_docs=64, **kw)
+        out = str(tmp_path / f"{tag}_merged")
+        merge_packed_indexes(spark, [pa, pb], out)
+        return out, fresh
+
+    out, fresh = shards("bool", payload="boolean")
+    merged = _assert_merged_equals_fresh(spark, out, fresh, cfg, search=False)
+    assert merged.manifest["payload"] == "boolean"
+    got = _rows(
+        boolean_search_packed(
+            load_packed_index(spark, out), QUERIES, cfg, op="or"),
+        ("query_id", "doc_id", "n_terms"),
+    )
+    want = _rows(
+        boolean_search_packed(
+            load_packed_index(spark, fresh), QUERIES, cfg, op="or"),
+        ("query_id", "doc_id", "n_terms"),
+    )
+    assert got == want and got
+
+    out, fresh = shards("tfidf", payload="tfidf", tfidf_doc_schema="bnc")
+    merged = _assert_merged_equals_fresh(spark, out, fresh, cfg, search=False)
+    assert merged.manifest["payload"] == "tfidf"
+    assert merged.manifest["tfidf_doc_schema"] == "bnc"
+    cols = ("query_id", "doc_id", "score", "rank")
+    got = _rows(
+        tfidf_topk_packed_batch(
+            load_packed_index(spark, out), QUERIES, cfg, k=10,
+            schema="bnc.ltc", round_dp=6),
+        cols,
+    )
+    want = _rows(
+        tfidf_topk_packed_batch(
+            load_packed_index(spark, fresh), QUERIES, cfg, k=10,
+            schema="bnc.ltc", round_dp=6),
+        cols,
+    )
+    assert got == want and got
 
 
 def test_merge_refusals(spark, cfg, corpus, tmp_path):
