@@ -41,6 +41,10 @@ def main() -> None:
                          "arrive); default is one batch append")
     ap.add_argument("--batch-id", type=int, default=None,
                     help="epoch id for a non-stream append (default: next)")
+    ap.add_argument("--adopt", default=None,
+                    help="finished shard INDEX path to append as one epoch "
+                         "(O(shard): only its docs stage is read, its "
+                         "tombstones fold; indexing/merge.py)")
     ap.add_argument("--delete-where", default=None,
                     help="SQL predicate over the docs stage "
                          "(doc_id, *order_cols, dl)")
@@ -65,11 +69,13 @@ def main() -> None:
     args = ap.parse_args()
     if args.delete_where and args.delete_ids:
         ap.error("pass at most one of --delete-where / --delete-ids")
-    if not any((args.append, args.delete_where, args.delete_ids,
+    if args.append and args.adopt:
+        ap.error("pass at most one of --append / --adopt per run")
+    if not any((args.append, args.adopt, args.delete_where, args.delete_ids,
                 args.compact, args.compact_if_debt is not None,
                 args.fsck, args.fsck_deep, args.stats)):
-        ap.error("nothing to do: pass --append / --delete-* / --compact / "
-                 "--fsck / --stats")
+        ap.error("nothing to do: pass --append / --adopt / --delete-* / "
+                 "--compact / --fsck / --stats")
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +113,12 @@ def main() -> None:
                 spark.read.parquet(args.append), args.index, cfg,
                 batch_id=batch_id,
             )
+
+    if args.adopt:
+        from searchengine_spark.indexing.merge import adopt_shard_index
+
+        adopt_shard_index(spark, args.index, args.adopt,
+                          batch_id=args.batch_id)
 
     if args.delete_where or args.delete_ids:
         from searchengine_spark.indexing.deletes import delete_docs

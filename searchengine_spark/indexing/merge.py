@@ -154,3 +154,65 @@ def merge_packed_indexes(
         payload=m.get("payload", "freq"),
         tfidf_doc_schema=m.get("tfidf_doc_schema") or "lnc",
     )
+
+
+def adopt_shard_index(
+    spark: SparkSession,
+    path: str,
+    shard_path: str,
+    batch_id: Optional[int] = None,
+) -> dict:
+    """Append a FINISHED shard index into the live index at ``path`` as one
+    committed epoch — O(shard) cost, the base is never touched. Returns the
+    updated manifest.
+
+    Contract: identical to ``append_batch`` over the shard's raw live rows
+    (tokenization is deterministic, so the shard's stored token streams
+    substitute bit-for-bit) — frozen-avgdl dl_norm, final-live-set idf, the
+    whole incremental contract (streaming/incremental.py). The shard's
+    tombstones are folded (deleted docs are not adopted).
+
+    Only tokenizer + order_cols must match the target: the shard's payload,
+    chunk_docs, positional and sidecar flags are irrelevant because only
+    its DOCS stage (tokens) is read — the epoch is re-encoded under the
+    TARGET's contract by append_batch. Use this over
+    ``merge_packed_indexes`` when the base is large and the shard small
+    (continuous ingestion of pre-built partial indexes); use the merge when
+    you want a fresh single-base layout (or run a compaction after).
+
+    ``batch_id`` defaults to the next epoch id, monotonic past compactions
+    (same rule as ``jobs/maintain.py``)."""
+    from ..streaming.incremental import append_batch
+    from . import fsio
+    import json
+
+    shard = load_packed_index(spark, shard_path)
+    manifest = json.loads(fsio.read_text(spark, fsio.join(path, "manifest.json")))
+    for key in ("tokenizer", "order_cols"):
+        if manifest.get(key) != shard.manifest.get(key):
+            raise ValueError(
+                f"shard {shard_path!r} disagrees with the target index on "
+                f"{key!r}: {shard.manifest.get(key)!r} vs {manifest.get(key)!r}"
+            )
+    if batch_id is None:
+        used = {a["batch_id"] for a in manifest.get("appends", [])}
+        batch_id = max(
+            int(manifest.get("append_seq", 0)),
+            max(used) + 1 if used else 0,
+        )
+
+    order_cols = list(manifest["order_cols"])
+    docs = shard.docs_stage()
+    mask = shard.delete_mask()
+    if mask is not None:
+        tomb = spark.createDataFrame(
+            [(int(x),) for x in mask.arr], schema=f"{DOC_ID} long"
+        )
+        docs = docs.join(F.broadcast(tomb), on=DOC_ID, how="left_anti")
+    return append_batch(
+        docs.select(*order_cols, "tokens"),
+        path,
+        TokenizerConfig.from_manifest(manifest["tokenizer"]),
+        batch_id=batch_id,
+        pre_tokenized=True,
+    )

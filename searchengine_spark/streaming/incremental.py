@@ -76,6 +76,7 @@ def append_batch(
     batch_id: int = 0,
     text_col: str = "text",
     order_cols=None,
+    pre_tokenized: bool = False,
 ) -> dict:
     """Append one micro-batch of transcript rows to the packed index at
     ``path``; returns the updated manifest. Idempotent per ``batch_id``.
@@ -83,7 +84,12 @@ def append_batch(
     ``order_cols`` defaults to the MANIFEST's recorded external-id columns
     (build/append parity — the appended docs stage must union cleanly with
     the base docs stage); passing a conflicting set is an error, not a
-    silent schema divergence."""
+    silent schema divergence.
+
+    ``pre_tokenized=True``: the batch carries a ``tokens`` array column
+    (a shard's stored token streams — indexing/merge.py adoption) and
+    ``text_col``/``cfg``-tokenization is skipped; the CALLER owns tokenizer
+    parity with the manifest."""
     spark = batch.sparkSession
     dirs = _stage_dirs(path)
     manifest = json.loads(fsio.read_text(spark, dirs["manifest"]))
@@ -118,7 +124,14 @@ def append_batch(
     docs = with_doc_ids(batch, order_cols=order_cols)
     id_handle = docs  # untransformed return value carries the persist handle
     docs = docs.withColumn(DOC_ID, F.col(DOC_ID) + offset)
-    docs = docs.withColumn("tokens", tokens_column(F.col(text_col), cfg))
+    if pre_tokenized:
+        # batch carries the stored token streams already (shard adoption,
+        # indexing/merge.py) — tokenization is deterministic, so they
+        # substitute bit-for-bit for re-tokenizing the raw text
+        if "tokens" not in batch.columns:
+            raise ValueError("pre_tokenized=True needs a 'tokens' column")
+    else:
+        docs = docs.withColumn("tokens", tokens_column(F.col(text_col), cfg))
     docs = docs.withColumn("dl", F.size("tokens").cast("long"))
     # same docs-stage schema as the base build (docmap view unions them)
     docs = docs.select(DOC_ID, *order_cols, "tokens", "dl").persist()

@@ -219,6 +219,54 @@ def test_merge_payload_matrix(spark, cfg, corpus, tmp_path):
     assert got == want and got
 
 
+def test_adopt_shard_equals_raw_append(spark, cfg, corpus, stop_words, tmp_path):
+    """Shard ADOPTION (O(shard) epoch append of a finished index,
+    indexing/merge.py adopt_shard_index) is bit-identical to append_batch
+    over the shard's raw live rows: the stored token streams substitute
+    for re-tokenizing, the shard's tombstones fold, and the target's
+    incremental contract (frozen avgdl, live-set idf) applies unchanged.
+    The shard deliberately uses a different chunk_docs — only its DOCS
+    stage is read, so index-layout knobs are irrelevant."""
+    from searchengine_spark.indexing.merge import adopt_shard_index
+    from searchengine_spark.streaming.incremental import append_batch
+
+    extra = transcripts_df(spark, n_conv=3, seed=9901).withColumn(
+        "conv_id", F.concat(F.lit("zz_"), F.col("conv_id"))
+    ).persist()
+    p_raw, p_adopt = str(tmp_path / "via_raw"), str(tmp_path / "via_adopt")
+    build_packed_index(corpus, cfg, p_raw, chunk_docs=64)
+    build_packed_index(corpus, cfg, p_adopt, chunk_docs=64)
+
+    shp = str(tmp_path / "shard")
+    build_packed_index(extra, cfg, shp, chunk_docs=32)
+    victim = extra.select("conv_id").first()["conv_id"]
+    delete_docs(spark, shp, where=f"conv_id = '{victim}'")
+
+    append_batch(extra.filter(F.col("conv_id") != victim), p_raw, cfg, batch_id=0)
+    m = adopt_shard_index(spark, p_adopt, shp)
+    extra.unpersist()
+    assert m["appends"][0]["batch_id"] == 0  # default epoch id
+
+    raw, adopted = load_packed_index(spark, p_raw), load_packed_index(spark, p_adopt)
+    for key in ("n_docs", "n_docs_live", "avgdl"):
+        assert adopted.manifest.get(key) == raw.manifest.get(key), key
+    assert _rows(adopted.term_stats, ("term", "df", "idf")) == _rows(
+        raw.term_stats, ("term", "df", "idf")
+    )
+    got = _topk(adopted, cfg)
+    assert got == _topk(raw, cfg) and got
+
+    # tokenizer parity is the caller-owned contract — mismatch refuses
+    shp2 = str(tmp_path / "shard_badtok")
+    build_packed_index(
+        transcripts_df(spark, n_conv=2, seed=9902),
+        TokenizerConfig(min_token_length=4, stop_words=stop_words),
+        shp2, chunk_docs=32,
+    )
+    with pytest.raises(ValueError, match="tokenizer"):
+        adopt_shard_index(spark, p_adopt, shp2)
+
+
 def test_merge_refusals(spark, cfg, corpus, tmp_path):
     a, b = _split(corpus)
     pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
