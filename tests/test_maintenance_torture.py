@@ -40,6 +40,7 @@ from searchengine_spark.fixtures import transcripts_df
 from searchengine_spark.indexing.compact import compact_index
 from searchengine_spark.indexing.deletes import delete_docs
 from searchengine_spark.indexing.fsck import verify_index
+from searchengine_spark.indexing.merge import adopt_shard_index
 from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
 from searchengine_spark.query.serve import LocalSearcher
 from searchengine_spark.query.wand import bm25_topk_packed_batch, boolean_search_packed
@@ -129,8 +130,14 @@ def test_maintenance_torture(spark, cfg, tmp_path, seed):
     live = set(range(high_water))
     token_sets = _refresh_tokens(spark, path)
 
-    ops = ["append:0", "delete", "append:1", "delete", "compact", "append:2"]
+    # content id 1 arrives as a SHARD ADOPTION (a pre-built index appended
+    # as an epoch, indexing/merge.py) — the replay below re-plays it as a
+    # RAW append, so the final equality also gates adopt == append inside
+    # arbitrary op interleavings
+    ops = ["append:0", "delete", "adopt:1", "delete", "compact", "append:2"]
     rng.shuffle(ops)
+    shard1 = str(tmp_path / "shard1")
+    build_packed_index(_append_df(spark, 1), cfg, shard1, chunk_docs=32)
 
     # batch_id must be MONOTONIC in execution order, decoupled from the
     # content seed: compaction advances append_seq past folded epochs, so
@@ -143,10 +150,13 @@ def test_maintenance_torture(spark, cfg, tmp_path, seed):
     prev_seq = load_packed_index(spark, path).manifest["snapshot_seq"]
 
     for op in ops:
-        if op.startswith("append:"):
+        if op.startswith(("append:", "adopt:")):
             b = int(op.split(":")[1])
             n = _append_df(spark, b).count()
-            append_batch(_append_df(spark, b), path, cfg, batch_id=next_batch_id)
+            if op.startswith("adopt:"):
+                adopt_shard_index(spark, path, shard1, batch_id=next_batch_id)
+            else:
+                append_batch(_append_df(spark, b), path, cfg, batch_id=next_batch_id)
             next_batch_id += 1
             live |= set(range(high_water, high_water + n))
             high_water += n
