@@ -1463,6 +1463,45 @@ def q_sharded_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated scatter-gather serving (query/federated.py): the fixture
+    corpus split into two shards by turn parity, each built as an
+    independent packed index, then served TOGETHER — per-shard pushed
+    scans, one union, one heap — with NO merge. Statistics contract (ES
+    dfs_query_then_fetch analog): idf is federation-global and exact
+    (df/N summed across shards, the build's own rounding), dl_norm is
+    shard-local (stored against each shard's own avgdl). The oracle
+    replicates exactly that in SQL: per-shard avgdl in the dl_norm CTE,
+    global term_stats, and the federation's tie order (shard asc, then
+    conv_id/turn_idx) in the rank window."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.federated import (
+        bm25_topk_federated,
+        resolve_docs_federated,
+    )
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    base = os.path.join(tempfile.gettempdir(), "se_spark_entry_fed")
+    pa, pb = (os.path.join(base, d) for d in ("shard_a", "shard_b"))
+    _build_packed_once(pa, lambda: build_packed_index(
+        corpus.filter(F.col("turn_idx") % 2 == 0), cfg, pa, chunk_docs=256))
+    _build_packed_once(pb, lambda: build_packed_index(
+        corpus.filter(F.col("turn_idx") % 2 == 1), cfg, pb, chunk_docs=256))
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    topk = bm25_topk_federated(shards, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6)
+    out = resolve_docs_federated(shards, topk)
+    return out.select(
+        "query_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered retrieval (Lucene filtered-search analog,
     query/wand.py filter_doc_ids + doc_filter): BM25 top-10 over ONLY the
@@ -1603,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
         "sharded_merge_search": q_sharded_merge_search,
+        "federated_search": q_federated_search,
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
@@ -3199,6 +3239,54 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
     # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
     # blending, or stale downstream stage in the merge hash-mismatches
     sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
+
+    # ---- federated scatter-gather: global idf (df/N summed over shards),
+    # SHARD-LOCAL dl_norm (each shard's own avgdl — the stored 3-dp footer
+    # contract is not invertible, the documented dfs_query_then_fetch
+    # analog), tie order = federation docID namespace (shard asc, then the
+    # shard-local (conv_id, turn_idx) dense order)
+    sqls["federated_search"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx,
+         (turn_idx % 2)::INT AS shard, text
+  FROM t
+),
+tok AS (SELECT doc_id, shard, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, shard, len(tokens)::BIGINT AS dl FROM tok),
+shard_stats AS (
+  SELECT shard, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl GROUP BY shard
+),
+corpus AS (SELECT count(*)::BIGINT AS n FROM dl),
+dln AS (
+  SELECT doc_id, round(dl / s.avgdl, 3) AS dl_norm
+  FROM dl JOIN shard_stats s USING (shard)
+),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s, 6) DESC, d.shard ASC,
+                                     d.conv_id ASC, d.turn_idx ASC) AS rank
+  FROM scored s JOIN docs d USING (doc_id)
+)
+SELECT r.query_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
 
     # ---- attribute-filtered retrieval: the same transcripts BM25 contract
     # but ranked over ONLY role='user' turns — docIDs / idf / avgdl stay

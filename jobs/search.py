@@ -180,9 +180,95 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
                 r["snippet"] = sn["snippet"]
 
 
+def _serve_federated(spark, args) -> None:
+    """--shards: scatter-gather bm25 across N shard indexes, no merge.
+    Batch (--query/--queries-file [--output]) and the interactive loop;
+    the single-index extras (fuzzy/filter/boost/prf/mlt/tfidf/positional
+    rankers, snapshots, local tier) stay on --index — fold the shards
+    with jobs/merge_index.py when you need them on one index."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.indexing.packed import load_packed_index
+    from searchengine_spark.query.federated import (
+        bm25_topk_federated,
+        resolve_docs_federated,
+    )
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    if args.ranker != "bm25":
+        raise SystemExit("--shards serves the bm25 ranker (federated "
+                         "scatter-gather); other rankers run on a single "
+                         "index — merge the shards first")
+    for flag in ("fuzzy", "filter", "boost", "prf", "mlt", "suggest",
+                 "snapshot", "relevance", "snippet_source"):
+        if getattr(args, flag):
+            raise SystemExit(f"--{flag.replace('_', '-')} is not wired to "
+                             "--shards; merge the shards or serve one index")
+    t0 = time.perf_counter()
+    shards = [load_packed_index(spark, p.strip())
+              for p in args.shards.split(",") if p.strip()]
+    cfg = TokenizerConfig.from_manifest(shards[0].manifest.get("tokenizer", {}))
+    n_docs = sum(s.manifest["n_docs"] for s in shards)
+    print(f"{len(shards)} shards loaded in "
+          f"{(time.perf_counter() - t0) * 1000:.1f}ms ({n_docs} docs)",
+          file=sys.stderr)
+
+    queries = list(args.query or [])
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            queries += [ln.strip() for ln in fh if ln.strip()]
+
+    def run(batch: list[str]) -> None:
+        t1 = time.perf_counter()
+        frame = resolve_docs_federated(shards, bm25_topk_federated(
+            shards, batch, cfg, k=args.n, exhaustive=args.exhaustive))
+        if args.output:
+            qdf = spark.createDataFrame(
+                list(enumerate(batch)), "query_id int, query string")
+            frame.join(F.broadcast(qdf), "query_id").write.mode(
+                "overwrite").parquet(args.output)
+            dt = time.perf_counter() - t1
+            print(json.dumps({
+                "queries": len(batch), "shards": len(shards),
+                "output": args.output, "seconds": round(dt, 3),
+                "queries_per_sec": round(len(batch) / dt, 2),
+            }))
+            return
+        rows = frame.collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r.asDict())
+        dt = time.perf_counter() - t1
+        for i, q in enumerate(batch):
+            res = sorted(by_q.get(i, []),
+                         key=lambda r: (r["rank"], r["doc_id"]))
+            print(json.dumps({"query": q, "results": res}, default=str))
+        print(f"federated search in {dt * 1000:.1f}ms "
+              f"({len(batch)} queries, {len(shards)} shards)", file=sys.stderr)
+
+    if queries:
+        run(queries)
+        return
+    while True:
+        try:
+            line = input("Search (exit interactive search with 'q'): ")
+        except EOFError:
+            break
+        if line.strip().lower() == "q":
+            break
+        if line.strip():
+            run([line.strip()])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", default=None)
+    ap.add_argument("--shards", default=None, metavar="A,B,...",
+                    help="comma-separated shard index paths: FEDERATED "
+                         "scatter-gather serving across all of them with no "
+                         "merge (query/federated.py; bm25 ranker) — idf is "
+                         "federation-global and exact, dl_norm shard-local "
+                         "(the ES dfs_query_then_fetch contract)")
     ap.add_argument("--query", action="append",
                     help="repeatable; omit entirely for the interactive REPL")
     ap.add_argument("-n", type=int, default=10)
@@ -262,8 +348,15 @@ def main() -> None:
     from searchengine_spark.query.eval import EvalStats, parse_relevance_file
     from searchengine_spark.tokenizer import TokenizerConfig
 
+    if bool(args.index) == bool(args.shards):
+        raise SystemExit("pass exactly one of --index or --shards")
+
     spark = SparkSession.builder.appName("searchengine_spark.search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.shards:
+        _serve_federated(spark, args)
+        return
 
     t0 = time.perf_counter()
     pidx = load_packed_index(spark, args.index, snapshot=args.snapshot)

@@ -1,0 +1,235 @@
+"""Federated scatter-gather BM25 over N shard indexes — no merge.
+
+At 10^12 turns a deployment never folds everything into one index: the
+corpus lives as independently-built shard indexes (indexing/merge.py
+builds/folds them; this module SERVES them directly). The reference has
+no sharding notion at all (its whole index is one process's files,
+src/models/index.py) — this is the distributed-serving capability its
+design cannot express.
+
+Statistics contract (the Elasticsearch ``dfs_query_then_fetch`` analog):
+
+- **idf is federation-global and exact**: per-term df and the live corpus
+  size N sum across shards (disjoint corpora), and idf = round(ln(N/df), 3)
+  — the identical formula/rounding the build and the delete path use
+  (indexing/packed.py, indexing/deletes.py:238), computed with the same
+  Spark expression so single-shard federation is bit-identical to plain
+  packed serving. Naive federation (each shard ranking by its LOCAL idf)
+  is how cross-shard rankings drift — we never blend per-shard idf.
+- **dl_norm is shard-local**: postings store dl_norm quantized against the
+  shard's own avgdl at build time (the reference's 3-dp footer contract,
+  bm25.py:76-81), and 3-dp rounding is not invertible, so a federated
+  query scores each doc with its shard's dl_norm. This is the documented
+  epoch contract streaming appends already have (frozen-avgdl dl_norm,
+  final-live-set idf — streaming/incremental.py); a federation is the same
+  thing with shards as epochs. When every shard's avgdl coincides (e.g.
+  uniform doc lengths) federated results are bit-identical to a merged
+  index (gated in tests/test_federated.py); when avgdls differ, rankings
+  agree with a per-shard-avgdl oracle exactly (driver entry
+  ``federated_search``). Want merged-exact dl_norm? Fold the shards with
+  ``merge_packed_indexes`` — that is the rebuild path by design.
+
+Plan shape (the whole batch is still ONE job + two bounded collects):
+per-shard pushed ``In(term, …)`` scans of the term-sorted layouts, a
+plan-level UNION (no exchange), the literal term->query_ids fan-out, and
+one hash exchange into the shared per-query scorer. Global df/N come from
+one union-scan of the tiny term_stats sidecars (vocabulary-pruned). Doc
+ids shift per shard by a chunk-aligned base offset so chunk ids stay the
+pruning blocks and one heap serves all shards; block-max bounds are
+unchanged (stored per shard, valid because scoring uses the shard's own
+dl_norm and the common build params). Tombstones mask per shard through
+the same decode hooks plain serving uses.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indexing.packed import PackedIndex
+from ..tokenizer import TokenizerConfig, tokenize_text
+from .wand import _TOPK_SCHEMA, _wand_scorer
+
+# shards must have been built under one contract for their stored blocks
+# to be mutually rankable (same bar the shard merge sets, indexing/merge.py)
+_COMPAT_KEYS = (
+    ("tokenizer", None),
+    ("k", None),
+    ("b", None),
+    ("chunk_docs", None),
+    ("payload", "freq"),
+    ("order_cols", None),
+)
+
+
+def _check_compat(shards: Sequence[PackedIndex]) -> None:
+    if len(shards) < 1:
+        raise ValueError("federated search needs at least one shard index")
+    views = [
+        {k: s.manifest.get(k, d) for k, d in _COMPAT_KEYS} for s in shards
+    ]
+    for i, v in enumerate(views[1:], start=1):
+        if v != views[0]:
+            diff = {k: (views[0][k], v[k]) for k in v if v[k] != views[0][k]}
+            raise ValueError(
+                f"shard #{i} ({shards[i].path!r}) was built under a "
+                f"different contract than shard #0 ({shards[0].path!r}); "
+                f"differing keys (first, this): {diff}"
+            )
+    if views[0]["payload"] != "freq":
+        raise ValueError(
+            f"payload={views[0]['payload']!r} shards store no dlq — "
+            "federated BM25 needs payload='freq' builds"
+        )
+
+
+def _doc_bases(shards: Sequence[PackedIndex]) -> List[int]:
+    """Chunk-ALIGNED global docID offset per shard: bases are multiples of
+    chunk_docs, so global_chunk = local_chunk + base//chunk_docs and a
+    doc's whole score still lives inside one (global) chunk id — the
+    block-max safety invariant survives federation unchanged. Offsets use
+    the docID HIGH-WATER mark (n_docs), never n_docs_live: tombstoned ids
+    still occupy their slots (CLAUDE.md high-water rule)."""
+    chunk_docs = int(shards[0].manifest["chunk_docs"])
+    bases, base = [], 0
+    for s in shards:
+        bases.append(base)
+        hw = int(s.manifest["n_docs"])
+        base += ((hw + chunk_docs - 1) // chunk_docs) * chunk_docs
+    return bases
+
+
+def _global_idf(shards: Sequence[PackedIndex], terms: List[str]) -> dict:
+    """Federation-exact idf for the (bounded) query-term set: ONE union
+    scan of the term-pruned term_stats sidecars, df summed across shards,
+    then the build's own idf expression (same F.round/F.log — bit-identity
+    with what a single index over the union corpus would store)."""
+    if not terms:
+        return {}
+    n_live = sum(
+        int(s.manifest.get("n_docs_live", s.manifest["n_docs"])) for s in shards
+    )
+    parts = [
+        s.term_stats.filter(F.col("term").isin(terms)).select(
+            "term", F.col("df").cast("long").alias("df")
+        )
+        for s in shards
+    ]
+    summed = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+        .select(
+            "term",
+            F.round(
+                F.log(F.lit(float(max(n_live, 1))) / F.col("df")), 3
+            ).alias("idf"),
+        )
+    )
+    return {r["term"]: float(r["idf"]) for r in summed.collect()}
+
+
+def bm25_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    exhaustive: bool = False,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
+    with doc_id in the federation-global namespace (resolve external ids
+    with :func:`resolve_docs_federated`). ``exhaustive=True`` disables
+    block-max pruning (the safety-gate twin, like bm25_topk_packed_batch)."""
+    _check_compat(shards)
+    spark = shards[0].spark
+    chunk_docs = int(shards[0].manifest["chunk_docs"])
+    params = shards[0].params
+
+    rows = []
+    for qid, q in enumerate(queries):
+        # unique terms per query — the reference's multiplicity quirk
+        # (bm25.py:44-53), same as the single-index path
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    if not rows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    all_terms = sorted({t for _, t in rows})
+    idf_map = _global_idf(shards, all_terms)
+
+    bases = _doc_bases(shards)
+    parts = []
+    for s, base in zip(shards, bases):
+        parts.append(
+            s.index.filter(F.col("term").isin(all_terms)).select(
+                "term",
+                (F.col("chunk") + F.lit(base // chunk_docs)).alias("chunk"),
+                "max_tfsat",
+                "postings",
+                F.lit(base).cast("long").alias("doc_base"),
+            )
+        )
+    pruned = reduce(DataFrame.unionByName, parts)
+
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    map_entries = [
+        x
+        for t, qs in qids_by_term.items()
+        if t in idf_map  # absent everywhere -> matches nothing (OR)
+        for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+    ]
+    if not map_entries:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    matched = pruned.withColumn(
+        "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+    )
+
+    # per-shard tombstone masks ride per-base decode hooks; shards without
+    # deletes fall through to the default decoder
+    decoders: dict[int, object] = {}
+    for s, base in zip(shards, bases):
+        mask = s.delete_mask()
+        if mask is not None:
+            decoders[base] = mask.wrap_decoders()[0]
+
+    n_docs_total = sum(int(s.manifest["n_docs"]) for s in shards)
+    k_top = k if not exhaustive else max(k, n_docs_total)
+    scorer = _wand_scorer(
+        k_top,
+        params,
+        round_dp,
+        idf_map,
+        decoders=decoders if decoders else None,
+    )
+    out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
+    if exhaustive:
+        out = out.filter(F.col("rank") <= k)
+    return out
+
+
+def resolve_docs_federated(
+    shards: Sequence[PackedIndex], topk: DataFrame
+) -> DataFrame:
+    """Federation-global docID -> external id resolve: each shard's docmap
+    shifts by its base offset (same arithmetic the scorer applied), unions
+    (plan-level, no exchange), and joins the top-k — the multi-shard twin
+    of :func:`~searchengine_spark.query.wand.resolve_docs`."""
+    ext_cols = [c for c in shards[0].manifest["order_cols"] if c != "doc_id"]
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        parts.append(
+            s.docmap.select(
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                *ext_cols,
+            )
+        )
+    docmap = reduce(DataFrame.unionByName, parts)
+    return topk.join(docmap, "doc_id").select(
+        "query_id", "doc_id", *ext_cols, "score", "rank"
+    )

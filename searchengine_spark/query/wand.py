@@ -72,6 +72,7 @@ def _wand_scorer(
     qweights: dict | None = None,
     require_all: dict | None = None,
     boosts: tuple | None = None,
+    decoders: dict | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -107,7 +108,14 @@ def _wand_scorer(
     boost (absent docs boost 1.0). Pruning stays safe by scaling each
     chunk's upper bound by max(1, max boost) — the distributed path
     computes that per chunk from the joined arrays, the closure form
-    scales by the global max."""
+    scales by the global max.
+
+    ``decoders``: {doc_base: decode hook} for FEDERATED scatter-gather
+    (query/federated.py): matched chunk rows carry a ``doc_base`` column
+    (the shard's global docID offset, constant within a chunk group), the
+    shard's own decode hook (tombstone-masked) decodes its buffers, and
+    decoded doc_ids shift by the base into the federation-global namespace
+    BEFORE the shared heap — N shards, one heap, no doc_id collisions."""
     kk, bb = float(params.k), float(params.b)
     if qweights:
         # same safety rule as doc boosts: a negative coefficient makes
@@ -151,6 +159,7 @@ def _wand_scorer(
         by_chunk = dict(tuple(pdf.groupby("chunk")))
         has_allowed_col = "allowed" in pdf.columns
         has_boost_col = "bids" in pdf.columns
+        has_base = "doc_base" in pdf.columns
         gb_ids, gb_vals = boosts if boosts is not None else (None, None)
         heap: list = []  # min-heap of (score, -doc_id) — worst kept on top
         for chunk, bound in ub.items():
@@ -171,14 +180,20 @@ def _wand_scorer(
                 scale = max(1.0, float(np.max(b_vals)))
             if len(heap) >= k_top and bound * scale < heap[0][0] - eps:
                 continue  # safe skip: every doc in chunk scores <= bound*scale
+            base = int(rows["doc_base"].iloc[0]) if has_base else 0
+            d = decoders.get(base, dec) if decoders is not None else dec
             docs_all: list = []
             contrib_all: list = []
             for idf, buf in zip(rows["idf"].to_numpy(), rows["postings"]):
-                doc_ids, tfs, dl_norm = dec(buf)
+                doc_ids, tfs, dl_norm = d(buf)
                 contrib_all.append(idf * tf_saturation(tfs, dl_norm, kk, bb))
                 docs_all.append(doc_ids)
             docs = np.concatenate(docs_all)
             contribs = np.concatenate(contrib_all)
+            if base:
+                # shift into the federation-global docID namespace (order-
+                # preserving, so downstream unique/tie-break logic is as-is)
+                docs = docs + base
             allow = allowed
             if allow is None and has_allowed_col:
                 # per-chunk filter column (joined on chunk): same array on

@@ -1,0 +1,228 @@
+"""Federated scatter-gather serving gates (query/federated.py).
+
+Contract under test — ES ``dfs_query_then_fetch`` analog:
+
+- idf is federation-global and EXACT (df/N summed across shards, the
+  build's own round(ln(N/df),3) expression), so a single-shard federation
+  is bit-identical to plain packed serving;
+- dl_norm is shard-local (stored 3-dp against the shard's avgdl). On a
+  UNIFORM-dl corpus every shard's avgdl coincides, so federated results
+  must be bit-identical to serving a MERGED index over the same corpora —
+  including after per-shard deletes (uniform dl keeps avgdl invariant
+  under deletion, while idf shifts with the live stats on both sides);
+- block-max pruning stays safe across the federation (WAND == exhaustive);
+- contract mismatches between shards refuse loudly.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from searchengine_spark.fixtures import transcripts_df
+from searchengine_spark.indexing.build import Bm25Params
+from searchengine_spark.indexing.deletes import delete_docs
+from searchengine_spark.indexing.merge import merge_packed_indexes
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.federated import (
+    bm25_topk_federated,
+    resolve_docs_federated,
+)
+from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+from searchengine_spark.tokenizer import TokenizerConfig
+
+QUERIES = ["greatest rock album", "guitar solo legendary", "drummer tour"]
+
+# 30 tokenizer-proof words (>=3 chars, none in the reference stop list)
+_VOCAB = [
+    "album", "guitar", "drummer", "chorus", "melody", "vinyl", "bass",
+    "rhythm", "anthem", "ballad", "encore", "lyric", "riff", "solo",
+    "stage", "tour", "amplifier", "record", "studio", "tempo", "vocal",
+    "harmony", "acoustic", "electric", "festival", "jazz", "blues",
+    "rock", "legendary", "greatest",
+]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=10).persist()
+
+
+def uniform_corpus(spark, n_conv=4, n_turns=12, dl=6):
+    """Every turn tokenizes to exactly ``dl`` terms -> every shard split
+    has the same avgdl (1.0 dl_norm everywhere), the regime where the
+    federated shard-local-dl_norm contract coincides with a merged index
+    bit for bit."""
+    rows = [
+        (
+            f"c{c:03d}",
+            t,
+            "user",
+            " ".join(_VOCAB[(c * 7 + t * 3 + j * 5) % len(_VOCAB)] for j in range(dl)),
+            "",
+        )
+        for c in range(n_conv)
+        for t in range(n_turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def _split(corpus):
+    a = corpus.filter(F.col("turn_idx") % 2 == 0)
+    b = corpus.filter(F.col("turn_idx") % 2 == 1)
+    return a, b
+
+
+def _rows(df, cols=("query_id", "doc_id", "score", "rank")):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _ext_rows(df):
+    cols = ("query_id", "conv_id", "turn_idx", "score", "rank")
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _expected_under_fed_order(merged, merged_full_ext, k=10):
+    """Re-rank the merged index's FULL (exhaustive) per-query scores under
+    the federation's docID tie order — shard asc (turn parity here), then
+    (conv_id, turn_idx) — and cut to k. Scores must be bit-identical
+    between the two servings; rank order within rounded-score TIES is a
+    docID-namespace artifact (merged re-sorts globally, the federation
+    offsets per shard), so the expectation applies the federation's order
+    to the merged scores rather than weakening to a set compare."""
+    pdf = merged_full_ext.toPandas()
+    pdf["shard"] = pdf["turn_idx"] % 2
+    pdf = pdf.sort_values(
+        ["query_id", "score", "shard", "conv_id", "turn_idx"],
+        ascending=[True, False, True, True, True],
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k]
+    return sorted(
+        (int(r.query_id), r.conv_id, int(r.turn_idx), float(r.score), int(r.rank))
+        for r in pdf.itertuples(index=False)
+    )
+
+
+def test_single_shard_identity(spark, corpus, cfg, tmp_path):
+    """One-shard federation == plain packed serving, bit for bit (global
+    stats degenerate to the shard's own; base offset is 0)."""
+    path = str(tmp_path / "solo")
+    build_packed_index(corpus, cfg, path, chunk_docs=32)
+    pidx = load_packed_index(spark, path)
+    plain = bm25_topk_packed_batch(pidx, QUERIES, cfg, k=10, round_dp=6)
+    fed = bm25_topk_federated([pidx], QUERIES, cfg, k=10, round_dp=6)
+    assert _rows(fed) == _rows(plain)
+
+
+def test_wand_equals_exhaustive(spark, corpus, cfg, tmp_path):
+    """Block-max pruning across shards is SAFE: federated WAND == federated
+    exhaustive on every query (same docs, same scores, same ranks)."""
+    a, b = _split(corpus)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, chunk_docs=32)
+    build_packed_index(b, cfg, pb, chunk_docs=32)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    pruned = bm25_topk_federated(shards, QUERIES, cfg, k=10, round_dp=6)
+    full = bm25_topk_federated(shards, QUERIES, cfg, k=10, round_dp=6, exhaustive=True)
+    got = _rows(pruned)
+    assert got == _rows(full)
+    assert len(got) > 0
+
+
+def test_uniform_dl_equals_merged(spark, cfg, tmp_path):
+    """On a uniform-dl corpus (all shard avgdls coincide) federated serving
+    is SCORE-bit-identical to a MERGED index over the same corpora, and its
+    ranking equals the merged scores re-ranked under the federation's own
+    tie order (see _expected_under_fed_order) — compared on external ids
+    because the two docID namespaces legitimately differ."""
+    corpus = uniform_corpus(spark)
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=16)
+    build_packed_index(b, cfg, pb, chunk_docs=16)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    fed = bm25_topk_federated(shards, QUERIES, cfg, k=10, round_dp=6)
+    fed_ext = resolve_docs_federated(shards, fed)
+    n = merged.manifest["n_docs"]
+    full = bm25_topk_packed_batch(merged, QUERIES, cfg, k=n, round_dp=6, exhaustive=True)
+    got = _ext_rows(fed_ext)
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
+
+
+def test_deletes_fold_with_live_idf(spark, cfg, tmp_path):
+    """Per-shard tombstones mask federated results AND shift global idf to
+    the live statistics: still bit-identical to a merged index (the merge
+    folds tombstones) on the uniform-dl corpus, where deletion cannot move
+    avgdl. A federation serving stale df/N or leaking tombstoned docs
+    fails this equality."""
+    corpus = uniform_corpus(spark)
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=16)
+    build_packed_index(b, cfg, pb, chunk_docs=16)
+    # tombstone some of shard a's docs (doc_ids are dense within the shard)
+    delete_docs(spark, pa, doc_ids=[0, 3, 5, 8])
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    fed = bm25_topk_federated(shards, QUERIES, cfg, k=10, round_dp=6)
+    fed_ext = resolve_docs_federated(shards, fed)
+    n = merged.manifest["n_docs"]
+    full = bm25_topk_packed_batch(merged, QUERIES, cfg, k=n, round_dp=6, exhaustive=True)
+    got = _ext_rows(fed_ext)
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
+    # the tombstoned external keys really are gone from the federation
+    dead = {r["conv_id"] + ":" + str(r["turn_idx"])
+            for r in shards[0].docmap.filter(F.col("doc_id").isin([0, 3, 5, 8])).collect()}
+    alive = {r["conv_id"] + ":" + str(r["turn_idx"])
+             for r in fed_ext.select("conv_id", "turn_idx").collect()}
+    assert not (dead & alive)
+
+
+def test_compat_refusals(spark, corpus, cfg, tmp_path):
+    """Shards built under different contracts refuse loudly; boolean
+    payloads (no dlq) refuse too."""
+    a, b = _split(corpus)
+    pa, pb, pc = (str(tmp_path / d) for d in ("a", "b", "c"))
+    build_packed_index(a, cfg, pa, chunk_docs=32)
+    build_packed_index(b, cfg, pb, chunk_docs=16)  # different chunk grid
+    build_packed_index(b, cfg, pc, chunk_docs=32, payload="boolean")
+    sa, sb, sc = (load_packed_index(spark, p) for p in (pa, pb, pc))
+    with pytest.raises(ValueError, match="different contract"):
+        bm25_topk_federated([sa, sb], QUERIES, cfg)
+    with pytest.raises(ValueError, match="payload"):
+        bm25_topk_federated([sc], QUERIES, cfg)
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk_federated([], QUERIES, cfg)
+
+
+def test_three_shards_and_empty_query(spark, corpus, cfg, tmp_path):
+    """Three-way federation ranks (smoke at N>2: offsets stay chunk-
+    aligned, heap merges three scans); an all-stop-word query batch
+    returns the empty frame instead of scanning anything."""
+    parts = [corpus.filter(F.col("turn_idx") % 3 == i) for i in range(3)]
+    paths = [str(tmp_path / f"s{i}") for i in range(3)]
+    for p, df in zip(paths, parts):
+        build_packed_index(df, cfg, p, chunk_docs=32)
+    shards = [load_packed_index(spark, p) for p in paths]
+    fed = bm25_topk_federated(shards, QUERIES, cfg, k=5, round_dp=6)
+    pdf = fed.toPandas()
+    assert len(pdf) > 0
+    assert (pdf.groupby("query_id")["rank"].max() <= 5).all()
+    # doc ids live in the global namespace and resolve uniquely
+    ext = resolve_docs_federated(shards, fed).toPandas()
+    assert len(ext) == len(pdf)
+    empty = bm25_topk_federated(shards, ["the of and"], cfg, k=5)
+    assert empty.count() == 0
