@@ -46,6 +46,8 @@ from __future__ import annotations
 from functools import reduce
 from typing import List, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,11 +142,30 @@ def bm25_topk_federated(
     k: int = 10,
     exhaustive: bool = False,
     round_dp: int | None = None,
+    gather: str = "two_phase",
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
     with :func:`resolve_docs_federated`). ``exhaustive=True`` disables
-    block-max pruning (the safety-gate twin, like bm25_topk_packed_batch)."""
+    block-max pruning (the safety-gate twin, like bm25_topk_packed_batch).
+
+    ``gather`` picks the scatter-gather topology, bit-identical results
+    (gated in tests/test_federated.py):
+
+    - ``"two_phase"`` (default, the ES query-then-fetch shape): scorers
+      group by (query_id, doc_base) — |queries|x|shards| parallel tasks,
+      each scoring ONE shard's matched chunks to a shard-local top-k —
+      then a second tiny exchange merges the k-per-shard candidates per
+      query. EXACT because every doc's whole score lives inside one shard:
+      any doc outside its shard's top-k is dominated by k same-shard docs
+      under the global (score desc, doc_id asc) order and cannot enter the
+      global top-k. At 1000 shards this is the difference between one
+      straggler task per query and shard-wide parallelism.
+    - ``"single"``: one scorer per query over all shards' chunks (one
+      exchange total) — fewer jobs for small federations; the verification
+      twin for the equality gate."""
+    if gather not in ("two_phase", "single"):
+        raise ValueError(f"gather must be 'two_phase' or 'single', got {gather!r}")
     _check_compat(shards)
     spark = shards[0].spark
     chunk_docs = int(shards[0].manifest["chunk_docs"])
@@ -207,7 +228,36 @@ def bm25_topk_federated(
         idf_map,
         decoders=decoders if decoders else None,
     )
-    out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
+    if gather == "single":
+        out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
+        if exhaustive:
+            out = out.filter(F.col("rank") <= k)
+        return out
+
+    # two-phase: shard-local top-k in parallel (the scorer is unchanged —
+    # a (query_id, doc_base) group holds exactly one shard's chunks, and
+    # decoded ids are already federation-global), then a per-query merge
+    # of the <= k_top-per-shard candidates (bounded input: k x |shards|)
+    shard_topk = matched.groupBy("query_id", "doc_base").applyInPandas(
+        scorer, schema=_TOPK_SCHEMA
+    )
+
+    def merge_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k_top if exhaustive else k)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(),
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "score": pdf["score"].to_numpy(),
+                "rank": np.arange(1, len(pdf) + 1, dtype=np.int32),
+            }
+        )
+
+    out = shard_topk.groupBy("query_id").applyInPandas(
+        merge_topk, schema=_TOPK_SCHEMA
+    )
     if exhaustive:
         out = out.filter(F.col("rank") <= k)
     return out

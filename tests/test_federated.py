@@ -191,6 +191,35 @@ def test_deletes_fold_with_live_idf(spark, cfg, tmp_path):
     assert not (dead & alive)
 
 
+def test_two_phase_equals_single_gather(spark, corpus, cfg, tmp_path):
+    """The two gather topologies are bit-identical — including under
+    per-shard tombstones and in exhaustive mode. two_phase is exact
+    because a doc's whole score lives inside one shard: any doc outside
+    its shard's top-k is dominated by k same-shard docs under the global
+    (score desc, doc_id asc) order, so the shard-local cut loses nothing
+    (the docstring's exactness argument, pinned here)."""
+    a, b = _split(corpus)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, chunk_docs=32)
+    build_packed_index(b, cfg, pb, chunk_docs=32)
+    delete_docs(spark, pa, doc_ids=[1, 4])
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    for exhaustive in (False, True):
+        two = bm25_topk_federated(
+            shards, QUERIES, cfg, k=7, round_dp=6,
+            exhaustive=exhaustive, gather="two_phase",
+        )
+        one = bm25_topk_federated(
+            shards, QUERIES, cfg, k=7, round_dp=6,
+            exhaustive=exhaustive, gather="single",
+        )
+        got = _rows(two)
+        assert got == _rows(one)
+        assert len(got) > 0
+    with pytest.raises(ValueError, match="gather"):
+        bm25_topk_federated(shards, QUERIES, cfg, gather="broadcast")
+
+
 def test_compat_refusals(spark, corpus, cfg, tmp_path):
     """Shards built under different contracts refuse loudly; boolean
     payloads (no dlq) refuse too."""
