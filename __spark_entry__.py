@@ -1502,6 +1502,45 @@ def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_federated_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated TF-IDF serving (query/federated.py tfidf_topk_federated):
+    two turn-parity shards with tfidf sidecars served together with NO
+    merge. STRONGER contract than federated BM25: doc-side lnc weights
+    are corpus-stat-free and the query ltc pins the federation-global
+    idf, so the oracle is simply single-corpus TF-IDF (global term_stats,
+    per-doc norms) ranked under the federation tie order (shard asc,
+    then conv_id/turn_idx) — merged-index-exact on ANY corpus, no
+    per-shard statistics CTE needed at all."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.federated import (
+        resolve_docs_federated,
+        tfidf_topk_federated,
+    )
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    base = os.path.join(tempfile.gettempdir(), "se_spark_entry_fedtfidf")
+    pa, pb = (os.path.join(base, d) for d in ("shard_a", "shard_b"))
+    _build_packed_once(pa, lambda: build_packed_index(
+        corpus.filter(F.col("turn_idx") % 2 == 0), cfg, pa, chunk_docs=256,
+        tfidf_sidecar=True))
+    _build_packed_once(pb, lambda: build_packed_index(
+        corpus.filter(F.col("turn_idx") % 2 == 1), cfg, pb, chunk_docs=256,
+        tfidf_sidecar=True))
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    topk = tfidf_topk_federated(shards, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6)
+    out = resolve_docs_federated(shards, topk)
+    return out.select(
+        "query_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered retrieval (Lucene filtered-search analog,
     query/wand.py filter_doc_ids + doc_filter): BM25 top-10 over ONLY the
@@ -1643,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_wand_topk": q_transcripts_wand_topk,
         "sharded_merge_search": q_sharded_merge_search,
         "federated_search": q_federated_search,
+        "federated_tfidf": q_federated_tfidf,
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
@@ -3276,6 +3316,58 @@ scored AS (
   SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
   FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
   GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s, 6) DESC, d.shard ASC,
+                                     d.conv_id ASC, d.turn_idx ASC) AS rank
+  FROM scored s JOIN docs d USING (doc_id)
+)
+SELECT r.query_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # ---- federated TF-IDF: doc-side lnc weights are corpus-stat-free and
+    # the query ltc pins federation-global idf, so the oracle is plain
+    # single-corpus TF-IDF (global term_stats, per-doc banker's-rounded
+    # weights) under the federation tie order (shard asc, then the
+    # shard-local dense order) — merged-exact on ANY corpus, no per-shard
+    # statistics CTE needed
+    sqls["federated_tfidf"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx,
+         (turn_idx % 2)::INT AS shard, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+corpus AS (SELECT count(*)::BIGINT AS n FROM tok),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+w AS (SELECT term, doc_id, 1.0 + ln(tf) AS wr FROM idx),
+dnorm AS (SELECT doc_id, sqrt(sum(wr * wr)) AS nrm FROM w GROUP BY doc_id),
+wt AS (
+  SELECT term, w.doc_id, round_even(wr / nrm, 3) AS w3
+  FROM w JOIN dnorm ON w.doc_id = dnorm.doc_id
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+ql AS (
+  SELECT q.query_id, q.term, term_stats.idf AS ltc
+  FROM q JOIN term_stats USING (term)
+),
+qn AS (SELECT query_id, sqrt(sum(ltc * ltc)) AS qnrm FROM ql GROUP BY query_id),
+scored AS (
+  SELECT ql.query_id, wt.doc_id, sum(wt.w3 * ql.ltc / qn.qnrm) AS s
+  FROM wt JOIN ql USING (term) JOIN qn ON ql.query_id = qn.query_id
+  GROUP BY ql.query_id, wt.doc_id
 ),
 ranked AS (
   SELECT s.query_id, s.doc_id, round(s.s, 6) AS score,

@@ -181,24 +181,29 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
 
 
 def _serve_federated(spark, args) -> None:
-    """--shards: scatter-gather bm25 across N shard indexes, no merge.
+    """--shards: scatter-gather across N shard indexes, no merge — bm25
+    (two-phase gather), tfidf (global-idf query vector, merged-exact on
+    any corpus) and boolean_and/boolean_or (pure per-shard union).
     Batch (--query/--queries-file [--output]) and the interactive loop;
-    the single-index extras (fuzzy/filter/boost/prf/mlt/tfidf/positional
+    the single-index extras (fuzzy/filter/boost/prf/mlt/positional
     rankers, snapshots, local tier) stay on --index — fold the shards
     with jobs/merge_index.py when you need them on one index."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from searchengine_spark.indexing.packed import load_packed_index
     from searchengine_spark.query.federated import (
         bm25_topk_federated,
+        boolean_search_federated,
         resolve_docs_federated,
+        tfidf_topk_federated,
     )
     from searchengine_spark.tokenizer import TokenizerConfig
 
-    if args.ranker != "bm25":
-        raise SystemExit("--shards serves the bm25 ranker (federated "
-                         "scatter-gather); other rankers run on a single "
-                         "index — merge the shards first")
+    if args.ranker not in ("bm25", "tfidf", "boolean_and", "boolean_or"):
+        raise SystemExit(f"--shards serves bm25/tfidf/boolean_and/"
+                         f"boolean_or (federated scatter-gather), not "
+                         f"{args.ranker}; merge the shards first")
     for flag in ("fuzzy", "filter", "boost", "prf", "mlt", "suggest",
                  "snapshot", "relevance", "snippet_source"):
         if getattr(args, flag):
@@ -220,8 +225,22 @@ def _serve_federated(spark, args) -> None:
 
     def run(batch: list[str]) -> None:
         t1 = time.perf_counter()
-        frame = resolve_docs_federated(shards, bm25_topk_federated(
-            shards, batch, cfg, k=args.n, exhaustive=args.exhaustive))
+        if args.ranker == "bm25":
+            topk = bm25_topk_federated(
+                shards, batch, cfg, k=args.n, exhaustive=args.exhaustive)
+        elif args.ranker == "tfidf":
+            topk = tfidf_topk_federated(
+                shards, batch, cfg, k=args.n, schema=args.schema)
+        else:  # boolean_and / boolean_or: unranked sets, rank by doc_id
+            hits = boolean_search_federated(
+                shards, batch, cfg, op=args.ranker.split("_")[1])
+            topk = hits.select(
+                "query_id", "doc_id", F.lit(0.0).alias("score"),
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("doc_id")
+                ).alias("rank"),
+            ).filter(F.col("rank") <= args.n)
+        frame = resolve_docs_federated(shards, topk)
         if args.output:
             qdf = spark.createDataFrame(
                 list(enumerate(batch)), "query_id int, query string")

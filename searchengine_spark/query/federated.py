@@ -56,7 +56,8 @@ from ..tokenizer import TokenizerConfig, tokenize_text
 from .wand import _TOPK_SCHEMA, _wand_scorer
 
 # shards must have been built under one contract for their stored blocks
-# to be mutually rankable (same bar the shard merge sets, indexing/merge.py)
+# to be mutually rankable (same bar the shard merge sets, indexing/merge.py).
+# BM25 additionally pins (k, b): the stored dlq/max_tfsat bake them in.
 _COMPAT_KEYS = (
     ("tokenizer", None),
     ("k", None),
@@ -65,14 +66,29 @@ _COMPAT_KEYS = (
     ("payload", "freq"),
     ("order_cols", None),
 )
+# boolean retrieval reads only decoded doc ids — payload may even DIFFER
+# per shard (boolean_search_packed handles both); tokenizer parity keeps
+# query terms meaningful, chunk_docs parity keeps one docID namespace,
+# order_cols parity keeps resolve_docs_federated well-typed
+_BOOL_COMPAT_KEYS = (
+    ("tokenizer", None),
+    ("chunk_docs", None),
+    ("order_cols", None),
+)
+# TF-IDF scoring has no (k, b) dependence; payload/doc-schema parity keeps
+# the stored-3dp doc weights mutually comparable
+_TFIDF_COMPAT_KEYS = _BOOL_COMPAT_KEYS + (
+    ("payload", "freq"),
+    ("tfidf_doc_schema", None),
+)
 
 
-def _check_compat(shards: Sequence[PackedIndex]) -> None:
+def _check_compat(
+    shards: Sequence[PackedIndex], keys=_COMPAT_KEYS, payload_freq: bool = True
+) -> None:
     if len(shards) < 1:
         raise ValueError("federated search needs at least one shard index")
-    views = [
-        {k: s.manifest.get(k, d) for k, d in _COMPAT_KEYS} for s in shards
-    ]
+    views = [{k: s.manifest.get(k, d) for k, d in keys} for s in shards]
     for i, v in enumerate(views[1:], start=1):
         if v != views[0]:
             diff = {k: (views[0][k], v[k]) for k in v if v[k] != views[0][k]}
@@ -81,7 +97,7 @@ def _check_compat(shards: Sequence[PackedIndex]) -> None:
                 f"different contract than shard #0 ({shards[0].path!r}); "
                 f"differing keys (first, this): {diff}"
             )
-    if views[0]["payload"] != "freq":
+    if payload_freq and views[0].get("payload") != "freq":
         raise ValueError(
             f"payload={views[0]['payload']!r} shards store no dlq — "
             "federated BM25 needs payload='freq' builds"
@@ -241,11 +257,24 @@ def bm25_topk_federated(
     shard_topk = matched.groupBy("query_id", "doc_base").applyInPandas(
         scorer, schema=_TOPK_SCHEMA
     )
+    out = _merge_shard_topk(shard_topk, k_top if exhaustive else k)
+    if exhaustive:
+        out = out.filter(F.col("rank") <= k)
+    return out
+
+
+def _merge_shard_topk(shard_topk: DataFrame, keep: int) -> DataFrame:
+    """Gather phase shared by every federated ranker: per-query merge of
+    the k-per-shard candidate rows under the scorers' own tie order
+    (score desc, federation doc_id asc) — exact because docs are disjoint
+    across shards, so any doc outside its shard's top-``keep`` is
+    dominated by ``keep`` same-shard docs. Input is bounded:
+    ``keep`` x |shards| rows per query."""
 
     def merge_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             ["score", "doc_id"], ascending=[False, True]
-        ).head(k_top if exhaustive else k)
+        ).head(keep)
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].to_numpy(),
@@ -255,12 +284,96 @@ def bm25_topk_federated(
             }
         )
 
-    out = shard_topk.groupBy("query_id").applyInPandas(
+    return shard_topk.groupBy("query_id").applyInPandas(
         merge_topk, schema=_TOPK_SCHEMA
     )
-    if exhaustive:
-        out = out.filter(F.col("rank") <= k)
-    return out
+
+
+def tfidf_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    schema: str = "lnc.ltc",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Federated TF-IDF top-k -> (query_id, doc_id, score, rank) in the
+    federation-global docID namespace.
+
+    STRONGER contract than federated BM25: TF-IDF doc-side weights depend
+    only on the doc itself (tf + its own cosine norm — no avgdl), and the
+    query-side ltc is pinned to the federation-global idf
+    (:func:`_global_idf`, the build's own rounding), so federated TF-IDF
+    is bit-identical to serving a MERGED index on ANY corpus — not just
+    uniform-dl ones (gated in tests/test_federated.py on the skewed
+    fixture corpus).
+
+    Topology is always two-phase: each shard runs the existing packed
+    TF-IDF pipeline (its own sidecar join, its own tombstone mask) with
+    ``idf_override`` pinning the global query vector, cut to its local
+    top-k (exact — docs are disjoint), and the k x |shards| candidates
+    merge per query in :func:`_merge_shard_topk`."""
+    from .proximity import tfidf_topk_packed_batch
+
+    _check_compat(shards, keys=_TFIDF_COMPAT_KEYS, payload_freq=False)
+    rows = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    spark = shards[0].spark
+    if not rows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    idf_map = _global_idf(shards, sorted({t for _, t in rows}))
+
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = tfidf_topk_packed_batch(
+            s, queries, cfg, k=k, schema=schema, round_dp=round_dp,
+            idf_override=idf_map,
+        )
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "score",
+                "rank",
+            )
+        )
+    return _merge_shard_topk(reduce(DataFrame.unionByName, parts), k)
+
+
+def boolean_search_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    op: str = "and",
+) -> DataFrame:
+    """Federated boolean retrieval -> (query_id, doc_id[, n_terms for OR])
+    in the federation-global docID namespace.
+
+    The simplest scatter-gather of all: a doc's membership (and its OR
+    n_terms count) is decided entirely inside its own shard, and shard
+    corpora are disjoint, so per-shard :func:`boolean_search_packed`
+    results shifted by the base offset UNION (plan-level, no merge
+    exchange at all) into exactly what a merged index would return.
+    Payload may differ per shard ('boolean' gap-only next to 'freq' —
+    the per-shard path decodes each correctly); tokenizer / chunk grid /
+    order_cols parity is still required (one namespace, one query
+    token space)."""
+    from .wand import boolean_search_packed
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = boolean_search_packed(s, queries, cfg, op=op)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                *(["n_terms"] if op == "or" else []),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
 
 
 def resolve_docs_federated(

@@ -391,7 +391,8 @@ _DECODED_SCHEMA = T.StructType(
 
 def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
                   boost: bool = True, round_dp: int | None = None,
-                  rerank_n: int | None = None):
+                  rerank_n: int | None = None,
+                  idf_override: Dict[str, float] | None = None):
     """TF_IDF(_OPTIMIZED) over the packed index.
 
     payload='tfidf' builds (the reference's 'doc:freq/w' format): weights
@@ -401,7 +402,14 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
     freq-payload builds: decode matched chunks -> derive the stored-3dp
     weights under any SMART doc-side schema (cosine norms join the
     doc_norms sidecar column for the schema's tf letter; 'n'/'b' norms
-    are joinless) [-> positional boost]."""
+    are joinless) [-> positional boost].
+
+    ``idf_override``: {term: 3dp idf} used INSTEAD of this index's stored
+    term_stats for the query-side ltc — the federation seam
+    (query/federated.py ships the federation-global idf so each shard's
+    query vector matches what a merged index would compute). Doc-side
+    weights never depend on corpus stats, so this is the ONLY statistic a
+    federated TF-IDF serving has to pin."""
     validate_schema(schema)
     embedded_w = pidx.manifest.get("payload", "freq") == "tfidf"
     nrm_col = None
@@ -504,12 +512,15 @@ def _tfidf_packed(pidx, matched, query_tokens, qdf, schema, k, params,
         )
 
     # query-side ltc over PRESENT terms, stored 3dp idf (exact-path twin)
-    idf_map = {
-        r["term"]: r["idf"]
-        for r in pidx.term_stats.join(
-            F.broadcast(qdf.select("term").distinct()), "term"
-        ).collect()
-    }
+    if idf_override is not None:
+        idf_map = idf_override
+    else:
+        idf_map = {
+            r["term"]: r["idf"]
+            for r in pidx.term_stats.join(
+                F.broadcast(qdf.select("term").distinct()), "term"
+            ).collect()
+        }
     qltc = _query_ltc(query_tokens, idf_map, schema)
 
     scorer = _scorer(
@@ -527,10 +538,12 @@ def tfidf_topk_packed_batch(
     schema: str = "lnc.ltc",
     params: Bm25Params | None = None,
     round_dp: int | None = None,
+    idf_override: Dict[str, float] | None = None,
 ) -> DataFrame:
     """Plain TF_IDF ranking from the packed index (no positional boost; a
     non-positional ``tfidf_sidecar=True`` build suffices). Same stored-3dp
-    weight contract as the exact path (tfidf.py)."""
+    weight contract as the exact path (tfidf.py). ``idf_override``: see
+    :func:`_tfidf_packed` — the federated-serving seam."""
     params = params or pidx.params
     spark = pidx.spark
     query_tokens = {qid: tokenize_text(q, cfg) for qid, q in enumerate(queries)}
@@ -543,7 +556,7 @@ def tfidf_topk_packed_batch(
     matched = pruned.join(F.broadcast(qdf), "term")
     return _tfidf_packed(
         pidx, matched, query_tokens, qdf, schema, k, params, boost=False,
-        round_dp=round_dp,
+        round_dp=round_dp, idf_override=idf_override,
     )
 
 

@@ -23,10 +23,18 @@ from searchengine_spark.indexing.deletes import delete_docs
 from searchengine_spark.indexing.merge import merge_packed_indexes
 from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
 from searchengine_spark.query.federated import (
+    _doc_bases,
     bm25_topk_federated,
+    boolean_search_federated,
     resolve_docs_federated,
+    tfidf_topk_federated,
 )
-from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+from searchengine_spark.query.wand import (
+    bm25_topk_packed_batch,
+    boolean_search_packed,
+    resolve_docs,
+)
 from searchengine_spark.tokenizer import TokenizerConfig
 
 QUERIES = ["greatest rock album", "guitar solo legendary", "drummer tour"]
@@ -218,6 +226,102 @@ def test_two_phase_equals_single_gather(spark, corpus, cfg, tmp_path):
         assert len(got) > 0
     with pytest.raises(ValueError, match="gather"):
         bm25_topk_federated(shards, QUERIES, cfg, gather="broadcast")
+
+
+def _ext_keys(shards, hits, extra=()):
+    """(query_id, conv_id, turn_idx[, extra...]) rows for a federated
+    boolean result — docmaps shifted by the same base offsets the search
+    applied (resolve_docs_federated needs score/rank columns; boolean
+    results have none)."""
+    import functools
+
+    from pyspark.sql import DataFrame as DF
+
+    parts = [
+        s.docmap.select(
+            (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+            "conv_id", "turn_idx",
+        )
+        for s, base in zip(shards, _doc_bases(shards))
+    ]
+    dm = functools.reduce(DF.unionByName, parts)
+    cols = ("query_id", "conv_id", "turn_idx", *extra)
+    return sorted(
+        tuple(r[c] for c in cols)
+        for r in hits.join(dm, "doc_id").select(*cols).collect()
+    )
+
+
+def test_tfidf_federated_equals_merged_any_corpus(spark, corpus, cfg, tmp_path):
+    """Federated TF-IDF == a merged index on the NON-uniform fixture corpus
+    (doc weights are corpus-stat-free; the query ltc pins federation-global
+    idf), including per-shard deletes — a STRONGER contract than BM25's
+    uniform-dl-only equality. Compared on external ids under the
+    federation tie order."""
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=32, tfidf_sidecar=True)
+    build_packed_index(b, cfg, pb, chunk_docs=32, tfidf_sidecar=True)
+    delete_docs(spark, pa, doc_ids=[0, 2, 7])
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    fed = tfidf_topk_federated(shards, QUERIES, cfg, k=10, round_dp=6)
+    fed_ext = resolve_docs_federated(shards, fed)
+    n = merged.manifest["n_docs"]
+    full = tfidf_topk_packed_batch(merged, QUERIES, cfg, k=n, round_dp=6)
+    got = _ext_rows(fed_ext)
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
+
+    # single-shard federation degenerates to plain packed tfidf, bit for bit
+    solo = tfidf_topk_federated([shards[1]], QUERIES, cfg, k=10, round_dp=6)
+    plain = tfidf_topk_packed_batch(shards[1], QUERIES, cfg, k=10, round_dp=6)
+    assert _rows(solo) == _rows(plain)
+
+
+def test_boolean_federated_equals_merged(spark, corpus, cfg, tmp_path):
+    """Federated boolean AND/OR == merged-index boolean on external ids
+    (zero merge exchange: disjoint shards make the per-shard union exact),
+    and the result is payload-independent — a 'boolean' gap-only shard
+    next to a 'freq' shard returns the identical sets."""
+    a, b = _split(corpus)
+    pa, pb, pb2, pm = (str(tmp_path / d) for d in ("a", "b", "b2", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=32)
+    build_packed_index(b, cfg, pb, chunk_docs=32)
+    build_packed_index(b, cfg, pb2, chunk_docs=32, payload="boolean")
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    mixed = [shards[0], load_packed_index(spark, pb2)]
+    merged = load_packed_index(spark, pm)
+
+    for op, extra in (("and", ()), ("or", ("n_terms",))):
+        fed = boolean_search_federated(shards, QUERIES, cfg, op=op)
+        want = boolean_search_packed(merged, QUERIES, cfg, op=op)
+        got = _ext_keys(shards, fed, extra=extra)
+        assert got == _ext_keys([merged], want, extra=extra), op
+        assert len(got) > 0, op
+        assert got == _ext_keys(mixed, boolean_search_federated(
+            mixed, QUERIES, cfg, op=op), extra=extra), op
+    with pytest.raises(ValueError, match="op"):
+        boolean_search_federated(shards, QUERIES, cfg, op="xor")
+
+
+def test_tfidf_federated_refusals(spark, corpus, cfg, tmp_path):
+    """TF-IDF federation refuses shards with mismatched payload /
+    baked doc schema; a sidecar-less freq shard fails in the per-shard
+    pipeline with the single-index error."""
+    a, b = _split(corpus)
+    pa, pb, pc = (str(tmp_path / d) for d in ("a", "b", "c"))
+    build_packed_index(a, cfg, pa, chunk_docs=32, tfidf_sidecar=True)
+    build_packed_index(b, cfg, pb, chunk_docs=32, payload="tfidf")
+    build_packed_index(b, cfg, pc, chunk_docs=32)  # freq, no sidecar
+    sa, sb, sc = (load_packed_index(spark, p) for p in (pa, pb, pc))
+    with pytest.raises(ValueError, match="different contract"):
+        tfidf_topk_federated([sa, sb], QUERIES, cfg)
+    with pytest.raises(ValueError, match="tfidf_sidecar"):
+        tfidf_topk_federated([sa, sc], QUERIES, cfg, k=5).collect()
 
 
 def test_compat_refusals(spark, corpus, cfg, tmp_path):
