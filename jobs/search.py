@@ -195,14 +195,17 @@ def _serve_federated(spark, args) -> None:
     from searchengine_spark.query.federated import (
         bm25_topk_federated,
         boolean_search_federated,
+        proximity_topk_federated,
         resolve_docs_federated,
         tfidf_topk_federated,
     )
     from searchengine_spark.tokenizer import TokenizerConfig
 
-    if args.ranker not in ("bm25", "tfidf", "boolean_and", "boolean_or"):
-        raise SystemExit(f"--shards serves bm25/tfidf/boolean_and/"
-                         f"boolean_or (federated scatter-gather), not "
+    _FED_RANKERS = ("bm25", "tfidf", "bm25_optimized", "tfidf_optimized",
+                    "boolean_and", "boolean_or")
+    if args.ranker not in _FED_RANKERS:
+        raise SystemExit(f"--shards serves {'/'.join(_FED_RANKERS)} "
+                         f"(federated scatter-gather), not "
                          f"{args.ranker}; merge the shards first")
     for flag in ("fuzzy", "filter", "boost", "prf", "mlt", "suggest",
                  "snapshot", "relevance", "snippet_source"):
@@ -231,6 +234,10 @@ def _serve_federated(spark, args) -> None:
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
+        elif args.ranker in ("bm25_optimized", "tfidf_optimized"):
+            topk = proximity_topk_federated(
+                shards, batch, cfg, k=args.n,
+                mode=args.ranker.split("_")[0], schema=args.schema)
         else:  # boolean_and / boolean_or: unranked sets, rank by doc_id
             hits = boolean_search_federated(
                 shards, batch, cfg, op=args.ranker.split("_")[1])

@@ -342,6 +342,77 @@ def tfidf_topk_federated(
     return _merge_shard_topk(reduce(DataFrame.unionByName, parts), k)
 
 
+def proximity_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    mode: str = "bm25",
+    schema: str = "lnc.ltc",
+    round_dp: int | None = None,
+    rerank_n: int | None = None,
+) -> DataFrame:
+    """Federated proximity-boost serving (BM25_OPTIMIZED / TF_IDF_OPTIMIZED)
+    over POSITIONAL shard indexes -> federation-global (query_id, doc_id,
+    score, rank) — the last reference ranker family to federate.
+
+    Statistics contract per mode:
+
+    - ``mode="bm25"``: the base score is federated BM25's contract (global
+      idf, shard-local dl_norm), and the boost normalization's corpus
+      (dl_min, dl_max) pins to the federation-global envelope — min/max of
+      the shards' stored manifest bounds, exactly the bounds a single
+      index over the shards' STORED dl_norm values would have. Merged-
+      index-exact on uniform-dl corpora (same regime as plain BM25).
+    - ``mode="tfidf"``: base is federated TF-IDF (global idf, corpus-stat-
+      free doc weights) and the positional boost is a flat ``0.1 * boost``
+      with NO corpus statistic at all — merged-index-exact on ANY corpus,
+      like :func:`tfidf_topk_federated`.
+
+    ``rerank_n`` applies PER SHARD (each shard boosts its base-score top-N
+    before its local cut) — a superset of a global top-N cut, so accuracy
+    only improves vs single-index rerank semantics."""
+    from .proximity import proximity_topk_packed_batch
+
+    if mode == "bm25":
+        _check_compat(shards)
+    elif mode == "tfidf":
+        _check_compat(shards, keys=_TFIDF_COMPAT_KEYS, payload_freq=False)
+    else:
+        raise ValueError(f"mode must be 'bm25' or 'tfidf', got {mode!r}")
+    rows = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    spark = shards[0].spark
+    if not rows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    idf_map = _global_idf(shards, sorted({t for _, t in rows}))
+    dl_bounds = None
+    if mode == "bm25":
+        dl_bounds = (
+            min(float(s.manifest["dl_norm_min"]) for s in shards),
+            max(float(s.manifest["dl_norm_max"]) for s in shards),
+        )
+
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = proximity_topk_packed_batch(
+            s, queries, cfg, k=k, mode=mode, schema=schema,
+            round_dp=round_dp, rerank_n=rerank_n,
+            idf_override=idf_map, dl_bounds=dl_bounds,
+        )
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "score",
+                "rank",
+            )
+        )
+    return _merge_shard_topk(reduce(DataFrame.unionByName, parts), k)
+
+
 def boolean_search_federated(
     shards: Sequence[PackedIndex],
     queries: Sequence[str],

@@ -203,10 +203,17 @@ def proximity_topk_packed_batch(
     schema: str = "lnc.ltc",
     round_dp: int | None = None,
     rerank_n: int | None = None,
+    idf_override: Dict[str, float] | None = None,
+    dl_bounds: tuple | None = None,
 ) -> DataFrame:
     """BM25_OPTIMIZED / TF_IDF_OPTIMIZED serving from the PACKED positional
     index — all four reference rankers now serve from the on-disk index
     (reference src/searcher.py:67).
+
+    ``idf_override`` / ``dl_bounds``: the federated-serving seams
+    (query/federated.py) — pin the query-side idf map and the boost
+    normalization's (dl_min, dl_max) to federation-global values instead
+    of this shard's own stored statistics.
 
     mode="bm25": same broadcast-join plan as WAND, positions decoded inside
     the per-query scorer.
@@ -224,8 +231,11 @@ def proximity_topk_packed_batch(
     if not pidx.manifest.get("positional"):
         raise ValueError("packed index was not built with positional=True")
     params = params or pidx.params
-    dl_min = float(pidx.manifest["dl_norm_min"])
-    dl_max = float(pidx.manifest["dl_norm_max"])
+    if dl_bounds is not None:
+        dl_min, dl_max = float(dl_bounds[0]), float(dl_bounds[1])
+    else:
+        dl_min = float(pidx.manifest["dl_norm_min"])
+        dl_max = float(pidx.manifest["dl_norm_max"])
     spark = pidx.spark
 
     query_tokens = {qid: tokenize_text(q, cfg) for qid, q in enumerate(queries)}
@@ -237,10 +247,13 @@ def proximity_topk_packed_batch(
     pruned = pidx.index.filter(F.col("term").isin(all_terms)) if all_terms else pidx.index
     # join-free (same shape as wand.py): idf collected once into the scorer
     # closure, term -> query_ids fan-out as a literal map projection
-    stats = pidx.term_stats.select("term", "idf")
-    if all_terms:
-        stats = stats.filter(F.col("term").isin(all_terms))
-    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    if idf_override is not None:
+        idf_map = idf_override
+    else:
+        stats = pidx.term_stats.select("term", "idf")
+        if all_terms:
+            stats = stats.filter(F.col("term").isin(all_terms))
+        idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
     qids_by_term: Dict[str, List[int]] = {}
     for qid, t in rows:
         qids_by_term.setdefault(t, []).append(qid)
@@ -259,7 +272,7 @@ def proximity_topk_packed_batch(
     if mode == "tfidf":
         return _tfidf_packed(
             pidx, matched, query_tokens, qdf, schema, k, params,
-            round_dp=round_dp, rerank_n=rerank_n,
+            round_dp=round_dp, rerank_n=rerank_n, idf_override=idf_override,
         )
 
     mask = pidx.delete_mask()

@@ -29,7 +29,11 @@ from searchengine_spark.query.federated import (
     resolve_docs_federated,
     tfidf_topk_federated,
 )
-from searchengine_spark.query.proximity import tfidf_topk_packed_batch
+from searchengine_spark.query.federated import proximity_topk_federated
+from searchengine_spark.query.proximity import (
+    proximity_topk_packed_batch,
+    tfidf_topk_packed_batch,
+)
 from searchengine_spark.query.wand import (
     bm25_topk_packed_batch,
     boolean_search_packed,
@@ -306,6 +310,66 @@ def test_boolean_federated_equals_merged(spark, corpus, cfg, tmp_path):
             mixed, QUERIES, cfg, op=op), extra=extra), op
     with pytest.raises(ValueError, match="op"):
         boolean_search_federated(shards, QUERIES, cfg, op="xor")
+
+
+def test_proximity_federated_tfidf_any_corpus(spark, corpus, cfg, tmp_path):
+    """TFIDF_OPTIMIZED federates merged-exact on the NON-uniform fixture
+    corpus: base weights are corpus-stat-free, the query ltc pins global
+    idf, and the positional boost is a flat 0.1*boost with no corpus
+    statistic — so like plain federated TF-IDF the equality holds on ANY
+    corpus. Single-shard federation degenerates bit-for-bit."""
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=32, positional=True,
+                       tfidf_sidecar=True)
+    build_packed_index(b, cfg, pb, chunk_docs=32, positional=True,
+                       tfidf_sidecar=True)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    fed = proximity_topk_federated(shards, QUERIES, cfg, k=10, mode="tfidf",
+                                   round_dp=6)
+    fed_ext = resolve_docs_federated(shards, fed)
+    n = merged.manifest["n_docs"]
+    full = proximity_topk_packed_batch(merged, QUERIES, cfg, k=n,
+                                       mode="tfidf", round_dp=6)
+    got = _ext_rows(fed_ext)
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
+
+    solo = proximity_topk_federated([shards[0]], QUERIES, cfg, k=10,
+                                    mode="tfidf", round_dp=6)
+    plain = proximity_topk_packed_batch(shards[0], QUERIES, cfg, k=10,
+                                        mode="tfidf", round_dp=6)
+    assert _rows(solo) == _rows(plain)
+    with pytest.raises(ValueError, match="mode"):
+        proximity_topk_federated(shards, QUERIES, cfg, mode="cosine")
+
+
+def test_proximity_federated_bm25_uniform_dl(spark, cfg, tmp_path):
+    """BM25_OPTIMIZED federates merged-exact on the uniform-dl corpus (the
+    same regime as plain federated BM25): shard avgdls coincide, and the
+    boost's (dl_min, dl_max) envelope — min/max of the shards' stored
+    bounds — equals the merged index's own corpus bounds."""
+    corpus = uniform_corpus(spark)
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=16, positional=True)
+    build_packed_index(b, cfg, pb, chunk_docs=16, positional=True)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    fed = proximity_topk_federated(shards, QUERIES, cfg, k=10, mode="bm25",
+                                   round_dp=6)
+    fed_ext = resolve_docs_federated(shards, fed)
+    n = merged.manifest["n_docs"]
+    full = proximity_topk_packed_batch(merged, QUERIES, cfg, k=n,
+                                       mode="bm25", round_dp=6)
+    got = _ext_rows(fed_ext)
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
 
 
 def test_tfidf_federated_refusals(spark, corpus, cfg, tmp_path):
