@@ -201,12 +201,9 @@ def _serve_federated(spark, args) -> None:
     )
     from searchengine_spark.tokenizer import TokenizerConfig
 
-    _FED_RANKERS = ("bm25", "tfidf", "bm25_optimized", "tfidf_optimized",
-                    "boolean_and", "boolean_or")
-    if args.ranker not in _FED_RANKERS:
-        raise SystemExit(f"--shards serves {'/'.join(_FED_RANKERS)} "
-                         f"(federated scatter-gather), not "
-                         f"{args.ranker}; merge the shards first")
+    if args.ranker not in RANKERS:
+        raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
+                         f"(federated scatter-gather), not {args.ranker}")
     for flag in ("fuzzy", "filter", "boost", "prf", "mlt", "suggest",
                  "snapshot", "relevance", "snippet_source"):
         if getattr(args, flag):
@@ -238,6 +235,24 @@ def _serve_federated(spark, args) -> None:
             topk = proximity_topk_federated(
                 shards, batch, cfg, k=args.n,
                 mode=args.ranker.split("_")[0], schema=args.schema)
+        elif args.ranker == "phrase":
+            from searchengine_spark.query.federated import phrase_topk_federated
+
+            ph = phrase_topk_federated(shards, batch, cfg, k=args.n)
+            topk = ph.select(
+                "query_id", "doc_id",
+                F.col("n_occurrences").cast("double").alias("score"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        elif args.ranker == "minspan":
+            from searchengine_spark.query.federated import minspan_topk_federated
+
+            ms = minspan_topk_federated(shards, batch, cfg, k=args.n)
+            topk = ms.select(
+                "query_id", "doc_id",
+                F.col("span_len").cast("double").alias("score"),
+                F.col("rank").cast("int").alias("rank"),
+            )
         else:  # boolean_and / boolean_or: unranked sets, rank by doc_id
             hits = boolean_search_federated(
                 shards, batch, cfg, op=args.ranker.split("_")[1])

@@ -447,6 +447,89 @@ def boolean_search_federated(
     return reduce(DataFrame.unionByName, parts)
 
 
+def phrase_topk_federated(
+    shards: Sequence[PackedIndex],
+    phrases: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated exact-phrase retrieval -> federation-global (query_id,
+    doc_id, n_occurrences, first_pos, rank). Phrase matching is purely
+    doc-local (positions within one doc, integer outputs, no corpus
+    statistics), so per-shard :func:`phrase_topk_packed_batch` results are
+    exact on ANY corpus; the per-shard top-k cut is safe under the global
+    (n_occurrences desc, doc_id asc) order (same dominance argument as the
+    two-phase BM25 gather), and one tiny window over the k x |shards|
+    candidates re-ranks."""
+    from pyspark.sql import Window
+
+    from .phrase import phrase_topk_packed_batch
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = phrase_topk_packed_batch(s, phrases, cfg, k=k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "n_occurrences",
+                "first_pos",
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
+
+
+def minspan_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated minimal-window span retrieval -> federation-global
+    (query_id, doc_id, span_len, lo, hi, rank). Like phrase search the
+    span is doc-local and integer-exact, so federation is exact on ANY
+    corpus; per-shard cuts are safe under (span_len asc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    from .spans import minspan_topk_packed_batch
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = minspan_topk_packed_batch(s, queries, cfg, k=k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "span_len",
+                "lo",
+                "hi",
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("span_len"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
+
+
 def resolve_docs_federated(
     shards: Sequence[PackedIndex], topk: DataFrame
 ) -> DataFrame:

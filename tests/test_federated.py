@@ -372,6 +372,53 @@ def test_proximity_federated_bm25_uniform_dl(spark, cfg, tmp_path):
     assert len(got) > 0
 
 
+def test_phrase_minspan_federated_equals_merged(spark, corpus, cfg, tmp_path):
+    """Phrase and minimal-span retrieval federate EXACTLY on any corpus:
+    both are doc-local integer-valued operators (no corpus statistics at
+    all), so the full per-shard result sets equal the merged index's bit
+    for bit on external ids, and the ranked cut matches the merged scores
+    re-ranked under the federation tie order."""
+    from searchengine_spark.query.federated import (
+        minspan_topk_federated,
+        phrase_topk_federated,
+    )
+    from searchengine_spark.query.phrase import phrase_topk_packed_batch
+    from searchengine_spark.query.spans import minspan_topk_packed_batch
+
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=32, positional=True)
+    build_packed_index(b, cfg, pb, chunk_docs=32, positional=True)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    cases = [
+        (
+            phrase_topk_federated(shards, QUERIES, cfg, k=None),
+            phrase_topk_packed_batch(merged, QUERIES, cfg, k=None),
+            ("n_occurrences", "first_pos"),
+        ),
+        (
+            minspan_topk_federated(shards, QUERIES, cfg, k=None),
+            minspan_topk_packed_batch(merged, QUERIES, cfg, k=None),
+            ("span_len", "lo", "hi"),
+        ),
+    ]
+    for fed, want, payload in cases:
+        got = _ext_keys(shards, fed.drop("rank"), extra=payload)
+        assert got == _ext_keys([merged], want.drop("rank"), extra=payload)
+        assert len(got) > 0
+    # ranked cut: per-shard k is exact under the global order — the
+    # federated k=3 set equals the head of the federation-ordered full set
+    fed3 = _ext_keys(shards, phrase_topk_federated(shards, QUERIES, cfg, k=3),
+                     extra=("n_occurrences", "rank"))
+    full = _ext_keys(shards, phrase_topk_federated(shards, QUERIES, cfg, k=None),
+                     extra=("n_occurrences", "rank"))
+    want3 = [r for r in full if r[-1] <= 3]
+    assert fed3 == want3 and len(fed3) > 0
+
+
 def test_tfidf_federated_refusals(spark, corpus, cfg, tmp_path):
     """TF-IDF federation refuses shards with mismatched payload /
     baked doc schema; a sidecar-less freq shard fails in the per-shard
