@@ -204,11 +204,13 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    for flag in ("fuzzy", "filter", "boost", "prf", "mlt", "suggest",
+    for flag in ("filter", "boost", "prf", "mlt",
                  "snapshot", "relevance", "snippet_source"):
         if getattr(args, flag):
             raise SystemExit(f"--{flag.replace('_', '-')} is not wired to "
                              "--shards; merge the shards or serve one index")
+    if args.fuzzy and args.ranker != "bm25":
+        raise SystemExit("--fuzzy federates on the bm25 ranker only")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p.strip())
               for p in args.shards.split(",") if p.strip()]
@@ -217,6 +219,17 @@ def _serve_federated(spark, args) -> None:
     print(f"{len(shards)} shards loaded in "
           f"{(time.perf_counter() - t0) * 1000:.1f}ms ({n_docs} docs)",
           file=sys.stderr)
+
+    if args.suggest:
+        from searchengine_spark.query.federated import suggest_terms_federated
+
+        rows = suggest_terms_federated(shards, args.suggest, k=args.n).collect()
+        print(json.dumps({
+            "prefix": args.suggest,
+            "suggestions": [{"term": r["term"], "df": int(r["df"])}
+                            for r in rows],
+        }))
+        return
 
     queries = list(args.query or [])
     if args.queries_file:
@@ -227,7 +240,8 @@ def _serve_federated(spark, args) -> None:
         t1 = time.perf_counter()
         if args.ranker == "bm25":
             topk = bm25_topk_federated(
-                shards, batch, cfg, k=args.n, exhaustive=args.exhaustive)
+                shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
+                fuzzy=args.fuzzy)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)

@@ -151,6 +151,55 @@ def _global_idf(shards: Sequence[PackedIndex], terms: List[str]) -> dict:
     return {r["term"]: float(r["idf"]) for r in summed.collect()}
 
 
+def _global_dictionary(shards: Sequence[PackedIndex]) -> DataFrame:
+    """The federation's live (term, df) dictionary: df sums over the
+    disjoint shard corpora — EXACTLY the merged index's term_stats, from
+    one plan-level union of the vocabulary-sized sidecars. Feeds the
+    federated suggest / fuzzy surfaces."""
+    parts = [
+        s.term_stats.select("term", F.col("df").cast("long").alias("df"))
+        for s in shards
+    ]
+    return (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def suggest_terms_federated(
+    shards: Sequence[PackedIndex], prefix: str, k: int = 10
+) -> DataFrame:
+    """Federated dictionary auto-complete -> (term, df): terms with the
+    prefix ranked by the federation-wide live df (desc, term-asc ties) —
+    bit-identical to suggest over a merged index because shard corpora
+    are disjoint (df adds). The prefix filter pushes into EACH shard's
+    term_stats scan before the union, so cost stays vocabulary-sized per
+    shard; no postings are read. NOTE: per-shard top-k pre-cuts would be
+    WRONG here (a term just below every shard's local top-k can win on
+    summed df), so the cut happens only after the global sum — the
+    per-shard candidate sets are prefix-pruned sidecar slices, already
+    tiny."""
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    parts = [
+        s.term_stats.filter(F.col("term").startswith(prefix)).select(
+            "term", F.col("df").cast("long").alias("df")
+        )
+        for s in shards
+    ]
+    return (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def bm25_topk_federated(
     shards: Sequence[PackedIndex],
     queries: Sequence[str],
@@ -159,6 +208,7 @@ def bm25_topk_federated(
     exhaustive: bool = False,
     round_dp: int | None = None,
     gather: str = "two_phase",
+    fuzzy: bool = False,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -197,6 +247,21 @@ def bm25_topk_federated(
         return spark.createDataFrame([], _TOPK_SCHEMA)
     all_terms = sorted({t for _, t in rows})
     idf_map = _global_idf(shards, all_terms)
+
+    # the idf collect doubles as the federation-wide vocabulary probe
+    # (wand.py's pattern): correct ONLY the globally-missing terms against
+    # the federation dictionary, then re-pin idf for the corrected set
+    oov = [t for t in all_terms if t not in idf_map]
+    if fuzzy and oov:
+        from .fuzzy import correct_terms
+
+        corr = correct_terms(_global_dictionary(shards), oov)
+        if corr:
+            # re-dedupe per query: two typos may correct to the same term,
+            # and a duplicate (qid, term) would double-score via the fan-out
+            rows = list(dict.fromkeys((qid, corr.get(t, t)) for qid, t in rows))
+            all_terms = sorted({t for _, t in rows})
+            idf_map = _global_idf(shards, all_terms)
 
     bases = _doc_bases(shards)
     parts = []

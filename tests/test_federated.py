@@ -435,6 +435,44 @@ def test_tfidf_federated_refusals(spark, corpus, cfg, tmp_path):
         tfidf_topk_federated([sa, sc], QUERIES, cfg, k=5).collect()
 
 
+def test_suggest_and_fuzzy_federated(spark, corpus, cfg, tmp_path):
+    """Federated suggest == merged-index suggest bit-for-bit (live df sums
+    across disjoint shards), including after per-shard deletes; federated
+    fuzzy corrects OOV typos against the FEDERATION dictionary and then
+    matches the explicitly-corrected query exactly."""
+    from searchengine_spark.query.federated import suggest_terms_federated
+    from searchengine_spark.query.wand import suggest_terms
+
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=32)
+    build_packed_index(b, cfg, pb, chunk_docs=32)
+    delete_docs(spark, pa, doc_ids=[0, 1, 2])
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    for prefix in ("al", "ro", "t"):
+        got = [(r["term"], r["df"]) for r in
+               suggest_terms_federated(shards, prefix, k=8).collect()]
+        want = [(r["term"], int(r["df"])) for r in
+                suggest_terms(merged, prefix, k=8).collect()]
+        assert got == want, prefix
+    assert len(suggest_terms_federated(shards, "al", k=8).collect()) > 0
+    with pytest.raises(ValueError, match="prefix"):
+        suggest_terms_federated(shards, "", k=8)
+
+    # fuzzy: 'albom' is OOV everywhere, distance 1 from 'album' — the
+    # corrected federated batch must equal the explicit one bit-for-bit
+    fz = bm25_topk_federated(
+        shards, ["greatest rock albom"], cfg, k=10, round_dp=6, fuzzy=True)
+    want = bm25_topk_federated(
+        shards, ["greatest rock album"], cfg, k=10, round_dp=6)
+    got = _rows(fz)
+    assert got == _rows(want)
+    assert len(got) > 0
+
+
 def test_compat_refusals(spark, corpus, cfg, tmp_path):
     """Shards built under different contracts refuse loudly; boolean
     payloads (no dlq) refuse too."""
