@@ -204,13 +204,15 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    for flag in ("filter", "boost", "prf", "mlt",
-                 "snapshot", "relevance", "snippet_source"):
+    for flag in ("prf", "mlt", "snapshot", "relevance", "snippet_source"):
         if getattr(args, flag):
             raise SystemExit(f"--{flag.replace('_', '-')} is not wired to "
                              "--shards; merge the shards or serve one index")
-    if args.fuzzy and args.ranker != "bm25":
-        raise SystemExit("--fuzzy federates on the bm25 ranker only")
+    for flag in ("fuzzy", "filter", "boost"):
+        if getattr(args, flag) and args.ranker != "bm25":
+            raise SystemExit(f"--{flag} federates on the bm25 ranker only")
+    if (args.filter or args.boost) and not args.attrs:
+        raise SystemExit("--filter/--boost need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p.strip())
               for p in args.shards.split(",") if p.strip()]
@@ -236,12 +238,23 @@ def _serve_federated(spark, args) -> None:
         with open(args.queries_file) as fh:
             queries += [ln.strip() for ln in fh if ln.strip()]
 
+    doc_filters = doc_boosts = None
+    if args.filter or args.boost:
+        from searchengine_spark.query.wand import boost_doc_ids, filter_doc_ids
+
+        attrs = spark.read.parquet(args.attrs)
+        if args.filter:
+            doc_filters = [filter_doc_ids(s, attrs, args.filter) for s in shards]
+        if args.boost:
+            doc_boosts = [boost_doc_ids(s, attrs, args.boost) for s in shards]
+
     def run(batch: list[str]) -> None:
         t1 = time.perf_counter()
         if args.ranker == "bm25":
             topk = bm25_topk_federated(
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
-                fuzzy=args.fuzzy)
+                fuzzy=args.fuzzy, doc_filters=doc_filters,
+                doc_boosts=doc_boosts)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)

@@ -209,6 +209,8 @@ def bm25_topk_federated(
     round_dp: int | None = None,
     gather: str = "two_phase",
     fuzzy: bool = False,
+    doc_filters: Sequence[DataFrame] | None = None,
+    doc_boosts: Sequence[DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -229,7 +231,18 @@ def bm25_topk_federated(
       straggler task per query and shard-wide parallelism.
     - ``"single"``: one scorer per query over all shards' chunks (one
       exchange total) — fewer jobs for small federations; the verification
-      twin for the equality gate."""
+      twin for the equality gate.
+
+    ``doc_filters`` / ``doc_boosts``: per-shard (doc_id[, boost]) frames
+    aligned with ``shards`` (build them with the shard's own
+    ``filter_doc_ids`` / ``boost_doc_ids`` — resolution is inherently
+    per-shard, each docmap owns its namespace). Shard-local ids shift by
+    the base offset into the federation namespace, group to GLOBAL chunk
+    ids (bases are chunk-aligned, so local-chunk + base//chunk_docs is
+    exact), and join the matched rows — the same one-exchange-per-
+    selectivity shape as single-index filtered/boosted retrieval; the
+    scorer applies them after its own base shift, so masks and
+    multipliers land on the same global ids."""
     if gather not in ("two_phase", "single"):
         raise ValueError(f"gather must be 'two_phase' or 'single', got {gather!r}")
     _check_compat(shards)
@@ -291,6 +304,45 @@ def bm25_topk_federated(
     matched = pruned.withColumn(
         "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
     )
+
+    from .wand import _allowed_by_chunk, _boost_by_chunk
+
+    def _shift_ids(frames, extra=()):
+        parts_ = []
+        for s, base, f in zip(shards, bases, frames):
+            parts_.append(
+                f.select(
+                    (F.col("doc_id").cast("long") + F.lit(base)).alias("doc_id"),
+                    *extra,
+                )
+            )
+        return parts_
+
+    if doc_filters is not None:
+        if len(doc_filters) != len(shards):
+            raise ValueError(
+                f"doc_filters has {len(doc_filters)} frames for "
+                f"{len(shards)} shards — build one per shard"
+            )
+        allowed = reduce(
+            DataFrame.unionByName,
+            [_allowed_by_chunk(shards[0], f) for f in _shift_ids(doc_filters)],
+        )
+        # inner join: chunks whose allowed-set is empty vanish before decode
+        matched = matched.join(allowed, "chunk")
+    if doc_boosts is not None:
+        if len(doc_boosts) != len(shards):
+            raise ValueError(
+                f"doc_boosts has {len(doc_boosts)} frames for "
+                f"{len(shards)} shards — build one per shard"
+            )
+        boosts = reduce(
+            DataFrame.unionByName,
+            [_boost_by_chunk(shards[0], f)
+             for f in _shift_ids(doc_boosts, extra=("boost",))],
+        )
+        # LEFT join: chunks without boosted docs keep default 1.0 boosts
+        matched = matched.join(boosts, "chunk", "left")
 
     # per-shard tombstone masks ride per-base decode hooks; shards without
     # deletes fall through to the default decoder

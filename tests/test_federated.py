@@ -435,6 +435,60 @@ def test_tfidf_federated_refusals(spark, corpus, cfg, tmp_path):
         tfidf_topk_federated([sa, sc], QUERIES, cfg, k=5).collect()
 
 
+def test_filtered_and_boosted_federated(spark, cfg, tmp_path):
+    """Attribute-filtered and doc-boosted retrieval federate: per-shard
+    resolved doc sets shift into the global namespace and join the
+    matched chunks per GLOBAL chunk id. On the uniform-dl corpus both are
+    bit-identical to the same operation on a merged index (the filter
+    constrains candidates, not statistics; boosts multiply after
+    scoring); mismatched per-shard frame counts refuse."""
+    from searchengine_spark.query.wand import boost_doc_ids, filter_doc_ids
+
+    corpus = uniform_corpus(spark)
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=16)
+    build_packed_index(b, cfg, pb, chunk_docs=16)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+    n = merged.manifest["n_docs"]
+    pred = "turn_idx % 3 = 0"
+    bexpr = "CASE WHEN turn_idx % 4 = 0 THEN 1.7 ELSE 1.0 END"
+
+    # filtered: only turn_idx % 3 == 0 docs may rank
+    fed = bm25_topk_federated(
+        shards, QUERIES, cfg, k=10, round_dp=6,
+        doc_filters=[filter_doc_ids(s, corpus, pred) for s in shards],
+    )
+    full = bm25_topk_packed_batch(
+        merged, QUERIES, cfg, k=n, round_dp=6, exhaustive=True,
+        doc_filter=filter_doc_ids(merged, corpus, pred),
+    )
+    got = _ext_rows(resolve_docs_federated(shards, fed))
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
+    assert all(t % 3 == 0 for _, _, t, _, _ in got)
+
+    # boosted: multipliers land on the same global ids the scorer shifts to
+    fedb = bm25_topk_federated(
+        shards, QUERIES, cfg, k=10, round_dp=6,
+        doc_boosts=[boost_doc_ids(s, corpus, bexpr) for s in shards],
+    )
+    fullb = bm25_topk_packed_batch(
+        merged, QUERIES, cfg, k=n, round_dp=6, exhaustive=True,
+        doc_boost=boost_doc_ids(merged, corpus, bexpr),
+    )
+    gotb = _ext_rows(resolve_docs_federated(shards, fedb))
+    assert gotb == _expected_under_fed_order(merged, resolve_docs(merged, fullb))
+    assert len(gotb) > 0
+    assert gotb != got
+
+    with pytest.raises(ValueError, match="doc_filters"):
+        bm25_topk_federated(shards, QUERIES, cfg,
+                            doc_filters=[filter_doc_ids(shards[0], corpus, pred)])
+
+
 def test_suggest_and_fuzzy_federated(spark, corpus, cfg, tmp_path):
     """Federated suggest == merged-index suggest bit-for-bit (live df sums
     across disjoint shards), including after per-shard deletes; federated
