@@ -248,6 +248,47 @@ def _serve_federated(spark, args) -> None:
         if args.boost:
             doc_boosts = [boost_doc_ids(s, attrs, args.boost) for s in shards]
 
+    # interactive REPL -> the in-process federated tier (zero Spark jobs
+    # per query once warm); phrase/minspan stay on the distributed path
+    local = None
+    use_local = (
+        not queries
+        and args.serve_mode in ("auto", "local")
+        and args.ranker not in ("phrase", "minspan")
+    )
+    if use_local:
+        from searchengine_spark.query.federated import _doc_bases
+        from searchengine_spark.query.serve import FederatedLocalSearcher
+
+        t1 = time.perf_counter()
+        local = FederatedLocalSearcher(shards, cfg=cfg)
+        filter_ids = boost_map = None
+        if doc_filters is not None:
+            filter_ids = [
+                int(r["doc_id"]) + base
+                for f, base in zip(doc_filters, _doc_bases(shards))
+                for r in f.collect()
+            ]
+        if doc_boosts is not None:
+            boost_map = {
+                int(r["doc_id"]) + base: float(r["boost"])
+                for f, base in zip(doc_boosts, _doc_bases(shards))
+                for r in f.collect()
+            } or None
+        print(f"federated local snapshot ({len(shards)} shards) in "
+              f"{(time.perf_counter() - t1) * 1000:.0f}ms", file=sys.stderr)
+
+    def run_local(q: str) -> None:
+        t1 = time.perf_counter()
+        res = local.search(
+            q, k=args.n, ranker=args.ranker, schema=args.schema,
+            fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
+        )
+        dt = time.perf_counter() - t1
+        print(json.dumps({"query": q, "results": res}, default=str))
+        print(f"federated local search in {dt * 1000:.1f}ms "
+              f"({len(shards)} shards)", file=sys.stderr)
+
     def run(batch: list[str]) -> None:
         t1 = time.perf_counter()
         if args.ranker == "bm25":
@@ -325,7 +366,10 @@ def _serve_federated(spark, args) -> None:
         if line.strip().lower() == "q":
             break
         if line.strip():
-            run([line.strip()])
+            if local is not None:
+                run_local(line.strip())
+            else:
+                run([line.strip()])
 
 
 def main() -> None:

@@ -30,7 +30,7 @@ replacement for them.
 from __future__ import annotations
 
 from collections import OrderedDict
-from decimal import ROUND_HALF_EVEN, Decimal
+from decimal import ROUND_HALF_EVEN, ROUND_HALF_UP, Decimal
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -295,6 +295,9 @@ class LocalSearcher:
         fuzzy: bool = False,
         filter_docs=None,
         boost_docs=None,
+        idf_override: Dict[str, float] | None = None,
+        dl_bounds: tuple | None = None,
+        query_tokens: List[str] | None = None,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -317,7 +320,14 @@ class LocalSearcher:
         ``boost_docs``: optional {doc_id: non-negative multiplier} — the
         soft twin (doc boosting): final scores multiply by the doc's
         boost before rounding, pruning bound scaled by the max boost
-        (the distributed doc_boost's closure form; bm25/bm25_and)."""
+        (the distributed doc_boost's closure form; bm25/bm25_and).
+
+        ``idf_override`` / ``dl_bounds`` / ``query_tokens``: the
+        federation seams (:class:`FederatedLocalSearcher`) — pin the
+        query-side idf map and the proximity boost's (dl_min, dl_max) to
+        federation-global values, and bypass tokenization with an
+        already-tokenized (and possibly fuzzy-corrected) token list so
+        every shard scores the identical query."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
         allowed = None
@@ -340,7 +350,8 @@ class LocalSearcher:
             b_ids = np.asarray(sorted(boost_docs), dtype=np.int64)
             b_vals = np.asarray([float(boost_docs[int(d)]) for d in b_ids])
             boosts = (b_ids, b_vals)
-        toks = tokenize_text(query, self.cfg)
+        toks = (list(query_tokens) if query_tokens is not None
+                else tokenize_text(query, self.cfg))
         if fuzzy and toks:
             toks = self._fuzzy_rewrite(toks)
         terms = list(dict.fromkeys(toks))
@@ -349,6 +360,7 @@ class LocalSearcher:
         pdf = self._matched(terms)
         if pdf is None:
             return []
+        idf = idf_override if idf_override is not None else self._idf
 
         if ranker.startswith("boolean_"):
             return self._boolean(pdf, len(terms), ranker == "boolean_and",
@@ -364,17 +376,20 @@ class LocalSearcher:
                     return []
                 require_all = {0: len(terms)}
             scorer = _wand_scorer(
-                k, self.params, round_dp, self._idf, decode=self._dec,
+                k, self.params, round_dp, idf, decode=self._dec,
                 allowed=allowed, require_all=require_all, boosts=boosts,
             )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":
             if not self._positional:
                 raise ValueError("packed index was not built with positional=True")
-            scorer = packed_prox_scorer(
-                {0: toks}, self._idf, self.params,
+            dmin, dmax = dl_bounds if dl_bounds is not None else (
                 float(self.manifest["dl_norm_min"]),
                 float(self.manifest["dl_norm_max"]),
+            )
+            scorer = packed_prox_scorer(
+                {0: toks}, idf, self.params,
+                float(dmin), float(dmax),
                 k, round_dp, rerank_n,
                 decode=self._dec,
                 decode_pos=self._dec_pos,
@@ -388,7 +403,7 @@ class LocalSearcher:
                 # tfidf ranking mislabeled as tfidf_optimized.
                 raise ValueError("packed index was not built with positional=True")
             out = self._tfidf(pdf, toks, k, ranker == "tfidf_optimized",
-                              schema, round_dp, rerank_n)
+                              schema, round_dp, rerank_n, idf_map=idf)
         return self._resolve(out, resolve)
 
     def suggest(self, prefix: str, k: int = 10) -> List[dict]:
@@ -464,7 +479,8 @@ class LocalSearcher:
         out["rank"] = out.index + 1
         return self._resolve(out, resolve)
 
-    def _tfidf(self, pdf, toks, k, boost, schema, round_dp, rerank_n):
+    def _tfidf(self, pdf, toks, k, boost, schema, round_dp, rerank_n,
+               idf_map: Dict[str, float] | None = None):
         """Local twin of proximity._tfidf_packed: decode -> stored-3dp
         weights under any SMART doc-side schema (embedded, sidecar-derived
         cosine, or norm-free — all with Spark-identical HALF_UP rounding)
@@ -542,7 +558,9 @@ class LocalSearcher:
             columns=["query_id", "term", "doc_id", "tf", "w", "positions", "dl_norm"],
         )
         joined["idf"] = 0.0  # _scorer reads idf only in bm25 mode
-        qltc = _query_ltc({0: toks}, self._idf, schema)
+        qltc = _query_ltc(
+            {0: toks}, idf_map if idf_map is not None else self._idf, schema
+        )
         scorer = _scorer(
             {0: toks}, "tfidf" if boost else "tfidf_plain", self.params,
             0.0, 1.0, qltc, k, round_dp, rerank_n,
@@ -599,3 +617,256 @@ class LocalSearcher:
             r["rank"] = int(r["rank"])
             r.pop("query_id", None)
         return rows
+
+
+def _round3_up(x: float) -> float:
+    """Python twin of Spark's F.round(double, 3): BigDecimal.valueOf(x)
+    (shortest decimal repr — == Python repr) rounded HALF_UP. This is the
+    rounding idf/dl_norm use everywhere (CLAUDE.md float policy; _round3
+    above is the HALF_EVEN twin for stored doc weights)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP))
+
+
+class FederatedLocalSearcher:
+    """In-process federated serving over N shard indexes — the interactive
+    tier of query/federated.py, ZERO Spark jobs per query once warm
+    (preload mode; lazy mode pays the same bounded per-miss fetches
+    LocalSearcher does, per shard).
+
+    Composition: one :class:`LocalSearcher` per shard runs the identical
+    scorer code on its own slices/caches/tombstone masks, pinned to
+    federation-global statistics through the ``idf_override`` /
+    ``dl_bounds`` / ``query_tokens`` seams; shard-local results shift by
+    the chunk-aligned base offsets into the federation docID namespace and
+    merge driver-side under the scorers' own tie order (score desc, global
+    doc_id asc) — exact because every doc's whole score lives inside one
+    shard (the two-phase gather argument, query/federated.py). Gated
+    bit-identical to the distributed federated paths in
+    tests/test_federated_local.py.
+
+    Statistics twins (all computed in-process):
+
+    - global idf = HALF_UP round(ln(N_live/df_global), 3) with df summed
+      over shards — ``_round3_up`` is the exact Python twin of the Spark
+      expression ``_global_idf`` collects;
+    - TF-IDF query ltc pins the same global idf (doc weights need nothing);
+    - BM25_OPTIMIZED boost bounds = the federation envelope of the shards'
+      stored (dl_norm_min, dl_norm_max);
+    - suggest / fuzzy ride the merged live dictionary (df sums).
+
+    ``filter_docs`` / ``boost_docs`` take FEDERATION-GLOBAL doc ids (the
+    namespace this class answers in) and are translated per shard by the
+    base-offset ranges."""
+
+    def __init__(
+        self,
+        shards,
+        preload: bool | str = "auto",
+        cfg: TokenizerConfig | None = None,
+    ):
+        from .federated import _BOOL_COMPAT_KEYS, _check_compat, _doc_bases
+
+        _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+        self.shards = list(shards)
+        self.searchers = [LocalSearcher(p, preload=preload, cfg=cfg) for p in shards]
+        self.cfg = self.searchers[0].cfg
+        self.bases = _doc_bases(shards)
+        chunk_docs = int(shards[0].manifest["chunk_docs"])
+        last = self.shards[-1].manifest["n_docs"]
+        self._ends = self.bases[1:] + [
+            self.bases[-1]
+            + ((int(last) + chunk_docs - 1) // chunk_docs) * chunk_docs
+        ]
+        self.n_live = sum(
+            int(s.manifest.get("n_docs_live", s.manifest["n_docs"]))
+            for s in shards
+        )
+        self._ext_cols = self.searchers[0]._ext_cols
+        self._fuzzy_corr: Dict[str, str] = {}
+        self._gvariants: Dict[str, list] | None = None
+
+    # ----------------------------------------------------- global statistics
+
+    def _idf_global(self, terms: Sequence[str]) -> Dict[str, float]:
+        import math
+
+        for s in self.searchers:
+            s._ensure_terms(terms)
+        out = {}
+        for t in terms:
+            df = sum(s._df.get(t, 0) for s in self.searchers)
+            if df > 0:
+                out[t] = _round3_up(math.log(float(max(self.n_live, 1)) / df))
+        return out
+
+    def _gdf(self, term: str) -> int:
+        return sum(s._df.get(term, 0) for s in self.searchers)
+
+    # ------------------------------------------------------------- serving
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        ranker: str = "bm25",
+        schema: str = "lnc.ltc",
+        round_dp: int | None = None,
+        rerank_n: int | None = None,
+        resolve: bool = True,
+        fuzzy: bool = False,
+        filter_docs=None,
+        boost_docs=None,
+    ) -> List[dict]:
+        """One interactive query across ALL shards -> rank-ordered result
+        dicts with doc_id in the federation-global namespace."""
+        from .federated import _COMPAT_KEYS, _TFIDF_COMPAT_KEYS, _check_compat
+
+        if ranker not in RANKERS:
+            raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        if ranker.startswith("bm25"):
+            _check_compat(self.shards)
+        elif ranker.startswith("tfidf"):
+            _check_compat(self.shards, keys=_TFIDF_COMPAT_KEYS, payload_freq=False)
+        toks = tokenize_text(query, self.cfg)
+        if fuzzy and toks:
+            toks = self._fuzzy_rewrite(toks)
+        terms = list(dict.fromkeys(toks))
+        if not terms:
+            return []
+        idf_g = self._idf_global(terms)
+        if not idf_g:
+            return []
+        if ranker == "bm25_and" and any(t not in idf_g for t in terms):
+            return []  # conjunctive contract: OOV anywhere -> empty AND
+        dl_bounds = None
+        if ranker == "bm25_optimized":
+            dl_bounds = (
+                min(float(s.manifest["dl_norm_min"]) for s in self.shards),
+                max(float(s.manifest["dl_norm_max"]) for s in self.shards),
+            )
+
+        fset = None
+        if filter_docs is not None:
+            fset = np.unique(np.asarray(list(filter_docs), dtype=np.int64))
+        cands: List[dict] = []
+        for i, (s, base, end) in enumerate(
+            zip(self.searchers, self.bases, self._ends)
+        ):
+            fd = bd = None
+            if fset is not None:
+                fd = (fset[(fset >= base) & (fset < end)] - base)
+            if boost_docs is not None:
+                bd = {
+                    int(d) - base: v
+                    for d, v in boost_docs.items()
+                    if base <= int(d) < end
+                }
+                bd = bd or None
+            rows = s.search(
+                query, k=k, ranker=ranker, schema=schema, round_dp=round_dp,
+                rerank_n=rerank_n, resolve=False, filter_docs=fd,
+                boost_docs=bd, idf_override=idf_g, dl_bounds=dl_bounds,
+                query_tokens=toks,
+            )
+            for r in rows:
+                r["doc_id"] = int(r["doc_id"]) + base
+                r["_shard"] = i
+            cands.extend(rows)
+
+        if ranker.startswith("boolean_"):
+            # set retrieval: the per-shard union IS the result (disjoint
+            # corpora); keep the single-index contract (doc_id asc, rank 0)
+            cands.sort(key=lambda r: r["doc_id"])
+        else:
+            cands.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            cands = cands[:k]
+            for rk, r in enumerate(cands, start=1):
+                r["rank"] = rk
+        return self._resolve(cands, resolve)
+
+    def _resolve(self, rows: List[dict], resolve: bool) -> List[dict]:
+        if resolve and self._ext_cols:
+            by_shard: Dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(r["_shard"], []).append(r)
+            for i, shard_rows in by_shard.items():
+                s, base = self.searchers[i], self.bases[i]
+                local = [r["doc_id"] - base for r in shard_rows]
+                s._ensure_docs(local)
+                for r, d in zip(shard_rows, local):
+                    ext = s._docmap.get(int(d))
+                    if ext is not None:
+                        r.update(dict(zip(self._ext_cols, ext)))
+        for r in rows:
+            r.pop("_shard", None)
+        return rows
+
+    # ------------------------------------------------- dictionary surfaces
+
+    def suggest(self, prefix: str, k: int = 10) -> List[dict]:
+        """Federated auto-complete: prefix terms ranked by federation-wide
+        live df (desc, term-asc ties) — the in-process twin of
+        suggest_terms_federated. Preload tier: zero Spark jobs (merged
+        in-memory dictionaries); lazy tier: one bounded federated scan."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        if all(s._preloaded for s in self.searchers):
+            counts: Dict[str, int] = {}
+            for s in self.searchers:
+                for t, d in s._df.items():
+                    if d > 0 and t.startswith(prefix):
+                        counts[t] = counts.get(t, 0) + d
+            hits = sorted(counts.items(), key=lambda td: (-td[1], td[0]))[:k]
+            return [{"term": t, "df": d} for t, d in hits]
+        from .federated import suggest_terms_federated
+
+        return [
+            {"term": r["term"], "df": int(r["df"])}
+            for r in suggest_terms_federated(self.shards, prefix, k).collect()
+        ]
+
+    def _fuzzy_rewrite(self, toks: List[str]) -> List[str]:
+        """OOV rewrite against the FEDERATION dictionary (global df ranks
+        the candidates — a shard-local rewrite could pick a locally-common
+        but federation-rare term). Preload tier corrects in-process over a
+        lazily built merged variant index; lazy tier pays one bounded
+        correct_terms job over the federation dictionary."""
+        from .fuzzy import correct_terms, del1, levenshtein
+
+        uniq = sorted(dict.fromkeys(toks))
+        for s in self.searchers:
+            s._ensure_terms(uniq)
+        oov = sorted(
+            {t for t in toks if self._gdf(t) == 0 and t not in self._fuzzy_corr}
+        )
+        if not oov:
+            return [self._fuzzy_corr.get(t, t) for t in toks]
+        if all(s._preloaded for s in self.searchers):
+            if self._gvariants is None:
+                gdf: Dict[str, int] = {}
+                for s in self.searchers:
+                    for t, d in s._df.items():
+                        if d > 0:
+                            gdf[t] = gdf.get(t, 0) + d
+                self._gdf_all = gdf
+                self._gvariants = {}
+                for t in gdf:
+                    for v in {t} | del1(t):
+                        self._gvariants.setdefault(v, []).append(t)
+            corr = {}
+            for q in oov:
+                cands = {
+                    c
+                    for v in ({q} | del1(q))
+                    for c in self._gvariants.get(v, ())
+                    if levenshtein(q, c) <= 1
+                }
+                if cands:
+                    corr[q] = min(cands, key=lambda c: (-self._gdf_all[c], c))
+        else:
+            from .federated import _global_dictionary
+
+            corr = correct_terms(_global_dictionary(self.shards), oov)
+        for q in oov:
+            self._fuzzy_corr[q] = corr.get(q, q)
+        return [self._fuzzy_corr.get(t, t) for t in toks]
