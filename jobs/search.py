@@ -251,11 +251,7 @@ def _serve_federated(spark, args) -> None:
     # interactive REPL -> the in-process federated tier (zero Spark jobs
     # per query once warm); phrase/minspan stay on the distributed path
     local = None
-    use_local = (
-        not queries
-        and args.serve_mode in ("auto", "local")
-        and args.ranker not in ("phrase", "minspan")
-    )
+    use_local = not queries and args.serve_mode in ("auto", "local")
     if use_local:
         from searchengine_spark.query.federated import _doc_bases
         from searchengine_spark.query.serve import FederatedLocalSearcher
@@ -280,10 +276,15 @@ def _serve_federated(spark, args) -> None:
 
     def run_local(q: str) -> None:
         t1 = time.perf_counter()
-        res = local.search(
-            q, k=args.n, ranker=args.ranker, schema=args.schema,
-            fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
-        )
+        if args.ranker == "phrase":
+            res = local.phrase(q, k=args.n)
+        elif args.ranker == "minspan":
+            res = local.minspan(q, k=args.n)
+        else:
+            res = local.search(
+                q, k=args.n, ranker=args.ranker, schema=args.schema,
+                fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
+            )
         dt = time.perf_counter() - t1
         print(json.dumps({"query": q, "results": res}, default=str))
         print(f"federated local search in {dt * 1000:.1f}ms "

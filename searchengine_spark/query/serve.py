@@ -870,3 +870,47 @@ class FederatedLocalSearcher:
         for q in oov:
             self._fuzzy_corr[q] = corr.get(q, q)
         return [self._fuzzy_corr.get(t, t) for t in toks]
+
+    # ---------------------------------------------- positional query modes
+
+    def phrase(self, phrase: str, k: int | None = 10,
+               resolve: bool = True) -> List[dict]:
+        """Federated in-process exact-phrase query: doc-local integer
+        semantics, so per-shard local_phrase results (shifted to the
+        global namespace) merge exactly under (n_occurrences desc,
+        doc_id asc) — the in-process twin of phrase_topk_federated."""
+        from .phrase import local_phrase
+
+        cands: List[dict] = []
+        for i, (s, base) in enumerate(zip(self.searchers, self.bases)):
+            rows = local_phrase(s, phrase, k=k, resolve=False)
+            for r in rows:
+                r["doc_id"] = int(r["doc_id"]) + base
+                r["_shard"] = i
+            cands.extend(rows)
+        cands.sort(key=lambda r: (-r["n_occurrences"], r["doc_id"]))
+        if k is not None:
+            cands = cands[:k]
+        for rk, r in enumerate(cands, start=1):
+            r["rank"] = rk
+        return self._resolve(cands, resolve)
+
+    def minspan(self, query: str, k: int | None = 10,
+                resolve: bool = True) -> List[dict]:
+        """Federated in-process minimal-span query — the in-process twin
+        of minspan_topk_federated (span_len asc, doc_id asc)."""
+        from .spans import local_minspan
+
+        cands: List[dict] = []
+        for i, (s, base) in enumerate(zip(self.searchers, self.bases)):
+            rows = local_minspan(s, query, k=k, resolve=False)
+            for r in rows:
+                r["doc_id"] = int(r["doc_id"]) + base
+                r["_shard"] = i
+            cands.extend(rows)
+        cands.sort(key=lambda r: (r["span_len"], r["doc_id"]))
+        if k is not None:
+            cands = cands[:k]
+        for rk, r in enumerate(cands, start=1):
+            r["rank"] = rk
+        return self._resolve(cands, resolve)

@@ -132,6 +132,37 @@ def test_resolve_suggest_fuzzy(spark, shards, cfg, fed_local):
     assert fz == want and len(fz) > 0
 
 
+def test_phrase_minspan_equal_distributed(spark, shards, cfg, fed_local):
+    """In-process federated phrase/minspan == the distributed federated
+    twins (integer payloads, global namespace, same tie order)."""
+    from searchengine_spark.query.federated import (
+        minspan_topk_federated,
+        phrase_topk_federated,
+    )
+
+    for q in QUERIES:
+        dist = [
+            (int(r["doc_id"]), int(r["n_occurrences"]), int(r["rank"]))
+            for r in phrase_topk_federated(shards, [q], cfg, k=5)
+            .orderBy("rank").collect()
+        ]
+        got = [(r["doc_id"], r["n_occurrences"], r["rank"])
+               for r in fed_local.phrase(q, k=5, resolve=False)]
+        assert got == dist, ("phrase", q)
+
+        dist = [
+            (int(r["doc_id"]), int(r["span_len"]), int(r["lo"]),
+             int(r["hi"]), int(r["rank"]))
+            for r in minspan_topk_federated(shards, [q], cfg, k=5)
+            .orderBy("rank").collect()
+        ]
+        got = [(r["doc_id"], r["span_len"], r["lo"], r["hi"], r["rank"])
+               for r in fed_local.minspan(q, k=5, resolve=False)]
+        assert got == dist, ("minspan", q)
+    resolved = fed_local.phrase(QUERIES[0], k=5)
+    assert resolved and all("conv_id" in r for r in resolved)
+
+
 def test_filter_boost_global_ids(spark, shards, cfg, fed_local):
     """filter_docs / boost_docs take federation-global ids and equal the
     distributed doc_filters / doc_boosts built from the same per-shard
