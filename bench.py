@@ -338,9 +338,88 @@ def run_textops(spark, sf: float) -> dict:
     return out
 
 
+def run_federated(spark, sf: float) -> dict:
+    """Federated-serving family (opt-in ``--federated``): build N shard
+    indexes over turn-stripes of the bench corpus, then time the 15-query
+    suite through the scatter-gather paths — two_phase vs single gather
+    (bit-identical results, different topology) — and the in-process
+    FederatedLocalSearcher per-query latency. The driver's plain run keeps
+    the single-index contract line."""
+    from searchengine_spark.fixtures.transcripts import (
+        REFERENCE_QUERIES,
+        transcripts_distributed,
+    )
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.federated import bm25_topk_federated
+    from searchengine_spark.query.serve import FederatedLocalSearcher
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    cfg = TokenizerConfig(min_token_length=3,
+                          stop_words=TokenizerConfig.load_stop_words(
+                              "/root/reference/stop_words.txt"))
+    n_conv = int(os.environ.get("SPARK_GRAFT_N_CONV", 0)) or max(200, int(500_000 * sf))
+    n_shards = int(os.environ.get("SPARK_GRAFT_FED_SHARDS", 4))
+    corpus_path = os.path.join(OUT, f"corpus_{n_conv}.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        transcripts_distributed(spark, n_conv=n_conv, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    out: dict = {"metric": "federated_serving", "unit": "sec", "sf": sf,
+                 "n_shards": n_shards, "stages": {}}
+    from pyspark.sql import functions as F
+
+    paths = []
+    t0 = time.perf_counter()
+    for i in range(n_shards):
+        p = os.path.join(OUT, f"fed_shard_{i}_sf{sf}")
+        shutil.rmtree(p, ignore_errors=True)
+        build_packed_index(
+            corpus.filter(F.col("turn_idx") % n_shards == i), cfg, p,
+            n_partitions=max(2, CPUS * 2 // n_shards),
+        )
+        paths.append(p)
+    out["stages"]["shard_builds_total"] = round(time.perf_counter() - t0, 3)
+    shards = [load_packed_index(spark, p) for p in paths]
+    out["n_turns"] = sum(s.manifest["n_docs"] for s in shards)
+
+    for name, kw in (
+        ("fed_15q_cold_two_phase", {}),
+        ("fed_15q_warm_two_phase", {}),
+        ("fed_15q_warm_single", {"gather": "single"}),
+    ):
+        t0 = time.perf_counter()
+        n = bm25_topk_federated(shards, REFERENCE_QUERIES, cfg, k=10, **kw).count()
+        out["stages"][name] = round(time.perf_counter() - t0, 3)
+    out["n_results"] = n
+
+    t0 = time.perf_counter()
+    local = FederatedLocalSearcher(shards, preload=True, cfg=cfg)
+    out["stages"]["local_open"] = round(time.perf_counter() - t0, 3)
+    local.search(REFERENCE_QUERIES[0], k=10)
+    lat = []
+    for q in REFERENCE_QUERIES:
+        t0 = time.perf_counter()
+        local.search(q, k=10)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    out["local_lat_p50_ms"] = round(lat[len(lat) // 2], 2)
+    out["local_lat_p95_ms"] = round(
+        lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 2)
+    return out
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     os.makedirs(OUT, exist_ok=True)
+
+    if "--federated" in sys.argv:
+        spark = make_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(run_federated(spark, _sf())))
+        spark.stop()
+        return
 
     if "--textops" in sys.argv:
         spark = make_spark(CPUS)
