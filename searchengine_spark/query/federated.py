@@ -82,6 +82,11 @@ _TFIDF_COMPAT_KEYS = _BOOL_COMPAT_KEYS + (
     ("tfidf_doc_schema", None),
 )
 
+# gather="auto" threshold: below this shard count the single-exchange
+# topology wins on one JVM (~20% at 4 shards, BENCH.md); above it the
+# per-shard phase's straggler isolation dominates
+AUTO_GATHER_SINGLE_MAX = 8
+
 
 def _check_compat(
     shards: Sequence[PackedIndex], keys=_COMPAT_KEYS, payload_freq: bool = True
@@ -207,7 +212,7 @@ def bm25_topk_federated(
     k: int = 10,
     exhaustive: bool = False,
     round_dp: int | None = None,
-    gather: str = "two_phase",
+    gather: str = "auto",
     fuzzy: bool = False,
     doc_filters: Sequence[DataFrame] | None = None,
     doc_boosts: Sequence[DataFrame] | None = None,
@@ -218,9 +223,14 @@ def bm25_topk_federated(
     block-max pruning (the safety-gate twin, like bm25_topk_packed_batch).
 
     ``gather`` picks the scatter-gather topology, bit-identical results
-    (gated in tests/test_federated.py):
+    (gated in tests/test_federated.py). ``"auto"`` (default) picks
+    ``single`` for federations of <= AUTO_GATHER_SINGLE_MAX shards and
+    ``two_phase`` above — measured at sf0.1/4 shards on one JVM, single
+    is ~20% faster (the merge exchange isn't free and one box has no
+    stragglers to hide), while at high shard counts one scorer task per
+    query serializes on the slowest shard (BENCH.md "Federated serving"):
 
-    - ``"two_phase"`` (default, the ES query-then-fetch shape): scorers
+    - ``"two_phase"`` (the ES query-then-fetch shape): scorers
       group by (query_id, doc_base) — |queries|x|shards| parallel tasks,
       each scoring ONE shard's matched chunks to a shard-local top-k —
       then a second tiny exchange merges the k-per-shard candidates per
@@ -243,8 +253,12 @@ def bm25_topk_federated(
     selectivity shape as single-index filtered/boosted retrieval; the
     scorer applies them after its own base shift, so masks and
     multipliers land on the same global ids."""
+    if gather == "auto":
+        gather = "single" if len(shards) <= AUTO_GATHER_SINGLE_MAX else "two_phase"
     if gather not in ("two_phase", "single"):
-        raise ValueError(f"gather must be 'two_phase' or 'single', got {gather!r}")
+        raise ValueError(
+            f"gather must be 'auto', 'two_phase' or 'single', got {gather!r}"
+        )
     _check_compat(shards)
     spark = shards[0].spark
     chunk_docs = int(shards[0].manifest["chunk_docs"])

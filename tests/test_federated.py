@@ -228,6 +228,12 @@ def test_two_phase_equals_single_gather(spark, corpus, cfg, tmp_path):
         got = _rows(two)
         assert got == _rows(one)
         assert len(got) > 0
+        # "auto" resolves to one of the two gated topologies -> same rows
+        auto = bm25_topk_federated(
+            shards, QUERIES, cfg, k=7, round_dp=6,
+            exhaustive=exhaustive, gather="auto",
+        )
+        assert _rows(auto) == got
     with pytest.raises(ValueError, match="gather"):
         bm25_topk_federated(shards, QUERIES, cfg, gather="broadcast")
 
