@@ -204,7 +204,7 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    for flag in ("prf", "mlt", "snapshot", "relevance", "snippet_source"):
+    for flag in ("prf", "mlt", "snapshot"):
         if getattr(args, flag):
             raise SystemExit(f"--{flag.replace('_', '-')} is not wired to "
                              "--shards; merge the shards or serve one index")
@@ -218,6 +218,28 @@ def _serve_federated(spark, args) -> None:
               for p in args.shards.split(",") if p.strip()]
     cfg = TokenizerConfig.from_manifest(shards[0].manifest.get("tokenizer", {}))
     n_docs = sum(s.manifest["n_docs"] for s in shards)
+    stats = None
+    if args.relevance:
+        from searchengine_spark.query.eval import EvalStats, parse_relevance_file
+
+        stats = EvalStats(parse_relevance_file(args.relevance))
+    ext_cols = [c for c in shards[0].manifest["order_cols"] if c != "doc_id"]
+
+    def _record(batch: list[str], per_q: list[list], dt: float) -> None:
+        """Shared post-processing: snippets + relevance stats (the same
+        consumers the single-index path has — both operate on resolved
+        result dicts, so they are serving-tier-agnostic)."""
+        if args.snippet_source:
+            _attach_snippets(spark, args.snippet_source, shards[0], cfg,
+                             batch, per_q)
+        if stats is not None:
+            for q, res in zip(batch, per_q):
+                stats.add(
+                    q,
+                    [(r[ext_cols[0]] if ext_cols else r["doc_id"],
+                      r.get("score", 0.0)) for r in res],
+                    search_time=dt / max(len(batch), 1),
+                )
     print(f"{len(shards)} shards loaded in "
           f"{(time.perf_counter() - t0) * 1000:.1f}ms ({n_docs} docs)",
           file=sys.stderr)
@@ -286,6 +308,7 @@ def _serve_federated(spark, args) -> None:
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
             )
         dt = time.perf_counter() - t1
+        _record([q], [res], dt)
         print(json.dumps({"query": q, "results": res}, default=str))
         print(f"federated local search in {dt * 1000:.1f}ms "
               f"({len(shards)} shards)", file=sys.stderr)
@@ -349,15 +372,20 @@ def _serve_federated(spark, args) -> None:
         for r in rows:
             by_q.setdefault(r["query_id"], []).append(r.asDict())
         dt = time.perf_counter() - t1
-        for i, q in enumerate(batch):
-            res = sorted(by_q.get(i, []),
-                         key=lambda r: (r["rank"], r["doc_id"]))
+        per_q = [
+            sorted(by_q.get(i, []), key=lambda r: (r["rank"], r["doc_id"]))
+            for i in range(len(batch))
+        ]
+        _record(batch, per_q, dt)
+        for q, res in zip(batch, per_q):
             print(json.dumps({"query": q, "results": res}, default=str))
         print(f"federated search in {dt * 1000:.1f}ms "
               f"({len(batch)} queries, {len(shards)} shards)", file=sys.stderr)
 
     if queries:
         run(queries)
+        if stats is not None and stats.search_times:
+            print(stats.summary(), file=sys.stderr)
         return
     while True:
         try:
@@ -371,6 +399,8 @@ def _serve_federated(spark, args) -> None:
                 run_local(line.strip())
             else:
                 run([line.strip()])
+    if stats is not None and stats.search_times:
+        print(stats.summary(), file=sys.stderr)
 
 
 def main() -> None:
