@@ -204,13 +204,14 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    for flag in ("prf", "mlt", "snapshot"):
-        if getattr(args, flag):
-            raise SystemExit(f"--{flag.replace('_', '-')} is not wired to "
-                             "--shards; merge the shards or serve one index")
-    for flag in ("fuzzy", "filter", "boost"):
+    if args.snapshot:
+        raise SystemExit("--snapshot is not wired to --shards; pin each "
+                         "shard's state by path or serve one index")
+    for flag in ("fuzzy", "filter", "boost", "prf"):
         if getattr(args, flag) and args.ranker != "bm25":
             raise SystemExit(f"--{flag} federates on the bm25 ranker only")
+    if args.prf and (args.fuzzy or args.filter or args.boost):
+        raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
     if (args.filter or args.boost) and not args.attrs:
         raise SystemExit("--filter/--boost need --attrs")
     t0 = time.perf_counter()
@@ -255,6 +256,29 @@ def _serve_federated(spark, args) -> None:
         }))
         return
 
+    if args.mlt:
+        from searchengine_spark.query.federated import more_like_this_federated
+
+        ids = [int(x) for x in args.mlt.split(",")]  # federation-global ids
+        t1 = time.perf_counter()
+        rows = resolve_docs_federated(
+            shards, more_like_this_federated(shards, ids, k=args.n)
+        ).collect()
+        by_src: dict[int, list] = {}
+        for r in rows:
+            by_src.setdefault(r["query_id"], []).append(r.asDict())
+        for i, d in enumerate(ids):
+            res = sorted(by_src.get(i, []), key=lambda r: r["rank"])
+            print(json.dumps({"more_like": d, "results": res}, default=str))
+        print(f"federated more-like-this in "
+              f"{(time.perf_counter() - t1) * 1000:.1f}ms", file=sys.stderr)
+        return
+
+    prf = None
+    if args.prf:
+        r_s, m_s, beta_s = args.prf.split(",")
+        prf = (int(r_s), int(m_s), float(beta_s))
+
     queries = list(args.query or [])
     if args.queries_file:
         with open(args.queries_file) as fh:
@@ -272,8 +296,11 @@ def _serve_federated(spark, args) -> None:
 
     # interactive REPL -> the in-process federated tier (zero Spark jobs
     # per query once warm); phrase/minspan stay on the distributed path
+    if prf and args.serve_mode == "local":
+        raise SystemExit("--prf runs on the distributed tier "
+                         "(serve-mode auto/spark)")
     local = None
-    use_local = not queries and args.serve_mode in ("auto", "local")
+    use_local = not queries and not prf and args.serve_mode in ("auto", "local")
     if use_local:
         from searchengine_spark.query.federated import _doc_bases
         from searchengine_spark.query.serve import FederatedLocalSearcher
@@ -315,7 +342,16 @@ def _serve_federated(spark, args) -> None:
 
     def run(batch: list[str]) -> None:
         t1 = time.perf_counter()
-        if args.ranker == "bm25":
+        if args.ranker == "bm25" and prf:
+            from searchengine_spark.query.federated import (
+                prf_bm25_topk_federated,
+            )
+
+            r, m, beta = prf
+            topk = prf_bm25_topk_federated(
+                shards, batch, cfg, k=args.n, r=r, m=m, beta=beta,
+                exhaustive=args.exhaustive)
+        elif args.ranker == "bm25":
             topk = bm25_topk_federated(
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
                 fuzzy=args.fuzzy, doc_filters=doc_filters,

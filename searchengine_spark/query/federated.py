@@ -216,6 +216,8 @@ def bm25_topk_federated(
     fuzzy: bool = False,
     doc_filters: Sequence[DataFrame] | None = None,
     doc_boosts: Sequence[DataFrame] | None = None,
+    query_terms: Sequence[Sequence[str]] | None = None,
+    term_weights: dict | None = None,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -263,13 +265,24 @@ def bm25_topk_federated(
     spark = shards[0].spark
     chunk_docs = int(shards[0].manifest["chunk_docs"])
     params = shards[0].params
+    if fuzzy and term_weights:
+        raise ValueError(
+            "fuzzy OOV rewriting would orphan term_weights keys — "
+            "correct the terms first, then pass weights on the final terms"
+        )
 
     rows = []
-    for qid, q in enumerate(queries):
-        # unique terms per query — the reference's multiplicity quirk
-        # (bm25.py:44-53), same as the single-index path
-        for t in dict.fromkeys(tokenize_text(q, cfg)):
-            rows.append((qid, t))
+    if query_terms is not None:
+        # pre-tokenized unique term lists (the PRF/MLT seam, wand.py twin)
+        for qid, terms in enumerate(query_terms):
+            for t in dict.fromkeys(terms):
+                rows.append((qid, t))
+    else:
+        for qid, q in enumerate(queries):
+            # unique terms per query — the reference's multiplicity quirk
+            # (bm25.py:44-53), same as the single-index path
+            for t in dict.fromkeys(tokenize_text(q, cfg)):
+                rows.append((qid, t))
     if not rows:
         return spark.createDataFrame([], _TOPK_SCHEMA)
     all_terms = sorted({t for _, t in rows})
@@ -374,6 +387,7 @@ def bm25_topk_federated(
         round_dp,
         idf_map,
         decoders=decoders if decoders else None,
+        qweights=term_weights,
     )
     if gather == "single":
         out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
@@ -576,6 +590,154 @@ def boolean_search_federated(
             )
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+def _global_term_stats(shards: Sequence[PackedIndex]) -> DataFrame:
+    """(term, idf) over the federation: df summed across disjoint shards,
+    the build's own idf expression — the DataFrame twin of
+    :func:`_global_idf` for joins against unbounded term sets (expansion
+    weighting). Vocabulary-sized (one union-scan of the sidecars)."""
+    n_live = sum(
+        int(s.manifest.get("n_docs_live", s.manifest["n_docs"])) for s in shards
+    )
+    return _global_dictionary(shards).select(
+        "term",
+        F.round(
+            F.log(F.lit(float(max(n_live, 1))) / F.col("df")), 3
+        ).alias("idf"),
+    )
+
+
+def _expansion_weights_federated(
+    shards: Sequence[PackedIndex], fb: DataFrame, exclude: DataFrame
+) -> DataFrame:
+    """Federated twin of feedback._expansion_weights: ``fb`` carries
+    (query_id, doc_id) with FEDERATION-GLOBAL ids — each shard fetches its
+    own members' STORED tokens (doc identity is shard-local, so the
+    per-doc tf never crosses shards), the per-(query, term) Rocchio mass
+    sums across shards, and the idf factor is the federation-global
+    stats. Bit-identical to the single-index weights over a merged corpus
+    on ANY corpus (tf is doc-local; idf is the same global expression)."""
+    bases = _doc_bases(shards)
+    parts = []
+    for s, base in zip(shards, bases):
+        chunk_docs = int(s.manifest["chunk_docs"])
+        hw = int(s.manifest["n_docs"])
+        end = base + ((hw + chunk_docs - 1) // chunk_docs) * chunk_docs
+        local_fb = fb.filter(
+            (F.col("doc_id") >= base) & (F.col("doc_id") < end)
+        ).select(
+            "query_id",
+            (F.col("doc_id") - F.lit(base)).cast("long").alias("doc_id"),
+        )
+        toks = s.doc_tokens().join(F.broadcast(local_fb), "doc_id")
+        parts.append(
+            toks.select("query_id", "doc_id", F.explode("tokens").alias("term"))
+            .groupBy("query_id", "doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select(
+                "query_id", "term",
+                (F.lit(1.0) + F.log(F.col("tf").cast("double"))).alias("tf_w"),
+            )
+        )
+    w = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf_w").alias("tf_mass"))
+        .join(_global_term_stats(shards), "term")
+        .select(
+            "query_id", "term",
+            (F.col("tf_mass") * F.col("idf")).alias("weight"),
+        )
+    )
+    return w.join(exclude, ["query_id", "term"], "left_anti")
+
+
+def prf_bm25_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    r: int = 5,
+    m: int = 5,
+    beta: float = 0.5,
+    round_dp: int | None = None,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Federated Rocchio PRF (query/feedback.py twin): feedback ranking
+    via federated BM25 (rounded-rank top-``r``), expansion weights from
+    the owning shards' stored tokens x federation-global idf, then the
+    weighted-term federated retrieval. Same two-retrieval-pass minimum as
+    the single-index path; everything between is bounded by
+    r·|queries|·avgdl rows."""
+    from .feedback import _top_m_terms
+
+    base = bm25_topk_federated(shards, queries, cfg, k=r, round_dp=6)
+    spark = shards[0].spark
+    orig = spark.createDataFrame(
+        [(qid, t) for qid, q in enumerate(queries)
+         for t in dict.fromkeys(tokenize_text(q, cfg))] or [(0, "")],
+        "query_id int, term string",
+    )
+    exp = _top_m_terms(
+        _expansion_weights_federated(shards, base, orig), m
+    ).collect()
+    orig_terms = [list(dict.fromkeys(tokenize_text(q, cfg))) for q in queries]
+    terms = [list(t) for t in orig_terms]
+    weights: dict[int, dict[str, float]] = {}
+    for row in exp:
+        qid = int(row["query_id"])
+        terms[qid].append(row["term"])
+        weights.setdefault(qid, {})[row["term"]] = float(beta)
+    return bm25_topk_federated(
+        shards, queries, cfg, k=k, round_dp=round_dp, exhaustive=exhaustive,
+        query_terms=terms, term_weights=weights or None,
+    )
+
+
+def more_like_this_federated(
+    shards: Sequence[PackedIndex],
+    doc_ids: Sequence[int],
+    k: int = 10,
+    m: int = 10,
+    round_dp: int | None = None,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Federated more-like-this (query/feedback.py twin): ``doc_ids`` are
+    FEDERATION-GLOBAL ids; each source doc's top-``m`` terms by
+    (1 + ln tf)·global-idf become an unweighted federated BM25 query, the
+    source excluded and ranks renumbered."""
+    from pyspark.sql import Window as _W
+
+    from .feedback import _top_m_terms
+
+    spark = shards[0].spark
+    if not doc_ids:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, rank int"
+        )
+    fb = spark.createDataFrame(
+        [(i, int(d)) for i, d in enumerate(doc_ids)],
+        "query_id int, doc_id long",
+    )
+    empty = spark.createDataFrame([], "query_id int, term string")
+    top = _top_m_terms(_expansion_weights_federated(shards, fb, empty), m).collect()
+    terms: list[list[str]] = [[] for _ in doc_ids]
+    for row in top:
+        terms[int(row["query_id"])].append(row["term"])
+    out = bm25_topk_federated(
+        shards, ["" for _ in doc_ids], TokenizerConfig(), k=k + 1,
+        round_dp=round_dp, exhaustive=exhaustive, query_terms=terms,
+    )
+    src = F.create_map(
+        *[x for i, d in enumerate(doc_ids) for x in (F.lit(i), F.lit(int(d)))]
+    )
+    kept = out.filter(F.col("doc_id") != src[F.col("query_id")])
+    win = _W.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        kept.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def phrase_topk_federated(

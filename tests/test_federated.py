@@ -495,6 +495,75 @@ def test_filtered_and_boosted_federated(spark, cfg, tmp_path):
                             doc_filters=[filter_doc_ids(shards[0], corpus, pred)])
 
 
+def test_prf_and_mlt_federated(spark, corpus, cfg, tmp_path):
+    """Rocchio PRF and more-like-this federate. Single-shard federation is
+    bit-identical to the single-index path on the skewed corpus (the
+    global-idf recompute must reproduce every stored idf). Two-shard
+    federation equals a merged index on the uniform-dl corpus with
+    r >= corpus (the feedback SET is then tie-order independent, so the
+    only remaining divergence sources — expansion weights and the
+    weighted retrieval — are what the gate exercises)."""
+    from searchengine_spark.query.federated import (
+        more_like_this_federated,
+        prf_bm25_topk_federated,
+    )
+    from searchengine_spark.query.feedback import (
+        more_like_this_packed,
+        prf_bm25_topk_packed_batch,
+    )
+
+    # --- single-shard identity on the non-uniform fixture corpus
+    ps = str(tmp_path / "solo")
+    build_packed_index(corpus, cfg, ps, chunk_docs=32)
+    solo = load_packed_index(spark, ps)
+    got = _rows(prf_bm25_topk_federated([solo], QUERIES, cfg, k=10, r=5,
+                                        m=3, round_dp=6))
+    want = _rows(prf_bm25_topk_packed_batch(solo, QUERIES, cfg, k=10, r=5,
+                                            m=3, round_dp=6))
+    assert got == want and len(got) > 0
+    gid = int(solo.docmap.limit(1).collect()[0]["doc_id"])
+    gotm = _rows(more_like_this_federated([solo], [gid], k=10, round_dp=6))
+    wantm = _rows(more_like_this_packed(solo, [gid], k=10, round_dp=6))
+    assert gotm == wantm and len(gotm) > 0
+
+    # --- two shards vs merged, uniform corpus, tie-independent feedback
+    ucorpus = uniform_corpus(spark)
+    a, b = _split(ucorpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=16)
+    build_packed_index(b, cfg, pb, chunk_docs=16)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+    n = merged.manifest["n_docs"]
+
+    fed = prf_bm25_topk_federated(shards, QUERIES, cfg, k=10, r=n, m=3,
+                                  round_dp=6)
+    full = prf_bm25_topk_packed_batch(merged, QUERIES, cfg, k=n, r=n, m=3,
+                                      round_dp=6, exhaustive=True)
+    got = _ext_rows(resolve_docs_federated(shards, fed))
+    assert got == _expected_under_fed_order(merged, resolve_docs(merged, full))
+    assert len(got) > 0
+
+    # MLT source chosen by external id so both namespaces agree on the doc
+    ext = shards[0].docmap.limit(1).collect()[0]
+    gsrc = int(ext["doc_id"])  # shard 0 -> base 0 -> already global
+    msrc = int(
+        merged.docmap.filter(
+            (F.col("conv_id") == ext["conv_id"])
+            & (F.col("turn_idx") == ext["turn_idx"])
+        ).collect()[0]["doc_id"]
+    )
+    fedm = more_like_this_federated(shards, [gsrc], k=n, round_dp=6,
+                                    exhaustive=True)
+    fullm = more_like_this_packed(merged, [msrc], k=n, round_dp=6,
+                                  exhaustive=True)
+    gotm = _ext_rows(resolve_docs_federated(shards, fedm))
+    assert gotm == _expected_under_fed_order(
+        merged, resolve_docs(merged, fullm), k=n)
+    assert len(gotm) > 0
+
+
 def test_suggest_and_fuzzy_federated(spark, corpus, cfg, tmp_path):
     """Federated suggest == merged-index suggest bit-for-bit (live df sums
     across disjoint shards), including after per-shard deletes; federated
