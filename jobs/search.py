@@ -181,13 +181,13 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
 
 
 def _serve_federated(spark, args) -> None:
-    """--shards: scatter-gather across N shard indexes, no merge — bm25
-    (two-phase gather), tfidf (global-idf query vector, merged-exact on
-    any corpus) and boolean_and/boolean_or (pure per-shard union).
-    Batch (--query/--queries-file [--output]) and the interactive loop;
-    the single-index extras (fuzzy/filter/boost/prf/mlt/positional
-    rankers, snapshots, local tier) stay on --index — fold the shards
-    with jobs/merge_index.py when you need them on one index."""
+    """--shards: scatter-gather across N shard indexes, no merge — every
+    ranker family federates (bm25/tfidf/*_optimized/boolean/phrase/
+    minspan), plus suggest/fuzzy (federation-global dictionary),
+    filter/boost (per-shard resolved doc sets), prf/mlt and the
+    in-process local tier. Snapshot time travel pins per shard
+    (``path@seq`` in the spec) or federation-wide (--snapshot N).
+    Batch (--query/--queries-file [--output]) and the interactive loop."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -204,9 +204,6 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    if args.snapshot:
-        raise SystemExit("--snapshot is not wired to --shards; pin each "
-                         "shard's state by path or serve one index")
     for flag in ("fuzzy", "filter", "boost", "prf"):
         if getattr(args, flag) and args.ranker != "bm25":
             raise SystemExit(f"--{flag} federates on the bm25 ranker only")
@@ -215,8 +212,10 @@ def _serve_federated(spark, args) -> None:
     if (args.filter or args.boost) and not args.attrs:
         raise SystemExit("--filter/--boost need --attrs")
     t0 = time.perf_counter()
-    shards = [load_packed_index(spark, p.strip())
-              for p in args.shards.split(",") if p.strip()]
+    from searchengine_spark.query.federated import parse_shard_specs
+
+    shards = [load_packed_index(spark, p, snapshot=seq)
+              for p, seq in parse_shard_specs(args.shards, args.snapshot)]
     cfg = TokenizerConfig.from_manifest(shards[0].manifest.get("tokenizer", {}))
     n_docs = sum(s.manifest["n_docs"] for s in shards)
     stats = None
@@ -442,12 +441,14 @@ def _serve_federated(spark, args) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", default=None)
-    ap.add_argument("--shards", default=None, metavar="A,B,...",
+    ap.add_argument("--shards", default=None, metavar="A[@SEQ],B,...",
                     help="comma-separated shard index paths: FEDERATED "
                          "scatter-gather serving across all of them with no "
-                         "merge (query/federated.py; bm25 ranker) — idf is "
+                         "merge (query/federated.py; all rankers) — idf is "
                          "federation-global and exact, dl_norm shard-local "
-                         "(the ES dfs_query_then_fetch contract)")
+                         "(the ES dfs_query_then_fetch contract); a "
+                         "path@SEQ suffix pins that shard to a historical "
+                         "snapshot")
     ap.add_argument("--query", action="append",
                     help="repeatable; omit entirely for the interactive REPL")
     ap.add_argument("-n", type=int, default=10)
@@ -478,7 +479,9 @@ def main() -> None:
     ap.add_argument("--snapshot", type=int, default=None,
                     help="pin a historical index state (snapshot seq; "
                          "indexing/snapshots.py — time travel to e.g. the "
-                         "pre-delete or pre-compaction state)")
+                         "pre-delete or pre-compaction state); with "
+                         "--shards it pins every shard without an explicit "
+                         "@SEQ suffix to this seq")
     ap.add_argument("--snippet-source", default=None,
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "

@@ -88,6 +88,36 @@ _TFIDF_COMPAT_KEYS = _BOOL_COMPAT_KEYS + (
 AUTO_GATHER_SINGLE_MAX = 8
 
 
+def parse_shard_specs(
+    specs: str, default_snapshot: int | None = None
+) -> List[tuple]:
+    """``--shards`` spec syntax -> [(path, snapshot_or_None), ...].
+
+    Each comma-separated entry is ``path[@seq]``: a trailing ``@<int>``
+    pins that shard to a historical snapshot (indexing/snapshots.py time
+    travel — e.g. ``a@3,b,c@1``). Bare paths take ``default_snapshot``
+    when given (the ``--snapshot N`` lockstep-maintenance case: every
+    shard pinned to the same seq), else serve live. A shard pinned this
+    way serves through the identical :class:`PackedIndex` machinery, so
+    every federated surface (all rankers, suggest/fuzzy, PRF/MLT, the
+    local tier) time-travels for free. ``@`` inside a path is preserved
+    unless the final segment is all digits — snapshot seqs are small
+    integers, path components practically never are."""
+    out = []
+    for raw in specs.split(","):
+        raw = raw.strip()
+        if not raw:
+            continue
+        path, sep, suffix = raw.rpartition("@")
+        if sep and path and suffix.isdigit():
+            out.append((path, int(suffix)))
+        else:
+            out.append((raw, default_snapshot))
+    if not out:
+        raise ValueError(f"no shard paths in --shards spec {specs!r}")
+    return out
+
+
 def _check_compat(
     shards: Sequence[PackedIndex], keys=_COMPAT_KEYS, payload_freq: bool = True
 ) -> None:

@@ -637,3 +637,64 @@ def test_three_shards_and_empty_query(spark, corpus, cfg, tmp_path):
     assert len(ext) == len(pdf)
     empty = bm25_topk_federated(shards, ["the of and"], cfg, k=5)
     assert empty.count() == 0
+
+def test_parse_shard_specs():
+    """--shards spec syntax: path[@seq] per shard, --snapshot as the
+    default for bare paths, @ preserved when the suffix isn't an int."""
+    from searchengine_spark.query.federated import parse_shard_specs
+
+    assert parse_shard_specs("a,b") == [("a", None), ("b", None)]
+    assert parse_shard_specs("a@3, b ,c@0") == [
+        ("a", 3), ("b", None), ("c", 0)]
+    assert parse_shard_specs("a@3,b", default_snapshot=1) == [
+        ("a", 3), ("b", 1)]
+    # @ inside a path survives when the tail isn't all digits
+    assert parse_shard_specs("s3a://bkt/u@host/idx,x@12e") == [
+        ("s3a://bkt/u@host/idx", None), ("x@12e", None)]
+    with pytest.raises(ValueError, match="no shard paths"):
+        parse_shard_specs(" , ")
+
+
+def test_snapshot_pinned_federation(spark, corpus, cfg, tmp_path):
+    """Federation-wide time travel: pinning a maintained shard to its
+    pre-append snapshot reproduces the pre-append federated results bit
+    for bit — including the doc-base offsets (the pinned shard goes
+    FIRST so its high-water mark shifts every later shard's base), while
+    the live federation sees the appended docs."""
+    from searchengine_spark.streaming.incremental import append_batch
+
+    a, b = _split(corpus)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_packed_index(a, cfg, pa, chunk_docs=32)
+    build_packed_index(b, cfg, pb, chunk_docs=32)
+    before = _ext_rows(
+        resolve_docs_federated(
+            [load_packed_index(spark, p) for p in (pa, pb)],
+            bm25_topk_federated(
+                [load_packed_index(spark, p) for p in (pa, pb)],
+                QUERIES, cfg, k=10, round_dp=6,
+            ),
+        )
+    )
+
+    # append enough NEW docs to shard a to cross a chunk boundary (the
+    # doc-base of shard b moves on the live view, stays put pinned @0)
+    extra = transcripts_df(spark, n_conv=6).withColumn(
+        "conv_id", F.concat(F.lit("zz_"), F.col("conv_id"))
+    )
+    append_batch(extra, pa, cfg, batch_id=1)
+
+    live = [load_packed_index(spark, pa), load_packed_index(spark, pb)]
+    pinned = [
+        load_packed_index(spark, pa, snapshot=0),
+        load_packed_index(spark, pb),
+    ]
+    assert live[0].manifest["n_docs"] > pinned[0].manifest["n_docs"]
+
+    got = _ext_rows(
+        resolve_docs_federated(
+            pinned, bm25_topk_federated(pinned, QUERIES, cfg, k=10, round_dp=6)
+        )
+    )
+    assert got == before
+    assert len(got) > 0
