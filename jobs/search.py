@@ -188,13 +188,13 @@ def _serve_federated(spark, args) -> None:
     in-process local tier. Snapshot time travel pins per shard
     (``path@seq`` in the spec) or federation-wide (--snapshot N).
     Batch (--query/--queries-file [--output]) and the interactive loop."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from searchengine_spark.indexing.packed import load_packed_index
     from searchengine_spark.query.federated import (
         bm25_topk_federated,
         boolean_search_federated,
+        parse_shard_specs,
         proximity_topk_federated,
         resolve_docs_federated,
         tfidf_topk_federated,
@@ -204,16 +204,20 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    for flag in ("fuzzy", "filter", "boost", "prf"):
-        if getattr(args, flag) and args.ranker != "bm25":
-            raise SystemExit(f"--{flag} federates on the bm25 ranker only")
+    # the single-index flag surface, narrowed to what BOTH federated
+    # tiers (distributed scatter-gather AND the local REPL) serve
+    for flag in ("fuzzy", "boost"):
+        if getattr(args, flag) and args.ranker not in ("bm25", "bm25_and"):
+            raise SystemExit(f"--{flag} federates on the bm25* rankers only")
+    if args.filter and args.ranker not in ("bm25", "bm25_and"):
+        raise SystemExit("--filter federates on the bm25* rankers only")
+    if args.prf and args.ranker != "bm25":
+        raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
     if (args.filter or args.boost) and not args.attrs:
         raise SystemExit("--filter/--boost need --attrs")
     t0 = time.perf_counter()
-    from searchengine_spark.query.federated import parse_shard_specs
-
     shards = [load_packed_index(spark, p, snapshot=seq)
               for p, seq in parse_shard_specs(args.shards, args.snapshot)]
     cfg = TokenizerConfig.from_manifest(shards[0].manifest.get("tokenizer", {}))
@@ -293,13 +297,17 @@ def _serve_federated(spark, args) -> None:
         if args.boost:
             doc_boosts = [boost_doc_ids(s, attrs, args.boost) for s in shards]
 
-    # interactive REPL -> the in-process federated tier (zero Spark jobs
-    # per query once warm); phrase/minspan stay on the distributed path
+    # in-process federated tier (zero Spark jobs per query once warm):
+    # the REPL default, or any batch without --output under an explicit
+    # --serve-mode local — the same tier selection the --index path makes
     if prf and args.serve_mode == "local":
         raise SystemExit("--prf runs on the distributed tier "
                          "(serve-mode auto/spark)")
     local = None
-    use_local = not queries and not prf and args.serve_mode in ("auto", "local")
+    use_local = not prf and not args.output and (
+        args.serve_mode == "local"
+        or (args.serve_mode == "auto" and not queries)
+    )
     if use_local:
         from searchengine_spark.query.federated import _doc_bases
         from searchengine_spark.query.serve import FederatedLocalSearcher
@@ -350,11 +358,11 @@ def _serve_federated(spark, args) -> None:
             topk = prf_bm25_topk_federated(
                 shards, batch, cfg, k=args.n, r=r, m=m, beta=beta,
                 exhaustive=args.exhaustive)
-        elif args.ranker == "bm25":
+        elif args.ranker in ("bm25", "bm25_and"):
             topk = bm25_topk_federated(
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
-                fuzzy=args.fuzzy, doc_filters=doc_filters,
-                doc_boosts=doc_boosts)
+                fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
+                doc_filters=doc_filters, doc_boosts=doc_boosts)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -380,15 +388,28 @@ def _serve_federated(spark, args) -> None:
                 F.col("span_len").cast("double").alias("score"),
                 F.col("rank").cast("int").alias("rank"),
             )
-        else:  # boolean_and / boolean_or: unranked sets, rank by doc_id
-            hits = boolean_search_federated(
-                shards, batch, cfg, op=args.ranker.split("_")[1])
-            topk = hits.select(
-                "query_id", "doc_id", F.lit(0.0).alias("score"),
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy("doc_id")
-                ).alias("rank"),
-            ).filter(F.col("rank") <= args.n)
+        else:  # boolean_and / boolean_or — the single-index set contract:
+            # score = matched-term count (OR) / per-query constant (AND),
+            # rank 0, NO top-k cut ("no top-k in boolean retrieval")
+            from searchengine_spark.tokenizer import tokenize_text
+
+            op = args.ranker.split("_")[1]
+            hits = boolean_search_federated(shards, batch, cfg, op=op)
+            if op == "or":
+                topk = hits.select(
+                    "query_id", "doc_id",
+                    F.col("n_terms").cast("double").alias("score"),
+                    F.lit(0).alias("rank"),
+                )
+            else:
+                nq = spark.createDataFrame(
+                    [(i, float(len(dict.fromkeys(tokenize_text(q, cfg)))))
+                     for i, q in enumerate(batch)],
+                    "query_id int, score double",
+                )
+                topk = hits.join(F.broadcast(nq), "query_id").select(
+                    "query_id", "doc_id", "score", F.lit(0).alias("rank"),
+                )
         frame = resolve_docs_federated(shards, topk)
         if args.output:
             qdf = spark.createDataFrame(
@@ -418,7 +439,11 @@ def _serve_federated(spark, args) -> None:
               f"({len(batch)} queries, {len(shards)} shards)", file=sys.stderr)
 
     if queries:
-        run(queries)
+        if local is not None:  # explicit --serve-mode local batch
+            for q in queries:
+                run_local(q)
+        else:
+            run(queries)
         if stats is not None and stats.search_times:
             print(stats.summary(), file=sys.stderr)
         return

@@ -101,15 +101,21 @@ def parse_shard_specs(
     way serves through the identical :class:`PackedIndex` machinery, so
     every federated surface (all rankers, suggest/fuzzy, PRF/MLT, the
     local tier) time-travels for free. ``@`` inside a path is preserved
-    unless the final segment is all digits — snapshot seqs are small
-    integers, path components practically never are."""
+    unless the final segment is all ASCII digits — snapshot seqs are
+    small integers, path components practically never are; a
+    date-stamped dir like ``idx@20250101`` needs the explicit escape. An
+    ``@live`` suffix forces the preceding path literal AND live (it
+    ignores ``default_snapshot`` — mix pinned and live shards under
+    ``--snapshot N`` with ``a,b@live``)."""
     out = []
     for raw in specs.split(","):
         raw = raw.strip()
         if not raw:
             continue
         path, sep, suffix = raw.rpartition("@")
-        if sep and path and suffix.isdigit():
+        if sep and path and suffix == "live":
+            out.append((path, None))
+        elif sep and path and suffix.isascii() and suffix.isdigit():
             out.append((path, int(suffix)))
         else:
             out.append((raw, default_snapshot))
@@ -244,6 +250,7 @@ def bm25_topk_federated(
     round_dp: int | None = None,
     gather: str = "auto",
     fuzzy: bool = False,
+    conjunctive: bool = False,
     doc_filters: Sequence[DataFrame] | None = None,
     doc_boosts: Sequence[DataFrame] | None = None,
     query_terms: Sequence[Sequence[str]] | None = None,
@@ -333,6 +340,25 @@ def bm25_topk_federated(
             all_terms = sorted({t for _, t in rows})
             idf_map = _global_idf(shards, all_terms)
 
+    require_all = None
+    if conjunctive:
+        # ranked AND across the federation (wand.py's single-index twin):
+        # a doc lives in exactly one shard, so its matched-term coverage is
+        # decided inside that shard's scorer group under BOTH gather
+        # topologies — require_all counts stay exact. A query with a term
+        # absent from EVERY shard matches nothing federation-wide.
+        n_req: dict[int, int] = {}
+        dead: set[int] = set()
+        for qid, t in rows:
+            n_req[qid] = n_req.get(qid, 0) + 1
+            if t not in idf_map:
+                dead.add(qid)
+        rows = [(qid, t) for qid, t in rows if qid not in dead]
+        if not rows:
+            return spark.createDataFrame([], _TOPK_SCHEMA)
+        require_all = {q: n for q, n in n_req.items() if q not in dead}
+        all_terms = sorted({t for _, t in rows})
+
     bases = _doc_bases(shards)
     parts = []
     for s, base in zip(shards, bases):
@@ -418,6 +444,7 @@ def bm25_topk_federated(
         idf_map,
         decoders=decoders if decoders else None,
         qweights=term_weights,
+        require_all=require_all,
     )
     if gather == "single":
         out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)

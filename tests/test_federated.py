@@ -651,6 +651,13 @@ def test_parse_shard_specs():
     # @ inside a path survives when the tail isn't all digits
     assert parse_shard_specs("s3a://bkt/u@host/idx,x@12e") == [
         ("s3a://bkt/u@host/idx", None), ("x@12e", None)]
+    # non-ASCII "digits" are literal path chars, never int() food
+    assert parse_shard_specs("idx@\u00b2,idx@\u0663") == [
+        ("idx@\u00b2", None), ("idx@\u0663", None)]
+    # @live: explicit escape — literal path AND live even under --snapshot
+    assert parse_shard_specs("a,b@live,idx@20250101@live",
+                             default_snapshot=2) == [
+        ("a", 2), ("b", None), ("idx@20250101", None)]
     with pytest.raises(ValueError, match="no shard paths"):
         parse_shard_specs(" , ")
 
@@ -698,3 +705,63 @@ def test_snapshot_pinned_federation(spark, corpus, cfg, tmp_path):
     )
     assert got == before
     assert len(got) > 0
+
+
+def test_conjunctive_bm25_federated(spark, cfg, tmp_path):
+    """Federated conjunctive BM25 (the bm25_and ranker): on a uniform-dl
+    corpus it is score-bit-identical to merged-index conjunctive WAND
+    under the federation tie order; the full conjunctive doc set equals
+    federated boolean AND; a query with a federation-wide OOV term
+    matches nothing; pruning stays safe (WAND == exhaustive).
+
+    uniform_corpus docs hold one residue class mod 5 of _VOCAB (indices
+    step by 5), so conjunctive queries must draw all terms from one
+    class to match; the default QUERIES mix classes and match zero
+    docs under AND — itself asserted at the end."""
+    conj_queries = ["album vinyl encore", "guitar bass lyric",
+                    "drummer rhythm rock"]
+    corpus = uniform_corpus(spark)
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("a", "b", "m"))
+    build_packed_index(a, cfg, pa, chunk_docs=16)
+    build_packed_index(b, cfg, pb, chunk_docs=16)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+    n = merged.manifest["n_docs"]
+
+    fed = bm25_topk_federated(
+        shards, conj_queries, cfg, k=10, round_dp=6, conjunctive=True)
+    full_merged = bm25_topk_packed_batch(
+        merged, conj_queries, cfg, k=n, round_dp=6, exhaustive=True,
+        conjunctive=True)
+    got = _ext_rows(resolve_docs_federated(shards, fed))
+    assert got == _expected_under_fed_order(
+        merged, resolve_docs(merged, full_merged))
+    assert len(got) > 0
+
+    # the FULL conjunctive candidate set is exactly federated boolean AND
+    fed_full = bm25_topk_federated(
+        shards, conj_queries, cfg, k=n, round_dp=6, conjunctive=True)
+    conj_sets = {}
+    for r in fed_full.select("query_id", "doc_id").collect():
+        conj_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+    bool_sets = {}
+    for r in (boolean_search_federated(shards, conj_queries, cfg, op="and")
+              .select("query_id", "doc_id").collect()):
+        bool_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert conj_sets == {q: s for q, s in bool_sets.items() if s}
+
+    # pruning safety: block-max WAND == exhaustive under require_all
+    exh = bm25_topk_federated(
+        shards, conj_queries, cfg, k=10, round_dp=6, conjunctive=True,
+        exhaustive=True)
+    assert _rows(exh) == _rows(fed)
+    # AND semantics: a federation-wide OOV term, or terms scattered
+    # across residue classes (no single doc holds them all), match NOTHING
+    empty = bm25_topk_federated(
+        shards, ["album zzzunknownzzz"], cfg, k=5, conjunctive=True)
+    assert empty.count() == 0
+    mixed = bm25_topk_federated(
+        shards, QUERIES, cfg, k=5, conjunctive=True)
+    assert mixed.count() == 0
