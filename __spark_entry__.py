@@ -1541,6 +1541,44 @@ def q_federated_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded BUILD + federated serving (indexing/shards.py
+    build_shard_indexes): ONE corpus hash-partitioned into 3
+    conversation-coherent shards — assignment md5(conv_id) top-15-hex
+    mod 3, deterministic across engines — via the staged build (one
+    partitionBy(shard) write, pruned per-shard reads), then federated
+    BM25 over the three resulting indexes. The oracle recomputes the
+    SAME assignment in SQL (('0x' || substr(md5(conv_id), 1, 15))::BIGINT
+    % 3) and the dfs_query_then_fetch statistics: per-shard avgdl,
+    federation-global idf, tie order shard asc then (conv_id, turn_idx)
+    — so a wrong shard route, a leaked cross-shard avgdl, or a wrong
+    doc-base offset all hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import load_packed_index
+    from searchengine_spark.indexing.shards import build_shard_indexes, shard_paths
+    from searchengine_spark.query.federated import (
+        bm25_topk_federated,
+        resolve_docs_federated,
+    )
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    base = os.path.join(tempfile.gettempdir(), "se_spark_entry_shardbuild")
+    _build_packed_once(base, lambda: build_shard_indexes(
+        corpus, cfg, base, 3, chunk_docs=256))
+    shards = [load_packed_index(spark, p) for p in shard_paths(base, 3)]
+    topk = bm25_topk_federated(shards, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6)
+    out = resolve_docs_federated(shards, topk)
+    return out.select(
+        "query_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered retrieval (Lucene filtered-search analog,
     query/wand.py filter_doc_ids + doc_filter): BM25 top-10 over ONLY the
@@ -1683,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_merge_search": q_sharded_merge_search,
         "federated_search": q_federated_search,
         "federated_tfidf": q_federated_tfidf,
+        "sharded_build_search": q_sharded_build_search,
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
@@ -3293,6 +3332,55 @@ docs AS (
   SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
          conv_id, turn_idx::BIGINT AS turn_idx,
          (turn_idx % 2)::INT AS shard, text
+  FROM t
+),
+tok AS (SELECT doc_id, shard, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, shard, len(tokens)::BIGINT AS dl FROM tok),
+shard_stats AS (
+  SELECT shard, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl GROUP BY shard
+),
+corpus AS (SELECT count(*)::BIGINT AS n FROM dl),
+dln AS (
+  SELECT doc_id, round(dl / s.avgdl, 3) AS dl_norm
+  FROM dl JOIN shard_stats s USING (shard)
+),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s, 6) DESC, d.shard ASC,
+                                     d.conv_id ASC, d.turn_idx ASC) AS rank
+  FROM scored s JOIN docs d USING (doc_id)
+)
+SELECT r.query_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # ---- sharded build + federated serving: identical statistics contract
+    # to federated_search, but the shard is the BUILD's own deterministic
+    # md5 assignment (indexing/shards.py shard_assignment — top 15 hex
+    # chars of md5(conv_id) mod 3, exact in BIGINT on both engines), and
+    # the tie order follows the shard_0000..0002 doc-base offsets
+    sqls["sharded_build_search"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx,
+         (('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 3)::INT AS shard,
+         text
   FROM t
 ),
 tok AS (SELECT doc_id, shard, {tok3} AS tokens FROM docs),

@@ -197,6 +197,7 @@ def _serve_federated(spark, args) -> None:
         parse_shard_specs,
         proximity_topk_federated,
         resolve_docs_federated,
+        resolve_shards_arg,
         tfidf_topk_federated,
     )
     from searchengine_spark.tokenizer import TokenizerConfig
@@ -219,7 +220,8 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--filter/--boost need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p, snapshot=seq)
-              for p, seq in parse_shard_specs(args.shards, args.snapshot)]
+              for p, seq in parse_shard_specs(
+                  resolve_shards_arg(spark, args.shards), args.snapshot)]
     cfg = TokenizerConfig.from_manifest(shards[0].manifest.get("tokenizer", {}))
     n_docs = sum(s.manifest["n_docs"] for s in shards)
     stats = None

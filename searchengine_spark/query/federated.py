@@ -88,6 +88,23 @@ _TFIDF_COMPAT_KEYS = _BOOL_COMPAT_KEYS + (
 AUTO_GATHER_SINGLE_MAX = 8
 
 
+def resolve_shards_arg(spark, spec: str) -> str:
+    """A ``--shards`` value that is ONE bare path holding a
+    ``federation.json`` (the jobs/build_shards.py sidecar) expands to
+    its recorded shard spec; anything else passes through untouched."""
+    if "," in spec or "@" in spec:
+        return spec
+    from ..indexing import fsio
+    from ..indexing.shards import FEDERATION_MANIFEST
+
+    cand = fsio.join(spec.strip(), FEDERATION_MANIFEST)
+    if fsio.exists(spark, cand):
+        import json
+
+        return json.loads(fsio.read_text(spark, cand))["spec"]
+    return spec
+
+
 def parse_shard_specs(
     specs: str, default_snapshot: int | None = None
 ) -> List[tuple]:
