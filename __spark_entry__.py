@@ -1579,6 +1579,46 @@ def q_sharded_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (query/facets.py, the ES terms-aggregation analog):
+    boolean-OR retrieval over the packed transcripts index, then the
+    top-5 (value, doc count) buckets per facet column (role, tool) per
+    query — ONE hit-set join to the attribute table on the external key
+    plus ONE partial-aggregable groupBy. Contract points the oracle
+    hash-gates: count-desc/value-asc deterministic tie order, NULL
+    attribute values skipped (non-tool turns have tool=NULL, so the
+    'tool' facet counts only tool turns), a doc counts once per query,
+    values stringified. Attributes live in the source table, never the
+    index — the filter_doc_ids contract."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.facets import facet_counts
+    from searchengine_spark.query.wand import boolean_search_packed, resolve_docs
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_facets")
+    _build_packed_once(path, lambda: build_packed_index(
+        corpus, cfg, path, chunk_docs=256))
+    pidx = load_packed_index(spark, path)
+    hits = resolve_docs(
+        pidx,
+        boolean_search_packed(pidx, TRANSCRIPTS_QUERIES, cfg, op="or").select(
+            "query_id", "doc_id", F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        ),
+    )
+    out = facet_counts(hits, corpus, ["role", "tool"],
+                       ["conv_id", "turn_idx"], k=5)
+    return out.select(
+        "query_id", "facet", "value", F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered retrieval (Lucene filtered-search analog,
     query/wand.py filter_doc_ids + doc_filter): BM25 top-10 over ONLY the
@@ -1722,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_search": q_federated_search,
         "federated_tfidf": q_federated_tfidf,
         "sharded_build_search": q_sharded_build_search,
+        "faceted_search": q_faceted_search,
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "more_like_this": q_more_like_this,
@@ -3266,6 +3307,14 @@ GROUP BY doc_id, frame_idx
         f"({_sql_quote(c)}, {int(t)}, {_sql_quote(x)})"
         for c, t, x in zip(tpdf["conv_id"], tpdf["turn_idx"], tpdf["text"])
     )
+    # attribute-bearing twin for faceted_search (tool is NULL on
+    # non-tool turns — the NULL-skip contract point)
+    vals_attr = ",\n".join(
+        f"({_sql_quote(c)}, {int(t)}, {_sql_quote(r)}, "
+        f"{_sql_quote(u) if isinstance(u, str) else 'NULL'}, {_sql_quote(x)})"
+        for c, t, r, u, x in zip(tpdf["conv_id"], tpdf["turn_idx"],
+                                 tpdf["role"], tpdf["tool"], tpdf["text"])
+    )
     sw_inline = ", ".join(_sql_quote(w) for w in sorted(tw_cfg.stop_words) if w)
     tok3 = (
         "list_filter(regexp_split_to_array(lower(regexp_replace(text, "
@@ -3414,6 +3463,44 @@ ranked AS (
 )
 SELECT r.query_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # ---- faceted search: boolean-OR hit sets, then ES-style per-facet
+    # (value, doc count) buckets over the attribute table — count-desc/
+    # value-asc tie order, NULL skipped, top-5 per (query, facet)
+    sqls["faceted_search"] = f"""
+WITH t(conv_id, turn_idx, role, tool, text) AS (VALUES
+{vals_attr}
+),
+docs AS (
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, tool, text FROM t
+),
+tok AS (SELECT conv_id, turn_idx, {tok3} AS tokens FROM docs),
+exploded AS (SELECT conv_id, turn_idx, unnest(tokens) AS term FROM tok),
+q AS ({' UNION ALL '.join(tq_selects)}),
+hits AS (
+  SELECT DISTINCT q.query_id, e.conv_id, e.turn_idx
+  FROM exploded e JOIN q USING (term)
+),
+melted AS (
+  SELECT h.query_id, 'role' AS facet, d.role AS value
+  FROM hits h JOIN docs d USING (conv_id, turn_idx)
+  UNION ALL
+  SELECT h.query_id, 'tool' AS facet, d.tool AS value
+  FROM hits h JOIN docs d USING (conv_id, turn_idx)
+),
+counts AS (
+  SELECT query_id, facet, value, count(*)::BIGINT AS n
+  FROM melted WHERE value IS NOT NULL
+  GROUP BY query_id, facet, value
+),
+ranked AS (
+  SELECT query_id, facet, value, n,
+         row_number() OVER (PARTITION BY query_id, facet
+                            ORDER BY n DESC, value ASC)::BIGINT AS rank
+  FROM counts
+)
+SELECT query_id, facet, value, n, rank FROM ranked WHERE rank <= 5
 """
 
     # ---- federated TF-IDF: doc-side lnc weights are corpus-stat-free and

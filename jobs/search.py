@@ -180,6 +180,33 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
                 r["snippet"] = sn["snippet"]
 
 
+def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
+                  facet_spec, k) -> None:
+    """--facets: ES terms-aggregation analog over each query's result set
+    (query/facets.py), computed from the already-resolved result rows —
+    serving-tier-agnostic like snippets/relevance. Prints one JSON line
+    per query: {"query", "facets": {col: [{value, n}, ...]}}."""
+    from searchengine_spark.query.facets import facet_counts
+
+    cols = [c.strip() for c in facet_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = facet_counts(hits, attrs, cols, ext_cols, k=k).collect()
+        for r in sorted(got, key=lambda r: (r["query_id"], r["facet"],
+                                            r["rank"])):
+            by_q[r["query_id"]].setdefault(r["facet"], []).append(
+                {"value": r["value"], "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "facets": by_q[i]}))
+
+
 def _serve_federated(spark, args) -> None:
     """--shards: scatter-gather across N shard indexes, no merge — every
     ranker family federates (bm25/tfidf/*_optimized/boolean/phrase/
@@ -216,8 +243,8 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if (args.filter or args.boost) and not args.attrs:
-        raise SystemExit("--filter/--boost need --attrs")
+    if (args.filter or args.boost or args.facets) and not args.attrs:
+        raise SystemExit("--filter/--boost/--facets need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p, snapshot=seq)
               for p, seq in parse_shard_specs(
@@ -238,6 +265,9 @@ def _serve_federated(spark, args) -> None:
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, shards[0], cfg,
                              batch, per_q)
+        if args.facets:
+            _print_facets(spark, args.attrs, ext_cols, batch, per_q,
+                          args.facets, args.n)
         if stats is not None:
             for q, res in zip(batch, per_q):
                 stats.add(
@@ -549,6 +579,12 @@ def main() -> None:
                          "index's order_cols plus the --filter columns "
                          "(typically the source corpus); required with "
                          "--filter")
+    ap.add_argument("--facets", default=None, metavar="COL[,COL...]",
+                    help="ES terms-aggregation analog (query/facets.py): "
+                         "per query, print the top-n attribute-value "
+                         "counts over the result set for each named "
+                         "column — needs --attrs; works with every "
+                         "ranker and with --shards")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -559,6 +595,9 @@ def main() -> None:
 
     if bool(args.index) == bool(args.shards):
         raise SystemExit("pass exactly one of --index or --shards")
+    if args.facets and not args.attrs:
+        raise SystemExit("--facets needs --attrs (the table carrying the "
+                         "index's order_cols + the facet columns)")
 
     spark = SparkSession.builder.appName("searchengine_spark.search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -737,6 +776,10 @@ def main() -> None:
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)
+        if args.facets:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_facets(spark, args.attrs, ext, queries, per_q,
+                          args.facets, args.n)
         dt = time.perf_counter() - t1
         for q, res in zip(queries, per_q):
             print(json.dumps({"query": q, "results": res}, default=str))
