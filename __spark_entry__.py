@@ -920,6 +920,14 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRF_R, PRF_M, PRF_BETA = 3, 3, 0.5  # feedback depth / expansion width / weight
 MLT_SOURCES = [0, 7, 42]  # more-like-this source docs (ext ids == doc ids)
+# query-time synonym rules over the documents vocab (surface forms — they
+# normalize through the query tokenize chain) + the soft-expansion weight
+SYNONYM_RULES = {
+    "merge": ["join", "union"],
+    "scan": ["read"],
+    "stream": ["pipeline", "batch"],
+}
+SYNONYM_WEIGHT = 0.5
 MLT_M = 5
 
 
@@ -948,6 +956,51 @@ def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
     topk = prf_bm25_topk_packed_batch(
         pidx, qs, CFG, k=10, r=PRF_R, m=PRF_M, beta=PRF_BETA, round_dp=6
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (query/synonyms.py — the ES
+    synonym-token-filter analog, applied query-side so the index never
+    rebuilds when the dictionary changes): each query term additionally
+    retrieves its SYNONYM_RULES synonyms at weight 0.5 (soft
+    related-term expansion), riding the weighted-term WAND seam
+    (weights fold into idf BEFORE the chunk bounds, so block-max
+    pruning stays exact). Contract points: rules normalize through the
+    query tokenize chain, an expansion term that is already an explicit
+    query term keeps weight 1.0 ('batch' in query 2), OOV synonyms
+    match nothing. The oracle inlines the expanded (term, weight) rows
+    and weights each BM25 contribution — a scorer that ignored weights,
+    applied them after the bounds, or double-counted duplicate
+    expansions hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.synonyms import expand_query_terms
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    terms, weights = expand_query_terms(qs, CFG, SYNONYM_RULES,
+                                        weight=SYNONYM_WEIGHT)
+    topk = bm25_topk_packed_batch(
+        pidx, qs, CFG, k=10, round_dp=6,
+        query_terms=terms, term_weights=weights or None,
     )
     out = resolve_docs(pidx, topk)
     return out.select(
@@ -1765,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "faceted_search": q_faceted_search,
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
+        "synonym_search": q_synonym_search,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
         "collocations": q_collocations,
@@ -3735,6 +3789,43 @@ final{qid} AS (
 WITH {_INDEX_CTES.strip()},
 {','.join(prf_chains)},
 allf AS ({' UNION ALL '.join(prf_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- query-time synonym expansion: the expanded (term, weight) rows
+    # come from the module's own expand_query_terms over SYNONYM_RULES
+    # (same tokenize chain both engines), inlined as VALUES; contributions
+    # weight-fold exactly like the Spark scorer (w multiplies idf)
+    from searchengine_spark.query.synonyms import expand_query_terms
+
+    syn_terms, syn_weights = expand_query_terms(
+        [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)], CFG,
+        SYNONYM_RULES, weight=SYNONYM_WEIGHT)
+    syn_chains, syn_finals = [], []
+    for i, terms in enumerate(syn_terms):
+        wmap = syn_weights.get(i, {})
+        vals_q = ", ".join(
+            f"({_sql_quote(t)}, {float(wmap.get(t, 1.0))})" for t in terms)
+        syn_chains.append(f"""
+synq{i}(term, w) AS (SELECT * FROM (VALUES {vals_q}) AS v(term, w)),
+sfinal{i} AS (
+  SELECT {i} AS query_id, idx.doc_id,
+         sum(synq{i}.w * {_bm25_contrib_sql()}) AS s
+  FROM idx JOIN synq{i} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+)""")
+        syn_finals.append(f"SELECT * FROM sfinal{i}")
+    sqls["synonym_search"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(syn_chains)},
+allf AS ({' UNION ALL '.join(syn_finals)}),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,
          row_number() OVER (PARTITION BY query_id

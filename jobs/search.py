@@ -45,7 +45,7 @@ RANKERS = (
 
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                doc_boost=None):
+                doc_boost=None, synonyms=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -78,10 +78,18 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             pidx, queries, cfg, k=n, r=r, m=m, beta=beta,
             exhaustive=exhaustive)
     elif ranker in ("bm25", "bm25_and"):
+        q_terms = t_weights = None
+        if synonyms is not None:
+            from searchengine_spark.query.synonyms import expand_query_terms
+
+            rules, weight = synonyms
+            q_terms, t_weights = expand_query_terms(
+                queries, cfg, rules, weight=weight)
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
-            doc_boost=doc_boost)
+            doc_boost=doc_boost, query_terms=q_terms,
+            term_weights=t_weights or None)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -137,10 +145,11 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                 doc_boost=None):
+                 doc_boost=None, synonyms=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
-                       schema, fuzzy, doc_filter, prf, doc_boost).collect()
+                       schema, fuzzy, doc_filter, prf, doc_boost,
+                       synonyms).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -178,6 +187,23 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
             sn = extract_snippet(text, q, cfg, _memo=memo)
             if sn is not None:
                 r["snippet"] = sn["snippet"]
+
+
+def _parse_synonyms_args(args):
+    """--synonyms/--synonym-weight -> (rules, weight) or None, with the
+    shared guards (bm25 ranker, distributed tier, no --fuzzy/--prf —
+    fuzzy OOV rewriting would orphan the expansion weights and PRF
+    already owns the weighted-term seam)."""
+    if not args.synonyms:
+        return None
+    if args.ranker != "bm25":
+        raise SystemExit("--synonyms is wired to --ranker bm25 (the "
+                         "weighted-term WAND seam)")
+    if args.fuzzy or args.prf:
+        raise SystemExit("--synonyms does not combine with --fuzzy/--prf")
+    from searchengine_spark.query.synonyms import load_synonyms
+
+    return (load_synonyms(args.synonyms), args.synonym_weight)
 
 
 def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
@@ -313,6 +339,7 @@ def _serve_federated(spark, args) -> None:
     if args.prf:
         r_s, m_s, beta_s = args.prf.split(",")
         prf = (int(r_s), int(m_s), float(beta_s))
+    synonyms = _parse_synonyms_args(args)
 
     queries = list(args.query or [])
     if args.queries_file:
@@ -332,11 +359,11 @@ def _serve_federated(spark, args) -> None:
     # in-process federated tier (zero Spark jobs per query once warm):
     # the REPL default, or any batch without --output under an explicit
     # --serve-mode local — the same tier selection the --index path makes
-    if prf and args.serve_mode == "local":
-        raise SystemExit("--prf runs on the distributed tier "
+    if (prf or synonyms) and args.serve_mode == "local":
+        raise SystemExit("--prf/--synonyms run on the distributed tier "
                          "(serve-mode auto/spark)")
     local = None
-    use_local = not prf and not args.output and (
+    use_local = not prf and not synonyms and not args.output and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not queries)
     )
@@ -391,10 +418,19 @@ def _serve_federated(spark, args) -> None:
                 shards, batch, cfg, k=args.n, r=r, m=m, beta=beta,
                 exhaustive=args.exhaustive)
         elif args.ranker in ("bm25", "bm25_and"):
+            q_terms = t_weights = None
+            if synonyms is not None:
+                from searchengine_spark.query.synonyms import (
+                    expand_query_terms,
+                )
+
+                q_terms, t_weights = expand_query_terms(
+                    batch, cfg, synonyms[0], weight=synonyms[1])
             topk = bm25_topk_federated(
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
                 fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
-                doc_filters=doc_filters, doc_boosts=doc_boosts)
+                doc_filters=doc_filters, doc_boosts=doc_boosts,
+                query_terms=q_terms, term_weights=t_weights or None)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -579,6 +615,17 @@ def main() -> None:
                          "index's order_cols plus the --filter columns "
                          "(typically the source corpus); required with "
                          "--filter")
+    ap.add_argument("--synonyms", default=None, metavar="FILE",
+                    help="query-time synonym expansion (query/synonyms.py; "
+                         "ES synonym-filter analog): rules 'term => a, b' "
+                         "normalize through the query tokenize chain and "
+                         "expand bm25 queries on --index and --shards; "
+                         "the index never needs rebuilding")
+    ap.add_argument("--synonym-weight", type=float, default=1.0,
+                    help="score weight for ADDED synonym terms (default "
+                         "1.0 = ES equal footing; <1.0 for soft related-"
+                         "term expansion; explicit query terms always "
+                         "score at 1.0)")
     ap.add_argument("--facets", default=None, metavar="COL[,COL...]",
                     help="ES terms-aggregation analog (query/facets.py): "
                          "per query, print the top-n attribute-value "
@@ -665,6 +712,7 @@ def main() -> None:
             prf = (int(r_s), int(m_s), float(beta_s))
         except ValueError:
             raise SystemExit("--prf expects 'R,M,BETA' (e.g. '5,5,0.5')")
+    synonyms = _parse_synonyms_args(args)
     doc_boost = None
     if args.boost:
         if not args.attrs:
@@ -705,6 +753,7 @@ def main() -> None:
                 spark, pidx, cfg, file_queries, args.ranker, args.n,
                 args.exhaustive, args.schema, fuzzy=args.fuzzy,
                 doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
+                synonyms=synonyms,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -721,10 +770,10 @@ def main() -> None:
             return
         args.query = (args.query or []) + file_queries
 
-    if prf and args.serve_mode == "local":
-        raise SystemExit("--prf runs on the distributed tier "
+    if (prf or synonyms) and args.serve_mode == "local":
+        raise SystemExit("--prf/--synonyms run on the distributed tier "
                          "(serve-mode auto/spark)")
-    use_local = not prf and (
+    use_local = not prf and not synonyms and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     )
@@ -772,7 +821,8 @@ def main() -> None:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,
                                  fuzzy=args.fuzzy, doc_filter=doc_filter,
-                                 prf=prf, doc_boost=doc_boost)
+                                 prf=prf, doc_boost=doc_boost,
+                                 synonyms=synonyms)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)
