@@ -966,6 +966,48 @@ def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explain (query/serve.py LocalSearcher.explain — the
+    Lucene/ES explain analog): one row per (query, top-5 doc, matched
+    term) with the term's BM25 contribution
+    idf·tf(k+1)/(tf+k(1−b+b·dl_norm)), plus the doc's total score and
+    rank. This is the serving tier's own arithmetic surfaced row by row
+    — and the in-process LocalSearcher's only direct DuckDB gate (its
+    other gates are pytest bit-identity vs the distributed paths). The
+    oracle recomputes every contribution from the index CTEs restricted
+    to the rounded-rank top-5; a tier that served stale idf, lossy
+    dl_norm, or missed a matched term hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.serve import LocalSearcher
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    ls = LocalSearcher(pidx, cfg=CFG)
+    rows = []
+    for qid in sorted(QUERY_STRINGS):
+        for r in ls.explain(QUERY_STRINGS[qid], k=5, round_dp=6,
+                            resolve=False):
+            for b in r["breakdown"]:
+                rows.append((qid, int(r["doc_id"]), b["term"],
+                             float(b["contribution"]), float(r["score"]),
+                             int(r["rank"])))
+    df = spark.createDataFrame(
+        rows, "query_id int, doc_id bigint, term string, "
+              "contribution double, score double, rank bigint")
+    return df.select(
+        "query_id", "doc_id", "term",
+        F.round("contribution", 6).alias("contribution"), "score", "rank")
+
+
 def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time synonym expansion (query/synonyms.py — the ES
     synonym-token-filter analog, applied query-side so the index never
@@ -1819,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "synonym_search": q_synonym_search,
+        "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
         "collocations": q_collocations,
@@ -3796,6 +3839,42 @@ ranked AS (
   FROM allf
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- score explain: the serving tier's per-term contributions,
+    # recomputed from the index CTEs over the rounded-rank top-5 docs
+    exp_chains, exp_finals = [], []
+    for qid in sorted(QUERY_STRINGS):
+        terms = _sql_term_list(_qterms(qid))
+        exp_chains.append(f"""
+eq{qid} AS (SELECT unnest({terms}) AS term),
+escored{qid} AS (
+  SELECT idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN eq{qid} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+),
+etop{qid} AS (
+  SELECT doc_id, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC)::BIGINT
+           AS rank
+  FROM escored{qid}
+),
+efinal{qid} AS (
+  SELECT {qid} AS query_id, idx.doc_id, idx.term,
+         round({_bm25_contrib_sql()}, 6) AS contribution,
+         t.score, t.rank
+  FROM etop{qid} t
+  JOIN idx USING (doc_id) JOIN eq{qid} USING (term)
+  JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  WHERE t.rank <= 5
+)""")
+        exp_finals.append(f"SELECT * FROM efinal{qid}")
+    sqls["explain_scores"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(exp_chains)}
+SELECT query_id, doc_id, term, contribution, score, rank
+FROM ({' UNION ALL '.join(exp_finals)})
 """
 
     # ---- query-time synonym expansion: the expanded (term, weight) rows

@@ -367,6 +367,9 @@ def _serve_federated(spark, args) -> None:
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not queries)
     )
+    if args.explain and not use_local:
+        raise SystemExit("--explain serves from the local tier — use the "
+                         "REPL or add --serve-mode local")
     if use_local:
         from searchengine_spark.query.federated import _doc_bases
         from searchengine_spark.query.serve import FederatedLocalSearcher
@@ -391,7 +394,9 @@ def _serve_federated(spark, args) -> None:
 
     def run_local(q: str) -> None:
         t1 = time.perf_counter()
-        if args.ranker == "phrase":
+        if args.explain:
+            res = local.explain(q, k=args.n, fuzzy=args.fuzzy)
+        elif args.ranker == "phrase":
             res = local.phrase(q, k=args.n)
         elif args.ranker == "minspan":
             res = local.minspan(q, k=args.n)
@@ -615,6 +620,12 @@ def main() -> None:
                          "index's order_cols plus the --filter columns "
                          "(typically the source corpus); required with "
                          "--filter")
+    ap.add_argument("--explain", action="store_true",
+                    help="Lucene/ES explain analog (serve.py explain): "
+                         "each result carries a per-term BM25 score "
+                         "breakdown (term, tf, idf, dl_norm, "
+                         "contribution); local serving tier, bm25, "
+                         "--index or --shards")
     ap.add_argument("--synonyms", default=None, metavar="FILE",
                     help="query-time synonym expansion (query/synonyms.py; "
                          "ES synonym-filter analog): rules 'term => a, b' "
@@ -645,6 +656,13 @@ def main() -> None:
     if args.facets and not args.attrs:
         raise SystemExit("--facets needs --attrs (the table carrying the "
                          "index's order_cols + the facet columns)")
+    if args.explain:
+        if args.ranker != "bm25":
+            raise SystemExit("--explain is wired to --ranker bm25")
+        if args.filter or args.boost or args.prf or args.synonyms:
+            raise SystemExit("--explain does not combine with "
+                             "--filter/--boost/--prf/--synonyms (the "
+                             "breakdown explains the base formula)")
 
     spark = SparkSession.builder.appName("searchengine_spark.search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -777,6 +795,9 @@ def main() -> None:
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     )
+    if args.explain and not use_local:
+        raise SystemExit("--explain serves from the local tier — use the "
+                         "REPL or add --serve-mode local")
     if use_local and doc_filter is not None:
         # the local tier takes the resolved id set directly (one bounded
         # job here, zero per query after that)
@@ -800,7 +821,10 @@ def main() -> None:
     def serve(queries: list[str]) -> None:
         t1 = time.perf_counter()
         if local is not None:
-            if args.ranker == "phrase":
+            if args.explain:
+                per_q = [local.explain(q, k=args.n, fuzzy=args.fuzzy)
+                         for q in queries]
+            elif args.ranker == "phrase":
                 from searchengine_spark.query.phrase import local_phrase
 
                 per_q = [local_phrase(local, q, k=args.n) for q in queries]

@@ -406,6 +406,75 @@ class LocalSearcher:
                               schema, round_dp, rerank_n, idf_map=idf)
         return self._resolve(out, resolve)
 
+    def explain(
+        self,
+        query: str,
+        k: int = 10,
+        round_dp: int | None = None,
+        fuzzy: bool = False,
+        resolve: bool = True,
+        idf_override: Dict[str, float] | None = None,
+        query_tokens: List[str] | None = None,
+    ) -> List[dict]:
+        """Lucene/ES ``explain`` analog: the BM25 top-k result dicts, each
+        carrying a ``breakdown`` list — per matched query term
+        ``{term, tf, idf, dl_norm, contribution}`` (term-asc) with
+        ``contribution = idf · tf(k+1)/(tf + k(1−b+b·dl_norm))`` summing
+        to the doc's score. Decodes ONLY the chunks holding top-k docs
+        (memoized), so the cost after :meth:`search` is O(k · |terms|).
+        OOV terms never appear in a breakdown. Plain bm25 only — the
+        breakdown explains the base formula, not boosts/filters.
+
+        ``idf_override``/``query_tokens`` are the federation seams: pin
+        the idf map and bypass tokenization so every shard explains the
+        identical query with the federation's own arithmetic."""
+        if self._payload != "freq":
+            raise ValueError("explain needs a payload='freq' build (BM25)")
+        res = self.search(query, k=k, ranker="bm25", round_dp=round_dp,
+                          fuzzy=fuzzy, resolve=resolve,
+                          idf_override=idf_override,
+                          query_tokens=query_tokens)
+        if not res:
+            return []
+        toks = (list(query_tokens) if query_tokens is not None
+                else tokenize_text(query, self.cfg))
+        if fuzzy and toks:
+            toks = self._fuzzy_rewrite(toks)
+        terms = list(dict.fromkeys(toks))
+        idf = idf_override if idf_override is not None else self._idf
+        targets = np.asarray(sorted({int(r["doc_id"]) for r in res}),
+                             dtype=np.int64)
+        chunk_docs = int(self.manifest["chunk_docs"])
+        tchunks = set((targets // chunk_docs).tolist())
+        pdf = self._matched(terms)
+        kk, bb = float(self.params.k), float(self.params.b)
+        per_doc: Dict[int, list] = {int(d): [] for d in targets}
+        for row in pdf.itertuples(index=False):
+            if int(row.chunk) not in tchunks or row.term not in idf:
+                continue
+            doc_ids, tfs, dln = self._dec(row.postings)
+            pos = np.searchsorted(targets, doc_ids)
+            pos[pos == targets.size] = 0
+            hit = (targets[pos] == doc_ids).nonzero()[0]
+            w = float(idf[row.term])
+            for j in hit:
+                tf = float(tfs[j])
+                d = float(dln[j])
+                per_doc[int(doc_ids[j])].append({
+                    "term": row.term,
+                    "tf": int(tf),
+                    "idf": w,
+                    "dl_norm": d,
+                    "contribution": w * (tf * (kk + 1.0))
+                    / (tf + kk * (1.0 - bb + bb * d)),
+                })
+        for r in res:
+            r["breakdown"] = sorted(
+                per_doc.get(int(r["doc_id"]), []),
+                key=lambda b: b["term"],
+            )
+        return res
+
     def suggest(self, prefix: str, k: int = 10) -> List[dict]:
         """Dictionary auto-complete: terms with ``prefix`` ranked by live
         df (desc, term-asc ties). The preload tier answers from the
@@ -800,6 +869,47 @@ class FederatedLocalSearcher:
         for r in rows:
             r.pop("_shard", None)
         return rows
+
+    def explain(
+        self,
+        query: str,
+        k: int = 10,
+        round_dp: int | None = None,
+        fuzzy: bool = False,
+        resolve: bool = True,
+    ) -> List[dict]:
+        """Federated explain: every shard runs :meth:`LocalSearcher.explain`
+        pinned to the federation-global idf (so each breakdown row shows
+        the federation's own scoring arithmetic — shard-local dl_norm,
+        global idf), shard candidates shift into the global namespace and
+        merge under the federation tie order. Sum of contributions still
+        equals each doc's federated score: the whole breakdown lives in
+        the doc's own shard."""
+        from .federated import _check_compat
+
+        _check_compat(self.shards)
+        toks = tokenize_text(query, self.cfg)
+        if fuzzy and toks:
+            toks = self._fuzzy_rewrite(toks)
+        terms = list(dict.fromkeys(toks))
+        if not terms:
+            return []
+        idf_g = self._idf_global(terms)
+        if not idf_g:
+            return []
+        cands: List[dict] = []
+        for i, (s, base) in enumerate(zip(self.searchers, self.bases)):
+            rows = s.explain(query, k=k, round_dp=round_dp, resolve=False,
+                             idf_override=idf_g, query_tokens=toks)
+            for r in rows:
+                r["doc_id"] = int(r["doc_id"]) + base
+                r["_shard"] = i
+            cands.extend(rows)
+        cands.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        cands = cands[:k]
+        for rk, r in enumerate(cands, start=1):
+            r["rank"] = rk
+        return self._resolve(cands, resolve)
 
     # ------------------------------------------------- dictionary surfaces
 
