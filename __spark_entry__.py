@@ -918,6 +918,80 @@ def q_packed_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# negated words per query (query/negation.py must_not contract); drawn
+# from the same fixture vocabulary so every negation actually excludes
+NEG_WORDS = {0: ["hash"], 1: ["window"], 2: ["merge", "vector"]}
+
+
+def _neg_terms(qid: int) -> list[str]:
+    from searchengine_spark.query.negation import negated_terms
+
+    return negated_terms(NEG_WORDS[qid], CFG)
+
+
+def q_bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated query terms on the packed WAND path (query/negation.py; ES
+    bool must_not / '-term'): docs containing any negated term are masked
+    chunk-locally BEFORE the heap, so the result is the true top-k of the
+    excluded corpus — pruning stays exact (exclusion only lowers scores).
+    The oracle replicates with NOT EXISTS over the postings CTE."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    # same build config as q_packed_wand_topk -> share its index dir
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    ex = {qid: _neg_terms(qid) for qid in sorted(NEG_WORDS)}
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6,
+                                  exclude_terms=ex)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_boolean_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean OR retrieval with negations from the packed index: set
+    difference after the union, n_terms counting POSITIVE matches only
+    (query/negation.py; exercises the neg-flagged decode fan-out +
+    left_anti plan in boolean_search_packed)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import boolean_search_packed
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    hits = boolean_search_packed(
+        pidx, [QUERY_STRINGS[1]], CFG, op="or",
+        exclude_terms={0: _neg_terms(1)},
+    )
+    return hits.join(pidx.docmap, "doc_id").select(
+        F.col("ext_id").alias("doc_id"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+    )
+
+
 PRF_R, PRF_M, PRF_BETA = 3, 3, 0.5  # feedback depth / expansion width / weight
 MLT_SOURCES = [0, 7, 42]  # more-like-this source docs (ext ids == doc ids)
 # query-time synonym rules over the documents vocab (surface forms — they
@@ -1842,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
+        "bm25_must_not": q_bm25_must_not,
+        "boolean_must_not": q_boolean_must_not,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -2054,6 +2130,57 @@ q AS ({batch_q})
 SELECT q.query_id, idx.doc_id, count(DISTINCT idx.term)::BIGINT AS n_terms
 FROM idx JOIN q USING (term)
 GROUP BY q.query_id, idx.doc_id
+"""
+
+    # negated terms (must_not): banned = docs matching any of the query's
+    # negated terms; ranked = the SAME packed BM25 ranking restricted to
+    # the non-banned docs (true top-k of the excluded corpus); boolean =
+    # OR-set difference with n_terms over POSITIVE matches only
+    neg_selects = [
+        f"SELECT {qid} AS query_id, term FROM "
+        f"(SELECT unnest({_sql_term_list(_neg_terms(qid))}) AS term)"
+        for qid in sorted(NEG_WORDS)
+    ]
+    neg_q = " UNION ALL ".join(neg_selects)
+    sqls["bm25_must_not"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+negq AS ({neg_q}),
+banned AS (
+  SELECT DISTINCT negq.query_id, idx.doc_id FROM idx JOIN negq USING (term)
+),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+kept AS (
+  SELECT sc.* FROM scored sc
+  WHERE NOT EXISTS (SELECT 1 FROM banned b
+                    WHERE b.query_id = sc.query_id AND b.doc_id = sc.doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM kept
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    neg1 = _sql_term_list(_neg_terms(1))
+    q1_terms = _sql_term_list(_qterms(1))
+    sqls["boolean_must_not"] = f"""
+WITH {_INDEX_CTES},
+q AS (SELECT unnest({q1_terms}) AS term),
+banned AS (
+  SELECT DISTINCT doc_id FROM idx
+  WHERE term IN (SELECT unnest({neg1}))
+)
+SELECT idx.doc_id, count(DISTINCT idx.term)::BIGINT AS n_terms
+FROM idx JOIN q USING (term)
+WHERE idx.doc_id NOT IN (SELECT doc_id FROM banned)
+GROUP BY idx.doc_id
 """
 
     # streaming append: the oracle computes BM25 over the FULL corpus with

@@ -43,6 +43,23 @@ RANKERS = (
 )
 
 
+def _parse_negations(queries, cfg, ranker, prf, parser):
+    """Strip ``-term`` negations (query/negation.py) from a query batch
+    and gate them to the rankers that honor must_not. Queries WITHOUT
+    negations pass through untouched (phrase/minspan/etc. keep their
+    exact strings)."""
+    pos, excludes = parser(queries, cfg)
+    if not excludes:
+        return queries, None
+    if ranker not in ("bm25", "bm25_and", "boolean_and", "boolean_or"):
+        raise SystemExit("'-term' negation is wired to the bm25*/boolean "
+                         "rankers (must_not, query/negation.py)")
+    if prf:
+        raise SystemExit("'-term' negation does not combine with --prf "
+                         "(expansion would re-introduce excluded terms)")
+    return pos, excludes
+
+
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None):
@@ -68,6 +85,10 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                                                  "boolean_and", "boolean_or"):
         raise SystemExit("--filter is wired to the bm25/boolean rankers on "
                          "the distributed path")
+    from searchengine_spark.query.negation import parse_negated_queries
+
+    queries, excludes = _parse_negations(queries, cfg, ranker, prf,
+                                         parse_negated_queries)
     if ranker == "bm25" and prf:
         from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
 
@@ -89,7 +110,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
             doc_boost=doc_boost, query_terms=q_terms,
-            term_weights=t_weights or None)
+            term_weights=t_weights or None, exclude_terms=excludes)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -119,7 +140,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         from searchengine_spark.tokenizer import tokenize_text
 
         op = ranker.split("_")[1]
-        hits = boolean_search_packed(pidx, queries, cfg, op=op)
+        hits = boolean_search_packed(pidx, queries, cfg, op=op,
+                                     exclude_terms=excludes)
         if doc_filter is not None:
             # no top-k in boolean retrieval -> a post semi-join is exact
             hits = hits.join(doc_filter.select("doc_id"), "doc_id")
@@ -401,9 +423,13 @@ def _serve_federated(spark, args) -> None:
         elif args.ranker == "minspan":
             res = local.minspan(q, k=args.n)
         else:
+            from searchengine_spark.query.negation import split_negations
+
+            pos, neg = split_negations(q)
             res = local.search(
-                q, k=args.n, ranker=args.ranker, schema=args.schema,
+                pos, k=args.n, ranker=args.ranker, schema=args.schema,
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
+                exclude=neg or None,
             )
         dt = time.perf_counter() - t1
         _record([q], [res], dt)
@@ -413,6 +439,10 @@ def _serve_federated(spark, args) -> None:
 
     def run(batch: list[str]) -> None:
         t1 = time.perf_counter()
+        from searchengine_spark.query.negation import parse_negated_queries
+
+        batch, excludes = _parse_negations(batch, cfg, args.ranker, prf,
+                                           parse_negated_queries)
         if args.ranker == "bm25" and prf:
             from searchengine_spark.query.federated import (
                 prf_bm25_topk_federated,
@@ -435,7 +465,8 @@ def _serve_federated(spark, args) -> None:
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
                 fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
                 doc_filters=doc_filters, doc_boosts=doc_boosts,
-                query_terms=q_terms, term_weights=t_weights or None)
+                query_terms=q_terms, term_weights=t_weights or None,
+                exclude_terms=excludes)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -467,7 +498,8 @@ def _serve_federated(spark, args) -> None:
             from searchengine_spark.tokenizer import tokenize_text
 
             op = args.ranker.split("_")[1]
-            hits = boolean_search_federated(shards, batch, cfg, op=op)
+            hits = boolean_search_federated(shards, batch, cfg, op=op,
+                                            exclude_terms=excludes)
             if op == "or":
                 topk = hits.select(
                     "query_id", "doc_id",
@@ -833,14 +865,19 @@ def main() -> None:
 
                 per_q = [local_minspan(local, q, k=args.n) for q in queries]
             else:
-                per_q = [
-                    sorted(local.search(q, k=args.n, ranker=args.ranker,
-                                        schema=args.schema, fuzzy=args.fuzzy,
-                                        filter_docs=filter_ids,
-                                        boost_docs=boost_map),
-                           key=lambda r: (r["rank"], r["doc_id"]))
-                    for q in queries
-                ]
+                from searchengine_spark.query.negation import split_negations
+
+                per_q = []
+                for q in queries:
+                    pos, neg = split_negations(q)
+                    per_q.append(
+                        sorted(local.search(pos, k=args.n, ranker=args.ranker,
+                                            schema=args.schema,
+                                            fuzzy=args.fuzzy,
+                                            filter_docs=filter_ids,
+                                            boost_docs=boost_map,
+                                            exclude=neg or None),
+                               key=lambda r: (r["rank"], r["doc_id"])))
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,

@@ -272,6 +272,7 @@ def bm25_topk_federated(
     doc_boosts: Sequence[DataFrame] | None = None,
     query_terms: Sequence[Sequence[str]] | None = None,
     term_weights: dict | None = None,
+    exclude_terms: dict | None = None,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -308,7 +309,13 @@ def bm25_topk_federated(
     exact), and join the matched rows — the same one-exchange-per-
     selectivity shape as single-index filtered/boosted retrieval; the
     scorer applies them after its own base shift, so masks and
-    multipliers land on the same global ids."""
+    multipliers land on the same global ids.
+
+    ``exclude_terms``: {query_id: normalized negated terms} — the
+    ``must_not`` contract (query/negation.py; wand.py twin). Negated
+    terms' chunk rows fan out per shard exactly like scoring rows; a
+    doc's positive and negated postings share its (shard, chunk), so the
+    scorer's chunk-local masking is exact under BOTH gather topologies."""
     if gather == "auto":
         gather = "single" if len(shards) <= AUTO_GATHER_SINGLE_MAX else "two_phase"
     if gather not in ("two_phase", "single"):
@@ -376,6 +383,29 @@ def bm25_topk_federated(
         require_all = {q: n for q, n in n_req.items() if q not in dead}
         all_terms = sorted({t for _, t in rows})
 
+    ex_map: dict[int, set] | None = None
+    ex_rows: list = []
+    if exclude_terms:
+        live = {qid for qid, _ in rows}
+        ex_map = {
+            int(qid): set(ts)
+            for qid, ts in exclude_terms.items()
+            if ts and int(qid) in live
+        } or None
+    if ex_map:
+        ex_t = sorted({t for s in ex_map.values() for t in s})
+        new = [t for t in ex_t if t not in idf_map]
+        if new:
+            # presence probe only — absent-everywhere terms exclude nothing
+            idf_map.update(_global_idf(shards, new))
+        ex_rows = [
+            (qid, t)
+            for qid, s in sorted(ex_map.items())
+            for t in sorted(s)
+            if t in idf_map
+        ]
+        all_terms = sorted(set(all_terms) | {t for _, t in ex_rows})
+
     bases = _doc_bases(shards)
     parts = []
     for s, base in zip(shards, bases):
@@ -393,6 +423,11 @@ def bm25_topk_federated(
     qids_by_term: dict[str, list[int]] = {}
     for qid, t in rows:
         qids_by_term.setdefault(t, []).append(qid)
+    for qid, t in ex_rows:
+        # negated rows ride the same fan-out (wand.py twin); skip the dup
+        # when a term is both positive and negated for one query
+        if qid not in qids_by_term.setdefault(t, []):
+            qids_by_term[t].append(qid)
     map_entries = [
         x
         for t, qs in qids_by_term.items()
@@ -462,6 +497,7 @@ def bm25_topk_federated(
         decoders=decoders if decoders else None,
         qweights=term_weights,
         require_all=require_all,
+        exclude_terms=ex_map,
     )
     if gather == "single":
         out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
@@ -637,6 +673,7 @@ def boolean_search_federated(
     queries: Sequence[str],
     cfg: TokenizerConfig,
     op: str = "and",
+    exclude_terms: dict | None = None,
 ) -> DataFrame:
     """Federated boolean retrieval -> (query_id, doc_id[, n_terms for OR])
     in the federation-global docID namespace.
@@ -649,13 +686,18 @@ def boolean_search_federated(
     Payload may differ per shard ('boolean' gap-only next to 'freq' —
     the per-shard path decodes each correctly); tokenizer / chunk grid /
     order_cols parity is still required (one namespace, one query
-    token space)."""
+    token space).
+
+    ``exclude_terms``: {query_id: normalized negated terms} — exclusion
+    is per-doc and shard corpora are disjoint, so passing it through to
+    every per-shard call is exact (query/negation.py semantics)."""
     from .wand import boolean_search_packed
 
     _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
     parts = []
     for s, base in zip(shards, _doc_bases(shards)):
-        local = boolean_search_packed(s, queries, cfg, op=op)
+        local = boolean_search_packed(s, queries, cfg, op=op,
+                                      exclude_terms=exclude_terms)
         parts.append(
             local.select(
                 "query_id",

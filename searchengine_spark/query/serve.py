@@ -298,6 +298,7 @@ class LocalSearcher:
         idf_override: Dict[str, float] | None = None,
         dl_bounds: tuple | None = None,
         query_tokens: List[str] | None = None,
+        exclude: Sequence[str] | None = None,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -327,9 +328,26 @@ class LocalSearcher:
         query-side idf map and the proximity boost's (dl_min, dl_max) to
         federation-global values, and bypass tokenization with an
         already-tokenized (and possibly fuzzy-corrected) token list so
-        every shard scores the identical query."""
+        every shard scores the identical query.
+
+        ``exclude``: raw negated words (the ``-term`` parts of the query,
+        query/negation.py) — docs containing any of them are dropped
+        before the heap (bm25/bm25_and) / after the set combine
+        (boolean_*). Words normalize through the same tokenize chain as
+        the query; tfidf/proximity rankers refuse (use the distributed
+        batch paths)."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        ex_terms: List[str] = []
+        if exclude:
+            if ranker not in ("bm25", "bm25_and", "boolean_and", "boolean_or"):
+                raise NotImplementedError(
+                    f"exclude is not wired into the {ranker!r} local scorer "
+                    "— use the distributed batch path's exclude_terms"
+                )
+            from .negation import negated_terms
+
+            ex_terms = negated_terms(exclude, self.cfg)
         allowed = None
         if filter_docs is not None:
             allowed = np.unique(np.asarray(list(filter_docs)
@@ -356,15 +374,17 @@ class LocalSearcher:
             toks = self._fuzzy_rewrite(toks)
         terms = list(dict.fromkeys(toks))
         if not terms:
-            return []
-        pdf = self._matched(terms)
+            return []  # pure-negation queries included: never a corpus scan
+        fetch = terms + [t for t in ex_terms if t not in terms]
+        pdf = self._matched(fetch)
         if pdf is None:
             return []
         idf = idf_override if idf_override is not None else self._idf
 
         if ranker.startswith("boolean_"):
             return self._boolean(pdf, len(terms), ranker == "boolean_and",
-                                 resolve, allowed=allowed)
+                                 resolve, allowed=allowed,
+                                 exclude=set(ex_terms) or None)
         if ranker in ("bm25", "bm25_and"):
             if self._payload != "freq":
                 raise ValueError("BM25 needs a payload='freq' build")
@@ -378,6 +398,7 @@ class LocalSearcher:
             scorer = _wand_scorer(
                 k, self.params, round_dp, idf, decode=self._dec,
                 allowed=allowed, require_all=require_all, boosts=boosts,
+                exclude_terms={0: set(ex_terms)} if ex_terms else None,
             )
             out = scorer(pdf)
         elif ranker == "bm25_optimized":
@@ -636,8 +657,10 @@ class LocalSearcher:
         )
         return scorer(joined)
 
-    def _boolean(self, pdf, n_terms, is_and, resolve, allowed=None):
+    def _boolean(self, pdf, n_terms, is_and, resolve, allowed=None,
+                 exclude=None):
         sets: Dict[str, set] = {}
+        banned: set = set()
         for row in pdf.itertuples(index=False):
             docs = (
                 self._decode_cached(row.postings, decode_docs)
@@ -646,6 +669,10 @@ class LocalSearcher:
             )
             if self._payload == "boolean" and self._mask is not None:
                 docs = self._mask.mask_docs(docs)
+            if exclude and row.term in exclude:
+                # the negation wins over a same-term positive (negation.py)
+                banned.update(int(d) for d in docs)
+                continue
             if allowed is not None:
                 docs = np.asarray(docs, dtype=np.int64)
                 docs = docs[_member_mask(docs, allowed)]
@@ -655,14 +682,14 @@ class LocalSearcher:
         if is_and:
             if len(sets) < n_terms:
                 return []  # a query term matched nothing -> empty AND
-            hit = sorted(set.intersection(*sets.values()))
+            hit = sorted(set.intersection(*sets.values()) - banned)
             counts = {d: n_terms for d in hit}
         else:
             counts: Dict[int, int] = {}
             for s in sets.values():
                 for d in s:
                     counts[d] = counts.get(d, 0) + 1
-            hit = sorted(counts)
+            hit = sorted(set(counts) - banned)
         out = pd.DataFrame(
             {
                 "query_id": 0,
@@ -785,9 +812,14 @@ class FederatedLocalSearcher:
         fuzzy: bool = False,
         filter_docs=None,
         boost_docs=None,
+        exclude: Sequence[str] | None = None,
     ) -> List[dict]:
         """One interactive query across ALL shards -> rank-ordered result
-        dicts with doc_id in the federation-global namespace."""
+        dicts with doc_id in the federation-global namespace.
+
+        ``exclude``: raw negated words (``-term``, query/negation.py) —
+        exclusion is per-doc and a doc lives in exactly one shard, so
+        passing it through to every shard's LocalSearcher is exact."""
         from .federated import _COMPAT_KEYS, _TFIDF_COMPAT_KEYS, _check_compat
 
         if ranker not in RANKERS:
@@ -835,7 +867,7 @@ class FederatedLocalSearcher:
                 query, k=k, ranker=ranker, schema=schema, round_dp=round_dp,
                 rerank_n=rerank_n, resolve=False, filter_docs=fd,
                 boost_docs=bd, idf_override=idf_g, dl_bounds=dl_bounds,
-                query_tokens=toks,
+                query_tokens=toks, exclude=exclude,
             )
             for r in rows:
                 r["doc_id"] = int(r["doc_id"]) + base

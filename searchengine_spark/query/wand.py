@@ -73,6 +73,7 @@ def _wand_scorer(
     require_all: dict | None = None,
     boosts: tuple | None = None,
     decoders: dict | None = None,
+    exclude_terms: dict | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -115,7 +116,15 @@ def _wand_scorer(
     (the shard's global docID offset, constant within a chunk group), the
     shard's own decode hook (tombstone-masked) decodes its buffers, and
     decoded doc_ids shift by the base into the federation-global namespace
-    BEFORE the shared heap — N shards, one heap, no doc_id collisions."""
+    BEFORE the shared heap — N shards, one heap, no doc_id collisions.
+
+    ``exclude_terms``: {query_id: set of negated terms} (query/negation.py
+    ``must_not`` semantics). The negated terms' chunk rows ride the SAME
+    fan-out as scoring rows; here they are split off before the bounds,
+    decoded per chunk, and their doc ids mask the chunk's candidates
+    BEFORE the heap. Exclusion is chunk-local (every term's postings for
+    a doc share the doc's chunk id) so this is exact, and it only lowers
+    achievable scores, so the pruning bounds stay safe unchanged."""
     kk, bb = float(params.k), float(params.b)
     if qweights:
         # same safety rule as doc boosts: a negative coefficient makes
@@ -137,6 +146,25 @@ def _wand_scorer(
 
     def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        ex_by_chunk = None
+        if exclude_terms:
+            ex = exclude_terms.get(qid)
+            if ex:
+                is_ex = pdf["term"].isin(ex)
+                if is_ex.any():
+                    # negated rows leave the scoring frame BEFORE idf/
+                    # bounds: they contribute exclusion sets, never score
+                    ex_by_chunk = dict(tuple(pdf[is_ex].groupby("chunk")))
+                    pdf = pdf[~is_ex]
+                    if not len(pdf):
+                        return pd.DataFrame(
+                            {
+                                "query_id": np.array([], dtype=np.int32),
+                                "doc_id": np.array([], dtype=np.int64),
+                                "score": np.array([], dtype=np.float64),
+                                "rank": np.array([], dtype=np.int32),
+                            }
+                        )
         if idf_map is not None:
             pdf = pdf.assign(idf=pdf["term"].map(idf_map))
         if qweights:
@@ -194,6 +222,22 @@ def _wand_scorer(
                 # shift into the federation-global docID namespace (order-
                 # preserving, so downstream unique/tie-break logic is as-is)
                 docs = docs + base
+            if ex_by_chunk is not None:
+                exrows = ex_by_chunk.get(chunk)
+                if exrows is not None:
+                    # same decoder as the chunk's scoring rows (tombstone-
+                    # masked where applicable), same base shift — exclusion
+                    # lands in the same docID namespace as the candidates
+                    banned = np.concatenate(
+                        [d(buf)[0] for buf in exrows["postings"]]
+                    )
+                    if banned.size:
+                        if base:
+                            banned = banned + base
+                        m = ~_member_mask(docs, np.unique(banned))
+                        docs, contribs = docs[m], contribs[m]
+                        if docs.size == 0:
+                            continue
             allow = allowed
             if allow is None and has_allowed_col:
                 # per-chunk filter column (joined on chunk): same array on
@@ -361,6 +405,7 @@ def bm25_topk_packed_batch(
     term_weights: dict | None = None,
     conjunctive: bool = False,
     doc_boost: DataFrame | None = None,
+    exclude_terms: dict | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -407,7 +452,17 @@ def bm25_topk_packed_batch(
     analog; build it with any attribute expression over the source table
     + the docmap, like filter_doc_ids). Shipped per chunk like the
     filter; each chunk's pruning bound scales by its own max boost, so
-    block-max skipping stays exact."""
+    block-max skipping stays exact.
+
+    ``exclude_terms``: {query_id: iterable of NORMALIZED negated terms}
+    (parse ``-term`` query syntax with ``negation.parse_negated_queries``)
+    — ES bool ``must_not``: docs containing ANY of a query's negated
+    terms are dropped before the heap, so the result is the true top-k of
+    the excluded corpus. The negated terms' chunk rows ride the same
+    pushed-down scan + literal-map fan-out (no extra exchange; exclusion
+    is chunk-local, see query/negation.py); terms absent from the index
+    exclude nothing; a term both positive and negated is excluded (the
+    negation wins). Negated terms are never fuzzy-rewritten."""
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -494,10 +549,39 @@ def bm25_topk_packed_batch(
         require_all = {q: n for q, n in n_req.items() if q not in dead}
         all_terms = sorted({t for _, t in rows})
 
+    ex_map: dict[int, set] | None = None
+    ex_rows: list = []
+    if exclude_terms:
+        live = {qid for qid, _ in rows}
+        ex_map = {
+            int(qid): set(ts)
+            for qid, ts in exclude_terms.items()
+            if ts and int(qid) in live
+        } or None
+    if ex_map:
+        ex_terms = sorted({t for s in ex_map.values() for t in s})
+        new = [t for t in ex_terms if t not in idf_map]
+        if new:
+            # presence probe only — absent-from-index terms exclude nothing
+            idf_map.update(_idf_for(new))
+        ex_rows = [
+            (qid, t)
+            for qid, s in sorted(ex_map.items())
+            for t in sorted(s)
+            if t in idf_map
+        ]
+        all_terms = sorted(set(all_terms) | {t for _, t in ex_rows})
+
     pruned = pidx.index.filter(F.col("term").isin(all_terms))
     qids_by_term: dict[str, list[int]] = {}
     for qid, t in rows:
         qids_by_term.setdefault(t, []).append(qid)
+    for qid, t in ex_rows:
+        # negated rows join the same fan-out; skip the dup when a term is
+        # both positive and negated for one query (the scorer's term-set
+        # split routes the single row to exclusion — the negation wins)
+        if qid not in qids_by_term.setdefault(t, []):
+            qids_by_term[t].append(qid)
     map_entries = [
         x
         for t, qs in qids_by_term.items()
@@ -521,7 +605,8 @@ def bm25_topk_packed_batch(
     mask = pidx.delete_mask()
     dec = mask.wrap_decoders()[0] if mask is not None else None
     scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
-                          qweights=term_weights, require_all=require_all)
+                          qweights=term_weights, require_all=require_all,
+                          exclude_terms=ex_map)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k)
@@ -533,12 +618,19 @@ def boolean_search_packed(
     queries: Sequence[str],
     cfg: TokenizerConfig,
     op: str = "and",
+    exclude_terms: dict | None = None,
 ) -> DataFrame:
     """Boolean retrieval from the packed index -> (query_id, doc_id
     [, n_terms for OR]). Works on BOTH payloads: 'boolean' (doc gaps only,
     the small index) and 'freq' (postings carry tf/dlq; ignored here).
     Reference: BooleanPostingList merge semantics
-    (src/models/posting_lists/boolean_posting_list.py:30-36)."""
+    (src/models/posting_lists/boolean_posting_list.py:30-36).
+
+    ``exclude_terms``: {query_id: normalized negated terms} — set
+    difference AFTER the AND/OR combine (query/negation.py semantics;
+    one distinct + left_anti exchange pair sized by the negated terms'
+    postings). A query whose every term is negated returns nothing:
+    pure-negation retrieval would be an unbounded corpus scan."""
     if op not in ("and", "or"):
         raise ValueError(f"op must be 'and' or 'or', got {op!r}")
     spark = pidx.spark
@@ -547,14 +639,24 @@ def boolean_search_packed(
     for qid, q in enumerate(queries):
         for t in dict.fromkeys(tokenize_text(q, cfg)):
             rows.append((qid, t))
+    ex_rows = []
+    if exclude_terms:
+        live = {qid for qid, _ in rows}
+        for qid, ts in sorted(exclude_terms.items()):
+            if int(qid) in live:
+                for t in dict.fromkeys(ts):
+                    ex_rows.append((int(qid), t))
     if not rows:
         # all queries tokenized to nothing: same early return as the BM25
         # path — never fall through to an unpruned full-index scan
         return spark.createDataFrame(
             [], "query_id int, doc_id long, n_terms long"
         ).select("query_id", "doc_id", *([] if op == "and" else ["n_terms"]))
-    qdf = spark.createDataFrame(rows, "query_id int, term string")
-    all_terms = sorted({t for _, t in rows})
+    qdf = spark.createDataFrame(
+        [(q, t, False) for q, t in rows] + [(q, t, True) for q, t in ex_rows],
+        "query_id int, term string, neg boolean",
+    )
+    all_terms = sorted({t for _, t in rows} | {t for _, t in ex_rows})
     pruned = pidx.index.filter(F.col("term").isin(all_terms))
     matched = pruned.select("term", "postings").join(F.broadcast(qdf), "term")
     mask = pidx.delete_mask()
@@ -564,6 +666,7 @@ def boolean_search_packed(
             T.StructField("query_id", T.IntegerType(), False),
             T.StructField("term", T.StringType(), False),
             T.StructField("doc_id", T.LongType(), False),
+            T.StructField("neg", T.BooleanType(), False),
         ]
     )
 
@@ -582,16 +685,20 @@ def boolean_search_packed(
                     docs = mask.mask_docs(docs)
                 outs.append(
                     pd.DataFrame(
-                        {"query_id": row.query_id, "term": row.term, "doc_id": docs}
+                        {"query_id": row.query_id, "term": row.term,
+                         "doc_id": docs, "neg": row.neg}
                     )
                 )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
     hits = matched.mapInPandas(explode_docs, schema=out_schema)
-    agg = hits.groupBy("query_id", "doc_id").agg(
+    agg = hits.filter(~F.col("neg")).groupBy("query_id", "doc_id").agg(
         F.countDistinct("term").alias("n_terms")
     )
+    if ex_rows:
+        bad = hits.filter(F.col("neg")).select("query_id", "doc_id").distinct()
+        agg = agg.join(bad, ["query_id", "doc_id"], "left_anti")
     if op == "or":
         return agg
     n_by_q = spark.createDataFrame(
