@@ -389,6 +389,35 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+# training-mixture rates per language (num, den) + the unlisted-stratum
+# default — exercises full-keep, fractional, zero, and default paths
+MIX_RATES = {"en": (1, 1), "de": (1, 4), "zh": (0, 1)}
+MIX_DEFAULT = (1, 2)  # es / fr
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified mixture sampling (textops/dataset.py): per-language keep
+    rates over ONE shared doc hash (nested samples under rate growth) —
+    the corpus-mixing operator of a pretraining pipeline. Pure md5
+    arithmetic, cross-engine exact."""
+    from searchengine_spark.textops import stratified_sample
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, "lang", MIX_RATES, salt="r3",
+                             default=MIX_DEFAULT).select("doc_id", "lang")
+
+
+def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (textops/dataset.py): rank in
+    (md5(salt|id), id) order via the docID stage's two-pass dense rank —
+    reproducible at any parallelism, no RNG, no global window."""
+    from searchengine_spark.textops import deterministic_shuffle
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    out = deterministic_shuffle(d, salt="r3", n_partitions=8)
+    return out.select("doc_id", "shuffle_rank")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy contiguous packing of docs into 128-token bins per md5
     bucket (pretraining context-window assembly)."""
@@ -1894,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pii_redact": q_pii_redact,
         "dataset_split": q_dataset_split,
+        "dataset_mix": q_dataset_mix,
+        "dataset_shuffle": q_dataset_shuffle,
         "pack_sequences": q_pack_sequences,
         "c4_line_filter": q_c4_line_filter,
         "c4_doc_filter": q_c4_doc_filter,
@@ -2424,6 +2455,30 @@ SELECT doc_id,
        CASE WHEN {h16} % 10 < 8 THEN 'train'
             WHEN {h16} % 10 < 9 THEN 'val'
             ELSE 'test' END AS split
+FROM documents
+"""
+
+    # stratified mixture: per-lang (num, den) over the SAME doc hash;
+    # unlisted langs keep at the default rate
+    mix_conds = [
+        f"(lang = {_sql_quote(v)} AND {h16} % {den} < {num})"
+        for v, (num, den) in sorted(MIX_RATES.items())
+    ]
+    dn, dd = MIX_DEFAULT
+    listed = ", ".join(_sql_quote(v) for v in sorted(MIX_RATES))
+    mix_conds.append(
+        f"(COALESCE(lang IN ({listed}), FALSE) = FALSE AND {h16} % {dd} < {dn})"
+    )
+    sqls["dataset_mix"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {" OR ".join(mix_conds)}
+"""
+
+    sqls["dataset_shuffle"] = """
+SELECT doc_id,
+       (row_number() OVER (
+          ORDER BY md5('r3' || '|' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
+         AS shuffle_rank
 FROM documents
 """
 

@@ -24,9 +24,11 @@ from .contamination import (  # noqa: F401
     reference_shingles,
 )
 from .dataset import (  # noqa: F401
+    deterministic_shuffle,
     hash_sample,
     hash_split,
     pack_sequences,
+    stratified_sample,
 )
 from .multimodal import (  # noqa: F401
     extract_features,

@@ -109,3 +109,108 @@ def test_pack_sequences_integer_div_past_double_precision(spark):
     assert out[0] == (0, 0)
     # python int arithmetic is the oracle: pre=big for doc 1
     assert out[1] == (big // 2, big % 2)
+
+
+# ----------------------------------------------- stratified mixture sampling
+
+def test_stratified_sample_matches_python_md5(spark):
+    from searchengine_spark.textops import stratified_sample
+
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de")
+         .otherwise("fr").alias("lang"),
+    )
+    rates = {"en": (1, 1), "de": (1, 4), "fr": (0, 1)}
+    got = {r["doc_id"] for r in
+           stratified_sample(docs, "lang", rates, salt="m").collect()}
+    want = set()
+    for d in range(600):
+        lang = ["en", "de", "fr"][d % 3]
+        num, den = rates[lang]
+        if _h16("m", d) % den < num:
+            want.add(d)
+    assert got == want
+    assert {d for d in got if d % 3 == 0} == {d for d in range(600) if d % 3 == 0}
+    assert not {d for d in got if d % 3 == 2}
+
+
+def test_stratified_sample_nested_under_rate_growth(spark):
+    """Raising a stratum's rate must strictly grow its kept set (one
+    shared doc hash — rerunning with a larger budget reuses every
+    previously kept doc)."""
+    from searchengine_spark.textops import stratified_sample
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    lo = {r["doc_id"] for r in
+          stratified_sample(docs, "lang", {"en": (1, 8)}, salt="n").collect()}
+    hi = {r["doc_id"] for r in
+          stratified_sample(docs, "lang", {"en": (3, 8)}, salt="n").collect()}
+    assert lo and lo < hi
+
+
+def test_stratified_sample_default_and_nulls(spark):
+    from searchengine_spark.textops import stratified_sample
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise(None).alias("lang"),
+    )
+    # no default: unlisted strata (here NULL) are DROPPED
+    kept = stratified_sample(docs, "lang", {"en": (1, 1)}, salt="q").collect()
+    assert all(r["lang"] == "en" for r in kept)
+    # default keeps NULL-stratum docs at the default rate
+    withd = {r["doc_id"] for r in stratified_sample(
+        docs, "lang", {"en": (0, 1)}, salt="q", default=(1, 1)).collect()}
+    assert withd == {d for d in range(300) if d % 2 == 1}
+    with pytest.raises(ValueError, match="rates is empty"):
+        stratified_sample(docs, "lang", {})
+    with pytest.raises(ValueError, match="need 0 <= num"):
+        stratified_sample(docs, "lang", {"en": (2, 1)})
+
+
+# ------------------------------------------------------ deterministic shuffle
+
+def test_deterministic_shuffle_matches_python(spark):
+    from searchengine_spark.textops import deterministic_shuffle
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(docs, salt="e0", n_partitions=7).collect()
+    got = {r["doc_id"]: r["shuffle_rank"] for r in out}
+    order = sorted(range(500),
+                   key=lambda d: (hashlib.md5(f"e0|{d}".encode()).hexdigest(), d))
+    want = {d: i for i, d in enumerate(order)}
+    assert got == want
+
+
+def test_deterministic_shuffle_partitioning_invariant(spark):
+    """Same ranks at any parallelism (the reproducible-training-order
+    contract) and a fresh permutation per salt."""
+    from searchengine_spark.textops import deterministic_shuffle
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_rank"] for r in
+         deterministic_shuffle(docs.repartition(3), salt="e1",
+                               n_partitions=2).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"] for r in
+         deterministic_shuffle(docs.repartition(11), salt="e1",
+                               n_partitions=13).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(400))  # dense 0..N-1
+    c = {r["doc_id"]: r["shuffle_rank"] for r in
+         deterministic_shuffle(docs, salt="e2", n_partitions=2).collect()}
+    assert c != a
+
+
+def test_deterministic_shuffle_releasable_persist(spark):
+    from searchengine_spark.indexing.docids import unpersist_doc_ids
+    from searchengine_spark.textops import deterministic_shuffle
+
+    docs = spark.range(50).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(docs, salt="e3", n_partitions=2)
+    out.count()
+    assert getattr(out, "_se_persisted", None) is not None
+    unpersist_doc_ids(out)
+    assert out._se_persisted is None
