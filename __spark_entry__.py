@@ -1021,6 +1021,35 @@ def q_boolean_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms analog (query/significant.py): JLH-scored
+    terms overrepresented in each query's top-10 result set vs the
+    corpus, the query's own terms excluded, min_doc_count=2, ranked
+    (round(score,6) desc, term asc). Oracle replicates retrieval AND the
+    lift arithmetic over the postings CTE."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.significant import significant_terms_for_queries
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = significant_terms_for_queries(pidx, qs, CFG, k=10, k_terms=10,
+                                        min_fg=2)
+    # internal docIDs are dense in ext order here, and the output carries
+    # no doc ids anyway — only (query, term) aggregates
+    return out.select("query_id", "term", "fg_count", "df", "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 PRF_R, PRF_M, PRF_BETA = 3, 3, 0.5  # feedback depth / expansion width / weight
 MLT_SOURCES = [0, 7, 42]  # more-like-this source docs (ext ids == doc ids)
 # query-time synonym rules over the documents vocab (surface forms — they
@@ -1949,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_wand_topk": q_packed_wand_topk,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
+        "significant_terms": q_significant_terms,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -2197,6 +2227,56 @@ ranked AS (
   FROM kept
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # significant terms: hits = the packed top-10 ranking; fg over the
+    # postings CTE (idx is distinct per (term, doc)); JLH lift with the
+    # SAME expression order as the Spark side -> bit-identical doubles
+    sqls["significant_terms"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+hits AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+fg_tot AS (
+  SELECT query_id, count(*)::BIGINT AS fg_total FROM hits GROUP BY query_id
+),
+fg AS (
+  SELECT h.query_id, idx.term, count(DISTINCT idx.doc_id)::BIGINT AS fg_count
+  FROM idx JOIN hits h USING (doc_id)
+  GROUP BY h.query_id, idx.term
+  HAVING count(DISTINCT idx.doc_id) >= 2
+),
+fx AS (
+  SELECT fg.* FROM fg
+  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = fg.query_id AND q.term = fg.term)
+),
+cand AS (
+  SELECT fx.query_id, fx.term, fx.fg_count, ts.df,
+         ((fx.fg_count::DOUBLE / ft.fg_total)
+            - (ts.df::DOUBLE / (SELECT n FROM corpus)))
+         * ((fx.fg_count::DOUBLE / ft.fg_total)
+            / (ts.df::DOUBLE / (SELECT n FROM corpus))) AS s
+  FROM fx JOIN fg_tot ft USING (query_id) JOIN term_stats ts USING (term)
+),
+sig AS (
+  SELECT query_id, term, fg_count, df::BIGINT AS df, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, term ASC) AS rank
+  FROM cand WHERE s > 0
+)
+SELECT query_id, term, fg_count, df, score, rank FROM sig WHERE rank <= 10
 """
 
     neg1 = _sql_term_list(_neg_terms(1))

@@ -255,6 +255,41 @@ def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "facets": by_q[i]}))
 
 
+def _print_significant(spark, cfg, queries, per_q, k_terms,
+                       pidx=None, shards=None) -> None:
+    """--significant: ES significant_terms analog (query/significant.py)
+    over each query's result set — JLH-lifted vocabulary mined from the
+    index's STORED tokens (no --attrs needed), the query's own terms
+    excluded. Serving-tier-agnostic: computed from the already-resolved
+    result rows (doc ids are index-internal on --index, federation-global
+    on --shards). One JSON line per query."""
+    from searchengine_spark.query.significant import (
+        significant_terms,
+        significant_terms_federated,
+    )
+    from searchengine_spark.tokenizer import tokenize_text
+
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [(i, int(r["doc_id"])) for i, res in enumerate(per_q) for r in res]
+    if rows:
+        hits = spark.createDataFrame(rows, "query_id int, doc_id long")
+        ex_rows = [(i, t) for i, q in enumerate(queries)
+                   for t in dict.fromkeys(tokenize_text(q, cfg))]
+        excl = (spark.createDataFrame(ex_rows, "query_id int, term string")
+                if ex_rows else None)
+        out = (significant_terms_federated(shards, hits, k_terms=k_terms,
+                                           exclude=excl)
+               if shards is not None
+               else significant_terms(pidx, hits, k_terms=k_terms,
+                                      exclude=excl))
+        for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            by_q[r["query_id"]].append(
+                {"term": r["term"], "fg": int(r["fg_count"]),
+                 "df": int(r["df"]), "score": r["score"]})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "significant": by_q[i]}))
+
+
 def _serve_federated(spark, args) -> None:
     """--shards: scatter-gather across N shard indexes, no merge — every
     ranker family federates (bm25/tfidf/*_optimized/boolean/phrase/
@@ -316,6 +351,9 @@ def _serve_federated(spark, args) -> None:
         if args.facets:
             _print_facets(spark, args.attrs, ext_cols, batch, per_q,
                           args.facets, args.n)
+        if args.significant:
+            _print_significant(spark, cfg, batch, per_q, args.significant,
+                               shards=shards)
         if stats is not None:
             for q, res in zip(batch, per_q):
                 stats.add(
@@ -669,6 +707,13 @@ def main() -> None:
                          "1.0 = ES equal footing; <1.0 for soft related-"
                          "term expansion; explicit query terms always "
                          "score at 1.0)")
+    ap.add_argument("--significant", type=int, default=None, metavar="N",
+                    help="ES significant_terms analog "
+                         "(query/significant.py): per query, print the "
+                         "top-N JLH-lifted terms of the result set vs the "
+                         "corpus, mined from the index's stored tokens "
+                         "(query terms excluded; no --attrs needed); any "
+                         "ranker, --index or --shards")
     ap.add_argument("--facets", default=None, metavar="COL[,COL...]",
                     help="ES terms-aggregation analog (query/facets.py): "
                          "per query, print the top-n attribute-value "
@@ -891,6 +936,9 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_facets(spark, args.attrs, ext, queries, per_q,
                           args.facets, args.n)
+        if args.significant:
+            _print_significant(spark, cfg, queries, per_q, args.significant,
+                               pidx=pidx)
         dt = time.perf_counter() - t1
         for q, res in zip(queries, per_q):
             print(json.dumps({"query": q, "results": res}, default=str))
