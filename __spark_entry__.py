@@ -1021,6 +1021,35 @@ def q_boolean_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result paging (ES from/size): page [10, 20) of the packed WAND
+    ranking with ABSOLUTE ranks — the heap is sized k+offset, so page
+    boundaries are exact under the rounded-score total order."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6, offset=10)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms analog (query/significant.py): JLH-scored
     terms overrepresented in each query's top-10 result set vs the
@@ -1979,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
+        "bm25_page2": q_bm25_page2,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -2143,6 +2173,25 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # paging: the SAME ranking, page [10, 20) with absolute ranks
+    sqls["bm25_page2"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked
+WHERE rank > 10 AND rank <= 20
 """
 
     # deletes: the oracle never sees tombstones or epochs — it computes

@@ -62,7 +62,7 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
 
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                doc_boost=None, synonyms=None):
+                doc_boost=None, synonyms=None, offset=0):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -89,6 +89,10 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 
     queries, excludes = _parse_negations(queries, cfg, ranker, prf,
                                          parse_negated_queries)
+    if offset and ranker not in ("bm25", "bm25_and"):
+        raise SystemExit("--offset is wired to the bm25* rankers")
+    if offset and prf:
+        raise SystemExit("--offset does not combine with --prf")
     if ranker == "bm25" and prf:
         from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
 
@@ -110,7 +114,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
             doc_boost=doc_boost, query_terms=q_terms,
-            term_weights=t_weights or None, exclude_terms=excludes)
+            term_weights=t_weights or None, exclude_terms=excludes,
+            offset=offset)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -167,11 +172,11 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                 doc_boost=None, synonyms=None):
+                 doc_boost=None, synonyms=None, offset=0):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
-                       synonyms).collect()
+                       synonyms, offset=offset).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -467,7 +472,7 @@ def _serve_federated(spark, args) -> None:
             res = local.search(
                 pos, k=args.n, ranker=args.ranker, schema=args.schema,
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
-                exclude=neg or None,
+                exclude=neg or None, offset=args.offset,
             )
         dt = time.perf_counter() - t1
         _record([q], [res], dt)
@@ -481,6 +486,10 @@ def _serve_federated(spark, args) -> None:
 
         batch, excludes = _parse_negations(batch, cfg, args.ranker, prf,
                                            parse_negated_queries)
+        if args.offset and args.ranker not in ("bm25", "bm25_and"):
+            raise SystemExit("--offset is wired to the bm25* rankers")
+        if args.offset and prf:
+            raise SystemExit("--offset does not combine with --prf")
         if args.ranker == "bm25" and prf:
             from searchengine_spark.query.federated import (
                 prf_bm25_topk_federated,
@@ -504,7 +513,7 @@ def _serve_federated(spark, args) -> None:
                 fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
                 doc_filters=doc_filters, doc_boosts=doc_boosts,
                 query_terms=q_terms, term_weights=t_weights or None,
-                exclude_terms=excludes)
+                exclude_terms=excludes, offset=args.offset)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -707,6 +716,11 @@ def main() -> None:
                          "1.0 = ES equal footing; <1.0 for soft related-"
                          "term expansion; explicit query terms always "
                          "score at 1.0)")
+    ap.add_argument("--offset", type=int, default=0, metavar="N",
+                    help="result paging (ES from/size): return page "
+                         "[offset, offset+n) with ABSOLUTE ranks — the "
+                         "bm25* rankers on every tier (heap sized "
+                         "n+offset: deep pages cost like a deeper top-k)")
     ap.add_argument("--significant", type=int, default=None, metavar="N",
                     help="ES significant_terms analog "
                          "(query/significant.py): per query, print the "
@@ -848,7 +862,7 @@ def main() -> None:
                 spark, pidx, cfg, file_queries, args.ranker, args.n,
                 args.exhaustive, args.schema, fuzzy=args.fuzzy,
                 doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
-                synonyms=synonyms,
+                synonyms=synonyms, offset=args.offset,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -921,14 +935,15 @@ def main() -> None:
                                             fuzzy=args.fuzzy,
                                             filter_docs=filter_ids,
                                             boost_docs=boost_map,
-                                            exclude=neg or None),
+                                            exclude=neg or None,
+                                            offset=args.offset),
                                key=lambda r: (r["rank"], r["doc_id"])))
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,
                                  fuzzy=args.fuzzy, doc_filter=doc_filter,
                                  prf=prf, doc_boost=doc_boost,
-                                 synonyms=synonyms)
+                                 synonyms=synonyms, offset=args.offset)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -114,9 +114,17 @@ def build_shard_indexes(
             if staging:
                 # reading the partition DIRECTORY prunes to 1/N of the
                 # files and drops the partition column from the schema
-                part = spark.read.parquet(
-                    fsio.join(stage_dir, f"{_SHARD_COL}={i}")
-                )
+                part_dir = fsio.join(stage_dir, f"{_SHARD_COL}={i}")
+                if not fsio.exists(spark, part_dir):
+                    # no docs hashed here (tiny corpus / large n_shards):
+                    # fail loudly instead of an opaque PATH_NOT_FOUND —
+                    # an empty shard index can't be built or served
+                    raise ValueError(
+                        f"shard {i} received no documents "
+                        f"(n_shards={n_shards} too large for this corpus "
+                        f"under shard_by={shard_by!r}) — lower n_shards"
+                    )
+                part = spark.read.parquet(part_dir)
             else:
                 part = df.filter(assign == i)
             manifests.append(

@@ -273,6 +273,7 @@ def bm25_topk_federated(
     query_terms: Sequence[Sequence[str]] | None = None,
     term_weights: dict | None = None,
     exclude_terms: dict | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -487,8 +488,10 @@ def bm25_topk_federated(
         if mask is not None:
             decoders[base] = mask.wrap_decoders()[0]
 
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     n_docs_total = sum(int(s.manifest["n_docs"]) for s in shards)
-    k_top = k if not exhaustive else max(k, n_docs_total)
+    k_top = (k + offset) if not exhaustive else max(k + offset, n_docs_total)
     scorer = _wand_scorer(
         k_top,
         params,
@@ -502,7 +505,10 @@ def bm25_topk_federated(
     if gather == "single":
         out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
         if exhaustive:
-            out = out.filter(F.col("rank") <= k)
+            out = out.filter(F.col("rank") <= k + offset)
+        if offset:
+            # page [offset, offset+k) with ABSOLUTE ranks (ES from/size)
+            out = out.filter(F.col("rank") > offset)
         return out
 
     # two-phase: shard-local top-k in parallel (the scorer is unchanged —
@@ -512,9 +518,11 @@ def bm25_topk_federated(
     shard_topk = matched.groupBy("query_id", "doc_base").applyInPandas(
         scorer, schema=_TOPK_SCHEMA
     )
-    out = _merge_shard_topk(shard_topk, k_top if exhaustive else k)
+    out = _merge_shard_topk(shard_topk, k_top if exhaustive else k + offset)
     if exhaustive:
-        out = out.filter(F.col("rank") <= k)
+        out = out.filter(F.col("rank") <= k + offset)
+    if offset:
+        out = out.filter(F.col("rank") > offset)
     return out
 
 

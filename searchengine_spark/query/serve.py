@@ -299,6 +299,7 @@ class LocalSearcher:
         dl_bounds: tuple | None = None,
         query_tokens: List[str] | None = None,
         exclude: Sequence[str] | None = None,
+        offset: int = 0,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -335,9 +336,20 @@ class LocalSearcher:
         before the heap (bm25/bm25_and) / after the set combine
         (boolean_*). Words normalize through the same tokenize chain as
         the query; tfidf/proximity rankers refuse (use the distributed
-        batch paths)."""
+        batch paths).
+
+        ``offset``: result paging (ES from/size; bm25/bm25_and): page
+        [offset, offset+k) with ABSOLUTE ranks — heap sized k+offset."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        if offset:
+            if offset < 0:
+                raise ValueError(f"offset must be >= 0, got {offset}")
+            if ranker not in ("bm25", "bm25_and"):
+                raise NotImplementedError(
+                    f"offset paging is not wired into the {ranker!r} local "
+                    "scorer (boolean returns the full set; page client-side)"
+                )
         ex_terms: List[str] = []
         if exclude:
             if ranker not in ("bm25", "bm25_and", "boolean_and", "boolean_or"):
@@ -396,11 +408,13 @@ class LocalSearcher:
                     return []
                 require_all = {0: len(terms)}
             scorer = _wand_scorer(
-                k, self.params, round_dp, idf, decode=self._dec,
+                k + offset, self.params, round_dp, idf, decode=self._dec,
                 allowed=allowed, require_all=require_all, boosts=boosts,
                 exclude_terms={0: set(ex_terms)} if ex_terms else None,
             )
             out = scorer(pdf)
+            if offset:
+                out = out[out["rank"] > offset]
         elif ranker == "bm25_optimized":
             if not self._positional:
                 raise ValueError("packed index was not built with positional=True")
@@ -813,17 +827,30 @@ class FederatedLocalSearcher:
         filter_docs=None,
         boost_docs=None,
         exclude: Sequence[str] | None = None,
+        offset: int = 0,
     ) -> List[dict]:
         """One interactive query across ALL shards -> rank-ordered result
         dicts with doc_id in the federation-global namespace.
 
         ``exclude``: raw negated words (``-term``, query/negation.py) —
         exclusion is per-doc and a doc lives in exactly one shard, so
-        passing it through to every shard's LocalSearcher is exact."""
+        passing it through to every shard's LocalSearcher is exact.
+
+        ``offset``: result paging (bm25/bm25_and): every shard serves its
+        local top-(k+offset) and the page is cut after the global merge
+        — exact for the same reason the two-phase gather is."""
         from .federated import _COMPAT_KEYS, _TFIDF_COMPAT_KEYS, _check_compat
 
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        if offset:
+            if offset < 0:
+                raise ValueError(f"offset must be >= 0, got {offset}")
+            if ranker not in ("bm25", "bm25_and"):
+                raise NotImplementedError(
+                    f"offset paging is not wired into the {ranker!r} "
+                    "federated local scorer"
+                )
         if ranker.startswith("bm25"):
             _check_compat(self.shards)
         elif ranker.startswith("tfidf"):
@@ -864,7 +891,8 @@ class FederatedLocalSearcher:
                 }
                 bd = bd or None
             rows = s.search(
-                query, k=k, ranker=ranker, schema=schema, round_dp=round_dp,
+                query, k=k + offset, ranker=ranker, schema=schema,
+                round_dp=round_dp,
                 rerank_n=rerank_n, resolve=False, filter_docs=fd,
                 boost_docs=bd, idf_override=idf_g, dl_bounds=dl_bounds,
                 query_tokens=toks, exclude=exclude,
@@ -880,8 +908,8 @@ class FederatedLocalSearcher:
             cands.sort(key=lambda r: r["doc_id"])
         else:
             cands.sort(key=lambda r: (-r["score"], r["doc_id"]))
-            cands = cands[:k]
-            for rk, r in enumerate(cands, start=1):
+            cands = cands[offset:offset + k]
+            for rk, r in enumerate(cands, start=offset + 1):
                 r["rank"] = rk
         return self._resolve(cands, resolve)
 

@@ -406,6 +406,7 @@ def bm25_topk_packed_batch(
     conjunctive: bool = False,
     doc_boost: DataFrame | None = None,
     exclude_terms: dict | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -462,7 +463,16 @@ def bm25_topk_packed_batch(
     pushed-down scan + literal-map fan-out (no extra exchange; exclusion
     is chunk-local, see query/negation.py); terms absent from the index
     exclude nothing; a term both positive and negated is excluded (the
-    negation wins). Negated terms are never fuzzy-rewritten."""
+    negation wins). Negated terms are never fuzzy-rewritten.
+
+    ``offset``: result paging (ES from/size): return page
+    [offset, offset+k) of the ranking with ABSOLUTE ranks — the heap is
+    simply sized k+offset, so page 2 costs what top-2k costs (the
+    deep-paging cost model every search engine has; keep offsets
+    shallow). Page boundaries are exact under the rounded-score +
+    doc_id-asc total order: pages concatenate to the full prefix."""
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -599,7 +609,8 @@ def bm25_topk_packed_batch(
     if doc_boost is not None:
         # LEFT join: chunks without boosted docs keep default 1.0 boosts
         matched = matched.join(_boost_by_chunk(pidx, doc_boost), "chunk", "left")
-    k_top = k if not exhaustive else max(k, pidx.manifest["n_docs"])
+    k_top = (k + offset) if not exhaustive else max(k + offset,
+                                                    pidx.manifest["n_docs"])
     # tombstoned docs are masked at decode (indexing/deletes.py); chunk
     # upper bounds stay valid over any subset, so pruning is unchanged
     mask = pidx.delete_mask()
@@ -609,7 +620,10 @@ def bm25_topk_packed_batch(
                           exclude_terms=ex_map)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
-        out = out.filter(F.col("rank") <= k)
+        out = out.filter(F.col("rank") <= k + offset)
+    if offset:
+        # page [offset, offset+k): ranks stay ABSOLUTE (ES from/size)
+        out = out.filter(F.col("rank") > offset)
     return out
 
 

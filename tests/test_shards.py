@@ -168,3 +168,16 @@ def test_resolve_shards_arg(spark, corpus, cfg, tmp_path):
     assert resolve_shards_arg(spark, str(tmp_path / "nope")) == str(
         tmp_path / "nope"
     )
+
+
+def test_empty_shard_fails_loudly(spark, cfg, tmp_path):
+    """A shard that receives no documents must raise a clear error, not
+    an opaque missing-parquet-path crash (tiny corpus, large N)."""
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame(
+        [("conly", 0, "user", "guitar album rock", "")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    with pytest.raises(ValueError, match="received no documents"):
+        build_shard_indexes(one, cfg, str(tmp_path / "es"), n_shards=16)
