@@ -1090,6 +1090,12 @@ SYNONYM_RULES = {
 }
 SYNONYM_WEIGHT = 0.5
 MLT_M = 5
+# wildcard retrieval fixture: query 0 exercises the max_expansions cap
+# (s* matches 6 dictionary terms, cap 3 keeps the df-top-3), query 1 a
+# ?-pattern plus a matchless pattern (contributes nothing), query 2 has
+# no pattern at all (pure passthrough)
+WILDCARD_QUERIES = {0: "window s*", 1: "qu?ry join zz*", 2: "merge"}
+WILDCARD_MAX_EXP = 3
 
 
 def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,6 +1210,47 @@ def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = bm25_topk_packed_batch(
         pidx, qs, CFG, k=10, round_dp=6,
         query_terms=terms, term_weights=weights or None,
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term retrieval (query/wildcard.py — the ES ``wildcard`` /
+    Lucene ``scoring_boolean`` rewrite): ``te*t``/``te?t`` query words
+    expand against the index dictionary (live-df desc, term asc, capped
+    at WILDCARD_MAX_EXP per pattern) and the expansion scores ordinary
+    BM25 OR. Contract points the oracle pins: the cap keeps the df-TOP
+    matches (query 0's ``s*`` matches 6 terms, only the top 3 score), a
+    ``?`` is exactly one character, a matchless pattern contributes
+    nothing, expansions dedup against explicit terms (set semantics),
+    and a pattern-free query is untouched. The oracle replicates the
+    expansion itself (LIKE + df-ranked LIMIT over the term_stats CTE) —
+    a scorer whose cap ranked differently, whose translation mis-anchored,
+    or whose expansion double-counted hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import resolve_docs
+    from searchengine_spark.query.wildcard import bm25_wildcard_packed_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [WILDCARD_QUERIES[q] for q in sorted(WILDCARD_QUERIES)]
+    topk = bm25_wildcard_packed_batch(
+        pidx, qs, CFG, k=10, round_dp=6, max_expansions=WILDCARD_MAX_EXP,
     )
     out = resolve_docs(pidx, topk)
     return out.select(
@@ -2028,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": q_filtered_search,
         "prf_search": q_prf_search,
         "synonym_search": q_synonym_search,
+        "wildcard_search": q_wildcard_search,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -4216,6 +4264,46 @@ sfinal{i} AS (
 WITH {_INDEX_CTES.strip()},
 {','.join(syn_chains)},
 allf AS ({' UNION ALL '.join(syn_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- wildcard retrieval: per pattern a LIKE + df-ranked LIMIT over
+    # the dictionary (the cap selection is part of the contract), the
+    # expansion UNIONed (set semantics = the unique-terms quirk) with the
+    # explicit terms, then plain BM25 OR
+    from searchengine_spark.query.wildcard import pattern_like, split_wildcards
+
+    wc_chains, wc_finals = [], []
+    for i in sorted(WILDCARD_QUERIES):
+        pos_q, pats = split_wildcards(WILDCARD_QUERIES[i])
+        explicit = list(dict.fromkeys(tokenize_text(pos_q, CFG)))
+        branches = [f"SELECT unnest({_sql_term_list(explicit)}) AS term"]
+        for j, p in enumerate(pats):
+            wc_chains.append(f"""
+wexp{i}_{j} AS (
+  SELECT term FROM term_stats WHERE term LIKE {_sql_quote(pattern_like(p))} ESCAPE '\\'
+  ORDER BY df DESC, term ASC LIMIT {WILDCARD_MAX_EXP}
+)""")
+            branches.append(f"SELECT term FROM wexp{i}_{j}")
+        wc_chains.append(f"""
+wq{i} AS ({' UNION '.join(branches)}),
+wfinal{i} AS (
+  SELECT {i} AS query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN wq{i} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+)""")
+        wc_finals.append(f"SELECT * FROM wfinal{i}")
+    sqls["wildcard_search"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(wc_chains)},
+allf AS ({' UNION ALL '.join(wc_finals)}),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,
          row_number() OVER (PARTITION BY query_id

@@ -62,7 +62,7 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
 
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                doc_boost=None, synonyms=None, offset=0):
+                doc_boost=None, synonyms=None, offset=0, wildcard=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -110,6 +110,21 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             rules, weight = synonyms
             q_terms, t_weights = expand_query_terms(
                 queries, cfg, rules, weight=weight)
+        if wildcard is not None:
+            # (max_expansions, allow_leading) — parse AFTER negation strip,
+            # expand once per batch, ride the query_terms seam
+            from searchengine_spark.query.wildcard import (
+                expand_patterns,
+                parse_wildcard_batch,
+                wildcard_query_terms,
+            )
+
+            max_exp, allow_lead = wildcard
+            queries, per_q, uniq = parse_wildcard_batch(queries, cfg)
+            exp = expand_patterns(pidx.term_stats, uniq,
+                                  max_expansions=max_exp,
+                                  allow_leading_wildcard=allow_lead)
+            q_terms = wildcard_query_terms(queries, cfg, exp, per_q)
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
@@ -172,11 +187,11 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                 doc_boost=None, synonyms=None, offset=0):
+                 doc_boost=None, synonyms=None, offset=0, wildcard=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
-                       synonyms, offset=offset).collect()
+                       synonyms, offset=offset, wildcard=wildcard).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -231,6 +246,14 @@ def _parse_synonyms_args(args):
     from searchengine_spark.query.synonyms import load_synonyms
 
     return (load_synonyms(args.synonyms), args.synonym_weight)
+
+
+def _wc(args):
+    """--wildcard CLI triple -> the (max_expansions, allow_leading) pair
+    the batch entry points take, or None when wildcards are off."""
+    if not args.wildcard:
+        return None
+    return (args.max_expansions, args.allow_leading_wildcard)
 
 
 def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
@@ -473,6 +496,8 @@ def _serve_federated(spark, args) -> None:
                 pos, k=args.n, ranker=args.ranker, schema=args.schema,
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
                 exclude=neg or None, offset=args.offset,
+                wildcard=args.wildcard, max_expansions=args.max_expansions,
+                allow_leading_wildcard=args.allow_leading_wildcard,
             )
         dt = time.perf_counter() - t1
         _record([q], [res], dt)
@@ -508,6 +533,22 @@ def _serve_federated(spark, args) -> None:
 
                 q_terms, t_weights = expand_query_terms(
                     batch, cfg, synonyms[0], weight=synonyms[1])
+            if args.wildcard:
+                from searchengine_spark.query.federated import (
+                    _global_dictionary,
+                )
+                from searchengine_spark.query.wildcard import (
+                    expand_patterns,
+                    parse_wildcard_batch,
+                    wildcard_query_terms,
+                )
+
+                batch, per_q, uniq = parse_wildcard_batch(batch, cfg)
+                exp = expand_patterns(
+                    _global_dictionary(shards), uniq,
+                    max_expansions=args.max_expansions,
+                    allow_leading_wildcard=args.allow_leading_wildcard)
+                q_terms = wildcard_query_terms(batch, cfg, exp, per_q)
             topk = bm25_topk_federated(
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
                 fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
@@ -716,6 +757,17 @@ def main() -> None:
                          "1.0 = ES equal footing; <1.0 for soft related-"
                          "term expansion; explicit query terms always "
                          "score at 1.0)")
+    ap.add_argument("--wildcard", action="store_true",
+                    help="expand te*t / te?t query words against the "
+                         "dictionary (query/wildcard.py; df-ranked, capped "
+                         "at --max-expansions) and score the expansion as "
+                         "ordinary BM25 OR — ES wildcard / Lucene "
+                         "scoring_boolean rewrite; --ranker bm25 only")
+    ap.add_argument("--max-expansions", type=int, default=50, metavar="N",
+                    help="per-pattern wildcard expansion cap (default 50)")
+    ap.add_argument("--allow-leading-wildcard", action="store_true",
+                    help="permit *ism-style patterns (a full dictionary "
+                         "scan; default refused, the ES query_string guard)")
     ap.add_argument("--offset", type=int, default=0, metavar="N",
                     help="result paging (ES from/size): return page "
                          "[offset, offset+n) with ABSOLUTE ranks — the "
@@ -744,6 +796,13 @@ def main() -> None:
 
     if bool(args.index) == bool(args.shards):
         raise SystemExit("pass exactly one of --index or --shards")
+    if args.wildcard:
+        if args.ranker != "bm25":
+            raise SystemExit("--wildcard is wired to --ranker bm25")
+        if args.synonyms or args.prf or args.fuzzy:
+            raise SystemExit("--wildcard does not combine with "
+                             "--synonyms/--prf/--fuzzy (all rewrite the "
+                             "query-term seam)")
     if args.facets and not args.attrs:
         raise SystemExit("--facets needs --attrs (the table carrying the "
                          "index's order_cols + the facet columns)")
@@ -862,7 +921,7 @@ def main() -> None:
                 spark, pidx, cfg, file_queries, args.ranker, args.n,
                 args.exhaustive, args.schema, fuzzy=args.fuzzy,
                 doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
-                synonyms=synonyms, offset=args.offset,
+                synonyms=synonyms, offset=args.offset, wildcard=_wc(args),
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -936,14 +995,18 @@ def main() -> None:
                                             filter_docs=filter_ids,
                                             boost_docs=boost_map,
                                             exclude=neg or None,
-                                            offset=args.offset),
+                                            offset=args.offset,
+                                            wildcard=args.wildcard,
+                                            max_expansions=args.max_expansions,
+                                            allow_leading_wildcard=args.allow_leading_wildcard),
                                key=lambda r: (r["rank"], r["doc_id"])))
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
                                  args.n, args.exhaustive, args.schema,
                                  fuzzy=args.fuzzy, doc_filter=doc_filter,
                                  prf=prf, doc_boost=doc_boost,
-                                 synonyms=synonyms, offset=args.offset)
+                                 synonyms=synonyms, offset=args.offset,
+                                 wildcard=_wc(args))
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -300,6 +300,9 @@ class LocalSearcher:
         query_tokens: List[str] | None = None,
         exclude: Sequence[str] | None = None,
         offset: int = 0,
+        wildcard: bool = False,
+        max_expansions: int = 50,
+        allow_leading_wildcard: bool = False,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -339,9 +342,39 @@ class LocalSearcher:
         batch paths).
 
         ``offset``: result paging (ES from/size; bm25/bm25_and): page
-        [offset, offset+k) with ABSOLUTE ranks — heap sized k+offset."""
+        [offset, offset+k) with ABSOLUTE ranks — heap sized k+offset.
+
+        ``wildcard=True``: ``te*t`` / ``te?t`` query words expand against
+        the dictionary (query/wildcard.py — df-ranked, ``max_expansions``
+        cap, leading wildcards refused unless ``allow_leading_wildcard``)
+        and the expansions score ordinary BM25 OR / join the boolean OR
+        set; zero Spark jobs in preload mode. bm25/boolean_or only (a
+        conjunctive/tfidf/proximity query with a pattern has no single
+        obvious contract — refused loudly)."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
+        if wildcard:
+            if ranker not in ("bm25", "boolean_or"):
+                raise NotImplementedError(
+                    f"wildcard expansion is not wired into the {ranker!r} "
+                    "local scorer (bm25 / boolean_or only)"
+                )
+            if query_tokens is not None:
+                raise ValueError(
+                    "wildcard=True parses the raw query — expansion and "
+                    "query_tokens are mutually exclusive (federations expand "
+                    "against the federation dictionary, then pass tokens)"
+                )
+            from .wildcard import split_wildcards, wildcard_query_terms
+
+            pos_q, pats = split_wildcards(query)
+            exp = self.expand_wildcards(
+                pats, max_expansions=max_expansions,
+                allow_leading_wildcard=allow_leading_wildcard,
+            ) if pats else {}
+            query_tokens = wildcard_query_terms(
+                [pos_q], self.cfg, exp, [pats])[0]
+            query = pos_q
         if offset:
             if offset < 0:
                 raise ValueError(f"offset must be >= 0, got {offset}")
@@ -530,6 +563,28 @@ class LocalSearcher:
             {"term": r["term"], "df": int(r["df"])}
             for r in suggest_terms(self.pidx, prefix, k).collect()
         ]
+
+    def expand_wildcards(
+        self,
+        patterns: Sequence[str],
+        max_expansions: int = 50,
+        allow_leading_wildcard: bool = False,
+    ) -> Dict[str, List[str]]:
+        """{pattern: matching dictionary terms} (query/wildcard.py
+        selection: live df desc, term asc, ``max_expansions`` cap).
+        Preload tier matches the in-memory dictionary (zero Spark jobs);
+        lazy tier pays one bounded pushed-prefix term_stats scan."""
+        from .wildcard import expand_patterns, expand_patterns_local
+
+        if self._preloaded:
+            return expand_patterns_local(
+                self._df, patterns, max_expansions=max_expansions,
+                allow_leading_wildcard=allow_leading_wildcard,
+            )
+        return expand_patterns(
+            self.pidx.term_stats, patterns, max_expansions=max_expansions,
+            allow_leading_wildcard=allow_leading_wildcard,
+        )
 
     def more_like(
         self,
@@ -828,9 +883,17 @@ class FederatedLocalSearcher:
         boost_docs=None,
         exclude: Sequence[str] | None = None,
         offset: int = 0,
+        wildcard: bool = False,
+        max_expansions: int = 50,
+        allow_leading_wildcard: bool = False,
     ) -> List[dict]:
         """One interactive query across ALL shards -> rank-ordered result
         dicts with doc_id in the federation-global namespace.
+
+        ``wildcard=True``: patterns expand ONCE against the
+        federation-global dictionary (df summed over the disjoint shard
+        corpora — the merged index's selection exactly), then every shard
+        scores the identical expanded token list; bm25/boolean_or only.
 
         ``exclude``: raw negated words (``-term``, query/negation.py) —
         exclusion is per-doc and a doc lives in exactly one shard, so
@@ -855,9 +918,30 @@ class FederatedLocalSearcher:
             _check_compat(self.shards)
         elif ranker.startswith("tfidf"):
             _check_compat(self.shards, keys=_TFIDF_COMPAT_KEYS, payload_freq=False)
+        pats: List[str] = []
+        if wildcard:
+            if ranker not in ("bm25", "boolean_or"):
+                raise NotImplementedError(
+                    f"wildcard expansion is not wired into the {ranker!r} "
+                    "federated scorer (bm25 / boolean_or only)"
+                )
+            from .wildcard import split_wildcards
+
+            query, pats = split_wildcards(query)
         toks = tokenize_text(query, self.cfg)
         if fuzzy and toks:
             toks = self._fuzzy_rewrite(toks)
+        if pats:
+            exp = self.expand_wildcards(
+                pats, max_expansions=max_expansions,
+                allow_leading_wildcard=allow_leading_wildcard,
+            )
+            seen = set(toks)
+            for p in pats:
+                for t in exp[p]:
+                    if t not in seen:
+                        toks.append(t)
+                        seen.add(t)
         terms = list(dict.fromkeys(toks))
         if not terms:
             return []
@@ -994,6 +1078,36 @@ class FederatedLocalSearcher:
             {"term": r["term"], "df": int(r["df"])}
             for r in suggest_terms_federated(self.shards, prefix, k).collect()
         ]
+
+    def expand_wildcards(
+        self,
+        patterns: Sequence[str],
+        max_expansions: int = 50,
+        allow_leading_wildcard: bool = False,
+    ) -> Dict[str, List[str]]:
+        """Federation-global wildcard expansion: df sums over the
+        disjoint shard corpora, so the selection (df desc, term asc,
+        cap) is EXACTLY the merged index's — every shard then scores
+        the identical expanded query. Preload tier: zero Spark jobs."""
+        from .wildcard import expand_patterns, expand_patterns_local
+
+        if all(s._preloaded for s in self.searchers):
+            gdf: Dict[str, int] = {}
+            for s in self.searchers:
+                for t, d in s._df.items():
+                    if d > 0:
+                        gdf[t] = gdf.get(t, 0) + d
+            return expand_patterns_local(
+                gdf, patterns, max_expansions=max_expansions,
+                allow_leading_wildcard=allow_leading_wildcard,
+            )
+        from .federated import _global_dictionary
+
+        return expand_patterns(
+            _global_dictionary(self.shards), patterns,
+            max_expansions=max_expansions,
+            allow_leading_wildcard=allow_leading_wildcard,
+        )
 
     def _fuzzy_rewrite(self, toks: List[str]) -> List[str]:
         """OOV rewrite against the FEDERATION dictionary (global df ranks
