@@ -1096,6 +1096,10 @@ MLT_M = 5
 # no pattern at all (pure passthrough)
 WILDCARD_QUERIES = {0: "window s*", 1: "qu?ry join zz*", 2: "merge"}
 WILDCARD_MAX_EXP = 3
+# hybrid retrieval fixture: QUERY_STRINGS text queries paired with these
+# embedding rows as query vectors (vec_id == doc_id namespace contract)
+HYBRID_VEC_IDS = [0, 7, 42]
+HYBRID_N_CAND = 15
 
 
 def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,6 +1261,48 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("ext_id").alias("doc_id"),
         "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + cosine retrieval with reciprocal-rank fusion
+    (query/hybrid.py — the ES 8.x ``rrf`` retriever analog, Cormack et
+    al. 2009): each (text query, query vector) pair runs BOTH systems to
+    their top-HYBRID_N_CAND candidates (text: the packed WAND batch;
+    vector: brute cosine over the embeddings table, vec_id == doc_id),
+    then fuses by SUM(1_000_000 // (60 + rank)) in EXACT BIGINT
+    arithmetic (the repo's cross-engine integer micro-unit protocol —
+    float 1/(k+r) sums are summation-order-dependent; integer division
+    is bit-identical in Spark, DuckDB and Python). The oracle replicates
+    both candidate windows AND the fusion — a fuser with float scores,
+    corpus-not-window semantics, or a different tie-break mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.hybrid import hybrid_topk
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    by_id = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(HYBRID_VEC_IDS)).collect()
+    }
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    qvecs = [by_id[i] for i in HYBRID_VEC_IDS]
+    out = hybrid_topk(pidx, emb, qs, qvecs, CFG, k=10,
+                      n_candidates=HYBRID_N_CAND)
+    return out.select(
+        "query_id", "doc_id",
+        F.col("rrf_score").cast("long").alias("rrf_score"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -2076,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": q_prf_search,
         "synonym_search": q_synonym_search,
         "wildcard_search": q_wildcard_search,
+        "hybrid_search": q_hybrid_search,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -2240,6 +2287,65 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank FROM ranked
 WHERE rank > 10 AND rank <= 20
+"""
+
+    # ---- hybrid BM25 + cosine with reciprocal-rank fusion: both
+    # candidate windows (text: the 6dp-rounded BM25 ranking; vector: the
+    # 6dp cosine ranking, vec_id == doc_id) cut at HYBRID_N_CAND, fused
+    # by exact-integer 1_000_000 // (60 + rank) — the repo's cross-engine
+    # micro-unit protocol (float RRF sums are summation-order-dependent)
+    _hdot = "list_sum([{a}[i+1] * {b}[i+1] for i in range(64)])"
+    hy_qv = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, embedding::DOUBLE[] AS qe "
+        f"FROM embeddings WHERE vec_id = {vid}"
+        for i, vid in enumerate(HYBRID_VEC_IDS)
+    )
+    sqls["hybrid_search"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+tr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rnk
+  FROM scored
+),
+qv AS ({hy_qv}),
+cosined AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round({_hdot.format(a='(e.embedding::DOUBLE[])', b='qv.qe')} /
+               (sqrt({_hdot.format(a='(e.embedding::DOUBLE[])', b='(e.embedding::DOUBLE[])')}) *
+                sqrt({_hdot.format(a='qv.qe', b='qv.qe')})), 6) AS cosine
+  FROM embeddings e, qv
+),
+vr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rnk
+  FROM cosined
+),
+fused AS (
+  SELECT query_id, doc_id,
+         sum(1000000 // (60 + rnk))::BIGINT AS rrf_score
+  FROM (
+    SELECT * FROM tr WHERE rnk <= {HYBRID_N_CAND}
+    UNION ALL
+    SELECT * FROM vr WHERE rnk <= {HYBRID_N_CAND}
+  )
+  GROUP BY query_id, doc_id
+),
+hranked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank::BIGINT AS rank
+FROM hranked WHERE rank <= 10
 """
 
     # deletes: the oracle never sees tombstones or epochs — it computes
