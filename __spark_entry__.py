@@ -1307,6 +1307,68 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_INTERVAL = 40.0
+
+
+def _hybrid_hits(spark: SparkSession, sf_dir: str) -> tuple:
+    """(resolved top-10 hit frame over the shared packed documents index,
+    documents attrs) — the per-query result set the facet/histogram/stats
+    composition entries aggregate over."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir)
+    idx_in = docs.select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        idx_in, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    return resolve_docs(pidx, topk), docs
+
+
+def q_result_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation over each query's result set
+    (query/aggregations.py): top-10 BM25 hits bucketed by
+    floor(n_chars / HIST_INTERVAL) * HIST_INTERVAL — the ES bucket_key
+    formula (FLOOR, doc counts once per query, empty buckets unemitted).
+    The oracle replicates retrieval AND the bucket arithmetic — a
+    truncating (not flooring) bucketer or corpus-not-window aggregation
+    mismatches."""
+    from searchengine_spark.query.aggregations import histogram_counts
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = histogram_counts(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"], interval=HIST_INTERVAL,
+    )
+    return out.select("query_id", "col", "bucket",
+                      F.col("n").cast("long").alias("n"))
+
+
+def q_result_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation (minus avg — the exact-arithmetic discipline)
+    over each query's result set: count/min/max/sum of n_chars across the
+    top-10 BM25 hits, integer-exact through the DOUBLE melt."""
+    from searchengine_spark.query.aggregations import stats_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = stats_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"],
+    )
+    return out.select("query_id", "col",
+                      F.col("n").cast("long").alias("n"),
+                      "min", "max", "sum")
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene MoreLikeThis analog (query/feedback.py): a document's top-m
     terms by (1+ln tf)·idf become an unweighted BM25 query; the source doc
@@ -2123,6 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         "wildcard_search": q_wildcard_search,
         "hybrid_search": q_hybrid_search,
+        "result_histogram": q_result_histogram,
+        "result_stats": q_result_stats,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -2287,6 +2351,51 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank FROM ranked
 WHERE rank > 10 AND rank <= 20
+"""
+
+    # ---- result-set aggregations: the top-10 hit window per query
+    # (the SAME ranked CTE), then ES histogram buckets
+    # (floor(v/interval)*interval) and exact stats over n_chars
+    _hits10 = f"""
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hits AS (
+  SELECT query_id, doc_id FROM ranked WHERE rank <= 10
+)"""
+    sqls["result_histogram"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT h.query_id, 'n_chars' AS col,
+       floor(d.n_chars::DOUBLE / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*)::BIGINT AS n
+FROM hits h JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY h.query_id, bucket
+ORDER BY h.query_id, bucket
+"""
+    sqls["result_stats"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT h.query_id, 'n_chars' AS col,
+       count(*)::BIGINT AS n,
+       min(d.n_chars::DOUBLE) AS min,
+       max(d.n_chars::DOUBLE) AS max,
+       sum(d.n_chars::DOUBLE) AS sum
+FROM hits h JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY h.query_id
+ORDER BY h.query_id
 """
 
     # ---- hybrid BM25 + cosine with reciprocal-rank fusion: both

@@ -283,6 +283,39 @@ def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "facets": by_q[i]}))
 
 
+def _print_histogram(spark, attrs_path, ext_cols, queries, per_q,
+                     hist_spec) -> None:
+    """--histogram COL:INTERVAL[,...]: ES histogram aggregation over each
+    query's result set (query/aggregations.py) — serving-tier-agnostic
+    like facets (computed from the already-resolved result rows). One
+    JSON line per query: {"query", "histogram": {col: [{bucket, n}]}}."""
+    from searchengine_spark.query.aggregations import histogram_counts
+
+    specs = []
+    for part in hist_spec.split(","):
+        if ":" not in part:
+            raise SystemExit(f"--histogram expects COL:INTERVAL, got {part!r}")
+        c, iv = part.rsplit(":", 1)
+        specs.append((c.strip(), float(iv)))
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for col, interval in specs:
+            got = histogram_counts(hits, attrs, [col], ext_cols,
+                                   interval=interval).collect()
+            for r in got:
+                by_q[r["query_id"]].setdefault(col, []).append(
+                    {"bucket": r["bucket"], "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "histogram": by_q[i]}))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -354,8 +387,8 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if (args.filter or args.boost or args.facets) and not args.attrs:
-        raise SystemExit("--filter/--boost/--facets need --attrs")
+    if (args.filter or args.boost or args.facets or args.histogram) and not args.attrs:
+        raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p, snapshot=seq)
               for p, seq in parse_shard_specs(
@@ -379,6 +412,9 @@ def _serve_federated(spark, args) -> None:
         if args.facets:
             _print_facets(spark, args.attrs, ext_cols, batch, per_q,
                           args.facets, args.n)
+        if args.histogram:
+            _print_histogram(spark, args.attrs, ext_cols, batch, per_q,
+                             args.histogram)
         if args.significant:
             _print_significant(spark, cfg, batch, per_q, args.significant,
                                shards=shards)
@@ -786,6 +822,13 @@ def main() -> None:
                          "counts over the result set for each named "
                          "column — needs --attrs; works with every "
                          "ranker and with --shards")
+    ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
+                    help="ES histogram-aggregation analog "
+                         "(query/aggregations.py): per query, bucket the "
+                         "result set's numeric attribute by "
+                         "floor(value/interval)*interval and print "
+                         "per-bucket doc counts — needs --attrs; every "
+                         "ranker, --index or --shards")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -803,9 +846,10 @@ def main() -> None:
             raise SystemExit("--wildcard does not combine with "
                              "--synonyms/--prf/--fuzzy (all rewrite the "
                              "query-term seam)")
-    if args.facets and not args.attrs:
-        raise SystemExit("--facets needs --attrs (the table carrying the "
-                         "index's order_cols + the facet columns)")
+    if (args.facets or args.histogram) and not args.attrs:
+        raise SystemExit("--facets/--histogram need --attrs (the table "
+                         "carrying the index's order_cols + the "
+                         "aggregated columns)")
     if args.explain:
         if args.ranker != "bm25":
             raise SystemExit("--explain is wired to --ranker bm25")
@@ -1014,6 +1058,10 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_facets(spark, args.attrs, ext, queries, per_q,
                           args.facets, args.n)
+        if args.histogram:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_histogram(spark, args.attrs, ext, queries, per_q,
+                             args.histogram)
         if args.significant:
             _print_significant(spark, cfg, queries, per_q, args.significant,
                                pidx=pidx)

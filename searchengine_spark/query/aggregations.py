@@ -1,0 +1,118 @@
+"""Numeric result-set aggregations — the ES ``histogram`` and ``stats``
+aggregation analogs over any query's result set (the metric sidebars a
+search UI hangs next to the facet drill-downs).
+
+Same composition contract as facets (query/facets.py): the input is any
+RESOLVED result frame (``resolve_docs`` / ``resolve_docs_federated``
+output, ranked or boolean) plus the attribute table keyed by the index's
+external ids — attributes live in the lakehouse table, never the index.
+Plan shape: ONE exchange joining the bounded hit set (queries x k rows
+for ranked retrieval) to the pruned attrs scan, a zero-exchange melt to
+(column, value) pairs, then ONE partial-aggregable groupBy — corpus size
+never appears.
+
+Cross-engine arithmetic (the repo's exact-arithmetic discipline):
+
+- ``histogram``: bucket = ``floor(value / interval) * interval`` — the
+  ES histogram bucket_key formula exactly, floor (not truncate) so
+  negative values land in the bucket BELOW zero like ES. Buckets emit
+  as DOUBLE keys (ES emits doubles) but the arithmetic is
+  float-division + floor, identical in Spark and DuckDB on the integer/
+  small-double attributes this serves. Empty buckets are not emitted
+  (ES ``min_doc_count: 1`` default; dense zero-filled histograms are a
+  presentation concern).
+- ``stats``: count / min / max / sum as exact types (BIGINT count;
+  min/max/sum aggregate as DOUBLE — integer attributes up to 2^53 stay
+  exact, so there is no float drift). avg is deliberately NOT
+  emitted: it is sum/count, and emitting it would force a float-rounding
+  policy on an otherwise exact row — compute it client-side.
+
+No reference counterpart (the reference serves ranked lists only).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checked_join(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    if not num_cols:
+        raise ValueError("num_cols must name at least one column")
+    missing = [c for c in list(ext_cols) + list(num_cols)
+               if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+    hits = results.select("query_id", *ext_cols)
+    return hits.join(attrs.select(*ext_cols, *num_cols), list(ext_cols))
+
+
+def _melt_numeric(joined: DataFrame, num_cols: Sequence[str]) -> DataFrame:
+    melt = []
+    for c in num_cols:
+        melt.extend([F.lit(c), F.col(c).cast("double")])
+    return joined.select(
+        "query_id",
+        F.explode(F.create_map(*melt)).alias("col", "value"),
+    ).filter(F.col("value").isNotNull())
+
+
+def histogram_counts(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    interval: float,
+) -> DataFrame:
+    """-> (query_id, col, bucket, n): ES ``histogram`` aggregation over
+    each query's result set — per numeric column, docs bucketed by
+    ``floor(value / interval) * interval``, one row per non-empty bucket,
+    ordered bucket-asc (deterministic; a doc counts once per query
+    regardless of rank/score). NULL attribute values are skipped (the ES
+    ``missing`` option is opt-in)."""
+    if not interval or interval <= 0:
+        raise ValueError(f"interval must be > 0, got {interval}")
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    bucket = (F.floor(F.col("value") / F.lit(float(interval)))
+              * F.lit(float(interval)))
+    return (
+        pairs.select("query_id", "col", bucket.alias("bucket"))
+        .groupBy("query_id", "col", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("query_id", "col", "bucket")
+    )
+
+
+def stats_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, n, min, max, sum): ES ``stats`` aggregation
+    (minus avg — exact-arithmetic discipline: avg = sum/n client-side)
+    over each query's result set. Values aggregate as DOUBLE uniformly
+    (one melt for mixed column types); integer attributes up to 2^53
+    stay exact."""
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    return (
+        pairs.groupBy("query_id", "col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum("value").alias("sum"),
+        )
+        .orderBy("query_id", "col")
+    )

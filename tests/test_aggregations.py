@@ -1,0 +1,102 @@
+"""Numeric result-set aggregation gates (query/aggregations.py).
+
+Contract: histogram buckets are floor(value/interval)*interval (ES
+bucket_key — FLOOR, so negatives land below zero), NULLs skip, empty
+buckets are not emitted; stats rows are exact (BIGINT count, integer
+attributes exact through the DOUBLE melt); both compose with any
+resolved result frame exactly like facets.
+"""
+
+import pytest
+
+from searchengine_spark.query.aggregations import histogram_counts, stats_agg
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 4)],
+        "query_id int, ext_id long",
+    )
+    attrs = spark.createDataFrame(
+        [(1, 95, -7.5), (2, 100, 2.5), (3, 139, None), (4, None, -0.1)],
+        "ext_id long, n_chars long, delta double",
+    )
+    return hits, attrs
+
+
+def test_histogram_buckets(spark, frames):
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"], r["bucket"]): r["n"]
+           for r in histogram_counts(hits, attrs, ["n_chars", "delta"],
+                                     ["ext_id"], interval=50).collect()}
+    assert got == {
+        (0, "n_chars", 50.0): 1,    # 95
+        (0, "n_chars", 100.0): 2,   # 100, 139
+        (0, "delta", -50.0): 1,     # -7.5 floors BELOW zero (ES semantics)
+        (0, "delta", 0.0): 1,       # 2.5
+        (1, "n_chars", 100.0): 1,   # doc 2 counts again for query 1
+        (1, "delta", 0.0): 1,
+        (1, "delta", -50.0): 1,     # -0.1 -> bucket -50
+    }
+    # NULL values skipped: doc 3's delta and doc 4's n_chars appear nowhere
+
+
+def test_histogram_validation(spark, frames):
+    hits, attrs = frames
+    with pytest.raises(ValueError, match="interval"):
+        histogram_counts(hits, attrs, ["n_chars"], ["ext_id"], interval=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        histogram_counts(hits, attrs, ["nope"], ["ext_id"], interval=10)
+    with pytest.raises(ValueError, match="at least one"):
+        histogram_counts(hits, attrs, [], ["ext_id"], interval=10)
+
+
+def test_stats_exact(spark, frames):
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"]): (r["n"], r["min"], r["max"], r["sum"])
+           for r in stats_agg(hits, attrs, ["n_chars", "delta"],
+                              ["ext_id"]).collect()}
+    assert got[(0, "n_chars")] == (3, 95.0, 139.0, 334.0)
+    assert got[(0, "delta")] == (2, -7.5, 2.5, -5.0)
+    assert got[(1, "n_chars")] == (1, 100.0, 100.0, 100.0)
+    assert got[(1, "delta")] == (2, -0.1, 2.5, 2.4)
+
+
+def test_composes_with_retrieval(spark, stop_words, tmp_path):
+    """End-to-end: packed retrieval -> resolve -> histogram over the hit
+    set equals a Python recompute from the collected results."""
+    from searchengine_spark.fixtures import transcripts_df
+    from searchengine_spark.indexing.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    from pyspark.sql import functions as F
+
+    cfg = TokenizerConfig(min_token_length=3, stop_words=stop_words)
+    corpus = transcripts_df(spark, n_conv=6).withColumn(
+        "n_chars", F.length("text")
+    )
+    path = str(tmp_path / "idx")
+    build_packed_index(corpus.drop("n_chars"), cfg, path, chunk_docs=64)
+    pidx = load_packed_index(spark, path)
+    res = resolve_docs(pidx, bm25_topk_packed_batch(
+        pidx, ["greatest rock album", "guitar solo"], cfg, k=10, round_dp=6))
+    ext = ["conv_id", "turn_idx"]
+    got = {(r["query_id"], r["bucket"]): r["n"]
+           for r in histogram_counts(res, corpus, ["n_chars"], ext,
+                                     interval=25).collect()}
+    rows = res.collect()
+    lens = {
+        (r["conv_id"], r["turn_idx"]): r["n_chars"]
+        for r in corpus.select("conv_id", "turn_idx", "n_chars").collect()
+    }
+    expect: dict = {}
+    for r in rows:
+        b = (lens[(r["conv_id"], r["turn_idx"])] // 25) * 25
+        key = (r["query_id"], float(b))
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect and len(got) > 0
