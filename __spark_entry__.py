@@ -1369,6 +1369,36 @@ def q_result_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min", "max", "sum")
 
 
+def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity buckets (textops/perplexity.py; Wenzek et
+    al. 2020): add-one-smoothed unigram cross-entropy in EXACT integer
+    micro-nats — one floor-quantized ln per vocabulary term, BIGINT sums
+    and integer division after (summation-order-free, so Spark partial
+    aggregates equal DuckDB's serial sum bit-for-bit) — then rank-exact
+    head/middle/tail thirds by (ce, doc_id). Self-perplexity here (LM
+    trained on the scored corpus — the API takes a separate reference
+    corpus); the oracle replicates training counts, the quantized lp
+    table, the smoothing arithmetic AND the integer bucket cuts."""
+    from searchengine_spark.textops.perplexity import (
+        doc_cross_entropy,
+        lm_totals,
+        perplexity_buckets,
+        train_unigram_lm,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    lm = train_unigram_lm(docs, CFG)
+    n, v = lm_totals(lm)
+    scored = doc_cross_entropy(docs, lm, n, v, CFG)
+    out = perplexity_buckets(scored)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("ce_micro").cast("long").alias("ce_micro"),
+        "bucket",
+    )
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene MoreLikeThis analog (query/feedback.py): a document's top-m
     terms by (1+ln tf)·idf become an unweighted BM25 query; the source doc
@@ -2187,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
+        "ccnet_perplexity": q_ccnet_perplexity,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -2351,6 +2382,48 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank FROM ranked
 WHERE rank > 10 AND rank <= 20
+"""
+
+    # ---- CCNet perplexity: unigram counts -> floor-quantized micro-nat
+    # lp table -> exact-integer smoothing + truncated division -> rank
+    # thirds; reuses the exploded-tokens CTE
+    from searchengine_spark.textops.perplexity import LN_SCALE as LN_SCALE_ENTRY
+
+    sqls["ccnet_perplexity"] = f"""
+WITH {_INDEX_CTES},
+lm AS (SELECT term, count(*)::BIGINT AS cnt FROM exploded GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS v FROM lm),
+lp AS (
+  SELECT term, floor({LN_SCALE_ENTRY} * ln((cnt + 1)::DOUBLE))::BIGINT AS lp
+  FROM lm
+),
+den AS (
+  SELECT floor({LN_SCALE_ENTRY} * ln((n + v + 1)::DOUBLE))::BIGINT AS d FROM tot
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM exploded
+  GROUP BY doc_id, term
+),
+sc AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         sum(tf.tf * lp.lp)::BIGINT AS slp
+  FROM tf JOIN lp USING (term) GROUP BY tf.doc_id
+),
+ce AS (
+  SELECT doc_id, n_tokens,
+         ((n_tokens * (SELECT d FROM den) - slp) // n_tokens)::BIGINT AS ce_micro
+  FROM sc
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY ce_micro ASC, doc_id ASC) - 1 AS r,
+         count(*) OVER () AS nn
+  FROM ce
+)
+SELECT doc_id, n_tokens, ce_micro,
+       CASE WHEN r * 3 < nn THEN 'head'
+            WHEN r * 3 < 2 * nn THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rk
 """
 
     # ---- result-set aggregations: the top-10 hit window per query

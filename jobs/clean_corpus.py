@@ -52,6 +52,13 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--lang", default=None,
                     help="keep docs whose predicted language matches")
+    ap.add_argument("--ppl-keep", default=None, metavar="BUCKETS",
+                    help="CCNet perplexity filter: keep the named "
+                         "head/middle/tail thirds (e.g. 'head,middle'; "
+                         "textops/perplexity.py — runs after --lang)")
+    ap.add_argument("--ppl-lm", default=None,
+                    help="parquet of (doc_id, text) reference docs the "
+                         "unigram LM trains on (default: self-perplexity)")
     ap.add_argument("--dedup", default="none",
                     choices=["none", "exact", "near"],
                     help="exact: keep-first by md5(text); near: exact ∪ "
@@ -86,6 +93,8 @@ def main() -> None:
         max_dup_5gram_char_frac=args.max_dup5gram_frac,
         min_quality=args.min_quality,
         lang=args.lang,
+        ppl_keep=(tuple(args.ppl_keep.split(",")) if args.ppl_keep else None),
+        ppl_lm=spark.read.parquet(args.ppl_lm) if args.ppl_lm else None,
         dedup=args.dedup,
         jaccard_threshold=args.jaccard_threshold,
         eval_corpus=(

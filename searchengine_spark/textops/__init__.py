@@ -44,6 +44,13 @@ from .clean import (  # noqa: F401
     sentences_col,
     span_dedup,
 )
+from .perplexity import (  # noqa: F401
+    doc_cross_entropy,
+    lm_totals,
+    perplexity_buckets,
+    perplexity_filter,
+    train_unigram_lm,
+)
 from .quality import (  # noqa: F401
     doc_fingerprints,
     lang_id,

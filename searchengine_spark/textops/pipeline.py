@@ -9,6 +9,9 @@ PII redaction changes the text every later stage sees):
 3. Gopher repetition filters  (quality.repetition_stats — 2 exchanges)
 4. Quality-score floor        (quality.quality_score — map + join)
 5. Language filter            (quality.lang_id — map + join)
+5b. Perplexity filter         (perplexity.* — CCNet head/middle/tail
+                               buckets; runs AFTER the language filter
+                               because the LM is monolingual)
 6. Exact dedup, keep-first    (window on md5(text) — 1 exchange)
 7. Near-dup removal           (dedup.dedup_keeplist — the capped /
                                candidate-routed composition)
@@ -54,6 +57,8 @@ class CleanConfig:
     max_dup_5gram_char_frac: Optional[float] = None
     min_quality: Optional[float] = None
     lang: Optional[str] = None
+    ppl_keep: Optional[Sequence[str]] = None  # e.g. ("head", "middle")
+    ppl_lm: Optional[DataFrame] = None  # reference corpus; None = self
     dedup: str = "none"  # none | exact | near
     jaccard_threshold: float = 0.5
     max_hamming: int = 3
@@ -144,6 +149,32 @@ def clean_corpus(
         lid = lang_id(cur, toks).select("id", "pred_lang")
         out = _attach(cur, lid).where(F.col("_se_pred_lang") == cfg.lang)
         step("lang", out.select(*docs_cols(cur)))
+
+    if cfg.ppl_keep:
+        # CCNet LM filter: bucket by cross-entropy, keep the named thirds.
+        # Runs after the lang filter (the LM is monolingual); LM trains on
+        # ppl_lm (the CCNet reference-corpus contract) or, absent one, on
+        # the current survivors (self-perplexity). Docs that tokenize to
+        # nothing have no likelihood -> NULL bucket -> dropped here.
+        from ..indexing.docids import unpersist_doc_ids
+        from .perplexity import (
+            doc_cross_entropy,
+            lm_totals,
+            perplexity_buckets,
+            train_unigram_lm,
+        )
+
+        lm_src = cfg.ppl_lm if cfg.ppl_lm is not None else cur
+        lm = train_unigram_lm(lm_src, cfg.tokenizer)
+        n, v = lm_totals(lm)
+        bucketed = perplexity_buckets(
+            doc_cross_entropy(cur, lm, n, v, cfg.tokenizer)
+        )
+        out = _attach(
+            cur, bucketed.select(F.col("doc_id").alias("id"), "bucket")
+        ).where(F.col("_se_bucket").isin(*cfg.ppl_keep))
+        step("perplexity", out.select(*docs_cols(cur)))
+        unpersist_doc_ids(bucketed)
 
     if cfg.dedup == "exact":
         w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")

@@ -142,3 +142,31 @@ def test_passthrough_columns_never_collide_with_features(spark, stop_words):
     assert got, stats
     # passthrough values survive verbatim (never overwritten by features)
     assert all(r["quality"] == 0.99 and r["pred_lang"] == "xx" for r in got)
+
+
+def test_perplexity_stage(spark):
+    """--ppl-keep: the CCNet LM stage drops the worst third by
+    cross-entropy (runs after the other filters); keep=('head','middle',
+    'tail') is a no-op on the surviving set; a separate reference LM
+    changes the scores but not the schema."""
+    docs = _corpus(spark)
+    base, _ = clean_corpus(docs, CleanConfig())
+    n_base = base.count()
+
+    kept, stats = clean_corpus(docs, CleanConfig(ppl_keep=("head", "middle")))
+    assert stats["perplexity"] == kept.count()
+    # rank-exact thirds: ceil(2n/3) survive
+    assert stats["perplexity"] == n_base - n_base // 3
+
+    allb, _ = clean_corpus(
+        docs, CleanConfig(ppl_keep=("head", "middle", "tail")))
+    assert allb.count() == n_base
+
+    ref = spark.createDataFrame(
+        [(100, "morning weather harbor traffic garden soil")],
+        "doc_id long, text string",
+    )
+    reffed, stats2 = clean_corpus(
+        docs, CleanConfig(ppl_keep=("head",), ppl_lm=ref))
+    assert stats2["perplexity"] == reffed.count() > 0
+    assert set(reffed.columns) == {"doc_id", "text"}
