@@ -649,6 +649,33 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
 
 
+SQ8_QUERY_ID = 7
+SQ8_RESCORE_M = 60
+
+
+def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized ANN (textops/quantize.py — FAISS SQ8 / Lucene
+    int8_hnsw analog): int8-range quantization (floor(127·micro/max|·|),
+    IEEE-exact cross-engine), EXACT-integer dot-product candidate cut at
+    SQ8_RESCORE_M, then full-precision 6dp cosine rescore to top-10. The
+    oracle replicates quantization, the integer candidate ranking AND
+    the rescore — a quantizer that rounded instead of flooring, ranked
+    by approximate cosine, or rescored outside the candidate window
+    hash-mismatches."""
+    from searchengine_spark.textops.quantize import sq8_quantize, sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == SQ8_QUERY_ID)
+        .select("embedding").collect()[0]["embedding"]
+    ]
+    q = sq8_quantize(emb)
+    out = sq8_topk(emb, q, qvec, k=10, rescore_m=SQ8_RESCORE_M)
+    return out.select("vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 N_CENTROIDS = 8
 IVF_ITERS = 2
 IVF_PROBE = 2
@@ -2218,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
         "ccnet_perplexity": q_ccnet_perplexity,
+        "emb_sq8_topk": q_emb_sq8_topk,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -3432,6 +3460,51 @@ c AS (
   FROM embeddings, q WHERE vec_id <> 0
 )
 SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # ---- SQ8 quantized ANN: micro-unit quantization (IEEE-exact double
+    # division of exactly representable integers), BIGINT dot candidate
+    # cut, full-precision cosine rescore of ONLY the window
+    sqls["emb_sq8_topk"] = f"""
+WITH mu AS (
+  SELECT vec_id,
+         [floor((embedding::DOUBLE[])[i+1] * 1000000)::BIGINT
+          for i in range(64)] AS m
+  FROM embeddings
+),
+qt AS (
+  SELECT vec_id, m,
+         list_max([abs(m[i+1]) for i in range(64)]) AS mm
+  FROM mu
+),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN mm = 0 THEN [0::BIGINT for i in range(64)]
+              ELSE [floor(127.0 * m[i+1]::DOUBLE / mm::DOUBLE)::BIGINT
+                    for i in range(64)] END AS q
+  FROM qt
+),
+qq AS (SELECT q AS query_q FROM qv WHERE vec_id = {SQ8_QUERY_ID}),
+d AS (
+  SELECT v.vec_id,
+         list_sum([v.q[i+1] * qq.query_q[i+1] for i in range(64)])::BIGINT AS qdot
+  FROM qv v, qq
+),
+cand AS (SELECT vec_id FROM d ORDER BY qdot DESC, vec_id ASC LIMIT {SQ8_RESCORE_M}),
+qe AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {SQ8_QUERY_ID}),
+resc AS (
+  SELECT e.vec_id,
+         round({_dot.format(a='(e.embedding::DOUBLE[])', b='qe.qe')} /
+               (sqrt({_dot.format(a='(e.embedding::DOUBLE[])', b='(e.embedding::DOUBLE[])')}) *
+                sqrt({_dot.format(a='qe.qe', b='qe.qe')})), 6) AS cosine
+  FROM embeddings e JOIN cand USING (vec_id), qe
+),
+rk AS (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT vec_id, cosine, rank::BIGINT AS rank FROM rk WHERE rank <= 10
 """
 
     # ---- IVF: full pipeline replica (k-means train -> assign -> probe).

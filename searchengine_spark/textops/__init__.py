@@ -51,6 +51,11 @@ from .perplexity import (  # noqa: F401
     perplexity_filter,
     train_unigram_lm,
 )
+from .quantize import (  # noqa: F401
+    sq8_quantize,
+    sq8_quantize_vec,
+    sq8_topk,
+)
 from .quality import (  # noqa: F401
     doc_fingerprints,
     lang_id,
