@@ -261,6 +261,32 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_batch(it, PHRASES, CFG, k=10)
 
 
+# match_phrase_prefix fixture: q0 = lead word + prefix, q1 exercises the
+# df-ranked expansion cap (s* matches 6 dictionary terms, cap 2), q2 is
+# a matchless prefix (matches nothing)
+PHRASE_PREFIX_QUERIES = ["table ha", "slow s", "zzqq"]
+PHRASE_PREFIX_MAX_EXP = 2
+
+
+def q_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix (search-as-you-type; query/phrase.py prefix
+    functions): exact phrase on the leading tokens, the raw phrase's last
+    word a dictionary PREFIX whose df-top PHRASE_PREFIX_MAX_EXP
+    expansions all match at the final slot (multi-term slots on the
+    plain-phrase engine; two variants can never share a start, so
+    occurrence counts are the variant sum). The oracle replicates the
+    expansion (LIKE + df-ranked LIMIT) AND the multi-slot positional
+    intersection; a matchless prefix matches nothing. All-integer
+    output."""
+    from searchengine_spark.query.phrase import phrase_prefix_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return phrase_prefix_topk_batch(
+        it, PHRASE_PREFIX_QUERIES, CFG, k=10,
+        max_expansions=PHRASE_PREFIX_MAX_EXP,
+    )
+
+
 # Minimal-window span retrieval (query/spans.py): q0 = a 2-term AND, q1 =
 # a single term (span_len 1, lo = first occurrence).
 MINSPAN_QUERIES = ["table hash", "vector"]
@@ -2182,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_dense": q_docid_dense,
         "positional_index": q_positional_index,
         "phrase_topk": q_phrase_topk,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
         "minspan_topk": q_minspan_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -2822,6 +2849,61 @@ posed AS (
 ),
 s(query_id, slot, term) AS (VALUES {phrase_slot_vals}),
 qn(query_id, n) AS (VALUES {phrase_n_vals}),
+hits AS (
+  SELECT s.query_id, s.slot, posed.doc_id, posed.pos - s.slot AS start
+  FROM posed JOIN s USING (term)
+),
+occ AS (
+  SELECT h.query_id, h.doc_id, h.start
+  FROM hits h JOIN qn USING (query_id)
+  GROUP BY h.query_id, h.doc_id, h.start, qn.n
+  HAVING count(DISTINCT h.slot) = qn.n
+),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_occurrences,
+         min(start)::BIGINT AS first_pos
+  FROM occ GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_occurrences, first_pos,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
+"""
+
+    # ---- match_phrase_prefix: the phrase intersection with the last
+    # slot expanded (LIKE + df-ranked LIMIT over term_stats); an empty
+    # expansion leaves the last slot unmatched -> the HAVING n-count
+    # naturally yields no rows
+    pp_exp_ctes, pp_s_branches, pp_n_vals = [], [], []
+    for qid, raw in enumerate(PHRASE_PREFIX_QUERIES):
+        words = raw.split()
+        lead_toks = tokenize_text(" ".join(words[:-1]), CFG)
+        prefix = words[-1].lower()
+        pp_n_vals.append(f"({qid}, {len(lead_toks) + 1})")
+        for i, t in enumerate(lead_toks):
+            pp_s_branches.append(f"SELECT {qid} AS query_id, {i} AS slot, "
+                                 f"{_sql_quote(t)} AS term")
+        pp_exp_ctes.append(f"""
+ppexp{qid} AS (
+  SELECT term FROM term_stats WHERE term LIKE {_sql_quote(prefix + '%')} ESCAPE '\\'
+  ORDER BY df DESC, term ASC LIMIT {PHRASE_PREFIX_MAX_EXP}
+)""")
+        pp_s_branches.append(
+            f"SELECT {qid} AS query_id, {len(lead_toks)} AS slot, term "
+            f"FROM ppexp{qid}"
+        )
+    sqls["phrase_prefix_topk"] = f"""
+WITH {_INDEX_CTES},
+posed AS (
+  SELECT doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok, (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens)
+),
+{','.join(pp_exp_ctes)},
+s AS ({' UNION ALL '.join(pp_s_branches)}),
+qn(query_id, n) AS (VALUES {', '.join(pp_n_vals)}),
 hits AS (
   SELECT s.query_id, s.slot, posed.doc_id, posed.pos - s.slot AS start
   FROM posed JOIN s USING (term)

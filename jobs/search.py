@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RANKERS = (
     "bm25", "bm25_and", "bm25_optimized", "tfidf", "tfidf_optimized",
-    "boolean_and", "boolean_or", "phrase", "minspan",
+    "boolean_and", "boolean_or", "phrase", "phrase_prefix", "minspan",
 )
 
 
@@ -142,6 +142,17 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         from searchengine_spark.query.phrase import phrase_topk_packed_batch
 
         ph = phrase_topk_packed_batch(pidx, queries, cfg, k=n)
+        topk = ph.select(
+            "query_id", "doc_id",
+            F.col("n_occurrences").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    elif ranker == "phrase_prefix":  # ES match_phrase_prefix
+        from searchengine_spark.query.phrase import (
+            phrase_prefix_topk_packed_batch,
+        )
+
+        ph = phrase_prefix_topk_packed_batch(pidx, queries, cfg, k=n)
         topk = ph.select(
             "query_id", "doc_id",
             F.col("n_occurrences").cast("double").alias("score"),
@@ -376,6 +387,10 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
+    if args.ranker == "phrase_prefix":
+        raise SystemExit(
+            "phrase_prefix does not federate yet: per-shard df would pick "
+            "incoherent expansions — serve it from a single index (--index)")
     # the single-index flag surface, narrowed to what BOTH federated
     # tiers (distributed scatter-gather AND the local REPL) serve
     for flag in ("fuzzy", "boost"):
@@ -1022,6 +1037,11 @@ def main() -> None:
                 from searchengine_spark.query.phrase import local_phrase
 
                 per_q = [local_phrase(local, q, k=args.n) for q in queries]
+            elif args.ranker == "phrase_prefix":
+                from searchengine_spark.query.phrase import local_phrase_prefix
+
+                per_q = [local_phrase_prefix(local, q, k=args.n)
+                         for q in queries]
             elif args.ranker == "minspan":
                 from searchengine_spark.query.spans import local_minspan
 

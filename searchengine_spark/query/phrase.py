@@ -58,9 +58,28 @@ def phrase_slots(
     return {qid: tokenize_text(p, cfg) for qid, p in enumerate(phrases)}
 
 
-def _slot_df(spark, slots: Dict[int, List[str]]):
+def _as_multi(slots: Dict[int, List]) -> Dict[int, List[List[str]]]:
+    """Normalize {qid: [term, ...]} to the multi-term-slot form
+    {qid: [[terms...], ...]} (a slot matches if ANY of its terms sits at
+    the slot's offset — single-term slots for plain phrases, an expanded
+    term SET for the prefix slot of match_phrase_prefix). Slot terms are
+    deduped; a slot with NO terms poisons its query (it can never match,
+    so the query emits no rows)."""
+    out: Dict[int, List[List[str]]] = {}
+    for qid, toks in slots.items():
+        multi = [list(dict.fromkeys(t if isinstance(t, (list, tuple)) else [t]))
+                 for t in toks]
+        out[qid] = [] if any(not m for m in multi) else multi
+    return out
+
+
+def _slot_df(spark, slots: Dict[int, List]):
+    multi = _as_multi(slots)
     rows = [
-        (qid, i, t) for qid, toks in slots.items() for i, t in enumerate(toks)
+        (qid, i, t)
+        for qid, slotlists in multi.items()
+        for i, terms in enumerate(slotlists)
+        for t in terms
     ]
     sdf = spark.createDataFrame(
         rows or [(0, 0, "")], "query_id int, slot int, term string"
@@ -112,7 +131,7 @@ def phrase_topk_batch(
     if "positions" not in it.index.columns:
         raise ValueError("phrase retrieval needs a positional index")
     spark = it.index.sparkSession
-    slots = phrase_slots(phrases, cfg)
+    slots = _as_multi(phrase_slots(phrases, cfg))
     sdf, rows = _slot_df(spark, slots)
     if not rows:  # all phrases tokenize empty: create_map() can't type-check
         return spark.createDataFrame([], _rank_schema())
@@ -207,11 +226,18 @@ def phrase_topk_packed_batch(
     chunk rows — never per-posting hits — and each group emits at most k
     docs (safe cut: per-doc results are complete within the group).
     Gated identical to the exact path in tests/test_phrase.py."""
+    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    slots = phrase_slots(phrases, cfg)
+    return _packed_slots_topk(pidx, slots, k)
+
+
+def _packed_slots_topk(pidx, slots: Dict[int, List], k: int | None) -> DataFrame:
+    """Shared packed tail over (possibly multi-term) slots — the engine
+    behind plain phrases AND match_phrase_prefix."""
     if not pidx.manifest.get("positional"):
         raise ValueError("packed index was not built with positional=True")
     spark = pidx.spark
-    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
-    slots = phrase_slots(phrases, cfg)
+    slots = _as_multi(slots)
     sdf, rows = _slot_df(spark, slots)
     all_terms = sorted({t for _, _, t in rows})
     if not all_terms:
@@ -316,3 +342,153 @@ def local_phrase(searcher, phrase: str, k: int | None = 10,
         r["first_pos"] = int(firsts[oi])
         r.pop("score", None)
     return rows
+
+
+# ---------------------------------------------------------- phrase prefix
+
+def phrase_prefix_slots(
+    phrases: Sequence[str],
+    cfg: TokenizerConfig,
+    expansions: Dict[str, List[str]],
+) -> Dict[int, List]:
+    """Multi-term slots for match_phrase_prefix: the raw phrase's LAST
+    whitespace word is a dictionary PREFIX (lowercased, never analyzed —
+    the wildcard-family contract; stemming a partial word would corrupt
+    it), the leading words tokenize through the normal chain, and the
+    prefix slot carries its expansion set. ``expansions`` maps
+    ``prefix*`` patterns (query/wildcard.py form) to term lists. A
+    prefix expanding to nothing poisons its query (matches nothing — the
+    ES contract)."""
+    slots: Dict[int, List] = {}
+    for qid, raw in enumerate(phrases):
+        words = raw.split()
+        if not words:
+            slots[qid] = []
+            continue
+        lead, prefix = " ".join(words[:-1]), words[-1].lower()
+        toks: List = list(tokenize_text(lead, cfg))
+        toks.append(list(expansions.get(prefix + "*", [])))
+        slots[qid] = toks
+    return slots
+
+
+def _prefix_patterns(phrases: Sequence[str]) -> List[str]:
+    pats = []
+    for raw in phrases:
+        words = raw.split()
+        if words:
+            pats.append(words[-1].lower() + "*")
+    return list(dict.fromkeys(pats))
+
+
+def phrase_prefix_topk_packed_batch(
+    pidx,
+    phrases: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type): exact phrase on
+    the leading tokens with the last word as a dictionary prefix — the
+    prefix slot matches ANY of its df-top ``max_expansions`` expansion
+    terms at the final offset. Runs on the plain-phrase packed engine
+    (multi-term slots ride the same pruned scan + per-chunk numpy
+    intersection; expansion is one bounded term_stats job —
+    query/wildcard.py). Selection note: ES expands the FIRST
+    max_expansions terms in dictionary order; we rank by live df like
+    the rest of the wildcard family (the more useful cap), documented
+    deviation."""
+    from .wildcard import expand_patterns
+
+    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    exp = expand_patterns(
+        pidx.term_stats, _prefix_patterns(phrases), max_expansions=max_expansions
+    )
+    return _packed_slots_topk(pidx, phrase_prefix_slots(phrases, cfg, exp), k)
+
+
+def local_phrase_prefix(
+    searcher,
+    phrase: str,
+    k: int | None = 10,
+    max_expansions: int = 50,
+    resolve: bool = True,
+) -> List[dict]:
+    """In-process match_phrase_prefix off a LocalSearcher — expansion
+    from the in-memory dictionary (zero Spark jobs in preload mode),
+    then the SAME _phrase_group core (gated identical to the packed
+    path)."""
+    import numpy as np
+
+    if not searcher._positional:
+        raise ValueError("packed index was not built with positional=True")
+    pats = _prefix_patterns([phrase])
+    exp = searcher.expand_wildcards(pats, max_expansions=max_expansions) \
+        if pats else {}
+    slots = _as_multi(phrase_prefix_slots([phrase], searcher.cfg, exp))[0]
+    if not slots:
+        return []
+    flat = sorted({t for terms in slots for t in terms})
+    searcher._ensure_terms(flat)
+    rows_by_slot: Dict[int, list] = {}
+    for slot, terms in enumerate(slots):
+        merged: list = []
+        for term in terms:
+            sl = searcher._slices.get(term)
+            if sl is not None and len(sl):
+                merged.extend(sl.itertuples(index=False))
+        if not merged:
+            return []
+        rows_by_slot[slot] = merged
+    got = _phrase_group(slots, rows_by_slot, searcher._dec, searcher._dec_pos)
+    if got is None:
+        return []
+    uniq, counts, firsts = got
+    order = np.lexsort((uniq, -counts))
+    if k is not None:
+        order = order[:k]
+    out = pd.DataFrame(
+        {
+            "query_id": 0,
+            "doc_id": uniq[order],
+            "score": counts[order].astype(float),
+            "rank": np.arange(1, len(order) + 1),
+        }
+    )
+    rows = searcher._resolve(out, resolve)
+    for r, oi in zip(rows, order):
+        r["n_occurrences"] = int(counts[oi])
+        r["first_pos"] = int(firsts[oi])
+        r.pop("score", None)
+    return rows
+
+
+def phrase_prefix_topk_batch(
+    it: IndexTables,
+    phrases: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int | None = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Exact-path match_phrase_prefix (the packed path's correctness
+    twin, same multi-term-slot semantics)."""
+    from .wildcard import expand_patterns
+
+    if "positions" not in it.index.columns:
+        raise ValueError("phrase retrieval needs a positional index")
+    spark = it.index.sparkSession
+    exp = expand_patterns(
+        it.term_stats, _prefix_patterns(phrases), max_expansions=max_expansions
+    )
+    slots = _as_multi(phrase_prefix_slots(phrases, cfg, exp))
+    sdf, rows = _slot_df(spark, slots)
+    if not rows:
+        return spark.createDataFrame([], _rank_schema())
+    matched = it.index.join(F.broadcast(sdf), "term")
+    hits = matched.select(
+        "query_id", "slot", "doc_id", F.explode("positions").alias("pos")
+    ).select(
+        "query_id", "slot", "doc_id",
+        (F.col("pos").cast("long") - F.col("slot")).alias("start"),
+    )
+    return _rank_occurrences(hits, slots, k)
