@@ -766,6 +766,35 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_SQ8_RESCORE = 40
+
+
+def q_emb_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level FAISS layout (textops/quantize.ivf_sq8_topk): the IVF
+    coarse cells prune the scan, the int8-range q_sq8 column generates
+    candidates by EXACT integer dot, the full-precision column rescores
+    only the IVF_SQ8_RESCORE window. The oracle replicates k-means
+    training, the probe, the quantizer, the integer candidate ranking
+    AND the rescore — the complete composed pipeline in SQL."""
+    import os
+    import tempfile
+
+    from searchengine_spark.textops import build_ivf_index
+    from searchengine_spark.textops.quantize import ivf_sq8_topk
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_ivfsq8_{tag}")
+    if path not in _PACKED_BUILT:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(emb, path, n_centroids=N_CENTROIDS, dim=64,
+                        n_iters=IVF_ITERS, sq8=True)
+        _PACKED_BUILT.add(path)
+    out = ivf_sq8_topk(spark, path, _query_vec(spark, sf_dir), k=5,
+                       n_probe=IVF_PROBE, rescore_m=IVF_SQ8_RESCORE)
+    return out.select("vec_id", "centroid_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall@10 vs brute-force cosine ground truth, both computed by
     the engine (and both replicated in the oracle). NOTE the testdata
@@ -2273,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_stats": q_result_stats,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
+        "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -3677,6 +3707,66 @@ JOIN probe p ON a.centroid_id = p.cid
 CROSS JOIN q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC LIMIT 5
+"""
+
+    # ---- IVF x SQ8 two-level layout: probe (trained centroids), int8
+    # dot within the probed cells only, exact rescore of the window
+    sqls["emb_ivf_sq8_topk"] = f"""
+WITH {_kmeans_ctes},
+q AS (
+  SELECT embedding::DOUBLE[] AS qe,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS qm
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_il2.format(m='q.qm', c='c.cm')} AS d FROM c2 c, q
+  ) ORDER BY d, cid LIMIT {IVF_PROBE}
+),
+cell AS (
+  SELECT a.vec_id, a.centroid_id FROM afinal a
+  JOIN probe p ON a.centroid_id = p.cid
+),
+qmax AS (SELECT list_max([abs(qm[i+1]) for i in range(64)]) AS mm FROM q),
+qq8 AS (
+  SELECT CASE WHEN qmax.mm = 0 THEN [0::BIGINT for i in range(64)]
+              ELSE [floor(127.0 * q.qm[i+1]::DOUBLE / qmax.mm::DOUBLE)::BIGINT
+                    for i in range(64)] END AS qq
+  FROM q, qmax
+),
+cmu AS (
+  SELECT e.vec_id,
+         [floor((e.embedding::DOUBLE[])[i+1] * 1000000)::BIGINT
+          for i in range(64)] AS m
+  FROM embeddings e JOIN cell USING (vec_id)
+),
+cqt AS (
+  SELECT vec_id, m, list_max([abs(m[i+1]) for i in range(64)]) AS mm FROM cmu
+),
+cqv AS (
+  SELECT vec_id,
+         CASE WHEN mm = 0 THEN [0::BIGINT for i in range(64)]
+              ELSE [floor(127.0 * m[i+1]::DOUBLE / mm::DOUBLE)::BIGINT
+                    for i in range(64)] END AS q8
+  FROM cqt
+),
+d8 AS (
+  SELECT v.vec_id,
+         list_sum([v.q8[i+1] * qq8.qq[i+1] for i in range(64)])::BIGINT AS qdot
+  FROM cqv v, qq8
+),
+cand AS (SELECT vec_id FROM d8 ORDER BY qdot DESC, vec_id ASC LIMIT {IVF_SQ8_RESCORE}),
+resc AS (
+  SELECT e.vec_id, cell.centroid_id, {_cos6} AS cosine
+  FROM embeddings e JOIN cand USING (vec_id) JOIN cell USING (vec_id)
+  CROSS JOIN q
+),
+rk AS (
+  SELECT vec_id, centroid_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT vec_id, centroid_id, cosine, rank::BIGINT AS rank FROM rk WHERE rank <= 5
 """
 
     sqls["emb_ivf_recall"] = f"""

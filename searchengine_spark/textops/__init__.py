@@ -52,6 +52,7 @@ from .perplexity import (  # noqa: F401
     train_unigram_lm,
 )
 from .quantize import (  # noqa: F401
+    ivf_sq8_topk,
     sq8_quantize,
     sq8_quantize_vec,
     sq8_topk,

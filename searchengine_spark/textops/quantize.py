@@ -130,3 +130,67 @@ def sq8_topk(
             Window.orderBy(F.desc("cosine"), F.asc(id_col))
         ).cast("long"),
     )
+
+
+def ivf_sq8_topk(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    rescore_m: int = 100,
+) -> DataFrame:
+    """Two-level FAISS-style ANN over a ``build_ivf_index(..., sq8=True)``
+    layout -> (id, centroid_id, cosine[6dp], rank): probe the ``n_probe``
+    nearest cells (partition-pruned directory scan), integer-dot the
+    cells' ``q_sq8`` column ONLY (parquet column pruning skips the
+    full-precision bytes), cut to ``rescore_m`` candidates, rescore those
+    with the exact 6dp cosine from the full-precision column of the same
+    pruned partitions. ``n_probe >= n_centroids`` + ``rescore_m >=
+    corpus`` degenerates to brute cosine exactly."""
+    import json
+
+    from ..indexing import fsio
+    from .similarity import probe_centroids
+
+    if rescore_m < k:
+        raise ValueError(f"rescore_m ({rescore_m}) must be >= k ({k})")
+    man = json.loads(fsio.read_text(spark, fsio.join(path, "ivf_manifest.json")))
+    if not man.get("sq8"):
+        raise ValueError(
+            "this IVF index stores no q_sq8 column — rebuild with "
+            "build_ivf_index(..., sq8=True) or query with ivf_topk_indexed"
+        )
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    probes = probe_centroids(man["centroids_micro"], list(query_vec), n_probe)
+    bucket = spark.read.parquet(fsio.join(path, "buckets")).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    qq = sq8_quantize_vec(query_vec)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qq])
+    d = F.aggregate(
+        F.zip_with(F.col("q_sq8"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        bucket.select(F.col(id_col), d.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(rescore_m)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = as_double(F.col(vec_col))
+    cos = F.round(_dot(v, qv) / (F.sqrt(_dot(v, v)) * F.lit(qn)), 6)
+    rescored = (
+        bucket.join(cands.select(id_col), id_col)
+        .select(F.col(id_col), F.col("centroid_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+    return rescored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), F.asc(id_col))
+        ).cast("long"),
+    )

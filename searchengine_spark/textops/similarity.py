@@ -170,11 +170,19 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 20260816,
+    sq8: bool = False,
 ) -> dict:
     """Train centroids, assign once, persist the corpus BUCKETED by
     centroid (``partitionBy(centroid_id)`` parquet) + a manifest with the
     trained centroids. Queries then read only their probed buckets —
-    assignment cost is paid at build time, never per query."""
+    assignment cost is paid at build time, never per query.
+
+    ``sq8=True`` additionally stores the int8-range quantized vector
+    (column ``q_sq8``, textops/quantize.py) next to each full-precision
+    one — the two-level FAISS layout: coarse cells prune the scan,
+    int8 dot products generate candidates reading ONLY the pruned
+    ``q_sq8`` column, exact rescore touches full precision last
+    (``quantize.ivf_sq8_topk``)."""
     spark = embeddings.sparkSession
     from ..indexing import fsio
 
@@ -182,9 +190,14 @@ def build_ivf_index(
     m = embeddings.select(
         F.col(id_col), F.col(vec_col), micro_col(F.col(vec_col)).alias("m")
     )
+    rows = m.drop("m")
+    if sq8:
+        from .quantize import _qcol
+
+        rows = rows.withColumn("q_sq8", _qcol(F.col(vec_col)))
     assign = _assign_micro(m.select(id_col, "m"), cents, id_col)
     (
-        m.drop("m")
+        rows
         .join(assign, id_col)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
@@ -200,6 +213,7 @@ def build_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids_micro": cents,
+        "sq8": bool(sq8),
     }
     fsio.write_text(spark, fsio.join(path, "ivf_manifest.json"), json.dumps(manifest))
     return manifest
