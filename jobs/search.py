@@ -387,10 +387,6 @@ def _serve_federated(spark, args) -> None:
     if args.ranker not in RANKERS:
         raise SystemExit(f"--shards serves {'/'.join(RANKERS)} "
                          f"(federated scatter-gather), not {args.ranker}")
-    if args.ranker == "phrase_prefix":
-        raise SystemExit(
-            "phrase_prefix does not federate yet: per-shard df would pick "
-            "incoherent expansions — serve it from a single index (--index)")
     # the single-index flag surface, narrowed to what BOTH federated
     # tiers (distributed scatter-gather AND the local REPL) serve
     for flag in ("fuzzy", "boost"):
@@ -537,6 +533,8 @@ def _serve_federated(spark, args) -> None:
             res = local.explain(q, k=args.n, fuzzy=args.fuzzy)
         elif args.ranker == "phrase":
             res = local.phrase(q, k=args.n)
+        elif args.ranker == "phrase_prefix":
+            res = local.phrase_prefix(q, k=args.n)
         elif args.ranker == "minspan":
             res = local.minspan(q, k=args.n)
         else:
@@ -613,10 +611,15 @@ def _serve_federated(spark, args) -> None:
             topk = proximity_topk_federated(
                 shards, batch, cfg, k=args.n,
                 mode=args.ranker.split("_")[0], schema=args.schema)
-        elif args.ranker == "phrase":
-            from searchengine_spark.query.federated import phrase_topk_federated
+        elif args.ranker in ("phrase", "phrase_prefix"):
+            from searchengine_spark.query.federated import (
+                phrase_prefix_topk_federated,
+                phrase_topk_federated,
+            )
 
-            ph = phrase_topk_federated(shards, batch, cfg, k=args.n)
+            fed_fn = (phrase_topk_federated if args.ranker == "phrase"
+                      else phrase_prefix_topk_federated)
+            ph = fed_fn(shards, batch, cfg, k=args.n)
             topk = ph.select(
                 "query_id", "doc_id",
                 F.col("n_occurrences").cast("double").alias("score"),

@@ -967,3 +967,52 @@ def resolve_docs_federated(
     return topk.join(docmap, "doc_id").select(
         "query_id", "doc_id", *ext_cols, "score", "rank"
     )
+
+
+def phrase_prefix_topk_federated(
+    shards: Sequence[PackedIndex],
+    phrases: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Federated match_phrase_prefix: the prefix expands ONCE against the
+    federation-global dictionary (df summed over the disjoint shard
+    corpora — exactly the merged index's selection, so per-shard
+    expansions can never diverge), then every shard runs the identical
+    multi-term-slot phrase and the candidates merge like
+    :func:`phrase_topk_federated` (doc-local integer semantics, safe
+    per-shard top-k cut)."""
+    from pyspark.sql import Window
+
+    from .phrase import _packed_slots_topk, _prefix_patterns, phrase_prefix_slots
+    from .wildcard import expand_patterns
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    exp = expand_patterns(
+        _global_dictionary(shards), _prefix_patterns(phrases),
+        max_expansions=max_expansions,
+    )
+    slots = phrase_prefix_slots(phrases, cfg, exp)
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = _packed_slots_topk(s, slots, k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "n_occurrences",
+                "first_pos",
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked

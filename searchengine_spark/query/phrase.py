@@ -413,18 +413,23 @@ def local_phrase_prefix(
     k: int | None = 10,
     max_expansions: int = 50,
     resolve: bool = True,
+    expansions: Dict[str, List[str]] | None = None,
 ) -> List[dict]:
     """In-process match_phrase_prefix off a LocalSearcher — expansion
     from the in-memory dictionary (zero Spark jobs in preload mode),
     then the SAME _phrase_group core (gated identical to the packed
-    path)."""
+    path). ``expansions``: precomputed pattern map (the federation seam
+    — every shard must match the federation-global selection)."""
     import numpy as np
 
     if not searcher._positional:
         raise ValueError("packed index was not built with positional=True")
     pats = _prefix_patterns([phrase])
-    exp = searcher.expand_wildcards(pats, max_expansions=max_expansions) \
-        if pats else {}
+    if expansions is not None:
+        exp = expansions
+    else:
+        exp = searcher.expand_wildcards(pats, max_expansions=max_expansions) \
+            if pats else {}
     slots = _as_multi(phrase_prefix_slots([phrase], searcher.cfg, exp))[0]
     if not slots:
         return []

@@ -1179,6 +1179,33 @@ class FederatedLocalSearcher:
             r["rank"] = rk
         return self._resolve(cands, resolve)
 
+    def phrase_prefix(self, phrase: str, k: int | None = 10,
+                      max_expansions: int = 50,
+                      resolve: bool = True) -> List[dict]:
+        """Federated in-process match_phrase_prefix: the prefix expands
+        ONCE against the federation-global dictionary, then every shard
+        matches the identical expansion set (the in-process twin of
+        phrase_prefix_topk_federated)."""
+        from .phrase import _prefix_patterns, local_phrase_prefix
+
+        pats = _prefix_patterns([phrase])
+        exp = self.expand_wildcards(pats, max_expansions=max_expansions) \
+            if pats else {}
+        cands: List[dict] = []
+        for i, (s, base) in enumerate(zip(self.searchers, self.bases)):
+            rows = local_phrase_prefix(s, phrase, k=k, resolve=False,
+                                       expansions=exp)
+            for r in rows:
+                r["doc_id"] = int(r["doc_id"]) + base
+                r["_shard"] = i
+            cands.extend(rows)
+        cands.sort(key=lambda r: (-r["n_occurrences"], r["doc_id"]))
+        if k is not None:
+            cands = cands[:k]
+        for rk, r in enumerate(cands, start=1):
+            r["rank"] = rk
+        return self._resolve(cands, resolve)
+
     def minspan(self, query: str, k: int | None = 10,
                 resolve: bool = True) -> List[dict]:
         """Federated in-process minimal-span query — the in-process twin

@@ -121,3 +121,40 @@ def test_expansion_cap_applies(spark, cfg, pidx):
     b = ROWS(phrase_topk_packed_batch(pidx, [f"greatest {top}"], cfg,
                                       k=None))
     assert a == b
+
+
+def test_federated_equals_merged(spark, cfg, corpus, tmp_path):
+    """2-shard federation == the single index over the concatenated
+    corpus (global-dictionary expansion keeps shard selections coherent;
+    conv-split shards preserve the docID order)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.federated import (
+        phrase_prefix_topk_federated,
+    )
+    from searchengine_spark.query.serve import FederatedLocalSearcher
+
+    convs = sorted(r["conv_id"] for r in
+                   corpus.select("conv_id").distinct().collect())
+    half = convs[: len(convs) // 2]
+    shards = []
+    for i, part in enumerate((half, convs[len(convs) // 2:])):
+        p = str(tmp_path / f"s{i}")
+        build_packed_index(corpus.filter(F.col("conv_id").isin(part)),
+                           cfg, p, chunk_docs=64, positional=True)
+        shards.append(load_packed_index(spark, p))
+    single_p = str(tmp_path / "single")
+    build_packed_index(corpus, cfg, single_p, chunk_docs=64,
+                       positional=True)
+    single = load_packed_index(spark, single_p)
+
+    qs = ["greatest rock alb", "guitar so"]
+    want = ROWS(phrase_prefix_topk_packed_batch(single, qs, cfg, k=10))
+    fed = ROWS(phrase_prefix_topk_federated(shards, qs, cfg, k=10))
+    assert fed == want and len(want) > 0
+
+    floc = FederatedLocalSearcher(shards, preload=True, cfg=cfg)
+    rows = floc.phrase_prefix("greatest rock alb", k=10, resolve=False)
+    got = sorted((0, r["doc_id"], r["n_occurrences"], r["first_pos"],
+                  r["rank"]) for r in rows)
+    assert got == [w for w in want if w[0] == 0]
