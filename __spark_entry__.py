@@ -1390,6 +1390,36 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIST_INTERVAL = 40.0
+RERANK_N_CAND = 15
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank (query/rerank.py — the two-stage ranking
+    stack): BM25 top-RERANK_N_CAND window, texts via one pruned join,
+    re-scored by the default exact-integer Jaccard scorer
+    (floor(1e6·|q∩d|/|q∪d|) over distinct token sets) in Arrow batches,
+    top-5 by (rr_score desc, doc_id asc). The pluggable scorer seam is
+    where a cross-encoder goes; the oracle replicates the candidate
+    window AND the integer Jaccard — window-not-corpus semantics and the
+    floor arithmetic both hash-gate."""
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.rerank import rerank_topk
+    import os
+    import tempfile
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = rerank_topk(pidx, docs, qs, CFG, k=5, n_candidates=RERANK_N_CAND)
+    return out.select("query_id", "doc_id",
+                      F.col("rr_score").cast("long").alias("rr_score"),
+                      F.col("rank").cast("long").alias("rank"))
 
 
 def _hybrid_hits(spark: SparkSession, sf_dir: str) -> tuple:
@@ -2303,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
         "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
+        "rerank_topk": q_rerank_topk,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
         "suggest_terms": q_suggest_terms,
@@ -2554,6 +2585,58 @@ FROM hits h JOIN documents d USING (doc_id)
 WHERE d.n_chars IS NOT NULL
 GROUP BY h.query_id
 ORDER BY h.query_id
+"""
+
+    # ---- retrieve-then-rerank: the top-15 hit window, exact-integer
+    # Jaccard over distinct token sets, floor micro-units
+    rr_qtoks = []
+    for qid in sorted(QUERY_STRINGS):
+        terms = _sql_term_list(_qterms(qid))
+        rr_qtoks.append(f"SELECT {qid} AS query_id, unnest({terms}) AS term")
+    sqls["rerank_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {RERANK_N_CAND}),
+qtok AS ({' UNION ALL '.join(rr_qtoks)}),
+qsz AS (SELECT query_id, count(DISTINCT term)::BIGINT AS nq FROM qtok GROUP BY query_id),
+dtok AS (SELECT DISTINCT doc_id, term FROM exploded),
+dsz AS (SELECT doc_id, count(*)::BIGINT AS nd FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT h.query_id, h.doc_id, count(*)::BIGINT AS ni
+  FROM hits h JOIN dtok d USING (doc_id) JOIN qtok USING (query_id)
+  WHERE d.term = qtok.term
+  GROUP BY h.query_id, h.doc_id
+),
+jac AS (
+  SELECT h.query_id, h.doc_id,
+         CASE WHEN qsz.nq + coalesce(dsz.nd, 0) - coalesce(inter.ni, 0) = 0
+              THEN 0
+              ELSE (1000000 * coalesce(inter.ni, 0))
+                   // (qsz.nq + coalesce(dsz.nd, 0) - coalesce(inter.ni, 0))
+         END::BIGINT AS rr_score
+  FROM hits h
+  JOIN qsz USING (query_id)
+  LEFT JOIN dsz ON dsz.doc_id = h.doc_id
+  LEFT JOIN inter ON inter.query_id = h.query_id AND inter.doc_id = h.doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, rr_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rr_score DESC, doc_id ASC) AS rank
+  FROM jac
+)
+SELECT query_id, doc_id, rr_score, rank::BIGINT AS rank FROM rr WHERE rank <= 5
 """
 
     # ---- hybrid BM25 + cosine with reciprocal-rank fusion: both
