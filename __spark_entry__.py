@@ -1132,6 +1132,48 @@ def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor deep pagination (ES search_after, query/wand.py): page 2 of
+    the packed WAND ranking reached via the previous page's last
+    (score, doc_id) cursor — docs STRICTLY AFTER the cursor in the
+    (rounded-score desc, doc_id asc) total order, heap sized k at any
+    depth (the scale-correct alternative to from/size), ranks
+    PAGE-RELATIVE 1..k. The oracle replicates the cursor page as ranks
+    (10, 20] of the full ranking re-based to 1..10 — exact because cursor
+    pages partition the ranking prefix (gated in
+    tests/test_search_after.py)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    p1 = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6)
+    cursors: dict[int, tuple] = {}
+    for r in p1.collect():  # bounded: <= |queries| x 10 rows
+        cur = cursors.get(r["query_id"])
+        if cur is None or (-r["score"], r["doc_id"]) > (-cur[0], cur[1]):
+            cursors[r["query_id"]] = (float(r["score"]), int(r["doc_id"]))
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6,
+                                  search_after=cursors)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms analog (query/significant.py): JLH-scored
     terms overrepresented in each query's top-10 result set vs the
@@ -2307,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
         "bm25_page2": q_bm25_page2,
+        "search_after_page": q_search_after_page,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -2497,6 +2540,28 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score, rank FROM ranked
+WHERE rank > 10 AND rank <= 20
+"""
+
+    # cursor paging: the SAME ranking's ranks (10, 20], re-based to the
+    # PAGE-RELATIVE 1..10 the search_after contract emits — exact because
+    # cursor pages partition the ranking prefix under the rounded-score +
+    # doc_id-asc total order
+    sqls["search_after_page"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank - 10 AS rank FROM ranked
 WHERE rank > 10 AND rank <= 20
 """
 

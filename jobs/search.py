@@ -62,7 +62,8 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
 
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                doc_boost=None, synonyms=None, offset=0, wildcard=None):
+                doc_boost=None, synonyms=None, offset=0, wildcard=None,
+                search_after=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -93,6 +94,10 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         raise SystemExit("--offset is wired to the bm25* rankers")
     if offset and prf:
         raise SystemExit("--offset does not combine with --prf")
+    if search_after is not None and (ranker not in ("bm25", "bm25_and")
+                                     or prf):
+        raise SystemExit("--search-after is wired to the bm25* rankers "
+                         "(and does not combine with --prf)")
     if ranker == "bm25" and prf:
         from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
 
@@ -125,12 +130,17 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                                   max_expansions=max_exp,
                                   allow_leading_wildcard=allow_lead)
             q_terms = wildcard_query_terms(queries, cfg, exp, per_q)
+        sa = None
+        if search_after is not None:
+            # one interactive cursor applies to every query in the batch
+            # (REPL paging is single-query; batch files page per-run)
+            sa = {i: search_after for i in range(len(queries))}
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
             doc_boost=doc_boost, query_terms=q_terms,
             term_weights=t_weights or None, exclude_terms=excludes,
-            offset=offset)
+            offset=offset, search_after=sa)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -198,11 +208,13 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
-                 doc_boost=None, synonyms=None, offset=0, wildcard=None):
+                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
+                 search_after=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
-                       synonyms, offset=offset, wildcard=wildcard).collect()
+                       synonyms, offset=offset, wildcard=wildcard,
+                       search_after=search_after).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -360,6 +372,25 @@ def _print_significant(spark, cfg, queries, per_q, k_terms,
                  "df": int(r["df"]), "score": r["score"]})
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "significant": by_q[i]}))
+
+
+def _parse_cursor(args):
+    """--search-after 'SCORE,DOC_ID' -> (score, doc_id) | None, validated
+    against the flags it cannot combine with (shared by both tiers)."""
+    if args.search_after is None:
+        return None
+    try:
+        s_str, d_str = args.search_after.split(",", 1)
+        cur = (float(s_str), int(d_str))
+    except ValueError:
+        raise SystemExit("--search-after wants 'SCORE,DOC_ID' (the "
+                         "previous page's last hit)")
+    if args.offset:
+        raise SystemExit("--offset and --search-after are mutually "
+                         "exclusive (the cursor IS the page position)")
+    if args.ranker not in ("bm25", "bm25_and"):
+        raise SystemExit("--search-after is wired to the bm25* rankers")
+    return cur
 
 
 def _serve_federated(spark, args) -> None:
@@ -545,6 +576,7 @@ def _serve_federated(spark, args) -> None:
                 pos, k=args.n, ranker=args.ranker, schema=args.schema,
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
                 exclude=neg or None, offset=args.offset,
+                search_after=cursor,
                 wildcard=args.wildcard, max_expansions=args.max_expansions,
                 allow_leading_wildcard=args.allow_leading_wildcard,
             )
@@ -564,6 +596,8 @@ def _serve_federated(spark, args) -> None:
             raise SystemExit("--offset is wired to the bm25* rankers")
         if args.offset and prf:
             raise SystemExit("--offset does not combine with --prf")
+        if cursor is not None and prf:
+            raise SystemExit("--search-after does not combine with --prf")
         if args.ranker == "bm25" and prf:
             from searchengine_spark.query.federated import (
                 prf_bm25_topk_federated,
@@ -603,7 +637,9 @@ def _serve_federated(spark, args) -> None:
                 fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
                 doc_filters=doc_filters, doc_boosts=doc_boosts,
                 query_terms=q_terms, term_weights=t_weights or None,
-                exclude_terms=excludes, offset=args.offset)
+                exclude_terms=excludes, offset=args.offset,
+                search_after=({i: cursor for i in range(len(batch))}
+                              if cursor is not None else None))
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -827,6 +863,16 @@ def main() -> None:
                          "[offset, offset+n) with ABSOLUTE ranks — the "
                          "bm25* rankers on every tier (heap sized "
                          "n+offset: deep pages cost like a deeper top-k)")
+    ap.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
+                    help="cursor deep pagination (ES search_after): return "
+                         "the n hits STRICTLY AFTER the given (score, "
+                         "doc_id) cursor in (score desc, doc_id asc) order "
+                         "— pass the previous page's last hit; ranks come "
+                         "back page-relative 1..n and the heap stays size "
+                         "n at any depth (the scale-correct alternative "
+                         "to --offset; bm25* rankers, every tier, "
+                         "--index or --shards with a federation-namespace "
+                         "doc_id)")
     ap.add_argument("--significant", type=int, default=None, metavar="N",
                     help="ES significant_terms analog "
                          "(query/significant.py): per query, print the "
@@ -857,6 +903,7 @@ def main() -> None:
 
     if bool(args.index) == bool(args.shards):
         raise SystemExit("pass exactly one of --index or --shards")
+    cursor = _parse_cursor(args)
     if args.wildcard:
         if args.ranker != "bm25":
             raise SystemExit("--wildcard is wired to --ranker bm25")
@@ -984,6 +1031,7 @@ def main() -> None:
                 args.exhaustive, args.schema, fuzzy=args.fuzzy,
                 doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
                 synonyms=synonyms, offset=args.offset, wildcard=_wc(args),
+                search_after=cursor,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1063,6 +1111,7 @@ def main() -> None:
                                             boost_docs=boost_map,
                                             exclude=neg or None,
                                             offset=args.offset,
+                                            search_after=cursor,
                                             wildcard=args.wildcard,
                                             max_expansions=args.max_expansions,
                                             allow_leading_wildcard=args.allow_leading_wildcard),
@@ -1073,7 +1122,7 @@ def main() -> None:
                                  fuzzy=args.fuzzy, doc_filter=doc_filter,
                                  prf=prf, doc_boost=doc_boost,
                                  synonyms=synonyms, offset=args.offset,
-                                 wildcard=_wc(args))
+                                 wildcard=_wc(args), search_after=cursor)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -274,6 +274,7 @@ def bm25_topk_federated(
     term_weights: dict | None = None,
     exclude_terms: dict | None = None,
     offset: int = 0,
+    search_after: dict | None = None,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -316,7 +317,17 @@ def bm25_topk_federated(
     ``must_not`` contract (query/negation.py; wand.py twin). Negated
     terms' chunk rows fan out per shard exactly like scoring rows; a
     doc's positive and negated postings share its (shard, chunk), so the
-    scorer's chunk-local masking is exact under BOTH gather topologies."""
+    scorer's chunk-local masking is exact under BOTH gather topologies.
+
+    ``search_after``: {query_id: (score, doc_id)} cursor in the
+    FEDERATION docID namespace — ES search_after deep pagination (wand.py
+    twin; mutually exclusive with ``offset``). The scorer masks
+    candidates AFTER its base shift, so the cursor compares in the same
+    global (score desc, doc_id asc) order the federation ranks by —
+    exact under BOTH gather topologies (two-phase: each shard emits its
+    post-cursor top-k, and any post-cursor doc outside its shard's
+    page-k is dominated by k same-shard post-cursor docs). Heaps stay
+    size k at any depth; ranks come back PAGE-RELATIVE 1..k."""
     if gather == "auto":
         gather = "single" if len(shards) <= AUTO_GATHER_SINGLE_MAX else "two_phase"
     if gather not in ("two_phase", "single"):
@@ -490,6 +501,15 @@ def bm25_topk_federated(
 
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if search_after is not None and offset:
+        raise ValueError(
+            "offset and search_after are mutually exclusive (the cursor "
+            "IS the page position — ES rejects from + search_after too)"
+        )
+    sa_map = None
+    if search_after is not None:
+        sa_map = {int(q): (float(s), int(d))
+                  for q, (s, d) in search_after.items()}
     n_docs_total = sum(int(s.manifest["n_docs"]) for s in shards)
     k_top = (k + offset) if not exhaustive else max(k + offset, n_docs_total)
     scorer = _wand_scorer(
@@ -501,6 +521,7 @@ def bm25_topk_federated(
         qweights=term_weights,
         require_all=require_all,
         exclude_terms=ex_map,
+        search_after=sa_map,
     )
     if gather == "single":
         out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)

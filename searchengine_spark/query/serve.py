@@ -300,6 +300,7 @@ class LocalSearcher:
         query_tokens: List[str] | None = None,
         exclude: Sequence[str] | None = None,
         offset: int = 0,
+        search_after: tuple | None = None,
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
@@ -344,6 +345,14 @@ class LocalSearcher:
         ``offset``: result paging (ES from/size; bm25/bm25_and): page
         [offset, offset+k) with ABSOLUTE ranks — heap sized k+offset.
 
+        ``search_after``: (score, doc_id) cursor — ES ``search_after``
+        deep pagination (bm25/bm25_and): the next k hits STRICTLY AFTER
+        the cursor in (score desc, doc_id asc) order, heap sized k at any
+        depth (the scale-correct alternative to offset). Pass the
+        previous page's last (score, doc_id) — the rounded score when
+        round_dp is set. Ranks come back PAGE-RELATIVE 1..k. Mutually
+        exclusive with offset.
+
         ``wildcard=True``: ``te*t`` / ``te?t`` query words expand against
         the dictionary (query/wildcard.py — df-ranked, ``max_expansions``
         cap, leading wildcards refused unless ``allow_leading_wildcard``)
@@ -382,6 +391,17 @@ class LocalSearcher:
                 raise NotImplementedError(
                     f"offset paging is not wired into the {ranker!r} local "
                     "scorer (boolean returns the full set; page client-side)"
+                )
+        if search_after is not None:
+            if offset:
+                raise ValueError(
+                    "offset and search_after are mutually exclusive (the "
+                    "cursor IS the page position)"
+                )
+            if ranker not in ("bm25", "bm25_and"):
+                raise NotImplementedError(
+                    f"search_after is not wired into the {ranker!r} local "
+                    "scorer (bm25/bm25_and only)"
                 )
         ex_terms: List[str] = []
         if exclude:
@@ -440,10 +460,14 @@ class LocalSearcher:
                 if any(t not in self._idf for t in terms):
                     return []
                 require_all = {0: len(terms)}
+            sa = None
+            if search_after is not None:
+                sa = {0: (float(search_after[0]), int(search_after[1]))}
             scorer = _wand_scorer(
                 k + offset, self.params, round_dp, idf, decode=self._dec,
                 allowed=allowed, require_all=require_all, boosts=boosts,
                 exclude_terms={0: set(ex_terms)} if ex_terms else None,
+                search_after=sa,
             )
             out = scorer(pdf)
             if offset:
@@ -883,6 +907,7 @@ class FederatedLocalSearcher:
         boost_docs=None,
         exclude: Sequence[str] | None = None,
         offset: int = 0,
+        search_after: tuple | None = None,
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
@@ -901,7 +926,17 @@ class FederatedLocalSearcher:
 
         ``offset``: result paging (bm25/bm25_and): every shard serves its
         local top-(k+offset) and the page is cut after the global merge
-        — exact for the same reason the two-phase gather is."""
+        — exact for the same reason the two-phase gather is.
+
+        ``search_after``: (score, doc_id) cursor in the FEDERATION
+        namespace (bm25/bm25_and) — ES search_after across shards: the
+        cursor translates per shard (score unchanged — idf is federation-
+        global so scores are comparable; doc_id shifts by the shard base,
+        clamped to the shard's range so out-of-range shards see
+        everything / nothing on ties), every shard serves k post-cursor
+        hits from a size-k heap, and the merge cuts the global page.
+        Exact because the federated tie order IS the global docID order
+        the cursor speaks. Ranks come back PAGE-RELATIVE 1..k."""
         from .federated import _COMPAT_KEYS, _TFIDF_COMPAT_KEYS, _check_compat
 
         if ranker not in RANKERS:
@@ -913,6 +948,17 @@ class FederatedLocalSearcher:
                 raise NotImplementedError(
                     f"offset paging is not wired into the {ranker!r} "
                     "federated local scorer"
+                )
+        if search_after is not None:
+            if offset:
+                raise ValueError(
+                    "offset and search_after are mutually exclusive (the "
+                    "cursor IS the page position)"
+                )
+            if ranker not in ("bm25", "bm25_and"):
+                raise NotImplementedError(
+                    f"search_after is not wired into the {ranker!r} "
+                    "federated local scorer (bm25/bm25_and only)"
                 )
         if ranker.startswith("bm25"):
             _check_compat(self.shards)
@@ -974,12 +1020,19 @@ class FederatedLocalSearcher:
                     if base <= int(d) < end
                 }
                 bd = bd or None
+            sa = None
+            if search_after is not None:
+                cs, cd = float(search_after[0]), int(search_after[1])
+                # clamp the global cursor doc into this shard's local range:
+                # cd < base -> every tie here is after the cursor (-1);
+                # cd >= end -> no tie here qualifies (end - base caps ids)
+                sa = (cs, min(max(cd - base, -1), end - base))
             rows = s.search(
                 query, k=k + offset, ranker=ranker, schema=schema,
                 round_dp=round_dp,
                 rerank_n=rerank_n, resolve=False, filter_docs=fd,
                 boost_docs=bd, idf_override=idf_g, dl_bounds=dl_bounds,
-                query_tokens=toks, exclude=exclude,
+                query_tokens=toks, exclude=exclude, search_after=sa,
             )
             for r in rows:
                 r["doc_id"] = int(r["doc_id"]) + base

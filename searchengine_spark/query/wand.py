@@ -74,6 +74,7 @@ def _wand_scorer(
     boosts: tuple | None = None,
     decoders: dict | None = None,
     exclude_terms: dict | None = None,
+    search_after: dict | None = None,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -124,7 +125,20 @@ def _wand_scorer(
     decoded per chunk, and their doc ids mask the chunk's candidates
     BEFORE the heap. Exclusion is chunk-local (every term's postings for
     a doc share the doc's chunk id) so this is exact, and it only lowers
-    achievable scores, so the pruning bounds stay safe unchanged."""
+    achievable scores, so the pruning bounds stay safe unchanged.
+
+    ``search_after``: {query_id: (score, doc_id)} cursor — ES
+    ``search_after`` deep pagination: only docs STRICTLY AFTER the cursor
+    in the (score desc, doc_id asc) total order enter the heap, so the
+    heap stays size k at ANY depth (from/size pays k+offset). The cursor
+    is the LAST hit of the previous page, in the same score space the
+    scorer ranks by (pass the ROUNDED score when round_dp is set — pages
+    produced by this scorer hand back exactly that value, so the float
+    equality on ties is exact). Dropping docs before the heap only lowers
+    achievable scores; pruning bounds stay safe unchanged. Emitted ranks
+    are PAGE-RELATIVE 1..k (ES search_after has no absolute rank — an
+    absolute rank would cost the offset count the cursor exists to
+    avoid)."""
     kk, bb = float(params.k), float(params.b)
     if qweights:
         # same safety rule as doc boosts: a negative coefficient makes
@@ -271,6 +285,17 @@ def _wand_scorer(
                     scores = scores * mult
             if round_dp is not None:
                 scores = np.round(scores, round_dp)
+            if search_after is not None:
+                cur = search_after.get(qid)
+                if cur is not None:
+                    # strictly after the cursor in (score desc, doc_id asc)
+                    # order; a doc's whole score lives in one chunk, so the
+                    # per-chunk cut is the global one
+                    cs, cd = float(cur[0]), int(cur[1])
+                    m = (scores < cs) | ((scores == cs) & (uniq > cd))
+                    uniq, scores = uniq[m], scores[m]
+                    if uniq.size == 0:
+                        continue
             # vectorized candidate cut: only the chunk's top-k by
             # (score desc, doc_id asc) can enter the heap — a hot chunk at
             # chunk_docs=65536 would otherwise cost ~1e5 Python heap
@@ -407,6 +432,7 @@ def bm25_topk_packed_batch(
     doc_boost: DataFrame | None = None,
     exclude_terms: dict | None = None,
     offset: int = 0,
+    search_after: dict | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -470,9 +496,24 @@ def bm25_topk_packed_batch(
     simply sized k+offset, so page 2 costs what top-2k costs (the
     deep-paging cost model every search engine has; keep offsets
     shallow). Page boundaries are exact under the rounded-score +
-    doc_id-asc total order: pages concatenate to the full prefix."""
+    doc_id-asc total order: pages concatenate to the full prefix.
+
+    ``search_after``: {query_id: (score, doc_id)} cursor — ES
+    ``search_after``, the scale-correct deep-pagination contract: the
+    heap stays size k at ANY depth (vs k+offset for from/size — at page
+    10,000 from/size heaps 100k entries per query, the cursor still
+    heaps k). The cursor is the previous page's LAST (score, doc_id) in
+    the scorer's own score space (rounded when round_dp is set); ranks
+    come back PAGE-RELATIVE 1..k. Pages concatenate to the full ranking
+    prefix exactly (same total order). Mutually exclusive with
+    ``offset`` (ES rejects from+search_after too)."""
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if search_after is not None and offset:
+        raise ValueError(
+            "offset and search_after are mutually exclusive (the cursor "
+            "IS the page position — ES rejects from + search_after too)"
+        )
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -615,9 +656,13 @@ def bm25_topk_packed_batch(
     # upper bounds stay valid over any subset, so pruning is unchanged
     mask = pidx.delete_mask()
     dec = mask.wrap_decoders()[0] if mask is not None else None
+    sa_map = None
+    if search_after is not None:
+        sa_map = {int(q): (float(s), int(d))
+                  for q, (s, d) in search_after.items()}
     scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
                           qweights=term_weights, require_all=require_all,
-                          exclude_terms=ex_map)
+                          exclude_terms=ex_map, search_after=sa_map)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k + offset)
