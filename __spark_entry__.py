@@ -2022,6 +2022,36 @@ def q_transcripts_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapse (ES collapse; query/collapse.py): top-5
+    CONVERSATIONS per query over the transcripts fixture — group score =
+    max turn score (6dp-rounded), representative = smallest doc_id among
+    the max achievers, groups ranked (score desc, rep doc asc). Runs the
+    score-ALL WAND surface (no top-k cut before the group max — the cut
+    would drop groups), then a map-side-combinable max(struct) per
+    (query, conv_id). The oracle replicates the whole chain in SQL:
+    corpus VALUES -> tokenize -> BM25 -> per-conv argmax -> group
+    ranking."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.collapse import collapse_topk_packed
+
+    cfg = _transcripts_cfg()
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_collapse_idx")
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    build_packed_index(corpus, cfg, path, chunk_docs=256)
+    pidx = load_packed_index(spark, path)
+    out = collapse_topk_packed(pidx, TRANSCRIPTS_QUERIES, cfg, k=5,
+                               round_dp=6)
+    return out.select(
+        "query_id", "conv_id", "doc_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sharded_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-build pattern: the fixture corpus split into two shards
     INTERLEAVED in (conv_id, turn_idx) order (turn parity), each built as
@@ -2350,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "bm25_page2": q_bm25_page2,
         "search_after_page": q_search_after_page,
+        "collapse_topk": q_collapse_topk,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -4504,6 +4535,57 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
     # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
     # blending, or stale downstream stage in the merge hash-mismatches
     sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
+
+    # ---- field collapse: the SAME transcripts BM25 chain, then per-conv
+    # argmax (max rounded score; min doc_id among its achievers) and the
+    # group ranking (score desc, rep doc asc) cut at 5
+    sqls["collapse_topk"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+g AS (
+  SELECT s.query_id, d.conv_id, round(s.s, 6) AS score, s.doc_id
+  FROM scored s JOIN docs d USING (doc_id)
+),
+grp AS (
+  SELECT query_id, conv_id, max(score) AS score
+  FROM g GROUP BY query_id, conv_id
+),
+rep AS (
+  SELECT grp.query_id, grp.conv_id, grp.score, min(g.doc_id) AS doc_id
+  FROM grp JOIN g ON g.query_id = grp.query_id
+                 AND g.conv_id = grp.conv_id AND g.score = grp.score
+  GROUP BY grp.query_id, grp.conv_id, grp.score
+),
+granked AS (
+  SELECT query_id, conv_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rep
+)
+SELECT query_id, conv_id, doc_id, score, rank FROM granked WHERE rank <= 5
+"""
 
     # ---- federated scatter-gather: global idf (df/N summed over shards),
     # SHARD-LOCAL dl_norm (each shard's own avgdl — the stored 3-dp footer

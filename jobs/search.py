@@ -63,7 +63,7 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
-                search_after=None):
+                search_after=None, collapse=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -98,6 +98,20 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                                      or prf):
         raise SystemExit("--search-after is wired to the bm25* rankers "
                          "(and does not combine with --prf)")
+    if collapse is not None:
+        if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
+                or wildcard is not None or synonyms is not None
+                or doc_filter is not None or doc_boost is not None
+                or offset or search_after is not None):
+            raise SystemExit("--collapse combines only with plain "
+                             "bm25/bm25_and retrieval (+ '-term' negation)")
+        from searchengine_spark.query.collapse import collapse_topk_packed
+
+        # returns (query_id, <group_col>, doc_id, score, rank) — the
+        # group col IS the external id, no docmap resolve needed
+        return collapse_topk_packed(
+            pidx, queries, cfg, k=n, group_col=collapse,
+            conjunctive=ranker == "bm25_and", exclude_terms=excludes)
     if ranker == "bm25" and prf:
         from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
 
@@ -209,12 +223,12 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
-                 search_after=None):
+                 search_after=None, collapse=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
                        synonyms, offset=offset, wildcard=wildcard,
-                       search_after=search_after).collect()
+                       search_after=search_after, collapse=collapse).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -401,6 +415,11 @@ def _serve_federated(spark, args) -> None:
     in-process local tier. Snapshot time travel pins per shard
     (``path@seq`` in the spec) or federation-wide (--snapshot N).
     Batch (--query/--queries-file [--output]) and the interactive loop."""
+    cursor = _parse_cursor(args)
+    if args.collapse:
+        raise SystemExit("--collapse serves from a single index "
+                         "(--index); shard-federated collapse is not "
+                         "wired")
     from pyspark.sql import functions as F
 
     from searchengine_spark.indexing.packed import load_packed_index
@@ -873,6 +892,13 @@ def main() -> None:
                          "to --offset; bm25* rankers, every tier, "
                          "--index or --shards with a federation-namespace "
                          "doc_id)")
+    ap.add_argument("--collapse", default=None, metavar="COL",
+                    help="field collapse (ES collapse, query/collapse.py): "
+                         "one result per group — top-n GROUPS by their "
+                         "best hit's BM25 score, grouped on the named "
+                         "external-id column (e.g. conv_id: one row per "
+                         "conversation, its best turn as representative); "
+                         "bm25/bm25_and, distributed tier, --index only")
     ap.add_argument("--significant", type=int, default=None, metavar="N",
                     help="ES significant_terms analog "
                          "(query/significant.py): per query, print the "
@@ -1031,7 +1057,7 @@ def main() -> None:
                 args.exhaustive, args.schema, fuzzy=args.fuzzy,
                 doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
                 synonyms=synonyms, offset=args.offset, wildcard=_wc(args),
-                search_after=cursor,
+                search_after=cursor, collapse=args.collapse,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1051,7 +1077,10 @@ def main() -> None:
     if (prf or synonyms) and args.serve_mode == "local":
         raise SystemExit("--prf/--synonyms run on the distributed tier "
                          "(serve-mode auto/spark)")
-    use_local = not prf and not synonyms and (
+    if args.collapse and args.serve_mode == "local":
+        raise SystemExit("--collapse runs on the distributed tier "
+                         "(serve-mode auto/spark)")
+    use_local = not prf and not synonyms and not args.collapse and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     )
@@ -1122,7 +1151,8 @@ def main() -> None:
                                  fuzzy=args.fuzzy, doc_filter=doc_filter,
                                  prf=prf, doc_boost=doc_boost,
                                  synonyms=synonyms, offset=args.offset,
-                                 wildcard=_wc(args), search_after=cursor)
+                                 wildcard=_wc(args), search_after=cursor,
+                                 collapse=args.collapse)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -1,0 +1,110 @@
+"""Field collapse — the ES ``collapse`` analog: top-k GROUPS per query
+(one result per conversation instead of one per turn), each group
+represented by its best-scoring doc.
+
+Semantics (ES collapse on a keyword field, BM25-sorted):
+
+- group score = the group's MAX doc score (rounded when ``round_dp`` is
+  set — the repo's cross-engine ranking contract);
+- the group's representative doc = the smallest doc_id among the docs
+  achieving that max (the same doc_id-asc tie-break every ranked
+  surface here uses);
+- groups rank (score desc, representative doc_id asc), cut at k.
+
+Plan shape: collapse is inherently a score-ALL operation — any doc
+could be its group's max, so a top-k candidate cut before the group
+aggregation would silently drop groups (ES pays the same cost: collapse
+disables early-termination there too). The pipeline is the score-all
+WAND surface (``bm25_scores_packed_batch``: pushed ``In(term,…)`` scan,
+literal-map fan-out, ONE (query_id, chunk) exchange, per-task pandas
+frames bounded by chunk_docs), then a doc_id join to the PRUNED docmap
+view for the collapse key (exchange sized by the matched-doc count —
+the one inherent collapse cost), then a map-side-combinable
+max(struct(score, -doc_id)) per (query, group) — partial aggregation
+keeps the shuffle at one row per (query, group, partition) — and a
+row_number window cut to k (the repo's established final-rank shape;
+input is one row per matched GROUP, already aggregated).
+
+No reference counterpart (the reference serves flat ranked lists only);
+semantics follow Elasticsearch's documented collapse contract.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..indexing.packed import PackedIndex
+from ..tokenizer import TokenizerConfig
+
+
+def collapse_topk_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    group_col: str | None = None,
+    round_dp: int | None = None,
+    conjunctive: bool = False,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """Top-k collapsed groups per query -> (query_id, <group_col>,
+    doc_id, score, rank) where doc_id is the group's best hit.
+
+    ``group_col`` names one of the index's external-id columns
+    (``order_cols``; default = the first one, conv_id for transcripts).
+    Collapsing on the leading order col is the natural grouping the
+    docID assignment already clusters by — the docmap join is
+    range-friendly — but any order col works.
+
+    ``conjunctive`` / ``exclude_terms``: the bm25_and / must_not
+    contracts, applied per DOC before the group max (an excluded turn
+    cannot represent its conversation; a conversation whose only
+    matches are excluded vanishes) — the ES post_filter-before-collapse
+    ordering."""
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    if not ext:
+        raise ValueError(
+            "collapse needs external-id columns to group by, but the "
+            "index was built with order_cols=('doc_id',) only"
+        )
+    group_col = group_col or ext[0]
+    if group_col not in ext:
+        raise ValueError(
+            f"group_col {group_col!r} is not one of the index's external "
+            f"columns {ext}"
+        )
+    from .wand import bm25_scores_packed_batch
+
+    scores = bm25_scores_packed_batch(
+        pidx, queries, cfg, round_dp=round_dp, conjunctive=conjunctive,
+        exclude_terms=exclude_terms,
+    )
+    keyed = scores.join(pidx.docmap.select("doc_id", group_col), "doc_id")
+    # argmax under (score desc, doc_id asc) as one associative max:
+    # struct orders lexicographically, so max(struct(score, -doc_id))
+    # is the best score with the SMALLEST doc_id among its achievers —
+    # map-side combinable, no window over raw docs
+    best = keyed.groupBy("query_id", group_col).agg(
+        F.max(
+            F.struct(
+                F.col("score"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("b")
+    )
+    rep = best.select(
+        "query_id",
+        group_col,
+        (-F.col("b.nid")).cast("long").alias("doc_id"),
+        F.col("b.score").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rep.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

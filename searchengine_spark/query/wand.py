@@ -327,6 +327,203 @@ def _wand_scorer(
     return score_query
 
 
+_SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _flat_scorer(
+    params: Bm25Params,
+    round_dp: int | None = None,
+    idf_map: dict | None = None,
+    decode=None,
+    require_all: dict | None = None,
+    exclude_terms: dict | None = None,
+):
+    """Per-(query, CHUNK) group scorer emitting EVERY matched doc's full
+    BM25 score — no heap, no rank, no pruning. Exact per group because a
+    doc's whole score (and its conjunctive coverage count, and its
+    negated postings) live inside its one chunk. This is the score-ALL
+    surface group-aware operators (field collapse) build on: the output
+    volume is the matched-doc count, the cost class ES pays for the same
+    features (collapse disables top-k pruning there too). Group by
+    ("query_id", "chunk") so each task's pandas frame is bounded by
+    chunk_docs, never the corpus."""
+    kk, bb = float(params.k), float(params.b)
+    dec = decode or (lambda buf: decode_postings(bytes(buf)))
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int32),
+                "doc_id": np.array([], dtype=np.int64),
+                "score": np.array([], dtype=np.float64),
+            }
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        banned = None
+        if exclude_terms:
+            ex = exclude_terms.get(qid)
+            if ex:
+                is_ex = pdf["term"].isin(ex)
+                if is_ex.any():
+                    banned = np.unique(
+                        np.concatenate(
+                            [dec(buf)[0] for buf in pdf.loc[is_ex, "postings"]]
+                        )
+                    )
+                    pdf = pdf[~is_ex]
+                    if not len(pdf):
+                        return empty
+        idfs = pdf["term"].map(idf_map)
+        docs_all: list = []
+        contrib_all: list = []
+        for idf, buf in zip(idfs.to_numpy(), pdf["postings"]):
+            doc_ids, tfs, dl_norm = dec(buf)
+            contrib_all.append(idf * tf_saturation(tfs, dl_norm, kk, bb))
+            docs_all.append(doc_ids)
+        docs = np.concatenate(docs_all)
+        contribs = np.concatenate(contrib_all)
+        if banned is not None and banned.size:
+            m = ~_member_mask(docs, banned)
+            docs, contribs = docs[m], contribs[m]
+            if docs.size == 0:
+                return empty
+        uniq, inv, cov = np.unique(docs, return_inverse=True, return_counts=True)
+        scores = np.zeros(len(uniq))
+        np.add.at(scores, inv, contribs)
+        if require_all is not None:
+            need = require_all.get(qid)
+            if need is not None:
+                hit = cov == need
+                if not hit.any():
+                    return empty
+                uniq, scores = uniq[hit], scores[hit]
+        if round_dp is not None:
+            scores = np.round(scores, round_dp)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(uniq), qid, dtype=np.int32),
+                "doc_id": uniq.astype(np.int64),
+                "score": scores,
+            }
+        )
+
+    return score_group
+
+
+def bm25_scores_packed_batch(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    round_dp: int | None = None,
+    conjunctive: bool = False,
+    exclude_terms: dict | None = None,
+    query_terms: Sequence[Sequence[str]] | None = None,
+) -> DataFrame:
+    """EVERY matched doc's BM25 score per query -> (query_id, doc_id,
+    score) — the score-all companion to :func:`bm25_topk_packed_batch`
+    (same OR/AND/must_not semantics, same pushed-down ``In(term,…)``
+    scan + literal-map fan-out + join-free idf closure; no heap, no
+    pruning, ONE hash exchange on (query_id, chunk) so each scorer task
+    is bounded by chunk_docs). Feed it to group-aware consumers like
+    field collapse (query/collapse.py) that need per-group maxima an
+    early top-k cut would break."""
+    if pidx.manifest.get("payload", "freq") != "freq":
+        raise ValueError(
+            f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
+            "BM25 needs a payload='freq' build"
+        )
+    spark = pidx.spark
+    rows = []
+    if query_terms is not None:
+        for qid, terms in enumerate(query_terms):
+            for t in dict.fromkeys(terms):
+                rows.append((qid, t))
+    else:
+        for qid, q in enumerate(queries):
+            for t in dict.fromkeys(tokenize_text(q, cfg)):
+                rows.append((qid, t))
+    if not rows:
+        return spark.createDataFrame([], _SCORES_SCHEMA)
+    all_terms = sorted({t for _, t in rows})
+    stats = pidx.term_stats.select("term", "idf").filter(
+        F.col("term").isin(all_terms)
+    )
+    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+
+    require_all = None
+    if conjunctive:
+        n_req: dict[int, int] = {}
+        dead: set[int] = set()
+        for qid, t in rows:
+            n_req[qid] = n_req.get(qid, 0) + 1
+            if t not in idf_map:
+                dead.add(qid)
+        rows = [(qid, t) for qid, t in rows if qid not in dead]
+        if not rows:
+            return spark.createDataFrame([], _SCORES_SCHEMA)
+        require_all = {q: n for q, n in n_req.items() if q not in dead}
+        all_terms = sorted({t for _, t in rows})
+
+    ex_map: dict[int, set] | None = None
+    ex_rows: list = []
+    if exclude_terms:
+        live = {qid for qid, _ in rows}
+        ex_map = {
+            int(qid): set(ts)
+            for qid, ts in exclude_terms.items()
+            if ts and int(qid) in live
+        } or None
+    if ex_map:
+        ex_t = sorted({t for s in ex_map.values() for t in s})
+        new = [t for t in ex_t if t not in idf_map]
+        if new:
+            probe = pidx.term_stats.select("term", "idf").filter(
+                F.col("term").isin(new)
+            )
+            idf_map.update(
+                {r["term"]: float(r["idf"]) for r in probe.collect()}
+            )
+        ex_rows = [
+            (qid, t)
+            for qid, s in sorted(ex_map.items())
+            for t in sorted(s)
+            if t in idf_map
+        ]
+        all_terms = sorted(set(all_terms) | {t for _, t in ex_rows})
+
+    pruned = pidx.index.filter(F.col("term").isin(all_terms))
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    for qid, t in ex_rows:
+        if qid not in qids_by_term.setdefault(t, []):
+            qids_by_term[t].append(qid)
+    map_entries = [
+        x
+        for t, qs in qids_by_term.items()
+        if t in idf_map
+        for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+    ]
+    if not map_entries:
+        return spark.createDataFrame([], _SCORES_SCHEMA)
+    matched = pruned.withColumn(
+        "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+    )
+    mask = pidx.delete_mask()
+    dec = mask.wrap_decoders()[0] if mask is not None else None
+    scorer = _flat_scorer(pidx.params, round_dp, idf_map, decode=dec,
+                          require_all=require_all, exclude_terms=ex_map)
+    return matched.groupBy("query_id", "chunk").applyInPandas(
+        scorer, schema=_SCORES_SCHEMA
+    )
+
+
 def filter_doc_ids(pidx: PackedIndex, attrs: DataFrame, predicate) -> DataFrame:
     """Resolve an attribute predicate to a one-column (doc_id) DataFrame.
 

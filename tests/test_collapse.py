@@ -1,0 +1,107 @@
+"""Field-collapse gates (ES collapse): one result per group, group
+score = max doc score, representative = smallest doc_id among the max
+achievers, groups ranked (score desc, rep doc asc) — all checked
+against a pandas brute over the exhaustive ranking; the score-all
+surface itself is gated score-identical to WAND top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.build import Bm25Params
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.collapse import collapse_topk_packed
+from searchengine_spark.query.wand import (
+    bm25_scores_packed_batch,
+    bm25_topk_packed_batch,
+)
+from searchengine_spark.tokenizer import TokenizerConfig
+
+PARAMS = Bm25Params(k=1.2, b=0.75)
+QS = ["greatest rock album", "drummer tour"]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("collpacked") / "idx")
+    corpus = transcripts_df(spark, n_conv=50, n_partitions=8)
+    build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    return load_packed_index(spark, path)
+
+
+def _brute_collapse(packed, cfg, queries, k, **kw):
+    """Exhaustive ranking -> pandas group-max collapse (the oracle)."""
+    n = packed.manifest["n_docs"]
+    full = bm25_topk_packed_batch(packed, queries, cfg, k=n, round_dp=6,
+                                  exhaustive=True, **kw)
+    docmap = {r["doc_id"]: r["conv_id"]
+              for r in packed.docmap.select("doc_id", "conv_id").collect()}
+    best: dict = {}
+    for r in full.collect():
+        key = (r["query_id"], docmap[r["doc_id"]])
+        cur = best.get(key)
+        cand = (r["score"], -r["doc_id"])
+        if cur is None or cand > cur:
+            best[key] = cand
+    out: dict = {}
+    for (qid, conv), (s, nid) in best.items():
+        out.setdefault(qid, []).append((s, -nid, conv))
+    return {
+        qid: [(conv, d, s) for s, d, conv in
+              sorted(rows, key=lambda x: (-x[0], x[1]))[:k]]
+        for qid, rows in out.items()
+    }
+
+
+def _got(df):
+    out: dict = {}
+    for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append(
+            (r["conv_id"], r["doc_id"], r["score"]))
+    return out
+
+
+def test_collapse_matches_brute(packed, cfg):
+    got = _got(collapse_topk_packed(packed, QS, cfg, k=8, round_dp=6))
+    assert got == _brute_collapse(packed, cfg, QS, 8)
+    # one result per group, ranks dense from 1
+    for qid, rows in got.items():
+        convs = [c for c, _, _ in rows]
+        assert len(convs) == len(set(convs))
+
+
+def test_collapse_conjunctive_and_negation(packed, cfg):
+    got = _got(collapse_topk_packed(packed, QS, cfg, k=5, round_dp=6,
+                                    conjunctive=True))
+    assert got == _brute_collapse(packed, cfg, QS, 5, conjunctive=True)
+    ex = {0: {"album"}, 1: {"tour"}}
+    got = _got(collapse_topk_packed(packed, QS, cfg, k=5, round_dp=6,
+                                    exclude_terms=ex))
+    assert got == _brute_collapse(packed, cfg, QS, 5, exclude_terms=ex)
+
+
+def test_scores_surface_matches_wand(packed, cfg):
+    """The score-all surface agrees with WAND top-k on the docs both
+    emit — same contract, no heap."""
+    k = 15
+    topk = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_topk_packed_batch(packed, QS, cfg, k=k,
+                                            round_dp=6).collect()}
+    flat = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_scores_packed_batch(packed, QS, cfg,
+                                              round_dp=6).collect()}
+    assert topk and all(flat[key] == s for key, s in topk.items())
+    # the flat surface scores MORE docs than the heap kept
+    assert len(flat) > len(topk)
+
+
+def test_collapse_refuses_unknown_group_col(packed, cfg):
+    with pytest.raises(ValueError, match="group_col"):
+        collapse_topk_packed(packed, QS, cfg, group_col="nope")
