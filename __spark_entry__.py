@@ -1523,6 +1523,39 @@ def q_result_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min", "max", "sum")
 
 
+def q_result_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation over each query's result set
+    (query/aggregations.py): EXACT nearest-rank n_chars percentiles of
+    the top-10 BM25 hits — the value at 1-based sorted index
+    (pct*n + 99) div 100 (pure integer rank arithmetic; never
+    interpolated, so Spark and DuckDB land on the same element). The
+    oracle replicates retrieval AND the rank arithmetic via
+    row_number-vs-computed-index join."""
+    from searchengine_spark.query.aggregations import percentiles_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = percentiles_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"], percents=(25, 50, 75, 100),
+    )
+    return out.select("query_id", "col", "pct", "value")
+
+
+def q_result_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation over each query's result set
+    (query/aggregations.py): exact distinct lang/source counts across
+    the top-10 BM25 hits (NULLs skipped, one partial-aggregable
+    exchange — sketching buys nothing on a k-bounded hit window)."""
+    from searchengine_spark.query.aggregations import cardinality_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = cardinality_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["lang", "source"], ["doc_id"],
+    )
+    return out.select("query_id", "col", "n_distinct")
+
+
 def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity buckets (textops/perplexity.py; Wenzek et
     al. 2020): add-one-smoothed unigram cross-entropy in EXACT integer
@@ -2404,6 +2437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
+        "result_percentiles": q_result_percentiles,
+        "result_cardinality": q_result_cardinality,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
         "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
@@ -2681,6 +2716,44 @@ FROM hits h JOIN documents d USING (doc_id)
 WHERE d.n_chars IS NOT NULL
 GROUP BY h.query_id
 ORDER BY h.query_id
+"""
+
+    # ---- percentiles: nearest-rank over the same top-10 hit window —
+    # row_number joined to the computed integer index (pct*n + 99) // 100
+    sqls["result_percentiles"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, 'n_chars' AS col, d.n_chars::DOUBLE AS v
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+),
+srt AS (
+  SELECT query_id, col, v,
+         row_number() OVER (PARTITION BY query_id, col ORDER BY v ASC) AS rn,
+         count(*) OVER (PARTITION BY query_id, col) AS n
+  FROM vals
+),
+p AS (SELECT unnest([25, 50, 75, 100]) AS pct)
+SELECT s.query_id, s.col, p.pct::BIGINT AS pct, s.v AS value
+FROM srt s JOIN p ON s.rn = greatest(1, (p.pct * s.n + 99) // 100)
+ORDER BY query_id, col, pct
+"""
+
+    # ---- cardinality: exact distinct counts per attribute column over
+    # the same hit window (NULLs skipped — count(DISTINCT) semantics)
+    sqls["result_cardinality"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT query_id, col, n_distinct FROM (
+  SELECT h.query_id, 'lang' AS col, count(DISTINCT d.lang)::BIGINT AS n_distinct
+  FROM hits h JOIN documents d USING (doc_id) GROUP BY h.query_id
+  UNION ALL
+  SELECT h.query_id, 'source' AS col, count(DISTINCT d.source)::BIGINT
+  FROM hits h JOIN documents d USING (doc_id) GROUP BY h.query_id
+) ORDER BY query_id, col
 """
 
     # ---- retrieve-then-rerank: the top-15 hit window, exact-integer

@@ -353,6 +353,67 @@ def _print_histogram(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "histogram": by_q[i]}))
 
 
+def _print_percentiles(spark, attrs_path, ext_cols, queries, per_q,
+                       pct_spec) -> None:
+    """--percentiles COL:P1|P2|...[,COL:...]: ES percentiles aggregation
+    (query/aggregations.py; EXACT nearest-rank) over each query's result
+    set. One JSON line per query: {"query", "percentiles": {col: [{pct,
+    value}]}}."""
+    from searchengine_spark.query.aggregations import percentiles_agg
+
+    specs = []
+    for part in pct_spec.split(","):
+        if ":" not in part:
+            raise SystemExit(
+                f"--percentiles expects COL:P1|P2|..., got {part!r}")
+        c, ps = part.rsplit(":", 1)
+        try:
+            specs.append((c.strip(), [int(x) for x in ps.split("|")]))
+        except ValueError:
+            raise SystemExit(f"--percentiles wants integer percents in "
+                             f"{part!r}")
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for col, percents in specs:
+            got = percentiles_agg(hits, attrs, [col], ext_cols,
+                                  percents=percents).collect()
+            for r in got:
+                by_q[r["query_id"]].setdefault(col, []).append(
+                    {"pct": int(r["pct"]), "value": r["value"]})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "percentiles": by_q[i]}))
+
+
+def _print_cardinality(spark, attrs_path, ext_cols, queries, per_q,
+                       cols_spec) -> None:
+    """--cardinality COL[,COL...]: ES cardinality aggregation
+    (query/aggregations.py; exact distinct counts, NULLs skipped) over
+    each query's result set. One JSON line per query."""
+    from searchengine_spark.query.aggregations import cardinality_agg
+
+    cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in cardinality_agg(hits, attrs, cols, ext_cols).collect():
+            by_q[r["query_id"]][r["col"]] = int(r["n_distinct"])
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "cardinality": by_q[i]}))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -448,7 +509,8 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if (args.filter or args.boost or args.facets or args.histogram) and not args.attrs:
+    if (args.filter or args.boost or args.facets or args.histogram
+            or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p, snapshot=seq)
@@ -476,6 +538,12 @@ def _serve_federated(spark, args) -> None:
         if args.histogram:
             _print_histogram(spark, args.attrs, ext_cols, batch, per_q,
                              args.histogram)
+        if args.percentiles:
+            _print_percentiles(spark, args.attrs, ext_cols, batch, per_q,
+                               args.percentiles)
+        if args.cardinality:
+            _print_cardinality(spark, args.attrs, ext_cols, batch, per_q,
+                               args.cardinality)
         if args.significant:
             _print_significant(spark, cfg, batch, per_q, args.significant,
                                shards=shards)
@@ -912,6 +980,20 @@ def main() -> None:
                          "counts over the result set for each named "
                          "column — needs --attrs; works with every "
                          "ranker and with --shards")
+    ap.add_argument("--percentiles", default=None,
+                    metavar="COL:P1|P2[,...]",
+                    help="ES percentiles-aggregation analog "
+                         "(query/aggregations.py; EXACT nearest-rank, "
+                         "never interpolated): per query, the named "
+                         "percentiles of a numeric attribute over the "
+                         "result set — needs --attrs; every ranker, "
+                         "--index or --shards")
+    ap.add_argument("--cardinality", default=None, metavar="COL[,COL...]",
+                    help="ES cardinality-aggregation analog "
+                         "(query/aggregations.py; exact distinct counts, "
+                         "NULLs skipped): per query, distinct attribute "
+                         "values over the result set — needs --attrs; "
+                         "every ranker, --index or --shards")
     ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
                     help="ES histogram-aggregation analog "
                          "(query/aggregations.py): per query, bucket the "
@@ -937,7 +1019,8 @@ def main() -> None:
             raise SystemExit("--wildcard does not combine with "
                              "--synonyms/--prf/--fuzzy (all rewrite the "
                              "query-term seam)")
-    if (args.facets or args.histogram) and not args.attrs:
+    if (args.facets or args.histogram or args.percentiles
+            or args.cardinality) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
@@ -1164,6 +1247,14 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_histogram(spark, args.attrs, ext, queries, per_q,
                              args.histogram)
+        if args.percentiles:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_percentiles(spark, args.attrs, ext, queries, per_q,
+                               args.percentiles)
+        if args.cardinality:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_cardinality(spark, args.attrs, ext, queries, per_q,
+                               args.cardinality)
         if args.significant:
             _print_significant(spark, cfg, queries, per_q, args.significant,
                                pidx=pidx)

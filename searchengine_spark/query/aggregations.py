@@ -37,6 +37,18 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# - ``percentiles``: EXACT nearest-rank percentiles (the classic
+#   definition: the value at 1-based index ceil(p*n/100), computed as
+#   the integer (p*n + 99) div 100 so Spark and DuckDB agree bit-for-bit
+#   — never interpolated: ES's t-digest is approximate BY DESIGN at
+#   corpus scale, but a result set is bounded by queries x k, where
+#   exact is both cheaper and reproducible). The per-group collect is
+#   bounded by the result-set size, never the corpus.
+# - ``cardinality``: exact distinct-value counts per column (the ES
+#   cardinality aggregation analog; ES's HLL sketch exists for UNBOUNDED
+#   streams — over a bounded hit window exact countDistinct is one
+#   partial-aggregable exchange). NULLs don't count (ES skips missing).
+
 
 def _checked_join(
     results: DataFrame,
@@ -89,6 +101,76 @@ def histogram_counts(
         .groupBy("query_id", "col", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("query_id", "col", "bucket")
+    )
+
+
+def percentiles_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    percents: Sequence[int] = (25, 50, 75, 95),
+) -> DataFrame:
+    """-> (query_id, col, pct, value): ES ``percentiles`` aggregation
+    over each query's result set, EXACT nearest-rank (value at 1-based
+    sorted index ``(pct*n + 99) div 100``, floored at 1 — pure integer
+    rank arithmetic, so any engine lands on the same element; pct=100 is
+    the max, pct=50 the lower median). NULLs are skipped; a (query, col)
+    group with no values emits nothing. The sorted collect is bounded by
+    the result-set size (queries x k), never the corpus."""
+    ps = [int(p) for p in percents]
+    if not ps or any(p <= 0 or p > 100 for p in ps):
+        raise ValueError(
+            f"percents must be integers in (0, 100], got {list(percents)}"
+        )
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    arr = pairs.groupBy("query_id", "col").agg(
+        F.sort_array(F.collect_list("value")).alias("vals")
+    )
+    fanned = arr.select(
+        "query_id",
+        "col",
+        F.explode(F.array(*[F.lit(p) for p in sorted(set(ps))])).alias("pct"),
+        "vals",
+    )
+    idx = F.greatest(F.lit(1), F.expr("(pct * size(vals) + 99) div 100"))
+    return (
+        fanned.select(
+            "query_id",
+            "col",
+            F.col("pct").cast("long").alias("pct"),
+            F.element_at("vals", idx.cast("int")).alias("value"),
+        )
+        .orderBy("query_id", "col", "pct")
+    )
+
+
+def cardinality_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, n_distinct): ES ``cardinality`` aggregation
+    over each query's result set — exact distinct-value counts per named
+    attribute column (NULLs skipped, a doc's value counts once per query
+    regardless of rank). One partial-aggregable exchange; sketching
+    (ES's HLL) buys nothing on a k-bounded hit window."""
+    joined = _checked_join(results, attrs, cols, ext_cols)
+    agg = joined.groupBy("query_id").agg(
+        *[F.countDistinct(c).cast("long").alias(c) for c in cols]
+    )
+    melt = []
+    for c in cols:
+        melt.extend([F.lit(c), F.col(c)])
+    return (
+        agg.select(
+            "query_id",
+            F.explode(F.create_map(*melt)).alias("col", "n_distinct"),
+        )
+        .orderBy("query_id", "col")
     )
 
 

@@ -9,7 +9,12 @@ resolved result frame exactly like facets.
 
 import pytest
 
-from searchengine_spark.query.aggregations import histogram_counts, stats_agg
+from searchengine_spark.query.aggregations import (
+    cardinality_agg,
+    histogram_counts,
+    percentiles_agg,
+    stats_agg,
+)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +66,57 @@ def test_stats_exact(spark, frames):
     assert got[(0, "delta")] == (2, -7.5, 2.5, -5.0)
     assert got[(1, "n_chars")] == (1, 100.0, 100.0, 100.0)
     assert got[(1, "delta")] == (2, -0.1, 2.5, 2.4)
+
+
+def test_percentiles_nearest_rank(spark, frames):
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"], r["pct"]): r["value"]
+           for r in percentiles_agg(hits, attrs, ["n_chars", "delta"],
+                                    ["ext_id"],
+                                    percents=(50, 100)).collect()}
+    # q0 n_chars sorted [95, 100, 139]: p50 -> ceil(1.5)=idx 2 -> 100;
+    # p100 -> idx 3 -> 139. delta sorted [-7.5, 2.5]: p50 -> idx 1.
+    assert got == {
+        (0, "n_chars", 50): 100.0, (0, "n_chars", 100): 139.0,
+        (0, "delta", 50): -7.5, (0, "delta", 100): 2.5,
+        (1, "n_chars", 50): 100.0, (1, "n_chars", 100): 100.0,
+        (1, "delta", 50): -0.1, (1, "delta", 100): 2.5,
+    }
+    # brute cross-check of the nearest-rank index arithmetic
+    import math
+    vals = [95.0, 100.0, 139.0]
+    for p in (50, 100):
+        idx = max(1, (p * len(vals) + 99) // 100)
+        assert idx == max(1, math.ceil(p * len(vals) / 100))
+        assert got[(0, "n_chars", p)] == vals[idx - 1]
+    with pytest.raises(ValueError, match="percents"):
+        percentiles_agg(hits, attrs, ["n_chars"], ["ext_id"], percents=(0,))
+    with pytest.raises(ValueError, match="percents"):
+        percentiles_agg(hits, attrs, ["n_chars"], ["ext_id"],
+                        percents=(101,))
+
+
+def test_cardinality_exact(spark):
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 3), (1, 4)],
+        "query_id int, ext_id long",
+    )
+    attrs = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "book"), (3, "de", None),
+         (4, "de", "web")],
+        "ext_id long, lang string, source string",
+    )
+    got = {(r["query_id"], r["col"]): r["n_distinct"]
+           for r in cardinality_agg(hits, attrs, ["lang", "source"],
+                                    ["ext_id"]).collect()}
+    assert got == {
+        (0, "lang"): 2,    # en, de
+        (0, "source"): 2,  # web, book — doc 3's NULL skipped
+        (1, "lang"): 1,    # de, de
+        (1, "source"): 1,  # NULL + web
+    }
+    with pytest.raises(ValueError, match="lacks columns"):
+        cardinality_agg(hits, attrs, ["nope"], ["ext_id"])
 
 
 def test_composes_with_retrieval(spark, stop_words, tmp_path):
