@@ -1556,6 +1556,25 @@ def q_result_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "col", "n_distinct")
 
 
+def q_hll_token_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch state (textops/sketches.py;
+    Flajolet et al. 2007) over the corpus token stream — p=12 (m=4096):
+    bucket = first 3 md5 hex chars, register = max first-1-bit position
+    of the next 48 bits, pure integer/string arithmetic so Spark and
+    DuckDB produce the IDENTICAL register rows (the float estimate is
+    deliberately driver-side Python, never hash-gated — see the module
+    docstring). One map-side-combinable groupBy: the 100-TB distinct
+    count without shuffling the distinct set."""
+    from searchengine_spark.textops.sketches import hll_registers
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        tokens_column(F.col("text"), CFG).alias("tokens")
+    ).select(F.explode("tokens").alias("term"))
+    return hll_registers(toks, "term", p=12)
+
+
 def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity buckets (textops/perplexity.py; Wenzek et
     al. 2020): add-one-smoothed unigram cross-entropy in EXACT integer
@@ -2439,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_stats": q_result_stats,
         "result_percentiles": q_result_percentiles,
         "result_cardinality": q_result_cardinality,
+        "hll_token_registers": q_hll_token_registers,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
         "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
@@ -2754,6 +2774,34 @@ SELECT query_id, col, n_distinct FROM (
   SELECT h.query_id, 'source' AS col, count(DISTINCT d.source)::BIGINT
   FROM hits h JOIN documents d USING (doc_id) GROUP BY h.query_id
 ) ORDER BY query_id, col
+"""
+
+    # ---- HLL registers over the token stream: bucket = first 3 md5 hex
+    # chars as an int, rho = 4*(leading zero nibbles) + clz4(first nonzero
+    # nibble) + 1 over the next 12 hex chars, 49 when all-zero — string
+    # arithmetic only, duplicates collapse under max for free
+    sqls["hll_token_registers"] = f"""
+WITH {_INDEX_CTES},
+h AS (SELECT md5(term) AS hx FROM exploded),
+b AS (
+  SELECT ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1))::BIGINT AS bucket,
+         ltrim(substr(hx, 4, 12), '0') AS stripped
+  FROM h
+),
+r AS (
+  SELECT bucket,
+         (CASE WHEN length(stripped) = 0 THEN 49
+               ELSE (12 - length(stripped)) * 4
+                    + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                           WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+                           WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                           ELSE 0 END + 1
+          END)::INT AS rho
+  FROM b
+)
+SELECT bucket, max(rho)::INT AS register FROM r GROUP BY bucket ORDER BY bucket
 """
 
     # ---- retrieve-then-rerank: the top-15 hit window, exact-integer
