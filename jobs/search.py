@@ -477,10 +477,6 @@ def _serve_federated(spark, args) -> None:
     (``path@seq`` in the spec) or federation-wide (--snapshot N).
     Batch (--query/--queries-file [--output]) and the interactive loop."""
     cursor = _parse_cursor(args)
-    if args.collapse:
-        raise SystemExit("--collapse serves from a single index "
-                         "(--index); shard-federated collapse is not "
-                         "wired")
     from pyspark.sql import functions as F
 
     from searchengine_spark.indexing.packed import load_packed_index
@@ -615,11 +611,15 @@ def _serve_federated(spark, args) -> None:
     if (prf or synonyms) and args.serve_mode == "local":
         raise SystemExit("--prf/--synonyms run on the distributed tier "
                          "(serve-mode auto/spark)")
+    if args.collapse and args.serve_mode == "local":
+        raise SystemExit("--collapse runs on the distributed tier "
+                         "(serve-mode auto/spark)")
     local = None
-    use_local = not prf and not synonyms and not args.output and (
+    use_local = (not prf and not synonyms and not args.output
+                 and not args.collapse and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not queries)
-    )
+    ))
     if args.explain and not use_local:
         raise SystemExit("--explain serves from the local tier — use the "
                          "REPL or add --serve-mode local")
@@ -685,7 +685,26 @@ def _serve_federated(spark, args) -> None:
             raise SystemExit("--offset does not combine with --prf")
         if cursor is not None and prf:
             raise SystemExit("--search-after does not combine with --prf")
-        if args.ranker == "bm25" and prf:
+        if args.collapse:
+            if (args.ranker not in ("bm25", "bm25_and") or prf
+                    or args.fuzzy or args.wildcard or synonyms is not None
+                    or doc_filters is not None or doc_boosts is not None
+                    or args.offset or cursor is not None):
+                raise SystemExit("--collapse combines only with plain "
+                                 "bm25/bm25_and retrieval (+ '-term' "
+                                 "negation)")
+            from searchengine_spark.query.collapse import (
+                collapse_topk_federated,
+            )
+
+            # (query_id, <group_col>, doc_id, score, rank) — the group
+            # col IS the external id; doc_id is federation-global
+            frame = collapse_topk_federated(
+                shards, batch, cfg, k=args.n,
+                group_col=args.collapse,
+                conjunctive=args.ranker == "bm25_and",
+                exclude_terms=excludes)
+        elif args.ranker == "bm25" and prf:
             from searchengine_spark.query.federated import (
                 prf_bm25_topk_federated,
             )
@@ -780,7 +799,8 @@ def _serve_federated(spark, args) -> None:
                 topk = hits.join(F.broadcast(nq), "query_id").select(
                     "query_id", "doc_id", "score", F.lit(0).alias("rank"),
                 )
-        frame = resolve_docs_federated(shards, topk)
+        if not args.collapse:
+            frame = resolve_docs_federated(shards, topk)
         if args.output:
             qdf = spark.createDataFrame(
                 list(enumerate(batch)), "query_id int, query string")
@@ -966,7 +986,9 @@ def main() -> None:
                          "best hit's BM25 score, grouped on the named "
                          "external-id column (e.g. conv_id: one row per "
                          "conversation, its best turn as representative); "
-                         "bm25/bm25_and, distributed tier, --index only")
+                         "bm25/bm25_and, distributed tier, --index or "
+                         "--shards (federation-exact even for groups "
+                         "spanning shards)")
     ap.add_argument("--significant", type=int, default=None, metavar="N",
                     help="ES significant_terms analog "
                          "(query/significant.py): per query, print the "

@@ -82,11 +82,82 @@ def collapse_topk_packed(
         pidx, queries, cfg, round_dp=round_dp, conjunctive=conjunctive,
         exclude_terms=exclude_terms,
     )
-    keyed = scores.join(pidx.docmap.select("doc_id", group_col), "doc_id")
-    # argmax under (score desc, doc_id asc) as one associative max:
-    # struct orders lexicographically, so max(struct(score, -doc_id))
-    # is the best score with the SMALLEST doc_id among its achievers —
-    # map-side combinable, no window over raw docs
+    return _collapse_from_scores(
+        scores, pidx.docmap.select("doc_id", group_col), group_col, k
+    )
+
+
+def collapse_topk_federated(
+    shards,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    group_col: str | None = None,
+    round_dp: int | None = None,
+    conjunctive: bool = False,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """Federated field collapse -> (query_id, <group_col>, doc_id,
+    score, rank) with doc_id in the federation namespace — EXACT for
+    groups that SPAN shards too: the per-doc score-all surface
+    (``bm25_scores_federated``: federation-global idf, shard-local
+    dl_norm, per-base tombstone decoders) unions before the group max,
+    so a conversation split across shards aggregates to one group with
+    its true best hit (max over per-shard maxima IS the global max;
+    hash-sharded builds never split conversations, but adopted /
+    hand-assembled federations may). The docmap join unions the shards'
+    pruned docmap views with base-shifted ids — same one-exchange shape
+    as the single-index path."""
+    from .federated import _check_compat, _doc_bases, bm25_scores_federated
+
+    _check_compat(shards)
+    manifests = [s.manifest["order_cols"] for s in shards]
+    if any(m != manifests[0] for m in manifests):
+        raise ValueError(
+            f"shards disagree on order_cols: {manifests} — collapse needs "
+            "one shared external-id schema"
+        )
+    ext = [c for c in manifests[0] if c != "doc_id"]
+    if not ext:
+        raise ValueError(
+            "collapse needs external-id columns to group by, but the "
+            "shards were built with order_cols=('doc_id',) only"
+        )
+    group_col = group_col or ext[0]
+    if group_col not in ext:
+        raise ValueError(
+            f"group_col {group_col!r} is not one of the shards' external "
+            f"columns {ext}"
+        )
+    scores = bm25_scores_federated(
+        shards, queries, cfg, round_dp=round_dp, conjunctive=conjunctive,
+        exclude_terms=exclude_terms,
+    )
+    from functools import reduce as _reduce
+
+    docmap = _reduce(
+        DataFrame.unionByName,
+        [
+            s.docmap.select(
+                (F.col("doc_id").cast("long") + F.lit(base)).alias("doc_id"),
+                group_col,
+            )
+            for s, base in zip(shards, _doc_bases(shards))
+        ],
+    )
+    return _collapse_from_scores(scores, docmap, group_col, k)
+
+
+def _collapse_from_scores(
+    scores: DataFrame, docmap: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """(query_id, doc_id, score) x (doc_id -> group) -> ranked collapsed
+    groups. The argmax under (score desc, doc_id asc) is ONE associative
+    max: struct orders lexicographically, so max(struct(score,
+    -doc_id)) is the best score with the SMALLEST doc_id among its
+    achievers — map-side combinable, no window over raw docs; the
+    row_number window sees one row per matched GROUP."""
+    keyed = scores.join(docmap, "doc_id")
     best = keyed.groupBy("query_id", group_col).agg(
         F.max(
             F.struct(

@@ -547,6 +547,119 @@ def bm25_topk_federated(
     return out
 
 
+def bm25_scores_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    round_dp: int | None = None,
+    conjunctive: bool = False,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """EVERY matched doc's BM25 score across ALL shards -> (query_id,
+    doc_id, score) in the federation docID namespace — the score-all
+    companion to :func:`bm25_topk_federated` (same dfs_query_then_fetch
+    contract: idf federation-global, dl_norm shard-local; same
+    OR/AND/must_not semantics; per-shard tombstone masks ride per-base
+    decoders). No heap, no pruning: ONE (query_id, global-chunk)
+    exchange, each scorer task bounded by chunk_docs and owned by one
+    shard (federation chunk ids are disjoint per shard, so the group's
+    doc_base is constant). Feeds group-aware consumers — federated
+    field collapse (query/collapse.py)."""
+    from .wand import _SCORES_SCHEMA, _flat_scorer
+
+    _check_compat(shards)
+    spark = shards[0].spark
+    chunk_docs = int(shards[0].manifest["chunk_docs"])
+    params = shards[0].params
+
+    rows = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    if not rows:
+        return spark.createDataFrame([], _SCORES_SCHEMA)
+    all_terms = sorted({t for _, t in rows})
+    idf_map = _global_idf(shards, all_terms)
+
+    require_all = None
+    if conjunctive:
+        n_req: dict[int, int] = {}
+        dead: set[int] = set()
+        for qid, t in rows:
+            n_req[qid] = n_req.get(qid, 0) + 1
+            if t not in idf_map:
+                dead.add(qid)
+        rows = [(qid, t) for qid, t in rows if qid not in dead]
+        if not rows:
+            return spark.createDataFrame([], _SCORES_SCHEMA)
+        require_all = {q: n for q, n in n_req.items() if q not in dead}
+        all_terms = sorted({t for _, t in rows})
+
+    ex_map: dict[int, set] | None = None
+    ex_rows: list = []
+    if exclude_terms:
+        live = {qid for qid, _ in rows}
+        ex_map = {
+            int(qid): set(ts)
+            for qid, ts in exclude_terms.items()
+            if ts and int(qid) in live
+        } or None
+    if ex_map:
+        ex_t = sorted({t for s in ex_map.values() for t in s})
+        new = [t for t in ex_t if t not in idf_map]
+        if new:
+            idf_map.update(_global_idf(shards, new))
+        ex_rows = [
+            (qid, t)
+            for qid, s in sorted(ex_map.items())
+            for t in sorted(s)
+            if t in idf_map
+        ]
+        all_terms = sorted(set(all_terms) | {t for _, t in ex_rows})
+
+    bases = _doc_bases(shards)
+    parts = []
+    for s, base in zip(shards, bases):
+        parts.append(
+            s.index.filter(F.col("term").isin(all_terms)).select(
+                "term",
+                (F.col("chunk") + F.lit(base // chunk_docs)).alias("chunk"),
+                "postings",
+                F.lit(base).cast("long").alias("doc_base"),
+            )
+        )
+    pruned = reduce(DataFrame.unionByName, parts)
+
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    for qid, t in ex_rows:
+        if qid not in qids_by_term.setdefault(t, []):
+            qids_by_term[t].append(qid)
+    map_entries = [
+        x
+        for t, qs in qids_by_term.items()
+        if t in idf_map
+        for x in (F.lit(t), F.array(*[F.lit(q) for q in qs]))
+    ]
+    if not map_entries:
+        return spark.createDataFrame([], _SCORES_SCHEMA)
+    matched = pruned.withColumn(
+        "query_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+    )
+    decoders: dict[int, object] = {}
+    for s, base in zip(shards, bases):
+        mask = s.delete_mask()
+        if mask is not None:
+            decoders[base] = mask.wrap_decoders()[0]
+    scorer = _flat_scorer(params, round_dp, idf_map,
+                          require_all=require_all, exclude_terms=ex_map,
+                          decoders=decoders if decoders else None)
+    return matched.groupBy("query_id", "chunk").applyInPandas(
+        scorer, schema=_SCORES_SCHEMA
+    )
+
+
 def _merge_shard_topk(shard_topk: DataFrame, keep: int) -> DataFrame:
     """Gather phase shared by every federated ranker: per-query merge of
     the k-per-shard candidate rows under the scorers' own tie order

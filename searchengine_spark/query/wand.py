@@ -343,6 +343,7 @@ def _flat_scorer(
     decode=None,
     require_all: dict | None = None,
     exclude_terms: dict | None = None,
+    decoders: dict | None = None,
 ):
     """Per-(query, CHUNK) group scorer emitting EVERY matched doc's full
     BM25 score — no heap, no rank, no pruning. Exact per group because a
@@ -352,7 +353,13 @@ def _flat_scorer(
     volume is the matched-doc count, the cost class ES pays for the same
     features (collapse disables top-k pruning there too). Group by
     ("query_id", "chunk") so each task's pandas frame is bounded by
-    chunk_docs, never the corpus."""
+    chunk_docs, never the corpus.
+
+    ``decoders``: {doc_base: decode hook} — the FEDERATED seam (wand
+    scorer twin): rows carry a ``doc_base`` column (constant within a
+    chunk group — federation chunk ids are disjoint per shard), the
+    shard's own tombstone-masked decoder decodes, and decoded ids shift
+    by the base into the federation namespace."""
     kk, bb = float(params.k), float(params.b)
     dec = decode or (lambda buf: decode_postings(bytes(buf)))
 
@@ -365,6 +372,8 @@ def _flat_scorer(
             }
         )
         qid = int(pdf["query_id"].iloc[0])
+        base = int(pdf["doc_base"].iloc[0]) if "doc_base" in pdf.columns else 0
+        d = decoders.get(base, dec) if decoders is not None else dec
         banned = None
         if exclude_terms:
             ex = exclude_terms.get(qid)
@@ -373,9 +382,11 @@ def _flat_scorer(
                 if is_ex.any():
                     banned = np.unique(
                         np.concatenate(
-                            [dec(buf)[0] for buf in pdf.loc[is_ex, "postings"]]
+                            [d(buf)[0] for buf in pdf.loc[is_ex, "postings"]]
                         )
                     )
+                    if base:
+                        banned = banned + base  # same namespace as docs
                     pdf = pdf[~is_ex]
                     if not len(pdf):
                         return empty
@@ -383,11 +394,14 @@ def _flat_scorer(
         docs_all: list = []
         contrib_all: list = []
         for idf, buf in zip(idfs.to_numpy(), pdf["postings"]):
-            doc_ids, tfs, dl_norm = dec(buf)
+            doc_ids, tfs, dl_norm = d(buf)
             contrib_all.append(idf * tf_saturation(tfs, dl_norm, kk, bb))
             docs_all.append(doc_ids)
         docs = np.concatenate(docs_all)
         contribs = np.concatenate(contrib_all)
+        if base:
+            # shift into the federation docID namespace (order-preserving)
+            docs = docs + base
         if banned is not None and banned.size:
             m = ~_member_mask(docs, banned)
             docs, contribs = docs[m], contribs[m]

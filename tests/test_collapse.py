@@ -105,3 +105,67 @@ def test_scores_surface_matches_wand(packed, cfg):
 def test_collapse_refuses_unknown_group_col(packed, cfg):
     with pytest.raises(ValueError, match="group_col"):
         collapse_topk_packed(packed, QS, cfg, group_col="nope")
+
+
+def test_federated_collapse_groups_span_shards(spark, cfg, tmp_path_factory):
+    """Turn-parity shards: EVERY conversation spans both shards — the
+    case per-shard collapse would get wrong. Gate against a pandas brute
+    over the federated exhaustive ranking (the federated score contract:
+    global idf, shard-local dl_norm)."""
+    from searchengine_spark.query.collapse import collapse_topk_federated
+    from searchengine_spark.query.federated import (
+        bm25_scores_federated,
+        bm25_topk_federated,
+    )
+
+    corpus = transcripts_df(spark, n_conv=40, n_partitions=8)
+    base = tmp_path_factory.mktemp("collfed")
+    shards = []
+    for i, part in enumerate(
+        [corpus.filter(F.col("turn_idx") % 2 == 0),
+         corpus.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        p = str(base / f"s{i}")
+        build_packed_index(part, cfg, p, params=PARAMS, chunk_docs=256)
+        shards.append(load_packed_index(spark, p))
+
+    # the score-all surface agrees with federated WAND on common docs
+    n_total = sum(s.manifest["n_docs"] for s in shards)
+    full = bm25_topk_federated(shards, QS, cfg, k=n_total, round_dp=6,
+                               exhaustive=True)
+    flat = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_scores_federated(shards, QS, cfg,
+                                           round_dp=6).collect()}
+    full_rows = full.collect()
+    assert full_rows and all(
+        flat[(r["query_id"], r["doc_id"])] == r["score"] for r in full_rows
+    )
+    assert len(flat) == len(full_rows)
+
+    # brute collapse over the federated ranking (federation docmap)
+    from searchengine_spark.query.federated import _doc_bases
+
+    docmap = {}
+    for s, b in zip(shards, _doc_bases(shards)):
+        for r in s.docmap.select("doc_id", "conv_id").collect():
+            docmap[r["doc_id"] + b] = r["conv_id"]
+    best: dict = {}
+    for r in full_rows:
+        key = (r["query_id"], docmap[r["doc_id"]])
+        cand = (r["score"], -r["doc_id"])
+        if key not in best or cand > best[key]:
+            best[key] = cand
+    expect: dict = {}
+    for (qid, conv), (s, nid) in best.items():
+        expect.setdefault(qid, []).append((s, -nid, conv))
+    expect = {
+        qid: [(conv, d, s) for s, d, conv in
+              sorted(rows, key=lambda x: (-x[0], x[1]))[:6]]
+        for qid, rows in expect.items()
+    }
+    got = _got(collapse_topk_federated(shards, QS, cfg, k=6, round_dp=6))
+    assert got == expect
+    # one row per conversation even though every conv spans both shards
+    for rows in got.values():
+        convs = [c for c, _, _ in rows]
+        assert len(convs) == len(set(convs))
