@@ -2104,6 +2104,35 @@ def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram over each query's result set
+    (query/aggregations.py): top-10 transcripts BM25 hits bucketed by
+    floor(epoch_seconds / 600) * 600 — fixed_interval semantics, BIGINT
+    epoch buckets, integer arithmetic end to end. The fixture's ts is
+    2026-01-01T00:00:00Z + doc_id seconds (fixtures/transcripts.py:139
+    — one second per dense docID), so the oracle derives the epoch from
+    doc_id and replicates retrieval AND the bucket arithmetic."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.aggregations import date_histogram_counts
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_facets")
+    _build_packed_once(path, lambda: build_packed_index(
+        corpus, cfg, path, chunk_docs=256))
+    pidx = load_packed_index(spark, path)
+    hits = resolve_docs(pidx, bm25_topk_packed_batch(
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6))
+    out = date_histogram_counts(
+        hits, corpus, ["ts"], ["conv_id", "turn_idx"], interval=600)
+    return out.select("query_id", "col", "bucket_epoch", "n")
+
+
 def q_sharded_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-build pattern: the fixture corpus split into two shards
     INTERLEAVED in (conv_id, turn_idx) order (turn parity), each built as
@@ -2433,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": q_bm25_page2,
         "search_after_page": q_search_after_page,
         "collapse_topk": q_collapse_topk,
+        "result_date_histogram": q_result_date_histogram,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -4656,6 +4686,48 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
     # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
     # blending, or stale downstream stage in the merge hash-mismatches
     sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
+
+    # ---- date_histogram: the transcripts top-10 ranking, ts derived from
+    # the dense docID (ts = 2026-01-01Z + doc_id seconds), 600 s fixed
+    # buckets as BIGINT epochs
+    sqls["result_date_histogram"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, 'ts' AS col,
+       (floor((1767225600 + doc_id)::DOUBLE / 600)::BIGINT * 600) AS bucket_epoch,
+       count(*)::BIGINT AS n
+FROM ranked WHERE rank <= 10
+GROUP BY query_id, bucket_epoch
+ORDER BY query_id, bucket_epoch
+"""
 
     # ---- field collapse: the SAME transcripts BM25 chain, then per-conv
     # argmax (max rounded score; min doc_id among its achievers) and the

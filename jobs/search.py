@@ -353,6 +353,41 @@ def _print_histogram(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "histogram": by_q[i]}))
 
 
+def _print_date_histogram(spark, attrs_path, ext_cols, queries, per_q,
+                          spec) -> None:
+    """--date-histogram COL:day|hour|minute|SECONDS[,COL:...]: ES
+    date_histogram (query/aggregations.py; fixed UTC spans, BIGINT
+    epoch buckets) over each query's result set. One JSON line per
+    query."""
+    from searchengine_spark.query.aggregations import date_histogram_counts
+
+    specs = []
+    for part in spec.split(","):
+        if ":" not in part:
+            raise SystemExit(
+                f"--date-histogram expects COL:INTERVAL, got {part!r}")
+        c, iv = part.rsplit(":", 1)
+        specs.append((c.strip(), int(iv) if iv.isdigit() else iv))
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for col, interval in specs:
+            got = date_histogram_counts(hits, attrs, [col], ext_cols,
+                                        interval=interval).collect()
+            for r in got:
+                by_q[r["query_id"]].setdefault(col, []).append(
+                    {"bucket_epoch": int(r["bucket_epoch"]),
+                     "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "date_histogram": by_q[i]}))
+
+
 def _print_percentiles(spark, attrs_path, ext_cols, queries, per_q,
                        pct_spec) -> None:
     """--percentiles COL:P1|P2|...[,COL:...]: ES percentiles aggregation
@@ -506,6 +541,7 @@ def _serve_federated(spark, args) -> None:
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
     if (args.filter or args.boost or args.facets or args.histogram
+            or args.date_histogram
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
@@ -534,6 +570,9 @@ def _serve_federated(spark, args) -> None:
         if args.histogram:
             _print_histogram(spark, args.attrs, ext_cols, batch, per_q,
                              args.histogram)
+        if args.date_histogram:
+            _print_date_histogram(spark, args.attrs, ext_cols, batch, per_q,
+                                  args.date_histogram)
         if args.percentiles:
             _print_percentiles(spark, args.attrs, ext_cols, batch, per_q,
                                args.percentiles)
@@ -1002,6 +1041,14 @@ def main() -> None:
                          "counts over the result set for each named "
                          "column — needs --attrs; works with every "
                          "ranker and with --shards")
+    ap.add_argument("--date-histogram", default=None,
+                    metavar="COL:IVAL[,...]",
+                    help="ES date_histogram analog "
+                         "(query/aggregations.py): per query, bucket a "
+                         "timestamp attribute by a fixed UTC span "
+                         "(day|hour|minute or seconds), BIGINT epoch "
+                         "buckets — needs --attrs; every ranker, "
+                         "--index or --shards")
     ap.add_argument("--percentiles", default=None,
                     metavar="COL:P1|P2[,...]",
                     help="ES percentiles-aggregation analog "
@@ -1041,8 +1088,8 @@ def main() -> None:
             raise SystemExit("--wildcard does not combine with "
                              "--synonyms/--prf/--fuzzy (all rewrite the "
                              "query-term seam)")
-    if (args.facets or args.histogram or args.percentiles
-            or args.cardinality) and not args.attrs:
+    if (args.facets or args.histogram or args.date_histogram
+            or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
@@ -1269,6 +1316,10 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_histogram(spark, args.attrs, ext, queries, per_q,
                              args.histogram)
+        if args.date_histogram:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_date_histogram(spark, args.attrs, ext, queries, per_q,
+                                  args.date_histogram)
         if args.percentiles:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_percentiles(spark, args.attrs, ext, queries, per_q,

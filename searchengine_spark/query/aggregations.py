@@ -104,6 +104,54 @@ def histogram_counts(
     )
 
 
+#: calendar sugar for date_histogram_counts — fixed UTC spans (the ES
+#: fixed_interval units; true calendar months/years need tz/calendar
+#: logic this engine doesn't promise — refuse rather than approximate)
+_CALENDAR_SECONDS = {"day": 86400, "hour": 3600, "minute": 60}
+
+
+def date_histogram_counts(
+    results: DataFrame,
+    attrs: DataFrame,
+    ts_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    interval="day",
+) -> DataFrame:
+    """-> (query_id, col, bucket_epoch, n): ES ``date_histogram`` over
+    each query's result set — timestamps bucket by
+    ``floor(epoch_seconds / interval) * interval`` (the fixed_interval
+    semantics; ``'day'``/``'hour'``/``'minute'`` are sugar for their UTC
+    second spans, any positive int is a fixed span in seconds). Buckets
+    emit as BIGINT epoch seconds: integer arithmetic end to end, no
+    tz/format round-trip (timestamps are instants; epoch < 2^53 stays
+    exact through the shared melt). Calendar months/years are refused —
+    they are not fixed spans and approximating them silently would be
+    worse than not having them."""
+    if isinstance(interval, str):
+        if interval not in _CALENDAR_SECONDS:
+            raise ValueError(
+                f"interval must be one of {sorted(_CALENDAR_SECONDS)} or a "
+                f"fixed number of seconds, got {interval!r} (calendar "
+                "months/years are not fixed spans — refused)"
+            )
+        ival = _CALENDAR_SECONDS[interval]
+    else:
+        ival = int(interval)
+        if ival <= 0:
+            raise ValueError(f"interval must be > 0 seconds, got {interval}")
+    # timestamp -> DOUBLE casts to (fractional) epoch seconds in Spark,
+    # so the numeric-histogram core applies unchanged; re-emit the
+    # bucket as BIGINT epoch seconds
+    hist = histogram_counts(results, attrs, ts_cols, ext_cols,
+                            interval=float(ival))
+    return hist.select(
+        "query_id",
+        "col",
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        "n",
+    )
+
+
 def percentiles_agg(
     results: DataFrame,
     attrs: DataFrame,

@@ -11,6 +11,7 @@ import pytest
 
 from searchengine_spark.query.aggregations import (
     cardinality_agg,
+    date_histogram_counts,
     histogram_counts,
     percentiles_agg,
     stats_agg,
@@ -94,6 +95,34 @@ def test_percentiles_nearest_rank(spark, frames):
     with pytest.raises(ValueError, match="percents"):
         percentiles_agg(hits, attrs, ["n_chars"], ["ext_id"],
                         percents=(101,))
+
+
+def test_date_histogram_fixed_and_calendar(spark):
+    import datetime as dt
+
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 1)], "query_id int, ext_id long")
+    base = dt.datetime(2026, 1, 1)  # epoch 1767225600 (UTC container)
+    attrs = spark.createDataFrame(
+        [(1, base), (2, base + dt.timedelta(seconds=90)),
+         (3, base + dt.timedelta(days=1, seconds=5)), (4, None)],
+        "ext_id long, ts timestamp",
+    )
+    e0 = 1767225600
+    got = {(r["query_id"], r["bucket_epoch"]): r["n"]
+           for r in date_histogram_counts(hits, attrs, ["ts"], ["ext_id"],
+                                          interval="day").collect()}
+    assert got == {(0, e0): 2, (0, e0 + 86400): 1, (1, e0): 1}
+    got = {(r["query_id"], r["bucket_epoch"]): r["n"]
+           for r in date_histogram_counts(hits, attrs, ["ts"], ["ext_id"],
+                                          interval=60).collect()}
+    assert got == {(0, e0): 1, (0, e0 + 60): 1, (0, e0 + 86400): 1,
+                   (1, e0): 1}
+    with pytest.raises(ValueError, match="calendar"):
+        date_histogram_counts(hits, attrs, ["ts"], ["ext_id"],
+                              interval="month")
+    with pytest.raises(ValueError, match="seconds"):
+        date_histogram_counts(hits, attrs, ["ts"], ["ext_id"], interval=0)
 
 
 def test_cardinality_exact(spark):
