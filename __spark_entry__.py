@@ -1174,6 +1174,39 @@ def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match (query/wand.py): the packed WAND ranking
+    restricted to docs matching AT LEAST 2 of the query's terms — the
+    coverage floor interpolating OR (m=1) and AND (m=n). Coverage is
+    chunk-local exact; pruning stays safe on the subset. Oracle: the
+    same BM25 chain with HAVING count(*) >= 2 (idx is unique per
+    (term, doc), so the row count IS the matched-term count)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6,
+                                  min_should_match=2)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms analog (query/significant.py): JLH-scored
     terms overrepresented in each query's top-10 result set vs the
@@ -2461,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "bm25_page2": q_bm25_page2,
         "search_after_page": q_search_after_page,
+        "min_should_match": q_min_should_match,
         "collapse_topk": q_collapse_topk,
         "result_date_histogram": q_result_date_histogram,
         "delete_then_search": q_delete_then_search,
@@ -2679,6 +2713,26 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank - 10 AS rank FROM ranked
 WHERE rank > 10 AND rank <= 20
+"""
+
+    # minimum_should_match: the same ranking with a coverage floor —
+    # HAVING count(*) >= 2 (idx is unique per (term, doc))
+    sqls["min_should_match"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     # ---- CCNet perplexity: unigram counts -> floor-quantized micro-nat

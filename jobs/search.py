@@ -63,7 +63,7 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
-                search_after=None, collapse=None):
+                search_after=None, collapse=None, min_match=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -98,6 +98,10 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                                      or prf):
         raise SystemExit("--search-after is wired to the bm25* rankers "
                          "(and does not combine with --prf)")
+    if min_match is not None and (ranker != "bm25" or prf):
+        raise SystemExit("--min-should-match is wired to --ranker bm25 "
+                         "(bm25_and IS min-should-match = the term count; "
+                         "does not combine with --prf)")
     if collapse is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or synonyms is not None
@@ -111,7 +115,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         # group col IS the external id, no docmap resolve needed
         return collapse_topk_packed(
             pidx, queries, cfg, k=n, group_col=collapse,
-            conjunctive=ranker == "bm25_and", exclude_terms=excludes)
+            conjunctive=ranker == "bm25_and", exclude_terms=excludes,
+            min_should_match=min_match)
     if ranker == "bm25" and prf:
         from searchengine_spark.query.feedback import prf_bm25_topk_packed_batch
 
@@ -154,7 +159,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
             doc_boost=doc_boost, query_terms=q_terms,
             term_weights=t_weights or None, exclude_terms=excludes,
-            offset=offset, search_after=sa)
+            offset=offset, search_after=sa, min_should_match=min_match)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -223,12 +228,13 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
-                 search_after=None, collapse=None):
+                 search_after=None, collapse=None, min_match=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
                        synonyms, offset=offset, wildcard=wildcard,
-                       search_after=search_after, collapse=collapse).collect()
+                       search_after=search_after, collapse=collapse,
+                       min_match=min_match).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -703,6 +709,7 @@ def _serve_federated(spark, args) -> None:
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
                 exclude=neg or None, offset=args.offset,
                 search_after=cursor,
+                min_should_match=args.min_should_match,
                 wildcard=args.wildcard, max_expansions=args.max_expansions,
                 allow_leading_wildcard=args.allow_leading_wildcard,
             )
@@ -724,6 +731,10 @@ def _serve_federated(spark, args) -> None:
             raise SystemExit("--offset does not combine with --prf")
         if cursor is not None and prf:
             raise SystemExit("--search-after does not combine with --prf")
+        if args.min_should_match is not None and (args.ranker != "bm25"
+                                                  or prf):
+            raise SystemExit("--min-should-match is wired to --ranker bm25 "
+                             "(does not combine with --prf)")
         if args.collapse:
             if (args.ranker not in ("bm25", "bm25_and") or prf
                     or args.fuzzy or args.wildcard or synonyms is not None
@@ -742,7 +753,8 @@ def _serve_federated(spark, args) -> None:
                 shards, batch, cfg, k=args.n,
                 group_col=args.collapse,
                 conjunctive=args.ranker == "bm25_and",
-                exclude_terms=excludes)
+                exclude_terms=excludes,
+                min_should_match=args.min_should_match)
         elif args.ranker == "bm25" and prf:
             from searchengine_spark.query.federated import (
                 prf_bm25_topk_federated,
@@ -784,7 +796,8 @@ def _serve_federated(spark, args) -> None:
                 query_terms=q_terms, term_weights=t_weights or None,
                 exclude_terms=excludes, offset=args.offset,
                 search_after=({i: cursor for i in range(len(batch))}
-                              if cursor is not None else None))
+                              if cursor is not None else None),
+                min_should_match=args.min_should_match)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -1019,6 +1032,12 @@ def main() -> None:
                          "to --offset; bm25* rankers, every tier, "
                          "--index or --shards with a federation-namespace "
                          "doc_id)")
+    ap.add_argument("--min-should-match", type=int, default=None,
+                    metavar="M",
+                    help="ES minimum_should_match: only docs matching at "
+                         "least M of the query's terms rank (M=1 is plain "
+                         "OR; the term count is --ranker bm25_and); "
+                         "--ranker bm25, every tier, --index or --shards")
     ap.add_argument("--collapse", default=None, metavar="COL",
                     help="field collapse (ES collapse, query/collapse.py): "
                          "one result per group — top-n GROUPS by their "
@@ -1210,6 +1229,7 @@ def main() -> None:
                 doc_filter=doc_filter, prf=prf, doc_boost=doc_boost,
                 synonyms=synonyms, offset=args.offset, wildcard=_wc(args),
                 search_after=cursor, collapse=args.collapse,
+                min_match=args.min_should_match,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1293,6 +1313,7 @@ def main() -> None:
                                             exclude=neg or None,
                                             offset=args.offset,
                                             search_after=cursor,
+                                            min_should_match=args.min_should_match,
                                             wildcard=args.wildcard,
                                             max_expansions=args.max_expansions,
                                             allow_leading_wildcard=args.allow_leading_wildcard),
@@ -1304,7 +1325,8 @@ def main() -> None:
                                  prf=prf, doc_boost=doc_boost,
                                  synonyms=synonyms, offset=args.offset,
                                  wildcard=_wc(args), search_after=cursor,
-                                 collapse=args.collapse)
+                                 collapse=args.collapse,
+                                 min_match=args.min_should_match)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

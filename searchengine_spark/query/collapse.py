@@ -49,6 +49,7 @@ def collapse_topk_packed(
     round_dp: int | None = None,
     conjunctive: bool = False,
     exclude_terms: dict | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Top-k collapsed groups per query -> (query_id, <group_col>,
     doc_id, score, rank) where doc_id is the group's best hit.
@@ -80,7 +81,7 @@ def collapse_topk_packed(
 
     scores = bm25_scores_packed_batch(
         pidx, queries, cfg, round_dp=round_dp, conjunctive=conjunctive,
-        exclude_terms=exclude_terms,
+        exclude_terms=exclude_terms, min_should_match=min_should_match,
     )
     return _collapse_from_scores(
         scores, pidx.docmap.select("doc_id", group_col), group_col, k
@@ -96,6 +97,7 @@ def collapse_topk_federated(
     round_dp: int | None = None,
     conjunctive: bool = False,
     exclude_terms: dict | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Federated field collapse -> (query_id, <group_col>, doc_id,
     score, rank) with doc_id in the federation namespace — EXACT for
@@ -131,7 +133,7 @@ def collapse_topk_federated(
         )
     scores = bm25_scores_federated(
         shards, queries, cfg, round_dp=round_dp, conjunctive=conjunctive,
-        exclude_terms=exclude_terms,
+        exclude_terms=exclude_terms, min_should_match=min_should_match,
     )
     from functools import reduce as _reduce
 

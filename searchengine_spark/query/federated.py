@@ -275,6 +275,7 @@ def bm25_topk_federated(
     exclude_terms: dict | None = None,
     offset: int = 0,
     search_after: dict | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -327,7 +328,12 @@ def bm25_topk_federated(
     exact under BOTH gather topologies (two-phase: each shard emits its
     post-cursor top-k, and any post-cursor doc outside its shard's
     page-k is dominated by k same-shard post-cursor docs). Heaps stay
-    size k at any depth; ranks come back PAGE-RELATIVE 1..k."""
+    size k at any depth; ranks come back PAGE-RELATIVE 1..k.
+
+    ``min_should_match``: ES minimum_should_match (wand.py twin) — a
+    doc lives in one shard and its matched-term coverage is decided
+    inside that shard's scorer group under BOTH gather topologies, so
+    the coverage floor is exact federation-wide."""
     if gather == "auto":
         gather = "single" if len(shards) <= AUTO_GATHER_SINGLE_MAX else "two_phase"
     if gather not in ("two_phase", "single"):
@@ -510,6 +516,18 @@ def bm25_topk_federated(
     if search_after is not None:
         sa_map = {int(q): (float(s), int(d))
                   for q, (s, d) in search_after.items()}
+    mm_map = None
+    if min_should_match is not None:
+        if conjunctive:
+            raise ValueError(
+                "min_should_match and conjunctive are mutually exclusive "
+                "(conjunctive IS min_should_match = the term count)"
+            )
+        if int(min_should_match) < 1:
+            raise ValueError(
+                f"min_should_match must be >= 1, got {min_should_match}"
+            )
+        mm_map = {qid: int(min_should_match) for qid, _ in rows}
     n_docs_total = sum(int(s.manifest["n_docs"]) for s in shards)
     k_top = (k + offset) if not exhaustive else max(k + offset, n_docs_total)
     scorer = _wand_scorer(
@@ -520,6 +538,7 @@ def bm25_topk_federated(
         decoders=decoders if decoders else None,
         qweights=term_weights,
         require_all=require_all,
+        min_match=mm_map,
         exclude_terms=ex_map,
         search_after=sa_map,
     )
@@ -554,6 +573,7 @@ def bm25_scores_federated(
     round_dp: int | None = None,
     conjunctive: bool = False,
     exclude_terms: dict | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """EVERY matched doc's BM25 score across ALL shards -> (query_id,
     doc_id, score) in the federation docID namespace — the score-all
@@ -652,8 +672,20 @@ def bm25_scores_federated(
         mask = s.delete_mask()
         if mask is not None:
             decoders[base] = mask.wrap_decoders()[0]
+    mm_map = None
+    if min_should_match is not None:
+        if conjunctive:
+            raise ValueError(
+                "min_should_match and conjunctive are mutually exclusive"
+            )
+        if int(min_should_match) < 1:
+            raise ValueError(
+                f"min_should_match must be >= 1, got {min_should_match}"
+            )
+        mm_map = {qid: int(min_should_match) for qid, _ in rows}
     scorer = _flat_scorer(params, round_dp, idf_map,
-                          require_all=require_all, exclude_terms=ex_map,
+                          require_all=require_all, min_match=mm_map,
+                          exclude_terms=ex_map,
                           decoders=decoders if decoders else None)
     return matched.groupBy("query_id", "chunk").applyInPandas(
         scorer, schema=_SCORES_SCHEMA

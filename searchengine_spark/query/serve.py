@@ -301,6 +301,7 @@ class LocalSearcher:
         exclude: Sequence[str] | None = None,
         offset: int = 0,
         search_after: tuple | None = None,
+        min_should_match: int | None = None,
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
@@ -403,6 +404,16 @@ class LocalSearcher:
                     f"search_after is not wired into the {ranker!r} local "
                     "scorer (bm25/bm25_and only)"
                 )
+        if min_should_match is not None:
+            if ranker != "bm25":
+                raise NotImplementedError(
+                    "min_should_match is wired to the bm25 local scorer "
+                    "(bm25_and IS min_should_match = the term count)"
+                )
+            if int(min_should_match) < 1:
+                raise ValueError(
+                    f"min_should_match must be >= 1, got {min_should_match}"
+                )
         ex_terms: List[str] = []
         if exclude:
             if ranker not in ("bm25", "bm25_and", "boolean_and", "boolean_or"):
@@ -463,9 +474,12 @@ class LocalSearcher:
             sa = None
             if search_after is not None:
                 sa = {0: (float(search_after[0]), int(search_after[1]))}
+            mm = ({0: int(min_should_match)}
+                  if min_should_match is not None else None)
             scorer = _wand_scorer(
                 k + offset, self.params, round_dp, idf, decode=self._dec,
                 allowed=allowed, require_all=require_all, boosts=boosts,
+                min_match=mm,
                 exclude_terms={0: set(ex_terms)} if ex_terms else None,
                 search_after=sa,
             )
@@ -908,6 +922,7 @@ class FederatedLocalSearcher:
         exclude: Sequence[str] | None = None,
         offset: int = 0,
         search_after: tuple | None = None,
+        min_should_match: int | None = None,
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
@@ -960,6 +975,11 @@ class FederatedLocalSearcher:
                     f"search_after is not wired into the {ranker!r} "
                     "federated local scorer (bm25/bm25_and only)"
                 )
+        if min_should_match is not None and ranker != "bm25":
+            raise NotImplementedError(
+                "min_should_match is wired to the bm25 federated local "
+                "scorer (bm25_and IS min_should_match = the term count)"
+            )
         if ranker.startswith("bm25"):
             _check_compat(self.shards)
         elif ranker.startswith("tfidf"):
@@ -1033,6 +1053,7 @@ class FederatedLocalSearcher:
                 rerank_n=rerank_n, resolve=False, filter_docs=fd,
                 boost_docs=bd, idf_override=idf_g, dl_bounds=dl_bounds,
                 query_tokens=toks, exclude=exclude, search_after=sa,
+                min_should_match=min_should_match,
             )
             for r in rows:
                 r["doc_id"] = int(r["doc_id"]) + base

@@ -71,6 +71,7 @@ def _wand_scorer(
     allowed: np.ndarray | None = None,
     qweights: dict | None = None,
     require_all: dict | None = None,
+    min_match: dict | None = None,
     boosts: tuple | None = None,
     decoders: dict | None = None,
     exclude_terms: dict | None = None,
@@ -103,6 +104,13 @@ def _wand_scorer(
     lives in one chunk, so the per-chunk coverage count IS the global
     one). Chunk bounds still upper-bound the conjunctive subset's scores,
     so pruning stays safe (looser, never wrong).
+
+    ``min_match``: {query_id: m} — ES ``minimum_should_match``: only
+    docs matched by AT LEAST m of the query's terms score (m=1 is plain
+    OR, m=n is the conjunctive contract; the same chunk-locality
+    argument makes the per-chunk coverage count exact, and filtering to
+    a subset keeps the pruning bounds safe). Mutually exclusive with
+    ``require_all`` at the call sites.
 
     ``boosts``: (sorted doc_id array, aligned multiplier array) — doc
     boosting (the SOFT twin of ``allowed``; Lucene function-query /
@@ -275,6 +283,13 @@ def _wand_scorer(
                     if not hit.any():
                         continue
                     uniq, scores = uniq[hit], scores[hit]
+            if min_match is not None:
+                need = min_match.get(qid)
+                if need is not None and need > 1:
+                    hit = cov >= need
+                    if not hit.any():
+                        continue
+                    uniq, scores = uniq[hit], scores[hit]
             if b_ids is not None and b_ids.size:
                 bidx = np.searchsorted(b_ids, uniq)
                 bidx[bidx == b_ids.size] = 0
@@ -342,6 +357,7 @@ def _flat_scorer(
     idf_map: dict | None = None,
     decode=None,
     require_all: dict | None = None,
+    min_match: dict | None = None,
     exclude_terms: dict | None = None,
     decoders: dict | None = None,
 ):
@@ -417,6 +433,13 @@ def _flat_scorer(
                 if not hit.any():
                     return empty
                 uniq, scores = uniq[hit], scores[hit]
+        if min_match is not None:
+            need = min_match.get(qid)
+            if need is not None and need > 1:
+                hit = cov >= need
+                if not hit.any():
+                    return empty
+                uniq, scores = uniq[hit], scores[hit]
         if round_dp is not None:
             scores = np.round(scores, round_dp)
         return pd.DataFrame(
@@ -438,6 +461,7 @@ def bm25_scores_packed_batch(
     conjunctive: bool = False,
     exclude_terms: dict | None = None,
     query_terms: Sequence[Sequence[str]] | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """EVERY matched doc's BM25 score per query -> (query_id, doc_id,
     score) — the score-all companion to :func:`bm25_topk_packed_batch`
@@ -531,8 +555,20 @@ def bm25_scores_packed_batch(
     )
     mask = pidx.delete_mask()
     dec = mask.wrap_decoders()[0] if mask is not None else None
+    mm_map = None
+    if min_should_match is not None:
+        if conjunctive:
+            raise ValueError(
+                "min_should_match and conjunctive are mutually exclusive"
+            )
+        if int(min_should_match) < 1:
+            raise ValueError(
+                f"min_should_match must be >= 1, got {min_should_match}"
+            )
+        mm_map = {qid: int(min_should_match) for qid, _ in rows}
     scorer = _flat_scorer(pidx.params, round_dp, idf_map, decode=dec,
-                          require_all=require_all, exclude_terms=ex_map)
+                          require_all=require_all, min_match=mm_map,
+                          exclude_terms=ex_map)
     return matched.groupBy("query_id", "chunk").applyInPandas(
         scorer, schema=_SCORES_SCHEMA
     )
@@ -644,6 +680,7 @@ def bm25_topk_packed_batch(
     exclude_terms: dict | None = None,
     offset: int = 0,
     search_after: dict | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -717,7 +754,15 @@ def bm25_topk_packed_batch(
     the scorer's own score space (rounded when round_dp is set); ranks
     come back PAGE-RELATIVE 1..k. Pages concatenate to the full ranking
     prefix exactly (same total order). Mutually exclusive with
-    ``offset`` (ES rejects from+search_after too)."""
+    ``offset`` (ES rejects from+search_after too).
+
+    ``min_should_match``: ES minimum_should_match — only docs matching
+    AT LEAST m of the query's terms score (m=1 is plain OR — the
+    default semantics; m = the query's term count is exactly
+    ``conjunctive``, which it therefore refuses to combine with). A
+    query with fewer in-vocabulary terms than m matches nothing (no doc
+    can reach the coverage floor). The per-chunk coverage count is
+    exact (chunk locality) and subset filtering keeps pruning safe."""
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
     if search_after is not None and offset:
@@ -725,6 +770,16 @@ def bm25_topk_packed_batch(
             "offset and search_after are mutually exclusive (the cursor "
             "IS the page position — ES rejects from + search_after too)"
         )
+    if min_should_match is not None:
+        if conjunctive:
+            raise ValueError(
+                "min_should_match and conjunctive are mutually exclusive "
+                "(conjunctive IS min_should_match = the term count)"
+            )
+        if int(min_should_match) < 1:
+            raise ValueError(
+                f"min_should_match must be >= 1, got {min_should_match}"
+            )
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -871,8 +926,13 @@ def bm25_topk_packed_batch(
     if search_after is not None:
         sa_map = {int(q): (float(s), int(d))
                   for q, (s, d) in search_after.items()}
+    mm_map = None
+    if min_should_match is not None:
+        mm_map = {qid for qid, _ in rows}
+        mm_map = {qid: int(min_should_match) for qid in mm_map}
     scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
                           qweights=term_weights, require_all=require_all,
+                          min_match=mm_map,
                           exclude_terms=ex_map, search_after=sa_map)
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
