@@ -1207,6 +1207,44 @@ def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query (query/wand.py demote_terms): the packed WAND
+    ranking with each query demoting the FIRST token of the next query
+    (cross-demotion, deterministic both engines) at negative_boost 0.5 —
+    demoted docs sink (score x 0.5 BEFORE the 6dp rounding) but stay,
+    the soft must_not. Demotion only lowers scores so pruning stays
+    exact; the oracle replicates it as a LEFT-JOIN CASE multiply."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qids = sorted(QUERY_STRINGS)
+    qs = [QUERY_STRINGS[q] for q in qids]
+    dem = {
+        i: {_qterms(qids[(i + 1) % len(qids)])[0]}
+        for i in range(len(qids))
+    }
+    topk = bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6,
+                                  demote_terms=dem, negative_boost=0.5)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms analog (query/significant.py): JLH-scored
     terms overrepresented in each query's top-10 result set vs the
@@ -2495,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": q_bm25_page2,
         "search_after_page": q_search_after_page,
         "min_should_match": q_min_should_match,
+        "boosting_query": q_boosting_query,
         "collapse_topk": q_collapse_topk,
         "result_date_histogram": q_result_date_histogram,
         "delete_then_search": q_delete_then_search,
@@ -2713,6 +2752,42 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank - 10 AS rank FROM ranked
 WHERE rank > 10 AND rank <= 20
+"""
+
+    # boosting query: each query demotes the FIRST token of the next
+    # query; demoted docs LEFT-JOIN in and multiply by 0.5 pre-rounding
+    qids_sorted = sorted(QUERY_STRINGS)
+    dem_selects = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, "
+        f"{_sql_quote(_qterms(qids_sorted[(i + 1) % len(qids_sorted)])[0])} AS term"
+        for i in range(len(qids_sorted))
+    )
+    sqls["boosting_query"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+dq AS ({dem_selects}),
+sunk AS (
+  SELECT DISTINCT dq.query_id, idx.doc_id
+  FROM idx JOIN dq USING (term)
+),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+final AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN k.doc_id IS NOT NULL THEN s.s * 0.5 ELSE s.s END AS s
+  FROM scored s
+  LEFT JOIN sunk k ON k.query_id = s.query_id AND k.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM final
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     # minimum_should_match: the same ranking with a coverage floor —

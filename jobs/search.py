@@ -63,7 +63,8 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
-                search_after=None, collapse=None, min_match=None):
+                search_after=None, collapse=None, min_match=None,
+                demote=None, negative_boost=0.5):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -102,6 +103,9 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         raise SystemExit("--min-should-match is wired to --ranker bm25 "
                          "(bm25_and IS min-should-match = the term count; "
                          "does not combine with --prf)")
+    if demote is not None and (ranker not in ("bm25", "bm25_and") or prf):
+        raise SystemExit("--demote is wired to the bm25* rankers "
+                         "(does not combine with --prf)")
     if collapse is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or synonyms is not None
@@ -154,12 +158,19 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             # one interactive cursor applies to every query in the batch
             # (REPL paging is single-query; batch files page per-run)
             sa = {i: search_after for i in range(len(queries))}
+        dem = None
+        if demote is not None:
+            from searchengine_spark.query.negation import negated_terms
+
+            dts = set(negated_terms(demote.split(), cfg))
+            dem = {i: dts for i in range(len(queries))} if dts else None
         topk = bm25_topk_packed_batch(
             pidx, queries, cfg, k=n, exhaustive=exhaustive, fuzzy=fuzzy,
             doc_filter=doc_filter, conjunctive=ranker == "bm25_and",
             doc_boost=doc_boost, query_terms=q_terms,
             term_weights=t_weights or None, exclude_terms=excludes,
-            offset=offset, search_after=sa, min_should_match=min_match)
+            offset=offset, search_after=sa, min_should_match=min_match,
+            demote_terms=dem, negative_boost=negative_boost)
     elif ranker == "bm25_optimized":
         topk = proximity_topk_packed_batch(pidx, queries, cfg, k=n, mode="bm25")
     elif ranker == "tfidf_optimized":
@@ -228,13 +239,15 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
 def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
-                 search_after=None, collapse=None, min_match=None):
+                 search_after=None, collapse=None, min_match=None,
+                 demote=None, negative_boost=0.5):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
                        synonyms, offset=offset, wildcard=wildcard,
                        search_after=search_after, collapse=collapse,
-                       min_match=min_match).collect()
+                       min_match=min_match, demote=demote,
+                       negative_boost=negative_boost).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -735,6 +748,9 @@ def _serve_federated(spark, args) -> None:
                                                   or prf):
             raise SystemExit("--min-should-match is wired to --ranker bm25 "
                              "(does not combine with --prf)")
+        if args.demote:
+            raise SystemExit("--demote serves from a single index "
+                             "(--index); federated demotion is not wired")
         if args.collapse:
             if (args.ranker not in ("bm25", "bm25_and") or prf
                     or args.fuzzy or args.wildcard or synonyms is not None
@@ -1032,6 +1048,16 @@ def main() -> None:
                          "to --offset; bm25* rankers, every tier, "
                          "--index or --shards with a federation-namespace "
                          "doc_id)")
+    ap.add_argument("--demote", default=None, metavar="\"W1 W2\"",
+                    help="ES boosting query: docs matching ANY of these "
+                         "words still rank but their score multiplies by "
+                         "--negative-boost (the soft '-term' — exclusion "
+                         "removes, demotion sinks); words normalize "
+                         "through the query tokenizer; bm25* rankers, "
+                         "--index (distributed + local tiers)")
+    ap.add_argument("--negative-boost", type=float, default=0.5,
+                    metavar="X", help="demotion multiplier in [0,1) "
+                                      "(default 0.5)")
     ap.add_argument("--min-should-match", type=int, default=None,
                     metavar="M",
                     help="ES minimum_should_match: only docs matching at "
@@ -1230,6 +1256,7 @@ def main() -> None:
                 synonyms=synonyms, offset=args.offset, wildcard=_wc(args),
                 search_after=cursor, collapse=args.collapse,
                 min_match=args.min_should_match,
+                demote=args.demote, negative_boost=args.negative_boost,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1314,6 +1341,9 @@ def main() -> None:
                                             offset=args.offset,
                                             search_after=cursor,
                                             min_should_match=args.min_should_match,
+                                            demote=(args.demote.split()
+                                                    if args.demote else None),
+                                            negative_boost=args.negative_boost,
                                             wildcard=args.wildcard,
                                             max_expansions=args.max_expansions,
                                             allow_leading_wildcard=args.allow_leading_wildcard),
@@ -1326,7 +1356,9 @@ def main() -> None:
                                  synonyms=synonyms, offset=args.offset,
                                  wildcard=_wc(args), search_after=cursor,
                                  collapse=args.collapse,
-                                 min_match=args.min_should_match)
+                                 min_match=args.min_should_match,
+                                 demote=args.demote,
+                                 negative_boost=args.negative_boost)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

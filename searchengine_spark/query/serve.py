@@ -302,6 +302,8 @@ class LocalSearcher:
         offset: int = 0,
         search_after: tuple | None = None,
         min_should_match: int | None = None,
+        demote: Sequence[str] | None = None,
+        negative_boost: float = 0.5,
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
@@ -414,6 +416,19 @@ class LocalSearcher:
                 raise ValueError(
                     f"min_should_match must be >= 1, got {min_should_match}"
                 )
+        dem_terms: List[str] = []
+        if demote:
+            if ranker not in ("bm25", "bm25_and"):
+                raise NotImplementedError(
+                    f"demote is not wired into the {ranker!r} local scorer"
+                )
+            if not 0.0 <= float(negative_boost) < 1.0:
+                raise ValueError(
+                    f"negative_boost must be in [0, 1), got {negative_boost}"
+                )
+            from .negation import negated_terms
+
+            dem_terms = negated_terms(demote, self.cfg)
         ex_terms: List[str] = []
         if exclude:
             if ranker not in ("bm25", "bm25_and", "boolean_and", "boolean_or"):
@@ -476,12 +491,31 @@ class LocalSearcher:
                 sa = {0: (float(search_after[0]), int(search_after[1]))}
             mm = ({0: int(min_should_match)}
                   if min_should_match is not None else None)
+            dem_map = dem_keep = None
+            if dem_terms:
+                if set(dem_terms) & set(ex_terms):
+                    raise ValueError(
+                        "terms both demoted and excluded — pick one "
+                        "(exclusion removes, demotion sinks)"
+                    )
+                # demote slices must be loaded like scoring slices
+                self._ensure_terms([t for t in dem_terms
+                                    if t not in self._idf])
+                dem_map = {0: set(t for t in dem_terms if t in self._idf)}
+                dem_keep = {0: dem_map[0] & set(terms)}
+                extra = [t for t in sorted(dem_map[0]) if t not in fetch]
+                if extra:
+                    pdf2 = self._matched(fetch + extra)
+                    if pdf2 is not None:
+                        pdf = pdf2
             scorer = _wand_scorer(
                 k + offset, self.params, round_dp, idf, decode=self._dec,
                 allowed=allowed, require_all=require_all, boosts=boosts,
                 min_match=mm,
                 exclude_terms={0: set(ex_terms)} if ex_terms else None,
                 search_after=sa,
+                demote_terms=dem_map, demote_keep=dem_keep,
+                demote_factor=float(negative_boost),
             )
             out = scorer(pdf)
             if offset:

@@ -76,6 +76,9 @@ def _wand_scorer(
     decoders: dict | None = None,
     exclude_terms: dict | None = None,
     search_after: dict | None = None,
+    demote_terms: dict | None = None,
+    demote_keep: dict | None = None,
+    demote_factor: float = 0.5,
 ):
     """``round_dp``: round per-doc scores to this many decimals and rank by
     the ROUNDED value (doc_id asc tie-break) — the cross-engine-stable
@@ -146,7 +149,19 @@ def _wand_scorer(
     achievable scores; pruning bounds stay safe unchanged. Emitted ranks
     are PAGE-RELATIVE 1..k (ES search_after has no absolute rank — an
     absolute rank would cost the offset count the cursor exists to
-    avoid)."""
+    avoid).
+
+    ``demote_terms`` / ``demote_keep`` / ``demote_factor``: the ES
+    *boosting query* — docs matching any of a query's demote terms keep
+    ranking but their final score multiplies by ``demote_factor`` in
+    [0, 1) (the soft must_not: exclusion removes, demotion sinks).
+    Demote rows ride the same fan-out as scoring rows; ``demote_keep``
+    lists the demote terms that are ALSO positive for the query (their
+    rows must stay in the scoring frame — a term can contribute score
+    AND trigger demotion, the ES semantics). Demotion is chunk-local
+    exact (same argument as exclusion) and only LOWERS scores, so the
+    pruning upper bounds stay safe unchanged; it applies BEFORE
+    rounding, so the rounded-rank contract sees the demoted value."""
     kk, bb = float(params.k), float(params.b)
     if qweights:
         # same safety rule as doc boosts: a negative coefficient makes
@@ -168,6 +183,27 @@ def _wand_scorer(
 
     def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        dem_by_chunk = None
+        if demote_terms:
+            dem = demote_terms.get(qid)
+            if dem:
+                is_dem = pdf["term"].isin(dem)
+                if is_dem.any():
+                    # demote rows build the demoted-doc sets; rows whose
+                    # term is NOT also positive leave the scoring frame
+                    dem_by_chunk = dict(tuple(pdf[is_dem].groupby("chunk")))
+                    keep = (demote_keep or {}).get(qid) or set()
+                    drop = is_dem & ~pdf["term"].isin(keep)
+                    pdf = pdf[~drop]
+                    if not len(pdf):
+                        return pd.DataFrame(
+                            {
+                                "query_id": np.array([], dtype=np.int32),
+                                "doc_id": np.array([], dtype=np.int64),
+                                "score": np.array([], dtype=np.float64),
+                                "rank": np.array([], dtype=np.int32),
+                            }
+                        )
         ex_by_chunk = None
         if exclude_terms:
             ex = exclude_terms.get(qid)
@@ -298,6 +334,19 @@ def _wand_scorer(
                     mult = np.ones(len(uniq))
                     mult[hitb] = b_vals[bidx[hitb]]
                     scores = scores * mult
+            if dem_by_chunk is not None:
+                demrows = dem_by_chunk.get(chunk)
+                if demrows is not None:
+                    sunk = np.concatenate(
+                        [d(buf)[0] for buf in demrows["postings"]]
+                    )
+                    if sunk.size:
+                        if base:
+                            sunk = sunk + base
+                        hitd = _member_mask(uniq, np.unique(sunk))
+                        if hitd.any():
+                            scores = scores.copy()
+                            scores[hitd] *= demote_factor
             if round_dp is not None:
                 scores = np.round(scores, round_dp)
             if search_after is not None:
@@ -681,6 +730,8 @@ def bm25_topk_packed_batch(
     offset: int = 0,
     search_after: dict | None = None,
     min_should_match: int | None = None,
+    demote_terms: dict | None = None,
+    negative_boost: float = 0.5,
 ) -> DataFrame:
     """Top-k per query over the packed index -> (query_id, doc_id, score, rank).
 
@@ -756,6 +807,17 @@ def bm25_topk_packed_batch(
     prefix exactly (same total order). Mutually exclusive with
     ``offset`` (ES rejects from+search_after too).
 
+    ``demote_terms``: {query_id: iterable of NORMALIZED demote terms} +
+    ``negative_boost`` in [0, 1) — the ES *boosting query*: docs
+    matching ANY of a query's demote terms still rank, but their score
+    multiplies by negative_boost (the soft must_not — exclusion removes,
+    demotion sinks; ES's boosting query contract). A term both positive
+    and demoted contributes score AND sinks (ES semantics); a term both
+    demoted and excluded is refused (ambiguous). Demote terms ride the
+    pushed scan + fan-out like negation; absent-from-index terms demote
+    nothing. Demotion only lowers scores, so block-max pruning stays
+    exact, and it applies BEFORE rounding.
+
     ``min_should_match``: ES minimum_should_match — only docs matching
     AT LEAST m of the query's terms score (m=1 is plain OR — the
     default semantics; m = the query's term count is exactly
@@ -780,6 +842,21 @@ def bm25_topk_packed_batch(
             raise ValueError(
                 f"min_should_match must be >= 1, got {min_should_match}"
             )
+    if demote_terms is not None:
+        if not 0.0 <= float(negative_boost) < 1.0:
+            raise ValueError(
+                f"negative_boost must be in [0, 1), got {negative_boost} "
+                "(1.0 is a no-op; >1 would promote and break pruning)"
+            )
+        if exclude_terms:
+            for qid, ts in demote_terms.items():
+                both = set(ts or ()) & set(exclude_terms.get(qid, ()) or ())
+                if both:
+                    raise ValueError(
+                        f"terms {sorted(both)} are both demoted and "
+                        f"excluded for query {qid} — pick one (exclusion "
+                        "removes, demotion sinks)"
+                    )
     if pidx.manifest.get("payload", "freq") != "freq":
         raise ValueError(
             f"payload={pidx.manifest.get('payload')!r} index stores no dlq — "
@@ -889,6 +966,38 @@ def bm25_topk_packed_batch(
         ]
         all_terms = sorted(set(all_terms) | {t for _, t in ex_rows})
 
+    dem_map: dict[int, set] | None = None
+    dem_keep: dict[int, set] | None = None
+    dem_rows: list = []
+    if demote_terms:
+        live = {qid for qid, _ in rows}
+        pos_by_q: dict[int, set] = {}
+        for qid, t in rows:
+            pos_by_q.setdefault(qid, set()).add(t)
+        dem_map = {
+            int(qid): set(ts)
+            for qid, ts in demote_terms.items()
+            if ts and int(qid) in live
+        } or None
+        if dem_map:
+            new_t = sorted(
+                {t for ts in dem_map.values() for t in ts} - set(idf_map)
+            )
+            if new_t:
+                # presence probe only — absent terms demote nothing
+                idf_map.update(_idf_for(new_t))
+            dem_keep = {
+                qid: (ts & pos_by_q.get(qid, set()))
+                for qid, ts in dem_map.items()
+            }
+            dem_rows = [
+                (qid, t)
+                for qid, ts in sorted(dem_map.items())
+                for t in sorted(ts)
+                if t in idf_map
+            ]
+            all_terms = sorted(set(all_terms) | {t for _, t in dem_rows})
+
     pruned = pidx.index.filter(F.col("term").isin(all_terms))
     qids_by_term: dict[str, list[int]] = {}
     for qid, t in rows:
@@ -897,6 +1006,11 @@ def bm25_topk_packed_batch(
         # negated rows join the same fan-out; skip the dup when a term is
         # both positive and negated for one query (the scorer's term-set
         # split routes the single row to exclusion — the negation wins)
+        if qid not in qids_by_term.setdefault(t, []):
+            qids_by_term[t].append(qid)
+    for qid, t in dem_rows:
+        # demote rows join the fan-out too; a positive+demoted term's
+        # single row is routed to BOTH roles by the scorer's demote_keep
         if qid not in qids_by_term.setdefault(t, []):
             qids_by_term[t].append(qid)
     map_entries = [
@@ -933,7 +1047,9 @@ def bm25_topk_packed_batch(
     scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
                           qweights=term_weights, require_all=require_all,
                           min_match=mm_map,
-                          exclude_terms=ex_map, search_after=sa_map)
+                          exclude_terms=ex_map, search_after=sa_map,
+                          demote_terms=dem_map, demote_keep=dem_keep,
+                          demote_factor=float(negative_boost))
     out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     if exhaustive:
         out = out.filter(F.col("rank") <= k + offset)
