@@ -110,7 +110,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or synonyms is not None
                 or doc_filter is not None or doc_boost is not None
-                or offset or search_after is not None):
+                or offset or search_after is not None
+                or demote is not None):
             raise SystemExit("--collapse combines only with plain "
                              "bm25/bm25_and retrieval (+ '-term' negation)")
         from searchengine_spark.query.collapse import collapse_topk_packed
@@ -723,6 +724,8 @@ def _serve_federated(spark, args) -> None:
                 exclude=neg or None, offset=args.offset,
                 search_after=cursor,
                 min_should_match=args.min_should_match,
+                demote=(args.demote.split() if args.demote else None),
+                negative_boost=args.negative_boost,
                 wildcard=args.wildcard, max_expansions=args.max_expansions,
                 allow_leading_wildcard=args.allow_leading_wildcard,
             )
@@ -748,14 +751,19 @@ def _serve_federated(spark, args) -> None:
                                                   or prf):
             raise SystemExit("--min-should-match is wired to --ranker bm25 "
                              "(does not combine with --prf)")
+        dem_fed = None
         if args.demote:
-            raise SystemExit("--demote serves from a single index "
-                             "(--index); federated demotion is not wired")
+            from searchengine_spark.query.negation import negated_terms
+
+            dts = set(negated_terms(args.demote.split(), cfg))
+            dem_fed = ({i: dts for i in range(len(batch))}
+                       if dts else None)
         if args.collapse:
             if (args.ranker not in ("bm25", "bm25_and") or prf
                     or args.fuzzy or args.wildcard or synonyms is not None
                     or doc_filters is not None or doc_boosts is not None
-                    or args.offset or cursor is not None):
+                    or args.offset or cursor is not None
+                    or args.demote):
                 raise SystemExit("--collapse combines only with plain "
                                  "bm25/bm25_and retrieval (+ '-term' "
                                  "negation)")
@@ -813,7 +821,9 @@ def _serve_federated(spark, args) -> None:
                 exclude_terms=excludes, offset=args.offset,
                 search_after=({i: cursor for i in range(len(batch))}
                               if cursor is not None else None),
-                min_should_match=args.min_should_match)
+                min_should_match=args.min_should_match,
+                demote_terms=dem_fed,
+                negative_boost=args.negative_boost)
         elif args.ranker == "tfidf":
             topk = tfidf_topk_federated(
                 shards, batch, cfg, k=args.n, schema=args.schema)
@@ -1054,7 +1064,7 @@ def main() -> None:
                          "--negative-boost (the soft '-term' — exclusion "
                          "removes, demotion sinks); words normalize "
                          "through the query tokenizer; bm25* rankers, "
-                         "--index (distributed + local tiers)")
+                         "every tier, --index or --shards")
     ap.add_argument("--negative-boost", type=float, default=0.5,
                     metavar="X", help="demotion multiplier in [0,1) "
                                       "(default 0.5)")

@@ -276,6 +276,8 @@ def bm25_topk_federated(
     offset: int = 0,
     search_after: dict | None = None,
     min_should_match: int | None = None,
+    demote_terms: dict | None = None,
+    negative_boost: float = 0.5,
 ) -> DataFrame:
     """Top-k per query across ALL shards -> (query_id, doc_id, score, rank)
     with doc_id in the federation-global namespace (resolve external ids
@@ -333,7 +335,13 @@ def bm25_topk_federated(
     ``min_should_match``: ES minimum_should_match (wand.py twin) — a
     doc lives in one shard and its matched-term coverage is decided
     inside that shard's scorer group under BOTH gather topologies, so
-    the coverage floor is exact federation-wide."""
+    the coverage floor is exact federation-wide.
+
+    ``demote_terms`` / ``negative_boost``: the ES boosting query
+    (wand.py twin) — a doc's positive and demote postings share its
+    (shard, chunk), so the chunk-local demotion is exact under both
+    gathers; demotion only lowers scores, so the merge and pruning
+    arguments hold unchanged."""
     if gather == "auto":
         gather = "single" if len(shards) <= AUTO_GATHER_SINGLE_MAX else "two_phase"
     if gather not in ("two_phase", "single"):
@@ -424,6 +432,49 @@ def bm25_topk_federated(
         ]
         all_terms = sorted(set(all_terms) | {t for _, t in ex_rows})
 
+    dem_map: dict[int, set] | None = None
+    dem_keep: dict[int, set] | None = None
+    dem_rows: list = []
+    if demote_terms:
+        if not 0.0 <= float(negative_boost) < 1.0:
+            raise ValueError(
+                f"negative_boost must be in [0, 1), got {negative_boost}"
+            )
+        live = {qid for qid, _ in rows}
+        pos_by_q: dict[int, set] = {}
+        for qid, t in rows:
+            pos_by_q.setdefault(qid, set()).add(t)
+        dem_map = {
+            int(qid): set(ts)
+            for qid, ts in demote_terms.items()
+            if ts and int(qid) in live
+        } or None
+        if dem_map:
+            if exclude_terms:
+                for qid, ts in dem_map.items():
+                    both = ts & set(exclude_terms.get(qid, ()) or ())
+                    if both:
+                        raise ValueError(
+                            f"terms {sorted(both)} are both demoted and "
+                            f"excluded for query {qid} — pick one"
+                        )
+            new_t = sorted(
+                {t for ts in dem_map.values() for t in ts} - set(idf_map)
+            )
+            if new_t:
+                idf_map.update(_global_idf(shards, new_t))
+            dem_keep = {
+                qid: (ts & pos_by_q.get(qid, set()))
+                for qid, ts in dem_map.items()
+            }
+            dem_rows = [
+                (qid, t)
+                for qid, ts in sorted(dem_map.items())
+                for t in sorted(ts)
+                if t in idf_map
+            ]
+            all_terms = sorted(set(all_terms) | {t for _, t in dem_rows})
+
     bases = _doc_bases(shards)
     parts = []
     for s, base in zip(shards, bases):
@@ -444,6 +495,11 @@ def bm25_topk_federated(
     for qid, t in ex_rows:
         # negated rows ride the same fan-out (wand.py twin); skip the dup
         # when a term is both positive and negated for one query
+        if qid not in qids_by_term.setdefault(t, []):
+            qids_by_term[t].append(qid)
+    for qid, t in dem_rows:
+        # demote rows join the fan-out; positive+demoted single rows are
+        # routed to both roles by the scorer's demote_keep
         if qid not in qids_by_term.setdefault(t, []):
             qids_by_term[t].append(qid)
     map_entries = [
@@ -541,6 +597,9 @@ def bm25_topk_federated(
         min_match=mm_map,
         exclude_terms=ex_map,
         search_after=sa_map,
+        demote_terms=dem_map,
+        demote_keep=dem_keep,
+        demote_factor=float(negative_boost),
     )
     if gather == "single":
         out = matched.groupBy("query_id").applyInPandas(scorer, schema=_TOPK_SCHEMA)

@@ -957,6 +957,8 @@ class FederatedLocalSearcher:
         offset: int = 0,
         search_after: tuple | None = None,
         min_should_match: int | None = None,
+        demote: Sequence[str] | None = None,
+        negative_boost: float = 0.5,
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
@@ -1013,6 +1015,11 @@ class FederatedLocalSearcher:
             raise NotImplementedError(
                 "min_should_match is wired to the bm25 federated local "
                 "scorer (bm25_and IS min_should_match = the term count)"
+            )
+        if demote and ranker not in ("bm25", "bm25_and"):
+            raise NotImplementedError(
+                f"demote is not wired into the {ranker!r} federated "
+                "local scorer"
             )
         if ranker.startswith("bm25"):
             _check_compat(self.shards)
@@ -1088,6 +1095,7 @@ class FederatedLocalSearcher:
                 boost_docs=bd, idf_override=idf_g, dl_bounds=dl_bounds,
                 query_tokens=toks, exclude=exclude, search_after=sa,
                 min_should_match=min_should_match,
+                demote=demote, negative_boost=negative_boost,
             )
             for r in rows:
                 r["doc_id"] = int(r["doc_id"]) + base

@@ -109,6 +109,39 @@ def test_validation(packed, cfg):
                                exclude_terms={0: {"guitar"}})
 
 
+def test_federated_demotes_identically(spark, cfg, tmp_path_factory):
+    """Federated demotion (both gathers + the in-process federation)
+    against a brute over the federated score contract."""
+    from searchengine_spark.query.federated import bm25_topk_federated
+    from searchengine_spark.query.serve import FederatedLocalSearcher
+
+    corpus = transcripts_df(spark, n_conv=40, n_partitions=8)
+    base = tmp_path_factory.mktemp("boostfed")
+    shards = []
+    for i, part in enumerate(
+        [corpus.filter(F.col("turn_idx") % 2 == 0),
+         corpus.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        p = str(base / f"s{i}")
+        build_packed_index(part, cfg, p, params=PARAMS, chunk_docs=256)
+        shards.append(load_packed_index(spark, p))
+    n = sum(s.manifest["n_docs"] for s in shards)
+    expect = _rows(
+        bm25_topk_federated(shards, QS, cfg, k=n, round_dp=6,
+                            exhaustive=True, demote_terms=DEM)
+        .filter(F.col("rank") <= 8))
+    for gather in ("single", "two_phase"):
+        got = _rows(bm25_topk_federated(shards, QS, cfg, k=8, round_dp=6,
+                                        gather=gather, demote_terms=DEM))
+        assert got == expect and got, gather
+    floc = FederatedLocalSearcher(shards, cfg=cfg)
+    got = sorted((qid, r["rank"], r["doc_id"], r["score"])
+                 for qid, q in enumerate(QS)
+                 for r in floc.search(q, k=8, round_dp=6, resolve=False,
+                                      demote=sorted(DEM[qid])))
+    assert got == expect
+
+
 def test_local_tier_demotes_identically(packed, cfg):
     local = LocalSearcher(packed, preload=True, cfg=cfg)
     for qid, q in enumerate(QS):
