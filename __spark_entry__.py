@@ -1245,6 +1245,45 @@ def q_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max (query/dismax.py): two user queries of two subqueries
+    each — per doc, best subquery score + 0.3 x the other (tie_breaker),
+    rounded AFTER combination, ranked (score desc, doc asc). One
+    flat-scorer batch covers every (user, sub) pair; the combine is a
+    native max/sum groupBy. Oracle: per-(user, sub, doc) scored CTE,
+    then max + 0.3*(sum-max)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.dismax import dismax_topk_packed
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qids = sorted(QUERY_STRINGS)
+    n = len(qids)
+    groups = [
+        [QUERY_STRINGS[qids[0]], QUERY_STRINGS[qids[1 % n]]],
+        [QUERY_STRINGS[qids[2 % n]], QUERY_STRINGS[qids[3 % n]]],
+    ]
+    topk = dismax_topk_packed(pidx, groups, CFG, k=10, tie_breaker=0.3,
+                              round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms analog (query/significant.py): JLH-scored
     terms overrepresented in each query's top-10 result set vs the
@@ -2534,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page": q_search_after_page,
         "min_should_match": q_min_should_match,
         "boosting_query": q_boosting_query,
+        "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "result_date_histogram": q_result_date_histogram,
         "delete_then_search": q_delete_then_search,
@@ -2786,6 +2826,38 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
   FROM final
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # dis_max: per-(user, sub, doc) scores, then max + 0.3*(sum-max)
+    dm_selects = []
+    _nq = len(qids_sorted)
+    for uq, (a, b) in enumerate([(0, 1 % _nq), (2 % _nq, 3 % _nq)]):
+        for sub, qpos in enumerate((a, b)):
+            terms = _sql_term_list(_qterms(qids_sorted[qpos]))
+            dm_selects.append(
+                f"SELECT {uq} AS uq, {sub} AS sub, term "
+                f"FROM (SELECT unnest({terms}) AS term)"
+            )
+    sqls["dismax_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({' UNION ALL '.join(dm_selects)}),
+scored AS (
+  SELECT q.uq, q.sub, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.uq, q.sub, idx.doc_id
+),
+comb AS (
+  SELECT uq AS query_id, doc_id,
+         max(s) + 0.3 * (sum(s) - max(s)) AS s
+  FROM scored GROUP BY uq, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM comb
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """

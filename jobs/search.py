@@ -64,7 +64,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
                 search_after=None, collapse=None, min_match=None,
-                demote=None, negative_boost=0.5):
+                demote=None, negative_boost=0.5, dismax=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -106,6 +106,20 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
     if demote is not None and (ranker not in ("bm25", "bm25_and") or prf):
         raise SystemExit("--demote is wired to the bm25* rankers "
                          "(does not combine with --prf)")
+    if dismax is not None:
+        if (ranker != "bm25" or prf or fuzzy or wildcard is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or collapse is not None
+                or demote is not None or min_match is not None):
+            raise SystemExit("--dismax combines only with plain bm25 "
+                             "retrieval")
+        from searchengine_spark.query.dismax import dismax_topk_packed
+        from searchengine_spark.query.wand import resolve_docs as _resolve
+
+        groups = [[p for p in q.split("|") if p.strip()] for q in queries]
+        return _resolve(pidx, dismax_topk_packed(
+            pidx, groups, cfg, k=n, tie_breaker=dismax))
     if collapse is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or synonyms is not None
@@ -241,14 +255,15 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
                  search_after=None, collapse=None, min_match=None,
-                 demote=None, negative_boost=0.5):
+                 demote=None, negative_boost=0.5, dismax=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
                        synonyms, offset=offset, wildcard=wildcard,
                        search_after=search_after, collapse=collapse,
                        min_match=min_match, demote=demote,
-                       negative_boost=negative_boost).collect()
+                       negative_boost=negative_boost,
+                       dismax=dismax).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -751,6 +766,9 @@ def _serve_federated(spark, args) -> None:
                                                   or prf):
             raise SystemExit("--min-should-match is wired to --ranker bm25 "
                              "(does not combine with --prf)")
+        if args.dismax is not None:
+            raise SystemExit("--dismax serves from a single index "
+                             "(--index); federated dis_max is not wired")
         dem_fed = None
         if args.demote:
             from searchengine_spark.query.negation import negated_terms
@@ -1058,6 +1076,12 @@ def main() -> None:
                          "to --offset; bm25* rankers, every tier, "
                          "--index or --shards with a federation-namespace "
                          "doc_id)")
+    ap.add_argument("--dismax", type=float, default=None, metavar="TIE",
+                    help="ES dis_max: treat each query as |-separated "
+                         "subqueries; a doc scores its best subquery plus "
+                         "TIE in [0,1] times each other subquery's score "
+                         "(0 = pure best-of); --ranker bm25, distributed "
+                         "tier, --index")
     ap.add_argument("--demote", default=None, metavar="\"W1 W2\"",
                     help="ES boosting query: docs matching ANY of these "
                          "words still rank but their score multiplies by "
@@ -1267,6 +1291,7 @@ def main() -> None:
                 search_after=cursor, collapse=args.collapse,
                 min_match=args.min_should_match,
                 demote=args.demote, negative_boost=args.negative_boost,
+                dismax=args.dismax,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1289,10 +1314,14 @@ def main() -> None:
     if args.collapse and args.serve_mode == "local":
         raise SystemExit("--collapse runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    use_local = not prf and not synonyms and not args.collapse and (
+    if args.dismax is not None and args.serve_mode == "local":
+        raise SystemExit("--dismax runs on the distributed tier "
+                         "(serve-mode auto/spark)")
+    use_local = (not prf and not synonyms and not args.collapse
+                 and args.dismax is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
-    )
+    ))
     if args.explain and not use_local:
         raise SystemExit("--explain serves from the local tier — use the "
                          "REPL or add --serve-mode local")
@@ -1368,7 +1397,8 @@ def main() -> None:
                                  collapse=args.collapse,
                                  min_match=args.min_should_match,
                                  demote=args.demote,
-                                 negative_boost=args.negative_boost)
+                                 negative_boost=args.negative_boost,
+                                 dismax=args.dismax)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -1,0 +1,96 @@
+"""dis_max gates (ES dis_max): combined score = best sub + tie_breaker
+x the rest, checked against a pandas brute over per-subquery exhaustive
+rankings; tie_breaker edges (0 = pure best-of, 1 = bool-should sum);
+duplicate subqueries collapse."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.build import Bm25Params
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.dismax import dismax_topk_packed
+from searchengine_spark.query.wand import bm25_topk_packed_batch
+from searchengine_spark.tokenizer import TokenizerConfig
+
+PARAMS = Bm25Params(k=1.2, b=0.75)
+GROUPS = [
+    ["greatest rock album", "guitar solo"],
+    ["drummer tour", "house party songs"],
+]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dismaxpacked") / "idx")
+    corpus = transcripts_df(spark, n_conv=50, n_partitions=8)
+    build_packed_index(corpus, cfg, path, params=PARAMS, chunk_docs=256)
+    return load_packed_index(spark, path)
+
+
+def _sub_scores(packed, cfg, groups):
+    """{(uq, doc): [sub scores]} via per-sub exhaustive WAND."""
+    n = packed.manifest["n_docs"]
+    flat = [(uq, s) for uq, subs in enumerate(groups) for s in subs]
+    full = bm25_topk_packed_batch(packed, [s for _, s in flat], cfg, k=n,
+                                  exhaustive=True).collect()
+    out: dict = {}
+    for r in full:
+        uq = flat[r["query_id"]][0]
+        out.setdefault((uq, r["doc_id"]), []).append(r["score"])
+    return out
+
+def _brute(packed, cfg, groups, tie, k):
+    subs = _sub_scores(packed, cfg, groups)
+    by_q: dict = {}
+    for (uq, doc), ss in subs.items():
+        s = max(ss) + tie * (sum(ss) - max(ss))
+        by_q.setdefault(uq, []).append((-np.round(s, 6), doc))
+    return sorted(
+        (uq, rk, d, -ns)
+        for uq, lst in by_q.items()
+        for rk, (ns, d) in enumerate(sorted(lst)[:k], start=1)
+    )
+
+
+def _rows(df):
+    return sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                  for r in df.collect())
+
+
+def test_dismax_matches_brute(packed, cfg):
+    for tie in (0.0, 0.3, 1.0):
+        got = _rows(dismax_topk_packed(packed, GROUPS, cfg, k=8,
+                                       tie_breaker=tie, round_dp=6))
+        assert got == _brute(packed, cfg, GROUPS, tie, 8), tie
+        assert got
+
+
+def test_dismax_single_sub_is_plain_bm25(packed, cfg):
+    got = _rows(dismax_topk_packed(packed, [["greatest rock album"]], cfg,
+                                   k=8, round_dp=6))
+    plain = _rows(bm25_topk_packed_batch(packed, ["greatest rock album"],
+                                         cfg, k=8, round_dp=6))
+    assert got == plain
+
+
+def test_dismax_duplicate_subs_collapse(packed, cfg):
+    a = _rows(dismax_topk_packed(packed, [["guitar solo", "guitar solo"]],
+                                 cfg, k=8, tie_breaker=0.5, round_dp=6))
+    b = _rows(dismax_topk_packed(packed, [["guitar solo"]], cfg, k=8,
+                                 tie_breaker=0.5, round_dp=6))
+    assert a == b
+
+
+def test_dismax_validation(packed, cfg):
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dismax_topk_packed(packed, GROUPS, cfg, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="no subqueries"):
+        dismax_topk_packed(packed, [[]], cfg)
