@@ -2243,6 +2243,39 @@ def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "col", "bucket_epoch", "n")
 
 
+def q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation (query/facets.py top_hits): for every
+    (facet, value) bucket a query's top-10 transcripts hits touch, the
+    best 2 hits in the retrieval's own order (score desc, rank asc).
+    Oracle replicates retrieval + the per-bucket window over the melted
+    role/tool attributes."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.facets import top_hits
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_facets")
+    _build_packed_once(path, lambda: build_packed_index(
+        corpus, cfg, path, chunk_docs=256))
+    pidx = load_packed_index(spark, path)
+    hits = resolve_docs(pidx, bm25_topk_packed_batch(
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6))
+    out = top_hits(hits, corpus, ["role", "tool"],
+                   ["conv_id", "turn_idx"], n=2)
+    return out.select(
+        "query_id", "facet", "value",
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score",
+    )
+
+
 def q_sharded_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-build pattern: the fixture corpus split into two shards
     INTERLEAVED in (conv_id, turn_idx) order (turn parity), each built as
@@ -2576,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "result_date_histogram": q_result_date_histogram,
+        "facet_top_hits": q_facet_top_hits,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
         "append_then_search": q_append_then_search,
@@ -4928,6 +4962,59 @@ SELECT query_id, 'ts' AS col,
 FROM ranked WHERE rank <= 10
 GROUP BY query_id, bucket_epoch
 ORDER BY query_id, bucket_epoch
+"""
+
+    # ---- top_hits: the transcripts top-10 ranking joined to role/tool,
+    # melted to (facet, value), best-2 per bucket by retrieval rank
+    sqls["facet_top_hits"] = f"""
+WITH t(conv_id, turn_idx, role, tool, text) AS (VALUES
+{vals_attr}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, role, tool, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hits AS (SELECT * FROM ranked WHERE rank <= 10),
+pairs AS (
+  SELECT h.query_id, 'role' AS facet, d.role AS value, h.rank,
+         d.conv_id, d.turn_idx, h.score
+  FROM hits h JOIN docs d USING (doc_id) WHERE d.role IS NOT NULL
+  UNION ALL
+  SELECT h.query_id, 'tool' AS facet, d.tool AS value, h.rank,
+         d.conv_id, d.turn_idx, h.score
+  FROM hits h JOIN docs d USING (doc_id) WHERE d.tool IS NOT NULL
+),
+bucketed AS (
+  SELECT query_id, facet, value, conv_id, turn_idx, score,
+         row_number() OVER (PARTITION BY query_id, facet, value
+                            ORDER BY rank ASC) AS hit_rank
+  FROM pairs
+)
+SELECT query_id, facet, value, hit_rank, conv_id, turn_idx, score
+FROM bucketed WHERE hit_rank <= 2
 """
 
     # ---- field collapse: the SAME transcripts BM25 chain, then per-conv

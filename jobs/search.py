@@ -388,6 +388,35 @@ def _print_histogram(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "histogram": by_q[i]}))
 
 
+def _print_top_hits(spark, attrs_path, ext_cols, queries, per_q,
+                    facet_spec, n) -> None:
+    """--top-hits N (with --facets): ES top_hits sub-aggregation
+    (query/facets.py top_hits) — under each (facet, value) bucket, the
+    best N hits in the retrieval's own order. One JSON line per
+    query."""
+    from searchengine_spark.query.facets import top_hits
+
+    cols = [c.strip() for c in facet_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols]
+              + [float(r.get("score", 0.0)), int(r.get("rank", 0))])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(
+            rows, ["query_id", *ext_cols, "score", "rank"])
+        attrs = spark.read.parquet(attrs_path)
+        got = top_hits(hits, attrs, cols, ext_cols, n=n).collect()
+        for r in got:
+            key = f"{r['facet']}={r['value']}"
+            by_q[r["query_id"]].setdefault(key, []).append(
+                {c: r[c] for c in ext_cols} | {"score": r["score"]})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "top_hits": by_q[i]}, default=str))
+
+
 def _print_date_histogram(spark, attrs_path, ext_cols, queries, per_q,
                           spec) -> None:
     """--date-histogram COL:day|hour|minute|SECONDS[,COL:...]: ES
@@ -602,6 +631,9 @@ def _serve_federated(spark, args) -> None:
         if args.facets:
             _print_facets(spark, args.attrs, ext_cols, batch, per_q,
                           args.facets, args.n)
+            if args.top_hits:
+                _print_top_hits(spark, args.attrs, ext_cols, batch, per_q,
+                                args.facets, args.top_hits)
         if args.histogram:
             _print_histogram(spark, args.attrs, ext_cols, batch, per_q,
                              args.histogram)
@@ -1076,6 +1108,12 @@ def main() -> None:
                          "to --offset; bm25* rankers, every tier, "
                          "--index or --shards with a federation-namespace "
                          "doc_id)")
+    ap.add_argument("--top-hits", type=int, default=None, metavar="N",
+                    help="with --facets: ES top_hits sub-aggregation — "
+                         "print the best N hits under each (facet, value) "
+                         "bucket of the result set (query/facets.py "
+                         "top_hits); needs --attrs; every ranker, --index "
+                         "or --shards")
     ap.add_argument("--dismax", type=float, default=None, metavar="TIE",
                     help="ES dis_max: treat each query as |-separated "
                          "subqueries; a doc scores its best subquery plus "
@@ -1167,6 +1205,9 @@ def main() -> None:
             raise SystemExit("--wildcard does not combine with "
                              "--synonyms/--prf/--fuzzy (all rewrite the "
                              "query-term seam)")
+    if args.top_hits and not args.facets:
+        raise SystemExit("--top-hits rides --facets (name the bucket "
+                         "columns there)")
     if (args.facets or args.histogram or args.date_histogram
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
@@ -1406,6 +1447,9 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_facets(spark, args.attrs, ext, queries, per_q,
                           args.facets, args.n)
+            if args.top_hits:
+                _print_top_hits(spark, args.attrs, ext, queries, per_q,
+                                args.facets, args.top_hits)
         if args.histogram:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_histogram(spark, args.attrs, ext, queries, per_q,

@@ -77,3 +77,62 @@ def facet_counts(
         .filter(F.col("rank") <= k)
         .select("query_id", "facet", "value", "n", "rank")
     )
+
+
+def top_hits(
+    results: DataFrame,
+    attrs: DataFrame,
+    facet_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    n: int = 3,
+) -> DataFrame:
+    """-> (query_id, facet, value, hit_rank, *ext_cols, score): the ES
+    ``top_hits`` sub-aggregation — for every (facet, value) bucket a
+    query's result set touches, its best ``n`` hits in the RETRIEVAL'S
+    OWN order (score desc, retrieval rank asc, external ids asc as the
+    boolean-set fallback where rank is the constant 0). This is the
+    "show 3 examples under each drill-down value" UI block; the bucket
+    fan-out is a zero-exchange melt, and the window runs over the
+    already-bounded hit set (queries x k rows for ranked retrieval) —
+    corpus size never appears. NULL attribute values are skipped (ES
+    ``missing`` is opt-in)."""
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    missing = [c for c in list(ext_cols) + list(facet_cols)
+               if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+    keep = ["query_id", *ext_cols]
+    has_score = "score" in results.columns
+    has_rank = "rank" in results.columns
+    if has_score:
+        keep.append("score")
+    if has_rank:
+        keep.append("rank")
+    hits = results.select(*keep)
+    joined = hits.join(attrs.select(*ext_cols, *facet_cols), list(ext_cols))
+    melt = []
+    for c in facet_cols:
+        melt.extend([F.lit(c), F.col(c).cast("string")])
+    pairs = joined.select(
+        *keep,
+        F.explode(F.create_map(*melt)).alias("facet", "value"),
+    ).filter(F.col("value").isNotNull())
+    order = []
+    if has_score:
+        order.append(F.col("score").desc())
+    if has_rank:
+        order.append(F.col("rank").asc())
+    order.extend(F.col(c).asc() for c in ext_cols)
+    w = Window.partitionBy("query_id", "facet", "value").orderBy(*order)
+    out_cols = ["query_id", "facet", "value", "hit_rank", *ext_cols]
+    if has_score:
+        out_cols.append("score")
+    return (
+        pairs.withColumn("hit_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("hit_rank") <= n)
+        .select(*out_cols)
+        .orderBy("query_id", "facet", "value", "hit_rank")
+    )

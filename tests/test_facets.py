@@ -136,3 +136,74 @@ def test_facets_tier_identical(spark, corpus, cfg, tmp_path):
                                   ["conv_id", "turn_idx"], k=5))
     assert fa == fb
     assert len(fa) > 0
+
+
+def test_top_hits_buckets(spark):
+    from searchengine_spark.query.facets import top_hits
+
+    hits = spark.createDataFrame(
+        [(0, 1, 3.0, 1), (0, 2, 2.0, 2), (0, 3, 2.0, 3), (0, 4, 1.0, 4),
+         (1, 2, 9.0, 1)],
+        "query_id int, ext_id long, score double, rank int",
+    )
+    attrs = spark.createDataFrame(
+        [(1, "user"), (2, "assistant"), (3, "user"), (4, "user"),
+         (5, None)],
+        "ext_id long, role string",
+    )
+    got = [(r["query_id"], r["value"], r["hit_rank"], r["ext_id"],
+            r["score"])
+           for r in top_hits(hits, attrs, ["role"], ["ext_id"],
+                             n=2).collect()]
+    assert got == [
+        (0, "assistant", 1, 2, 2.0),
+        (0, "user", 1, 1, 3.0),      # best user hit
+        (0, "user", 2, 3, 2.0),      # rank tiebreak: retrieval rank asc
+        (1, "assistant", 1, 2, 9.0),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be"):
+        top_hits(hits, attrs, ["role"], ["ext_id"], n=0)
+    with _pytest.raises(ValueError, match="lacks columns"):
+        top_hits(hits, attrs, ["nope"], ["ext_id"])
+
+
+def test_top_hits_composes_with_retrieval(spark, stop_words, tmp_path):
+    """Ranked retrieval -> top_hits equals a Python recompute; every
+    bucket's hits come back in the retrieval's own order."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.fixtures import transcripts_df
+    from searchengine_spark.indexing.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+    from searchengine_spark.query.facets import top_hits
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    cfg = TokenizerConfig(min_token_length=3, stop_words=stop_words)
+    corpus = transcripts_df(spark, n_conv=8)
+    path = str(tmp_path / "idx")
+    build_packed_index(corpus, cfg, path, chunk_docs=64)
+    pidx = load_packed_index(spark, path)
+    res = resolve_docs(pidx, bm25_topk_packed_batch(
+        pidx, ["greatest rock album", "guitar solo"], cfg, k=10,
+        round_dp=6))
+    ext = ["conv_id", "turn_idx"]
+    got = [(r["query_id"], r["facet"], r["value"], r["hit_rank"],
+            r["conv_id"], r["turn_idx"])
+           for r in top_hits(res, corpus, ["role"], ext, n=2).collect()]
+    roles = {(r["conv_id"], r["turn_idx"]): r["role"]
+             for r in corpus.select("conv_id", "turn_idx", "role").collect()}
+    expect = []
+    rows = sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"]))
+    per_bucket: dict = {}
+    for r in rows:
+        v = roles[(r["conv_id"], r["turn_idx"])]
+        key = (r["query_id"], "role", v)
+        per_bucket.setdefault(key, []).append(r)
+    for (qid, facet, v), lst in per_bucket.items():
+        for hr, r in enumerate(lst[:2], start=1):
+            expect.append((qid, facet, v, hr, r["conv_id"], r["turn_idx"]))
+    assert sorted(got) == sorted(expect) and got
