@@ -338,6 +338,82 @@ def run_textops(spark, sf: float) -> dict:
     return out
 
 
+def run_esops(spark, sf: float) -> dict:
+    """ES-analog query-surface family (opt-in ``--esops``): build the
+    bench index once, then time the round-3 operators — score-all,
+    field collapse, dis_max, minimum_should_match, demotion, cursor vs
+    offset paging — as 15-query batches. Plain runs keep the driver
+    contract line; these are the operators whose cost class DIFFERS
+    from plain WAND top-k (see BENCH.md "Collapse / score-all / cursor
+    paging")."""
+    from searchengine_spark.fixtures.transcripts import (
+        REFERENCE_QUERIES,
+        transcripts_distributed,
+    )
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.collapse import collapse_topk_packed
+    from searchengine_spark.query.dismax import dismax_topk_packed
+    from searchengine_spark.query.wand import (
+        bm25_scores_packed_batch,
+        bm25_topk_packed_batch,
+    )
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    cfg = TokenizerConfig(min_token_length=3,
+                          stop_words=TokenizerConfig.load_stop_words(
+                              "/root/reference/stop_words.txt"))
+    n_conv = int(os.environ.get("SPARK_GRAFT_N_CONV", 0)) or max(200, int(500_000 * sf))
+    corpus_path = os.path.join(OUT, f"corpus_{n_conv}.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        transcripts_distributed(spark, n_conv=n_conv, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    idx_path = os.path.join(OUT, f"esops_idx_sf{sf}")
+    out: dict = {"metric": "esops_serving", "unit": "sec", "sf": sf,
+                 "stages": {}}
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(idx_path, "manifest.json")):
+        shutil.rmtree(idx_path, ignore_errors=True)
+        build_packed_index(corpus, cfg, idx_path)
+    out["stages"]["index_build_or_reuse"] = round(time.perf_counter() - t0, 3)
+    pidx = load_packed_index(spark, idx_path)
+    QS = REFERENCE_QUERIES
+
+    def t(name, f):
+        t1 = time.perf_counter()
+        f().count()
+        out["stages"][name] = round(time.perf_counter() - t1, 3)
+
+    t("wand_top10", lambda: bm25_topk_packed_batch(
+        pidx, QS, cfg, k=10, round_dp=6))
+    t("score_all", lambda: bm25_scores_packed_batch(pidx, QS, cfg,
+                                                    round_dp=6))
+    t("collapse_top10", lambda: collapse_topk_packed(pidx, QS, cfg, k=10,
+                                                     round_dp=6))
+    t("dismax_top10", lambda: dismax_topk_packed(
+        pidx, [[a, b] for a, b in zip(QS, QS[1:] + QS[:1])], cfg, k=10,
+        tie_breaker=0.3, round_dp=6))
+    t("min_should_match2", lambda: bm25_topk_packed_batch(
+        pidx, QS, cfg, k=10, round_dp=6, min_should_match=2))
+    t("demote_half", lambda: bm25_topk_packed_batch(
+        pidx, QS, cfg, k=10, round_dp=6,
+        demote_terms={i: {"music"} for i in range(len(QS))}))
+    p1 = bm25_topk_packed_batch(pidx, QS, cfg, k=10, round_dp=6)
+    cur: dict = {}
+    for r in p1.collect():
+        c = cur.get(r["query_id"])
+        if c is None or (-r["score"], r["doc_id"]) > (-c[0], c[1]):
+            cur[r["query_id"]] = (r["score"], r["doc_id"])
+    t("search_after_page2", lambda: bm25_topk_packed_batch(
+        pidx, QS, cfg, k=10, round_dp=6, search_after=cur))
+    t("offset_page2", lambda: bm25_topk_packed_batch(
+        pidx, QS, cfg, k=10, round_dp=6, offset=10))
+    out["value"] = round(sum(v for k_, v in out["stages"].items()
+                             if k_ != "index_build_or_reuse"), 3)
+    return out
+
+
 def run_federated(spark, sf: float) -> dict:
     """Federated-serving family (opt-in ``--federated``): build N shard
     indexes over turn-stripes of the bench corpus, then time the 15-query
@@ -413,6 +489,13 @@ def run_federated(spark, sf: float) -> dict:
 def main() -> None:
     scaling = "--scaling" in sys.argv
     os.makedirs(OUT, exist_ok=True)
+
+    if "--esops" in sys.argv:
+        spark = make_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(run_esops(spark, _sf())))
+        spark.stop()
+        return
 
     if "--federated" in sys.argv:
         spark = make_spark(CPUS)
