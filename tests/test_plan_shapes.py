@@ -273,3 +273,55 @@ def test_textops_bind_tokens_once(spark):
     plan = explain_str(doc_fingerprints(docs))
     n = plan.count("substr(")
     assert 1 <= n <= 3, f"kgram array evaluated {n} times:\n{plan[:2000]}"
+
+
+def test_score_all_single_shuffle_join_free(pidx):
+    """The score-ALL surface (collapse/dis_max substrate) keeps the WAND
+    batch's plan discipline: pushed term filter, join-free, exactly ONE
+    hash exchange (groupBy (query_id, chunk) into the flat scorer)."""
+    from searchengine_spark.query.wand import bm25_scores_packed_batch
+
+    df = bm25_scores_packed_batch(pidx, ["greatest rock album"], CFG)
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and "In(term" in plan
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_collapse_plan_shape(pidx):
+    """Collapse: the group argmax must be a partial-aggregable hash
+    aggregate over the docmap join (max-of-struct), never a window over
+    raw docs — the window appears exactly once, over the aggregated
+    groups. No cartesian products, no extra joins beyond the one docmap
+    key join."""
+    from searchengine_spark.query.collapse import collapse_topk_packed
+
+    import re
+
+    df = collapse_topk_packed(pidx, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    # exactly ONE Window node (over aggregated groups); the
+    # WindowGroupLimit nodes beside it are Spark's rank<=k pushdown —
+    # the top-k cut happens pre-shuffle, which is exactly what we want
+    assert len(set(re.findall(r"\((\d+)\) Window\b", plan))) == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # partial agg before the exchange: struct-max lands in a Sort/
+    # ObjectHash aggregate (still partial+final two-phase)
+    assert re.search(r"(Hash|Sort|ObjectHash)Aggregate", plan), plan
+
+
+def test_dismax_plan_shape(pidx):
+    """dis_max: ONE scan feeds every (query, sub) pair (the fan-out is a
+    literal map, not one job per subquery) — a single pushed-filter scan
+    node and no joins."""
+    from searchengine_spark.query.dismax import dismax_topk_packed
+
+    import re
+
+    df = dismax_topk_packed(
+        pidx, [["greatest rock album", "guitar solo"]], CFG, k=5)
+    plan = explain_str(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
