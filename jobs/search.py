@@ -721,8 +721,11 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--collapse runs on the distributed tier "
                          "(serve-mode auto/spark)")
     local = None
+    if args.dismax is not None and args.serve_mode == "local":
+        raise SystemExit("--dismax runs on the distributed tier "
+                         "(serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.output
-                 and not args.collapse and (
+                 and not args.collapse and args.dismax is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not queries)
     ))
@@ -799,8 +802,19 @@ def _serve_federated(spark, args) -> None:
             raise SystemExit("--min-should-match is wired to --ranker bm25 "
                              "(does not combine with --prf)")
         if args.dismax is not None:
-            raise SystemExit("--dismax serves from a single index "
-                             "(--index); federated dis_max is not wired")
+            if (args.ranker != "bm25" or prf or args.fuzzy or args.wildcard
+                    or synonyms is not None or doc_filters is not None
+                    or doc_boosts is not None or args.offset
+                    or cursor is not None or args.collapse or args.demote
+                    or args.min_should_match is not None):
+                raise SystemExit("--dismax combines only with plain bm25 "
+                                 "retrieval")
+            from searchengine_spark.query.dismax import dismax_topk_federated
+
+            groups = [[p_ for p_ in q.split("|") if p_.strip()]
+                      for q in batch]
+            frame = resolve_docs_federated(shards, dismax_topk_federated(
+                shards, groups, cfg, k=args.n, tie_breaker=args.dismax))
         dem_fed = None
         if args.demote:
             from searchengine_spark.query.negation import negated_terms
@@ -808,7 +822,9 @@ def _serve_federated(spark, args) -> None:
             dts = set(negated_terms(args.demote.split(), cfg))
             dem_fed = ({i: dts for i in range(len(batch))}
                        if dts else None)
-        if args.collapse:
+        if args.dismax is not None:
+            pass  # frame already computed above
+        elif args.collapse:
             if (args.ranker not in ("bm25", "bm25_and") or prf
                     or args.fuzzy or args.wildcard or synonyms is not None
                     or doc_filters is not None or doc_boosts is not None
@@ -927,7 +943,7 @@ def _serve_federated(spark, args) -> None:
                 topk = hits.join(F.broadcast(nq), "query_id").select(
                     "query_id", "doc_id", "score", F.lit(0).alias("rank"),
                 )
-        if not args.collapse:
+        if not args.collapse and args.dismax is None:
             frame = resolve_docs_federated(shards, topk)
         if args.output:
             qdf = spark.createDataFrame(

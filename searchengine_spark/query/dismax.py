@@ -51,19 +51,7 @@ def dismax_topk_packed(
         raise ValueError(
             f"tie_breaker must be in [0, 1], got {tie_breaker}"
         )
-    flat: list = []   # synthetic qid -> (user qid)
-    terms: list = []  # synthetic qid -> token list
-    for uq, subs in enumerate(query_groups):
-        if not subs:
-            raise ValueError(f"query group {uq} has no subqueries")
-        seen: set = set()
-        for sub in subs:
-            toks = tuple(dict.fromkeys(tokenize_text(sub, cfg)))
-            if not toks or toks in seen:
-                continue  # empty subs score nothing; dups would double-count
-            seen.add(toks)
-            flat.append(uq)
-            terms.append(list(toks))
+    flat, terms = _tokenize_groups(query_groups, cfg)
     spark = pidx.spark
     out_schema = ("query_id int, doc_id long, score double, rank int")
     if not flat:
@@ -76,6 +64,61 @@ def dismax_topk_packed(
     scores = bm25_scores_packed_batch(
         pidx, [""] * len(flat), cfg, query_terms=terms
     )
+    return _combine(scores, flat, float(tie_breaker), round_dp, k)
+
+
+def _tokenize_groups(query_groups, cfg):
+    """-> (flat user-qids, per-synthetic-qid token lists) with per-group
+    dedup — shared by both tiers."""
+    flat: list = []
+    terms: list = []
+    for uq, subs in enumerate(query_groups):
+        if not subs:
+            raise ValueError(f"query group {uq} has no subqueries")
+        seen: set = set()
+        for sub in subs:
+            toks = tuple(dict.fromkeys(tokenize_text(sub, cfg)))
+            if not toks or toks in seen:
+                continue
+            seen.add(toks)
+            flat.append(uq)
+            terms.append(list(toks))
+    return flat, terms
+
+
+def dismax_topk_federated(
+    shards,
+    query_groups: Sequence[Sequence[str]],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Federated dis_max -> (query_id, doc_id, score, rank) with doc_id
+    in the federation namespace. EXACT: per-(user, sub, doc) scores come
+    from the federated score-all surface (federation-global idf, shard-
+    local dl_norm — the dfs_query_then_fetch contract), and a doc lives
+    in one shard, so the max/sum combine over the unioned scores is the
+    global one. One pushed per-shard scan union + one exchange for the
+    whole batch, like the packed path."""
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(
+            f"tie_breaker must be in [0, 1], got {tie_breaker}"
+        )
+    flat, terms = _tokenize_groups(query_groups, cfg)
+    spark = shards[0].spark
+    if not flat:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, rank int")
+    from .federated import bm25_scores_federated
+
+    scores = bm25_scores_federated(
+        shards, [""] * len(flat), cfg, query_terms=terms
+    )
+    return _combine(scores, flat, float(tie_breaker), round_dp, k)
+
+
+def _combine(scores: DataFrame, flat, tie: float, round_dp, k) -> DataFrame:
     sub_to_user = F.create_map(
         *[x for i, uq in enumerate(flat) for x in (F.lit(i), F.lit(uq))]
     )
@@ -84,7 +127,6 @@ def dismax_topk_packed(
         "doc_id",
         "score",
     )
-    tie = float(tie_breaker)
     combined = (
         per_sub.groupBy("query_id", "doc_id")
         .agg(F.max("score").alias("smax"), F.sum("score").alias("ssum"))

@@ -633,6 +633,7 @@ def bm25_scores_federated(
     conjunctive: bool = False,
     exclude_terms: dict | None = None,
     min_should_match: int | None = None,
+    query_terms: Sequence[Sequence[str]] | None = None,
 ) -> DataFrame:
     """EVERY matched doc's BM25 score across ALL shards -> (query_id,
     doc_id, score) in the federation docID namespace — the score-all
@@ -652,9 +653,15 @@ def bm25_scores_federated(
     params = shards[0].params
 
     rows = []
-    for qid, q in enumerate(queries):
-        for t in dict.fromkeys(tokenize_text(q, cfg)):
-            rows.append((qid, t))
+    if query_terms is not None:
+        # pre-tokenized unique term lists (the dis_max/PRF seam)
+        for qid, terms in enumerate(query_terms):
+            for t in dict.fromkeys(terms):
+                rows.append((qid, t))
+    else:
+        for qid, q in enumerate(queries):
+            for t in dict.fromkeys(tokenize_text(q, cfg)):
+                rows.append((qid, t))
     if not rows:
         return spark.createDataFrame([], _SCORES_SCHEMA)
     all_terms = sorted({t for _, t in rows})

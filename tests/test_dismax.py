@@ -94,3 +94,44 @@ def test_dismax_validation(packed, cfg):
         dismax_topk_packed(packed, GROUPS, cfg, tie_breaker=1.5)
     with pytest.raises(ValueError, match="no subqueries"):
         dismax_topk_packed(packed, [[]], cfg)
+
+
+def test_dismax_federated(spark, cfg, tmp_path_factory):
+    """Federated dis_max against a brute over per-sub federated
+    exhaustive rankings (the dfs_query_then_fetch score contract)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.dismax import dismax_topk_federated
+    from searchengine_spark.query.federated import bm25_topk_federated
+
+    corpus = transcripts_df(spark, n_conv=40, n_partitions=8)
+    base = tmp_path_factory.mktemp("dismaxfed")
+    shards = []
+    for i, part in enumerate(
+        [corpus.filter(F.col("turn_idx") % 2 == 0),
+         corpus.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        p = str(base / f"s{i}")
+        build_packed_index(part, cfg, p, params=PARAMS, chunk_docs=256)
+        shards.append(load_packed_index(spark, p))
+    n = sum(s.manifest["n_docs"] for s in shards)
+    flat = [(uq, s) for uq, subs in enumerate(GROUPS) for s in subs]
+    full = bm25_topk_federated(shards, [s for _, s in flat], cfg, k=n,
+                               exhaustive=True).collect()
+    subs: dict = {}
+    for r in full:
+        uq = flat[r["query_id"]][0]
+        subs.setdefault((uq, r["doc_id"]), []).append(r["score"])
+    tie = 0.3
+    by_q: dict = {}
+    for (uq, doc), ss in subs.items():
+        s = max(ss) + tie * (sum(ss) - max(ss))
+        by_q.setdefault(uq, []).append((-np.round(s, 6), doc))
+    expect = sorted(
+        (uq, rk, d, -ns)
+        for uq, lst in by_q.items()
+        for rk, (ns, d) in enumerate(sorted(lst)[:8], start=1)
+    )
+    got = _rows(dismax_topk_federated(shards, GROUPS, cfg, k=8,
+                                      tie_breaker=tie, round_dp=6))
+    assert got == expect and got
