@@ -1543,6 +1543,12 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HIST_INTERVAL = 40.0
 RERANK_N_CAND = 15
+#: ES range-agg buckets over n_chars: unbounded low, two OVERLAPPING
+#: mid ranges (a value must count in BOTH — the ES overlap contract),
+#: and an unbounded-high bucket far enough out to stay empty (the
+#: all-buckets-emit contract needs an n=0 row to bite)
+RANGE_BUCKETS = ((None, 200.0), (100.0, 300.0), (200.0, 400.0),
+                 (50000.0, None))
 
 
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,6 +1670,27 @@ def q_result_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["lang", "source"], ["doc_id"],
     )
     return out.select("query_id", "col", "n_distinct")
+
+
+def q_result_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation over each query's result set
+    (query/aggregations.py range_agg): top-10 BM25 hits counted into
+    EXPLICIT [from, to) n_chars buckets — from inclusive / to exclusive,
+    None unbounded, overlapping ranges BOTH count, and every specified
+    bucket emits for every query (n=0 rows included; the ES range agg
+    always returns all its buckets, unlike histogram's min_doc_count=1).
+    Comparisons only — nothing to drift cross-engine. The oracle
+    replicates retrieval, the theta containment join, AND the
+    empty-bucket restore via a NULL-safe left join."""
+    from searchengine_spark.query.aggregations import range_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = range_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"], ranges=RANGE_BUCKETS,
+    )
+    return out.select("query_id", "col", "range_from", "range_to",
+                      F.col("n").cast("long").alias("n"))
 
 
 def q_hll_token_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_stats": q_result_stats,
         "result_percentiles": q_result_percentiles,
         "result_cardinality": q_result_cardinality,
+        "result_range": q_result_range,
         "hll_token_registers": q_hll_token_registers,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
@@ -3039,6 +3067,43 @@ SELECT query_id, col, n_distinct FROM (
   SELECT h.query_id, 'source' AS col, count(DISTINCT d.source)::BIGINT
   FROM hits h JOIN documents d USING (doc_id) GROUP BY h.query_id
 ) ORDER BY query_id, col
+"""
+
+    # ---- range agg: explicit [from, to) buckets over the same hit
+    # window — theta containment join (overlaps count twice), then a
+    # NULL-safe left join restores the n=0 buckets ES always emits
+    _range_rows = ", ".join(
+        f"({'CAST(NULL AS DOUBLE)' if lo is None else float(lo)}, "
+        f"{'CAST(NULL AS DOUBLE)' if hi is None else float(hi)})"
+        for lo, hi in RANGE_BUCKETS
+    )
+    sqls["result_range"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+ranges AS (
+  SELECT * FROM (VALUES {_range_rows}) AS t(range_from, range_to)
+),
+vals AS (
+  SELECT h.query_id, d.n_chars::DOUBLE AS v
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+),
+counts AS (
+  SELECT v.query_id, r.range_from, r.range_to, count(*)::BIGINT AS n
+  FROM vals v JOIN ranges r
+    ON (r.range_from IS NULL OR v.v >= r.range_from)
+   AND (r.range_to IS NULL OR v.v < r.range_to)
+  GROUP BY v.query_id, r.range_from, r.range_to
+)
+SELECT b.query_id, 'n_chars' AS col, r.range_from, r.range_to,
+       coalesce(c.n, 0)::BIGINT AS n
+FROM (SELECT DISTINCT query_id FROM hits) b
+CROSS JOIN ranges r
+LEFT JOIN counts c ON c.query_id = b.query_id
+  AND c.range_from IS NOT DISTINCT FROM r.range_from
+  AND c.range_to IS NOT DISTINCT FROM r.range_to
+ORDER BY b.query_id, r.range_from NULLS FIRST, r.range_to NULLS LAST
 """
 
     # ---- HLL registers over the token stream: bucket = first 3 md5 hex

@@ -388,6 +388,51 @@ def _print_histogram(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "histogram": by_q[i]}))
 
 
+def _print_range(spark, attrs_path, ext_cols, queries, per_q,
+                 range_spec) -> None:
+    """--range COL:E1|E2[,...]: ES range aggregation over each query's
+    result set (query/aggregations.py range_agg) — the edges E1..En make
+    the contiguous buckets (*,E1), [E1,E2), ..., [En,*) (from inclusive,
+    to exclusive, every bucket emits incl. n=0 — the ES contract; the
+    library call accepts arbitrary overlapping (from,to) pairs, the CLI
+    sugar is contiguous edges). One JSON line per query:
+    {"query", "range": {col: [{from, to, n}]}}."""
+    from searchengine_spark.query.aggregations import range_agg
+
+    specs = []
+    for part in range_spec.split(","):
+        if ":" not in part:
+            raise SystemExit(f"--range expects COL:E1|E2|..., got {part!r}")
+        c, es = part.rsplit(":", 1)
+        try:
+            edges = [float(x) for x in es.split("|") if x.strip()]
+        except ValueError:
+            raise SystemExit(f"--range wants numeric edges in {part!r}")
+        if not edges or sorted(edges) != edges or len(set(edges)) != len(edges):
+            raise SystemExit(f"--range edges must be strictly increasing "
+                             f"in {part!r}")
+        bounds = [None, *edges, None]
+        specs.append((c.strip(),
+                      list(zip(bounds[:-1], bounds[1:]))))
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for col, ranges in specs:
+            got = range_agg(hits, attrs, [col], ext_cols, ranges).collect()
+            for r in got:
+                by_q[r["query_id"]].setdefault(col, []).append(
+                    {"from": r["range_from"], "to": r["range_to"],
+                     "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "range": by_q[i]}))
+
+
 def _print_top_hits(spark, attrs_path, ext_cols, queries, per_q,
                     facet_spec, n) -> None:
     """--top-hits N (with --facets): ES top_hits sub-aggregation
@@ -605,7 +650,7 @@ def _serve_federated(spark, args) -> None:
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
     if (args.filter or args.boost or args.facets or args.histogram
-            or args.date_histogram
+            or args.date_histogram or args.range
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
@@ -637,6 +682,9 @@ def _serve_federated(spark, args) -> None:
         if args.histogram:
             _print_histogram(spark, args.attrs, ext_cols, batch, per_q,
                              args.histogram)
+        if args.range:
+            _print_range(spark, args.attrs, ext_cols, batch, per_q,
+                         args.range)
         if args.date_histogram:
             _print_date_histogram(spark, args.attrs, ext_cols, batch, per_q,
                                   args.date_histogram)
@@ -1203,6 +1251,15 @@ def main() -> None:
                          "floor(value/interval)*interval and print "
                          "per-bucket doc counts — needs --attrs; every "
                          "ranker, --index or --shards")
+    ap.add_argument("--range", default=None, metavar="COL:E1|E2[,...]",
+                    help="ES range-aggregation analog "
+                         "(query/aggregations.py range_agg): per query, "
+                         "count the result set's numeric attribute into "
+                         "the contiguous buckets the edges make — "
+                         "(*,E1), [E1,E2), ..., [En,*), from inclusive / "
+                         "to exclusive, every bucket printed incl. n=0 "
+                         "— needs --attrs; every ranker, --index or "
+                         "--shards")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -1225,6 +1282,7 @@ def main() -> None:
         raise SystemExit("--top-hits rides --facets (name the bucket "
                          "columns there)")
     if (args.facets or args.histogram or args.date_histogram
+            or args.range
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
@@ -1470,6 +1528,10 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_histogram(spark, args.attrs, ext, queries, per_q,
                              args.histogram)
+        if args.range:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_range(spark, args.attrs, ext, queries, per_q,
+                         args.range)
         if args.date_histogram:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_date_histogram(spark, args.attrs, ext, queries, per_q,

@@ -222,6 +222,74 @@ def cardinality_agg(
     )
 
 
+def range_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    ranges: Sequence[tuple],
+) -> DataFrame:
+    """-> (query_id, col, range_from, range_to, n): ES ``range``
+    aggregation over each query's result set — per numeric column, docs
+    counted into EXPLICIT buckets ``[from, to)`` (from inclusive, to
+    exclusive — the ES range contract; ``None`` on either side means
+    unbounded). Ranges may overlap: a value counts in EVERY range that
+    contains it, exactly like ES. Unlike histogram, every specified
+    range emits for every query in the result frame — n=0 buckets
+    included (the ES range agg always returns all its buckets; only a
+    zero-hit query emits nothing, since it contributes no result rows).
+    NULL attribute values are skipped. Comparisons only — no bucket
+    arithmetic, so there is nothing to drift cross-engine. Plan: the
+    shared melt, a broadcast theta-join against the tiny literal ranges
+    frame, one partial-aggregable groupBy, then a broadcast fan-out of
+    the full bucket list per (query, col) to restore empty buckets."""
+    rs = []
+    for i, (lo, hi) in enumerate(ranges):
+        lo = None if lo is None else float(lo)
+        hi = None if hi is None else float(hi)
+        if lo is None and hi is None:
+            raise ValueError(f"range {i} is unbounded on both sides")
+        if lo is not None and hi is not None and lo >= hi:
+            raise ValueError(f"range {i} has from >= to ({lo} >= {hi})")
+        rs.append((i, lo, hi))
+    if not rs:
+        raise ValueError("ranges must name at least one (from, to) pair")
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    spark = results.sparkSession
+    rdf = spark.createDataFrame(
+        rs, "range_idx int, range_from double, range_to double")
+    contains = (
+        (F.col("range_from").isNull() | (F.col("value") >= F.col("range_from")))
+        & (F.col("range_to").isNull() | (F.col("value") < F.col("range_to")))
+    )
+    counts = (
+        pairs.join(F.broadcast(rdf), contains)
+        .groupBy("query_id", "col", "range_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # every (query in the result frame) x (column) x (range) emits —
+    # including n=0 buckets and queries whose hits all have NULL attrs
+    cols_lit = F.explode(
+        F.array(*[F.lit(c) for c in num_cols])).alias("col")
+    base = (
+        results.select("query_id").distinct()
+        .select("query_id", cols_lit)
+        .crossJoin(F.broadcast(rdf))
+    )
+    return (
+        base.join(counts, ["query_id", "col", "range_idx"], "left")
+        .select(
+            "query_id", "col", "range_from", "range_to",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("query_id", "col",
+                 F.col("range_from").asc_nulls_first(),
+                 F.col("range_to").asc_nulls_last())
+    )
+
+
 def stats_agg(
     results: DataFrame,
     attrs: DataFrame,

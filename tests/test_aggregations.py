@@ -14,6 +14,7 @@ from searchengine_spark.query.aggregations import (
     date_histogram_counts,
     histogram_counts,
     percentiles_agg,
+    range_agg,
     stats_agg,
 )
 
@@ -146,6 +147,45 @@ def test_cardinality_exact(spark):
     }
     with pytest.raises(ValueError, match="lacks columns"):
         cardinality_agg(hits, attrs, ["nope"], ["ext_id"])
+
+
+def test_range_buckets(spark, frames):
+    """ES range semantics: from inclusive / to exclusive, None unbounded,
+    overlapping ranges both count, EVERY bucket emits (n=0 included)."""
+    hits, attrs = frames
+    ranges = [(None, 100.0), (100.0, 200.0), (90.0, 140.0), (500.0, None)]
+    got = {(r["query_id"], r["col"], r["range_from"], r["range_to"]): r["n"]
+           for r in range_agg(hits, attrs, ["n_chars"], ["ext_id"],
+                              ranges).collect()}
+    # q0 n_chars = [95, 100, 139]; q1 n_chars = [100] (doc 4's NULL skips)
+    assert got == {
+        (0, "n_chars", None, 100.0): 1,    # 95 (100 excluded: to-exclusive)
+        (0, "n_chars", 100.0, 200.0): 2,   # 100 (from-inclusive), 139
+        (0, "n_chars", 90.0, 140.0): 3,    # overlap: all three count again
+        (0, "n_chars", 500.0, None): 0,    # empty bucket still emits
+        (1, "n_chars", None, 100.0): 0,
+        (1, "n_chars", 100.0, 200.0): 1,
+        (1, "n_chars", 90.0, 140.0): 1,
+        (1, "n_chars", 500.0, None): 0,
+    }
+    # a query whose hits ALL have NULL attr values still emits buckets
+    hits2 = spark.createDataFrame([(7, 4)], "query_id int, ext_id long")
+    z = {(r["range_from"], r["range_to"]): r["n"]
+         for r in range_agg(hits2, attrs, ["n_chars"], ["ext_id"],
+                            [(0.0, 10.0)]).collect()}
+    assert z == {(0.0, 10.0): 0}
+
+
+def test_range_validation(spark, frames):
+    hits, attrs = frames
+    with pytest.raises(ValueError, match="unbounded on both"):
+        range_agg(hits, attrs, ["n_chars"], ["ext_id"], [(None, None)])
+    with pytest.raises(ValueError, match="from >= to"):
+        range_agg(hits, attrs, ["n_chars"], ["ext_id"], [(5.0, 5.0)])
+    with pytest.raises(ValueError, match="at least one"):
+        range_agg(hits, attrs, ["n_chars"], ["ext_id"], [])
+    with pytest.raises(ValueError, match="lacks columns"):
+        range_agg(hits, attrs, ["nope"], ["ext_id"], [(0.0, 1.0)])
 
 
 def test_composes_with_retrieval(spark, stop_words, tmp_path):
