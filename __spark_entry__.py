@@ -2574,6 +2574,40 @@ def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TV_DOC_IDS = [3, 17, 40]
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors analog (query/termvectors.py): for a bounded doc
+    set, the index's stored per-(doc, term) statistics — tf and 0-based
+    token positions from the STORED token stream (tokenization ran once,
+    at build), df from the term_stats sidecar AS STORED. The oracle
+    recomputes all three from the raw documents table through the shared
+    tokenizer CTE, with the dense-docID mapping (row_number over ext_id)
+    inlined — a tier that re-tokenized differently, served stale df, or
+    mis-ordered positions hash-mismatches. Positions emit as a CSV
+    string on both sides (the driver's value-hash has no array policy)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.termvectors import term_vectors
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    tv = term_vectors(pidx, TV_DOC_IDS, positions=True)
+    return tv.select(
+        "doc_id", "term", "tf", "df",
+        F.array_join(F.col("positions").cast("array<string>"), ",").alias("positions"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2674,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "bm25_and_topk": q_bm25_and_topk,
         "boosted_search": q_boosted_search,
+        "term_vectors": q_term_vectors,
     }
 
 
@@ -5653,5 +5688,35 @@ ranked AS (
   FROM allf
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- ES _termvectors analog: tf + 0-based positions from the stored
+    # (min-len-filtered) token stream, df from the term_stats sidecar; the
+    # dense-docID mapping (row_number over ext_id) inlined like docid_dense
+    tv_ids = ", ".join(str(d) for d in TV_DOC_IDS)
+    sqls["term_vectors"] = f"""
+WITH {_INDEX_CTES.strip()},
+dense AS (
+  SELECT doc_id AS ext_id,
+         (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS did
+  FROM documents
+),
+sel AS (
+  SELECT dense.did, tok.tokens
+  FROM tok JOIN dense ON tok.doc_id = dense.ext_id
+  WHERE dense.did IN ({tv_ids})
+),
+occ AS (
+  SELECT did, tokens[i + 1] AS term, i AS pos
+  FROM sel, (SELECT unnest(range(100000)) AS i)
+  WHERE i < len(tokens)
+),
+tv AS (
+  SELECT did, term, count(*)::BIGINT AS tf,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+  FROM occ GROUP BY did, term
+)
+SELECT tv.did AS doc_id, tv.term, tv.tf, term_stats.df, tv.positions
+FROM tv JOIN term_stats USING (term)
 """
     return sqls

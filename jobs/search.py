@@ -612,6 +612,23 @@ def _parse_cursor(args):
     return cur
 
 
+def _print_termvectors(ids, rows) -> None:
+    """One JSON line per requested doc id (ES _termvectors response
+    shape): found=false for tombstoned/absent docs, else the stored
+    (term, tf, df, positions) vector (shared by both tiers — federated
+    rows carry federation-namespace ids)."""
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append({
+            "term": r["term"], "tf": int(r["tf"]), "df": int(r["df"]),
+            "positions": [int(p) for p in r["positions"]],
+        })
+    for d in dict.fromkeys(int(x) for x in ids):
+        terms = sorted(by_doc.get(d, []), key=lambda t: t["term"])
+        print(json.dumps({"doc_id": d, "found": bool(terms),
+                          "terms": terms}))
+
+
 def _serve_federated(spark, args) -> None:
     """--shards: scatter-gather across N shard indexes, no merge — every
     ranker family federates (bm25/tfidf/*_optimized/boolean/phrase/
@@ -718,6 +735,14 @@ def _serve_federated(spark, args) -> None:
             "suggestions": [{"term": r["term"], "df": int(r["df"])}
                             for r in rows],
         }))
+        return
+
+    if args.termvectors:
+        from searchengine_spark.query.termvectors import term_vectors_federated
+
+        ids = [int(x) for x in args.termvectors.split(",")]
+        rows = term_vectors_federated(shards, ids, positions=True).collect()
+        _print_termvectors(ids, rows)
         return
 
     if args.mlt:
@@ -1108,6 +1133,13 @@ def main() -> None:
                     help="comma-separated source doc ids: more-like-this "
                          "retrieval (the doc's top terms become the "
                          "query; --query is ignored)")
+    ap.add_argument("--termvectors", default=None, metavar="DOC_IDS",
+                    help="comma-separated doc ids: ES _termvectors analog "
+                         "(query/termvectors.py) — print each live doc's "
+                         "stored (term, tf, df, positions) vector and exit; "
+                         "df is the stored sidecar value (includes "
+                         "tombstones until compaction — the ES contract); "
+                         "--index or --shards (federation-namespace ids)")
     ap.add_argument("--prf", default=None, metavar="R,M,BETA",
                     help="Rocchio pseudo-relevance feedback on the bm25 "
                          "ranker: top-R feedback docs contribute the M "
@@ -1331,6 +1363,14 @@ def main() -> None:
             "suggestions": [{"term": r["term"], "df": int(r["df"])}
                             for r in rows],
         }))
+        return
+
+    if args.termvectors:
+        from searchengine_spark.query.termvectors import term_vectors
+
+        ids = [int(x) for x in args.termvectors.split(",")]
+        rows = term_vectors(pidx, ids, positions=True).collect()
+        _print_termvectors(ids, rows)
         return
 
     if args.mlt:
