@@ -1693,6 +1693,36 @@ def q_result_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n").cast("long").alias("n"))
 
 
+COMPOSITE_AFTER = ("src1", "en")  # page-2 cursor (ES after_key)
+
+
+def q_result_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation over each query's result set
+    (query/aggregations.py composite_agg — the PAGINATED bucket
+    enumerator): buckets are distinct (source, lang) tuples among the
+    top-10 BM25 hits in lexicographic tuple order, page = the first 3
+    buckets strictly after the cursor, ranks page-relative. Two pages in
+    one frame: page 1 (no cursor) and page 2 pinned at COMPOSITE_AFTER —
+    the oracle replicates retrieval, the NULL-source drop
+    (missing_bucket=false), the lexicographic strictly-greater resume,
+    and the per-query rank<=3 window. An engine that compared the after
+    key per-column instead of lexicographically, emitted absolute ranks,
+    or let NULL tuples bucket would hash-mismatch."""
+    from searchengine_spark.query.aggregations import composite_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    res = hits.select("query_id", F.col("ext_id").alias("doc_id"))
+    pages = []
+    for page, after in ((1, None), (2, COMPOSITE_AFTER)):
+        pages.append(
+            composite_agg(res, docs, ["source", "lang"], ["doc_id"],
+                          size=3, after=after)
+            .select(F.lit(page).cast("int").alias("page"), "query_id",
+                    "source", "lang", "n", "bucket_rank")
+        )
+    return pages[0].unionByName(pages[1])
+
+
 def q_hll_token_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch state (textops/sketches.py;
     Flajolet et al. 2007) over the corpus token stream — p=12 (m=4096):
@@ -2697,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_percentiles": q_result_percentiles,
         "result_cardinality": q_result_cardinality,
         "result_range": q_result_range,
+        "result_composite": q_result_composite,
         "hll_token_registers": q_hll_token_registers,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
@@ -3139,6 +3170,42 @@ LEFT JOIN counts c ON c.query_id = b.query_id
   AND c.range_from IS NOT DISTINCT FROM r.range_from
   AND c.range_to IS NOT DISTINCT FROM r.range_to
 ORDER BY b.query_id, r.range_from NULLS FIRST, r.range_to NULLS LAST
+"""
+
+    # ---- composite aggregation: bucket groupBy over non-NULL (source,
+    # lang) tuples, page 1 = rank<=3 window, page 2 = the lexicographic
+    # strictly-greater resume after COMPOSITE_AFTER then re-ranked
+    _ca_s, _ca_l = (_sql_quote(COMPOSITE_AFTER[0]),
+                    _sql_quote(COMPOSITE_AFTER[1]))
+    sqls["result_composite"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, d.source, d.lang
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+),
+buckets AS (
+  SELECT query_id, source, lang, count(*)::BIGINT AS n
+  FROM vals GROUP BY query_id, source, lang
+),
+p1 AS (
+  SELECT 1 AS page, query_id, source, lang, n,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY source, lang) AS bucket_rank
+  FROM buckets
+),
+p2 AS (
+  SELECT 2 AS page, query_id, source, lang, n,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY source, lang) AS bucket_rank
+  FROM buckets
+  WHERE source > {_ca_s} OR (source = {_ca_s} AND lang > {_ca_l})
+)
+SELECT page, query_id, source, lang, n, bucket_rank::BIGINT AS bucket_rank
+FROM (SELECT * FROM p1 WHERE bucket_rank <= 3
+      UNION ALL SELECT * FROM p2 WHERE bucket_rank <= 3)
 """
 
     # ---- HLL registers over the token stream: bucket = first 3 md5 hex

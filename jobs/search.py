@@ -558,6 +558,65 @@ def _print_cardinality(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "cardinality": by_q[i]}))
 
 
+def _print_composite(spark, attrs_path, ext_cols, queries, per_q,
+                     comp_spec, after_spec) -> None:
+    """--composite COLS:SIZE [--composite-after V1|V2]: ES composite
+    aggregation over each query's result set (query/aggregations.py
+    composite_agg) — the paginated bucket enumerator: distinct tuples of
+    the named attribute columns in lexicographic order, SIZE buckets per
+    page, resuming strictly after the cursor. One JSON line per query:
+    {"query", "composite": {"buckets": [{key: {...}, "n": N}],
+    "after_key": {...}|null}} — feed after_key back via
+    --composite-after to walk the next page."""
+    from searchengine_spark.query.aggregations import composite_agg
+
+    if ":" not in comp_spec:
+        raise SystemExit(f"--composite expects COLS:SIZE, got {comp_spec!r}")
+    cols_part, size_part = comp_spec.rsplit(":", 1)
+    cols = [c.strip() for c in cols_part.split(",") if c.strip()]
+    try:
+        size = int(size_part)
+    except ValueError:
+        raise SystemExit(f"--composite SIZE must be an integer, "
+                         f"got {size_part!r}")
+    attrs = spark.read.parquet(attrs_path)
+    after = None
+    if after_spec is not None:
+        parts = after_spec.split("|")
+        if len(parts) != len(cols):
+            raise SystemExit(f"--composite-after wants one value per "
+                             f"column ({len(cols)}), got {len(parts)}")
+        # cursor values compare in the attrs column's NATIVE type
+        dtypes = dict(attrs.dtypes)
+        after = []
+        for c, v in zip(cols, parts):
+            t = dtypes.get(c, "string")
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                after.append(int(v))
+            elif t in ("float", "double", "decimal"):
+                after.append(float(v))
+            else:
+                after.append(v)
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        got = composite_agg(hits, attrs, cols, ext_cols, size=size,
+                            after=after).collect()
+        for r in got:
+            by_q[r["query_id"]].append(
+                {"key": {c: r[c] for c in cols}, "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        buckets = by_q[i]
+        after_key = buckets[-1]["key"] if len(buckets) == size else None
+        print(json.dumps({"query": q, "composite": {
+            "buckets": buckets, "after_key": after_key}}, default=str))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -667,7 +726,7 @@ def _serve_federated(spark, args) -> None:
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
     if (args.filter or args.boost or args.facets or args.histogram
-            or args.date_histogram or args.range
+            or args.date_histogram or args.range or args.composite
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
@@ -711,6 +770,9 @@ def _serve_federated(spark, args) -> None:
         if args.cardinality:
             _print_cardinality(spark, args.attrs, ext_cols, batch, per_q,
                                args.cardinality)
+        if args.composite:
+            _print_composite(spark, args.attrs, ext_cols, batch, per_q,
+                             args.composite, args.composite_after)
         if args.significant:
             _print_significant(spark, cfg, batch, per_q, args.significant,
                                shards=shards)
@@ -1276,6 +1338,21 @@ def main() -> None:
                          "NULLs skipped): per query, distinct attribute "
                          "values over the result set — needs --attrs; "
                          "every ranker, --index or --shards")
+    ap.add_argument("--composite", default=None, metavar="COLS:SIZE",
+                    help="ES composite-aggregation analog "
+                         "(query/aggregations.py composite_agg): per "
+                         "query, the first SIZE distinct attribute-tuple "
+                         "buckets in lexicographic order with doc counts "
+                         "— the PAGINATED bucket enumerator (prints "
+                         "after_key when a full page returns; feed it "
+                         "back via --composite-after for the next page); "
+                         "needs --attrs; every ranker, --index or "
+                         "--shards")
+    ap.add_argument("--composite-after", default=None, metavar="V1|V2",
+                    help="composite cursor: the previous page's "
+                         "after_key values, |-separated, one per "
+                         "--composite column (compared in the attrs "
+                         "column's native type)")
     ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
                     help="ES histogram-aggregation analog "
                          "(query/aggregations.py): per query, bucket the "
@@ -1314,7 +1391,7 @@ def main() -> None:
         raise SystemExit("--top-hits rides --facets (name the bucket "
                          "columns there)")
     if (args.facets or args.histogram or args.date_histogram
-            or args.range
+            or args.range or args.composite
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
@@ -1584,6 +1661,10 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_cardinality(spark, args.attrs, ext, queries, per_q,
                                args.cardinality)
+        if args.composite:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_composite(spark, args.attrs, ext, queries, per_q,
+                             args.composite, args.composite_after)
         if args.significant:
             _print_significant(spark, cfg, queries, per_q, args.significant,
                                pidx=pidx)

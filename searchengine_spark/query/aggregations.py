@@ -290,6 +290,78 @@ def range_agg(
     )
 
 
+def composite_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    group_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    size: int,
+    after: Sequence | None = None,
+) -> DataFrame:
+    """-> (query_id, *group_cols, n, bucket_rank): ES ``composite``
+    aggregation over each query's result set — the PAGINATED bucket
+    enumerator. Buckets are the distinct tuples of ``group_cols`` values
+    among the query's hits, in lexicographic tuple order (each source
+    asc — the ES default), doc counts per bucket; a page is the first
+    ``size`` buckets strictly AFTER the ``after`` key (the previous
+    page's last tuple — ES ``after_key``), ranks page-relative 1..size.
+
+    This exists for the retrieval modes whose hit sets are NOT
+    k-bounded: boolean retrieval keeps the single-index set contract (no
+    top-k cut), so its bucket space can be corpus-scale — terms/facet
+    aggregations hold every bucket at once, composite holds one page.
+    The after-filter composes with partial aggregation: the lexicographic
+    strictly-greater predicate prunes BEFORE the bucket groupBy, and the
+    page cut is a rank<=size window over buckets (Spark pushes it down as
+    WindowGroupLimit — a per-partition top-``size`` heap, never a full
+    sort). Walking pages with after = the previous page's last tuple
+    partitions the full bucket list exactly (gated).
+
+    ES contract points kept: any NULL source value drops the doc from
+    every bucket (``missing_bucket: false``, the default); a doc counts
+    once per query regardless of rank; ``after`` needs one value per
+    source. Comparisons only — nothing to drift cross-engine."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must name at least one column")
+    if int(size) <= 0:
+        raise ValueError(f"size must be > 0, got {size}")
+    if after is not None and len(after) != len(gcols):
+        raise ValueError(
+            f"after key wants one value per source column "
+            f"({len(gcols)}), got {len(after)}"
+        )
+    joined = _checked_join(results, attrs, gcols, ext_cols)
+    for c in gcols:
+        joined = joined.filter(F.col(c).isNotNull())
+    if after is not None:
+        # lexicographic strictly-greater: OR over prefix-equal branches —
+        # applied BEFORE the bucket groupBy so pruning is map-side
+        branches = []
+        for i, c in enumerate(gcols):
+            eqs = [F.col(gcols[j]) == F.lit(after[j]) for j in range(i)]
+            branches.append(
+                _reduce(lambda a, b: a & b, eqs, F.col(c) > F.lit(after[i]))
+            )
+        joined = joined.filter(_reduce(lambda a, b: a | b, branches))
+    buckets = joined.groupBy("query_id", *gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        *[F.col(c).asc() for c in gcols]
+    )
+    return (
+        buckets.withColumn(
+            "bucket_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("bucket_rank") <= int(size))
+        .orderBy("query_id", "bucket_rank")
+    )
+
+
 def stats_agg(
     results: DataFrame,
     attrs: DataFrame,

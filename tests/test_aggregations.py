@@ -188,6 +188,100 @@ def test_range_validation(spark, frames):
         range_agg(hits, attrs, ["nope"], ["ext_id"], [(0.0, 1.0)])
 
 
+@pytest.fixture(scope="module")
+def comp_frames(spark):
+    hits = spark.createDataFrame(
+        [(0, d) for d in range(1, 8)] + [(1, 2), (1, 3), (1, 7)],
+        "query_id int, ext_id long",
+    )
+    attrs = spark.createDataFrame(
+        [(1, "web", "en"), (2, "web", "de"), (3, "book", "en"),
+         (4, "web", "en"), (5, "book", None), (6, "news", "en"),
+         (7, "book", "de")],
+        "ext_id long, source string, lang string",
+    )
+    return hits, attrs
+
+
+def _comp_brute(hits, attrs, ids_by_q, after=None):
+    """Full bucket list per query, lexicographic tuple order — ground
+    truth for any page."""
+    amap = {r["ext_id"]: (r["source"], r["lang"]) for r in attrs.collect()}
+    out = {}
+    for q, ids in ids_by_q.items():
+        counts: dict = {}
+        for d in ids:
+            s, l = amap[d]
+            if s is None or l is None:
+                continue  # missing_bucket: false
+            counts[(s, l)] = counts.get((s, l), 0) + 1
+        keys = sorted(counts)
+        if after is not None:
+            keys = [k for k in keys if k > after]
+        out[q] = [(k[0], k[1], counts[k]) for k in keys]
+    return out
+
+
+def test_composite_first_page(spark, comp_frames):
+    from searchengine_spark.query.aggregations import composite_agg
+
+    hits, attrs = comp_frames
+    ids_by_q = {0: range(1, 8), 1: [2, 3, 7]}
+    brute = _comp_brute(hits, attrs, ids_by_q)
+    got = composite_agg(hits, attrs, ["source", "lang"], ["ext_id"],
+                        size=3).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["source"], r["lang"], r["n"], r["bucket_rank"]))
+    for q, full in brute.items():
+        page = [(s, l, n, i + 1) for i, (s, l, n) in enumerate(full[:3])]
+        assert by_q[q] == page
+    # doc 5's NULL lang dropped it from every bucket (missing_bucket=false)
+    assert all(r["lang"] is not None for r in got)
+
+
+def test_composite_after_key_pages_partition(spark, comp_frames):
+    """Walking pages with after = the previous page's last tuple
+    partitions the full bucket list exactly (the ES after_key walk)."""
+    from searchengine_spark.query.aggregations import composite_agg
+
+    hits, attrs = comp_frames
+    full = _comp_brute(hits, attrs, {0: range(1, 8)})[0]
+    q0 = hits.filter("query_id = 0")
+    walked, after = [], None
+    for _ in range(10):
+        rows = composite_agg(q0, attrs, ["source", "lang"], ["ext_id"],
+                             size=2, after=after).collect()
+        if not rows:
+            break
+        assert [r["bucket_rank"] for r in rows] == list(
+            range(1, len(rows) + 1))  # page-relative ranks
+        walked.extend((r["source"], r["lang"], r["n"]) for r in rows)
+        after = (rows[-1]["source"], rows[-1]["lang"])
+    assert walked == full and len(full) > 2
+    # lexicographic strictly-greater: mid-prefix after key resumes right
+    mid = _comp_brute(hits, attrs, {0: range(1, 8)}, after=("book", "en"))[0]
+    got = composite_agg(q0, attrs, ["source", "lang"], ["ext_id"],
+                        size=100, after=("book", "en")).collect()
+    assert [(r["source"], r["lang"], r["n"]) for r in got] == mid
+
+
+def test_composite_validation(spark, comp_frames):
+    from searchengine_spark.query.aggregations import composite_agg
+
+    hits, attrs = comp_frames
+    with pytest.raises(ValueError, match="size"):
+        composite_agg(hits, attrs, ["source"], ["ext_id"], size=0)
+    with pytest.raises(ValueError, match="at least one"):
+        composite_agg(hits, attrs, [], ["ext_id"], size=2)
+    with pytest.raises(ValueError, match="one value per source"):
+        composite_agg(hits, attrs, ["source", "lang"], ["ext_id"],
+                      size=2, after=("web",))
+    with pytest.raises(ValueError, match="lacks columns"):
+        composite_agg(hits, attrs, ["nope"], ["ext_id"], size=2)
+
+
 def test_composes_with_retrieval(spark, stop_words, tmp_path):
     """End-to-end: packed retrieval -> resolve -> histogram over the hit
     set equals a Python recompute from the collected results."""
