@@ -2606,6 +2606,35 @@ def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TV_DOC_IDS = [3, 17, 40]
 
+# percolator fixtures: a negated query + a coverage floor below the term
+# counts, so the oracle exercises the veto AND the >= m branch
+PERC_QUERIES = [
+    "spark merge window vector",
+    "fast hash join -table",
+    "slow stream batch",
+]
+PERC_MIN_SHOULD_MATCH = 2
+
+
+def q_percolate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (query/percolate.py — the ES percolate analog, search
+    inverted): stored queries match arriving docs. A doc percolates into
+    a query when it contains >= m of the query's unique positive terms
+    (m=2 here — the coverage floor) and NONE of its negated terms
+    ('-table' vetoes). One tokenize pass, the tiny stored-term table
+    broadcast into the doc stream, ONE partial-aggregable groupBy;
+    negation folds into the same aggregate as a max flag — no second
+    join. The oracle replicates registration (both engines normalize
+    through the shared tokenize chain — the terms are inlined from
+    register_queries itself), the coverage floor, and the veto."""
+    from searchengine_spark.query.percolate import percolate, register_queries
+
+    docs = _documents(spark, sf_dir)
+    stored = register_queries(PERC_QUERIES, CFG,
+                              min_should_match=PERC_MIN_SHOULD_MATCH)
+    return percolate(docs, stored, CFG, text_col="text",
+                     id_cols=("doc_id",))
+
 
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors analog (query/termvectors.py): for a bounded doc
@@ -2740,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "boosted_search": q_boosted_search,
         "term_vectors": q_term_vectors,
+        "percolate_docs": q_percolate_docs,
     }
 
 
@@ -5755,6 +5785,43 @@ ranked AS (
   FROM allf
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- percolator: stored-query registration happens in PYTHON (the
+    # module's own register_queries — one normalization, both engines),
+    # the (query_id, term, is_neg) rows and per-query floors inlined
+    from searchengine_spark.query.percolate import register_queries
+
+    _perc = register_queries(PERC_QUERIES, CFG,
+                             min_should_match=PERC_MIN_SHOULD_MATCH)
+    _perc_rows = ",\n".join(
+        f"({sq.query_id}, {_sql_quote(t)}, {str(neg).upper()})"
+        for sq in _perc
+        for t, neg in ([(x, False) for x in sq.terms]
+                       + [(x, True) for x in sq.neg_terms])
+    )
+    _perc_floors = ", ".join(f"({sq.query_id}, {sq.m})" for sq in _perc)
+    sqls["percolate_docs"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+dterms AS (
+  SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM tok
+),
+qt(query_id, term, is_neg) AS (VALUES
+{_perc_rows}
+),
+floors(query_id, m) AS (VALUES {_perc_floors}),
+agg AS (
+  SELECT d.doc_id, q.query_id,
+         sum(CASE WHEN NOT q.is_neg THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+         max(CASE WHEN q.is_neg THEN 1 ELSE 0 END) AS vetoed
+  FROM dterms d JOIN qt q USING (term)
+  GROUP BY d.doc_id, q.query_id
+)
+SELECT a.doc_id, a.query_id, a.n_matched
+FROM agg a JOIN floors f USING (query_id)
+WHERE a.vetoed = 0 AND a.n_matched >= f.m
 """
 
     # ---- ES _termvectors analog: tf + 0-based positions from the stored
