@@ -1695,6 +1695,49 @@ def q_result_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPOSITE_AFTER = ("src1", "en")  # page-2 cursor (ES after_key)
 
+# sloppy-phrase fixtures: 2-term phrases at slop 1 + one 3-term at slop 2
+SLOP_PHRASES_2 = ["hash scan", "table join", "stream batch"]
+SLOP_PHRASE_3 = "fast table scan"
+PHRASE_SLOP_2 = 1
+PHRASE_SLOP_3 = 2
+
+
+def q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase retrieval (query/phrase.py slop= — ES match_phrase
+    slop restricted to in-order matches, Lucene span_near
+    in_order=true): a doc matches from start p0 iff strictly-increasing
+    positions exist for every slot with span <= n-1+slop; the greedy
+    assignment (each slot takes the smallest position after the
+    previous) provably minimizes the span, so the oracle replicates it
+    as a chain of min-next-position joins — one per slot — over the
+    positional CTE, with the dense-docID mapping inlined. Three 2-term
+    phrases at slop=1 (qids 0-2) plus one 3-term phrase at slop=2
+    (qid 3), all-integer output."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.phrase import phrase_topk_packed_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_pospacked_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256, positional=True,
+    ))
+    pidx = load_packed_index(spark, path)
+    two = phrase_topk_packed_batch(pidx, SLOP_PHRASES_2, CFG, k=10,
+                                   slop=PHRASE_SLOP_2)
+    three = phrase_topk_packed_batch(pidx, [SLOP_PHRASE_3], CFG, k=10,
+                                     slop=PHRASE_SLOP_3)
+    three = three.select(
+        (F.col("query_id") + F.lit(len(SLOP_PHRASES_2))).cast("int")
+        .alias("query_id"),
+        "doc_id", "n_occurrences", "first_pos", "rank",
+    )
+    return two.unionByName(three)
+
 
 def q_result_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES composite aggregation over each query's result set
@@ -2683,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_dense": q_docid_dense,
         "positional_index": q_positional_index,
         "phrase_topk": q_phrase_topk,
+        "phrase_slop_topk": q_phrase_slop_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "minspan_topk": q_minspan_topk,
         "dedup_exact": q_dedup_exact,
@@ -3655,6 +3699,91 @@ perdoc AS (
   SELECT query_id, doc_id, count(*)::BIGINT AS n_occurrences,
          min(start)::BIGINT AS first_pos
   FROM occ GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_occurrences, first_pos,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY n_occurrences DESC, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
+"""
+
+    # ---- sloppy phrase: the greedy span chase as min-next-position join
+    # chains (greedy-min provably minimizes the ordered span, so one
+    # chain decides every start exactly); dense-docID mapping inlined
+    # because the packed path serves dense ids
+    _sl2 = [tokenize_text(p, CFG) for p in SLOP_PHRASES_2]
+    assert all(len(t) == 2 for t in _sl2)
+    _sl3 = tokenize_text(SLOP_PHRASE_3, CFG)
+    assert len(_sl3) == 3
+    _s2_vals = ",\n".join(
+        f"({q}, {s}, {_sql_quote(t)})"
+        for q, toks in enumerate(_sl2) for s, t in enumerate(toks)
+    )
+    _s3_vals = ", ".join(
+        f"({s}, {_sql_quote(t)})" for s, t in enumerate(_sl3))
+    _q3 = len(SLOP_PHRASES_2)
+    sqls["phrase_slop_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+dense AS (
+  SELECT doc_id AS ext_id,
+         (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS did
+  FROM documents
+),
+posed AS (
+  SELECT dense.did AS doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok JOIN dense ON tok.doc_id = dense.ext_id,
+       (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens)
+),
+s2(query_id, slot, term) AS (VALUES
+{_s2_vals}
+),
+h0 AS (
+  SELECT s2.query_id, posed.doc_id, posed.pos
+  FROM posed JOIN s2 ON s2.term = posed.term AND s2.slot = 0
+),
+h1 AS (
+  SELECT s2.query_id, posed.doc_id, posed.pos
+  FROM posed JOIN s2 ON s2.term = posed.term AND s2.slot = 1
+),
+g1 AS (
+  SELECT a.query_id, a.doc_id, a.pos AS p0, min(b.pos) AS p1
+  FROM h0 a JOIN h1 b
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.query_id, a.doc_id, a.pos
+),
+m2 AS (
+  SELECT query_id, doc_id, p0 FROM g1 WHERE p1 - p0 - 1 <= {PHRASE_SLOP_2}
+),
+s3(slot, term) AS (VALUES {_s3_vals}),
+t0 AS (SELECT posed.doc_id, posed.pos FROM posed JOIN s3
+       ON s3.term = posed.term AND s3.slot = 0),
+t1 AS (SELECT posed.doc_id, posed.pos FROM posed JOIN s3
+       ON s3.term = posed.term AND s3.slot = 1),
+t2 AS (SELECT posed.doc_id, posed.pos FROM posed JOIN s3
+       ON s3.term = posed.term AND s3.slot = 2),
+tg1 AS (
+  SELECT a.doc_id, a.pos AS p0, min(b.pos) AS p1
+  FROM t0 a JOIN t1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+),
+tg2 AS (
+  SELECT g.doc_id, g.p0, min(c.pos) AS p2
+  FROM tg1 g JOIN t2 c ON c.doc_id = g.doc_id AND c.pos > g.p1
+  GROUP BY g.doc_id, g.p0
+),
+m3 AS (
+  SELECT {_q3} AS query_id, doc_id, p0 FROM tg2
+  WHERE p2 - p0 - 2 <= {PHRASE_SLOP_3}
+),
+allm AS (SELECT * FROM m2 UNION ALL SELECT * FROM m3),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_occurrences,
+         min(p0)::BIGINT AS first_pos
+  FROM allm GROUP BY query_id, doc_id
 )
 SELECT query_id, doc_id, n_occurrences, first_pos,
        (row_number() OVER (

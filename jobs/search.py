@@ -64,7 +64,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
                 search_after=None, collapse=None, min_match=None,
-                demote=None, negative_boost=0.5, dismax=None):
+                demote=None, negative_boost=0.5, dismax=None, slop=0):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -196,7 +196,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
     elif ranker == "phrase":  # exact-phrase retrieval (positional build)
         from searchengine_spark.query.phrase import phrase_topk_packed_batch
 
-        ph = phrase_topk_packed_batch(pidx, queries, cfg, k=n)
+        ph = phrase_topk_packed_batch(pidx, queries, cfg, k=n, slop=slop)
         topk = ph.select(
             "query_id", "doc_id",
             F.col("n_occurrences").cast("double").alias("score"),
@@ -207,7 +207,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             phrase_prefix_topk_packed_batch,
         )
 
-        ph = phrase_prefix_topk_packed_batch(pidx, queries, cfg, k=n)
+        ph = phrase_prefix_topk_packed_batch(pidx, queries, cfg, k=n,
+                                             slop=slop)
         topk = ph.select(
             "query_id", "doc_id",
             F.col("n_occurrences").cast("double").alias("score"),
@@ -255,7 +256,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
                  search_after=None, collapse=None, min_match=None,
-                 demote=None, negative_boost=0.5, dismax=None):
+                 demote=None, negative_boost=0.5, dismax=None, slop=0):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -263,7 +264,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        search_after=search_after, collapse=collapse,
                        min_match=min_match, demote=demote,
                        negative_boost=negative_boost,
-                       dismax=dismax).collect()
+                       dismax=dismax, slop=slop).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -894,9 +895,9 @@ def _serve_federated(spark, args) -> None:
         if args.explain:
             res = local.explain(q, k=args.n, fuzzy=args.fuzzy)
         elif args.ranker == "phrase":
-            res = local.phrase(q, k=args.n)
+            res = local.phrase(q, k=args.n, slop=args.slop)
         elif args.ranker == "phrase_prefix":
-            res = local.phrase_prefix(q, k=args.n)
+            res = local.phrase_prefix(q, k=args.n, slop=args.slop)
         elif args.ranker == "minspan":
             res = local.minspan(q, k=args.n)
         else:
@@ -1040,7 +1041,7 @@ def _serve_federated(spark, args) -> None:
 
             fed_fn = (phrase_topk_federated if args.ranker == "phrase"
                       else phrase_prefix_topk_federated)
-            ph = fed_fn(shards, batch, cfg, k=args.n)
+            ph = fed_fn(shards, batch, cfg, k=args.n, slop=args.slop)
             topk = ph.select(
                 "query_id", "doc_id",
                 F.col("n_occurrences").cast("double").alias("score"),
@@ -1338,6 +1339,15 @@ def main() -> None:
                          "NULLs skipped): per query, distinct attribute "
                          "values over the result set — needs --attrs; "
                          "every ranker, --index or --shards")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="ordered position slack for the phrase rankers "
+                         "(ES match_phrase slop restricted to in-order "
+                         "matches — Lucene span_near in_order=true): a "
+                         "doc matches when its minimal ordered span "
+                         "stretches at most SLOP positions beyond the "
+                         "phrase length; 0 = exact phrase; --ranker "
+                         "phrase/phrase_prefix, every tier, --index or "
+                         "--shards")
     ap.add_argument("--composite", default=None, metavar="COLS:SIZE",
                     help="ES composite-aggregation analog "
                          "(query/aggregations.py composite_agg): per "
@@ -1379,6 +1389,12 @@ def main() -> None:
 
     if bool(args.index) == bool(args.shards):
         raise SystemExit("pass exactly one of --index or --shards")
+    if args.slop:
+        if args.slop < 0:
+            raise SystemExit("--slop must be >= 0")
+        if args.ranker not in ("phrase", "phrase_prefix"):
+            raise SystemExit("--slop is wired to the phrase rankers "
+                             "(--ranker phrase/phrase_prefix)")
     cursor = _parse_cursor(args)
     if args.wildcard:
         if args.ranker != "bm25":
@@ -1523,7 +1539,7 @@ def main() -> None:
                 search_after=cursor, collapse=args.collapse,
                 min_match=args.min_should_match,
                 demote=args.demote, negative_boost=args.negative_boost,
-                dismax=args.dismax,
+                dismax=args.dismax, slop=args.slop,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1586,11 +1602,13 @@ def main() -> None:
             elif args.ranker == "phrase":
                 from searchengine_spark.query.phrase import local_phrase
 
-                per_q = [local_phrase(local, q, k=args.n) for q in queries]
+                per_q = [local_phrase(local, q, k=args.n,
+                                      slop=args.slop) for q in queries]
             elif args.ranker == "phrase_prefix":
                 from searchengine_spark.query.phrase import local_phrase_prefix
 
-                per_q = [local_phrase_prefix(local, q, k=args.n)
+                per_q = [local_phrase_prefix(local, q, k=args.n,
+                                             slop=args.slop)
                          for q in queries]
             elif args.ranker == "minspan":
                 from searchengine_spark.query.spans import local_minspan
@@ -1630,7 +1648,7 @@ def main() -> None:
                                  min_match=args.min_should_match,
                                  demote=args.demote,
                                  negative_boost=args.negative_boost,
-                                 dismax=args.dismax)
+                                 dismax=args.dismax, slop=args.slop)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -1101,6 +1101,7 @@ def phrase_topk_federated(
     phrases: Sequence[str],
     cfg: TokenizerConfig | None = None,
     k: int | None = 10,
+    slop: int = 0,
 ) -> DataFrame:
     """Federated exact-phrase retrieval -> federation-global (query_id,
     doc_id, n_occurrences, first_pos, rank). Phrase matching is purely
@@ -1120,7 +1121,7 @@ def phrase_topk_federated(
     )
     parts = []
     for s, base in zip(shards, _doc_bases(shards)):
-        local = phrase_topk_packed_batch(s, phrases, cfg, k=k)
+        local = phrase_topk_packed_batch(s, phrases, cfg, k=k, slop=slop)
         parts.append(
             local.select(
                 "query_id",
@@ -1207,6 +1208,7 @@ def phrase_prefix_topk_federated(
     cfg: TokenizerConfig | None = None,
     k: int | None = 10,
     max_expansions: int = 50,
+    slop: int = 0,
 ) -> DataFrame:
     """Federated match_phrase_prefix: the prefix expands ONCE against the
     federation-global dictionary (df summed over the disjoint shard
@@ -1231,7 +1233,7 @@ def phrase_prefix_topk_federated(
     slots = phrase_prefix_slots(phrases, cfg, exp)
     parts = []
     for s, base in zip(shards, _doc_bases(shards)):
-        local = _packed_slots_topk(s, slots, k)
+        local = _packed_slots_topk(s, slots, k, slop=slop)
         parts.append(
             local.select(
                 "query_id",

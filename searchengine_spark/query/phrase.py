@@ -123,13 +123,22 @@ def phrase_topk_batch(
     phrases: Sequence[str],
     cfg: TokenizerConfig,
     k: int | None = 10,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact-path phrase retrieval over a positional ``build_index(...,
     positional=True)`` -> (query_id, doc_id, n_occurrences, first_pos,
     rank), top-k per query by occurrence count (doc_id tie-break).
-    ``k=None`` returns every matching doc."""
+    ``k=None`` returns every matching doc. Sloppy matching (slop > 0)
+    serves from the packed tier only — the exact path's start-offset
+    trick is adjacency-specific, and re-deriving the greedy span chase
+    here would duplicate the gated packed core."""
     if "positions" not in it.index.columns:
         raise ValueError("phrase retrieval needs a positional index")
+    if slop:
+        raise NotImplementedError(
+            "slop > 0 serves from the packed tier "
+            "(phrase_topk_packed_batch / LocalSearcher.phrase)"
+        )
     spark = it.index.sparkSession
     slots = _as_multi(phrase_slots(phrases, cfg))
     sdf, rows = _slot_df(spark, slots)
@@ -147,18 +156,95 @@ def phrase_topk_batch(
     return _rank_occurrences(hits, slots, k)
 
 
-def _phrase_group(toks, rows_by_slot, decode, decode_pos):
+def _slot_key_arrays(toks, rows_by_slot, decode, decode_pos):
+    """Per slot, the SORTED int64 key array doc_id * 2^32 + pos over every
+    packed row of the slot's term(s) — the shared decode step of the exact
+    and sloppy group cores. None when some slot has no occurrences."""
+    import numpy as np
+
+    stride = np.int64(1) << np.int64(32)
+    out = []
+    for slot in range(len(toks)):
+        rows = rows_by_slot.get(slot)
+        if not rows:
+            return None, stride
+        ks = []
+        for row in rows:
+            doc_ids, tfs, _ = decode(row.postings)
+            flat, _occ = decode_pos(row.positions, tfs)
+            if flat.size and int(flat.max()) >= (1 << 32):
+                raise ValueError("position exceeds the phrase key stride")
+            if doc_ids.size and int(doc_ids.max()) >= (1 << 31):
+                raise ValueError("doc_id exceeds the phrase key stride")
+            ks.append(
+                np.repeat(doc_ids.astype(np.int64), tfs) * stride
+                + flat.astype(np.int64)
+            )
+        merged = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        if not len(merged):
+            return None, stride
+        out.append(np.sort(merged))
+    return out, stride
+
+
+def _sloppy_group(toks, rows_by_slot, decode, decode_pos, slop):
+    """Ordered sloppy match (Lucene span_near in_order=true — the
+    match_phrase slop this engine serves): a doc matches from start p0
+    iff strictly-increasing positions p0 < p1 < ... < p_{n-1} exist with
+    slot i's term at p_i and span p_{n-1} - p0 - (n-1) <= slop. The
+    GREEDY assignment (each slot takes the smallest position after the
+    previous slot's) provably minimizes the span for a fixed p0, so one
+    vectorized searchsorted pass per slot decides every start exactly.
+    slop=0 degenerates to the exact phrase (gated in tests/test_phrase.py).
+
+    -> (uniq_docs, counts, first_starts) like :func:`_phrase_group`;
+    counts = matching starts, first_starts = each doc's smallest."""
+    import numpy as np
+
+    slot_keys, stride = _slot_key_arrays(toks, rows_by_slot, decode, decode_pos)
+    if slot_keys is None:
+        return None
+    cur = slot_keys[0]
+    docs0 = cur // stride
+    p0 = cur % stride
+    alive = np.ones(len(cur), bool)
+    for i in range(1, len(toks)):
+        nxt = slot_keys[i]
+        # smallest key strictly greater than cur, same doc (stride keeps
+        # doc-locality: crossing into the next doc fails the doc check)
+        idx = np.searchsorted(nxt, cur, side="right")
+        ok = idx < len(nxt)
+        cand = nxt[np.clip(idx, 0, len(nxt) - 1)]
+        ok &= (cand // stride) == docs0
+        alive &= ok
+        cur = np.where(ok, cand, cur)
+    match = alive & ((cur % stride) - p0 - (len(toks) - 1) <= slop)
+    if not match.any():
+        return None
+    mdocs, mp0 = docs0[match], p0[match]
+    # slot-0 keys were sorted -> within a doc, p0 ascends: unique's first
+    # index IS the smallest matching start
+    uniq, first_idx, counts = np.unique(
+        mdocs, return_index=True, return_counts=True)
+    return uniq, counts, mp0[first_idx]
+
+
+def _phrase_group(toks, rows_by_slot, decode, decode_pos, slop=0):
     """Core numpy key-intersection over one self-contained group of packed
     rows: key = doc_id * 2^32 + start, one sorted intersect per slot.
     Self-contained = every posting of each contained doc for each slot term
     is in the group (true for the whole index, and true PER CHUNK because
     chunk boundaries are doc-range cuts shared by all terms).
+    ``slop > 0`` dispatches to the ordered sloppy core
+    (:func:`_sloppy_group`) over the same decoded rows.
 
     -> (uniq_docs, counts, first_starts) numpy arrays, or None when some
     slot has no rows / the intersection empties. The int64 key is safe:
     positions are bounded by the longest doc (checked)."""
     import numpy as np
 
+    if slop:
+        return _sloppy_group(toks, rows_by_slot, decode, decode_pos, slop)
     stride = np.int64(1) << np.int64(32)
     keys = None
     for slot in range(len(toks)):
@@ -217,6 +303,7 @@ def phrase_topk_packed_batch(
     phrases: Sequence[str],
     cfg: TokenizerConfig | None = None,
     k: int | None = 10,
+    slop: int = 0,
 ) -> DataFrame:
     """Packed-path phrase retrieval. The whole match runs INSIDE each
     (query_id, chunk) group: chunk boundaries are doc-range cuts shared by
@@ -225,17 +312,28 @@ def phrase_topk_packed_batch(
     the numpy key intersection is exact per group. The shuffle moves only
     chunk rows — never per-posting hits — and each group emits at most k
     docs (safe cut: per-doc results are complete within the group).
-    Gated identical to the exact path in tests/test_phrase.py."""
+    Gated identical to the exact path in tests/test_phrase.py.
+
+    ``slop``: ordered position slack (ES match_phrase slop restricted to
+    in-order matches — Lucene span_near in_order=true): a doc matches
+    when its minimal ordered span stretches at most ``slop`` positions
+    beyond the phrase length; 0 is the exact phrase. Chunk-locality is
+    unchanged (a doc's whole occurrence set lives in one chunk), so the
+    per-group cut stays safe at any slop."""
     cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
     slots = phrase_slots(phrases, cfg)
-    return _packed_slots_topk(pidx, slots, k)
+    return _packed_slots_topk(pidx, slots, k, slop=slop)
 
 
-def _packed_slots_topk(pidx, slots: Dict[int, List], k: int | None) -> DataFrame:
+def _packed_slots_topk(pidx, slots: Dict[int, List], k: int | None,
+                       slop: int = 0) -> DataFrame:
     """Shared packed tail over (possibly multi-term) slots — the engine
     behind plain phrases AND match_phrase_prefix."""
     if not pidx.manifest.get("positional"):
         raise ValueError("packed index was not built with positional=True")
+    if int(slop) < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    slop = int(slop)
     spark = pidx.spark
     slots = _as_multi(slots)
     sdf, rows = _slot_df(spark, slots)
@@ -264,7 +362,7 @@ def _packed_slots_topk(pidx, slots: Dict[int, List], k: int | None) -> DataFrame
         rows_by_slot: Dict[int, list] = {}
         for row in pdf.itertuples(index=False):
             rows_by_slot.setdefault(int(row.slot), []).append(row)
-        got = _phrase_group(toks, rows_by_slot, dec, dec_pos)
+        got = _phrase_group(toks, rows_by_slot, dec, dec_pos, slop=slop)
         if got is None:
             return _EMPTY_PART
         uniq, counts, firsts = got
@@ -299,16 +397,19 @@ def _rank_schema():
 
 
 def local_phrase(searcher, phrase: str, k: int | None = 10,
-                 resolve: bool = True) -> List[dict]:
+                 resolve: bool = True, slop: int = 0) -> List[dict]:
     """In-process phrase query off a :class:`~.serve.LocalSearcher` —
     zero Spark jobs when the term slices are cached. Runs the SAME
     :func:`_phrase_group` core as the distributed chunk scorer (gated
     identical), over all cached rows at once, through the searcher's
-    decoded-postings LRU."""
+    decoded-postings LRU. ``slop`` as in
+    :func:`phrase_topk_packed_batch`."""
     import numpy as np
 
     if not searcher._positional:
         raise ValueError("packed index was not built with positional=True")
+    if int(slop) < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     toks = tokenize_text(phrase, searcher.cfg)
     if not toks:
         return []
@@ -320,7 +421,7 @@ def local_phrase(searcher, phrase: str, k: int | None = 10,
             return []
         rows_by_slot[slot] = list(sl.itertuples(index=False))
     got = _phrase_group(
-        toks, rows_by_slot, searcher._dec, searcher._dec_pos
+        toks, rows_by_slot, searcher._dec, searcher._dec_pos, slop=int(slop)
     )
     if got is None:
         return []
@@ -387,6 +488,7 @@ def phrase_prefix_topk_packed_batch(
     cfg: TokenizerConfig | None = None,
     k: int | None = 10,
     max_expansions: int = 50,
+    slop: int = 0,
 ) -> DataFrame:
     """ES ``match_phrase_prefix`` (search-as-you-type): exact phrase on
     the leading tokens with the last word as a dictionary prefix — the
@@ -404,7 +506,8 @@ def phrase_prefix_topk_packed_batch(
     exp = expand_patterns(
         pidx.term_stats, _prefix_patterns(phrases), max_expansions=max_expansions
     )
-    return _packed_slots_topk(pidx, phrase_prefix_slots(phrases, cfg, exp), k)
+    return _packed_slots_topk(pidx, phrase_prefix_slots(phrases, cfg, exp), k,
+                              slop=slop)
 
 
 def local_phrase_prefix(
@@ -414,6 +517,7 @@ def local_phrase_prefix(
     max_expansions: int = 50,
     resolve: bool = True,
     expansions: Dict[str, List[str]] | None = None,
+    slop: int = 0,
 ) -> List[dict]:
     """In-process match_phrase_prefix off a LocalSearcher — expansion
     from the in-memory dictionary (zero Spark jobs in preload mode),
@@ -445,7 +549,8 @@ def local_phrase_prefix(
         if not merged:
             return []
         rows_by_slot[slot] = merged
-    got = _phrase_group(slots, rows_by_slot, searcher._dec, searcher._dec_pos)
+    got = _phrase_group(slots, rows_by_slot, searcher._dec,
+                        searcher._dec_pos, slop=int(slop))
     if got is None:
         return []
     uniq, counts, firsts = got

@@ -1274,7 +1274,7 @@ class FederatedLocalSearcher:
     # ---------------------------------------------- positional query modes
 
     def phrase(self, phrase: str, k: int | None = 10,
-               resolve: bool = True) -> List[dict]:
+               resolve: bool = True, slop: int = 0) -> List[dict]:
         """Federated in-process exact-phrase query: doc-local integer
         semantics, so per-shard local_phrase results (shifted to the
         global namespace) merge exactly under (n_occurrences desc,
@@ -1283,7 +1283,7 @@ class FederatedLocalSearcher:
 
         cands: List[dict] = []
         for i, (s, base) in enumerate(zip(self.searchers, self.bases)):
-            rows = local_phrase(s, phrase, k=k, resolve=False)
+            rows = local_phrase(s, phrase, k=k, resolve=False, slop=slop)
             for r in rows:
                 r["doc_id"] = int(r["doc_id"]) + base
                 r["_shard"] = i
@@ -1297,7 +1297,7 @@ class FederatedLocalSearcher:
 
     def phrase_prefix(self, phrase: str, k: int | None = 10,
                       max_expansions: int = 50,
-                      resolve: bool = True) -> List[dict]:
+                      resolve: bool = True, slop: int = 0) -> List[dict]:
         """Federated in-process match_phrase_prefix: the prefix expands
         ONCE against the federation-global dictionary, then every shard
         matches the identical expansion set (the in-process twin of
@@ -1310,7 +1310,7 @@ class FederatedLocalSearcher:
         cands: List[dict] = []
         for i, (s, base) in enumerate(zip(self.searchers, self.bases)):
             rows = local_phrase_prefix(s, phrase, k=k, resolve=False,
-                                       expansions=exp)
+                                       expansions=exp, slop=slop)
             for r in rows:
                 r["doc_id"] = int(r["doc_id"]) + base
                 r["_shard"] = i

@@ -258,3 +258,108 @@ def test_phrase_kernel_doc_id_guard():
                 np.zeros(1, dtype=np.int64),
             ),
         )
+
+
+# ---------------------------------------------------------------- slop
+
+def brute_sloppy(doc_tokens, slots, slop):
+    """Greedy ordered-span matcher (Lucene span_near in_order=true): from
+    each slot-0 position take the smallest next position per slot; match
+    iff span <= n-1+slop. Greedy-min provably minimizes the span."""
+    n = len(slots)
+    out = {}
+    for doc_id, toks in doc_tokens.items():
+        pos_by_slot = [[p for p, t in enumerate(toks) if t == slots[i]]
+                       for i in range(n)]
+        starts = []
+        for p0 in pos_by_slot[0]:
+            prev, ok = p0, True
+            for i in range(1, n):
+                nxt = [p for p in pos_by_slot[i] if p > prev]
+                if not nxt:
+                    ok = False
+                    break
+                prev = min(nxt)
+            if ok and prev - p0 - (n - 1) <= slop:
+                starts.append(p0)
+        if starts:
+            out[doc_id] = (len(starts), starts[0])
+    return out
+
+
+@pytest.fixture(scope="module")
+def slop_phrases(doc_tokens, cfg):
+    """Gapped phrases harvested from the corpus: token pairs/triples at
+    distance 2-3, so slop=0 misses them and slop>=1 finds them."""
+    toks_by_len = sorted(doc_tokens.items(), key=lambda kv: -len(kv[1]))
+    long_doc = toks_by_len[0][1]
+    got = [
+        f"{long_doc[2]} {long_doc[4]}",                 # gap 1 -> slop 1
+        f"{long_doc[5]} {long_doc[6]} {long_doc[9]}",   # gap 2 -> slop 2
+        " ".join(long_doc[2:4]),                        # adjacent control
+    ]
+    assert all(tokenize_text(p, cfg) for p in got)
+    return got
+
+
+def test_sloppy_vs_brute(packed, doc_tokens, slop_phrases, cfg):
+    for slop in (0, 1, 2, 5):
+        got = _rows(phrase_topk_packed_batch(packed, slop_phrases, cfg,
+                                             k=None, slop=slop))
+        for qid, p in enumerate(slop_phrases):
+            want = brute_sloppy(doc_tokens, tokenize_text(p, cfg), slop)
+            have = {d: (v[0], v[1]) for (q, d), v in got.items() if q == qid}
+            assert have == want, (p, slop)
+    # the harvested gaps really exercise slop: widening it finds MORE
+    # docs for the gapped query (the planted gap-1 doc at minimum)
+    at0 = _rows(phrase_topk_packed_batch(packed, slop_phrases, cfg,
+                                         k=None, slop=0))
+    at1 = _rows(phrase_topk_packed_batch(packed, slop_phrases, cfg,
+                                         k=None, slop=1))
+    n0 = sum(1 for q, _ in at0 if q == 0)
+    n1 = sum(1 for q, _ in at1 if q == 0)
+    assert n1 > n0
+
+
+def test_slop_zero_equals_exact(exact, packed, phrases, cfg):
+    """slop=0 through the sloppy kernel == the exact-phrase contract
+    (greedy-min degenerates to adjacency)."""
+    from searchengine_spark.query import phrase as phrase_mod
+
+    want = _rows(phrase_topk_batch(exact, phrases, cfg, k=10))
+    orig = phrase_mod._phrase_group
+
+    def force_sloppy(toks, rows_by_slot, dec, dec_pos, slop=0):
+        return phrase_mod._sloppy_group(toks, rows_by_slot, dec, dec_pos, 0)
+
+    phrase_mod._phrase_group = force_sloppy
+    try:
+        got = _rows(phrase_topk_packed_batch(packed, phrases, cfg, k=10))
+    finally:
+        phrase_mod._phrase_group = orig
+    assert got == want
+
+
+def test_slop_monotone_and_local_parity(packed, slop_phrases, cfg):
+    searcher = LocalSearcher(packed, preload=False, cfg=cfg)
+    prev: set = set()
+    for slop in (0, 1, 2, 4):
+        got = _rows(phrase_topk_packed_batch(packed, slop_phrases, cfg,
+                                             k=None, slop=slop))
+        # match sets grow monotonically with slop
+        assert prev <= set(got)
+        prev = set(got)
+        for qid, p in enumerate(slop_phrases):
+            rows = local_phrase(searcher, p, k=None, resolve=False,
+                                slop=slop)
+            have = {(qid, r["doc_id"]): (r["n_occurrences"], r["first_pos"])
+                    for r in rows}
+            assert have == {kk: (v[0], v[1]) for kk, v in got.items()
+                            if kk[0] == qid}, (p, slop)
+
+
+def test_slop_refusals(exact, packed, cfg):
+    with pytest.raises(NotImplementedError, match="packed tier"):
+        phrase_topk_batch(exact, ["rock album"], cfg, slop=1)
+    with pytest.raises(ValueError, match="slop"):
+        phrase_topk_packed_batch(packed, ["rock album"], cfg, slop=-1)
