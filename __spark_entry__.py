@@ -675,6 +675,44 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
 
 
+FILTERED_KNN_LABEL = 1
+
+
+def q_emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-filtered kNN (the ES knn `filter` contract,
+    textops/similarity.py cosine_topk allowed=): the k nearest among
+    vectors PASSING the attribute filter (label = 1) — never
+    top-k-then-filter, which under-fills the page and biases it toward
+    the unfiltered neighborhood. The semi-join applies before the dot
+    product. Oracle = the brute cosine with the same WHERE; an engine
+    that post-filtered would rank a strict subset and hash-mismatch
+    whenever the unfiltered top-10 isn't all label-1."""
+    from searchengine_spark.textops import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = emb.filter(F.col("label") == FILTERED_KNN_LABEL).select("vec_id")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10,
+                       exclude_ids=(0,), allowed=allowed)
+
+
+def q_emb_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN over the persisted IVF layout (ivf_topk_indexed
+    allowed=): the attribute filter applies INSIDE the probed cells
+    (pre-filter), so every hit passes AND the probe pruning is
+    unchanged. The oracle replicates train -> bucket -> probe -> filter
+    -> rank in SQL (the integer micro-unit k-means is bit-identical
+    cross-engine)."""
+    from searchengine_spark.textops import ivf_topk_indexed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = emb.filter(F.col("label") == FILTERED_KNN_LABEL).select("vec_id")
+    path = _ivf_index(spark, sf_dir)
+    return ivf_topk_indexed(
+        spark, path, _query_vec(spark, sf_dir), k=5, n_probe=IVF_PROBE,
+        exclude_ids=(0,), allowed=allowed,
+    )
+
+
 SQ8_QUERY_ID = 7
 SQ8_RESCORE_M = 60
 
@@ -2748,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_correct": q_fuzzy_correct,
         "clean_pipeline": q_clean_pipeline,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_filtered_topk": q_emb_filtered_topk,
+        "emb_ivf_filtered_topk": q_emb_ivf_filtered_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_recall": q_emb_ivf_recall,
         "emb_ivf_recall_clustered": q_emb_ivf_recall_clustered,
@@ -4465,6 +4505,22 @@ c AS (
 SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
+    # ---- pre-filtered kNN: the same brute cosine with the attribute
+    # filter applied BEFORE ranking (a post-filtering engine would rank
+    # a subset of the unfiltered page instead and hash-mismatch)
+    sqls["emb_filtered_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+         round({_dot.format(a='(embedding::DOUBLE[])', b='qe')} /
+               (sqrt({_dot.format(a='(embedding::DOUBLE[])', b='(embedding::DOUBLE[])')}) *
+                sqrt({_dot.format(a='qe', b='qe')})), 6) AS cosine
+  FROM embeddings, q
+  WHERE vec_id <> 0 AND label = {FILTERED_KNN_LABEL}
+)
+SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
     # ---- SQ8 quantized ANN: micro-unit quantization (IEEE-exact double
     # division of exactly representable integers), BIGINT dot candidate
     # cut, full-precision cosine rescore of ONLY the window
@@ -4597,6 +4653,29 @@ JOIN afinal a ON a.vec_id = e.vec_id
 JOIN probe p ON a.centroid_id = p.cid
 CROSS JOIN q
 WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 5
+"""
+
+    # ---- filtered ANN: the identical train->bucket->probe replica with
+    # the attribute filter applied inside the probed cells
+    sqls["emb_ivf_filtered_topk"] = f"""
+WITH {_kmeans_ctes},
+q AS (
+  SELECT embedding::DOUBLE[] AS qe,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS qm
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_il2.format(m='q.qm', c='c.cm')} AS d FROM c2 c, q
+  ) ORDER BY d, cid LIMIT {IVF_PROBE}
+)
+SELECT e.vec_id, a.centroid_id, {_cos6} AS cosine
+FROM embeddings e
+JOIN afinal a ON a.vec_id = e.vec_id
+JOIN probe p ON a.centroid_id = p.cid
+CROSS JOIN q
+WHERE e.vec_id <> 0 AND e.label = {FILTERED_KNN_LABEL}
 ORDER BY cosine DESC, e.vec_id ASC LIMIT 5
 """
 

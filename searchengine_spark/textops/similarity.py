@@ -55,14 +55,27 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: tuple = (),
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k -> (vec_id, cosine[6dp]). Deterministic
-    tie-break on id. Plan: scan + codegen fold + TakeOrderedAndProject."""
+    tie-break on id. Plan: scan + codegen fold + TakeOrderedAndProject.
+
+    ``allowed``: optional one-column id frame — PRE-filtered kNN (the ES
+    knn ``filter`` contract: the k nearest among docs PASSING the
+    filter, never top-k-then-filter, which under-fills and biases the
+    page). The semi-join happens before the fold, so excluded vectors
+    never pay the dot product."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    src = embeddings
+    if allowed is not None:
+        src = src.join(
+            F.broadcast(allowed.selectExpr(f"{allowed.columns[0]} AS {id_col}")
+                        .distinct()),
+            id_col, "left_semi")
     v = as_double(F.col(vec_col))
     cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.lit(qn))
-    out = embeddings.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+    out = src.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(*exclude_ids))
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
@@ -239,11 +252,20 @@ def ivf_topk_indexed(
     k: int = 5,
     n_probe: int = 2,
     exclude_ids: tuple = (),
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN over the persisted bucketed layout: probe the ``n_probe``
     nearest buckets (partition-pruned scan — the filter on the partition
     column prunes all other bucket directories), cosine-rank within them
-    -> (vec_id, centroid_id, cosine[6dp])."""
+    -> (vec_id, centroid_id, cosine[6dp]).
+
+    ``allowed``: optional one-column id frame — PRE-filtered ANN (ES knn
+    filter semantics): the filter applies INSIDE the probed cells, so
+    the result is the k nearest PASSING vectors among the probes, never
+    top-k-then-filter. Recall caveat (the honest IVF trade): a highly
+    selective filter empties cells — widen ``n_probe`` (at n_probe =
+    n_centroids this is exact filtered search; gated in
+    tests/test_filtered_ann.py)."""
     from ..indexing import fsio
 
     man = json.loads(fsio.read_text(spark, fsio.join(path, "ivf_manifest.json")))
@@ -252,6 +274,11 @@ def ivf_topk_indexed(
     bucket = spark.read.parquet(fsio.join(path, "buckets")).filter(
         F.col("centroid_id").isin(probes)
     )
+    if allowed is not None:
+        bucket = bucket.join(
+            F.broadcast(allowed.selectExpr(f"{allowed.columns[0]} AS {id_col}")
+                        .distinct()),
+            id_col, "left_semi")
     q = np.asarray(query_vec, dtype=np.float64)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(q, q)))
