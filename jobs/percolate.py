@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--output", default=None,
                     help="parquet dir for the match table; omit to print "
                          "per-query match counts as JSON lines")
+    ap.add_argument("--stream", action="store_true",
+                    help="availableNow streaming mode (needs --output): "
+                         "treat --input as a growing parquet directory — "
+                         "each run percolates ONLY files unseen by the "
+                         "checkpoint (inside --output) and appends their "
+                         "matches as batch_<id> subdirs; retried batches "
+                         "overwrite idempotently")
     ap.add_argument("--min-token-length", type=int, default=3)
     ap.add_argument("--stop-words", default=None,
                     help="stop-word file (default: the reference list if "
@@ -79,8 +86,25 @@ def main() -> None:
                               min_should_match=args.min_should_match)
 
     spark = SparkSession.builder.appName("searchengine_percolate").getOrCreate()
-    docs = spark.read.parquet(args.input)
     ids = [c.strip() for c in args.id_cols.split(",") if c.strip()]
+    if args.stream:
+        from searchengine_spark.query.percolate import (
+            percolate_stream,
+            read_percolate_output,
+        )
+
+        if not args.output:
+            raise SystemExit("--stream needs --output (the match dir "
+                             "holds the checkpoint)")
+        schema = spark.read.parquet(args.input).schema
+        percolate_stream(spark, args.input, args.output, stored, cfg,
+                         schema=schema, text_col=args.text_col, id_cols=ids)
+        n = read_percolate_output(spark, args.output).count()
+        print(json.dumps({"output": args.output, "streamed": True,
+                          "n_queries": len(stored),
+                          "n_matches_total": int(n)}))
+        return
+    docs = spark.read.parquet(args.input)
     matches = percolate(docs, stored, cfg, text_col=args.text_col,
                         id_cols=ids)
     if args.output:

@@ -44,6 +44,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import SparkSession
+
 from ..tokenizer import TokenizerConfig, tokenize_text
 from .negation import negated_terms, split_negations
 
@@ -153,3 +155,56 @@ def percolate(
         .select(*ids, "query_id", "n_matched")
     )
     return out.orderBy(*ids, "query_id")
+
+
+def percolate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    stored: Sequence[StoredQuery],
+    cfg: TokenizerConfig,
+    schema=None,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> None:
+    """availableNow-run a parquet-directory stream of arriving docs
+    through the percolator — the ALERTING deployment shape: new doc
+    files land in ``input_dir``, each run matches only the unseen ones
+    (Structured Streaming's file-source tracking via the checkpoint
+    inside ``output_dir``) and appends their matches.
+
+    Exactly-once without state: a doc's verdict is batch-self-contained
+    (module docstring), so each micro-batch OVERWRITES its own
+    ``batch_<id>`` subdir — a foreachBatch retry re-runs with the SAME
+    batch_id (the Structured Streaming contract) and lands byte-identical
+    in the same dir; re-runs with no new files are no-ops. Read results
+    back with :func:`read_percolate_output`."""
+    from ..indexing import fsio
+
+    if schema is None:
+        from ..fixtures.transcripts import TRANSCRIPTS_SCHEMA
+
+        schema = TRANSCRIPTS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        out = percolate(batch, stored, cfg, text_col=text_col,
+                        id_cols=id_cols)
+        out.write.mode("overwrite").parquet(
+            fsio.join(output_dir, f"batch_{int(batch_id)}"))
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", fsio.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_percolate_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Union of every committed percolation batch under ``output_dir``
+    (one glob read — URI-capable like the rest of the layout)."""
+    from ..indexing import fsio
+
+    return spark.read.parquet(fsio.join(output_dir, "batch_*"))

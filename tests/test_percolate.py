@@ -103,3 +103,44 @@ def test_percolate_refusals(spark, cfg, corpus):
         percolate(corpus, stored, cfg, id_cols=("conv_id", "turn_idx"))
     with pytest.raises(ValueError, match="at least one"):
         percolate(corpus, [], cfg, id_cols=("conv_id", "turn_idx"))
+
+
+def test_percolate_stream(spark, cfg, tmp_path):
+    """availableNow streaming percolation: run after each file drop —
+    the committed union equals batch percolation over everything seen,
+    and a re-run with no new files changes nothing (file-source
+    tracking + per-batch overwrite idempotence)."""
+    from searchengine_spark.query.percolate import (
+        percolate_stream,
+        read_percolate_output,
+    )
+
+    corpus = transcripts_df(spark, n_conv=8, n_partitions=2)
+    half_a = corpus.filter("turn_idx % 2 = 0")
+    half_b = corpus.filter("turn_idx % 2 = 1")
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    stored = register_queries(["greatest rock album", "music"], cfg)
+    ids = ("conv_id", "turn_idx")
+
+    half_a.write.mode("append").parquet(inp)
+    percolate_stream(spark, inp, out, stored, cfg, id_cols=ids)
+    got1 = {(r["conv_id"], r["turn_idx"], r["query_id"], r["n_matched"])
+            for r in read_percolate_output(spark, out).collect()}
+    want1 = {(r["conv_id"], r["turn_idx"], r["query_id"], r["n_matched"])
+             for r in percolate(half_a, stored, cfg, id_cols=ids).collect()}
+    assert got1 == want1 and got1
+
+    half_b.write.mode("append").parquet(inp)
+    percolate_stream(spark, inp, out, stored, cfg, id_cols=ids)
+    got2 = {(r["conv_id"], r["turn_idx"], r["query_id"], r["n_matched"])
+            for r in read_percolate_output(spark, out).collect()}
+    wantall = {(r["conv_id"], r["turn_idx"], r["query_id"], r["n_matched"])
+               for r in percolate(corpus, stored, cfg, id_cols=ids).collect()}
+    assert got2 == wantall and got2 > got1
+
+    # no new files -> no-op
+    percolate_stream(spark, inp, out, stored, cfg, id_cols=ids)
+    got3 = {(r["conv_id"], r["turn_idx"], r["query_id"], r["n_matched"])
+            for r in read_percolate_output(spark, out).collect()}
+    assert got3 == got2
