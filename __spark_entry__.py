@@ -1733,6 +1733,38 @@ def q_result_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPOSITE_AFTER = ("src1", "en")  # page-2 cursor (ES after_key)
 
+
+def q_result_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats in the exact-arithmetic discipline
+    (query/aggregations.py extended_stats_agg): BIGINT moments (n, sum,
+    sum_sq) over each query's top-10 hits' n_chars plus the variance
+    NUMERATOR n*sum_sq - sum^2 — population variance/std are client-side
+    floats (the stats_agg avg policy); values floor to BIGINT first, so
+    nothing can drift cross-engine."""
+    from searchengine_spark.query.aggregations import extended_stats_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return extended_stats_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"],
+    )
+
+
+def q_result_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats covariance analog (query/aggregations.py
+    matrix_stats_agg): per unordered column pair over each query's hits,
+    the exact-integer covariance NUMERATOR n*sum_xy - sum_x*sum_y on
+    pairwise-complete rows (both values non-NULL — the ES contract);
+    correlation/covariance derive client-side. Pair here: (doc_id,
+    n_chars) — semantically dull, arithmetically strict."""
+    from searchengine_spark.query.aggregations import matrix_stats_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return matrix_stats_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["doc_id", "n_chars"], ["doc_id"],
+    )
+
 # sloppy-phrase fixtures: 2-term phrases at slop 1 + one 3-term at slop 2
 SLOP_PHRASES_2 = ["hash scan", "table join", "stream batch"]
 SLOP_PHRASE_3 = "fast table scan"
@@ -2841,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_cardinality": q_result_cardinality,
         "result_range": q_result_range,
         "result_composite": q_result_composite,
+        "result_extended_stats": q_result_extended_stats,
+        "result_matrix_stats": q_result_matrix_stats,
         "hll_token_registers": q_hll_token_registers,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
@@ -3284,6 +3318,47 @@ LEFT JOIN counts c ON c.query_id = b.query_id
   AND c.range_from IS NOT DISTINCT FROM r.range_from
   AND c.range_to IS NOT DISTINCT FROM r.range_to
 ORDER BY b.query_id, r.range_from NULLS FIRST, r.range_to NULLS LAST
+"""
+
+    # ---- extended_stats: BIGINT moments + the integer variance numerator
+    sqls["result_extended_stats"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, floor(d.n_chars)::BIGINT AS v
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n, sum(v)::BIGINT AS sum,
+         sum(v * v)::BIGINT AS sum_sq
+  FROM vals GROUP BY query_id
+)
+SELECT query_id, 'n_chars' AS col, n, sum, sum_sq,
+       (n * sum_sq - sum * sum)::BIGINT AS var_num
+FROM agg ORDER BY query_id
+"""
+
+    # ---- matrix_stats: pairwise-complete integer covariance numerator
+    sqls["result_matrix_stats"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, floor(d.doc_id)::BIGINT AS x,
+         floor(d.n_chars)::BIGINT AS y
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy
+  FROM vals GROUP BY query_id
+)
+SELECT query_id, 'doc_id' AS col_a, 'n_chars' AS col_b, n,
+       (n * sxy - sx * sy)::BIGINT AS cov_num
+FROM agg ORDER BY query_id
 """
 
     # ---- composite aggregation: bucket groupBy over non-NULL (source,

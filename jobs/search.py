@@ -618,6 +618,65 @@ def _print_composite(spark, attrs_path, ext_cols, queries, per_q,
             "buckets": buckets, "after_key": after_key}}, default=str))
 
 
+def _print_extended_stats(spark, attrs_path, ext_cols, queries, per_q,
+                          cols_spec) -> None:
+    """--extended-stats COL[,COL...]: ES extended_stats analog
+    (query/aggregations.py; BIGINT moments + integer variance numerator;
+    variance/std derive client-side as var_num/n^2). One JSON line per
+    query."""
+    from searchengine_spark.query.aggregations import extended_stats_agg
+
+    cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in extended_stats_agg(hits, attrs, cols, ext_cols).collect():
+            n = int(r["n"])
+            var = (int(r["var_num"]) / (n * n)) if n else None
+            by_q[r["query_id"]][r["col"]] = {
+                "n": n, "sum": int(r["sum"]), "sum_sq": int(r["sum_sq"]),
+                "var_num": int(r["var_num"]), "variance": var,
+                "std_deviation": (var ** 0.5) if var is not None else None,
+            }
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "extended_stats": by_q[i]}))
+
+
+def _print_matrix_stats(spark, attrs_path, ext_cols, queries, per_q,
+                        cols_spec) -> None:
+    """--matrix-stats COLA,COLB[,...]: ES matrix_stats covariance analog
+    (query/aggregations.py; pairwise-complete integer covariance
+    numerator; covariance derives client-side as cov_num/n^2). One JSON
+    line per query."""
+    from searchengine_spark.query.aggregations import matrix_stats_agg
+
+    cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in matrix_stats_agg(hits, attrs, cols, ext_cols).collect():
+            n = int(r["n"])
+            by_q[r["query_id"]].append({
+                "col_a": r["col_a"], "col_b": r["col_b"], "n": n,
+                "cov_num": int(r["cov_num"]),
+                "covariance": (int(r["cov_num"]) / (n * n)) if n else None,
+            })
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "matrix_stats": by_q[i]}))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -728,6 +787,7 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
+            or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
@@ -774,6 +834,12 @@ def _serve_federated(spark, args) -> None:
         if args.composite:
             _print_composite(spark, args.attrs, ext_cols, batch, per_q,
                              args.composite, args.composite_after)
+        if args.extended_stats:
+            _print_extended_stats(spark, args.attrs, ext_cols, batch, per_q,
+                                  args.extended_stats)
+        if args.matrix_stats:
+            _print_matrix_stats(spark, args.attrs, ext_cols, batch, per_q,
+                                args.matrix_stats)
         if args.significant:
             _print_significant(spark, cfg, batch, per_q, args.significant,
                                shards=shards)
@@ -1363,6 +1429,19 @@ def main() -> None:
                          "after_key values, |-separated, one per "
                          "--composite column (compared in the attrs "
                          "column's native type)")
+    ap.add_argument("--extended-stats", default=None,
+                    metavar="COL[,COL...]",
+                    help="ES extended_stats analog (query/aggregations.py; "
+                         "BIGINT moments + integer variance numerator — "
+                         "variance/std derive as var_num/n^2): per query "
+                         "over the result set; needs --attrs; every "
+                         "ranker, --index or --shards")
+    ap.add_argument("--matrix-stats", default=None, metavar="COLA,COLB",
+                    help="ES matrix_stats covariance analog "
+                         "(query/aggregations.py; pairwise-complete "
+                         "integer covariance numerator per column pair); "
+                         "needs --attrs; every ranker, --index or "
+                         "--shards")
     ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
                     help="ES histogram-aggregation analog "
                          "(query/aggregations.py): per query, bucket the "
@@ -1408,6 +1487,7 @@ def main() -> None:
                          "columns there)")
     if (args.facets or args.histogram or args.date_histogram
             or args.range or args.composite
+            or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
@@ -1683,6 +1763,14 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_composite(spark, args.attrs, ext, queries, per_q,
                              args.composite, args.composite_after)
+        if args.extended_stats:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_extended_stats(spark, args.attrs, ext, queries, per_q,
+                                  args.extended_stats)
+        if args.matrix_stats:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_matrix_stats(spark, args.attrs, ext, queries, per_q,
+                                args.matrix_stats)
         if args.significant:
             _print_significant(spark, cfg, queries, per_q, args.significant,
                                pidx=pidx)

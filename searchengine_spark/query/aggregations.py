@@ -362,6 +362,88 @@ def composite_agg(
     )
 
 
+def extended_stats_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, n, sum, sum_sq, var_num): ES ``extended_stats``
+    in the repo's exact-arithmetic discipline — for INTEGER attributes
+    the moments aggregate as BIGINT (exact, summation-order-free), and
+    the variance ships as its integer NUMERATOR
+    ``var_num = n*sum_sq - sum^2`` (population variance = var_num/n^2,
+    std = sqrt/n — client-side floats, like stats_agg's avg policy;
+    emitting a rounded float variance would force a cross-engine
+    rounding policy on an otherwise exact row). Values are floored to
+    BIGINT first (``floor(value)``), so fractional attributes get the
+    documented floor-truncation treatment rather than silent float
+    drift. NULLs skip."""
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    ).select(
+        "query_id", "col", F.floor("value").cast("long").alias("v")
+    )
+    agg = pairs.groupBy("query_id", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sum_sq"),
+    )
+    return agg.select(
+        "query_id", "col", "n", "sum", "sum_sq",
+        (F.col("n") * F.col("sum_sq") - F.col("sum") * F.col("sum"))
+        .cast("long").alias("var_num"),
+    ).orderBy("query_id", "col")
+
+
+def matrix_stats_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col_a, col_b, n, cov_num): ES ``matrix_stats``
+    covariance analog, exact-integer like extended_stats — for each
+    UNORDERED column pair (col_a < col_b), the covariance NUMERATOR
+    ``cov_num = n*sum_xy - sum_x*sum_y`` over the query's hits that have
+    BOTH values non-NULL (ES matrix_stats is pairwise-complete too);
+    population covariance = cov_num/n^2, correlation =
+    cov_num/sqrt(var_num_a*var_num_b) — client-side. Values floor to
+    BIGINT first (the extended_stats policy)."""
+    cols = list(num_cols)
+    if len(cols) < 2:
+        raise ValueError("matrix_stats wants at least two columns")
+    joined = _checked_join(results, attrs, cols, ext_cols)
+    floored = joined.select(
+        "query_id",
+        *[F.floor(F.col(c).cast("double")).cast("long").alias(c)
+          for c in cols],
+    )
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            both = floored.filter(
+                F.col(a).isNotNull() & F.col(b).isNotNull())
+            parts.append(
+                both.groupBy("query_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(a).cast("long").alias("_sx"),
+                    F.sum(b).cast("long").alias("_sy"),
+                    F.sum(F.col(a) * F.col(b)).cast("long").alias("_sxy"),
+                ).select(
+                    "query_id", F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"), "n",
+                    (F.col("n") * F.col("_sxy")
+                     - F.col("_sx") * F.col("_sy"))
+                    .cast("long").alias("cov_num"),
+                )
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts).orderBy(
+        "query_id", "col_a", "col_b")
+
+
 def stats_agg(
     results: DataFrame,
     attrs: DataFrame,

@@ -319,3 +319,48 @@ def test_composes_with_retrieval(spark, stop_words, tmp_path):
         key = (r["query_id"], float(b))
         expect[key] = expect.get(key, 0) + 1
     assert got == expect and len(got) > 0
+
+
+def test_extended_stats_exact(spark, frames):
+    from searchengine_spark.query.aggregations import extended_stats_agg
+
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"]): (r["n"], r["sum"], r["sum_sq"],
+                                       r["var_num"])
+           for r in extended_stats_agg(hits, attrs, ["n_chars", "delta"],
+                                       ["ext_id"]).collect()}
+    # q0 n_chars = [95, 100, 139] (exact integers)
+    n, s, ss = 3, 95 + 100 + 139, 95**2 + 100**2 + 139**2
+    assert got[(0, "n_chars")] == (n, s, ss, n * ss - s * s)
+    # brute variance agrees with the numerator contract
+    vals = [95, 100, 139]
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    assert abs((n * ss - s * s) / n**2 - var) < 1e-9
+    # fractional attrs floor first: q0 delta = [-7.5, 2.5] -> [-8, 2]
+    n2, s2, ss2 = 2, -8 + 2, 64 + 4
+    assert got[(0, "delta")] == (n2, s2, ss2, n2 * ss2 - s2 * s2)
+
+
+def test_matrix_stats_exact(spark):
+    from searchengine_spark.query.aggregations import matrix_stats_agg
+
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "query_id int, ext_id long")
+    attrs = spark.createDataFrame(
+        [(1, 2, 10), (2, 4, 20), (3, 6, 31), (4, None, 40)],
+        "ext_id long, x long, y long")
+    got = {(r["query_id"], r["col_a"], r["col_b"]): (r["n"], r["cov_num"])
+           for r in matrix_stats_agg(hits, attrs, ["x", "y"],
+                                     ["ext_id"]).collect()}
+    # pairwise-complete: doc 4's NULL x drops the pair row
+    xs, ys = [2, 4, 6], [10, 20, 31]
+    n = 3
+    cov_num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    assert got == {(0, "x", "y"): (n, cov_num)}
+    # population covariance identity
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    assert abs(cov_num / n**2 - cov) < 1e-9
+    with pytest.raises(ValueError, match="two columns"):
+        matrix_stats_agg(hits, attrs, ["x"], ["ext_id"])
