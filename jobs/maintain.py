@@ -50,6 +50,15 @@ def main() -> None:
                          "(doc_id, *order_cols, dl)")
     ap.add_argument("--delete-ids", default=None,
                     help="comma-separated internal docIDs to tombstone")
+    ap.add_argument("--reindex-where", default=None, metavar="PRED",
+                    help="ES _reindex-with-query analog: carve the live "
+                         "docs matching PRED (SQL over doc_id, order_cols, "
+                         "dl) into a NEW index at --reindex-output — "
+                         "stored token streams, never re-tokenizes, "
+                         "bit-identical to a fresh build over the "
+                         "filtered corpus; tombstones fold")
+    ap.add_argument("--reindex-output", default=None,
+                    help="destination index dir for --reindex-where")
     ap.add_argument("--compact", action="store_true",
                     help="fold epochs + tombstones into a fresh base")
     ap.add_argument("--compact-if-debt", type=int, default=None, metavar="N",
@@ -72,6 +81,7 @@ def main() -> None:
     if args.append and args.adopt:
         ap.error("pass at most one of --append / --adopt per run")
     if not any((args.append, args.adopt, args.delete_where, args.delete_ids,
+                args.reindex_where,
                 args.compact, args.compact_if_debt is not None,
                 args.fsck, args.fsck_deep, args.stats)):
         ap.error("nothing to do: pass --append / --adopt / --delete-* / "
@@ -136,6 +146,17 @@ def main() -> None:
         fsio.read_text(spark, fsio.join(args.index, "manifest.json"))
     )
     debt = len(manifest.get("appends", [])) + len(manifest.get("deletes", []))
+    if args.reindex_where:
+        from searchengine_spark.indexing.merge import reindex_filtered
+
+        if not args.reindex_output:
+            raise SystemExit("--reindex-where needs --reindex-output")
+        new_man = reindex_filtered(
+            spark, args.index, args.reindex_output, args.reindex_where,
+            n_partitions=args.partitions,
+        )
+        print(json.dumps({"reindexed": args.reindex_output,
+                          "n_docs": new_man["n_docs"]}))
     if args.compact or (
         args.compact_if_debt is not None and debt >= args.compact_if_debt
     ):

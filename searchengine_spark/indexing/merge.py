@@ -156,6 +156,76 @@ def merge_packed_indexes(
     )
 
 
+def reindex_filtered(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    where: str,
+    n_partitions: Optional[int] = None,
+) -> dict:
+    """Carve a NEW packed index out of an existing one — the ES
+    ``_reindex``-with-query analog: the docs matching ``where`` (a SQL
+    predicate over the docs-stage columns: ``doc_id``, the index's
+    ``order_cols``, ``dl``) become a fresh index at ``out_path``.
+
+    Same machinery and same contract as a shard merge, single-source:
+    the new docs stage comes from the STORED token stream (tokenization
+    never re-runs), tombstoned docs are excluded first (a reindex is a
+    compaction too — deleted docs don't survive), docIDs re-assign
+    densely under the global order_cols sort, and every downstream
+    stage is the build's own code via the resume seam — so the result
+    is bit-identical to a fresh ``build_packed_index`` over the
+    filtered live corpus (gated in tests/test_reindex.py). Predicates
+    over lakehouse attributes (role, ts, ...) belong to the ATTRS
+    table: resolve them to order_cols there and filter on those —
+    the index stores only what it needs to serve.
+
+    A predicate matching nothing raises (an empty index is almost
+    always a mis-typed predicate, and the build's offsets stage has no
+    zero-doc shape)."""
+    if str(out_path).rstrip("/") == str(src_path).rstrip("/"):
+        raise ValueError(
+            "out_path must differ from src_path (the output location is "
+            "clobbered before the rebuild; reindex-in-place would destroy "
+            "the source mid-read)"
+        )
+    src = load_packed_index(spark, src_path)
+    m = src.manifest
+    order_cols = [c for c in m["order_cols"] if c != DOC_ID]
+    docs = src.docs_stage()
+    mask = src.delete_mask()
+    if mask is not None:
+        tomb = spark.createDataFrame(
+            [(int(x),) for x in mask.arr], schema=f"{DOC_ID} long"
+        )
+        docs = docs.join(F.broadcast(tomb), on=DOC_ID, how="left_anti")
+    kept = docs.filter(F.expr(where)).select(*order_cols, "tokens")
+    if not kept.limit(1).count():
+        raise ValueError(
+            f"predicate {where!r} matches no live documents in {src_path!r}"
+        )
+
+    from . import fsio
+
+    fsio.delete(spark, out_path)
+    write_docs_stage(kept, order_cols, _stage_dirs(out_path),
+                     n_partitions=n_partitions)
+    return build_packed_index(
+        kept,  # resume skips the docs stage; this carries the session only
+        TokenizerConfig.from_manifest(m["tokenizer"]),
+        out_path,
+        params=Bm25Params(k=m["k"], b=m["b"]),
+        order_cols=tuple(order_cols),
+        chunk_docs=int(m["chunk_docs"]),
+        n_partitions=n_partitions,
+        resume=True,
+        positional=bool(m.get("positional", False)),
+        tfidf_sidecar=bool(m.get("tfidf_sidecar", False)),
+        payload=m.get("payload", "freq"),
+        tfidf_doc_schema=m.get("tfidf_doc_schema") or "lnc",
+    )
+
+
 def adopt_shard_index(
     spark: SparkSession,
     path: str,
