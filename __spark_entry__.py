@@ -2719,6 +2719,44 @@ def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TV_DOC_IDS = [3, 17, 40]
 
+# ES bool-query fixture: every clause populated, msm exercises the
+# coverage-floor identity on top of the required set
+BOOLQ = {"must": "window", "should": "spark merge vector",
+         "must_not": "stream", "filter": "table", "msm": 1}
+
+
+def q_bool_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query (query/boolquery.py — the compound workhorse):
+    docs containing every must term AND every filter term, >= msm
+    should terms, NO must_not term, BM25-ranked over their must+should
+    matches only (filter context never scores — the ES contract). The
+    engine composes it from gated primitives: one boolean-AND pass for
+    the required set feeding the doc_filter seam, the coverage-floor
+    identity |M|+msm-|S∩M| for minimum_should_match, the exclusion
+    fan-out for must_not. The oracle replicates every predicate with
+    EXISTS subqueries and the should floor with a coverage count —
+    an engine that scored filter terms, dropped the floor, or
+    post-filtered would hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.boolquery import bool_query_topk
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    return bool_query_topk(
+        pidx, CFG, must=BOOLQ["must"], should=BOOLQ["should"],
+        must_not=BOOLQ["must_not"], filter_terms=BOOLQ["filter"],
+        min_should_match=BOOLQ["msm"], k=10, round_dp=6,
+    )
+
 # percolator fixtures: a negated query + a coverage floor below the term
 # counts, so the oracle exercises the veto AND the >= m branch
 PERC_QUERIES = [
@@ -2888,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_search": q_boosted_search,
         "term_vectors": q_term_vectors,
         "percolate_docs": q_percolate_docs,
+        "bool_query_topk": q_bool_query_topk,
     }
 
 
@@ -6068,6 +6107,53 @@ ranked AS (
   FROM allf
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- ES bool query: EXISTS per required/negated term, a coverage
+    # count for the should floor, scoring over must+should only, and the
+    # dense-docID mapping applied LAST (the packed index serves dense ids)
+    _bq_m = tokenize_text(BOOLQ["must"], CFG)
+    _bq_s = tokenize_text(BOOLQ["should"], CFG)
+    _bq_n = tokenize_text(BOOLQ["must_not"], CFG)
+    _bq_f = tokenize_text(BOOLQ["filter"], CFG)
+    _bq_scoring = _sql_term_list(list(dict.fromkeys(_bq_m + _bq_s)))
+    _bq_should = _sql_term_list(_bq_s)
+    _req_exists = "\n  AND ".join(
+        f"EXISTS (SELECT 1 FROM idx r WHERE r.doc_id = dln.doc_id "
+        f"AND r.term = {_sql_quote(t)})"
+        for t in dict.fromkeys(_bq_m + _bq_f))
+    _neg_exists = "\n  AND ".join(
+        f"NOT EXISTS (SELECT 1 FROM idx r WHERE r.doc_id = dln.doc_id "
+        f"AND r.term = {_sql_quote(t)})"
+        for t in _bq_n)
+    sqls["bool_query_topk"] = f"""
+WITH {_INDEX_CTES},
+sq AS (SELECT unnest({_bq_scoring}) AS term),
+shq AS (SELECT unnest({_bq_should}) AS term),
+eligible AS (
+  SELECT dln.doc_id FROM dln
+  WHERE {_req_exists}
+  AND {_neg_exists}
+  AND (SELECT count(*) FROM idx i JOIN shq USING (term)
+       WHERE i.doc_id = dln.doc_id) >= {BOOLQ["msm"]}
+),
+scored AS (
+  SELECT idx.doc_id, round(sum({_bm25_contrib_sql()}), 6) AS score
+  FROM idx JOIN sq USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  WHERE idx.doc_id IN (SELECT doc_id FROM eligible)
+  GROUP BY idx.doc_id
+),
+dense AS (
+  SELECT doc_id AS ext_id,
+         (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS did
+  FROM documents
+)
+SELECT 0 AS query_id, dense.did AS doc_id, s.score,
+       (row_number() OVER (ORDER BY s.score DESC, dense.did ASC))::BIGINT
+         AS rank
+FROM scored s JOIN dense ON s.doc_id = dense.ext_id
+QUALIFY rank <= 10
 """
 
     # ---- percolator: stored-query registration happens in PYTHON (the

@@ -1405,6 +1405,22 @@ def main() -> None:
                          "NULLs skipped): per query, distinct attribute "
                          "values over the result set — needs --attrs; "
                          "every ranker, --index or --shards")
+    ap.add_argument("--must", default=None, metavar="WORDS",
+                    help="ES bool query, must clause (required + scoring); "
+                         "any of --must/--should triggers bool mode — one "
+                         "compound query per run, --query is ignored "
+                         "(query/boolquery.py; --index, bm25)")
+    ap.add_argument("--should", default=None, metavar="WORDS",
+                    help="bool query should clause (optional + scoring; "
+                         "--bool-msm sets minimum_should_match, default 0 "
+                         "with a must/filter clause, 1 without)")
+    ap.add_argument("--bool-filter", default=None, metavar="WORDS",
+                    help="bool query filter clause: required terms that "
+                         "NEVER score (the ES filter context)")
+    ap.add_argument("--bool-must-not", default=None, metavar="WORDS",
+                    help="bool query must_not clause (veto terms)")
+    ap.add_argument("--bool-msm", type=int, default=None,
+                    help="minimum_should_match for --should")
     ap.add_argument("--slop", type=int, default=0,
                     help="ordered position slack for the phrase rankers "
                          "(ES match_phrase slop restricted to in-order "
@@ -1468,6 +1484,8 @@ def main() -> None:
 
     if bool(args.index) == bool(args.shards):
         raise SystemExit("pass exactly one of --index or --shards")
+    if (args.must or args.should) and args.shards:
+        raise SystemExit("the bool query serves from --index (compose the federated\n clauses via --min-should-match / -term / --filter meanwhile)")
     if args.slop:
         if args.slop < 0:
             raise SystemExit("--slop must be >= 0")
@@ -1536,6 +1554,25 @@ def main() -> None:
             "suggestions": [{"term": r["term"], "df": int(r["df"])}
                             for r in rows],
         }))
+        return
+
+    if args.must or args.should:
+        from searchengine_spark.query.boolquery import bool_query_topk
+        from searchengine_spark.query.wand import resolve_docs
+
+        t1 = time.perf_counter()
+        out = resolve_docs(pidx, bool_query_topk(
+            pidx, cfg, must=args.must, should=args.should,
+            must_not=args.bool_must_not, filter_terms=args.bool_filter,
+            min_should_match=args.bool_msm, k=args.n, round_dp=6))
+        res = sorted((r.asDict() for r in out.collect()),
+                     key=lambda r: r["rank"])
+        print(json.dumps({"bool": {
+            "must": args.must, "should": args.should,
+            "must_not": args.bool_must_not, "filter": args.bool_filter,
+            "msm": args.bool_msm}, "results": res}, default=str))
+        print(f"bool query in {(time.perf_counter() - t1) * 1000:.1f}ms",
+              file=sys.stderr)
         return
 
     if args.termvectors:

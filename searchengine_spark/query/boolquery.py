@@ -1,0 +1,117 @@
+"""ES ``bool`` query — the compound workhorse: ``must`` (required,
+scoring), ``should`` (optional, scoring, with ``minimum_should_match``),
+``must_not`` (veto), ``filter`` terms (required, NON-scoring) — composed
+from the engine's existing gated primitives, one bool query per call
+(the ES request shape).
+
+Composition (no new scorer kernel — every piece is already
+oracle-gated):
+
+- the required set (``must`` + ``filter_terms``) resolves through ONE
+  boolean-AND pass (:func:`~.wand.boolean_search_packed`) into a
+  ``doc_filter`` frame — the same per-chunk join attribute filtering
+  uses, so block-max pruning stays exact;
+- scoring runs the ordinary WAND batch over the UNIQUE union of must +
+  should terms (a term in both clauses contributes once — the
+  engine-wide unique-terms quirk, documented deviation from ES's
+  clause-sum which would double-count it); filter terms never score
+  (the ES filter-context contract);
+- ``minimum_should_match`` on the should clause rides the existing
+  coverage floor: on docs that already contain every must term, joint
+  coverage >= |must| + m  <=>  should coverage >= m;
+- ``must_not`` is the existing exclusion fan-out.
+
+ES defaults kept: msm defaults to 0 when the bool has a must/filter
+clause and to 1 when it is should-only. An out-of-vocabulary must or
+filter term matches nothing (the AND contract); a term both required
+and negated matches nothing (ES agrees); msm above the should-term
+count matches nothing (the floor is unreachable).
+
+No reference counterpart (the reference serves single-list queries);
+semantics follow the Elasticsearch bool query.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import TokenizerConfig, tokenize_text
+
+
+def _terms(text: Optional[str], cfg: TokenizerConfig) -> list:
+    return list(dict.fromkeys(tokenize_text(text, cfg))) if text else []
+
+
+def bool_query_topk(
+    pidx,
+    cfg: TokenizerConfig,
+    must: Optional[str] = None,
+    should: Optional[str] = None,
+    must_not: Optional[str] = None,
+    filter_terms: Optional[str] = None,
+    min_should_match: Optional[int] = None,
+    k: int = 10,
+    round_dp: int | None = None,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """One ES bool query -> (query_id=0, doc_id, score, rank): docs
+    containing EVERY must/filter term, >= msm should terms and NO
+    must_not term, BM25-ranked over their must+should matches.
+    ``doc_filter`` (attribute filter frame) intersects with the
+    required-term set — the ES filter context takes both shapes."""
+    from .wand import bm25_topk_packed_batch, boolean_search_packed
+
+    m_terms = _terms(must, cfg)
+    s_terms = _terms(should, cfg)
+    n_terms = _terms(must_not, cfg)
+    f_terms = _terms(filter_terms, cfg)
+    if not m_terms and not s_terms:
+        raise ValueError(
+            "a bool query needs at least one scoring clause (must/should) "
+            "— filter/must_not alone would be an unranked corpus scan"
+        )
+    if min_should_match is None:
+        msm = 0 if (m_terms or f_terms) else 1
+    else:
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(f"min_should_match must be >= 0, got {msm}")
+    if msm and not s_terms:
+        raise ValueError("min_should_match needs a should clause")
+
+    spark = pidx.spark
+    required = list(dict.fromkeys(m_terms + f_terms))
+    allowed = doc_filter
+    if required:
+        req_set = boolean_search_packed(
+            pidx, [" ".join(required)], cfg, op="and"
+        ).select("doc_id")
+        allowed = (req_set if allowed is None
+                   else allowed.select("doc_id").join(req_set, "doc_id"))
+
+    scoring = list(dict.fromkeys(m_terms + s_terms))
+    floor = None
+    if msm:
+        # on docs that already hold every must term, joint scoring
+        # coverage = |M| + |matched (S \ M)|, and |matched S| =
+        # |S ∩ M| + |matched (S \ M)| — so should-coverage >= msm is
+        # exactly joint coverage >= |M| + msm - |S ∩ M|; a floor <= 0
+        # is already satisfied by membership in the required set
+        floor = len(m_terms) + msm - len(set(m_terms) & set(s_terms))
+        if floor < 1:
+            floor = None
+    out = bm25_topk_packed_batch(
+        pidx,
+        [" ".join(scoring)],
+        cfg,
+        k=k,
+        round_dp=round_dp,
+        query_terms=[scoring],
+        doc_filter=allowed,
+        exclude_terms={0: n_terms} if n_terms else None,
+        min_should_match=floor,
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
