@@ -866,6 +866,25 @@ def _serve_federated(spark, args) -> None:
         }))
         return
 
+    if args.must or args.should:
+        from searchengine_spark.query.boolquery import bool_query_topk_federated
+
+        t1 = time.perf_counter()
+        out = resolve_docs_federated(shards, bool_query_topk_federated(
+            shards, cfg, must=args.must, should=args.should,
+            must_not=args.bool_must_not, filter_terms=args.bool_filter,
+            min_should_match=args.bool_msm, k=args.n, round_dp=6))
+        res = sorted((r.asDict() for r in out.collect()),
+                     key=lambda r: r["rank"])
+        print(json.dumps({"bool": {
+            "must": args.must, "should": args.should,
+            "must_not": args.bool_must_not, "filter": args.bool_filter,
+            "msm": args.bool_msm}, "results": res}, default=str))
+        print(f"federated bool query in "
+              f"{(time.perf_counter() - t1) * 1000:.1f}ms "
+              f"({len(shards)} shards)", file=sys.stderr)
+        return
+
     if args.termvectors:
         from searchengine_spark.query.termvectors import term_vectors_federated
 
@@ -1484,8 +1503,6 @@ def main() -> None:
 
     if bool(args.index) == bool(args.shards):
         raise SystemExit("pass exactly one of --index or --shards")
-    if (args.must or args.should) and args.shards:
-        raise SystemExit("the bool query serves from --index (compose the federated\n clauses via --min-should-match / -term / --filter meanwhile)")
     if args.slop:
         if args.slop < 0:
             raise SystemExit("--slop must be >= 0")

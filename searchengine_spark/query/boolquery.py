@@ -115,3 +115,72 @@ def bool_query_topk(
         min_should_match=floor,
     )
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def bool_query_topk_federated(
+    shards,
+    cfg: TokenizerConfig,
+    must: Optional[str] = None,
+    should: Optional[str] = None,
+    must_not: Optional[str] = None,
+    filter_terms: Optional[str] = None,
+    min_should_match: Optional[int] = None,
+    k: int = 10,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Federated twin: the required set resolves PER SHARD (shard-local
+    boolean AND feeding the per-shard ``doc_filters`` seam, exactly the
+    attribute-filter shape), the coverage floor is shard-exact (a doc's
+    whole coverage lives in its one shard), and exclusion federates —
+    so the ELIGIBLE SET is identical to the merged index's. Scores
+    follow the federation BM25 contract (idf federation-global, dl_norm
+    shard-local — dfs_query_then_fetch; CLAUDE.md): gated equal to the
+    federated score-all surface cut to the brute eligible set. Result
+    doc ids speak the federation namespace."""
+    from .federated import bm25_topk_federated
+    from .wand import boolean_search_packed
+
+    m_terms = _terms(must, cfg)
+    s_terms = _terms(should, cfg)
+    n_terms = _terms(must_not, cfg)
+    f_terms = _terms(filter_terms, cfg)
+    if not m_terms and not s_terms:
+        raise ValueError(
+            "a bool query needs at least one scoring clause (must/should) "
+            "— filter/must_not alone would be an unranked corpus scan"
+        )
+    if min_should_match is None:
+        msm = 0 if (m_terms or f_terms) else 1
+    else:
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(f"min_should_match must be >= 0, got {msm}")
+    if msm and not s_terms:
+        raise ValueError("min_should_match needs a should clause")
+
+    required = list(dict.fromkeys(m_terms + f_terms))
+    doc_filters = None
+    if required:
+        doc_filters = [
+            boolean_search_packed(s, [" ".join(required)], cfg, op="and")
+            .select("doc_id")
+            for s in shards
+        ]
+    scoring = list(dict.fromkeys(m_terms + s_terms))
+    floor = None
+    if msm:
+        floor = len(m_terms) + msm - len(set(m_terms) & set(s_terms))
+        if floor < 1:
+            floor = None
+    out = bm25_topk_federated(
+        shards,
+        [" ".join(scoring)],
+        cfg,
+        k=k,
+        round_dp=round_dp,
+        query_terms=[scoring],
+        doc_filters=doc_filters,
+        exclude_terms={0: n_terms} if n_terms else None,
+        min_should_match=floor,
+    )
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -135,3 +135,58 @@ def test_bool_refusals_and_empties(spark, packed, cfg):
     # unreachable msm -> nothing
     assert not bool_query_topk(packed, cfg, should="rock album",
                                min_should_match=5).collect()
+
+
+def test_bool_federated(spark, corpus, cfg, tmp_path):
+    """Federated bool over turn-parity shards: the ELIGIBLE SET equals
+    the merged index's (membership is shard-exact), and scores equal the
+    federated score-all surface cut to the brute eligible set (the
+    federation BM25 contract — global idf, shard-local dl_norm, so raw
+    scores deliberately differ from a merged build; CLAUDE.md)."""
+    from searchengine_spark.query.boolquery import bool_query_topk_federated
+    from searchengine_spark.query.federated import (
+        bm25_scores_federated,
+        resolve_docs_federated,
+    )
+
+    shards = []
+    for i in range(2):
+        p = str(tmp_path / f"s{i}")
+        build_packed_index(corpus.filter(F.col("turn_idx") % 2 == i),
+                           cfg, p, chunk_docs=128)
+        shards.append(load_packed_index(spark, p))
+    kw = dict(must=MUST, should=SHOULD, must_not=NOT, filter_terms=FILT,
+              min_should_match=1, k=10, round_dp=6)
+    fed = bool_query_topk_federated(shards, cfg, **kw)
+    got = [(r["doc_id"], r["score"]) for r in
+           sorted(fed.collect(), key=lambda r: r["rank"])]
+
+    # brute eligibility per shard, federation namespace
+    from searchengine_spark.query.federated import _doc_bases
+
+    elig = set()
+    for s, base in zip(shards, _doc_bases(shards)):
+        toks = {int(r["doc_id"]): set(r["tokens"]) for r in
+                s.docs_stage().select("doc_id", "tokens").collect()}
+        for d in _eligible(toks, cfg, MUST, SHOULD, NOT, FILT, 1):
+            elig.add(d + base)
+    scores = bm25_scores_federated(
+        shards, [f"{MUST} {SHOULD}"], cfg, round_dp=6).collect()
+    cand = sorted((-r["score"], r["doc_id"]) for r in scores
+                  if r["doc_id"] in elig)
+    want = [(d, -ns) for ns, d in cand[:10]]
+    assert got == want and got
+
+    # the eligible set itself is merged-exact: resolve external keys
+    mp = str(tmp_path / "merged")
+    build_packed_index(corpus, cfg, mp, chunk_docs=128)
+    merged = load_packed_index(spark, mp)
+    one = bool_query_topk(merged, cfg, **dict(kw, k=10_000))
+    fed_all = bool_query_topk_federated(shards, cfg, **dict(kw, k=10_000))
+    from searchengine_spark.query.wand import resolve_docs
+
+    ext = lambda df, pidx_or_shards, fed_: {
+        (r["conv_id"], r["turn_idx"]) for r in (
+            resolve_docs_federated(pidx_or_shards, df) if fed_
+            else resolve_docs(pidx_or_shards, df)).collect()}
+    assert ext(fed_all, shards, True) == ext(one, merged, False)
