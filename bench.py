@@ -385,6 +385,14 @@ def run_esops(spark, sf: float) -> dict:
         f().count()
         out["stages"][name] = round(time.perf_counter() - t1, 3)
 
+    t("percolate_15q_20kdocs", lambda: __import__(
+        "searchengine_spark.query.percolate", fromlist=["percolate"]
+    ).percolate(
+        corpus.limit(20000),
+        __import__("searchengine_spark.query.percolate",
+                   fromlist=["register_queries"]).register_queries(
+            QS, cfg, min_should_match=1),
+        cfg, id_cols=("conv_id", "turn_idx")))
     t("wand_top10", lambda: bm25_topk_packed_batch(
         pidx, QS, cfg, k=10, round_dp=6))
     t("score_all", lambda: bm25_scores_packed_batch(pidx, QS, cfg,
@@ -409,6 +417,17 @@ def run_esops(spark, sf: float) -> dict:
         pidx, QS, cfg, k=10, round_dp=6, search_after=cur))
     t("offset_page2", lambda: bm25_topk_packed_batch(
         pidx, QS, cfg, k=10, round_dp=6, offset=10))
+    from searchengine_spark.query.boolquery import bool_query_topk
+
+    # one compound per call (the ES request shape) — time the suite as
+    # sequential calls, the cost class is AND-pass + filtered WAND
+    t1 = time.perf_counter()
+    for q in QS[:5]:
+        w = q.split()
+        bool_query_topk(pidx, cfg, must=w[0],
+                        should=" ".join(w[1:]) or "music",
+                        k=10, round_dp=6).count()
+    out["stages"]["bool_compound_5q"] = round(time.perf_counter() - t1, 3)
     out["value"] = round(sum(v for k_, v in out["stages"].items()
                              if k_ != "index_build_or_reuse"), 3)
     return out
