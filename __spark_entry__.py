@@ -2719,6 +2719,43 @@ def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TV_DOC_IDS = [3, 17, 40]
 
+# ES query_string term^W boosts over the shared documents index: an
+# upweight, a downweight, a ^0 (matches but contributes nothing), and
+# an unboosted control query
+BOOSTED_QUERIES = ["spark^2 merge window^0.5 vector", "hash^0 join table",
+                   "slow stream batch"]
+
+
+def q_boosted_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string term boosts (query/termboost.py — the ES/Lucene
+    ``term^W`` syntax): the caret weight multiplies that term's BM25
+    contribution, riding the weighted-term WAND seam (weights fold into
+    idf BEFORE the chunk bounds, so block-max pruning stays exact at
+    any W, including 0 — the term still matches OR-wise, contributing
+    nothing). Parsing runs on the raw query before tokenization (the
+    chain maps '^' to space). The oracle inlines the module's own
+    parsed (term, w) rows and weights each contribution — an engine
+    that dropped the weight, applied it after the bounds, or let the
+    tokenizer eat the caret digits would hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.termboost import parse_boosted_queries
+    from searchengine_spark.query.wand import bm25_topk_packed_batch
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs, weights = parse_boosted_queries(BOOSTED_QUERIES, CFG)
+    return bm25_topk_packed_batch(pidx, qs, CFG, k=10, round_dp=6,
+                                  term_weights=weights or None)
+
 # ES bool-query fixture: every clause populated, msm exercises the
 # coverage-floor identity on top of the required set
 BOOLQ = {"must": "window", "should": "spark merge vector",
@@ -2927,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "percolate_docs": q_percolate_docs,
         "bool_query_topk": q_bool_query_topk,
+        "boosted_terms_topk": q_boosted_terms_topk,
     }
 
 
@@ -6023,6 +6061,42 @@ sfinal{i} AS (
   GROUP BY idx.doc_id
 )""")
         syn_finals.append(f"SELECT * FROM sfinal{i}")
+    # ---- query-string term boosts: the module's own parse inlined as
+    # per-query (term, w) rows, each contribution weight-multiplied —
+    # the same weighted fold the synonyms oracle gates, driven from the
+    # caret syntax instead of a rules file
+    from searchengine_spark.query.termboost import parse_boosted_queries
+
+    _tb_qs, _tb_w = parse_boosted_queries(BOOSTED_QUERIES, CFG)
+    tb_chains, tb_finals = [], []
+    for i, qstr in enumerate(_tb_qs):
+        terms = list(dict.fromkeys(tokenize_text(qstr, CFG)))
+        wmap = _tb_w.get(i, {})
+        vals = ", ".join(
+            f"({_sql_quote(t)}, {float(wmap.get(t, 1.0))})" for t in terms)
+        tb_chains.append(f"""
+tbq{i}(term, w) AS (SELECT * FROM (VALUES {vals}) AS v(term, w)),
+tbfinal{i} AS (
+  SELECT {i} AS query_id, idx.doc_id,
+         sum(tbq{i}.w * {_bm25_contrib_sql()}) AS s
+  FROM idx JOIN tbq{i} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+)""")
+        tb_finals.append(f"SELECT * FROM tbfinal{i}")
+    sqls["boosted_terms_topk"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(tb_chains)},
+allf AS ({' UNION ALL '.join(tb_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
     sqls["synonym_search"] = f"""
 WITH {_INDEX_CTES.strip()},
 {','.join(syn_chains)},

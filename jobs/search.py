@@ -147,6 +147,16 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             exhaustive=exhaustive)
     elif ranker in ("bm25", "bm25_and"):
         q_terms = t_weights = None
+        if any("^" in q for q in queries):
+            # ES query_string term^W boosts (query/termboost.py) — parsed
+            # after negation strip, riding the weighted-term seam
+            from searchengine_spark.query.termboost import parse_boosted_queries
+
+            if synonyms is not None:
+                raise SystemExit("term^W boosts do not combine with "
+                                 "--synonyms (both drive term weights)")
+            queries, t_weights = parse_boosted_queries(queries, cfg)
+            t_weights = t_weights or None
         if synonyms is not None:
             from searchengine_spark.query.synonyms import expand_query_terms
 
@@ -987,7 +997,11 @@ def _serve_federated(spark, args) -> None:
             res = local.minspan(q, k=args.n)
         else:
             from searchengine_spark.query.negation import split_negations
+            from searchengine_spark.query.termboost import split_boosts
 
+            if split_boosts(q)[1]:
+                raise SystemExit("term^W boosts serve from the distributed "
+                                 "tier (--serve-mode spark / batch mode)")
             pos, neg = split_negations(q)
             res = local.search(
                 pos, k=args.n, ranker=args.ranker, schema=args.schema,
@@ -1077,6 +1091,16 @@ def _serve_federated(spark, args) -> None:
                 exhaustive=args.exhaustive)
         elif args.ranker in ("bm25", "bm25_and"):
             q_terms = t_weights = None
+            if any("^" in q for q in batch):
+                from searchengine_spark.query.termboost import (
+                    parse_boosted_queries,
+                )
+
+                if synonyms is not None:
+                    raise SystemExit("term^W boosts do not combine with "
+                                     "--synonyms (both drive term weights)")
+                batch, t_weights = parse_boosted_queries(batch, cfg)
+                t_weights = t_weights or None
             if synonyms is not None:
                 from searchengine_spark.query.synonyms import (
                     expand_query_terms,
@@ -1750,9 +1774,14 @@ def main() -> None:
                 per_q = [local_minspan(local, q, k=args.n) for q in queries]
             else:
                 from searchengine_spark.query.negation import split_negations
+                from searchengine_spark.query.termboost import split_boosts
 
                 per_q = []
                 for q in queries:
+                    if split_boosts(q)[1]:
+                        raise SystemExit(
+                            "term^W boosts serve from the distributed tier "
+                            "(--serve-mode spark / batch mode)")
                     pos, neg = split_negations(q)
                     per_q.append(
                         sorted(local.search(pos, k=args.n, ranker=args.ranker,
