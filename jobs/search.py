@@ -877,15 +877,27 @@ def _serve_federated(spark, args) -> None:
         return
 
     if args.must or args.should:
-        from searchengine_spark.query.boolquery import bool_query_topk_federated
-
         t1 = time.perf_counter()
-        out = resolve_docs_federated(shards, bool_query_topk_federated(
-            shards, cfg, must=args.must, should=args.should,
-            must_not=args.bool_must_not, filter_terms=args.bool_filter,
-            min_should_match=args.bool_msm, k=args.n, round_dp=6))
-        res = sorted((r.asDict() for r in out.collect()),
-                     key=lambda r: r["rank"])
+        if args.serve_mode in ("auto", "local"):
+            from searchengine_spark.query.boolquery import bool_query_local
+            from searchengine_spark.query.serve import FederatedLocalSearcher
+
+            res = bool_query_local(
+                FederatedLocalSearcher(shards, cfg=cfg), must=args.must,
+                should=args.should, must_not=args.bool_must_not,
+                filter_terms=args.bool_filter,
+                min_should_match=args.bool_msm, k=args.n, round_dp=6)
+        else:
+            from searchengine_spark.query.boolquery import (
+                bool_query_topk_federated,
+            )
+
+            out = resolve_docs_federated(shards, bool_query_topk_federated(
+                shards, cfg, must=args.must, should=args.should,
+                must_not=args.bool_must_not, filter_terms=args.bool_filter,
+                min_should_match=args.bool_msm, k=args.n, round_dp=6))
+            res = sorted((r.asDict() for r in out.collect()),
+                         key=lambda r: r["rank"])
         print(json.dumps({"bool": {
             "must": args.must, "should": args.should,
             "must_not": args.bool_must_not, "filter": args.bool_filter,
@@ -1598,16 +1610,26 @@ def main() -> None:
         return
 
     if args.must or args.should:
-        from searchengine_spark.query.boolquery import bool_query_topk
-        from searchengine_spark.query.wand import resolve_docs
-
         t1 = time.perf_counter()
-        out = resolve_docs(pidx, bool_query_topk(
-            pidx, cfg, must=args.must, should=args.should,
-            must_not=args.bool_must_not, filter_terms=args.bool_filter,
-            min_should_match=args.bool_msm, k=args.n, round_dp=6))
-        res = sorted((r.asDict() for r in out.collect()),
-                     key=lambda r: r["rank"])
+        if args.serve_mode in ("auto", "local"):
+            from searchengine_spark.query.boolquery import bool_query_local
+            from searchengine_spark.query.serve import FederatedLocalSearcher
+
+            res = bool_query_local(
+                FederatedLocalSearcher([pidx], cfg=cfg), must=args.must,
+                should=args.should, must_not=args.bool_must_not,
+                filter_terms=args.bool_filter,
+                min_should_match=args.bool_msm, k=args.n, round_dp=6)
+        else:
+            from searchengine_spark.query.boolquery import bool_query_topk
+            from searchengine_spark.query.wand import resolve_docs
+
+            out = resolve_docs(pidx, bool_query_topk(
+                pidx, cfg, must=args.must, should=args.should,
+                must_not=args.bool_must_not, filter_terms=args.bool_filter,
+                min_should_match=args.bool_msm, k=args.n, round_dp=6))
+            res = sorted((r.asDict() for r in out.collect()),
+                         key=lambda r: r["rank"])
         print(json.dumps({"bool": {
             "must": args.must, "should": args.should,
             "must_not": args.bool_must_not, "filter": args.bool_filter,

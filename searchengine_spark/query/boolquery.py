@@ -117,6 +117,66 @@ def bool_query_topk(
     return out.select("query_id", "doc_id", "score", "rank")
 
 
+def bool_query_local(
+    searcher,
+    must: Optional[str] = None,
+    should: Optional[str] = None,
+    must_not: Optional[str] = None,
+    filter_terms: Optional[str] = None,
+    min_should_match: Optional[int] = None,
+    k: int = 10,
+    round_dp: int | None = None,
+    resolve: bool = True,
+) -> list:
+    """In-process twin over a :class:`~.serve.FederatedLocalSearcher`
+    (single index = one shard) — zero Spark jobs once warm: the required
+    set resolves through the searcher's own boolean_and (the set
+    contract: no top-k cut), feeds ``filter_docs``, and the same
+    coverage-floor identity drives minimum_should_match. Gated
+    rank-identical to the distributed tiers per serving shape
+    (single-index vs bool_query_topk; federated vs the federated twin —
+    both speak the same idf/dl_norm contracts as their distributed
+    counterparts)."""
+    cfg = searcher.cfg
+    m_terms = _terms(must, cfg)
+    s_terms = _terms(should, cfg)
+    n_words = must_not.split() if must_not else None
+    f_terms = _terms(filter_terms, cfg)
+    if not m_terms and not s_terms:
+        raise ValueError(
+            "a bool query needs at least one scoring clause (must/should) "
+            "— filter/must_not alone would be an unranked corpus scan"
+        )
+    if min_should_match is None:
+        msm = 0 if (m_terms or f_terms) else 1
+    else:
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(f"min_should_match must be >= 0, got {msm}")
+    if msm and not s_terms:
+        raise ValueError("min_should_match needs a should clause")
+
+    required = list(dict.fromkeys(m_terms + f_terms))
+    filter_docs = None
+    if required:
+        hits = searcher.search(" ".join(required), ranker="boolean_and",
+                               resolve=False)
+        filter_docs = [int(r["doc_id"]) for r in hits]
+        if not filter_docs:
+            return []
+    scoring = list(dict.fromkeys(m_terms + s_terms))
+    floor = None
+    if msm:
+        floor = len(m_terms) + msm - len(set(m_terms) & set(s_terms))
+        if floor < 1:
+            floor = None
+    return searcher.search(
+        " ".join(scoring), k=k, ranker="bm25", round_dp=round_dp,
+        resolve=resolve, filter_docs=filter_docs, exclude=n_words,
+        min_should_match=floor,
+    )
+
+
 def bool_query_topk_federated(
     shards,
     cfg: TokenizerConfig,

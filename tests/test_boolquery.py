@@ -190,3 +190,41 @@ def test_bool_federated(spark, corpus, cfg, tmp_path):
             resolve_docs_federated(pidx_or_shards, df) if fed_
             else resolve_docs(pidx_or_shards, df)).collect()}
     assert ext(fed_all, shards, True) == ext(one, merged, False)
+
+
+def test_bool_local_parity(spark, corpus, packed, cfg, tmp_path):
+    """The in-process bool twin is rank-identical to its distributed
+    counterpart on BOTH serving shapes (single index; turn-parity
+    federation)."""
+    from searchengine_spark.query.boolquery import (
+        bool_query_local,
+        bool_query_topk_federated,
+    )
+    from searchengine_spark.query.serve import FederatedLocalSearcher
+
+    kw = dict(must=MUST, should=SHOULD, must_not=NOT, filter_terms=FILT,
+              min_should_match=1, k=10, round_dp=6)
+    # single index
+    ls = FederatedLocalSearcher([packed], cfg=cfg)
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in bool_query_local(ls, resolve=False, **kw)]
+    want = [(r["doc_id"], r["score"], r["rank"]) for r in
+            sorted(bool_query_topk(packed, cfg, **kw).collect(),
+                   key=lambda r: r["rank"])]
+    assert got == want and got
+    # federated
+    shards = []
+    for i in range(2):
+        p = str(tmp_path / f"ls{i}")
+        build_packed_index(corpus.filter(F.col("turn_idx") % 2 == i),
+                           cfg, p, chunk_docs=128)
+        shards.append(load_packed_index(spark, p))
+    fls = FederatedLocalSearcher(shards, cfg=cfg)
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in bool_query_local(fls, resolve=False, **kw)]
+    want = [(r["doc_id"], r["score"], r["rank"]) for r in
+            sorted(bool_query_topk_federated(shards, cfg, **kw).collect(),
+                   key=lambda r: r["rank"])]
+    assert got == want and got
+    # empty required set short-circuits (no scoring pass)
+    assert bool_query_local(ls, must="zzzzunseen", should=SHOULD) == []
