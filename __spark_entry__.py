@@ -1587,6 +1587,14 @@ RERANK_N_CAND = 15
 #: all-buckets-emit contract needs an n=0 row to bite)
 RANGE_BUCKETS = ((None, 200.0), (100.0, 300.0), (200.0, 400.0),
                  (50000.0, None))
+#: ES filters/adjacency_matrix named predicate buckets — SQL boolean
+#: expressions in the Spark∩DuckDB dialect (comparisons + equality only)
+#: so the oracle replicates them VERBATIM; 'impossible' stays empty so
+#: the always-emit (filters) vs non-empty-only (adjacency) contracts
+#: diverge visibly on the same spec
+FILTER_BUCKETS = (("english", "lang = 'en'"),
+                  ("longdoc", "n_chars >= 306"),
+                  ("impossible", "n_chars < 0"))
 
 
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,6 +1736,78 @@ def q_result_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["n_chars"], ["doc_id"], ranges=RANGE_BUCKETS,
     )
     return out.select("query_id", "col", "range_from", "range_to",
+                      F.col("n").cast("long").alias("n"))
+
+
+def q_result_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation over each query's result set
+    (query/aggregations.py filters_agg): named SQL predicate buckets
+    counted over the top-10 BM25 hits — every named bucket emits for
+    every query, n=0 included (the 'impossible' bucket proves it), and
+    NULL predicate rows never count (WHERE semantics). The oracle runs
+    the SAME predicate text verbatim."""
+    from searchengine_spark.query.aggregations import filters_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = filters_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, FILTER_BUCKETS, ["doc_id"],
+    )
+    return out.select("query_id", "filter_name",
+                      F.col("n").cast("long").alias("n"))
+
+
+def q_result_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing aggregation over each query's result set
+    (query/aggregations.py missing_agg): per attribute column, how many
+    top-10 BM25 hits have NO value — the mirror of every other
+    aggregation's NULLs-skip rule. The testdata documents table is
+    fully populated, so the load-bearing assertion is the n=0 rows
+    ALWAYS emitting (the ES missing bucket is always present) — a
+    version that drops empty buckets or inner-joins hash-mismatches."""
+    from searchengine_spark.query.aggregations import missing_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = missing_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["lang", "source"], ["doc_id"],
+    )
+    return out.select("query_id", "col",
+                      F.col("n").cast("long").alias("n"))
+
+
+def q_result_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation over each query's result set
+    (query/aggregations.py rare_terms_agg): the long-tail mirror of the
+    terms/facet aggregation — source values matched by <= 2 of the
+    query's top-10 BM25 hits, rarest first. A terms-agg (count-desc,
+    top-k-cut) replica mismatches on both the filter and the order."""
+    from searchengine_spark.query.aggregations import rare_terms_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = rare_terms_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["source"], ["doc_id"], max_doc_count=2,
+    )
+    return out.select("query_id", "facet", "value",
+                      F.col("n").cast("long").alias("n"))
+
+
+def q_result_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation over each query's result set
+    (query/aggregations.py adjacency_matrix_agg): the FILTER_BUCKETS
+    singletons plus every pairwise intersection count, non-empty buckets
+    only (the contract divergence from filters_agg on the same spec:
+    'impossible' rows appear THERE as n=0 and here not at all), key
+    pairs name-sorted."""
+    from searchengine_spark.query.aggregations import adjacency_matrix_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = adjacency_matrix_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, FILTER_BUCKETS, ["doc_id"],
+    )
+    return out.select("query_id", "key_a", "key_b",
                       F.col("n").cast("long").alias("n"))
 
 
@@ -2950,6 +3030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_composite": q_result_composite,
         "result_extended_stats": q_result_extended_stats,
         "result_matrix_stats": q_result_matrix_stats,
+        "result_filters": q_result_filters,
+        "result_missing": q_result_missing,
+        "result_rare_terms": q_result_rare_terms,
+        "result_adjacency": q_result_adjacency,
         "hll_token_registers": q_hll_token_registers,
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
@@ -3395,6 +3479,87 @@ LEFT JOIN counts c ON c.query_id = b.query_id
   AND c.range_from IS NOT DISTINCT FROM r.range_from
   AND c.range_to IS NOT DISTINCT FROM r.range_to
 ORDER BY b.query_id, r.range_from NULLS FIRST, r.range_to NULLS LAST
+"""
+
+    # ---- filters agg: named predicate buckets, run VERBATIM (the
+    # Spark∩DuckDB predicate dialect convention) over the LEFT-joined
+    # hit window; CASE..ELSE 0 mirrors when().otherwise(0) on NULL
+    # predicates, all buckets emit incl. n=0
+    _filter_arms = "\n  UNION ALL\n".join(
+        f"""  SELECT h.query_id, '{name}' AS filter_name,
+         sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM hits h LEFT JOIN documents d ON h.doc_id = d.doc_id
+  GROUP BY h.query_id""".replace("lang", "d.lang")
+        .replace("n_chars", "d.n_chars").replace("source", "d.source")
+        for name, pred in FILTER_BUCKETS
+    )
+    sqls["result_filters"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT query_id, filter_name, n FROM (
+{_filter_arms}
+) ORDER BY query_id, filter_name
+"""
+
+    # ---- missing agg: the NULLs-skip mirror — count hits with NO value
+    # per column through the same LEFT join, n=0 rows always emit
+    sqls["result_missing"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT query_id, col, n FROM (
+  SELECT h.query_id, 'lang' AS col,
+         sum(CASE WHEN d.lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM hits h LEFT JOIN documents d USING (doc_id) GROUP BY h.query_id
+  UNION ALL
+  SELECT h.query_id, 'source' AS col,
+         sum(CASE WHEN d.source IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM hits h LEFT JOIN documents d USING (doc_id) GROUP BY h.query_id
+) ORDER BY query_id, col
+"""
+
+    # ---- rare_terms: the long-tail mirror of the terms agg — HAVING
+    # count <= max_doc_count, no top-k cut, rarest first
+    sqls["result_rare_terms"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT h.query_id, 'source' AS facet, d.source AS value,
+       count(*)::BIGINT AS n
+FROM hits h JOIN documents d USING (doc_id)
+WHERE d.source IS NOT NULL
+GROUP BY h.query_id, d.source
+HAVING count(*) <= 2
+ORDER BY h.query_id, n ASC, value ASC
+"""
+
+    # ---- adjacency_matrix: singletons + pairwise intersections of the
+    # SAME FILTER_BUCKETS predicates, non-empty buckets only (the
+    # contract divergence from filters agg), key pairs name-sorted
+    _adj_arms = []
+    for i, (na, pa) in enumerate(FILTER_BUCKETS):
+        for j, (nb, pb) in enumerate(FILTER_BUCKETS):
+            if j < i:
+                continue
+            ka, kb = sorted((na, nb))
+            cond = pa if i == j else f"({pa}) AND ({pb})"
+            cond = (cond.replace("lang", "d.lang")
+                    .replace("n_chars", "d.n_chars")
+                    .replace("source", "d.source"))
+            _adj_arms.append(
+                f"""  SELECT h.query_id, '{ka}' AS key_a, '{kb}' AS key_b,
+         sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM hits h LEFT JOIN documents d ON h.doc_id = d.doc_id
+  GROUP BY h.query_id""")
+    sqls["result_adjacency"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT query_id, key_a, key_b, n FROM (
+{chr(10).join(a + (chr(10) + "  UNION ALL" if i < len(_adj_arms) - 1 else "")
+              for i, a in enumerate(_adj_arms))}
+) WHERE n > 0 ORDER BY query_id, key_a, key_b
 """
 
     # ---- extended_stats: BIGINT moments + the integer variance numerator

@@ -444,6 +444,126 @@ def _print_range(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "range": by_q[i]}))
 
 
+def _parse_named_filters(spec: str, flag: str) -> list:
+    """``NAME=PRED|NAME=PRED`` -> ordered (name, predicate) pairs (the
+    filters_agg/adjacency_matrix_agg input; '=' inside the predicate is
+    fine — only the FIRST one names the bucket)."""
+    out = []
+    for part in spec.split("|"):
+        if "=" not in part:
+            raise SystemExit(f"{flag} expects NAME=PRED|..., got {part!r}")
+        name, pred = part.split("=", 1)
+        out.append((name.strip(), pred.strip()))
+    return out
+
+
+def _print_filters_agg(spark, attrs_path, ext_cols, queries, per_q,
+                       spec) -> None:
+    """--filters-agg "NAME=PRED|NAME=PRED": ES filters aggregation over
+    each query's result set (query/aggregations.py filters_agg) — named
+    SQL predicate buckets, all of them emitting incl. n=0. One JSON line
+    per query: {"query", "filters": {name: n}}."""
+    from searchengine_spark.query.aggregations import filters_agg
+
+    filters = _parse_named_filters(spec, "--filters-agg")
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = filters_agg(hits, attrs, filters, ext_cols).collect()
+        for r in got:
+            by_q[r["query_id"]][r["filter_name"]] = int(r["n"])
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "filters": by_q[i]}))
+
+
+def _print_missing(spark, attrs_path, ext_cols, queries, per_q,
+                   spec) -> None:
+    """--missing COL[,COL...]: ES missing aggregation over each query's
+    result set (query/aggregations.py missing_agg) — per column, how
+    many hits have NO value (NULL or absent from the attrs table). One
+    JSON line per query: {"query", "missing": {col: n}}."""
+    from searchengine_spark.query.aggregations import missing_agg
+
+    cols = [c.strip() for c in spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = missing_agg(hits, attrs, cols, ext_cols).collect()
+        for r in got:
+            by_q[r["query_id"]][r["col"]] = int(r["n"])
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "missing": by_q[i]}))
+
+
+def _print_rare_terms(spark, attrs_path, ext_cols, queries, per_q,
+                      spec, max_doc_count) -> None:
+    """--rare-terms COL[,COL...] [--rare-max-doc-count N]: ES rare_terms
+    aggregation over each query's result set (query/aggregations.py
+    rare_terms_agg) — the long-tail mirror of --facets, values matched
+    by <= N hits, rarest first. One JSON line per query:
+    {"query", "rare_terms": {col: [{value, n}]}}."""
+    from searchengine_spark.query.aggregations import rare_terms_agg
+
+    cols = [c.strip() for c in spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = rare_terms_agg(hits, attrs, cols, ext_cols,
+                             max_doc_count=max_doc_count).collect()
+        for r in got:
+            by_q[r["query_id"]].setdefault(r["facet"], []).append(
+                {"value": r["value"], "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "rare_terms": by_q[i]}))
+
+
+def _print_adjacency(spark, attrs_path, ext_cols, queries, per_q,
+                     spec) -> None:
+    """--adjacency "NAME=PRED|NAME=PRED": ES adjacency_matrix
+    aggregation over each query's result set (query/aggregations.py
+    adjacency_matrix_agg) — singleton + pairwise-intersection counts of
+    the named predicate sets, non-empty buckets only. One JSON line per
+    query: {"query", "adjacency": {"a": n, "a&b": n}} (the ES '&'
+    composite-key convention)."""
+    from searchengine_spark.query.aggregations import adjacency_matrix_agg
+
+    filters = _parse_named_filters(spec, "--adjacency")
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = adjacency_matrix_agg(hits, attrs, filters, ext_cols).collect()
+        for r in got:
+            key = (r["key_a"] if r["key_a"] == r["key_b"]
+                   else f"{r['key_a']}&{r['key_b']}")
+            by_q[r["query_id"]][key] = int(r["n"])
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "adjacency": by_q[i]}))
+
+
 def _print_top_hits(spark, attrs_path, ext_cols, queries, per_q,
                     facet_spec, n) -> None:
     """--top-hits N (with --facets): ES top_hits sub-aggregation
@@ -798,7 +918,9 @@ def _serve_federated(spark, args) -> None:
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
-            or args.percentiles or args.cardinality) and not args.attrs:
+            or args.percentiles or args.cardinality or args.filters_agg
+            or args.missing or args.rare_terms or args.adjacency) \
+            and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p, snapshot=seq)
@@ -850,6 +972,18 @@ def _serve_federated(spark, args) -> None:
         if args.matrix_stats:
             _print_matrix_stats(spark, args.attrs, ext_cols, batch, per_q,
                                 args.matrix_stats)
+        if args.filters_agg:
+            _print_filters_agg(spark, args.attrs, ext_cols, batch, per_q,
+                               args.filters_agg)
+        if args.missing:
+            _print_missing(spark, args.attrs, ext_cols, batch, per_q,
+                           args.missing)
+        if args.rare_terms:
+            _print_rare_terms(spark, args.attrs, ext_cols, batch, per_q,
+                              args.rare_terms, args.rare_max_doc_count)
+        if args.adjacency:
+            _print_adjacency(spark, args.attrs, ext_cols, batch, per_q,
+                             args.adjacency)
         if args.significant:
             _print_significant(spark, cfg, batch, per_q, args.significant,
                                shards=shards)
@@ -1460,6 +1594,34 @@ def main() -> None:
                          "NULLs skipped): per query, distinct attribute "
                          "values over the result set — needs --attrs; "
                          "every ranker, --index or --shards")
+    ap.add_argument("--filters-agg", default=None,
+                    metavar="\"NAME=PRED|NAME=PRED\"",
+                    help="ES filters-aggregation analog "
+                         "(query/aggregations.py filters_agg): named SQL "
+                         "predicate buckets counted over each query's "
+                         "result set, ALL buckets emit incl. n=0 — needs "
+                         "--attrs; every ranker, --index or --shards")
+    ap.add_argument("--missing", default=None, metavar="COL[,COL...]",
+                    help="ES missing-aggregation analog "
+                         "(query/aggregations.py missing_agg): per column, "
+                         "hits with NO value (NULL or absent from --attrs); "
+                         "every ranker, --index or --shards")
+    ap.add_argument("--rare-terms", default=None, metavar="COL[,COL...]",
+                    help="ES rare_terms-aggregation analog "
+                         "(query/aggregations.py rare_terms_agg): the "
+                         "long-tail mirror of --facets — values matched by "
+                         "<= --rare-max-doc-count hits, rarest first; "
+                         "needs --attrs; every ranker, --index or --shards")
+    ap.add_argument("--rare-max-doc-count", type=int, default=1, metavar="N",
+                    help="--rare-terms bucket ceiling (default 1)")
+    ap.add_argument("--adjacency", default=None,
+                    metavar="\"NAME=PRED|NAME=PRED\"",
+                    help="ES adjacency_matrix-aggregation analog "
+                         "(query/aggregations.py adjacency_matrix_agg): "
+                         "singleton + pairwise-intersection counts of the "
+                         "named predicate sets, non-empty buckets only "
+                         "('a&b' composite keys) — needs --attrs; every "
+                         "ranker, --index or --shards")
     ap.add_argument("--must", default=None, metavar="WORDS",
                     help="ES bool query, must clause (required + scoring); "
                          "any of --must/--should triggers bool mode — one "
@@ -1559,7 +1721,9 @@ def main() -> None:
     if (args.facets or args.histogram or args.date_histogram
             or args.range or args.composite
             or args.extended_stats or args.matrix_stats
-            or args.percentiles or args.cardinality) and not args.attrs:
+            or args.percentiles or args.cardinality or args.filters_agg
+            or args.missing or args.rare_terms or args.adjacency) \
+            and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
@@ -1876,6 +2040,22 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_matrix_stats(spark, args.attrs, ext, queries, per_q,
                                 args.matrix_stats)
+        if args.filters_agg:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_filters_agg(spark, args.attrs, ext, queries, per_q,
+                               args.filters_agg)
+        if args.missing:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_missing(spark, args.attrs, ext, queries, per_q,
+                           args.missing)
+        if args.rare_terms:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_rare_terms(spark, args.attrs, ext, queries, per_q,
+                              args.rare_terms, args.rare_max_doc_count)
+        if args.adjacency:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_adjacency(spark, args.attrs, ext, queries, per_q,
+                             args.adjacency)
         if args.significant:
             _print_significant(spark, cfg, queries, per_q, args.significant,
                                pidx=pidx)

@@ -444,6 +444,218 @@ def matrix_stats_agg(
         "query_id", "col_a", "col_b")
 
 
+def _checked_filters(filters) -> list:
+    """Validate an ordered (name, sql_predicate) filter list — unique
+    non-empty names, non-empty predicate strings."""
+    fs = [(str(n), str(p)) for n, p in filters]
+    if not fs:
+        raise ValueError("filters must name at least one (name, predicate)")
+    names = [n for n, _ in fs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"filter names must be unique, got {names}")
+    if any(not n or not p.strip() for n, p in fs):
+        raise ValueError("filter names and predicates must be non-empty")
+    return fs
+
+
+def _left_joined(
+    results: DataFrame,
+    attrs: DataFrame,
+    cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """Hit set LEFT-joined to the pruned attrs scan: a hit whose external
+    id is absent from the attrs table keeps its row with NULL attributes
+    (it still exists as a document — the ES doc-count contracts below
+    need it), unlike the inner ``_checked_join`` the value aggregations
+    use (where a NULL value row contributes nothing anyway)."""
+    missing = [c for c in list(ext_cols) + list(cols)
+               if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+    hits = results.select("query_id", *ext_cols)
+    return hits.join(
+        attrs.select(*ext_cols, *cols), list(ext_cols), "left")
+
+
+def filters_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    filters,
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, filter_name, n): ES ``filters`` aggregation over
+    each query's result set — one NAMED bucket per SQL predicate over the
+    attribute columns, doc counts per bucket. Every named bucket emits
+    for every query in the result frame, n=0 included (the ES filters
+    agg always returns all its buckets). ``filters`` is an ordered
+    sequence of (name, predicate) pairs; predicates are SQL boolean
+    expressions over the attrs columns, restricted by CONVENTION to the
+    Spark∩DuckDB dialect (comparisons, AND/OR/NOT, IN, IS NULL — the
+    same discipline the PII regexes follow) so an oracle can replicate
+    them verbatim. A predicate that is NULL for a row (NULL attribute,
+    or a hit missing from the attrs table — LEFT join) does not count,
+    exactly like a WHERE clause. Plan: one bounded join, ONE
+    partial-aggregable conditional-sum groupBy, a zero-exchange melt —
+    corpus size never appears."""
+    fs = _checked_filters(filters)
+    joined = _left_joined(
+        results, attrs,
+        [c for c in attrs.columns if c not in ext_cols], ext_cols)
+    sums = [
+        F.sum(F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias(f"_f{i}")
+        for i, (_, pred) in enumerate(fs)
+    ]
+    agg = joined.groupBy("query_id").agg(*sums)
+    melt = []
+    for i, (name, _) in enumerate(fs):
+        melt.extend([F.lit(name), F.col(f"_f{i}")])
+    return (
+        agg.select(
+            "query_id",
+            F.explode(F.create_map(*melt)).alias("filter_name", "n"),
+        )
+        .orderBy("query_id", "filter_name")
+    )
+
+
+def missing_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, n): ES ``missing`` aggregation over each
+    query's result set — per attribute column, how many of the query's
+    hits have NO value (NULL, or the hit's external id absent from the
+    attrs table entirely — LEFT join, the ES "field not present"
+    case). Every (query, col) pair emits, n=0 included (the ES missing
+    agg is a single always-present bucket). The mirror image of every
+    other aggregation here (they SKIP NULLs; this counts nothing
+    else)."""
+    cs = list(cols)
+    if not cs:
+        raise ValueError("cols must name at least one column")
+    joined = _left_joined(results, attrs, cs, ext_cols)
+    sums = [
+        F.sum(F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias(f"_m{i}")
+        for i, c in enumerate(cs)
+    ]
+    agg = joined.groupBy("query_id").agg(*sums)
+    melt = []
+    for i, c in enumerate(cs):
+        melt.extend([F.lit(c), F.col(f"_m{i}")])
+    return (
+        agg.select(
+            "query_id",
+            F.explode(F.create_map(*melt)).alias("col", "n"),
+        )
+        .orderBy("query_id", "col")
+    )
+
+
+def rare_terms_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    facet_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """-> (query_id, facet, value, n): ES ``rare_terms`` aggregation over
+    each query's result set — the long-tail mirror of the terms
+    aggregation (query/facets.py facet_counts): per facet column, the
+    values whose doc count is <= ``max_doc_count``, ordered count-ASC
+    then value-asc (rarest first — the ES rare_terms order). NULLs skip
+    (ES ``missing`` is opt-in); a doc counts once per query regardless
+    of rank. ES bounds its version with a CuckooFilter because corpus-
+    scale long tails are unbounded; over a k-bounded hit window the
+    exact groupBy IS the cheap path (boolean result sets ride the same
+    partial-aggregable exchange the facet path does)."""
+    if int(max_doc_count) < 1:
+        raise ValueError(
+            f"max_doc_count must be >= 1, got {max_doc_count}")
+    cs = list(facet_cols)
+    if not cs:
+        raise ValueError("facet_cols must name at least one column")
+    missing = [c for c in list(ext_cols) + cs if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+    hits = results.select("query_id", *ext_cols)
+    joined = hits.join(attrs.select(*ext_cols, *cs), list(ext_cols))
+    melt = []
+    for c in cs:
+        melt.extend([F.lit(c), F.col(c).cast("string")])
+    pairs = joined.select(
+        "query_id",
+        F.explode(F.create_map(*melt)).alias("facet", "value"),
+    ).filter(F.col("value").isNotNull())
+    return (
+        pairs.groupBy("query_id", "facet", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") <= int(max_doc_count))
+        .orderBy("query_id", "facet", F.asc("n"), "value")
+    )
+
+
+def adjacency_matrix_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    filters,
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, key_a, key_b, n): ES ``adjacency_matrix``
+    aggregation over each query's result set — named SQL predicate sets
+    plus every pairwise INTERSECTION count. ``key_a == key_b`` rows are
+    the singleton buckets; ``key_a < key_b`` (name order) rows count
+    docs matching BOTH predicates. Only non-empty buckets emit (the ES
+    contract — unlike filters_agg, which always returns its buckets).
+    Predicates follow the filters_agg dialect convention; NULL
+    predicate rows (NULL attrs / LEFT-join misses) match nothing. Plan:
+    one bounded join, ONE conditional-sum groupBy carrying all
+    |F|·(|F|+1)/2 cells (partial-aggregable — |F| is the handful of
+    named filters, never data-sized), a zero-exchange struct explode."""
+    fs = _checked_filters(filters)
+    joined = _left_joined(
+        results, attrs,
+        [c for c in attrs.columns if c not in ext_cols], ext_cols)
+    flags = joined.select(
+        "query_id",
+        *[
+            F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0)).alias(f"_b{i}")
+            for i, (_, pred) in enumerate(fs)
+        ],
+    )
+    cells = []
+    sums = []
+    for i, (na, _) in enumerate(fs):
+        for j, (nb, _) in enumerate(fs):
+            if j < i:
+                continue
+            a, b = sorted((na, nb))
+            col = f"_c{i}_{j}"
+            sums.append(
+                F.sum(F.col(f"_b{i}") * F.col(f"_b{j}"))
+                .cast("long").alias(col))
+            cells.append((a, b, col))
+    agg = flags.groupBy("query_id").agg(*sums)
+    structs = F.array(*[
+        F.struct(
+            F.lit(a).alias("key_a"),
+            F.lit(b).alias("key_b"),
+            F.col(col).alias("n"),
+        )
+        for a, b, col in cells
+    ])
+    return (
+        agg.select("query_id", F.explode(structs).alias("cell"))
+        .select("query_id", "cell.key_a", "cell.key_b", "cell.n")
+        .filter(F.col("n") > 0)
+        .orderBy("query_id", "key_a", "key_b")
+    )
+
+
 def stats_agg(
     results: DataFrame,
     attrs: DataFrame,

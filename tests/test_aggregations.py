@@ -364,3 +364,114 @@ def test_matrix_stats_exact(spark):
     assert abs(cov_num / n**2 - cov) < 1e-9
     with pytest.raises(ValueError, match="two columns"):
         matrix_stats_agg(hits, attrs, ["x"], ["ext_id"])
+
+
+@pytest.fixture(scope="module")
+def bucket_frames(spark):
+    """Hits + attrs with a string column, NULLs, and a hit (ext_id 9)
+    entirely ABSENT from the attrs table (the LEFT-join 'field not
+    present' case the filters/missing/adjacency contracts hinge on)."""
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 9), (1, 2), (1, 4)],
+        "query_id int, ext_id long",
+    )
+    attrs = spark.createDataFrame(
+        [(1, "en", 95), (2, "en", 100), (3, None, 139), (4, "fr", None)],
+        "ext_id long, lang string, n_chars long",
+    )
+    return hits, attrs
+
+
+def test_filters_agg_all_buckets_emit(spark, bucket_frames):
+    from searchengine_spark.query.aggregations import filters_agg
+
+    hits, attrs = bucket_frames
+    got = {(r["query_id"], r["filter_name"]): r["n"]
+           for r in filters_agg(
+               hits, attrs,
+               [("english", "lang = 'en'"),
+                ("long", "n_chars >= 100"),
+                ("german", "lang = 'de'")],
+               ["ext_id"]).collect()}
+    # q0 hits {1 en/95, 2 en/100, 3 NULL/139, 9 absent}: NULL predicate
+    # rows (doc 3's lang, doc 9 entirely) never count — WHERE semantics
+    assert got == {
+        (0, "english"): 2, (0, "long"): 2, (0, "german"): 0,
+        (1, "english"): 1, (1, "long"): 1, (1, "german"): 0,
+    }
+    with pytest.raises(ValueError, match="unique"):
+        filters_agg(hits, attrs, [("a", "1=1"), ("a", "2=2")], ["ext_id"])
+    with pytest.raises(ValueError, match="at least one"):
+        filters_agg(hits, attrs, [], ["ext_id"])
+
+
+def test_missing_agg_counts_absent_and_null(spark, bucket_frames):
+    from searchengine_spark.query.aggregations import missing_agg
+
+    hits, attrs = bucket_frames
+    got = {(r["query_id"], r["col"]): r["n"]
+           for r in missing_agg(hits, attrs, ["lang", "n_chars"],
+                                ["ext_id"]).collect()}
+    # q0: doc 3 has NULL lang, doc 9 is absent from attrs -> 2 missing
+    # langs; only doc 9 misses n_chars. q1: doc 4's NULL n_chars. n=0
+    # rows emit (q1 lang) — the ES missing bucket is always present.
+    assert got == {
+        (0, "lang"): 2, (0, "n_chars"): 1,
+        (1, "lang"): 0, (1, "n_chars"): 1,
+    }
+    with pytest.raises(ValueError, match="at least one"):
+        missing_agg(hits, attrs, [], ["ext_id"])
+    with pytest.raises(ValueError, match="lacks columns"):
+        missing_agg(hits, attrs, ["nope"], ["ext_id"])
+
+
+def test_rare_terms_long_tail(spark):
+    from searchengine_spark.query.aggregations import rare_terms_agg
+
+    hits = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "query_id int, ext_id long")
+    attrs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c")],
+        "ext_id long, tag string")
+    rows = rare_terms_agg(hits, attrs, ["tag"], ["ext_id"],
+                          max_doc_count=1).collect()
+    # only the count<=1 tail, rarest-first order; 'a' (n=3) excluded
+    assert [(r["value"], r["n"]) for r in rows] == [("b", 1), ("c", 1)]
+    rows2 = rare_terms_agg(hits, attrs, ["tag"], ["ext_id"],
+                           max_doc_count=3).collect()
+    assert [(r["value"], r["n"]) for r in rows2] == [
+        ("b", 1), ("c", 1), ("a", 3)]
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms_agg(hits, attrs, ["tag"], ["ext_id"], max_doc_count=0)
+
+
+def test_adjacency_matrix_pairs(spark, bucket_frames):
+    from searchengine_spark.query.aggregations import adjacency_matrix_agg
+
+    hits, attrs = bucket_frames
+    got = {(r["query_id"], r["key_a"], r["key_b"]): r["n"]
+           for r in adjacency_matrix_agg(
+               hits, attrs,
+               [("english", "lang = 'en'"),
+                ("long", "n_chars >= 100"),
+                ("german", "lang = 'de'")],
+               ["ext_id"]).collect()}
+    # q0: english={1,2}, long={2,3}, german={} -> singletons + the one
+    # intersection {2}; empty buckets (german, english&german, ...)
+    # never emit — the ES adjacency_matrix contract
+    assert got == {
+        (0, "english", "english"): 2,
+        (0, "long", "long"): 2,
+        (0, "english", "long"): 1,
+        (1, "english", "english"): 1,
+        (1, "long", "long"): 1,
+        (1, "english", "long"): 1,
+    }
+    # key pair is name-sorted regardless of filter order
+    swapped = {(r["query_id"], r["key_a"], r["key_b"]): r["n"]
+               for r in adjacency_matrix_agg(
+                   hits, attrs,
+                   [("long", "n_chars >= 100"),
+                    ("english", "lang = 'en'")],
+                   ["ext_id"]).collect()}
+    assert swapped == {k: v for k, v in got.items()}
