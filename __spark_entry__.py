@@ -1368,6 +1368,13 @@ MLT_M = 5
 # no pattern at all (pure passthrough)
 WILDCARD_QUERIES = {0: "window s*", 1: "qu?ry join zz*", 2: "merge"}
 WILDCARD_MAX_EXP = 3
+# regexp retrieval fixture (query/regexp.py): query 0 exercises the cap
+# on a class+quantifier pattern, query 1 a grouped alternation plus a
+# matchless pattern, query 2 pure passthrough; patterns stay inside the
+# Java∩Python∩RE2 subset so regexp_full_match replicates them verbatim
+REGEXP_QUERIES = {0: "window /s[a-z]+/", 1: "/quer(y|ies)/ join /zzz[0-9]+/",
+                  2: "merge"}
+REGEXP_MAX_EXP = 3
 # hybrid retrieval fixture: QUERY_STRINGS text queries paired with these
 # embedding rows as query vectors (vec_id == doc_id namespace contract)
 HYBRID_VEC_IDS = [0, 7, 42]
@@ -1527,6 +1534,45 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [WILDCARD_QUERIES[q] for q in sorted(WILDCARD_QUERIES)]
     topk = bm25_wildcard_packed_batch(
         pidx, qs, CFG, k=10, round_dp=6, max_expansions=WILDCARD_MAX_EXP,
+    )
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term retrieval (query/regexp.py — the ES ``regexp`` /
+    Lucene ``/pattern/`` query_string analog): slash-wrapped query words
+    match the ENTIRE dictionary term (implicit anchoring), expand
+    live-df desc / term asc capped at REGEXP_MAX_EXP, and score ordinary
+    BM25 OR through the wildcard seam. Contract points the oracle pins:
+    whole-term match (``regexp_full_match`` — a substring matcher
+    over-expands), the df-TOP cap selection, grouped alternation, a
+    matchless pattern contributing nothing, and pattern-free
+    passthrough. Patterns stay inside the documented Java∩Python∩RE2
+    subset, so the oracle runs the SAME pattern text verbatim."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.regexp import bm25_regexp_packed_batch
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [REGEXP_QUERIES[q] for q in sorted(REGEXP_QUERIES)]
+    topk = bm25_regexp_packed_batch(
+        pidx, qs, CFG, k=10, round_dp=6, max_expansions=REGEXP_MAX_EXP,
     )
     out = resolve_docs(pidx, topk)
     return out.select(
@@ -3021,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": q_prf_search,
         "synonym_search": q_synonym_search,
         "wildcard_search": q_wildcard_search,
+        "regexp_search": q_regexp_search,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6306,6 +6353,47 @@ wfinal{i} AS (
 WITH {_INDEX_CTES.strip()},
 {','.join(wc_chains)},
 allf AS ({' UNION ALL '.join(wc_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- regexp retrieval: per pattern a WHOLE-TERM regexp_full_match
+    # + df-ranked LIMIT over the dictionary (the same pattern TEXT the
+    # Spark path anchors as ^(?:pat)$ — the Java∩Python∩RE2 subset
+    # guarantees the same language), UNIONed with the explicit terms,
+    # then plain BM25 OR
+    from searchengine_spark.query.regexp import split_regexps
+
+    rx_chains, rx_finals = [], []
+    for i in sorted(REGEXP_QUERIES):
+        pos_q, rpats = split_regexps(REGEXP_QUERIES[i])
+        explicit = list(dict.fromkeys(tokenize_text(pos_q, CFG)))
+        branches = [f"SELECT unnest({_sql_term_list(explicit)}) AS term"]
+        for j, p in enumerate(rpats):
+            rx_chains.append(f"""
+rexp{i}_{j} AS (
+  SELECT term FROM term_stats WHERE regexp_full_match(term, {_sql_quote(p)})
+  ORDER BY df DESC, term ASC LIMIT {REGEXP_MAX_EXP}
+)""")
+            branches.append(f"SELECT term FROM rexp{i}_{j}")
+        rx_chains.append(f"""
+rq{i} AS ({' UNION '.join(branches)}),
+rfinal{i} AS (
+  SELECT {i} AS query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN rq{i} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+)""")
+        rx_finals.append(f"SELECT * FROM rfinal{i}")
+    sqls["regexp_search"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(rx_chains)},
+allf AS ({' UNION ALL '.join(rx_finals)}),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,
          row_number() OVER (PARTITION BY query_id

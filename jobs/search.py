@@ -60,11 +60,61 @@ def _parse_negations(queries, cfg, ranker, prf, parser):
     return pos, excludes
 
 
+def _expand_pattern_batch(term_stats, batch, cfg, wildcard, regexp):
+    """Shared --wildcard/--regexp expansion: (stripped batch, q_terms or
+    None). Each syntax parses its own words off the RAW queries; both
+    expansions merge into one query_terms list per query (duplicate-free
+    through wildcard_query_terms). ``term_stats`` is the dictionary to
+    expand against (single index's sidecar or the federation-global
+    union). The same pattern TEXT under both syntaxes is ambiguous —
+    refused."""
+    if wildcard is None and regexp is None:
+        return batch, None
+    from searchengine_spark.query.wildcard import wildcard_query_terms
+
+    per_w = [[] for _ in batch]
+    per_r = [[] for _ in batch]
+    exp = {}
+    if regexp is not None:
+        from searchengine_spark.query.regexp import (
+            expand_regexps,
+            parse_regexp_batch,
+        )
+
+        max_exp, allow_lead = regexp
+        batch, per_r, runiq = parse_regexp_batch(batch, cfg)
+        exp.update(expand_regexps(
+            term_stats, runiq, max_expansions=max_exp,
+            allow_leading_wildcard=allow_lead))
+    if wildcard is not None:
+        from searchengine_spark.query.wildcard import (
+            expand_patterns,
+            parse_wildcard_batch,
+        )
+
+        max_exp, allow_lead = wildcard
+        batch, per_w, uniq = parse_wildcard_batch(batch, cfg)
+        wexp = expand_patterns(
+            term_stats, uniq, max_expansions=max_exp,
+            allow_leading_wildcard=allow_lead)
+        clash = set(wexp) & set(exp)
+        if clash:
+            raise SystemExit(
+                f"pattern text {sorted(clash)} appears as BOTH a wildcard "
+                "and a regexp — the two syntaxes expand differently; "
+                "drop one")
+        exp.update(wexp)
+    q_terms = wildcard_query_terms(
+        batch, cfg, exp, [w + r for w, r in zip(per_w, per_r)])
+    return batch, q_terms
+
+
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
                 search_after=None, collapse=None, min_match=None,
-                demote=None, negative_boost=0.5, dismax=None, slop=0):
+                demote=None, negative_boost=0.5, dismax=None, slop=0,
+                regexp=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -108,6 +158,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                          "(does not combine with --prf)")
     if dismax is not None:
         if (ranker != "bm25" or prf or fuzzy or wildcard is not None
+                or regexp is not None
                 or synonyms is not None or doc_filter is not None
                 or doc_boost is not None or offset
                 or search_after is not None or collapse is not None
@@ -122,7 +173,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             pidx, groups, cfg, k=n, tie_breaker=dismax))
     if collapse is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
-                or wildcard is not None or synonyms is not None
+                or wildcard is not None or regexp is not None
+                or synonyms is not None
                 or doc_filter is not None or doc_boost is not None
                 or offset or search_after is not None
                 or demote is not None):
@@ -163,21 +215,11 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
             rules, weight = synonyms
             q_terms, t_weights = expand_query_terms(
                 queries, cfg, rules, weight=weight)
-        if wildcard is not None:
-            # (max_expansions, allow_leading) — parse AFTER negation strip,
-            # expand once per batch, ride the query_terms seam
-            from searchengine_spark.query.wildcard import (
-                expand_patterns,
-                parse_wildcard_batch,
-                wildcard_query_terms,
-            )
-
-            max_exp, allow_lead = wildcard
-            queries, per_q, uniq = parse_wildcard_batch(queries, cfg)
-            exp = expand_patterns(pidx.term_stats, uniq,
-                                  max_expansions=max_exp,
-                                  allow_leading_wildcard=allow_lead)
-            q_terms = wildcard_query_terms(queries, cfg, exp, per_q)
+        if wildcard is not None or regexp is not None:
+            # (max_expansions, allow_leading) pairs — parse AFTER negation
+            # strip, expand once per batch, ride the query_terms seam
+            queries, q_terms = _expand_pattern_batch(
+                pidx.term_stats, queries, cfg, wildcard, regexp)
         sa = None
         if search_after is not None:
             # one interactive cursor applies to every query in the batch
@@ -266,7 +308,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
                  search_after=None, collapse=None, min_match=None,
-                 demote=None, negative_boost=0.5, dismax=None, slop=0):
+                 demote=None, negative_boost=0.5, dismax=None, slop=0,
+                 regexp=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -274,7 +317,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        search_after=search_after, collapse=collapse,
                        min_match=min_match, demote=demote,
                        negative_boost=negative_boost,
-                       dismax=dismax, slop=slop).collect()
+                       dismax=dismax, slop=slop, regexp=regexp).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -335,6 +378,15 @@ def _wc(args):
     """--wildcard CLI triple -> the (max_expansions, allow_leading) pair
     the batch entry points take, or None when wildcards are off."""
     if not args.wildcard:
+        return None
+    return (args.max_expansions, args.allow_leading_wildcard)
+
+
+def _rx(args):
+    """--regexp twin of _wc (shares --max-expansions and
+    --allow-leading-wildcard — the latter guards empty literal
+    prefixes, the regexp full-dictionary-scan case)."""
+    if not args.regexp:
         return None
     return (args.max_expansions, args.allow_leading_wildcard)
 
@@ -1159,6 +1211,7 @@ def _serve_federated(spark, args) -> None:
                 negative_boost=args.negative_boost,
                 wildcard=args.wildcard, max_expansions=args.max_expansions,
                 allow_leading_wildcard=args.allow_leading_wildcard,
+                regexp=args.regexp,
             )
         dt = time.perf_counter() - t1
         _record([q], [res], dt)
@@ -1184,6 +1237,7 @@ def _serve_federated(spark, args) -> None:
                              "(does not combine with --prf)")
         if args.dismax is not None:
             if (args.ranker != "bm25" or prf or args.fuzzy or args.wildcard
+                    or args.regexp
                     or synonyms is not None or doc_filters is not None
                     or doc_boosts is not None or args.offset
                     or cursor is not None or args.collapse or args.demote
@@ -1207,7 +1261,8 @@ def _serve_federated(spark, args) -> None:
             pass  # frame already computed above
         elif args.collapse:
             if (args.ranker not in ("bm25", "bm25_and") or prf
-                    or args.fuzzy or args.wildcard or synonyms is not None
+                    or args.fuzzy or args.wildcard or args.regexp
+                    or synonyms is not None
                     or doc_filters is not None or doc_boosts is not None
                     or args.offset or cursor is not None
                     or args.demote):
@@ -1254,22 +1309,16 @@ def _serve_federated(spark, args) -> None:
 
                 q_terms, t_weights = expand_query_terms(
                     batch, cfg, synonyms[0], weight=synonyms[1])
-            if args.wildcard:
+            if args.wildcard or args.regexp:
                 from searchengine_spark.query.federated import (
                     _global_dictionary,
                 )
-                from searchengine_spark.query.wildcard import (
-                    expand_patterns,
-                    parse_wildcard_batch,
-                    wildcard_query_terms,
-                )
 
-                batch, per_q, uniq = parse_wildcard_batch(batch, cfg)
-                exp = expand_patterns(
-                    _global_dictionary(shards), uniq,
-                    max_expansions=args.max_expansions,
-                    allow_leading_wildcard=args.allow_leading_wildcard)
-                q_terms = wildcard_query_terms(batch, cfg, exp, per_q)
+                # patterns expand ONCE against the federation-global
+                # dictionary, so every shard scores the identical query
+                batch, q_terms = _expand_pattern_batch(
+                    _global_dictionary(shards), batch, cfg,
+                    _wc(args), _rx(args))
             topk = bm25_topk_federated(
                 shards, batch, cfg, k=args.n, exhaustive=args.exhaustive,
                 fuzzy=args.fuzzy, conjunctive=args.ranker == "bm25_and",
@@ -1502,6 +1551,14 @@ def main() -> None:
                          "at --max-expansions) and score the expansion as "
                          "ordinary BM25 OR — ES wildcard / Lucene "
                          "scoring_boolean rewrite; --ranker bm25 only")
+    ap.add_argument("--regexp", action="store_true",
+                    help="/pat/ query words expand against the dictionary "
+                         "(query/regexp.py; ES regexp query — WHOLE-term "
+                         "match, Java∩Python∩RE2 subset only, df-ranked "
+                         "--max-expansions cap, empty literal prefixes "
+                         "need --allow-leading-wildcard); combines with "
+                         "--wildcard, each syntax parses its own words; "
+                         "bm25, every tier, --index or --shards")
     ap.add_argument("--max-expansions", type=int, default=50, metavar="N",
                     help="per-pattern wildcard expansion cap (default 50)")
     ap.add_argument("--allow-leading-wildcard", action="store_true",
@@ -1708,11 +1765,12 @@ def main() -> None:
             raise SystemExit("--slop is wired to the phrase rankers "
                              "(--ranker phrase/phrase_prefix)")
     cursor = _parse_cursor(args)
-    if args.wildcard:
+    if args.wildcard or args.regexp:
+        flag = "--wildcard" if args.wildcard else "--regexp"
         if args.ranker != "bm25":
-            raise SystemExit("--wildcard is wired to --ranker bm25")
+            raise SystemExit(f"{flag} is wired to --ranker bm25")
         if args.synonyms or args.prf or args.fuzzy:
-            raise SystemExit("--wildcard does not combine with "
+            raise SystemExit(f"{flag} does not combine with "
                              "--synonyms/--prf/--fuzzy (all rewrite the "
                              "query-term seam)")
     if args.top_hits and not args.facets:
@@ -1883,7 +1941,7 @@ def main() -> None:
                 search_after=cursor, collapse=args.collapse,
                 min_match=args.min_should_match,
                 demote=args.demote, negative_boost=args.negative_boost,
-                dismax=args.dismax, slop=args.slop,
+                dismax=args.dismax, slop=args.slop, regexp=_rx(args),
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -1984,7 +2042,8 @@ def main() -> None:
                                             negative_boost=args.negative_boost,
                                             wildcard=args.wildcard,
                                             max_expansions=args.max_expansions,
-                                            allow_leading_wildcard=args.allow_leading_wildcard),
+                                            allow_leading_wildcard=args.allow_leading_wildcard,
+                                            regexp=args.regexp),
                                key=lambda r: (r["rank"], r["doc_id"])))
         else:
             per_q = _run_queries(spark, pidx, cfg, queries, args.ranker,
@@ -1997,7 +2056,8 @@ def main() -> None:
                                  min_match=args.min_should_match,
                                  demote=args.demote,
                                  negative_boost=args.negative_boost,
-                                 dismax=args.dismax, slop=args.slop)
+                                 dismax=args.dismax, slop=args.slop,
+                                 regexp=_rx(args))
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -307,6 +307,7 @@ class LocalSearcher:
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
+        regexp: bool = False,
     ) -> List[dict]:
         """One interactive query -> rank-ordered result dicts
         (doc_id, *order_cols, score, rank). No Spark jobs when the needed
@@ -362,31 +363,59 @@ class LocalSearcher:
         and the expansions score ordinary BM25 OR / join the boolean OR
         set; zero Spark jobs in preload mode. bm25/boolean_or only (a
         conjunctive/tfidf/proximity query with a pattern has no single
-        obvious contract — refused loudly)."""
+        obvious contract — refused loudly).
+
+        ``regexp=True``: ``/pat/`` query words expand against the
+        dictionary (query/regexp.py — anchored whole-term match, same
+        df-ranked cap; patterns with no literal prefix refused unless
+        ``allow_leading_wildcard``) and join the query exactly like
+        wildcards. Same ranker gating; combines with wildcard=True
+        (each syntax parses its own words)."""
         if ranker not in RANKERS:
             raise ValueError(f"ranker must be one of {RANKERS}, got {ranker!r}")
-        if wildcard:
+        if wildcard or regexp:
             if ranker not in ("bm25", "boolean_or"):
                 raise NotImplementedError(
-                    f"wildcard expansion is not wired into the {ranker!r} "
-                    "local scorer (bm25 / boolean_or only)"
+                    f"wildcard/regexp expansion is not wired into the "
+                    f"{ranker!r} local scorer (bm25 / boolean_or only)"
                 )
             if query_tokens is not None:
                 raise ValueError(
-                    "wildcard=True parses the raw query — expansion and "
-                    "query_tokens are mutually exclusive (federations expand "
-                    "against the federation dictionary, then pass tokens)"
+                    "wildcard/regexp=True parses the raw query — expansion "
+                    "and query_tokens are mutually exclusive (federations "
+                    "expand against the federation dictionary, then pass "
+                    "tokens)"
                 )
-            from .wildcard import split_wildcards, wildcard_query_terms
+            from .wildcard import wildcard_query_terms
 
-            pos_q, pats = split_wildcards(query)
+            rx_pats: List[str] = []
+            if regexp:
+                from .regexp import split_regexps
+
+                query, rx_pats = split_regexps(query)
+            pats: List[str] = []
+            if wildcard:
+                from .wildcard import split_wildcards
+
+                query, pats = split_wildcards(query)
             exp = self.expand_wildcards(
                 pats, max_expansions=max_expansions,
                 allow_leading_wildcard=allow_leading_wildcard,
             ) if pats else {}
+            if rx_pats:
+                rx_exp = self.expand_regexps(
+                    rx_pats, max_expansions=max_expansions,
+                    allow_leading_wildcard=allow_leading_wildcard,
+                )
+                clash = set(exp) & set(rx_exp)
+                if clash:
+                    raise ValueError(
+                        f"pattern text {sorted(clash)} appears as BOTH a "
+                        "wildcard and a regexp — the two syntaxes expand "
+                        "differently; drop one")
+                exp = exp | rx_exp
             query_tokens = wildcard_query_terms(
-                [pos_q], self.cfg, exp, [pats])[0]
-            query = pos_q
+                [query], self.cfg, exp, [pats + rx_pats])[0]
         if offset:
             if offset < 0:
                 raise ValueError(f"offset must be >= 0, got {offset}")
@@ -654,6 +683,28 @@ class LocalSearcher:
                 allow_leading_wildcard=allow_leading_wildcard,
             )
         return expand_patterns(
+            self.pidx.term_stats, patterns, max_expansions=max_expansions,
+            allow_leading_wildcard=allow_leading_wildcard,
+        )
+
+    def expand_regexps(
+        self,
+        patterns: Sequence[str],
+        max_expansions: int = 50,
+        allow_leading_wildcard: bool = False,
+    ) -> Dict[str, List[str]]:
+        """{regexp pattern: matching dictionary terms} (query/regexp.py
+        selection — same df-desc/term-asc cap as wildcards; patterns
+        with no literal prefix refused unless opted in). Preload tier:
+        in-memory fullmatch, zero Spark jobs."""
+        from .regexp import expand_regexps, expand_regexps_local
+
+        if self._preloaded:
+            return expand_regexps_local(
+                self._df, patterns, max_expansions=max_expansions,
+                allow_leading_wildcard=allow_leading_wildcard,
+            )
+        return expand_regexps(
             self.pidx.term_stats, patterns, max_expansions=max_expansions,
             allow_leading_wildcard=allow_leading_wildcard,
         )
@@ -962,6 +1013,7 @@ class FederatedLocalSearcher:
         wildcard: bool = False,
         max_expansions: int = 50,
         allow_leading_wildcard: bool = False,
+        regexp: bool = False,
     ) -> List[dict]:
         """One interactive query across ALL shards -> rank-ordered result
         dicts with doc_id in the federation-global namespace.
@@ -970,6 +1022,8 @@ class FederatedLocalSearcher:
         federation-global dictionary (df summed over the disjoint shard
         corpora — the merged index's selection exactly), then every shard
         scores the identical expanded token list; bm25/boolean_or only.
+        ``regexp=True``: ``/pat/`` words, same federation-global
+        expansion and gating (query/regexp.py).
 
         ``exclude``: raw negated words (``-term``, query/negation.py) —
         exclusion is per-doc and a doc lives in exactly one shard, so
@@ -1026,25 +1080,43 @@ class FederatedLocalSearcher:
         elif ranker.startswith("tfidf"):
             _check_compat(self.shards, keys=_TFIDF_COMPAT_KEYS, payload_freq=False)
         pats: List[str] = []
-        if wildcard:
+        rx_pats: List[str] = []
+        if wildcard or regexp:
             if ranker not in ("bm25", "boolean_or"):
                 raise NotImplementedError(
-                    f"wildcard expansion is not wired into the {ranker!r} "
-                    "federated scorer (bm25 / boolean_or only)"
+                    f"wildcard/regexp expansion is not wired into the "
+                    f"{ranker!r} federated scorer (bm25 / boolean_or only)"
                 )
-            from .wildcard import split_wildcards
+            if regexp:
+                from .regexp import split_regexps
 
-            query, pats = split_wildcards(query)
+                query, rx_pats = split_regexps(query)
+            if wildcard:
+                from .wildcard import split_wildcards
+
+                query, pats = split_wildcards(query)
         toks = tokenize_text(query, self.cfg)
         if fuzzy and toks:
             toks = self._fuzzy_rewrite(toks)
-        if pats:
+        if pats or rx_pats:
             exp = self.expand_wildcards(
                 pats, max_expansions=max_expansions,
                 allow_leading_wildcard=allow_leading_wildcard,
-            )
+            ) if pats else {}
+            if rx_pats:
+                rx_exp = self.expand_regexps(
+                    rx_pats, max_expansions=max_expansions,
+                    allow_leading_wildcard=allow_leading_wildcard,
+                )
+                clash = set(exp) & set(rx_exp)
+                if clash:
+                    raise ValueError(
+                        f"pattern text {sorted(clash)} appears as BOTH a "
+                        "wildcard and a regexp — the two syntaxes expand "
+                        "differently; drop one")
+                exp = exp | rx_exp
             seen = set(toks)
-            for p in pats:
+            for p in pats + rx_pats:
                 for t in exp[p]:
                     if t not in seen:
                         toks.append(t)
@@ -1220,6 +1292,35 @@ class FederatedLocalSearcher:
         from .federated import _global_dictionary
 
         return expand_patterns(
+            _global_dictionary(self.shards), patterns,
+            max_expansions=max_expansions,
+            allow_leading_wildcard=allow_leading_wildcard,
+        )
+
+    def expand_regexps(
+        self,
+        patterns: Sequence[str],
+        max_expansions: int = 50,
+        allow_leading_wildcard: bool = False,
+    ) -> Dict[str, List[str]]:
+        """Federation-global regexp expansion (query/regexp.py) — the
+        same summed-df dictionary and selection as expand_wildcards, so
+        every shard scores the identical expanded query."""
+        from .regexp import expand_regexps, expand_regexps_local
+
+        if all(s._preloaded for s in self.searchers):
+            gdf: Dict[str, int] = {}
+            for s in self.searchers:
+                for t, d in s._df.items():
+                    if d > 0:
+                        gdf[t] = gdf.get(t, 0) + d
+            return expand_regexps_local(
+                gdf, patterns, max_expansions=max_expansions,
+                allow_leading_wildcard=allow_leading_wildcard,
+            )
+        from .federated import _global_dictionary
+
+        return expand_regexps(
             _global_dictionary(self.shards), patterns,
             max_expansions=max_expansions,
             allow_leading_wildcard=allow_leading_wildcard,
