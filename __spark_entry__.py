@@ -110,6 +110,47 @@ term_stats AS (
 """
 
 
+def _tok_sql_for(col: str) -> str:
+    """The _TOK_SQL tokenize chain over another string column."""
+    return (
+        f"list_filter(regexp_split_to_array(lower(regexp_replace({col}, "
+        f"{_PUNCT_SQL}, ' ', 'g')), '\\s+'), t -> length(t) >= {MIN_LEN})"
+    )
+
+
+def _field_index_ctes(sfx: str, col: str) -> str:
+    """Per-FIELD twin of _INDEX_CTES (multi_match: every field carries
+    its own df/idf/avgdl/dl_norm — the Lucene per-field-statistics
+    model), suffixed so several fields coexist in one WITH chain."""
+    return f"""
+tok{sfx} AS (SELECT doc_id, {_tok_sql_for(col)} AS tokens FROM documents),
+dl{sfx} AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok{sfx}),
+corpus{sfx} AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl{sfx}
+),
+dln{sfx} AS (
+  SELECT doc_id, dl, round(dl / (SELECT avgdl FROM corpus{sfx}), 3) AS dl_norm
+  FROM dl{sfx}
+),
+exploded{sfx} AS (SELECT doc_id, unnest(tokens) AS term FROM tok{sfx}),
+idx{sfx} AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded{sfx}
+  GROUP BY term, doc_id
+),
+stats{sfx} AS (
+  SELECT term, count(*)::BIGINT AS df,
+         round(ln((SELECT n FROM corpus{sfx})::DOUBLE / count(*)), 3) AS idf
+  FROM idx{sfx} GROUP BY term
+)"""
+
+
+def _field_contrib_sql(sfx: str) -> str:
+    return (
+        f"stats{sfx}.idf * (idx{sfx}.tf * ({K} + 1.0)) / "
+        f"(idx{sfx}.tf + {K} * (1.0 - {B} + {B} * dln{sfx}.dl_norm))"
+    )
+
+
 def _bm25_contrib_sql() -> str:
     return (
         f"term_stats.idf * (idx.tf * ({K} + 1.0)) / "
@@ -1536,6 +1577,58 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pidx, qs, CFG, k=10, round_dp=6, max_expansions=WILDCARD_MAX_EXP,
     )
     out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# multi_match fixture (query/multimatch.py): per-field packed indexes
+# over text + source; "srcN" terms live ONLY in the source field and the
+# OLAP words only in text, so the per-field statistics routing is
+# load-bearing; best_fields with a tie breaker + a source boost
+MM_QUERIES = {0: "window src3", 1: "merge src17 fast"}
+MM_TIE = 0.3
+MM_BOOSTS = {"source": 2.0}
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field search (query/multimatch.py — the ES ``multi_match``
+    query, best_fields type): one packed index PER FIELD (text, source)
+    over the same frame — docIDs align by construction, statistics are
+    per field (df/idf/avgdl — the Lucene model) — then per doc
+    best-field + MM_TIE x the rest, source scores boosted 2x BEFORE the
+    combine. The oracle replicates BOTH field index chains (suffixed
+    CTE twins), the boost, and the dis_max-style combine — a version
+    sharing statistics across fields (cross_fields-ish), boosting after
+    the max, or summing (most_fields) all hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.query.multimatch import (
+        build_field_indexes,
+        load_field_indexes,
+        multi_match_topk,
+    )
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("ext_id"), "text", "source")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"se_entry_mm_{tag}")
+    _build_packed_once(root, lambda: build_field_indexes(
+        docs, CFG, root, ["text", "source"], params=Bm25Params(K, B),
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    fidx = load_field_indexes(spark, root)
+    qs = [MM_QUERIES[q] for q in sorted(MM_QUERIES)]
+    topk = multi_match_topk(
+        fidx, qs, CFG, k=10, mode="best_fields", tie_breaker=MM_TIE,
+        boosts=MM_BOOSTS, round_dp=6,
+    )
+    out = resolve_docs(fidx["text"], topk)
     return out.select(
         "query_id",
         F.col("ext_id").alias("doc_id"),
@@ -3068,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         "wildcard_search": q_wildcard_search,
         "regexp_search": q_regexp_search,
+        "multi_match_topk": q_multi_match,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6399,6 +6493,48 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
   FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- multi_match: per-field index chains (suffixed CTE twins —
+    # per-field df/idf/avgdl), per-field score-all with the source
+    # boost applied BEFORE the combine, dis_max-style best+tie over the
+    # unioned field scores, rounded ranking
+    mm_selects = []
+    for i in sorted(MM_QUERIES):
+        terms = _sql_term_list(
+            list(dict.fromkeys(tokenize_text(MM_QUERIES[i], CFG))))
+        mm_selects.append(f"SELECT {i} AS query_id, unnest({terms}) AS term")
+    _mm_boost = float(MM_BOOSTS["source"])
+    sqls["multi_match_topk"] = f"""
+WITH {_field_index_ctes('_t', 'text').strip()},
+{_field_index_ctes('_s', 'source').strip()},
+q AS ({' UNION ALL '.join(mm_selects)}),
+sct AS (
+  SELECT q.query_id, idx_t.doc_id, sum({_field_contrib_sql('_t')}) AS s
+  FROM idx_t JOIN q USING (term) JOIN stats_t USING (term)
+             JOIN dln_t USING (doc_id)
+  GROUP BY q.query_id, idx_t.doc_id
+),
+scs AS (
+  SELECT q.query_id, idx_s.doc_id,
+         {_mm_boost}::DOUBLE * sum({_field_contrib_sql('_s')}) AS s
+  FROM idx_s JOIN q USING (term) JOIN stats_s USING (term)
+             JOIN dln_s USING (doc_id)
+  GROUP BY q.query_id, idx_s.doc_id
+),
+uni AS (SELECT * FROM sct UNION ALL SELECT * FROM scs),
+comb AS (
+  SELECT query_id, doc_id,
+         max(s) + {MM_TIE}::DOUBLE * (sum(s) - max(s)) AS s
+  FROM uni GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM comb
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
 """

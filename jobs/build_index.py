@@ -67,7 +67,21 @@ def main() -> None:
                     help="Iceberg table identifier prefix for published "
                          "stages: <prefix>_index, <prefix>_term_stats, "
                          "<prefix>_docs[, <prefix>_doc_norms]")
+    ap.add_argument("--fields", default=None, metavar="COL[,COL...]",
+                    help="multi-field build (query/multimatch.py): one "
+                         "packed index PER named column under "
+                         "<output>/fields/<name> over the SAME frame "
+                         "(aligned docIDs, per-field statistics — the "
+                         "ES/Lucene multi_match layout); serve with "
+                         "jobs/search.py --multi-match. Excludes the "
+                         "single-index payload/positional options")
     args = ap.parse_args()
+    if args.fields and (args.positional or args.tfidf_sidecar
+                        or args.payload != "freq" or args.resume
+                        or args.iceberg_prefix):
+        ap.error("--fields builds plain freq field indexes (no "
+                 "--positional/--tfidf-sidecar/--payload/--resume/"
+                 "--iceberg-prefix)")
     if args.output_format == "iceberg" and not args.iceberg_prefix:
         ap.error("--output-format iceberg requires --iceberg-prefix")
     if not args.synthetic and not args.input:
@@ -107,6 +121,25 @@ def main() -> None:
         from searchengine_spark.sources import read_transcripts
 
         df = read_transcripts(spark, args.input, fmt=args.input_format)
+
+    if args.fields:
+        import time
+
+        from searchengine_spark.query.multimatch import build_field_indexes
+
+        fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+        t0 = time.perf_counter()
+        build_field_indexes(
+            df, cfg, args.output, fields, params=params,
+            order_cols=order_cols, chunk_docs=args.chunk_docs,
+            n_partitions=args.partitions,
+        )
+        print(json.dumps({
+            "fields": fields,
+            "order_cols": list(order_cols),
+            "build_seconds": round(time.perf_counter() - t0, 3),
+        }))
+        return
 
     manifest = build_packed_index(
         df,

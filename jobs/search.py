@@ -930,6 +930,88 @@ def _print_termvectors(ids, rows) -> None:
                           "terms": terms}))
 
 
+def _parse_field_boosts(spec: str | None) -> tuple:
+    """--fields "text,source^2" -> ([field, ...], {field: boost}) — the
+    ES ``fields: ["source^2"]`` caret syntax. None -> (None, {}) (serve
+    every field in the root manifest at boost 1)."""
+    if not spec:
+        return None, {}
+    fields, boosts = [], {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "^" in part:
+            name, w = part.rsplit("^", 1)
+            try:
+                boosts[name.strip()] = float(w)
+            except ValueError:
+                raise SystemExit(
+                    f"--fields boost must be numeric, got {part!r}")
+            fields.append(name.strip())
+        else:
+            fields.append(part)
+    return fields, boosts
+
+
+def _serve_multi_match(spark, args) -> None:
+    """--multi-match best_fields|most_fields: ES multi_match over a
+    --fields multi-field root (jobs/build_index.py --fields) — one
+    query string scored across per-field indexes (aligned docIDs,
+    per-field statistics), combined per doc (best + --mm-tie x rest,
+    or the sum), distributed tier. One JSON result line per query."""
+    from searchengine_spark.query.multimatch import (
+        load_field_indexes,
+        multi_match_topk,
+    )
+    from searchengine_spark.query.wand import resolve_docs
+    from searchengine_spark.tokenizer import TokenizerConfig
+
+    if not args.index:
+        raise SystemExit("--multi-match serves from a --fields build root "
+                         "(--index <root>; federation not wired)")
+    for flag in ("wildcard", "regexp", "fuzzy", "synonyms", "prf",
+                 "filter", "boost", "collapse", "demote", "offset"):
+        if getattr(args, flag):
+            raise SystemExit(f"--multi-match does not combine with --{flag}")
+    t0 = time.perf_counter()
+    fidx = load_field_indexes(spark, args.index)
+    fields, boosts = _parse_field_boosts(args.fields)
+    if fields:
+        missing = [f for f in fields if f not in fidx]
+        if missing:
+            raise SystemExit(
+                f"--fields names {missing} not in the root's field set "
+                f"{list(fidx)}")
+        fidx = {f: fidx[f] for f in fields}
+    first = next(iter(fidx.values()))
+    cfg = TokenizerConfig.from_manifest(first.manifest.get("tokenizer", {}))
+    print(f"{len(fidx)} field indexes loaded in "
+          f"{(time.perf_counter() - t0) * 1000:.1f}ms "
+          f"({first.manifest['n_docs']} docs)", file=sys.stderr)
+    queries = list(args.query or [])
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            queries.extend(ln.strip() for ln in fh if ln.strip())
+    if not queries:
+        raise SystemExit("--multi-match wants --query/--queries-file "
+                         "(no REPL tier yet)")
+    t1 = time.perf_counter()
+    topk = multi_match_topk(
+        fidx, queries, cfg, k=args.n, mode=args.multi_match,
+        tie_breaker=args.mm_tie, boosts=boosts or None, round_dp=6)
+    rows = resolve_docs(first, topk).collect()
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    for r in rows:
+        by_q[r["query_id"]].append(r.asDict())
+    for i, q in enumerate(queries):
+        res = sorted(by_q[i], key=lambda r: (r["rank"], r["doc_id"]))
+        print(json.dumps({"query": q, "mode": args.multi_match,
+                          "results": res}, default=str))
+    print(f"multi_match batch in {(time.perf_counter() - t1) * 1000:.1f}ms "
+          f"({len(queries)} queries x {len(fidx)} fields)", file=sys.stderr)
+
+
 def _serve_federated(spark, args) -> None:
     """--shards: scatter-gather across N shard indexes, no merge — every
     ranker family federates (bm25/tfidf/*_optimized/boolean/phrase/
@@ -1551,6 +1633,19 @@ def main() -> None:
                          "at --max-expansions) and score the expansion as "
                          "ordinary BM25 OR — ES wildcard / Lucene "
                          "scoring_boolean rewrite; --ranker bm25 only")
+    ap.add_argument("--multi-match", default=None,
+                    choices=("best_fields", "most_fields"),
+                    help="ES multi_match over a --fields build root "
+                         "(query/multimatch.py): per-field packed "
+                         "indexes, per-field statistics, combined per "
+                         "doc — best_fields = best + --mm-tie x rest, "
+                         "most_fields = the sum; --index <root>, batch "
+                         "mode (--query/--queries-file)")
+    ap.add_argument("--fields", default=None, metavar="F[^W][,F...]",
+                    help="--multi-match field subset with ES caret "
+                         "boosts (default: every field in the root)")
+    ap.add_argument("--mm-tie", type=float, default=0.0, metavar="TIE",
+                    help="--multi-match best_fields tie breaker in [0,1]")
     ap.add_argument("--regexp", action="store_true",
                     help="/pat/ query words expand against the dictionary "
                          "(query/regexp.py; ES regexp query — WHOLE-term "
@@ -1798,6 +1893,10 @@ def main() -> None:
 
     if args.shards:
         _serve_federated(spark, args)
+        return
+
+    if args.multi_match:
+        _serve_multi_match(spark, args)
         return
 
     t0 = time.perf_counter()

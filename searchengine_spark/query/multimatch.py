@@ -1,0 +1,192 @@
+"""Multi-field search — the ES ``multi_match`` query: one query string
+scored across SEVERAL indexed fields of the same document, combined per
+doc.
+
+Multi-field layout (``build_field_indexes``): one ordinary packed index
+PER FIELD under ``<root>/fields/<name>/``, plus a tiny ``fields.json``
+manifest at the root. Every field index is built over the SAME document
+frame with the SAME ``order_cols``, and dense docID assignment is a
+deterministic function of (frame rows, order_cols) — docIDs therefore
+align across fields BY CONSTRUCTION (every row gets an id, zero-token
+fields included; gated in tests/test_multimatch.py). This is the
+Lucene/ES model exactly: per-field postings, per-field statistics
+(df/idf/avgdl are per field — a term common in ``role`` but rare in
+``text`` is rare where it matters), per-field length normalization.
+
+Scoring modes (ES ``type`` contract):
+
+- ``best_fields`` (the ES default): a doc scores its best field plus
+  ``tie_breaker`` times each other field — dis_max over the per-field
+  scores (``query/dismax.py`` is the same combine over subQUERIES; this
+  is it over subFIELDS).
+- ``most_fields``: the per-field scores SUM (the bool-should
+  equivalent).
+
+Per-field ``boosts`` (the ES ``fields: ["role^2"]`` caret) multiply
+that field's scores before the combine. Rounding applies to the
+COMBINED score — the ranking contract every surface here uses.
+
+Plan shape: per field ONE pushed ``In(term,…)`` scan + join-free
+score-all (``bm25_scores_packed_batch`` — no heap: a doc's combined
+score needs every field's score for it, the same no-early-termination
+argument as dis_max/collapse), a plan-level union, ONE
+partial-aggregable (query, doc) groupBy, and a top-k window. Fields are
+a handful; corpus size appears only inside the per-field scorers, which
+are the standard single-exchange batch.
+
+No reference counterpart (the reference indexes exactly one text
+column); semantics follow the ES multi_match contract.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..indexing import fsio
+from ..indexing.packed import PackedIndex, build_packed_index, load_packed_index
+from .bm25 import Bm25Params
+from ..tokenizer import TokenizerConfig
+
+MODES = ("best_fields", "most_fields")
+
+_FIELDS_MANIFEST = "fields.json"
+
+
+def build_field_indexes(
+    docs: DataFrame,
+    cfg: TokenizerConfig,
+    root: str,
+    fields: Sequence[str],
+    params: Bm25Params = Bm25Params(),
+    order_cols=("conv_id", "turn_idx"),
+    chunk_docs: int = 4096,
+    n_partitions=None,
+) -> None:
+    """Build one packed index per field under ``<root>/fields/<name>/``
+    over the SAME document frame (docIDs align across fields — module
+    docstring) and commit ``fields.json`` last (the manifest-as-commit-
+    point pattern every sink here uses). NULL field values index as
+    empty documents (coalesced — a NULL text column must not poison the
+    doc-length stage)."""
+    fs = list(dict.fromkeys(fields))
+    if not fs:
+        raise ValueError("fields must name at least one column")
+    missing = [f for f in fs if f not in docs.columns]
+    if missing:
+        raise ValueError(f"document frame lacks field columns {missing}")
+    spark = docs.sparkSession
+    base = docs.select(
+        *order_cols,
+        *[F.coalesce(F.col(f).cast("string"), F.lit("")).alias(f)
+          for f in fs],
+    )
+    for f in fs:
+        build_packed_index(
+            base.select(*order_cols, f), cfg,
+            fsio.join(root, "fields", f),
+            params=params, text_col=f, order_cols=tuple(order_cols),
+            chunk_docs=chunk_docs, n_partitions=n_partitions,
+        )
+    fsio.write_text(
+        spark, fsio.join(root, _FIELDS_MANIFEST),
+        json.dumps({"fields": fs, "order_cols": list(order_cols)}),
+    )
+
+
+def load_field_indexes(
+    spark: SparkSession, root: str
+) -> Dict[str, PackedIndex]:
+    """{field: PackedIndex} from a ``build_field_indexes`` root (insertion
+    order = the manifest's field order)."""
+    man = json.loads(fsio.read_text(spark, fsio.join(root, _FIELDS_MANIFEST)))
+    return {
+        f: load_packed_index(spark, fsio.join(root, "fields", f))
+        for f in man["fields"]
+    }
+
+
+def _check_aligned(fidx: Mapping[str, PackedIndex]) -> None:
+    """Field indexes must share the docID namespace and BM25 params —
+    anything else is two different corpora wearing one root."""
+    if not fidx:
+        raise ValueError("no field indexes given")
+    vals = {
+        f: (p.manifest["n_docs"], tuple(p.manifest["order_cols"]),
+            p.manifest["k"], p.manifest["b"])
+        for f, p in fidx.items()
+    }
+    if len(set(vals.values())) != 1:
+        raise ValueError(
+            f"field indexes disagree on (n_docs, order_cols, k1, b): {vals}"
+            " — multi_match needs indexes built together over one frame")
+
+
+def multi_match_topk(
+    fidx: Mapping[str, PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    mode: str = "best_fields",
+    tie_breaker: float = 0.0,
+    boosts: Mapping[str, float] | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Top-k per query -> (query_id, doc_id, score, rank) with doc_id in
+    the shared field namespace (resolve with ANY field's docmap).
+
+    ``mode='best_fields'``: best field + ``tie_breaker`` x the rest
+    (tie_breaker only meaningful here — refused under most_fields,
+    where it has no ES meaning). ``mode='most_fields'``: the sum.
+    ``boosts``: {field: non-negative multiplier}, default 1.0 — unknown
+    field names refuse (a typo must not silently un-boost)."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    if mode == "most_fields" and tie_breaker:
+        raise ValueError(
+            "tie_breaker applies to best_fields only (most_fields sums)")
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    _check_aligned(fidx)
+    bs = dict(boosts or {})
+    unknown = [f for f in bs if f not in fidx]
+    if unknown:
+        raise ValueError(
+            f"boosts name unknown fields {unknown} (have {list(fidx)})")
+    if any(float(v) < 0 for v in bs.values()):
+        raise ValueError(f"boosts must be non-negative, got {bs}")
+
+    from .wand import bm25_scores_packed_batch
+
+    parts = []
+    for f, pidx in fidx.items():
+        s = bm25_scores_packed_batch(pidx, list(queries), cfg)
+        b = float(bs.get(f, 1.0))
+        if b != 1.0:
+            s = s.withColumn("score", F.col("score") * F.lit(b))
+        parts.append(s)
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    agg = uni.groupBy("query_id", "doc_id").agg(
+        F.max("score").alias("smax"), F.sum("score").alias("ssum"))
+    if mode == "best_fields":
+        combined = agg.select(
+            "query_id", "doc_id",
+            (F.col("smax") + F.lit(float(tie_breaker))
+             * (F.col("ssum") - F.col("smax"))).alias("score"),
+        )
+    else:
+        combined = agg.select(
+            "query_id", "doc_id", F.col("ssum").alias("score"))
+    if round_dp is not None:
+        combined = combined.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        combined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

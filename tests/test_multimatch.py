@@ -1,0 +1,163 @@
+"""Multi-field search gates (query/multimatch.py — the ES ``multi_match``
+query over per-field packed indexes).
+
+Contract: per-field indexes built together share the docID namespace BY
+CONSTRUCTION (every row gets an id, NULL/zero-token fields included);
+best_fields = dis_max over per-field BM25 (per-field statistics — df,
+idf, avgdl are per field, the Lucene model); most_fields = the sum;
+boosts scale a field's scores before the combine; a single-field
+multi_match degenerates to plain BM25 bit-for-bit; the brute cross-path
+oracle (EXACT per-field indexes + Python combine) matches the packed
+score-all composition.
+"""
+
+import pytest
+
+from searchengine_spark.fixtures import transcripts_df
+from searchengine_spark.indexing import build_index
+from searchengine_spark.query.multimatch import (
+    build_field_indexes,
+    load_field_indexes,
+    multi_match_topk,
+)
+from searchengine_spark.query.wand import bm25_topk_packed_batch
+from searchengine_spark.tokenizer import TokenizerConfig
+
+ROWS = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+
+FIELDS = ("text", "role", "tool")
+QUERIES = ["guitar solo", "assistant tool2 drum", "tool0"]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=8)
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, cfg, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mm") / "root")
+    build_field_indexes(corpus, cfg, root, FIELDS, chunk_docs=64)
+    return load_field_indexes(spark, root)
+
+
+def test_docids_align_across_fields(fidx, corpus):
+    """Every field index assigns the SAME dense docID to the same
+    (conv_id, turn_idx) row — the property the whole combine rests on."""
+    maps = {
+        f: ROWS(p.docmap.select("doc_id", "conv_id", "turn_idx"))
+        for f, p in fidx.items()
+    }
+    assert maps["text"] == maps["role"] == maps["tool"]
+    assert len(maps["text"]) == corpus.count()  # NULL-tool rows kept
+
+
+def test_single_field_degenerates_to_bm25(fidx, cfg):
+    """multi_match over {text} == plain packed BM25, bit for bit (both
+    modes; the combine must add nothing when there is nothing to
+    combine)."""
+    plain = ROWS(bm25_topk_packed_batch(fidx["text"], QUERIES, cfg, k=10,
+                                        round_dp=6))
+    for mode in ("best_fields", "most_fields"):
+        got = ROWS(multi_match_topk({"text": fidx["text"]}, QUERIES, cfg,
+                                    k=10, mode=mode, round_dp=6))
+        assert got == plain
+
+
+def _brute_field_scores(spark, corpus, cfg, field, query):
+    """Cross-path oracle: EXACT (non-packed) per-field index + the
+    exhaustive join-agg scorer -> {doc_id: score}."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.bm25 import bm25_topk
+
+    fcorp = corpus.select(
+        "conv_id", "turn_idx",
+        F.coalesce(F.col(field).cast("string"), F.lit("")).alias(field))
+    it = build_index(fcorp, cfg, text_col=field, n_partitions=4)
+    rows = bm25_topk(it, query, cfg, k=1 << 20).collect()
+    return {int(r["doc_id"]): float(r["score"]) for r in rows}
+
+
+@pytest.mark.parametrize("mode,tie", [("best_fields", 0.0),
+                                      ("best_fields", 0.3),
+                                      ("most_fields", 0.0)])
+def test_combine_matches_brute_cross_path(spark, corpus, cfg, fidx,
+                                          mode, tie):
+    """Packed score-all composition == EXACT per-field indexes combined
+    in Python (max + tie*rest / sum), rounded ranking and all."""
+    q = QUERIES[1]
+    per_field = {f: _brute_field_scores(spark, corpus, cfg, f, q)
+                 for f in FIELDS}
+    docs = set().union(*[set(d) for d in per_field.values()])
+    expect = {}
+    for d in docs:
+        ss = [per_field[f][d] for f in FIELDS if d in per_field[f]]
+        if mode == "best_fields":
+            expect[d] = max(ss) + tie * (sum(ss) - max(ss))
+        else:
+            expect[d] = sum(ss)
+    want = sorted(
+        ((round(s, 6), d) for d, s in expect.items()),
+        key=lambda sd: (-sd[0], sd[1]))[:10]
+    got = multi_match_topk(fidx, [q], cfg, k=10, mode=mode,
+                           tie_breaker=tie, round_dp=6).collect()
+    got = [(float(r["score"]), int(r["doc_id"]))
+           for r in sorted(got, key=lambda r: r["rank"])]
+    assert got == [(s, d) for s, d in want]
+
+
+def test_boosts_scale_before_combine(fidx, cfg):
+    plain = {(r["query_id"], r["doc_id"]): r["score"]
+             for r in multi_match_topk({"role": fidx["role"]}, QUERIES,
+                                       cfg, k=10, round_dp=6).collect()}
+    boosted = {(r["query_id"], r["doc_id"]): r["score"]
+               for r in multi_match_topk({"role": fidx["role"]}, QUERIES,
+                                         cfg, k=10, boosts={"role": 2.0},
+                                         round_dp=6).collect()}
+    assert boosted.keys() == plain.keys()
+    for key, s in plain.items():
+        assert boosted[key] == pytest.approx(2 * s, abs=2e-6)
+
+
+def test_multimatch_validation(fidx, cfg, spark, corpus, cfg_path=None):
+    with pytest.raises(ValueError, match="mode"):
+        multi_match_topk(fidx, QUERIES, cfg, mode="cross_fields")
+    with pytest.raises(ValueError, match="tie_breaker applies"):
+        multi_match_topk(fidx, QUERIES, cfg, mode="most_fields",
+                         tie_breaker=0.3)
+    with pytest.raises(ValueError, match="unknown fields"):
+        multi_match_topk(fidx, QUERIES, cfg, boosts={"nope": 2.0})
+    with pytest.raises(ValueError, match="non-negative"):
+        multi_match_topk(fidx, QUERIES, cfg, boosts={"role": -1.0})
+    with pytest.raises(ValueError, match="no field indexes"):
+        multi_match_topk({}, QUERIES, cfg)
+
+
+def test_misaligned_indexes_refused(spark, cfg, fidx, tmp_path):
+    """An index over a DIFFERENT corpus must not silently combine."""
+    from searchengine_spark.indexing.packed import (
+        build_packed_index,
+        load_packed_index,
+    )
+
+    other = transcripts_df(spark, n_conv=3)
+    path = str(tmp_path / "other")
+    build_packed_index(other, cfg, path, chunk_docs=64)
+    alien = load_packed_index(spark, path)
+    with pytest.raises(ValueError, match="disagree"):
+        multi_match_topk({"text": fidx["text"], "alien": alien},
+                         QUERIES, cfg)
+
+
+def test_build_validation(spark, cfg, corpus, tmp_path):
+    with pytest.raises(ValueError, match="lacks field columns"):
+        build_field_indexes(corpus, cfg, str(tmp_path / "x"),
+                            ["text", "nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        build_field_indexes(corpus, cfg, str(tmp_path / "y"), [])
