@@ -1585,6 +1585,44 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-sorted retrieval (query/sortby.py — the ES ``sort``
+    clause): the query decides WHICH docs match (BM25 OR over the
+    score-all surface — NEVER a top-k-by-score cut: the attribute-best
+    doc may rank thousandth by score, so a WAND-cut replica
+    hash-mismatches on the matched set itself), n_chars decides the
+    ORDER (desc, then rounded score desc, then doc_id asc). k=10 per
+    query over the shared packed documents index."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.sortby import sort_by_attr_packed
+
+    docs = _documents(spark, sf_dir)
+    idx_in = docs.select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        idx_in, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    attrs = docs.select(F.col("doc_id").alias("ext_id"), "n_chars")
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = sort_by_attr_packed(
+        pidx, qs, CFG, attrs, "n_chars", k=10, ascending=False,
+        missing="last", round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("sort_value").cast("long").alias("sort_value"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # multi_match fixture (query/multimatch.py): per-field packed indexes
 # over text + source; "srcN" terms live ONLY in the source field and the
 # OLAP words only in text, so the per-field statistics routing is
@@ -3162,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": q_wildcard_search,
         "regexp_search": q_regexp_search,
         "multi_match_topk": q_multi_match,
+        "sorted_search": q_sorted_search,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6495,6 +6534,33 @@ ranked AS (
   FROM allf
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- attribute-sorted retrieval: the FULL matched set (any-term
+    # join — a top-k-by-score cut mismatches), ordered by the attribute
+    # then rounded score then doc_id
+    sqls["sorted_search"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+j AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 6) AS score,
+         d.n_chars::BIGINT AS sort_value
+  FROM scored s LEFT JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, sort_value, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sort_value DESC NULLS LAST,
+                                     score DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT query_id, doc_id, sort_value, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
 """
 
     # ---- multi_match: per-field index chains (suffixed CTE twins —

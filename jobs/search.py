@@ -114,7 +114,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
                 search_after=None, collapse=None, min_match=None,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
-                regexp=None):
+                regexp=None, sort_spec=None, attrs_path=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -171,6 +171,25 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         groups = [[p for p in q.split("|") if p.strip()] for q in queries]
         return _resolve(pidx, dismax_topk_packed(
             pidx, groups, cfg, k=n, tie_breaker=dismax))
+    if sort_spec is not None:
+        if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
+                or wildcard is not None or regexp is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or demote is not None
+                or collapse is not None or dismax is not None):
+            raise SystemExit("--sort combines only with plain "
+                             "bm25/bm25_and retrieval (+ '-term' negation)")
+        from searchengine_spark.query.sortby import sort_by_attr_packed
+
+        col, asc, miss = sort_spec
+        attrs = spark.read.parquet(attrs_path)
+        # (query_id, doc_id, *ext, sort_value, score, rank) — already
+        # resolved; the matched set is score-all, ordered by the attr
+        return sort_by_attr_packed(
+            pidx, queries, cfg, attrs, col, k=n, ascending=asc,
+            missing=miss, conjunctive=ranker == "bm25_and",
+            round_dp=6, exclude_terms=excludes)
     if collapse is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or regexp is not None
@@ -309,7 +328,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
                  search_after=None, collapse=None, min_match=None,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
-                 regexp=None):
+                 regexp=None, sort_spec=None, attrs_path=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -317,7 +336,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        search_after=search_after, collapse=collapse,
                        min_match=min_match, demote=demote,
                        negative_boost=negative_boost,
-                       dismax=dismax, slop=slop, regexp=regexp).collect()
+                       dismax=dismax, slop=slop, regexp=regexp,
+                       sort_spec=sort_spec, attrs_path=attrs_path).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -380,6 +400,22 @@ def _wc(args):
     if not args.wildcard:
         return None
     return (args.max_expansions, args.allow_leading_wildcard)
+
+
+def _sort(args):
+    """--sort COL:asc|desc + --sort-missing -> (col, ascending, missing)
+    or None."""
+    if not args.sort:
+        return None
+    part = args.sort
+    if ":" in part:
+        col, d = part.rsplit(":", 1)
+        d = d.strip().lower()
+        if d not in ("asc", "desc"):
+            raise SystemExit(f"--sort expects COL:asc|desc, got {part!r}")
+    else:
+        col, d = part, "desc"
+    return (col.strip(), d == "asc", args.sort_missing)
 
 
 def _rx(args):
@@ -1049,6 +1085,9 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
+    if args.sort:
+        raise SystemExit("--sort serves from a single index (--index; "
+                         "federation not wired)")
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
@@ -1633,6 +1672,18 @@ def main() -> None:
                          "at --max-expansions) and score the expansion as "
                          "ordinary BM25 OR — ES wildcard / Lucene "
                          "scoring_boolean rewrite; --ranker bm25 only")
+    ap.add_argument("--sort", default=None, metavar="COL:asc|desc",
+                    help="ES sort clause (query/sortby.py): order the "
+                         "query's MATCHED set by an attribute (score-all "
+                         "surface, never a top-k-by-score cut), rounded "
+                         "score desc then doc_id asc as tiebreaks; "
+                         "missing-attr matches still appear (see "
+                         "--sort-missing); needs --attrs; bm25/bm25_and, "
+                         "distributed tier, --index only")
+    ap.add_argument("--sort-missing", default="last",
+                    choices=("last", "first"),
+                    help="--sort placement of matches with no attribute "
+                         "value (ES _last default)")
     ap.add_argument("--multi-match", default=None,
                     choices=("best_fields", "most_fields"),
                     help="ES multi_match over a --fields build root "
@@ -1875,8 +1926,8 @@ def main() -> None:
             or args.range or args.composite
             or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality or args.filters_agg
-            or args.missing or args.rare_terms or args.adjacency) \
-            and not args.attrs:
+            or args.missing or args.rare_terms or args.adjacency
+            or args.sort) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
@@ -2041,6 +2092,7 @@ def main() -> None:
                 min_match=args.min_should_match,
                 demote=args.demote, negative_boost=args.negative_boost,
                 dismax=args.dismax, slop=args.slop, regexp=_rx(args),
+                sort_spec=_sort(args), attrs_path=args.attrs,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -2066,8 +2118,11 @@ def main() -> None:
     if args.dismax is not None and args.serve_mode == "local":
         raise SystemExit("--dismax runs on the distributed tier "
                          "(serve-mode auto/spark)")
+    if args.sort and args.serve_mode == "local":
+        raise SystemExit("--sort runs on the distributed tier "
+                         "(serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.collapse
-                 and args.dismax is None and (
+                 and args.dismax is None and args.sort is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     ))
@@ -2156,7 +2211,8 @@ def main() -> None:
                                  demote=args.demote,
                                  negative_boost=args.negative_boost,
                                  dismax=args.dismax, slop=args.slop,
-                                 regexp=_rx(args))
+                                 regexp=_rx(args), sort_spec=_sort(args),
+                                 attrs_path=args.attrs)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

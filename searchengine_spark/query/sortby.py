@@ -1,0 +1,100 @@
+"""Attribute-sorted retrieval — the ES ``sort`` clause: result order
+comes from an ATTRIBUTE of the matched documents, not the relevance
+score (``sort: [{"ts": "desc"}, "_score"]`` — newest-first search,
+price-ordered listings, audit views).
+
+Semantics (the ES contract; gated in tests/test_sortby.py):
+
+- the query still decides WHICH docs match (BM25 OR — every doc
+  containing any query term; ``conjunctive=True`` = every term), the
+  sort decides their ORDER. Sorting the top-k-by-score window instead
+  would be wrong — the attribute-best doc may rank 10,001st by score —
+  so the matched set is the score-all surface, never a WAND cut.
+- order: sort column asc/desc, then ``_score`` desc as the secondary
+  (the ES default tiebreak when ``_score`` trails the sort spec), then
+  doc_id asc (total, deterministic).
+- docs with NO attribute value (NULL, or the external id absent from
+  the attrs table — LEFT join) sort per ``missing``: ``"last"`` (the
+  ES ``_last`` default) or ``"first"``. They are MATCHES and must
+  appear, not drop — a sorted view that silently hides unpriced
+  listings is a data bug.
+- attributes live in the lakehouse table, not the index (the
+  filter/facet/aggregation contract — the index stays a text index).
+
+Plan shape: the standard single-exchange score-all batch, one bounded
+docmap resolve join, one join to the pruned attrs scan, then a rank<=k
+window Spark pushes down as WindowGroupLimit — a per-partition top-k
+heap on the sort key, never a full sort of the matched set. That is
+the honest cost of sort-by-attribute at scale (ES pays the same: every
+shard heaps its matches by the sort key); comparisons only, so nothing
+drifts cross-engine.
+
+No reference counterpart (the reference ranks by score only).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..indexing.packed import PackedIndex
+from ..tokenizer import TokenizerConfig
+
+MISSING = ("last", "first")
+
+
+def sort_by_attr_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    attrs: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    missing: str = "last",
+    conjunctive: bool = False,
+    round_dp: int | None = None,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """Top-k per query by ATTRIBUTE order -> (query_id, doc_id,
+    *ext_cols, sort_value, score, rank).
+
+    ``attrs``: the attribute table keyed by the index's external id
+    columns (order_cols), carrying ``sort_col``. ``round_dp`` rounds
+    the secondary score before it tiebreaks (the rounded-ranking
+    contract every surface here uses)."""
+    if missing not in MISSING:
+        raise ValueError(f"missing must be one of {MISSING}, got {missing!r}")
+    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    need = ext_cols + [sort_col]
+    lacks = [c for c in need if c not in attrs.columns]
+    if lacks:
+        raise ValueError(f"attrs table lacks columns {lacks}")
+
+    from .wand import bm25_scores_packed_batch
+
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, conjunctive=conjunctive,
+        exclude_terms=exclude_terms)
+    if round_dp is not None:
+        scores = scores.withColumn("score", F.round("score", round_dp))
+    resolved = scores.join(pidx.docmap, "doc_id").select(
+        "query_id", "doc_id", *ext_cols, "score")
+    joined = resolved.join(
+        attrs.select(*ext_cols, F.col(sort_col).alias("sort_value")),
+        ext_cols, "left")
+    key = F.col("sort_value")
+    if ascending:
+        key = key.asc_nulls_last() if missing == "last" else key.asc_nulls_first()
+    else:
+        key = key.desc_nulls_last() if missing == "last" else key.desc_nulls_first()
+    w = Window.partitionBy("query_id").orderBy(
+        key, F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", *ext_cols, "sort_value", "score",
+                "rank")
+    )
