@@ -1585,6 +1585,53 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# decay-scoring fixture (query/decay.py): LINEAR decay over n_chars —
+# rational arithmetic, identical in any IEEE engine (gauss/exp go
+# through libm exp() and are pytest-gated instead, the documented
+# cross-engine discipline); scale/(1-decay)=200 so far docs hit EXACT 0
+DECAY_ORIGIN, DECAY_SCALE, DECAY_DECAY, DECAY_OFFSET = 300.0, 100.0, 0.5, 10.0
+
+
+def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-function scoring (query/decay.py — the ES ``function_score``
+    decay family, here ``linear`` x ``multiply``): every matched doc's
+    BM25 score multiplies by max(0, (s - d)/s) with
+    d = max(0, |n_chars - origin| - offset) and s = scale/(1-decay) —
+    docs at origin keep their score, docs past s zero out (they stay
+    MATCHES at score 0 — the all-matches contract), missing values
+    decay to 1.0. Matched set is score-all (a relevance top-k cut
+    mismatches whenever decay reorders)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.decay import decay_score_packed
+
+    docs = _documents(spark, sf_dir)
+    idx_in = docs.select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        idx_in, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    attrs = docs.select(F.col("doc_id").alias("ext_id"), "n_chars")
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = decay_score_packed(
+        pidx, qs, CFG, attrs, "n_chars", DECAY_ORIGIN, DECAY_SCALE,
+        decay=DECAY_DECAY, offset=DECAY_OFFSET, fn="linear",
+        boost_mode="multiply", k=10, round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("value").cast("long").alias("value"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-sorted retrieval (query/sortby.py — the ES ``sort``
     clause): the query decides WHICH docs match (BM25 OR over the
@@ -3201,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_search": q_regexp_search,
         "multi_match_topk": q_multi_match,
         "sorted_search": q_sorted_search,
+        "decay_search": q_decay_search,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6560,6 +6608,45 @@ ranked AS (
   FROM j
 )
 SELECT query_id, doc_id, sort_value, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+    # ---- decay scoring: linear decay (pure rational arithmetic — the
+    # oracle-able member of the family) multiplied into the score-all
+    # BM25 over the LEFT-joined attribute, rounded ranking
+    _dk_s = DECAY_SCALE / (1.0 - DECAY_DECAY)
+    sqls["decay_search"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+j AS (
+  SELECT s.query_id, s.doc_id, s.s, d.n_chars::BIGINT AS value
+  FROM scored s LEFT JOIN documents d USING (doc_id)
+),
+dec AS (
+  SELECT query_id, doc_id, value,
+         CASE WHEN value IS NULL THEN 1.0::DOUBLE
+              ELSE greatest(0.0::DOUBLE,
+                   ({_dk_s}::DOUBLE
+                    - greatest(0.0::DOUBLE,
+                               abs(value::DOUBLE - {DECAY_ORIGIN}::DOUBLE)
+                               - {DECAY_OFFSET}::DOUBLE))
+                   / {_dk_s}::DOUBLE) END AS dc,
+         s
+  FROM j
+),
+comb AS (SELECT query_id, doc_id, value, round(s * dc, 6) AS score FROM dec),
+ranked AS (
+  SELECT query_id, doc_id, value, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, doc_id, value, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 10
 """
 

@@ -114,7 +114,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
                 search_after=None, collapse=None, min_match=None,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
-                regexp=None, sort_spec=None, attrs_path=None):
+                regexp=None, sort_spec=None, attrs_path=None,
+                decay_spec=None, boost_mode="multiply"):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -171,6 +172,25 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         groups = [[p for p in q.split("|") if p.strip()] for q in queries]
         return _resolve(pidx, dismax_topk_packed(
             pidx, groups, cfg, k=n, tie_breaker=dismax))
+    if decay_spec is not None:
+        if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
+                or wildcard is not None or regexp is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or demote is not None
+                or collapse is not None or dismax is not None
+                or sort_spec is not None):
+            raise SystemExit("--decay combines only with plain "
+                             "bm25/bm25_and retrieval (+ '-term' negation)")
+        from searchengine_spark.query.decay import decay_score_packed
+
+        field, fn, origin, scale, dcy, off = decay_spec
+        attrs = spark.read.parquet(attrs_path)
+        return decay_score_packed(
+            pidx, queries, cfg, attrs, field, origin, scale, decay=dcy,
+            offset=off, fn=fn, boost_mode=boost_mode, k=n,
+            conjunctive=ranker == "bm25_and", round_dp=6,
+            exclude_terms=excludes)
     if sort_spec is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or regexp is not None
@@ -328,7 +348,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  doc_boost=None, synonyms=None, offset=0, wildcard=None,
                  search_after=None, collapse=None, min_match=None,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
-                 regexp=None, sort_spec=None, attrs_path=None):
+                 regexp=None, sort_spec=None, attrs_path=None,
+                 decay_spec=None, boost_mode="multiply"):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -337,7 +358,9 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        min_match=min_match, demote=demote,
                        negative_boost=negative_boost,
                        dismax=dismax, slop=slop, regexp=regexp,
-                       sort_spec=sort_spec, attrs_path=attrs_path).collect()
+                       sort_spec=sort_spec, attrs_path=attrs_path,
+                       decay_spec=decay_spec,
+                       boost_mode=boost_mode).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -400,6 +423,27 @@ def _wc(args):
     if not args.wildcard:
         return None
     return (args.max_expansions, args.allow_leading_wildcard)
+
+
+def _decay(args):
+    """--decay FIELD:FN:ORIGIN:SCALE[:DECAY[:OFFSET]] ->
+    (field, fn, origin, scale, decay, offset) or None."""
+    if not args.decay:
+        return None
+    parts = args.decay.split(":")
+    if len(parts) < 4 or len(parts) > 6:
+        raise SystemExit("--decay expects FIELD:FN:ORIGIN:SCALE"
+                         f"[:DECAY[:OFFSET]], got {args.decay!r}")
+    field, fn = parts[0].strip(), parts[1].strip()
+    try:
+        nums = [float(p) for p in parts[2:]]
+    except ValueError:
+        raise SystemExit(f"--decay wants numeric origin/scale/decay/offset "
+                         f"in {args.decay!r}")
+    origin, scale = nums[0], nums[1]
+    decay = nums[2] if len(nums) > 2 else 0.5
+    offset = nums[3] if len(nums) > 3 else 0.0
+    return (field, fn, origin, scale, decay, offset)
 
 
 def _sort(args):
@@ -1085,9 +1129,9 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if args.sort:
-        raise SystemExit("--sort serves from a single index (--index; "
-                         "federation not wired)")
+    if args.sort or args.decay:
+        raise SystemExit("--sort/--decay serve from a single index "
+                         "(--index; federation not wired)")
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
@@ -1672,6 +1716,18 @@ def main() -> None:
                          "at --max-expansions) and score the expansion as "
                          "ordinary BM25 OR — ES wildcard / Lucene "
                          "scoring_boolean rewrite; --ranker bm25 only")
+    ap.add_argument("--decay", default=None,
+                    metavar="FIELD:FN:ORIGIN:SCALE[:DECAY[:OFFSET]]",
+                    help="ES function_score decay (query/decay.py): "
+                         "rescale every matched doc's BM25 by "
+                         "gauss/exp/linear distance decay on a numeric "
+                         "attribute (docs missing the field decay to "
+                         "1.0); combine via --boost-mode; needs --attrs; "
+                         "bm25/bm25_and, distributed tier, --index only")
+    ap.add_argument("--boost-mode", default="multiply",
+                    choices=("multiply", "sum", "replace"),
+                    help="--decay combine with the query score "
+                         "(ES boost_mode; default multiply)")
     ap.add_argument("--sort", default=None, metavar="COL:asc|desc",
                     help="ES sort clause (query/sortby.py): order the "
                          "query's MATCHED set by an attribute (score-all "
@@ -1927,7 +1983,7 @@ def main() -> None:
             or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
-            or args.sort) and not args.attrs:
+            or args.sort or args.decay) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
@@ -2093,6 +2149,7 @@ def main() -> None:
                 demote=args.demote, negative_boost=args.negative_boost,
                 dismax=args.dismax, slop=args.slop, regexp=_rx(args),
                 sort_spec=_sort(args), attrs_path=args.attrs,
+                decay_spec=_decay(args), boost_mode=args.boost_mode,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -2118,11 +2175,12 @@ def main() -> None:
     if args.dismax is not None and args.serve_mode == "local":
         raise SystemExit("--dismax runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    if args.sort and args.serve_mode == "local":
-        raise SystemExit("--sort runs on the distributed tier "
+    if (args.sort or args.decay) and args.serve_mode == "local":
+        raise SystemExit("--sort/--decay run on the distributed tier "
                          "(serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.collapse
-                 and args.dismax is None and args.sort is None and (
+                 and args.dismax is None and args.sort is None
+                 and args.decay is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     ))
@@ -2212,7 +2270,9 @@ def main() -> None:
                                  negative_boost=args.negative_boost,
                                  dismax=args.dismax, slop=args.slop,
                                  regexp=_rx(args), sort_spec=_sort(args),
-                                 attrs_path=args.attrs)
+                                 attrs_path=args.attrs,
+                                 decay_spec=_decay(args),
+                                 boost_mode=args.boost_mode)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

@@ -1,0 +1,144 @@
+"""Decay-function scoring — the ES ``function_score`` decay family
+(``gauss`` / ``exp`` / ``linear``): rescale relevance by how far a
+numeric document attribute sits from an ``origin`` ("prefer recent",
+"prefer nearby", "prefer cheap" — recency-boosted search is THE
+canonical use).
+
+ES decay contract (reproduced exactly; gated in tests/test_decay.py):
+
+    d(doc)  = max(0, |value - origin| - offset)
+    gauss   = exp(-d^2 / (2*sigma^2)),  sigma^2 = -scale^2 / (2*ln(decay))
+    exp     = exp(ln(decay)/scale * d)
+    linear  = max(0, (s - d) / s),      s = scale / (1 - decay)
+
+i.e. a doc exactly ``scale`` away from ``origin`` (past ``offset``)
+scores ``decay`` (default 0.5) under every function; inside ``offset``
+the function is 1; ``linear`` hits exact zero past ``s`` while
+``gauss``/``exp`` only approach it. A doc MISSING the attribute (NULL,
+or absent from the attrs table — LEFT join) gets decay 1.0 — the ES
+missing-field contract for decay functions.
+
+``boost_mode`` (how the function output combines with the query score):
+``multiply`` (ES default), ``sum``, ``replace``. The matched set is the
+score-all surface — function_score rescales EVERY match, so a WAND
+top-k-by-relevance cut would be wrong whenever the decay reorders
+(the same argument as sort/collapse/dis_max).
+
+Cross-engine note (the repo's exact-arithmetic discipline): ``linear``
+is rational arithmetic — identical in any IEEE engine, so the DuckDB
+oracle runs it verbatim. ``gauss``/``exp`` go through libm ``exp()``,
+whose last-ulp behavior is implementation-defined; they are gated by a
+same-formula Python brute (rank-identical + 1e-12 relative) rather
+than claimed bit-reproducible across engines.
+
+No reference counterpart (the reference ranks by relevance only);
+semantics follow the ES function_score decay contract.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..indexing.packed import PackedIndex
+from ..tokenizer import TokenizerConfig
+
+FUNCTIONS = ("gauss", "exp", "linear")
+BOOST_MODES = ("multiply", "sum", "replace")
+
+
+def decay_expr(fn: str, value, origin: float, scale: float,
+               decay: float = 0.5, offset: float = 0.0):
+    """The ES decay Column for ``value`` (NULL -> 1.0). Parameters are
+    validated by :func:`_check_params` first."""
+    d = F.greatest(
+        F.lit(0.0), F.abs(value.cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)))
+    if fn == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        out = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = math.log(decay) / scale
+        out = F.exp(F.lit(lam) * d)
+    else:  # linear
+        s = scale / (1.0 - decay)
+        out = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    return F.when(value.isNull(), F.lit(1.0)).otherwise(out)
+
+
+def _check_params(fn: str, scale: float, decay: float, offset: float,
+                  boost_mode: str) -> None:
+    if fn not in FUNCTIONS:
+        raise ValueError(f"fn must be one of {FUNCTIONS}, got {fn!r}")
+    if boost_mode not in BOOST_MODES:
+        raise ValueError(
+            f"boost_mode must be one of {BOOST_MODES}, got {boost_mode!r}")
+    if not scale > 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(
+            f"decay must be in (0, 1) exclusive, got {decay} (1 would "
+            "divide by zero under linear, 0 has no finite sigma)")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+
+
+def decay_score_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    attrs: DataFrame,
+    field: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    fn: str = "gauss",
+    boost_mode: str = "multiply",
+    k: int = 10,
+    conjunctive: bool = False,
+    round_dp: int | None = None,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """Top-k per query -> (query_id, doc_id, *ext_cols, value, score,
+    rank) where score = boost_mode(BM25, decay(value)) over the FULL
+    matched set. ``attrs`` is the attribute table keyed by the index's
+    external ids, carrying ``field``; rounding applies to the combined
+    score (the rounded-ranking contract)."""
+    _check_params(fn, float(scale), float(decay), float(offset), boost_mode)
+    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    lacks = [c for c in ext_cols + [field] if c not in attrs.columns]
+    if lacks:
+        raise ValueError(f"attrs table lacks columns {lacks}")
+
+    from .wand import bm25_scores_packed_batch
+
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, conjunctive=conjunctive,
+        exclude_terms=exclude_terms)
+    resolved = scores.join(pidx.docmap, "doc_id").select(
+        "query_id", "doc_id", *ext_cols, "score")
+    joined = resolved.join(
+        attrs.select(*ext_cols, F.col(field).alias("value")),
+        ext_cols, "left")
+    dec = decay_expr(fn, F.col("value"), float(origin), float(scale),
+                     float(decay), float(offset))
+    if boost_mode == "multiply":
+        combined = F.col("score") * dec
+    elif boost_mode == "sum":
+        combined = F.col("score") + dec
+    else:  # replace: the function IS the score (query only filters)
+        combined = dec
+    out = joined.withColumn("score", combined)
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", *ext_cols, "value", "score", "rank")
+    )
