@@ -1585,6 +1585,25 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analyze_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_analyze`` analog (query/analyze.py): one row per indexed
+    token of every 25th document — (doc_id, position, token), position =
+    index in the FILTERED sequence (the positional payload's own
+    semantics). The oracle replicates the tokenize chain + ordinal
+    positions (generate_subscripts); offsets are pytest-gated (a char-
+    span slice isn't SQL-cheap). A chain that filtered before/after
+    differently shifts every position and hash-mismatches."""
+    from searchengine_spark.query.analyze import analyze_table
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
+    out = analyze_table(docs, CFG, text_col="text", id_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.col("position").cast("long").alias("position"),
+        "token",
+    )
+
+
 # decay-scoring fixture (query/decay.py): LINEAR decay over n_chars —
 # rational arithmetic, identical in any IEEE engine (gauss/exp go
 # through libm exp() and are pytest-gated instead, the documented
@@ -3249,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_topk": q_multi_match,
         "sorted_search": q_sorted_search,
         "decay_search": q_decay_search,
+        "analyze_tokens": q_analyze_tokens,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6609,6 +6629,18 @@ ranked AS (
 )
 SELECT query_id, doc_id, sort_value, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+    # ---- _analyze: the tokenize chain + ordinal positions over every
+    # 25th document (filtered-sequence positions — the positional
+    # payload's semantics)
+    sqls["analyze_tokens"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id, generate_subscripts(tokens, 1)::BIGINT - 1 AS position,
+       unnest(tokens) AS token
+FROM tok
 """
 
     # ---- decay scoring: linear decay (pure rational arithmetic — the

@@ -1216,6 +1216,12 @@ def _serve_federated(spark, args) -> None:
           f"{(time.perf_counter() - t0) * 1000:.1f}ms ({n_docs} docs)",
           file=sys.stderr)
 
+    if args.analyze is not None:
+        from searchengine_spark.query.analyze import analyze_text
+
+        print(json.dumps({"text": args.analyze,
+                          "tokens": analyze_text(args.analyze, cfg)}))
+        return
     if args.suggest:
         from searchengine_spark.query.federated import suggest_terms_federated
 
@@ -1658,6 +1664,11 @@ def main() -> None:
                     help="parquet dir for batch results (query_id, query, "
                          "doc_id, *external ids, score, rank); one Spark "
                          "job for the whole file")
+    ap.add_argument("--analyze", default=None, metavar="TEXT",
+                    help="ES _analyze analog (query/analyze.py): print "
+                         "how the INDEX'S tokenizer chain analyzes TEXT "
+                         "— token/position/offsets JSON; --index or "
+                         "--shards")
     ap.add_argument("--suggest", default=None, metavar="PREFIX",
                     help="dictionary auto-complete: print terms with the "
                          "prefix ranked by live df and exit")
@@ -2026,6 +2037,12 @@ def main() -> None:
     if args.fuzzy and args.ranker in ("phrase", "minspan"):
         raise SystemExit("--fuzzy is not wired to the positional phrase/"
                          "minspan rankers")
+    if args.analyze is not None:
+        from searchengine_spark.query.analyze import analyze_text
+
+        print(json.dumps({"text": args.analyze,
+                          "tokens": analyze_text(args.analyze, cfg)}))
+        return
     if args.suggest:
         from searchengine_spark.query.wand import suggest_terms
 
