@@ -1585,6 +1585,33 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: term-suggester inputs: an OOV typo with neighbors, an in-vocab term
+#: (self-exclusion bites), and a no-neighbor string (emits nothing)
+TS_TERMS = ("windov", "merge", "qzqzqz")
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TERM SUGGESTER (query/fuzzy.py term_suggestions — "did you
+    mean"): per input term, up to 3 dictionary neighbors at Levenshtein
+    distance 1, df desc then term asc (distance ties at max_edits=1 —
+    frequency IS the tiebreak), the input term itself NEVER suggested;
+    mode='always' here so the oracle pins exclusion + ranking (the
+    missing/popular suggest_mode gates are pytest-gated). The oracle
+    runs DuckDB's own levenshtein() over the dictionary — a generator
+    that lost a true neighbor (SymSpell completeness) or an OSA-style
+    transposition matcher hash-mismatches."""
+    from searchengine_spark.query.fuzzy import term_suggestions
+
+    it = _doc_index(spark, sf_dir)
+    out = term_suggestions(it.term_stats, list(TS_TERMS), k=3,
+                           mode="always")
+    return out.select(
+        "qterm", "suggestion",
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_analyze_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ES ``_analyze`` analog (query/analyze.py): one row per indexed
     token of every 25th document — (doc_id, position, token), position =
@@ -3269,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_search": q_sorted_search,
         "decay_search": q_decay_search,
         "analyze_tokens": q_analyze_tokens,
+        "term_suggest": q_term_suggest,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6629,6 +6657,22 @@ ranked AS (
 )
 SELECT query_id, doc_id, sort_value, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+    # ---- term suggester: DuckDB's own levenshtein over the dictionary,
+    # self excluded, df-desc/term-asc rank, top 3 per input term
+    _ts_arms = " UNION ALL ".join(
+        f"""SELECT {_sql_quote(t)} AS qterm, term AS suggestion, df,
+       row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM term_stats
+WHERE levenshtein(term, {_sql_quote(t)}) <= 1 AND term <> {_sql_quote(t)}"""
+        for t in TS_TERMS
+    )
+    sqls["term_suggest"] = f"""
+WITH {_INDEX_CTES},
+arms AS ({_ts_arms})
+SELECT qterm, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
+FROM arms WHERE rank <= 3 ORDER BY qterm, rank
 """
 
     # ---- _analyze: the tokenize chain + ordinal positions over every

@@ -428,8 +428,43 @@ def run_esops(spark, sf: float) -> dict:
                         should=" ".join(w[1:]) or "music",
                         k=10, round_dp=6).count()
     out["stages"]["bool_compound_5q"] = round(time.perf_counter() - t1, 3)
+
+    # late-round-3 surfaces: attribute sort + decay rescoring (score-all
+    # cost class), regexp expansion (dictionary scan + WAND), and
+    # multi_match over per-field indexes (N score-alls + one combine)
+    from searchengine_spark.query.decay import decay_score_packed
+    from searchengine_spark.query.regexp import bm25_regexp_packed_batch
+    from searchengine_spark.query.sortby import sort_by_attr_packed
+
+    attrs = corpus.selectExpr(
+        "conv_id", "turn_idx", "turn_idx AS age")
+    t("sort_by_attr", lambda: sort_by_attr_packed(
+        pidx, QS, cfg, attrs, "age", k=10, round_dp=6))
+    t("decay_gauss", lambda: decay_score_packed(
+        pidx, QS, cfg, attrs, "age", origin=50.0, scale=40.0, fn="gauss",
+        k=10, round_dp=6))
+    t("regexp_top10", lambda: bm25_regexp_packed_batch(
+        pidx, [q + " /mus[a-z]+/" for q in QS], cfg, k=10, round_dp=6))
+
+    from searchengine_spark.query.multimatch import (
+        build_field_indexes,
+        load_field_indexes,
+        multi_match_topk,
+    )
+
+    mm_root = os.path.join(OUT, f"esops_mm_sf{sf}")
+    t2 = time.perf_counter()
+    if not os.path.exists(os.path.join(mm_root, "fields.json")):
+        shutil.rmtree(mm_root, ignore_errors=True)
+        build_field_indexes(corpus, cfg, mm_root, ["text", "role"])
+    out["stages"]["mm_fields_build_or_reuse"] = round(
+        time.perf_counter() - t2, 3)
+    fidx = load_field_indexes(spark, mm_root)
+    t("multi_match_best_fields", lambda: multi_match_topk(
+        fidx, QS, cfg, k=10, tie_breaker=0.3, round_dp=6))
+
     out["value"] = round(sum(v for k_, v in out["stages"].items()
-                             if k_ != "index_build_or_reuse"), 3)
+                             if not k_.endswith("build_or_reuse")), 3)
     return out
 
 

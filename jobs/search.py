@@ -1222,6 +1222,20 @@ def _serve_federated(spark, args) -> None:
         print(json.dumps({"text": args.analyze,
                           "tokens": analyze_text(args.analyze, cfg)}))
         return
+    if args.term_suggest:
+        from searchengine_spark.query.federated import _global_dictionary
+        from searchengine_spark.query.fuzzy import term_suggestions
+        from searchengine_spark.tokenizer import tokenize_text as _tok
+
+        words = list(dict.fromkeys(_tok(args.term_suggest, cfg)))
+        rows = term_suggestions(_global_dictionary(shards), words,
+                                k=args.n, mode=args.suggest_mode).collect()
+        by_w: dict[str, list] = {w: [] for w in words}
+        for r in sorted(rows, key=lambda r: (r["qterm"], r["rank"])):
+            by_w[r["qterm"]].append(
+                {"suggestion": r["suggestion"], "df": int(r["df"])})
+        print(json.dumps({"mode": args.suggest_mode, "suggest": by_w}))
+        return
     if args.suggest:
         from searchengine_spark.query.federated import suggest_terms_federated
 
@@ -1669,6 +1683,17 @@ def main() -> None:
                          "how the INDEX'S tokenizer chain analyzes TEXT "
                          "— token/position/offsets JSON; --index or "
                          "--shards")
+    ap.add_argument("--term-suggest", default=None, metavar="WORDS",
+                    help="ES term suggester / did-you-mean "
+                         "(query/fuzzy.py term_suggestions): per word, "
+                         "top dictionary neighbors at Levenshtein<=1, "
+                         "df-ranked, the word itself never suggested; "
+                         "gate with --suggest-mode; --index or --shards")
+    ap.add_argument("--suggest-mode", default="missing",
+                    choices=("missing", "popular", "always"),
+                    help="--term-suggest gate (ES suggest_mode): missing "
+                         "= only OOV words (default), popular = only "
+                         "more-frequent neighbors, always = every word")
     ap.add_argument("--suggest", default=None, metavar="PREFIX",
                     help="dictionary auto-complete: print terms with the "
                          "prefix ranked by live df and exit")
@@ -2042,6 +2067,19 @@ def main() -> None:
 
         print(json.dumps({"text": args.analyze,
                           "tokens": analyze_text(args.analyze, cfg)}))
+        return
+    if args.term_suggest:
+        from searchengine_spark.query.fuzzy import term_suggestions
+        from searchengine_spark.tokenizer import tokenize_text as _tok
+
+        words = list(dict.fromkeys(_tok(args.term_suggest, cfg)))
+        rows = term_suggestions(pidx.term_stats, words, k=args.n,
+                                mode=args.suggest_mode).collect()
+        by_w: dict[str, list] = {w: [] for w in words}
+        for r in sorted(rows, key=lambda r: (r["qterm"], r["rank"])):
+            by_w[r["qterm"]].append(
+                {"suggestion": r["suggestion"], "df": int(r["df"])})
+        print(json.dumps({"mode": args.suggest_mode, "suggest": by_w}))
         return
     if args.suggest:
         from searchengine_spark.query.wand import suggest_terms

@@ -121,6 +121,60 @@ def fuzzy_candidates(
     )
 
 
+SUGGEST_MODES = ("missing", "popular", "always")
+
+
+def term_suggestions(
+    dictionary: DataFrame,
+    qterms: Sequence[str],
+    k: int = 3,
+    mode: str = "missing",
+) -> DataFrame:
+    """-> (qterm, suggestion, df, rank): the ES TERM SUGGESTER ("did you
+    mean") — per input term, up to ``k`` dictionary neighbors at
+    Levenshtein distance 1, df desc then term asc (all candidates tie
+    on distance at max_edits=1, so frequency IS the ES tiebreak). The
+    input term itself is never a suggestion (the ES contract); the
+    ``suggest_mode`` gate decides WHICH inputs get suggestions:
+
+    - ``"missing"`` (the ES default): only terms NOT in the dictionary;
+    - ``"popular"``: only suggestions strictly more frequent than the
+      input term (df 0 when the input is OOV);
+    - ``"always"``: every input term.
+
+    Same one-bounded-job shape as :func:`fuzzy_candidates` (this is the
+    ranked-list sibling of its top-1 ``correct_terms``); pass the
+    federation-global dictionary to suggest across shards."""
+    if mode not in SUGGEST_MODES:
+        raise ValueError(f"mode must be one of {SUGGEST_MODES}, got {mode!r}")
+    spark = dictionary.sparkSession
+    out_schema = "qterm string, suggestion string, df long, rank int"
+    qts = list(dict.fromkeys(qterms))
+    if not qts:
+        return spark.createDataFrame([], out_schema)
+    # the verified distance<=1 pair set INCLUDING self-hits (they carry
+    # the input term's own df for the mode gates), k unbounded here —
+    # the real cut happens after self-exclusion
+    pairs = fuzzy_candidates(dictionary, qts, k=1 << 30).select(
+        "qterm", "term", "df")
+    wq = Window.partitionBy("qterm")
+    pairs = pairs.withColumn(
+        "self_df",
+        F.max(F.when(F.col("term") == F.col("qterm"), F.col("df"))).over(wq))
+    sugg = pairs.filter(F.col("term") != F.col("qterm"))
+    if mode == "missing":
+        sugg = sugg.filter(F.col("self_df").isNull())
+    elif mode == "popular":
+        sugg = sugg.filter(
+            F.col("df") > F.coalesce(F.col("self_df"), F.lit(0)))
+    w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        sugg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qterm", F.col("term").alias("suggestion"), "df", "rank")
+    )
+
+
 def correct_terms(
     dictionary: DataFrame, qterms: Sequence[str]
 ) -> Mapping[str, str]:

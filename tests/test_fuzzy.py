@@ -190,3 +190,36 @@ def test_wand_fuzzy_oov_without_neighbor_is_or_neutral(fuzzy_pidx):
     assert [r.asDict() for r in base.collect()] == [
         r.asDict() for r in plus.collect()
     ]
+
+
+def test_term_suggestions_modes(spark):
+    """ES term suggester: the input term is never a suggestion; missing
+    mode only suggests for OOV inputs; popular only keeps strictly-
+    more-frequent neighbors; always covers everything; ranking is df
+    desc then term asc (distance ties at max_edits=1)."""
+    from searchengine_spark.query.fuzzy import term_suggestions
+
+    d = spark.createDataFrame(
+        [("table", 40), ("cable", 90), ("fable", 10), ("tble", 2)],
+        "term string, df long",
+    )
+    # 'tabe' is OOV: missing mode suggests its lev<=1 neighbors
+    got = term_suggestions(d, ["tabe"], k=5, mode="missing").collect()
+    assert [(r["suggestion"], r["df"], r["rank"]) for r in got] == [
+        ("table", 40, 1)]
+    # 'table' is IN vocab: missing mode stays silent...
+    assert term_suggestions(d, ["table"], k=5, mode="missing").collect() == []
+    # ...popular keeps only strictly-more-frequent neighbors (cable 90 >
+    # table 40; fable 10 and tble 2 drop)...
+    pop = term_suggestions(d, ["table"], k=5, mode="popular").collect()
+    assert [(r["suggestion"], r["df"]) for r in pop] == [("cable", 90)]
+    # ...always returns every neighbor EXCEPT the term itself
+    alw = term_suggestions(d, ["table"], k=5, mode="always").collect()
+    assert [(r["suggestion"], r["df"], r["rank"]) for r in alw] == [
+        ("cable", 90, 1), ("fable", 10, 2), ("tble", 2, 3)]
+    # popular for an OOV input: self_df is 0, every neighbor qualifies
+    pop2 = term_suggestions(d, ["tabe"], k=5, mode="popular").collect()
+    assert [r["suggestion"] for r in pop2] == ["table"]
+    with pytest.raises(ValueError, match="mode"):
+        term_suggestions(d, ["x"], mode="top")
+    assert term_suggestions(d, [], k=3).collect() == []
