@@ -1585,6 +1585,44 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: URL-filter fixture: URLs synthesized DETERMINISTICALLY from existing
+#: columns with identical SQL text on both engines — doc_id%4 routes
+#: each doc to keep / two-level-suffix domain block / bad scheme /
+#: substring block, so every reason branch and the suffix rule bite
+URL_SYNTH_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'https://news.' || source || '.example.com/p/' || CAST(doc_id AS STRING) "
+    "WHEN 1 THEN 'http://ads.' || source || '.co.uk:8080/x' "
+    "WHEN 2 THEN 'ftp://mirror.' || source || '.net/pub' "
+    "ELSE 'https://' || source || '.shop.org/casino/' || CAST(doc_id AS STRING) END"
+)
+URL_BLOCKED_DOMAINS = ("src3.co.uk",)
+URL_BLOCKED_SUBSTRINGS = ("casino",)
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain gate (textops/urlfilter.py — the C4/RefinedWeb web-
+    pipeline stage 0): native scheme/host/registered-domain parse (port
+    stripped, two-level public-suffix rule: ads.<src>.co.uk registers
+    as <src>.co.uk, so blocking src3.co.uk blocks every subdomain of
+    exactly that registrant), fixed reason precedence bad_scheme >
+    blocked_domain > blocked_substring, one row per doc. URLs are
+    synthesized from (doc_id, source) with the SAME SQL text on both
+    engines; the oracle replicates the parse regexes VERBATIM (the
+    Java∩RE2 discipline) — a parser that keeps ports, misses the suffix
+    rule, or reorders reasons hash-mismatches."""
+    from searchengine_spark.textops.urlfilter import url_filter
+
+    docs = _documents(spark, sf_dir).withColumn("url", F.expr(URL_SYNTH_SQL))
+    out = url_filter(
+        docs, url_col="url", id_col="doc_id",
+        blocked_domains=URL_BLOCKED_DOMAINS,
+        blocked_substrings=URL_BLOCKED_SUBSTRINGS,
+    )
+    return out.select("doc_id", "scheme", "host", "registered_domain",
+                      "keep", "reason")
+
+
 #: term-suggester inputs: an OOV typo with neighbors, an in-vocab term
 #: (self-exclusion bites), and a no-neighbor string (emits nothing)
 TS_TERMS = ("windov", "merge", "qzqzqz")
@@ -3297,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_search": q_decay_search,
         "analyze_tokens": q_analyze_tokens,
         "term_suggest": q_term_suggest,
+        "url_filter": q_url_filter,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6657,6 +6696,54 @@ ranked AS (
 )
 SELECT query_id, doc_id, sort_value, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+    # ---- URL filter: the parse regexes VERBATIM over the same
+    # synthesized URLs, suffix rule + reason precedence in one CASE
+    from searchengine_spark.textops.urlfilter import TWO_LEVEL_SUFFIXES
+
+    _sfx = ", ".join(_sql_quote(s) for s in TWO_LEVEL_SUFFIXES)
+    _bdom = ", ".join(_sql_quote(d) for d in URL_BLOCKED_DOMAINS)
+    _bsub = URL_BLOCKED_SUBSTRINGS[0]
+    sqls["url_filter"] = f"""
+WITH u AS (
+  SELECT doc_id, {URL_SYNTH_SQL.replace('AS STRING', 'AS VARCHAR')} AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    nullif(regexp_extract(lower(url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '') AS scheme,
+    regexp_replace(
+      nullif(regexp_extract(lower(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), ''),
+      ':[0-9]+$', '') AS host
+  FROM u
+),
+regs AS (
+  SELECT *, nullif(regexp_extract(host, '[^.]+\\.[^.]+$', 0), '') AS reg2,
+         nullif(regexp_extract(host, '[^.]+\\.[^.]+\\.[^.]+$', 0), '') AS reg3
+  FROM parts
+),
+fin AS (
+  SELECT doc_id, scheme, host,
+    CASE WHEN reg2 IS NULL THEN host
+         WHEN reg2 IN ({_sfx}) AND reg3 IS NOT NULL THEN reg3
+         ELSE reg2 END AS registered_domain,
+    url
+  FROM regs
+),
+rs AS (
+  SELECT doc_id, scheme, host, registered_domain,
+    CASE WHEN scheme IS NULL OR scheme NOT IN ('http', 'https')
+           THEN 'bad_scheme'
+         WHEN registered_domain IN ({_bdom}) OR host IN ({_bdom})
+           THEN 'blocked_domain'
+         WHEN contains(lower(url), {_sql_quote(_bsub)})
+           THEN 'blocked_substring' END AS reason
+  FROM fin
+)
+SELECT doc_id, scheme, host, registered_domain,
+       reason IS NULL AS keep, reason
+FROM rs
 """
 
     # ---- term suggester: DuckDB's own levenshtein over the dictionary,

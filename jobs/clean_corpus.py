@@ -39,6 +39,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet dir")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--url-col", default=None, metavar="COL",
+                    help="enable the URL gate as stage 0 "
+                         "(textops/urlfilter.py): drop docs by scheme / "
+                         "blocked registered domain / URL substring "
+                         "BEFORE any text stage (the C4/RefinedWeb order)")
+    ap.add_argument("--blocked-domains", default=None, metavar="D1,D2",
+                    help="--url-col registered-domain blocklist (a "
+                         "registered domain blocks every subdomain)")
+    ap.add_argument("--blocked-url-substrings", default=None,
+                    metavar="S1,S2",
+                    help="--url-col case-insensitive URL substring "
+                         "blocklist (the C4 bad-words-in-URL rule)")
     ap.add_argument("--c4", action="store_true",
                     help="C4 line + page rules (Raffel et al. 2020 §2.2)")
     ap.add_argument("--min-words", type=int, default=3)
@@ -83,6 +95,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     cfg = CleanConfig(
+        url_col=args.url_col,
+        blocked_domains=(tuple(args.blocked_domains.split(","))
+                         if args.blocked_domains else ()),
+        blocked_url_substrings=(
+            tuple(args.blocked_url_substrings.split(","))
+            if args.blocked_url_substrings else ()),
         c4=args.c4,
         min_words=args.min_words,
         min_sentences=args.min_sentences,

@@ -47,6 +47,10 @@ from .scrub import redact_pii
 
 @dataclass
 class CleanConfig:
+    url_col: Optional[str] = None  # enables the URL gate (stage 0)
+    blocked_domains: Sequence[str] = ()
+    blocked_url_substrings: Sequence[str] = ()
+    allow_schemes: Sequence[str] = ("http", "https")
     c4: bool = False
     min_words: int = 3
     min_sentences: int = 5
@@ -104,6 +108,18 @@ def clean_corpus(
         cur.unpersist()
         cur = nxt
         return cur
+
+    if cfg.url_col is not None:
+        # the URL gate runs FIRST (the web-pipeline order: C4/RefinedWeb
+        # drop by URL before ever tokenizing) — a row-local native
+        # expression, zero exchange
+        from .urlfilter import url_reason_expr
+
+        if cfg.url_col not in cur.columns:
+            raise ValueError(f"url_col {cfg.url_col!r} not in the frame")
+        step("url_filter", cur.where(url_reason_expr(
+            F.col(cfg.url_col), cfg.blocked_domains,
+            cfg.blocked_url_substrings, cfg.allow_schemes).isNull()))
 
     if cfg.c4:
         cleaned = c4_clean(
