@@ -1716,6 +1716,43 @@ def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field_value_factor (query/decay.py field_value_factor_packed —
+    the third function_score member): score = BM25 x sqrt(n_chars) over
+    the FULL matched set (sqrt is IEEE-754 correctly rounded — the one
+    transcendental-looking modifier that IS oracle-safe; the log family
+    is pytest-gated like gauss). Missing values fall back to
+    missing=1.0; rounding on the combined score."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.decay import field_value_factor_packed
+
+    docs = _documents(spark, sf_dir)
+    idx_in = docs.select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        idx_in, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    attrs = docs.select(F.col("doc_id").alias("ext_id"), "n_chars")
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = field_value_factor_packed(
+        pidx, qs, CFG, attrs, "n_chars", factor=1.0, modifier="sqrt",
+        missing=1.0, boost_mode="multiply", k=10, round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("value").cast("long").alias("value"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-sorted retrieval (query/sortby.py — the ES ``sort``
     clause): the query decides WHICH docs match (BM25 OR over the
@@ -3336,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_tokens": q_analyze_tokens,
         "term_suggest": q_term_suggest,
         "url_filter": q_url_filter,
+        "field_value_factor": q_field_value_factor,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6772,6 +6810,35 @@ WITH tok AS (
 SELECT doc_id, generate_subscripts(tokens, 1)::BIGINT - 1 AS position,
        unnest(tokens) AS token
 FROM tok
+"""
+
+    # ---- field_value_factor: BM25 x sqrt(n_chars) — sqrt is IEEE
+    # correctly rounded, so the oracle runs it verbatim
+    sqls["field_value_factor"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+j AS (
+  SELECT s.query_id, s.doc_id, s.s, d.n_chars::BIGINT AS value
+  FROM scored s LEFT JOIN documents d USING (doc_id)
+),
+comb AS (
+  SELECT query_id, doc_id, value,
+         round(s * coalesce(sqrt(value::DOUBLE), 1.0::DOUBLE), 6) AS score
+  FROM j
+),
+ranked AS (
+  SELECT query_id, doc_id, value, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, doc_id, value, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
 """
 
     # ---- decay scoring: linear decay (pure rational arithmetic — the

@@ -115,7 +115,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 search_after=None, collapse=None, min_match=None,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
                 regexp=None, sort_spec=None, attrs_path=None,
-                decay_spec=None, boost_mode="multiply"):
+                decay_spec=None, boost_mode="multiply", fvf_spec=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -172,6 +172,25 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         groups = [[p for p in q.split("|") if p.strip()] for q in queries]
         return _resolve(pidx, dismax_topk_packed(
             pidx, groups, cfg, k=n, tie_breaker=dismax))
+    if fvf_spec is not None:
+        if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
+                or wildcard is not None or regexp is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or demote is not None
+                or collapse is not None or dismax is not None
+                or sort_spec is not None or decay_spec is not None):
+            raise SystemExit("--fvf combines only with plain "
+                             "bm25/bm25_and retrieval (+ '-term' negation)")
+        from searchengine_spark.query.decay import field_value_factor_packed
+
+        field, mod, factor, missing_v = fvf_spec
+        attrs = spark.read.parquet(attrs_path)
+        return field_value_factor_packed(
+            pidx, queries, cfg, attrs, field, factor=factor, modifier=mod,
+            missing=missing_v, boost_mode=boost_mode, k=n,
+            conjunctive=ranker == "bm25_and", round_dp=6,
+            exclude_terms=excludes)
     if decay_spec is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or regexp is not None
@@ -349,7 +368,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  search_after=None, collapse=None, min_match=None,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
                  regexp=None, sort_spec=None, attrs_path=None,
-                 decay_spec=None, boost_mode="multiply"):
+                 decay_spec=None, boost_mode="multiply", fvf_spec=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -359,8 +378,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        negative_boost=negative_boost,
                        dismax=dismax, slop=slop, regexp=regexp,
                        sort_spec=sort_spec, attrs_path=attrs_path,
-                       decay_spec=decay_spec,
-                       boost_mode=boost_mode).collect()
+                       decay_spec=decay_spec, boost_mode=boost_mode,
+                       fvf_spec=fvf_spec).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -444,6 +463,24 @@ def _decay(args):
     decay = nums[2] if len(nums) > 2 else 0.5
     offset = nums[3] if len(nums) > 3 else 0.0
     return (field, fn, origin, scale, decay, offset)
+
+
+def _fvf(args):
+    """--fvf FIELD:MODIFIER[:FACTOR[:MISSING]] -> (field, modifier,
+    factor, missing) or None."""
+    if not args.fvf:
+        return None
+    parts = args.fvf.split(":")
+    if len(parts) < 2 or len(parts) > 4:
+        raise SystemExit("--fvf expects FIELD:MODIFIER[:FACTOR[:MISSING]], "
+                         f"got {args.fvf!r}")
+    field, mod = parts[0].strip(), parts[1].strip()
+    try:
+        factor = float(parts[2]) if len(parts) > 2 else 1.0
+        missing = float(parts[3]) if len(parts) > 3 else 1.0
+    except ValueError:
+        raise SystemExit(f"--fvf wants numeric factor/missing in {args.fvf!r}")
+    return (field, mod, factor, missing)
 
 
 def _sort(args):
@@ -1129,8 +1166,8 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if args.sort or args.decay:
-        raise SystemExit("--sort/--decay serve from a single index "
+    if args.sort or args.decay or args.fvf:
+        raise SystemExit("--sort/--decay/--fvf serve from a single index "
                          "(--index; federation not wired)")
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
@@ -1760,6 +1797,16 @@ def main() -> None:
                          "attribute (docs missing the field decay to "
                          "1.0); combine via --boost-mode; needs --attrs; "
                          "bm25/bm25_and, distributed tier, --index only")
+    ap.add_argument("--fvf", default=None,
+                    metavar="FIELD:MODIFIER[:FACTOR[:MISSING]]",
+                    help="ES function_score field_value_factor "
+                         "(query/decay.py): score combines with "
+                         "modifier(factor x attribute) — modifiers "
+                         "none/log/log1p/log2p/ln/ln1p/ln2p/square/sqrt/"
+                         "reciprocal; NULL or undefined values use "
+                         "MISSING (default 1.0); combine via "
+                         "--boost-mode; needs --attrs; bm25/bm25_and, "
+                         "distributed tier, --index only")
     ap.add_argument("--boost-mode", default="multiply",
                     choices=("multiply", "sum", "replace"),
                     help="--decay combine with the query score "
@@ -2019,7 +2066,7 @@ def main() -> None:
             or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
-            or args.sort or args.decay) and not args.attrs:
+            or args.sort or args.decay or args.fvf) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
@@ -2205,6 +2252,7 @@ def main() -> None:
                 dismax=args.dismax, slop=args.slop, regexp=_rx(args),
                 sort_spec=_sort(args), attrs_path=args.attrs,
                 decay_spec=_decay(args), boost_mode=args.boost_mode,
+                fvf_spec=_fvf(args),
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -2230,12 +2278,12 @@ def main() -> None:
     if args.dismax is not None and args.serve_mode == "local":
         raise SystemExit("--dismax runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    if (args.sort or args.decay) and args.serve_mode == "local":
-        raise SystemExit("--sort/--decay run on the distributed tier "
+    if (args.sort or args.decay or args.fvf) and args.serve_mode == "local":
+        raise SystemExit("--sort/--decay/--fvf run on the distributed tier "
                          "(serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.collapse
                  and args.dismax is None and args.sort is None
-                 and args.decay is None and (
+                 and args.decay is None and args.fvf is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     ))
@@ -2327,7 +2375,8 @@ def main() -> None:
                                  regexp=_rx(args), sort_spec=_sort(args),
                                  attrs_path=args.attrs,
                                  decay_spec=_decay(args),
-                                 boost_mode=args.boost_mode)
+                                 boost_mode=args.boost_mode,
+                                 fvf_spec=_fvf(args))
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

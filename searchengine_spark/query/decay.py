@@ -86,6 +86,107 @@ def _check_params(fn: str, scale: float, decay: float, offset: float,
         raise ValueError(f"offset must be >= 0, got {offset}")
 
 
+#: ES field_value_factor modifiers. Cross-engine classes: none/square/
+#: reciprocal are rational and sqrt is IEEE-correctly-rounded (all four
+#: oracle-safe); the log family rides libm (pytest-gated, like gauss).
+FVF_MODIFIERS = ("none", "log", "log1p", "log2p", "ln", "ln1p", "ln2p",
+                 "square", "sqrt", "reciprocal")
+
+
+def fvf_expr(modifier: str, value, factor: float = 1.0):
+    """The ES field_value_factor Column: modifier(factor * value).
+    Where the math is undefined (log/sqrt of a negative, reciprocal of
+    zero) Spark yields NULL and the caller's ``missing`` fallback
+    applies — a documented deviation from ES (which fails the whole
+    query); total beats fatal for a batch engine."""
+    x = value.cast("double") * F.lit(float(factor))
+    if modifier == "none":
+        return x
+    if modifier == "log":
+        return F.log10(x)
+    if modifier == "log1p":
+        return F.log10(x + F.lit(1.0))
+    if modifier == "log2p":
+        return F.log10(x + F.lit(2.0))
+    if modifier == "ln":
+        return F.log(x)
+    if modifier == "ln1p":
+        return F.log(x + F.lit(1.0))
+    if modifier == "ln2p":
+        return F.log(x + F.lit(2.0))
+    if modifier == "square":
+        return x * x
+    if modifier == "sqrt":
+        return F.sqrt(x)
+    if modifier == "reciprocal":
+        return F.when(x != 0.0, F.lit(1.0) / x)
+    raise ValueError(
+        f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
+
+
+def field_value_factor_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    attrs: DataFrame,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    conjunctive: bool = False,
+    round_dp: int | None = None,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """ES ``field_value_factor`` (the third function_score member):
+    score = boost_mode(BM25, modifier(factor * doc[field])) over the
+    FULL matched set; docs with no value — NULL, absent from the attrs
+    table, or an undefined modifier result — use ``missing`` (the ES
+    option of the same name). Output (query_id, doc_id, *ext_cols,
+    value, score, rank), rounding on the combined score."""
+    if modifier not in FVF_MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
+    if boost_mode not in BOOST_MODES:
+        raise ValueError(
+            f"boost_mode must be one of {BOOST_MODES}, got {boost_mode!r}")
+    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    lacks = [c for c in ext_cols + [field] if c not in attrs.columns]
+    if lacks:
+        raise ValueError(f"attrs table lacks columns {lacks}")
+
+    from .wand import bm25_scores_packed_batch
+
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, conjunctive=conjunctive,
+        exclude_terms=exclude_terms)
+    resolved = scores.join(pidx.docmap, "doc_id").select(
+        "query_id", "doc_id", *ext_cols, "score")
+    joined = resolved.join(
+        attrs.select(*ext_cols, F.col(field).alias("value")),
+        ext_cols, "left")
+    fvf = F.coalesce(
+        fvf_expr(modifier, F.col("value"), factor),
+        F.lit(float(missing)))
+    if boost_mode == "multiply":
+        combined = F.col("score") * fvf
+    elif boost_mode == "sum":
+        combined = F.col("score") + fvf
+    else:
+        combined = fvf
+    out = joined.withColumn("score", combined)
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", *ext_cols, "value", "score", "rank")
+    )
+
+
 def decay_score_packed(
     pidx: PackedIndex,
     queries: Sequence[str],

@@ -139,3 +139,77 @@ def test_decay_validation(pidx, cfg, attrs):
                            boost_mode="max")
     with pytest.raises(ValueError, match="lacks columns"):
         decay_score_packed(pidx, [QUERY], cfg, attrs, "nope", 0, 1)
+
+
+def _py_fvf(mod, v, factor=1.0):
+    if v is None:
+        return None
+    x = v * factor
+    try:
+        if mod == "none":
+            return x
+        if mod == "log":
+            return math.log10(x)
+        if mod == "log1p":
+            return math.log10(x + 1.0)
+        if mod == "ln1p":
+            return math.log(x + 1.0)
+        if mod == "square":
+            return x * x
+        if mod == "sqrt":
+            return math.sqrt(x)
+        if mod == "reciprocal":
+            return 1.0 / x if x != 0 else None
+    except ValueError:
+        return None
+    raise AssertionError(mod)
+
+
+@pytest.mark.parametrize("mod", ["none", "sqrt", "square", "ln1p",
+                                 "reciprocal"])
+def test_fvf_matches_brute(spark, corpus, cfg, pidx, attrs, mod):
+    from searchengine_spark.indexing import build_index
+    from searchengine_spark.query.bm25 import bm25_topk
+    from searchengine_spark.query.decay import field_value_factor_packed
+
+    it = build_index(corpus, cfg, n_partitions=4)
+    rows = bm25_topk(it, QUERY, cfg, k=1 << 20).collect()
+    amap = {(r["conv_id"], r["turn_idx"]): r["age"] for r in attrs.collect()}
+    dm = {int(r["doc_id"]): (r["conv_id"], int(r["turn_idx"]))
+          for r in it.docmap.collect()}
+    want = []
+    for r in rows:
+        v = amap.get(dm[int(r["doc_id"])])
+        fvf = _py_fvf(mod, v, 2.0)
+        fvf = 1.0 if fvf is None else fvf  # missing fallback
+        want.append((float(r["score"]) * fvf, int(r["doc_id"])))
+    want.sort(key=lambda t: (-t[0], t[1]))
+    got = field_value_factor_packed(
+        pidx, [QUERY], cfg, attrs, "age", factor=2.0, modifier=mod,
+        missing=1.0, k=20).collect()
+    got = [(float(r["score"]), int(r["doc_id"]))
+           for r in sorted(got, key=lambda r: r["rank"])]
+    assert [d for _, d in got] == [d for _, d in want[:20]]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_fvf_missing_and_undefined(spark, pidx, cfg, attrs):
+    """NULL values AND undefined modifier results (reciprocal of 0 —
+    age 0 exists at turn_idx 0 unless it's a NULL turn) fall back to
+    ``missing``; replace mode exposes the raw function value."""
+    from searchengine_spark.query.decay import field_value_factor_packed
+
+    rows = field_value_factor_packed(
+        pidx, [QUERY], cfg, attrs, "age", modifier="reciprocal",
+        missing=-7.0, boost_mode="replace", k=1 << 20).collect()
+    by_val = {r["value"]: float(r["score"]) for r in rows}
+    nulls = [float(r["score"]) for r in rows if r["value"] is None]
+    assert nulls and all(s == pytest.approx(-7.0) for s in nulls)
+    if 0.0 in by_val:  # reciprocal of zero is undefined -> missing
+        assert by_val[0.0] == pytest.approx(-7.0)
+    if 4.0 in by_val:
+        assert by_val[4.0] == pytest.approx(0.25)
+    with pytest.raises(ValueError, match="modifier"):
+        field_value_factor_packed(pidx, [QUERY], cfg, attrs, "age",
+                                  modifier="cube")
