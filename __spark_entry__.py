@@ -1716,6 +1716,45 @@ def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANDOM_SEED = "entry-r3"
+
+
+def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_score (query/decay.py random_score_packed, replace
+    mode): per matched doc a DETERMINISTIC pseudo-random [0,1) — the
+    first 12 md5 nibbles of 'seed|ext_id' over 2^48 (exact in a double;
+    the repo's md5 integer discipline) — ranked desc: 'a random sample
+    of the matches', reproducible on any engine. The oracle decodes the
+    SAME nibbles via strpos arithmetic; a different hash input shape,
+    nibble count, or rounding policy hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.decay import random_score_packed
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = random_score_packed(
+        pidx, qs, CFG, seed=RANDOM_SEED, boost_mode="replace", k=10,
+        round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES field_value_factor (query/decay.py field_value_factor_packed —
     the third function_score member): score = BM25 x sqrt(n_chars) over
@@ -3374,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "url_filter": q_url_filter,
         "field_value_factor": q_field_value_factor,
+        "random_sample": q_random_sample,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6810,6 +6850,36 @@ WITH tok AS (
 SELECT doc_id, generate_subscripts(tokens, 1)::BIGINT - 1 AS position,
        unnest(tokens) AS token
 FROM tok
+"""
+
+    # ---- random_score: 12-nibble md5 over 2^48, decoded with strpos
+    # arithmetic (the dataset_split idiom widened to 48 bits)
+    _rh = f"md5({_sql_quote(RANDOM_SEED)} || '|' || doc_id::VARCHAR)"
+    _r48 = " + ".join(
+        f"(strpos('0123456789abcdef', substr({_rh}, {i + 1}, 1)) - 1)"
+        f"::BIGINT * {1 << (4 * (11 - i))}"
+        for i in range(12)
+    )
+    sqls["random_sample"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+matched AS (
+  SELECT DISTINCT q.query_id, idx.doc_id
+  FROM idx JOIN q USING (term)
+),
+rnd AS (
+  SELECT query_id, doc_id,
+         round(({_r48})::DOUBLE / {float(1 << 48)}, 6) AS score
+  FROM matched
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rnd
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
 """
 
     # ---- field_value_factor: BM25 x sqrt(n_chars) — sqrt is IEEE

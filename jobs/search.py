@@ -115,7 +115,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 search_after=None, collapse=None, min_match=None,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
                 regexp=None, sort_spec=None, attrs_path=None,
-                decay_spec=None, boost_mode="multiply", fvf_spec=None):
+                decay_spec=None, boost_mode="multiply", fvf_spec=None,
+                random_seed=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -172,6 +173,23 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         groups = [[p for p in q.split("|") if p.strip()] for q in queries]
         return _resolve(pidx, dismax_topk_packed(
             pidx, groups, cfg, k=n, tie_breaker=dismax))
+    if random_seed is not None:
+        if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
+                or wildcard is not None or regexp is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or demote is not None
+                or collapse is not None or dismax is not None
+                or sort_spec is not None or decay_spec is not None
+                or fvf_spec is not None):
+            raise SystemExit("--random-score combines only with plain "
+                             "bm25/bm25_and retrieval (+ '-term' negation)")
+        from searchengine_spark.query.decay import random_score_packed
+
+        return random_score_packed(
+            pidx, queries, cfg, seed=random_seed, boost_mode=boost_mode,
+            k=n, conjunctive=ranker == "bm25_and", round_dp=6,
+            exclude_terms=excludes)
     if fvf_spec is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or regexp is not None
@@ -368,7 +386,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  search_after=None, collapse=None, min_match=None,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
                  regexp=None, sort_spec=None, attrs_path=None,
-                 decay_spec=None, boost_mode="multiply", fvf_spec=None):
+                 decay_spec=None, boost_mode="multiply", fvf_spec=None,
+                random_seed=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -379,7 +398,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        dismax=dismax, slop=slop, regexp=regexp,
                        sort_spec=sort_spec, attrs_path=attrs_path,
                        decay_spec=decay_spec, boost_mode=boost_mode,
-                       fvf_spec=fvf_spec).collect()
+                       fvf_spec=fvf_spec,
+                       random_seed=random_seed).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -1166,9 +1186,9 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if args.sort or args.decay or args.fvf:
-        raise SystemExit("--sort/--decay/--fvf serve from a single index "
-                         "(--index; federation not wired)")
+    if args.sort or args.decay or args.fvf or args.random_score:
+        raise SystemExit("--sort/--decay/--fvf/--random-score serve from a "
+                         "single index (--index; federation not wired)")
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
@@ -1807,6 +1827,13 @@ def main() -> None:
                          "MISSING (default 1.0); combine via "
                          "--boost-mode; needs --attrs; bm25/bm25_and, "
                          "distributed tier, --index only")
+    ap.add_argument("--random-score", default=None, metavar="SEED",
+                    help="ES function_score random_score "
+                         "(query/decay.py): deterministic md5-seeded "
+                         "[0,1) per matched doc — '--boost-mode replace' "
+                         "= a reproducible random sample of the matches; "
+                         "multiply/sum jitter relevance; bm25/bm25_and, "
+                         "distributed tier, --index only")
     ap.add_argument("--boost-mode", default="multiply",
                     choices=("multiply", "sum", "replace"),
                     help="--decay combine with the query score "
@@ -2252,7 +2279,7 @@ def main() -> None:
                 dismax=args.dismax, slop=args.slop, regexp=_rx(args),
                 sort_spec=_sort(args), attrs_path=args.attrs,
                 decay_spec=_decay(args), boost_mode=args.boost_mode,
-                fvf_spec=_fvf(args),
+                fvf_spec=_fvf(args), random_seed=args.random_score,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -2278,12 +2305,14 @@ def main() -> None:
     if args.dismax is not None and args.serve_mode == "local":
         raise SystemExit("--dismax runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    if (args.sort or args.decay or args.fvf) and args.serve_mode == "local":
-        raise SystemExit("--sort/--decay/--fvf run on the distributed tier "
-                         "(serve-mode auto/spark)")
+    if (args.sort or args.decay or args.fvf
+            or args.random_score) and args.serve_mode == "local":
+        raise SystemExit("--sort/--decay/--fvf/--random-score run on the "
+                         "distributed tier (serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.collapse
                  and args.dismax is None and args.sort is None
-                 and args.decay is None and args.fvf is None and (
+                 and args.decay is None and args.fvf is None
+                 and args.random_score is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     ))
@@ -2376,7 +2405,8 @@ def main() -> None:
                                  attrs_path=args.attrs,
                                  decay_spec=_decay(args),
                                  boost_mode=args.boost_mode,
-                                 fvf_spec=_fvf(args))
+                                 fvf_spec=_fvf(args),
+                                 random_seed=args.random_score)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

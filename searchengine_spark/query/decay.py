@@ -187,6 +187,68 @@ def field_value_factor_packed(
     )
 
 
+#: 2^48 — 12 md5 nibbles of randomness; exact in a double (48 < 53)
+_RAND_SPACE = float(1 << 48)
+
+
+def random_score_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    seed: str = "",
+    boost_mode: str = "replace",
+    k: int = 10,
+    conjunctive: bool = False,
+    round_dp: int | None = None,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """ES ``random_score`` (function_score's sampler): a DETERMINISTIC
+    pseudo-random value in [0, 1) per (seed, document) — the first 12
+    md5 nibbles of ``seed|external_id`` over 2^48 (exact in a double;
+    the repo's md5 integer discipline, textops/dataset.py), so the same
+    seed reproduces the same ordering on any engine and any cluster
+    size, and a doc's value never changes as the corpus grows (the ES
+    seed+field contract — our field is the external id). boost_mode
+    ``replace`` (the useful one — 'show me a random sample of matches':
+    score IS the random value), ``multiply``/``sum`` jitter relevance.
+    Matched set is score-all; output (query_id, doc_id, *ext_cols,
+    score, rank)."""
+    if boost_mode not in BOOST_MODES:
+        raise ValueError(
+            f"boost_mode must be one of {BOOST_MODES}, got {boost_mode!r}")
+    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+
+    from .wand import bm25_scores_packed_batch
+
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, conjunctive=conjunctive,
+        exclude_terms=exclude_terms)
+    resolved = scores.join(pidx.docmap, "doc_id").select(
+        "query_id", "doc_id", *ext_cols, "score")
+    key = F.concat_ws(
+        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in ext_cols])
+    rnd = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+        / F.lit(_RAND_SPACE)
+    )
+    if boost_mode == "multiply":
+        combined = F.col("score") * rnd
+    elif boost_mode == "sum":
+        combined = F.col("score") + rnd
+    else:
+        combined = rnd
+    out = resolved.withColumn("score", combined)
+    if round_dp is not None:
+        out = out.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", *ext_cols, "score", "rank")
+    )
+
+
 def decay_score_packed(
     pidx: PackedIndex,
     queries: Sequence[str],

@@ -213,3 +213,32 @@ def test_fvf_missing_and_undefined(spark, pidx, cfg, attrs):
     with pytest.raises(ValueError, match="modifier"):
         field_value_factor_packed(pidx, [QUERY], cfg, attrs, "age",
                                   modifier="cube")
+
+
+def test_random_score_deterministic_and_seeded(spark, pidx, cfg):
+    """random_score: md5(seed|ext_id)/2^48 — identical across runs,
+    different across seeds, matches hashlib exactly, and the matched
+    SET is seed-independent (the query picks, the seed orders)."""
+    import hashlib
+
+    from searchengine_spark.query.decay import random_score_packed
+
+    a1 = random_score_packed(pidx, [QUERY], cfg, seed="s1",
+                             k=1 << 20).collect()
+    a2 = random_score_packed(pidx, [QUERY], cfg, seed="s1",
+                             k=1 << 20).collect()
+    b = random_score_packed(pidx, [QUERY], cfg, seed="s2",
+                            k=1 << 20).collect()
+    key = lambda r: (r["rank"], r["doc_id"])  # noqa: E731
+    assert sorted(map(dict, map(lambda r: r.asDict(), a1)), key=lambda d: d["rank"]) \
+        == sorted(map(dict, map(lambda r: r.asDict(), a2)), key=lambda d: d["rank"])
+    assert {r["doc_id"] for r in a1} == {r["doc_id"] for r in b}
+    assert [r["doc_id"] for r in sorted(a1, key=key)] != \
+        [r["doc_id"] for r in sorted(b, key=key)]
+    for r in a1[:20]:
+        k_ = f"s1|{r['conv_id']}|{r['turn_idx']}"
+        want = int(hashlib.md5(k_.encode()).hexdigest()[:12], 16) / float(1 << 48)
+        assert float(r["score"]) == pytest.approx(want, rel=1e-12)
+        assert 0.0 <= float(r["score"]) < 1.0
+    with pytest.raises(ValueError, match="boost_mode"):
+        random_score_packed(pidx, [QUERY], cfg, boost_mode="max")
