@@ -1650,6 +1650,32 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: phrase-suggester input: an OOV typo + an in-vocab word — the
+#: whole-phrase enumeration must mix edit-0 and edit-1 positions
+PS_TERMS = ("windov", "merge")
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES PHRASE SUGGESTER analog (query/fuzzy.py phrase_suggestions —
+    whole-query did-you-mean): per position the token itself (edit 0)
+    plus its df-top-5 distance-1 neighbors (edit 1), combinations
+    within a 2-edit budget, ranked by the EXACT integer df product
+    (the naive unigram-LM analog — arbitrary-precision, no float
+    product), ties phrase-asc, the input phrase never suggested. The
+    oracle enumerates the same slots with DuckDB's levenshtein and a
+    HUGEINT product — a float-product ranker, a self-including slot,
+    or a budget off-by-one hash-mismatches."""
+    from searchengine_spark.query.fuzzy import phrase_suggestions
+
+    it = _doc_index(spark, sf_dir)
+    out = phrase_suggestions(it.term_stats, list(PS_TERMS), k=3,
+                             max_per_term=5, max_edits=2)
+    return spark.createDataFrame(
+        [(p, int(s), int(e)) for p, s, e in out],
+        "phrase string, score long, n_edits long",
+    )
+
+
 def q_analyze_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ES ``_analyze`` analog (query/analyze.py): one row per indexed
     token of every 25th document — (doc_id, position, token), position =
@@ -3414,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "field_value_factor": q_field_value_factor,
         "random_sample": q_random_sample,
+        "phrase_suggest": q_phrase_suggest,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6838,6 +6865,39 @@ WITH {_INDEX_CTES},
 arms AS ({_ts_arms})
 SELECT qterm, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
 FROM arms WHERE rank <= 3 ORDER BY qterm, rank
+"""
+
+    # ---- phrase suggester: per-position slots (self edit-0 + df-top-5
+    # levenshtein-1 neighbors edit-1), cross join within the edit
+    # budget, HUGEINT df product, input phrase excluded
+    _ps_slots = []
+    for i, t in enumerate(PS_TERMS):
+        tq = _sql_quote(t)
+        _ps_slots.append(f"""
+slot{i} AS (
+  SELECT {tq} AS term,
+         coalesce((SELECT df FROM term_stats WHERE term = {tq}), 0) AS df,
+         0 AS e
+  UNION ALL
+  SELECT term, df, 1 FROM (
+    SELECT term, df FROM term_stats
+    WHERE levenshtein(term, {tq}) = 1 AND term <> {tq}
+    ORDER BY df DESC, term ASC LIMIT 5
+  )
+)""")
+    _ps_input = _sql_quote(" ".join(PS_TERMS))
+    sqls["phrase_suggest"] = f"""
+WITH {_INDEX_CTES},
+{','.join(_ps_slots)}
+SELECT phrase, score::BIGINT AS score, n_edits::BIGINT AS n_edits FROM (
+  SELECT s0.term || ' ' || s1.term AS phrase,
+         s0.df::HUGEINT * s1.df::HUGEINT AS score,
+         s0.e + s1.e AS n_edits
+  FROM slot0 s0 CROSS JOIN slot1 s1
+  WHERE s0.e + s1.e <= 2
+    AND s0.term || ' ' || s1.term <> {_ps_input}
+)
+ORDER BY score DESC, phrase ASC LIMIT 3
 """
 
     # ---- _analyze: the tokenize chain + ordinal positions over every

@@ -1293,6 +1293,17 @@ def _serve_federated(spark, args) -> None:
                 {"suggestion": r["suggestion"], "df": int(r["df"])})
         print(json.dumps({"mode": args.suggest_mode, "suggest": by_w}))
         return
+    if args.phrase_suggest:
+        from searchengine_spark.query.federated import _global_dictionary
+        from searchengine_spark.query.fuzzy import phrase_suggestions
+        from searchengine_spark.tokenizer import tokenize_text as _tok
+
+        words = _tok(args.phrase_suggest, cfg)
+        got = phrase_suggestions(_global_dictionary(shards), words, k=args.n)
+        print(json.dumps({"input": " ".join(words), "suggestions": [
+            {"phrase": p, "score": int(s), "n_edits": int(e)}
+            for p, s, e in got]}))
+        return
     if args.suggest:
         from searchengine_spark.query.federated import suggest_terms_federated
 
@@ -1746,6 +1757,12 @@ def main() -> None:
                          "top dictionary neighbors at Levenshtein<=1, "
                          "df-ranked, the word itself never suggested; "
                          "gate with --suggest-mode; --index or --shards")
+    ap.add_argument("--phrase-suggest", default=None, metavar="WORDS",
+                    help="ES phrase suggester / whole-query did-you-mean "
+                         "(query/fuzzy.py phrase_suggestions): per "
+                         "position self + df-top distance-1 neighbors, "
+                         "2-edit budget, ranked by the exact df product; "
+                         "--index or --shards")
     ap.add_argument("--suggest-mode", default="missing",
                     choices=("missing", "popular", "always"),
                     help="--term-suggest gate (ES suggest_mode): missing "
@@ -2154,6 +2171,16 @@ def main() -> None:
             by_w[r["qterm"]].append(
                 {"suggestion": r["suggestion"], "df": int(r["df"])})
         print(json.dumps({"mode": args.suggest_mode, "suggest": by_w}))
+        return
+    if args.phrase_suggest:
+        from searchengine_spark.query.fuzzy import phrase_suggestions
+        from searchengine_spark.tokenizer import tokenize_text as _tok
+
+        words = _tok(args.phrase_suggest, cfg)
+        got = phrase_suggestions(pidx.term_stats, words, k=args.n)
+        print(json.dumps({"input": " ".join(words), "suggestions": [
+            {"phrase": p, "score": int(s), "n_edits": int(e)}
+            for p, s, e in got]}))
         return
     if args.suggest:
         from searchengine_spark.query.wand import suggest_terms

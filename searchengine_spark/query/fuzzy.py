@@ -175,6 +175,73 @@ def term_suggestions(
     )
 
 
+def phrase_suggestions(
+    dictionary: DataFrame,
+    qterms: Sequence[str],
+    k: int = 3,
+    max_per_term: int = 5,
+    max_edits: int = 2,
+) -> list:
+    """ES PHRASE SUGGESTER analog ("did you mean <whole query>?"):
+    enumerate whole-phrase corrections — per position the token itself
+    (edit 0, when in the dictionary) plus its df-top ``max_per_term``
+    distance-1 neighbors (edit 1 each), combinations capped at
+    ``max_edits`` total — ranked by the naive unigram-LM analog
+    Π df (EXACT arbitrary-precision integers — no float product, no
+    log; a rarer-words phrase never beats a commoner one by rounding),
+    ties by phrase asc; the INPUT phrase itself is never suggested.
+    -> [(phrase, score, n_edits), ...] best-first, at most ``k``.
+
+    Shape: ONE bounded Spark job (the same fuzzy_candidates scan the
+    term suggester uses) then a driver-side product over at most
+    ``max_per_term^len(qterms)`` combinations — queries are short and
+    driver-resident by construction (the wand.py idf-map argument). A
+    position whose token is OOV with no neighbors contributes df 0 —
+    phrases through it score 0 and sink, never vanish."""
+    if int(max_edits) < 1:
+        raise ValueError(f"max_edits must be >= 1, got {max_edits}")
+    if int(max_per_term) < 1:
+        raise ValueError(f"max_per_term must be >= 1, got {max_per_term}")
+    toks = [str(t) for t in qterms]
+    if not toks:
+        return []
+    pairs = fuzzy_candidates(dictionary, toks, k=1 << 30).collect()
+    by_q: dict[str, list] = {t: [] for t in toks}
+    for r in pairs:
+        by_q[r["qterm"]].append((r["term"], int(r["df"])))
+    slots: list[list] = []
+    for t in toks:
+        cands = by_q.get(t, [])
+        self_df = next((df for term, df in cands if term == t), None)
+        neigh = sorted(
+            ((term, df) for term, df in cands if term != t),
+            key=lambda td: (-td[1], td[0]),
+        )[:max_per_term]
+        slot = [(t, self_df if self_df is not None else 0,
+                 0 if self_df is not None else 0)]
+        slot += [(term, df, 1) for term, df in neigh]
+        slots.append(slot)
+    # beam over combinations within the edit budget (bounded:
+    # (max_per_term+1)^|q| with |q| the query length)
+    from itertools import product as _product
+
+    out = []
+    inp = " ".join(toks)
+    for combo in _product(*slots):
+        edits = sum(e for _, _, e in combo)
+        if edits > int(max_edits):
+            continue
+        phrase = " ".join(t for t, _, _ in combo)
+        if phrase == inp:
+            continue
+        score = 1
+        for _, df, _ in combo:
+            score *= df
+        out.append((phrase, score, edits))
+    out.sort(key=lambda pse: (-pse[1], pse[0]))
+    return out[:k]
+
+
 def correct_terms(
     dictionary: DataFrame, qterms: Sequence[str]
 ) -> Mapping[str, str]:

@@ -223,3 +223,37 @@ def test_term_suggestions_modes(spark):
     with pytest.raises(ValueError, match="mode"):
         term_suggestions(d, ["x"], mode="top")
     assert term_suggestions(d, [], k=3).collect() == []
+
+
+def test_phrase_suggestions(spark):
+    """ES phrase suggester analog: whole-phrase corrections ranked by
+    the EXACT integer df product, edit budget enforced, input phrase
+    never suggested, OOV-no-neighbor positions sink to score 0."""
+    from searchengine_spark.query.fuzzy import phrase_suggestions
+
+    d = spark.createDataFrame(
+        [("table", 40), ("cable", 90), ("tune", 60), ("tone", 10),
+         ("merge", 100)],
+        "term string, df long",
+    )
+    # 'tabl tune' — 'tabl' is OOV (neighbor: table), 'tune' in vocab
+    got = phrase_suggestions(d, ["tabl", "tune"], k=5)
+    assert got[0] == ("table tune", 40 * 60, 1)
+    # 'table tone' costs 2 edits from ('tabl','tune')? tabl->table=1,
+    # tune->tone=1 -> allowed at max_edits=2 and ranks by product
+    assert ("table tone", 40 * 10, 2) in got
+    # input phrase never suggested even when fully in-vocab
+    got2 = phrase_suggestions(d, ["table", "tune"], k=5)
+    assert all(p != "table tune" for p, _, _ in got2)
+    assert got2[0] == ("cable tune", 90 * 60, 1)
+    # edit budget: max_edits=1 forbids double corrections
+    got3 = phrase_suggestions(d, ["tabl", "tone"], k=10, max_edits=1)
+    assert all(e <= 1 for _, _, e in got3)
+    assert ("table tune", 40 * 60, 2) not in got3
+    # an OOV token with NO neighbor sinks phrases through it to 0
+    got4 = phrase_suggestions(d, ["zzz", "tune"], k=3)
+    assert got4 and all(s == 0 for _, s, _ in got4)
+    assert phrase_suggestions(d, [], k=3) == []
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_edits"):
+        phrase_suggestions(d, ["x"], max_edits=0)
