@@ -1650,6 +1650,24 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_ENTRY_M, BLOOM_ENTRY_K = 1 << 16, 3
+
+
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch (textops/sketches.py bloom_bits — the
+    streaming-dedup 'have we seen this doc?' gate): the sparse set of
+    set bits over the documents ids — bit_i = first-12-md5-nibbles of
+    'bf<i>|<id>' as a 48-bit int, mod m (power of two), k salted
+    hashes, distinct. Pure integer arithmetic — the oracle decodes the
+    SAME nibbles via strpos; a different salt shape, nibble count, or
+    a signed/float modulo hash-mismatches."""
+    from searchengine_spark.textops.sketches import bloom_bits
+
+    docs = _documents(spark, sf_dir)
+    out = bloom_bits(docs, "doc_id", m=BLOOM_ENTRY_M, k=BLOOM_ENTRY_K)
+    return out.select(F.col("bit").cast("long").alias("bit"))
+
+
 #: phrase-suggester input: an OOV typo + an in-vocab word — the
 #: whole-phrase enumeration must mix edit-0 and edit-1 positions
 PS_TERMS = ("windov", "merge")
@@ -3441,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_value_factor": q_field_value_factor,
         "random_sample": q_random_sample,
         "phrase_suggest": q_phrase_suggest,
+        "bloom_bits": q_bloom_bits,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6865,6 +6884,24 @@ WITH {_INDEX_CTES},
 arms AS ({_ts_arms})
 SELECT qterm, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
 FROM arms WHERE rank <= 3 ORDER BY qterm, rank
+"""
+
+    # ---- bloom bits: k salted 48-bit md5 prefixes mod m, distinct —
+    # the strpos nibble decode (random_sample idiom), one per salt
+    def _bloom_h48_sql(i: int) -> str:
+        h = f"md5('bf{i}' || '|' || doc_id::VARCHAR)"
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+            f"::BIGINT * {1 << (4 * (11 - j))}"
+            for j in range(12)
+        )
+
+    _bloom_arms = " UNION ALL ".join(
+        f"SELECT ({_bloom_h48_sql(i)}) % {BLOOM_ENTRY_M} AS bit FROM documents"
+        for i in range(BLOOM_ENTRY_K)
+    )
+    sqls["bloom_bits"] = f"""
+SELECT DISTINCT bit::BIGINT AS bit FROM ({_bloom_arms})
 """
 
     # ---- phrase suggester: per-position slots (self edit-0 + df-top-5

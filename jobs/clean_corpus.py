@@ -39,6 +39,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet dir")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--bloom-state", default=None, metavar="DIR",
+                    help="cross-RUN incremental dedup: a Bloom membership "
+                         "sketch of every id this pipeline has ever "
+                         "ingested (textops/sketches.py). Reads the "
+                         "committed state, drops already-seen docs before "
+                         "any stage (no false negatives — a seen doc "
+                         "never re-enters; rare fresh docs collide away), "
+                         "folds this batch's ids in, commits a NEW "
+                         "version (manifest-last, URI-capable)")
+    ap.add_argument("--bloom-col", default="doc_id",
+                    help="--bloom-state id column (default doc_id)")
     ap.add_argument("--url-col", default=None, metavar="COL",
                     help="enable the URL gate as stage 0 "
                          "(textops/urlfilter.py): drop docs by scheme / "
@@ -123,9 +134,41 @@ def main() -> None:
         split_salt=args.split_salt,
         tokenizer=TokenizerConfig(min_token_length=args.min_token_length),
     )
-    out, stats = clean_corpus(spark.read.parquet(args.input), cfg)
+    docs_in = spark.read.parquet(args.input)
+    bloom_pre = {}
+    if args.bloom_state:
+        from searchengine_spark.indexing import fsio
+        from searchengine_spark.textops.sketches import (
+            bloom_bits,
+            bloom_merge,
+            bloom_unseen,
+        )
+
+        man_path = fsio.join(args.bloom_state, "STATE.json")
+        old_bits = None
+        seq = 0
+        if fsio.exists(spark, man_path):
+            man = json.loads(fsio.read_text(spark, man_path))
+            seq = int(man["seq"])
+            old_bits = spark.read.parquet(
+                fsio.join(args.bloom_state, man["path"]))
+        bloom_pre["bloom_input"] = docs_in.count()
+        if old_bits is not None:
+            docs_in = bloom_unseen(docs_in, old_bits, args.bloom_col)
+            docs_in = docs_in.persist()
+        bloom_pre["bloom_unseen"] = docs_in.count()
+        batch_bits = bloom_bits(docs_in, args.bloom_col)
+        new_bits = (bloom_merge(old_bits, batch_bits)
+                    if old_bits is not None else batch_bits)
+        new_name = f"bits_{seq + 1}"
+        new_bits.write.mode("overwrite").parquet(
+            fsio.join(args.bloom_state, new_name))
+        fsio.write_text(spark, man_path, json.dumps(
+            {"seq": seq + 1, "path": new_name}))
+    out, stats = clean_corpus(docs_in, cfg)
     out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"stages": stats, "output": args.output}))
+    print(json.dumps({"stages": {**bloom_pre, **stats},
+                      "output": args.output}))
 
 
 if __name__ == "__main__":

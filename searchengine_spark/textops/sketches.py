@@ -126,3 +126,105 @@ def hll_estimate(registers, p: int = 12) -> float:
     if raw <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)  # linear counting
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the set-MEMBERSHIP sketch (Bloom 1970): "have we seen
+# this document before?" for streaming dedup against corpus-scale
+# history, where an exact seen-set join means shuffling every historical
+# id per batch. State = the SET OF SET BITS (sparse form: at most m
+# rows of one long each — the dense bitmap is a presentation concern),
+# produced by ONE map-side-combinable distinct; merge = union distinct
+# (associative, idempotent — per-shard / per-day filters roll up like
+# HLL registers). Same determinism contract as HLL: bit_i(v) =
+# (first 12 md5 nibbles of 'bf<i>|<v>' as a 48-bit int) mod m, m a
+# power of two ≤ 2^48 — pure integer arithmetic, bit-identical in
+# Spark, DuckDB, and Python. One-sided error: NO false negatives (a
+# sketched value always hits all k bits); false positives at the
+# classic (1 - e^{-kn/m})^k rate drop some genuinely-new docs.
+
+BLOOM_M = 1 << 20
+BLOOM_K = 4
+
+
+def _bloom_h48(col, salt: str):
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def _check_bloom(m: int, k: int) -> None:
+    if not (m > 0 and (m & (m - 1)) == 0 and m <= (1 << 48)):
+        raise ValueError(f"m must be a power of two <= 2^48, got {m}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def bloom_bits(
+    df: DataFrame, col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """-> (bit): the sparse Bloom state of ``df[col]`` — the distinct
+    set of k md5-derived bit positions per value. NULLs are skipped
+    (a NULL is not a member of anything)."""
+    _check_bloom(m, k)
+    if col not in df.columns:
+        raise ValueError(f"frame lacks column {col!r}")
+    src = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
+    parts = [
+        src.select((_bloom_h48(F.col("_v"), f"bf{i}") % m).alias("bit"))
+        for i in range(k)
+    ]
+    uni = parts[0]
+    for p_ in parts[1:]:
+        uni = uni.unionByName(p_)
+    return uni.distinct()
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of sparse Bloom states (same (m, k) by contract — the state
+    carries no parameters, exactly like a real bitmap)."""
+    if not sketches:
+        raise ValueError("bloom_merge wants at least one sketch")
+    uni = sketches[0].select("bit")
+    for s in sketches[1:]:
+        uni = uni.unionByName(s.select("bit"))
+    return uni.distinct()
+
+
+def bloom_unseen(
+    batch: DataFrame,
+    bits: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``batch`` whose ``col`` is DEFINITELY NOT in the sketched
+    set — the streaming-dedup gate: keep only never-seen docs, then
+    fold their bits back in with bloom_merge. One-sided: no sketched
+    value survives (no false negatives); a fresh value collides away
+    with probability (1 - e^{-kn/m})^k. NULL values pass (unsketchable
+    -> unseen). Plan: explode the k bit positions per row, ONE left
+    join against the (≤ m)-row state, one all-bits-present groupBy —
+    batch-sized exchanges, never history-sized."""
+    _check_bloom(m, k)
+    if col not in batch.columns:
+        raise ValueError(f"frame lacks column {col!r}")
+    rid = F.monotonically_increasing_id()
+    keyed = batch.withColumn("_rid", rid)
+    probes = keyed.select(
+        "_rid",
+        F.explode(F.array(*[
+            (_bloom_h48(F.col(col), f"bf{i}") % m).alias(f"_b{i}")
+            for i in range(k)
+        ])).alias("bit"),
+    )
+    hit = probes.join(
+        bits.select("bit").withColumn("_hit", F.lit(1)), "bit", "left")
+    seen = (
+        hit.groupBy("_rid")
+        .agg(F.min(F.coalesce(F.col("_hit"), F.lit(0))).alias("_all"))
+        .filter(F.col("_all") == 1)
+        .select("_rid")
+    )
+    return (
+        keyed.join(seen, "_rid", "left_anti").drop("_rid")
+    )

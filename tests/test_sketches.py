@@ -87,3 +87,68 @@ def test_validation(spark):
         hll_merge()
     with pytest.raises(ValueError, match="bucket out of range"):
         hll_estimate({5000: 3}, p=8)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every sketched value hits all k bits (one-sided error); merge ==
+    bits of the union; fresh values mostly survive at low load."""
+    from searchengine_spark.textops.sketches import (
+        bloom_bits,
+        bloom_merge,
+        bloom_unseen,
+    )
+
+    m, k = 1 << 16, 4
+    a = spark.createDataFrame([(f"doc{i}",) for i in range(200)], "v string")
+    b = spark.createDataFrame([(f"other{i}",) for i in range(200)], "v string")
+    bits_a = bloom_bits(a, "v", m=m, k=k)
+    # no false negatives: nothing sketched is 'unseen'
+    assert bloom_unseen(a, bits_a, "v", m=m, k=k).count() == 0
+    # fresh values mostly retained (kn/m small -> FP rate tiny)
+    fresh = bloom_unseen(b, bits_a, "v", m=m, k=k).count()
+    assert fresh >= 190
+    # merge == union's bits, exactly
+    bits_b = bloom_bits(b, "v", m=m, k=k)
+    merged = {r["bit"] for r in bloom_merge(bits_a, bits_b).collect()}
+    both = {r["bit"] for r in bloom_bits(a.unionByName(b), "v",
+                                         m=m, k=k).collect()}
+    assert merged == both
+    # after folding b in, b is fully seen too
+    assert bloom_unseen(b, bloom_merge(bits_a, bits_b), "v",
+                        m=m, k=k).count() == 0
+
+
+def test_bloom_bits_match_hashlib(spark):
+    """The bit positions are exactly the first-12-md5-nibbles mod m of
+    'bf<i>|<value>' — the Python twin of the engine arithmetic."""
+    import hashlib
+
+    from searchengine_spark.textops.sketches import bloom_bits
+
+    m, k = 1 << 16, 3
+    vals = ["alpha", "beta", "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["bit"] for r in bloom_bits(df, "v", m=m, k=k).collect()}
+    want = {
+        int(hashlib.md5(f"bf{i}|{v}".encode()).hexdigest()[:12], 16) % m
+        for v in vals for i in range(k)
+    }
+    assert got == want
+
+
+def test_bloom_validation_and_nulls(spark):
+    import pytest as _pt
+
+    from searchengine_spark.textops.sketches import bloom_bits, bloom_unseen
+
+    df = spark.createDataFrame([("x",), (None,)], "v string")
+    with _pt.raises(ValueError, match="power of two"):
+        bloom_bits(df, "v", m=1000)
+    with _pt.raises(ValueError, match="k must"):
+        bloom_bits(df, "v", k=0)
+    with _pt.raises(ValueError, match="lacks column"):
+        bloom_bits(df, "nope")
+    bits = bloom_bits(df, "v")  # NULL skipped on the sketch side
+    # NULL rows pass the gate (unsketchable -> unseen)
+    out = bloom_unseen(df, bits, "v")
+    assert [r["v"] for r in out.collect()] == [None]
