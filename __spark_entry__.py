@@ -1650,6 +1650,61 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation (streaming/windowed.py — the
+    Structured-Streaming late-data contract): two availableNow rounds
+    over a growing events dir. Round 1 drains the events table
+    (1-day tumbling windows, 1-hour watermark); round 2 appends a
+    far-future probe (advances the watermark past every real window,
+    finalizing them all) and a LATE duplicate of the earliest event
+    (behind the round-1 watermark — DROPPED). The finalized table must
+    therefore equal plain day-window counts over the ORIGINAL events:
+    no late_probe rows anywhere (the late one dropped; the future
+    one's window never finalized), every original window exactly once.
+    An engine that double-emits, mutates finalized windows, or admits
+    late events hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from searchengine_spark.streaming.windowed import stream_windowed_counts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"se_entry_wstream_{tag}")
+    # watermarks want INSTANT timestamps; the testdata ts is NTZ. Pin
+    # the session to UTC for the whole entry so NTZ->instant keeps the
+    # wall values and window_start epochs match the oracle's naive
+    # date_trunc regardless of the harness's timezone.
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if root not in _PACKED_BUILT:
+            shutil.rmtree(root, ignore_errors=True)
+            events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                F.col("ts").cast("timestamp").alias("ts"), "event_type")
+            events.write.mode("overwrite").parquet(f"{root}/in")
+            kw = dict(ts_col="ts", group_col="event_type", window="1 day",
+                      watermark="1 hour")
+            stream_windowed_counts(spark, f"{root}/in", f"{root}/out", **kw)
+            mx, mn = events.agg(F.max("ts"), F.min("ts")).first()
+            probe = spark.createDataFrame(
+                [(mx + timedelta(days=2), "late_probe"),
+                 (mn, "late_probe")],
+                "ts timestamp, event_type string")
+            probe.write.mode("append").parquet(f"{root}/in")
+            stream_windowed_counts(spark, f"{root}/in", f"{root}/out", **kw)
+            _PACKED_BUILT.add(root)
+        out = spark.read.parquet(f"{root}/out/windows")
+        return out.select(
+            F.col("window_start").cast("long").alias("w_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 BLOOM_ENTRY_M, BLOOM_ENTRY_K = 1 << 16, 3
 
 
@@ -3460,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sample": q_random_sample,
         "phrase_suggest": q_phrase_suggest,
         "bloom_bits": q_bloom_bits,
+        "windowed_counts": q_windowed_counts,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6884,6 +6940,16 @@ WITH {_INDEX_CTES},
 arms AS ({_ts_arms})
 SELECT qterm, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
 FROM arms WHERE rank <= 3 ORDER BY qterm, rank
+"""
+
+    # ---- watermarked windowed counts: the finalized table must equal
+    # plain day-window counts over the ORIGINAL events — the streaming
+    # semantics (late drop, finalize-once, no unfinalized trailing
+    # window) are exactly what makes this simple SQL the right answer
+    sqls["windowed_counts"] = """
+SELECT epoch(date_trunc('day', ts))::BIGINT AS w_start,
+       event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
 """
 
     # ---- bloom bits: k salted 48-bit md5 prefixes mod m, distinct —
