@@ -325,3 +325,72 @@ def test_dismax_plan_shape(pidx):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sort_by_attr_window_is_group_limit(pidx, spark):
+    """--sort: the rank<=k window over the matched set must push down as
+    WindowGroupLimit (a per-partition top-k heap on the sort key), never
+    a full sort of the matched set."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.sortby import sort_by_attr_packed
+
+    attrs = spark.createDataFrame(
+        [("conv000000000", 1, 10)], "conv_id string, turn_idx int, p long")
+    df = sort_by_attr_packed(pidx, ["greatest rock album"], CFG, attrs,
+                             "p", k=10)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_decay_and_fvf_add_no_window_blowup(pidx, spark):
+    """function_score members: one score-all + resolve/attrs joins + the
+    same WindowGroupLimit top-k — no extra exchanges beyond those."""
+    from searchengine_spark.query.decay import (
+        decay_score_packed,
+        field_value_factor_packed,
+    )
+
+    attrs = spark.createDataFrame(
+        [("conv000000000", 1, 10)], "conv_id string, turn_idx int, p long")
+    for df in (
+        decay_score_packed(pidx, ["greatest rock album"], CFG, attrs, "p",
+                           50.0, 10.0, fn="linear", k=10),
+        field_value_factor_packed(pidx, ["greatest rock album"], CFG,
+                                  attrs, "p", modifier="sqrt", k=10),
+    ):
+        plan = explain_str(df)
+        assert "WindowGroupLimit" in plan, plan
+
+
+def test_filters_agg_single_exchange(pidx, spark):
+    """filters/missing aggregations: ONE partial-aggregable hash
+    exchange on query_id — the conditional sums combine map-side."""
+    from searchengine_spark.query.aggregations import filters_agg
+
+    hits = spark.createDataFrame([(0, "c", 1)],
+                                 "query_id int, conv_id string, turn_idx int")
+    attrs = spark.createDataFrame(
+        [("c", 1, "en")], "conv_id string, turn_idx int, lang string")
+    df = filters_agg(hits, attrs, [("en", "lang = 'en'")],
+                     ["conv_id", "turn_idx"])
+    plan = explain_str(df)
+    # the conditional sums combine MAP-SIDE (partial_sum) and meet at
+    # exactly ONE query_id hash exchange; the only other hash exchanges
+    # are the bounded hit<->attrs join's (AQE broadcasts those in real
+    # use), the trailing one is the cosmetic orderBy range partition
+    assert "partial_sum(CASE WHEN" in plan, plan
+    assert plan.count("hashpartitioning(query_id") == 1, plan
+
+
+def test_url_filter_is_exchange_free(spark):
+    """The URL gate is row-local codegen: no exchange, no UDF."""
+    from searchengine_spark.textops.urlfilter import url_filter
+
+    docs = spark.createDataFrame(
+        [(0, "https://a.example.com/x")], "doc_id long, url string")
+    df = url_filter(docs, blocked_domains=["b.org"],
+                    blocked_substrings=["zz"])
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
