@@ -2222,6 +2222,32 @@ def q_result_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n").cast("long").alias("n"))
 
 
+def q_significant_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms over ATTRIBUTE fields
+    (query/significant.py significant_attr_values — the keyword-field
+    usage): which source values are JLH-over-represented in each
+    query's top-10 hits vs the whole-corpus background
+    ((fg%-bg%)·(fg%/bg%), positive lift only, min_fg=2, 6dp rank,
+    value-asc ties). The oracle replicates retrieval, both rates, and
+    the lift — a version using the result set as its own background,
+    dropping the min_fg gate, or keeping negative lift
+    hash-mismatches."""
+    from searchengine_spark.query.significant import significant_attr_values
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    out = significant_attr_values(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["source"], ["doc_id"], k=10, min_fg=2,
+    )
+    return out.select(
+        "query_id", "facet", "value",
+        F.col("fg_count").cast("long").alias("fg_count"),
+        F.col("bg_count").cast("long").alias("bg_count"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_result_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES filters aggregation over each query's result set
     (query/aggregations.py filters_agg): named SQL predicate buckets
@@ -3516,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "bloom_bits": q_bloom_bits,
         "windowed_counts": q_windowed_counts,
+        "significant_attrs": q_significant_attrs,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -3974,6 +4001,48 @@ LEFT JOIN counts c ON c.query_id = b.query_id
   AND c.range_from IS NOT DISTINCT FROM r.range_from
   AND c.range_to IS NOT DISTINCT FROM r.range_to
 ORDER BY b.query_id, r.range_from NULLS FIRST, r.range_to NULLS LAST
+"""
+
+    # ---- significant attrs: JLH lift of hit-window source values vs
+    # the corpus background, identical float expression both engines
+    sqls["significant_attrs"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+fgt AS (
+  SELECT query_id, count(*)::BIGINT AS fg_total FROM hits GROUP BY query_id
+),
+fg AS (
+  SELECT h.query_id, d.source AS value, count(*)::BIGINT AS fg_count
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
+  GROUP BY h.query_id, d.source
+  HAVING count(*) >= 2
+),
+bg AS (
+  SELECT source AS value, count(*)::BIGINT AS bg_count
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+tot AS (SELECT count(*)::BIGINT AS bg_total FROM documents),
+sc AS (
+  SELECT fg.query_id, 'source' AS facet, fg.value, fg.fg_count,
+         bg.bg_count,
+         (fg.fg_count::DOUBLE / fgt.fg_total
+          - bg.bg_count::DOUBLE / (SELECT bg_total FROM tot))
+         * ((fg.fg_count::DOUBLE / fgt.fg_total)
+            / (bg.bg_count::DOUBLE / (SELECT bg_total FROM tot))) AS s
+  FROM fg JOIN fgt USING (query_id) JOIN bg USING (value)
+),
+sig_ranked AS (
+  SELECT query_id, facet, value, fg_count, bg_count,
+         round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id, facet
+                            ORDER BY round(s, 6) DESC, value ASC) AS rank
+  FROM sc WHERE s > 0.0
+)
+SELECT query_id, facet, value, fg_count, bg_count, score,
+       rank::BIGINT AS rank
+FROM sig_ranked WHERE rank <= 10
 """
 
     # ---- filters agg: named predicate buckets, run VERBATIM (the

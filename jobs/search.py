@@ -753,6 +753,36 @@ def _print_adjacency(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "adjacency": by_q[i]}))
 
 
+def _print_significant_attrs(spark, attrs_path, ext_cols, queries, per_q,
+                             spec, k, min_fg) -> None:
+    """--significant-attrs COL[,COL...]: ES significant_terms over
+    ATTRIBUTE fields (query/significant.py significant_attr_values) —
+    JLH-over-represented attr values of each query's result set vs the
+    whole-corpus background. One JSON line per query:
+    {"query", "significant_attrs": {col: [{value, fg, bg, score}]}}."""
+    from searchengine_spark.query.significant import significant_attr_values
+
+    cols = [c.strip() for c in spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = significant_attr_values(hits, attrs, cols, ext_cols,
+                                      k=k, min_fg=min_fg).collect()
+        for r in sorted(got, key=lambda r: (r["query_id"], r["facet"],
+                                            r["rank"])):
+            by_q[r["query_id"]].setdefault(r["facet"], []).append(
+                {"value": r["value"], "fg": int(r["fg_count"]),
+                 "bg": int(r["bg_count"]), "score": float(r["score"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "significant_attrs": by_q[i]}))
+
+
 def _print_top_hits(spark, attrs_path, ext_cols, queries, per_q,
                     facet_spec, n) -> None:
     """--top-hits N (with --facets): ES top_hits sub-aggregation
@@ -1193,8 +1223,8 @@ def _serve_federated(spark, args) -> None:
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality or args.filters_agg
-            or args.missing or args.rare_terms or args.adjacency) \
-            and not args.attrs:
+            or args.missing or args.rare_terms or args.adjacency
+            or args.significant_attrs) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
     shards = [load_packed_index(spark, p, snapshot=seq)
@@ -1258,6 +1288,10 @@ def _serve_federated(spark, args) -> None:
         if args.adjacency:
             _print_adjacency(spark, args.attrs, ext_cols, batch, per_q,
                              args.adjacency)
+        if args.significant_attrs:
+            _print_significant_attrs(spark, args.attrs, ext_cols, batch,
+                                     per_q, args.significant_attrs,
+                                     args.n, args.sig_min_fg)
         if args.significant:
             _print_significant(spark, cfg, batch, per_q, args.significant,
                                shards=shards)
@@ -1980,6 +2014,16 @@ def main() -> None:
                          "NULLs skipped): per query, distinct attribute "
                          "values over the result set — needs --attrs; "
                          "every ranker, --index or --shards")
+    ap.add_argument("--significant-attrs", default=None,
+                    metavar="COL[,COL...]",
+                    help="ES significant_terms over ATTRIBUTE fields "
+                         "(query/significant.py significant_attr_values): "
+                         "JLH-over-represented attr values of each "
+                         "query's result set vs the corpus background "
+                         "(positive lift only, --sig-min-fg floor); "
+                         "needs --attrs; every ranker, --index or --shards")
+    ap.add_argument("--sig-min-fg", type=int, default=2, metavar="N",
+                    help="--significant-attrs foreground floor (default 2)")
     ap.add_argument("--filters-agg", default=None,
                     metavar="\"NAME=PRED|NAME=PRED\"",
                     help="ES filters-aggregation analog "
@@ -2110,6 +2154,7 @@ def main() -> None:
             or args.extended_stats or args.matrix_stats
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
+            or args.significant_attrs
             or args.sort or args.decay or args.fvf) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
@@ -2492,6 +2537,11 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_adjacency(spark, args.attrs, ext, queries, per_q,
                              args.adjacency)
+        if args.significant_attrs:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_significant_attrs(spark, args.attrs, ext, queries, per_q,
+                                     args.significant_attrs, args.n,
+                                     args.sig_min_fg)
         if args.significant:
             _print_significant(spark, cfg, queries, per_q, args.significant,
                                pidx=pidx)

@@ -82,6 +82,79 @@ def significant_terms(
     return _sig_rank(scored, k_terms)
 
 
+def significant_attr_values(
+    results: DataFrame,
+    attrs: DataFrame,
+    facet_cols,
+    ext_cols,
+    k: int = 10,
+    min_fg: int = 2,
+) -> DataFrame:
+    """-> (query_id, facet, value, fg_count, bg_count, score, rank): ES
+    significant_terms over ATTRIBUTE (keyword) fields — the more common
+    ES usage than token mining: which attr values are OVER-represented
+    in this query's result set relative to the whole corpus? Same JLH
+    heuristic ((fg%-bg%)·(fg%/bg%), positive lift only, 6dp-rounded
+    rank, value-asc ties) as the token miner above; a doc counts once
+    per query. Background = ONE partial-aggregable count over the attrs
+    table per facet value (corpus-sized input, value-bounded output —
+    broadcast-sized for real keyword fields); foreground = the bounded
+    hit-window join the facet/aggregation family shares. NULL values
+    skip (ES missing is opt-in)."""
+    if min_fg < 1:
+        raise ValueError(f"min_fg must be >= 1, got {min_fg}")
+    cols = list(facet_cols)
+    if not cols:
+        raise ValueError("facet_cols must name at least one column")
+    missing = [c for c in list(ext_cols) + cols if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+
+    def _melt(df: DataFrame, keep):
+        m = []
+        for c in cols:
+            m.extend([F.lit(c), F.col(c).cast("string")])
+        return df.select(
+            *keep, F.explode(F.create_map(*m)).alias("facet", "value")
+        ).filter(F.col("value").isNotNull())
+
+    hits = results.select("query_id", *ext_cols)
+    fg_tot = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_total"))
+    joined = hits.join(attrs.select(*ext_cols, *cols), list(ext_cols))
+    fg = (
+        _melt(joined, ["query_id"])
+        .groupBy("query_id", "facet", "value")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(F.col("fg_count") >= min_fg)
+    )
+    bg = (
+        _melt(attrs, [])
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+    )
+    bg_total = attrs.count()
+    cand = fg.join(F.broadcast(fg_tot), "query_id").join(
+        F.broadcast(bg), ["facet", "value"])
+    fg_rate = F.col("fg_count").cast("double") / F.col("fg_total")
+    bg_rate = F.col("bg_count").cast("double") / F.lit(
+        float(max(bg_total, 1)))
+    scored = cand.select(
+        "query_id", "facet", "value",
+        F.col("fg_count").cast("long").alias("fg_count"),
+        F.col("bg_count").cast("long").alias("bg_count"),
+        ((fg_rate - bg_rate) * (fg_rate / bg_rate)).alias("_s"),
+    ).filter(F.col("_s") > 0.0)
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.round(F.col("_s"), 6).desc(), F.col("value").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "facet", "value", "fg_count", "bg_count",
+                F.round(F.col("_s"), 6).alias("score"), "rank")
+    )
+
+
 def _sig_rank(scored: DataFrame, k_terms: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("_s"), 6).desc(), F.col("term").asc()

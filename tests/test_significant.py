@@ -149,3 +149,40 @@ def test_federated_significant_equals_merged(spark, corpus, cfg,
         merged.docmap, ["conv_id", "turn_idx"]).select("query_id", "doc_id")
     one = _collect(significant_terms(merged, merged_hits, k_terms=10))
     assert fed == one and fed
+
+
+def test_significant_attr_values(spark):
+    """significant_terms over ATTRIBUTE fields: JLH lift of a result
+    set's attr values vs the whole-corpus background — the
+    over-represented value wins, uniform values score 0 lift and drop,
+    NULLs skip, min_fg gates."""
+    from searchengine_spark.query.significant import significant_attr_values
+
+    # corpus: 10 docs; tag 'x' on 2 docs, 'y' on 8. A query whose 4
+    # hits are both x docs + two y docs: x is over-represented
+    # (fg 2/4 = .5 vs bg 2/10 = .2), y UNDER-represented (lift <= 0).
+    attrs = spark.createDataFrame(
+        [(i, "x" if i < 2 else "y", "same") for i in range(10)]
+        + [(10, None, "same")],
+        "ext_id long, tag string, uni string")
+    hits = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (0, 3)], "query_id int, ext_id long")
+    got = significant_attr_values(hits, attrs, ["tag", "uni"],
+                                  ["ext_id"], k=5, min_fg=2).collect()
+    rows = {(r["facet"], r["value"]): r for r in got}
+    assert ("tag", "x") in rows
+    r = rows[("tag", "x")]
+    assert (r["fg_count"], r["bg_count"], r["rank"]) == (2, 2, 1)
+    fg, bg = 2 / 4, 2 / 11  # bg_total counts every attrs row (11)
+    assert float(r["score"]) == pytest.approx(
+        round((fg - bg) * (fg / bg), 6))
+    # y: fg 2/4 = .5 vs bg 8/11 — negative lift, dropped
+    assert ("tag", "y") not in rows
+    # 'uni' is uniform: hits rate 4/4 = 1 vs bg 11/11... NULL tag rows
+    # still carry uni='same', so fg_rate(1.0) > bg_rate(1.0)? equal ->
+    # lift 0 -> dropped
+    assert all(f != "uni" for f, _ in rows)
+    with pytest.raises(ValueError, match="min_fg"):
+        significant_attr_values(hits, attrs, ["tag"], ["ext_id"], min_fg=0)
+    with pytest.raises(ValueError, match="lacks columns"):
+        significant_attr_values(hits, attrs, ["nope"], ["ext_id"])
