@@ -2973,6 +2973,38 @@ def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse with inner_hits (ES collapse.inner_hits;
+    query/collapse.py collapse_inner_hits_packed): each of the query's
+    top-5 conversations carries its best 3 TURNS (score desc, doc_id
+    asc) — group order/representatives identical to plain collapse
+    (the hit_rank=1 rows), within-group hits from the same score-all
+    pass (a second window over the matched set, never a re-retrieval).
+    The oracle extends the collapse chain with the inner window — a
+    version re-ranking groups by something other than their best hit,
+    or windowing only the top-k-by-score docs, hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.collapse import collapse_inner_hits_packed
+
+    cfg = _transcripts_cfg()
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_collapse_idx")
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    build_packed_index(corpus, cfg, path, chunk_docs=256)
+    pidx = load_packed_index(spark, path)
+    out = collapse_inner_hits_packed(pidx, TRANSCRIPTS_QUERIES, cfg, k=5,
+                                     n_inner=3, round_dp=6)
+    return out.select(
+        "query_id", "conv_id",
+        F.col("group_rank").cast("long").alias("group_rank"),
+        "doc_id", "score",
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+    )
+
+
 def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram over each query's result set
     (query/aggregations.py): top-10 transcripts BM25 hits bucketed by
@@ -3543,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_bits": q_bloom_bits,
         "windowed_counts": q_windowed_counts,
         "significant_attrs": q_significant_attrs,
+        "collapse_inner_hits": q_collapse_inner_hits,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -6353,6 +6386,36 @@ granked AS (
 )
 SELECT query_id, conv_id, doc_id, score, rank FROM granked WHERE rank <= 5
 """
+
+    # ---- collapse inner_hits: the SAME chain, plus a per-(query, conv)
+    # hit window cut to 3 and the group ranking from the hit_rank=1 rows
+    sqls["collapse_inner_hits"] = sqls["collapse_topk"].replace(
+        """granked AS (
+  SELECT query_id, conv_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rep
+)
+SELECT query_id, conv_id, doc_id, score, rank FROM granked WHERE rank <= 5
+""",
+        """ih AS (
+  SELECT query_id, conv_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id, conv_id
+                            ORDER BY score DESC, doc_id ASC) AS hit_rank
+  FROM g
+),
+grk AS (
+  SELECT query_id, conv_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS group_rank
+  FROM ih WHERE hit_rank = 1
+)
+SELECT i.query_id, i.conv_id, grk.group_rank::BIGINT AS group_rank,
+       i.doc_id, i.score, i.hit_rank::BIGINT AS hit_rank
+FROM ih i JOIN grk ON i.query_id = grk.query_id
+                  AND i.conv_id = grk.conv_id
+WHERE i.hit_rank <= 3 AND grk.group_rank <= 5
+""")
 
     # ---- federated scatter-gather: global idf (df/N summed over shards),
     # SHARD-LOCAL dl_norm (each shard's own avgdl — the stored 3-dp footer

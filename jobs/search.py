@@ -116,7 +116,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
                 regexp=None, sort_spec=None, attrs_path=None,
                 decay_spec=None, boost_mode="multiply", fvf_spec=None,
-                random_seed=None):
+                random_seed=None, inner_hits=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -256,6 +256,16 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 or demote is not None):
             raise SystemExit("--collapse combines only with plain "
                              "bm25/bm25_and retrieval (+ '-term' negation)")
+        if inner_hits is not None:
+            from searchengine_spark.query.collapse import (
+                collapse_inner_hits_packed,
+            )
+
+            return collapse_inner_hits_packed(
+                pidx, queries, cfg, k=n, n_inner=inner_hits,
+                group_col=collapse, round_dp=6,
+                conjunctive=ranker == "bm25_and", exclude_terms=excludes,
+                min_should_match=min_match)
         from searchengine_spark.query.collapse import collapse_topk_packed
 
         # returns (query_id, <group_col>, doc_id, score, rank) — the
@@ -387,7 +397,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
                  regexp=None, sort_spec=None, attrs_path=None,
                  decay_spec=None, boost_mode="multiply", fvf_spec=None,
-                random_seed=None):
+                random_seed=None, inner_hits=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -398,12 +408,19 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        dismax=dismax, slop=slop, regexp=regexp,
                        sort_spec=sort_spec, attrs_path=attrs_path,
                        decay_spec=decay_spec, boost_mode=boost_mode,
-                       fvf_spec=fvf_spec,
-                       random_seed=random_seed).collect()
+                       fvf_spec=fvf_spec, random_seed=random_seed,
+                       inner_hits=inner_hits).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
-    return [sorted(by_q.get(i, []), key=lambda r: (r["rank"], r["doc_id"]))
+    def _order(r: dict):
+        # collapse inner-hits rows carry (group_rank, hit_rank), every
+        # other surface carries rank
+        if "rank" in r:
+            return (r["rank"], r["doc_id"])
+        return (r["group_rank"], r["hit_rank"], r["doc_id"])
+
+    return [sorted(by_q.get(i, []), key=_order)
             for i in range(len(queries))]
 
 
@@ -1970,6 +1987,12 @@ def main() -> None:
                          "least M of the query's terms rank (M=1 is plain "
                          "OR; the term count is --ranker bm25_and); "
                          "--ranker bm25, every tier, --index or --shards")
+    ap.add_argument("--collapse-inner-hits", type=int, default=None,
+                    metavar="N",
+                    help="with --collapse: ES collapse.inner_hits — each "
+                         "top-k group carries its best N hits from the "
+                         "same score-all pass (query/collapse.py "
+                         "collapse_inner_hits_packed; --index only)")
     ap.add_argument("--collapse", default=None, metavar="COL",
                     help="field collapse (ES collapse, query/collapse.py): "
                          "one result per group — top-n GROUPS by their "
@@ -2146,6 +2169,11 @@ def main() -> None:
             raise SystemExit(f"{flag} does not combine with "
                              "--synonyms/--prf/--fuzzy (all rewrite the "
                              "query-term seam)")
+    if args.collapse_inner_hits is not None and not args.collapse:
+        raise SystemExit("--collapse-inner-hits rides --collapse")
+    if args.collapse_inner_hits is not None and args.shards:
+        raise SystemExit("--collapse-inner-hits serves from a single "
+                         "index (--index; federation not wired)")
     if args.top_hits and not args.facets:
         raise SystemExit("--top-hits rides --facets (name the bucket "
                          "columns there)")
@@ -2352,6 +2380,7 @@ def main() -> None:
                 sort_spec=_sort(args), attrs_path=args.attrs,
                 decay_spec=_decay(args), boost_mode=args.boost_mode,
                 fvf_spec=_fvf(args), random_seed=args.random_score,
+                inner_hits=args.collapse_inner_hits,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -2478,7 +2507,8 @@ def main() -> None:
                                  decay_spec=_decay(args),
                                  boost_mode=args.boost_mode,
                                  fvf_spec=_fvf(args),
-                                 random_seed=args.random_score)
+                                 random_seed=args.random_score,
+                                 inner_hits=args.collapse_inner_hits)
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)

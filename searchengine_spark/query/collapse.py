@@ -150,6 +150,72 @@ def collapse_topk_federated(
     return _collapse_from_scores(scores, docmap, group_col, k)
 
 
+def collapse_inner_hits_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    n_inner: int = 3,
+    group_col: str | None = None,
+    round_dp: int | None = None,
+    conjunctive: bool = False,
+    exclude_terms: dict | None = None,
+    min_should_match: int | None = None,
+) -> DataFrame:
+    """ES collapse WITH ``inner_hits``: for each of the query's top-k
+    collapsed groups, its best ``n_inner`` hits -> (query_id,
+    <group_col>, group_rank, doc_id, score, hit_rank). Group order and
+    representatives match :func:`collapse_topk_packed` exactly (group
+    score = max hit, rep = smallest doc among the max achievers — the
+    hit_rank=1 row IS the representative); hits order (score desc,
+    doc_id asc) within the group.
+
+    Single pass over the score-all surface: one per-(query, group)
+    window cut to n_inner (pushed down as a per-partition heap), the
+    hit_rank=1 rows re-ranked into the top-k groups (queries x groups
+    rows), then a broadcast semi of that bounded group list — the
+    matched set is never window-ed twice."""
+    if n_inner < 1:
+        raise ValueError(f"n_inner must be >= 1, got {n_inner}")
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    if not ext:
+        raise ValueError(
+            "collapse needs external-id columns to group by, but the "
+            "index was built with order_cols=('doc_id',) only"
+        )
+    group_col = group_col or ext[0]
+    if group_col not in ext:
+        raise ValueError(
+            f"group_col {group_col!r} is not one of the index's external "
+            f"columns {ext}"
+        )
+    from .wand import bm25_scores_packed_batch
+
+    scores = bm25_scores_packed_batch(
+        pidx, queries, cfg, round_dp=round_dp, conjunctive=conjunctive,
+        exclude_terms=exclude_terms, min_should_match=min_should_match,
+    )
+    keyed = scores.join(pidx.docmap.select("doc_id", group_col), "doc_id")
+    wh = Window.partitionBy("query_id", group_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    inner = keyed.withColumn(
+        "hit_rank", F.row_number().over(wh).cast("int")
+    ).filter(F.col("hit_rank") <= n_inner)
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    groups = (
+        inner.filter(F.col("hit_rank") == 1)
+        .withColumn("group_rank", F.row_number().over(wg).cast("int"))
+        .filter(F.col("group_rank") <= k)
+        .select("query_id", group_col, "group_rank")
+    )
+    return (
+        inner.join(F.broadcast(groups), ["query_id", group_col])
+        .select("query_id", group_col, "group_rank", "doc_id", "score",
+                "hit_rank")
+    )
+
+
 def _collapse_from_scores(
     scores: DataFrame, docmap: DataFrame, group_col: str, k: int
 ) -> DataFrame:

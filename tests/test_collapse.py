@@ -169,3 +169,53 @@ def test_federated_collapse_groups_span_shards(spark, cfg, tmp_path_factory):
     for rows in got.values():
         convs = [c for c, _, _ in rows]
         assert len(convs) == len(set(convs))
+
+
+def test_inner_hits_consistent_with_collapse(packed, cfg):
+    """collapse + inner_hits: group order/reps == collapse_topk exactly
+    (the hit_rank=1 rows ARE the representatives); within-group hits
+    ordered (score desc, doc_id asc), capped at n_inner, and equal to
+    the brute per-group ranking."""
+    from searchengine_spark.query.collapse import collapse_inner_hits_packed
+
+    k, n_inner = 5, 3
+    base = {(r["query_id"], r["rank"]): (r["conv_id"], r["doc_id"],
+                                         r["score"])
+            for r in collapse_topk_packed(packed, QS, cfg, k=k,
+                                          round_dp=6).collect()}
+    rows = collapse_inner_hits_packed(packed, QS, cfg, k=k,
+                                      n_inner=n_inner,
+                                      round_dp=6).collect()
+    # reps: hit_rank 1 row per (query, group_rank) matches collapse
+    reps = {(r["query_id"], r["group_rank"]):
+            (r["conv_id"], r["doc_id"], r["score"])
+            for r in rows if r["hit_rank"] == 1}
+    assert reps == base
+    # within-group order + cap, against the exhaustive brute
+    n = packed.manifest["n_docs"]
+    full = bm25_topk_packed_batch(packed, QS, cfg, k=n, round_dp=6,
+                                  exhaustive=True).collect()
+    dm = {r["doc_id"]: r["conv_id"]
+          for r in packed.docmap.select("doc_id", "conv_id").collect()}
+    per_group: dict = {}
+    for r in full:
+        per_group.setdefault(
+            (r["query_id"], dm[r["doc_id"]]), []).append(
+            (-float(r["score"]), int(r["doc_id"])))
+    for key in per_group:
+        per_group[key].sort()
+    got_groups: dict = {}
+    for r in rows:
+        got_groups.setdefault((r["query_id"], r["conv_id"]), []).append(
+            (r["hit_rank"], int(r["doc_id"]), float(r["score"])))
+    assert got_groups  # non-empty
+    for (qid, conv), hits in got_groups.items():
+        hits.sort()
+        want = per_group[(qid, conv)][:n_inner]
+        assert [(d, s) for _, d, s in hits] == \
+            [(d, -s) for s, d in want]
+        assert len(hits) <= n_inner
+        assert [h[0] for h in hits] == list(range(1, len(hits) + 1))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_inner"):
+        collapse_inner_hits_packed(packed, QS, cfg, n_inner=0)
