@@ -204,7 +204,13 @@ def bloom_unseen(
     with probability (1 - e^{-kn/m})^k. NULL values pass (unsketchable
     -> unseen). Plan: explode the k bit positions per row, ONE left
     join against the (≤ m)-row state, one all-bits-present groupBy —
-    batch-sized exchanges, never history-sized."""
+    batch-sized exchanges, never history-sized.
+
+    Caveat: the internal row key is ``monotonically_increasing_id``,
+    evaluated in BOTH branches of one plan — ``batch`` must therefore
+    be a DETERMINISTIC scan (a parquet/table read, as in the
+    clean_corpus composition), not e.g. an unseeded sample, or the two
+    branches could key rows differently."""
     _check_bloom(m, k)
     if col not in batch.columns:
         raise ValueError(f"frame lacks column {col!r}")
