@@ -1815,6 +1815,48 @@ def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pinned-query fixture: a real doc likely to also MATCH (keeps its
+#: organic score), a real doc unlikely to match (score NULL), and an
+#: impossible id (skipped — doc_ids are non-negative at every sf)
+PIN_IDS = (42, 7, -1)
+
+
+def q_pinned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query (query/pinned.py): PIN_IDS occupy the top ranks
+    in the GIVEN order regardless of relevance (the editorial
+    contract), organic BM25 follows excluding them, unknown ids skip
+    silently, pinned-and-matched docs keep their organic score while
+    unmatched pins carry NULL. The oracle replicates the organic
+    ranking, the exclusion, the existence filter, and the two-tier
+    renumber — a version that re-scores pins, duplicates a
+    pinned-and-matched doc, or drops zero-score pins hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.pinned import pinned_topk_packed
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = pinned_topk_packed(pidx, qs, CFG, list(PIN_IDS), k=10,
+                             round_dp=6)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        "pinned",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 RANDOM_SEED = "entry-r3"
 
 
@@ -3576,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "significant_attrs": q_significant_attrs,
         "collapse_inner_hits": q_collapse_inner_hits,
+        "pinned_search": q_pinned_search,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -7145,6 +7188,52 @@ WITH tok AS (
 SELECT doc_id, generate_subscripts(tokens, 1)::BIGINT - 1 AS position,
        unnest(tokens) AS token
 FROM tok
+"""
+
+    # ---- pinned query: organic ranking (k + |pins| window), pin
+    # existence filter, two-tier renumber, pinned-and-matched score join
+    _pin_vals = ", ".join(f"({i}, {pid})" for i, pid in enumerate(PIN_IDS))
+    _qid_vals = " UNION ALL ".join(
+        f"SELECT {i} AS query_id" for i in sorted(QUERY_STRINGS))
+    sqls["pinned_search"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+org AS (SELECT * FROM ranked WHERE rank <= 10 + {len(PIN_IDS)}),
+pins(pos, doc_id) AS (VALUES {_pin_vals}),
+pexist AS (
+  SELECT p.pos, p.doc_id FROM pins p JOIN documents d USING (doc_id)
+),
+qids AS ({_qid_vals}),
+prow AS (
+  SELECT qids.query_id, p.doc_id, o.score, TRUE AS pinned,
+         0 AS tier, p.pos AS ord
+  FROM qids CROSS JOIN pexist p
+  LEFT JOIN org o ON o.query_id = qids.query_id AND o.doc_id = p.doc_id
+),
+orow AS (
+  SELECT query_id, doc_id, score, FALSE AS pinned, 1 AS tier,
+         rank AS ord
+  FROM org WHERE doc_id NOT IN (SELECT doc_id FROM pexist)
+),
+fin AS (
+  SELECT query_id, doc_id, score, pinned,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tier, ord, doc_id) AS rank
+  FROM (SELECT * FROM prow UNION ALL SELECT * FROM orow)
+)
+SELECT query_id, doc_id, score, pinned, rank::BIGINT AS rank
+FROM fin WHERE rank <= 10
 """
 
     # ---- random_score: 12-nibble md5 over 2^48, decoded with strpos

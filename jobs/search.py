@@ -116,7 +116,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
                 regexp=None, sort_spec=None, attrs_path=None,
                 decay_spec=None, boost_mode="multiply", fvf_spec=None,
-                random_seed=None, inner_hits=None):
+                random_seed=None, inner_hits=None, pins=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -173,6 +173,32 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         groups = [[p for p in q.split("|") if p.strip()] for q in queries]
         return _resolve(pidx, dismax_topk_packed(
             pidx, groups, cfg, k=n, tie_breaker=dismax))
+    if pins is not None:
+        if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
+                or wildcard is not None or regexp is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or demote is not None
+                or collapse is not None or dismax is not None
+                or sort_spec is not None or decay_spec is not None
+                or fvf_spec is not None or random_seed is not None):
+            raise SystemExit("--pin combines only with plain "
+                             "bm25/bm25_and retrieval (+ '-term' negation)")
+        from searchengine_spark.query.pinned import pinned_topk_packed
+
+        ext_n = len([c for c in pidx.manifest["order_cols"]
+                     if c != "doc_id"])
+        parsed = []
+        for p in pins:
+            vals = p.split("|")
+            if len(vals) != ext_n:
+                raise SystemExit(
+                    f"--pin id {p!r} wants {ext_n} '|'-joined values "
+                    "(the index's external-id columns)")
+            parsed.append(tuple(vals) if ext_n > 1 else vals[0])
+        return pinned_topk_packed(
+            pidx, queries, cfg, parsed, k=n, round_dp=6,
+            conjunctive=ranker == "bm25_and", exclude_terms=excludes)
     if random_seed is not None:
         if (ranker not in ("bm25", "bm25_and") or prf or fuzzy
                 or wildcard is not None or regexp is not None
@@ -397,7 +423,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
                  regexp=None, sort_spec=None, attrs_path=None,
                  decay_spec=None, boost_mode="multiply", fvf_spec=None,
-                random_seed=None, inner_hits=None):
+                random_seed=None, inner_hits=None, pins=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -409,7 +435,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        sort_spec=sort_spec, attrs_path=attrs_path,
                        decay_spec=decay_spec, boost_mode=boost_mode,
                        fvf_spec=fvf_spec, random_seed=random_seed,
-                       inner_hits=inner_hits).collect()
+                       inner_hits=inner_hits, pins=pins).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -1233,9 +1259,10 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if args.sort or args.decay or args.fvf or args.random_score:
-        raise SystemExit("--sort/--decay/--fvf/--random-score serve from a "
-                         "single index (--index; federation not wired)")
+    if args.sort or args.decay or args.fvf or args.random_score or args.pin:
+        raise SystemExit("--sort/--decay/--fvf/--random-score/--pin serve "
+                         "from a single index (--index; federation not "
+                         "wired)")
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
@@ -1895,6 +1922,13 @@ def main() -> None:
                          "MISSING (default 1.0); combine via "
                          "--boost-mode; needs --attrs; bm25/bm25_and, "
                          "distributed tier, --index only")
+    ap.add_argument("--pin", default=None, metavar="ID[,ID...]",
+                    help="ES pinned query (query/pinned.py): promote the "
+                         "listed external ids to the TOP in the given "
+                         "order, organic bm25 below excluding them; "
+                         "multi-column ids join values with '|' "
+                         "(conv01|3); unknown ids skip; bm25/bm25_and, "
+                         "distributed tier, --index only")
     ap.add_argument("--random-score", default=None, metavar="SEED",
                     help="ES function_score random_score "
                          "(query/decay.py): deterministic md5-seeded "
@@ -2381,6 +2415,7 @@ def main() -> None:
                 decay_spec=_decay(args), boost_mode=args.boost_mode,
                 fvf_spec=_fvf(args), random_seed=args.random_score,
                 inner_hits=args.collapse_inner_hits,
+                pins=(args.pin.split(",") if args.pin else None),
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -2413,7 +2448,7 @@ def main() -> None:
     use_local = (not prf and not synonyms and not args.collapse
                  and args.dismax is None and args.sort is None
                  and args.decay is None and args.fvf is None
-                 and args.random_score is None and (
+                 and args.random_score is None and args.pin is None and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     ))
@@ -2508,7 +2543,9 @@ def main() -> None:
                                  boost_mode=args.boost_mode,
                                  fvf_spec=_fvf(args),
                                  random_seed=args.random_score,
-                                 inner_hits=args.collapse_inner_hits)
+                                 inner_hits=args.collapse_inner_hits,
+                                 pins=(args.pin.split(",")
+                                       if args.pin else None))
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)
