@@ -209,3 +209,33 @@ def test_federated_parity(spark, pidx, cfg):
     rows = floc.search(q, k=10, round_dp=6, regexp=True, resolve=False)
     got = sorted((0, r["doc_id"], r["score"], r["rank"]) for r in rows)
     assert got == dist
+
+
+def test_literal_prefix_soundness_property():
+    """Hypothesis: EVERY fullmatch of a valid pattern starts with its
+    extracted literal prefix — the property that makes the
+    StringStartsWith pushdown safe (an unsound prefix silently DROPS
+    matches; too-short prefixes only cost scan time)."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atom = st.sampled_from(list("abc") + ["[ab]", "[^a]", "(a|b)", "."])
+    quant = st.sampled_from(["", "*", "+", "?", "{1,2}"])
+    piece = st.tuples(atom, quant).map(lambda t: t[0] + t[1])
+    pattern = st.lists(piece, min_size=1, max_size=5).map("".join)
+    words = st.text(alphabet="abc", min_size=0, max_size=6)
+
+    @settings(max_examples=400, deadline=None)
+    @given(pattern, words)
+    def prop(pat, w):
+        try:
+            validate_regexp(pat)
+        except ValueError:
+            return
+        prefix = regexp_literal_prefix(pat)
+        if _re.fullmatch(pat, w):
+            assert w.startswith(prefix), (pat, prefix, w)
+
+    prop()
