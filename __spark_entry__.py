@@ -1815,6 +1815,34 @@ def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES _count API analog (query/wand.py match_counts_packed):
+    per-query matched-doc counts over the packed index WITHOUT ranking
+    or driver-side hits — the score-all surface folded to one count per
+    query; a matchless query (appended here on purpose) answers 0
+    instead of vanishing. The oracle counts DISTINCT matched docs per
+    term list — a WAND-cut counter or a per-term (non-distinct) counter
+    hash-mismatches."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.wand import match_counts_packed
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    qs.append("zzzqqq nonexistent")  # the zero-answer contract
+    return match_counts_packed(pidx, qs, CFG)
+
+
 #: pinned-query fixture: a real doc likely to also MATCH (keeps its
 #: organic score), a real doc unlikely to match (score NULL), and an
 #: impossible id (skipped — doc_ids are non-negative at every sf)
@@ -3619,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_attrs": q_significant_attrs,
         "collapse_inner_hits": q_collapse_inner_hits,
         "pinned_search": q_pinned_search,
+        "match_count": q_match_count,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -7188,6 +7217,22 @@ WITH tok AS (
 SELECT doc_id, generate_subscripts(tokens, 1)::BIGINT - 1 AS position,
        unnest(tokens) AS token
 FROM tok
+"""
+
+    # ---- _count: distinct matched docs per term list; the appended
+    # matchless query answers 0 via count-over-empty
+    _mc_arms = []
+    for i in sorted(QUERY_STRINGS):
+        terms = _sql_term_list(_qterms(i))
+        _mc_arms.append(
+            f"SELECT {i} AS query_id, (SELECT count(DISTINCT doc_id) "
+            f"FROM idx WHERE term IN (SELECT unnest({terms})))::BIGINT "
+            f"AS n_matched")
+    _mc_arms.append(
+        f"SELECT {len(QUERY_STRINGS)} AS query_id, 0::BIGINT AS n_matched")
+    sqls["match_count"] = f"""
+WITH {_INDEX_CTES}
+{' UNION ALL '.join(_mc_arms)}
 """
 
     # ---- pinned query: organic ranking (k + |pins| window), pin

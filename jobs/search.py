@@ -1922,6 +1922,13 @@ def main() -> None:
                          "MISSING (default 1.0); combine via "
                          "--boost-mode; needs --attrs; bm25/bm25_and, "
                          "distributed tier, --index only")
+    ap.add_argument("--count-only", action="store_true",
+                    help="ES _count analog (query/wand.py "
+                         "match_counts_packed): print per-query "
+                         "matched-doc counts instead of hits — no "
+                         "ranking, no driver-side results; honors "
+                         "--ranker bm25_and (conjunctive) and '-term' "
+                         "negation; --index only, batch mode")
     ap.add_argument("--pin", default=None, metavar="ID[,ID...]",
                     help="ES pinned query (query/pinned.py): promote the "
                          "listed external ids to the TOP in the given "
@@ -2445,6 +2452,28 @@ def main() -> None:
             or args.random_score) and args.serve_mode == "local":
         raise SystemExit("--sort/--decay/--fvf/--random-score run on the "
                          "distributed tier (serve-mode auto/spark)")
+    if args.count_only:
+        if args.shards:
+            raise SystemExit("--count-only serves from a single index")
+        if not args.query:
+            raise SystemExit("--count-only wants --query/--queries-file "
+                             "batch mode")
+        from searchengine_spark.query.negation import parse_negated_queries
+        from searchengine_spark.query.wand import match_counts_packed
+
+        cqs, cex = _parse_negations(list(args.query), cfg, args.ranker,
+                                    prf, parse_negated_queries)
+        if args.ranker not in ("bm25", "bm25_and"):
+            raise SystemExit("--count-only is wired to the bm25* rankers")
+        rows = match_counts_packed(
+            pidx, cqs, cfg, conjunctive=args.ranker == "bm25_and",
+            exclude_terms=cex,
+            min_should_match=args.min_should_match).collect()
+        for r in sorted(rows, key=lambda r: r["query_id"]):
+            print(json.dumps({"query": args.query[r["query_id"]],
+                              "count": int(r["n_matched"])}))
+        return
+
     use_local = (not prf and not synonyms and not args.collapse
                  and args.dismax is None and args.sort is None
                  and args.decay is None and args.fvf is None

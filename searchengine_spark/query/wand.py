@@ -1241,3 +1241,39 @@ def resolve_docs(pidx: PackedIndex, topk: DataFrame) -> DataFrame:
     return topk.join(pidx.docmap, "doc_id").select(
         "query_id", "doc_id", *ext_cols, "score", "rank"
     )
+
+
+def match_counts_packed(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    conjunctive: bool = False,
+    exclude_terms: dict | None = None,
+    min_should_match: int | None = None,
+) -> DataFrame:
+    """The ES ``_count`` API analog -> (query_id, n_matched): how many
+    docs match each query (OR by default; ``conjunctive``/
+    ``exclude_terms``/``min_should_match`` carry their usual
+    contracts), WITHOUT ranking or materializing hits to the driver.
+    Rides the score-all surface (counting needs the full matched set —
+    a WAND cut undercounts by construction) folded to one count per
+    query; ZERO-match queries emit n_matched = 0 (the _count contract:
+    every asked query answers)."""
+    spark = pidx.spark
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, conjunctive=conjunctive,
+        exclude_terms=exclude_terms, min_should_match=min_should_match,
+    )
+    counts = scores.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"))
+    qids = spark.createDataFrame(
+        [(i,) for i in range(len(queries))], "query_id int")
+    return (
+        qids.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matched", F.lit(0)).cast("long")
+            .alias("n_matched"),
+        )
+        .orderBy("query_id")
+    )

@@ -289,3 +289,30 @@ def test_boolean_empty_query_batch_early_return(packed, cfg):
         # a LocalTableScan (empty literal frame), not an index scan
         assert "parquet" not in out._jdf.queryExecution().executedPlan().toString().lower()
         assert out.count() == 0
+
+
+def test_match_counts(packed, cfg):
+    """_count analog: per-query matched-doc counts == the score-all
+    surface's row counts; zero-match queries answer 0, never vanish."""
+    from searchengine_spark.query.wand import (
+        bm25_scores_packed_batch,
+        match_counts_packed,
+    )
+
+    qs = ["greatest rock album", "zzz unknown only", "guitar"]
+    got = {r["query_id"]: r["n_matched"]
+           for r in match_counts_packed(packed, qs, cfg).collect()}
+    want = {
+        r["query_id"]: r["n"]
+        for r in bm25_scores_packed_batch(packed, qs, cfg)
+        .groupBy("query_id").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got[1] == 0 and 1 not in want       # zero-match answers 0
+    assert {k: v for k, v in got.items() if v} == want
+    assert set(got) == {0, 1, 2}
+    # conjunctive counts never exceed OR counts
+    andc = {r["query_id"]: r["n_matched"]
+            for r in match_counts_packed(packed, qs, cfg,
+                                         conjunctive=True).collect()}
+    assert all(andc[q] <= got[q] for q in got)
