@@ -1705,6 +1705,60 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
+SESSION_GAP_S = 7200  # 2 hours
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (streaming/sessions.py — the
+    applyInPandasWithState CUSTOM stateful operator): the events table
+    drained as ONE batch (single input file), sessions split on
+    >2-hour gaps per user; a far-future probe in round 2 advances the
+    watermark past every real session's timeout, so the CLOSED set
+    equals the classic islands-and-gaps SQL over the original events —
+    each user's non-final sessions closed by 'gap' (split in-function),
+    the final one by 'timeout', the probe's own session still open and
+    absent. Exactly-once emission and state-across-runs are what the
+    equality proves."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from searchengine_spark.streaming.sessions import stream_sessionize
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"se_entry_sess_{tag}")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if root not in _PACKED_BUILT:
+            shutil.rmtree(root, ignore_errors=True)
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.col("ts").cast("timestamp").alias("ts"))
+            ev.coalesce(1).write.mode("overwrite").parquet(f"{root}/in")
+            kw = dict(key_col="conv_id", ts_col="ts", gap="120 minutes",
+                      watermark="60 minutes")
+            stream_sessionize(spark, f"{root}/in", f"{root}/out", **kw)
+            mx = ev.agg(F.max("ts")).first()[0]
+            probe = spark.createDataFrame(
+                [("late_probe_user", mx + timedelta(days=30))],
+                "conv_id string, ts timestamp")
+            probe.coalesce(1).write.mode("append").parquet(f"{root}/in")
+            stream_sessionize(spark, f"{root}/in", f"{root}/out", **kw)
+            _PACKED_BUILT.add(root)
+        out = spark.read.parquet(f"{root}/out/sessions")
+        return out.select(
+            "key",
+            F.col("session_start").cast("long").alias("session_start"),
+            F.col("session_end").cast("long").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "closed_by",
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 BLOOM_ENTRY_M, BLOOM_ENTRY_K = 1 << 16, 3
 
 
@@ -3648,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_inner_hits": q_collapse_inner_hits,
         "pinned_search": q_pinned_search,
         "match_count": q_match_count,
+        "stream_sessions": q_stream_sessions,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -7154,6 +7209,41 @@ FROM arms WHERE rank <= 3 ORDER BY qterm, rank
 SELECT epoch(date_trunc('day', ts))::BIGINT AS w_start,
        event_type, count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2
+"""
+
+    # ---- streaming sessionization: the islands-and-gaps SQL over the
+    # original events IS the closed-session set (probe excluded; each
+    # user's final island closed by timeout, earlier ones by gap)
+    sqls["stream_sessions"] = f"""
+WITH e AS (
+  -- floor, not cast: epoch() is a DOUBLE with fractional seconds and
+  -- ::BIGINT would ROUND, while the operator floors (ns // 1e9)
+  SELECT user_id::VARCHAR AS key, floor(epoch(ts))::BIGINT AS s FROM events
+),
+o AS (
+  SELECT key, s, lag(s) OVER (PARTITION BY key ORDER BY s) AS prev FROM e
+),
+g AS (
+  SELECT key, s,
+         CASE WHEN prev IS NULL OR s - prev > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+sid AS (
+  SELECT key, s,
+         sum(brk) OVER (PARTITION BY key ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+),
+agg AS (
+  SELECT key, sess, min(s)::BIGINT AS session_start,
+         max(s)::BIGINT AS session_end, count(*)::BIGINT AS n_events
+  FROM sid GROUP BY key, sess
+)
+SELECT key, session_start, session_end, n_events,
+       CASE WHEN sess = max(sess) OVER (PARTITION BY key)
+            THEN 'timeout' ELSE 'gap' END AS closed_by
+FROM agg
 """
 
     # ---- bloom bits: k salted 48-bit md5 prefixes mod m, distinct —
