@@ -21,8 +21,10 @@ def _ts(minute: int):
 
 
 def _write(spark, path, rows):
-    spark.createDataFrame(rows, "conv_id string, ts timestamp").write.mode(
-        "append").parquet(path)
+    # ONE file per round (same batching determinism note as
+    # test_windowed._write)
+    spark.createDataFrame(rows, "conv_id string, ts timestamp").coalesce(
+        1).write.mode("append").parquet(path)
 
 
 def _read(spark, out):

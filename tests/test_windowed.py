@@ -20,8 +20,11 @@ def _ts(minute: int):
 
 
 def _write(spark, path, rows):
-    spark.createDataFrame(rows, "ts timestamp, source string").write.mode(
-        "append").parquet(path)
+    # ONE file per round: availableNow may otherwise split a round
+    # into several batches in arbitrary file order, advancing the
+    # watermark mid-round and changing which windows finalize when
+    spark.createDataFrame(rows, "ts timestamp, source string").coalesce(
+        1).write.mode("append").parquet(path)
 
 
 def _read(spark, out):
