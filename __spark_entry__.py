@@ -1683,7 +1683,10 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(root, ignore_errors=True)
             events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
                 F.col("ts").cast("timestamp").alias("ts"), "event_type")
-            events.write.mode("overwrite").parquet(f"{root}/in")
+            # ONE file -> ONE availableNow batch: a multi-batch drain in
+            # arbitrary file order could advance the watermark mid-drain
+            # and drop same-round events as late
+            events.coalesce(1).write.mode("overwrite").parquet(f"{root}/in")
             kw = dict(ts_col="ts", group_col="event_type", window="1 day",
                       watermark="1 hour")
             stream_windowed_counts(spark, f"{root}/in", f"{root}/out", **kw)
