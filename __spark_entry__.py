@@ -3132,14 +3132,12 @@ def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES date_histogram over each query's result set
-    (query/aggregations.py): top-10 transcripts BM25 hits bucketed by
-    floor(epoch_seconds / 600) * 600 — fixed_interval semantics, BIGINT
-    epoch buckets, integer arithmetic end to end. The fixture's ts is
-    2026-01-01T00:00:00Z + doc_id seconds (fixtures/transcripts.py:139
-    — one second per dense docID), so the oracle derives the epoch from
-    doc_id and replicates retrieval AND the bucket arithmetic."""
+def _dh_buckets(spark: SparkSession) -> DataFrame:
+    """Shared transcripts date_histogram bucket frame — top-10 BM25 hits
+    per query, ts bucketed by floor(epoch/600)*600 (the fixture's ts is
+    2026-01-01T00:00:00Z + doc_id seconds, fixtures/transcripts.py:139)
+    — the first-stage aggregation the date_histogram entry emits and the
+    pipeline-aggregation entries build on."""
     import os
     import tempfile
 
@@ -3156,9 +3154,111 @@ def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pidx = load_packed_index(spark, path)
     hits = resolve_docs(pidx, bm25_topk_packed_batch(
         pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6))
-    out = date_histogram_counts(
+    return date_histogram_counts(
         hits, corpus, ["ts"], ["conv_id", "turn_idx"], interval=600)
+
+
+def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram over each query's result set
+    (query/aggregations.py): top-10 transcripts BM25 hits bucketed by
+    floor(epoch_seconds / 600) * 600 — fixed_interval semantics, BIGINT
+    epoch buckets, integer arithmetic end to end. The fixture's ts is
+    2026-01-01T00:00:00Z + doc_id seconds (fixtures/transcripts.py:139
+    — one second per dense docID), so the oracle derives the epoch from
+    doc_id and replicates retrieval AND the bucket arithmetic."""
+    out = _dh_buckets(spark)
     return out.select("query_id", "col", "bucket_epoch", "n")
+
+
+def q_result_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_sum pipeline aggregation (query/pipeline_aggs.py)
+    over the DENSIFIED date_histogram series: running BIGINT total per
+    (query, col) in bucket order, zero-filled gaps included (the ES
+    min_doc_count=0 view densify_buckets provides). The oracle
+    replicates retrieval, bucketing, the generate_series zero-fill AND
+    the running window — a gap left unfilled or a frame-spec drift
+    mismatches."""
+    from searchengine_spark.query.pipeline_aggs import (
+        cumulative_sum, densify_buckets)
+
+    out = cumulative_sum(densify_buckets(_dh_buckets(spark), 600))
+    return out.select("query_id", "col", "bucket_epoch", "n", "cum")
+
+
+def q_result_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES derivative pipeline aggregation (query/pipeline_aggs.py) over
+    the densified date_histogram series: first difference n - lag(n) per
+    (query, col), first bucket omitted (ES emits no derivative there).
+    Densified input is the contract — a difference across an unemitted
+    gap is not the series derivative."""
+    from searchengine_spark.query.pipeline_aggs import (
+        densify_buckets, derivative)
+
+    out = derivative(densify_buckets(_dh_buckets(spark), 600))
+    return out.select("query_id", "col", "bucket_epoch", "dn")
+
+
+def q_result_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn (sum) pipeline aggregation (query/pipeline_aggs.py)
+    over the densified date_histogram series: window of 3 buckets ending
+    JUST BEFORE the current one (the ES shift=0 default), emitting the
+    exact BIGINT window sum plus wn (buckets actually in frame) so the
+    moving average is the client-side mvsum/wn. Empty-frame head buckets
+    emit nothing. The oracle replicates the exact ROWS frame."""
+    from searchengine_spark.query.pipeline_aggs import (
+        densify_buckets, moving_sum)
+
+    out = moving_sum(densify_buckets(_dh_buckets(spark), 600),
+                     window=3, shift=0)
+    return out.select("query_id", "col", "bucket_epoch", "mvsum", "wn")
+
+
+def q_result_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline aggregation (query/pipeline_aggs.py) over
+    the densified date_histogram series: lagged difference n - lag(n, 2)
+    (seasonality removal; lag=1 degenerates to derivative — gated in
+    test_pipeline_aggs.py), first 2 buckets of each series omitted."""
+    from searchengine_spark.query.pipeline_aggs import (
+        densify_buckets, serial_diff)
+
+    out = serial_diff(densify_buckets(_dh_buckets(spark), 600), lag=2)
+    return out.select("query_id", "col", "bucket_epoch", "dn")
+
+
+def q_result_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline aggregation (query/pipeline_aggs.py) over
+    the RAW date_histogram buckets (order statistics are
+    gap-indifferent): each (query, col) series reordered by n DESC with
+    bucket ASC tiebreak, truncated to the top 2 buckets, 1-based pos
+    emitted. The oracle replicates the row_number frame and tiebreak."""
+    from searchengine_spark.query.pipeline_aggs import bucket_sort
+
+    out = bucket_sort(_dh_buckets(spark), size=2)
+    return out.select("query_id", "col", "bucket_epoch", "n", "pos")
+
+
+def q_result_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector pipeline aggregation (query/pipeline_aggs.py)
+    over the raw date_histogram buckets — the HAVING clause of the
+    aggregation world: buckets where n >= 2, predicate in the
+    Spark∩DuckDB dialect so the oracle runs it verbatim."""
+    from searchengine_spark.query.pipeline_aggs import bucket_selector
+
+    out = bucket_selector(_dh_buckets(spark), "n >= 2")
+    return out.select("query_id", "col", "bucket_epoch", "n")
+
+
+def q_result_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket sibling pipeline aggregation
+    (query/pipeline_aggs.py; subsumes min/max/sum_bucket — avg_bucket is
+    the client-side sum_n/n_buckets, the exact-arithmetic discipline):
+    one BIGINT summary row per (query, col) over its raw bucket doc
+    counts."""
+    from searchengine_spark.query.pipeline_aggs import stats_bucket
+
+    out = stats_bucket(_dh_buckets(spark))
+    return out.select("query_id", "col", "n_buckets", "min_n", "max_n",
+                      "sum_n")
 
 
 def q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3668,6 +3768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
         "result_date_histogram": q_result_date_histogram,
+        "result_cumulative_sum": q_result_cumulative_sum,
+        "result_derivative": q_result_derivative,
+        "result_moving_sum": q_result_moving_sum,
+        "result_serial_diff": q_result_serial_diff,
+        "result_bucket_sort": q_result_bucket_sort,
+        "result_bucket_selector": q_result_bucket_selector,
+        "result_stats_bucket": q_result_stats_bucket,
         "facet_top_hits": q_facet_top_hits,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
@@ -6373,8 +6480,9 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
 
     # ---- date_histogram: the transcripts top-10 ranking, ts derived from
     # the dense docID (ts = 2026-01-01Z + doc_id seconds), 600 s fixed
-    # buckets as BIGINT epochs
-    sqls["result_date_histogram"] = f"""
+    # buckets as BIGINT epochs. The statement doubles as the `dh` base
+    # CTE for the pipeline-aggregation oracles below.
+    _dh_sql = f"""
 WITH t(conv_id, turn_idx, text) AS (VALUES
 {vals}
 ),
@@ -6411,6 +6519,109 @@ SELECT query_id, 'ts' AS col,
 FROM ranked WHERE rank <= 10
 GROUP BY query_id, bucket_epoch
 ORDER BY query_id, bucket_epoch
+"""
+    sqls["result_date_histogram"] = _dh_sql
+
+    # ---- pipeline aggregations over the date_histogram buckets
+    # (query/pipeline_aggs.py). Positional members (cumsum / derivative /
+    # moving / serial_diff) run on the DENSIFIED view — generate_series
+    # zero-fill between each series' min and max bucket, the ES
+    # min_doc_count=0 requirement made explicit; order-statistic members
+    # (bucket_sort / bucket_selector / stats_bucket) run on the raw
+    # buckets. All BIGINT window arithmetic — nothing to drift.
+    _dh_dense = f"""dh AS ({_dh_sql}),
+ext AS (
+  SELECT query_id, col, min(bucket_epoch) AS mn, max(bucket_epoch) AS mx
+  FROM dh GROUP BY query_id, col
+),
+dense AS (
+  SELECT query_id, col,
+         unnest(generate_series(mn, mx, 600)) AS bucket_epoch
+  FROM ext
+),
+base AS (
+  SELECT d.query_id, d.col, d.bucket_epoch,
+         coalesce(dh.n, 0)::BIGINT AS n
+  FROM dense d LEFT JOIN dh USING (query_id, col, bucket_epoch)
+)"""
+
+    sqls["result_cumulative_sum"] = f"""
+WITH {_dh_dense}
+SELECT query_id, col, bucket_epoch, n,
+       (sum(n) OVER (PARTITION BY query_id, col ORDER BY bucket_epoch
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+FROM base
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    sqls["result_derivative"] = f"""
+WITH {_dh_dense},
+d AS (
+  SELECT query_id, col, bucket_epoch,
+         n - lag(n) OVER (PARTITION BY query_id, col
+                          ORDER BY bucket_epoch) AS dn
+  FROM base
+)
+SELECT query_id, col, bucket_epoch, dn::BIGINT AS dn
+FROM d WHERE dn IS NOT NULL
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    sqls["result_moving_sum"] = f"""
+WITH {_dh_dense},
+m AS (
+  SELECT query_id, col, bucket_epoch,
+         sum(n) OVER w AS mvsum, count(n) OVER w AS wn
+  FROM base
+  WINDOW w AS (PARTITION BY query_id, col ORDER BY bucket_epoch
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT query_id, col, bucket_epoch,
+       mvsum::BIGINT AS mvsum, wn::BIGINT AS wn
+FROM m WHERE wn > 0
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    sqls["result_serial_diff"] = f"""
+WITH {_dh_dense},
+d AS (
+  SELECT query_id, col, bucket_epoch,
+         n - lag(n, 2) OVER (PARTITION BY query_id, col
+                             ORDER BY bucket_epoch) AS dn
+  FROM base
+)
+SELECT query_id, col, bucket_epoch, dn::BIGINT AS dn
+FROM d WHERE dn IS NOT NULL
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    sqls["result_bucket_sort"] = f"""
+WITH dh AS ({_dh_sql}),
+p AS (
+  SELECT query_id, col, bucket_epoch, n,
+         row_number() OVER (PARTITION BY query_id, col
+                            ORDER BY n DESC, bucket_epoch ASC) AS pos
+  FROM dh
+)
+SELECT query_id, col, bucket_epoch, n, pos::BIGINT AS pos
+FROM p WHERE pos <= 2
+ORDER BY query_id, col, pos
+"""
+
+    sqls["result_bucket_selector"] = f"""
+WITH dh AS ({_dh_sql})
+SELECT query_id, col, bucket_epoch, n
+FROM dh WHERE n >= 2
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    sqls["result_stats_bucket"] = f"""
+WITH dh AS ({_dh_sql})
+SELECT query_id, col,
+       count(n)::BIGINT AS n_buckets, min(n)::BIGINT AS min_n,
+       max(n)::BIGINT AS max_n, sum(n)::BIGINT AS sum_n
+FROM dh GROUP BY query_id, col
+ORDER BY query_id, col
 """
 
     # ---- top_hits: the transcripts top-10 ranking joined to role/tool,

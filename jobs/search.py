@@ -890,6 +890,73 @@ def _print_date_histogram(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "date_histogram": by_q[i]}))
 
 
+def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
+                    dh_spec, pipe_spec) -> None:
+    """--pipeline OP over the --date-histogram buckets: ES pipeline
+    aggregations (query/pipeline_aggs.py). OP is one of cumsum,
+    derivative, moving_sum:W[:SHIFT], serial_diff:L,
+    bucket_sort:SIZE[:FROM], bucket_selector:PRED, stats_bucket.
+    Positional members (cumsum/derivative/moving_sum/serial_diff) run on
+    the DENSIFIED series (zero-filled gaps — the ES min_doc_count=0
+    requirement); order-statistic members run on the raw buckets. Needs
+    a single-column --date-histogram spec. One JSON line per query."""
+    from searchengine_spark.query.aggregations import (
+        _CALENDAR_SECONDS, date_histogram_counts)
+    from searchengine_spark.query import pipeline_aggs as P
+
+    if "," in dh_spec or ":" not in dh_spec:
+        raise SystemExit("--pipeline needs a single-column "
+                         "--date-histogram COL:INTERVAL spec")
+    col, iv = dh_spec.rsplit(":", 1)
+    ival = int(iv) if iv.isdigit() else _CALENDAR_SECONDS.get(iv)
+    if not ival:
+        raise SystemExit(f"--pipeline cannot resolve interval {iv!r} to "
+                         "seconds")
+    op, _, rest = pipe_spec.partition(":")
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        buckets = date_histogram_counts(hits, attrs, [col.strip()],
+                                        ext_cols, interval=ival)
+        if op in ("cumsum", "derivative", "moving_sum", "serial_diff"):
+            buckets = P.densify_buckets(buckets, ival)
+        if op == "cumsum":
+            out = P.cumulative_sum(buckets)
+        elif op == "derivative":
+            out = P.derivative(buckets)
+        elif op == "moving_sum":
+            w, _, sh = rest.partition(":")
+            out = P.moving_sum(buckets, int(w or 3), shift=int(sh or 0))
+        elif op == "serial_diff":
+            out = P.serial_diff(buckets, int(rest or 1))
+        elif op == "bucket_sort":
+            sz, _, fr = rest.partition(":")
+            out = P.bucket_sort(buckets, int(sz or 5), from_=int(fr or 0))
+        elif op == "bucket_selector":
+            if not rest:
+                raise SystemExit("--pipeline bucket_selector:PRED needs a "
+                                 "SQL predicate over (n, bucket_epoch)")
+            out = P.bucket_selector(buckets, rest)
+        elif op == "stats_bucket":
+            out = P.stats_bucket(buckets)
+        else:
+            raise SystemExit(f"unknown --pipeline op {op!r}")
+        val_cols = [c for c in out.columns if c not in ("query_id",)]
+        for r in out.collect():
+            by_q[r["query_id"]].append(
+                {c: (r[c] if not isinstance(r[c], float) else r[c])
+                 for c in val_cols})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "pipeline": {op: by_q[i]}},
+                         default=str))
+
+
 def _print_percentiles(spark, attrs_path, ext_cols, queries, per_q,
                        pct_spec) -> None:
     """--percentiles COL:P1|P2|...[,COL:...]: ES percentiles aggregation
@@ -1305,6 +1372,9 @@ def _serve_federated(spark, args) -> None:
         if args.date_histogram:
             _print_date_histogram(spark, args.attrs, ext_cols, batch, per_q,
                                   args.date_histogram)
+            if args.pipeline:
+                _print_pipeline(spark, args.attrs, ext_cols, batch, per_q,
+                                args.date_histogram, args.pipeline)
         if args.percentiles:
             _print_percentiles(spark, args.attrs, ext_cols, batch, per_q,
                                args.percentiles)
@@ -2064,6 +2134,17 @@ def main() -> None:
                          "(day|hour|minute or seconds), BIGINT epoch "
                          "buckets — needs --attrs; every ranker, "
                          "--index or --shards")
+    ap.add_argument("--pipeline", default=None,
+                    metavar="OP[:ARGS]",
+                    help="ES pipeline aggregation over the "
+                         "--date-histogram buckets "
+                         "(query/pipeline_aggs.py): cumsum | derivative "
+                         "| moving_sum:W[:SHIFT] | serial_diff:L | "
+                         "bucket_sort:SIZE[:FROM] | bucket_selector:PRED "
+                         "| stats_bucket. Positional ops run on the "
+                         "densified (zero-filled) series; needs a "
+                         "single-column --date-histogram spec + --attrs; "
+                         "every ranker, --index or --shards")
     ap.add_argument("--percentiles", default=None,
                     metavar="COL:P1|P2[,...]",
                     help="ES percentiles-aggregation analog "
@@ -2218,6 +2299,9 @@ def main() -> None:
     if args.top_hits and not args.facets:
         raise SystemExit("--top-hits rides --facets (name the bucket "
                          "columns there)")
+    if args.pipeline and not args.date_histogram:
+        raise SystemExit("--pipeline rides --date-histogram (name the "
+                         "bucketing there)")
     if (args.facets or args.histogram or args.date_histogram
             or args.range or args.composite
             or args.extended_stats or args.matrix_stats
@@ -2597,6 +2681,9 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_date_histogram(spark, args.attrs, ext, queries, per_q,
                                   args.date_histogram)
+            if args.pipeline:
+                _print_pipeline(spark, args.attrs, ext, queries, per_q,
+                                args.date_histogram, args.pipeline)
         if args.percentiles:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_percentiles(spark, args.attrs, ext, queries, per_q,

@@ -1,0 +1,185 @@
+"""Pipeline aggregations (query/pipeline_aggs.py) — the ES derivative /
+cumulative_sum / moving_fn / serial_diff / bucket_sort / bucket_selector /
+stats_bucket analogs over a bucketed first-stage aggregation.
+
+Hand-computed fixtures (tiny bucket frames — the module is pure window
+arithmetic, retrieval composition is gated by the driver entries) plus
+the structural invariants: densify extent/zero-fill, cumsum total ==
+series total, derivative telescopes to last-minus-first, moving frames
+at both shifts, sort truncation, selector == WHERE.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.query.pipeline_aggs import (
+    bucket_selector,
+    bucket_sort,
+    cumulative_sum,
+    densify_buckets,
+    derivative,
+    moving_sum,
+    serial_diff,
+    stats_bucket,
+)
+
+# two series: q0 has a GAP at 1200 (densify must fill it), q1 is dense
+ROWS = [
+    ("q0", "ts", 600, 3),
+    ("q0", "ts", 1800, 1),
+    ("q0", "ts", 2400, 4),
+    ("q1", "ts", 0, 2),
+    ("q1", "ts", 600, 2),
+    ("q1", "ts", 1200, 5),
+]
+SCHEMA = "query_id string, col string, bucket_epoch long, n long"
+
+
+@pytest.fixture(scope="module")
+def buckets(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_densify_fills_gaps_with_zero(buckets):
+    dense = densify_buckets(buckets, 600)
+    got = _rows(dense, "query_id", "bucket_epoch", "n")
+    assert got == sorted([
+        ("q0", 600, 3), ("q0", 1200, 0), ("q0", 1800, 1), ("q0", 2400, 4),
+        ("q1", 0, 2), ("q1", 600, 2), ("q1", 1200, 5),
+    ])
+
+
+def test_densify_rejects_bad_interval(buckets):
+    with pytest.raises(ValueError, match="interval"):
+        densify_buckets(buckets, 0)
+
+
+def test_shape_check_names_missing_column(spark):
+    bad = spark.createDataFrame([("q0", 1, 2)], "query_id string, b long, n long")
+    with pytest.raises(ValueError, match="bucket_epoch"):
+        cumulative_sum(bad)
+
+
+def test_cumulative_sum_running_total(buckets):
+    got = _rows(cumulative_sum(buckets), "query_id", "bucket_epoch", "cum")
+    assert got == sorted([
+        ("q0", 600, 3), ("q0", 1800, 4), ("q0", 2400, 8),
+        ("q1", 0, 2), ("q1", 600, 4), ("q1", 1200, 9),
+    ])
+
+
+def test_cumsum_last_equals_series_total(buckets):
+    cum = cumulative_sum(buckets)
+    last = {r["query_id"]: r["cum"]
+            for r in cum.orderBy("query_id", "bucket_epoch").collect()}
+    totals = {r["query_id"]: r["t"]
+              for r in buckets.groupBy("query_id")
+              .agg({"n": "sum"}).withColumnRenamed("sum(n)", "t").collect()}
+    assert last == totals
+
+
+def test_derivative_skips_first_and_diffs(buckets):
+    dense = densify_buckets(buckets, 600)
+    got = _rows(derivative(dense), "query_id", "bucket_epoch", "dn")
+    assert got == sorted([
+        ("q0", 1200, -3), ("q0", 1800, 1), ("q0", 2400, 3),
+        ("q1", 600, 0), ("q1", 1200, 3),
+    ])
+
+
+def test_derivative_telescopes(buckets):
+    dense = densify_buckets(buckets, 600)
+    d = derivative(dense)
+    sums = {r["query_id"]: r["s"] for r in
+            d.groupBy("query_id").agg({"dn": "sum"})
+            .withColumnRenamed("sum(dn)", "s").collect()}
+    # sum of first differences == last - first
+    assert sums == {"q0": 4 - 3, "q1": 5 - 2}
+
+
+def test_serial_diff_lag2(buckets):
+    dense = densify_buckets(buckets, 600)
+    got = _rows(serial_diff(dense, 2), "query_id", "bucket_epoch", "dn")
+    assert got == sorted([
+        ("q0", 1800, -2), ("q0", 2400, 4),
+        ("q1", 1200, 3),
+    ])
+
+
+def test_serial_diff_lag1_equals_derivative(buckets):
+    dense = densify_buckets(buckets, 600)
+    assert (_rows(serial_diff(dense, 1), "query_id", "bucket_epoch", "dn")
+            == _rows(derivative(dense), "query_id", "bucket_epoch", "dn"))
+
+
+def test_moving_sum_shift0_excludes_current(buckets):
+    dense = densify_buckets(buckets, 600)
+    got = _rows(moving_sum(dense, 2, shift=0),
+                "query_id", "bucket_epoch", "mvsum", "wn")
+    # frame = previous 2 buckets, current excluded; first bucket emits
+    # nothing (empty frame)
+    assert got == sorted([
+        ("q0", 1200, 3, 1), ("q0", 1800, 3, 2), ("q0", 2400, 1, 2),
+        ("q1", 600, 2, 1), ("q1", 1200, 4, 2),
+    ])
+
+
+def test_moving_sum_shift1_includes_current(buckets):
+    dense = densify_buckets(buckets, 600)
+    got = _rows(moving_sum(dense, 2, shift=1),
+                "query_id", "bucket_epoch", "mvsum", "wn")
+    assert got == sorted([
+        ("q0", 600, 3, 1), ("q0", 1200, 3, 2), ("q0", 1800, 1, 2),
+        ("q0", 2400, 5, 2),
+        ("q1", 0, 2, 1), ("q1", 600, 4, 2), ("q1", 1200, 7, 2),
+    ])
+
+
+def test_moving_sum_rejects_bad_shift(buckets):
+    with pytest.raises(ValueError, match="shift"):
+        moving_sum(buckets, 2, shift=2)
+
+
+def test_bucket_sort_truncates_by_count(buckets):
+    got = _rows(bucket_sort(buckets, size=2),
+                "query_id", "pos", "bucket_epoch", "n")
+    assert got == sorted([
+        ("q0", 1, 2400, 4), ("q0", 2, 600, 3),
+        ("q1", 1, 1200, 5), ("q1", 2, 0, 2),  # tie 2/2 -> bucket asc
+    ])
+
+
+def test_bucket_sort_from_offsets_absolute_pos(buckets):
+    got = _rows(bucket_sort(buckets, size=2, from_=1),
+                "query_id", "pos", "bucket_epoch")
+    assert got == sorted([
+        ("q0", 2, 600), ("q0", 3, 1800),
+        ("q1", 2, 0), ("q1", 3, 600),
+    ])
+
+
+def test_bucket_selector_is_where(buckets):
+    got = _rows(bucket_selector(buckets, "n >= 3"),
+                "query_id", "bucket_epoch", "n")
+    assert got == sorted([("q0", 600, 3), ("q0", 2400, 4), ("q1", 1200, 5)])
+    with pytest.raises(ValueError, match="predicate"):
+        bucket_selector(buckets, "  ")
+
+
+def test_stats_bucket_sibling_summary(buckets):
+    got = _rows(stats_bucket(buckets),
+                "query_id", "n_buckets", "min_n", "max_n", "sum_n")
+    assert got == sorted([("q0", 3, 1, 4, 8), ("q1", 3, 2, 5, 9)])
+
+
+def test_stats_bucket_gap_sensitivity_documented(buckets):
+    # densified series sees the zero bucket in min_n — the documented
+    # gap policy (run on the view matching the question)
+    dense = densify_buckets(buckets, 600)
+    got = {r["query_id"]: r["min_n"] for r in stats_bucket(dense).collect()}
+    assert got == {"q0": 0, "q1": 2}
