@@ -2481,6 +2481,45 @@ def q_result_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["doc_id", "n_chars"], ["doc_id"],
     )
 
+def q_result_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation in the exact-arithmetic discipline
+    (query/aggregations.py weighted_avg_agg): over each query's top-10
+    hits, the EXACT numerator/denominator pair of the n_chars average
+    weighted by (doc_id % 7 + 1) — wsum = Σ value·weight and wtot = Σ
+    weight as DOUBLE sums of integer-valued products (exact to 2^53,
+    order-independent), so the float ratio derives client-side and
+    nothing drifts cross-engine. NULL values/weights skip the pair (the
+    ES default without weight.missing) — pytest-gated; the testdata
+    column is fully populated."""
+    from searchengine_spark.query.aggregations import weighted_avg_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    attrs = docs.withColumn(
+        "w", (F.col("doc_id") % 7 + 1).cast("double"))
+    return weighted_avg_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        attrs, "n_chars", "w", ["doc_id"],
+    )
+
+
+def q_result_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation (query/aggregations.py
+    top_metrics_agg): the lang/source values carried by each query's 3
+    largest-n_chars hits among its top-10, 1-based pos, ties on the sort
+    value broken by doc_id ascending (ES leaves per-shard tie order
+    unspecified — unacceptable under a hash gate, so the tiebreak is
+    part of this engine's contract). NULL sort values skip the hit; NULL
+    metrics pass through. The oracle replicates retrieval AND the
+    windowed cut."""
+    from searchengine_spark.query.aggregations import top_metrics_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return top_metrics_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, "n_chars", ["lang", "source"], ["doc_id"], size=3,
+    )
+
+
 # sloppy-phrase fixtures: 2-term phrases at slop 1 + one 3-term at slop 2
 SLOP_PHRASES_2 = ["hash scan", "table join", "stream batch"]
 SLOP_PHRASE_3 = "fast table scan"
@@ -3822,6 +3861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_composite": q_result_composite,
         "result_extended_stats": q_result_extended_stats,
         "result_matrix_stats": q_result_matrix_stats,
+        "result_weighted_avg": q_result_weighted_avg,
+        "result_top_metrics": q_result_top_metrics,
         "result_filters": q_result_filters,
         "result_missing": q_result_missing,
         "result_rare_terms": q_result_rare_terms,
@@ -4435,6 +4476,40 @@ agg AS (
 SELECT query_id, 'doc_id' AS col_a, 'n_chars' AS col_b, n,
        (n * sxy - sx * sy)::BIGINT AS cov_num
 FROM agg ORDER BY query_id
+"""
+
+    # ---- weighted_avg: exact numerator/denominator pair (DOUBLE sums
+    # of integer-valued products — order-independent), ratio client-side
+    sqls["result_weighted_avg"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, d.n_chars::DOUBLE AS v,
+         ((d.doc_id % 7) + 1)::DOUBLE AS w
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, count(*)::BIGINT AS n, sum(v * w) AS wsum,
+       sum(w) AS wtot
+FROM vals GROUP BY query_id ORDER BY query_id
+"""
+
+    # ---- top_metrics: metric values carried by the 3 largest-n_chars
+    # hits, doc_id-ascending tiebreak, NULL sort values skipped
+    sqls["result_top_metrics"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, d.n_chars, d.lang, d.source,
+         row_number() OVER (PARTITION BY h.query_id
+                            ORDER BY d.n_chars DESC, h.doc_id ASC) AS pos
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, pos::BIGINT AS pos, n_chars, lang, source
+FROM vals WHERE pos <= 3 ORDER BY query_id, pos
 """
 
     # ---- composite aggregation: bucket groupBy over non-NULL (source,

@@ -1136,6 +1136,76 @@ def _print_matrix_stats(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "matrix_stats": by_q[i]}))
 
 
+def _print_weighted_avg(spark, attrs_path, ext_cols, queries, per_q,
+                        spec) -> None:
+    """--weighted-avg VALUE:WEIGHT: ES weighted_avg analog
+    (query/aggregations.py; exact wsum/wtot numerator pair; the average
+    derives client-side as wsum/wtot). One JSON line per query."""
+    from searchengine_spark.query.aggregations import weighted_avg_agg
+
+    parts = spec.split(":")
+    if len(parts) != 2 or not all(p.strip() for p in parts):
+        raise SystemExit("--weighted-avg wants VALUE:WEIGHT")
+    value_col, weight_col = (p.strip() for p in parts)
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in weighted_avg_agg(hits, attrs, value_col, weight_col,
+                                  ext_cols).collect():
+            n, wsum, wtot = int(r["n"]), r["wsum"], r["wtot"]
+            by_q[r["query_id"]] = {
+                "n": n, "wsum": wsum, "wtot": wtot,
+                "value": (wsum / wtot) if wtot else None,
+            }
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "weighted_avg": by_q[i]}))
+
+
+def _print_top_metrics(spark, attrs_path, ext_cols, queries, per_q,
+                       spec) -> None:
+    """--top-metrics SORT:M1[,M2...][:SIZE[:asc|desc]]: ES top_metrics
+    analog (query/aggregations.py; the metric values carried by the
+    hits with the extreme sort value, ext-id tiebreak). One JSON line
+    per query."""
+    from searchengine_spark.query.aggregations import top_metrics_agg
+
+    parts = spec.split(":")
+    if len(parts) < 2 or len(parts) > 4:
+        raise SystemExit("--top-metrics wants SORT:M1[,M2...][:SIZE"
+                         "[:asc|desc]]")
+    sort_col = parts[0].strip()
+    metrics = [c.strip() for c in parts[1].split(",") if c.strip()]
+    size = int(parts[2]) if len(parts) > 2 else 1
+    order = parts[3].strip().lower() if len(parts) > 3 else "desc"
+    if order not in ("asc", "desc"):
+        raise SystemExit("--top-metrics order must be asc or desc")
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        out = top_metrics_agg(hits, attrs, sort_col, metrics, ext_cols,
+                              size=size, ascending=(order == "asc"))
+        for r in out.collect():
+            by_q[r["query_id"]].append({
+                "pos": int(r["pos"]), "sort": r[sort_col],
+                "metrics": {m: r[m] for m in metrics if m != sort_col},
+            })
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "top_metrics": by_q[i]},
+                         default=str))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -1333,6 +1403,7 @@ def _serve_federated(spark, args) -> None:
     if (args.filter or args.boost or args.facets or args.histogram
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
+            or args.weighted_avg or args.top_metrics
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
             or args.significant_attrs) and not args.attrs:
@@ -1390,6 +1461,12 @@ def _serve_federated(spark, args) -> None:
         if args.matrix_stats:
             _print_matrix_stats(spark, args.attrs, ext_cols, batch, per_q,
                                 args.matrix_stats)
+        if args.weighted_avg:
+            _print_weighted_avg(spark, args.attrs, ext_cols, batch, per_q,
+                                args.weighted_avg)
+        if args.top_metrics:
+            _print_top_metrics(spark, args.attrs, ext_cols, batch, per_q,
+                               args.top_metrics)
         if args.filters_agg:
             _print_filters_agg(spark, args.attrs, ext_cols, batch, per_q,
                                args.filters_agg)
@@ -2250,6 +2327,20 @@ def main() -> None:
                          "integer covariance numerator per column pair); "
                          "needs --attrs; every ranker, --index or "
                          "--shards")
+    ap.add_argument("--weighted-avg", default=None, metavar="VALUE:WEIGHT",
+                    help="ES weighted_avg analog (query/aggregations.py; "
+                         "exact wsum/wtot numerator pair, average derives "
+                         "as wsum/wtot; NULL value OR weight skips the "
+                         "pair): per query over the result set; needs "
+                         "--attrs; every ranker, --index or --shards")
+    ap.add_argument("--top-metrics", default=None,
+                    metavar="SORT:M1[,M2...][:SIZE[:asc|desc]]",
+                    help="ES top_metrics analog (query/aggregations.py; "
+                         "metric values carried by the hits with the "
+                         "largest/smallest SORT value, ext-id tiebreak, "
+                         "NULL sort skips the hit): per query over the "
+                         "result set; needs --attrs; every ranker, "
+                         "--index or --shards")
     ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
                     help="ES histogram-aggregation analog "
                          "(query/aggregations.py): per query, bucket the "
@@ -2305,6 +2396,7 @@ def main() -> None:
     if (args.facets or args.histogram or args.date_histogram
             or args.range or args.composite
             or args.extended_stats or args.matrix_stats
+            or args.weighted_avg or args.top_metrics
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
             or args.significant_attrs
@@ -2704,6 +2796,14 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_matrix_stats(spark, args.attrs, ext, queries, per_q,
                                 args.matrix_stats)
+        if args.weighted_avg:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_weighted_avg(spark, args.attrs, ext, queries, per_q,
+                                args.weighted_avg)
+        if args.top_metrics:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_top_metrics(spark, args.attrs, ext, queries, per_q,
+                               args.top_metrics)
         if args.filters_agg:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_filters_agg(spark, args.attrs, ext, queries, per_q,

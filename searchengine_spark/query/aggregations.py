@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # - ``percentiles``: EXACT nearest-rank percentiles (the classic
@@ -679,4 +679,78 @@ def stats_agg(
             F.sum("value").alias("sum"),
         )
         .orderBy("query_id", "col")
+    )
+
+
+def weighted_avg_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, n, wsum, wtot): ES ``weighted_avg`` aggregation over
+    each query's result set — the weighted average of ``value_col``
+    weighted by ``weight_col``, emitted as its EXACT numerator/denominator
+    pair (wsum = Σ value·weight, wtot = Σ weight, both DOUBLE sums of
+    the column product — integer attributes stay exact to 2^53) so the
+    average is the client-side wsum/wtot, the repo's no-float-ratio
+    discipline (see ``stats_agg``). Skip policy follows ES: a hit whose
+    VALUE is NULL is skipped entirely; a non-NULL value with a NULL
+    weight is skipped too (ES requires ``weight.missing`` to opt into
+    counting those — a default weight parameter here would silently
+    change wtot, so refusal-by-skip is the conservative analog). ``n``
+    counts the (value, weight) pairs that contributed. One bounded join
+    + one partial-aggregable groupBy — corpus size never appears."""
+    joined = _checked_join(results, attrs, [value_col, weight_col],
+                           ext_cols)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    pairs = joined.filter(v.isNotNull() & w.isNotNull())
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(v * w).alias("wsum"),
+            F.sum(w).alias("wtot"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def top_metrics_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    sort_col: str,
+    metric_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    size: int = 1,
+    ascending: bool = False,
+) -> DataFrame:
+    """-> (query_id, pos, <sort_col>, <metric_cols...>): ES
+    ``top_metrics`` aggregation over each query's result set — the
+    metric column values carried by the hit(s) with the largest (or
+    smallest, ``ascending``) ``sort_col``, ``size`` rows per query with
+    1-based ``pos``. Deterministic: ties on the sort value break by the
+    external id columns ascending (ES leaves sort-tie order unspecified
+    per shard — unacceptable for a hash-gated contract). Hits with a
+    NULL sort value are skipped (the ES default); NULL metric values
+    pass through as NULL (top_metrics reports what the top doc has,
+    missing included). The window runs over the bounded hit set —
+    corpus size never appears."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    cols = [sort_col] + [c for c in metric_cols if c != sort_col]
+    joined = _checked_join(results, attrs, cols, ext_cols)
+    sort = (F.col(sort_col).asc() if ascending
+            else F.col(sort_col).desc())
+    w = Window.partitionBy("query_id").orderBy(
+        sort, *[F.col(c).asc() for c in ext_cols])
+    return (
+        joined.filter(F.col(sort_col).isNotNull())
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= size)
+        .select("query_id", "pos", sort_col,
+                *[c for c in metric_cols if c != sort_col])
+        .orderBy("query_id", "pos")
     )

@@ -475,3 +475,59 @@ def test_adjacency_matrix_pairs(spark, bucket_frames):
                     ("english", "lang = 'en'")],
                    ["ext_id"]).collect()}
     assert swapped == {k: v for k, v in got.items()}
+
+
+def test_weighted_avg_exact(spark, frames):
+    from searchengine_spark.query.aggregations import weighted_avg_agg
+
+    hits, attrs = frames
+    got = {r["query_id"]: (r["n"], r["wsum"], r["wtot"])
+           for r in weighted_avg_agg(hits, attrs, "n_chars", "delta",
+                                     ["ext_id"]).collect()}
+    # q0: doc1 (95, -7.5) + doc2 (100, 2.5); doc3's NULL weight skips the
+    # pair entirely (ES needs weight.missing to count it). q1: doc2 only
+    # (doc4's value is NULL -> skipped).
+    assert got == {
+        0: (2, 95 * -7.5 + 100 * 2.5, -5.0),
+        1: (1, 250.0, 2.5),
+    }
+    # weighted average derives client-side: wsum / wtot
+    assert got[0][1] / got[0][2] == pytest.approx(92.5)
+
+
+def test_top_metrics_sorted(spark, frames):
+    from searchengine_spark.query.aggregations import top_metrics_agg
+
+    hits, attrs = frames
+    rows = top_metrics_agg(hits, attrs, "n_chars", ["delta"], ["ext_id"],
+                           size=2).collect()
+    got = [(r["query_id"], r["pos"], r["n_chars"], r["delta"])
+           for r in rows]
+    # q0 n_chars desc: doc3 (139, delta NULL passes through), doc2 (100);
+    # q1: doc2 only (doc4's NULL sort value is skipped, never ranked)
+    assert got == [
+        (0, 1, 139, None),
+        (0, 2, 100, 2.5),
+        (1, 1, 100, 2.5),
+    ]
+    asc = top_metrics_agg(hits, attrs, "n_chars", ["delta"], ["ext_id"],
+                          size=1, ascending=True).collect()
+    assert [(r["query_id"], r["n_chars"], r["delta"]) for r in asc] == [
+        (0, 95, -7.5), (1, 100, 2.5)]
+    with pytest.raises(ValueError, match="size"):
+        top_metrics_agg(hits, attrs, "n_chars", ["delta"], ["ext_id"],
+                        size=0)
+
+
+def test_top_metrics_ties_break_by_ext_id(spark):
+    from searchengine_spark.query.aggregations import top_metrics_agg
+
+    hits = spark.createDataFrame(
+        [(0, 2), (0, 1), (0, 3)], "query_id int, ext_id long")
+    attrs = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b"), (3, 100, "c")],
+        "ext_id long, v long, m string")
+    rows = top_metrics_agg(hits, attrs, "v", ["m"], ["ext_id"],
+                           size=2).collect()
+    # all sort values tie -> deterministic ext_id-ascending order
+    assert [(r["pos"], r["m"]) for r in rows] == [(1, "a"), (2, "b")]
