@@ -2520,6 +2520,78 @@ def q_result_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_PROBES = (150.0, 300.0, 450.0)  # percentile_ranks probe values
+
+
+def q_result_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation (query/aggregations.py
+    percentile_ranks_agg) — the inverse of percentiles: for each probe
+    value, the EXACT count pair (n_le = #hits' n_chars <= probe, n =
+    #observed) over each query's top-10 hits; the rank percent is the
+    client-side 100*n_le/n (ES t-digest-interpolates — over a bounded
+    window the exact empirical CDF is strictly better and nothing can
+    drift cross-engine: comparisons and counts only)."""
+    from searchengine_spark.query.aggregations import percentile_ranks_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return percentile_ranks_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"], values=PR_PROBES,
+    )
+
+
+def q_result_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot aggregation (query/aggregations.py boxplot_agg):
+    five-number summary of n_chars over each query's top-10 hits,
+    quartiles by the EXACT nearest-rank rule ((p*n+99) div 100 — the
+    percentiles_agg arithmetic; ES's t-digest interpolates, but a
+    bounded hit window wants an actual observed element so Spark and
+    DuckDB land on the same value bit-for-bit)."""
+    from searchengine_spark.query.aggregations import boxplot_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return boxplot_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"],
+    )
+
+
+def q_result_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation aggregation (query/aggregations.py
+    median_absolute_deviation_agg): median(|x - median(x)|) of n_chars
+    over each query's top-10 hits, BOTH medians nearest-rank exact —
+    deviations of integer-valued doubles are exact, so the whole row
+    reproduces bit-for-bit (ES approximates via t-digest)."""
+    from searchengine_spark.query.aggregations import (
+        median_absolute_deviation_agg,
+    )
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return median_absolute_deviation_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["n_chars"], ["doc_id"],
+    )
+
+
+def q_result_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation (query/aggregations.py
+    multi_terms_agg): (source, lang) value-TUPLE buckets over each
+    query's top-10 hits, count-descending with the top-3 cut — the
+    composite-key sibling of the terms/facet aggregation. A hit with a
+    NULL in either source column drops entirely (the ES contract); ties
+    on the count break by the value tuple ascending (ES leaves tie
+    order to shard luck — the tiebreak is this engine's contract so the
+    row set hash-gates). The oracle replicates retrieval, the NULL
+    drop, AND the windowed cut."""
+    from searchengine_spark.query.aggregations import multi_terms_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return multi_terms_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["source", "lang"], ["doc_id"], size=3,
+    )
+
+
 # sloppy-phrase fixtures: 2-term phrases at slop 1 + one 3-term at slop 2
 SLOP_PHRASES_2 = ["hash scan", "table join", "stream batch"]
 SLOP_PHRASE_3 = "fast table scan"
@@ -3863,6 +3935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_matrix_stats": q_result_matrix_stats,
         "result_weighted_avg": q_result_weighted_avg,
         "result_top_metrics": q_result_top_metrics,
+        "result_percentile_ranks": q_result_percentile_ranks,
+        "result_boxplot": q_result_boxplot,
+        "result_mad": q_result_mad,
+        "result_multi_terms": q_result_multi_terms,
         "result_filters": q_result_filters,
         "result_missing": q_result_missing,
         "result_rare_terms": q_result_rare_terms,
@@ -4510,6 +4586,108 @@ vals AS (
 )
 SELECT query_id, pos::BIGINT AS pos, n_chars, lang, source
 FROM vals WHERE pos <= 3 ORDER BY query_id, pos
+"""
+
+    # ---- percentile_ranks: exact empirical-CDF count pairs per probe
+    _probes = ", ".join(repr(v) for v in PR_PROBES)
+    sqls["result_percentile_ranks"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, 'n_chars' AS col, d.n_chars::DOUBLE AS v
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+),
+p AS (SELECT unnest([{_probes}])::DOUBLE AS probe)
+SELECT query_id, col, p.probe AS value,
+       sum(CASE WHEN v <= p.probe THEN 1 ELSE 0 END)::BIGINT AS n_le,
+       count(*)::BIGINT AS n
+FROM vals CROSS JOIN p
+GROUP BY query_id, col, p.probe
+ORDER BY query_id, col, value
+"""
+
+    # ---- boxplot: five-number summary, nearest-rank quartiles — the
+    # same (p*n+99) div 100 element pick as the percentiles oracle
+    sqls["result_boxplot"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, 'n_chars' AS col, d.n_chars::DOUBLE AS v
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+),
+srt AS (
+  SELECT query_id, col, v,
+         row_number() OVER (PARTITION BY query_id, col ORDER BY v ASC) AS rn,
+         count(*) OVER (PARTITION BY query_id, col) AS n
+  FROM vals
+)
+SELECT query_id, col,
+       max(CASE WHEN rn = 1 THEN v END) AS min,
+       max(CASE WHEN rn = greatest(1, (25 * n + 99) // 100) THEN v END) AS q1,
+       max(CASE WHEN rn = greatest(1, (50 * n + 99) // 100) THEN v END) AS q2,
+       max(CASE WHEN rn = greatest(1, (75 * n + 99) // 100) THEN v END) AS q3,
+       max(CASE WHEN rn = n THEN v END) AS max
+FROM srt GROUP BY query_id, col ORDER BY query_id, col
+"""
+
+    # ---- median_absolute_deviation: nearest-rank median of |x - m|
+    sqls["result_mad"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, 'n_chars' AS col, d.n_chars::DOUBLE AS v
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+),
+srt AS (
+  SELECT query_id, col, v,
+         row_number() OVER (PARTITION BY query_id, col ORDER BY v ASC) AS rn,
+         count(*) OVER (PARTITION BY query_id, col) AS n
+  FROM vals
+),
+med AS (
+  SELECT query_id, col, v AS median
+  FROM srt WHERE rn = greatest(1, (50 * n + 99) // 100)
+),
+dsrt AS (
+  SELECT s.query_id, s.col, m.median, abs(s.v - m.median) AS d,
+         row_number() OVER (PARTITION BY s.query_id, s.col
+                            ORDER BY abs(s.v - m.median) ASC) AS rn,
+         count(*) OVER (PARTITION BY s.query_id, s.col) AS n
+  FROM srt s JOIN med m USING (query_id, col)
+)
+SELECT query_id, col, median, d AS mad
+FROM dsrt WHERE rn = greatest(1, (50 * n + 99) // 100)
+ORDER BY query_id, col
+"""
+
+    # ---- multi_terms: (source, lang) tuple buckets, count-desc with
+    # the top-3 cut, value-tuple-ascending tiebreak, NULLs drop the doc
+    sqls["result_multi_terms"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, d.source, d.lang
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+),
+b AS (
+  SELECT query_id, source, lang, count(*)::BIGINT AS n
+  FROM vals GROUP BY query_id, source, lang
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n DESC, source ASC, lang ASC) AS rank
+  FROM b
+)
+SELECT query_id, rank::BIGINT AS rank, source, lang, n
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
 """
 
     # ---- composite aggregation: bucket groupBy over non-NULL (source,

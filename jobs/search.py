@@ -1206,6 +1206,133 @@ def _print_top_metrics(spark, attrs_path, ext_cols, queries, per_q,
                          default=str))
 
 
+def _print_percentile_ranks(spark, attrs_path, ext_cols, queries, per_q,
+                            spec) -> None:
+    """--percentile-ranks COL:V1|V2[,COL:...]: ES percentile_ranks
+    analog (query/aggregations.py; exact n_le/n count pairs — the rank
+    percent derives client-side as 100*n_le/n). One JSON line per
+    query."""
+    from searchengine_spark.query.aggregations import percentile_ranks_agg
+
+    specs = []
+    for part in spec.split(","):
+        if ":" not in part:
+            raise SystemExit(
+                f"--percentile-ranks expects COL:V1|V2|..., got {part!r}")
+        c, vs = part.rsplit(":", 1)
+        try:
+            specs.append((c.strip(), [float(x) for x in vs.split("|")]))
+        except ValueError:
+            raise SystemExit(f"--percentile-ranks wants numeric values "
+                             f"in {part!r}")
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for col, values in specs:
+            for r in percentile_ranks_agg(hits, attrs, [col], ext_cols,
+                                          values=values).collect():
+                n_le, n = int(r["n_le"]), int(r["n"])
+                by_q[r["query_id"]].setdefault(col, []).append({
+                    "value": r["value"], "n_le": n_le, "n": n,
+                    "rank_pct": (100.0 * n_le / n) if n else None,
+                })
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "percentile_ranks": by_q[i]}))
+
+
+def _print_boxplot(spark, attrs_path, ext_cols, queries, per_q,
+                   cols_spec) -> None:
+    """--boxplot COL[,COL...]: ES boxplot analog (query/aggregations.py;
+    five-number summary, EXACT nearest-rank quartiles). One JSON line
+    per query."""
+    from searchengine_spark.query.aggregations import boxplot_agg
+
+    cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in boxplot_agg(hits, attrs, cols, ext_cols).collect():
+            by_q[r["query_id"]][r["col"]] = {
+                "min": r["min"], "q1": r["q1"], "q2": r["q2"],
+                "q3": r["q3"], "max": r["max"],
+            }
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "boxplot": by_q[i]}))
+
+
+def _print_mad(spark, attrs_path, ext_cols, queries, per_q,
+               cols_spec) -> None:
+    """--mad COL[,COL...]: ES median_absolute_deviation analog
+    (query/aggregations.py; EXACT nearest-rank median of |x - median|).
+    One JSON line per query."""
+    from searchengine_spark.query.aggregations import (
+        median_absolute_deviation_agg,
+    )
+
+    cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in median_absolute_deviation_agg(
+                hits, attrs, cols, ext_cols).collect():
+            by_q[r["query_id"]][r["col"]] = {
+                "median": r["median"], "mad": r["mad"]}
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "mad": by_q[i]}))
+
+
+def _print_multi_terms(spark, attrs_path, ext_cols, queries, per_q,
+                       spec) -> None:
+    """--multi-terms COLA,COLB[:SIZE]: ES multi_terms analog
+    (query/aggregations.py; tuple buckets count-desc, value-asc
+    tiebreak, NULL in any source drops the doc). One JSON line per
+    query."""
+    from searchengine_spark.query.aggregations import multi_terms_agg
+
+    parts = spec.split(":")
+    if len(parts) > 2:
+        raise SystemExit("--multi-terms wants COLA,COLB[:SIZE]")
+    cols = [c.strip() for c in parts[0].split(",") if c.strip()]
+    size = int(parts[1]) if len(parts) > 1 else 10
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        out = multi_terms_agg(hits, attrs, cols, ext_cols, size=size)
+        for r in out.collect():
+            by_q[r["query_id"]].append({
+                "rank": int(r["rank"]),
+                "key": [r[c] for c in cols],
+                "n": int(r["n"]),
+            })
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "multi_terms": by_q[i]},
+                         default=str))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -1404,6 +1531,8 @@ def _serve_federated(spark, args) -> None:
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
             or args.weighted_avg or args.top_metrics
+            or args.percentile_ranks or args.boxplot or args.mad
+            or args.multi_terms
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
             or args.significant_attrs) and not args.attrs:
@@ -1467,6 +1596,18 @@ def _serve_federated(spark, args) -> None:
         if args.top_metrics:
             _print_top_metrics(spark, args.attrs, ext_cols, batch, per_q,
                                args.top_metrics)
+        if args.percentile_ranks:
+            _print_percentile_ranks(spark, args.attrs, ext_cols, batch,
+                                    per_q, args.percentile_ranks)
+        if args.boxplot:
+            _print_boxplot(spark, args.attrs, ext_cols, batch, per_q,
+                           args.boxplot)
+        if args.mad:
+            _print_mad(spark, args.attrs, ext_cols, batch, per_q,
+                       args.mad)
+        if args.multi_terms:
+            _print_multi_terms(spark, args.attrs, ext_cols, batch, per_q,
+                               args.multi_terms)
         if args.filters_agg:
             _print_filters_agg(spark, args.attrs, ext_cols, batch, per_q,
                                args.filters_agg)
@@ -2341,6 +2482,35 @@ def main() -> None:
                          "NULL sort skips the hit): per query over the "
                          "result set; needs --attrs; every ranker, "
                          "--index or --shards")
+    ap.add_argument("--percentile-ranks", default=None,
+                    metavar="COL:V1|V2[,COL:...]",
+                    help="ES percentile_ranks analog "
+                         "(query/aggregations.py; the inverse of "
+                         "--percentiles — exact n_le/n count pairs per "
+                         "probe value, rank percent derives as "
+                         "100*n_le/n): per query over the result set; "
+                         "needs --attrs; every ranker, --index or "
+                         "--shards")
+    ap.add_argument("--boxplot", default=None, metavar="COL[,COL...]",
+                    help="ES boxplot analog (query/aggregations.py; "
+                         "five-number summary, EXACT nearest-rank "
+                         "quartiles — never interpolated): per query "
+                         "over the result set; needs --attrs; every "
+                         "ranker, --index or --shards")
+    ap.add_argument("--mad", default=None, metavar="COL[,COL...]",
+                    help="ES median_absolute_deviation analog "
+                         "(query/aggregations.py; nearest-rank median "
+                         "of |x - median|, both medians exact): per "
+                         "query over the result set; needs --attrs; "
+                         "every ranker, --index or --shards")
+    ap.add_argument("--multi-terms", default=None,
+                    metavar="COLA,COLB[:SIZE]",
+                    help="ES multi_terms analog (query/aggregations.py; "
+                         "value-TUPLE buckets count-desc with top-SIZE "
+                         "cut, value-asc tiebreak, NULL in any source "
+                         "column drops the doc): per query over the "
+                         "result set; needs --attrs; every ranker, "
+                         "--index or --shards")
     ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
                     help="ES histogram-aggregation analog "
                          "(query/aggregations.py): per query, bucket the "
@@ -2397,6 +2567,8 @@ def main() -> None:
             or args.range or args.composite
             or args.extended_stats or args.matrix_stats
             or args.weighted_avg or args.top_metrics
+            or args.percentile_ranks or args.boxplot or args.mad
+            or args.multi_terms
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
             or args.significant_attrs
@@ -2804,6 +2976,21 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_top_metrics(spark, args.attrs, ext, queries, per_q,
                                args.top_metrics)
+        if args.percentile_ranks:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_percentile_ranks(spark, args.attrs, ext, queries,
+                                    per_q, args.percentile_ranks)
+        if args.boxplot:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_boxplot(spark, args.attrs, ext, queries, per_q,
+                           args.boxplot)
+        if args.mad:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_mad(spark, args.attrs, ext, queries, per_q, args.mad)
+        if args.multi_terms:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_multi_terms(spark, args.attrs, ext, queries, per_q,
+                               args.multi_terms)
         if args.filters_agg:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_filters_agg(spark, args.attrs, ext, queries, per_q,

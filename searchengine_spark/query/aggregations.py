@@ -754,3 +754,160 @@ def top_metrics_agg(
                 *[c for c in metric_cols if c != sort_col])
         .orderBy("query_id", "pos")
     )
+
+
+def percentile_ranks_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    values: Sequence[float],
+) -> DataFrame:
+    """-> (query_id, col, value, n_le, n): ES ``percentile_ranks``
+    aggregation over each query's result set — the inverse of
+    ``percentiles``: for each probe ``value``, what fraction of the
+    observed values is <= it. Exact by construction: the row carries
+    the COUNT PAIR (n_le = #observed <= value, n = #observed) and the
+    percent derives client-side as 100*n_le/n — emitting the float
+    would force a rounding policy on comparisons-only arithmetic (ES
+    itself t-digest-interpolates; over a bounded hit window the exact
+    empirical CDF is strictly better). NULLs skip; every requested
+    probe value emits for every (query, col) with >= 1 observation.
+    One partial-aggregable exchange after the probe fan-out."""
+    vs = sorted({float(v) for v in values})
+    if not vs:
+        raise ValueError("values must name at least one probe value")
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    fanned = pairs.select(
+        "query_id", "col", "value",
+        F.explode(F.array(*[F.lit(v) for v in vs])).alias("probe"),
+    )
+    return (
+        fanned.groupBy("query_id", "col", "probe")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("probe"), 1)
+                  .otherwise(0)).cast("long").alias("n_le"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("query_id", "col", F.col("probe").alias("value"),
+                "n_le", "n")
+        .orderBy("query_id", "col", "value")
+    )
+
+
+def _nearest_rank_idx(pct: int, arr_col: str):
+    """1-based nearest-rank index ``(pct*n + 99) div 100`` floored at 1
+    over ``size(arr_col)`` — the percentiles_agg arithmetic (integer
+    ``div``, never float division), shared by boxplot/MAD."""
+    return F.greatest(
+        F.lit(1),
+        F.expr(f"({int(pct)} * size({arr_col}) + 99) div 100"),
+    ).cast("int")
+
+
+def boxplot_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, min, q1, q2, q3, max): ES ``boxplot``
+    aggregation over each query's result set — five-number summary per
+    numeric column, quartiles by the EXACT nearest-rank rule
+    (percentiles_agg's (p*n+99) div 100 — ES's t-digest interpolates;
+    a bounded hit window wants an actual observed element so nothing
+    drifts cross-engine). NULLs skip; a (query, col) group with no
+    values emits nothing. One sorted collect bounded by queries x k."""
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    arr = pairs.groupBy("query_id", "col").agg(
+        F.sort_array(F.collect_list("value")).alias("vals")
+    )
+    n = F.size("vals")
+    return (
+        arr.select(
+            "query_id", "col",
+            F.element_at("vals", 1).alias("min"),
+            F.element_at("vals", _nearest_rank_idx(25, "vals")).alias("q1"),
+            F.element_at("vals", _nearest_rank_idx(50, "vals")).alias("q2"),
+            F.element_at("vals", _nearest_rank_idx(75, "vals")).alias("q3"),
+            F.element_at("vals", n).alias("max"),
+        )
+        .orderBy("query_id", "col")
+    )
+
+
+def median_absolute_deviation_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    num_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, median, mad): ES
+    ``median_absolute_deviation`` aggregation over each query's result
+    set — median(|x - median(x)|) per numeric column, BOTH medians by
+    the exact nearest-rank rule (ES approximates via t-digest; over a
+    bounded window the deviations |x - m| of integer-valued doubles
+    are exact, so the whole row is reproducible bit-for-bit). NULLs
+    skip. Zero extra exchange beyond the shared sorted collect: the
+    deviation array derives from the collected values with
+    higher-order functions (transform -> array_sort -> element_at)."""
+    pairs = _melt_numeric(
+        _checked_join(results, attrs, num_cols, ext_cols), num_cols
+    )
+    arr = pairs.groupBy("query_id", "col").agg(
+        F.sort_array(F.collect_list("value")).alias("vals")
+    )
+    med = F.element_at("vals", _nearest_rank_idx(50, "vals"))
+    with_med = arr.select("query_id", "col", "vals",
+                          med.alias("median"))
+    devs = F.array_sort(F.transform(
+        "vals", lambda v: F.abs(v - F.col("median"))))
+    return (
+        with_med.select(
+            "query_id", "col", "median",
+            F.element_at(devs, _nearest_rank_idx(50, "vals"))
+            .alias("mad"),
+        )
+        .orderBy("query_id", "col")
+    )
+
+
+def multi_terms_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    cols: Sequence[str],
+    ext_cols: Sequence[str],
+    size: int = 10,
+) -> DataFrame:
+    """-> (query_id, rank, <cols...>, n): ES ``multi_terms``
+    aggregation over each query's result set — bucket counts per TUPLE
+    of attribute values (the composite-key sibling of the terms/facet
+    aggregation), count-descending with the top-``size`` cut. A doc
+    with a NULL in ANY source column drops from the bucketing entirely
+    (the ES multi_terms contract — same rule as composite). Ties on
+    the count break by the value tuple ascending (ES leaves tie order
+    to shard luck; the tiebreak is this engine's contract so the row
+    set hash-gates). One partial-aggregable groupBy + one bounded
+    window."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if len(cols) < 2:
+        raise ValueError("multi_terms wants >= 2 source columns "
+                         "(use facets/terms for one)")
+    joined = _checked_join(results, attrs, cols, ext_cols)
+    for c in cols:
+        joined = joined.filter(F.col(c).isNotNull())
+    counted = joined.groupBy("query_id", *cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), *[F.col(c).asc() for c in cols])
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= size)
+        .select("query_id", "rank", *cols, "n")
+        .orderBy("query_id", "rank")
+    )

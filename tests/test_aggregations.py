@@ -531,3 +531,82 @@ def test_top_metrics_ties_break_by_ext_id(spark):
                            size=2).collect()
     # all sort values tie -> deterministic ext_id-ascending order
     assert [(r["pos"], r["m"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_percentile_ranks_count_pairs(spark, frames):
+    from searchengine_spark.query.aggregations import percentile_ranks_agg
+
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"], r["value"]): (r["n_le"], r["n"])
+           for r in percentile_ranks_agg(
+               hits, attrs, ["n_chars", "delta"], ["ext_id"],
+               values=(99, 139)).collect()}
+    # q0 n_chars [95, 100, 139]; q1 [100] (doc4 NULL skips)
+    assert got[(0, "n_chars", 99.0)] == (1, 3)
+    assert got[(0, "n_chars", 139.0)] == (3, 3)
+    assert got[(1, "n_chars", 99.0)] == (0, 1)
+    assert got[(1, "n_chars", 139.0)] == (1, 1)
+    # rank percent derives client-side: 100 * n_le / n
+    assert 100 * got[(0, "n_chars", 99.0)][0] / 3 == pytest.approx(33.333, abs=1e-3)
+    with pytest.raises(ValueError, match="probe"):
+        percentile_ranks_agg(hits, attrs, ["n_chars"], ["ext_id"],
+                             values=())
+
+
+def test_boxplot_nearest_rank(spark, frames):
+    from searchengine_spark.query.aggregations import boxplot_agg
+
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"]):
+           (r["min"], r["q1"], r["q2"], r["q3"], r["max"])
+           for r in boxplot_agg(hits, attrs, ["n_chars", "delta"],
+                                ["ext_id"]).collect()}
+    # q0 n_chars [95,100,139]: quartile idx (p*3+99) div 100 -> 1,2,3
+    assert got[(0, "n_chars")] == (95.0, 95.0, 100.0, 139.0, 139.0)
+    assert got[(1, "n_chars")] == (100.0,) * 5
+    # q0 delta [-7.5, 2.5]: q1/q2 -> idx 1, q3 -> idx 2
+    assert got[(0, "delta")] == (-7.5, -7.5, -7.5, 2.5, 2.5)
+
+
+def test_mad_exact(spark, frames):
+    from searchengine_spark.query.aggregations import (
+        median_absolute_deviation_agg,
+    )
+
+    hits, attrs = frames
+    got = {(r["query_id"], r["col"]): (r["median"], r["mad"])
+           for r in median_absolute_deviation_agg(
+               hits, attrs, ["n_chars"], ["ext_id"]).collect()}
+    # q0 [95,100,139]: median 100, |x-100| sorted [0,5,39] -> mad 5
+    assert got[(0, "n_chars")] == (100.0, 5.0)
+    assert got[(1, "n_chars")] == (100.0, 0.0)
+
+
+def test_multi_terms_tuple_buckets(spark):
+    from searchengine_spark.query.aggregations import multi_terms_agg
+
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 1)],
+        "query_id int, ext_id long")
+    attrs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "a", "x"), (4, "b", "y"),
+         (5, None, "x")],
+        "ext_id long, t1 string, t2 string")
+    rows = multi_terms_agg(hits, attrs, ["t1", "t2"], ["ext_id"],
+                           size=10).collect()
+    got = [(r["query_id"], r["rank"], r["t1"], r["t2"], r["n"])
+           for r in rows]
+    # doc5's NULL t1 drops it entirely (ES multi_terms contract);
+    # count tie (a,x)=2 vs (b,y)=2 breaks by the value tuple ascending
+    assert got == [
+        (0, 1, "a", "x", 2),
+        (0, 2, "b", "y", 2),
+        (1, 1, "a", "x", 1),
+    ]
+    cut = multi_terms_agg(hits, attrs, ["t1", "t2"], ["ext_id"],
+                          size=1).collect()
+    assert [(r["query_id"], r["t1"]) for r in cut] == [(0, "a"), (1, "a")]
+    with pytest.raises(ValueError, match="size"):
+        multi_terms_agg(hits, attrs, ["t1", "t2"], ["ext_id"], size=0)
+    with pytest.raises(ValueError, match=">= 2"):
+        multi_terms_agg(hits, attrs, ["t1"], ["ext_id"])
