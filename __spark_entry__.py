@@ -1040,6 +1040,50 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_documents(spark, sf_dir))
 
 
+PACK_BUDGET, PACK_BUCKETS = 256, 8  # training-sequence packing params
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk training-sequence packing plan
+    (textops/packing.py pack_concat_chunks): documents hash into 8
+    independent token streams (md5-hex15-mod — the shards rule, exact
+    cross-engine), lay head-to-tail in id order, and the stream cuts
+    into 256-token windows; tok_start/tok_end are [start, end) stream
+    offsets and chunk_first..chunk_last the windows the doc occupies
+    (straddlers span several — the concat semantics). One window cumsum
+    per bucket, integer arithmetic end-to-end. The oracle replicates
+    the hash, the cumsum, AND the integer-div window math."""
+    from searchengine_spark.textops.packing import pack_concat_chunks
+
+    return pack_concat_chunks(
+        _documents(spark, sf_dir), max_tokens=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+    )
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split first-fit training-sequence packing
+    (textops/packing.py pack_greedy): whole documents fill bucket-local
+    sequences in id order; a new sequence opens when the current one
+    cannot hold the next doc, overlong docs take a sequence ALONE and
+    close it (truncated=1 only when strictly over budget). The scan is
+    sequential per bucket — one Arrow batch over (id, n_tokens)
+    metadata. The oracle replicates the whole state machine with a
+    recursive CTE, so any drift in the open-sequence/fill transitions
+    hash-mismatches. truncated emits as BIGINT 0/1 (the repo's
+    counts-are-BIGINT rule)."""
+    from searchengine_spark.textops.packing import pack_greedy
+
+    out = pack_greedy(
+        _documents(spark, sf_dir), max_tokens=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+    )
+    return out.select(
+        "id", "bucket", "seq", "seq_offset", "n_tokens",
+        F.col("truncated").cast("long").alias("truncated"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.textops import extract_features, with_binary_payload
 
@@ -3863,6 +3907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "token_stats": q_token_stats,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -6430,6 +6476,79 @@ SELECT doc_id AS id,
        len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
        len(regexp_extract_all(text, {bpe_sql}))::BIGINT AS bpe_tokens
 FROM documents
+"""
+
+    # ---- training-sequence packing: concat-and-chunk — md5-hex15-mod
+    # bucket hash, per-bucket id-order cumsum, integer-div windows
+    _pack_base = f"""
+base AS (
+  SELECT doc_id AS id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+          % {PACK_BUCKETS})::INT AS bucket,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+nz AS (SELECT * FROM base WHERE n_tokens > 0)"""
+    sqls["pack_chunks"] = f"""
+WITH {_pack_base.strip()},
+c AS (
+  SELECT id, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS tok_start
+  FROM nz
+)
+SELECT id, bucket, n_tokens, tok_start,
+       (tok_start + n_tokens)::BIGINT AS tok_end,
+       (tok_start // {PACK_BUDGET})::BIGINT AS chunk_first,
+       ((tok_start + n_tokens - 1) // {PACK_BUDGET})::BIGINT AS chunk_last
+FROM c ORDER BY bucket, id
+"""
+
+    # ---- greedy no-split packing: the whole first-fit state machine
+    # (open sequence index + fill) replayed per bucket as a recursive
+    # CTE — any transition drift vs the Spark kernel hash-mismatches
+    _B = PACK_BUDGET
+    sqls["pack_greedy"] = f"""
+WITH RECURSIVE {_pack_base.strip()},
+srt AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+  FROM nz
+),
+rec AS (
+  SELECT bucket, rn, id, n_tokens,
+         0::BIGINT AS seq,
+         0::BIGINT AS seq_offset,
+         (CASE WHEN n_tokens > {_B} THEN 1 ELSE 0 END)::BIGINT AS truncated,
+         (CASE WHEN n_tokens >= {_B} THEN 1 ELSE 0 END)::BIGINT AS open_seq,
+         (CASE WHEN n_tokens >= {_B} THEN 0 ELSE n_tokens END)::BIGINT AS fill
+  FROM srt WHERE rn = 1
+  UNION ALL
+  SELECT s.bucket, s.rn, s.id, s.n_tokens,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN
+              r.open_seq + (CASE WHEN r.fill > 0 THEN 1 ELSE 0 END)
+            WHEN r.fill + s.n_tokens > {_B} THEN r.open_seq + 1
+            ELSE r.open_seq END)::BIGINT AS seq,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN 0
+            WHEN r.fill + s.n_tokens > {_B} THEN 0
+            ELSE r.fill END)::BIGINT AS seq_offset,
+         (CASE WHEN s.n_tokens > {_B} THEN 1 ELSE 0 END)::BIGINT AS truncated,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN
+              r.open_seq + (CASE WHEN r.fill > 0 THEN 1 ELSE 0 END) + 1
+            WHEN r.fill + s.n_tokens > {_B} THEN r.open_seq + 1
+            ELSE r.open_seq END)::BIGINT AS open_seq,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN 0
+            WHEN r.fill + s.n_tokens > {_B} THEN s.n_tokens
+            ELSE r.fill + s.n_tokens END)::BIGINT AS fill
+  FROM rec r JOIN srt s ON s.bucket = r.bucket AND s.rn = r.rn + 1
+)
+SELECT id, bucket, seq, seq_offset, n_tokens, truncated
+FROM rec ORDER BY bucket, id
 """
 
     sqls["doc_fingerprints"] = """

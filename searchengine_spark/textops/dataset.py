@@ -199,7 +199,11 @@ def pack_sequences(
     starting token offset inside its bin's stream (a doc longer than the
     remaining bin space starts in that bin and spills — the standard
     document-packing-with-spillover layout). Deterministic: bucket from
-    (salt, id), order by id within bucket."""
+    (salt, id), order by id within bucket. Sibling operators in
+    textops/packing.py: ``pack_concat_chunks`` is the dataloader-facing
+    span view of this same concat layout (explicit [start, end) +
+    chunk straddle range); ``pack_greedy`` is the NO-SPLIT first-fit
+    discipline (whole docs per sequence — SFT-style)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     bucket = (_hash16(F.col(id_col), salt) % n_buckets).alias("bucket")

@@ -1,0 +1,116 @@
+"""Training-sequence packing gates (textops/packing.py).
+
+Contract: concat-and-chunk = per-bucket head-to-tail cumsum cut into
+fixed windows (documents straddle — chunk_first..chunk_last, integer
+div); greedy = no-split first-fit-in-order (whole docs, overlong docs
+take a sequence alone and close it, exactly-full is not truncated);
+bucket assignment is the cross-engine md5-hex15-mod rule; zero-token
+docs drop from both plans.
+"""
+
+import hashlib
+
+import pytest
+
+from searchengine_spark.textops.packing import (
+    pack_concat_chunks,
+    pack_greedy,
+    packing_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # ws token counts by construction: 3, 5, 2, 9, 4, 1, 0 (drops)
+    rows = [
+        (1, "a b c"),
+        (2, "a b c d e"),
+        (3, "a b"),
+        (4, "a b c d e f g h i"),
+        (5, "a b c d"),
+        (6, "a"),
+        (7, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_concat_chunks_offsets_and_straddle(spark, docs):
+    got = {r["id"]: (r["tok_start"], r["tok_end"],
+                     r["chunk_first"], r["chunk_last"])
+           for r in pack_concat_chunks(docs, max_tokens=8,
+                                       n_buckets=1).collect()}
+    # one bucket, id order: cum starts 0,3,8,10,19,23; doc 4 (9 tokens,
+    # [10,19)) straddles chunks 1..2 — the concat semantics
+    assert got == {
+        1: (0, 3, 0, 0),
+        2: (3, 8, 0, 0),
+        3: (8, 10, 1, 1),
+        4: (10, 19, 1, 2),
+        5: (19, 23, 2, 2),
+        6: (23, 24, 2, 2),
+    }
+    # id 7 (zero tokens) dropped
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_concat_chunks(docs, max_tokens=0, n_buckets=1)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_concat_chunks(docs, max_tokens=8, n_buckets=0)
+
+
+def test_greedy_first_fit(spark, docs):
+    got = {r["id"]: (r["seq"], r["seq_offset"], r["truncated"])
+           for r in pack_greedy(docs, max_tokens=8, n_buckets=1).collect()}
+    # 3 -> seq0@0; 5 -> seq0@3 (fills to exactly 8); 2 -> seq1@0;
+    # 9 >= 8 -> alone in seq2, truncated, closed; 4 -> seq3@0; 1 -> seq3@4
+    assert got == {
+        1: (0, 0, False),
+        2: (0, 3, False),
+        3: (1, 0, False),
+        4: (2, 0, True),
+        5: (3, 0, False),
+        6: (3, 4, False),
+    }
+
+
+def test_greedy_exactly_full_not_truncated(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f g h"), (3, "a b")],
+        "doc_id long, text string")
+    got = {r["id"]: (r["seq"], r["seq_offset"], r["truncated"])
+           for r in pack_greedy(docs, max_tokens=8, n_buckets=1).collect()}
+    # doc 2 has exactly 8 tokens: takes seq1 alone, NOT truncated,
+    # and closes it — doc 3 opens seq2
+    assert got == {1: (0, 0, False), 2: (1, 0, False), 3: (2, 0, False)}
+
+
+def test_bucket_assignment_cross_engine_rule(spark, docs):
+    got = {r["id"]: r["bucket"]
+           for r in pack_concat_chunks(docs, max_tokens=8,
+                                       n_buckets=4).collect()}
+    for i, b in got.items():
+        expect = int(hashlib.md5(str(i).encode()).hexdigest()[:15],
+                     16) % 4
+        assert b == expect, (i, b, expect)
+    # greedy uses the same assignment
+    got2 = {r["id"]: r["bucket"]
+            for r in pack_greedy(docs, max_tokens=8,
+                                 n_buckets=4).collect()}
+    assert got2 == got
+
+
+def test_token_count_col_passthrough(spark):
+    docs = spark.createDataFrame(
+        [(1, "ignored", 5), (2, "ignored", 6), (3, "ignored", 0)],
+        "doc_id long, text string, n_tok long")
+    got = {r["id"]: (r["seq"], r["seq_offset"])
+           for r in pack_greedy(docs, max_tokens=8, n_buckets=1,
+                                token_count_col="n_tok").collect()}
+    # packs by the provided counts, never re-tokenizes; 0-count drops
+    assert got == {1: (0, 0), 2: (1, 0)}
+
+
+def test_packing_stats(spark, docs):
+    packed = pack_greedy(docs, max_tokens=8, n_buckets=1)
+    [r] = packing_stats(packed, max_tokens=8).collect()
+    # 4 seqs x 8 budget = 32; capped doc tokens 3+5+2+8+4+1 = 23 -> pad 9
+    assert (r["n_seqs"], r["n_docs"], r["n_tokens"], r["pad_tokens"]) \
+        == (4, 6, 24, 9)

@@ -394,3 +394,24 @@ def test_url_filter_is_exchange_free(spark):
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_packing_plans(spark):
+    """Concat-and-chunk must stay UDF-free (one window cumsum per
+    bucket); greedy's only Python is the one FlatMapGroupsInPandas
+    batch per bucket — no row-at-a-time eval anywhere."""
+    from searchengine_spark.textops.packing import (
+        pack_concat_chunks,
+        pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string")
+    chunk_plan = explain_str(pack_concat_chunks(docs, 8, 4))
+    assert "EvalPython" not in chunk_plan  # no Python in the scale path
+    assert "Window" in chunk_plan
+    greedy_plan = explain_str(pack_greedy(docs, 8, 4))
+    # formatted explain names each node twice (tree + detail): count
+    # tree lines only — exactly ONE grouped-Arrow batch stage
+    assert greedy_plan.count("FlatMapGroupsInPandas (") == 1
+    assert "BatchEvalPython" not in greedy_plan  # Arrow batches only
