@@ -2636,6 +2636,88 @@ def q_result_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_TEST_A, T_TEST_B = "lang = 'en'", "lang <> 'en'"  # t_test populations
+ADH_EPOCH0, ADH_STRIDE = 1767225600, 997  # synthetic doc timestamps
+
+
+def q_result_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test aggregation, unpaired form (query/aggregations.py
+    t_test_agg): per query, the EXACT BIGINT moments (n, sum, sum_sq) of
+    n_chars over two predicate populations of the top-10 hits (English
+    vs non-English) — Welch's t derives client-side from the moments
+    (emitting the float t would put a libm sqrt in an exact row). The
+    oracle runs the SAME predicate text verbatim; NULL values skip."""
+    from searchengine_spark.query.aggregations import t_test_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return t_test_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, "n_chars", T_TEST_A, T_TEST_B, ["doc_id"],
+    )
+
+
+def q_result_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats aggregation (query/aggregations.py
+    string_stats_agg): exact character-length stats (n, len_min,
+    len_max, len_sum; avg = len_sum/n client-side) of lang/source over
+    each query's top-10 hits. Entropy deliberately omitted (needs the
+    per-character distribution + libm logs — a float in an exact row;
+    documented deviation). Lengths are code points — Spark length and
+    DuckDB length agree on VARCHAR."""
+    from searchengine_spark.query.aggregations import string_stats_agg
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    return string_stats_agg(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        docs, ["lang", "source"], ["doc_id"],
+    )
+
+
+def q_result_auto_date_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram (query/aggregations.py
+    auto_date_histogram_counts): per query, the SMALLEST fixed-span
+    ladder interval whose bucket span fits target_buckets=10, then the
+    ordinary integer-div epoch bucketing at that rung — the interval
+    can differ per query, exactly ES's auto-scaling. The documents
+    table has no timestamp, so the entry derives a deterministic one
+    (epoch = ADH_EPOCH0 + doc_id*ADH_STRIDE — integral seconds, so the
+    timestamp round-trip is exact); the oracle replicates the epoch
+    formula, the ladder pick, AND the bucketing in pure integer SQL."""
+    from searchengine_spark.query.aggregations import (
+        auto_date_histogram_counts,
+    )
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    attrs = docs.withColumn(
+        "ts", F.timestamp_seconds(
+            F.lit(ADH_EPOCH0) + F.col("doc_id") * ADH_STRIDE))
+    return auto_date_histogram_counts(
+        hits.select("query_id", F.col("ext_id").alias("doc_id")),
+        attrs, ["ts"], ["doc_id"], target_buckets=10,
+    )
+
+
+def q_result_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler de-duplication step
+    (query/aggregations.py diversified_sample): each query's top-10
+    hits capped at max_per_value=1 per source value — the BEST-RANKED
+    hit per value survives (retrieval order, deterministic since rank
+    is unique per query); hits with a NULL field are never de-duped
+    (the ES missing-field rule — the fully-populated testdata makes
+    that branch pytest-gated). The oracle replicates retrieval AND the
+    per-value window cut."""
+    from searchengine_spark.query.aggregations import diversified_sample
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    kept = diversified_sample(
+        hits.select("query_id", F.col("ext_id").alias("doc_id"), "rank"),
+        docs, "source", ["doc_id"], max_per_value=1,
+    )
+    return kept.select("query_id", "doc_id",
+                       F.col("rank").cast("long").alias("rank"))
+
+
 # sloppy-phrase fixtures: 2-term phrases at slop 1 + one 3-term at slop 2
 SLOP_PHRASES_2 = ["hash scan", "table join", "stream batch"]
 SLOP_PHRASE_3 = "fast table scan"
@@ -3985,6 +4067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_boxplot": q_result_boxplot,
         "result_mad": q_result_mad,
         "result_multi_terms": q_result_multi_terms,
+        "result_t_test": q_result_t_test,
+        "result_string_stats": q_result_string_stats,
+        "result_auto_date_histogram": q_result_auto_date_histogram,
+        "result_diversified": q_result_diversified,
         "result_filters": q_result_filters,
         "result_missing": q_result_missing,
         "result_rare_terms": q_result_rare_terms,
@@ -4734,6 +4820,97 @@ r AS (
 )
 SELECT query_id, rank::BIGINT AS rank, source, lang, n
 FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+    # ---- t_test: exact BIGINT moments of two predicate populations —
+    # the SAME predicate text verbatim, NULL value rows match neither
+    sqls["result_t_test"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+j AS (
+  SELECT h.query_id, floor(d.n_chars)::BIGINT AS v, d.lang
+  FROM hits h LEFT JOIN documents d USING (doc_id)
+)
+SELECT query_id,
+       sum(CASE WHEN ({T_TEST_A}) AND v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       sum(CASE WHEN ({T_TEST_A}) AND v IS NOT NULL THEN v ELSE 0 END)::BIGINT AS sum_a,
+       sum(CASE WHEN ({T_TEST_A}) AND v IS NOT NULL THEN v * v ELSE 0 END)::BIGINT AS sum_sq_a,
+       sum(CASE WHEN ({T_TEST_B}) AND v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       sum(CASE WHEN ({T_TEST_B}) AND v IS NOT NULL THEN v ELSE 0 END)::BIGINT AS sum_b,
+       sum(CASE WHEN ({T_TEST_B}) AND v IS NOT NULL THEN v * v ELSE 0 END)::BIGINT AS sum_sq_b
+FROM j GROUP BY query_id ORDER BY query_id
+"""
+
+    # ---- string_stats: exact code-point length stats per string col
+    sqls["result_string_stats"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+vals AS (
+  SELECT h.query_id, 'lang' AS col, d.lang AS v
+  FROM hits h JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL
+  UNION ALL
+  SELECT h.query_id, 'source' AS col, d.source AS v
+  FROM hits h JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL
+)
+SELECT query_id, col, count(*)::BIGINT AS n,
+       min(length(v))::BIGINT AS len_min,
+       max(length(v))::BIGINT AS len_max,
+       sum(length(v))::BIGINT AS len_sum
+FROM vals GROUP BY query_id, col ORDER BY query_id, col
+"""
+
+    # ---- auto_date_histogram: per-query ladder pick (smallest rung
+    # whose span fits 10 buckets — integer div throughout), then the
+    # fixed-span epoch bucketing at that rung
+    from searchengine_spark.query.aggregations import AUTO_INTERVAL_LADDER
+
+    _ladder_sql = ", ".join(str(int(i)) for i in AUTO_INTERVAL_LADDER)
+    sqls["result_auto_date_histogram"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+ep AS (
+  SELECT h.query_id, 'ts' AS col,
+         ({ADH_EPOCH0} + d.doc_id * {ADH_STRIDE})::BIGINT AS epoch
+  FROM hits h JOIN documents d USING (doc_id)
+),
+spans AS (
+  SELECT query_id, col, min(epoch) AS lo, max(epoch) AS hi
+  FROM ep GROUP BY query_id, col
+),
+ladder AS (SELECT unnest([{_ladder_sql}])::BIGINT AS ival),
+picked AS (
+  SELECT query_id, col, min(ival)::BIGINT AS interval_sec
+  FROM spans CROSS JOIN ladder
+  WHERE (hi // ival) - (lo // ival) + 1 <= 10
+  GROUP BY query_id, col
+)
+SELECT e.query_id, e.col, p.interval_sec,
+       ((e.epoch // p.interval_sec) * p.interval_sec)::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS n
+FROM ep e JOIN picked p USING (query_id, col)
+GROUP BY e.query_id, e.col, p.interval_sec, bucket_epoch
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    # ---- diversified_sampler: best-ranked hit per source value
+    # survives (per-value window cut over retrieval order)
+    sqls["result_diversified"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+j AS (
+  SELECT r.query_id, r.doc_id, r.rank, d.source,
+         row_number() OVER (PARTITION BY r.query_id, d.source
+                            ORDER BY r.rank, r.doc_id) AS pv
+  FROM ranked r LEFT JOIN documents d USING (doc_id)
+  WHERE r.rank <= 10
+)
+SELECT query_id, doc_id, rank::BIGINT AS rank
+FROM j WHERE source IS NULL OR pv <= 1
+ORDER BY query_id, rank
 """
 
     # ---- composite aggregation: bucket groupBy over non-NULL (source,

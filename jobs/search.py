@@ -1333,6 +1333,147 @@ def _print_multi_terms(spark, attrs_path, ext_cols, queries, per_q,
                          default=str))
 
 
+def _apply_diversified(spark, attrs_path, ext_cols, per_q, spec):
+    """--diversified FIELD[:MAX]: ES diversified_sampler — cap each
+    query's result set at MAX hits per FIELD value (best-ranked survive,
+    ext-id tiebreak, NULL-field hits always pass) BEFORE the other
+    aggregation printers run, so every --facets/--histogram/... flag
+    aggregates over the SAMPLE — exactly ES's sampler>sub-agg nesting.
+    Returns the filtered per_q lists; the printed results are untouched
+    (the sampler shapes aggregation input, not the ranked page)."""
+    from searchengine_spark.query.aggregations import diversified_sample
+
+    parts = spec.split(":")
+    if len(parts) > 2 or not parts[0].strip():
+        raise SystemExit("--diversified wants FIELD[:MAX]")
+    field = parts[0].strip()
+    maxv = int(parts[1]) if len(parts) > 1 else 1
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols] + [r["rank"]])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if not rows:
+        return per_q
+    hits = spark.createDataFrame(rows, ["query_id", *ext_cols, "rank"])
+    attrs = spark.read.parquet(attrs_path)
+    kept = diversified_sample(hits, attrs, field, ext_cols,
+                              max_per_value=maxv)
+    keep = {(r["query_id"], tuple(r[c] for c in ext_cols))
+            for r in kept.collect()}
+    return [
+        [r for r in res
+         if (i, tuple(r[c] for c in ext_cols)) in keep]
+        for i, res in enumerate(per_q)
+    ]
+
+
+def _print_t_test(spark, attrs_path, ext_cols, queries, per_q,
+                  spec) -> None:
+    """--t-test VALUE:PRED_A|PRED_B: ES t_test analog (unpaired;
+    query/aggregations.py; exact BIGINT moments per population —
+    Welch's t derives client-side). One JSON line per query."""
+    import math as _math
+
+    from searchengine_spark.query.aggregations import t_test_agg
+
+    if ":" not in spec or "|" not in spec.split(":", 1)[1]:
+        raise SystemExit("--t-test wants VALUE:PRED_A|PRED_B")
+    value_col, preds = spec.split(":", 1)
+    pred_a, pred_b = preds.split("|", 1)
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in t_test_agg(hits, attrs, value_col.strip(),
+                            pred_a.strip(), pred_b.strip(),
+                            ext_cols).collect():
+            d = {k: int(r[k]) for k in ("n_a", "sum_a", "sum_sq_a",
+                                        "n_b", "sum_b", "sum_sq_b")}
+            t = None
+            if d["n_a"] > 1 and d["n_b"] > 1:
+                ma, mb = d["sum_a"] / d["n_a"], d["sum_b"] / d["n_b"]
+                va = (d["n_a"] * d["sum_sq_a"] - d["sum_a"] ** 2) / d["n_a"] ** 2
+                vb = (d["n_b"] * d["sum_sq_b"] - d["sum_b"] ** 2) / d["n_b"] ** 2
+                den = _math.sqrt(va / d["n_a"] + vb / d["n_b"])
+                t = (ma - mb) / den if den else None
+            d["t"] = t
+            by_q[r["query_id"]] = d
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "t_test": by_q[i]}))
+
+
+def _print_string_stats(spark, attrs_path, ext_cols, queries, per_q,
+                        cols_spec) -> None:
+    """--string-stats COL[,COL...]: ES string_stats analog
+    (query/aggregations.py; exact code-point length stats, avg_length
+    derives as len_sum/n; entropy omitted by design). One JSON line per
+    query."""
+    from searchengine_spark.query.aggregations import string_stats_agg
+
+    cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        for r in string_stats_agg(hits, attrs, cols, ext_cols).collect():
+            n = int(r["n"])
+            by_q[r["query_id"]][r["col"]] = {
+                "n": n, "len_min": int(r["len_min"]),
+                "len_max": int(r["len_max"]),
+                "len_sum": int(r["len_sum"]),
+                "avg_length": (int(r["len_sum"]) / n) if n else None,
+            }
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "string_stats": by_q[i]}))
+
+
+def _print_auto_date_histogram(spark, attrs_path, ext_cols, queries,
+                               per_q, spec) -> None:
+    """--auto-date-histogram COL[:TARGET]: ES auto_date_histogram analog
+    (query/aggregations.py; smallest fixed-span ladder rung fitting
+    TARGET buckets, integer-div epoch bucketing — rung can differ per
+    query). One JSON line per query."""
+    from searchengine_spark.query.aggregations import (
+        auto_date_histogram_counts,
+    )
+
+    parts = spec.split(":")
+    if len(parts) > 2:
+        raise SystemExit("--auto-date-histogram wants COL[:TARGET]")
+    col = parts[0].strip()
+    target = int(parts[1]) if len(parts) > 1 else 10
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        out = auto_date_histogram_counts(hits, attrs, [col], ext_cols,
+                                         target_buckets=target)
+        for r in out.collect():
+            d = by_q[r["query_id"]].setdefault(
+                r["col"], {"interval_sec": int(r["interval_sec"]),
+                           "buckets": []})
+            d["buckets"].append({"epoch": int(r["bucket_epoch"]),
+                                 "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "auto_date_histogram": by_q[i]}))
+
+
 def _print_significant(spark, cfg, queries, per_q, k_terms,
                        pidx=None, shards=None) -> None:
     """--significant: ES significant_terms analog (query/significant.py)
@@ -1532,7 +1673,8 @@ def _serve_federated(spark, args) -> None:
             or args.extended_stats or args.matrix_stats
             or args.weighted_avg or args.top_metrics
             or args.percentile_ranks or args.boxplot or args.mad
-            or args.multi_terms
+            or args.multi_terms or args.t_test or args.string_stats
+            or args.auto_date_histogram or args.diversified
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
             or args.significant_attrs) and not args.attrs:
@@ -1557,75 +1699,90 @@ def _serve_federated(spark, args) -> None:
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, shards[0], cfg,
                              batch, per_q)
+        # ES sampler semantics: --diversified shapes AGGREGATION input
+        # only — snippets and relevance stats stay on the full page
+        agg_q = per_q
+        if args.diversified:
+            agg_q = _apply_diversified(spark, args.attrs, ext_cols,
+                                       per_q, args.diversified)
         if args.facets:
-            _print_facets(spark, args.attrs, ext_cols, batch, per_q,
+            _print_facets(spark, args.attrs, ext_cols, batch, agg_q,
                           args.facets, args.n)
             if args.top_hits:
-                _print_top_hits(spark, args.attrs, ext_cols, batch, per_q,
+                _print_top_hits(spark, args.attrs, ext_cols, batch, agg_q,
                                 args.facets, args.top_hits)
         if args.histogram:
-            _print_histogram(spark, args.attrs, ext_cols, batch, per_q,
+            _print_histogram(spark, args.attrs, ext_cols, batch, agg_q,
                              args.histogram)
         if args.range:
-            _print_range(spark, args.attrs, ext_cols, batch, per_q,
+            _print_range(spark, args.attrs, ext_cols, batch, agg_q,
                          args.range)
         if args.date_histogram:
-            _print_date_histogram(spark, args.attrs, ext_cols, batch, per_q,
+            _print_date_histogram(spark, args.attrs, ext_cols, batch, agg_q,
                                   args.date_histogram)
             if args.pipeline:
-                _print_pipeline(spark, args.attrs, ext_cols, batch, per_q,
+                _print_pipeline(spark, args.attrs, ext_cols, batch, agg_q,
                                 args.date_histogram, args.pipeline)
         if args.percentiles:
-            _print_percentiles(spark, args.attrs, ext_cols, batch, per_q,
+            _print_percentiles(spark, args.attrs, ext_cols, batch, agg_q,
                                args.percentiles)
         if args.cardinality:
-            _print_cardinality(spark, args.attrs, ext_cols, batch, per_q,
+            _print_cardinality(spark, args.attrs, ext_cols, batch, agg_q,
                                args.cardinality)
         if args.composite:
-            _print_composite(spark, args.attrs, ext_cols, batch, per_q,
+            _print_composite(spark, args.attrs, ext_cols, batch, agg_q,
                              args.composite, args.composite_after)
         if args.extended_stats:
-            _print_extended_stats(spark, args.attrs, ext_cols, batch, per_q,
+            _print_extended_stats(spark, args.attrs, ext_cols, batch, agg_q,
                                   args.extended_stats)
         if args.matrix_stats:
-            _print_matrix_stats(spark, args.attrs, ext_cols, batch, per_q,
+            _print_matrix_stats(spark, args.attrs, ext_cols, batch, agg_q,
                                 args.matrix_stats)
         if args.weighted_avg:
-            _print_weighted_avg(spark, args.attrs, ext_cols, batch, per_q,
+            _print_weighted_avg(spark, args.attrs, ext_cols, batch, agg_q,
                                 args.weighted_avg)
         if args.top_metrics:
-            _print_top_metrics(spark, args.attrs, ext_cols, batch, per_q,
+            _print_top_metrics(spark, args.attrs, ext_cols, batch, agg_q,
                                args.top_metrics)
         if args.percentile_ranks:
             _print_percentile_ranks(spark, args.attrs, ext_cols, batch,
-                                    per_q, args.percentile_ranks)
+                                    agg_q, args.percentile_ranks)
         if args.boxplot:
-            _print_boxplot(spark, args.attrs, ext_cols, batch, per_q,
+            _print_boxplot(spark, args.attrs, ext_cols, batch, agg_q,
                            args.boxplot)
         if args.mad:
-            _print_mad(spark, args.attrs, ext_cols, batch, per_q,
+            _print_mad(spark, args.attrs, ext_cols, batch, agg_q,
                        args.mad)
         if args.multi_terms:
-            _print_multi_terms(spark, args.attrs, ext_cols, batch, per_q,
+            _print_multi_terms(spark, args.attrs, ext_cols, batch, agg_q,
                                args.multi_terms)
+        if args.t_test:
+            _print_t_test(spark, args.attrs, ext_cols, batch, agg_q,
+                          args.t_test)
+        if args.string_stats:
+            _print_string_stats(spark, args.attrs, ext_cols, batch, agg_q,
+                                args.string_stats)
+        if args.auto_date_histogram:
+            _print_auto_date_histogram(spark, args.attrs, ext_cols, batch,
+                                       agg_q, args.auto_date_histogram)
         if args.filters_agg:
-            _print_filters_agg(spark, args.attrs, ext_cols, batch, per_q,
+            _print_filters_agg(spark, args.attrs, ext_cols, batch, agg_q,
                                args.filters_agg)
         if args.missing:
-            _print_missing(spark, args.attrs, ext_cols, batch, per_q,
+            _print_missing(spark, args.attrs, ext_cols, batch, agg_q,
                            args.missing)
         if args.rare_terms:
-            _print_rare_terms(spark, args.attrs, ext_cols, batch, per_q,
+            _print_rare_terms(spark, args.attrs, ext_cols, batch, agg_q,
                               args.rare_terms, args.rare_max_doc_count)
         if args.adjacency:
-            _print_adjacency(spark, args.attrs, ext_cols, batch, per_q,
+            _print_adjacency(spark, args.attrs, ext_cols, batch, agg_q,
                              args.adjacency)
         if args.significant_attrs:
             _print_significant_attrs(spark, args.attrs, ext_cols, batch,
-                                     per_q, args.significant_attrs,
+                                     agg_q, args.significant_attrs,
                                      args.n, args.sig_min_fg)
         if args.significant:
-            _print_significant(spark, cfg, batch, per_q, args.significant,
+            _print_significant(spark, cfg, batch, agg_q, args.significant,
                                shards=shards)
         if stats is not None:
             for q, res in zip(batch, per_q):
@@ -2511,6 +2668,40 @@ def main() -> None:
                          "column drops the doc): per query over the "
                          "result set; needs --attrs; every ranker, "
                          "--index or --shards")
+    ap.add_argument("--diversified", default=None,
+                    metavar="FIELD[:MAX]",
+                    help="ES diversified_sampler: cap the result set at "
+                         "MAX hits per FIELD value (best-ranked survive, "
+                         "NULL-field hits always pass) BEFORE the other "
+                         "aggregation flags run — they aggregate over "
+                         "the sample, the printed ranked page is "
+                         "untouched; needs --attrs; every ranker, "
+                         "--index or --shards")
+    ap.add_argument("--t-test", default=None,
+                    metavar="VALUE:PRED_A|PRED_B",
+                    help="ES t_test analog, unpaired "
+                         "(query/aggregations.py; exact BIGINT moments "
+                         "per predicate population, Welch's t derives "
+                         "client-side; predicates in the Spark-and-"
+                         "DuckDB dialect): per query over the result "
+                         "set; needs --attrs; every ranker, --index or "
+                         "--shards")
+    ap.add_argument("--string-stats", default=None,
+                    metavar="COL[,COL...]",
+                    help="ES string_stats analog (query/aggregations.py; "
+                         "exact code-point length stats, avg_length = "
+                         "len_sum/n client-side, entropy omitted by "
+                         "design): per query over the result set; needs "
+                         "--attrs; every ranker, --index or --shards")
+    ap.add_argument("--auto-date-histogram", default=None,
+                    metavar="COL[:TARGET]",
+                    help="ES auto_date_histogram analog "
+                         "(query/aggregations.py; smallest FIXED-span "
+                         "ladder rung fitting TARGET buckets — rung can "
+                         "differ per query; calendar rungs stand in as "
+                         "30/90/365-day fixed spans): per query over "
+                         "the result set; needs --attrs; every ranker, "
+                         "--index or --shards")
     ap.add_argument("--histogram", default=None, metavar="COL:IVAL[,...]",
                     help="ES histogram-aggregation analog "
                          "(query/aggregations.py): per query, bucket the "
@@ -2568,7 +2759,8 @@ def main() -> None:
             or args.extended_stats or args.matrix_stats
             or args.weighted_avg or args.top_metrics
             or args.percentile_ranks or args.boxplot or args.mad
-            or args.multi_terms
+            or args.multi_terms or args.t_test or args.string_stats
+            or args.auto_date_histogram or args.diversified
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
             or args.significant_attrs
@@ -2926,94 +3118,113 @@ def main() -> None:
         if args.snippet_source:
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)
+        # ES sampler semantics: --diversified shapes AGGREGATION input
+        # only — snippets, the ranked page and relevance stats stay full
+        agg_q = per_q
+        if args.diversified:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            agg_q = _apply_diversified(spark, args.attrs, ext,
+                                       per_q, args.diversified)
         if args.facets:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_facets(spark, args.attrs, ext, queries, per_q,
+            _print_facets(spark, args.attrs, ext, queries, agg_q,
                           args.facets, args.n)
             if args.top_hits:
-                _print_top_hits(spark, args.attrs, ext, queries, per_q,
+                _print_top_hits(spark, args.attrs, ext, queries, agg_q,
                                 args.facets, args.top_hits)
         if args.histogram:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_histogram(spark, args.attrs, ext, queries, per_q,
+            _print_histogram(spark, args.attrs, ext, queries, agg_q,
                              args.histogram)
         if args.range:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_range(spark, args.attrs, ext, queries, per_q,
+            _print_range(spark, args.attrs, ext, queries, agg_q,
                          args.range)
         if args.date_histogram:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_date_histogram(spark, args.attrs, ext, queries, per_q,
+            _print_date_histogram(spark, args.attrs, ext, queries, agg_q,
                                   args.date_histogram)
             if args.pipeline:
-                _print_pipeline(spark, args.attrs, ext, queries, per_q,
+                _print_pipeline(spark, args.attrs, ext, queries, agg_q,
                                 args.date_histogram, args.pipeline)
         if args.percentiles:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_percentiles(spark, args.attrs, ext, queries, per_q,
+            _print_percentiles(spark, args.attrs, ext, queries, agg_q,
                                args.percentiles)
         if args.cardinality:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_cardinality(spark, args.attrs, ext, queries, per_q,
+            _print_cardinality(spark, args.attrs, ext, queries, agg_q,
                                args.cardinality)
         if args.composite:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_composite(spark, args.attrs, ext, queries, per_q,
+            _print_composite(spark, args.attrs, ext, queries, agg_q,
                              args.composite, args.composite_after)
         if args.extended_stats:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_extended_stats(spark, args.attrs, ext, queries, per_q,
+            _print_extended_stats(spark, args.attrs, ext, queries, agg_q,
                                   args.extended_stats)
         if args.matrix_stats:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_matrix_stats(spark, args.attrs, ext, queries, per_q,
+            _print_matrix_stats(spark, args.attrs, ext, queries, agg_q,
                                 args.matrix_stats)
         if args.weighted_avg:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_weighted_avg(spark, args.attrs, ext, queries, per_q,
+            _print_weighted_avg(spark, args.attrs, ext, queries, agg_q,
                                 args.weighted_avg)
         if args.top_metrics:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_top_metrics(spark, args.attrs, ext, queries, per_q,
+            _print_top_metrics(spark, args.attrs, ext, queries, agg_q,
                                args.top_metrics)
         if args.percentile_ranks:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_percentile_ranks(spark, args.attrs, ext, queries,
-                                    per_q, args.percentile_ranks)
+                                    agg_q, args.percentile_ranks)
         if args.boxplot:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_boxplot(spark, args.attrs, ext, queries, per_q,
+            _print_boxplot(spark, args.attrs, ext, queries, agg_q,
                            args.boxplot)
         if args.mad:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_mad(spark, args.attrs, ext, queries, per_q, args.mad)
+            _print_mad(spark, args.attrs, ext, queries, agg_q, args.mad)
         if args.multi_terms:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_multi_terms(spark, args.attrs, ext, queries, per_q,
+            _print_multi_terms(spark, args.attrs, ext, queries, agg_q,
                                args.multi_terms)
+        if args.t_test:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_t_test(spark, args.attrs, ext, queries, agg_q,
+                          args.t_test)
+        if args.string_stats:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_string_stats(spark, args.attrs, ext, queries, agg_q,
+                                args.string_stats)
+        if args.auto_date_histogram:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_auto_date_histogram(spark, args.attrs, ext, queries,
+                                       agg_q, args.auto_date_histogram)
         if args.filters_agg:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_filters_agg(spark, args.attrs, ext, queries, per_q,
+            _print_filters_agg(spark, args.attrs, ext, queries, agg_q,
                                args.filters_agg)
         if args.missing:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_missing(spark, args.attrs, ext, queries, per_q,
+            _print_missing(spark, args.attrs, ext, queries, agg_q,
                            args.missing)
         if args.rare_terms:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_rare_terms(spark, args.attrs, ext, queries, per_q,
+            _print_rare_terms(spark, args.attrs, ext, queries, agg_q,
                               args.rare_terms, args.rare_max_doc_count)
         if args.adjacency:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_adjacency(spark, args.attrs, ext, queries, per_q,
+            _print_adjacency(spark, args.attrs, ext, queries, agg_q,
                              args.adjacency)
         if args.significant_attrs:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-            _print_significant_attrs(spark, args.attrs, ext, queries, per_q,
+            _print_significant_attrs(spark, args.attrs, ext, queries, agg_q,
                                      args.significant_attrs, args.n,
                                      args.sig_min_fg)
         if args.significant:
-            _print_significant(spark, cfg, queries, per_q, args.significant,
+            _print_significant(spark, cfg, queries, agg_q, args.significant,
                                pidx=pidx)
         dt = time.perf_counter() - t1
         for q, res in zip(queries, per_q):

@@ -911,3 +911,197 @@ def multi_terms_agg(
         .select("query_id", "rank", *cols, "n")
         .orderBy("query_id", "rank")
     )
+
+
+def t_test_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    value_col: str,
+    filter_a: str,
+    filter_b: str,
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, n_a, sum_a, sum_sq_a, n_b, sum_b, sum_sq_b): ES
+    ``t_test`` aggregation (unpaired form) over each query's result set
+    — the two populations are the hits passing ``filter_a`` / ``filter_b``
+    (SQL predicates in the Spark∩DuckDB dialect, the filters_agg
+    discipline; a hit may land in both, either, or neither — ES's
+    filter-based t_test allows overlap). The row carries the EXACT
+    BIGINT moments of each group (values floor to BIGINT first, the
+    extended_stats rule), so Student's or Welch's t derives client-side:
+    m = sum/n, var_num = n*sum_sq - sum^2, var = var_num/n^2,
+    t = (m_a - m_b) / sqrt(var_a/n_a + var_b/n_b) — emitting the float
+    t would force a libm sqrt into an otherwise exact row. NULL values
+    skip; a query with no hits in a group emits n=0 with zero sums.
+    One bounded join + ONE partial-aggregable conditional groupBy."""
+    if value_col not in attrs.columns:
+        raise ValueError(f"attrs table lacks column {value_col!r}")
+    pred_cols = [c for c in attrs.columns if c not in ext_cols]
+    joined = _left_joined(results, attrs, pred_cols, ext_cols)
+    v = F.floor(F.col(value_col)).cast("long")
+    outs = []
+    for tag, pred in (("a", filter_a), ("b", filter_b)):
+        inb = F.expr(pred) & v.isNotNull()
+        outs.extend([
+            F.sum(F.when(inb, 1).otherwise(0)).cast("long")
+            .alias(f"n_{tag}"),
+            F.sum(F.when(inb, v).otherwise(0)).cast("long")
+            .alias(f"sum_{tag}"),
+            F.sum(F.when(inb, v * v).otherwise(0)).cast("long")
+            .alias(f"sum_sq_{tag}"),
+        ])
+    return joined.groupBy("query_id").agg(*outs).orderBy("query_id")
+
+
+def string_stats_agg(
+    results: DataFrame,
+    attrs: DataFrame,
+    str_cols: Sequence[str],
+    ext_cols: Sequence[str],
+) -> DataFrame:
+    """-> (query_id, col, n, len_min, len_max, len_sum): ES
+    ``string_stats`` aggregation over each query's result set — exact
+    character-length statistics per string attribute column (lengths in
+    code points: Spark ``length`` and DuckDB ``length`` agree on
+    VARCHAR). avg_length derives client-side as len_sum/n (the stats_agg
+    no-float-ratio rule). NULLs skip. Deliberately NOT emitted: ES's
+    Shannon entropy — it needs the per-character distribution and a libm
+    log per distinct char; emitting a float entropy would break the
+    exact-row discipline for a presentation number (documented
+    deviation). One melt + one partial-aggregable groupBy."""
+    joined = _checked_join(results, attrs, str_cols, ext_cols)
+    melt = []
+    for c in str_cols:
+        melt.extend([F.lit(c), F.col(c).cast("string")])
+    pairs = joined.select(
+        "query_id",
+        F.explode(F.create_map(*melt)).alias("col", "value"),
+    ).filter(F.col("value").isNotNull())
+    ln = F.length("value").cast("long")
+    return (
+        pairs.groupBy("query_id", "col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(ln).alias("len_min"),
+            F.max(ln).alias("len_max"),
+            F.sum(ln).alias("len_sum"),
+        )
+        .orderBy("query_id", "col")
+    )
+
+
+# the auto_date_histogram interval ladder: FIXED spans only (seconds) —
+# the repo's date_histogram contract refuses calendar months/years, so
+# the ladder tops out at fixed multiples of days (30/90/365-day spans
+# stand in for ES's 1M/3M/1y rungs; documented deviation)
+AUTO_INTERVAL_LADDER = (
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 7776000, 31536000,
+)
+
+
+def auto_date_histogram_counts(
+    results: DataFrame,
+    attrs: DataFrame,
+    ts_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    target_buckets: int = 10,
+) -> DataFrame:
+    """-> (query_id, col, interval_sec, bucket_epoch, n): ES
+    ``auto_date_histogram`` over each query's result set — per timestamp
+    column, the SMALLEST ladder interval whose bucket span
+    (max_epoch div i - min_epoch div i + 1) fits ``target_buckets``,
+    then the ordinary fixed-span bucketing at that interval
+    (floor-to-BIGINT epochs, integer div — the date_histogram
+    arithmetic). The picked interval can differ per (query, col) —
+    exactly ES's behavior (each aggregation context auto-scales
+    independently). Empty buckets are not emitted (histogram rule);
+    NULLs skip. Ladder spans are FIXED seconds only (30/90/365-day
+    rungs stand in for calendar months/years — the repo's
+    date_histogram contract). Plan: one bounded min/max groupBy to pick
+    the interval, broadcast back over the bounded hit window, one
+    partial-aggregable count — corpus size never appears."""
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be >= 1, got {target_buckets}")
+    joined = _checked_join(results, attrs, ts_cols, ext_cols)
+    melt = []
+    for c in ts_cols:
+        melt.extend([F.lit(c),
+                     F.col(c).cast("timestamp").cast("double")])
+    pairs = joined.select(
+        "query_id",
+        F.explode(F.create_map(*melt)).alias("col", "_ts"),
+    ).filter(F.col("_ts").isNotNull()).select(
+        "query_id", "col", F.floor("_ts").cast("long").alias("epoch"))
+    spans = pairs.groupBy("query_id", "col").agg(
+        F.min("epoch").alias("_lo"), F.max("epoch").alias("_hi"))
+    # smallest ladder rung with (hi div i - lo div i + 1) <= target:
+    # the ladder is a tiny literal array — pure expression, no join
+    ladder = F.array(*[F.lit(int(i)) for i in AUTO_INTERVAL_LADDER])
+    # bucket span at rung i = hi div i - lo div i + 1; the subtraction
+    # (x - x%i)/i is the integer div (exact: the numerator is an exact
+    # multiple of i and everything is < 2^53)
+    fits = F.filter(
+        ladder,
+        lambda i: ((F.col("_hi") - F.pmod(F.col("_hi"), i)) / i
+                   - (F.col("_lo") - F.pmod(F.col("_lo"), i)) / i
+                   + 1) <= target_buckets,
+    )
+    picked = spans.select(
+        "query_id", "col",
+        F.coalesce(F.element_at(fits, 1),
+                   F.lit(int(AUTO_INTERVAL_LADDER[-1])))
+        .cast("long").alias("interval_sec"),
+    )
+    bucketed = pairs.join(F.broadcast(picked), ["query_id", "col"])
+    bucket = (F.col("epoch")
+              - F.pmod(F.col("epoch"), F.col("interval_sec")))
+    return (
+        bucketed.groupBy("query_id", "col", "interval_sec",
+                         bucket.cast("long").alias("bucket_epoch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("query_id", "col", "bucket_epoch")
+    )
+
+
+def diversified_sample(
+    results: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    ext_cols: Sequence[str],
+    max_per_value: int = 1,
+) -> DataFrame:
+    """-> the results frame filtered to at most ``max_per_value`` hits
+    per ``field`` value per query — the ES ``diversified_sampler``
+    aggregation's de-duplication step. Which hits survive is
+    deterministic: the BEST-RANKED per value (the results frame's
+    ``rank`` column — retrieval order, exactly ES's top-of-the-sample
+    semantics); rank ties (boolean retrieval emits rank 0 for the whole
+    set) break by the external id columns ascending, so the sample is
+    deterministic on every ranker. Hits with a NULL field value are NOT de-duplicated —
+    each passes (ES: docs lacking the de-dup field are not dropped).
+    Downstream aggregations (facets, stats, significant) compose over
+    the returned frame exactly like the full result set. One bounded
+    join + one bounded window."""
+    if max_per_value < 1:
+        raise ValueError(
+            f"max_per_value must be >= 1, got {max_per_value}")
+    if "rank" not in results.columns:
+        raise ValueError("results frame lacks a 'rank' column "
+                         "(diversified sampling needs retrieval order)")
+    if field not in attrs.columns:
+        raise ValueError(f"attrs table lacks column {field!r}")
+    joined = results.join(
+        attrs.select(*ext_cols, F.col(field).alias("_dedup")),
+        list(ext_cols), "left")
+    w = Window.partitionBy("query_id", "_dedup").orderBy(
+        "rank", *[F.col(c).asc() for c in ext_cols])
+    kept = (
+        joined.withColumn(
+            "_pv",
+            F.when(F.col("_dedup").isNull(), F.lit(1))
+            .otherwise(F.row_number().over(w)))
+        .filter(F.col("_pv") <= max_per_value)
+    )
+    return kept.select(*results.columns).orderBy("query_id", "rank")

@@ -610,3 +610,99 @@ def test_multi_terms_tuple_buckets(spark):
         multi_terms_agg(hits, attrs, ["t1", "t2"], ["ext_id"], size=0)
     with pytest.raises(ValueError, match=">= 2"):
         multi_terms_agg(hits, attrs, ["t1"], ["ext_id"])
+
+
+def test_t_test_moments(spark, frames):
+    from searchengine_spark.query.aggregations import t_test_agg
+
+    hits, attrs = frames
+    got = {r["query_id"]: (r["n_a"], r["sum_a"], r["sum_sq_a"],
+                           r["n_b"], r["sum_b"], r["sum_sq_b"])
+           for r in t_test_agg(hits, attrs, "n_chars",
+                               "delta < 0", "delta >= 0",
+                               ["ext_id"]).collect()}
+    # q0: group a (delta<0) = doc1 (95); group b = doc2 (100); doc3's
+    # NULL delta matches neither predicate, doc values floor to BIGINT
+    assert got[0] == (1, 95, 9025, 1, 100, 10000)
+    # q1: doc2 -> b; doc4 (delta<0) has NULL n_chars -> excluded from a
+    assert got[1] == (0, 0, 0, 1, 100, 10000)
+    # welch t derives client-side from the exact moments
+    with pytest.raises(ValueError, match="lacks column"):
+        t_test_agg(hits, attrs, "nope", "delta < 0", "delta >= 0",
+                   ["ext_id"])
+
+
+def test_string_stats_lengths(spark):
+    from searchengine_spark.query.aggregations import string_stats_agg
+
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "query_id int, ext_id long")
+    attrs = spark.createDataFrame(
+        [(1, "ab", "xyz"), (2, "abcd", None), (3, "a", "pq")],
+        "ext_id long, s1 string, s2 string")
+    got = {(r["query_id"], r["col"]):
+           (r["n"], r["len_min"], r["len_max"], r["len_sum"])
+           for r in string_stats_agg(hits, attrs, ["s1", "s2"],
+                                     ["ext_id"]).collect()}
+    assert got[(0, "s1")] == (3, 1, 4, 7)
+    assert got[(0, "s2")] == (2, 2, 3, 5)   # doc2's NULL s2 skips
+    assert got[(1, "s1")] == (1, 4, 4, 4)
+    # avg_length derives client-side: len_sum / n
+    assert got[(0, "s1")][3] / got[(0, "s1")][0] == pytest.approx(7 / 3)
+
+
+def test_auto_date_histogram_picks_interval(spark):
+    import datetime as dt
+
+    from searchengine_spark.query.aggregations import (
+        auto_date_histogram_counts,
+    )
+
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 1), (1, 2)],
+        "query_id int, ext_id long")
+    base = dt.datetime(2026, 1, 1)  # epoch 1767225600 (UTC container)
+    attrs = spark.createDataFrame(
+        [(1, base), (2, base + dt.timedelta(seconds=200)),
+         (3, base + dt.timedelta(seconds=3000))],
+        "ext_id long, ts timestamp")
+    e0 = 1767225600
+    rows = auto_date_histogram_counts(hits, attrs, ["ts"], ["ext_id"],
+                                      target_buckets=8).collect()
+    got = {(r["query_id"], r["bucket_epoch"]): (r["interval_sec"], r["n"])
+           for r in rows}
+    # q0 spans 3000s: 600s rung gives 6 buckets (<= 8); smaller rungs
+    # give 11/101/...; q1 spans 200s: 30s rung gives 7 buckets
+    assert got == {
+        (0, e0): (600, 2),            # 0 and 200 share the first bucket
+        (0, e0 + 3000): (600, 1),
+        (1, e0): (30, 1),
+        (1, e0 + 180): (30, 1),
+    }
+    with pytest.raises(ValueError, match="target_buckets"):
+        auto_date_histogram_counts(hits, attrs, ["ts"], ["ext_id"],
+                                   target_buckets=0)
+
+
+def test_diversified_sample_caps_per_value(spark):
+    from searchengine_spark.query.aggregations import diversified_sample
+
+    hits = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (0, 4, 4), (0, 5, 5),
+         (1, 3, 1), (1, 4, 2)],
+        "query_id int, ext_id long, rank int")
+    attrs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None), (5, None)],
+        "ext_id long, src string")
+    kept = diversified_sample(hits, attrs, "src", ["ext_id"],
+                              max_per_value=1).collect()
+    got = [(r["query_id"], r["ext_id"]) for r in kept]
+    # q0: 'a' keeps best-ranked doc1 (doc2 dropped), 'b' keeps doc3,
+    # NULL-field docs 4 and 5 BOTH pass (ES: missing field not deduped)
+    assert got == [(0, 1), (0, 3), (0, 4), (0, 5), (1, 3), (1, 4)]
+    kept2 = diversified_sample(hits, attrs, "src", ["ext_id"],
+                               max_per_value=2).collect()
+    assert [(r["query_id"], r["ext_id"]) for r in kept2] == [
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 3), (1, 4)]
+    with pytest.raises(ValueError, match="rank"):
+        diversified_sample(hits.drop("rank"), attrs, "src", ["ext_id"])
