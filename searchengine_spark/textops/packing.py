@@ -120,6 +120,33 @@ def pack_concat_chunks(
     ).orderBy("bucket", "id")
 
 
+def greedy_assign(n_tokens, budget: int):
+    """The no-split first-fit state machine: given in-order token
+    counts, return (seq_ids, offsets) — the pure kernel ``pack_greedy``
+    runs per bucket (exposed so the property gates and the recursive
+    DuckDB oracle can be checked against one definition). A count >=
+    budget takes a sequence alone and closes it; otherwise a doc lands
+    at the open sequence's fill offset, opening a new one when it would
+    not fit whole."""
+    seqs = [0] * len(n_tokens)
+    offs = [0] * len(n_tokens)
+    open_seq, fill = 0, 0
+    for i, tok in enumerate(n_tokens):
+        tok = int(tok)
+        if tok >= budget:
+            if fill > 0:
+                open_seq += 1
+            seqs[i], offs[i] = open_seq, 0
+            open_seq, fill = open_seq + 1, 0
+        else:
+            if fill + tok > budget:
+                open_seq += 1
+                fill = 0
+            seqs[i], offs[i] = open_seq, fill
+            fill += tok
+    return seqs, offs
+
+
 def pack_greedy(
     docs: DataFrame,
     max_tokens: int,
@@ -148,23 +175,8 @@ def pack_greedy(
         import pandas as pd
 
         pdf = pdf.sort_values("id").reset_index(drop=True)
-        n = pdf["n_tokens"].to_numpy()
-        seqs = [0] * len(n)
-        offs = [0] * len(n)
-        open_seq, fill = 0, 0
-        for i, tok in enumerate(n):
-            tok = int(tok)
-            if tok >= budget:
-                if fill > 0:
-                    open_seq += 1
-                seqs[i], offs[i] = open_seq, 0
-                open_seq, fill = open_seq + 1, 0
-            else:
-                if fill + tok > budget:
-                    open_seq += 1
-                    fill = 0
-                seqs[i], offs[i] = open_seq, fill
-                fill += tok
+        seqs, offs = greedy_assign(
+            [int(t) for t in pdf["n_tokens"]], budget)
         return pd.DataFrame({
             "id": pdf["id"], "bucket": pdf["bucket"],
             "seq": pd.Series(seqs, dtype="int64"),

@@ -114,3 +114,76 @@ def test_packing_stats(spark, docs):
     # 4 seqs x 8 budget = 32; capped doc tokens 3+5+2+8+4+1 = 23 -> pad 9
     assert (r["n_seqs"], r["n_docs"], r["n_tokens"], r["pad_tokens"]) \
         == (4, 6, 24, 9)
+
+
+# ---- property gates over the pure first-fit kernel (the exact state
+# machine pack_greedy runs per bucket and the DuckDB oracle replays)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.textops.packing import greedy_assign
+
+
+@given(
+    n=st.lists(st.integers(min_value=1, max_value=40), max_size=120),
+    budget=st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_assign_invariants(n, budget):
+    seqs, offs = greedy_assign(n, budget)
+    assert len(seqs) == len(offs) == len(n)
+    # sequence ids: start at 0, nondecreasing, no gaps
+    if seqs:
+        assert seqs[0] == 0
+        for a, b in zip(seqs, seqs[1:]):
+            assert a <= b <= a + 1
+    from collections import defaultdict
+    per_seq = defaultdict(list)
+    for i, (s, o) in enumerate(zip(seqs, offs)):
+        per_seq[s].append((o, n[i]))
+    for s, items in per_seq.items():
+        total = sum(t for _, t in items)
+        if len(items) == 1:
+            # a singleton may be overlong (it is the ONLY way a
+            # sequence exceeds the budget), and always starts at 0
+            assert items[0][0] == 0
+        else:
+            # multi-doc sequences never exceed the budget and no
+            # member is overlong
+            assert total <= budget
+            assert all(t < budget for _, t in items)
+        # offsets are the running fill: contiguous, in order
+        fill = 0
+        for o, t in items:
+            assert o == fill
+            fill += t
+    # overlong docs are alone in their sequence
+    for i, t in enumerate(n):
+        if t >= budget:
+            assert len(per_seq[seqs[i]]) == 1
+
+
+@given(
+    n=st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+               max_size=120),
+    budget=st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_assign_first_fit_tightness(n, budget):
+    """A new sequence only ever opens because the previous one could
+    not hold the doc — no sequence is closed early (first-fit, not
+    best-fit): whenever seq increments for a non-overlong doc, the
+    previous sequence's fill + this doc must exceed the budget."""
+    seqs, offs = greedy_assign(n, budget)
+    fill_of = {}
+    for i, (s, o) in enumerate(zip(seqs, offs)):
+        fill_of[s] = o + n[i] if n[i] < budget else budget
+    for i in range(1, len(n)):
+        if seqs[i] == seqs[i - 1] + 1 and n[i] < budget:
+            prev_closing_doc = n[i - 1]
+            # the previous sequence ended with some fill; this doc
+            # must not have fit there (unless the previous seq was an
+            # overlong singleton, which is always closed)
+            if prev_closing_doc < budget:
+                assert fill_of[seqs[i - 1]] + n[i] > budget
