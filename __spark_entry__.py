@@ -2718,6 +2718,30 @@ def q_result_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rank").cast("long").alias("rank"))
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval API analog (query/eval.py rank_eval): exact count
+    numerators of the rated-retrieval metrics over each query's top-5
+    hits — precision@5 = n_rel_ret/n_returned, recall@5 =
+    n_rel_ret/n_rel_total, MRR = 1/first_rel_rank, all client-side
+    floats over exact BIGINTs. Ratings are synthesized deterministically
+    (every doc_id % 3 == 0 rated, grade = 1 + doc_id % 2; relevance
+    threshold 2, the ES relevant_rating_threshold) and shared across
+    queries via a bounded cross join — the oracle replicates retrieval,
+    the rating rule, the threshold, AND the rank-k cut. Distinct from
+    the reference-quirk EvalStats (src/efficiency.py twin): this is the
+    distributed many-query form."""
+    from searchengine_spark.query.eval import rank_eval
+
+    hits, docs = _hybrid_hits(spark, sf_dir)
+    results = hits.select(
+        "query_id", F.col("ext_id").alias("doc_id"), "rank")
+    rated = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (1 + F.col("doc_id") % 2).cast("int").alias("grade"))
+    ratings = results.select("query_id").distinct().crossJoin(rated)
+    return rank_eval(results, ratings, ["doc_id"], k=5,
+                     relevant_grade=2)
+
+
 # sloppy-phrase fixtures: 2-term phrases at slop 1 + one 3-term at slop 2
 SLOP_PHRASES_2 = ["hash scan", "table join", "stream batch"]
 SLOP_PHRASE_3 = "fast table scan"
@@ -4067,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_boxplot": q_result_boxplot,
         "result_mad": q_result_mad,
         "result_multi_terms": q_result_multi_terms,
+        "rank_eval": q_rank_eval,
         "result_t_test": q_result_t_test,
         "result_string_stats": q_result_string_stats,
         "result_auto_date_histogram": q_result_auto_date_histogram,
@@ -4820,6 +4845,31 @@ r AS (
 )
 SELECT query_id, rank::BIGINT AS rank, source, lang, n
 FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+    # ---- rank_eval: exact rated-retrieval numerators at k=5 —
+    # synthesized ratings (doc_id%3==0, grade 1+doc_id%2, threshold 2)
+    sqls["rank_eval"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()},
+rated AS (
+  SELECT doc_id, (1 + doc_id % 2)::INT AS grade
+  FROM documents WHERE doc_id % 3 = 0
+),
+topk AS (
+  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5
+),
+j AS (
+  SELECT t.query_id, t.rank, r.grade
+  FROM topk t LEFT JOIN rated r USING (doc_id)
+)
+SELECT query_id,
+       count(*)::BIGINT AS n_returned,
+       sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+       (SELECT count(*) FROM rated WHERE grade >= 2)::BIGINT AS n_rel_total,
+       min(CASE WHEN grade >= 2 THEN rank END)::BIGINT AS first_rel_rank
+FROM j GROUP BY query_id ORDER BY query_id
 """
 
     # ---- t_test: exact BIGINT moments of two predicate populations —

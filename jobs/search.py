@@ -1368,6 +1368,57 @@ def _apply_diversified(spark, attrs_path, ext_cols, per_q, spec):
     ]
 
 
+def _print_rank_eval(spark, ext_cols, queries, per_q, spec) -> None:
+    """--rank-eval RATINGS.parquet[:K[:GRADE]]: ES _rank_eval analog
+    (query/eval.py rank_eval; ratings parquet columns: query, <ext
+    cols...>, grade). Exact count numerators per query; precision@k /
+    recall@k / MRR derive client-side. One JSON line per query."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.eval import rank_eval
+
+    parts = spec.split(":")
+    if len(parts) > 3 or not parts[0].strip():
+        raise SystemExit("--rank-eval wants RATINGS.parquet[:K[:GRADE]]")
+    path = parts[0].strip()
+    k = int(parts[1]) if len(parts) > 1 else 10
+    grade = int(parts[2]) if len(parts) > 2 else 1
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols] + [r["rank"]])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
+    if rows:
+        results = spark.createDataFrame(
+            rows, ["query_id", *ext_cols, "rank"])
+        raw = spark.read.parquet(path)
+        need = ["query", *ext_cols, "grade"]
+        missing = [c for c in need if c not in raw.columns]
+        if missing:
+            raise SystemExit(f"--rank-eval ratings table lacks {missing}")
+        # query text -> this batch's query_id (unrated queries drop)
+        qmap = spark.createDataFrame(
+            list(enumerate(queries)), ["query_id", "query"])
+        ratings = raw.join(F.broadcast(qmap), "query").select(
+            "query_id", *ext_cols, "grade")
+        out = rank_eval(results, ratings, ext_cols, k=k,
+                        relevant_grade=grade)
+        for r in out.collect():
+            n_ret, n_rel = int(r["n_returned"]), int(r["n_rel_ret"])
+            n_tot = int(r["n_rel_total"])
+            frr = r["first_rel_rank"]
+            by_q[r["query_id"]] = {
+                "k": k, "n_returned": n_ret, "n_rel_ret": n_rel,
+                "n_rel_total": n_tot,
+                "precision": (n_rel / n_ret) if n_ret else None,
+                "recall": (n_rel / n_tot) if n_tot else None,
+                "mrr": (1.0 / int(frr)) if frr is not None else 0.0,
+            }
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "rank_eval": by_q[i]}))
+
+
 def _print_t_test(spark, attrs_path, ext_cols, queries, per_q,
                   spec) -> None:
     """--t-test VALUE:PRED_A|PRED_B: ES t_test analog (unpaired;
@@ -1756,6 +1807,8 @@ def _serve_federated(spark, args) -> None:
         if args.multi_terms:
             _print_multi_terms(spark, args.attrs, ext_cols, batch, agg_q,
                                args.multi_terms)
+        if args.rank_eval:
+            _print_rank_eval(spark, ext_cols, batch, per_q, args.rank_eval)
         if args.t_test:
             _print_t_test(spark, args.attrs, ext_cols, batch, agg_q,
                           args.t_test)
@@ -2677,6 +2730,14 @@ def main() -> None:
                          "the sample, the printed ranked page is "
                          "untouched; needs --attrs; every ranker, "
                          "--index or --shards")
+    ap.add_argument("--rank-eval", default=None,
+                    metavar="RATINGS[:K[:GRADE]]",
+                    help="ES _rank_eval analog (query/eval.py rank_eval; "
+                         "RATINGS = parquet with query, <ext cols>, "
+                         "grade): exact precision@k/recall@k/MRR "
+                         "numerators per query over the rated top-K "
+                         "(relevant = grade >= GRADE); every ranker, "
+                         "--index or --shards")
     ap.add_argument("--t-test", default=None,
                     metavar="VALUE:PRED_A|PRED_B",
                     help="ES t_test analog, unpaired "
@@ -3190,6 +3251,9 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_multi_terms(spark, args.attrs, ext, queries, agg_q,
                                args.multi_terms)
+        if args.rank_eval:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_rank_eval(spark, ext, queries, per_q, args.rank_eval)
         if args.t_test:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_t_test(spark, args.attrs, ext, queries, agg_q,

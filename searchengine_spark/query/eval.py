@@ -100,3 +100,65 @@ class EvalStats:
             parts.append(f"median_latency_s: {self.median_latency():.4f}")
         parts.append(f"ndcg: {self.ndcg}")
         return "\n".join(parts)
+
+
+def rank_eval(
+    results,
+    ratings,
+    ext_cols: Sequence[str],
+    k: int = 10,
+    relevant_grade: int = 1,
+):
+    """-> (query_id, n_returned, n_rel_ret, n_rel_total,
+    first_rel_rank): ES ``_rank_eval`` API analog as a DataFrame
+    operator — per query, the EXACT count numerators of the classic
+    rated-retrieval metrics over the top-``k`` of a resolved result
+    frame (``rank`` column = retrieval order) against a ratings frame
+    (query_id, <ext_cols...>, grade). A document is relevant when
+    ``grade >= relevant_grade`` (the ES relevant_rating_threshold).
+    The floats derive client-side from exact integers (the repo's
+    no-float-ratio rule): precision@k = n_rel_ret/n_returned, recall@k
+    = n_rel_ret/n_rel_total, MRR = 1/first_rel_rank (NULL
+    first_rel_rank = no relevant doc returned — the reciprocal rank is
+    0). Unlike the reference-quirk :class:`EvalStats` (plain Python,
+    formula-identical to src/efficiency.py:41-91), this one is
+    distributed: a query batch of millions evaluates as one bounded
+    join + two partial-aggregable groupBys — corpus size never
+    appears (ratings tables are human-rated, inherently small; the
+    results side is queries x k). Queries with no result rows emit
+    nothing (the frame is results-driven, like every result-set
+    aggregation here)."""
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    need = ["query_id", *ext_cols, "grade"]
+    missing = [c for c in need if c not in ratings.columns]
+    if missing:
+        raise ValueError(f"ratings frame lacks columns {missing}")
+    if "rank" not in results.columns:
+        raise ValueError("results frame lacks a 'rank' column")
+    g = F.col("grade") >= relevant_grade
+    topk = (results.filter(F.col("rank") <= k)
+            .select("query_id", *ext_cols, "rank"))
+    j = topk.join(ratings.select(*need), ["query_id", *ext_cols], "left")
+    per_q = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_returned"),
+        F.sum(F.when(g, 1).otherwise(0)).cast("long").alias("n_rel_ret"),
+        F.min(F.when(g, F.col("rank"))).cast("long")
+        .alias("first_rel_rank"),
+    )
+    totals = (
+        ratings.filter(g).groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    )
+    return (
+        per_q.join(totals, "query_id", "left")
+        .select(
+            "query_id", "n_returned", "n_rel_ret",
+            F.coalesce("n_rel_total", F.lit(0).cast("long"))
+            .alias("n_rel_total"),
+            "first_rel_rank",
+        )
+        .orderBy("query_id")
+    )

@@ -138,3 +138,43 @@ def test_eval_add_empty_relevance_entry_no_crash():
     st = EvalStats({"ghost query": []})
     st.add("ghost query", [(1, 2.0), (2, 1.0)])
     assert "ghost query" not in st.recalls
+
+
+def test_rank_eval_exact_numerators(spark):
+    """ES _rank_eval analog (query/eval.py rank_eval): exact count
+    numerators over a rated top-k window; floats derive client-side."""
+    import pytest as _pytest
+
+    from searchengine_spark.query.eval import rank_eval
+
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4),
+         (1, 20, 1), (1, 21, 2)],
+        "query_id int, doc_id long, rank int")
+    ratings = spark.createDataFrame(
+        [(0, 11, 2), (0, 13, 1), (0, 99, 3), (0, 12, 0),
+         (1, 50, 1)],
+        "query_id int, doc_id long, grade int")
+    got = {r["query_id"]: (r["n_returned"], r["n_rel_ret"],
+                           r["n_rel_total"], r["first_rel_rank"])
+           for r in rank_eval(results, ratings, ["doc_id"],
+                              k=3).collect()}
+    # q0 top-3 = docs 10,11,12; relevant (grade>=1) returned: doc 11
+    # only (doc 12 is rated 0, doc 13 is rank 4 > k); rated-relevant
+    # total = {11, 13, 99} = 3; first relevant at rank 2
+    assert got[0] == (3, 1, 3, 2)
+    # q1: nothing returned is rated; total relevant = 1; MRR -> NULL
+    assert got[1] == (2, 0, 1, None)
+    # precision@3 = 1/3, recall = 1/3, MRR = 1/2 — all client-side
+    n_ret, n_rel, n_tot, frr = got[0]
+    assert (n_rel / n_ret, n_rel / n_tot, 1 / frr) == \
+        (_pytest.approx(1 / 3), _pytest.approx(1 / 3), 0.5)
+    with _pytest.raises(ValueError, match="lacks columns"):
+        rank_eval(results, ratings.drop("grade"), ["doc_id"], k=3)
+    with _pytest.raises(ValueError, match="rank"):
+        rank_eval(results.drop("rank"), ratings, ["doc_id"], k=3)
+    # relevant_rating_threshold: grade >= 2 shrinks both numerators
+    strict = {r["query_id"]: (r["n_rel_ret"], r["n_rel_total"])
+              for r in rank_eval(results, ratings, ["doc_id"], k=3,
+                                 relevant_grade=2).collect()}
+    assert strict[0] == (1, 2)   # doc 11 (grade 2) + unreturned doc 99
