@@ -343,6 +343,36 @@ def q_minspan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minspan_topk_batch(it, MINSPAN_QUERIES, CFG, k=10)
 
 
+# ES span queries (query/spanqueries.py): span_first = term occurs at an
+# analyzed position < end; span_not = include occurrences surviving an
+# exclude window [pos-pre, pos+post]. Integer-only ranking contracts.
+SPAN_FIRST_QUERIES = [("table", 3), ("vector", 1), ("hash", 12)]
+SPAN_NOT_QUERIES = [("table", "hash"), ("vector", "merge")]
+SPAN_NOT_PRE, SPAN_NOT_POST = 2, 2
+
+
+def q_span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene span_first: docs where the term appears before analyzed
+    position `end`, ranked (first_pos ASC, doc_id ASC) — all-native
+    higher-order-function plan over the positional index."""
+    from searchengine_spark.query.spanqueries import span_first_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return span_first_topk_batch(it, SPAN_FIRST_QUERIES, CFG, k=10)
+
+
+def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene span_not: include-term occurrences with no exclude-term
+    occurrence within [pos-pre, pos+post], ranked (n_clear DESC,
+    doc_id ASC) — broadcast joins + exists() probes, zero Python."""
+    from searchengine_spark.query.spanqueries import span_not_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return span_not_topk_batch(
+        it, SPAN_NOT_QUERIES, CFG, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST, k=10
+    )
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3983,6 +4013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_topk": q_phrase_slop_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "minspan_topk": q_minspan_topk,
+        "span_first_topk": q_span_first_topk,
+        "span_not_topk": q_span_not_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5611,6 +5643,72 @@ WITH {_INDEX_CTES}
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf
 FROM idx WHERE term LIKE {_sql_quote(PREFIX_QUERY + "%")}
 GROUP BY doc_id
+"""
+
+    _posed_ctes = f"""tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+posed AS (
+  SELECT doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok, (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens)
+)"""
+    _sf_vals = ", ".join(
+        f"({qid}, {_sql_quote(tokenize_text(t, CFG)[0])}, {end})"
+        for qid, (t, end) in enumerate(SPAN_FIRST_QUERIES)
+    )
+    sqls["span_first_topk"] = f"""
+WITH {_posed_ctes},
+q(query_id, term, end_pos) AS (VALUES {_sf_vals}),
+hits AS (
+  SELECT q.query_id, p.doc_id, p.pos
+  FROM posed p JOIN q ON p.term = q.term AND p.pos < q.end_pos
+),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_within,
+         min(pos)::BIGINT AS first_pos
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_within, first_pos,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY first_pos, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
+"""
+
+    _sn_vals = ", ".join(
+        f"({qid}, {_sql_quote(tokenize_text(inc, CFG)[0])}, "
+        f"{_sql_quote(tokenize_text(exc, CFG)[0])})"
+        for qid, (inc, exc) in enumerate(SPAN_NOT_QUERIES)
+    )
+    sqls["span_not_topk"] = f"""
+WITH {_posed_ctes},
+q(query_id, inc, exc) AS (VALUES {_sn_vals}),
+ip AS (
+  SELECT q.query_id, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.inc
+),
+ep AS (
+  SELECT q.query_id, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.exc
+),
+clear AS (
+  SELECT i.query_id, i.doc_id, i.pos FROM ip i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ep e
+    WHERE e.query_id = i.query_id AND e.doc_id = i.doc_id
+      AND e.pos BETWEEN i.pos - {SPAN_NOT_PRE} AND i.pos + {SPAN_NOT_POST})
+),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_clear,
+         min(pos)::BIGINT AS first_clear
+  FROM clear GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_clear, first_clear,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY n_clear DESC, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
 """
 
     # ---------------- training-data pipeline ops ----------------

@@ -1855,6 +1855,9 @@ def _serve_federated(spark, args) -> None:
         print(json.dumps({"text": args.analyze,
                           "tokens": analyze_text(args.analyze, cfg)}))
         return
+    if args.span_first or args.span_not:
+        raise SystemExit("span queries serve --index only (doc-local "
+                         "semantics federate trivially; not wired)")
     if args.term_suggest:
         from searchengine_spark.query.federated import _global_dictionary
         from searchengine_spark.query.fuzzy import term_suggestions
@@ -2327,6 +2330,20 @@ def main() -> None:
                          "how the INDEX'S tokenizer chain analyzes TEXT "
                          "— token/position/offsets JSON; --index or "
                          "--shards")
+    ap.add_argument("--span-first", default=None, metavar="TERM:END",
+                    help="ES span_first (query/spanqueries.py): docs "
+                         "where TERM occurs at an analyzed position < "
+                         "END, ranked first_pos asc; positional build, "
+                         "--index only, in-process local tier")
+    ap.add_argument("--span-not", default=None, metavar="INC,EXC",
+                    help="ES span_not (query/spanqueries.py): INC "
+                         "occurrences with no EXC occurrence within "
+                         "[pos - span-pre, pos + span-post], ranked "
+                         "n_clear desc; positional build, --index only")
+    ap.add_argument("--span-pre", type=int, default=0,
+                    help="span_not window before the include position")
+    ap.add_argument("--span-post", type=int, default=0,
+                    help="span_not window after the include position")
     ap.add_argument("--term-suggest", default=None, metavar="WORDS",
                     help="ES term suggester / did-you-mean "
                          "(query/fuzzy.py term_suggestions): per word, "
@@ -2906,6 +2923,27 @@ def main() -> None:
             "suggestions": [{"term": r["term"], "df": int(r["df"])}
                             for r in rows],
         }))
+        return
+    if args.span_first or args.span_not:
+        from searchengine_spark.query.serve import LocalSearcher
+        from searchengine_spark.query.spanqueries import (
+            local_span_first,
+            local_span_not,
+        )
+
+        searcher = LocalSearcher(pidx, preload=False, cfg=cfg)
+        if args.span_first:
+            term, _, end = args.span_first.rpartition(":")
+            if not term:
+                raise SystemExit("--span-first wants TERM:END")
+            rows = local_span_first(searcher, term, int(end), k=args.n)
+        else:
+            inc, _, exc = args.span_not.partition(",")
+            if not exc:
+                raise SystemExit("--span-not wants INC,EXC")
+            rows = local_span_not(searcher, inc, exc, pre=args.span_pre,
+                                  post=args.span_post, k=args.n)
+        print(json.dumps({"hits": rows}, default=str))
         return
 
     if args.must or args.should:
