@@ -373,6 +373,21 @@ def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set: per-DOC minimum_should_match — a doc is eligible
+    when its distinct matched-term count reaches its own floor (here
+    doc_id % 3 + 1, a synthesized attribute); score = the bool/should
+    BM25 sum (query/termsset.py)."""
+    from searchengine_spark.query.termsset import terms_set_topk_batch
+
+    it = _doc_index(spark, sf_dir)
+    req = _documents(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 3 + 1).alias("required")
+    )
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    return terms_set_topk_batch(it, qs, req, CFG, k=10, round_dp=6)
+
+
 # ------------------------------------------------- training-data pipeline ops
 
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4015,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minspan_topk": q_minspan_topk,
         "span_first_topk": q_span_first_topk,
         "span_not_topk": q_span_not_topk,
+        "terms_set_topk": q_terms_set_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5635,6 +5651,28 @@ SELECT query_id, doc_id, span_len, lo, hi,
           PARTITION BY query_id ORDER BY span_len, doc_id
         ))::BIGINT AS rank
 FROM allq
+QUALIFY rank <= 10
+"""
+
+    sqls["terms_set_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s,
+         count(*)::BIGINT AS n_matched
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term)
+  JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+eligible AS (
+  SELECT query_id, doc_id, n_matched, round(s, 6) AS score
+  FROM scored WHERE n_matched >= doc_id % 3 + 1
+)
+SELECT query_id, doc_id, n_matched, score,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id
+        ))::BIGINT AS rank
+FROM eligible
 QUALIFY rank <= 10
 """
 

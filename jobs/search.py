@@ -1858,6 +1858,8 @@ def _serve_federated(spark, args) -> None:
     if args.span_first or args.span_not:
         raise SystemExit("span queries serve --index only (doc-local "
                          "semantics federate trivially; not wired)")
+    if args.terms_set:
+        raise SystemExit("--terms-set serves --index only")
     if args.term_suggest:
         from searchengine_spark.query.federated import _global_dictionary
         from searchengine_spark.query.fuzzy import term_suggestions
@@ -2344,6 +2346,12 @@ def main() -> None:
                     help="span_not window before the include position")
     ap.add_argument("--span-post", type=int, default=0,
                     help="span_not window after the include position")
+    ap.add_argument("--terms-set", default=None, metavar="EXPR",
+                    help="ES terms_set (query/termsset.py): per-DOC "
+                         "minimum_should_match — EXPR over the --attrs "
+                         "columns yields each doc's coverage floor; "
+                         "eligible docs score as plain bool/should "
+                         "BM25; --index only, single --query")
     ap.add_argument("--term-suggest", default=None, metavar="WORDS",
                     help="ES term suggester / did-you-mean "
                          "(query/fuzzy.py term_suggestions): per word, "
@@ -2923,6 +2931,27 @@ def main() -> None:
             "suggestions": [{"term": r["term"], "df": int(r["df"])}
                             for r in rows],
         }))
+        return
+    if args.terms_set:
+        if not args.attrs:
+            raise SystemExit("--terms-set needs --attrs (the table "
+                             "carrying order_cols + the floor column)")
+        if not args.query:
+            raise SystemExit("--terms-set wants a single --query")
+        from searchengine_spark.query.termsset import (
+            required_from_attrs,
+            terms_set_topk_packed_batch,
+        )
+
+        req = required_from_attrs(
+            pidx, spark.read.parquet(args.attrs), args.terms_set)
+        ts_queries = list(args.query)
+        res = terms_set_topk_packed_batch(
+            pidx, ts_queries, req, cfg, k=args.n)
+        from searchengine_spark.query.wand import resolve_docs
+
+        rows = [r.asDict() for r in resolve_docs(pidx, res).collect()]
+        print(json.dumps({"queries": ts_queries, "hits": rows}, default=str))
         return
     if args.span_first or args.span_not:
         from searchengine_spark.query.serve import LocalSearcher
