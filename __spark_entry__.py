@@ -3567,6 +3567,50 @@ def q_result_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sum_n")
 
 
+# bucket_script expression — shared verbatim with the oracle (the
+# Spark∩DuckDB integer dialect; the CASE with no ELSE exercises the
+# NULL-drops-the-bucket rule on both engines)
+BUCKET_SCRIPT_EXPR = "CASE WHEN n >= 2 THEN n * 10 END"
+
+
+def q_result_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline aggregation (query/pipeline_aggs.py)
+    over the raw date_histogram buckets: a derived BIGINT value per
+    bucket from a shared-dialect SQL expression; NULL results drop the
+    bucket (the ES skip rule). The oracle runs the expression text
+    verbatim."""
+    from searchengine_spark.query.pipeline_aggs import bucket_script
+
+    out = bucket_script(_dh_buckets(spark), BUCKET_SCRIPT_EXPR)
+    return out.select("query_id", "col", "bucket_epoch", "n", "val")
+
+
+def q_result_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles_bucket pipeline aggregation
+    (query/pipeline_aggs.py): exact nearest-rank percentiles of the
+    bucket doc counts per (query, col) series — the same 1-based
+    ceil-index rule as result_percentiles, BIGINT end to end."""
+    from searchengine_spark.query.pipeline_aggs import percentiles_bucket
+
+    out = percentiles_bucket(_dh_buckets(spark), (25, 50, 75, 100))
+    return out.select("query_id", "col", "pct", "value")
+
+
+def q_result_extreme_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES min_bucket / max_bucket pipeline aggregations
+    (query/pipeline_aggs.py extreme_bucket_keys): per series the extreme
+    doc count AND the sorted keys achieving it (ES returns a keys list
+    because ties are legal; keys emitted comma-joined — the driver's
+    no-array-columns convention)."""
+    from searchengine_spark.query.pipeline_aggs import extreme_bucket_keys
+
+    out = extreme_bucket_keys(_dh_buckets(spark))
+    return out.select(
+        "query_id", "col", "kind", "n",
+        F.array_join(F.col("keys").cast("array<string>"), ",").alias("keys"),
+    )
+
+
 def q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_hits sub-aggregation (query/facets.py top_hits): for every
     (facet, value) bucket a query's top-10 transcripts hits touch, the
@@ -4086,6 +4130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_bucket_sort": q_result_bucket_sort,
         "result_bucket_selector": q_result_bucket_selector,
         "result_stats_bucket": q_result_stats_bucket,
+        "result_bucket_script": q_result_bucket_script,
+        "result_percentiles_bucket": q_result_percentiles_bucket,
+        "result_extreme_buckets": q_result_extreme_buckets,
         "facet_top_hits": q_facet_top_hits,
         "delete_then_search": q_delete_then_search,
         "compacted_search": q_compacted_search,
@@ -7357,6 +7404,51 @@ SELECT query_id, col,
        max(n)::BIGINT AS max_n, sum(n)::BIGINT AS sum_n
 FROM dh GROUP BY query_id, col
 ORDER BY query_id, col
+"""
+
+    sqls["result_bucket_script"] = f"""
+WITH dh AS ({_dh_sql}),
+v AS (
+  SELECT query_id, col, bucket_epoch, n,
+         ({BUCKET_SCRIPT_EXPR})::BIGINT AS val
+  FROM dh
+)
+SELECT query_id, col, bucket_epoch, n, val
+FROM v WHERE val IS NOT NULL
+ORDER BY query_id, col, bucket_epoch
+"""
+
+    sqls["result_percentiles_bucket"] = f"""
+WITH dh AS ({_dh_sql}),
+srt AS (
+  SELECT query_id, col, n,
+         row_number() OVER (PARTITION BY query_id, col ORDER BY n ASC) AS rn,
+         count(*) OVER (PARTITION BY query_id, col) AS cnt
+  FROM dh
+),
+p AS (SELECT unnest([25, 50, 75, 100]) AS pct)
+SELECT s.query_id, s.col, p.pct::BIGINT AS pct, s.n::BIGINT AS value
+FROM srt s JOIN p ON s.rn = greatest(1, (p.pct * s.cnt + 99) // 100)
+ORDER BY query_id, col, pct
+"""
+
+    sqls["result_extreme_buckets"] = f"""
+WITH dh AS ({_dh_sql}),
+ext AS (
+  SELECT query_id, col, min(n) AS mn, max(n) AS mx
+  FROM dh GROUP BY query_id, col
+),
+f AS (
+  SELECT d.query_id, d.col, k.kind, d.n, d.bucket_epoch
+  FROM dh d
+  JOIN ext e USING (query_id, col)
+  CROSS JOIN (SELECT unnest(['min', 'max']) AS kind) k
+  WHERE (k.kind = 'min' AND d.n = e.mn) OR (k.kind = 'max' AND d.n = e.mx)
+)
+SELECT query_id, col, kind, n::BIGINT AS n,
+       string_agg(bucket_epoch::VARCHAR, ',' ORDER BY bucket_epoch) AS keys
+FROM f GROUP BY query_id, col, kind, n
+ORDER BY query_id, col, kind
 """
 
     # ---- top_hits: the transcripts top-10 ranking joined to role/tool,

@@ -895,7 +895,8 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
     """--pipeline OP over the --date-histogram buckets: ES pipeline
     aggregations (query/pipeline_aggs.py). OP is one of cumsum,
     derivative, moving_sum:W[:SHIFT], serial_diff:L,
-    bucket_sort:SIZE[:FROM], bucket_selector:PRED, stats_bucket.
+    bucket_sort:SIZE[:FROM], bucket_selector:PRED, stats_bucket,
+    bucket_script:EXPR, percentiles_bucket[:P1|P2], extreme_buckets.
     Positional members (cumsum/derivative/moving_sum/serial_diff) run on
     the DENSIFIED series (zero-filled gaps — the ES min_doc_count=0
     requirement); order-statistic members run on the raw buckets. Needs
@@ -945,12 +946,24 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
             out = P.bucket_selector(buckets, rest)
         elif op == "stats_bucket":
             out = P.stats_bucket(buckets)
+        elif op == "bucket_script":
+            if not rest:
+                raise SystemExit("--pipeline bucket_script:EXPR needs a "
+                                 "SQL integer expression over "
+                                 "(n, bucket_epoch)")
+            out = P.bucket_script(buckets, rest)
+        elif op == "percentiles_bucket":
+            pcts = [int(x) for x in rest.split("|")] if rest else (25, 50,
+                                                                   75, 100)
+            out = P.percentiles_bucket(buckets, pcts)
+        elif op == "extreme_buckets":
+            out = P.extreme_bucket_keys(buckets)
         else:
             raise SystemExit(f"unknown --pipeline op {op!r}")
         val_cols = [c for c in out.columns if c not in ("query_id",)]
         for r in out.collect():
             by_q[r["query_id"]].append(
-                {c: (r[c] if not isinstance(r[c], float) else r[c])
+                {c: (list(r[c]) if isinstance(r[c], list) else r[c])
                  for c in val_cols})
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "pipeline": {op: by_q[i]}},
@@ -2594,7 +2607,9 @@ def main() -> None:
                          "(query/pipeline_aggs.py): cumsum | derivative "
                          "| moving_sum:W[:SHIFT] | serial_diff:L | "
                          "bucket_sort:SIZE[:FROM] | bucket_selector:PRED "
-                         "| stats_bucket. Positional ops run on the "
+                         "| stats_bucket | bucket_script:EXPR | "
+                         "percentiles_bucket[:P1|P2] | extreme_buckets. "
+                         "Positional ops run on the "
                          "densified (zero-filled) series; needs a "
                          "single-column --date-histogram spec + --attrs; "
                          "every ranker, --index or --shards")

@@ -255,6 +255,111 @@ def bucket_selector(
     )
 
 
+def bucket_script(
+    buckets: DataFrame,
+    expr: str,
+    bucket_col: str = "bucket_epoch",
+) -> DataFrame:
+    """-> (query_id, col, bucket, n, val): ES ``bucket_script`` pipeline
+    aggregation — a derived per-bucket value computed from the bucket
+    row (``n`` and the bucket-key column). The expression is a SQL
+    INTEGER expression restricted by CONVENTION to the Spark∩DuckDB
+    dialect (the bucket_selector/filters_agg discipline: arithmetic,
+    CASE, comparisons — no float functions), cast to BIGINT, so an
+    oracle replicates it verbatim with no float policy. A NULL result
+    drops the bucket — exactly ES's skip-the-bucket rule for a script
+    returning null (and the engine-wide NULLs-skip rule)."""
+    _check_bucket_col(buckets, bucket_col)
+    if not expr or not str(expr).strip():
+        raise ValueError("expr must be a non-empty SQL integer "
+                         "expression over (n, bucket)")
+    return (
+        buckets.select(
+            "query_id", "col", bucket_col,
+            F.col("n").cast("long").alias("n"))
+        .withColumn("val", F.expr(expr).cast("long"))
+        .filter(F.col("val").isNotNull())
+        .orderBy("query_id", "col", bucket_col)
+    )
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    percents=(25, 50, 75, 100),
+    bucket_col: str = "bucket_epoch",
+) -> DataFrame:
+    """-> (query_id, col, pct, value): ES ``percentiles_bucket`` pipeline
+    aggregation — percentiles of the bucket doc counts across each
+    (query_id, col) series, by the repo-wide EXACT nearest-rank rule
+    (value at 1-based sorted index ``(pct*n + 99) div 100`` floored at
+    1 — the aggregations.percentiles_agg convention; ES documents
+    percentiles_bucket as exact over the bucket list too, interpolation
+    is only its t-digest metric cousin). All-BIGINT. Gap-sensitive:
+    densify first if zero buckets should count."""
+    _check_bucket_col(buckets, bucket_col)
+    ps = [int(p) for p in percents]
+    if not ps or any(p <= 0 or p > 100 for p in ps):
+        raise ValueError(
+            f"percents must be integers in (0, 100], got {list(percents)}"
+        )
+    arr = buckets.groupBy("query_id", "col").agg(
+        F.sort_array(F.collect_list(F.col("n").cast("long"))).alias("vals")
+    )
+    fanned = arr.select(
+        "query_id", "col",
+        F.explode(F.array(*[F.lit(p) for p in sorted(set(ps))])).alias("pct"),
+        "vals",
+    )
+    idx = F.greatest(F.lit(1), F.expr("(pct * size(vals) + 99) div 100"))
+    return (
+        fanned.select(
+            "query_id", "col",
+            F.col("pct").cast("long").alias("pct"),
+            F.element_at("vals", idx.cast("int")).cast("long").alias("value"),
+        )
+        .orderBy("query_id", "col", "pct")
+    )
+
+
+def extreme_bucket_keys(
+    buckets: DataFrame, bucket_col: str = "bucket_epoch"
+) -> DataFrame:
+    """-> (query_id, col, kind, n, keys): ES ``min_bucket`` /
+    ``max_bucket`` pipeline aggregations — per (query_id, col) series
+    one row per kind ('min', 'max') carrying the extreme doc count AND
+    the sorted array of bucket keys achieving it (ES returns a keys
+    LIST precisely because ties are legal). stats_bucket gives the
+    values only; this is the keys-of-extremes complement. All-BIGINT +
+    deterministic sorted keys, so the driver oracle hash-gates it."""
+    _check_bucket_col(buckets, bucket_col)
+    nn = F.col("n").cast("long")
+    b = F.col(bucket_col).cast("long")
+    ext = buckets.groupBy("query_id", "col").agg(
+        F.min(nn).alias("_mn"), F.max(nn).alias("_mx")
+    )
+    keyed = buckets.select(
+        "query_id", "col", b.alias("_b"), nn.alias("_n")
+    ).join(ext, ["query_id", "col"])
+    out = keyed.select(
+        "query_id", "col",
+        F.explode(
+            F.array(
+                F.struct(F.lit("min").alias("kind"), F.col("_mn").alias("tgt")),
+                F.struct(F.lit("max").alias("kind"), F.col("_mx").alias("tgt")),
+            )
+        ).alias("e"),
+        "_b", "_n",
+    ).filter(F.col("_n") == F.col("e.tgt"))
+    return (
+        out.groupBy("query_id", "col", F.col("e.kind").alias("kind"))
+        .agg(
+            F.first("_n").cast("long").alias("n"),
+            F.sort_array(F.collect_list("_b")).alias("keys"),
+        )
+        .orderBy("query_id", "col", "kind")
+    )
+
+
 def stats_bucket(
     buckets: DataFrame, bucket_col: str = "bucket_epoch"
 ) -> DataFrame:

@@ -183,3 +183,84 @@ def test_stats_bucket_gap_sensitivity_documented(buckets):
     dense = densify_buckets(buckets, 600)
     got = {r["query_id"]: r["min_n"] for r in stats_bucket(dense).collect()}
     assert got == {"q0": 0, "q1": 2}
+
+
+def test_bucket_script_integer_expr(buckets):
+    from searchengine_spark.query.pipeline_aggs import bucket_script
+
+    got = _rows(bucket_script(buckets, "n * 2 + bucket_epoch div 600"),
+                "query_id", "bucket_epoch", "val")
+    assert got == sorted([
+        ("q0", 600, 7), ("q0", 1800, 5), ("q0", 2400, 12),
+        ("q1", 0, 4), ("q1", 600, 5), ("q1", 1200, 12),
+    ])
+
+
+def test_bucket_script_null_drops(buckets):
+    from searchengine_spark.query.pipeline_aggs import bucket_script
+
+    got = bucket_script(buckets, "CASE WHEN n >= 3 THEN n * 10 END")
+    assert _rows(got, "query_id", "bucket_epoch", "val") == sorted([
+        ("q0", 600, 30), ("q0", 2400, 40), ("q1", 1200, 50),
+    ])
+    with pytest.raises(ValueError, match="expr"):
+        bucket_script(buckets, "  ")
+
+
+def test_percentiles_bucket_nearest_rank(buckets):
+    from searchengine_spark.query.pipeline_aggs import percentiles_bucket
+
+    # q0 sorted ns = [1, 3, 4]; q1 = [2, 2, 5]
+    got = _rows(percentiles_bucket(buckets, (50, 100)),
+                "query_id", "pct", "value")
+    assert got == sorted([
+        ("q0", 50, 3), ("q0", 100, 4),
+        ("q1", 50, 2), ("q1", 100, 5),
+    ])
+    with pytest.raises(ValueError, match="percents"):
+        percentiles_bucket(buckets, (0,))
+
+
+def test_percentiles_bucket_matches_result_percentiles_rule(buckets):
+    # same nearest-rank index arithmetic as aggregations.percentiles_agg
+    from searchengine_spark.query.pipeline_aggs import percentiles_bucket
+
+    rows = percentiles_bucket(buckets, (1, 34, 67, 100)).collect()
+    ns = {"q0": [1, 3, 4], "q1": [2, 2, 5]}
+    for r in rows:
+        vals = ns[r["query_id"]]
+        idx = max(1, (r["pct"] * len(vals) + 99) // 100)
+        assert r["value"] == vals[idx - 1], r
+
+
+def test_extreme_bucket_keys_with_ties(spark):
+    from searchengine_spark.query.pipeline_aggs import extreme_bucket_keys
+
+    tied = spark.createDataFrame([
+        ("q0", "ts", 0, 5), ("q0", "ts", 600, 1),
+        ("q0", "ts", 1200, 5), ("q0", "ts", 1800, 1),
+    ], SCHEMA)
+    got = {
+        (r["query_id"], r["kind"]): (r["n"], list(r["keys"]))
+        for r in extreme_bucket_keys(tied).collect()
+    }
+    assert got == {
+        ("q0", "min"): (1, [600, 1800]),
+        ("q0", "max"): (5, [0, 1200]),
+    }
+
+
+def test_extreme_bucket_keys_constant_series(spark):
+    from searchengine_spark.query.pipeline_aggs import extreme_bucket_keys
+
+    const = spark.createDataFrame(
+        [("q0", "ts", 0, 2), ("q0", "ts", 600, 2)], SCHEMA)
+    got = {
+        (r["query_id"], r["kind"]): (r["n"], list(r["keys"]))
+        for r in extreme_bucket_keys(const).collect()
+    }
+    # min == max: both kinds emit, same value, same keys
+    assert got == {
+        ("q0", "min"): (2, [0, 600]),
+        ("q0", "max"): (2, [0, 600]),
+    }
