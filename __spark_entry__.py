@@ -2197,6 +2197,51 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CF_TIE = 0.2
+
+
+def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type cross_fields (query/multimatch.py
+    cross_fields_topk — Lucene BlendedTermQuery): TERM-centric blended
+    statistics — per term the fields share one idf built from the MAX
+    per-field df, each field contributes its own tf/dl_norm saturation
+    (source boosted 2x), fields combine dis_max per TERM (tie 0.2) and
+    the term scores sum per doc. The oracle replicates the blend (FULL
+    OUTER df max), the per-term dismax and the sum — per-field idf, a
+    per-QUERY combine, or boosting after the max all hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.query.multimatch import (
+        build_field_indexes,
+        cross_fields_topk,
+        load_field_indexes,
+    )
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("ext_id"), "text", "source")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"se_entry_mm_{tag}")
+    _build_packed_once(root, lambda: build_field_indexes(
+        docs, CFG, root, ["text", "source"], params=Bm25Params(K, B),
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    fidx = load_field_indexes(spark, root)
+    qs = [MM_QUERIES[q] for q in sorted(MM_QUERIES)]
+    topk = cross_fields_topk(
+        fidx, qs, CFG, k=10, tie_breaker=CF_TIE, boosts=MM_BOOSTS,
+        round_dp=6,
+    )
+    out = resolve_docs(fidx["text"], topk)
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp term retrieval (query/regexp.py — the ES ``regexp`` /
     Lucene ``/pattern/`` query_string analog): slash-wrapped query words
@@ -4156,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": q_wildcard_search,
         "regexp_search": q_regexp_search,
         "multi_match_topk": q_multi_match,
+        "cross_fields_topk": q_cross_fields,
         "sorted_search": q_sorted_search,
         "decay_search": q_decay_search,
         "analyze_tokens": q_analyze_tokens,
@@ -8548,6 +8594,51 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
   FROM comb
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- cross_fields: blended per-term statistics (max df across the
+    # fields, one shared idf), per-term dismax over field contributions
+    # (source boosted BEFORE the max), per-doc term-score sum
+    sqls["cross_fields_topk"] = f"""
+WITH {_field_index_ctes('_t', 'text').strip()},
+{_field_index_ctes('_s', 'source').strip()},
+q AS ({' UNION ALL '.join(mm_selects)}),
+blend AS (
+  SELECT coalesce(t.term, s.term) AS term,
+         round(ln((SELECT n FROM corpus_t)::DOUBLE /
+               greatest(coalesce(t.df, 0), coalesce(s.df, 0))), 3) AS bidf
+  FROM stats_t t FULL OUTER JOIN stats_s s ON t.term = s.term
+),
+ct AS (
+  SELECT q.query_id, q.term, idx_t.doc_id,
+         blend.bidf * (idx_t.tf * ({K} + 1.0)) /
+         (idx_t.tf + {K} * (1.0 - {B} + {B} * dln_t.dl_norm)) AS c
+  FROM idx_t JOIN q USING (term) JOIN blend USING (term)
+             JOIN dln_t USING (doc_id)
+),
+cs AS (
+  SELECT q.query_id, q.term, idx_s.doc_id,
+         {_mm_boost}::DOUBLE * blend.bidf * (idx_s.tf * ({K} + 1.0)) /
+         (idx_s.tf + {K} * (1.0 - {B} + {B} * dln_s.dl_norm)) AS c
+  FROM idx_s JOIN q USING (term) JOIN blend USING (term)
+             JOIN dln_s USING (doc_id)
+),
+u AS (SELECT * FROM ct UNION ALL SELECT * FROM cs),
+td AS (
+  SELECT query_id, term, doc_id,
+         max(c) + {CF_TIE}::DOUBLE * (sum(c) - max(c)) AS tds
+  FROM u GROUP BY query_id, term, doc_id
+),
+fin AS (
+  SELECT query_id, doc_id, sum(tds) AS s FROM td GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM fin
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
 """

@@ -1634,7 +1634,7 @@ def _parse_field_boosts(spec: str | None) -> tuple:
 
 
 def _serve_multi_match(spark, args) -> None:
-    """--multi-match best_fields|most_fields: ES multi_match over a
+    """--multi-match best_fields|most_fields|cross_fields: ES multi_match over a
     --fields multi-field root (jobs/build_index.py --fields) — one
     query string scored across per-field indexes (aligned docIDs,
     per-field statistics), combined per doc (best + --mm-tie x rest,
@@ -1676,9 +1676,16 @@ def _serve_multi_match(spark, args) -> None:
         raise SystemExit("--multi-match wants --query/--queries-file "
                          "(no REPL tier yet)")
     t1 = time.perf_counter()
-    topk = multi_match_topk(
-        fidx, queries, cfg, k=args.n, mode=args.multi_match,
-        tie_breaker=args.mm_tie, boosts=boosts or None, round_dp=6)
+    if args.multi_match == "cross_fields":
+        from searchengine_spark.query.multimatch import cross_fields_topk
+
+        topk = cross_fields_topk(
+            fidx, queries, cfg, k=args.n, tie_breaker=args.mm_tie,
+            boosts=boosts or None, round_dp=6)
+    else:
+        topk = multi_match_topk(
+            fidx, queries, cfg, k=args.n, mode=args.multi_match,
+            tie_breaker=args.mm_tie, boosts=boosts or None, round_dp=6)
     rows = resolve_docs(first, topk).collect()
     by_q: dict[int, list] = {i: [] for i in range(len(queries))}
     for r in rows:
@@ -2496,13 +2503,16 @@ def main() -> None:
                     help="--sort placement of matches with no attribute "
                          "value (ES _last default)")
     ap.add_argument("--multi-match", default=None,
-                    choices=("best_fields", "most_fields"),
+                    choices=("best_fields", "most_fields",
+                             "cross_fields"),
                     help="ES multi_match over a --fields build root "
                          "(query/multimatch.py): per-field packed "
-                         "indexes, per-field statistics, combined per "
-                         "doc — best_fields = best + --mm-tie x rest, "
-                         "most_fields = the sum; --index <root>, batch "
-                         "mode (--query/--queries-file)")
+                         "indexes — best_fields = best + --mm-tie x "
+                         "rest (per-field statistics), most_fields = "
+                         "the sum, cross_fields = term-centric blended "
+                         "statistics (max-df idf shared across fields, "
+                         "per-term dismax with --mm-tie); --index "
+                         "<root>, batch mode (--query/--queries-file)")
     ap.add_argument("--fields", default=None, metavar="F[^W][,F...]",
                     help="--multi-match field subset with ES caret "
                          "boosts (default: every field in the root)")

@@ -52,6 +52,9 @@ from .bm25 import Bm25Params
 from ..tokenizer import TokenizerConfig
 
 MODES = ("best_fields", "most_fields")
+# cross_fields is term-centric (blended statistics) and served by
+# cross_fields_topk below, not the per-field-score combine of
+# multi_match_topk — the ES type distinction exactly
 
 _FIELDS_MANIFEST = "fields.json"
 
@@ -188,5 +191,116 @@ def multi_match_topk(
         F.col("score").desc(), F.col("doc_id").asc())
     return (
         combined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cross_fields_topk(
+    fidx: Mapping[str, PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    boosts: Mapping[str, float] | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """ES ``multi_match`` type ``cross_fields`` — TERM-centric blended
+    statistics (Lucene BlendedTermQuery): the fields act as one big
+    field per TERM rather than per QUERY.
+
+    Per term t: blended df = max over fields of df_f(t) (the Lucene
+    blend; N is shared — field indexes align by construction) and
+    blended idf = round(ln(N / df_blended), 3), the engine-wide 3dp idf
+    contract via the exact Python twin of Spark round. Per (term, doc):
+    each field contributes blended_idf x tf_saturation(tf_f, dl_norm_f)
+    x boost_f, combined dis_max-style (best field + ``tie_breaker`` x
+    the rest — the BlendedTermQuery dismax rewrite, tie configurable
+    like ES). Per doc: the term scores SUM. With a single field this
+    provably equals best_fields equals the plain OR ranker (blended df
+    == the field's df; gated in tests).
+
+    Plan shape: each query term becomes its own sub-query through the
+    existing score-all surface with the blended idf supplied via
+    ``idf_override`` (the per-field scan/prune/fan-out machinery is
+    unchanged — same row volume as most_fields, the groups are just
+    per-term), one union, TWO bounded partial-aggregable groupBys
+    (per-term dismax, per-doc sum), one top-k window."""
+    import math
+
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    _check_aligned(fidx)
+    bs = dict(boosts or {})
+    unknown = [f for f in bs if f not in fidx]
+    if unknown:
+        raise ValueError(
+            f"boosts name unknown fields {unknown} (have {list(fidx)})")
+    if any(float(v) < 0 for v in bs.values()):
+        raise ValueError(f"boosts must be non-negative, got {bs}")
+
+    from .serve import _round3_up
+    from .wand import bm25_scores_packed_batch
+    from ..tokenizer import tokenize_text
+
+    any_p = next(iter(fidx.values()))
+    spark = any_p.spark
+    sub: list[tuple[int, str]] = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            sub.append((qid, t))
+    out_schema = "query_id int, doc_id long, score double, rank int"
+    if not sub:
+        return spark.createDataFrame([], out_schema)
+    all_terms = sorted({t for _, t in sub})
+    df_max: Dict[str, int] = {}
+    for pidx in fidx.values():
+        rows = (
+            pidx.term_stats.select("term", "df")
+            .filter(F.col("term").isin(all_terms))
+            .collect()
+        )
+        for r in rows:
+            df_max[r["term"]] = max(df_max.get(r["term"], 0), int(r["df"]))
+    n = int(any_p.manifest.get("n_docs_live", any_p.manifest["n_docs"]))
+    blended = {
+        t: _round3_up(math.log(n / d)) for t, d in df_max.items() if d > 0
+    }
+    if not blended:
+        return spark.createDataFrame([], out_schema)
+    sub_terms = [[t] for _, t in sub]
+    parts = []
+    for f, pidx in fidx.items():
+        s = bm25_scores_packed_batch(
+            pidx, [""] * len(sub_terms), cfg,
+            query_terms=sub_terms, idf_override=blended,
+        )
+        b = float(bs.get(f, 1.0))
+        if b != 1.0:
+            s = s.withColumn("score", F.col("score") * F.lit(b))
+        parts.append(s)
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    # per (sub-query == term occurrence, doc): dis_max over fields
+    td = uni.groupBy("query_id", "doc_id").agg(
+        F.max("score").alias("smax"), F.sum("score").alias("ssum"))
+    term_score = (
+        F.col("smax")
+        + F.lit(float(tie_breaker)) * (F.col("ssum") - F.col("smax"))
+    )
+    qid_arr = F.array(*[F.lit(q) for q, _ in sub])
+    mapped = td.select(
+        F.element_at(qid_arr, F.col("query_id") + 1).alias("query_id"),
+        "doc_id",
+        term_score.alias("score"),
+    )
+    final = mapped.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"))
+    if round_dp is not None:
+        final = final.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )

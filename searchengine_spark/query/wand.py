@@ -511,6 +511,7 @@ def bm25_scores_packed_batch(
     exclude_terms: dict | None = None,
     query_terms: Sequence[Sequence[str]] | None = None,
     min_should_match: int | None = None,
+    idf_override: dict | None = None,
 ) -> DataFrame:
     """EVERY matched doc's BM25 score per query -> (query_id, doc_id,
     score) — the score-all companion to :func:`bm25_topk_packed_batch`
@@ -538,10 +539,15 @@ def bm25_scores_packed_batch(
     if not rows:
         return spark.createDataFrame([], _SCORES_SCHEMA)
     all_terms = sorted({t for _, t in rows})
-    stats = pidx.term_stats.select("term", "idf").filter(
-        F.col("term").isin(all_terms)
-    )
-    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    if idf_override is not None:
+        # caller-supplied statistics (the cross_fields blended-idf seam,
+        # query/multimatch.py): terms absent from the map score nothing
+        idf_map = {t: float(v) for t, v in idf_override.items()}
+    else:
+        stats = pidx.term_stats.select("term", "idf").filter(
+            F.col("term").isin(all_terms)
+        )
+        idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
 
     require_all = None
     if conjunctive:

@@ -161,3 +161,92 @@ def test_build_validation(spark, cfg, corpus, tmp_path):
                             ["text", "nope"])
     with pytest.raises(ValueError, match="at least one"):
         build_field_indexes(corpus, cfg, str(tmp_path / "y"), [])
+
+
+# ------------------------------------------------------------ cross_fields
+
+
+def _brute_cross_fields(spark, corpus, cfg, query, tie, boosts=None):
+    """Term-centric brute: exact per-field indexes collected, blended
+    idf = round3(ln(N / max-field-df)), per-term dismax over fields,
+    per-doc sum — pure Python."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.serve import _round3_up
+    from searchengine_spark.tokenizer import tokenize_text
+
+    terms = list(dict.fromkeys(tokenize_text(query, cfg)))
+    n = corpus.count()
+    k1, b = 1.2, 0.75
+    tf_map, dln_map, df_map = {}, {}, {}
+    for f in FIELDS:
+        fcorp = corpus.select(
+            "conv_id", "turn_idx",
+            F.coalesce(F.col(f).cast("string"), F.lit("")).alias(f))
+        it = build_index(fcorp, cfg, text_col=f, n_partitions=4)
+        for r in it.index.filter(F.col("term").isin(terms)).collect():
+            tf_map[(f, r["term"], int(r["doc_id"]))] = int(r["tf"])
+            df_map[r["term"]] = max(df_map.get(r["term"], 0), 0)
+        for r in it.term_stats.filter(F.col("term").isin(terms)).collect():
+            df_map[r["term"]] = max(df_map.get(r["term"], 0), int(r["df"]))
+        for r in it.doc_lengths.collect():
+            dln_map[(f, int(r["doc_id"]))] = float(r["dl_norm"])
+    bidf = {t: _round3_up(math.log(n / d)) for t, d in df_map.items() if d}
+    per_doc: dict = {}
+    for t in terms:
+        if t not in bidf:
+            continue
+        cs: dict = {}
+        for f in FIELDS:
+            boost = float((boosts or {}).get(f, 1.0))
+            for (ff, tt, d), tf in tf_map.items():
+                if ff != f or tt != t:
+                    continue
+                dn = dln_map[(f, d)]
+                c = bidf[t] * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dn)) * boost
+                cs.setdefault(d, []).append(c)
+        for d, ss in cs.items():
+            per_doc[d] = per_doc.get(d, 0.0) + (
+                max(ss) + tie * (sum(ss) - max(ss)))
+    return per_doc
+
+
+@pytest.mark.parametrize("tie,boosts", [(0.0, None), (0.3, {"tool": 2.0})])
+def test_cross_fields_matches_brute(spark, corpus, cfg, fidx, tie, boosts):
+    from searchengine_spark.query.multimatch import cross_fields_topk
+
+    q = QUERIES[1]
+    expect = _brute_cross_fields(spark, corpus, cfg, q, tie, boosts)
+    want = sorted(
+        ((round(s, 6), d) for d, s in expect.items()),
+        key=lambda sd: (-sd[0], sd[1]))[:10]
+    got = cross_fields_topk(fidx, [q], cfg, k=10, tie_breaker=tie,
+                            boosts=boosts, round_dp=6).collect()
+    got = [(float(r["score"]), int(r["doc_id"]))
+           for r in sorted(got, key=lambda r: r["rank"])]
+    assert got == [(s, d) for s, d in want] and got
+
+
+def test_cross_fields_single_field_is_bm25(fidx, cfg):
+    """One field: blended df == the field's df, per-term dismax is the
+    identity, the term sum is the OR ranker — bit-for-bit plain BM25."""
+    from searchengine_spark.query.multimatch import cross_fields_topk
+
+    plain = ROWS(bm25_topk_packed_batch(fidx["text"], QUERIES, cfg, k=10,
+                                        round_dp=6))
+    got = ROWS(cross_fields_topk({"text": fidx["text"]}, QUERIES, cfg,
+                                 k=10, round_dp=6))
+    assert got == plain and got
+
+
+def test_cross_fields_validation(fidx, cfg):
+    from searchengine_spark.query.multimatch import cross_fields_topk
+
+    with pytest.raises(ValueError, match="tie_breaker"):
+        cross_fields_topk(fidx, QUERIES, cfg, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="unknown fields"):
+        cross_fields_topk(fidx, QUERIES, cfg, boosts={"nope": 2.0})
+    assert cross_fields_topk(fidx, ["zzzznothing"], cfg).count() == 0
