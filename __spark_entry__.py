@@ -373,6 +373,25 @@ def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight analog (query/highlight.py): whole-field <em> tags
+    around every ANALYZED query-term occurrence in the top-5 BM25 hits
+    (number_of_fragments=0 mode). On the asserted-clean testdata text
+    this equals the word-boundary regex replace the oracle runs
+    (property-gated equivalence, module docstring)."""
+    from searchengine_spark.query.highlight import highlight_results
+
+    hits = q_bm25_topk_batch(spark, sf_dir).select(
+        "query_id", "doc_id", "rank")
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = highlight_results(hits, docs, qs, CFG)
+    return out.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank"),
+        "n_matches", "highlighted",
+    )
+
+
 def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms_set: per-DOC minimum_should_match — a doc is eligible
     when its distinct matched-term count reaches its own floor (here
@@ -4120,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": q_span_first_topk,
         "span_not_topk": q_span_not_topk,
         "terms_set_topk": q_terms_set_topk,
+        "highlight_topk": q_highlight_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5745,6 +5765,40 @@ SELECT query_id, doc_id, span_len, lo, hi,
         ))::BIGINT AS rank
 FROM allq
 QUALIFY rank <= 10
+"""
+
+    def _hl_pat(qid: int) -> str:
+        terms = sorted(_qterms(qid), key=len, reverse=True)
+        return "(?i)\\b(" + "|".join(terms) + ")\\b"
+
+    _hl_branches = []
+    for qid in sorted(QUERY_STRINGS):
+        p = _hl_pat(qid)
+        _hl_branches.append(f"""
+  SELECT r.query_id, r.doc_id, r.rank::BIGINT AS rank,
+         len(regexp_extract_all(d.text, '{p}'))::BIGINT AS n_matches,
+         regexp_replace(d.text, '{p}', '<em>\\0</em>', 'g') AS highlighted
+  FROM ranked r JOIN documents d USING (doc_id)
+  WHERE r.query_id = {qid} AND r.rank <= 5""")
+    sqls["highlight_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term)
+  JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hl AS ({' UNION ALL '.join(_hl_branches)})
+SELECT query_id, doc_id, rank, n_matches, highlighted
+FROM hl WHERE n_matches > 0
+ORDER BY query_id, rank
 """
 
     sqls["terms_set_topk"] = f"""

@@ -482,6 +482,39 @@ def _attach_snippets(spark, source, pidx, cfg, queries, per_q) -> None:
                 r["snippet"] = sn["snippet"]
 
 
+def _attach_highlights(spark, source, pidx, cfg, queries, per_q) -> None:
+    """--highlight: whole-field <em> tags around every analyzed
+    query-term occurrence (query/highlight.py highlight_text), fetched
+    over the same bounded result-set read as --snippet-source."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.highlight import highlight_text
+    from searchengine_spark.tokenizer import tokenize_text
+
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    keys = {
+        tuple(r[c] for c in ext) for res in per_q for r in res if ext
+    }
+    if not keys:
+        return
+    src = spark.read.parquet(source)
+    kdf = spark.createDataFrame(sorted(keys), schema=src.select(*ext).schema)
+    texts = {
+        tuple(r[c] for c in ext): r["text"]
+        for r in src.join(F.broadcast(kdf), on=ext).select(*ext, "text").collect()
+    }
+    memo: dict = {}
+    for q, res in zip(queries, per_q):
+        terms = list(dict.fromkeys(tokenize_text(q, cfg)))
+        for r in res:
+            text = texts.get(tuple(r.get(c) for c in ext))
+            if text is None:
+                continue
+            hl, n = highlight_text(text, terms, cfg, _memo=memo)
+            if hl is not None:
+                r["highlighted"], r["n_matches"] = hl, n
+
+
 def _parse_synonyms_args(args):
     """--synonyms/--synonym-weight -> (rules, weight) or None, with the
     shared guards (bm25 ranker, distributed tier, no --fuzzy/--prf —
@@ -1768,6 +1801,9 @@ def _serve_federated(spark, args) -> None:
         consumers the single-index path has — both operate on resolved
         result dicts, so they are serving-tier-agnostic)."""
         if args.snippet_source:
+            if args.highlight:
+                _attach_highlights(spark, args.snippet_source, shards[0],
+                                   cfg, batch, per_q)
             _attach_snippets(spark, args.snippet_source, shards[0], cfg,
                              batch, per_q)
         # ES sampler semantics: --diversified shapes AGGREGATION input
@@ -2339,6 +2375,12 @@ def main() -> None:
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
                          "snippet to every result row")
+    ap.add_argument("--highlight", action="store_true",
+                    help="ES highlight analog (query/highlight.py): with "
+                         "--snippet-source, also attach the WHOLE field "
+                         "with <em> tags around every analyzed "
+                         "query-term occurrence (number_of_fragments=0 "
+                         "mode; stemming/stop words respected)")
     ap.add_argument("--queries-file", default=None,
                     help="text file, one query per line: batch mode at "
                          "scale — pairs with --output to stream results "
@@ -3269,6 +3311,9 @@ def main() -> None:
                                  pins=(args.pin.split(",")
                                        if args.pin else None))
         if args.snippet_source:
+            if args.highlight:
+                _attach_highlights(spark, args.snippet_source, pidx, cfg,
+                                   queries, per_q)
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)
         # ES sampler semantics: --diversified shapes AGGREGATION input
