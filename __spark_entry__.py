@@ -938,6 +938,31 @@ def q_emb_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+PQ_M, PQ_KSUB, PQ_RESCORE = 4, 8, 40
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with ADC + exact rescore (textops/pq.py —
+    FAISS PQ / Jégou et al. 2011): 4 subspaces x 8-centroid codebooks
+    trained by the integer-micro k-means (seed offset per subspace),
+    codes = per-subspace argmin-L2, candidates ranked by summed BIGINT
+    ADC table lookups, top-PQ_RESCORE rescored with the exact 6dp
+    cosine. The oracle replicates ALL of it — four k-means chains over
+    the sliced micro vectors, the encode argmin, the ADC tables and the
+    rescore — in one SQL statement."""
+    from searchengine_spark.textops.pq import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=PQ_M, ksub=PQ_KSUB, dim=64, n_iters=IVF_ITERS)
+    codes = pq_encode(emb, books).filter(F.col("vec_id") != 0)
+    out = pq_topk(
+        emb.filter(F.col("vec_id") != 0), codes, books,
+        _query_vec(spark, sf_dir), k=5, rescore_m=PQ_RESCORE,
+    )
+    return out.select("vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall@10 vs brute-force cosine ground truth, both computed by
     the engine (and both replicated in the oracle). NOTE the testdata
@@ -4265,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
         "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
+        "emb_pq_topk": q_emb_pq_topk,
         "rerank_topk": q_rerank_topk,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
@@ -6697,6 +6723,104 @@ rk AS (
   FROM resc
 )
 SELECT vec_id, centroid_id, cosine, rank::BIGINT AS rank FROM rk WHERE rank <= 5
+"""
+
+    # ---- PQ: four per-subspace k-means chains over the SLICED micro
+    # vectors, argmin encode, BIGINT ADC tables, exact rescore — the
+    # complete textops/pq.py pipeline replicated in one statement
+    _pq_dsub = 64 // PQ_M
+    _il2p = (
+        "list_sum([({m}[i+1] - {c}[i+1]) * ({m}[i+1] - {c}[i+1]) "
+        f"for i in range({_pq_dsub})])"
+    )
+
+    def _pq_chain(j: int) -> str:
+        lo, hi = j * _pq_dsub, (j + 1) * _pq_dsub
+        cents0_j = initial_centroids_micro(PQ_KSUB, _pq_dsub, 20260816 + j)
+        c0_rows_j = " UNION ALL ".join(
+            f"SELECT {i} AS cid, [{', '.join(str(x) for x in c)}]::BIGINT[] AS cm"
+            for i, c in enumerate(cents0_j)
+        )
+
+        def assign(cn: str, an: str) -> str:
+            return f"""
+{an} AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_il2p.format(m='e.m', c='c.cm')}, c.cid) AS rn
+    FROM emp{j} e CROSS JOIN {cn} c
+  ) WHERE rn = 1
+)"""
+
+        def update(an: str, prev: str, cn: str) -> str:
+            return f"""
+{cn}_s AS (
+  SELECT a.centroid_id AS cid, i AS dim,
+         sum(e.m[i+1])::BIGINT AS s, count(*)::BIGINT AS c
+  FROM {an} a JOIN emp{j} e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range({_pq_dsub})) AS i)
+  GROUP BY a.centroid_id, i
+),
+{cn} AS (
+  SELECT p.cid, COALESCE(u.cm, p.cm) AS cm
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(floor(s::DOUBLE / c)::BIGINT ORDER BY dim) AS cm
+    FROM {cn}_s GROUP BY cid
+  ) u USING (cid)
+)"""
+
+        return f"""
+emp{j} AS (
+  SELECT vec_id,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT
+          for i in range({lo}, {hi})] AS m
+  FROM embeddings
+),
+pc0_{j} AS ({c0_rows_j}),
+{assign(f'pc0_{j}', f'pa1_{j}')},
+{update(f'pa1_{j}', f'pc0_{j}', f'pc1_{j}')},
+{assign(f'pc1_{j}', f'pa2_{j}')},
+{update(f'pa2_{j}', f'pc1_{j}', f'pc2_{j}')},
+{assign(f'pc2_{j}', f'pa3_{j}')},
+qm{j} AS (
+  SELECT [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT
+          for i in range({lo}, {hi})] AS qm
+  FROM embeddings WHERE vec_id = 0
+),
+dt{j} AS (
+  SELECT c.cid,
+         list_sum([c.cm[i+1] * q.qm[i+1] for i in range({_pq_dsub})])::BIGINT AS dp
+  FROM pc2_{j} c, qm{j} q
+)"""
+
+    _pq_joins = "\n".join(
+        f"  JOIN pa3_{j} a{j} ON a{j}.vec_id = a0.vec_id\n"
+        f"  JOIN dt{j} d{j} ON d{j}.cid = a{j}.centroid_id"
+        for j in range(1, PQ_M)
+    )
+    sqls["emb_pq_topk"] = f"""
+WITH {','.join(_pq_chain(j) for j in range(PQ_M))},
+adc AS (
+  SELECT a0.vec_id,
+         ({' + '.join(f'd{j}.dp' for j in range(PQ_M))})::BIGINT AS adc
+  FROM pa3_0 a0
+  JOIN dt0 d0 ON d0.cid = a0.centroid_id
+{_pq_joins}
+  WHERE a0.vec_id <> 0
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT {PQ_RESCORE}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+resc AS (
+  SELECT e.vec_id, {_cos6} AS cosine
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+),
+rk AS (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT vec_id, cosine, rank::BIGINT AS rank FROM rk WHERE rank <= 5
 """
 
     sqls["emb_ivf_recall"] = f"""

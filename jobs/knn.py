@@ -71,6 +71,12 @@ def main() -> None:
     ap.add_argument("--centroids", type=int, default=8)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--pq", default=None, nargs="?", const="4:8",
+                    metavar="M:KSUB",
+                    help="build: train+persist a product-quantization "
+                         "layout instead of IVF (textops/pq.py); query: "
+                         "serve ADC candidates + exact rescore from a "
+                         "--index PQ dir")
     ap.add_argument("--sq8", action="store_true",
                     help="build: also store the int8-range quantized "
                          "column; query: rank candidates by exact integer "
@@ -101,6 +107,19 @@ def main() -> None:
 
         if not args.output:
             raise SystemExit("build needs --output")
+        if args.pq:
+            from searchengine_spark.textops.pq import build_pq_index
+
+            m, _, ksub = args.pq.partition(":")
+            man = build_pq_index(
+                emb, args.output, m=int(m), ksub=int(ksub or 8),
+                dim=args.dim, n_iters=args.iters,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(json.dumps({k: man[k] for k in
+                              ("format", "m", "ksub", "dim")}
+                             | {"output": args.output}))
+            return
         man = build_ivf_index(
             emb, args.output, n_centroids=args.centroids, dim=args.dim,
             n_iters=args.iters, id_col=args.id_col, vec_col=args.vec_col,
@@ -115,7 +134,16 @@ def main() -> None:
         qv = _query_vec(spark, args)
         allowed = _allowed(spark, args)
         exclude = (args.query_id,) if args.query_id is not None else ()
-        if args.index and args.sq8:
+        if args.index and args.pq:
+            from searchengine_spark.textops.pq import pq_topk_indexed
+
+            if allowed is not None:
+                raise SystemExit("--filter is not wired to the PQ "
+                                 "candidate path (use the full-precision "
+                                 "--index or brute query)")
+            out = pq_topk_indexed(spark, args.index, emb, qv, k=args.k,
+                                  rescore_m=args.rescore)
+        elif args.index and args.sq8:
             from searchengine_spark.textops.quantize import ivf_sq8_topk
 
             if allowed is not None:
