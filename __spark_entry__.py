@@ -941,6 +941,32 @@ def q_emb_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M, PQ_KSUB, PQ_RESCORE = 4, 8, 40
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the complete FAISS layout (textops/pq.ivf_pq_topk over a
+    build_ivf_index(..., pq=) directory): coarse cells prune the scan,
+    the codes_pq column (m small ints per row) generates candidates by
+    BIGINT ADC table lookups, full precision rescores only the window.
+    The oracle replicates coarse k-means + four subspace k-means chains
+    + probe + in-cell ADC + rescore in one statement."""
+    import os
+    import tempfile
+
+    from searchengine_spark.textops import build_ivf_index
+    from searchengine_spark.textops.pq import ivf_pq_topk
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_ivfpq_{tag}")
+    if path not in _PACKED_BUILT:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(emb, path, n_centroids=N_CENTROIDS, dim=64,
+                        n_iters=IVF_ITERS, pq=(PQ_M, PQ_KSUB))
+        _PACKED_BUILT.add(path)
+    out = ivf_pq_topk(spark, path, _query_vec(spark, sf_dir), k=5,
+                      n_probe=IVF_PROBE, rescore_m=PQ_RESCORE)
+    return out.select("vec_id", "centroid_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization with ADC + exact rescore (textops/pq.py —
     FAISS PQ / Jégou et al. 2011): 4 subspaces x 8-centroid codebooks
@@ -4291,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq8_topk": q_emb_sq8_topk,
         "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "rerank_topk": q_rerank_topk,
         "explain_scores": q_explain_scores,
         "more_like_this": q_more_like_this,
@@ -6821,6 +6848,47 @@ rk AS (
   FROM resc
 )
 SELECT vec_id, cosine, rank::BIGINT AS rank FROM rk WHERE rank <= 5
+"""
+
+    # ---- IVFPQ: coarse chain + four subspace chains + probe + in-cell
+    # ADC + rescore — the complete FAISS layout in one statement
+    sqls["emb_ivfpq_topk"] = f"""
+WITH {_kmeans_ctes},
+{','.join(_pq_chain(j) for j in range(PQ_M))},
+q AS (
+  SELECT embedding::DOUBLE[] AS qe,
+         [floor(embedding[i+1]::DOUBLE * 1000000)::BIGINT for i in range(64)] AS qmv
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_il2.format(m='q.qmv', c='c.cm')} AS d FROM c2 c, q
+  ) ORDER BY d, cid LIMIT {IVF_PROBE}
+),
+cell AS (
+  SELECT a.vec_id, a.centroid_id FROM afinal a
+  JOIN probe p ON a.centroid_id = p.cid
+),
+adc AS (
+  SELECT a0.vec_id,
+         ({' + '.join(f'd{j}.dp' for j in range(PQ_M))})::BIGINT AS adc
+  FROM pa3_0 a0
+  JOIN dt0 d0 ON d0.cid = a0.centroid_id
+{_pq_joins}
+  JOIN cell ON cell.vec_id = a0.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT {PQ_RESCORE}),
+resc AS (
+  SELECT e.vec_id, cell.centroid_id, {_cos6} AS cosine
+  FROM embeddings e JOIN cand USING (vec_id) JOIN cell USING (vec_id)
+  CROSS JOIN q
+),
+rk AS (
+  SELECT vec_id, centroid_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT vec_id, centroid_id, cosine, rank::BIGINT AS rank FROM rk WHERE rank <= 5
 """
 
     sqls["emb_ivf_recall"] = f"""

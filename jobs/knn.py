@@ -77,6 +77,12 @@ def main() -> None:
                          "layout instead of IVF (textops/pq.py); query: "
                          "serve ADC candidates + exact rescore from a "
                          "--index PQ dir")
+    ap.add_argument("--ivfpq", default=None, nargs="?", const="4:8",
+                    metavar="M:KSUB",
+                    help="build: the combined IVFPQ layout (coarse cells "
+                         "+ codes_pq column); query: probe cells, ADC "
+                         "candidates, exact rescore (textops/pq.py "
+                         "ivf_pq_topk)")
     ap.add_argument("--sq8", action="store_true",
                     help="build: also store the int8-range quantized "
                          "column; query: rank candidates by exact integer "
@@ -107,6 +113,18 @@ def main() -> None:
 
         if not args.output:
             raise SystemExit("build needs --output")
+        if args.ivfpq:
+            m, _, ksub = args.ivfpq.partition(":")
+            man = build_ivf_index(
+                emb, args.output, n_centroids=args.centroids, dim=args.dim,
+                n_iters=args.iters, id_col=args.id_col,
+                vec_col=args.vec_col, sq8=args.sq8,
+                pq=(int(m), int(ksub or 8)),
+            )
+            print(json.dumps({k: man[k] for k in
+                              ("format", "n_centroids", "dim", "pq")}
+                             | {"output": args.output}))
+            return
         if args.pq:
             from searchengine_spark.textops.pq import build_pq_index
 
@@ -134,7 +152,16 @@ def main() -> None:
         qv = _query_vec(spark, args)
         allowed = _allowed(spark, args)
         exclude = (args.query_id,) if args.query_id is not None else ()
-        if args.index and args.pq:
+        if args.index and args.ivfpq is not None:
+            from searchengine_spark.textops.pq import ivf_pq_topk
+
+            if allowed is not None:
+                raise SystemExit("--filter is not wired to the IVFPQ "
+                                 "candidate path")
+            out = ivf_pq_topk(spark, args.index, qv, k=args.k,
+                              n_probe=args.n_probe,
+                              rescore_m=args.rescore)
+        elif args.index and args.pq:
             from searchengine_spark.textops.pq import pq_topk_indexed
 
             if allowed is not None:

@@ -145,6 +145,71 @@ def _adc_tables(codebooks: Codebooks, query_vec: Sequence[float]) -> List[List[i
     return tables
 
 
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    rescore_m: int = 100,
+) -> DataFrame:
+    """IVFPQ — the complete FAISS layout over a
+    ``build_ivf_index(..., pq=(m, ksub))`` directory: probe the
+    ``n_probe`` nearest coarse cells (partition-pruned directory scan),
+    ADC-rank the cells' ``codes_pq`` column ONLY (parquet column pruning
+    skips the full-precision bytes — m small ints per row instead of
+    4·D), cut to ``rescore_m``, rescore those with the exact 6dp cosine
+    from the same pruned partitions. ``n_probe >= n_centroids`` +
+    ``rescore_m >= corpus`` degenerates to brute cosine exactly."""
+    import json
+
+    from ..indexing import fsio
+    from .similarity import probe_centroids
+
+    if rescore_m < k:
+        raise ValueError(f"rescore_m ({rescore_m}) must be >= k ({k})")
+    man = json.loads(
+        fsio.read_text(spark, fsio.join(path, "ivf_manifest.json")))
+    if not man.get("pq"):
+        raise ValueError(
+            "this IVF index stores no codes_pq column — rebuild with "
+            "build_ivf_index(..., pq=(m, ksub)) or query another path"
+        )
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    books = man["pq_codebooks_micro"]
+    probes = probe_centroids(man["centroids_micro"], list(query_vec), n_probe)
+    bucket = spark.read.parquet(fsio.join(path, "buckets")).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    tables = _adc_tables(books, query_vec)
+    adc = None
+    for j, tab in enumerate(tables):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in tab])
+        term = F.get(lit, F.element_at(F.col("codes_pq"), j + 1))
+        adc = term if adc is None else adc + term
+    cands = (
+        bucket.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(rescore_m)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = as_double(F.col(vec_col))
+    cos = F.round(_dot(v, qv) / (F.sqrt(_dot(v, v)) * F.lit(qn)), 6)
+    rescored = (
+        bucket.join(cands.select(id_col), id_col)
+        .select(F.col(id_col), F.col("centroid_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+    return rescored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), F.asc(id_col))
+        ).cast("long"),
+    )
+
+
 def build_pq_index(
     embeddings: DataFrame,
     path: str,

@@ -184,6 +184,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 20260816,
     sq8: bool = False,
+    pq: tuple | None = None,
 ) -> dict:
     """Train centroids, assign once, persist the corpus BUCKETED by
     centroid (``partitionBy(centroid_id)`` parquet) + a manifest with the
@@ -195,7 +196,13 @@ def build_ivf_index(
     one — the two-level FAISS layout: coarse cells prune the scan,
     int8 dot products generate candidates reading ONLY the pruned
     ``q_sq8`` column, exact rescore touches full precision last
-    (``quantize.ivf_sq8_topk``)."""
+    (``quantize.ivf_sq8_topk``).
+
+    ``pq=(m, ksub)`` stores PQ codes instead/as well (column
+    ``codes_pq``, textops/pq.py — codebooks trained over the SAME
+    corpus with seed offsets, recorded in the manifest): the full
+    IVFPQ layout — cells prune, m-int ADC lookups generate candidates,
+    full precision rescores last (``pq.ivf_pq_topk``)."""
     spark = embeddings.sparkSession
     from ..indexing import fsio
 
@@ -208,6 +215,18 @@ def build_ivf_index(
         from .quantize import _qcol
 
         rows = rows.withColumn("q_sq8", _qcol(F.col(vec_col)))
+    pq_books = None
+    if pq is not None:
+        from .pq import pq_encode, pq_train
+
+        pq_m, pq_ksub = int(pq[0]), int(pq[1])
+        pq_books = pq_train(
+            embeddings, pq_m, pq_ksub, dim, n_iters, id_col, vec_col, seed)
+        codes = pq_encode(embeddings, pq_books, id_col, vec_col)
+        rows = rows.join(
+            codes.select(F.col(id_col), F.col("codes").alias("codes_pq")),
+            id_col,
+        )
     assign = _assign_micro(m.select(id_col, "m"), cents, id_col)
     (
         rows
@@ -227,6 +246,8 @@ def build_ivf_index(
         "vec_col": vec_col,
         "centroids_micro": cents,
         "sq8": bool(sq8),
+        "pq": [int(pq[0]), int(pq[1])] if pq is not None else None,
+        "pq_codebooks_micro": pq_books,
     }
     fsio.write_text(spark, fsio.join(path, "ivf_manifest.json"), json.dumps(manifest))
     return manifest

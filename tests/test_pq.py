@@ -114,3 +114,29 @@ def test_rescore_m_validation(emb, books):
         pq_topk(emb, codes, books, [0.0] * DIM, k=10, rescore_m=5)
     with pytest.raises(ValueError, match="query dim"):
         _adc_tables(books, [0.0] * (DIM + 1))
+
+
+def test_ivfpq_layout(spark, emb, tmp_path_factory):
+    """The complete FAISS IVFPQ layout: degenerate settings reproduce
+    brute cosine exactly; bounded probe serves k rows; a no-pq index
+    refuses the ADC path."""
+    from searchengine_spark.textops.pq import ivf_pq_topk
+    from searchengine_spark.textops.similarity import build_ivf_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    man = build_ivf_index(emb, path, n_centroids=4, dim=DIM, pq=(M, KSUB))
+    assert man["pq"] == [M, KSUB] and len(man["pq_codebooks_micro"]) == M
+    q = [r["embedding"] for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    got = ivf_pq_topk(spark, path, q, k=10, n_probe=4, rescore_m=N + 10)
+    want = cosine_topk(emb, q, k=10).collect()
+    g = [(r["vec_id"], r["cosine"])
+         for r in sorted(got.collect(), key=lambda r: r["rank"])]
+    w = [(r["vec_id"], r["cosine"]) for r in want]
+    assert g == w and g
+    bounded = ivf_pq_topk(spark, path, q, k=5, n_probe=2, rescore_m=20)
+    assert bounded.count() == 5
+
+    nopq = str(tmp_path_factory.mktemp("ivfplain") / "idx")
+    build_ivf_index(emb, nopq, n_centroids=4, dim=DIM)
+    with pytest.raises(ValueError, match="codes_pq"):
+        ivf_pq_topk(spark, nopq, q, k=5)
