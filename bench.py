@@ -462,6 +462,31 @@ def run_esops(spark, sf: float) -> dict:
     fidx = load_field_indexes(spark, mm_root)
     t("multi_match_best_fields", lambda: multi_match_topk(
         fidx, QS, cfg, k=10, tie_breaker=0.3, round_dp=6))
+    from searchengine_spark.query.multimatch import cross_fields_topk
+
+    t("multi_match_cross_fields", lambda: cross_fields_topk(
+        fidx, QS, cfg, k=10, tie_breaker=0.3, round_dp=6))
+
+    # this stint's additions: terms_set (OR coverage ⋈ score-all — the
+    # per-doc-floor cost class), highlight (bounded post-retrieval
+    # Arrow pass), span queries (positional build — skipped here: the
+    # esops index is non-positional by design, their cost class is the
+    # minspan family's, measured via the phrase rows in BENCH.md)
+    from searchengine_spark.query.termsset import terms_set_topk_packed_batch
+
+    req = corpus.selectExpr("conv_id", "turn_idx").join(
+        pidx.docmap, ["conv_id", "turn_idx"]).selectExpr(
+        "doc_id", "doc_id % 3 + 1 AS required")
+    t("terms_set_top10", lambda: terms_set_topk_packed_batch(
+        pidx, QS, req, cfg, k=10, round_dp=6))
+
+    from searchengine_spark.query.highlight import highlight_results
+
+    hits = bm25_topk_packed_batch(pidx, QS, cfg, k=10, round_dp=6)
+    docs_txt = corpus.join(pidx.docmap, ["conv_id", "turn_idx"]).select(
+        "doc_id", "text")
+    t("highlight_top10", lambda: highlight_results(
+        hits, docs_txt, QS, cfg))
 
     out["value"] = round(sum(v for k_, v in out["stages"].items()
                              if not k_.endswith("build_or_reuse")), 3)
