@@ -1809,6 +1809,25 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_suggest_fuzz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TERM SUGGESTER at fuzziness 2 (the full ES fuzziness range —
+    the AUTO ladder's >5-char budget): distance-<=2 neighbors ranked
+    distance ASC (the ES score-first sort) then df desc then term asc.
+    The oracle runs DuckDB's levenshtein() verbatim — a depth-2
+    symmetric-delete generator that loses a true distance-2 neighbor,
+    or a ranking that ignores distance, hash-mismatches."""
+    from searchengine_spark.query.fuzzy import term_suggestions
+
+    it = _doc_index(spark, sf_dir)
+    out = term_suggestions(it.term_stats, list(TS_TERMS), k=5,
+                           mode="always", fuzziness=2)
+    return out.select(
+        "qterm", "suggestion",
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming/windowed.py — the
     Structured-Streaming late-data contract): two availableNow rounds
@@ -4277,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_search": q_decay_search,
         "analyze_tokens": q_analyze_tokens,
         "term_suggest": q_term_suggest,
+        "term_suggest_fuzz2": q_term_suggest_fuzz2,
         "url_filter": q_url_filter,
         "field_value_factor": q_field_value_factor,
         "random_sample": q_random_sample,
@@ -8532,6 +8552,21 @@ WITH {_INDEX_CTES},
 arms AS ({_ts_arms})
 SELECT qterm, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
 FROM arms WHERE rank <= 3 ORDER BY qterm, rank
+"""
+
+    _ts2_arms = " UNION ALL ".join(
+        f"""SELECT {_sql_quote(t)} AS qterm, term AS suggestion, df,
+       row_number() OVER (ORDER BY levenshtein(term, {_sql_quote(t)}) ASC,
+                          df DESC, term ASC) AS rank
+FROM term_stats
+WHERE levenshtein(term, {_sql_quote(t)}) <= 2 AND term <> {_sql_quote(t)}"""
+        for t in TS_TERMS
+    )
+    sqls["term_suggest_fuzz2"] = f"""
+WITH {_INDEX_CTES},
+arms AS ({_ts2_arms})
+SELECT qterm, suggestion, df::BIGINT AS df, rank::BIGINT AS rank
+FROM arms WHERE rank <= 5 ORDER BY qterm, rank
 """
 
     # ---- watermarked windowed counts: the finalized table must equal

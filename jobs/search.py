@@ -515,6 +515,11 @@ def _attach_highlights(spark, source, pidx, cfg, queries, per_q) -> None:
                 r["highlighted"], r["n_matches"] = hl, n
 
 
+def _fuzziness(args):
+    f = args.fuzziness
+    return f if f == "auto" else int(f)
+
+
 def _parse_synonyms_args(args):
     """--synonyms/--synonym-weight -> (rules, weight) or None, with the
     shared guards (bm25 ranker, distributed tier, no --fuzzy/--prf —
@@ -1923,7 +1928,8 @@ def _serve_federated(spark, args) -> None:
 
         words = list(dict.fromkeys(_tok(args.term_suggest, cfg)))
         rows = term_suggestions(_global_dictionary(shards), words,
-                                k=args.n, mode=args.suggest_mode).collect()
+                                k=args.n, mode=args.suggest_mode,
+                                fuzziness=_fuzziness(args)).collect()
         by_w: dict[str, list] = {w: [] for w in words}
         for r in sorted(rows, key=lambda r: (r["qterm"], r["rank"])):
             by_w[r["qterm"]].append(
@@ -2414,6 +2420,11 @@ def main() -> None:
                          "columns yields each doc's coverage floor; "
                          "eligible docs score as plain bool/should "
                          "BM25; --index only, single --query")
+    ap.add_argument("--fuzziness", default="1",
+                    choices=("1", "2", "auto"),
+                    help="--term-suggest edit budget (ES fuzziness): 1, "
+                         "2, or the AUTO ladder (0/<3 chars, 1/3-5, "
+                         "2/>5); distance ranks before frequency")
     ap.add_argument("--term-suggest", default=None, metavar="WORDS",
                     help="ES term suggester / did-you-mean "
                          "(query/fuzzy.py term_suggestions): per word, "
@@ -2972,7 +2983,8 @@ def main() -> None:
 
         words = list(dict.fromkeys(_tok(args.term_suggest, cfg)))
         rows = term_suggestions(pidx.term_stats, words, k=args.n,
-                                mode=args.suggest_mode).collect()
+                                mode=args.suggest_mode,
+                                fuzziness=_fuzziness(args)).collect()
         by_w: dict[str, list] = {w: [] for w in words}
         for r in sorted(rows, key=lambda r: (r["qterm"], r["rank"])):
             by_w[r["qterm"]].append(

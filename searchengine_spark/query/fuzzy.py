@@ -32,7 +32,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-CAND_SCHEMA = "qterm string, term string, df long, rank int"
+CAND_SCHEMA = "qterm string, term string, df long, dist int, rank int"
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -54,6 +54,22 @@ def del1(term: str) -> set[str]:
     return {term[:i] + term[i + 1 :] for i in range(len(term))}
 
 
+def del_upto(term: str, max_edits: int) -> set[str]:
+    """{term} ∪ deletion neighborhood up to depth ``max_edits`` (1 or 2)
+    — the SymSpell candidate key set at the given edit budget."""
+    out = {term} | del1(term)
+    if max_edits >= 2:
+        out |= {v for d in del1(term) for v in del1(d)}
+    return out
+
+
+def auto_fuzziness(term: str) -> int:
+    """The ES ``fuzziness: AUTO`` ladder: 0 edits below 3 chars, 1 for
+    3-5 chars, 2 above."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
 def deletion_variants_col(term: Column) -> Column:
     """array<string>: the term plus each distinct single-char deletion."""
     dels = F.transform(
@@ -66,15 +82,48 @@ def deletion_variants_col(term: Column) -> Column:
     return F.array_distinct(F.concat(F.array(term), dels))
 
 
+def _dels_of(s: Column) -> Column:
+    """array<string> of the single-char deletions of ``s`` (no self)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1),
+            F.substr(s, i + 1, F.length(s)),
+        ),
+    )
+
+
+def deletion_variants_upto_col(term: Column, max_edits: int) -> Column:
+    """array<string>: {term} ∪ deletions up to depth ``max_edits`` —
+    the Column twin of :func:`del_upto` (depth 2 = one nested HOF pass;
+    O(len²) variants per term, still sidecar-sized over a dictionary)."""
+    d1 = _dels_of(term)
+    arrs = [F.array(term), d1]
+    if max_edits >= 2:
+        arrs.append(F.flatten(F.transform(d1, _dels_of)))
+    return F.array_distinct(F.concat(*arrs))
+
+
 def fuzzy_candidates(
     dictionary: DataFrame,
     qterms: Sequence[str],
     k: int = 3,
+    max_edits: int = 1,
 ) -> DataFrame:
-    """-> (qterm, term, df, rank): for each query term, the top-k
-    dictionary terms within Levenshtein distance 1, ranked exact-first
-    then df desc then term asc. ``dictionary`` needs (term, df) — the
-    index's term_stats sidecar qualifies as-is."""
+    """-> (qterm, term, df, dist, rank): for each query term, the top-k
+    dictionary terms within Levenshtein distance ``max_edits`` (1 or 2
+    — the ES fuzziness range), ranked exact-first then distance asc
+    then df desc then term asc (at max_edits=1 every non-exact
+    candidate ties on distance, so the ranking is the original
+    df-then-term order unchanged). ``dictionary`` needs (term, df) —
+    the index's term_stats sidecar qualifies as-is.
+
+    SymSpell at depth 2: two terms within distance 2 always share a
+    member of each other's deletion-<=2 neighborhoods, so the variant
+    key sets are the depth-2 neighborhoods on BOTH sides and the
+    verification pass keeps the exact contract."""
+    if max_edits not in (1, 2):
+        raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
     spark = dictionary.sparkSession
     qterms = list(dict.fromkeys(qterms))
     if not qterms:
@@ -82,7 +131,7 @@ def fuzzy_candidates(
 
     qts_by_variant: dict[str, list[str]] = {}
     for q in qterms:
-        for v in {q} | del1(q):
+        for v in del_upto(q, max_edits):
             qts_by_variant.setdefault(v, []).append(q)
     entries = [
         x
@@ -93,13 +142,16 @@ def fuzzy_candidates(
     lens = [len(q) for q in qterms]
     cand = (
         dictionary
-        # length prune BEFORE the variants explode: a d<=1 neighbor's
-        # length is within +-1 of some query term's
-        .filter(F.length("term").between(min(lens) - 1, max(lens) + 1))
+        # length prune BEFORE the variants explode: a d<=e neighbor's
+        # length is within +-e of some query term's
+        .filter(F.length("term").between(
+            min(lens) - max_edits, max(lens) + max_edits))
         .select(
             "term",
             F.col("df").cast("long").alias("df"),
-            F.explode(deletion_variants_col(F.col("term"))).alias("variant"),
+            F.explode(
+                deletion_variants_upto_col(F.col("term"), max_edits)
+            ).alias("variant"),
         )
         .filter(F.col("variant").isin(list(qts_by_variant)))
         # literal variant -> query-terms fan-out (join-free, wand.py style)
@@ -107,17 +159,19 @@ def fuzzy_candidates(
         # a pair can collide via several shared variants -> dedupe
         .groupBy("qterm", "term")
         .agg(F.first("df").alias("df"))
-        # the SymSpell verification pass: shared-deletion collisions at
-        # distance 2 (equal-length, e.g. transpositions) are rejected
-        .filter(F.levenshtein(F.col("qterm"), F.col("term")) <= 1)
+        # the SymSpell verification pass: shared-deletion collisions
+        # beyond the budget are rejected
+        .withColumn("dist", F.levenshtein(F.col("qterm"), F.col("term")))
+        .filter(F.col("dist") <= max_edits)
     )
     w = Window.partitionBy("qterm").orderBy(
-        (F.col("term") == F.col("qterm")).desc(), F.col("df").desc(), F.col("term")
+        (F.col("term") == F.col("qterm")).desc(), F.col("dist").asc(),
+        F.col("df").desc(), F.col("term")
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qterm", "term", "df", "rank")
+        .select("qterm", "term", "df", F.col("dist").cast("int"), "rank")
     )
 
 
@@ -129,34 +183,58 @@ def term_suggestions(
     qterms: Sequence[str],
     k: int = 3,
     mode: str = "missing",
+    fuzziness=1,
 ) -> DataFrame:
     """-> (qterm, suggestion, df, rank): the ES TERM SUGGESTER ("did you
-    mean") — per input term, up to ``k`` dictionary neighbors at
-    Levenshtein distance 1, df desc then term asc (all candidates tie
-    on distance at max_edits=1, so frequency IS the ES tiebreak). The
-    input term itself is never a suggestion (the ES contract); the
-    ``suggest_mode`` gate decides WHICH inputs get suggestions:
+    mean") — per input term, up to ``k`` dictionary neighbors within
+    the ``fuzziness`` edit budget, ranked distance asc (the ES
+    score-first sort) then df desc then term asc (at fuzziness 1 every
+    candidate ties on distance, so frequency IS the tiebreak — the
+    original contract unchanged). The input term itself is never a
+    suggestion (the ES contract); the ``suggest_mode`` gate decides
+    WHICH inputs get suggestions:
 
     - ``"missing"`` (the ES default): only terms NOT in the dictionary;
     - ``"popular"``: only suggestions strictly more frequent than the
       input term (df 0 when the input is OOV);
     - ``"always"``: every input term.
 
+    ``fuzziness``: 1, 2, or ``"auto"`` — the ES AUTO ladder PER input
+    term (0 edits below 3 chars, 1 for 3-5, 2 above; a 0-budget term
+    gets no suggestions). Candidates generate once at the maximum
+    budget, then a literal per-term map trims each input to its own.
+
     Same one-bounded-job shape as :func:`fuzzy_candidates` (this is the
     ranked-list sibling of its top-1 ``correct_terms``); pass the
     federation-global dictionary to suggest across shards."""
     if mode not in SUGGEST_MODES:
         raise ValueError(f"mode must be one of {SUGGEST_MODES}, got {mode!r}")
+    if fuzziness not in (1, 2, "auto"):
+        raise ValueError(
+            f"fuzziness must be 1, 2 or 'auto', got {fuzziness!r}")
     spark = dictionary.sparkSession
     out_schema = "qterm string, suggestion string, df long, rank int"
     qts = list(dict.fromkeys(qterms))
     if not qts:
         return spark.createDataFrame([], out_schema)
-    # the verified distance<=1 pair set INCLUDING self-hits (they carry
-    # the input term's own df for the mode gates), k unbounded here —
-    # the real cut happens after self-exclusion
-    pairs = fuzzy_candidates(dictionary, qts, k=1 << 30).select(
-        "qterm", "term", "df")
+    budgets = {
+        q: (auto_fuzziness(q) if fuzziness == "auto" else int(fuzziness))
+        for q in qts
+    }
+    emax = max(budgets.values())
+    # the verified pair set INCLUDING self-hits (they carry the input
+    # term's own df for the mode gates), k unbounded here — the real
+    # cut happens after self-exclusion
+    pairs = fuzzy_candidates(
+        dictionary, qts, k=1 << 30, max_edits=max(1, emax)
+    ).select("qterm", "term", "df", "dist")
+    if fuzziness == "auto":
+        bmap = F.create_map(
+            *[F.lit(x) for q, b in budgets.items() for x in (q, b)])
+        pairs = pairs.filter(
+            (F.col("term") == F.col("qterm"))
+            | (F.col("dist") <= bmap[F.col("qterm")])
+        )
     wq = Window.partitionBy("qterm")
     pairs = pairs.withColumn(
         "self_df",
@@ -167,7 +245,8 @@ def term_suggestions(
     elif mode == "popular":
         sugg = sugg.filter(
             F.col("df") > F.coalesce(F.col("self_df"), F.lit(0)))
-    w = Window.partitionBy("qterm").orderBy(F.desc("df"), F.asc("term"))
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
     return (
         sugg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -257,3 +257,78 @@ def test_phrase_suggestions(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_edits"):
         phrase_suggestions(d, ["x"], max_edits=0)
+
+
+# ------------------------------------------------- fuzziness 2 / AUTO
+
+
+@settings(max_examples=300, deadline=None)
+@given(WORD, WORD)
+def test_deletion2_intersection_generates_all_lev2_pairs(a, b):
+    """Completeness at depth 2: distance <= 2 implies intersecting
+    deletion-<=2 neighborhoods."""
+    from searchengine_spark.query.fuzzy import del_upto
+
+    if _lev(a, b) <= 2:
+        assert del_upto(a, 2) & del_upto(b, 2)
+
+
+def test_fuzzy_candidates_distance2_vs_brute(spark):
+    from searchengine_spark.query.fuzzy import fuzzy_candidates
+
+    vocab = [("table", 40), ("cable", 90), ("tale", 90), ("label", 2),
+             ("fable", 5), ("tab", 8), ("stable", 3), ("zzz", 99),
+             ("tablet", 6), ("gables", 4)]
+    d = spark.createDataFrame(vocab, "term string, df long")
+    rows = fuzzy_candidates(d, ["table"], k=100, max_edits=2).collect()
+    got = {r["term"]: (r["dist"], r["rank"]) for r in rows}
+    want = {t: _lev("table", t) for t, _ in vocab if _lev("table", t) <= 2}
+    assert set(got) == set(want)
+    for t, (dist, _) in got.items():
+        assert dist == want[t], t
+    # ranking: exact first, then dist asc, then df desc, then term asc
+    ranked = [r["term"] for r in sorted(rows, key=lambda r: r["rank"])]
+    brute = sorted(
+        want.items(),
+        key=lambda tv: (tv[0] != "table", tv[1],
+                        -dict(vocab)[tv[0]], tv[0]))
+    assert ranked == [t for t, _ in brute]
+
+
+def test_fuzzy_candidates_rejects_bad_budget(spark):
+    from searchengine_spark.query.fuzzy import fuzzy_candidates
+
+    d = spark.createDataFrame([("a", 1)], "term string, df long")
+    with pytest.raises(ValueError, match="max_edits"):
+        fuzzy_candidates(d, ["ab"], max_edits=3)
+
+
+def test_auto_fuzziness_ladder():
+    from searchengine_spark.query.fuzzy import auto_fuzziness
+
+    assert auto_fuzziness("ab") == 0
+    assert auto_fuzziness("abc") == 1
+    assert auto_fuzziness("abcde") == 1
+    assert auto_fuzziness("abcdef") == 2
+
+
+def test_term_suggestions_fuzziness2_and_auto(spark):
+    from searchengine_spark.query.fuzzy import term_suggestions
+
+    d = spark.createDataFrame(
+        [("table", 40), ("cable", 90), ("label", 2), ("tab", 8)],
+        "term string, df long",
+    )
+    # fuzziness 2: 'tble' (d1 to table; d2 to cable) — dist ranks first
+    rows = term_suggestions(d, ["tble"], k=10, fuzziness=2).collect()
+    got = [r["suggestion"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got[0] == "table"              # the only distance-1 neighbor
+    assert "cable" in got                 # distance 2, higher df — after
+    # AUTO: 'tble' is 4 chars -> budget 1 -> distance-1 neighbors only
+    rows = term_suggestions(d, ["tble"], k=10, fuzziness="auto").collect()
+    assert [r["suggestion"] for r in rows] == ["table"]
+    # AUTO: a 2-char OOV term gets budget 0 -> nothing
+    rows = term_suggestions(d, ["tb"], k=10, fuzziness="auto").collect()
+    assert rows == []
+    with pytest.raises(ValueError, match="fuzziness"):
+        term_suggestions(d, ["tble"], fuzziness=3)
