@@ -780,6 +780,21 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
 
 
+KNN_MIN_SIM = 0.25
+
+
+def q_emb_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn `similarity` cutoff (textops/similarity.py
+    min_similarity=): results below the rounded-cosine threshold drop
+    even when the page under-fills — the oracle's WHERE on the same
+    rounded value pins both the cut and the possibly-short page."""
+    from searchengine_spark.textops import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10,
+                       exclude_ids=(0,), min_similarity=KNN_MIN_SIM)
+
+
 FILTERED_KNN_LABEL = 1
 
 
@@ -4229,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_correct": q_fuzzy_correct,
         "clean_pipeline": q_clean_pipeline,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_threshold_topk": q_emb_threshold_topk,
         "emb_filtered_topk": q_emb_filtered_topk,
         "emb_ivf_filtered_topk": q_emb_ivf_filtered_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -6536,6 +6552,19 @@ c AS (
   FROM embeddings, q WHERE vec_id <> 0
 )
 SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    sqls["emb_threshold_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+         round({_dot.format(a='(embedding::DOUBLE[])', b='qe')} /
+               (sqrt({_dot.format(a='(embedding::DOUBLE[])', b='(embedding::DOUBLE[])')}) *
+                sqrt({_dot.format(a='qe', b='qe')})), 6) AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM c WHERE cosine >= {KNN_MIN_SIM}
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
     # ---- pre-filtered kNN: the same brute cosine with the attribute

@@ -98,6 +98,9 @@ def main() -> None:
     ap.add_argument("--filter", default=None,
                     help="SQL predicate over the --input columns: "
                          "PRE-filtered kNN (ES knn filter semantics)")
+    ap.add_argument("--min-similarity", type=float, default=None,
+                    help="ES knn 'similarity' cutoff: drop results below "
+                         "this rounded cosine (brute and IVF query paths)")
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--bucketed", action="store_true",
                     help="pairs: restrict candidates to same k-means cell")
@@ -185,13 +188,15 @@ def main() -> None:
 
             out = ivf_topk_indexed(spark, args.index, qv, k=args.k,
                                    n_probe=args.n_probe,
-                                   exclude_ids=exclude, allowed=allowed)
+                                   exclude_ids=exclude, allowed=allowed,
+                                   min_similarity=args.min_similarity)
         else:
             from searchengine_spark.textops import cosine_topk
 
             out = cosine_topk(emb, qv, k=args.k, id_col=args.id_col,
                               vec_col=args.vec_col, exclude_ids=exclude,
-                              allowed=allowed)
+                              allowed=allowed,
+                              min_similarity=args.min_similarity)
         for r in out.collect():
             print(json.dumps(r.asDict(), default=str))
         return

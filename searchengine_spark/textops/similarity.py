@@ -56,6 +56,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     exclude_ids: tuple = (),
     allowed: DataFrame | None = None,
+    min_similarity: float | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k -> (vec_id, cosine[6dp]). Deterministic
     tie-break on id. Plan: scan + codegen fold + TakeOrderedAndProject.
@@ -64,7 +65,11 @@ def cosine_topk(
     knn ``filter`` contract: the k nearest among docs PASSING the
     filter, never top-k-then-filter, which under-fills and biases the
     page). The semi-join happens before the fold, so excluded vectors
-    never pay the dot product."""
+    never pay the dot product.
+
+    ``min_similarity``: the ES knn ``similarity`` cutoff — results below
+    it drop even when the page is under-filled (applied on the ROUNDED
+    6dp cosine, so both engines cut identically)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     src = embeddings
@@ -78,6 +83,8 @@ def cosine_topk(
     out = src.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(*exclude_ids))
+    if min_similarity is not None:
+        out = out.filter(F.col("cosine") >= float(min_similarity))
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
@@ -274,6 +281,7 @@ def ivf_topk_indexed(
     n_probe: int = 2,
     exclude_ids: tuple = (),
     allowed: DataFrame | None = None,
+    min_similarity: float | None = None,
 ) -> DataFrame:
     """ANN over the persisted bucketed layout: probe the ``n_probe``
     nearest buckets (partition-pruned scan — the filter on the partition
@@ -310,6 +318,10 @@ def ivf_topk_indexed(
     )
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(*exclude_ids))
+    if min_similarity is not None:
+        # the ES knn similarity cutoff, on the rounded cosine (the same
+        # value both engines rank by)
+        out = out.filter(F.col("cosine") >= float(min_similarity))
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 

@@ -124,3 +124,31 @@ def test_ivf_filtered_probes_subset(spark, clustered, ivf_path):
     probe_ids = {r["vec_id"] for r in bucket.select("vec_id").collect()}
     want = _brute(clustered, qv, allowed_ids & probe_ids, 10)
     assert [(r["vec_id"], r["cosine"]) for r in got] == want
+
+
+def test_min_similarity_cutoff_brute(clustered):
+    """ES knn `similarity`: the page cuts at the rounded-cosine
+    threshold even when under-filled; threshold -1 is a no-op."""
+    q = _qv(clustered, 0)
+    full = cosine_topk(clustered, q, k=10, exclude_ids=(0,)).collect()
+    th = float(full[3]["cosine"])  # keep exactly the top 4 (ties aside)
+    cut = cosine_topk(clustered, q, k=10, exclude_ids=(0,),
+                      min_similarity=th).collect()
+    assert [r["vec_id"] for r in cut] == [
+        r["vec_id"] for r in full if r["cosine"] >= th]
+    assert len(cut) < len(full)
+    noop = cosine_topk(clustered, q, k=10, exclude_ids=(0,),
+                       min_similarity=-1.0).collect()
+    assert [r["vec_id"] for r in noop] == [r["vec_id"] for r in full]
+
+
+def test_min_similarity_cutoff_ivf(spark, clustered, ivf_path):
+    q = _qv(clustered, 0)
+    full = ivf_topk_indexed(spark, ivf_path, q, k=10,
+                            n_probe=N_CLUSTERS, exclude_ids=(0,)).collect()
+    th = float(full[2]["cosine"])
+    cut = ivf_topk_indexed(spark, ivf_path, q, k=10, n_probe=N_CLUSTERS,
+                           exclude_ids=(0,), min_similarity=th).collect()
+    assert [r["vec_id"] for r in cut] == [
+        r["vec_id"] for r in full if r["cosine"] >= th]
+    assert 0 < len(cut) < len(full)
