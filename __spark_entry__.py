@@ -1191,6 +1191,24 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_greedy_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-DECREASING packing (textops/packing.py pack_greedy
+    order='length_desc' — the decreasing variant of the classic
+    bin-packing heuristics): the same no-split state machine fed
+    (n_tokens DESC, id) per bucket; the oracle is the same recursive
+    CTE with that one ORDER BY changed."""
+    from searchengine_spark.textops.packing import pack_greedy
+
+    out = pack_greedy(
+        _documents(spark, sf_dir), max_tokens=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS, order="length_desc",
+    )
+    return out.select(
+        "id", "bucket", "seq", "seq_offset", "n_tokens",
+        F.col("truncated").cast("long").alias("truncated"),
+    )
+
+
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split first-fit training-sequence packing
     (textops/packing.py pack_greedy): whole documents fill bucket-local
@@ -4258,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        "pack_greedy_ffd": q_pack_greedy_ffd,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -7265,6 +7284,47 @@ FROM c ORDER BY bucket, id
 WITH RECURSIVE {_pack_base.strip()},
 srt AS (
   SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+  FROM nz
+),
+rec AS (
+  SELECT bucket, rn, id, n_tokens,
+         0::BIGINT AS seq,
+         0::BIGINT AS seq_offset,
+         (CASE WHEN n_tokens > {_B} THEN 1 ELSE 0 END)::BIGINT AS truncated,
+         (CASE WHEN n_tokens >= {_B} THEN 1 ELSE 0 END)::BIGINT AS open_seq,
+         (CASE WHEN n_tokens >= {_B} THEN 0 ELSE n_tokens END)::BIGINT AS fill
+  FROM srt WHERE rn = 1
+  UNION ALL
+  SELECT s.bucket, s.rn, s.id, s.n_tokens,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN
+              r.open_seq + (CASE WHEN r.fill > 0 THEN 1 ELSE 0 END)
+            WHEN r.fill + s.n_tokens > {_B} THEN r.open_seq + 1
+            ELSE r.open_seq END)::BIGINT AS seq,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN 0
+            WHEN r.fill + s.n_tokens > {_B} THEN 0
+            ELSE r.fill END)::BIGINT AS seq_offset,
+         (CASE WHEN s.n_tokens > {_B} THEN 1 ELSE 0 END)::BIGINT AS truncated,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN
+              r.open_seq + (CASE WHEN r.fill > 0 THEN 1 ELSE 0 END) + 1
+            WHEN r.fill + s.n_tokens > {_B} THEN r.open_seq + 1
+            ELSE r.open_seq END)::BIGINT AS open_seq,
+         (CASE
+            WHEN s.n_tokens >= {_B} THEN 0
+            WHEN r.fill + s.n_tokens > {_B} THEN s.n_tokens
+            ELSE r.fill + s.n_tokens END)::BIGINT AS fill
+  FROM rec r JOIN srt s ON s.bucket = r.bucket AND s.rn = r.rn + 1
+)
+SELECT id, bucket, seq, seq_offset, n_tokens, truncated
+FROM rec ORDER BY bucket, id
+"""
+
+    sqls["pack_greedy_ffd"] = f"""
+WITH RECURSIVE {_pack_base.strip()},
+srt AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, id) AS rn
   FROM nz
 ),
 rec AS (

@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--token-count-col", default=None,
                     help="pack by a precomputed token-count column "
                          "instead of the whitespace proxy")
+    ap.add_argument("--order", default="id", choices=("id", "length_desc"),
+                    help="greedy-mode scan order: id (in-order) or "
+                         "length_desc (decreasing - denser sequences, "
+                         "one sort)")
     ap.add_argument("--stats", action="store_true",
                     help="greedy only: print per-run fill accounting")
     args = ap.parse_args()
@@ -65,12 +69,14 @@ def main() -> None:
     if args.mode == "chunk":
         plan = pack_concat_chunks(docs, **kw)
     else:
-        plan = pack_greedy(docs, **kw)
+        plan = pack_greedy(docs, order=args.order, **kw)
     # partition the written plan by bucket: a sharded dataloader reads
     # its bucket's sequences without touching the rest
     plan.write.mode("overwrite").partitionBy("bucket").parquet(args.output)
     out = {"mode": args.mode, "max_tokens": args.max_tokens,
            "buckets": args.buckets}
+    if args.mode == "greedy":
+        out["order"] = args.order
     written = spark.read.parquet(args.output)
     out["docs"] = written.count()
     if args.mode == "greedy" and args.stats:

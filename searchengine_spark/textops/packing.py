@@ -154,6 +154,7 @@ def pack_greedy(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count_col: str | None = None,
+    order: str = "id",
 ) -> DataFrame:
     """-> (id, bucket, seq, seq_offset, n_tokens, truncated): no-split
     first-fit-in-order packing. Within each bucket, documents ordered
@@ -164,9 +165,21 @@ def pack_greedy(
     n_tokens > max_tokens — the dataloader must cut it; an
     exactly-full document is not truncated). The scan is inherently
     sequential per bucket, so it runs as one Arrow batch per bucket
-    over (id, n_tokens) metadata only — never the text."""
+    over (id, n_tokens) metadata only — never the text.
+
+    ``order``: the scan order within each bucket — ``"id"``
+    (in-order, streaming-friendly) or ``"length_desc"`` ((n_tokens
+    DESC, id) — the DECREASING variant of the classic bin-packing
+    heuristics: grouping similar lengths lets the single-open-sequence
+    state machine close denser sequences, at the cost of a sort; both
+    run the SAME ``greedy_assign`` kernel, only the feed order differs,
+    so the recursive-CTE oracle replays either by changing one
+    ORDER BY)."""
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if order not in ("id", "length_desc"):
+        raise ValueError(
+            f"order must be 'id' or 'length_desc', got {order!r}")
     base = _with_bucket_and_tokens(docs, n_buckets, id_col, text_col,
                                    token_count_col)
     budget = int(max_tokens)
@@ -174,7 +187,12 @@ def pack_greedy(
     def _pack(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("id").reset_index(drop=True)
+        if order == "length_desc":
+            pdf = pdf.sort_values(
+                ["n_tokens", "id"], ascending=[False, True]
+            ).reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values("id").reset_index(drop=True)
         seqs, offs = greedy_assign(
             [int(t) for t in pdf["n_tokens"]], budget)
         return pd.DataFrame({

@@ -187,3 +187,34 @@ def test_greedy_assign_first_fit_tightness(n, budget):
             # overlong singleton, which is always closed)
             if prev_closing_doc < budget:
                 assert fill_of[seqs[i - 1]] + n[i] > budget
+
+
+def test_greedy_ffd_order(spark):
+    """FFD: the same state machine fed (n_tokens DESC, id); on the
+    classic instance it packs tighter than first-fit-in-order."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.packing import pack_greedy
+
+    # budget 10 with the NEXT-fit state machine (one open sequence):
+    # in-order [5, 6, 5, 6] -> [5],[6],[5],[6] = 4 seqs;
+    # decreasing [6, 6, 5, 5] -> [6],[6],[5,5] = 3 seqs
+    rows = [(0, "a", 5), (1, "b", 6), (2, "c", 5), (3, "d", 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n long")
+    ff = pack_greedy(docs, max_tokens=10, n_buckets=1,
+                     token_count_col="n").collect()
+    ffd = pack_greedy(docs, max_tokens=10, n_buckets=1,
+                      token_count_col="n", order="length_desc").collect()
+    assert len({r["seq"] for r in ff}) == 4
+    assert len({r["seq"] for r in ffd}) == 3
+    by_id = {r["id"]: (r["seq"], r["seq_offset"]) for r in ffd}
+    assert by_id == {1: (0, 0), 3: (1, 0), 0: (2, 0), 2: (2, 5)}
+    # validity: no sequence overflows, offsets are contiguous per seq
+    fill: dict = {}
+    for r in sorted(ffd, key=lambda r: (r["seq"], r["seq_offset"])):
+        assert r["seq_offset"] == fill.get(r["seq"], 0)
+        fill[r["seq"]] = r["seq_offset"] + r["n_tokens"]
+        assert fill[r["seq"]] <= 10
+    with pytest.raises(ValueError, match="order"):
+        pack_greedy(docs, max_tokens=10, n_buckets=1,
+                    token_count_col="n", order="nope")
