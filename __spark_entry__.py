@@ -2364,6 +2364,34 @@ def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CF_WEIGHTS = {"text": 1.0, "source": 2.0}  # integral -> exact double sums
+
+
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match's fourth mode: ES combined_fields (Lucene
+    CombinedFieldQuery, simplified BM25F — query/multimatch.py
+    combined_fields_topk): weighted term freqs MERGE into one synthetic
+    field (tf' = Σ w_f·tf_f, dl' = Σ w_f·dl_f, dl_norm' 3dp), df' =
+    max-field df with the 3dp idf, ONE saturation over the merged
+    field (saturate-then-combine vs cross_fields' combine-then-
+    saturate). Integral weights keep every double sum exact cross-
+    engine. The oracle replicates the merge end to end."""
+    from searchengine_spark.query.multimatch import combined_fields_topk
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "source")
+    its = {
+        f: build_index(docs.select("doc_id", f), CFG, text_col=f,
+                       id_col="doc_id")
+        for f in ("text", "source")
+    }
+    qs = [MM_QUERIES[q] for q in sorted(MM_QUERIES)]
+    return combined_fields_topk(
+        its, qs, CFG, k=10, weights=CF_WEIGHTS,
+        params=Bm25Params(K, B), round_dp=6,
+    ).select("query_id", "doc_id", "score",
+             F.col("rank").cast("long").alias("rank"))
+
+
 def q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp term retrieval (query/regexp.py — the ES ``regexp`` /
     Lucene ``/pattern/`` query_string analog): slash-wrapped query words
@@ -4327,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_search": q_regexp_search,
         "multi_match_topk": q_multi_match,
         "cross_fields_topk": q_cross_fields,
+        "combined_fields_topk": q_combined_fields,
         "sorted_search": q_sorted_search,
         "decay_search": q_decay_search,
         "analyze_tokens": q_analyze_tokens,
@@ -9009,6 +9038,52 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
   FROM fin
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- combined_fields: merged synthetic field — weighted tf/dl sums,
+    # max-df idf, ONE BM25 saturation over the merge
+    sqls["combined_fields_topk"] = f"""
+WITH {_field_index_ctes('_t', 'text').strip()},
+{_field_index_ctes('_s', 'source').strip()},
+q AS ({' UNION ALL '.join(mm_selects)}),
+dlc AS (
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         coalesce(t.dl, 0) * 1.0 + coalesce(s.dl, 0) * 2.0 AS dlc
+  FROM dl_t t FULL OUTER JOIN dl_s s ON t.doc_id = s.doc_id
+),
+corpc AS (SELECT count(*)::BIGINT AS n, sum(dlc) / count(*) AS avgdl FROM dlc),
+dlnc AS (
+  SELECT doc_id, round(dlc / (SELECT avgdl FROM corpc), 3) AS dl_norm FROM dlc
+),
+blend AS (
+  SELECT coalesce(t.term, s.term) AS term,
+         round(ln((SELECT n FROM corpc)::DOUBLE /
+               greatest(coalesce(t.df, 0), coalesce(s.df, 0))), 3) AS bidf
+  FROM stats_t t FULL OUTER JOIN stats_s s ON t.term = s.term
+),
+tfc AS (
+  SELECT q.query_id, x.term, x.doc_id, sum(x.wtf) AS tfc
+  FROM (
+    SELECT term, doc_id, tf * 1.0 AS wtf FROM idx_t
+    UNION ALL SELECT term, doc_id, tf * 2.0 AS wtf FROM idx_s
+  ) x JOIN q USING (term)
+  GROUP BY q.query_id, x.term, x.doc_id
+),
+scored AS (
+  SELECT tfc.query_id, tfc.doc_id,
+         sum(blend.bidf * (tfc.tfc * ({K} + 1.0)) /
+             (tfc.tfc + {K} * (1.0 - {B} + {B} * dlnc.dl_norm))) AS s
+  FROM tfc JOIN blend USING (term) JOIN dlnc USING (doc_id)
+  WHERE tfc.tfc > 0
+  GROUP BY tfc.query_id, tfc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
 """

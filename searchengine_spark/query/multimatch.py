@@ -195,6 +195,136 @@ def multi_match_topk(
     )
 
 
+def combined_fields_topk(
+    field_its: Mapping[str, "object"],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    weights: Mapping[str, float] | None = None,
+    params: Bm25Params = Bm25Params(),
+    round_dp: int | None = None,
+) -> DataFrame:
+    """ES ``combined_fields`` query — the fourth multi-field mode
+    (Lucene CombinedFieldQuery, the simplified BM25F: term-centric like
+    cross_fields, but instead of a per-term dismax the fields MERGE
+    into one synthetic field):
+
+    - per (term, doc): tf' = Σ_f w_f · tf_f (weighted term freq sum);
+    - per doc: dl' = Σ_f w_f · dl_f, avgdl' = mean over docs of dl',
+      dl_norm' = round(dl'/avgdl', 3) (the engine-wide 3dp contract);
+    - per term: df' = max_f df_f (the Lucene merged-statistics
+      approximation, same blend as cross_fields), idf' =
+      round(ln(N/df'), 3);
+    - score = Σ_t idf' · sat(tf', dl_norm') — ONE BM25 saturation over
+      the merged field, which is what distinguishes combined_fields
+      from cross_fields (saturation-then-combine vs combine-then-
+      saturate: a term spread across fields saturates once here).
+
+    ``field_its``: {field: IndexTables} built over the SAME frame
+    (build_index per field — dense docID assignment is deterministic in
+    (rows, order_cols), so ids align; the multi_match invariant).
+    ``weights``: {field: w >= 0}, default 1.0 (the ES per-field boost).
+    Serves the exact tier (the analysis surface); all-native — unions,
+    broadcast joins, two partial-aggregable groupBys, a top-k window.
+    """
+    if not field_its:
+        raise ValueError("no field indexes given")
+    ws = {f: float((weights or {}).get(f, 1.0)) for f in field_its}
+    unknown = [f for f in (weights or {}) if f not in field_its]
+    if unknown:
+        raise ValueError(
+            f"weights name unknown fields {unknown} (have {list(field_its)})")
+    if any(w < 0 for w in ws.values()):
+        raise ValueError(f"weights must be non-negative, got {ws}")
+
+    from ..tokenizer import tokenize_text
+
+    any_it = next(iter(field_its.values()))
+    spark = any_it.index.sparkSession
+    rows = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    out_schema = "query_id int, doc_id long, score double, rank int"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    qdf = spark.createDataFrame(rows, "query_id int, term string")
+
+    # merged per-doc length: dl' = sum_f w_f * dl_f (aligned doc ids)
+    dl_parts = [
+        it.doc_lengths.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("dl").cast("double") * F.lit(ws[f])).alias("wdl"),
+        )
+        for f, it in field_its.items()
+    ]
+    dlu = dl_parts[0]
+    for p in dl_parts[1:]:
+        dlu = dlu.unionByName(p)
+    dlc = dlu.groupBy("doc_id").agg(F.sum("wdl").alias("dlc"))
+    avg_row = dlc.agg(
+        F.avg("dlc").alias("avgdl"), F.count("*").alias("n")).collect()[0]
+    avgdl, n_docs = float(avg_row["avgdl"]), int(avg_row["n"])
+    dln = dlc.select(
+        "doc_id", F.round(F.col("dlc") / F.lit(avgdl), 3).alias("dl_norm"))
+
+    # merged df: max over fields, idf at the 3dp contract
+    df_parts = [
+        it.term_stats.select("term", F.col("df").cast("long").alias("df"))
+        for it in field_its.values()
+    ]
+    dfu = df_parts[0]
+    for p in df_parts[1:]:
+        dfu = dfu.unionByName(p)
+    idfc = (
+        dfu.groupBy("term").agg(F.max("df").alias("dfm"))
+        .select(
+            "term",
+            F.round(
+                F.log(F.lit(float(n_docs)) / F.col("dfm").cast("double")), 3
+            ).alias("idf"),
+        )
+    )
+
+    # merged tf': sum_f w_f * tf_f per (term, doc)
+    tf_parts = [
+        it.index.select(
+            "term",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("tf").cast("double") * F.lit(ws[f])).alias("wtf"),
+        )
+        for f, it in field_its.items()
+    ]
+    tfu = tf_parts[0]
+    for p in tf_parts[1:]:
+        tfu = tfu.unionByName(p)
+    matched = tfu.join(F.broadcast(qdf), "term")
+    tfc = matched.groupBy("query_id", "term", "doc_id").agg(
+        F.sum("wtf").alias("tfc"))
+    scored = (
+        tfc.filter(F.col("tfc") > 0)
+        .join(F.broadcast(idfc), "term")
+        .join(dln, "doc_id")
+    )
+    contrib = F.col("idf") * _tf_saturation_col(
+        F.col("tfc"), F.col("dl_norm"), params)
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(contrib).alias("score"))
+    if round_dp is not None:
+        agg = agg.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _tf_saturation_col(tf, dl_norm, params: Bm25Params):
+    k, b = float(params.k), float(params.b)
+    return (tf * (k + 1.0)) / (tf + k * (1.0 - b + b * dl_norm))
+
+
 def cross_fields_topk(
     fidx: Mapping[str, PackedIndex],
     queries: Sequence[str],

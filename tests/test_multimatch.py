@@ -250,3 +250,89 @@ def test_cross_fields_validation(fidx, cfg):
     with pytest.raises(ValueError, match="unknown fields"):
         cross_fields_topk(fidx, QUERIES, cfg, boosts={"nope": 2.0})
     assert cross_fields_topk(fidx, ["zzzznothing"], cfg).count() == 0
+
+
+# -------------------------------------------------------- combined_fields
+
+
+@pytest.fixture(scope="module")
+def field_its(spark, corpus, cfg):
+    from pyspark.sql import functions as F
+
+    its = {}
+    for f in FIELDS:
+        fcorp = corpus.select(
+            "conv_id", "turn_idx",
+            F.coalesce(F.col(f).cast("string"), F.lit("")).alias(f))
+        its[f] = build_index(fcorp, cfg, text_col=f, n_partitions=4)
+    return its
+
+
+def test_combined_fields_matches_brute(spark, cfg, field_its):
+    import math
+
+    from searchengine_spark.query.multimatch import combined_fields_topk
+    from searchengine_spark.query.serve import _round3_up
+    from searchengine_spark.tokenizer import tokenize_text
+
+    weights = {"text": 1.0, "role": 2.0, "tool": 1.0}
+    q = QUERIES[1]
+    terms = list(dict.fromkeys(tokenize_text(q, cfg)))
+    tf, dl, dfm = {}, {}, {}
+    for f, it in field_its.items():
+        for r in it.index.collect():
+            if r["term"] in terms:
+                tf[(r["term"], int(r["doc_id"]))] = tf.get(
+                    (r["term"], int(r["doc_id"])), 0.0
+                ) + weights[f] * int(r["tf"])
+        for r in it.doc_lengths.collect():
+            dl[int(r["doc_id"])] = dl.get(int(r["doc_id"]), 0.0) \
+                + weights[f] * int(r["dl"])
+        for r in it.term_stats.collect():
+            if r["term"] in terms:
+                dfm[r["term"]] = max(dfm.get(r["term"], 0), int(r["df"]))
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    idf = {t: _round3_up(math.log(n / d)) for t, d in dfm.items()}
+    k1, b = 1.2, 0.75
+    expect: dict = {}
+    for (t, d), tfc in tf.items():
+        if tfc <= 0:
+            continue
+        dn = _round3_up(dl[d] / avgdl)
+        c = idf[t] * (tfc * (k1 + 1.0)) / (tfc + k1 * (1.0 - b + b * dn))
+        expect[d] = expect.get(d, 0.0) + c
+    want = sorted(((round(s, 6), d) for d, s in expect.items()),
+                  key=lambda sd: (-sd[0], sd[1]))[:10]
+    got = combined_fields_topk(field_its, [q], cfg, k=10, weights=weights,
+                               round_dp=6).collect()
+    got = [(float(r["score"]), int(r["doc_id"]))
+           for r in sorted(got, key=lambda r: r["rank"])]
+    assert got == [(s, d) for s, d in want] and got
+
+
+def test_combined_fields_single_field_is_bm25(spark, cfg, field_its):
+    from searchengine_spark.query.bm25 import bm25_topk_batch
+    from searchengine_spark.query.multimatch import combined_fields_topk
+
+    it = field_its["text"]
+    want = {
+        (r["query_id"], r["doc_id"]): (round(r["score"], 6), r["rank"])
+        for r in bm25_topk_batch(it, QUERIES, cfg, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): (round(r["score"], 6), r["rank"])
+        for r in combined_fields_topk(
+            {"text": it}, QUERIES, cfg, k=10, round_dp=None).collect()
+    }
+    assert got == want and got
+
+
+def test_combined_fields_validation(cfg, field_its):
+    from searchengine_spark.query.multimatch import combined_fields_topk
+
+    with pytest.raises(ValueError, match="unknown fields"):
+        combined_fields_topk(field_its, QUERIES, cfg, weights={"nope": 1.0})
+    with pytest.raises(ValueError, match="non-negative"):
+        combined_fields_topk(field_its, QUERIES, cfg, weights={"text": -1.0})
+    assert combined_fields_topk(field_its, ["zzzznothing"], cfg).count() == 0
