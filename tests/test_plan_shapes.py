@@ -415,3 +415,61 @@ def test_packing_plans(spark):
     # tree lines only — exactly ONE grouped-Arrow batch stage
     assert greedy_plan.count("FlatMapGroupsInPandas (") == 1
     assert "BatchEvalPython" not in greedy_plan  # Arrow batches only
+
+
+def test_span_first_exact_plan_is_all_native(spark):
+    """span_first exact path: higher-order filter/array_min inside the
+    plan, NO Python evaluation node, query side broadcast."""
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.query.spanqueries import span_first_topk_batch
+
+    it = build_index(transcripts_df(spark, n_conv=10), CFG, positional=True)
+    df = span_first_topk_batch(it, [("album", 5)], CFG, k=10)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_span_not_exact_plan_is_all_native(spark):
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.query.spanqueries import span_not_topk_batch
+
+    it = build_index(transcripts_df(spark, n_conv=10), CFG, positional=True)
+    df = span_not_topk_batch(it, [("album", "rock")], CFG, pre=2, post=2,
+                             k=10)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_plan_zero_shuffle_zero_python(spark):
+    """PQ encode: the argmin over codebook structs compiles to native
+    expressions — no exchange, no Python node."""
+    from searchengine_spark.textops.pq import pq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    books = [[[0, 0], [1000, 1000]], [[0, 0], [500, 500]]]
+    df = pq_encode(emb, books)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_terms_set_exact_single_aggregate(spark):
+    """terms_set exact path: score AND coverage come from ONE aggregate
+    — exactly two hash exchanges total (the groupBy partials + the
+    rank window), no second scoring pass."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.query.termsset import terms_set_topk_batch
+
+    it = build_index(transcripts_df(spark, n_conv=10), CFG)
+    req = it.doc_lengths.select("doc_id", F.lit(1).alias("required"))
+    df = terms_set_topk_batch(it, ["greatest rock album"], req, CFG, k=10)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
