@@ -2392,6 +2392,43 @@ def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("rank").cast("long").alias("rank"))
 
 
+FUZZYQ_QUERIES = {0: "spark merge~ windoww~1 vector", 1: "scann~2 table"}
+FUZZYQ_MAX_EXP = 50
+
+
+def q_fuzzy_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy QUERY (query/fuzzyquery.py — Lucene FuzzyQuery / the
+    query_string tilde): word~ / word~N expands against the dictionary
+    to every term within the edit budget (distance asc / df desc / term
+    asc, capped), AUTO resolving per analyzed term, then scores plain
+    BM25 OR through the wildcard seam. The oracle replicates the
+    expansion with DuckDB levenshtein() verbatim and the same cap —
+    a correction-style top-1 rewrite, an uncapped expansion, or a
+    frequency-first selection all hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.fuzzyquery import bm25_fuzzyq_packed_batch
+    from searchengine_spark.query.wand import resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_fq_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256))
+    pidx = load_packed_index(spark, path)
+    qs = [FUZZYQ_QUERIES[i] for i in sorted(FUZZYQ_QUERIES)]
+    topk = bm25_fuzzyq_packed_batch(
+        pidx, qs, CFG, k=10, max_expansions=FUZZYQ_MAX_EXP, round_dp=6)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", F.col("ext_id").alias("doc_id"), "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp term retrieval (query/regexp.py — the ES ``regexp`` /
     Lucene ``/pattern/`` query_string analog): slash-wrapped query words
@@ -4353,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q_synonym_search,
         "wildcard_search": q_wildcard_search,
         "regexp_search": q_regexp_search,
+        "fuzzy_query_topk": q_fuzzy_query_topk,
         "multi_match_topk": q_multi_match,
         "cross_fields_topk": q_cross_fields,
         "combined_fields_topk": q_combined_fields,
@@ -8572,6 +8610,50 @@ rfinal{i} AS (
 WITH {_INDEX_CTES.strip()},
 {','.join(rx_chains)},
 allf AS ({' UNION ALL '.join(rx_finals)}),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM allf
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- fuzzy query: per tilde word a levenshtein-budget expansion
+    # (distance asc / df desc / term asc, capped) unioned with the
+    # explicit terms, then plain BM25 OR
+    from searchengine_spark.query.fuzzy import auto_fuzziness as _auto_f
+    from searchengine_spark.query.fuzzyquery import split_fuzzy as _split_f
+
+    fq_chains, fq_finals = [], []
+    for i in sorted(FUZZYQ_QUERIES):
+        pos_q, fspecs = _split_f(FUZZYQ_QUERIES[i])
+        explicit = list(dict.fromkeys(tokenize_text(pos_q, CFG)))
+        branches = [f"SELECT unnest({_sql_term_list(explicit)}) AS term"]
+        for j, (word, b) in enumerate(fspecs):
+            t = tokenize_text(word, CFG)[0]
+            budget = _auto_f(t) if b is None else int(b)
+            fq_chains.append(f"""
+fexp{i}_{j} AS (
+  SELECT term FROM term_stats
+  WHERE levenshtein(term, {_sql_quote(t)}) <= {budget}
+  ORDER BY levenshtein(term, {_sql_quote(t)}) ASC, df DESC, term ASC
+  LIMIT {FUZZYQ_MAX_EXP}
+)""")
+            branches.append(f"SELECT term FROM fexp{i}_{j}")
+        fq_chains.append(f"""
+fq{i} AS ({' UNION '.join(branches)}),
+ffinal{i} AS (
+  SELECT {i} AS query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN fq{i} USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY idx.doc_id
+)""")
+        fq_finals.append(f"SELECT * FROM ffinal{i}")
+    sqls["fuzzy_query_topk"] = f"""
+WITH {_INDEX_CTES.strip()},
+{','.join(fq_chains)},
+allf AS ({' UNION ALL '.join(fq_finals)}),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,
          row_number() OVER (PARTITION BY query_id

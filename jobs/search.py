@@ -2414,6 +2414,14 @@ def main() -> None:
                     help="span_not window before the include position")
     ap.add_argument("--span-post", type=int, default=0,
                     help="span_not window after the include position")
+    ap.add_argument("--fuzzy-terms", action="store_true",
+                    help="ES fuzzy QUERY (query/fuzzyquery.py): word~ / "
+                         "word~1 / word~2 in --query expand against the "
+                         "dictionary within the edit budget (AUTO "
+                         "ladder for bare ~; distance asc, df desc, "
+                         "--max-expansions cap) and score BM25 OR; "
+                         "distinct from --fuzzy top-1 correction; "
+                         "--index only")
     ap.add_argument("--terms-set", default=None, metavar="EXPR",
                     help="ES terms_set (query/termsset.py): per-DOC "
                          "minimum_should_match — EXPR over the --attrs "
@@ -3031,6 +3039,22 @@ def main() -> None:
 
         rows = [r.asDict() for r in resolve_docs(pidx, res).collect()]
         print(json.dumps({"queries": ts_queries, "hits": rows}, default=str))
+        return
+    if args.fuzzy_terms:
+        if not args.query:
+            raise SystemExit("--fuzzy-terms wants --query (word~ / "
+                             "word~N tilde syntax)")
+        from searchengine_spark.query.fuzzyquery import (
+            bm25_fuzzyq_packed_batch,
+        )
+        from searchengine_spark.query.wand import resolve_docs
+
+        res = bm25_fuzzyq_packed_batch(
+            pidx, list(args.query), cfg, k=args.n,
+            max_expansions=args.max_expansions, round_dp=6)
+        rows = [r.asDict() for r in resolve_docs(pidx, res).collect()]
+        print(json.dumps({"queries": list(args.query), "hits": rows},
+                         default=str))
         return
     if args.span_first or args.span_not:
         from searchengine_spark.query.serve import LocalSearcher
