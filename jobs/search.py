@@ -1917,8 +1917,28 @@ def _serve_federated(spark, args) -> None:
                           "tokens": analyze_text(args.analyze, cfg)}))
         return
     if args.span_first or args.span_not:
-        raise SystemExit("span queries serve --index only (doc-local "
-                         "semantics federate trivially; not wired)")
+        from searchengine_spark.query.federated import (
+            span_first_topk_federated,
+            span_not_topk_federated,
+        )
+
+        pidxs = list(shards)
+        if args.span_first:
+            term, _, end = args.span_first.rpartition(":")
+            if not term:
+                raise SystemExit("--span-first wants TERM:END")
+            res = span_first_topk_federated(
+                pidxs, [(term, int(end))], cfg, k=args.n)
+        else:
+            inc, _, exc = args.span_not.partition(",")
+            if not exc:
+                raise SystemExit("--span-not wants INC,EXC")
+            res = span_not_topk_federated(
+                pidxs, [(inc, exc)], cfg, pre=args.span_pre,
+                post=args.span_post, k=args.n)
+        print(json.dumps({"hits": [r.asDict() for r in res.collect()]},
+                         default=str))
+        return
     if args.terms_set:
         raise SystemExit("--terms-set serves --index only")
     if args.term_suggest:

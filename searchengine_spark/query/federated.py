@@ -1180,6 +1180,87 @@ def minspan_topk_federated(
     return ranked
 
 
+def span_first_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence,
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated span_first -> federation-global (query_id, doc_id,
+    n_within, first_pos, rank). Positions are doc-local and the ranking
+    integer-exact, so federation is exact on ANY corpus (the
+    phrase/minspan argument); per-shard cuts are safe under
+    (first_pos asc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    from .spanqueries import span_first_topk_packed_batch
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = span_first_topk_packed_batch(s, queries, cfg, k=k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "n_within",
+                "first_pos",
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("first_pos"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
+
+
+def span_not_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence,
+    cfg: TokenizerConfig | None = None,
+    pre: int = 0,
+    post: int = 0,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated span_not -> federation-global (query_id, doc_id,
+    n_clear, first_clear, rank); per-shard cuts safe under
+    (n_clear desc, doc_id asc) — same doc-local argument."""
+    from pyspark.sql import Window
+
+    from .spanqueries import span_not_topk_packed_batch
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = span_not_topk_packed_batch(
+            s, queries, cfg, pre=pre, post=post, k=k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "n_clear",
+                "first_clear",
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_clear"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
+
+
 def resolve_docs_federated(
     shards: Sequence[PackedIndex], topk: DataFrame
 ) -> DataFrame:

@@ -765,3 +765,55 @@ def test_conjunctive_bm25_federated(spark, cfg, tmp_path):
     mixed = bm25_topk_federated(
         shards, QUERIES, cfg, k=5, conjunctive=True)
     assert mixed.count() == 0
+
+
+def test_span_queries_federated_equal_merged(spark, corpus, cfg, tmp_path):
+    """span_first / span_not federate EXACTLY (doc-local positions,
+    integer ranking — the phrase/minspan argument): full per-shard sets
+    equal the merged index's bit for bit on external ids."""
+    from searchengine_spark.query.federated import (
+        span_first_topk_federated,
+        span_not_topk_federated,
+    )
+    from searchengine_spark.query.spanqueries import (
+        span_first_topk_packed_batch,
+        span_not_topk_packed_batch,
+    )
+
+    a, b = _split(corpus)
+    pa, pb, pm = (str(tmp_path / d) for d in ("sa", "sb", "sm"))
+    build_packed_index(a, cfg, pa, chunk_docs=32, positional=True)
+    build_packed_index(b, cfg, pb, chunk_docs=32, positional=True)
+    merge_packed_indexes(spark, [pa, pb], pm, check_disjoint=True)
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    merged = load_packed_index(spark, pm)
+
+    sf_q = [("album", 4), ("rock", 2)]
+    sn_q = [("album", "rock"), ("music", "album")]
+    cases = [
+        (
+            span_first_topk_federated(shards, sf_q, cfg, k=None),
+            span_first_topk_packed_batch(merged, sf_q, cfg, k=None),
+            ("n_within", "first_pos"),
+        ),
+        (
+            span_not_topk_federated(shards, sn_q, cfg, pre=2, post=2,
+                                    k=None),
+            span_not_topk_packed_batch(merged, sn_q, cfg, pre=2, post=2,
+                                       k=None),
+            ("n_clear", "first_clear"),
+        ),
+    ]
+    for fed, want, payload in cases:
+        got = _ext_keys(shards, fed.drop("rank"), extra=payload)
+        assert got == _ext_keys([merged], want.drop("rank"), extra=payload)
+        assert len(got) > 0
+    # ranked cut safety under the global integer order
+    fed3 = _ext_keys(shards,
+                     span_first_topk_federated(shards, sf_q, cfg, k=3),
+                     extra=("first_pos", "rank"))
+    full = _ext_keys(shards,
+                     span_first_topk_federated(shards, sf_q, cfg, k=None),
+                     extra=("first_pos", "rank"))
+    want3 = [r for r in full if r[-1] <= 3]
+    assert fed3 == want3 and len(fed3) > 0
