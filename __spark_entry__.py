@@ -2975,6 +2975,22 @@ def q_result_auto_date_histogram(spark: SparkSession,
     )
 
 
+def q_result_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler aggregation (query/aggregations.py plain_sample —
+    the un-diversified sibling): each query's aggregation input cut to
+    its 3 best-ranked hits (rank asc, doc_id tiebreak); the oracle is
+    the retrieval CTE with the tighter rank cut."""
+    from searchengine_spark.query.aggregations import plain_sample
+
+    hits, _docs = _hybrid_hits(spark, sf_dir)
+    kept = plain_sample(
+        hits.select("query_id", F.col("ext_id").alias("doc_id"), "rank"),
+        ["doc_id"], size=3,
+    )
+    return kept.select("query_id", "doc_id",
+                       F.col("rank").cast("long").alias("rank"))
+
+
 def q_result_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES diversified_sampler de-duplication step
     (query/aggregations.py diversified_sample): each query's top-10
@@ -4430,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_string_stats": q_result_string_stats,
         "result_auto_date_histogram": q_result_auto_date_histogram,
         "result_diversified": q_result_diversified,
+        "result_sampler": q_result_sampler,
         "result_filters": q_result_filters,
         "result_missing": q_result_missing,
         "result_rare_terms": q_result_rare_terms,
@@ -5283,6 +5300,15 @@ ORDER BY query_id, col, bucket_epoch
 
     # ---- diversified_sampler: best-ranked hit per source value
     # survives (per-value window cut over retrieval order)
+    sqls["result_sampler"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+{_hits10.strip()}
+SELECT query_id, doc_id, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
     sqls["result_diversified"] = f"""
 WITH {_INDEX_CTES},
 q AS ({batch_q}),

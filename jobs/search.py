@@ -1384,6 +1384,18 @@ def _print_multi_terms(spark, attrs_path, ext_cols, queries, per_q,
                          default=str))
 
 
+def _apply_sampler(per_q, size):
+    """--sampler N: ES sampler aggregation — each query's AGGREGATION
+    input cut to its N best-ranked hits (rank asc, result order
+    tiebreak — per_q lists are already retrieval-ordered). Driver-side
+    (the page is already collected); composes BEFORE --diversified,
+    exactly ES's sampler > diversified_sampler nesting."""
+    n = int(size)
+    if n < 1:
+        raise SystemExit("--sampler wants a positive size")
+    return [res[:n] for res in per_q]
+
+
 def _apply_diversified(spark, attrs_path, ext_cols, per_q, spec):
     """--diversified FIELD[:MAX]: ES diversified_sampler — cap each
     query's result set at MAX hits per FIELD value (best-ranked survive,
@@ -1814,9 +1826,11 @@ def _serve_federated(spark, args) -> None:
         # ES sampler semantics: --diversified shapes AGGREGATION input
         # only — snippets and relevance stats stay on the full page
         agg_q = per_q
+        if args.sampler:
+            agg_q = _apply_sampler(agg_q, args.sampler)
         if args.diversified:
             agg_q = _apply_diversified(spark, args.attrs, ext_cols,
-                                       per_q, args.diversified)
+                                       agg_q, args.diversified)
         if args.facets:
             _print_facets(spark, args.attrs, ext_cols, batch, agg_q,
                           args.facets, args.n)
@@ -2442,6 +2456,11 @@ def main() -> None:
                          "--max-expansions cap) and score BM25 OR; "
                          "distinct from --fuzzy top-1 correction; "
                          "--index only")
+    ap.add_argument("--sampler", type=int, default=None, metavar="N",
+                    help="ES sampler aggregation: cut every other agg "
+                         "flag's input to each query's N best-ranked "
+                         "hits (ranked page stays full); composes "
+                         "before --diversified")
     ap.add_argument("--terms-set", default=None, metavar="EXPR",
                     help="ES terms_set (query/termsset.py): per-DOC "
                          "minimum_should_match — EXPR over the --attrs "
@@ -3375,10 +3394,12 @@ def main() -> None:
         # ES sampler semantics: --diversified shapes AGGREGATION input
         # only — snippets, the ranked page and relevance stats stay full
         agg_q = per_q
+        if args.sampler:
+            agg_q = _apply_sampler(agg_q, args.sampler)
         if args.diversified:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             agg_q = _apply_diversified(spark, args.attrs, ext,
-                                       per_q, args.diversified)
+                                       agg_q, args.diversified)
         if args.facets:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_facets(spark, args.attrs, ext, queries, agg_q,

@@ -1065,6 +1065,34 @@ def auto_date_histogram_counts(
     )
 
 
+def plain_sample(
+    results: DataFrame,
+    ext_cols: Sequence[str],
+    size: int,
+) -> DataFrame:
+    """-> the results frame cut to each query's ``size`` BEST-RANKED
+    hits — the ES ``sampler`` aggregation (the un-diversified sibling
+    of :func:`diversified_sample`): sub-aggregations run over only the
+    highest-relevance slice of the hit window. Deterministic on every
+    ranker: rank asc, external-id ascending tiebreak (boolean retrieval
+    emits rank 0 for the whole set). Composes BEFORE
+    ``diversified_sample`` — exactly ES's sampler > diversified_sampler
+    nesting. One bounded window."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if "rank" not in results.columns:
+        raise ValueError("results frame lacks a 'rank' column "
+                         "(sampling needs retrieval order)")
+    w = Window.partitionBy("query_id").orderBy(
+        "rank", *[F.col(c).asc() for c in ext_cols])
+    return (
+        results.withColumn("_sp", F.row_number().over(w))
+        .filter(F.col("_sp") <= size)
+        .select(*results.columns)
+        .orderBy("query_id", "rank")
+    )
+
+
 def diversified_sample(
     results: DataFrame,
     attrs: DataFrame,

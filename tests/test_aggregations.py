@@ -706,3 +706,25 @@ def test_diversified_sample_caps_per_value(spark):
         (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 3), (1, 4)]
     with pytest.raises(ValueError, match="rank"):
         diversified_sample(hits.drop("rank"), attrs, "src", ["ext_id"])
+
+
+def test_plain_sample_cut_and_order(spark):
+    from searchengine_spark.query.aggregations import plain_sample
+
+    rows = [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4),
+            (1, 20, 1), (1, 21, 2)]
+    res = spark.createDataFrame(rows, "query_id int, doc_id long, rank long")
+    got = plain_sample(res, ["doc_id"], size=2).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in got} == {
+        (0, 10), (0, 11), (1, 20), (1, 21)}
+    # rank-0 sets (boolean) break ties by the external id
+    res0 = spark.createDataFrame(
+        [(0, 12, 0), (0, 10, 0), (0, 11, 0)],
+        "query_id int, doc_id long, rank long")
+    got0 = plain_sample(res0, ["doc_id"], size=2).collect()
+    assert {r["doc_id"] for r in got0} == {10, 11}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="size"):
+        plain_sample(res, ["doc_id"], size=0)
+    with _pt.raises(ValueError, match="rank"):
+        plain_sample(res.drop("rank"), ["doc_id"], size=1)
