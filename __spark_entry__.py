@@ -4301,6 +4301,37 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONSTANT_SCORE_BOOST = 1.5
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score query (query/boolquery.py constant_score_topk):
+    filter-context retrieval — the AND-matched set scores exactly the
+    boost literal, ranked doc_id ASC (the deterministic stand-in for
+    ES's arbitrary equal-score order), cut at 10. The plan never reads
+    term_stats / doc_norms — the ES filter-context point, plan-gated in
+    tests/test_constant_score.py."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.boolquery import constant_score_topk
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = constant_score_topk(
+        pidx, qs, CFG, boost=CONSTANT_SCORE_BOOST, op="and", k=10)
+    return out.join(pidx.docmap, "doc_id").select(
+        "query_id", F.col("ext_id").alias("doc_id"), "score", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -4390,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_then_search": q_append_then_search,
         "snapshot_search": q_snapshot_search,
         "boolean_packed": q_boolean_packed,
+        "constant_score_topk": q_constant_score,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -5546,6 +5578,27 @@ q AS ({batch_q})
 SELECT q.query_id, idx.doc_id, count(DISTINCT idx.term)::BIGINT AS n_terms
 FROM idx JOIN q USING (term)
 GROUP BY q.query_id, idx.doc_id
+"""
+
+    # constant_score: filter-context AND set, boost literal, doc_id-ASC
+    # rank (the deterministic equal-score order), cut at 10
+    sqls["constant_score_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+nq AS (SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY query_id),
+matched AS (
+  SELECT q.query_id, idx.doc_id
+  FROM idx JOIN q USING (term)
+  GROUP BY q.query_id, idx.doc_id
+  HAVING count(DISTINCT idx.term)
+         = (SELECT n FROM nq WHERE nq.query_id = q.query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, {CONSTANT_SCORE_BOOST}::DOUBLE AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+  FROM matched
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     # negated terms (must_not): banned = docs matching any of the query's

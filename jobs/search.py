@@ -116,7 +116,8 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 demote=None, negative_boost=0.5, dismax=None, slop=0,
                 regexp=None, sort_spec=None, attrs_path=None,
                 decay_spec=None, boost_mode="multiply", fvf_spec=None,
-                random_seed=None, inner_hits=None, pins=None):
+                random_seed=None, inner_hits=None, pins=None,
+                constant_score=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -391,6 +392,17 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         from searchengine_spark.tokenizer import tokenize_text
 
         op = ranker.split("_")[1]
+        if constant_score is not None:
+            # ES constant_score: filter-context page — boost literal,
+            # doc_id-ASC ranks, top-n cut (query/boolquery.py)
+            from searchengine_spark.query.boolquery import constant_score_topk
+
+            if doc_filter is not None or excludes:
+                raise SystemExit("--constant-score does not combine with "
+                                 "--filter or '-term' negation")
+            topk = constant_score_topk(
+                pidx, queries, cfg, boost=constant_score, op=op, k=n)
+            return resolve_docs(pidx, topk)
         hits = boolean_search_packed(pidx, queries, cfg, op=op,
                                      exclude_terms=excludes)
         if doc_filter is not None:
@@ -423,7 +435,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  demote=None, negative_boost=0.5, dismax=None, slop=0,
                  regexp=None, sort_spec=None, attrs_path=None,
                  decay_spec=None, boost_mode="multiply", fvf_spec=None,
-                random_seed=None, inner_hits=None, pins=None):
+                random_seed=None, inner_hits=None, pins=None,
+                constant_score=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -435,7 +448,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        sort_spec=sort_spec, attrs_path=attrs_path,
                        decay_spec=decay_spec, boost_mode=boost_mode,
                        fvf_spec=fvf_spec, random_seed=random_seed,
-                       inner_hits=inner_hits, pins=pins).collect()
+                       inner_hits=inner_hits, pins=pins,
+                       constant_score=constant_score).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -2565,6 +2579,14 @@ def main() -> None:
                          "MISSING (default 1.0); combine via "
                          "--boost-mode; needs --attrs; bm25/bm25_and, "
                          "distributed tier, --index only")
+    ap.add_argument("--constant-score", type=float, default=None,
+                    metavar="BOOST",
+                    help="ES constant_score query (query/boolquery.py "
+                         "constant_score_topk): filter-context retrieval "
+                         "— every match scores exactly BOOST, ranks are "
+                         "doc_id ASC, page cut at -n; wraps the boolean "
+                         "rankers (--ranker boolean_and|boolean_or), "
+                         "never reads scoring statistics; --index only")
     ap.add_argument("--count-only", action="store_true",
                     help="ES _count analog (query/wand.py "
                          "match_counts_packed): print per-query "
@@ -3233,6 +3255,7 @@ def main() -> None:
                 fvf_spec=_fvf(args), random_seed=args.random_score,
                 inner_hits=args.collapse_inner_hits,
                 pins=(args.pin.split(",") if args.pin else None),
+                constant_score=args.constant_score,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -3262,6 +3285,12 @@ def main() -> None:
             or args.random_score) and args.serve_mode == "local":
         raise SystemExit("--sort/--decay/--fvf/--random-score run on the "
                          "distributed tier (serve-mode auto/spark)")
+    if args.constant_score is not None:
+        if args.ranker not in ("boolean_and", "boolean_or"):
+            raise SystemExit("--constant-score wraps the boolean rankers "
+                             "(--ranker boolean_and|boolean_or)")
+        if args.shards:
+            raise SystemExit("--constant-score serves from a single index")
     if args.count_only:
         if args.shards:
             raise SystemExit("--count-only serves from a single index")
@@ -3384,7 +3413,8 @@ def main() -> None:
                                  random_seed=args.random_score,
                                  inner_hits=args.collapse_inner_hits,
                                  pins=(args.pin.split(",")
-                                       if args.pin else None))
+                                       if args.pin else None),
+                                 constant_score=args.constant_score)
         if args.snippet_source:
             if args.highlight:
                 _attach_highlights(spark, args.snippet_source, pidx, cfg,

@@ -244,3 +244,45 @@ def bool_query_topk_federated(
         min_should_match=floor,
     )
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def constant_score_topk(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    boost: float = 1.0,
+    op: str = "and",
+    k: int = 10,
+) -> DataFrame:
+    """ES ``constant_score`` query -> (query_id, doc_id, score, rank):
+    filter-context retrieval — every matching doc scores exactly
+    ``boost``, ranking is doc_id ASC (ES returns the equal-score set in
+    arbitrary order; ours is the repo-wide deterministic tie-break).
+
+    The POINT of ES constant_score / filter context is that matching
+    skips scoring entirely (cacheable filters, no statistics): this plan
+    never reads term_stats / idf / doc-length norms — it is the existing
+    boolean retrieval (one pruned postings scan, one distinct-agg
+    exchange) plus a literal column and a per-query rank window over the
+    already-aggregated match set (plan-gated in
+    tests/test_constant_score.py).
+
+    ``op`` picks the wrapped filter's combine: 'and' (ES bool.filter of
+    term clauses) or 'or' (ES terms query). No reference counterpart;
+    semantics follow the Elasticsearch constant_score query.
+    """
+    from pyspark.sql import Window
+
+    from .wand import boolean_search_packed
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    matched = boolean_search_packed(pidx, list(queries), cfg, op=op)
+    w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    return (
+        matched.select("query_id", "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.lit(float(boost)))
+        .select("query_id", "doc_id", "score", "rank")
+    )
