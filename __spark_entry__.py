@@ -4302,6 +4302,30 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONSTANT_SCORE_BOOST = 1.5
+APPROX_FACET_SHARDS, APPROX_FACET_SHARD_SIZE = 4, 8
+
+
+def q_approx_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distributed terms aggregation with the documented shard
+    approximation (query/facets.py approx_terms_agg): every md5-mod
+    shard reports only its local top-shard_size token buckets, the
+    merge sums the bounded lists, and each returned bucket carries the
+    EXACT ES doc_count_error_upper_bound (err) — zero for buckets every
+    truncated shard reported, positive otherwise. Run over the
+    documents table's (term, doc) incidence (a terms agg on a text
+    field), where Zipf skew makes the truncation bite; the oracle
+    replays the whole shard protocol (same md5 split, per-shard
+    windows, truncation floors) in SQL. The n <= true <= n + err
+    guarantee is gated in tests/test_approx_facets.py."""
+    from searchengine_spark.query.facets import approx_terms_agg
+
+    it = _doc_index(spark, sf_dir)
+    pairs = it.index.select(
+        F.lit(0).alias("query_id"), F.lit("token").alias("facet"),
+        F.col("term").alias("value"), "doc_id")
+    return approx_terms_agg(
+        pairs, n_shards=APPROX_FACET_SHARDS,
+        shard_size=APPROX_FACET_SHARD_SIZE, k=10)
 
 
 def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4422,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_search": q_snapshot_search,
         "boolean_packed": q_boolean_packed,
         "constant_score_topk": q_constant_score,
+        "approx_terms_agg": q_approx_terms_agg,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -5578,6 +5603,60 @@ q AS ({batch_q})
 SELECT q.query_id, idx.doc_id, count(DISTINCT idx.term)::BIGINT AS n_terms
 FROM idx JOIN q USING (term)
 GROUP BY q.query_id, idx.doc_id
+"""
+
+    # ES distributed terms agg: full shard-protocol replay — md5-mod
+    # split, per-shard top-shard_size windows, truncation floors, the
+    # exact per-bucket doc_count_error_upper_bound
+    ns, ss = APPROX_FACET_SHARDS, APPROX_FACET_SHARD_SIZE
+    sqls["approx_terms_agg"] = f"""
+WITH {_INDEX_CTES},
+pairs AS (
+  SELECT 0 AS query_id, 'token' AS facet, term AS value, doc_id FROM idx
+),
+sharded AS (
+  SELECT *, (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {ns})::INT
+              AS shard
+  FROM pairs
+),
+counts AS (
+  SELECT query_id, facet, shard, value, count(*)::BIGINT AS n
+  FROM sharded GROUP BY query_id, facet, shard, value
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, facet, shard
+                               ORDER BY n DESC, value ASC) AS rn
+  FROM counts
+),
+trunc AS (
+  SELECT query_id, facet, shard,
+         (CASE WHEN max(rn) > {ss}
+               THEN min(CASE WHEN rn <= {ss} THEN n END) ELSE 0 END)::BIGINT
+           AS trunc
+  FROM ranked GROUP BY query_id, facet, shard
+),
+total_trunc AS (
+  SELECT query_id, facet, sum(trunc)::BIGINT AS total_trunc
+  FROM trunc GROUP BY query_id, facet
+),
+kept AS (
+  SELECT r.query_id, r.facet, r.shard, r.value, r.n, t.trunc
+  FROM ranked r JOIN trunc t USING (query_id, facet, shard)
+  WHERE r.rn <= {ss}
+),
+merged AS (
+  SELECT query_id, facet, value, sum(n)::BIGINT AS n,
+         sum(trunc)::BIGINT AS returned_trunc
+  FROM kept GROUP BY query_id, facet, value
+),
+final AS (
+  SELECT m.query_id, m.facet, m.value, m.n,
+         (tt.total_trunc - m.returned_trunc)::BIGINT AS err,
+         row_number() OVER (PARTITION BY m.query_id, m.facet
+                            ORDER BY m.n DESC, m.value ASC) AS rank
+  FROM merged m JOIN total_trunc tt USING (query_id, facet)
+)
+SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
 """
 
     # constant_score: filter-context AND set, boost literal, doc_id-ASC

@@ -559,6 +559,21 @@ def _wc(args):
     return (args.max_expansions, args.allow_leading_wildcard)
 
 
+def _facet_approx(args):
+    """--facet-approx N_SHARDS:SHARD_SIZE -> (int, int) or None."""
+    spec = getattr(args, "facet_approx", None)
+    if not spec:
+        return None
+    try:
+        ns, ss = spec.split(":")
+        ns, ss = int(ns), int(ss)
+    except ValueError:
+        raise SystemExit("--facet-approx wants N_SHARDS:SHARD_SIZE")
+    if ns < 1 or ss < 1:
+        raise SystemExit("--facet-approx values must be >= 1")
+    return (ns, ss)
+
+
 def _decay(args):
     """--decay FIELD:FN:ORIGIN:SCALE[:DECAY[:OFFSET]] ->
     (field, fn, origin, scale, decay, offset) or None."""
@@ -624,12 +639,15 @@ def _rx(args):
 
 
 def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
-                  facet_spec, k) -> None:
+                  facet_spec, k, approx=None) -> None:
     """--facets: ES terms-aggregation analog over each query's result set
     (query/facets.py), computed from the already-resolved result rows —
     serving-tier-agnostic like snippets/relevance. Prints one JSON line
-    per query: {"query", "facets": {col: [{value, n}, ...]}}."""
-    from searchengine_spark.query.facets import facet_counts
+    per query: {"query", "facets": {col: [{value, n}, ...]}}.
+    ``approx`` = (n_shards, shard_size): route through the ES shard
+    approximation instead (approx_facet_counts) — each bucket then also
+    carries "err", its doc_count_error_upper_bound."""
+    from searchengine_spark.query.facets import approx_facet_counts, facet_counts
 
     cols = [c.strip() for c in facet_spec.split(",") if c.strip()]
     by_q: dict[int, dict] = {i: {} for i in range(len(queries))}
@@ -641,11 +659,19 @@ def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
     if rows:
         hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
         attrs = spark.read.parquet(attrs_path)
-        got = facet_counts(hits, attrs, cols, ext_cols, k=k).collect()
+        if approx is not None:
+            n_shards, shard_size = approx
+            got = approx_facet_counts(hits, attrs, cols, ext_cols,
+                                      n_shards=n_shards,
+                                      shard_size=shard_size, k=k).collect()
+        else:
+            got = facet_counts(hits, attrs, cols, ext_cols, k=k).collect()
         for r in sorted(got, key=lambda r: (r["query_id"], r["facet"],
                                             r["rank"])):
-            by_q[r["query_id"]].setdefault(r["facet"], []).append(
-                {"value": r["value"], "n": int(r["n"])})
+            bucket = {"value": r["value"], "n": int(r["n"])}
+            if approx is not None:
+                bucket["err"] = int(r["err"])
+            by_q[r["query_id"]].setdefault(r["facet"], []).append(bucket)
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "facets": by_q[i]}))
 
@@ -1847,7 +1873,7 @@ def _serve_federated(spark, args) -> None:
                                        agg_q, args.diversified)
         if args.facets:
             _print_facets(spark, args.attrs, ext_cols, batch, agg_q,
-                          args.facets, args.n)
+                          args.facets, args.n, approx=_facet_approx(args))
             if args.top_hits:
                 _print_top_hits(spark, args.attrs, ext_cols, batch, agg_q,
                                 args.facets, args.top_hits)
@@ -2724,6 +2750,14 @@ def main() -> None:
                          "counts over the result set for each named "
                          "column — needs --attrs; works with every "
                          "ranker and with --shards")
+    ap.add_argument("--facet-approx", default=None,
+                    metavar="N_SHARDS:SHARD_SIZE",
+                    help="route --facets through the ES distributed "
+                         "terms-agg approximation (query/facets.py "
+                         "approx_facet_counts): deterministic md5-mod "
+                         "shards each report their local top-SHARD_SIZE "
+                         "buckets; every merged bucket gains \"err\" = "
+                         "its exact doc_count_error_upper_bound")
     ap.add_argument("--date-histogram", default=None,
                     metavar="COL:IVAL[,...]",
                     help="ES date_histogram analog "
@@ -3433,7 +3467,7 @@ def main() -> None:
         if args.facets:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_facets(spark, args.attrs, ext, queries, agg_q,
-                          args.facets, args.n)
+                          args.facets, args.n, approx=_facet_approx(args))
             if args.top_hits:
                 _print_top_hits(spark, args.attrs, ext, queries, agg_q,
                                 args.facets, args.top_hits)

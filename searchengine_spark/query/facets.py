@@ -136,3 +136,125 @@ def top_hits(
         .select(*out_cols)
         .orderBy("query_id", "facet", "value", "hit_rank")
     )
+
+
+def shard_of(key: "F.Column", n_shards: int) -> "F.Column":
+    """The repo-wide cross-engine shard hash (indexing/shards.py:52-60):
+    top 60 bits of md5 of the stringified key, mod n_shards — DuckDB
+    twin ``('0x' || substr(md5(k), 1, 15))::BIGINT % N``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long") % n_shards
+    ).cast("int")
+
+
+def approx_terms_agg(
+    pairs: DataFrame,
+    n_shards: int,
+    shard_size: int,
+    shard_key: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """ES distributed terms aggregation with its documented shard
+    approximation -> (query_id, facet, value, n, err, rank): each shard
+    returns only its local top-``shard_size`` buckets, the coordinator
+    merges those bounded lists, and every returned bucket carries
+    ``doc_count_error_upper_bound`` (``err``) — the exact worst-case
+    undercount given which shards did not report the value.
+
+    This is the ES semantics, not a new invention (terms-aggregation
+    docs, "Document count error" / ``shard_size``): a shard that was
+    TRUNCATED (had more distinct values than shard_size) may be hiding
+    any unreported value with up to its last-returned bucket's count;
+    a shard that returned everything hides nothing. So for a merged
+    bucket, ``err = Σ last_returned(s)`` over truncated shards ``s``
+    that did not report the value, and the ES guarantee gated in
+    tests/test_approx_facets.py holds: ``n <= true count <= n + err``.
+
+    ``pairs``: one row per (query_id, facet, value, doc) — the melted
+    doc/value incidence (facet_counts' internal shape, or any exploded
+    token/value table; rows must be doc-distinct for doc counts).
+    Sharding is the repo's deterministic md5-mod over ``shard_key``
+    (cross-engine, so the DuckDB oracle replays the exact shard split).
+
+    Plan shape (the 1000-shard question): the per-shard count is ONE
+    partial-aggregable groupBy; the shard-local cut is a window over
+    (query, facet, shard) — each group bounded by that shard's distinct
+    values; everything after operates on <= n_shards x shard_size rows
+    per (query, facet) — the bounded coordinator gather that is the
+    whole POINT of the ES design (the merge cost is fixed by the knobs,
+    not by the value-space size)."""
+    if n_shards < 1 or shard_size < 1:
+        raise ValueError("n_shards and shard_size must be >= 1")
+    shards = pairs.withColumn("shard", shard_of(F.col(shard_key), n_shards))
+    counts = shards.groupBy("query_id", "facet", "shard", "value").agg(
+        F.count(F.lit(1)).alias("n"))
+    wsh = Window.partitionBy("query_id", "facet", "shard").orderBy(
+        F.desc("n"), F.asc("value"))
+    ranked = counts.withColumn("rn", F.row_number().over(wsh))
+    # per-shard truncation floor: the last RETURNED count when the shard
+    # had more buckets than shard_size, else 0 (ES: an exhaustive shard
+    # contributes no error)
+    trunc = (
+        ranked.groupBy("query_id", "facet", "shard")
+        .agg(
+            F.max("rn").alias("n_buckets"),
+            F.min(F.when(F.col("rn") <= shard_size, F.col("n"))).alias("last_n"),
+        )
+        .withColumn(
+            "trunc",
+            F.when(F.col("n_buckets") > shard_size, F.col("last_n"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .select("query_id", "facet", "shard", "trunc")
+    )
+    total_trunc = trunc.groupBy("query_id", "facet").agg(
+        F.sum("trunc").alias("total_trunc"))
+    kept = ranked.filter(F.col("rn") <= shard_size).join(
+        trunc, ["query_id", "facet", "shard"])
+    merged = kept.groupBy("query_id", "facet", "value").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("trunc").alias("returned_trunc"),
+    )
+    wq = Window.partitionBy("query_id", "facet").orderBy(
+        F.desc("n"), F.asc("value"))
+    return (
+        merged.join(total_trunc, ["query_id", "facet"])
+        .withColumn(
+            "err", (F.col("total_trunc") - F.col("returned_trunc")).cast("long"))
+        .withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "facet", "value", "n", "err", "rank")
+    )
+
+
+def approx_facet_counts(
+    results: DataFrame,
+    attrs: DataFrame,
+    facet_cols: Sequence[str],
+    ext_cols: Sequence[str],
+    n_shards: int,
+    shard_size: int,
+    k: int = 10,
+) -> DataFrame:
+    """facet_counts' shard-approximate sibling: the same melt over the
+    result set's attribute rows, routed through :func:`approx_terms_agg`
+    (sharded on the first external id column). Output adds ``err`` —
+    each bucket's ES doc_count_error_upper_bound."""
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    missing = [c for c in list(ext_cols) + list(facet_cols)
+               if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+    hits = results.select("query_id", *ext_cols)
+    joined = hits.join(attrs.select(*ext_cols, *facet_cols), list(ext_cols))
+    melt = []
+    for c in facet_cols:
+        melt.extend([F.lit(c), F.col(c).cast("string")])
+    pairs = joined.select(
+        "query_id", F.col(list(ext_cols)[0]).alias("_shard_key"),
+        F.explode(F.create_map(*melt)).alias("facet", "value"),
+    ).filter(F.col("value").isNotNull())
+    return approx_terms_agg(
+        pairs, n_shards, shard_size, shard_key="_shard_key", k=k)
