@@ -4356,6 +4356,41 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("ext_id").alias("doc_id"), "score", "rank")
 
 
+MBP_QUERIES = ["merge win", "fast ha", "str"]
+MBP_MAX_EXP = 50
+
+
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (query/boolprefix.py): search-as-you-type
+    bool_prefix mode — every analyzed term but the last scores ordinary
+    BM25 (OR), the last is a prefix query contributing the Lucene
+    constant-score-rewrite constant 1.0 to docs holding ANY of its
+    dictionary expansions (df-desc/term-asc cap, the wildcard family's
+    deterministic cap). A doc matching only the prefix still ranks —
+    which is why the full-term side is the score-all surface, not a
+    top-k cut. Composition gated in tests/test_boolprefix.py; the
+    oracle replays expansion + both contribution streams in SQL."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.boolprefix import match_bool_prefix_topk
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    out = match_bool_prefix_topk(
+        pidx, MBP_QUERIES, CFG, k=10, max_expansions=MBP_MAX_EXP,
+        round_dp=6)
+    return out.join(pidx.docmap, "doc_id").select(
+        "query_id", F.col("ext_id").alias("doc_id"), "score", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -4447,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_packed": q_boolean_packed,
         "constant_score_topk": q_constant_score,
         "approx_terms_agg": q_approx_terms_agg,
+        "match_bool_prefix": q_match_bool_prefix,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -5657,6 +5693,61 @@ final AS (
   FROM merged m JOIN total_trunc tt USING (query_id, facet)
 )
 SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
+"""
+
+    # match_bool_prefix: full terms = score-all BM25, last-term prefix
+    # = constant 1.0 over any-expansion membership (df-desc/term-asc
+    # capped dictionary expansion), one group-sum over both streams
+    mbp_full_sel, mbp_pref_sel = [], []
+    for qid, q in enumerate(MBP_QUERIES):
+        toks = tokenize_text(q, CFG)
+        full = list(dict.fromkeys(toks[:-1]))
+        mbp_pref_sel.append(
+            f"SELECT {qid} AS query_id, {_sql_quote(toks[-1])} AS prefix")
+        if full:
+            mbp_full_sel.append(
+                f"SELECT {qid} AS query_id, term FROM "
+                f"(SELECT unnest({_sql_term_list(full)}) AS term)")
+    mbp_full_q = (" UNION ALL ".join(mbp_full_sel)
+                  or "SELECT 0 AS query_id, '' AS term WHERE 1=0")
+    mbp_pref_q = " UNION ALL ".join(mbp_pref_sel)
+    sqls["match_bool_prefix"] = f"""
+WITH {_INDEX_CTES},
+fullq AS ({mbp_full_q}),
+prefq AS ({mbp_pref_q}),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, ts.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY ts.df DESC, ts.term ASC) AS rn
+    FROM prefq p JOIN term_stats ts
+      ON ts.term LIKE p.prefix || '%' AND ts.df > 0
+  ) WHERE rn <= {MBP_MAX_EXP}
+),
+base AS (
+  SELECT fullq.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN fullq USING (term) JOIN term_stats USING (term)
+           JOIN dln USING (doc_id)
+  GROUP BY fullq.query_id, idx.doc_id
+),
+prefdocs AS (
+  SELECT DISTINCT exp.query_id, idx.doc_id FROM idx JOIN exp USING (term)
+),
+contrib AS (
+  SELECT query_id, doc_id, s FROM base
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 AS s FROM prefdocs
+),
+summed AS (
+  SELECT query_id, doc_id, sum(s) AS s FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM summed
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
     # constant_score: filter-context AND set, boost literal, doc_id-ASC

@@ -39,7 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RANKERS = (
     "bm25", "bm25_and", "bm25_optimized", "tfidf", "tfidf_optimized",
-    "boolean_and", "boolean_or", "phrase", "phrase_prefix", "minspan",
+    "boolean_and", "boolean_or", "phrase", "phrase_prefix", "bool_prefix",
+    "minspan",
 )
 
 
@@ -377,6 +378,14 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         topk = ph.select(
             "query_id", "doc_id",
             F.col("n_occurrences").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    elif ranker == "bool_prefix":  # ES match_bool_prefix
+        from searchengine_spark.query.boolprefix import match_bool_prefix_topk
+
+        topk = match_bool_prefix_topk(pidx, queries, cfg, k=n, round_dp=6)
+        topk = topk.select(
+            "query_id", "doc_id", "score",
             F.col("rank").cast("int").alias("rank"),
         )
     elif ranker == "minspan":  # tightest all-terms window (positional build)
@@ -2124,7 +2133,8 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--dismax runs on the distributed tier "
                          "(serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.output
-                 and not args.collapse and args.dismax is None and (
+                 and not args.collapse and args.dismax is None
+                 and args.ranker != "bool_prefix" and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not queries)
     ))
@@ -3319,6 +3329,9 @@ def main() -> None:
             or args.random_score) and args.serve_mode == "local":
         raise SystemExit("--sort/--decay/--fvf/--random-score run on the "
                          "distributed tier (serve-mode auto/spark)")
+    if args.ranker == "bool_prefix" and args.shards:
+        raise SystemExit("--ranker bool_prefix serves from a single index "
+                         "(query/boolprefix.py; no federated path yet)")
     if args.constant_score is not None:
         if args.ranker not in ("boolean_and", "boolean_or"):
             raise SystemExit("--constant-score wraps the boolean rankers "
@@ -3350,7 +3363,8 @@ def main() -> None:
     use_local = (not prf and not synonyms and not args.collapse
                  and args.dismax is None and args.sort is None
                  and args.decay is None and args.fvf is None
-                 and args.random_score is None and args.pin is None and (
+                 and args.random_score is None and args.pin is None
+                 and args.ranker != "bool_prefix" and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not args.query)
     ))

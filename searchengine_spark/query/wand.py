@@ -1071,6 +1071,7 @@ def boolean_search_packed(
     cfg: TokenizerConfig,
     op: str = "and",
     exclude_terms: dict | None = None,
+    query_terms: "Sequence[Sequence[str]] | None" = None,
 ) -> DataFrame:
     """Boolean retrieval from the packed index -> (query_id, doc_id
     [, n_terms for OR]). Works on BOTH payloads: 'boolean' (doc gaps only,
@@ -1082,15 +1083,27 @@ def boolean_search_packed(
     difference AFTER the AND/OR combine (query/negation.py semantics;
     one distinct + left_anti exchange pair sized by the negated terms'
     postings). A query whose every term is negated returns nothing:
-    pure-negation retrieval would be an unbounded corpus scan."""
+    pure-negation retrieval would be an unbounded corpus scan.
+
+    ``query_terms``: pre-normalized term lists (parallel to ``queries``)
+    that BYPASS tokenization — the same override bm25_scores_packed_batch
+    has, for callers holding already-analyzed terms (dictionary
+    expansions) that must not be re-stemmed."""
     if op not in ("and", "or"):
         raise ValueError(f"op must be 'and' or 'or', got {op!r}")
     spark = pidx.spark
     boolean = pidx.manifest.get("payload", "freq") == "boolean"
     rows = []
-    for qid, q in enumerate(queries):
-        for t in dict.fromkeys(tokenize_text(q, cfg)):
-            rows.append((qid, t))
+    if query_terms is not None:
+        if len(query_terms) != len(queries):
+            raise ValueError("query_terms must parallel queries")
+        for qid, ts in enumerate(query_terms):
+            for t in dict.fromkeys(ts):
+                rows.append((qid, t))
+    else:
+        for qid, q in enumerate(queries):
+            for t in dict.fromkeys(tokenize_text(q, cfg)):
+                rows.append((qid, t))
     ex_rows = []
     if exclude_terms:
         live = {qid for qid, _ in rows}
