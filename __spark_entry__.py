@@ -4359,6 +4359,49 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 MBP_QUERIES = ["merge win", "fast ha", "str"]
 MBP_MAX_EXP = 50
 
+GEO_PRECISION = 3
+# (top, left, bottom, right) micro-degrees — clips ~1/3 of the globe so
+# the bbox filter is observable in the bucket counts
+GEO_BBOX = (60_000_000, -30_000_000, -60_000_000, 150_000_000)
+
+
+def _geo_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic micro-degree coordinates per doc (md5 of
+    a salted id — the repo's cross-engine hash convention), since the
+    testdata tables carry no geo columns; both engines derive the SAME
+    points, so the oracle replays them."""
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"),
+                               F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        (h("lat") % F.lit(180_000_001) - F.lit(90_000_000)).alias("lat"),
+        (h("lon") % F.lit(360_000_001) - F.lit(180_000_000)).alias("lon"),
+    )
+
+
+def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid + geo_bounding_box composition (query/geo.py):
+    bucket every in-box doc into precision-3 geohash cells — the whole
+    encoding is EXACT integer bit arithmetic over micro-degrees (closed
+    form floor((coord-lo)·2^n/span) interleaved lon-first, base-32),
+    so the oracle replays it verbatim via geohash_sql (four-way
+    agreement gated in tests/test_geo.py: published vector, independent
+    bisection, Spark column, DuckDB twin). Terms-agg bucket contract:
+    count desc, cell asc, top-15."""
+    from searchengine_spark.query.geo import geohash_grid_agg
+
+    d = _documents(spark, sf_dir)
+    results = d.select(F.lit(0).alias("query_id"), "doc_id")
+    return geohash_grid_agg(
+        results, _geo_attrs(spark, sf_dir), "lat", "lon", ["doc_id"],
+        precision=GEO_PRECISION, k=15, bbox=GEO_BBOX)
+
 
 def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_bool_prefix (query/boolprefix.py): search-as-you-type
@@ -4483,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_score_topk": q_constant_score,
         "approx_terms_agg": q_approx_terms_agg,
         "match_bool_prefix": q_match_bool_prefix,
+        "geohash_grid": q_geohash_grid,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -5693,6 +5737,42 @@ final AS (
   FROM merged m JOIN total_trunc tt USING (query_id, facet)
 )
 SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
+"""
+
+    # geohash_grid: md5-derived micro-degree coords -> bbox clip ->
+    # exact-integer geohash cells (geohash_sql twin) -> bucket counts
+    from searchengine_spark.query.geo import geohash_sql
+
+    top, left, bottom, right = GEO_BBOX
+    sqls["geohash_grid"] = f"""
+WITH coords AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('lat|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 180000001 - 90000000 AS lat,
+         ('0x' || substr(md5('lon|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 360000001 - 180000000 AS lon
+  FROM documents
+),
+boxed AS (
+  SELECT * FROM coords
+  WHERE lat BETWEEN {bottom} AND {top} AND lon BETWEEN {left} AND {right}
+),
+cells AS (
+  SELECT 0 AS query_id,
+         {geohash_sql("lat", "lon", GEO_PRECISION)} AS geohash
+  FROM boxed
+),
+counts AS (
+  SELECT query_id, geohash, count(*)::BIGINT AS n
+  FROM cells GROUP BY query_id, geohash
+),
+ranked AS (
+  SELECT query_id, geohash, n,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, geohash ASC) AS rank
+  FROM counts
+)
+SELECT query_id, geohash, n, rank FROM ranked WHERE rank <= 15
 """
 
     # match_bool_prefix: full terms = score-all BM25, last-term prefix

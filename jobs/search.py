@@ -718,6 +718,47 @@ def _print_histogram(spark, attrs_path, ext_cols, queries, per_q,
         print(json.dumps({"query": q, "histogram": by_q[i]}))
 
 
+def _print_geohash_grid(spark, attrs_path, ext_cols, queries, per_q,
+                        geo_spec) -> None:
+    """--geohash-grid LAT,LON:PRECISION[:TOP,LEFT,BOTTOM,RIGHT]: ES
+    geohash_grid aggregation over each query's result set (query/geo.py;
+    micro-degree integer columns, exact-integer encoding) — serving-
+    tier-agnostic like facets. One JSON line per query:
+    {"query", "geohash_grid": [{geohash, n}, ...]}."""
+    from searchengine_spark.query.geo import geohash_grid_agg
+
+    parts = geo_spec.split(":")
+    if len(parts) not in (2, 3) or "," not in parts[0]:
+        raise SystemExit("--geohash-grid wants LAT,LON:PRECISION"
+                         "[:TOP,LEFT,BOTTOM,RIGHT]")
+    lat_col, lon_col = (c.strip() for c in parts[0].split(",", 1))
+    precision = int(parts[1])
+    bbox = None
+    if len(parts) == 3:
+        try:
+            top, left, bottom, right = (int(v) for v in parts[2].split(","))
+        except ValueError:
+            raise SystemExit("--geohash-grid bbox wants four micro-degree "
+                             "ints TOP,LEFT,BOTTOM,RIGHT")
+        bbox = (top, left, bottom, right)
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    rows = [
+        tuple([i] + [r[c] for c in ext_cols])
+        for i, res in enumerate(per_q)
+        for r in res
+    ]
+    if rows:
+        hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
+        attrs = spark.read.parquet(attrs_path)
+        got = geohash_grid_agg(hits, attrs, lat_col, lon_col, ext_cols,
+                               precision=precision, bbox=bbox).collect()
+        for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+            by_q[r["query_id"]].append(
+                {"geohash": r["geohash"], "n": int(r["n"])})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "geohash_grid": by_q[i]}))
+
+
 def _print_range(spark, attrs_path, ext_cols, queries, per_q,
                  range_spec) -> None:
     """--range COL:E1|E2[,...]: ES range aggregation over each query's
@@ -1847,6 +1888,7 @@ def _serve_federated(spark, args) -> None:
             or args.auto_date_histogram or args.diversified
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
+            or args.geohash_grid
             or args.significant_attrs) and not args.attrs:
         raise SystemExit("--filter/--boost/--facets/--histogram need --attrs")
     t0 = time.perf_counter()
@@ -1889,6 +1931,9 @@ def _serve_federated(spark, args) -> None:
         if args.histogram:
             _print_histogram(spark, args.attrs, ext_cols, batch, agg_q,
                              args.histogram)
+        if args.geohash_grid:
+            _print_geohash_grid(spark, args.attrs, ext_cols, batch, agg_q,
+                                args.geohash_grid)
         if args.range:
             _print_range(spark, args.attrs, ext_cols, batch, agg_q,
                          args.range)
@@ -2768,6 +2813,13 @@ def main() -> None:
                          "shards each report their local top-SHARD_SIZE "
                          "buckets; every merged bucket gains \"err\" = "
                          "its exact doc_count_error_upper_bound")
+    ap.add_argument("--geohash-grid", default=None,
+                    metavar="LAT,LON:PRECISION[:T,L,B,R]",
+                    help="ES geohash_grid aggregation over each query's "
+                         "result set (query/geo.py; micro-degree integer "
+                         "attr columns, exact-integer encoding; optional "
+                         "geo_bounding_box clip TOP,LEFT,BOTTOM,RIGHT) — "
+                         "needs --attrs")
     ap.add_argument("--date-histogram", default=None,
                     metavar="COL:IVAL[,...]",
                     help="ES date_histogram analog "
@@ -3040,7 +3092,7 @@ def main() -> None:
             or args.auto_date_histogram or args.diversified
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
-            or args.significant_attrs
+            or args.significant_attrs or args.geohash_grid
             or args.sort or args.decay or args.fvf) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
@@ -3489,6 +3541,10 @@ def main() -> None:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_histogram(spark, args.attrs, ext, queries, agg_q,
                              args.histogram)
+        if args.geohash_grid:
+            ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+            _print_geohash_grid(spark, args.attrs, ext, queries, agg_q,
+                                args.geohash_grid)
         if args.range:
             ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
             _print_range(spark, args.attrs, ext, queries, agg_q,
