@@ -4359,6 +4359,24 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 MBP_QUERIES = ["merge win", "fast ha", "str"]
 MBP_MAX_EXP = 50
 
+CHUNK_MAX_TOKENS, CHUNK_STRIDE = 32, 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sliding-window RAG chunking (textops/chunking.py): every
+    doc split into <=32-token windows at stride 24 (8-token overlap),
+    final chunk pinned to end at n — the within-doc splitting member of
+    the packing family (never crosses a doc boundary, unlike the
+    pretraining concat-and-chunk). Emits the span plan AND the analyzed
+    chunk text (token-slice join), all integer arithmetic with
+    positive-operand ceil so the oracle replays it verbatim; the plan
+    is shuffle-free (narrow), gated in tests/test_chunking.py."""
+    from searchengine_spark.textops.chunking import sliding_chunks
+
+    return sliding_chunks(
+        _documents(spark, sf_dir), CFG, CHUNK_MAX_TOKENS, CHUNK_STRIDE)
+
+
 GEO_PRECISION = 3
 # (top, left, bottom, right) micro-degrees — clips ~1/3 of the globe so
 # the bbox filter is observable in the bucket counts
@@ -4527,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_terms_agg": q_approx_terms_agg,
         "match_bool_prefix": q_match_bool_prefix,
         "geohash_grid": q_geohash_grid,
+        "doc_chunks": q_doc_chunks,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -5737,6 +5756,35 @@ final AS (
   FROM merged m JOIN total_trunc tt USING (query_id, facet)
 )
 SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
+"""
+
+    # sliding-window chunking: positive-operand ceil, span arithmetic,
+    # token-slice join — integer replay of the boundary contract
+    mt, st = CHUNK_MAX_TOKENS, CHUNK_STRIDE
+    sqls["doc_chunks"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+nn AS (
+  SELECT doc_id, tokens, len(tokens)::BIGINT AS n
+  FROM tok WHERE len(tokens) > 0
+),
+nc AS (
+  SELECT doc_id, tokens, n,
+         (CASE WHEN n <= {mt} THEN 1
+               ELSE 1 + (n - {mt} + {st - 1}) // {st} END)::BIGINT AS n_chunks
+  FROM nn
+),
+spans AS (
+  SELECT doc_id AS id, i AS chunk_idx, (i * {st})::BIGINT AS start_token,
+         (least(i * {st} + {mt}, n) - i * {st})::BIGINT AS n_tokens,
+         array_to_string(
+           list_slice(tokens, (i * {st} + 1)::INT,
+                      least(i * {st} + {mt}, n)::INT), ' ') AS chunk_text
+  FROM nc, (SELECT unnest(range(10000)) AS i)
+  WHERE i < n_chunks
+)
+SELECT id, chunk_idx, start_token, n_tokens, chunk_text FROM spans
 """
 
     # geohash_grid: md5-derived micro-degree coords -> bbox clip ->
