@@ -4359,6 +4359,44 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 MBP_QUERIES = ["merge win", "fast ha", "str"]
 MBP_MAX_EXP = 50
 
+INTERVALS_QUERIES_U = ["fast hash join", "merge window", "slow stream batch"]
+INTERVALS_QUERIES_O = ["fast hash", "merge window", "stream batch"]
+INTERVALS_MAX_GAPS_U, INTERVALS_MAX_GAPS_O = 4, 8
+
+
+def q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query, unordered match with max_gaps
+    (query/intervals.py): minimal any-order covering windows per doc
+    (Lucene minimal-interval semantics — the antichain of windows
+    containing every term), filtered to gap count <= 4, ranked by the
+    integer interval COUNT (desc, doc_id tie). The oracle replays the
+    enumeration relationally: per candidate end, lo = min over terms of
+    the latest position at-or-before it; minimality = min hi per (doc,
+    lo) — the same monotonicity argument the vectorized kernel uses.
+    Kernel gated vs brute containment enumeration in
+    tests/test_intervals.py."""
+    from searchengine_spark.query.intervals import intervals_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return intervals_topk_batch(
+        it, INTERVALS_QUERIES_U, CFG, ordered=False,
+        max_gaps=INTERVALS_MAX_GAPS_U, k=10)
+
+
+def q_intervals_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query, ordered match with max_gaps — minimal
+    in-order chains (latest-predecessor backward walk), same integer
+    count ranking. Oracle queries are 2-term so the chain is ONE
+    max-pos-strictly-before join (the general-k kernel is pytest-gated
+    at k=3 incl. packed==exact)."""
+    from searchengine_spark.query.intervals import intervals_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return intervals_topk_batch(
+        it, INTERVALS_QUERIES_O, CFG, ordered=True,
+        max_gaps=INTERVALS_MAX_GAPS_O, k=10)
+
+
 CHUNK_MAX_TOKENS, CHUNK_STRIDE = 32, 24
 
 
@@ -4546,6 +4584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": q_match_bool_prefix,
         "geohash_grid": q_geohash_grid,
         "doc_chunks": q_doc_chunks,
+        "intervals_unordered": q_intervals_unordered,
+        "intervals_ordered": q_intervals_ordered,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
         "tfidf_packed_bnc": q_tfidf_packed_bnc,
@@ -5756,6 +5796,106 @@ final AS (
   FROM merged m JOIN total_trunc tt USING (query_id, facet)
 )
 SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
+"""
+
+    # intervals: relational replay of the minimal-interval enumeration —
+    # per candidate end, lo = min over terms of latest-pos-at-or-before;
+    # antichain = min hi per (doc, lo); gap filter; count ranking
+    iq_u_sel, iq_o_sel = [], []
+    for qid, q in enumerate(INTERVALS_QUERIES_U):
+        for tid, t in enumerate(list(dict.fromkeys(tokenize_text(q, CFG)))):
+            iq_u_sel.append(
+                f"SELECT {qid} AS query_id, {tid} AS tid, "
+                f"{_sql_quote(t)} AS term")
+    for qid, q in enumerate(INTERVALS_QUERIES_O):
+        terms = list(dict.fromkeys(tokenize_text(q, CFG)))
+        assert len(terms) == 2, "ordered oracle queries must be 2-term"
+        for tid, t in enumerate(terms):
+            iq_o_sel.append(
+                f"SELECT {qid} AS query_id, {tid} AS tid, "
+                f"{_sql_quote(t)} AS term")
+    _POSED = f"""
+tok AS (
+  SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+),
+posed AS (
+  SELECT doc_id, tokens[i + 1] AS term, i AS pos
+  FROM tok, (SELECT unnest(range(10000)) AS i)
+  WHERE i < len(tokens)
+)"""
+    sqls["intervals_unordered"] = f"""
+WITH {_POSED},
+q AS ({" UNION ALL ".join(iq_u_sel)}),
+nq AS (SELECT query_id, count(DISTINCT tid)::BIGINT AS k FROM q GROUP BY query_id),
+pts AS (
+  SELECT q.query_id, q.tid, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.term
+),
+cand AS (SELECT DISTINCT query_id, doc_id, pos FROM pts),
+qt AS (SELECT DISTINCT query_id, tid FROM q),
+covers AS (
+  SELECT a.query_id, a.doc_id, a.pos AS hi, qt.tid, max(b.pos) AS lastpos
+  FROM cand a JOIN qt USING (query_id)
+  JOIN pts b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+            AND b.tid = qt.tid AND b.pos <= a.pos
+  GROUP BY a.query_id, a.doc_id, a.pos, qt.tid
+),
+win AS (
+  SELECT query_id, doc_id, hi, min(lastpos) AS lo, count(*)::BIGINT AS nt
+  FROM covers GROUP BY query_id, doc_id, hi
+),
+valid AS (
+  SELECT w.query_id, w.doc_id, w.lo, w.hi
+  FROM win w JOIN nq USING (query_id) WHERE w.nt = nq.k
+),
+minimal AS (
+  SELECT query_id, doc_id, lo, min(hi) AS hi
+  FROM valid GROUP BY query_id, doc_id, lo
+),
+counts AS (
+  SELECT m.query_id, m.doc_id, count(*)::BIGINT AS n_intervals
+  FROM minimal m JOIN nq USING (query_id)
+  WHERE m.hi - m.lo + 1 - nq.k <= {INTERVALS_MAX_GAPS_U}
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_intervals,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_intervals DESC, doc_id ASC) AS rank
+  FROM counts
+)
+SELECT query_id, doc_id, n_intervals, rank FROM ranked WHERE rank <= 10
+"""
+
+    sqls["intervals_ordered"] = f"""
+WITH {_POSED},
+q AS ({" UNION ALL ".join(iq_o_sel)}),
+pts AS (
+  SELECT q.query_id, q.tid, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.term
+),
+ends AS (SELECT query_id, doc_id, pos AS hi FROM pts WHERE tid = 1),
+los AS (
+  SELECT e.query_id, e.doc_id, e.hi, max(b.pos) AS lo
+  FROM ends e JOIN pts b ON b.query_id = e.query_id AND b.doc_id = e.doc_id
+                        AND b.tid = 0 AND b.pos < e.hi
+  GROUP BY e.query_id, e.doc_id, e.hi
+),
+minimal AS (
+  SELECT query_id, doc_id, lo, min(hi) AS hi
+  FROM los GROUP BY query_id, doc_id, lo
+),
+counts AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_intervals
+  FROM minimal
+  WHERE hi - lo + 1 - 2 <= {INTERVALS_MAX_GAPS_O}
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_intervals,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_intervals DESC, doc_id ASC) AS rank
+  FROM counts
+)
+SELECT query_id, doc_id, n_intervals, rank FROM ranked WHERE rank <= 10
 """
 
     # sliding-window chunking: positive-operand ceil, span arithmetic,

@@ -2049,6 +2049,8 @@ def _serve_federated(spark, args) -> None:
         return
     if args.terms_set:
         raise SystemExit("--terms-set serves --index only")
+    if args.intervals:
+        raise SystemExit("--intervals serves --index only")
     if args.term_suggest:
         from searchengine_spark.query.federated import _global_dictionary
         from searchengine_spark.query.fuzzy import term_suggestions
@@ -2529,6 +2531,14 @@ def main() -> None:
                          "how the INDEX'S tokenizer chain analyzes TEXT "
                          "— token/position/offsets JSON; --index or "
                          "--shards")
+    ap.add_argument("--intervals", default=None,
+                    metavar="ordered|unordered[:MAX_GAPS]",
+                    help="ES intervals query (query/intervals.py): "
+                         "minimal-interval matching over the positional "
+                         "index — count of minimal (in-order / any-"
+                         "order) covering windows with gap count <= "
+                         "MAX_GAPS per doc, integer ranking; runs the "
+                         "--query batch; positional build, --index only")
     ap.add_argument("--span-first", default=None, metavar="TERM:END",
                     help="ES span_first (query/spanqueries.py): docs "
                          "where TERM occurs at an analyzed position < "
@@ -3233,6 +3243,26 @@ def main() -> None:
             rows = local_span_not(searcher, inc, exc, pre=args.span_pre,
                                   post=args.span_post, k=args.n)
         print(json.dumps({"hits": rows}, default=str))
+        return
+
+    if args.intervals:
+        from searchengine_spark.query.intervals import (
+            intervals_topk_packed_batch,
+        )
+
+        mode, _, gaps = args.intervals.partition(":")
+        if mode not in ("ordered", "unordered"):
+            raise SystemExit("--intervals wants ordered|unordered[:MAX_GAPS]")
+        if not args.query:
+            raise SystemExit("--intervals wants --query/--queries-file")
+        res = intervals_topk_packed_batch(
+            pidx, args.query, cfg, ordered=mode == "ordered",
+            max_gaps=int(gaps) if gaps else 0, k=args.n)
+        out = res.join(pidx.docmap, "doc_id").select(
+            "query_id", *[c for c in pidx.manifest["order_cols"]
+                          if c != "doc_id"], "n_intervals", "rank")
+        print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
+                         default=str))
         return
 
     if args.must or args.should:

@@ -1,0 +1,161 @@
+"""ES intervals gates (query/intervals.py): the pure kernels equal a
+brute containment-definition enumeration on random position lists, the
+vectorized kernels equal the pure ones on random multi-doc streams,
+exact path == packed path on the fixture corpus, and max_gaps
+degenerates sensibly (0 = adjacent runs, huge = all covering docs ==
+the minspan doc set)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.build import build_index
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.intervals import (
+    _filter_count,
+    _ordered_vec,
+    _unordered_vec,
+    intervals_topk_batch,
+    intervals_topk_packed_batch,
+    ordered_intervals,
+    unordered_intervals,
+)
+from searchengine_spark.query.spans import minspan_topk_packed_batch
+from searchengine_spark.tokenizer import TokenizerConfig
+
+QUERIES = ["rock album", "greatest rock album", "guitar solo live"]
+
+
+def _covers_unordered(pos_sets, lo, hi):
+    return all(any(lo <= p <= hi for p in ps) for ps in pos_sets)
+
+
+def _covers_ordered(pos_lists, lo, hi):
+    def chain(j, frm):
+        if j == len(pos_lists):
+            return True
+        return any(frm < p <= hi and chain(j + 1, p)
+                   for p in pos_lists[j] if p >= lo)
+    return any(lo == p and chain(1, p) for p in pos_lists[0] if p <= hi)
+
+
+def _brute(pos_lists, ordered):
+    cover = _covers_ordered if ordered else _covers_unordered
+    allp = sorted({p for ps in pos_lists for p in ps})
+    matching = [(lo, hi) for lo in allp for hi in allp if lo <= hi
+                and cover(pos_lists, lo, hi)]
+    return sorted(
+        (a, b) for a, b in matching
+        if not any((c, d) != (a, b) and a <= c and d <= b
+                   for c, d in matching)
+    )
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_pure_kernels_match_brute(ordered):
+    rng = random.Random(42 + ordered)
+    kernel = ordered_intervals if ordered else unordered_intervals
+    for _ in range(120):
+        k = rng.randint(1, 3)
+        universe = list(range(rng.randint(3, 14)))
+        lists = []
+        taken = set()
+        for _ in range(k):
+            avail = [p for p in universe if p not in taken]
+            ps = rng.sample(avail, min(len(avail), rng.randint(0, 4)))
+            taken.update(ps)
+            lists.append(sorted(ps))
+        got = kernel(lists)
+        if any(not ps for ps in lists):
+            assert got == []
+            continue
+        want = _brute(lists, ordered)
+        assert sorted(got) == want, (lists, ordered)
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_vectorized_matches_pure(ordered):
+    rng = random.Random(7 + ordered)
+    kernel_p = ordered_intervals if ordered else unordered_intervals
+    kernel_v = _ordered_vec if ordered else _unordered_vec
+    for _ in range(40):
+        k = rng.randint(1, 3)
+        docs_l, pos_l, tid_l = [], [], []
+        want = {}
+        for d in range(rng.randint(1, 6)):
+            universe = list(range(rng.randint(3, 20)))
+            taken = set()
+            lists = []
+            for t in range(k):
+                avail = [p for p in universe if p not in taken]
+                ps = rng.sample(avail, min(len(avail), rng.randint(0, 5)))
+                taken.update(ps)
+                lists.append(sorted(ps))
+                for p in ps:
+                    docs_l.append(d)
+                    pos_l.append(p)
+                    tid_l.append(t)
+            wins = kernel_p(lists)
+            if wins:
+                want[d] = sorted(wins)
+        if not docs_l:
+            continue
+        vd, vlo, vhi = kernel_v(
+            np.array(docs_l, np.int64), np.array(pos_l, np.int64),
+            np.array(tid_l, np.int64), k)
+        got: dict = {}
+        for d, lo, hi in zip(vd, vlo, vhi):
+            got.setdefault(int(d), []).append((int(lo), int(hi)))
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == want, (ordered, k)
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return transcripts_df(spark, n_conv=20, n_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus, cfg, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("intervals") / "idx")
+    build_packed_index(corpus, cfg, path, chunk_docs=128, positional=True)
+    return load_packed_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def exact(spark, corpus, cfg):
+    return build_index(corpus, cfg, positional=True)
+
+
+@pytest.mark.parametrize("ordered,max_gaps", [(False, 2), (True, 5), (False, 0)])
+def test_packed_equals_exact(packed, exact, cfg, ordered, max_gaps):
+    a = intervals_topk_packed_batch(
+        packed, QUERIES, cfg, ordered=ordered, max_gaps=max_gaps, k=10)
+    b = intervals_topk_batch(
+        exact, QUERIES, cfg, ordered=ordered, max_gaps=max_gaps, k=10)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a
+
+
+def test_huge_gaps_unordered_matches_minspan_docset(packed, cfg):
+    iv = intervals_topk_packed_batch(
+        packed, QUERIES, cfg, ordered=False, max_gaps=1 << 20, k=None)
+    ms = minspan_topk_packed_batch(packed, QUERIES, cfg, k=None)
+    got = {(r["query_id"], r["doc_id"]) for r in iv.collect()}
+    want = {(r["query_id"], r["doc_id"]) for r in ms.collect()}
+    assert got == want and got
+
+
+def test_validation(packed, cfg):
+    with pytest.raises(ValueError):
+        intervals_topk_packed_batch(packed, QUERIES, cfg, max_gaps=-1)
