@@ -4359,6 +4359,37 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 MBP_QUERIES = ["merge win", "fast ha", "str"]
 MBP_MAX_EXP = 50
 
+TEMP_ALPHA, TEMP_TARGET, TEMP_SALT = 0.5, 2000, "tm"
+
+
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights (textops/dataset.py
+    temperature_weights): the multilingual-pretraining p^alpha
+    reweighting (mBERT/XLM-R exponential smoothing) in exact integer
+    micro-units — alpha=0.5 is ONE IEEE sqrt (correctly rounded on
+    every engine), everything after is BIGINT, so the whole mixture +
+    per-stratum keep-rate table is hash-gated. Inexact alphas (libm
+    pow) are refused by design."""
+    from searchengine_spark.textops import temperature_weights
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang")
+    return temperature_weights(d, "lang", TEMP_ALPHA, TEMP_TARGET)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature SAMPLING (temperature_sample): the weights table
+    composed with stratified_sample's shared-hash keep rule — the
+    end-to-end corpus-mixing operator (nested samples under target
+    growth, gated in tests/test_temperature.py). The oracle replays
+    counts -> sqrt-micro weights -> keep rates -> md5-nibble filter."""
+    from searchengine_spark.textops import temperature_sample
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang")
+    return temperature_sample(
+        d, "lang", TEMP_ALPHA, TEMP_TARGET, salt=TEMP_SALT
+    ).select("doc_id", "lang")
+
+
 INTERVALS_QUERIES_U = ["fast hash join", "merge window", "slow stream batch"]
 INTERVALS_QUERIES_O = ["fast hash", "merge window", "stream batch"]
 INTERVALS_MAX_GAPS_U, INTERVALS_MAX_GAPS_O = 4, 8
@@ -4585,6 +4616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid": q_geohash_grid,
         "doc_chunks": q_doc_chunks,
         "intervals_unordered": q_intervals_unordered,
+        "temperature_weights": q_temperature_weights,
+        "temperature_mix": q_temperature_mix,
         "intervals_ordered": q_intervals_ordered,
         "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
@@ -4737,6 +4770,16 @@ boost AS (
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    # 4-nibble md5 prefix -> 0..65535, the Spark _hash16 twin
+    def _hash16_sql(arg: str, salt: str) -> str:
+        h = f"md5('{salt}' || '|' || {arg})"
+        return (
+            f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+            f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+            f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+        )
 
     sqls["term_stats"] = f"""
 WITH {_INDEX_CTES}
@@ -5798,6 +5841,42 @@ final AS (
 SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
 """
 
+    # temperature mixture: counts -> one-IEEE-sqrt micro weights ->
+    # BIGINT keep rates -> (mix) the shared md5-nibble filter
+    _TEMP_W = f"""
+counts AS (
+  SELECT lang AS stratum, count(*)::BIGINT AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+sm AS (
+  SELECT stratum, n_docs,
+         floor(sqrt(n_docs::DOUBLE) * 1000000.0)::BIGINT AS s
+  FROM counts
+),
+tot AS (SELECT sum(s)::BIGINT AS total FROM sm),
+w AS (
+  SELECT stratum, n_docs, (s * 1000000 // total)::BIGINT AS weight_micro
+  FROM sm, tot
+),
+rates AS (
+  SELECT stratum, n_docs, weight_micro,
+         least(65536,
+               ({TEMP_TARGET} * weight_micro // 1000000) * 65536 // n_docs
+         )::BIGINT AS rate_num
+  FROM w
+)"""
+    sqls["temperature_weights"] = f"""
+WITH {_TEMP_W}
+SELECT stratum, n_docs, weight_micro, rate_num FROM rates
+"""
+    _h16_tm = _hash16_sql("doc_id::VARCHAR", TEMP_SALT)
+    sqls["temperature_mix"] = f"""
+WITH {_TEMP_W}
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.stratum
+WHERE {_h16_tm} % 65536 < r.rate_num
+"""
+
     # intervals: relational replay of the minimal-interval enumeration —
     # per candidate end, lo = min over terms of latest-pos-at-or-before;
     # antichain = min hi per (doc, lo); gap filter; count ranking
@@ -6627,15 +6706,6 @@ s3 AS (
 SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS redacted_md5 FROM s3
 """
 
-    # 4-nibble md5 prefix -> 0..65535, the Spark _hash16 twin
-    def _hash16_sql(arg: str, salt: str) -> str:
-        h = f"md5('{salt}' || '|' || {arg})"
-        return (
-            f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
-            f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
-            f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
-            f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"
-        )
 
     h16 = _hash16_sql("doc_id::VARCHAR", "r3")
     sqls["dataset_split"] = f"""

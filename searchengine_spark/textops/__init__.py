@@ -29,6 +29,8 @@ from .dataset import (  # noqa: F401
     hash_split,
     pack_sequences,
     stratified_sample,
+    temperature_sample,
+    temperature_weights,
 )
 from .multimodal import (  # noqa: F401
     extract_features,

@@ -229,3 +229,91 @@ def pack_sequences(
         F.expr(f"_pre div {int(budget)}").cast("long").alias("bin_idx"),
         (F.col("_pre") % budget).cast("long").alias("offset"),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_total: int = 0,
+) -> DataFrame:
+    """-> (stratum, n_docs, weight_micro, rate_num): the temperature /
+    exponential-smoothing mixture every multilingual-pretraining recipe
+    uses (sample stratum i with probability ∝ p_i^alpha — the mBERT /
+    XLM-R up-weighting of rare strata), in the repo's EXACT integer
+    protocol so it is oracle-able.
+
+    ``alpha`` must be 1.0, 0.5 or 0.25 — the exactly-reproducible
+    members: ``x^0.5`` is one IEEE sqrt (correctly rounded on every
+    conforming engine, the BM25-oracle precedent for sqrt-modifier
+    field_value_factor) and ``x^0.25`` is two; a general ``pow`` rides
+    libm and is NOT cross-engine exact (the gauss/exp-decay precedent),
+    so it is refused rather than silently drifting.
+
+    Arithmetic (all BIGINT after one floor):
+    ``s_i = floor(n_i^alpha * 1e6)``; ``weight_micro_i = s_i * 1e6 //
+    Σ s_j`` (the mixture, in micro-units); with a ``target_total``
+    budget, ``rate_num_i = min(65536, (target_total * weight_micro_i //
+    1e6) * 65536 // n_i)`` — the per-stratum keep rate over the
+    16-bit hash space, ready for :func:`stratified_sample` (rate =
+    (rate_num, 65536)). NULL strata are skipped (the NULLs-drop
+    contract aggregations use).
+
+    Plan: one partial-aggregable groupBy (strata-bounded), one
+    broadcast-joined scalar total — corpus size never appears in any
+    exchange."""
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            f"alpha must be 1.0, 0.5 or 0.25 (exact-arithmetic members), "
+            f"got {alpha}")
+    if target_total < 0:
+        raise ValueError("target_total must be >= 0")
+    counts = (
+        docs.filter(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).cast("string").alias("stratum"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    n = F.col("n_docs").cast("double")
+    if alpha == 1.0:
+        s = (F.col("n_docs") * F.lit(1_000_000)).cast("long")
+    elif alpha == 0.5:
+        s = F.floor(F.sqrt(n) * F.lit(1_000_000.0)).cast("long")
+    else:
+        s = F.floor(F.sqrt(F.sqrt(n)) * F.lit(1_000_000.0)).cast("long")
+    weighted = counts.withColumn("_s", s)
+    total = weighted.agg(F.sum("_s").alias("_total"))
+    out = weighted.crossJoin(F.broadcast(total)).withColumn(
+        "weight_micro",
+        F.expr("_s * 1000000 div _total").cast("long"),
+    )
+    if target_total:
+        rate = F.expr(f"least({HASH_SPACE}, "
+                      f"({int(target_total)} * weight_micro div 1000000)"
+                      f" * {HASH_SPACE} div n_docs)")
+        out = out.withColumn("rate_num", rate.cast("long"))
+    else:
+        out = out.withColumn("rate_num", F.lit(HASH_SPACE).cast("long"))
+    return out.select("stratum", "n_docs", "weight_micro", "rate_num")
+
+
+def temperature_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_total: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Compose :func:`temperature_weights` with
+    :func:`stratified_sample`: compute the temperature mixture's
+    per-stratum keep rates, then apply them over the shared doc hash
+    (nested-sample property preserved — a bigger target only ADDS
+    docs). The weights table is strata-bounded, so collecting it is a
+    scalar-bounded driver step (the idf-map precedent, wand.py)."""
+    w = temperature_weights(docs, stratum_col, alpha, target_total)
+    rates = {r["stratum"]: (int(r["rate_num"]), HASH_SPACE)
+             for r in w.collect()}
+    if not rates:
+        return docs.filter(F.lit(False))
+    return stratified_sample(docs, stratum_col, rates, id_col=id_col,
+                             salt=salt, default=None)
