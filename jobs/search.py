@@ -2466,7 +2466,12 @@ def _serve_federated(spark, args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", default=None)
+    ap.add_argument("--index", default=None,
+                    help="index dir, or alias:NAME resolved through "
+                         "--aliases (indexing/aliases.py)")
+    ap.add_argument("--aliases", default="aliases.json",
+                    help="alias registry file for alias:NAME --index "
+                         "values (default ./aliases.json)")
     ap.add_argument("--shards", default=None, metavar="A[@SEQ],B,...",
                     help="comma-separated shard index paths: FEDERATED "
                          "scatter-gather serving across all of them with no "
@@ -3127,7 +3132,29 @@ def main() -> None:
         return
 
     t0 = time.perf_counter()
-    pidx = load_packed_index(spark, args.index, snapshot=args.snapshot)
+    index_path = args.index
+    if index_path and index_path.startswith("alias:"):
+        # ES aliases API analog (indexing/aliases.py): resolve the named
+        # pointer; a filtered alias composes its predicate into --filter
+        # (AND), riding the ordinary attribute-filtered retrieval seam
+        from searchengine_spark.indexing.aliases import (
+            alias_resolve,
+            split_alias_arg,
+        )
+
+        name, _ = split_alias_arg(index_path)
+        try:
+            index_path, alias_pred = alias_resolve(spark, args.aliases, name)
+        except KeyError as e:
+            raise SystemExit(str(e))
+        if alias_pred:
+            args.filter = (f"({alias_pred}) AND ({args.filter})"
+                           if args.filter else alias_pred)
+            print(f"alias {name} -> {index_path} "
+                  f"[filter: {alias_pred}]", file=sys.stderr)
+        else:
+            print(f"alias {name} -> {index_path}", file=sys.stderr)
+    pidx = load_packed_index(spark, index_path, snapshot=args.snapshot)
     cfg = TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
     if args.min_token_length is not None:
         cfg = TokenizerConfig(args.min_token_length, cfg.stop_words, cfg.stem_lang)
