@@ -4359,6 +4359,50 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 MBP_QUERIES = ["merge win", "fast ha", "str"]
 MBP_MAX_EXP = 50
 
+SPARSE_SALT = "elser"
+
+
+def _sparse_query_weights() -> list:
+    from searchengine_spark.query.sparse import expand_text_deterministic
+
+    return [expand_text_deterministic(_qterms(qid), salt=SPARSE_SALT)
+            for qid in sorted(QUERY_STRINGS)]
+
+
+def q_sparse_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector / text_expansion (query/sparse.py): learned-
+    sparse retrieval serving — docs carry {token: weight} maps (here
+    md5-derived integer-micro stand-ins for model output, the honesty
+    contract of the multimodal stubs; real ELSER/SPLADE weights would
+    arrive as data exactly the same way), queries are deterministic
+    expansions, score = exact BIGINT Σ w_q·w_d. The serving plan is
+    the engine's scan-pruning + join-free story applied to a weighted
+    table: pushed In(term) filter over the term-sorted layout, literal
+    query-weight map fan-out, one partial agg — plan-gated in
+    tests/test_sparse.py."""
+    import os
+    import tempfile
+
+    from searchengine_spark.query.sparse import (
+        build_sparse_index,
+        sparse_topk_batch,
+    )
+
+    it = _doc_index(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_sparse_{tag}")
+    pairs = it.index.select(
+        "term", "doc_id",
+        (F.lit(500_000) + F.conv(
+            F.substring(F.md5(F.concat(F.col("term"), F.lit("|"),
+                                       F.col("doc_id").cast("string"))),
+                        1, 15), 16, 10).cast("long") % F.lit(1_000_000)
+         ).alias("weight_micro"),
+    )
+    _build_packed_once(path, lambda: build_sparse_index(pairs, path, 8))
+    return sparse_topk_batch(spark, path, _sparse_query_weights(), k=10)
+
+
 TEMP_ALPHA, TEMP_TARGET, TEMP_SALT = 0.5, 2000, "tm"
 
 
@@ -4617,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "intervals_unordered": q_intervals_unordered,
         "temperature_weights": q_temperature_weights,
+        "sparse_expansion": q_sparse_expansion,
         "temperature_mix": q_temperature_mix,
         "intervals_ordered": q_intervals_ordered,
         "prefix_search": q_prefix_search,
@@ -5839,6 +5884,37 @@ final AS (
   FROM merged m JOIN total_trunc tt USING (query_id, facet)
 )
 SELECT query_id, facet, value, n, err, rank FROM final WHERE rank <= 10
+"""
+
+    # sparse_vector / text_expansion: md5-micro doc weights over the
+    # (term, doc) incidence, literal query-weight maps, exact BIGINT
+    # dot products
+    sq_sel = []
+    for qid, qw in enumerate(_sparse_query_weights()):
+        for t, w in sorted(qw.items()):
+            sq_sel.append(f"SELECT {qid} AS query_id, {_sql_quote(t)} AS term, "
+                          f"{int(w)}::BIGINT AS qw")
+    sqls["sparse_expansion"] = f"""
+WITH {_INDEX_CTES},
+pairs AS (
+  SELECT term, doc_id,
+         500000 + ('0x' || substr(md5(term || '|' || doc_id::VARCHAR), 1, 15)
+                  )::BIGINT % 1000000 AS w
+  FROM idx
+),
+q AS ({" UNION ALL ".join(sq_sel)}),
+scored AS (
+  SELECT q.query_id, p.doc_id, sum(p.w * q.qw)::BIGINT AS score_micro2
+  FROM pairs p JOIN q USING (term)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro2 DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score_micro2, rank FROM ranked WHERE rank <= 10
 """
 
     # temperature mixture: counts -> one-IEEE-sqrt micro weights ->

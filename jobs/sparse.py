@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: sparse_vector / text_expansion serving
+(query/sparse.py) — learned-sparse retrieval over a weighted-token
+table (the ES ELSER/SPLADE surface; weights arrive as data).
+
+    python jobs/sparse.py build --input pairs.parquet --output /tmp/sidx
+    python jobs/sparse.py query --index /tmp/sidx \\
+        --weights "alpha:1000000,gamma:500000" -k 10
+    python jobs/sparse.py query --index /tmp/sidx \\
+        --expand "rock album" [--salt elser]   # deterministic stand-in
+
+build expects (term, doc_id, weight_micro) — integer micro-units
+(floor(model_weight * 1e6)).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("action", choices=["build", "query"])
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--index", default=None)
+    ap.add_argument("--weights", default=None,
+                    help="TERM:MICRO[,TERM:MICRO...] explicit query map")
+    ap.add_argument("--expand", default=None,
+                    help="text run through the deterministic expansion "
+                         "stand-in (expand_text_deterministic)")
+    ap.add_argument("--salt", default="elser")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.query.sparse import (
+        build_sparse_index,
+        expand_text_deterministic,
+        sparse_topk_batch,
+    )
+
+    spark = SparkSession.builder.appName(
+        "searchengine_spark.sparse").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.action == "build":
+        if not args.input or not args.output:
+            raise SystemExit("build needs --input and --output")
+        build_sparse_index(spark.read.parquet(args.input), args.output,
+                           n_partitions=args.partitions)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"output": args.output, "postings": n}))
+        return
+
+    if not args.index:
+        raise SystemExit("query needs --index")
+    if args.weights:
+        qw = {}
+        for part in args.weights.split(","):
+            t, _, w = part.rpartition(":")
+            if not t:
+                raise SystemExit("--weights wants TERM:MICRO[,...]")
+            qw[t.strip()] = int(w)
+    elif args.expand:
+        qw = expand_text_deterministic(args.expand.split(), salt=args.salt)
+    else:
+        raise SystemExit("query needs --weights or --expand")
+    out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
+    print(json.dumps({
+        "query_weights": qw,
+        "hits": [r.asDict() for r in out.collect()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
