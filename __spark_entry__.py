@@ -4565,6 +4565,45 @@ def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("ext_id").alias("doc_id"), "score", "rank")
 
 
+CONTEXT_NB, CONTEXT_NA, CONTEXT_K = 1, 2, 3
+
+
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window expansion (query/context.py): for each of the
+    top-3 BM25 hits on the transcripts corpus, the ±window turns of the
+    SAME conversation (−1..+2 here) — the transcript-RAG
+    context-assembly step between retrieval and prompting.
+    Conversation edges truncate (no padding rows), offsets are
+    ctx − hit, cross-conversation turns never leak; the corpus side
+    rides a broadcast range join (never shuffled, plan-gated in
+    tests/test_context.py)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.context import with_context_turns
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    cfg = _transcripts_cfg()
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx_filtered")
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    _build_packed_once(path, lambda: build_packed_index(
+        corpus, cfg, path, chunk_docs=256))
+    pidx = load_packed_index(spark, path)
+    topk = bm25_topk_packed_batch(
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=CONTEXT_K, round_dp=6)
+    hits = resolve_docs(pidx, topk)
+    ctx = with_context_turns(
+        hits.select("query_id", "rank", "conv_id", "turn_idx"),
+        corpus, CONTEXT_NB, CONTEXT_NA, payload_cols=("role", "text"))
+    return ctx.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("ctx_turn_idx").cast("long").alias("ctx_turn_idx"),
+        F.col("offset").cast("long").alias("offset"), "role", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -4662,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_unordered": q_intervals_unordered,
         "temperature_weights": q_temperature_weights,
         "sparse_expansion": q_sparse_expansion,
+        "context_window": q_context_window,
         "temperature_mix": q_temperature_mix,
         "intervals_ordered": q_intervals_ordered,
         "prefix_search": q_prefix_search,
@@ -8390,6 +8430,53 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
     # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
     # blending, or stale downstream stage in the merge hash-mismatches
     sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
+
+    # ---- context windows: the same ranking cut to top-3, each hit
+    # range-joined to its conversation's ±window turns (edges truncate)
+    sqls["context_window"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+ta(conv_id, turn_idx, role, tool, text) AS (VALUES
+{vals_attr}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.rank, d.conv_id, d.turn_idx,
+       c.turn_idx::BIGINT AS ctx_turn_idx,
+       (c.turn_idx - d.turn_idx)::BIGINT AS "offset", c.role, c.text
+FROM ranked r
+JOIN docs d USING (doc_id)
+JOIN ta c ON c.conv_id = d.conv_id
+         AND c.turn_idx BETWEEN d.turn_idx - {CONTEXT_NB}
+                            AND d.turn_idx + {CONTEXT_NA}
+WHERE r.rank <= {CONTEXT_K}
+"""
 
     # ---- date_histogram: the transcripts top-10 ranking, ts derived from
     # the dense docID (ts = 2026-01-01Z + doc_id seconds), 600 s fixed

@@ -332,6 +332,14 @@ def run_textops(spark, sf: float) -> dict:
 
     timed("fingerprints", lambda: doc_fingerprints(docs).count())
     timed("token_stats", lambda: token_stats(docs).count())
+    from searchengine_spark.textops.chunking import sliding_chunks
+    from searchengine_spark.textops.dataset import temperature_sample
+
+    timed("sliding_chunks", lambda: sliding_chunks(
+        docs, cfg, 64, 48).count())
+    timed("temperature_mix", lambda: temperature_sample(
+        docs.select("doc_id", "lang"), "lang", 0.5,
+        max(1, n_docs // 2)).count())
     total = sum(s["sec"] for s in out["stages"].values())
     out["value"] = round(total, 3)
     out["docs_per_sec_all_stages"] = round(n_docs * len(out["stages"]) / total, 1)
@@ -487,6 +495,74 @@ def run_esops(spark, sf: float) -> dict:
         "doc_id", "text")
     t("highlight_top10", lambda: highlight_results(
         hits, docs_txt, QS, cfg))
+
+    # extended-continuation additions: constant_score (filter context —
+    # boolean pass + rank window, NO statistics), bool_prefix (score-all
+    # + expansion OR), shard-approximate terms agg (bounded coordinator
+    # gather), geohash grid over hits (native bit arithmetic), and
+    # sparse_vector retrieval (weighted-table pruned scan + literal-map
+    # dot products). intervals is positional-build-only like the span
+    # family (cost class = minspan's, see the phrase rows in BENCH.md).
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.boolprefix import match_bool_prefix_topk
+    from searchengine_spark.query.boolquery import constant_score_topk
+
+    t("constant_score_and", lambda: constant_score_topk(
+        pidx, QS, cfg, boost=1.0, op="and", k=10))
+    t("bool_prefix_top10", lambda: match_bool_prefix_topk(
+        pidx, [q.rsplit(" ", 1)[0] + " " + q.rsplit(" ", 1)[-1][:3]
+               if " " in q else q[:3] for q in QS], cfg, k=10, round_dp=6))
+
+    from searchengine_spark.query.facets import approx_facet_counts
+
+    role_attrs = corpus.select("conv_id", "turn_idx", "role")
+    hits_res = hits.join(pidx.docmap, "doc_id").select(
+        "query_id", "conv_id", "turn_idx")
+    t("facet_approx_4x8", lambda: approx_facet_counts(
+        hits_res, role_attrs, ["role"], ["conv_id", "turn_idx"],
+        n_shards=4, shard_size=8))
+
+    from searchengine_spark.query.geo import geohash_grid_agg
+
+    def _h60(salt):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col("conv_id"), F.lit("|"),
+            F.col("turn_idx").cast("string"))), 1, 15), 16, 10).cast("long")
+
+    geo_attrs = corpus.select(
+        "conv_id", "turn_idx",
+        (_h60("a") % F.lit(180_000_001) - F.lit(90_000_000)).alias("lat"),
+        (_h60("b") % F.lit(360_000_001) - F.lit(180_000_000)).alias("lon"))
+    t("geohash_grid_p5", lambda: geohash_grid_agg(
+        hits_res, geo_attrs, "lat", "lon", ["conv_id", "turn_idx"],
+        precision=5))
+
+    from searchengine_spark.query.sparse import (
+        build_sparse_index,
+        expand_text_deterministic,
+        sparse_topk_batch,
+    )
+    from searchengine_spark.tokenizer import tokenize_text, tokens_column
+
+    sp_path = os.path.join(OUT, f"esops_sparse_sf{sf}")
+    t3 = time.perf_counter()
+    if not os.path.exists(os.path.join(sp_path, "_SUCCESS")):
+        shutil.rmtree(sp_path, ignore_errors=True)
+        toks = corpus.join(pidx.docmap, ["conv_id", "turn_idx"]).select(
+            "doc_id", tokens_column(F.col("text"), cfg).alias("_toks"))
+        pairs = toks.select(
+            "doc_id", F.explode("_toks").alias("term")
+        ).groupBy("term", "doc_id").count().select(
+            "term", "doc_id",
+            (F.col("count") * 1_000_000).alias("weight_micro"))
+        build_sparse_index(pairs, sp_path)
+    out["stages"]["sparse_build_or_reuse"] = round(
+        time.perf_counter() - t3, 3)
+    sp_queries = [expand_text_deterministic(tokenize_text(q, cfg))
+                  for q in QS]
+    t("sparse_top10", lambda: sparse_topk_batch(
+        spark, sp_path, sp_queries, k=10))
 
     out["value"] = round(sum(v for k_, v in out["stages"].items()
                              if not k_.endswith("build_or_reuse")), 3)

@@ -647,6 +647,43 @@ def _rx(args):
     return (args.max_expansions, args.allow_leading_wildcard)
 
 
+def _print_context(spark, source_path, pidx, queries, per_q, spec) -> None:
+    """--context B,A (with --snippet-source): context-window expansion
+    (query/context.py) — for every hit, the ±window turns of the same
+    conversation from the source table, one JSON line per query:
+    {"query", "context": [{rank, conv_id, turn_idx, ctx_turn_idx,
+    offset, role, text}, ...]}."""
+    from searchengine_spark.query.context import with_context_turns
+
+    if not source_path:
+        raise SystemExit("--context needs --snippet-source (the table "
+                         "carrying the surrounding turns)")
+    try:
+        nb, na = (int(v) for v in spec.split(","))
+    except ValueError:
+        raise SystemExit("--context wants N_BEFORE,N_AFTER")
+    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    if ext_cols != ["conv_id", "turn_idx"]:
+        raise SystemExit("--context expects a (conv_id, turn_idx) index")
+    rows = [
+        (i, r["rank"], r["conv_id"], r["turn_idx"])
+        for i, res in enumerate(per_q) for r in res if "rank" in r
+    ]
+    by_q: dict[int, list] = {i: [] for i in range(len(queries))}
+    if rows:
+        hits = spark.createDataFrame(
+            rows, ["query_id", "rank", "conv_id", "turn_idx"])
+        corpus = spark.read.parquet(source_path)
+        got = with_context_turns(hits, corpus, nb, na).collect()
+        for r in sorted(got, key=lambda r: (r["query_id"], r["rank"],
+                                            r["ctx_turn_idx"])):
+            d = r.asDict()
+            d.pop("query_id")
+            by_q[r["query_id"]].append(d)
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "context": by_q[i]}, default=str))
+
+
 def _print_facets(spark, attrs_path, ext_cols, queries, per_q,
                   facet_spec, k, approx=None) -> None:
     """--facets: ES terms-aggregation analog over each query's result set
@@ -2050,7 +2087,24 @@ def _serve_federated(spark, args) -> None:
     if args.terms_set:
         raise SystemExit("--terms-set serves --index only")
     if args.intervals:
-        raise SystemExit("--intervals serves --index only")
+        from searchengine_spark.query.federated import (
+            intervals_topk_federated,
+            resolve_docs_federated,
+        )
+
+        mode, _, gaps = args.intervals.partition(":")
+        if mode not in ("ordered", "unordered"):
+            raise SystemExit("--intervals wants ordered|unordered[:MAX_GAPS]")
+        if not args.query:
+            raise SystemExit("--intervals wants --query/--queries-file")
+        fed = intervals_topk_federated(
+            list(shards), args.query, cfg, ordered=mode == "ordered",
+            max_gaps=int(gaps) if gaps else 0, k=args.n)
+        res = resolve_docs_federated(
+            list(shards), fed.withColumnRenamed("n_intervals", "score"))
+        print(json.dumps({"hits": [r.asDict() for r in res.collect()]},
+                         default=str))
+        return
     if args.term_suggest:
         from searchengine_spark.query.federated import _global_dictionary
         from searchengine_spark.query.fuzzy import term_suggestions
@@ -2513,6 +2567,12 @@ def main() -> None:
                          "pre-delete or pre-compaction state); with "
                          "--shards it pins every shard without an explicit "
                          "@SEQ suffix to this seq")
+    ap.add_argument("--context", default=None, metavar="N_BEFORE,N_AFTER",
+                    help="context-window expansion (query/context.py): "
+                         "attach the ±window turns of each hit's "
+                         "conversation from --snippet-source — the "
+                         "transcript-RAG context-assembly step; "
+                         "--index only")
     ap.add_argument("--snippet-source", default=None,
                     help="parquet dir of the source table keyed by the "
                          "index's order_cols; attaches a best-window text "
@@ -2543,7 +2603,8 @@ def main() -> None:
                          "index — count of minimal (in-order / any-"
                          "order) covering windows with gap count <= "
                          "MAX_GAPS per doc, integer ranking; runs the "
-                         "--query batch; positional build, --index only")
+                         "--query batch; positional builds, --index or "
+                         "--shards (exact federation)")
     ap.add_argument("--span-first", default=None, metavar="TERM:END",
                     help="ES span_first (query/spanqueries.py): docs "
                          "where TERM occurs at an analyzed position < "
@@ -3578,6 +3639,9 @@ def main() -> None:
                                    queries, per_q)
             _attach_snippets(spark, args.snippet_source, pidx, cfg,
                              queries, per_q)
+        if args.context:
+            _print_context(spark, args.snippet_source, pidx, queries,
+                           per_q, args.context)
         # ES sampler semantics: --diversified shapes AGGREGATION input
         # only — snippets, the ranked page and relevance stats stay full
         agg_q = per_q

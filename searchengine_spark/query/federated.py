@@ -1331,3 +1331,45 @@ def phrase_prefix_topk_federated(
     if k is not None:
         ranked = ranked.filter(F.col("rank") <= k)
     return ranked
+
+
+def intervals_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence,
+    cfg: TokenizerConfig | None = None,
+    ordered: bool = False,
+    max_gaps: int = 0,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated ES intervals -> federation-global (query_id, doc_id,
+    n_intervals, rank). Positions are doc-local and the ranking is the
+    integer minimal-interval count, so scatter-gather is EXACT on any
+    corpus (the span-family argument: a doc lives in exactly one
+    shard); per-shard k-cuts are safe under (count desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    from .intervals import intervals_topk_packed_batch
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = intervals_topk_packed_batch(
+            s, queries, cfg, ordered=ordered, max_gaps=max_gaps, k=k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "n_intervals",
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_intervals"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked

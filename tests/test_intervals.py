@@ -159,3 +159,42 @@ def test_huge_gaps_unordered_matches_minspan_docset(packed, cfg):
 def test_validation(packed, cfg):
     with pytest.raises(ValueError):
         intervals_topk_packed_batch(packed, QUERIES, cfg, max_gaps=-1)
+
+
+@pytest.fixture(scope="module")
+def shard_pair(spark, corpus, cfg, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("iv_shards")
+    paths = []
+    for i, pred in enumerate((F.col("turn_idx") % 2 == 0,
+                              F.col("turn_idx") % 2 == 1)):
+        p = str(base / f"s{i}")
+        build_packed_index(corpus.filter(pred), cfg, p, chunk_docs=128,
+                           positional=True)
+        paths.append(p)
+    return [load_packed_index(spark, p) for p in paths]
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_federated_matches_merged_corpus_semantics(
+        spark, corpus, cfg, packed, shard_pair, ordered):
+    """Federation must return the same (external doc, count) ranking as
+    the single merged index — resolve both to (conv_id, turn_idx)."""
+    from searchengine_spark.query.federated import (
+        intervals_topk_federated,
+        resolve_docs_federated,
+    )
+
+    fed = intervals_topk_federated(
+        shard_pair, QUERIES, cfg, ordered=ordered, max_gaps=4, k=None)
+    fed_ext = resolve_docs_federated(
+        shard_pair, fed.withColumnRenamed("n_intervals", "score"))
+    got = {(r["query_id"], r["conv_id"], r["turn_idx"]): r["score"]
+           for r in fed_ext.collect()}
+    single = intervals_topk_packed_batch(
+        packed, QUERIES, cfg, ordered=ordered, max_gaps=4, k=None)
+    ext = single.join(packed.docmap, "doc_id")
+    want = {(r["query_id"], r["conv_id"], r["turn_idx"]): r["n_intervals"]
+            for r in ext.collect()}
+    assert got == want and got
