@@ -3336,6 +3336,7 @@ def main() -> None:
     if args.intervals:
         from searchengine_spark.query.intervals import (
             intervals_topk_packed_batch,
+            local_intervals,
         )
 
         mode, _, gaps = args.intervals.partition(":")
@@ -3343,6 +3344,20 @@ def main() -> None:
             raise SystemExit("--intervals wants ordered|unordered[:MAX_GAPS]")
         if not args.query:
             raise SystemExit("--intervals wants --query/--queries-file")
+        if args.serve_mode == "local":
+            # in-process tier: same scorer kernels, zero Spark jobs warm
+            from searchengine_spark.query.serve import LocalSearcher
+
+            searcher = LocalSearcher(pidx, preload=False, cfg=cfg)
+            hits = []
+            for qid, q in enumerate(args.query):
+                for r in local_intervals(
+                        searcher, q, ordered=mode == "ordered",
+                        max_gaps=int(gaps) if gaps else 0, k=args.n):
+                    r["query_id"] = qid
+                    hits.append(r)
+            print(json.dumps({"hits": hits}, default=str))
+            return
         res = intervals_topk_packed_batch(
             pidx, args.query, cfg, ordered=mode == "ordered",
             max_gaps=int(gaps) if gaps else 0, k=args.n)

@@ -379,3 +379,41 @@ def intervals_topk_batch(
 
     return matched.groupBy("query_id").applyInPandas(
         score_group, schema=_OUT_SCHEMA)
+
+
+def local_intervals(searcher, query: str, ordered: bool = False,
+                    max_gaps: int = 0, k: "int | None" = 10,
+                    resolve: bool = True) -> list:
+    """In-process intervals query off a LocalSearcher — the same scorer
+    as the distributed packed path (gated identical in
+    tests/test_intervals.py), zero Spark jobs warm."""
+    if not searcher._positional:
+        raise ValueError("packed index was not built with positional=True")
+    if max_gaps < 0:
+        raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+    terms = list(dict.fromkeys(tokenize_text(query, searcher.cfg)))
+    if not terms:
+        return []
+    searcher._ensure_terms(terms)
+    parts = []
+    for t in terms:
+        sl = searcher._slices.get(t)
+        if sl is None or not len(sl):
+            return []  # AND semantics
+        parts.append(sl)
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf["query_id"] = 0
+    scorer = _intervals_scorer(
+        {0: terms}, ordered, max_gaps, k,
+        decode=searcher._dec, decode_pos=searcher._dec_pos,
+    )
+    out = scorer(pdf)
+    counts = {int(d): int(n)
+              for d, n in zip(out["doc_id"], out["n_intervals"])}
+    out = out.assign(score=0.0)
+    rows = searcher._resolve(
+        out[["query_id", "doc_id", "score", "rank"]], resolve)
+    for r in rows:
+        r["n_intervals"] = counts[r["doc_id"]]
+        r.pop("score", None)
+    return rows

@@ -198,3 +198,22 @@ def test_federated_matches_merged_corpus_semantics(
     want = {(r["query_id"], r["conv_id"], r["turn_idx"]): r["n_intervals"]
             for r in ext.collect()}
     assert got == want and got
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_local_equals_packed(packed, cfg, ordered):
+    from searchengine_spark.query.intervals import local_intervals
+    from searchengine_spark.query.serve import LocalSearcher
+
+    want_rows = intervals_topk_packed_batch(
+        packed, QUERIES, cfg, ordered=ordered, max_gaps=4, k=10).collect()
+    want: dict = {}
+    for r in want_rows:
+        want[(r["query_id"], r["doc_id"])] = (r["n_intervals"], r["rank"])
+    searcher = LocalSearcher(packed, preload=False, cfg=cfg)
+    for qid, q in enumerate(QUERIES):
+        rows = local_intervals(searcher, q, ordered=ordered, max_gaps=4,
+                               k=10, resolve=False)
+        got = {(qid, r["doc_id"]): (r["n_intervals"], r["rank"])
+               for r in rows}
+        assert got == {kk: v for kk, v in want.items() if kk[0] == qid}, q
