@@ -118,11 +118,24 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 regexp=None, sort_spec=None, attrs_path=None,
                 decay_spec=None, boost_mode="multiply", fvf_spec=None,
                 random_seed=None, inner_hits=None, pins=None,
-                constant_score=None):
+                constant_score=None, max_cost=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
     from pyspark.sql import functions as F
+
+    if max_cost is not None:
+        # ES circuit-breaker analog (query/cost.py): refuse the request
+        # before decoding a single posting
+        from searchengine_spark.query.cost import (
+            CostBudgetExceeded,
+            check_cost_budget,
+        )
+
+        try:
+            check_cost_budget(pidx, queries, cfg, max_cost)
+        except CostBudgetExceeded as e:
+            raise SystemExit(str(e))
 
     from searchengine_spark.query.proximity import (
         proximity_topk_packed_batch,
@@ -445,7 +458,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  regexp=None, sort_spec=None, attrs_path=None,
                  decay_spec=None, boost_mode="multiply", fvf_spec=None,
                 random_seed=None, inner_hits=None, pins=None,
-                constant_score=None):
+                constant_score=None, max_cost=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -458,7 +471,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        decay_spec=decay_spec, boost_mode=boost_mode,
                        fvf_spec=fvf_spec, random_seed=random_seed,
                        inner_hits=inner_hits, pins=pins,
-                       constant_score=constant_score).collect()
+                       constant_score=constant_score,
+                       max_cost=max_cost).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -2736,6 +2750,14 @@ def main() -> None:
                          "MISSING (default 1.0); combine via "
                          "--boost-mode; needs --attrs; bm25/bm25_and, "
                          "distributed tier, --index only")
+    ap.add_argument("--max-query-cost", type=int, default=None,
+                    metavar="POSTINGS",
+                    help="ES circuit-breaker analog (query/cost.py): "
+                         "estimate each query's postings cost (exact "
+                         "sum-of-df from term_stats, one bounded point "
+                         "scan) and refuse the whole request when any "
+                         "query exceeds the budget; distributed tier, "
+                         "--index only")
     ap.add_argument("--constant-score", type=float, default=None,
                     metavar="BOOST",
                     help="ES constant_score query (query/boolquery.py "
@@ -3485,6 +3507,7 @@ def main() -> None:
                 inner_hits=args.collapse_inner_hits,
                 pins=(args.pin.split(",") if args.pin else None),
                 constant_score=args.constant_score,
+                max_cost=args.max_query_cost,
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -3647,7 +3670,8 @@ def main() -> None:
                                  inner_hits=args.collapse_inner_hits,
                                  pins=(args.pin.split(",")
                                        if args.pin else None),
-                                 constant_score=args.constant_score)
+                                 constant_score=args.constant_score,
+                                 max_cost=args.max_query_cost)
         if args.snippet_source:
             if args.highlight:
                 _attach_highlights(spark, args.snippet_source, pidx, cfg,
