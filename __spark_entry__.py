@@ -4362,6 +4362,29 @@ MBP_MAX_EXP = 50
 SPARSE_SALT = "elser"
 
 
+def _sparse_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per run) the md5-weighted sparse layout over the
+    documents (term, doc) incidence; shared by the sparse entries."""
+    import os
+    import tempfile
+
+    from searchengine_spark.query.sparse import build_sparse_index
+
+    it = _doc_index(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_sparse_{tag}")
+    pairs = it.index.select(
+        "term", "doc_id",
+        (F.lit(500_000) + F.conv(
+            F.substring(F.md5(F.concat(F.col("term"), F.lit("|"),
+                                       F.col("doc_id").cast("string"))),
+                        1, 15), 16, 10).cast("long") % F.lit(1_000_000)
+         ).alias("weight_micro"),
+    )
+    _build_packed_once(path, lambda: build_sparse_index(pairs, path, 8))
+    return path
+
+
 def _sparse_query_weights() -> list:
     from searchengine_spark.query.sparse import expand_text_deterministic
 
@@ -4380,27 +4403,42 @@ def q_sparse_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: pushed In(term) filter over the term-sorted layout, literal
     query-weight map fan-out, one partial agg — plan-gated in
     tests/test_sparse.py."""
-    import os
-    import tempfile
+    from searchengine_spark.query.sparse import sparse_topk_batch
 
-    from searchengine_spark.query.sparse import (
-        build_sparse_index,
-        sparse_topk_batch,
-    )
-
-    it = _doc_index(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"se_entry_sparse_{tag}")
-    pairs = it.index.select(
-        "term", "doc_id",
-        (F.lit(500_000) + F.conv(
-            F.substring(F.md5(F.concat(F.col("term"), F.lit("|"),
-                                       F.col("doc_id").cast("string"))),
-                        1, 15), 16, 10).cast("long") % F.lit(1_000_000)
-         ).alias("weight_micro"),
-    )
-    _build_packed_once(path, lambda: build_sparse_index(pairs, path, 8))
+    path = _sparse_index_path(spark, sf_dir)
     return sparse_topk_batch(spark, path, _sparse_query_weights(), k=10)
+
+
+SPARSE_PRUNE_QUERIES = [
+    {"batch": 100_000, "vector": 1_200_000, "merge": 1_100_000},
+    {"scan": 150_000, "join": 1_000_000, "fast": 950_000},
+    {"data": 2_000_000, "window": 900_000},
+]
+# the testdata vocabulary is small and FLAT (30 terms, max df ~1.07x the
+# average), so the entry pins freq_ratio_threshold=1 to make the
+# decision observable; the ES default (5) stays the library default
+SPARSE_PRUNE_RATIO, SPARSE_PRUNE_WT = 1, 400_000
+SPARSE_PRUNE_K, SPARSE_PRUNE_MULT = 8, 3
+
+
+def q_sparse_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector pruning_config + rescore (query/sparse.py
+    sparse_topk_pruned_batch): frequent-AND-weak query tokens are
+    dropped in phase 1 (integer cross-multiplied decisions off the
+    term_stats sidecar — df·n_terms > ratio·total, weight·1e6 <
+    wt·avg_qw), then the full query exactly re-scores the bounded
+    candidate page (k x mult) — the two-phase shape that makes
+    learned-sparse retrieval affordable (the fat tokens ARE the cost).
+    The oracle replays decisions, phase 1 and the rescore in SQL.
+    Two-phase identities gated in tests/test_sparse.py."""
+    from searchengine_spark.query.sparse import sparse_topk_pruned_batch
+
+    path = _sparse_index_path(spark, sf_dir)
+    return sparse_topk_pruned_batch(
+        spark, path, SPARSE_PRUNE_QUERIES, k=SPARSE_PRUNE_K,
+        freq_ratio_threshold=SPARSE_PRUNE_RATIO,
+        weight_threshold_micro=SPARSE_PRUNE_WT,
+        rescore=True, rescore_mult=SPARSE_PRUNE_MULT)
 
 
 TEMP_ALPHA, TEMP_TARGET, TEMP_SALT = 0.5, 2000, "tm"
@@ -4701,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_unordered": q_intervals_unordered,
         "temperature_weights": q_temperature_weights,
         "sparse_expansion": q_sparse_expansion,
+        "sparse_pruned": q_sparse_pruned,
         "context_window": q_context_window,
         "temperature_mix": q_temperature_mix,
         "intervals_ordered": q_intervals_ordered,
@@ -5955,6 +5994,72 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score_micro2, rank FROM ranked WHERE rank <= 10
+"""
+
+    # sparse pruning_config: integer decision replay (cross-multiplied
+    # frequent test, micro-unit weak test) -> phase-1 kept-token page
+    # -> exact full-query rescore of the candidates
+    spq_sel = []
+    for qid, qw in enumerate(SPARSE_PRUNE_QUERIES):
+        for t, w in sorted(qw.items()):
+            spq_sel.append(f"SELECT {qid} AS query_id, {_sql_quote(t)} AS term, "
+                           f"{int(w)}::BIGINT AS qw")
+    ratio, wt = SPARSE_PRUNE_RATIO, SPARSE_PRUNE_WT
+    k1 = SPARSE_PRUNE_K * SPARSE_PRUNE_MULT
+    sqls["sparse_pruned"] = f"""
+WITH {_INDEX_CTES},
+pairs AS (
+  SELECT term, doc_id,
+         500000 + ('0x' || substr(md5(term || '|' || doc_id::VARCHAR), 1, 15)
+                  )::BIGINT % 1000000 AS w
+  FROM idx
+),
+totals AS (
+  SELECT count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS total
+  FROM term_stats
+),
+q AS ({" UNION ALL ".join(spq_sel)}),
+qavg AS (
+  SELECT query_id, (sum(qw)::BIGINT // count(*)) AS avg_qw
+  FROM q GROUP BY query_id
+),
+decided AS (
+  SELECT q.query_id, q.term, q.qw,
+         CASE WHEN coalesce(ts.df, 0) * t.n_terms > {ratio} * t.total
+                   AND q.qw * 1000000 < {wt} * qa.avg_qw
+              THEN 0 ELSE 1 END AS keep
+  FROM q
+  LEFT JOIN term_stats ts ON ts.term = q.term
+  CROSS JOIN totals t
+  JOIN qavg qa ON qa.query_id = q.query_id
+),
+phase1 AS (
+  SELECT d.query_id, p.doc_id, sum(p.w * d.qw)::BIGINT AS s1
+  FROM pairs p JOIN decided d ON d.term = p.term AND d.keep = 1
+  GROUP BY d.query_id, p.doc_id
+),
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s1 DESC, doc_id ASC) AS rn
+    FROM phase1
+  ) WHERE rn <= {k1}
+),
+rescored AS (
+  SELECT d.query_id, p.doc_id, sum(p.w * d.qw)::BIGINT AS score_micro2
+  FROM pairs p JOIN decided d ON d.term = p.term
+  JOIN cand c ON c.query_id = d.query_id AND c.doc_id = p.doc_id
+  GROUP BY d.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro2 DESC, doc_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, doc_id, score_micro2, rank
+FROM ranked WHERE rank <= {SPARSE_PRUNE_K}
 """
 
     # temperature mixture: counts -> one-IEEE-sqrt micro weights ->

@@ -547,7 +547,7 @@ def run_esops(spark, sf: float) -> dict:
 
     sp_path = os.path.join(OUT, f"esops_sparse_sf{sf}")
     t3 = time.perf_counter()
-    if not os.path.exists(os.path.join(sp_path, "_SUCCESS")):
+    if not os.path.exists(os.path.join(sp_path, "manifest.json")):
         shutil.rmtree(sp_path, ignore_errors=True)
         toks = corpus.join(pidx.docmap, ["conv_id", "turn_idx"]).select(
             "doc_id", tokens_column(F.col("text"), cfg).alias("_toks"))

@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--salt", default="elser")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--prune", action="store_true",
+                    help="ES pruning_config: drop frequent-AND-weak "
+                         "query tokens in phase 1, exact full-query "
+                         "rescore of the candidate page")
+    ap.add_argument("--prune-freq-ratio", type=int, default=5)
+    ap.add_argument("--prune-weight-micro", type=int, default=400_000)
+    ap.add_argument("--no-rescore", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,10 +61,9 @@ def main() -> None:
     if args.action == "build":
         if not args.input or not args.output:
             raise SystemExit("build needs --input and --output")
-        build_sparse_index(spark.read.parquet(args.input), args.output,
-                           n_partitions=args.partitions)
-        n = spark.read.parquet(args.output).count()
-        print(json.dumps({"output": args.output, "postings": n}))
+        man = build_sparse_index(spark.read.parquet(args.input),
+                                 args.output, n_partitions=args.partitions)
+        print(json.dumps({"output": args.output, **man}))
         return
 
     if not args.index:
@@ -73,7 +79,16 @@ def main() -> None:
         qw = expand_text_deterministic(args.expand.split(), salt=args.salt)
     else:
         raise SystemExit("query needs --weights or --expand")
-    out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
+    if args.prune:
+        from searchengine_spark.query.sparse import sparse_topk_pruned_batch
+
+        out = sparse_topk_pruned_batch(
+            spark, args.index, [qw], k=args.k,
+            freq_ratio_threshold=args.prune_freq_ratio,
+            weight_threshold_micro=args.prune_weight_micro,
+            rescore=not args.no_rescore)
+    else:
+        out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
     print(json.dumps({
         "query_weights": qw,
         "hits": [r.asDict() for r in out.collect()],

@@ -21,9 +21,28 @@ groupBy(doc) sums the products; the top-k is a rank window per query
 (bounded by matched docs). Zero Python in the hot path — the whole
 plan is native codegen.
 
+Token pruning (the ES 8.15 ``prune`` / ``pruning_config`` option —
+THE scale lever for learned-sparse retrieval, whose cost is dominated
+by a few fat low-signal tokens): a query token is pruned when it is
+BOTH frequent (df more than ``tokens_freq_ratio_threshold`` x the
+average df — ES default 5) AND weak (query weight under
+``tokens_weight_threshold`` x the query's average weight — ES default
+0.4, here in micro-units: 400_000). The decisions are exact integer
+arithmetic (df·n_terms > ratio·total_postings cross-multiplication;
+micro-unit weight compare), reproduced verbatim by the driver oracle.
+With ``rescore=True`` (ES ``only_score_pruned_tokens`` analog), the
+pruned query retrieves a candidate page of ``k x rescore_mult`` docs
+and the FULL query re-scores exactly those candidates — bounded exact
+rescore, the two-phase pattern the SQ8/PQ vector paths already use.
+
+The index layout carries a dictionary-sized stats sidecar for the
+pruning decisions: ``<path>/postings`` (term-range-partitioned pairs),
+``<path>/term_stats`` (term, df, max_weight_micro) and
+``<path>/manifest.json`` (n_terms, total_postings).
+
 No reference counterpart; semantics follow the Elasticsearch
 sparse_vector query (weighted-OR: a doc matching ANY query token
-scores; missing tokens contribute 0).
+scores; missing tokens contribute 0) and its pruning_config.
 """
 
 from __future__ import annotations
@@ -40,22 +59,83 @@ def build_sparse_index(
     pairs: DataFrame,
     path: str,
     n_partitions: int = 32,
-) -> None:
+) -> dict:
     """Write (term, doc_id, weight_micro) as a term-range-partitioned,
-    term-sorted parquet layout — the same physical idea as the packed
-    index's dictionary ordering, so query-term pruning is a pushed scan
-    filter. ``weight_micro`` must already be integer micro-units."""
+    term-sorted parquet layout under ``<path>/postings`` — the same
+    physical idea as the packed index's dictionary ordering, so
+    query-term pruning is a pushed scan filter — plus the
+    ``<path>/term_stats`` sidecar (term, df, max_weight_micro) and
+    ``<path>/manifest.json`` corpus aggregates that the ES
+    pruning_config decisions read. ``weight_micro`` must already be
+    integer micro-units. Returns the manifest dict."""
+    import json as _json
+    import os as _os
+
     missing = [c for c in ("term", "doc_id", "weight_micro")
                if c not in pairs.columns]
     if missing:
         raise ValueError(f"pairs table lacks columns {missing}")
+    clean = pairs.select("term", F.col("doc_id").cast("long"),
+                         F.col("weight_micro").cast("long"))
     (
-        pairs.select("term", F.col("doc_id").cast("long"),
-                     F.col("weight_micro").cast("long"))
-        .repartitionByRange(n_partitions, "term")
+        clean.repartitionByRange(n_partitions, "term")
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(_os.path.join(path, "postings"))
     )
+    spark = pairs.sparkSession
+    stats = spark.read.parquet(_os.path.join(path, "postings")).groupBy(
+        "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("weight_micro").cast("long").alias("max_weight_micro"),
+    )
+    stats.write.mode("overwrite").parquet(_os.path.join(path, "term_stats"))
+    agg = spark.read.parquet(_os.path.join(path, "term_stats")).agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("total")
+    ).collect()[0]
+    manifest = {"format": "searchengine_spark.sparse/1",
+                "n_terms": int(agg["n_terms"] or 0),
+                "total_postings": int(agg["total"] or 0)}
+    with open(_os.path.join(path, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    return manifest
+
+
+def _postings_path(path: str) -> str:
+    import os as _os
+
+    sub = _os.path.join(path, "postings")
+    return sub if _os.path.exists(sub) else path  # pre-sidecar layouts
+
+
+def prune_query_tokens(
+    query_weights: Dict[str, int],
+    dfs: Dict[str, int],
+    n_terms: int,
+    total_postings: int,
+    freq_ratio_threshold: int = 5,
+    weight_threshold_micro: int = 400_000,
+) -> "tuple[Dict[str, int], Dict[str, int]]":
+    """-> (kept, pruned): the ES pruning_config decision in exact
+    integer arithmetic. A token is pruned when BOTH hold:
+
+    - frequent: ``df * n_terms > freq_ratio_threshold * total_postings``
+      (df > ratio x average df, cross-multiplied — no division);
+    - weak: ``weight_micro * 1_000_000 < weight_threshold_micro *
+      avg_query_weight_micro`` where avg is the integer floor mean of
+      the query's weights.
+
+    OOV tokens (df 0) are never 'frequent', so they are kept (they cost
+    nothing anyway)."""
+    if not query_weights:
+        return {}, {}
+    avg_qw = sum(query_weights.values()) // len(query_weights)
+    kept, pruned = {}, {}
+    for t, w in query_weights.items():
+        df = dfs.get(t, 0)
+        frequent = df * n_terms > freq_ratio_threshold * total_postings
+        weak = w * 1_000_000 < weight_threshold_micro * avg_qw
+        (pruned if frequent and weak else kept)[t] = w
+    return kept, pruned
 
 
 def sparse_topk_batch(
@@ -82,7 +162,8 @@ def sparse_topk_batch(
     if not all_terms:
         return spark.createDataFrame(
             [], "query_id int, doc_id long, score_micro2 long, rank long")
-    scan = spark.read.parquet(path).filter(F.col("term").isin(all_terms))
+    scan = spark.read.parquet(_postings_path(path)).filter(
+        F.col("term").isin(all_terms))
     # literal (term -> weight) map per query, fanned out join-free; a
     # term absent from a query contributes NULL -> filtered
     frames = []
@@ -127,3 +208,93 @@ def expand_text_deterministic(
         h = int(hashlib.md5(f"{salt}|{t}".encode()).hexdigest()[:15], 16)
         out[t] = 500_000 + h % 1_000_000
     return out
+
+
+def sparse_topk_pruned_batch(
+    spark: SparkSession,
+    path: str,
+    query_weights: Sequence[Dict[str, int]],
+    k: int = 10,
+    freq_ratio_threshold: int = 5,
+    weight_threshold_micro: int = 400_000,
+    rescore: bool = True,
+    rescore_mult: int = 3,
+) -> DataFrame:
+    """ES sparse_vector with ``pruning_config`` -> (query_id, doc_id,
+    score_micro2, rank): phase 1 retrieves with the KEPT tokens only
+    (the fat-and-weak tokens never touch their postings — the whole
+    point: those are the cost dominators); with ``rescore`` the top
+    ``k x rescore_mult`` phase-1 candidates are re-scored with the
+    FULL query (kept + pruned) and the final page is exact among those
+    candidates (ES's only_score_pruned_tokens=false shape; the SQ8/PQ
+    two-phase pattern). A query whose every token prunes retrieves
+    nothing (documented contract — there is no phase-1 signal left).
+
+    ``score_micro2`` is phase-2's full-query score when rescoring, else
+    the pruned-query score."""
+    import json as _json
+    import os as _os
+
+    if rescore_mult < 1:
+        raise ValueError(f"rescore_mult must be >= 1, got {rescore_mult}")
+    man_path = _os.path.join(path, "manifest.json")
+    if not _os.path.exists(man_path):
+        raise ValueError(
+            f"{path}: no manifest.json — pruning needs the stats sidecar "
+            "(rebuild with build_sparse_index; pre-sidecar layouts serve "
+            "only the unpruned sparse_topk_batch)")
+    with open(man_path) as fh:
+        man = _json.load(fh)
+    all_terms = sorted({t for qw in query_weights for t in qw})
+    dfs: Dict[str, int] = {}
+    if all_terms:
+        rows = (
+            spark.read.parquet(_os.path.join(path, "term_stats"))
+            .filter(F.col("term").isin(all_terms))
+            .select("term", "df").collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+    kept_list = []
+    for qw in query_weights:
+        kept, _pruned = prune_query_tokens(
+            qw, dfs, man["n_terms"], man["total_postings"],
+            freq_ratio_threshold, weight_threshold_micro)
+        kept_list.append(kept)
+    phase1 = sparse_topk_batch(
+        spark, path, kept_list, k=k * rescore_mult if rescore else k)
+    if not rescore:
+        return phase1
+    cand = phase1.select("query_id", "doc_id")
+    # full-query scoring restricted to the bounded candidate page
+    scan = spark.read.parquet(_postings_path(path)).filter(
+        F.col("term").isin(all_terms))
+    frames = []
+    for qid, qw in enumerate(query_weights):
+        if not qw or not kept_list[qid]:
+            continue
+        entries = [x for t, w in sorted(qw.items())
+                   for x in (F.lit(t), F.lit(int(w)))]
+        frames.append(
+            scan.withColumn("_qw", F.create_map(*entries)[F.col("term")])
+            .filter(F.col("_qw").isNotNull())
+            .select(F.lit(qid).alias("query_id"), "doc_id",
+                    (F.col("weight_micro") * F.col("_qw")).alias("_prod"))
+        )
+    if not frames:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score_micro2 long, rank long")
+    uni = frames[0]
+    for f in frames[1:]:
+        uni = uni.unionByName(f)
+    rescored = (
+        uni.join(F.broadcast(cand), ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_prod").cast("long").alias("score_micro2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro2"), F.asc("doc_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro2", "rank")
+    )

@@ -85,3 +85,100 @@ def test_deterministic_expansion():
     assert all(500_000 <= w < 1_500_000 for w in a.values())
     assert expand_text_deterministic(["rock"], salt="x") != \
         expand_text_deterministic(["rock"], salt="y")
+
+
+# ---- pruning_config (ES 8.15 sparse_vector prune + rescore) ----
+
+PRUNE_PAIRS = (
+    # 'the' is FAT: in 12 of 16 docs; signal terms are rare
+    [("the", d, 100_000 + d * 1_000) for d in range(12)]
+    + [("alpha", 1, 900_000), ("alpha", 7, 700_000),
+       ("beta", 2, 800_000), ("beta", 9, 600_000),
+       ("gamma", 3, 500_000)]
+)
+
+
+@pytest.fixture(scope="module")
+def pruned_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sparse_prune") / "idx")
+    pairs = spark.createDataFrame(
+        PRUNE_PAIRS, "term string, doc_id long, weight_micro long")
+    man = build_sparse_index(pairs, path, n_partitions=2)
+    return path, man
+
+
+def test_manifest_and_stats(spark, pruned_index):
+    path, man = pruned_index
+    assert man["n_terms"] == 4 and man["total_postings"] == len(PRUNE_PAIRS)
+    stats = {r["term"]: (r["df"], r["max_weight_micro"]) for r in
+             spark.read.parquet(f"{path}/term_stats").collect()}
+    assert stats["the"] == (12, 111_000)
+    assert stats["alpha"] == (2, 900_000)
+
+
+def test_prune_decision_replay(spark, pruned_index):
+    from searchengine_spark.query.sparse import prune_query_tokens
+
+    path, man = pruned_index
+    dfs = {"the": 12, "alpha": 2, "beta": 2, "gamma": 1}
+    # avg df = 17/4; 'the' df 12 > 5 * 4.25? 12*4=48 > 5*17=85 -> NOT
+    # frequent at ratio 5 on this tiny fixture; use ratio 2: 48 > 34 ✓
+    qw = {"the": 100_000, "alpha": 1_000_000}
+    kept, pruned = prune_query_tokens(
+        qw, dfs, man["n_terms"], man["total_postings"],
+        freq_ratio_threshold=2, weight_threshold_micro=400_000)
+    # avg qw = 550_000; 'the' weight 100k < 0.4*550k=220k ✓ -> pruned
+    assert pruned == {"the": 100_000} and kept == {"alpha": 1_000_000}
+    # heavy 'the' is frequent but NOT weak -> kept
+    kept2, pruned2 = prune_query_tokens(
+        {"the": 900_000, "alpha": 1_000_000}, dfs, man["n_terms"],
+        man["total_postings"], 2, 400_000)
+    assert pruned2 == {} and "the" in kept2
+    # OOV never prunes
+    kept3, _ = prune_query_tokens(
+        {"zzz": 1_000, "alpha": 1_000_000}, dfs, man["n_terms"],
+        man["total_postings"], 2, 990_000)
+    assert "zzz" in kept3
+
+
+def test_pruned_retrieval_two_phase(spark, pruned_index):
+    from searchengine_spark.query.sparse import sparse_topk_pruned_batch
+
+    path, man = pruned_index
+    qw = {"the": 100_000, "alpha": 1_000_000, "beta": 900_000}
+    # replay: kept = {alpha, beta} (the: df 12, frequent at ratio 2;
+    # weight 100k < 0.4 * avg(666_666)) -> phase1 docs = {1,7,2,9};
+    # rescore scores them with the FULL query incl. 'the'
+    out = sparse_topk_pruned_batch(
+        spark, path, [qw], k=4, freq_ratio_threshold=2,
+        weight_threshold_micro=400_000, rescore=True, rescore_mult=2)
+    got = {r["doc_id"]: r["score_micro2"] for r in out.collect()}
+    full = {}
+    for t, d, w in PRUNE_PAIRS:
+        if t in qw:
+            full[d] = full.get(d, 0) + w * qw[t]
+    cand = {1, 7, 2, 9}
+    assert set(got) == cand
+    for d in cand:
+        assert got[d] == full[d], d  # rescore = exact full-query score
+    # doc 3 (gamma only) and pure-'the' docs never appear: no phase-1 signal
+    # without rescore: scores exclude the pruned token
+    out2 = sparse_topk_pruned_batch(
+        spark, path, [qw], k=4, freq_ratio_threshold=2,
+        weight_threshold_micro=400_000, rescore=False)
+    got2 = {r["doc_id"]: r["score_micro2"] for r in out2.collect()}
+    pruned_only = {}
+    for t, d, w in PRUNE_PAIRS:
+        if t in ("alpha", "beta"):
+            pruned_only[d] = pruned_only.get(d, 0) + w * qw[t]
+    assert got2 == pruned_only
+
+
+def test_all_pruned_query_empty(spark, pruned_index):
+    from searchengine_spark.query.sparse import sparse_topk_pruned_batch
+
+    path, _ = pruned_index
+    out = sparse_topk_pruned_batch(
+        spark, path, [{"the": 100_000}], k=5, freq_ratio_threshold=2,
+        weight_threshold_micro=2_000_000)
+    assert out.count() == 0
