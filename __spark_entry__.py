@@ -4604,6 +4604,64 @@ def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTEXT_NB, CONTEXT_NA, CONTEXT_K = 1, 2, 3
+HAS_CHILD_MIN, HAS_PARENT_MIN_TURNS = 2, 60
+
+
+def _transcripts_pidx(spark: SparkSession):
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+
+    cfg = _transcripts_cfg()
+    path = os.path.join(tempfile.gettempdir(), "se_spark_entry_idx_filtered")
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    _build_packed_once(path, lambda: build_packed_index(
+        corpus, cfg, path, chunk_docs=256))
+    return load_packed_index(spark, path), corpus, cfg
+
+
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child (query/parentchild.py): conversations ranked by
+    their matching turns' combined BM25 — score_mode=sum over the
+    score-all surface (a top-k cut would drop many-mid-turn parents),
+    ES min_children=2. The natural transcripts join: parent =
+    conversation, child = turn. Brute-combine gates at all four
+    score modes in tests/test_parentchild.py."""
+    from searchengine_spark.query.parentchild import has_child_topk
+
+    pidx, _, cfg = _transcripts_pidx(spark)
+    return has_child_topk(
+        pidx, TRANSCRIPTS_QUERIES, cfg, score_mode="sum",
+        min_children=HAS_CHILD_MIN, k=10, round_dp=6)
+
+
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent (query/parentchild.py): turns of LONG conversations
+    only (parent property n_turns >= 60, derived by conversation_stats
+    from the docmap — no extra source scan), ranked by ordinary BM25 —
+    the parent filter resolves through the doc_filter seam BEFORE the
+    top-k heap (the filter_doc_ids contract). Oracle: the transcripts
+    ranking restricted to conversations the VALUES corpus itself says
+    are long."""
+    from searchengine_spark.query.parentchild import (
+        conversation_stats,
+        has_parent_doc_filter,
+    )
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    pidx, _, cfg = _transcripts_pidx(spark)
+    flt = has_parent_doc_filter(
+        pidx, conversation_stats(pidx),
+        f"n_turns >= {HAS_PARENT_MIN_TURNS}")
+    topk = bm25_topk_packed_batch(
+        pidx, TRANSCRIPTS_QUERIES, cfg, k=10, round_dp=6, doc_filter=flt)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", "doc_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "score", F.col("rank").cast("long").alias("rank"))
 
 
 def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4741,6 +4799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_expansion": q_sparse_expansion,
         "sparse_pruned": q_sparse_pruned,
         "context_window": q_context_window,
+        "has_child_search": q_has_child,
+        "has_parent_search": q_has_parent,
         "temperature_mix": q_temperature_mix,
         "intervals_ordered": q_intervals_ordered,
         "prefix_search": q_prefix_search,
@@ -8535,6 +8595,95 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
     # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
     # blending, or stale downstream stage in the merge hash-mismatches
     sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
+
+    # ---- has_child / has_parent: the conversation<->turn join moved
+    # into SQL — sum-combine of rounded per-turn scores per parent with
+    # the min_children floor; and the long-conversation doc filter
+    # applied BEFORE the rank window
+    sqls["has_child_search"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, round(sum({_bm25_contrib_sql()}), 6) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+parents AS (
+  SELECT s.query_id, d.conv_id, round(sum(s.s), 6) AS score,
+         count(*)::BIGINT AS n_matching
+  FROM scored s JOIN docs d USING (doc_id)
+  GROUP BY s.query_id, d.conv_id
+  HAVING count(*) >= {HAS_CHILD_MIN}
+),
+ranked AS (
+  SELECT query_id, conv_id, score, n_matching,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, conv_id ASC) AS rank
+  FROM parents
+)
+SELECT query_id, conv_id, score, n_matching, rank FROM ranked WHERE rank <= 10
+"""
+
+    sqls["has_parent_search"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+long_convs AS (
+  SELECT conv_id FROM docs GROUP BY conv_id
+  HAVING count(*) >= {HAS_PARENT_MIN_TURNS}
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+eligible AS (
+  SELECT s.query_id, s.doc_id, s.s
+  FROM scored s JOIN docs d USING (doc_id)
+  JOIN long_convs lc ON lc.conv_id = d.conv_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM eligible
+)
+SELECT r.query_id, r.doc_id, d.conv_id, d.turn_idx, r.score, r.rank
+FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
 
     # ---- context windows: the same ranking cut to top-3, each hit
     # range-joined to its conversation's ±window turns (edges truncate)

@@ -2610,6 +2610,12 @@ def main() -> None:
                          "how the INDEX'S tokenizer chain analyzes TEXT "
                          "— token/position/offsets JSON; --index or "
                          "--shards")
+    ap.add_argument("--has-child", default=None,
+                    metavar="max|sum|min|avg[:MIN[:MAX]]",
+                    help="ES has_child analog (query/parentchild.py): "
+                         "rank CONVERSATIONS by their matching turns' "
+                         "combined BM25 (score_mode + ES min/max_children"
+                         " bounds); score-all surface; --index only")
     ap.add_argument("--intervals", default=None,
                     metavar="ordered|unordered[:MAX_GAPS]",
                     help="ES intervals query (query/intervals.py): "
@@ -3353,6 +3359,22 @@ def main() -> None:
             rows = local_span_not(searcher, inc, exc, pre=args.span_pre,
                                   post=args.span_post, k=args.n)
         print(json.dumps({"hits": rows}, default=str))
+        return
+
+    if args.has_child:
+        from searchengine_spark.query.parentchild import has_child_topk
+
+        parts = args.has_child.split(":")
+        mode = parts[0]
+        min_c = int(parts[1]) if len(parts) > 1 else 1
+        max_c = int(parts[2]) if len(parts) > 2 else None
+        if not args.query:
+            raise SystemExit("--has-child wants --query/--queries-file")
+        out = has_child_topk(
+            pidx, args.query, cfg, score_mode=mode, min_children=min_c,
+            max_children=max_c, k=args.n, round_dp=6)
+        print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
+                         default=str))
         return
 
     if args.intervals:

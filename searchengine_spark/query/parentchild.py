@@ -1,0 +1,121 @@
+"""Parent-child retrieval over conversation transcripts — the ES
+join-field queries (``has_child`` / ``has_parent``) mapped onto the
+corpus's NATURAL join: parent = conversation, child = turn. The
+reference (and our index) scores turns; these operators move between
+the two levels:
+
+- :func:`has_child_topk` — "find CONVERSATIONS whose turns match the
+  query": per-turn BM25 rides the score-all surface (a top-k cut would
+  drop a conversation whose many mid-scoring turns sum high), then one
+  partial-aggregable groupBy(conv) combines per ES ``score_mode``
+  (max / sum / min / avg — max is ES's default) with the ES
+  ``min_children`` / ``max_children`` bounds (a conversation must have
+  between so-many and so-many matching turns to qualify).
+- :func:`has_parent_doc_filter` — "find TURNS whose conversation
+  satisfies a parent-level predicate": parent properties live in (or
+  derive from) a conversation-level table; the filter resolves to a
+  doc_filter frame that the ordinary attribute-filtered retrieval seam
+  consumes (BEFORE the top-k heap — the filter_doc_ids contract).
+
+Scoring contract (gated in tests/test_parentchild.py): per-turn scores
+are rounded (round_dp) BEFORE the combine — the serving surface's own
+rounding — and the combined score is re-rounded, ranked (score desc,
+conv_id asc). ``avg`` divides the rounded sum by the matching-turn
+count and re-rounds (documented: ES computes avg on unrounded floats;
+ours re-derives from the same rounded per-turn scores both engines
+see, keeping the oracle exact).
+
+No reference counterpart; semantics follow the Elasticsearch
+has_child / has_parent queries (join field type).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import TokenizerConfig
+
+SCORE_MODES = ("max", "sum", "min", "avg")
+
+
+def has_child_topk(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: Optional[int] = None,
+    k: int = 10,
+    round_dp: int = 6,
+    parent_col: str = "conv_id",
+) -> DataFrame:
+    """-> (query_id, conv_id, score, n_matching, rank): conversations
+    ranked by their matching turns' combined BM25."""
+    from .wand import bm25_scores_packed_batch
+
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    if max_children is not None and max_children < min_children:
+        raise ValueError("max_children must be >= min_children")
+    if parent_col not in pidx.docmap.columns:
+        raise ValueError(f"docmap lacks parent column {parent_col!r}")
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, round_dp=round_dp)
+    turns = scores.join(pidx.docmap.select("doc_id", parent_col), "doc_id")
+    combine = {
+        "max": F.max("score"), "sum": F.sum("score"),
+        "min": F.min("score"), "avg": F.sum("score"),
+    }[score_mode]
+    grouped = turns.groupBy("query_id", parent_col).agg(
+        combine.alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_matching"),
+    )
+    if score_mode == "avg":
+        grouped = grouped.withColumn("_s", F.col("_s") / F.col("n_matching"))
+    grouped = grouped.withColumn("score", F.round("_s", round_dp))
+    grouped = grouped.filter(F.col("n_matching") >= min_children)
+    if max_children is not None:
+        grouped = grouped.filter(F.col("n_matching") <= max_children)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(parent_col))
+    return (
+        grouped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", parent_col, "score", "n_matching", "rank")
+    )
+
+
+def has_parent_doc_filter(
+    pidx,
+    parent_attrs: DataFrame,
+    predicate: str,
+    parent_col: str = "conv_id",
+) -> DataFrame:
+    """-> (doc_id) frame of turns whose PARENT satisfies ``predicate``
+    (a Spark SQL expression over the parent-level table) — feed it to
+    any retrieval's ``doc_filter`` seam. ``parent_attrs`` carries one
+    row per parent (conv_id + parent properties)."""
+    if parent_col not in parent_attrs.columns:
+        raise ValueError(f"parent_attrs lacks {parent_col!r}")
+    if parent_col not in pidx.docmap.columns:
+        raise ValueError(f"docmap lacks parent column {parent_col!r}")
+    parents = parent_attrs.filter(F.expr(predicate)).select(parent_col)
+    return pidx.docmap.join(
+        F.broadcast(parents.distinct()), parent_col).select("doc_id")
+
+
+def conversation_stats(pidx, parent_col: str = "conv_id") -> DataFrame:
+    """-> (conv_id, n_turns, first_turn, last_turn): derived parent
+    properties from the docmap alone — the parent table many
+    has_parent predicates need (length/recency-class filters) without
+    any extra source scan."""
+    return pidx.docmap.groupBy(parent_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+    )

@@ -1,0 +1,128 @@
+"""Parent-child gates (query/parentchild.py): has_child equals a brute
+Python combine of the gated score-all surface at every score_mode,
+min/max_children bound the qualifying set exactly, has_parent's doc
+filter composed into BM25 equals direct conversation-restricted
+retrieval, and conversation_stats matches the docmap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.transcripts import transcripts_df
+from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+from searchengine_spark.query.parentchild import (
+    conversation_stats,
+    has_child_topk,
+    has_parent_doc_filter,
+)
+from searchengine_spark.query.wand import (
+    bm25_scores_packed_batch,
+    bm25_topk_packed_batch,
+)
+from searchengine_spark.tokenizer import TokenizerConfig
+
+QUERIES = ["greatest rock album", "guitar solo"]
+
+
+@pytest.fixture(scope="module")
+def cfg(stop_words):
+    return TokenizerConfig(min_token_length=3, stop_words=stop_words)
+
+
+@pytest.fixture(scope="module")
+def packed(spark, cfg, tmp_path_factory):
+    corpus = transcripts_df(spark, n_conv=15, n_partitions=4)
+    path = str(tmp_path_factory.mktemp("pc") / "idx")
+    build_packed_index(corpus, cfg, path, chunk_docs=128)
+    return load_packed_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def turn_scores(packed, cfg):
+    scores = bm25_scores_packed_batch(packed, QUERIES, cfg, round_dp=6)
+    conv = {r["doc_id"]: r["conv_id"] for r in packed.docmap.collect()}
+    out: dict = {}
+    for r in scores.collect():
+        out.setdefault((r["query_id"], conv[r["doc_id"]]), []).append(
+            r["score"])
+    return out
+
+
+@pytest.mark.parametrize("mode", ["max", "sum", "min", "avg"])
+def test_matches_brute_combine(packed, cfg, turn_scores, mode):
+    got = {}
+    out = has_child_topk(packed, QUERIES, cfg, score_mode=mode, k=1000)
+    for r in out.collect():
+        got[(r["query_id"], r["conv_id"])] = (
+            r["score"], r["n_matching"], r["rank"])
+    want = {}
+    for key, ss in turn_scores.items():
+        if mode == "max":
+            s = max(ss)
+        elif mode == "min":
+            s = min(ss)
+        elif mode == "sum":
+            s = sum(ss)
+        else:
+            s = sum(ss) / len(ss)
+        want[key] = (round(s, 6), len(ss))
+    assert set(got) == set(want)
+    tol = 2e-6 if mode == "avg" else 1e-9  # avg: Spark half-up round vs
+    # Python half-even on decimal-boundary quotients (repo-known policy
+    # split; the ORACLE side mirrors Spark exactly, this brute does not)
+    for key, (s, n) in want.items():
+        gs, gn, _ = got[key]
+        assert gn == n and abs(gs - s) <= tol, key
+    # ranks follow (score desc, conv asc) per query, using the ENGINE's
+    # own rounded scores (mode-independent check)
+    for qid in range(len(QUERIES)):
+        ranked = sorted(
+            ((k_[1], v) for k_, v in got.items() if k_[0] == qid),
+            key=lambda cv: cv[1][2])
+        resorted = sorted(ranked, key=lambda cv: (-cv[1][0], cv[0]))
+        assert ranked == resorted
+
+
+def test_children_bounds(packed, cfg, turn_scores):
+    out = has_child_topk(packed, QUERIES, cfg, score_mode="max",
+                         min_children=3, max_children=5, k=1000)
+    got = {(r["query_id"], r["conv_id"]) for r in out.collect()}
+    want = {key for key, ss in turn_scores.items() if 3 <= len(ss) <= 5}
+    assert got == want
+
+
+def test_has_parent_filter_composes(spark, packed, cfg):
+    stats = conversation_stats(packed)
+    doc_filter = has_parent_doc_filter(packed, stats, "n_turns >= 60")
+    allowed_convs = {r["conv_id"] for r in
+                     stats.filter("n_turns >= 60").collect()}
+    assert allowed_convs  # fixture must exercise the predicate
+    topk = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=doc_filter)
+    conv = {r["doc_id"]: r["conv_id"] for r in packed.docmap.collect()}
+    rows = topk.collect()
+    assert rows and all(conv[r["doc_id"]] in allowed_convs for r in rows)
+    # equals retrieval restricted via an explicit docmap-derived filter
+    direct = packed.docmap.filter(
+        F.col("conv_id").isin(sorted(allowed_convs))).select("doc_id")
+    want = bm25_topk_packed_batch(
+        packed, QUERIES, cfg, k=10, round_dp=6, doc_filter=direct)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
+
+
+def test_stats_and_validation(packed, cfg):
+    stats = {r["conv_id"]: (r["n_turns"], r["first_turn"], r["last_turn"])
+             for r in conversation_stats(packed).collect()}
+    docmap: dict = {}
+    for r in packed.docmap.collect():
+        docmap.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    assert set(stats) == set(docmap)
+    for c, turns in docmap.items():
+        assert stats[c] == (len(turns), min(turns), max(turns))
+    with pytest.raises(ValueError):
+        has_child_topk(packed, QUERIES, cfg, score_mode="geometric")
+    with pytest.raises(ValueError):
+        has_child_topk(packed, QUERIES, cfg, min_children=0)
+    with pytest.raises(ValueError):
+        has_child_topk(packed, QUERIES, cfg, min_children=3, max_children=2)
