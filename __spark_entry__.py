@@ -4605,6 +4605,29 @@ def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTEXT_NB, CONTEXT_NA, CONTEXT_K = 1, 2, 3
 HAS_CHILD_MIN, HAS_PARENT_MIN_TURNS = 2, 60
+CONV_DUP_N = 3  # first N conv ids get a relabeled duplicate injected
+
+
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup (textops/dedup.py
+    conversation_fingerprints/conversation_duplicates): transcripts
+    dedup WHOLE conversations, not turns — the fingerprint is md5 of
+    the turn-ordered per-turn md5s (order-sensitive: a reordered
+    dialogue is NOT a duplicate; gated in tests/test_conv_dedup.py).
+    The fixture injects relabeled copies of the first 3 conversations;
+    the operator must find exactly those groups with the
+    lexicographically-smallest canonical."""
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.textops.dedup import conversation_duplicates
+
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    ids = [r["conv_id"] for r in corpus.select("conv_id").distinct()
+           .orderBy("conv_id").limit(CONV_DUP_N).collect()]
+    dups = corpus.filter(F.col("conv_id").isin(ids)).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_dup")))
+    full = corpus.unionByName(dups)
+    return conversation_duplicates(full).select(
+        "conv_id", "canonical_conv", "group_size")
 
 
 def _transcripts_pidx(spark: SparkSession):
@@ -4801,6 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window": q_context_window,
         "has_child_search": q_has_child,
         "has_parent_search": q_has_parent,
+        "conversation_dedup": q_conversation_dedup,
         "temperature_mix": q_temperature_mix,
         "intervals_ordered": q_intervals_ordered,
         "prefix_search": q_prefix_search,
@@ -8595,6 +8619,33 @@ FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
     # transcripts_wand_topk SQL — any docID-range concatenation, shard-stat
     # blending, or stale downstream stage in the merge hash-mismatches
     sqls["sharded_merge_search"] = sqls["transcripts_wand_topk"]
+
+    # ---- conversation dedup: order-sensitive whole-conversation
+    # fingerprints over the VALUES corpus + injected relabeled copies
+    conv_ids = sorted(set(tpdf["conv_id"]))[:CONV_DUP_N]
+    conv_ids_sql = ", ".join(_sql_quote(c) for c in conv_ids)
+    sqls["conversation_dedup"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+allc AS (
+  SELECT conv_id, turn_idx, text FROM t
+  UNION ALL
+  SELECT conv_id || '_dup', turn_idx, text FROM t
+  WHERE conv_id IN ({conv_ids_sql})
+),
+pt AS (SELECT conv_id, turn_idx, md5(text) AS h FROM allc),
+fps AS (
+  SELECT conv_id, md5(string_agg(h, '|' ORDER BY turn_idx)) AS fp
+  FROM pt GROUP BY conv_id
+),
+groups AS (
+  SELECT fp, min(conv_id) AS canonical_conv, count(*)::BIGINT AS group_size
+  FROM fps GROUP BY fp HAVING count(*) >= 2
+)
+SELECT f.conv_id, g.canonical_conv, g.group_size
+FROM fps f JOIN groups g USING (fp)
+"""
 
     # ---- has_child / has_parent: the conversation<->turn join moved
     # into SQL — sum-combine of rounded per-turn scores per parent with

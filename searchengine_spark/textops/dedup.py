@@ -423,3 +423,67 @@ def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def conversation_fingerprints(
+    corpus: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (conv_id, n_turns, fp): ORDER-SENSITIVE whole-conversation
+    fingerprint — md5 of the '|'-joined per-turn md5s in turn order —
+    the conversation-level twin of the per-doc exact-dedup hash (a
+    training corpus of transcripts dedups whole conversations, not
+    turns: the same reply inside two different dialogues is not a
+    duplicate). Reordered or edited turns change the fingerprint;
+    per-turn hashing keeps the agg input small (32 hex chars per turn,
+    not the text). One partial-aggregable groupBy; the ordered join
+    rides array_sort over (turn_idx, hash) structs — deterministic at
+    any parallelism, no window."""
+    per_turn = corpus.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("long").alias("_t"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("_t"), F.col("_h")))
+                        ),
+                        lambda x: x["_h"],
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .select("conv_id", "n_turns", "fp")
+    )
+
+
+def conversation_duplicates(
+    corpus: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (conv_id, canonical_conv, group_size) for conversations whose
+    ENTIRE ordered turn sequence duplicates another's — canonical =
+    lexicographically smallest conv_id in the group (the exact-dedup
+    keep-rule), singletons excluded. One more bounded agg + self-join
+    on the fingerprint (group sizes are duplicate multiplicities, tiny
+    by construction)."""
+    fps = conversation_fingerprints(corpus, conv_col, turn_col, text_col)
+    groups = fps.groupBy("fp").agg(
+        F.min("conv_id").alias("canonical_conv"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    ).filter(F.col("group_size") >= 2)
+    return (
+        fps.join(groups, "fp")
+        .select("conv_id", "canonical_conv", "group_size")
+    )
