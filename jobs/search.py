@@ -2432,6 +2432,15 @@ def _serve_federated(spark, args) -> None:
             topk = proximity_topk_federated(
                 shards, batch, cfg, k=args.n,
                 mode=args.ranker.split("_")[0], schema=args.schema)
+        elif args.ranker == "bool_prefix":
+            from searchengine_spark.query.federated import (
+                match_bool_prefix_topk_federated,
+            )
+
+            topk = match_bool_prefix_topk_federated(
+                shards, batch, cfg, k=args.n).select(
+                "query_id", "doc_id", "score",
+                F.col("rank").cast("int").alias("rank"))
         elif args.ranker in ("phrase", "phrase_prefix"):
             from searchengine_spark.query.federated import (
                 phrase_prefix_topk_federated,
@@ -2461,9 +2470,28 @@ def _serve_federated(spark, args) -> None:
             from searchengine_spark.tokenizer import tokenize_text
 
             op = args.ranker.split("_")[1]
-            hits = boolean_search_federated(shards, batch, cfg, op=op,
-                                            exclude_terms=excludes)
-            if op == "or":
+            if args.constant_score is not None:
+                # ES constant_score, federated: membership shard-exact,
+                # doc_id-ASC ranks = the federation tie order
+                from searchengine_spark.query.federated import (
+                    constant_score_topk_federated,
+                )
+
+                if excludes:
+                    raise SystemExit("--constant-score does not combine "
+                                     "with '-term' negation")
+                topk = constant_score_topk_federated(
+                    shards, batch, cfg, boost=args.constant_score,
+                    op=op, k=args.n).select(
+                    "query_id", "doc_id", "score",
+                    F.col("rank").cast("int").alias("rank"))
+                hits = None
+            else:
+                hits = boolean_search_federated(shards, batch, cfg, op=op,
+                                                exclude_terms=excludes)
+            if hits is None:
+                pass
+            elif op == "or":
                 topk = hits.select(
                     "query_id", "doc_id",
                     F.col("n_terms").cast("double").alias("score"),
@@ -2616,6 +2644,11 @@ def main() -> None:
                          "rank CONVERSATIONS by their matching turns' "
                          "combined BM25 (score_mode + ES min/max_children"
                          " bounds); score-all surface; --index only")
+    ap.add_argument("--has-child-inner", type=int, default=None,
+                    metavar="N",
+                    help="with --has-child: ES inner_hits — each top-k "
+                         "conversation carries its best N matching turns "
+                         "from the same score-all pass")
     ap.add_argument("--intervals", default=None,
                     metavar="ordered|unordered[:MAX_GAPS]",
                     help="ES intervals query (query/intervals.py): "
@@ -3370,9 +3403,19 @@ def main() -> None:
         max_c = int(parts[2]) if len(parts) > 2 else None
         if not args.query:
             raise SystemExit("--has-child wants --query/--queries-file")
-        out = has_child_topk(
-            pidx, args.query, cfg, score_mode=mode, min_children=min_c,
-            max_children=max_c, k=args.n, round_dp=6)
+        if args.has_child_inner:
+            from searchengine_spark.query.parentchild import (
+                has_child_inner_hits,
+            )
+
+            out = has_child_inner_hits(
+                pidx, args.query, cfg, score_mode=mode,
+                min_children=min_c, max_children=max_c, k=args.n,
+                n_inner=args.has_child_inner, round_dp=6)
+        else:
+            out = has_child_topk(
+                pidx, args.query, cfg, score_mode=mode, min_children=min_c,
+                max_children=max_c, k=args.n, round_dp=6)
         print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
                          default=str))
         return
@@ -3559,15 +3602,10 @@ def main() -> None:
             or args.random_score) and args.serve_mode == "local":
         raise SystemExit("--sort/--decay/--fvf/--random-score run on the "
                          "distributed tier (serve-mode auto/spark)")
-    if args.ranker == "bool_prefix" and args.shards:
-        raise SystemExit("--ranker bool_prefix serves from a single index "
-                         "(query/boolprefix.py; no federated path yet)")
     if args.constant_score is not None:
         if args.ranker not in ("boolean_and", "boolean_or"):
             raise SystemExit("--constant-score wraps the boolean rankers "
                              "(--ranker boolean_and|boolean_or)")
-        if args.shards:
-            raise SystemExit("--constant-score serves from a single index")
     if args.count_only:
         if args.shards:
             raise SystemExit("--count-only serves from a single index")

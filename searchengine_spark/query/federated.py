@@ -914,9 +914,11 @@ def boolean_search_federated(
     cfg: TokenizerConfig,
     op: str = "and",
     exclude_terms: dict | None = None,
+    query_terms: "Sequence[Sequence[str]] | None" = None,
 ) -> DataFrame:
     """Federated boolean retrieval -> (query_id, doc_id[, n_terms for OR])
-    in the federation-global docID namespace.
+    in the federation-global docID namespace. ``query_terms`` is the
+    pre-analyzed bypass boolean_search_packed has (expansion callers).
 
     The simplest scatter-gather of all: a doc's membership (and its OR
     n_terms count) is decided entirely inside its own shard, and shard
@@ -937,7 +939,8 @@ def boolean_search_federated(
     parts = []
     for s, base in zip(shards, _doc_bases(shards)):
         local = boolean_search_packed(s, queries, cfg, op=op,
-                                      exclude_terms=exclude_terms)
+                                      exclude_terms=exclude_terms,
+                                      query_terms=query_terms)
         parts.append(
             local.select(
                 "query_id",
@@ -1373,3 +1376,96 @@ def intervals_topk_federated(
     if k is not None:
         ranked = ranked.filter(F.col("rank") <= k)
     return ranked
+
+
+def constant_score_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    boost: float = 1.0,
+    op: str = "and",
+    k: int = 10,
+) -> DataFrame:
+    """Federated ES constant_score -> (query_id, doc_id, score, rank)
+    in the federation docID namespace: membership is shard-local and
+    exact (the boolean argument), ranks are doc_id ASC — which IS the
+    federation tie order (shard asc then shard-local order), so the
+    page equals the merged index's page. Still statistics-free."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {}))
+    matched = boolean_search_federated(shards, list(queries), cfg, op=op)
+    w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    return (
+        matched.select("query_id", "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.lit(float(boost)))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def match_bool_prefix_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig | None = None,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Federated ES match_bool_prefix -> (query_id, doc_id, score,
+    rank). The statistics contract stacks two existing federation
+    rules: full terms score dfs_query_then_fetch (idf federation-
+    global, dl_norm shard-local — bm25_scores_federated), and the
+    prefix expands against the FEDERATION-GLOBAL dictionary with the
+    global df-desc cap (the phrase_prefix / suggest rule: per-shard
+    expansion caps would be WRONG — a term just under every local cap
+    can win on summed df). The constant prefix clause is membership
+    (shard-local exact); ties rank in the federation docID namespace."""
+    from pyspark.sql import Window
+
+    from .boolprefix import split_bool_prefix
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _check_compat(shards)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {}))
+    split = [split_bool_prefix(q, cfg) for q in queries]
+    prefixes = list(dict.fromkeys(p for _, p in split if p))
+    exp_of: dict = {}
+    if prefixes:
+        gdict = _global_dictionary(shards)
+        for p in prefixes:
+            rows = (
+                gdict.filter(F.col("term").startswith(p))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect()
+            )
+            exp_of[p] = [r["term"] for r in rows]
+    term_lists = [full for full, _ in split]
+    scores = bm25_scores_federated(
+        shards, list(queries), cfg, round_dp=None, query_terms=term_lists)
+    exp_lists = [exp_of.get(p, []) if p else [] for _, p in split]
+    pref = boolean_search_federated(
+        shards, list(queries), cfg, op="or", query_terms=exp_lists,
+    ).select("query_id", "doc_id", F.lit(1.0).alias("pref"))
+    combined = (
+        scores.select("query_id", "doc_id", "score")
+        .join(pref, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id",
+            F.round(
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.coalesce(F.col("pref"), F.lit(0.0)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

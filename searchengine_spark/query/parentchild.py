@@ -119,3 +119,48 @@ def conversation_stats(pidx, parent_col: str = "conv_id") -> DataFrame:
         F.min("turn_idx").cast("long").alias("first_turn"),
         F.max("turn_idx").cast("long").alias("last_turn"),
     )
+
+
+def has_child_inner_hits(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: Optional[int] = None,
+    k: int = 10,
+    n_inner: int = 3,
+    round_dp: int = 6,
+    parent_col: str = "conv_id",
+) -> DataFrame:
+    """ES has_child ``inner_hits`` -> (query_id, conv_id, group_rank,
+    hit_rank, doc_id, score): each top-``k`` conversation (the
+    :func:`has_child_topk` ranking) carries its best ``n_inner``
+    matching turns by per-turn score (doc_id ties) — from the SAME
+    score-all pass, one extra bounded window (the collapse.inner_hits
+    shape applied to the parent join)."""
+    from .wand import bm25_scores_packed_batch
+
+    if n_inner < 1:
+        raise ValueError(f"n_inner must be >= 1, got {n_inner}")
+    parents = has_child_topk(
+        pidx, queries, cfg, score_mode=score_mode,
+        min_children=min_children, max_children=max_children, k=k,
+        round_dp=round_dp, parent_col=parent_col)
+    scores = bm25_scores_packed_batch(
+        pidx, list(queries), cfg, round_dp=round_dp)
+    turns = scores.join(pidx.docmap.select("doc_id", parent_col), "doc_id")
+    joined = turns.join(
+        F.broadcast(parents.select(
+            "query_id", parent_col,
+            F.col("rank").alias("group_rank"))),
+        ["query_id", parent_col],
+    )
+    w = Window.partitionBy("query_id", parent_col).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("hit_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hit_rank") <= n_inner)
+        .select("query_id", parent_col, "group_rank", "hit_rank",
+                "doc_id", "score")
+    )

@@ -104,3 +104,78 @@ def test_empty_and_validation(packed, cfg):
     assert match_bool_prefix_topk(packed, ["", "   "], cfg, k=5).count() == 0
     with pytest.raises(ValueError):
         match_bool_prefix_topk(packed, ["x"], cfg, k=0)
+
+
+@pytest.fixture(scope="module")
+def shard_pair(spark, cfg, tmp_path_factory):
+    corpus = transcripts_df(spark, n_conv=25, n_partitions=4)
+    base = tmp_path_factory.mktemp("mbp_shards")
+    out = []
+    for i, pred in enumerate((F.col("turn_idx") % 2 == 0,
+                              F.col("turn_idx") % 2 == 1)):
+        p = str(base / f"s{i}")
+        build_packed_index(corpus.filter(pred), cfg, p, chunk_docs=128)
+        out.append(load_packed_index(spark, p))
+    return out
+
+
+def test_federated_matches_python_combine(spark, shard_pair, cfg):
+    """Composition gate on the federation: scores from the gated
+    federated score-all + constant from federated boolean OR over the
+    GLOBAL-dictionary expansions."""
+    from searchengine_spark.query.boolprefix import split_bool_prefix
+    from searchengine_spark.query.federated import (
+        _global_dictionary,
+        bm25_scores_federated,
+        boolean_search_federated,
+        match_bool_prefix_topk_federated,
+    )
+
+    out = match_bool_prefix_topk_federated(
+        shard_pair, QUERIES, cfg, k=10)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+
+    split = [split_bool_prefix(q, cfg) for q in QUERIES]
+    gdict = {r["term"]: r["df"] for r in _global_dictionary(shard_pair).collect()}
+    exp_lists = []
+    for _, p in split:
+        if not p:
+            exp_lists.append([])
+            continue
+        cands = sorted(((t, df) for t, df in gdict.items()
+                        if t.startswith(p)), key=lambda td: (-td[1], td[0]))
+        exp_lists.append([t for t, _ in cands[:50]])
+    scores = bm25_scores_federated(
+        shard_pair, QUERIES, cfg, query_terms=[f for f, _ in split])
+    base = {(r["query_id"], r["doc_id"]): r["score"] for r in scores.collect()}
+    pref = boolean_search_federated(
+        shard_pair, QUERIES, cfg, op="or", query_terms=exp_lists)
+    pset = {(r["query_id"], r["doc_id"]) for r in pref.collect()}
+    combined: dict = dict(base)
+    for key in pset:
+        combined[key] = combined.get(key, 0.0) + 1.0
+    want: dict = {}
+    for (qid, doc), s in combined.items():
+        want.setdefault(qid, []).append((round(s, 6), doc))
+    for qid, lst in want.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        expect = [(i + 1, d, s) for i, (s, d) in enumerate(lst[:10])]
+        assert got.get(qid, []) == expect, qid
+
+
+def test_federated_constant_score(spark, shard_pair, cfg):
+    from searchengine_spark.query.federated import (
+        boolean_search_federated,
+        constant_score_topk_federated,
+    )
+
+    out = constant_score_topk_federated(
+        shard_pair, ["the search engine"], cfg, boost=3.0, op="and", k=6)
+    rows = sorted((r["rank"], r["doc_id"], r["score"]) for r in out.collect())
+    want_docs = sorted(
+        r["doc_id"] for r in boolean_search_federated(
+            shard_pair, ["the search engine"], cfg, op="and").collect())[:6]
+    assert rows == [(i + 1, d, 3.0) for i, d in enumerate(want_docs)]

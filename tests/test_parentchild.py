@@ -126,3 +126,31 @@ def test_stats_and_validation(packed, cfg):
         has_child_topk(packed, QUERIES, cfg, min_children=0)
     with pytest.raises(ValueError):
         has_child_topk(packed, QUERIES, cfg, min_children=3, max_children=2)
+
+
+def test_inner_hits(packed, cfg, turn_scores):
+    from searchengine_spark.query.parentchild import has_child_inner_hits
+
+    out = has_child_inner_hits(
+        packed, QUERIES, cfg, score_mode="sum", k=5, n_inner=2)
+    rows = out.collect()
+    assert rows
+    parents = has_child_topk(
+        packed, QUERIES, cfg, score_mode="sum", k=5)
+    prank = {(r["query_id"], r["conv_id"]): r["rank"]
+             for r in parents.collect()}
+    scores = bm25_scores_packed_batch(packed, QUERIES, cfg, round_dp=6)
+    conv = {r["doc_id"]: r["conv_id"] for r in packed.docmap.collect()}
+    per_group: dict = {}
+    for r in scores.collect():
+        key = (r["query_id"], conv[r["doc_id"]])
+        if key in prank:
+            per_group.setdefault(key, []).append((-r["score"], r["doc_id"]))
+    got: dict = {}
+    for r in rows:
+        key = (r["query_id"], r["conv_id"])
+        assert r["group_rank"] == prank[key]
+        got.setdefault(key, []).append((r["hit_rank"], r["doc_id"], r["score"]))
+    for key, hits in per_group.items():
+        want = [(i + 1, d, -s) for i, (s, d) in enumerate(sorted(hits)[:2])]
+        assert sorted(got[key]) == want, key
