@@ -4301,6 +4301,42 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSM_PCT_SPEC = "67%"
+
+
+def q_min_should_match_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match VALUE GRAMMAR (query/msm.py): one '67%'
+    spec resolves to a per-query floor (floor(n·67/100), clamp below 1
+    to 1 — the Lucene spec rules, incl. negatives, gated in
+    tests/test_msm.py), fanned into the scorers as a {query_id: floor}
+    map. The oracle hard-codes each query's resolved floor (computed
+    at SQL-gen time from the same spec) into per-query HAVING
+    coverage filters."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.msm import msm_map
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    mm = msm_map(MSM_PCT_SPEC, qs, CFG)
+    topk = bm25_topk_packed_batch(
+        pidx, qs, CFG, k=10, round_dp=6, min_should_match=mm)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", F.col("ext_id").alias("doc_id"), "score",
+        F.col("rank").cast("long").alias("rank"))
+
+
 CONSTANT_SCORE_BOOST = 1.5
 APPROX_FACET_SHARDS, APPROX_FACET_SHARD_SIZE = 4, 8
 
@@ -4792,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": q_bm25_page2,
         "search_after_page": q_search_after_page,
         "min_should_match": q_min_should_match,
+        "min_should_match_pct": q_min_should_match_pct,
         "boosting_query": q_boosting_query,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
@@ -5175,6 +5212,33 @@ scored AS (
   FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
   GROUP BY q.query_id, idx.doc_id
   HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # msm value grammar: the '67%' spec resolved per query at SQL-gen
+    # time (same resolver the engine uses) -> per-query HAVING floors
+    from searchengine_spark.query.msm import msm_map as _msm_map
+
+    _pct_floors = _msm_map(
+        MSM_PCT_SPEC, [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)], CFG)
+    _pct_having = " OR ".join(
+        f"(q.query_id = {qid} AND count(*) >= {floor})"
+        for qid, floor in sorted(_pct_floors.items()))
+    sqls["min_should_match_pct"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+  HAVING {_pct_having}
 ),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,

@@ -124,6 +124,12 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
     parquet sink (--queries-file/--output) instead of the driver."""
     from pyspark.sql import functions as F
 
+    if isinstance(min_match, str):
+        # ES/Lucene minimum_should_match value grammar (query/msm.py):
+        # one spec, per-query resolved floors
+        from searchengine_spark.query.msm import msm_map
+
+        min_match = msm_map(min_match, queries, cfg)
     if max_cost is not None:
         # ES circuit-breaker analog (query/cost.py): refuse the request
         # before decoding a single posting
@@ -580,6 +586,26 @@ def _wc(args):
     if not args.wildcard:
         return None
     return (args.max_expansions, args.allow_leading_wildcard)
+
+
+def _resolve_msm(spec, queries, cfg):
+    """--min-should-match value spec -> per-query {qid: floor} (ES/Lucene
+    grammar incl. negatives and percentages — query/msm.py), or None."""
+    if spec is None:
+        return None
+    from searchengine_spark.query.msm import msm_map
+
+    return msm_map(spec, queries, cfg)
+
+
+def _resolve_msm_one(spec, query, cfg):
+    if spec is None:
+        return None
+    from searchengine_spark.query.msm import resolve_min_should_match
+    from searchengine_spark.tokenizer import tokenize_text
+
+    n = len(dict.fromkeys(tokenize_text(query, cfg)))
+    return resolve_min_should_match(spec, max(n, 1))
 
 
 def _facet_approx(args):
@@ -2301,7 +2327,8 @@ def _serve_federated(spark, args) -> None:
                 fuzzy=args.fuzzy, filter_docs=filter_ids, boost_docs=boost_map,
                 exclude=neg or None, offset=args.offset,
                 search_after=cursor,
-                min_should_match=args.min_should_match,
+                min_should_match=_resolve_msm_one(args.min_should_match,
+                                                  pos, cfg),
                 demote=(args.demote.split() if args.demote else None),
                 negative_boost=args.negative_boost,
                 wildcard=args.wildcard, max_expansions=args.max_expansions,
@@ -2375,7 +2402,8 @@ def _serve_federated(spark, args) -> None:
                 group_col=args.collapse,
                 conjunctive=args.ranker == "bm25_and",
                 exclude_terms=excludes,
-                min_should_match=args.min_should_match)
+                min_should_match=_resolve_msm(args.min_should_match,
+                                              batch, cfg))
         elif args.ranker == "bm25" and prf:
             from searchengine_spark.query.federated import (
                 prf_bm25_topk_federated,
@@ -2422,7 +2450,8 @@ def _serve_federated(spark, args) -> None:
                 exclude_terms=excludes, offset=args.offset,
                 search_after=({i: cursor for i in range(len(batch))}
                               if cursor is not None else None),
-                min_should_match=args.min_should_match,
+                min_should_match=_resolve_msm(args.min_should_match,
+                                              batch, cfg),
                 demote_terms=dem_fed,
                 negative_boost=args.negative_boost)
         elif args.ranker == "tfidf":
@@ -2908,7 +2937,7 @@ def main() -> None:
     ap.add_argument("--negative-boost", type=float, default=0.5,
                     metavar="X", help="demotion multiplier in [0,1) "
                                       "(default 0.5)")
-    ap.add_argument("--min-should-match", type=int, default=None,
+    ap.add_argument("--min-should-match", type=str, default=None,
                     metavar="M",
                     help="ES minimum_should_match: only docs matching at "
                          "least M of the query's terms rank (M=1 is plain "
@@ -3622,7 +3651,8 @@ def main() -> None:
         rows = match_counts_packed(
             pidx, cqs, cfg, conjunctive=args.ranker == "bm25_and",
             exclude_terms=cex,
-            min_should_match=args.min_should_match).collect()
+            min_should_match=_resolve_msm(args.min_should_match,
+                                          cqs, cfg)).collect()
         for r in sorted(rows, key=lambda r: r["query_id"]):
             print(json.dumps({"query": args.query[r["query_id"]],
                               "count": int(r["n_matched"])}))
@@ -3700,7 +3730,8 @@ def main() -> None:
                                             exclude=neg or None,
                                             offset=args.offset,
                                             search_after=cursor,
-                                            min_should_match=args.min_should_match,
+                                            min_should_match=_resolve_msm_one(
+                                                args.min_should_match, pos, cfg),
                                             demote=(args.demote.split()
                                                     if args.demote else None),
                                             negative_boost=args.negative_boost,

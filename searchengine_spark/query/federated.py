@@ -579,11 +579,18 @@ def bm25_topk_federated(
                 "min_should_match and conjunctive are mutually exclusive "
                 "(conjunctive IS min_should_match = the term count)"
             )
-        if int(min_should_match) < 1:
+        mm_vals = (min_should_match.values()
+                   if isinstance(min_should_match, dict)
+                   else [min_should_match])
+        if any(int(v) < 1 for v in mm_vals):
             raise ValueError(
                 f"min_should_match must be >= 1, got {min_should_match}"
             )
-        mm_map = {qid: int(min_should_match) for qid, _ in rows}
+        if isinstance(min_should_match, dict):
+            mm_map = {qid: int(min_should_match[qid]) for qid, _ in rows
+                      if qid in min_should_match}
+        else:
+            mm_map = {qid: int(min_should_match) for qid, _ in rows}
     n_docs_total = sum(int(s.manifest["n_docs"]) for s in shards)
     k_top = (k + offset) if not exhaustive else max(k + offset, n_docs_total)
     scorer = _wand_scorer(
@@ -744,11 +751,18 @@ def bm25_scores_federated(
             raise ValueError(
                 "min_should_match and conjunctive are mutually exclusive"
             )
-        if int(min_should_match) < 1:
+        mm_vals = (min_should_match.values()
+                   if isinstance(min_should_match, dict)
+                   else [min_should_match])
+        if any(int(v) < 1 for v in mm_vals):
             raise ValueError(
                 f"min_should_match must be >= 1, got {min_should_match}"
             )
-        mm_map = {qid: int(min_should_match) for qid, _ in rows}
+        if isinstance(min_should_match, dict):
+            mm_map = {qid: int(min_should_match[qid]) for qid, _ in rows
+                      if qid in min_should_match}
+        else:
+            mm_map = {qid: int(min_should_match) for qid, _ in rows}
     scorer = _flat_scorer(params, round_dp, idf_map,
                           require_all=require_all, min_match=mm_map,
                           exclude_terms=ex_map,

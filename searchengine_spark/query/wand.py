@@ -616,11 +616,18 @@ def bm25_scores_packed_batch(
             raise ValueError(
                 "min_should_match and conjunctive are mutually exclusive"
             )
-        if int(min_should_match) < 1:
+        mm_vals = (min_should_match.values()
+                   if isinstance(min_should_match, dict)
+                   else [min_should_match])
+        if any(int(v) < 1 for v in mm_vals):
             raise ValueError(
                 f"min_should_match must be >= 1, got {min_should_match}"
             )
-        mm_map = {qid: int(min_should_match) for qid, _ in rows}
+        if isinstance(min_should_match, dict):
+            mm_map = {qid: int(min_should_match[qid]) for qid, _ in rows
+                      if qid in min_should_match}
+        else:
+            mm_map = {qid: int(min_should_match) for qid, _ in rows}
     scorer = _flat_scorer(pidx.params, round_dp, idf_map, decode=dec,
                           require_all=require_all, min_match=mm_map,
                           exclude_terms=ex_map)
@@ -844,7 +851,10 @@ def bm25_topk_packed_batch(
                 "min_should_match and conjunctive are mutually exclusive "
                 "(conjunctive IS min_should_match = the term count)"
             )
-        if int(min_should_match) < 1:
+        mm_vals = (min_should_match.values()
+                   if isinstance(min_should_match, dict)
+                   else [min_should_match])
+        if any(int(v) < 1 for v in mm_vals):
             raise ValueError(
                 f"min_should_match must be >= 1, got {min_should_match}"
             )
@@ -1048,8 +1058,12 @@ def bm25_topk_packed_batch(
                   for q, (s, d) in search_after.items()}
     mm_map = None
     if min_should_match is not None:
-        mm_map = {qid for qid, _ in rows}
-        mm_map = {qid: int(min_should_match) for qid in mm_map}
+        qids = {qid for qid, _ in rows}
+        if isinstance(min_should_match, dict):
+            mm_map = {qid: int(min_should_match[qid]) for qid in qids
+                      if qid in min_should_match}
+        else:
+            mm_map = {qid: int(min_should_match) for qid in qids}
     scorer = _wand_scorer(k_top, params, round_dp, idf_map, decode=dec,
                           qweights=term_weights, require_all=require_all,
                           min_match=mm_map,
