@@ -1094,10 +1094,11 @@ def boolean_search_packed(
     (src/models/posting_lists/boolean_posting_list.py:30-36).
 
     ``exclude_terms``: {query_id: normalized negated terms} — set
-    difference AFTER the AND/OR combine (query/negation.py semantics;
-    one distinct + left_anti exchange pair sized by the negated terms'
-    postings). A query whose every term is negated returns nothing:
-    pure-negation retrieval would be an unbounded corpus scan.
+    difference after the AND/OR combine (query/negation.py semantics),
+    applied chunk-locally in the kernel (every posting of a doc lives in
+    the doc's own chunk, so per-chunk exclusion IS the global one). A
+    query whose every term is negated returns nothing: pure-negation
+    retrieval would be an unbounded corpus scan.
 
     ``query_terms``: pre-normalized term lists (parallel to ``queries``)
     that BYPASS tokenization — the same override bm25_scores_packed_batch
@@ -1131,65 +1132,86 @@ def boolean_search_packed(
         return spark.createDataFrame(
             [], "query_id int, doc_id long, n_terms long"
         ).select("query_id", "doc_id", *([] if op == "and" else ["n_terms"]))
+    # Execution shape = the WAND plumbing, not a posting explode: the
+    # shuffle moves CHUNK BUFFERS to (query_id, chunk) groups — sized by
+    # matched chunk rows, not Σ df — and a numpy kernel does the per-chunk
+    # set algebra. Chunk locality makes it exact: every posting of a doc
+    # (positive or negated term) lives in the doc's own chunk, so per-chunk
+    # coverage counts, AND floors and exclusions ARE the global ones.
     qdf = spark.createDataFrame(
         [(q, t, False) for q, t in rows] + [(q, t, True) for q, t in ex_rows],
         "query_id int, term string, neg boolean",
     )
     all_terms = sorted({t for _, t in rows} | {t for _, t in ex_rows})
     pruned = pidx.index.filter(F.col("term").isin(all_terms))
-    matched = pruned.select("term", "postings").join(F.broadcast(qdf), "term")
+    matched = pruned.select("term", "chunk", "postings").join(
+        F.broadcast(qdf), "term")
     mask = pidx.delete_mask()
+    n_by_q = {qid: len({t for i, t in rows if i == qid})
+              for qid in {i for i, _ in rows}}
 
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.IntegerType(), False),
-            T.StructField("term", T.StringType(), False),
             T.StructField("doc_id", T.LongType(), False),
-            T.StructField("neg", T.BooleanType(), False),
+            T.StructField("n_terms", T.LongType(), False),
         ]
     )
 
-    def explode_docs(batches):
+    def combine_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..indexing.codec import decode_docs, decode_postings
 
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                docs = (
-                    decode_docs(bytes(row.postings))
-                    if boolean
-                    else decode_postings(bytes(row.postings))[0]
-                )
-                if mask is not None:
-                    docs = mask.mask_docs(docs)
-                outs.append(
-                    pd.DataFrame(
-                        {"query_id": row.query_id, "term": row.term,
-                         "doc_id": docs, "neg": row.neg}
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_terms": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        pos_by_term: dict = {}
+        ex_parts = []
+        for row in pdf.itertuples(index=False):
+            docs = (
+                decode_docs(bytes(row.postings))
+                if boolean
+                else decode_postings(bytes(row.postings))[0]
+            )
+            if mask is not None:
+                docs = mask.mask_docs(docs)
+            if row.neg:
+                ex_parts.append(np.asarray(docs, dtype=np.int64))
+            else:
+                pos_by_term.setdefault(row.term, []).append(
+                    np.asarray(docs, dtype=np.int64))
+        if not pos_by_term:
+            return empty
+        if op == "and" and len(pos_by_term) < n_by_q[qid]:
+            return empty  # a query term absent from this chunk: no AND doc
+        allpos = np.concatenate(
+            [np.concatenate(a) for a in pos_by_term.values()])
+        docs_u, counts = np.unique(allpos, return_counts=True)
+        if op == "and":
+            keep = counts == n_by_q[qid]
+            docs_u, counts = docs_u[keep], counts[keep]
+        if ex_parts and len(docs_u):
+            ex = np.unique(np.concatenate(ex_parts))
+            member = _member_mask(docs_u, ex)
+            docs_u, counts = docs_u[~member], counts[~member]
+        if not len(docs_u):
+            return empty
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs_u,
+             "n_terms": counts.astype(np.int64)}
+        )
 
-    hits = matched.mapInPandas(explode_docs, schema=out_schema)
-    agg = hits.filter(~F.col("neg")).groupBy("query_id", "doc_id").agg(
-        F.countDistinct("term").alias("n_terms")
-    )
-    if ex_rows:
-        bad = hits.filter(F.col("neg")).select("query_id", "doc_id").distinct()
-        agg = agg.join(bad, ["query_id", "doc_id"], "left_anti")
+    agg = matched.groupBy("query_id", "chunk").applyInPandas(
+        combine_chunk, schema=out_schema)
     if op == "or":
-        return agg
-    n_by_q = spark.createDataFrame(
-        [(qid, len({t for i, t in rows if i == qid})) for qid in
-         sorted({i for i, _ in rows})] or [(0, 0)],
-        "query_id int, n_query_terms int",
-    )
-    return (
-        agg.join(F.broadcast(n_by_q), "query_id")
-        .filter(F.col("n_terms") == F.col("n_query_terms"))
-        .select("query_id", "doc_id")
-    )
+        return agg.select("query_id", "doc_id", "n_terms")
+    return agg.select("query_id", "doc_id")
 
 
 def prefix_search_packed(pidx: PackedIndex, prefix: str) -> DataFrame:
