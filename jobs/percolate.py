@@ -42,7 +42,7 @@ def main() -> None:
     ap.add_argument("--queries-file", required=True,
                     help="stored queries, one per line; '-term' negates; "
                          "blank lines skipped")
-    ap.add_argument("--min-should-match", type=int, default=None,
+    ap.add_argument("--min-should-match", type=str, default=None,
                     help="coverage floor (default: ALL of each query's "
                          "positive terms; clamped per query to its term "
                          "count)")

@@ -72,10 +72,14 @@ def register_queries(
 ) -> List[StoredQuery]:
     """Raw query strings (possibly carrying ``-term`` words) -> stored
     percolator queries. ``min_should_match=None`` (default) requires ALL
-    positive terms (the conjunctive alerting default); an explicit m is
-    clamped per query to its term count (ES clamps too — a floor above
-    the term count would silently never match). Registration REFUSES a
-    query with no surviving positive terms."""
+    positive terms (the conjunctive alerting default); an explicit value
+    takes the FULL Lucene spec grammar (query/msm.py — integers,
+    negatives, [-]percentages) resolved against each query's own term
+    count, then clamped per query to that count (ES clamps too — a
+    floor above the term count would silently never match).
+    Registration REFUSES a query with no surviving positive terms."""
+    from .msm import resolve_min_should_match
+
     out: List[StoredQuery] = []
     for qid, raw in enumerate(queries):
         pos, neg = split_negations(raw)
@@ -87,7 +91,8 @@ def register_queries(
                 "always) match is refused at registration"
             )
         m = len(terms) if min_should_match is None else min(
-            max(int(min_should_match), 1), len(terms))
+            resolve_min_should_match(min_should_match, len(terms)),
+            len(terms))
         out.append(StoredQuery(
             query_id=qid,
             terms=tuple(terms),

@@ -63,3 +63,15 @@ def test_percentage_batch_equals_per_query_ints(packed, cfg):
         singles.extend((qid, r["doc_id"], r["score"], r["rank"])
                        for r in one.collect())
     assert got == sorted(singles) and got
+
+
+def test_percolate_accepts_spec_grammar(spark, cfg):
+    from searchengine_spark.query.percolate import register_queries
+
+    qs = register_queries(
+        ["greatest rock album", "guitar solo"], cfg, min_should_match="67%")
+    for sq in qs:
+        assert sq.m == max(1, sq.n_terms * 67 // 100)
+    qs2 = register_queries(["greatest rock album"], cfg,
+                           min_should_match="-1")
+    assert qs2[0].m == qs2[0].n_terms - 1
