@@ -2229,6 +2229,49 @@ def q_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANK_FEATURE_PIVOT = 800.0  # median-ish n_chars: saturation bites both ways
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query (query/decay.py fvf 'saturation' modifier —
+    rank_feature IS function-score-by-a-feature-field, grafted onto the
+    field_value_factor seam): score = BM25 x n_chars/(n_chars+pivot),
+    the ES default saturation function. One exactly-computed division
+    per doc — correctly rounded on every engine, so the oracle runs it
+    verbatim (the general sigmoid exponent rides libm pow and is
+    refused; the exponent-2 member ships as 'sigmoid2', pytest-gated
+    alongside in tests/test_decay.py)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.decay import field_value_factor_packed
+
+    docs = _documents(spark, sf_dir)
+    idx_in = docs.select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        idx_in, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    attrs = docs.select(F.col("doc_id").alias("ext_id"), "n_chars")
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = field_value_factor_packed(
+        pidx, qs, CFG, attrs, "n_chars", factor=RANK_FEATURE_PIVOT,
+        modifier="saturation", missing=1.0, boost_mode="multiply",
+        k=10, round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("value").cast("long").alias("value"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-sorted retrieval (query/sortby.py — the ES ``sort``
     clause): the query decides WHICH docs match (BM25 OR over the
@@ -4696,6 +4739,26 @@ def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_children=HAS_CHILD_MIN, k=10, round_dp=6)
 
 
+def q_has_child_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child inner_hits (query/parentchild.py
+    has_child_inner_hits): each top-5 conversation of the sum-combine
+    ranking carries its best 3 matching turns (per-turn rounded score,
+    doc_id ties) — one extra bounded window over the same score-all
+    pass. Oracle: the has_child parent CTE cut to 5 joined back to
+    per-turn scores with a per-(query, conv) rank window."""
+    from searchengine_spark.query.parentchild import has_child_inner_hits
+
+    pidx, _, cfg = _transcripts_pidx(spark)
+    out = has_child_inner_hits(
+        pidx, TRANSCRIPTS_QUERIES, cfg, score_mode="sum",
+        min_children=HAS_CHILD_MIN, k=5, n_inner=3, round_dp=6)
+    return out.select(
+        "query_id", "conv_id",
+        F.col("group_rank").cast("long").alias("group_rank"),
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id", "score")
+
+
 def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_parent (query/parentchild.py): turns of LONG conversations
     only (parent property n_turns >= 60, derived by conversation_stats
@@ -4860,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_pruned": q_sparse_pruned,
         "context_window": q_context_window,
         "has_child_search": q_has_child,
+        "has_child_inner": q_has_child_inner,
         "has_parent_search": q_has_parent,
         "conversation_dedup": q_conversation_dedup,
         "temperature_mix": q_temperature_mix,
@@ -4891,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest_fuzz2": q_term_suggest_fuzz2,
         "url_filter": q_url_filter,
         "field_value_factor": q_field_value_factor,
+        "rank_feature": q_rank_feature,
         "random_sample": q_random_sample,
         "phrase_suggest": q_phrase_suggest,
         "bloom_bits": q_bloom_bits,
@@ -8756,6 +8821,57 @@ ranked AS (
 SELECT query_id, conv_id, score, n_matching, rank FROM ranked WHERE rank <= 10
 """
 
+    sqls["has_child_inner"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, round(sum({_bm25_contrib_sql()}), 6) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+parents AS (
+  SELECT s.query_id, d.conv_id, round(sum(s.s), 6) AS score,
+         count(*)::BIGINT AS n_matching
+  FROM scored s JOIN docs d USING (doc_id)
+  GROUP BY s.query_id, d.conv_id
+  HAVING count(*) >= {HAS_CHILD_MIN}
+),
+ranked AS (
+  SELECT query_id, conv_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, conv_id ASC) AS rank
+  FROM parents
+),
+inner_ranked AS (
+  SELECT p.query_id, p.conv_id, p.rank AS group_rank, s.doc_id, s.s AS score,
+         row_number() OVER (PARTITION BY p.query_id, p.conv_id
+                            ORDER BY s.s DESC, s.doc_id ASC) AS hit_rank
+  FROM ranked p
+  JOIN docs d ON d.conv_id = p.conv_id
+  JOIN scored s ON s.query_id = p.query_id AND s.doc_id = d.doc_id
+  WHERE p.rank <= 5
+)
+SELECT query_id, conv_id, group_rank, hit_rank, doc_id, score
+FROM inner_ranked WHERE hit_rank <= 3
+"""
+
     sqls["has_parent_search"] = f"""
 WITH t(conv_id, turn_idx, text) AS (VALUES
 {vals}
@@ -10105,6 +10221,37 @@ j AS (
 comb AS (
   SELECT query_id, doc_id, value,
          round(s * coalesce(sqrt(value::DOUBLE), 1.0::DOUBLE), 6) AS score
+  FROM j
+),
+ranked AS (
+  SELECT query_id, doc_id, value, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, doc_id, value, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+    # ---- rank_feature: BM25 x saturation(n_chars, pivot) — one
+    # exactly-computed division, correctly rounded on both engines
+    sqls["rank_feature"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+j AS (
+  SELECT s.query_id, s.doc_id, s.s, d.n_chars::BIGINT AS value
+  FROM scored s LEFT JOIN documents d USING (doc_id)
+),
+comb AS (
+  SELECT query_id, doc_id, value,
+         round(s * coalesce(
+           value::DOUBLE / (value::DOUBLE + {RANK_FEATURE_PIVOT}),
+           1.0::DOUBLE), 6) AS score
   FROM j
 ),
 ranked AS (

@@ -89,8 +89,17 @@ def _check_params(fn: str, scale: float, decay: float, offset: float,
 #: ES field_value_factor modifiers. Cross-engine classes: none/square/
 #: reciprocal are rational and sqrt is IEEE-correctly-rounded (all four
 #: oracle-safe); the log family rides libm (pytest-gated, like gauss).
+#: saturation / sigmoid2 are the ES rank_feature query's scoring
+#: functions grafted onto the same seam (rank_feature IS
+#: function-score-by-a-feature-field): saturation(x) = x/(x+pivot),
+#: sigmoid2(x) = x²/(x²+pivot²) — the exponent-2 member of ES's
+#: sigmoid(x, pivot, exp) whose arithmetic stays rational (a general
+#: exp rides libm pow and is refused, the temperature-alpha precedent).
+#: Both ORACLE-SAFE: one division of exactly-computed doubles is
+#: correctly rounded on every engine. The pivot rides the ``factor``
+#: slot (FIELD:saturation:PIVOT).
 FVF_MODIFIERS = ("none", "log", "log1p", "log2p", "ln", "ln1p", "ln2p",
-                 "square", "sqrt", "reciprocal")
+                 "square", "sqrt", "reciprocal", "saturation", "sigmoid2")
 
 
 def fvf_expr(modifier: str, value, factor: float = 1.0):
@@ -120,6 +129,13 @@ def fvf_expr(modifier: str, value, factor: float = 1.0):
         return F.sqrt(x)
     if modifier == "reciprocal":
         return F.when(x != 0.0, F.lit(1.0) / x)
+    v = value.cast("double")  # rank_feature: pivot = the factor slot
+    if modifier == "saturation":
+        return F.when(v + F.lit(float(factor)) != 0.0,
+                      v / (v + F.lit(float(factor))))
+    if modifier == "sigmoid2":
+        piv2 = F.lit(float(factor) * float(factor))
+        return F.when(v * v + piv2 != 0.0, v * v / (v * v + piv2))
     raise ValueError(
         f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
 

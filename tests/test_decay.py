@@ -160,13 +160,18 @@ def _py_fvf(mod, v, factor=1.0):
             return math.sqrt(x)
         if mod == "reciprocal":
             return 1.0 / x if x != 0 else None
+        if mod == "saturation":  # rank_feature: pivot rides the factor slot
+            return v / (v + factor) if v + factor != 0 else None
+        if mod == "sigmoid2":
+            return (v * v / (v * v + factor * factor)
+                    if v * v + factor * factor != 0 else None)
     except ValueError:
         return None
     raise AssertionError(mod)
 
 
 @pytest.mark.parametrize("mod", ["none", "sqrt", "square", "ln1p",
-                                 "reciprocal"])
+                                 "reciprocal", "saturation", "sigmoid2"])
 def test_fvf_matches_brute(spark, corpus, cfg, pidx, attrs, mod):
     from searchengine_spark.indexing import build_index
     from searchengine_spark.query.bm25 import bm25_topk
