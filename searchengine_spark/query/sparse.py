@@ -69,7 +69,8 @@ def build_sparse_index(
     pruning_config decisions read. ``weight_micro`` must already be
     integer micro-units. Returns the manifest dict."""
     import json as _json
-    import os as _os
+
+    from ..indexing import fsio
 
     missing = [c for c in ("term", "doc_id", "weight_micro")
                if c not in pairs.columns]
@@ -80,31 +81,33 @@ def build_sparse_index(
     (
         clean.repartitionByRange(n_partitions, "term")
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").parquet(_os.path.join(path, "postings"))
+        .write.mode("overwrite").parquet(fsio.join(path, "postings"))
     )
     spark = pairs.sparkSession
-    stats = spark.read.parquet(_os.path.join(path, "postings")).groupBy(
+    stats = spark.read.parquet(fsio.join(path, "postings")).groupBy(
         "term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.max("weight_micro").cast("long").alias("max_weight_micro"),
     )
-    stats.write.mode("overwrite").parquet(_os.path.join(path, "term_stats"))
-    agg = spark.read.parquet(_os.path.join(path, "term_stats")).agg(
+    stats.write.mode("overwrite").parquet(fsio.join(path, "term_stats"))
+    agg = spark.read.parquet(fsio.join(path, "term_stats")).agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("total")
     ).collect()[0]
     manifest = {"format": "searchengine_spark.sparse/1",
                 "n_terms": int(agg["n_terms"] or 0),
                 "total_postings": int(agg["total"] or 0)}
-    with open(_os.path.join(path, "manifest.json"), "w") as fh:
-        _json.dump(manifest, fh)
+    # fsio (Hadoop FS), never open(): the layout must serve from
+    # file:// / hdfs:// / s3a:// URIs like every other index sidecar
+    fsio.write_text(spark, fsio.join(path, "manifest.json"),
+                    _json.dumps(manifest))
     return manifest
 
 
-def _postings_path(path: str) -> str:
-    import os as _os
+def _postings_path(spark: SparkSession, path: str) -> str:
+    from ..indexing import fsio
 
-    sub = _os.path.join(path, "postings")
-    return sub if _os.path.exists(sub) else path  # pre-sidecar layouts
+    sub = fsio.join(path, "postings")
+    return sub if fsio.exists(spark, sub) else path  # pre-sidecar layouts
 
 
 def prune_query_tokens(
@@ -162,7 +165,7 @@ def sparse_topk_batch(
     if not all_terms:
         return spark.createDataFrame(
             [], "query_id int, doc_id long, score_micro2 long, rank long")
-    scan = spark.read.parquet(_postings_path(path)).filter(
+    scan = spark.read.parquet(_postings_path(spark, path)).filter(
         F.col("term").isin(all_terms))
     # literal (term -> weight) map per query, fanned out join-free; a
     # term absent from a query contributes NULL -> filtered
@@ -233,23 +236,23 @@ def sparse_topk_pruned_batch(
     ``score_micro2`` is phase-2's full-query score when rescoring, else
     the pruned-query score."""
     import json as _json
-    import os as _os
 
     if rescore_mult < 1:
         raise ValueError(f"rescore_mult must be >= 1, got {rescore_mult}")
-    man_path = _os.path.join(path, "manifest.json")
-    if not _os.path.exists(man_path):
+    from ..indexing import fsio
+
+    man_path = fsio.join(path, "manifest.json")
+    if not fsio.exists(spark, man_path):
         raise ValueError(
             f"{path}: no manifest.json — pruning needs the stats sidecar "
             "(rebuild with build_sparse_index; pre-sidecar layouts serve "
             "only the unpruned sparse_topk_batch)")
-    with open(man_path) as fh:
-        man = _json.load(fh)
+    man = _json.loads(fsio.read_text(spark, man_path))
     all_terms = sorted({t for qw in query_weights for t in qw})
     dfs: Dict[str, int] = {}
     if all_terms:
         rows = (
-            spark.read.parquet(_os.path.join(path, "term_stats"))
+            spark.read.parquet(fsio.join(path, "term_stats"))
             .filter(F.col("term").isin(all_terms))
             .select("term", "df").collect()
         )
@@ -266,7 +269,7 @@ def sparse_topk_pruned_batch(
         return phase1
     cand = phase1.select("query_id", "doc_id")
     # full-query scoring restricted to the bounded candidate page
-    scan = spark.read.parquet(_postings_path(path)).filter(
+    scan = spark.read.parquet(_postings_path(spark, path)).filter(
         F.col("term").isin(all_terms))
     frames = []
     for qid, qw in enumerate(query_weights):
