@@ -1483,3 +1483,50 @@ def match_bool_prefix_topk_federated(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def has_child_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence,
+    cfg: TokenizerConfig | None = None,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: "int | None" = None,
+    k: int = 10,
+    round_dp: int = 6,
+    parent_col: str = "conv_id",
+) -> DataFrame:
+    """Federated ES has_child -> (query_id, conv_id, score, n_matching,
+    rank). With the conversation-coherent shard rule (indexing/shards.py:
+    md5(conv_id) mod N — a conversation lives ENTIRELY in one shard),
+    the parent combine is shard-local and exact: per-shard
+    has_child_topk results merge by one bounded union + a global rank
+    window. Scores follow the federation's dfs_query_then_fetch
+    contract (per-turn dl_norm shard-local), like every federated BM25
+    surface. Per-shard k-cuts would NOT be safe across ties in the
+    global (score desc, conv asc) order when a shard boundary splits a
+    tie — so shards emit their full qualifying sets (parent counts are
+    conversation-bounded, tiny) and the window cuts globally."""
+    from pyspark.sql import Window
+
+    from .parentchild import has_child_topk
+
+    _check_compat(shards)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {}))
+    parts = [
+        has_child_topk(
+            s, queries, cfg, score_mode=score_mode,
+            min_children=min_children, max_children=max_children,
+            k=1 << 30, round_dp=round_dp, parent_col=parent_col,
+        ).select("query_id", parent_col, "score", "n_matching")
+        for s in shards
+    ]
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(parent_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", parent_col, "score", "n_matching", "rank")
+    )

@@ -154,3 +154,44 @@ def test_inner_hits(packed, cfg, turn_scores):
     for key, hits in per_group.items():
         want = [(i + 1, d, -s) for i, (s, d) in enumerate(sorted(hits)[:2])]
         assert sorted(got[key]) == want, key
+
+
+def test_federated_matches_shard_local_combine(spark, cfg, tmp_path_factory):
+    """Conversation-coherent shards (split BY conv_id): the federated
+    has_child equals the union of per-shard has_child results ranked
+    globally — and every conversation appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.federated import has_child_topk_federated
+
+    corpus = transcripts_df(spark, n_conv=14, n_partitions=4)
+    convs = sorted(r["conv_id"] for r in
+                   corpus.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    base = tmp_path_factory.mktemp("pc_shards")
+    shards = []
+    for i, pred in enumerate((F.col("conv_id").isin(sorted(half)),
+                              ~F.col("conv_id").isin(sorted(half)))):
+        p = str(base / f"s{i}")
+        build_packed_index(corpus.filter(pred), cfg, p, chunk_docs=128)
+        shards.append(load_packed_index(spark, p))
+    fed = has_child_topk_federated(
+        shards, QUERIES, cfg, score_mode="sum", min_children=2, k=1000)
+    got = {(r["query_id"], r["conv_id"]): (r["score"], r["n_matching"])
+           for r in fed.collect()}
+    assert len(got) == fed.count()  # each conversation exactly once
+    want = {}
+    for s in shards:
+        rows = has_child_topk(s, QUERIES, cfg, score_mode="sum",
+                              min_children=2, k=1000).collect()
+        for r in rows:
+            key = (r["query_id"], r["conv_id"])
+            assert key not in want  # conversation-coherence
+            want[key] = (r["score"], r["n_matching"])
+    assert got == want and got
+    # global rank order respects (score desc, conv asc)
+    ranked = sorted(((r["query_id"], r["rank"], r["conv_id"], r["score"])
+                     for r in fed.collect()))
+    for (q1, r1, c1, s1), (q2, r2, c2, s2) in zip(ranked, ranked[1:]):
+        if q1 == q2:
+            assert (-s1, c1) <= (-s2, c2)
