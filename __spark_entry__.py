@@ -4830,8 +4830,128 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": q_term_stats,
-        "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25_topk,
+        "doc_lengths": q_doc_lengths,
+        "proximity_topk": q_proximity_topk,
+        "proximity_tfidf_topk": q_proximity_tfidf_topk,
+        "tfidf_packed_bnc": q_tfidf_packed_bnc,
+        "federated_search": q_federated_search,
+        "federated_tfidf": q_federated_tfidf,
+        "sharded_build_search": q_sharded_build_search,
+        "sharded_merge_search": q_sharded_merge_search,
+        "has_child_search": q_has_child,
+        "has_child_inner": q_has_child_inner,
+        "has_parent_search": q_has_parent,
+        "sparse_expansion": q_sparse_expansion,
+        "sparse_pruned": q_sparse_pruned,
+        "geohash_grid": q_geohash_grid,
+        "intervals_ordered": q_intervals_ordered,
+        "intervals_unordered": q_intervals_unordered,
+        "constant_score_topk": q_constant_score,
+        "result_composite": q_result_composite,
+        "bm25_must_not": q_bm25_must_not,
+        "boolean_must_not": q_boolean_must_not,
+        "significant_terms": q_significant_terms,
+        "bm25_page2": q_bm25_page2,
+        "search_after_page": q_search_after_page,
+        "min_should_match": q_min_should_match,
+        "min_should_match_pct": q_min_should_match_pct,
+        "boosting_query": q_boosting_query,
+        "dismax_topk": q_dismax_topk,
+        "collapse_topk": q_collapse_topk,
+        "result_date_histogram": q_result_date_histogram,
+        "result_cumulative_sum": q_result_cumulative_sum,
+        "result_derivative": q_result_derivative,
+        "result_moving_sum": q_result_moving_sum,
+        "result_serial_diff": q_result_serial_diff,
+        "result_bucket_sort": q_result_bucket_sort,
+        "result_bucket_selector": q_result_bucket_selector,
+        "result_stats_bucket": q_result_stats_bucket,
+        "result_bucket_script": q_result_bucket_script,
+        "result_percentiles_bucket": q_result_percentiles_bucket,
+        "result_extreme_buckets": q_result_extreme_buckets,
+        "facet_top_hits": q_facet_top_hits,
+        "delete_then_search": q_delete_then_search,
+        "compacted_search": q_compacted_search,
+        "append_then_search": q_append_then_search,
+        "snapshot_search": q_snapshot_search,
+        "boolean_packed": q_boolean_packed,
+        "approx_terms_agg": q_approx_terms_agg,
+        "match_bool_prefix": q_match_bool_prefix,
+        "doc_chunks": q_doc_chunks,
+        "temperature_weights": q_temperature_weights,
+        "context_window": q_context_window,
+        "conversation_dedup": q_conversation_dedup,
+        "temperature_mix": q_temperature_mix,
+        "prefix_search": q_prefix_search,
+        "faceted_search": q_faceted_search,
+        "filtered_search": q_filtered_search,
+        "prf_search": q_prf_search,
+        "synonym_search": q_synonym_search,
+        "wildcard_search": q_wildcard_search,
+        "regexp_search": q_regexp_search,
+        "fuzzy_query_topk": q_fuzzy_query_topk,
+        "multi_match_topk": q_multi_match,
+        "cross_fields_topk": q_cross_fields,
+        "combined_fields_topk": q_combined_fields,
+        "sorted_search": q_sorted_search,
+        "decay_search": q_decay_search,
+        "analyze_tokens": q_analyze_tokens,
+        "term_suggest": q_term_suggest,
+        "term_suggest_fuzz2": q_term_suggest_fuzz2,
+        "url_filter": q_url_filter,
+        "field_value_factor": q_field_value_factor,
+        "rank_feature": q_rank_feature,
+        "random_sample": q_random_sample,
+        "phrase_suggest": q_phrase_suggest,
+        "bloom_bits": q_bloom_bits,
+        "windowed_counts": q_windowed_counts,
+        "significant_attrs": q_significant_attrs,
+        "collapse_inner_hits": q_collapse_inner_hits,
+        "pinned_search": q_pinned_search,
+        "match_count": q_match_count,
+        "stream_sessions": q_stream_sessions,
+        "hybrid_search": q_hybrid_search,
+        "result_histogram": q_result_histogram,
+        "result_stats": q_result_stats,
+        "result_percentiles": q_result_percentiles,
+        "result_cardinality": q_result_cardinality,
+        "result_range": q_result_range,
+        "result_extended_stats": q_result_extended_stats,
+        "result_matrix_stats": q_result_matrix_stats,
+        "result_weighted_avg": q_result_weighted_avg,
+        "result_top_metrics": q_result_top_metrics,
+        "result_percentile_ranks": q_result_percentile_ranks,
+        "result_boxplot": q_result_boxplot,
+        "result_mad": q_result_mad,
+        "result_multi_terms": q_result_multi_terms,
+        "rank_eval": q_rank_eval,
+        "result_t_test": q_result_t_test,
+        "result_string_stats": q_result_string_stats,
+        "result_auto_date_histogram": q_result_auto_date_histogram,
+        "result_diversified": q_result_diversified,
+        "result_sampler": q_result_sampler,
+        "result_filters": q_result_filters,
+        "result_missing": q_result_missing,
+        "result_rare_terms": q_result_rare_terms,
+        "result_adjacency": q_result_adjacency,
+        "hll_token_registers": q_hll_token_registers,
+        "ccnet_perplexity": q_ccnet_perplexity,
+        "emb_sq8_topk": q_emb_sq8_topk,
+        "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "rerank_topk": q_rerank_topk,
+        "explain_scores": q_explain_scores,
+        "more_like_this": q_more_like_this,
+        "suggest_terms": q_suggest_terms,
+        "collocations": q_collocations,
+        "bm25_and_topk": q_bm25_and_topk,
+        "boosted_search": q_boosted_search,
+        "term_vectors": q_term_vectors,
+        "percolate_docs": q_percolate_docs,
+        "bool_query_topk": q_bool_query_topk,
+        "boosted_terms_topk": q_boosted_terms_topk,
         "bm25_topk_batch": q_bm25_topk_batch,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
@@ -4885,128 +5005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_topk": q_tfidf_topk,
         "packed_wand_topk": q_packed_wand_topk,
-        "bm25_must_not": q_bm25_must_not,
-        "boolean_must_not": q_boolean_must_not,
-        "significant_terms": q_significant_terms,
-        "bm25_page2": q_bm25_page2,
-        "search_after_page": q_search_after_page,
-        "min_should_match": q_min_should_match,
-        "min_should_match_pct": q_min_should_match_pct,
-        "boosting_query": q_boosting_query,
-        "dismax_topk": q_dismax_topk,
-        "collapse_topk": q_collapse_topk,
-        "result_date_histogram": q_result_date_histogram,
-        "result_cumulative_sum": q_result_cumulative_sum,
-        "result_derivative": q_result_derivative,
-        "result_moving_sum": q_result_moving_sum,
-        "result_serial_diff": q_result_serial_diff,
-        "result_bucket_sort": q_result_bucket_sort,
-        "result_bucket_selector": q_result_bucket_selector,
-        "result_stats_bucket": q_result_stats_bucket,
-        "result_bucket_script": q_result_bucket_script,
-        "result_percentiles_bucket": q_result_percentiles_bucket,
-        "result_extreme_buckets": q_result_extreme_buckets,
-        "facet_top_hits": q_facet_top_hits,
-        "delete_then_search": q_delete_then_search,
-        "compacted_search": q_compacted_search,
-        "append_then_search": q_append_then_search,
-        "snapshot_search": q_snapshot_search,
-        "boolean_packed": q_boolean_packed,
-        "constant_score_topk": q_constant_score,
-        "approx_terms_agg": q_approx_terms_agg,
-        "match_bool_prefix": q_match_bool_prefix,
-        "geohash_grid": q_geohash_grid,
-        "doc_chunks": q_doc_chunks,
-        "intervals_unordered": q_intervals_unordered,
-        "temperature_weights": q_temperature_weights,
-        "sparse_expansion": q_sparse_expansion,
-        "sparse_pruned": q_sparse_pruned,
-        "context_window": q_context_window,
-        "has_child_search": q_has_child,
-        "has_child_inner": q_has_child_inner,
-        "has_parent_search": q_has_parent,
-        "conversation_dedup": q_conversation_dedup,
-        "temperature_mix": q_temperature_mix,
-        "intervals_ordered": q_intervals_ordered,
-        "prefix_search": q_prefix_search,
         "tfidf_packed_topk": q_tfidf_packed_topk,
-        "tfidf_packed_bnc": q_tfidf_packed_bnc,
-        "proximity_topk": q_proximity_topk,
-        "proximity_tfidf_topk": q_proximity_tfidf_topk,
         "transcripts_wand_topk": q_transcripts_wand_topk,
-        "sharded_merge_search": q_sharded_merge_search,
-        "federated_search": q_federated_search,
-        "federated_tfidf": q_federated_tfidf,
-        "sharded_build_search": q_sharded_build_search,
-        "faceted_search": q_faceted_search,
-        "filtered_search": q_filtered_search,
-        "prf_search": q_prf_search,
-        "synonym_search": q_synonym_search,
-        "wildcard_search": q_wildcard_search,
-        "regexp_search": q_regexp_search,
-        "fuzzy_query_topk": q_fuzzy_query_topk,
-        "multi_match_topk": q_multi_match,
-        "cross_fields_topk": q_cross_fields,
-        "combined_fields_topk": q_combined_fields,
-        "sorted_search": q_sorted_search,
-        "decay_search": q_decay_search,
-        "analyze_tokens": q_analyze_tokens,
-        "term_suggest": q_term_suggest,
-        "term_suggest_fuzz2": q_term_suggest_fuzz2,
-        "url_filter": q_url_filter,
-        "field_value_factor": q_field_value_factor,
-        "rank_feature": q_rank_feature,
-        "random_sample": q_random_sample,
-        "phrase_suggest": q_phrase_suggest,
-        "bloom_bits": q_bloom_bits,
-        "windowed_counts": q_windowed_counts,
-        "significant_attrs": q_significant_attrs,
-        "collapse_inner_hits": q_collapse_inner_hits,
-        "pinned_search": q_pinned_search,
-        "match_count": q_match_count,
-        "stream_sessions": q_stream_sessions,
-        "hybrid_search": q_hybrid_search,
-        "result_histogram": q_result_histogram,
-        "result_stats": q_result_stats,
-        "result_percentiles": q_result_percentiles,
-        "result_cardinality": q_result_cardinality,
-        "result_range": q_result_range,
-        "result_composite": q_result_composite,
-        "result_extended_stats": q_result_extended_stats,
-        "result_matrix_stats": q_result_matrix_stats,
-        "result_weighted_avg": q_result_weighted_avg,
-        "result_top_metrics": q_result_top_metrics,
-        "result_percentile_ranks": q_result_percentile_ranks,
-        "result_boxplot": q_result_boxplot,
-        "result_mad": q_result_mad,
-        "result_multi_terms": q_result_multi_terms,
-        "rank_eval": q_rank_eval,
-        "result_t_test": q_result_t_test,
-        "result_string_stats": q_result_string_stats,
-        "result_auto_date_histogram": q_result_auto_date_histogram,
-        "result_diversified": q_result_diversified,
-        "result_sampler": q_result_sampler,
-        "result_filters": q_result_filters,
-        "result_missing": q_result_missing,
-        "result_rare_terms": q_result_rare_terms,
-        "result_adjacency": q_result_adjacency,
-        "hll_token_registers": q_hll_token_registers,
-        "ccnet_perplexity": q_ccnet_perplexity,
-        "emb_sq8_topk": q_emb_sq8_topk,
-        "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "rerank_topk": q_rerank_topk,
-        "explain_scores": q_explain_scores,
-        "more_like_this": q_more_like_this,
-        "suggest_terms": q_suggest_terms,
-        "collocations": q_collocations,
-        "bm25_and_topk": q_bm25_and_topk,
-        "boosted_search": q_boosted_search,
-        "term_vectors": q_term_vectors,
-        "percolate_docs": q_percolate_docs,
-        "bool_query_topk": q_bool_query_topk,
-        "boosted_terms_topk": q_boosted_terms_topk,
     }
 
 
