@@ -252,7 +252,11 @@ def temperature_weights(
 
     Arithmetic (all BIGINT after one floor):
     ``s_i = floor(n_i^alpha * 1e6)``; ``weight_micro_i = s_i * 1e6 //
-    Σ s_j`` (the mixture, in micro-units); with a ``target_total``
+    Σ s_j`` (the mixture, in micro-units; at alpha=1.0 the shared 1e6
+    factor is divided out of numerator and denominator first — the
+    floor quotient is unchanged and the widening multiply no longer
+    wraps past ~9.2M docs per stratum; past the representable range in
+    the other branches the job refuses loudly instead of wrapping); with a ``target_total``
     budget, ``rate_num_i = min(65536, (target_total * weight_micro_i //
     1e6) * 65536 // n_i)`` — the per-stratum keep rate over the
     16-bit hash space, ready for :func:`stratified_sample` (rate =
@@ -274,17 +278,32 @@ def temperature_weights(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     n = F.col("n_docs").cast("double")
+    # Overflow guard for the widening `_s * 1e6` multiply below: Spark's
+    # non-ANSI long multiply WRAPS silently while the DuckDB twin errors
+    # loudly, so past this bound the engines would diverge on garbage.
+    # Refuse loudly instead (the exact-integer-path house policy).
+    _s_cap = (1 << 63) // 1_000_000  # ≈9.22e12
     if alpha == 1.0:
-        s = (F.col("n_docs") * F.lit(1_000_000)).cast("long")
+        # s_i = n_i*1e6 and total = Σn_j*1e6 share the exact 1e6 factor,
+        # so divide it out of both BEFORE the widening multiply:
+        # floor(n_i*1e12 / Σn_j*1e6) == floor(n_i*1e6 / Σn_j) exactly.
+        # Without this, `_s * 1e6` = n_i*1e12 wraps past ~9.2M docs per
+        # stratum — realistic for pretraining strata.
+        s = F.col("n_docs").cast("long")
     elif alpha == 0.5:
         s = F.floor(F.sqrt(n) * F.lit(1_000_000.0)).cast("long")
     else:
         s = F.floor(F.sqrt(F.sqrt(n)) * F.lit(1_000_000.0)).cast("long")
     weighted = counts.withColumn("_s", s)
     total = weighted.agg(F.sum("_s").alias("_total"))
+    wexpr = (
+        f"if(_s <= {_s_cap}, _s * 1000000 div _total, "
+        f"cast(raise_error('temperature_weights: stratum exceeds the "
+        f"exact-integer range (s_i > 2^63/1e6); mixture weights would "
+        f"silently wrap') as long))")
     out = weighted.crossJoin(F.broadcast(total)).withColumn(
         "weight_micro",
-        F.expr("_s * 1000000 div _total").cast("long"),
+        F.expr(wexpr).cast("long"),
     )
     if target_total:
         rate = F.expr(f"least({HASH_SPACE}, "
