@@ -19,6 +19,15 @@ Registry format (one JSON object): {"aliases": {name: {"index": path
 alias fails loudly at load_packed_index, not silently at query time.
 No reference counterpart; semantics follow the Elasticsearch aliases
 API (add/remove/swap actions, filtered aliases).
+
+**Single-writer assumption** (a documented deviation from ES, whose
+alias actions are atomic server-side): `alias_set`/`alias_remove` are
+a read-modify-write of the WHOLE registry. Each individual write is
+atomic for readers (rename-overwrite), but two CONCURRENT writers —
+e.g. two reindex jobs swapping different aliases — race on the
+read-modify-write and one update can be lost. Serialize registry
+mutations through one process (the jobs/alias.py CLI invoked from a
+single orchestration point); readers need no coordination.
 """
 
 from __future__ import annotations

@@ -331,8 +331,15 @@ def build_packed_index(
     tfidf_sidecar: bool = False,
     payload: str = "freq",
     tfidf_doc_schema: str = "lnc",
+    manifest_extra: Optional[dict] = None,
 ) -> dict:
     """Build the packed index at ``path``; returns the manifest dict.
+
+    ``manifest_extra``: caller-supplied attestations merged into the
+    manifest (e.g. ``shard_coherent_by`` from
+    indexing/shards.build_shard_indexes — the flag federated
+    parent-level merges validate). Keys may not collide with the
+    build's own manifest keys.
 
     ``tfidf_sidecar=True`` additionally writes per-doc cosine norms for
     ALL THREE doc-side tf letters (doc_norms: doc_id, nrm = sqrt Σ_t
@@ -584,6 +591,13 @@ def build_packed_index(
             "postings_per_sec": round(int(n_postings) / max(build_s, 1e-9), 1),
         },
     }
+    if manifest_extra:
+        clash = set(manifest_extra) & set(manifest) | {"snapshot_seq"} & set(
+            manifest_extra)
+        if clash:
+            raise ValueError(
+                f"manifest_extra keys collide with build keys: {sorted(clash)}")
+        manifest.update(manifest_extra)
     # a fresh build starts snapshot history at 0 (maintenance commits
     # archive superseded manifests under snapshots/; indexing/snapshots.py)
     manifest["snapshot_seq"] = 0

@@ -108,6 +108,11 @@ def build_shard_indexes(
             .parquet(stage_dir)
         )
 
+    # attest the coherence invariant in each shard's manifest: md5(shard_by)
+    # mod N puts EVERY row of a shard_by group in one shard, so parent-level
+    # federated merges (has_child) can validate instead of assuming
+    extra = {"shard_coherent_by": shard_by,
+             **build_kwargs.pop("manifest_extra", {})}
     manifests = []
     try:
         for i, path in enumerate(paths):
@@ -130,7 +135,8 @@ def build_shard_indexes(
             manifests.append(
                 build_packed_index(
                     part, cfg, path, params=params,
-                    order_cols=tuple(order_cols), **build_kwargs,
+                    order_cols=tuple(order_cols),
+                    manifest_extra=extra, **build_kwargs,
                 )
             )
     finally:

@@ -1495,31 +1495,63 @@ def has_child_topk_federated(
     k: int = 10,
     round_dp: int = 6,
     parent_col: str = "conv_id",
+    assume_coherent: bool = False,
 ) -> DataFrame:
     """Federated ES has_child -> (query_id, conv_id, score, n_matching,
     rank). With the conversation-coherent shard rule (indexing/shards.py:
     md5(conv_id) mod N — a conversation lives ENTIRELY in one shard),
-    the parent combine is shard-local and exact: per-shard
-    has_child_topk results merge by one bounded union + a global rank
-    window. Scores follow the federation's dfs_query_then_fetch
-    contract (per-turn dl_norm shard-local), like every federated BM25
-    surface. Per-shard k-cuts would NOT be safe across ties in the
-    global (score desc, conv asc) order when a shard boundary splits a
-    tie — so shards emit their full qualifying sets (parent counts are
-    conversation-bounded, tiny) and the window cuts globally."""
+    the parent combine is shard-local and exact. Scores follow the
+    federation's dfs_query_then_fetch contract (per-turn dl_norm
+    shard-local), like every federated BM25 surface.
+
+    Shard emissions are BOUNDED, tie-safely: each shard emits its
+    qualifying parents with per-shard ``rank() <= k`` ordered by score
+    alone — top-k PLUS every row tied with the kth score. Any parent in
+    the global top-k has < k parents strictly above it by score, hence
+    per-shard rank() <= k: no global winner can be cut, and a shard
+    ships at most k + (kth-score tie width) rows into the global
+    (score desc, conv asc) rank window instead of its full qualifying
+    set (which at scale is every conversation matching a common term).
+    Both windows are rank-filters <= k, so they compile to
+    WindowGroupLimit per-partition heaps.
+
+    Coherence is VALIDATED, not assumed: each shard manifest must carry
+    ``shard_coherent_by == parent_col`` (stamped by
+    indexing/shards.build_shard_indexes). Federating arbitrary shard
+    sets where a conversation spans shards would silently emit
+    duplicate conv_id rows with partial per-shard scores; pass
+    ``assume_coherent=True`` only when the caller guarantees the
+    partitioning out-of-band (e.g. hand-split corpora)."""
     from pyspark.sql import Window
 
-    from .parentchild import has_child_topk
+    from .parentchild import has_child_grouped
 
     _check_compat(shards)
+    if not assume_coherent:
+        for i, s in enumerate(shards):
+            got = s.manifest.get("shard_coherent_by")
+            if got != parent_col:
+                raise ValueError(
+                    f"shard #{i} ({s.path!r}) does not attest "
+                    f"{parent_col!r}-coherent sharding (manifest "
+                    f"shard_coherent_by={got!r}); a conversation spanning "
+                    f"shards would emit duplicate parents with partial "
+                    f"scores — build shards with indexing/shards.py "
+                    f"(build_shard_indexes stamps the flag) or pass "
+                    f"assume_coherent=True if coherence is guaranteed "
+                    f"out-of-band")
     cfg = cfg or TokenizerConfig.from_manifest(
         shards[0].manifest.get("tokenizer", {}))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"))
     parts = [
-        has_child_topk(
+        has_child_grouped(
             s, queries, cfg, score_mode=score_mode,
             min_children=min_children, max_children=max_children,
-            k=1 << 30, round_dp=round_dp, parent_col=parent_col,
-        ).select("query_id", parent_col, "score", "n_matching")
+            round_dp=round_dp, parent_col=parent_col,
+        )
+        .withColumn("_r", F.rank().over(wk))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
         for s in shards
     ]
     cand = reduce(DataFrame.unionByName, parts)

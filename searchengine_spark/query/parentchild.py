@@ -21,9 +21,12 @@ Scoring contract (gated in tests/test_parentchild.py): per-turn scores
 are rounded (round_dp) BEFORE the combine — the serving surface's own
 rounding — and the combined score is re-rounded, ranked (score desc,
 conv_id asc). ``avg`` divides the rounded sum by the matching-turn
-count and re-rounds (documented: ES computes avg on unrounded floats;
-ours re-derives from the same rounded per-turn scores both engines
-see, keeping the oracle exact).
+count and FLOOR-TRUNCATES at round_dp (documented: ES computes avg on
+unrounded floats; ours re-derives from the same rounded per-turn
+scores both engines see — and because that quotient can land exactly
+on a decimal tie, it takes the house floor-truncation policy for
+tie-prone divisions rather than round(), which splits across
+engines).
 
 No reference counterpart; semantics follow the Elasticsearch
 has_child / has_parent queries (join field type).
@@ -41,19 +44,21 @@ from ..tokenizer import TokenizerConfig
 SCORE_MODES = ("max", "sum", "min", "avg")
 
 
-def has_child_topk(
+def has_child_grouped(
     pidx,
     queries: Sequence[str],
     cfg: TokenizerConfig,
     score_mode: str = "max",
     min_children: int = 1,
     max_children: Optional[int] = None,
-    k: int = 10,
     round_dp: int = 6,
     parent_col: str = "conv_id",
 ) -> DataFrame:
-    """-> (query_id, conv_id, score, n_matching, rank): conversations
-    ranked by their matching turns' combined BM25."""
+    """-> (query_id, conv_id, score, n_matching): the qualifying parent
+    set with combined scores, UNRANKED — the score-all surface the
+    ranked :func:`has_child_topk` and the federated merge both cut.
+    The groupBy is partial-aggregable (map-side combine), so the one
+    exchange is parent-count-bounded."""
     from .wand import bm25_scores_packed_batch
 
     if score_mode not in SCORE_MODES:
@@ -76,11 +81,41 @@ def has_child_topk(
         F.count(F.lit(1)).cast("long").alias("n_matching"),
     )
     if score_mode == "avg":
-        grouped = grouped.withColumn("_s", F.col("_s") / F.col("n_matching"))
-    grouped = grouped.withColumn("score", F.round("_s", round_dp))
+        # avg divides a round_dp-multiple sum by an integer count: the
+        # quotient can land EXACTLY on a decimal tie (x.xxxxxx5), where
+        # Spark round (HALF_UP) disagrees with DuckDB/Python — so the
+        # re-round is floor-truncation, the house policy for tie-prone
+        # divisions (CLAUDE.md). The other modes re-round a value that
+        # is already a round_dp multiple, where round() is exact.
+        scale = F.lit(float(10 ** round_dp))
+        grouped = grouped.withColumn(
+            "score",
+            F.floor(F.col("_s") / F.col("n_matching") * scale) / scale)
+    else:
+        grouped = grouped.withColumn("score", F.round("_s", round_dp))
     grouped = grouped.filter(F.col("n_matching") >= min_children)
     if max_children is not None:
         grouped = grouped.filter(F.col("n_matching") <= max_children)
+    return grouped.select("query_id", parent_col, "score", "n_matching")
+
+
+def has_child_topk(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: Optional[int] = None,
+    k: int = 10,
+    round_dp: int = 6,
+    parent_col: str = "conv_id",
+) -> DataFrame:
+    """-> (query_id, conv_id, score, n_matching, rank): conversations
+    ranked by their matching turns' combined BM25."""
+    grouped = has_child_grouped(
+        pidx, queries, cfg, score_mode=score_mode,
+        min_children=min_children, max_children=max_children,
+        round_dp=round_dp, parent_col=parent_col)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(parent_col))
     return (

@@ -17,9 +17,10 @@ tests/test_chunking.py):
 - else ``n_chunks = 1 + ceil((n - max_tokens) / stride)``, chunk ``i``
   spans ``[i*stride, min(i*stride + max_tokens, n))`` — so every token
   is covered, every chunk is <= max_tokens, consecutive chunks overlap
-  by exactly ``max_tokens - stride`` (except the final chunk, which is
-  pinned to END at n and may overlap more), and no chunk is contained
-  in its predecessor;
+  by exactly ``max_tokens - stride`` (the final chunk ends at n and may
+  simply be SHORTER than max_tokens — starts are always ``i*stride``,
+  never re-pinned backwards), and no chunk is contained in its
+  predecessor;
 - tokens are the ANALYZED stream (the index's tokenizer chain), chunk
   text is their space-join — the same analyzed-text convention the
   snippet/highlight family documents;

@@ -176,7 +176,8 @@ def test_federated_matches_shard_local_combine(spark, cfg, tmp_path_factory):
         build_packed_index(corpus.filter(pred), cfg, p, chunk_docs=128)
         shards.append(load_packed_index(spark, p))
     fed = has_child_topk_federated(
-        shards, QUERIES, cfg, score_mode="sum", min_children=2, k=1000)
+        shards, QUERIES, cfg, score_mode="sum", min_children=2, k=1000,
+        assume_coherent=True)
     got = {(r["query_id"], r["conv_id"]): (r["score"], r["n_matching"])
            for r in fed.collect()}
     assert len(got) == fed.count()  # each conversation exactly once
@@ -195,3 +196,104 @@ def test_federated_matches_shard_local_combine(spark, cfg, tmp_path_factory):
     for (q1, r1, c1, s1), (q2, r2, c2, s2) in zip(ranked, ranked[1:]):
         if q1 == q2:
             assert (-s1, c1) <= (-s2, c2)
+
+
+def test_federated_bounded_merge_tie_at_k(spark, cfg, tmp_path_factory):
+    """The bounded per-shard emission (rank() <= k by score — top-k plus
+    kth-score ties) merges bit-identically to the unbounded full-set
+    merge, on a federation CONSTRUCTED to tie across the k boundary:
+    shard B is a conv_id-renamed mirror of shard A, so every combined
+    score has an equal twin in the other shard and the kth score always
+    ties cross-shard. Also asserts the emission bound itself: each
+    shard ships at most (k-1) + width(kth score) rows per query."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.query.federated import has_child_topk_federated
+    from searchengine_spark.query.parentchild import has_child_grouped
+
+    corpus = transcripts_df(spark, n_conv=8, n_partitions=2)
+    mirror = corpus.withColumn(
+        "conv_id", F.concat(F.lit("zz_"), F.col("conv_id")))
+    base = tmp_path_factory.mktemp("pc_tie")
+    shards = []
+    for name, df in (("a", corpus), ("b", mirror)):
+        p = str(base / name)
+        build_packed_index(df, cfg, p, chunk_docs=128)
+        shards.append(load_packed_index(spark, p))
+    k = 3
+    fed = has_child_topk_federated(
+        shards, QUERIES, cfg, score_mode="max", k=k, assume_coherent=True)
+    got = sorted(tuple(r) for r in fed.collect())
+
+    # unbounded reference merge: full qualifying sets, one global window
+    grouped = [has_child_grouped(s, QUERIES, cfg, score_mode="max")
+               for s in shards]
+    full = grouped[0].unionByName(grouped[1])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("conv_id"))
+    want = sorted(
+        tuple(r) for r in full.withColumn(
+            "rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "conv_id", "score", "n_matching", "rank")
+        .collect())
+    assert got == want and got
+
+    per_shard = [
+        {}, {},
+    ]
+    for i, g in enumerate(grouped):
+        for r in g.collect():
+            per_shard[i].setdefault(r["query_id"], []).append(r["score"])
+    # the construction really ties across the boundary: shard B's score
+    # multiset equals shard A's (mirror corpora, shard-local dl_norm
+    # identical), so the global kth score exists in BOTH shards
+    assert {q: sorted(s) for q, s in per_shard[0].items()} == \
+           {q: sorted(s) for q, s in per_shard[1].items()}
+    # emission bound: rank() <= k ships (k-1) + width(kth score) at most
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"))
+    for g, byq in zip(grouped, per_shard):
+        emitted: dict = {}
+        for r in (g.withColumn("_r", F.rank().over(wk))
+                   .filter(F.col("_r") <= k).collect()):
+            emitted.setdefault(r["query_id"], []).append(r["score"])
+        for q, scores in emitted.items():
+            ranked = sorted(byq[q], reverse=True)
+            if len(ranked) < k:
+                assert sorted(scores) == sorted(ranked)
+                continue
+            s_k = ranked[k - 1]
+            width = sum(1 for s in ranked if s == s_k)
+            assert len(scores) <= (k - 1) + width
+            assert min(scores) >= s_k
+
+
+def test_federated_coherence_validation(spark, cfg, tmp_path_factory):
+    """Arbitrary shard sets (no shard_coherent_by attestation) refuse
+    loudly; build_shard_indexes-built shards carry the manifest flag and
+    serve without assume_coherent."""
+    from searchengine_spark.indexing.shards import (
+        build_shard_indexes,
+        shard_paths,
+    )
+    from searchengine_spark.query.federated import has_child_topk_federated
+
+    corpus = transcripts_df(spark, n_conv=10, n_partitions=2)
+    base = tmp_path_factory.mktemp("pc_coh")
+    p = str(base / "plain")
+    build_packed_index(corpus, cfg, p, chunk_docs=128)
+    plain = load_packed_index(spark, p)
+    with pytest.raises(ValueError, match="shard_coherent_by"):
+        has_child_topk_federated([plain, plain], QUERIES, cfg, k=3)
+
+    shard_dir = str(base / "sharded")
+    build_shard_indexes(corpus, cfg, shard_dir, 2, chunk_docs=128)
+    shards = [load_packed_index(spark, sp)
+              for sp in shard_paths(shard_dir, 2)]
+    assert all(s.manifest["shard_coherent_by"] == "conv_id" for s in shards)
+    fed = has_child_topk_federated(shards, QUERIES, cfg, k=5)
+    rows = fed.collect()
+    assert rows
+    # still one row per conversation (coherent shards never split one)
+    keys = [(r["query_id"], r["conv_id"]) for r in rows]
+    assert len(keys) == len(set(keys))
