@@ -4380,6 +4380,42 @@ def q_min_should_match_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"))
 
 
+MSM_COND_SPEC = "3<67% 5<-2"
+
+
+def q_min_should_match_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match CONDITIONAL grammar (query/msm.py): the
+    Solr calculateMinShouldMatch walk over '3<67% 5<-2' — n<=3 requires
+    ALL terms, 3<n<=5 requires floor(67%·n), n>5 requires n-2. The three
+    batch queries (3, 4, 6 unique terms) hit all three branches. The
+    oracle re-derives the per-query floor IN SQL from the query-term
+    CTE's own distinct-term count (CASE over n — independent of the
+    Python resolver), then filters coverage in HAVING."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.msm import msm_map
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    mm = msm_map(MSM_COND_SPEC, qs, CFG)
+    topk = bm25_topk_packed_batch(
+        pidx, qs, CFG, k=10, round_dp=6, min_should_match=mm)
+    out = resolve_docs(pidx, topk)
+    return out.select(
+        "query_id", F.col("ext_id").alias("doc_id"), "score",
+        F.col("rank").cast("long").alias("rank"))
+
+
 CONSTANT_SCORE_BOOST = 1.5
 APPROX_FACET_SHARDS, APPROX_FACET_SHARD_SIZE = 4, 8
 
@@ -4849,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_unordered": q_intervals_unordered,
         "constant_score_topk": q_constant_score,
         "result_composite": q_result_composite,
+        "min_should_match_cond": q_min_should_match_cond,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -5304,6 +5341,38 @@ scored AS (
   FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
   GROUP BY q.query_id, idx.doc_id
   HAVING {_pct_having}
+),
+ranked AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # msm CONDITIONAL grammar '3<67% 5<-2': the per-query floor derives
+    # IN SQL from the query CTE's own distinct-term count (the Solr
+    # walk as a CASE over n), independent of the Python resolver
+    sqls["min_should_match_cond"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+qn AS (
+  SELECT query_id, count(DISTINCT term)::BIGINT AS n FROM q GROUP BY query_id
+),
+floors AS (
+  SELECT query_id,
+         CASE WHEN n <= 3 THEN n
+              WHEN n <= 5 THEN greatest(1, n * 67 // 100)
+              ELSE greatest(1, n - 2) END AS m
+  FROM qn
+),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  JOIN floors f ON f.query_id = q.query_id
+  GROUP BY q.query_id, idx.doc_id
+  HAVING count(*) >= min(f.m)
 ),
 ranked AS (
   SELECT query_id, doc_id, round(s, 6) AS score,

@@ -23,13 +23,24 @@ from searchengine_spark.tokenizer import TokenizerConfig, tokenize_text
     ("100%", 4, 4), ("0%", 4, 1),                  # clamp below 1 -> 1
     (-10, 4, 1), ("-100%", 7, 1),
     (9, 4, 9),                                     # unreachable stays
+    # conditional clauses (Solr calculateMinShouldMatch walk)
+    ("3<90%", 3, 3),   # n <= bound: ALL clauses required
+    ("3<90%", 2, 2),
+    ("3<90%", 10, 9),  # n > bound: sub-spec applies (floor 90%)
+    ("3<90%", 4, 3),
+    ("3 < 90%", 10, 9),                            # spaces tolerated
+    ("2<-25% 9<-3", 2, 2),   # below first bound -> all
+    ("2<-25% 9<-3", 8, 6),   # first clause applies: 8 - floor(2) = 6
+    ("2<-25% 9<-3", 12, 9),  # second clause applies: 12 - 3
+    ("2<2", 5, 2),           # integer sub-spec
+    ("4<0%", 5, 1),          # clamp below 1 still applies
 ])
 def test_spec_grammar(spec, n, want):
     assert resolve_min_should_match(spec, n) == want
 
 
 def test_bad_specs():
-    for bad in ("abc", "3<90%", "50 %%", ""):
+    for bad in ("abc", "50 %%", "", "<90%", "3<", "x<90%", "3<90%<2"):
         with pytest.raises(ValueError):
             resolve_min_should_match(bad, 5)
 
