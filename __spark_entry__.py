@@ -3767,6 +3767,45 @@ def q_result_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "col", "bucket_epoch", "n")
 
 
+DH_CAL_TYPES = ("click", "error", "purchase")
+DH_CAL_UNITS = ("week", "month", "quarter", "year")
+
+
+def q_result_date_histogram_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with CALENDAR intervals (query/aggregations.py):
+    week/month/quarter/year buckets via date_trunc — exact civil-calendar
+    boundaries, not fixed spans (week truncates to the ISO Monday in both
+    engines; the month boundary is a real calendar edge). Result sets =
+    the events table filtered per event_type (one query per type), attrs
+    = the events table itself, BIGINT epoch bucket keys. The session
+    timezone pins to UTC for the call (the calendar contract)."""
+    from searchengine_spark.query.aggregations import date_histogram_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hits = None
+    for qid, et in enumerate(DH_CAL_TYPES):
+        h = (ev.filter(F.col("event_type") == et)
+             .select(F.lit(qid).alias("query_id"), "event_id"))
+        hits = h if hits is None else hits.unionByName(h)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = None
+        for unit in DH_CAL_UNITS:
+            part = date_histogram_counts(
+                hits, ev, ["ts"], ["event_id"], interval=unit
+            ).select(
+                "query_id", F.lit(unit).alias("unit"), "bucket_epoch", "n")
+            out = part if out is None else out.unionByName(part)
+        # materialize before the tz restore (lazy plans would otherwise
+        # truncate under whatever tz the harness runs)
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    return spark.createDataFrame(
+        rows, "query_id int, unit string, bucket_epoch long, n long")
+
+
 def q_result_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cumulative_sum pipeline aggregation (query/pipeline_aggs.py)
     over the DENSIFIED date_histogram series: running BIGINT total per
@@ -4886,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_score_topk": q_constant_score,
         "result_composite": q_result_composite,
         "min_should_match_cond": q_min_should_match_cond,
+        "result_date_histogram_month": q_result_date_histogram_month,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -9075,6 +9115,26 @@ GROUP BY query_id, bucket_epoch
 ORDER BY query_id, bucket_epoch
 """
     sqls["result_date_histogram"] = _dh_sql
+
+    # calendar date_histogram: date_trunc buckets over the events table
+    # (week truncates to the ISO Monday in BOTH engines; epochs are UTC
+    # instants, so the boundaries are exact civil-calendar edges)
+    _dh_cal_case = " ".join(
+        f"WHEN '{et}' THEN {qid}" for qid, et in enumerate(DH_CAL_TYPES))
+    _dh_cal_units = ", ".join(f"('{u}')" for u in DH_CAL_UNITS)
+    sqls["result_date_histogram_month"] = f"""
+WITH hits AS (
+  SELECT (CASE event_type {_dh_cal_case} END)::INT AS query_id, event_id, ts
+  FROM events
+  WHERE event_type IN ({", ".join(f"'{t}'" for t in DH_CAL_TYPES)})
+),
+units(unit) AS (VALUES {_dh_cal_units})
+SELECT query_id, unit,
+       epoch(date_trunc(unit, ts))::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS n
+FROM hits, units
+GROUP BY query_id, unit, bucket_epoch
+"""
 
     # ---- pipeline aggregations over the date_histogram buckets
     # (query/pipeline_aggs.py). Positional members (cumsum / derivative /

@@ -1062,10 +1062,10 @@ def _print_top_hits(spark, attrs_path, ext_cols, queries, per_q,
 
 def _print_date_histogram(spark, attrs_path, ext_cols, queries, per_q,
                           spec) -> None:
-    """--date-histogram COL:day|hour|minute|SECONDS[,COL:...]: ES
-    date_histogram (query/aggregations.py; fixed UTC spans, BIGINT
-    epoch buckets) over each query's result set. One JSON line per
-    query."""
+    """--date-histogram COL:day|hour|minute|SECONDS[,COL:...] (or the
+    calendar intervals week|month|quarter|year — date_trunc buckets): ES
+    date_histogram (query/aggregations.py; BIGINT epoch buckets) over
+    each query's result set. One JSON line per query."""
     from searchengine_spark.query.aggregations import date_histogram_counts
 
     specs = []
@@ -2991,7 +2991,9 @@ def main() -> None:
                     help="ES date_histogram analog "
                          "(query/aggregations.py): per query, bucket a "
                          "timestamp attribute by a fixed UTC span "
-                         "(day|hour|minute or seconds), BIGINT epoch "
+                         "(day|hour|minute or seconds) or a calendar "
+                         "interval (week|month|quarter|year via "
+                         "date_trunc), BIGINT epoch "
                          "buckets — needs --attrs; every ranker, "
                          "--index or --shards")
     ap.add_argument("--pipeline", default=None,

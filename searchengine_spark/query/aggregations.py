@@ -104,10 +104,15 @@ def histogram_counts(
     )
 
 
-#: calendar sugar for date_histogram_counts — fixed UTC spans (the ES
-#: fixed_interval units; true calendar months/years need tz/calendar
-#: logic this engine doesn't promise — refuse rather than approximate)
+#: fixed-span sugar for date_histogram_counts — fixed UTC spans (the ES
+#: fixed_interval units)
 _CALENDAR_SECONDS = {"day": 86400, "hour": 3600, "minute": 60}
+
+#: true calendar intervals (the ES calendar_interval units that are NOT
+#: fixed spans): bucket by date_trunc, which Spark and DuckDB both
+#: implement with exact civil-calendar arithmetic — no libm. week
+#: truncates to the ISO Monday in both engines.
+_CALENDAR_TRUNC = ("week", "month", "quarter", "year")
 
 
 def date_histogram_counts(
@@ -124,15 +129,41 @@ def date_histogram_counts(
     second spans, any positive int is a fixed span in seconds). Buckets
     emit as BIGINT epoch seconds: integer arithmetic end to end, no
     tz/format round-trip (timestamps are instants; epoch < 2^53 stays
-    exact through the shared melt). Calendar months/years are refused —
-    they are not fixed spans and approximating them silently would be
-    worse than not having them."""
+    exact through the shared melt).
+
+    CALENDAR intervals (``'week'``/``'month'``/``'quarter'``/``'year'``
+    — the ES calendar_interval units that are not fixed spans) bucket by
+    ``date_trunc`` instead: exact civil-calendar arithmetic, identical
+    in Spark and DuckDB, no libm. The bucket still emits as the BIGINT
+    epoch second of the truncated boundary. date_trunc interprets the
+    instant in the SESSION timezone — the cross-engine/UTC contract
+    holds under ``spark.sql.session.timeZone=UTC`` (what tests, bench
+    and the driver entries pin); other sub-month irregular intervals
+    remain refused."""
+    if isinstance(interval, str) and interval in _CALENDAR_TRUNC:
+        joined = _checked_join(results, attrs, ts_cols, ext_cols)
+        melt = []
+        for c in ts_cols:
+            melt.extend([F.lit(c), F.col(c).cast("timestamp")])
+        pairs = joined.select(
+            "query_id",
+            F.explode(F.create_map(*melt)).alias("col", "value"),
+        ).filter(F.col("value").isNotNull())
+        bucket = F.unix_timestamp(F.date_trunc(interval, F.col("value")))
+        return (
+            pairs.select(
+                "query_id", "col",
+                bucket.cast("long").alias("bucket_epoch"))
+            .groupBy("query_id", "col", "bucket_epoch")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("query_id", "col", "bucket_epoch")
+        )
     if isinstance(interval, str):
         if interval not in _CALENDAR_SECONDS:
             raise ValueError(
-                f"interval must be one of {sorted(_CALENDAR_SECONDS)} or a "
-                f"fixed number of seconds, got {interval!r} (calendar "
-                "months/years are not fixed spans — refused)"
+                f"interval must be one of {sorted(_CALENDAR_SECONDS)}, "
+                f"one of {sorted(_CALENDAR_TRUNC)}, or a fixed number of "
+                f"seconds, got {interval!r}"
             )
         ival = _CALENDAR_SECONDS[interval]
     else:

@@ -119,11 +119,50 @@ def test_date_histogram_fixed_and_calendar(spark):
                                           interval=60).collect()}
     assert got == {(0, e0): 1, (0, e0 + 60): 1, (0, e0 + 86400): 1,
                    (1, e0): 1}
-    with pytest.raises(ValueError, match="calendar"):
+    with pytest.raises(ValueError, match="interval"):
         date_histogram_counts(hits, attrs, ["ts"], ["ext_id"],
-                              interval="month")
+                              interval="fortnight")
     with pytest.raises(ValueError, match="seconds"):
         date_histogram_counts(hits, attrs, ["ts"], ["ext_id"], interval=0)
+
+    # calendar intervals (week/month/quarter/year): date_trunc buckets,
+    # exact civil-calendar boundaries under the UTC session
+    import calendar as _cal
+
+    def _e(*ymd):
+        return _cal.timegm(dt.datetime(*ymd).timetuple())
+
+    hits2 = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4)], "query_id int, ext_id long")
+    attrs2 = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 15, 7, 30)),
+         (2, dt.datetime(2026, 1, 31, 23, 59, 59)),
+         (3, dt.datetime(2026, 2, 1, 0, 0, 1)),
+         (4, dt.datetime(2025, 12, 31, 12))],
+        "ext_id long, ts timestamp",
+    )
+    got = {(r["query_id"], r["bucket_epoch"]): r["n"]
+           for r in date_histogram_counts(hits2, attrs2, ["ts"], ["ext_id"],
+                                          interval="month").collect()}
+    assert got == {(0, _e(2026, 1, 1)): 2, (0, _e(2026, 2, 1)): 1,
+                   (1, _e(2025, 12, 1)): 1}
+    got = {(r["query_id"], r["bucket_epoch"]): r["n"]
+           for r in date_histogram_counts(hits2, attrs2, ["ts"], ["ext_id"],
+                                          interval="year").collect()}
+    assert got == {(0, _e(2026, 1, 1)): 3, (1, _e(2025, 1, 1)): 1}
+    # week truncates to the ISO Monday: 2026-01-15 (Thu) -> 01-12,
+    # 2026-01-31 (Sat) -> 01-26, 2026-02-01 (Sun) -> 01-26 TOO (a
+    # calendar week straddling the month boundary is one bucket),
+    # 2025-12-31 (Wed) -> 12-29
+    got = {(r["query_id"], r["bucket_epoch"]): r["n"]
+           for r in date_histogram_counts(hits2, attrs2, ["ts"], ["ext_id"],
+                                          interval="week").collect()}
+    assert got == {(0, _e(2026, 1, 12)): 1, (0, _e(2026, 1, 26)): 2,
+                   (1, _e(2025, 12, 29)): 1}
+    got = {(r["query_id"], r["bucket_epoch"]): r["n"]
+           for r in date_histogram_counts(hits2, attrs2, ["ts"], ["ext_id"],
+                                          interval="quarter").collect()}
+    assert got == {(0, _e(2026, 1, 1)): 3, (1, _e(2025, 10, 1)): 1}
 
 
 def test_cardinality_exact(spark):
