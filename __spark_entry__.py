@@ -2980,10 +2980,12 @@ def q_result_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES string_stats aggregation (query/aggregations.py
     string_stats_agg): exact character-length stats (n, len_min,
     len_max, len_sum; avg = len_sum/n client-side) of lang/source over
-    each query's top-10 hits. Entropy deliberately omitted (needs the
-    per-character distribution + libm logs — a float in an exact row;
-    documented deviation). Lengths are code points — Spark length and
-    DuckDB length agree on VARCHAR."""
+    each query's top-10 hits, plus ES's Shannon entropy as the EXACT
+    integer numerator entropy_num = Σ_ch c*floor(1e6*ln c) over the
+    bucket's character distribution (the ccnet micro-nat protocol;
+    H_bits = (ln(len_sum) - entropy_num/(1e6*len_sum))/ln 2 derives
+    client-side). Lengths are code points — Spark length and DuckDB
+    length agree on VARCHAR."""
     from searchengine_spark.query.aggregations import string_stats_agg
 
     hits, docs = _hybrid_hits(spark, sf_dir)
@@ -4926,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_composite": q_result_composite,
         "min_should_match_cond": q_min_should_match_cond,
         "result_date_histogram_month": q_result_date_histogram_month,
+        "result_string_stats": q_result_string_stats,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -5004,7 +5007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_multi_terms": q_result_multi_terms,
         "rank_eval": q_rank_eval,
         "result_t_test": q_result_t_test,
-        "result_string_stats": q_result_string_stats,
         "result_auto_date_histogram": q_result_auto_date_histogram,
         "result_diversified": q_result_diversified,
         "result_sampler": q_result_sampler,
@@ -5930,7 +5932,9 @@ SELECT query_id,
 FROM j GROUP BY query_id ORDER BY query_id
 """
 
-    # ---- string_stats: exact code-point length stats per string col
+    # ---- string_stats: exact code-point length stats per string col +
+    # the entropy numerator Σ c*floor(1e6*ln c) over the bucket's char
+    # distribution (micro-nat protocol; floats derive client-side)
     sqls["result_string_stats"] = f"""
 WITH {_INDEX_CTES},
 q AS ({batch_q}),
@@ -5941,12 +5945,26 @@ vals AS (
   UNION ALL
   SELECT h.query_id, 'source' AS col, d.source AS v
   FROM hits h JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL
+),
+chars AS (
+  SELECT query_id, col, unnest(string_split(v, '')) AS ch FROM vals
+),
+cc AS (
+  SELECT query_id, col, ch, count(*)::BIGINT AS c
+  FROM chars WHERE ch <> '' GROUP BY query_id, col, ch
+),
+ent AS (
+  SELECT query_id, col,
+         sum(c * floor(1000000 * ln(c))::BIGINT)::BIGINT AS entropy_num
+  FROM cc GROUP BY query_id, col
 )
-SELECT query_id, col, count(*)::BIGINT AS n,
-       min(length(v))::BIGINT AS len_min,
-       max(length(v))::BIGINT AS len_max,
-       sum(length(v))::BIGINT AS len_sum
-FROM vals GROUP BY query_id, col ORDER BY query_id, col
+SELECT v.query_id, v.col, count(*)::BIGINT AS n,
+       min(length(v.v))::BIGINT AS len_min,
+       max(length(v.v))::BIGINT AS len_max,
+       sum(length(v.v))::BIGINT AS len_sum,
+       coalesce(any_value(e.entropy_num), 0)::BIGINT AS entropy_num
+FROM vals v LEFT JOIN ent e USING (query_id, col)
+GROUP BY v.query_id, v.col ORDER BY v.query_id, v.col
 """
 
     # ---- auto_date_histogram: per-query ladder pick (smallest rung

@@ -1693,8 +1693,10 @@ def _print_string_stats(spark, attrs_path, ext_cols, queries, per_q,
                         cols_spec) -> None:
     """--string-stats COL[,COL...]: ES string_stats analog
     (query/aggregations.py; exact code-point length stats, avg_length
-    derives as len_sum/n; entropy omitted by design). One JSON line per
-    query."""
+    derives as len_sum/n; entropy derives from the exact integer
+    micro-nat numerator). One JSON line per query."""
+    import math as _math
+
     from searchengine_spark.query.aggregations import string_stats_agg
 
     cols = [c.strip() for c in cols_spec.split(",") if c.strip()]
@@ -1714,6 +1716,14 @@ def _print_string_stats(spark, attrs_path, ext_cols, queries, per_q,
                 "len_max": int(r["len_max"]),
                 "len_sum": int(r["len_sum"]),
                 "avg_length": (int(r["len_sum"]) / n) if n else None,
+                "entropy_num": int(r["entropy_num"]),
+                # ES emits base-2 Shannon entropy; derive it from the
+                # exact numerator (micro-nats): H = (ln T - num/(1e6 T))/ln 2
+                "entropy": (
+                    (_math.log(int(r["len_sum"]))
+                     - int(r["entropy_num"]) / (1e6 * int(r["len_sum"])))
+                    / _math.log(2)
+                ) if int(r["len_sum"]) else 0.0,
             }
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "string_stats": by_q[i]}))

@@ -990,16 +990,29 @@ def string_stats_agg(
     str_cols: Sequence[str],
     ext_cols: Sequence[str],
 ) -> DataFrame:
-    """-> (query_id, col, n, len_min, len_max, len_sum): ES
+    """-> (query_id, col, n, len_min, len_max, len_sum, entropy_num): ES
     ``string_stats`` aggregation over each query's result set — exact
     character-length statistics per string attribute column (lengths in
     code points: Spark ``length`` and DuckDB ``length`` agree on
     VARCHAR). avg_length derives client-side as len_sum/n (the stats_agg
-    no-float-ratio rule). NULLs skip. Deliberately NOT emitted: ES's
-    Shannon entropy — it needs the per-character distribution and a libm
-    log per distinct char; emitting a float entropy would break the
-    exact-row discipline for a presentation number (documented
-    deviation). One melt + one partial-aggregable groupBy."""
+    no-float-ratio rule). NULLs skip.
+
+    ES's Shannon entropy ships as an EXACT INTEGER NUMERATOR instead of
+    a float (the ccnet-perplexity micro-nat trick): over the bucket's
+    whole character distribution,
+    ``entropy_num = Σ_ch count_ch * floor(1e6 * ln(count_ch))`` — one
+    floor-quantized libm log per DISTINCT character count, BIGINT sums,
+    reproducible bit-for-bit in Spark/DuckDB. The float entropy derives
+    client-side: ``H_nats = ln(T) - entropy_num/(1e6*T)`` with
+    ``T = len_sum`` (total chars), ``H_bits = H_nats/ln 2`` (what ES
+    emits). A bucket whose values are all empty has entropy_num 0.
+    Characters split per UTF-16 code unit on the JVM side — the BMP
+    attribute strings this serves are unaffected (astral chars would
+    split; documented).
+
+    One melt + two partial-aggregable groupBys (chars bounded by the
+    result set's total string length), rename-joined (the shared-parent
+    self-join rule)."""
     joined = _checked_join(results, attrs, str_cols, ext_cols)
     melt = []
     for c in str_cols:
@@ -1009,13 +1022,41 @@ def string_stats_agg(
         F.explode(F.create_map(*melt)).alias("col", "value"),
     ).filter(F.col("value").isNotNull())
     ln = F.length("value").cast("long")
-    return (
+    base = (
         pairs.groupBy("query_id", "col")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.min(ln).alias("len_min"),
             F.max(ln).alias("len_max"),
             F.sum(ln).alias("len_sum"),
+        )
+    )
+    chars = pairs.select(
+        "query_id", "col",
+        F.explode(F.split(F.col("value"), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("query_id", "col", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    ent = counts.groupBy("query_id", "col").agg(
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double"))
+                      * F.lit(1_000_000.0)).cast("long")
+        ).cast("long").alias("_entropy_num"))
+    ent = ent.select(
+        F.col("query_id").alias("_eq"), F.col("col").alias("_ec"),
+        "_entropy_num")
+    return (
+        base.join(
+            ent,
+            (F.col("query_id") == F.col("_eq"))
+            & (F.col("col") == F.col("_ec")),
+            "left",
+        )
+        .select(
+            "query_id", "col", "n", "len_min", "len_max", "len_sum",
+            F.coalesce(F.col("_entropy_num"), F.lit(0)).cast("long")
+            .alias("entropy_num"),
         )
         .orderBy("query_id", "col")
     )

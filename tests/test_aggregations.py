@@ -690,6 +690,34 @@ def test_string_stats_lengths(spark):
     assert got[(0, "s1")][3] / got[(0, "s1")][0] == pytest.approx(7 / 3)
 
 
+def test_string_stats_entropy_num(spark):
+    import math
+
+    from searchengine_spark.query.aggregations import string_stats_agg
+
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 4)], "query_id int, ext_id long")
+    attrs = spark.createDataFrame(
+        [(1, "aab"), (2, "abb"), (3, "aaaa"), (4, "")],
+        "ext_id long, s string")
+    got = {r["query_id"]: (r["entropy_num"], r["len_sum"])
+           for r in string_stats_agg(hits, attrs, ["s"],
+                                     ["ext_id"]).collect()}
+    # q0 chars: a x3, b x3 -> Σ c*floor(1e6 ln c) = 2 * 3*floor(1e6 ln3)
+    want0 = 2 * 3 * math.floor(1e6 * math.log(3))
+    assert got[0] == (want0, 6)
+    # q1: a x4 -> 4*floor(1e6 ln4); client-side H = ln(4)-num/(1e6*4) = 0
+    want1 = 4 * math.floor(1e6 * math.log(4))
+    assert got[1] == (want1, 4)
+    h_nats = math.log(4) - want1 / (1e6 * 4)
+    assert abs(h_nats) < 1e-5
+    # q0's derived entropy ~ ln 2 (uniform over two chars)
+    h0 = math.log(6) - want0 / (1e6 * 6)
+    assert abs(h0 - math.log(2)) < 1e-5
+    # empty-string bucket: no chars, entropy_num 0
+    assert got[2] == (0, 0)
+
+
 def test_auto_date_histogram_picks_interval(spark):
     import datetime as dt
 
