@@ -1,9 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real decode (image/audio/video) libraries are NOT in this container, so the
-decode kernels are STUBS — but everything Spark-side is real and tested:
-schema (binary + metadata struct), Arrow batch shape through mapInPandas,
-partition sizing, and the deterministic fallback featurizer used by tests.
+The decode kernels are OPTIONAL-DEPENDENCY: real Pillow/soundfile decode
+where those libs import, a loud NotImplementedError where they don't
+(this sandbox ships neither). Everything Spark-side is real and tested
+either way: schema (binary + metadata struct), Arrow batch shape through
+mapInPandas, partition sizing, and the deterministic fallback featurizer
+used by tests.
 
 Layout convention for a 100 TB multimodal corpus:
   (doc_id long, modality string, payload binary, meta struct<width:int,
@@ -33,17 +35,59 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pil_image():
+    """Pillow's Image module when importable, else None — the decoders
+    are OPTIONAL-dependency: real decode where the lib exists, a loud
+    NotImplementedError where it doesn't (this sandbox ships no media
+    libs; the deterministic fake featurizer covers the plumbing)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
+def _soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Stub — Pillow/opencv not installed in this container."""
-    raise NotImplementedError(
-        "image decode requires Pillow/opencv (not in container); "
-        "use deterministic_features for plumbing tests"
-    )
+    """Decode an encoded image payload (PNG/JPEG/...) to an HxWx3 uint8
+    RGB array via Pillow when it is importable; raises
+    NotImplementedError otherwise. Swap into extract_features' kernel in
+    a container that has the lib — batch shape and schema are already
+    decoder-shaped."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires Pillow (not installed); "
+            "use the deterministic fake featurizer for plumbing tests"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
-def decode_audio(payload: bytes) -> np.ndarray:
-    """Stub — soundfile/librosa not installed in this container."""
-    raise NotImplementedError("audio decode requires soundfile (not in container)")
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode an encoded audio payload (WAV/FLAC/...) to
+    ``(samples float32 [n, channels], sample_rate)`` via soundfile when
+    it is importable; raises NotImplementedError otherwise."""
+    sf = _soundfile()
+    if sf is None:
+        raise NotImplementedError(
+            "audio decode requires soundfile (not installed); "
+            "use the deterministic fake featurizer for plumbing tests"
+        )
+    import io
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="float32",
+                         always_2d=True)
+    return np.asarray(data, dtype=np.float32), int(rate)
 
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -40,3 +40,60 @@ def test_resize_images_null_and_empty(spark):
     assert got[4]["out_bytes"] == 0 and got[4]["checksum"] == 0
     assert got[0]["out_bytes"] == 4  # real payloads still resample
     assert got[1]["out_bytes"] == 4
+
+
+def test_decode_stub_path_without_libs():
+    """In a container without Pillow/soundfile the decoders refuse
+    loudly; where a lib IS present the stub branch must not fire (the
+    optional-dependency contract)."""
+    import pytest
+
+    from searchengine_spark.textops.multimodal import (
+        _pil_image,
+        _soundfile,
+        decode_audio,
+        decode_image,
+    )
+
+    if _pil_image() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG\r\n")
+    if _soundfile() is None:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"RIFF")
+
+
+def test_decode_image_real_kernel():
+    """Real decode path — skips cleanly where Pillow is absent."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    from searchengine_spark.textops.multimodal import decode_image
+
+    im = Image.new("RGB", (4, 2), (10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    arr = decode_image(buf.getvalue())
+    assert arr.shape == (2, 4, 3) and arr.dtype == np.uint8
+    assert (arr == np.array([10, 20, 30], dtype=np.uint8)).all()
+
+
+def test_decode_audio_real_kernel():
+    """Real decode path — skips cleanly where soundfile is absent."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    sf = pytest.importorskip("soundfile")
+    from searchengine_spark.textops.multimodal import decode_audio
+
+    wave = (np.sin(np.linspace(0, 3.0, 800)) * 0.5).astype(np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, wave, 8000, format="WAV")
+    data, rate = decode_audio(buf.getvalue())
+    assert rate == 8000 and data.shape == (800, 1)
+    assert np.abs(data[:, 0] - wave).max() < 1e-3  # 16-bit PCM round-trip
