@@ -241,6 +241,16 @@ def _single(cpus: int) -> dict:
                     out["sf1_record"] = json.load(fh)
             except (OSError, ValueError):
                 pass
+        # and the sf1.0 esops cost-class point (score-all / collapse /
+        # sort / decay at 8.4M turns — `SPARK_GRAFT_SF_DIR=.../sf1.0
+        # python bench.py --esops`, saved as BENCH_esops_sf1.json)
+        rec = os.path.join(REPO, "BENCH_esops_sf1.json")
+        if os.path.exists(rec):
+            try:
+                with open(rec) as fh:
+                    out["esops_sf1_record"] = json.load(fh)
+            except (OSError, ValueError):
+                pass
     return out
 
 
