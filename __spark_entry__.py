@@ -1063,6 +1063,26 @@ def q_emb_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(emb, threshold=0.3, bucket_by=cents)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (textops/similarity.py semantic_dedup; Abbas et al.
+    2023): embedding-space near-duplicate removal — integer-micro
+    k-means clusters (reusing the IVF training), within-cluster rounded
+    cosine >= 0.3 pairs, connected components, keep = min-id
+    representative per semantic group. The oracle replicates training +
+    bucketing + pair scoring (the emb_near_pairs_bucketed chain) AND the
+    component resolution as a recursive min-label walk."""
+    from searchengine_spark.textops import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _ivf_centroids(spark, sf_dir)
+    out = semantic_dedup(emb, threshold=0.3, centroids=cents)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    )
+
+
 N_CLUSTERED = 320
 
 
@@ -2553,6 +2573,50 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_LINEAR_W = (0.7, 0.3)
+
+
+def q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.16 linear retriever with minmax normalizer (query/hybrid.py
+    linear_fuse): the same two candidate windows as hybrid_search (BM25
+    WAND top-15, brute cosine top-15), fused by weighted sum of
+    per-system minmax-normalized scores — all in exact BIGINT micro
+    arithmetic ((s-min)*1e6 div (max-min), w_micro*norm div 1e6,
+    degenerate max==min system -> 1e6). Weights 0.7 text / 0.3 vector.
+    The oracle replicates both windows AND the integer normalize-fuse
+    chain."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.hybrid import cosine_candidates, linear_fuse
+    from searchengine_spark.query.wand import bm25_topk_packed_batch, resolve_docs
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    by_id = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(HYBRID_VEC_IDS)).collect()
+    }
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    qvecs = [by_id[i] for i in HYBRID_VEC_IDS]
+    text = resolve_docs(pidx, bm25_topk_packed_batch(
+        pidx, qs, CFG, k=HYBRID_N_CAND, round_dp=6)).select(
+        "query_id", F.col("ext_id").cast("long").alias("doc_id"), "score")
+    vec = cosine_candidates(emb, qvecs, n_candidates=HYBRID_N_CAND).filter(
+        F.col("rank") <= HYBRID_N_CAND).select(
+        "query_id", "doc_id", F.col("cosine").alias("score"))
+    out = linear_fuse([text, vec], weights=HYBRID_LINEAR_W, k=10)
+    return out.select("query_id", "doc_id", "linear_score", "rank")
+
+
 HIST_INTERVAL = 40.0
 RERANK_N_CAND = 15
 #: ES range-agg buckets over n_chars: unbounded low, two OVERLAPPING
@@ -3808,6 +3872,20 @@ def q_result_date_histogram_month(spark: SparkSession, sf_dir: str) -> DataFrame
         rows, "query_id int, unit string, bucket_epoch long, n long")
 
 
+def q_result_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline aggregation (query/pipeline_aggs.py
+    normalize_buckets): each date_histogram bucket's count rescaled
+    within its series by rescale_0_1 — emitted as the EXACT integer
+    (n - min, max - min) numerator/denominator pair (float derives
+    client-side; degenerate series emit den 0). z_score/softmax are
+    refused (irrational/libm)."""
+    from searchengine_spark.query.pipeline_aggs import normalize_buckets
+
+    out = normalize_buckets(_dh_buckets(spark), "rescale_0_1")
+    return out.select("query_id", "col", "bucket_epoch", "n",
+                      "norm_num", "norm_den")
+
+
 def q_result_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cumulative_sum pipeline aggregation (query/pipeline_aggs.py)
     over the DENSIFIED date_histogram series: running BIGINT total per
@@ -4816,6 +4894,23 @@ def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_children=HAS_CHILD_MIN, k=10, round_dp=6)
 
 
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES children aggregation (query/parentchild.py
+    children_terms_agg): step from each query's QUALIFYING conversations
+    (the has_child sum-combine set, min_children=2) down to ALL their
+    turns — matched or not, the ES children-agg coverage — and bucket
+    the child 'role' attribute, top-5 by (count desc, value asc). The
+    oracle reuses the has_child parent chain and joins the whole turn
+    set back through the attribute VALUES."""
+    from searchengine_spark.query.parentchild import children_terms_agg
+
+    pidx, corpus, cfg = _transcripts_pidx(spark)
+    attrs = corpus.select("conv_id", "turn_idx", "role")
+    return children_terms_agg(
+        pidx, TRANSCRIPTS_QUERIES, cfg, attrs, "role", score_mode="sum",
+        min_children=HAS_CHILD_MIN, size=5, round_dp=6)
+
+
 def q_has_child_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_child inner_hits (query/parentchild.py
     has_child_inner_hits): each top-5 conversation of the sum-combine
@@ -4929,6 +5024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match_cond": q_min_should_match_cond,
         "result_date_histogram_month": q_result_date_histogram_month,
         "result_string_stats": q_result_string_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "hybrid_linear": q_hybrid_linear,
+        "children_agg": q_children_agg,
+        "result_normalize": q_result_normalize,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -6201,6 +6300,73 @@ hranked AS (
 )
 SELECT query_id, doc_id, rrf_score, rank::BIGINT AS rank
 FROM hranked WHERE rank <= 10
+"""
+
+    # linear retriever: same two windows, weighted minmax fuse in exact
+    # BIGINT micro arithmetic (degenerate max==min system -> 1e6)
+    _wm_t = int(round(HYBRID_LINEAR_W[0] * 1_000_000))
+    _wm_v = int(round(HYBRID_LINEAR_W[1] * 1_000_000))
+    sqls["hybrid_linear"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+tr AS (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS rnk
+  FROM scored
+),
+qv AS ({hy_qv}),
+cosined AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round({_hdot.format(a='(e.embedding::DOUBLE[])', b='qv.qe')} /
+               (sqrt({_hdot.format(a='(e.embedding::DOUBLE[])', b='(e.embedding::DOUBLE[])')}) *
+                sqrt({_hdot.format(a='qv.qe', b='qv.qe')})), 6) AS score
+  FROM embeddings e, qv
+),
+vr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM cosined
+),
+u AS (
+  SELECT query_id, doc_id, round(score * 1000000)::BIGINT AS sm,
+         0 AS sys, {_wm_t}::BIGINT AS wm
+  FROM tr WHERE rnk <= {HYBRID_N_CAND}
+  UNION ALL
+  SELECT query_id, doc_id, round(score * 1000000)::BIGINT AS sm,
+         1 AS sys, {_wm_v}::BIGINT AS wm
+  FROM vr WHERE rnk <= {HYBRID_N_CAND}
+),
+nrm AS (
+  SELECT query_id, doc_id, wm, sm,
+         min(sm) OVER (PARTITION BY sys, query_id) AS mn,
+         max(sm) OVER (PARTITION BY sys, query_id) AS mx
+  FROM u
+),
+contrib AS (
+  SELECT query_id, doc_id,
+         wm * (CASE WHEN mx = mn THEN 1000000
+                    ELSE (sm - mn) * 1000000 // (mx - mn) END) // 1000000 AS c
+  FROM nrm
+),
+f AS (
+  SELECT query_id, doc_id, sum(c)::BIGINT AS linear_score
+  FROM contrib GROUP BY query_id, doc_id
+),
+lr AS (
+  SELECT query_id, doc_id, linear_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY linear_score DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, doc_id, linear_score, rank::BIGINT AS rank
+FROM lr WHERE rank <= 10
 """
 
     # deletes: the oracle never sees tombstones or epochs — it computes
@@ -8323,6 +8489,41 @@ p AS (
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
 """
 
+    # SemDeDup: the near-pairs chain above + recursive min-label walk
+    # to components; keep = min-id representative per component
+    sqls["semantic_dedup"] = f"""
+WITH RECURSIVE {_kmeans_ctes},
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum([(embedding::DOUBLE[])[i+1] * (embedding::DOUBLE[])[i+1]
+                        for i in range(64)])) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_pair_cos} AS cosine
+  FROM afinal pa
+  JOIN afinal pb ON pa.centroid_id = pb.centroid_id AND pa.vec_id < pb.vec_id
+  JOIN v a ON a.vec_id = pa.vec_id
+  JOIN v b ON b.vec_id = pb.vec_id
+),
+edges0 AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+walk(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (
+  SELECT id::BIGINT AS vec_id, min(lab)::BIGINT AS canonical_id
+  FROM walk GROUP BY id
+)
+SELECT vec_id, canonical_id, vec_id = canonical_id AS keep FROM comp
+"""
+
     from searchengine_spark.textops.quality import BPE_ISH, LANG_PROFILES, LANG_ORDER
 
     def _inlist(words):
@@ -8999,6 +9200,54 @@ SELECT query_id, conv_id, group_rank, hit_rank, doc_id, score
 FROM inner_ranked WHERE hit_rank <= 3
 """
 
+    # children agg: qualifying parents -> ALL their turns -> bucket the
+    # child 'role' attribute (NULLs skip), top-5 (count desc, value asc)
+    sqls["children_agg"] = f"""
+WITH t(conv_id, turn_idx, role, tool, text) AS (VALUES
+{vals_attr}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx, role, text
+  FROM t
+),
+tok AS (SELECT doc_id, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+dln AS (SELECT doc_id, round(dl / (SELECT avgdl FROM corpus), 3) AS dl_norm FROM dl),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, round(sum({_bm25_contrib_sql()}), 6) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+parents AS (
+  SELECT s.query_id, d.conv_id
+  FROM scored s JOIN docs d USING (doc_id)
+  GROUP BY s.query_id, d.conv_id
+  HAVING count(*) >= {HAS_CHILD_MIN}
+),
+vals_c AS (
+  SELECT p.query_id, d.role AS value, count(*)::BIGINT AS n
+  FROM parents p JOIN docs d USING (conv_id)
+  WHERE d.role IS NOT NULL
+  GROUP BY p.query_id, d.role
+),
+cranked AS (
+  SELECT query_id, value, n,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, value ASC)::BIGINT AS rank
+  FROM vals_c
+)
+SELECT query_id, value, n, rank FROM cranked WHERE rank <= 5
+"""
+
     sqls["has_parent_search"] = f"""
 WITH t(conv_id, turn_idx, text) AS (VALUES
 {vals}
@@ -9133,6 +9382,20 @@ GROUP BY query_id, bucket_epoch
 ORDER BY query_id, bucket_epoch
 """
     sqls["result_date_histogram"] = _dh_sql
+
+    # normalize pipeline agg: per-series minmax as exact integer pairs
+    sqls["result_normalize"] = f"""
+WITH dh0 AS ({_dh_sql}),
+w AS (
+  SELECT query_id, col, bucket_epoch, n,
+         min(n) OVER (PARTITION BY query_id, col) AS mn,
+         max(n) OVER (PARTITION BY query_id, col) AS mx
+  FROM dh0
+)
+SELECT query_id, col, bucket_epoch, n,
+       (n - mn)::BIGINT AS norm_num, (mx - mn)::BIGINT AS norm_den
+FROM w
+"""
 
     # calendar date_histogram: date_trunc buckets over the events table
     # (week truncates to the ISO Monday in BOTH engines; epochs are UTC

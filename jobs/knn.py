@@ -16,13 +16,19 @@ Cluster usage:
         --query-id N [-k 10] [--filter "label = 1"]
     spark-submit ... jobs/knn.py pairs --input <parquet> \\
         --threshold 0.9 [--bucketed [--centroids 8 --dim 64 --iters 2]]
+    spark-submit ... jobs/knn.py dedup --input <parquet> \\
+        --threshold 0.95 [--centroids 8 --dim 64 --iters 2] \\
+        [--output <keeplist dir>]
 
 `query` without --index runs exact brute cosine; with --index it probes
 the persisted bucketed layout (partition-pruned scan). --filter is the
 ES knn filter contract: PRE-filtering — the k nearest among vectors
 PASSING the predicate, never top-k-then-filter. `pairs --bucketed`
 trains k-means and restricts candidates to same-cell pairs (the IVF
-composition); without it, all-pairs (verification scale only).
+composition); without it, all-pairs (verification scale only). `dedup`
+is SemDeDup (Abbas et al. 2023): k-means clusters, within-cluster
+cosine >= threshold pairs, connected components, keep = min-id
+representative per semantic-duplicate group.
 """
 
 from __future__ import annotations
@@ -61,7 +67,7 @@ def _allowed(spark, args):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "query", "pairs"])
+    ap.add_argument("mode", choices=["build", "query", "pairs", "dedup"])
     ap.add_argument("--input", required=True,
                     help="embeddings parquet dir (vec_id, embedding, ...)")
     ap.add_argument("--output", default=None, help="IVF dir (build)")
@@ -199,6 +205,28 @@ def main() -> None:
                               min_similarity=args.min_similarity)
         for r in out.collect():
             print(json.dumps(r.asDict(), default=str))
+        return
+
+    if args.mode == "dedup":
+        # SemDeDup (textops/similarity.py semantic_dedup): cluster ->
+        # within-cluster cosine pairs -> components -> min-id keep-list;
+        # --output streams the keep table without a driver collect
+        from searchengine_spark.textops import semantic_dedup
+
+        out = semantic_dedup(
+            emb, args.threshold, n_centroids=args.centroids, dim=args.dim,
+            n_iters=args.iters, id_col=args.id_col, vec_col=args.vec_col)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            kept = spark.read.parquet(args.output).filter("keep").count()
+            total = spark.read.parquet(args.output).count()
+        else:
+            out = out.cache()
+            kept, total = out.filter("keep").count(), out.count()
+        print(json.dumps({"threshold": args.threshold, "n_vectors": int(total),
+                          "n_kept": int(kept),
+                          "n_dropped": int(total - kept),
+                          "output": args.output}))
         return
 
     # pairs

@@ -1101,7 +1101,8 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
     aggregations (query/pipeline_aggs.py). OP is one of cumsum,
     derivative, moving_sum:W[:SHIFT], serial_diff:L,
     bucket_sort:SIZE[:FROM], bucket_selector:PRED, stats_bucket,
-    bucket_script:EXPR, percentiles_bucket[:P1|P2], extreme_buckets.
+    bucket_script:EXPR, percentiles_bucket[:P1|P2], extreme_buckets,
+    normalize[:METHOD] (exact integer num/den pairs).
     Positional members (cumsum/derivative/moving_sum/serial_diff) run on
     the DENSIFIED series (zero-filled gaps — the ES min_doc_count=0
     requirement); order-statistic members run on the raw buckets. Needs
@@ -1163,6 +1164,8 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
             out = P.percentiles_bucket(buckets, pcts)
         elif op == "extreme_buckets":
             out = P.extreme_bucket_keys(buckets)
+        elif op == "normalize":
+            out = P.normalize_buckets(buckets, rest or "rescale_0_1")
         else:
             raise SystemExit(f"unknown --pipeline op {op!r}")
         val_cols = [c for c in out.columns if c not in ("query_id",)]
@@ -1991,6 +1994,29 @@ def _serve_federated(spark, args) -> None:
         stats = EvalStats(parse_relevance_file(args.relevance))
     ext_cols = [c for c in shards[0].manifest["order_cols"] if c != "doc_id"]
 
+    if args.has_child:
+        # federated ES has_child: bounded per-shard top-k + kth-score
+        # ties merge; refuses shard sets without the conversation-
+        # coherence attestation (query/federated.py)
+        from searchengine_spark.query.federated import (
+            has_child_topk_federated,
+        )
+
+        hc = args.has_child.split(":")
+        if not args.query:
+            raise SystemExit("--has-child wants --query/--queries-file")
+        if args.has_child_inner or args.children_agg:
+            raise SystemExit("--has-child-inner/--children-agg serve from "
+                             "a single index (--index)")
+        out = has_child_topk_federated(
+            shards, args.query, cfg, score_mode=hc[0],
+            min_children=int(hc[1]) if len(hc) > 1 else 1,
+            max_children=int(hc[2]) if len(hc) > 2 else None,
+            k=args.n, round_dp=6)
+        print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
+                         default=str))
+        return
+
     def _record(batch: list[str], per_q: list[list], dt: float) -> None:
         """Shared post-processing: snippets + relevance stats (the same
         consumers the single-index path has — both operate on resolved
@@ -2688,6 +2714,14 @@ def main() -> None:
                     help="with --has-child: ES inner_hits — each top-k "
                          "conversation carries its best N matching turns "
                          "from the same score-all pass")
+    ap.add_argument("--children-agg", default=None, metavar="COL",
+                    help="ES children aggregation "
+                         "(query/parentchild.py children_terms_agg): "
+                         "step from the --has-child qualifying "
+                         "conversations down to ALL their turns and "
+                         "bucket this child attribute column from "
+                         "--attrs (top-n by count desc, value asc; "
+                         "NULLs skip)")
     ap.add_argument("--intervals", default=None,
                     metavar="ordered|unordered[:MAX_GAPS]",
                     help="ES intervals query (query/intervals.py): "
@@ -3014,7 +3048,9 @@ def main() -> None:
                          "| moving_sum:W[:SHIFT] | serial_diff:L | "
                          "bucket_sort:SIZE[:FROM] | bucket_selector:PRED "
                          "| stats_bucket | bucket_script:EXPR | "
-                         "percentiles_bucket[:P1|P2] | extreme_buckets. "
+                         "percentiles_bucket[:P1|P2] | extreme_buckets | "
+                         "normalize[:METHOD] (exact num/den pairs; "
+                         "rescale_0_1|rescale_0_100|percent_of_sum|mean). "
                          "Positional ops run on the "
                          "densified (zero-filled) series; needs a "
                          "single-column --date-histogram spec + --attrs; "
@@ -3444,6 +3480,20 @@ def main() -> None:
         max_c = int(parts[2]) if len(parts) > 2 else None
         if not args.query:
             raise SystemExit("--has-child wants --query/--queries-file")
+        if args.children_agg:
+            from searchengine_spark.query.parentchild import (
+                children_terms_agg,
+            )
+
+            if not args.attrs:
+                raise SystemExit("--children-agg wants --attrs")
+            out = children_terms_agg(
+                pidx, args.query, cfg, spark.read.parquet(args.attrs),
+                args.children_agg, score_mode=mode, min_children=min_c,
+                max_children=max_c, size=args.n, round_dp=6)
+            print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
+                             default=str))
+            return
         if args.has_child_inner:
             from searchengine_spark.query.parentchild import (
                 has_child_inner_hits,

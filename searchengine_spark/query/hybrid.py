@@ -81,6 +81,75 @@ def rrf_fuse(
     )
 
 
+def linear_fuse(
+    rankings: Sequence[DataFrame],
+    weights: Optional[Sequence[float]] = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES 8.16 ``linear`` retriever with the ``minmax`` normalizer ->
+    (query_id, doc_id, linear_score, rank): fuse N (query_id, doc_id,
+    score) candidate frames by weighted sum of per-system minmax-
+    normalized scores, in the repo's exact integer protocol.
+
+    Arithmetic (all BIGINT after one rounding of the 6dp score to
+    micro-units — exact, scores are 6dp multiples):
+
+    - per (system, query): ``norm_micro = (s - min) * 1e6 div
+      (max - min)`` over that system's candidate window (0..1e6). A
+      degenerate system (max == min for a query) normalizes to 1e6 for
+      all its docs — documented choice, deterministic.
+    - contribution = ``w_micro * norm_micro div 1e6``; ``linear_score``
+      = BIGINT sum over systems that ranked the doc (absent = 0, the
+      ES convention). Ties rank doc_id asc.
+
+    Like RRF, fusion sees only each system's candidate window
+    (rank_window_size semantics): bounded frames, one union + two
+    bounded windows + one small aggregate — corpus size never
+    appears."""
+    if not rankings:
+        raise ValueError("pass at least one ranking frame")
+    ws = [1.0] * len(rankings) if weights is None else list(weights)
+    if len(ws) != len(rankings):
+        raise ValueError(
+            f"{len(ws)} weights vs {len(rankings)} ranking frames")
+    if any(w < 0 for w in ws):
+        raise ValueError(f"weights must be >= 0, got {ws}")
+    parts = []
+    for i, (r, w) in enumerate(zip(rankings, ws)):
+        wm = int(round(w * 1_000_000))
+        sm = F.round(F.col("score") * F.lit(1_000_000.0), 0).cast("long")
+        parts.append(r.select(
+            "query_id", "doc_id", sm.alias("sm"),
+            F.lit(i).alias("sys"), F.lit(wm).cast("long").alias("wm")))
+    uni = reduce(DataFrame.unionByName, parts)
+    wq = Window.partitionBy("sys", "query_id")
+    normed = (
+        uni.withColumn("mn", F.min("sm").over(wq))
+        .withColumn("mx", F.max("sm").over(wq))
+        .withColumn(
+            "norm",
+            F.when(F.col("mx") == F.col("mn"),
+                   F.lit(1_000_000).cast("long"))
+            .otherwise(F.expr("(sm - mn) * 1000000 div (mx - mn)")),
+        )
+    )
+    fused = (
+        normed.select(
+            "query_id", "doc_id",
+            F.expr("wm * norm div 1000000").alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("long").alias("linear_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("linear_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "linear_score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def cosine_candidates(
     embeddings: DataFrame,
     query_vecs: Sequence[Sequence[float]],

@@ -199,3 +199,61 @@ def has_child_inner_hits(
         .select("query_id", parent_col, "group_rank", "hit_rank",
                 "doc_id", "score")
     )
+
+
+def children_terms_agg(
+    pidx,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    attrs: DataFrame,
+    value_col: str,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: Optional[int] = None,
+    size: int = 10,
+    round_dp: int = 6,
+    parent_col: str = "conv_id",
+) -> DataFrame:
+    """ES ``children`` aggregation -> (query_id, value, n, rank): step
+    from the query's QUALIFYING PARENTS (the has_child conversation
+    set) down to ALL their child turns and bucket a child attribute —
+    the join-field mirror of has_child (which steps child->parent to
+    rank; this steps parent->children to aggregate). ES's children agg
+    covers every child of the bucketed parents, matched or not — so
+    counts run over the conversations' WHOLE turn sets, not just
+    matching turns.
+
+    ``attrs`` carries the child-level attribute keyed by the index's
+    external id columns (order_cols minus doc_id — the facets
+    contract); NULL values skip (the NULLs-drop rule); top-``size``
+    buckets per query by (count desc, value asc).
+
+    Plan: the qualifying-parent frame is conversation-bounded; one hash
+    join to the docmap on parent_col, one join to the pruned attrs
+    scan, one partial-aggregable groupBy, one rank<=size window
+    (WindowGroupLimit)."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    ext = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
+    missing = [c for c in ext + [value_col] if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"attrs table lacks columns {missing}")
+    parents = has_child_grouped(
+        pidx, queries, cfg, score_mode=score_mode,
+        min_children=min_children, max_children=max_children,
+        round_dp=round_dp, parent_col=parent_col,
+    ).select("query_id", parent_col)
+    turns = pidx.docmap.select(parent_col, *ext).join(parents, parent_col)
+    vals = (
+        turns.join(attrs.select(*ext, value_col), ext)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy("query_id", F.col(value_col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n"), F.asc("value"))
+    return (
+        vals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= size)
+        .select("query_id", "value", "n", "rank")
+    )

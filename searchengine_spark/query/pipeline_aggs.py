@@ -381,3 +381,61 @@ def stats_bucket(
              F.sum(nn).cast("long").alias("sum_n"))
         .orderBy("query_id", "col")
     )
+
+
+#: the rational members of ES's normalize-method set; z_score (sqrt of a
+#: variance) and softmax (exp) are irrational/libm and refused — the
+#: gauss-decay precedent
+NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum", "mean")
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    method: str = "rescale_0_1",
+    bucket_col: str = "bucket_epoch",
+) -> DataFrame:
+    """-> (query_id, col, bucket, n, norm_num, norm_den): ES
+    ``normalize`` pipeline aggregation — each bucket's count rescaled
+    within its (query_id, col) series, emitted as the EXACT integer
+    numerator/denominator pair (the no-float-ratio discipline: the
+    float value is norm_num/norm_den client-side; a degenerate series
+    — max == min, or a zero sum — emits norm_den = 0 and the client
+    decides, where ES emits null). Methods (all pure BIGINT):
+
+    - ``rescale_0_1``:    (n - min) / (max - min)
+    - ``rescale_0_100``:  100·(n - min) / (max - min)
+    - ``percent_of_sum``: n / Σn
+    - ``mean``:           (n - avg) / (max - min), as the cross-
+      multiplied exact pair (n·cnt - Σn) / ((max - min)·cnt)
+
+    z_score and softmax are refused (irrational/libm — the repo's
+    exact-arithmetic policy). One window exchange over (query_id, col),
+    bounded by the bucket frame."""
+    _check_bucket_col(buckets, bucket_col)
+    if method not in NORMALIZE_METHODS:
+        raise ValueError(
+            f"method must be one of {NORMALIZE_METHODS} (z_score/softmax "
+            f"are irrational — refused), got {method!r}")
+    nn = F.col("n").cast("long")
+    wq = Window.partitionBy("query_id", "col")
+    b = (
+        buckets.select("query_id", "col", bucket_col, nn.alias("n"))
+        .withColumn("_mn", F.min("n").over(wq))
+        .withColumn("_mx", F.max("n").over(wq))
+        .withColumn("_sum", F.sum("n").over(wq))
+        .withColumn("_cnt", F.count("n").over(wq))
+    )
+    if method == "rescale_0_1":
+        num, den = F.expr("n - _mn"), F.expr("_mx - _mn")
+    elif method == "rescale_0_100":
+        num, den = F.expr("100 * (n - _mn)"), F.expr("_mx - _mn")
+    elif method == "percent_of_sum":
+        num, den = F.col("n"), F.col("_sum")
+    else:  # mean
+        num = F.expr("n * _cnt - _sum")
+        den = F.expr("(_mx - _mn) * _cnt")
+    return b.select(
+        "query_id", "col", bucket_col, "n",
+        num.cast("long").alias("norm_num"),
+        den.cast("long").alias("norm_den"),
+    ).orderBy("query_id", "col", bucket_col)

@@ -78,4 +78,5 @@ from .similarity import (  # noqa: F401
     kmeans_micro,
     make_centroids,
     probe_centroids,
+    semantic_dedup,
 )

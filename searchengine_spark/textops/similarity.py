@@ -375,3 +375,50 @@ def cosine_near_pairs(
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    centroids: "list[list[int]] | None" = None,
+    n_centroids: int = 8,
+    dim: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) -> (id,
+    canonical_id, keep): semantic near-duplicate removal over an
+    embedding column — the embedding-space twin of the text dedup
+    family's LSH->verify->components composition, built from the same
+    tested parts:
+
+    1. cluster the space with the integer-micro k-means
+       (:func:`kmeans_micro` — bit-identical across engines/retries),
+       or reuse ``centroids`` from an existing IVF build;
+    2. candidate pairs = SAME-CLUSTER members only (the paper's
+       within-cluster restriction; quadratic term bounded by
+       Σ_c |c|², never n²);
+    3. keep pairs with rounded cosine >= ``threshold``
+       (:func:`cosine_near_pairs`);
+    4. resolve to connected components (min-label propagation,
+       O(log diameter) bounded rounds) — ``keep`` is true iff
+       id == canonical_id, the paper's one-representative-per-group
+       policy with the dedup family's deterministic min-id choice.
+
+    At 100 TB every stage is the scale path: one broadcast-join
+    assignment pass, per-cluster self-joins, component resolution whose
+    per-round shuffles are node-id-bounded."""
+    from .dedup import connected_components
+
+    cents = centroids if centroids is not None else kmeans_micro(
+        embeddings, n_centroids, dim, n_iters, id_col, vec_col)
+    pairs = cosine_near_pairs(
+        embeddings, threshold, id_col, vec_col, bucket_by=cents)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), ids=embeddings.select(id_col))
+    return comp.select(
+        F.col("id").alias(id_col),
+        "canonical_id",
+        (F.col("id") == F.col("canonical_id")).alias("keep"),
+    )

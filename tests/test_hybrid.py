@@ -169,3 +169,33 @@ def test_query_pairing_validated(spark, corpus, pidx):
     _, emb, vecs = corpus
     with pytest.raises(ValueError, match="pairs"):
         hybrid_topk(pidx, emb, ["a", "b"], [vecs[0]], CFG)
+
+
+def test_linear_fuse_minmax_integer_protocol(spark):
+    """linear_fuse (ES linear retriever, minmax normalizer): exact
+    integer minmax + weighted combine, degenerate system -> 1e6,
+    absent-from-system docs contribute 0, doc_id-asc ties."""
+    from searchengine_spark.query.hybrid import linear_fuse
+
+    a = spark.createDataFrame(
+        [(0, 1, 2.5), (0, 2, 1.5), (0, 3, 0.5)],
+        "query_id int, doc_id long, score double")
+    b = spark.createDataFrame(
+        [(0, 2, 0.9), (0, 3, 0.9), (0, 4, 0.9)],
+        "query_id int, doc_id long, score double")
+    out = {r["doc_id"]: (r["linear_score"], r["rank"]) for r in
+           linear_fuse([a, b], weights=(0.5, 0.25), k=10).collect()}
+    # system a: sm 2500000/1500000/500000 -> norm 1e6 / 5e5 / 0
+    # system b: degenerate (all 0.9) -> norm 1e6 for docs 2,3,4
+    # contributions: w_a=5e5, w_b=25e4
+    # doc1: 5e5*1e6//1e6 = 500000
+    # doc2: 5e5*5e5//1e6 + 25e4*1e6//1e6 = 250000 + 250000 = 500000
+    # doc3: 0 + 250000
+    # doc4: 250000
+    assert out == {1: (500000, 1), 2: (500000, 2), 3: (250000, 3),
+                   4: (250000, 4)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weights"):
+        linear_fuse([a, b], weights=(1.0,))
+    with _pytest.raises(ValueError, match=">= 0"):
+        linear_fuse([a], weights=(-0.5,))

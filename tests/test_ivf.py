@@ -121,3 +121,66 @@ def test_kmeans_micro_deterministic(spark, clustered):
     b = kmeans_micro(clustered, n_centroids=4, dim=DIM, n_iters=2)
     assert a == b
     assert all(isinstance(x, int) for c in a for x in c)
+
+
+def test_semantic_dedup_matches_brute(spark, clustered):
+    """SemDeDup composition (textops/similarity.py semantic_dedup): the
+    keep-list equals an independent Python replica — integer-L2
+    centroid assignment, within-cluster rounded-cosine pairs, union-find
+    components, min-id representative. The clusterable fixture plus
+    planted exact twins guarantees non-trivial duplicate groups."""
+    from searchengine_spark.textops import kmeans_micro, semantic_dedup
+
+    # plant near-exact twins (ids 10000+i copy vector i for i in 0..9)
+    twins = clustered.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    emb = clustered.unionByName(twins)
+    cents = kmeans_micro(emb, N_CLUSTERS, DIM, n_iters=2)
+    out = semantic_dedup(emb, threshold=0.999, centroids=cents, dim=DIM)
+    got = {r["vec_id"]: (r["canonical_id"], r["keep"]) for r in out.collect()}
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert set(got) == set(rows)
+
+    # python replica: micro-quantize, assign, pairs, union-find
+    cent = np.array(cents, dtype=np.int64)
+
+    def micro(v):
+        return np.floor(v * 1e6).astype(np.int64)
+
+    assign = {}
+    for vid, v in rows.items():
+        d = ((cent - micro(v)) ** 2).sum(axis=1)
+        assign[vid] = int(np.argmin(d))  # argmin takes lowest cid on ties
+
+    parent = {vid: vid for vid in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if assign[a] != assign[b]:
+                continue
+            va, vb = rows[a], rows[b]
+            cos = round(va @ vb / (np.sqrt(va @ va) * np.sqrt(vb @ vb)), 6)
+            if cos >= 0.999:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {vid: find(vid) for vid in rows}
+    assert {v: c for v, (c, _) in got.items()} == want
+    # every planted twin resolves into its source's component, and
+    # exactly one representative per component is kept
+    for i in range(10):
+        assert got[10000 + i][0] == got[i][0]
+    comps = {}
+    for v, (c, k) in got.items():
+        comps.setdefault(c, []).append((v, k))
+    for c, members in comps.items():
+        assert [v for v, k in members if k] == [c]

@@ -297,3 +297,40 @@ def test_federated_coherence_validation(spark, cfg, tmp_path_factory):
     # still one row per conversation (coherent shards never split one)
     keys = [(r["query_id"], r["conv_id"]) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_children_terms_agg(spark, packed, cfg, turn_scores):
+    """ES children agg: counts cover the qualifying conversations'
+    WHOLE turn sets (matched or not), bucketed by a child attribute,
+    top-size by (count desc, value asc); NULL values skip."""
+    from searchengine_spark.query.parentchild import children_terms_agg
+
+    # child attr keyed by the index's external ids, derived
+    # deterministically: role = 'user' for even turn_idx, 'assistant'
+    # for odd, NULL every 7th
+    attrs = packed.docmap.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") % 7 == 0, None)
+        .when(F.col("turn_idx") % 2 == 0, "user")
+        .otherwise("assistant").alias("role"))
+    out = children_terms_agg(
+        packed, QUERIES, cfg, attrs, "role", score_mode="max", size=5)
+    got = {(r["query_id"], r["value"]): (r["n"], r["rank"])
+           for r in out.collect()}
+
+    conv_turns: dict = {}
+    for r in packed.docmap.collect():
+        conv_turns.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    for qid in range(len(QUERIES)):
+        quals = {c for (q, c) in turn_scores if q == qid}
+        counts: dict = {}
+        for c in quals:
+            for t in conv_turns[c]:
+                if t % 7 == 0:
+                    continue
+                v = "user" if t % 2 == 0 else "assistant"
+                counts[v] = counts.get(v, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want = {(qid, v): (n, i + 1) for i, (v, n) in enumerate(ranked)}
+        assert {k: v for k, v in got.items() if k[0] == qid} == want
+        assert want  # fixture exercises the agg

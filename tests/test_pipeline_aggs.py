@@ -264,3 +264,40 @@ def test_extreme_bucket_keys_constant_series(spark):
         ("q0", "min"): (2, [0, 600]),
         ("q0", "max"): (2, [0, 600]),
     }
+
+
+def test_normalize_buckets_methods(spark):
+    from searchengine_spark.query.pipeline_aggs import (
+        NORMALIZE_METHODS,
+        normalize_buckets,
+    )
+
+    rows = [(0, "ts", 0, 2), (0, "ts", 600, 6), (0, "ts", 1200, 2),
+            (1, "ts", 0, 5)]
+    buckets = spark.createDataFrame(
+        rows, "query_id int, col string, bucket_epoch long, n long")
+
+    def got(method):
+        return {(r["query_id"], r["bucket_epoch"]):
+                (r["norm_num"], r["norm_den"])
+                for r in normalize_buckets(buckets, method).collect()}
+
+    # rescale_0_1: (n-min)/(max-min); q1 degenerate -> den 0
+    assert got("rescale_0_1") == {
+        (0, 0): (0, 4), (0, 600): (4, 4), (0, 1200): (0, 4),
+        (1, 0): (0, 0)}
+    assert got("rescale_0_100") == {
+        (0, 0): (0, 4), (0, 600): (400, 4), (0, 1200): (0, 4),
+        (1, 0): (0, 0)}
+    assert got("percent_of_sum") == {
+        (0, 0): (2, 10), (0, 600): (6, 10), (0, 1200): (2, 10),
+        (1, 0): (5, 5)}
+    # mean: (n*cnt - sum)/((max-min)*cnt); q0: cnt=3 sum=10
+    assert got("mean") == {
+        (0, 0): (-4, 12), (0, 600): (8, 12), (0, 1200): (-4, 12),
+        (1, 0): (0, 0)}
+    assert set(NORMALIZE_METHODS) == {
+        "rescale_0_1", "rescale_0_100", "percent_of_sum", "mean"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="z_score"):
+        normalize_buckets(buckets, "z_score")
