@@ -473,3 +473,35 @@ def test_terms_set_exact_single_aggregate(spark):
     df = terms_set_topk_batch(it, ["greatest rock album"], req, CFG, k=10)
     plan = explain_str(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_federated_has_child_windows_are_group_limits(spark, pidx,
+                                                      tmp_path_factory):
+    """The bounded federated has_child merge: BOTH rank windows (the
+    per-shard rank()<=k tie-safe cut and the global row_number<=k) must
+    compile to WindowGroupLimit per-partition heaps — shard emissions
+    are k+ties-bounded BEFORE the union shuffle, never full qualifying
+    sets."""
+    from searchengine_spark.indexing.shards import (
+        build_shard_indexes,
+        shard_paths,
+    )
+    from searchengine_spark.query.federated import has_child_topk_federated
+
+    base = tmp_path_factory.mktemp("hc_plan")
+    out = str(base / "sharded")
+    build_shard_indexes(
+        transcripts_df(spark, n_conv=12), CFG, out, 2, chunk_docs=256)
+    shards = [load_packed_index(spark, p) for p in shard_paths(out, 2)]
+    df = has_child_topk_federated(
+        shards, ["greatest rock album"], CFG, k=5)
+    plan = explain_str(df)
+    import re
+
+    windows = set(re.findall(r"\((\d+)\) Window\b", plan))
+    group_limits = plan.count("WindowGroupLimit")
+    # one window per shard cut + one global = 3 Window nodes; every one
+    # of them guarded by WindowGroupLimit pushdown (partial+final pairs)
+    assert len(windows) == 3, plan
+    assert group_limits >= len(windows), plan
+    assert "CartesianProduct" not in plan
