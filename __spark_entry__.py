@@ -3234,6 +3234,29 @@ def q_hll_token_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(toks, "term", p=12)
 
 
+DSIR_B = 64
+DSIR_TARGET_SRC = ("src1", "src2")
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (textops/dsir.py; Xie et al. 2023,
+    arXiv:2302.03169): hashed unigram+bigram bag-of-words models
+    (16-bit md5 bucket hash mod 64) for a TARGET slice (source in
+    src1/src2) and the RAW corpus, add-one smoothed, each log
+    floor-quantized ONCE to integer micro-nats — every doc's weight is
+    then exact BIGINT arithmetic (Σ c·(lpt−lpr) − n_feat·(Ct−Cr)).
+    The oracle replays tokenization, the bigram stream, the hex-digit
+    bucket hash, both models and the weight formula verbatim."""
+    from searchengine_spark.textops import dsir_weights, hashed_feature_counts
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "source")
+    target = docs.filter(F.col("source").isin(*DSIR_TARGET_SRC))
+    tc = hashed_feature_counts(target, CFG, DSIR_B)
+    rc = hashed_feature_counts(docs, CFG, DSIR_B)
+    out = dsir_weights(docs, tc, rc, CFG, n_buckets=DSIR_B)
+    return out.select("doc_id", "n_features", "weight_micro")
+
+
 def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity buckets (textops/perplexity.py; Wenzek et
     al. 2020): add-one-smoothed unigram cross-entropy in EXACT integer
@@ -5028,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear": q_hybrid_linear,
         "children_agg": q_children_agg,
         "result_normalize": q_result_normalize,
+        "dsir_scores": q_dsir_scores,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -5528,6 +5552,53 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
     # lp table -> exact-integer smoothing + truncated division -> rank
     # thirds; reuses the exploded-tokens CTE
     from searchengine_spark.textops.perplexity import LN_SCALE as LN_SCALE_ENTRY
+
+    # ---- DSIR: hashed unigram+bigram features, target vs raw bucket
+    # models, floor-quantized micro-nat logs, exact BIGINT weights
+    _dsir_h16 = _hash16_sql("f", "ds")
+    sqls["dsir_scores"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOK_SQL} AS tokens FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         unnest(tokens ||
+                [tokens[i+1] || ' ' || tokens[i+2]
+                 for i in range(greatest(len(tokens) - 1, 0))]) AS f
+  FROM tok
+),
+fb AS (
+  SELECT doc_id, source, ({_dsir_h16}) % {DSIR_B} AS bucket FROM feats
+),
+tm AS (
+  SELECT bucket, count(*)::BIGINT AS cnt FROM fb
+  WHERE source IN {DSIR_TARGET_SRC!r} GROUP BY bucket
+),
+rm AS (SELECT bucket, count(*)::BIGINT AS cnt FROM fb GROUP BY bucket),
+consts AS (
+  SELECT floor(1000000 * ln(((SELECT coalesce(sum(cnt), 0) FROM tm)
+                             + {DSIR_B})::DOUBLE))::BIGINT
+         - floor(1000000 * ln(((SELECT coalesce(sum(cnt), 0) FROM rm)
+                               + {DSIR_B})::DOUBLE))::BIGINT AS c_diff
+),
+per_bucket AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS c FROM fb
+  GROUP BY doc_id, bucket
+),
+wsum AS (
+  SELECT pb.doc_id, sum(pb.c)::BIGINT AS n_features,
+         sum(pb.c * (coalesce(floor(1000000 * ln((tm.cnt + 1)::DOUBLE))::BIGINT, 0)
+                     - coalesce(floor(1000000 * ln((rm.cnt + 1)::DOUBLE))::BIGINT, 0))
+         )::BIGINT AS s
+  FROM per_bucket pb
+  LEFT JOIN tm ON tm.bucket = pb.bucket
+  LEFT JOIN rm ON rm.bucket = pb.bucket
+  GROUP BY pb.doc_id
+)
+SELECT doc_id, n_features,
+       (s - n_features * (SELECT c_diff FROM consts))::BIGINT AS weight_micro
+FROM wsum
+"""
 
     sqls["ccnet_perplexity"] = f"""
 WITH {_INDEX_CTES},

@@ -65,6 +65,10 @@ from .quality import (  # noqa: F401
     quality_score,
     token_stats,
 )
+from .dsir import (  # noqa: F401
+    dsir_weights,
+    hashed_feature_counts,
+)
 from .scrub import (  # noqa: F401
     pii_stats,
     redact_pii,
