@@ -349,6 +349,13 @@ def q_minspan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_FIRST_QUERIES = [("table", 3), ("vector", 1), ("hash", 12)]
 SPAN_NOT_QUERIES = [("table", "hash"), ("vector", "merge")]
 SPAN_NOT_PRE, SPAN_NOT_POST = 2, 2
+#: (big_a, big_b, little, width) — big = enumerable ordered windows
+#: [pa, pb], pa < pb <= pa + width
+SPAN_WITHIN_QUERIES = [
+    ("hash", "scan", "join", 6),
+    ("spark", "vector", "merge", 8),
+    ("slow", "batch", "stream", 4),
+]
 
 
 def q_span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,6 +378,31 @@ def q_span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_not_topk_batch(
         it, SPAN_NOT_QUERIES, CFG, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST, k=10
     )
+
+
+def q_span_within_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene span_within (query/spanqueries.py): occurrences of the
+    little term inside some big (a..b) ordered window (pa < pb <= pa +
+    width, analyzed positions — the deterministic enumerable-window
+    contract the oracle replays as EXISTS bounds), ranked (n_within
+    DESC, doc_id ASC) — span-family integer ranking, all-native HOF
+    plan."""
+    from searchengine_spark.query.spanqueries import span_within_topk_batch
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return span_within_topk_batch(it, SPAN_WITHIN_QUERIES, CFG, k=10)
+
+
+def q_span_containing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene span_containing (query/spanqueries.py): big (a..b)
+    windows that contain at least one little-term occurrence, counted
+    per doc, ranked (n_containing DESC, doc_id ASC)."""
+    from searchengine_spark.query.spanqueries import (
+        span_containing_topk_batch,
+    )
+
+    it = _doc_index(spark, sf_dir, positional=True)
+    return span_containing_topk_batch(it, SPAN_WITHIN_QUERIES, CFG, k=10)
 
 
 def q_highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5052,6 +5084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": q_children_agg,
         "result_normalize": q_result_normalize,
         "dsir_scores": q_dsir_scores,
+        "span_within_topk": q_span_within_topk,
+        "span_containing_topk": q_span_containing_topk,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -7460,6 +7494,77 @@ perdoc AS (
 SELECT query_id, doc_id, n_clear, first_clear,
        (row_number() OVER (
           PARTITION BY query_id ORDER BY n_clear DESC, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
+"""
+
+    # span_within / span_containing: the enumerable-window contract as
+    # EXISTS bounds over the posed positions
+    _sw_vals = ", ".join(
+        f"({qid}, {_sql_quote(tokenize_text(a, CFG)[0])}, "
+        f"{_sql_quote(tokenize_text(b, CFG)[0])}, "
+        f"{_sql_quote(tokenize_text(c, CFG)[0])}, {int(w)})"
+        for qid, (a, b, c, w) in enumerate(SPAN_WITHIN_QUERIES)
+    )
+    _sw_abc = f"""q(query_id, ta, tb, tc, w) AS (VALUES {_sw_vals}),
+ap AS (
+  SELECT q.query_id, q.w, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.ta
+),
+bp AS (
+  SELECT q.query_id, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.tb
+),
+cp AS (
+  SELECT q.query_id, p.doc_id, p.pos FROM posed p JOIN q ON p.term = q.tc
+)"""
+    sqls["span_within_topk"] = f"""
+WITH {_posed_ctes},
+{_sw_abc},
+hits AS (
+  SELECT c.query_id, c.doc_id, c.pos FROM cp c
+  WHERE EXISTS (
+    SELECT 1 FROM ap a JOIN bp b
+      ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+    WHERE a.query_id = c.query_id AND a.doc_id = c.doc_id
+      AND a.pos <= c.pos AND b.pos >= c.pos
+      AND b.pos > a.pos AND b.pos <= a.pos + a.w)
+),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_within,
+         min(pos)::BIGINT AS first_within
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_within, first_within,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY n_within DESC, doc_id
+        ))::BIGINT AS rank
+FROM perdoc
+QUALIFY rank <= 10
+"""
+
+    sqls["span_containing_topk"] = f"""
+WITH {_posed_ctes},
+{_sw_abc},
+wins AS (
+  SELECT a.query_id, a.doc_id, a.pos AS s, b.pos AS e
+  FROM ap a JOIN bp b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+  WHERE b.pos > a.pos AND b.pos <= a.pos + a.w
+),
+qual AS (
+  SELECT w.query_id, w.doc_id, w.s FROM wins w
+  WHERE EXISTS (
+    SELECT 1 FROM cp c
+    WHERE c.query_id = w.query_id AND c.doc_id = w.doc_id
+      AND c.pos BETWEEN w.s AND w.e)
+),
+perdoc AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_containing,
+         min(s)::BIGINT AS first_pos
+  FROM qual GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_containing, first_pos,
+       (row_number() OVER (
+          PARTITION BY query_id ORDER BY n_containing DESC, doc_id
         ))::BIGINT AS rank
 FROM perdoc
 QUALIFY rank <= 10

@@ -515,3 +515,179 @@ def _resolve_span_rows(searcher, out, cols, resolve):
         r[cols[0]], r[cols[1]] = extras[r["doc_id"]]
         r.pop("score", None)
     return rows
+
+
+# ---------------------------------------------- span_within / containing
+
+_WITHIN_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_within", T.LongType(), False),
+        T.StructField("first_within", T.LongType(), False),
+        T.StructField("rank", T.LongType(), False),
+    ]
+)
+
+_CONTAINING_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_containing", T.LongType(), False),
+        T.StructField("first_pos", T.LongType(), False),
+        T.StructField("rank", T.LongType(), False),
+    ]
+)
+
+
+def _abc_positions(it: IndexTables, rows, extra_cols: str) -> DataFrame:
+    """Shared little/big position assembly: broadcast the (query, role,
+    term) map against the positional index, pivot the three roles' doc-
+    local position arrays onto one row per (query, doc). Inner
+    semantics: the doc must contain all three terms."""
+    spark = it.index.sparkSession
+    qdf = spark.createDataFrame(
+        rows, f"query_id int, term string, role string{extra_cols}")
+    m = it.index.join(F.broadcast(qdf), "term")
+    pos = F.col("positions").cast("array<long>")
+    piv = (
+        m.select("query_id", F.col("doc_id").cast("long").alias("doc_id"),
+                 "role", pos.alias("p"),
+                 *[c.strip().split()[0] for c in extra_cols.split(",") if c.strip()])
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.first(F.when(F.col("role") == "a", F.col("p")),
+                    ignorenulls=True).alias("pa"),
+            F.first(F.when(F.col("role") == "b", F.col("p")),
+                    ignorenulls=True).alias("pb"),
+            F.first(F.when(F.col("role") == "c", F.col("p")),
+                    ignorenulls=True).alias("pc"),
+            *[F.first(c.strip().split()[0]).alias(c.strip().split()[0])
+              for c in extra_cols.split(",") if c.strip()],
+        )
+        .filter(F.col("pa").isNotNull() & F.col("pb").isNotNull()
+                & F.col("pc").isNotNull())
+    )
+    return piv
+
+
+def _abc_rows(queries, cfg, what):
+    rows = []
+    for qid, (big_a, big_b, little, width) in enumerate(queries):
+        if width < 1:
+            raise ValueError(f"{what} width must be >= 1, got {width}")
+        a = _one_term(big_a, cfg, f"{what} big_a")
+        b = _one_term(big_b, cfg, f"{what} big_b")
+        c = _one_term(little, cfg, f"{what} little")
+        if len({a, b, c}) != 3:
+            raise ValueError(
+                f"{what} terms must be three distinct analyzed terms, "
+                f"got {a!r}/{b!r}/{c!r}")
+        rows.extend([(qid, a, "a", int(width)), (qid, b, "b", int(width)),
+                     (qid, c, "c", int(width))])
+    return rows
+
+
+def span_within_topk_batch(
+    it: IndexTables,
+    queries: Sequence[Tuple[str, str, str, int]],
+    cfg: TokenizerConfig,
+    k: int | None = 10,
+) -> DataFrame:
+    """ES/Lucene ``span_within`` -> (query_id, doc_id, n_within,
+    first_within, rank): occurrences of ``little`` that lie inside some
+    BIG span, where the big clause is the ordered pair (big_a, big_b) —
+    every window [pa, pb] with an occurrence of big_a at pa, of big_b at
+    pb, pa < pb <= pa + width (analyzed positions; the deterministic
+    enumerable-window contract, so the oracle replays it as EXISTS
+    bounds). ``queries`` is a list of (big_a, big_b, little, width).
+    Docs rank (n_within DESC, doc_id ASC) — the span-family integer
+    ranking, no float protocol. All-native HOF plan: broadcast term map,
+    one pivot groupBy, filter/exists lambdas in codegen."""
+    if "positions" not in it.index.columns:
+        raise ValueError("span_within needs a positional index")
+    spark = it.index.sparkSession
+    rows = _abc_rows(queries, cfg, "span_within")
+    if not rows:
+        return spark.createDataFrame([], _WITHIN_SCHEMA)
+    piv = _abc_positions(it, rows, ", width long")
+    # bind the qualifying-little array ONCE (HOF rebind rule), then
+    # size/min derive from the bound column
+    within = F.filter(
+        F.col("pc"),
+        lambda pc: F.exists(
+            F.col("pa"),
+            lambda pa: (pa <= pc) & F.exists(
+                F.col("pb"),
+                lambda pb: (pb >= pc) & (pb > pa)
+                & (pb <= pa + F.col("width")),
+            ),
+        ),
+    )
+    bound = piv.select("query_id", "doc_id", within.alias("_w"))
+    hits = bound.select(
+        "query_id", "doc_id",
+        F.size("_w").cast("long").alias("n_within"),
+        F.array_min("_w").cast("long").alias("first_within"),
+    ).filter(F.col("n_within") > 0)
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("n_within"), F.asc("doc_id"))
+    ranked = hits.withColumn("rank", F.row_number().over(win).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        "query_id", "doc_id", "n_within", "first_within", "rank")
+
+
+def span_containing_topk_batch(
+    it: IndexTables,
+    queries: Sequence[Tuple[str, str, str, int]],
+    cfg: TokenizerConfig,
+    k: int | None = 10,
+) -> DataFrame:
+    """ES/Lucene ``span_containing`` -> (query_id, doc_id,
+    n_containing, rank): BIG spans (the same enumerable (pa, pb < pa +
+    width] window contract as :func:`span_within_topk_batch`) that
+    contain at least one occurrence of ``little``; ``n_containing``
+    counts the qualifying (pa, pb) windows, ``first_pos`` is the
+    earliest qualifying window start. Ranking (n_containing DESC,
+    doc_id ASC)."""
+    if "positions" not in it.index.columns:
+        raise ValueError("span_containing needs a positional index")
+    spark = it.index.sparkSession
+    rows = _abc_rows(queries, cfg, "span_containing")
+    if not rows:
+        return spark.createDataFrame([], _CONTAINING_SCHEMA)
+    piv = _abc_positions(it, rows, ", width long")
+    n_cont = F.aggregate(
+        F.col("pa"),
+        F.lit(0).cast("long"),
+        lambda acc, pa: acc + F.size(F.filter(
+            F.col("pb"),
+            lambda pb: (pb > pa) & (pb <= pa + F.col("width"))
+            & F.exists(F.col("pc"),
+                       lambda pc: (pc >= pa) & (pc <= pb)),
+        )).cast("long"),
+    )
+    first_pos = F.array_min(F.filter(
+        F.col("pa"),
+        lambda pa: F.exists(
+            F.col("pb"),
+            lambda pb: (pb > pa) & (pb <= pa + F.col("width"))
+            & F.exists(F.col("pc"),
+                       lambda pc: (pc >= pa) & (pc <= pb)),
+        ),
+    ))
+    bound = piv.select(
+        "query_id", "doc_id",
+        n_cont.alias("n_containing"), first_pos.alias("_fp"))
+    hits = bound.filter(F.col("n_containing") > 0).select(
+        "query_id", "doc_id", "n_containing",
+        F.col("_fp").cast("long").alias("first_pos"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("n_containing"), F.asc("doc_id"))
+    ranked = hits.withColumn("rank", F.row_number().over(win).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        "query_id", "doc_id", "n_containing", "first_pos", "rank")

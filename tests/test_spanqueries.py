@@ -290,3 +290,66 @@ def test_refusals(corpus, cfg, exact, packed):
     searcher = LocalSearcher(packed, preload=False, cfg=cfg)
     with pytest.raises(ValueError, match="same term"):
         local_span_not(searcher, "merge", "merge")
+
+
+def _brute_within_containing(doc_tokens, a, b, c, width):
+    """Python twin of the enumerable-window contract."""
+    within, containing = {}, {}
+    for did, toks in doc_tokens.items():
+        pa = [i for i, t in enumerate(toks) if t == a]
+        pb = [i for i, t in enumerate(toks) if t == b]
+        pc = [i for i, t in enumerate(toks) if t == c]
+        if not (pa and pb and pc):
+            continue
+        wins = [(x, y) for x in pa for y in pb if x < y <= x + width]
+        w_hits = [p for p in pc if any(x <= p <= y for x, y in wins)]
+        c_hits = [(x, y) for x, y in wins if any(x <= p <= y for p in pc)]
+        if w_hits:
+            within[did] = (len(w_hits), min(w_hits))
+        if c_hits:
+            containing[did] = (len(c_hits), min(x for x, _ in c_hits))
+    return within, containing
+
+
+def test_within_containing_vs_brute(exact, doc_tokens, terms, cfg):
+    from searchengine_spark.query.spanqueries import (
+        span_containing_topk_batch,
+        span_within_topk_batch,
+    )
+
+    a, b, c = terms[0], terms[1], terms[2]
+    queries = [(a, b, c, 6), (b, a, c, 3)]
+    got_w = span_within_topk_batch(exact, queries, cfg, k=None).collect()
+    got_c = span_containing_topk_batch(exact, queries, cfg, k=None).collect()
+    for qid, (qa, qb, qc, width) in enumerate(queries):
+        ww, cc = _brute_within_containing(doc_tokens, qa, qb, qc, width)
+        gw = {r["doc_id"]: (r["n_within"], r["first_within"])
+              for r in got_w if r["query_id"] == qid}
+        gc = {r["doc_id"]: (r["n_containing"], r["first_pos"])
+              for r in got_c if r["query_id"] == qid}
+        assert gw == ww and gw, (qid, "within")
+        assert gc == cc and gc, (qid, "containing")
+    # ranks follow (count desc, doc asc)
+    for rows, ncol in ((got_w, "n_within"), (got_c, "n_containing")):
+        for qid in range(len(queries)):
+            rq = sorted(((r["rank"], r["doc_id"], r[ncol])
+                         for r in rows if r["query_id"] == qid))
+            resorted = sorted(rq, key=lambda t: (-t[2], t[1]))
+            assert [r[0] for r in rq] == list(range(1, len(rq) + 1))
+            assert rq == resorted
+
+
+def test_within_refusals(exact, cfg):
+    from searchengine_spark.query.spanqueries import (
+        span_containing_topk_batch,
+        span_within_topk_batch,
+    )
+
+    with pytest.raises(ValueError, match="width"):
+        span_within_topk_batch(exact, [("merge", "sort", "hash", 0)], cfg)
+    with pytest.raises(ValueError, match="distinct"):
+        span_containing_topk_batch(exact, [("merge", "merge", "hash", 3)],
+                                   cfg)
+    with pytest.raises(ValueError, match="one term"):
+        span_within_topk_batch(exact, [("merge sort", "hash", "join", 3)],
+                               cfg)
