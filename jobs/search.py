@@ -1928,6 +1928,15 @@ def _serve_multi_match(spark, args) -> None:
           f"({len(queries)} queries x {len(fidx)} fields)", file=sys.stderr)
 
 
+def _parse_span_abc(spec: str):
+    """A,B,C[:W] -> (a, b, c, width) for span_within/containing."""
+    body, _, w = spec.partition(":")
+    parts = [x.strip() for x in body.split(",")]
+    if len(parts) != 3 or not all(parts):
+        raise SystemExit("--span-within/--span-containing want A,B,C[:W]")
+    return parts[0], parts[1], parts[2], int(w) if w else 8
+
+
 def _serve_federated(spark, args) -> None:
     """--shards: scatter-gather across N shard indexes, no merge — every
     ranker family federates (bm25/tfidf/*_optimized/boolean/phrase/
@@ -2137,10 +2146,13 @@ def _serve_federated(spark, args) -> None:
         print(json.dumps({"text": args.analyze,
                           "tokens": analyze_text(args.analyze, cfg)}))
         return
-    if args.span_first or args.span_not:
+    if (args.span_first or args.span_not or args.span_within
+            or args.span_containing):
         from searchengine_spark.query.federated import (
+            span_containing_topk_federated,
             span_first_topk_federated,
             span_not_topk_federated,
+            span_within_topk_federated,
         )
 
         pidxs = list(shards)
@@ -2150,13 +2162,19 @@ def _serve_federated(spark, args) -> None:
                 raise SystemExit("--span-first wants TERM:END")
             res = span_first_topk_federated(
                 pidxs, [(term, int(end))], cfg, k=args.n)
-        else:
+        elif args.span_not:
             inc, _, exc = args.span_not.partition(",")
             if not exc:
                 raise SystemExit("--span-not wants INC,EXC")
             res = span_not_topk_federated(
                 pidxs, [(inc, exc)], cfg, pre=args.span_pre,
                 post=args.span_post, k=args.n)
+        else:
+            spec = args.span_within or args.span_containing
+            a, b, c, w = _parse_span_abc(spec)
+            fn = (span_within_topk_federated if args.span_within
+                  else span_containing_topk_federated)
+            res = fn(pidxs, [(a, b, c, w)], cfg, k=args.n)
         print(json.dumps({"hits": [r.asDict() for r in res.collect()]},
                          default=str))
         return
@@ -2741,6 +2759,17 @@ def main() -> None:
                          "occurrences with no EXC occurrence within "
                          "[pos - span-pre, pos + span-post], ranked "
                          "n_clear desc; positional build, --index only")
+    ap.add_argument("--span-within", default=None, metavar="A,B,C[:W]",
+                    help="ES span_within (query/spanqueries.py): "
+                         "occurrences of little term C inside some big "
+                         "ordered window [posA, posB], posA < posB <= "
+                         "posA + W (default 8), ranked n_within desc; "
+                         "positional build, --index or --shards")
+    ap.add_argument("--span-containing", default=None, metavar="A,B,C[:W]",
+                    help="ES span_containing (query/spanqueries.py): "
+                         "big (A..B) windows containing a C occurrence, "
+                         "counted per doc, ranked n_containing desc; "
+                         "positional build, --index or --shards")
     ap.add_argument("--span-pre", type=int, default=0,
                     help="span_not window before the include position")
     ap.add_argument("--span-post", type=int, default=0,
@@ -3449,11 +3478,14 @@ def main() -> None:
         print(json.dumps({"queries": list(args.query), "hits": rows},
                          default=str))
         return
-    if args.span_first or args.span_not:
+    if (args.span_first or args.span_not or args.span_within
+            or args.span_containing):
         from searchengine_spark.query.serve import LocalSearcher
         from searchengine_spark.query.spanqueries import (
+            local_span_containing,
             local_span_first,
             local_span_not,
+            local_span_within,
         )
 
         searcher = LocalSearcher(pidx, preload=False, cfg=cfg)
@@ -3462,12 +3494,18 @@ def main() -> None:
             if not term:
                 raise SystemExit("--span-first wants TERM:END")
             rows = local_span_first(searcher, term, int(end), k=args.n)
-        else:
+        elif args.span_not:
             inc, _, exc = args.span_not.partition(",")
             if not exc:
                 raise SystemExit("--span-not wants INC,EXC")
             rows = local_span_not(searcher, inc, exc, pre=args.span_pre,
                                   post=args.span_post, k=args.n)
+        else:
+            spec = args.span_within or args.span_containing
+            a, b, c, w = _parse_span_abc(spec)
+            fn = (local_span_within if args.span_within
+                  else local_span_containing)
+            rows = fn(searcher, a, b, c, width=w, k=args.n)
         print(json.dumps({"hits": rows}, default=str))
         return
 

@@ -1278,6 +1278,70 @@ def span_not_topk_federated(
     return ranked
 
 
+def _span_abc_federated(shards, queries, cfg, k, packed_fn, metric, first_col):
+    """Shared federated merge for the 3-term span queries (within /
+    containing): doc-local integer metrics + base-shifted doc ids make
+    per-shard top-k cuts loss-free under the (metric desc, doc asc)
+    total order (base shift is monotone, so shard-local order == global
+    order restricted to the shard)."""
+    from pyspark.sql import Window
+
+    _check_compat(shards, keys=_BOOL_COMPAT_KEYS, payload_freq=False)
+    cfg = cfg or TokenizerConfig.from_manifest(
+        shards[0].manifest.get("tokenizer", {})
+    )
+    parts = []
+    for s, base in zip(shards, _doc_bases(shards)):
+        local = packed_fn(s, queries, cfg, k=k)
+        parts.append(
+            local.select(
+                "query_id",
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                metric,
+                first_col,
+            )
+        )
+    cand = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(metric), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
+
+
+def span_within_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence,
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated span_within -> federation-global (query_id, doc_id,
+    n_within, first_within, rank) — the span-family exact-federation
+    argument (doc-local positions, integer ranking)."""
+    from .spanqueries import span_within_topk_packed_batch
+
+    return _span_abc_federated(
+        shards, queries, cfg, k, span_within_topk_packed_batch,
+        "n_within", "first_within")
+
+
+def span_containing_topk_federated(
+    shards: Sequence[PackedIndex],
+    queries: Sequence,
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Federated span_containing -> federation-global (query_id,
+    doc_id, n_containing, first_pos, rank)."""
+    from .spanqueries import span_containing_topk_packed_batch
+
+    return _span_abc_federated(
+        shards, queries, cfg, k, span_containing_topk_packed_batch,
+        "n_containing", "first_pos")
+
+
 def resolve_docs_federated(
     shards: Sequence[PackedIndex], topk: DataFrame
 ) -> DataFrame:

@@ -308,9 +308,12 @@ def _packed_span_scorer(kind: str, spec: Dict[int, tuple], k_top, dec, dec_pos):
     qid -> (term, end) for span_first, (inc_term, exc_term, pre, post)
     for span_not."""
 
-    cols = (
-        ("n_within", "first_pos") if kind == "first" else ("n_clear", "first_clear")
-    )
+    cols = {
+        "first": ("n_within", "first_pos"),
+        "not": ("n_clear", "first_clear"),
+        "within": ("n_within", "first_within"),
+        "containing": ("n_containing", "first_pos"),
+    }[kind]
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..indexing.codec import decode_positions, decode_postings
@@ -335,6 +338,18 @@ def _packed_span_scorer(kind: str, spec: Dict[int, tuple], k_top, dec, dec_pos):
             docs, pos = _decode_occurrences(rows, d, dp)
             out_d, out_n, out_f = _span_first_kernel(docs, pos, end)
             order = np.lexsort((out_d, out_f))
+        elif kind in ("within", "containing"):
+            ta, tb, tc, width = spec[qid]
+            occ = {}
+            for t in (ta, tb, tc):
+                rows = [r for r in pdf.itertuples(index=False) if r.term == t]
+                occ[t] = _decode_occurrences(rows, d, dp)
+            kern = (_span_within_kernel if kind == "within"
+                    else _span_containing_kernel)
+            out_d, out_n, out_f = kern(
+                occ[ta][0], occ[ta][1], occ[tb][0], occ[tb][1],
+                occ[tc][0], occ[tc][1], width)
+            order = np.lexsort((out_d, -out_n))
         else:
             inc_t, exc_t, pre, post = spec[qid]
             inc_rows = [r for r in pdf.itertuples(index=False) if r.term == inc_t]
@@ -368,11 +383,16 @@ def _packed_span_batch(pidx, spec: Dict[int, tuple], kind: str, k):
     if not pidx.manifest.get("positional"):
         raise ValueError("packed index was not built with positional=True")
     spark = pidx.spark
-    schema = _FIRST_SCHEMA if kind == "first" else _NOT_SCHEMA
+    schema = {
+        "first": _FIRST_SCHEMA,
+        "not": _NOT_SCHEMA,
+        "within": _WITHIN_SCHEMA,
+        "containing": _CONTAINING_SCHEMA,
+    }[kind]
+    n_terms = {"first": 1, "not": 2, "within": 3, "containing": 3}[kind]
     rows = []
     for qid, tup in spec.items():
-        terms = [tup[0]] if kind == "first" else [tup[0], tup[1]]
-        rows.extend((qid, t) for t in terms)
+        rows.extend((qid, t) for t in tup[:n_terms])
     if not rows:
         return spark.createDataFrame([], schema)
     all_terms = sorted({t for _, t in rows})
@@ -394,9 +414,12 @@ def _packed_span_batch(pidx, spec: Dict[int, tuple], kind: str, k):
     part = matched.groupBy("query_id", "chunk").applyInPandas(
         scorer, schema=schema
     )
-    metric, first_col = (
-        ("n_within", "first_pos") if kind == "first" else ("n_clear", "first_clear")
-    )
+    metric, first_col = {
+        "first": ("n_within", "first_pos"),
+        "not": ("n_clear", "first_clear"),
+        "within": ("n_within", "first_within"),
+        "containing": ("n_containing", "first_pos"),
+    }[kind]
     order = (
         [F.asc(first_col), F.asc("doc_id")]
         if kind == "first"
@@ -449,18 +472,66 @@ def span_not_topk_packed_batch(
     return _packed_span_batch(pidx, spec, "not", k)
 
 
+def _abc_spec(queries, cfg, what):
+    spec = {}
+    for qid, (big_a, big_b, little, width) in enumerate(queries):
+        if width < 1:
+            raise ValueError(f"{what} width must be >= 1, got {width}")
+        a = _one_term(big_a, cfg, f"{what} big_a")
+        b = _one_term(big_b, cfg, f"{what} big_b")
+        c = _one_term(little, cfg, f"{what} little")
+        if len({a, b, c}) != 3:
+            raise ValueError(
+                f"{what} terms must be three distinct analyzed terms, "
+                f"got {a!r}/{b!r}/{c!r}")
+        spec[qid] = (a, b, c, int(width))
+    return spec
+
+
+def span_within_topk_packed_batch(
+    pidx,
+    queries: Sequence[Tuple[str, str, str, int]],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Packed-path twin of :func:`span_within_topk_batch` (gated ==).
+    Chunk boundaries are doc-range cuts shared by every term, so all
+    three terms' occurrences for a doc co-reside in one group; the
+    per-chunk k-cut is loss-free under the (count desc, doc asc) order
+    (a global top-k doc is top-k within its own chunk)."""
+    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    return _packed_span_batch(
+        pidx, _abc_spec(queries, cfg, "span_within"), "within", k)
+
+
+def span_containing_topk_packed_batch(
+    pidx,
+    queries: Sequence[Tuple[str, str, str, int]],
+    cfg: TokenizerConfig | None = None,
+    k: int | None = 10,
+) -> DataFrame:
+    """Packed-path twin of :func:`span_containing_topk_batch` (gated
+    ==)."""
+    cfg = cfg or TokenizerConfig.from_manifest(pidx.manifest.get("tokenizer", {}))
+    return _packed_span_batch(
+        pidx, _abc_spec(queries, cfg, "span_containing"), "containing", k)
+
+
 # -------------------------------------------------------- local serving
 
 
 def _local_span(searcher, spec: tuple, kind: str, k: int | None):
-    terms = [spec[0]] if kind == "first" else [spec[0], spec[1]]
+    n_terms = {"first": 1, "not": 2, "within": 3, "containing": 3}[kind]
+    terms = list(spec[:n_terms])
     searcher._ensure_terms(terms)
     parts = []
     for t in terms:
         sl = searcher._slices.get(t)
         parts.append(sl if sl is not None and len(sl) else None)
     if parts[0] is None:
-        return []  # no include occurrences at all
+        return []  # no include/big occurrences at all
+    if kind in ("within", "containing") and any(p is None for p in parts):
+        return []  # inner semantics: all three terms must occur
     pdf = pd.concat([p for p in parts if p is not None], ignore_index=True)
     pdf["query_id"] = 0
     scorer = _packed_span_scorer(
@@ -501,6 +572,34 @@ def local_span_not(searcher, include: str, exclude: str, pre: int = 0,
     return _resolve_span_rows(searcher, out, ("n_clear", "first_clear"), resolve)
 
 
+def local_span_within(searcher, big_a: str, big_b: str, little: str,
+                      width: int = 8, k: int | None = 10,
+                      resolve: bool = True) -> List[dict]:
+    """In-process span_within off a LocalSearcher (same kernel as the
+    distributed packed path, gated identical)."""
+    if not searcher._positional:
+        raise ValueError("packed index was not built with positional=True")
+    spec = _abc_spec([(big_a, big_b, little, width)], searcher.cfg,
+                     "span_within")[0]
+    out = _local_span(searcher, spec, "within", k)
+    return _resolve_span_rows(
+        searcher, out, ("n_within", "first_within"), resolve)
+
+
+def local_span_containing(searcher, big_a: str, big_b: str, little: str,
+                          width: int = 8, k: int | None = 10,
+                          resolve: bool = True) -> List[dict]:
+    """In-process span_containing off a LocalSearcher (same kernel as
+    the distributed packed path, gated identical)."""
+    if not searcher._positional:
+        raise ValueError("packed index was not built with positional=True")
+    spec = _abc_spec([(big_a, big_b, little, width)], searcher.cfg,
+                     "span_containing")[0]
+    out = _local_span(searcher, spec, "containing", k)
+    return _resolve_span_rows(
+        searcher, out, ("n_containing", "first_pos"), resolve)
+
+
 def _resolve_span_rows(searcher, out, cols, resolve):
     if isinstance(out, list) or not len(out):
         return []
@@ -518,6 +617,70 @@ def _resolve_span_rows(searcher, out, cols, resolve):
 
 
 # ---------------------------------------------- span_within / containing
+
+
+def _perdoc_sorted(docs: np.ndarray, pos: np.ndarray) -> dict:
+    """Flat (doc, pos) occurrence arrays -> {doc: sorted positions}."""
+    if not len(docs):
+        return {}
+    order = np.lexsort((pos, docs))
+    d, p = docs[order], pos[order]
+    uniq, starts = np.unique(d, return_index=True)
+    return dict(zip(uniq.tolist(), np.split(p, starts[1:])))
+
+
+def _span_within_kernel(ad, ap, bd, bp, cd, cp, width):
+    """(doc, n_within, first_within) per doc: little (c) occurrences
+    covered by the union of [a, bm(a)] intervals, where bm(a) = the
+    LARGEST b in (a, a+width] (covering with the widest window per a is
+    equivalent to checking every window). Vectorized per doc:
+    searchsorted + running-max interval cover, O((|a|+|c|) log)."""
+    A, B, C = (_perdoc_sorted(ad, ap), _perdoc_sorted(bd, bp),
+               _perdoc_sorted(cd, cp))
+    out_d, out_n, out_f = [], [], []
+    for doc in sorted(set(A) & set(B) & set(C)):
+        a, b, c = A[doc], B[doc], C[doc]
+        idx = np.searchsorted(b, a + width, side="right") - 1
+        valid = (idx >= 0) & (b[np.maximum(idx, 0)] > a)
+        if not valid.any():
+            continue
+        starts, ends = a[valid], b[idx[valid]]
+        run_end = np.maximum.accumulate(ends)
+        ci = np.searchsorted(starts, c, side="right") - 1
+        ok = (ci >= 0) & (run_end[np.maximum(ci, 0)] >= c)
+        if ok.any():
+            hits = c[ok]
+            out_d.append(doc)
+            out_n.append(len(hits))
+            out_f.append(int(hits.min()))
+    return (np.asarray(out_d, np.int64), np.asarray(out_n, np.int64),
+            np.asarray(out_f, np.int64))
+
+
+def _span_containing_kernel(ad, ap, bd, bp, cd, cp, width):
+    """(doc, n_containing, first_pos) per doc: for each a, windows
+    (a, b <= a+width] containing a c reduce to counting b in
+    [max(a+1, c_lo(a)), a+width] with c_lo(a) = first c >= a — a window
+    [a, b] contains a c iff the smallest c >= a is <= b. Vectorized."""
+    A, B, C = (_perdoc_sorted(ad, ap), _perdoc_sorted(bd, bp),
+               _perdoc_sorted(cd, cp))
+    out_d, out_n, out_f = [], [], []
+    for doc in sorted(set(A) & set(B) & set(C)):
+        a, b, c = A[doc], B[doc], C[doc]
+        cli = np.searchsorted(c, a)
+        has_c = cli < len(c)
+        c_lo = c[np.minimum(cli, len(c) - 1)]
+        lo = np.maximum(a + 1, c_lo)
+        cnt = (np.searchsorted(b, a + width, side="right")
+               - np.searchsorted(b, lo))
+        cnt = np.where(has_c, np.maximum(cnt, 0), 0)
+        total = int(cnt.sum())
+        if total > 0:
+            out_d.append(doc)
+            out_n.append(total)
+            out_f.append(int(a[cnt > 0].min()))
+    return (np.asarray(out_d, np.int64), np.asarray(out_n, np.int64),
+            np.asarray(out_f, np.int64))
 
 _WITHIN_SCHEMA = T.StructType(
     [

@@ -353,3 +353,50 @@ def test_within_refusals(exact, cfg):
     with pytest.raises(ValueError, match="one term"):
         span_within_topk_batch(exact, [("merge sort", "hash", "join", 3)],
                                cfg)
+
+
+def test_within_containing_packed_equals_exact(exact, packed, terms, cfg):
+    from searchengine_spark.query.spanqueries import (
+        span_containing_topk_batch,
+        span_containing_topk_packed_batch,
+        span_within_topk_batch,
+        span_within_topk_packed_batch,
+    )
+
+    queries = [(terms[0], terms[1], terms[2], 6),
+               (terms[1], terms[0], terms[2], 3)]
+    for f_ex, f_pk in ((span_within_topk_batch,
+                        span_within_topk_packed_batch),
+                       (span_containing_topk_batch,
+                        span_containing_topk_packed_batch)):
+        ex = sorted(map(tuple, f_ex(exact, queries, cfg, k=10).collect()))
+        pk = sorted(map(tuple, f_pk(packed, queries, cfg, k=10).collect()))
+        assert ex == pk and ex, f_ex.__name__
+
+
+def test_within_containing_local_equals_packed(packed, terms, cfg):
+    from searchengine_spark.query.spanqueries import (
+        local_span_containing,
+        local_span_within,
+        span_containing_topk_packed_batch,
+        span_within_topk_packed_batch,
+    )
+
+    a, b, c = terms[0], terms[1], terms[2]
+    searcher = LocalSearcher(packed, preload=False, cfg=cfg)
+    lw = local_span_within(searcher, a, b, c, width=6, k=10, resolve=False)
+    pw = span_within_topk_packed_batch(
+        packed, [(a, b, c, 6)], cfg, k=10).collect()
+    assert [(r["doc_id"], r["n_within"], r["first_within"], r["rank"])
+            for r in lw] == \
+           [(r["doc_id"], r["n_within"], r["first_within"], r["rank"])
+            for r in sorted(pw, key=lambda r: r["rank"])]
+    lc = local_span_containing(searcher, a, b, c, width=6, k=10,
+                               resolve=False)
+    pc = span_containing_topk_packed_batch(
+        packed, [(a, b, c, 6)], cfg, k=10).collect()
+    assert [(r["doc_id"], r["n_containing"], r["first_pos"], r["rank"])
+            for r in lc] == \
+           [(r["doc_id"], r["n_containing"], r["first_pos"], r["rank"])
+            for r in sorted(pc, key=lambda r: r["rank"])]
+    assert lw and lc
