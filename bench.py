@@ -350,6 +350,29 @@ def run_textops(spark, sf: float) -> dict:
     timed("temperature_mix", lambda: temperature_sample(
         docs.select("doc_id", "lang"), "lang", 0.5,
         max(1, n_docs // 2)).count())
+
+    # round-4 additions: DSIR importance weights (hashed-bigram models)
+    # and SemDeDup over the embeddings table (cells -> pairs -> comps)
+    from searchengine_spark.textops import (
+        dsir_weights,
+        hashed_feature_counts,
+        semantic_dedup,
+    )
+    from searchengine_spark.tokenizer import TokenizerConfig as _TC
+
+    _dcfg = _TC(min_token_length=3)
+    _target = docs.filter(F.col("source").isin("src1", "src2"))
+
+    def _dsir():
+        tc = hashed_feature_counts(_target, _dcfg, 4096)
+        rc = hashed_feature_counts(docs, _dcfg, 4096)
+        return dsir_weights(docs, tc, rc, _dcfg, n_buckets=4096).count()
+
+    timed("dsir_weights", _dsir)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    timed("semantic_dedup", lambda: semantic_dedup(
+        emb, threshold=0.3, n_centroids=8).count())
+
     total = sum(s["sec"] for s in out["stages"].values())
     out["value"] = round(total, 3)
     out["docs_per_sec_all_stages"] = round(n_docs * len(out["stages"]) / total, 1)
