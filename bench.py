@@ -742,6 +742,20 @@ def main() -> None:
     lo = min(runs[lo_cpus], key=lambda r: r["queries"]["index_build"])
     thr_hi = hi["turns_per_sec"]
     thr_lo = lo["turns_per_sec"]
+    # Three estimators of the same ratio. Best-of pairing is biased by
+    # ASYMMETRIC window luck (a lucky 1-core window lowers it, a lucky
+    # 4-core window raises it — the host's 40%+ drift makes both
+    # common); the MEDIAN pairing is the robust headline, best/mean are
+    # reported alongside (BENCH.md "Scaling evidence").
+    import statistics as _st
+
+    lo_times = [r["queries"]["index_build"] for r in runs[lo_cpus]]
+    hi_times = [r["queries"]["index_build"] for r in runs[hi_cpus]]
+    factor = hi_cpus / lo_cpus
+
+    def _eff(lo_s, hi_s):
+        return round((lo_s / hi_s) / factor, 3)
+
     hi["scaling"] = {
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
@@ -753,8 +767,11 @@ def main() -> None:
             str(c): [r["queries"]["index_build"] for r in rs]
             for c, rs in runs.items()
         },
-        "speedup": round(thr_hi / thr_lo, 3),
-        "efficiency": round(thr_hi / thr_lo / (hi_cpus / lo_cpus), 3),
+        "speedup": round(_st.median(lo_times) / _st.median(hi_times), 3),
+        "efficiency": _eff(_st.median(lo_times), _st.median(hi_times)),
+        "efficiency_estimator": "median-of-trials pairing (BENCH.md)",
+        "efficiency_best": _eff(min(lo_times), min(hi_times)),
+        "efficiency_mean": _eff(_st.fmean(lo_times), _st.fmean(hi_times)),
     }
     hi["scaling"]["n_turns"] = hi["n_turns"]
     hi["scaling"]["protocol"] = (
