@@ -5086,6 +5086,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
+        "rank_eval": q_rank_eval,
+        "ccnet_perplexity": q_ccnet_perplexity,
+        "hll_token_registers": q_hll_token_registers,
+        "conversation_dedup": q_conversation_dedup,
+        "percolate_docs": q_percolate_docs,
+        "stream_sessions": q_stream_sessions,
+        "windowed_counts": q_windowed_counts,
+        "doc_chunks": q_doc_chunks,
+        "context_window": q_context_window,
         "bm25_must_not": q_bm25_must_not,
         "boolean_must_not": q_boolean_must_not,
         "significant_terms": q_significant_terms,
@@ -5115,10 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_packed": q_boolean_packed,
         "approx_terms_agg": q_approx_terms_agg,
         "match_bool_prefix": q_match_bool_prefix,
-        "doc_chunks": q_doc_chunks,
         "temperature_weights": q_temperature_weights,
-        "context_window": q_context_window,
-        "conversation_dedup": q_conversation_dedup,
         "temperature_mix": q_temperature_mix,
         "prefix_search": q_prefix_search,
         "faceted_search": q_faceted_search,
@@ -5142,12 +5148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sample": q_random_sample,
         "phrase_suggest": q_phrase_suggest,
         "bloom_bits": q_bloom_bits,
-        "windowed_counts": q_windowed_counts,
         "significant_attrs": q_significant_attrs,
         "collapse_inner_hits": q_collapse_inner_hits,
         "pinned_search": q_pinned_search,
         "match_count": q_match_count,
-        "stream_sessions": q_stream_sessions,
         "hybrid_search": q_hybrid_search,
         "result_histogram": q_result_histogram,
         "result_stats": q_result_stats,
@@ -5162,7 +5166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_boxplot": q_result_boxplot,
         "result_mad": q_result_mad,
         "result_multi_terms": q_result_multi_terms,
-        "rank_eval": q_rank_eval,
         "result_t_test": q_result_t_test,
         "result_auto_date_histogram": q_result_auto_date_histogram,
         "result_diversified": q_result_diversified,
@@ -5171,8 +5174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_missing": q_result_missing,
         "result_rare_terms": q_result_rare_terms,
         "result_adjacency": q_result_adjacency,
-        "hll_token_registers": q_hll_token_registers,
-        "ccnet_perplexity": q_ccnet_perplexity,
         "emb_sq8_topk": q_emb_sq8_topk,
         "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
         "emb_pq_topk": q_emb_pq_topk,
@@ -5185,7 +5186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "boosted_search": q_boosted_search,
         "term_vectors": q_term_vectors,
-        "percolate_docs": q_percolate_docs,
         "bool_query_topk": q_bool_query_topk,
         "boosted_terms_topk": q_boosted_terms_topk,
         "bm25_topk_batch": q_bm25_topk_batch,
