@@ -782,6 +782,23 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sigs, max_hamming=3)
 
 
+def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplicated-span masking (textops/dedup.py
+    duplicated_ngram_spans; the n-gram approximation of Lee et al. 2022
+    exact-substring dedup): maximal merged intervals over non-canonical
+    duplicated-5-gram starts on the re-crawl corpus — injected copies
+    surface as full-document spans, the canonical (first) occurrence is
+    never masked. The oracle re-derives spans with an independent
+    gaps-and-islands window formulation (running-max end + island
+    sums) against the engine's native aggregate() interval merge."""
+    from searchengine_spark.textops.dedup import duplicated_ngram_spans
+    from searchengine_spark.tokenizer import tokens_column
+
+    docs = _docs_with_copies(spark, sf_dir)
+    return duplicated_ngram_spans(
+        docs, tokens_column(F.col("text"), CFG), n=5)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair->cluster resolution: exact ∪ LSH+Jaccard-verified ∪ SimHash
     near-dup pairs -> connected components (iterative min-label + pointer
@@ -5086,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
+        "dedup_ngram_spans": q_dedup_ngram_spans,
         "rank_eval": q_rank_eval,
         "ccnet_perplexity": q_ccnet_perplexity,
         "hll_token_registers": q_hll_token_registers,
@@ -7960,6 +7978,50 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
     # verified, simhash hamming<=3) on the %<200 sub-corpus, resolved by a
     # recursive reachability-min CTE == connected-component min label
     tokc = _TOK_SQL.replace("text", "corpus2.text")
+
+    # duplicated-ngram span masking: keep-first dedup of 5-gram starts,
+    # then an INDEPENDENT gaps-and-islands merge (running-max end over
+    # preceding rows -> island flags -> island sums) vs the engine's
+    # native aggregate() interval fold
+    sqls["dedup_ngram_spans"] = f"""
+WITH {_CORPUS2_CTE.strip()},
+tokd AS (
+  SELECT doc_id AS id, {tokc} AS tokens FROM corpus2
+),
+grams AS (
+  SELECT id, i::BIGINT AS start,
+         md5(array_to_string(tokens[i+1:i+5], chr(31))) AS gram_md5
+  FROM tokd, (SELECT unnest(range(10000)) AS i)
+  WHERE i <= len(tokens) - 5
+),
+dups AS (
+  SELECT id, start FROM (
+    SELECT id, start,
+           row_number() OVER (PARTITION BY gram_md5
+                              ORDER BY id, start) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+flagged AS (
+  SELECT id, start,
+         CASE WHEN start > coalesce(max(start + 5) OVER (
+                PARTITION BY id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newisland
+  FROM dups
+),
+isl AS (
+  SELECT id, start,
+         sum(newisland) OVER (
+           PARTITION BY id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT id, min(start)::BIGINT AS span_start,
+       max(start + 5)::BIGINT AS span_end,
+       (max(start + 5) - min(start))::BIGINT AS n_tokens
+FROM isl GROUP BY id, island
+"""
     sqls["dedup_clusters"] = f"""
 WITH RECURSIVE corpus2 AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200

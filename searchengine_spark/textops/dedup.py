@@ -487,3 +487,103 @@ def conversation_duplicates(
         fps.join(groups, "fp")
         .select("conv_id", "canonical_conv", "group_size")
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    tokens_col: Column,
+    n: int = 13,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level duplicated-span masking -> (id, span_start, span_end,
+    n_tokens): per doc, the MAXIMAL token intervals covered by
+    non-canonical occurrences of corpus-duplicated ``n``-grams — the
+    n-gram approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": any
+    duplicated substring of >= n tokens is a union of duplicated
+    n-grams; independent frequent n-grams can over-mask, the documented
+    approximation). Spans are half-open [span_start, span_end) over
+    ANALYZED token positions; the canonical occurrence of each n-gram —
+    global minimum (id, start) — is never masked, so one copy of every
+    duplicated passage survives (the C4 span_dedup keep-first rule at
+    token granularity).
+
+    Plan: one bind-once n-gram explode, ONE hash exchange on the gram
+    digest (row_number keep-first — no join back), one groupBy(id)
+    collecting the doc's duplicated starts (bounded by the doc's own
+    token count), and a native aggregate() interval-merge — no Python
+    anywhere."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    pre = docs.select(
+        F.col(id_col).cast("long").alias("id"), tokens_col.alias("_toks")
+    )
+    toks = F.col("_toks")
+    cnt = F.size(toks)
+    idxs = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+        F.array().cast("array<int>")  # sequence(a,b) DESCENDS when a > b
+    )
+    grams = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.cast("long").alias("start"),
+            F.md5(
+                F.array_join(F.slice(toks, i + 1, n), "\x1f")
+            ).alias("gram_md5"),
+        ),
+    )
+    ex = pre.select("id", F.explode(grams).alias("g")).select(
+        "id", F.col("g.start").alias("start"), F.col("g.gram_md5").alias("gram_md5")
+    )
+    w = Window.partitionBy("gram_md5").orderBy("id", "start")
+    dup = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("id", "start")
+    )
+    per_doc = dup.groupBy("id").agg(
+        F.sort_array(F.collect_list("start")).alias("starts")
+    )
+    nn = F.lit(int(n)).cast("long")
+    acc0 = F.struct(
+        F.array().cast("array<struct<s:bigint,e:bigint>>").alias("arr"),
+        F.lit(-1).cast("long").alias("cs"),
+        F.lit(-1).cast("long").alias("ce"),
+    )
+
+    def _step(acc, s):
+        flush = F.concat(
+            acc["arr"],
+            F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+        )
+        return (
+            F.when(acc["ce"] < 0,
+                   F.struct(acc["arr"].alias("arr"), s.alias("cs"),
+                            (s + nn).alias("ce")))
+            .when(s <= acc["ce"],
+                  F.struct(acc["arr"].alias("arr"), acc["cs"].alias("cs"),
+                           F.greatest(acc["ce"], s + nn).alias("ce")))
+            .otherwise(F.struct(flush.alias("arr"), s.alias("cs"),
+                                (s + nn).alias("ce")))
+        )
+
+    def _fin(acc):
+        return F.when(acc["ce"] < 0, acc["arr"]).otherwise(
+            F.concat(
+                acc["arr"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            )
+        )
+
+    merged = per_doc.select(
+        "id", F.aggregate(F.col("starts"), acc0, _step, _fin).alias("spans")
+    )
+    return (
+        merged.select("id", F.explode("spans").alias("sp"))
+        .select(
+            F.col("id"),
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s")).alias("n_tokens"),
+        )
+    )

@@ -160,3 +160,65 @@ def test_exact_dedup_null_text_consistent(spark):
     assert len(groups) == 1 and groups[0]["canonical_id"] == 2
     pairs = {(r["id_a"], r["id_b"]) for r in exact_duplicate_pairs(docs).collect()}
     assert pairs == {(2, 3)}
+
+
+def test_duplicated_ngram_spans_vs_brute(spark):
+    """Token-level duplicated-span masking (textops/dedup.py
+    duplicated_ngram_spans): maximal merged intervals over the
+    non-canonical duplicated-n-gram starts equal a Python brute twin;
+    canonical (first) occurrences are never masked; short docs emit
+    nothing."""
+    from searchengine_spark.textops.dedup import duplicated_ngram_spans
+    from searchengine_spark.tokenizer import tokenize_text
+
+    texts = {
+        0: "aa bb cc dd ee ff gg hh",          # source passage
+        1: "xx aa bb cc dd yy zz qq",          # dup 4-gram at 1..5
+        2: "aa bb cc dd ee pp aa bb cc dd ee", # dup vs doc0 AND self
+        3: "uu vv ww",                         # too short for n=4
+        4: "bb cc dd ee ff gg ss tt",          # overlapping dups -> merge
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    n = 4
+    out = duplicated_ngram_spans(docs, _toks(), n=n)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"], r["n_tokens"]))
+
+    # brute twin
+    toks = {i: tokenize_text(t, CFG) for i, t in texts.items()}
+    first = {}
+    occs = []
+    for i in sorted(toks):
+        ts = toks[i]
+        for s in range(len(ts) - n + 1):
+            g = "\x1f".join(ts[s:s + n])
+            if g not in first:
+                first[g] = (i, s)
+            occs.append((i, s, g))
+    dup_starts = {}
+    for i, s, g in occs:
+        if first[g] != (i, s):
+            dup_starts.setdefault(i, []).append(s)
+    want = {}
+    for i, ss in dup_starts.items():
+        spans = []
+        cs = ce = None
+        for s in sorted(ss):
+            if cs is None:
+                cs, ce = s, s + n
+            elif s <= ce:
+                ce = max(ce, s + n)
+            else:
+                spans.append((cs, ce, ce - cs))
+                cs, ce = s, s + n
+        spans.append((cs, ce, ce - cs))
+        want[i] = spans
+    assert {k: sorted(v) for k, v in got.items()} == want
+    assert 0 not in want          # all doc-0 grams are canonical
+    assert 3 not in want          # too short
+    assert want[1] == [(1, 5, 4)]  # the single duplicated 4-gram
+    with pytest.raises(ValueError, match="n must be"):
+        duplicated_ngram_spans(docs, _toks(), n=1)
