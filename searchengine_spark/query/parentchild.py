@@ -238,6 +238,10 @@ def children_terms_agg(
     missing = [c for c in ext + [value_col] if c not in attrs.columns]
     if missing:
         raise ValueError(f"attrs table lacks columns {missing}")
+    if value_col in ext:
+        raise ValueError(
+            f"value_col {value_col!r} is one of the external id columns "
+            f"{ext} — bucket an attribute, not the join key")
     parents = has_child_grouped(
         pidx, queries, cfg, score_mode=score_mode,
         min_children=min_children, max_children=max_children,

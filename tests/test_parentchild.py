@@ -334,3 +334,11 @@ def test_children_terms_agg(spark, packed, cfg, turn_scores):
         want = {(qid, v): (n, i + 1) for i, (v, n) in enumerate(ranked)}
         assert {k: v for k, v in got.items() if k[0] == qid} == want
         assert want  # fixture exercises the agg
+
+
+def test_children_agg_refuses_key_column(packed, cfg):
+    from searchengine_spark.query.parentchild import children_terms_agg
+
+    attrs = packed.docmap.select("conv_id", "turn_idx")
+    with pytest.raises(ValueError, match="external id"):
+        children_terms_agg(packed, QUERIES, cfg, attrs, "turn_idx")
