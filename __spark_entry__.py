@@ -7989,10 +7989,10 @@ tokd AS (
   SELECT doc_id AS id, {tokc} AS tokens FROM corpus2
 ),
 grams AS (
+  -- lateral unnest of the per-doc range: no hidden position cap
   SELECT id, i::BIGINT AS start,
          md5(array_to_string(tokens[i+1:i+5], chr(31))) AS gram_md5
-  FROM tokd, (SELECT unnest(range(10000)) AS i)
-  WHERE i <= len(tokens) - 5
+  FROM tokd, unnest(range(greatest(len(tokens) - 4, 0))) AS u(i)
 ),
 dups AS (
   SELECT id, start FROM (

@@ -54,12 +54,16 @@ def main() -> None:
     cfg = TokenizerConfig(args.min_token_length, sw)
     raw = spark.read.parquet(args.input)
     target = spark.read.parquet(args.target)
+    # the model tables are <= n_buckets rows and each costs a full
+    # corpus tokenize+hash pass — cache them so model_totals inside
+    # dsir_weights and the scoring join don't recompute; cache the
+    # scored frame so count + write + keep-cut are one computation
     tc = hashed_feature_counts(target, cfg, args.buckets,
-                               text_col=args.text_col)
+                               text_col=args.text_col).cache()
     rc = hashed_feature_counts(raw, cfg, args.buckets,
-                               text_col=args.text_col)
+                               text_col=args.text_col).cache()
     scored = dsir_weights(raw, tc, rc, cfg, n_buckets=args.buckets,
-                          id_col=args.id_col, text_col=args.text_col)
+                          id_col=args.id_col, text_col=args.text_col).cache()
     n_scored = scored.count()
     out = scored
     if args.min_weight is not None:

@@ -1084,13 +1084,21 @@ def _print_date_histogram(spark, attrs_path, ext_cols, queries, per_q,
     if rows:
         hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
         attrs = spark.read.parquet(attrs_path)
-        for col, interval in specs:
-            got = date_histogram_counts(hits, attrs, [col], ext_cols,
-                                        interval=interval).collect()
-            for r in got:
-                by_q[r["query_id"]].setdefault(col, []).append(
-                    {"bucket_epoch": int(r["bucket_epoch"]),
-                     "n": int(r["n"])})
+        # calendar intervals truncate in the SESSION timezone: pin UTC
+        # for the compute (restored after the collects) so buckets are
+        # the documented exact UTC civil-calendar boundaries on any host
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            for col, interval in specs:
+                got = date_histogram_counts(hits, attrs, [col], ext_cols,
+                                            interval=interval).collect()
+                for r in got:
+                    by_q[r["query_id"]].setdefault(col, []).append(
+                        {"bucket_epoch": int(r["bucket_epoch"]),
+                         "n": int(r["n"])})
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "date_histogram": by_q[i]}))
 
@@ -1114,12 +1122,25 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
     if "," in dh_spec or ":" not in dh_spec:
         raise SystemExit("--pipeline needs a single-column "
                          "--date-histogram COL:INTERVAL spec")
+    from searchengine_spark.query.aggregations import _CALENDAR_TRUNC
+
     col, iv = dh_spec.rsplit(":", 1)
-    ival = int(iv) if iv.isdigit() else _CALENDAR_SECONDS.get(iv)
-    if not ival:
-        raise SystemExit(f"--pipeline cannot resolve interval {iv!r} to "
-                         "seconds")
     op, _, rest = pipe_spec.partition(":")
+    densified_ops = ("cumsum", "derivative", "moving_sum", "serial_diff")
+    ival = int(iv) if iv.isdigit() else _CALENDAR_SECONDS.get(iv)
+    if ival:
+        interval = ival
+    elif iv in _CALENDAR_TRUNC:
+        # calendar buckets are fine for every op EXCEPT the densified
+        # positional family (zero-fill needs equally spaced keys)
+        if op in densified_ops:
+            raise SystemExit(
+                f"--pipeline {op} needs a fixed-span --date-histogram "
+                f"interval (calendar {iv!r} buckets are not equally "
+                f"spaced — densify is undefined)")
+        interval = iv
+    else:
+        raise SystemExit(f"--pipeline cannot resolve interval {iv!r}")
     by_q: dict[int, list] = {i: [] for i in range(len(queries))}
     rows = [
         tuple([i] + [r[c] for c in ext_cols])
@@ -1129,9 +1150,11 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
     if rows:
         hits = spark.createDataFrame(rows, ["query_id", *ext_cols])
         attrs = spark.read.parquet(attrs_path)
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         buckets = date_histogram_counts(hits, attrs, [col.strip()],
-                                        ext_cols, interval=ival)
-        if op in ("cumsum", "derivative", "moving_sum", "serial_diff"):
+                                        ext_cols, interval=interval)
+        if op in densified_ops:
             buckets = P.densify_buckets(buckets, ival)
         if op == "cumsum":
             out = P.cumulative_sum(buckets)
@@ -1169,10 +1192,13 @@ def _print_pipeline(spark, attrs_path, ext_cols, queries, per_q,
         else:
             raise SystemExit(f"unknown --pipeline op {op!r}")
         val_cols = [c for c in out.columns if c not in ("query_id",)]
-        for r in out.collect():
-            by_q[r["query_id"]].append(
-                {c: (list(r[c]) if isinstance(r[c], list) else r[c])
-                 for c in val_cols})
+        try:
+            for r in out.collect():
+                by_q[r["query_id"]].append(
+                    {c: (list(r[c]) if isinstance(r[c], list) else r[c])
+                     for c in val_cols})
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "pipeline": {op: by_q[i]}},
                          default=str))
@@ -1928,6 +1954,16 @@ def _serve_multi_match(spark, args) -> None:
           f"({len(queries)} queries x {len(fidx)} fields)", file=sys.stderr)
 
 
+def _gather_queries(args) -> list:
+    """--query plus --queries-file lines (the same merge the batch path
+    does) — for branches that dispatch before the main merge point."""
+    qs = list(args.query or [])
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            qs += [ln.strip() for ln in fh if ln.strip()]
+    return qs
+
+
 def _parse_span_abc(spec: str):
     """A,B,C[:W] -> (a, b, c, width) for span_within/containing."""
     body, _, w = spec.partition(":")
@@ -2012,16 +2048,18 @@ def _serve_federated(spark, args) -> None:
         )
 
         hc = args.has_child.split(":")
-        if not args.query:
+        hc_queries = _gather_queries(args)
+        if not hc_queries:
             raise SystemExit("--has-child wants --query/--queries-file")
         if args.has_child_inner or args.children_agg:
             raise SystemExit("--has-child-inner/--children-agg serve from "
                              "a single index (--index)")
         out = has_child_topk_federated(
-            shards, args.query, cfg, score_mode=hc[0],
+            shards, hc_queries, cfg, score_mode=hc[0],
             min_children=int(hc[1]) if len(hc) > 1 else 1,
             max_children=int(hc[2]) if len(hc) > 2 else None,
-            k=args.n, round_dp=6)
+            k=args.n, round_dp=6,
+            assume_coherent=args.assume_coherent)
         print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
                          default=str))
         return
@@ -2732,6 +2770,12 @@ def main() -> None:
                     help="with --has-child: ES inner_hits — each top-k "
                          "conversation carries its best N matching turns "
                          "from the same score-all pass")
+    ap.add_argument("--assume-coherent", action="store_true",
+                    help="with --shards --has-child: attest out-of-band "
+                         "that every conversation lives in ONE shard "
+                         "(skips the manifest shard_coherent_by check — "
+                         "needed for shard sets built before the "
+                         "attestation existed, or hand-split corpora)")
     ap.add_argument("--children-agg", default=None, metavar="COL",
                     help="ES children aggregation "
                          "(query/parentchild.py children_terms_agg): "
@@ -3516,7 +3560,8 @@ def main() -> None:
         mode = parts[0]
         min_c = int(parts[1]) if len(parts) > 1 else 1
         max_c = int(parts[2]) if len(parts) > 2 else None
-        if not args.query:
+        hc_queries = _gather_queries(args)
+        if not hc_queries:
             raise SystemExit("--has-child wants --query/--queries-file")
         if args.children_agg:
             from searchengine_spark.query.parentchild import (
@@ -3526,7 +3571,7 @@ def main() -> None:
             if not args.attrs:
                 raise SystemExit("--children-agg wants --attrs")
             out = children_terms_agg(
-                pidx, args.query, cfg, spark.read.parquet(args.attrs),
+                pidx, hc_queries, cfg, spark.read.parquet(args.attrs),
                 args.children_agg, score_mode=mode, min_children=min_c,
                 max_children=max_c, size=args.n, round_dp=6)
             print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
@@ -3538,12 +3583,12 @@ def main() -> None:
             )
 
             out = has_child_inner_hits(
-                pidx, args.query, cfg, score_mode=mode,
+                pidx, hc_queries, cfg, score_mode=mode,
                 min_children=min_c, max_children=max_c, k=args.n,
                 n_inner=args.has_child_inner, round_dp=6)
         else:
             out = has_child_topk(
-                pidx, args.query, cfg, score_mode=mode, min_children=min_c,
+                pidx, hc_queries, cfg, score_mode=mode, min_children=min_c,
                 max_children=max_c, k=args.n, round_dp=6)
         print(json.dumps({"hits": [r.asDict() for r in out.collect()]},
                          default=str))

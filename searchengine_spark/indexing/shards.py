@@ -110,9 +110,16 @@ def build_shard_indexes(
 
     # attest the coherence invariant in each shard's manifest: md5(shard_by)
     # mod N puts EVERY row of a shard_by group in one shard, so parent-level
-    # federated merges (has_child) can validate instead of assuming
-    extra = {"shard_coherent_by": shard_by,
-             **build_kwargs.pop("manifest_extra", {})}
+    # federated merges (has_child) can validate instead of assuming.
+    # Callers may add keys but can NOT clobber the attestation — it is the
+    # one key this function exists to guarantee.
+    caller_extra = build_kwargs.pop("manifest_extra", {})
+    if caller_extra.get("shard_coherent_by", shard_by) != shard_by:
+        raise ValueError(
+            f"manifest_extra tries to overwrite shard_coherent_by with "
+            f"{caller_extra['shard_coherent_by']!r} — the attestation is "
+            f"derived from shard_by={shard_by!r}, not caller-settable")
+    extra = {**caller_extra, "shard_coherent_by": shard_by}
     manifests = []
     try:
         for i, path in enumerate(paths):

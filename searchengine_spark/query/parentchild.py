@@ -247,7 +247,17 @@ def children_terms_agg(
         min_children=min_children, max_children=max_children,
         round_dp=round_dp, parent_col=parent_col,
     ).select("query_id", parent_col)
-    turns = pidx.docmap.select(parent_col, *ext).join(parents, parent_col)
+    docmap = pidx.docmap
+    mask = pidx.delete_mask()
+    if mask is not None:
+        # tombstoned turns never count (the delete-aware serving
+        # contract — the scoring pass above already masks them at
+        # decode; the docmap walk must match). The tombstone set is a
+        # tiny sidecar — broadcast anti-join.
+        dele = pidx.spark.createDataFrame(
+            [(int(d),) for d in mask.arr], "doc_id long")
+        docmap = docmap.join(F.broadcast(dele), "doc_id", "left_anti")
+    turns = docmap.select(parent_col, *ext).join(parents, parent_col)
     vals = (
         turns.join(attrs.select(*ext, value_col), ext)
         .filter(F.col(value_col).isNotNull())

@@ -735,19 +735,12 @@ def _abc_positions(it: IndexTables, rows, extra_cols: str) -> DataFrame:
 
 
 def _abc_rows(queries, cfg, what):
+    """(qid, term, role, width) rows — same validation as the packed
+    path's spec (ONE validator, see _abc_spec)."""
     rows = []
-    for qid, (big_a, big_b, little, width) in enumerate(queries):
-        if width < 1:
-            raise ValueError(f"{what} width must be >= 1, got {width}")
-        a = _one_term(big_a, cfg, f"{what} big_a")
-        b = _one_term(big_b, cfg, f"{what} big_b")
-        c = _one_term(little, cfg, f"{what} little")
-        if len({a, b, c}) != 3:
-            raise ValueError(
-                f"{what} terms must be three distinct analyzed terms, "
-                f"got {a!r}/{b!r}/{c!r}")
-        rows.extend([(qid, a, "a", int(width)), (qid, b, "b", int(width)),
-                     (qid, c, "c", int(width))])
+    for qid, (a, b, c, width) in _abc_spec(queries, cfg, what).items():
+        rows.extend([(qid, a, "a", width), (qid, b, "b", width),
+                     (qid, c, "c", width)])
     return rows
 
 

@@ -342,3 +342,35 @@ def test_children_agg_refuses_key_column(packed, cfg):
     attrs = packed.docmap.select("conv_id", "turn_idx")
     with pytest.raises(ValueError, match="external id"):
         children_terms_agg(packed, QUERIES, cfg, attrs, "turn_idx")
+
+
+def test_children_agg_is_delete_aware(spark, cfg, tmp_path_factory):
+    """Tombstoned turns never count in the children buckets — the
+    delete-aware serving contract the scoring pass already has."""
+    from searchengine_spark.indexing.deletes import delete_docs
+    from searchengine_spark.query.parentchild import children_terms_agg
+
+    corpus = transcripts_df(spark, n_conv=10, n_partitions=2)
+    path = str(tmp_path_factory.mktemp("pc_del") / "idx")
+    build_packed_index(corpus, cfg, path, chunk_docs=128)
+    pidx = load_packed_index(spark, path)
+    attrs = pidx.docmap.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, "user")
+        .otherwise("assistant").alias("role"))
+    before = {(r["query_id"], r["value"]): r["n"] for r in
+              children_terms_agg(pidx, QUERIES, cfg, attrs, "role",
+                                 size=10).collect()}
+    assert before
+    # tombstone every even turn, reload, re-aggregate
+    delete_docs(spark, path, where="turn_idx % 2 = 0")
+    pidx2 = load_packed_index(spark, path)
+    after = {(r["query_id"], r["value"]): r["n"] for r in
+             children_terms_agg(pidx2, QUERIES, cfg, attrs, "role",
+                                size=10).collect()}
+    # no 'user' (even-turn) buckets survive; assistant counts can only
+    # shrink-or-equal (some parents may drop out of the qualifying set)
+    assert all(v != "user" for (_, v) in after)
+    for key, n in after.items():
+        assert key in before and n <= before[key]
+    assert after  # odd-turn matches keep some conversations qualifying
