@@ -2010,11 +2010,15 @@ def _serve_federated(spark, args) -> None:
         raise SystemExit("--prf federates on the bm25 ranker only")
     if args.prf and (args.fuzzy or args.filter or args.boost):
         raise SystemExit("--prf does not combine with --fuzzy/--filter/--boost")
-    if args.sort or args.decay or args.fvf or args.random_score or args.pin:
-        raise SystemExit("--sort/--decay/--fvf/--random-score/--pin serve "
+    if args.decay or args.fvf or args.random_score or args.pin:
+        raise SystemExit("--decay/--fvf/--random-score/--pin serve "
                          "from a single index (--index; federation not "
                          "wired)")
+    if args.sort and args.serve_mode == "local":
+        raise SystemExit("--sort runs on the distributed tier "
+                         "(serve-mode auto/spark)")
     if (args.filter or args.boost or args.facets or args.histogram
+            or args.sort
             or args.date_histogram or args.range or args.composite
             or args.extended_stats or args.matrix_stats
             or args.weighted_avg or args.top_metrics
@@ -2473,6 +2477,28 @@ def _serve_federated(spark, args) -> None:
                        if dts else None)
         if args.dismax is not None:
             pass  # frame already computed above
+        elif args.sort:
+            if (args.ranker not in ("bm25", "bm25_and") or prf
+                    or args.fuzzy or args.wildcard or args.regexp
+                    or synonyms is not None
+                    or doc_filters is not None or doc_boosts is not None
+                    or args.offset or cursor is not None
+                    or args.demote or args.collapse):
+                raise SystemExit("--sort combines only with plain "
+                                 "bm25/bm25_and retrieval (+ '-term' "
+                                 "negation)")
+            from searchengine_spark.query.sortby import (
+                sort_by_attr_federated,
+            )
+
+            col_, asc_, miss_ = _sort(args)
+            # (query_id, doc_id, *ext, sort_value, score, rank) —
+            # already resolved; doc_id is federation-global
+            frame = sort_by_attr_federated(
+                shards, batch, cfg, spark.read.parquet(args.attrs),
+                col_, k=args.n, ascending=asc_, missing=miss_,
+                conjunctive=args.ranker == "bm25_and", round_dp=6,
+                exclude_terms=excludes)
         elif args.collapse:
             if (args.ranker not in ("bm25", "bm25_and") or prf
                     or args.fuzzy or args.wildcard or args.regexp
@@ -2627,7 +2653,7 @@ def _serve_federated(spark, args) -> None:
                 topk = hits.join(F.broadcast(nq), "query_id").select(
                     "query_id", "doc_id", "score", F.lit(0).alias("rank"),
                 )
-        if not args.collapse and args.dismax is None:
+        if not args.collapse and args.dismax is None and not args.sort:
             frame = resolve_docs_federated(shards, topk)
         if args.output:
             qdf = spark.createDataFrame(

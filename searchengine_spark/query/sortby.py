@@ -98,3 +98,75 @@ def sort_by_attr_packed(
         .select("query_id", "doc_id", *ext_cols, "sort_value", "score",
                 "rank")
     )
+
+
+def sort_by_attr_federated(
+    shards,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    attrs: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    missing: str = "last",
+    conjunctive: bool = False,
+    round_dp: int | None = None,
+    exclude_terms: dict | None = None,
+) -> DataFrame:
+    """Federated ES sort -> (query_id, doc_id, *ext_cols, sort_value,
+    score, rank) with doc_id in the federation namespace — EXACT on any
+    shard set: the matched set is the federated score-all surface
+    (``bm25_scores_federated``: federation-global idf, shard-local
+    dl_norm, per-base tombstone decoders — the dfs_query_then_fetch
+    contract), resolved through the shards' base-shifted docmap views,
+    then the SAME one-attrs-join + rank<=k WindowGroupLimit window as
+    the single-index path (collapse_topk_federated's shape applied to
+    the sort clause). Secondary-score ties are the rounded federated
+    scores, so the order is deterministic across gathers."""
+    from functools import reduce as _reduce
+
+    from .federated import _check_compat, _doc_bases, bm25_scores_federated
+
+    if missing not in MISSING:
+        raise ValueError(f"missing must be one of {MISSING}, got {missing!r}")
+    _check_compat(shards)
+    manifests = [s.manifest["order_cols"] for s in shards]
+    if any(m != manifests[0] for m in manifests):
+        raise ValueError(
+            f"shards disagree on order_cols: {manifests} — sort needs "
+            "one shared external-id schema")
+    ext_cols = [c for c in manifests[0] if c != "doc_id"]
+    lacks = [c for c in ext_cols + [sort_col] if c not in attrs.columns]
+    if lacks:
+        raise ValueError(f"attrs table lacks columns {lacks}")
+    scores = bm25_scores_federated(
+        shards, list(queries), cfg, round_dp=round_dp,
+        conjunctive=conjunctive, exclude_terms=exclude_terms)
+    docmap = _reduce(
+        DataFrame.unionByName,
+        [
+            s.docmap.select(
+                (F.col("doc_id").cast("long") + F.lit(base)).alias("doc_id"),
+                *ext_cols,
+            )
+            for s, base in zip(shards, _doc_bases(shards))
+        ],
+    )
+    resolved = scores.join(docmap, "doc_id").select(
+        "query_id", "doc_id", *ext_cols, "score")
+    joined = resolved.join(
+        attrs.select(*ext_cols, F.col(sort_col).alias("sort_value")),
+        ext_cols, "left")
+    key = F.col("sort_value")
+    if ascending:
+        key = key.asc_nulls_last() if missing == "last" else key.asc_nulls_first()
+    else:
+        key = key.desc_nulls_last() if missing == "last" else key.desc_nulls_first()
+    w = Window.partitionBy("query_id").orderBy(
+        key, F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", *ext_cols, "sort_value", "score",
+                "rank")
+    )

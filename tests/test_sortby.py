@@ -136,3 +136,52 @@ def test_validation(pidx, cfg, attrs):
                             missing="bottom")
     with pytest.raises(ValueError, match="lacks columns"):
         sort_by_attr_packed(pidx, [QUERY], cfg, attrs, "nope")
+
+
+def test_federated_sort_matches_brute(spark, corpus, cfg, attrs,
+                                      tmp_path_factory):
+    """Turn-parity shards: federated sort equals a Python brute over the
+    federated score-all surface (global idf, shard-local dl_norm)
+    joined to the attrs table — matched set preserved, missing-attr
+    matches still appear, (sort, score desc, doc asc) order."""
+    from searchengine_spark.query.federated import (
+        _doc_bases,
+        bm25_scores_federated,
+    )
+    from searchengine_spark.query.sortby import sort_by_attr_federated
+
+    base = tmp_path_factory.mktemp("srtfed")
+    shards = []
+    for i, part in enumerate(
+        [corpus.filter(F.col("turn_idx") % 2 == 0),
+         corpus.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        p = str(base / f"s{i}")
+        build_packed_index(part, cfg, p, chunk_docs=64)
+        shards.append(load_packed_index(spark, p))
+
+    flat = bm25_scores_federated(shards, [QUERY], cfg, round_dp=6).collect()
+    dm = {}
+    for s, b in zip(shards, _doc_bases(shards)):
+        for r in s.docmap.collect():
+            dm[int(r["doc_id"]) + b] = (r["conv_id"], int(r["turn_idx"]))
+    amap = {(r["conv_id"], r["turn_idx"]): r["price"]
+            for r in attrs.collect()}
+    out = []
+    for r in flat:
+        v = amap.get(dm[int(r["doc_id"])])
+        out.append((v, float(r["score"]), int(r["doc_id"])))
+    out.sort(key=lambda t: (
+        2 if t[0] is None else 1,
+        0 if t[0] is None else -t[0],  # descending
+        -t[1], t[2]))
+    want = [(d, v) for v, s, d in out[:8]]
+
+    got_rows = sort_by_attr_federated(
+        shards, [QUERY], cfg, attrs, "price", k=8, round_dp=6).collect()
+    got = [(int(r["doc_id"]), r["sort_value"])
+           for r in sorted(got_rows, key=lambda r: r["rank"])]
+    assert got == want and got
+    # missing-attr matches appear (fixture guarantees some in-window)
+    assert any(v is None for _, v in got) or all(
+        v is not None for v, _, _ in out[:8])
