@@ -4240,6 +4240,48 @@ def q_federated_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_federated_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated ES sort clause (query/sortby.py sort_by_attr_federated):
+    attribute-ordered retrieval over the SAME two turn-parity shards as
+    federated_search — the matched set is the federated score-all BM25
+    surface (dfs_query_then_fetch statistics: federation-global idf,
+    shard-local dl_norm), ordered by n_chars = length(text) desc with
+    rounded-score then federation-doc_id tiebreaks. The federation
+    doc_id order equals (shard asc, conv_id asc, turn_idx asc) because
+    shard-local docIDs are dense in the build's (conv_id, turn_idx)
+    order and the union base-shifts shard b past shard a — which is
+    exactly the tie chain the oracle's rank window spells out. A WAND
+    top-k-by-score cut, a cross-shard avgdl leak, or score-ordered
+    ranking all hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.sortby import sort_by_attr_federated
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    base = os.path.join(tempfile.gettempdir(), "se_spark_entry_fed")
+    pa, pb = (os.path.join(base, d) for d in ("shard_a", "shard_b"))
+    _build_packed_once(pa, lambda: build_packed_index(
+        corpus.filter(F.col("turn_idx") % 2 == 0), cfg, pa, chunk_docs=256))
+    _build_packed_once(pb, lambda: build_packed_index(
+        corpus.filter(F.col("turn_idx") % 2 == 1), cfg, pb, chunk_docs=256))
+    shards = [load_packed_index(spark, p) for p in (pa, pb)]
+    attrs = corpus.select(
+        "conv_id", "turn_idx", F.length("text").alias("n_chars"))
+    out = sort_by_attr_federated(
+        shards, TRANSCRIPTS_QUERIES, cfg, attrs, "n_chars", k=10,
+        ascending=False, missing="last", round_dp=6)
+    return out.select(
+        "query_id", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("sort_value").cast("long").alias("sort_value"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_sharded_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded BUILD + federated serving (indexing/shards.py
     build_shard_indexes): ONE corpus hash-partitioned into 3
@@ -4275,6 +4317,45 @@ def q_sharded_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
         "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_federated_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated ES has_child (query/federated.py
+    has_child_topk_federated): conversations ranked by their matching
+    turns' combined BM25 (score_mode=sum, min_children=2) across the
+    SAME md5-mod-3 conversation-coherent sharded build as
+    sharded_build_search. Coherence means the parent combine is
+    shard-local and exact, and the statistics contract is the
+    shard-local one the python-brute gate pins
+    (tests/test_parentchild.py::test_federated_matches_shard_local_combine):
+    per-shard n/df/idf AND per-shard avgdl — each shard scores as the
+    independent index it is, then qualifying parents merge through the
+    bounded per-shard rank()<=k emission into one (score desc, conv asc)
+    window. The oracle recomputes the md5 shard assignment and the
+    per-shard statistics in SQL, so a cross-shard idf leak, a broken
+    doc-base, or an unbounded-merge rank drift all hash-mismatch."""
+    import os
+    import tempfile
+
+    from searchengine_spark.fixtures.transcripts import transcripts_df
+    from searchengine_spark.indexing.packed import load_packed_index
+    from searchengine_spark.indexing.shards import build_shard_indexes, shard_paths
+    from searchengine_spark.query.federated import has_child_topk_federated
+
+    cfg = _transcripts_cfg()
+    corpus = transcripts_df(spark, n_conv=TRANSCRIPTS_N_CONV, n_partitions=8)
+    base = os.path.join(tempfile.gettempdir(), "se_spark_entry_shardbuild")
+    _build_packed_once(base, lambda: build_shard_indexes(
+        corpus, cfg, base, 3, chunk_docs=256))
+    shards = [load_packed_index(spark, p) for p in shard_paths(base, 3)]
+    out = has_child_topk_federated(
+        shards, TRANSCRIPTS_QUERIES, cfg, score_mode="sum",
+        min_children=HAS_CHILD_MIN, k=10, round_dp=6)
+    return out.select(
+        "query_id", "conv_id", "score",
+        F.col("n_matching").cast("long").alias("n_matching"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -5073,6 +5154,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "federated_sort": q_federated_sort,
+        "federated_has_child": q_federated_has_child,
+        "result_date_histogram": q_result_date_histogram,
+        "result_cumulative_sum": q_result_cumulative_sum,
+        "result_derivative": q_result_derivative,
+        "result_moving_sum": q_result_moving_sum,
+        "result_serial_diff": q_result_serial_diff,
+        "result_bucket_sort": q_result_bucket_sort,
+        "result_bucket_selector": q_result_bucket_selector,
+        "result_stats_bucket": q_result_stats_bucket,
+        "result_bucket_script": q_result_bucket_script,
+        "result_percentiles_bucket": q_result_percentiles_bucket,
+        "result_extreme_buckets": q_result_extreme_buckets,
+        "result_histogram": q_result_histogram,
+        "result_stats": q_result_stats,
+        "result_percentiles": q_result_percentiles,
+        "result_cardinality": q_result_cardinality,
+        "result_range": q_result_range,
+        "result_extended_stats": q_result_extended_stats,
+        "result_matrix_stats": q_result_matrix_stats,
+        "result_weighted_avg": q_result_weighted_avg,
+        "result_top_metrics": q_result_top_metrics,
+        "result_percentile_ranks": q_result_percentile_ranks,
+        "result_boxplot": q_result_boxplot,
+        "result_mad": q_result_mad,
+        "result_multi_terms": q_result_multi_terms,
+        "result_t_test": q_result_t_test,
+        "result_auto_date_histogram": q_result_auto_date_histogram,
+        "result_diversified": q_result_diversified,
+        "result_sampler": q_result_sampler,
+        "result_filters": q_result_filters,
+        "result_missing": q_result_missing,
+        "result_rare_terms": q_result_rare_terms,
+        "result_adjacency": q_result_adjacency,
+        "emb_sq8_topk": q_emb_sq8_topk,
+        "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "multi_match_topk": q_multi_match,
+        "cross_fields_topk": q_cross_fields,
+        "combined_fields_topk": q_combined_fields,
+        "wildcard_search": q_wildcard_search,
+        "regexp_search": q_regexp_search,
+        "fuzzy_query_topk": q_fuzzy_query_topk,
+        "delete_then_search": q_delete_then_search,
+        "compacted_search": q_compacted_search,
+        "append_then_search": q_append_then_search,
+        "snapshot_search": q_snapshot_search,
+        "temperature_mix": q_temperature_mix,
+        "bloom_bits": q_bloom_bits,
+        "facet_top_hits": q_facet_top_hits,
+        "boolean_packed": q_boolean_packed,
+        "approx_terms_agg": q_approx_terms_agg,
+        "match_bool_prefix": q_match_bool_prefix,
+        "temperature_weights": q_temperature_weights,
+        "prefix_search": q_prefix_search,
+        "faceted_search": q_faceted_search,
+        "filtered_search": q_filtered_search,
+        "prf_search": q_prf_search,
+        "synonym_search": q_synonym_search,
+        "sorted_search": q_sorted_search,
+        "decay_search": q_decay_search,
+        "analyze_tokens": q_analyze_tokens,
+        "term_suggest": q_term_suggest,
+        "term_suggest_fuzz2": q_term_suggest_fuzz2,
+        "url_filter": q_url_filter,
+        "field_value_factor": q_field_value_factor,
+        "rank_feature": q_rank_feature,
+        "random_sample": q_random_sample,
+        "phrase_suggest": q_phrase_suggest,
+        "significant_attrs": q_significant_attrs,
+        "collapse_inner_hits": q_collapse_inner_hits,
+        "pinned_search": q_pinned_search,
+        "match_count": q_match_count,
+        "hybrid_search": q_hybrid_search,
+        "rerank_topk": q_rerank_topk,
+        "explain_scores": q_explain_scores,
+        "more_like_this": q_more_like_this,
+        "suggest_terms": q_suggest_terms,
+        "collocations": q_collocations,
+        "bm25_and_topk": q_bm25_and_topk,
+        "boosted_search": q_boosted_search,
+        "term_vectors": q_term_vectors,
+        "bool_query_topk": q_bool_query_topk,
+        "boosted_terms_topk": q_boosted_terms_topk,
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "doc_lengths": q_doc_lengths,
@@ -5123,89 +5289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": q_boosting_query,
         "dismax_topk": q_dismax_topk,
         "collapse_topk": q_collapse_topk,
-        "result_date_histogram": q_result_date_histogram,
-        "result_cumulative_sum": q_result_cumulative_sum,
-        "result_derivative": q_result_derivative,
-        "result_moving_sum": q_result_moving_sum,
-        "result_serial_diff": q_result_serial_diff,
-        "result_bucket_sort": q_result_bucket_sort,
-        "result_bucket_selector": q_result_bucket_selector,
-        "result_stats_bucket": q_result_stats_bucket,
-        "result_bucket_script": q_result_bucket_script,
-        "result_percentiles_bucket": q_result_percentiles_bucket,
-        "result_extreme_buckets": q_result_extreme_buckets,
-        "facet_top_hits": q_facet_top_hits,
-        "delete_then_search": q_delete_then_search,
-        "compacted_search": q_compacted_search,
-        "append_then_search": q_append_then_search,
-        "snapshot_search": q_snapshot_search,
-        "boolean_packed": q_boolean_packed,
-        "approx_terms_agg": q_approx_terms_agg,
-        "match_bool_prefix": q_match_bool_prefix,
-        "temperature_weights": q_temperature_weights,
-        "temperature_mix": q_temperature_mix,
-        "prefix_search": q_prefix_search,
-        "faceted_search": q_faceted_search,
-        "filtered_search": q_filtered_search,
-        "prf_search": q_prf_search,
-        "synonym_search": q_synonym_search,
-        "wildcard_search": q_wildcard_search,
-        "regexp_search": q_regexp_search,
-        "fuzzy_query_topk": q_fuzzy_query_topk,
-        "multi_match_topk": q_multi_match,
-        "cross_fields_topk": q_cross_fields,
-        "combined_fields_topk": q_combined_fields,
-        "sorted_search": q_sorted_search,
-        "decay_search": q_decay_search,
-        "analyze_tokens": q_analyze_tokens,
-        "term_suggest": q_term_suggest,
-        "term_suggest_fuzz2": q_term_suggest_fuzz2,
-        "url_filter": q_url_filter,
-        "field_value_factor": q_field_value_factor,
-        "rank_feature": q_rank_feature,
-        "random_sample": q_random_sample,
-        "phrase_suggest": q_phrase_suggest,
-        "bloom_bits": q_bloom_bits,
-        "significant_attrs": q_significant_attrs,
-        "collapse_inner_hits": q_collapse_inner_hits,
-        "pinned_search": q_pinned_search,
-        "match_count": q_match_count,
-        "hybrid_search": q_hybrid_search,
-        "result_histogram": q_result_histogram,
-        "result_stats": q_result_stats,
-        "result_percentiles": q_result_percentiles,
-        "result_cardinality": q_result_cardinality,
-        "result_range": q_result_range,
-        "result_extended_stats": q_result_extended_stats,
-        "result_matrix_stats": q_result_matrix_stats,
-        "result_weighted_avg": q_result_weighted_avg,
-        "result_top_metrics": q_result_top_metrics,
-        "result_percentile_ranks": q_result_percentile_ranks,
-        "result_boxplot": q_result_boxplot,
-        "result_mad": q_result_mad,
-        "result_multi_terms": q_result_multi_terms,
-        "result_t_test": q_result_t_test,
-        "result_auto_date_histogram": q_result_auto_date_histogram,
-        "result_diversified": q_result_diversified,
-        "result_sampler": q_result_sampler,
-        "result_filters": q_result_filters,
-        "result_missing": q_result_missing,
-        "result_rare_terms": q_result_rare_terms,
-        "result_adjacency": q_result_adjacency,
-        "emb_sq8_topk": q_emb_sq8_topk,
-        "emb_ivf_sq8_topk": q_emb_ivf_sq8_topk,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "rerank_topk": q_rerank_topk,
-        "explain_scores": q_explain_scores,
-        "more_like_this": q_more_like_this,
-        "suggest_terms": q_suggest_terms,
-        "collocations": q_collocations,
-        "bm25_and_topk": q_bm25_and_topk,
-        "boosted_search": q_boosted_search,
-        "term_vectors": q_term_vectors,
-        "bool_query_topk": q_bool_query_topk,
-        "boosted_terms_topk": q_boosted_terms_topk,
         "bm25_topk_batch": q_bm25_topk_batch,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
@@ -10031,6 +10114,122 @@ ranked AS (
 )
 SELECT r.query_id, d.conv_id, d.turn_idx, r.score, r.rank
 FROM ranked r JOIN docs d USING (doc_id) WHERE r.rank <= 10
+"""
+
+    # ---- federated sort: the federated_search statistics contract
+    # (turn-parity shards, global idf, per-shard avgdl) but ranked by the
+    # n_chars attribute desc — score and federation doc-id order are only
+    # tiebreaks; the federation doc_id order is (shard, conv_id, turn_idx)
+    sqls["federated_sort"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx,
+         (turn_idx % 2)::INT AS shard, text,
+         length(coalesce(text, ''))::BIGINT AS n_chars
+  FROM t
+),
+tok AS (SELECT doc_id, shard, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, shard, len(tokens)::BIGINT AS dl FROM tok),
+shard_stats AS (
+  SELECT shard, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl GROUP BY shard
+),
+corpus AS (SELECT count(*)::BIGINT AS n FROM dl),
+dln AS (
+  SELECT doc_id, round(dl / s.avgdl, 3) AS dl_norm
+  FROM dl JOIN shard_stats s USING (shard)
+),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+idx AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM exploded GROUP BY term, doc_id),
+term_stats AS (
+  SELECT term, round(ln((SELECT n FROM corpus)::DOUBLE / count(*)), 3) AS idf
+  FROM idx GROUP BY term
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id, round(sum({_bm25_contrib_sql()}), 6) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+ranked AS (
+  SELECT s.query_id, d.conv_id, d.turn_idx, d.n_chars AS sort_value,
+         s.s AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY d.n_chars DESC, s.s DESC, d.shard ASC,
+                                     d.conv_id ASC, d.turn_idx ASC) AS rank
+  FROM scored s JOIN docs d USING (doc_id)
+)
+SELECT query_id, conv_id, turn_idx, sort_value, score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+    # ---- federated has_child: the md5-mod-3 conversation-coherent
+    # sharded build, SHARD-LOCAL statistics (each shard is an independent
+    # index: per-shard n, df, idf, avgdl — the python-brute gate's
+    # contract), per-turn 6dp scores summed per conversation and
+    # re-rounded, min_children floor, global (score desc, conv asc) rank
+    sqls["federated_has_child"] = f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES
+{vals}
+),
+docs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS doc_id,
+         conv_id, turn_idx::BIGINT AS turn_idx,
+         (('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 3)::INT AS shard,
+         text
+  FROM t
+),
+tok AS (SELECT doc_id, shard, {tok3} AS tokens FROM docs),
+dl AS (SELECT doc_id, shard, len(tokens)::BIGINT AS dl FROM tok),
+shard_stats AS (
+  SELECT shard, count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+  FROM dl GROUP BY shard
+),
+dln AS (
+  SELECT doc_id, round(dl / s.avgdl, 3) AS dl_norm
+  FROM dl JOIN shard_stats s USING (shard)
+),
+exploded AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+sidx AS (
+  SELECT d.shard, e.term, e.doc_id, count(*)::BIGINT AS tf
+  FROM exploded e JOIN docs d USING (doc_id)
+  GROUP BY d.shard, e.term, e.doc_id
+),
+term_stats AS (
+  SELECT i.shard, i.term,
+         round(ln(ss.n::DOUBLE / count(*)), 3) AS idf
+  FROM (SELECT DISTINCT shard, term, doc_id FROM sidx) i
+  JOIN shard_stats ss USING (shard)
+  GROUP BY i.shard, i.term, ss.n
+),
+q AS ({' UNION ALL '.join(tq_selects)}),
+scored AS (
+  SELECT q.query_id, idx.doc_id,
+         round(sum(term_stats.idf * (idx.tf * ({K} + 1.0)) /
+                   (idx.tf + {K} * (1.0 - {B} + {B} * dln.dl_norm))), 6) AS s
+  FROM sidx idx
+  JOIN q USING (term)
+  JOIN term_stats ON term_stats.shard = idx.shard
+                 AND term_stats.term = idx.term
+  JOIN dln ON dln.doc_id = idx.doc_id
+  GROUP BY q.query_id, idx.doc_id
+),
+parents AS (
+  SELECT s.query_id, d.conv_id, round(sum(s.s), 6) AS score,
+         count(*)::BIGINT AS n_matching
+  FROM scored s JOIN docs d USING (doc_id)
+  GROUP BY s.query_id, d.conv_id
+  HAVING count(*) >= {HAS_CHILD_MIN}
+),
+ranked AS (
+  SELECT query_id, conv_id, score, n_matching,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, conv_id ASC) AS rank
+  FROM parents
+)
+SELECT query_id, conv_id, score, n_matching, rank FROM ranked WHERE rank <= 10
 """
 
     # ---- faceted search: boolean-OR hit sets, then ES-style per-facet
