@@ -75,7 +75,19 @@ def main() -> None:
                          "per-stage lineage totals, epoch/tombstone "
                          "ledgers, available snapshots (tiny-sidecar "
                          "reads only — never scans postings)")
+    ap.add_argument("--attrs-sidecar", default=None, metavar="COLS",
+                    help="comma-separated attribute columns to "
+                         "denormalize into the doc_attrs sidecar "
+                         "(indexing/attrs.py) — search.py --sort/--decay/"
+                         "--fvf then serve them with zero attrs-side "
+                         "shuffle (omit --attrs there); needs "
+                         "--attrs-table")
+    ap.add_argument("--attrs-table", default=None, metavar="PARQUET",
+                    help="attribute table (parquet) keyed by the index's "
+                         "order_cols, source for --attrs-sidecar")
     args = ap.parse_args()
+    if bool(args.attrs_sidecar) != bool(args.attrs_table):
+        ap.error("--attrs-sidecar and --attrs-table go together")
     if args.delete_where and args.delete_ids:
         ap.error("pass at most one of --delete-where / --delete-ids")
     if args.append and args.adopt:
@@ -83,9 +95,10 @@ def main() -> None:
     if not any((args.append, args.adopt, args.delete_where, args.delete_ids,
                 args.reindex_where,
                 args.compact, args.compact_if_debt is not None,
-                args.fsck, args.fsck_deep, args.stats)):
+                args.fsck, args.fsck_deep, args.stats,
+                args.attrs_sidecar)):
         ap.error("nothing to do: pass --append / --adopt / --delete-* / "
-                 "--compact / --fsck / --stats")
+                 "--compact / --fsck / --stats / --attrs-sidecar")
 
     from pyspark.sql import SparkSession
 
@@ -165,6 +178,16 @@ def main() -> None:
         manifest = compact_index(
             spark, args.index, n_partitions=args.partitions, force=args.compact
         )
+    if args.attrs_sidecar:
+        from searchengine_spark.indexing.attrs import write_attrs_sidecar
+        from searchengine_spark.indexing.packed import load_packed_index
+
+        cols = [c for c in args.attrs_sidecar.split(",") if c]
+        aman = write_attrs_sidecar(
+            load_packed_index(spark, args.index),
+            spark.read.parquet(args.attrs_table), cols,
+            n_partitions=args.partitions)
+        print(json.dumps({"attrs_sidecar": aman}))
     if args.fsck or args.fsck_deep:
         from searchengine_spark.indexing.fsck import verify_index
 

@@ -250,7 +250,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         from searchengine_spark.query.decay import field_value_factor_packed
 
         field, mod, factor, missing_v = fvf_spec
-        attrs = spark.read.parquet(attrs_path)
+        attrs = spark.read.parquet(attrs_path) if attrs_path else None
         return field_value_factor_packed(
             pidx, queries, cfg, attrs, field, factor=factor, modifier=mod,
             missing=missing_v, boost_mode=boost_mode, k=n,
@@ -269,7 +269,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         from searchengine_spark.query.decay import decay_score_packed
 
         field, fn, origin, scale, dcy, off = decay_spec
-        attrs = spark.read.parquet(attrs_path)
+        attrs = spark.read.parquet(attrs_path) if attrs_path else None
         return decay_score_packed(
             pidx, queries, cfg, attrs, field, origin, scale, decay=dcy,
             offset=off, fn=fn, boost_mode=boost_mode, k=n,
@@ -287,7 +287,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
         from searchengine_spark.query.sortby import sort_by_attr_packed
 
         col, asc, miss = sort_spec
-        attrs = spark.read.parquet(attrs_path)
+        attrs = spark.read.parquet(attrs_path) if attrs_path else None
         # (query_id, doc_id, *ext, sort_value, score, rank) — already
         # resolved; the matched set is score-all, ordered by the attr
         return sort_by_attr_packed(
@@ -3405,11 +3405,17 @@ def main() -> None:
             or args.auto_date_histogram or args.diversified
             or args.percentiles or args.cardinality or args.filters_agg
             or args.missing or args.rare_terms or args.adjacency
-            or args.significant_attrs or args.geohash_grid
-            or args.sort or args.decay or args.fvf) and not args.attrs:
+            or args.significant_attrs or args.geohash_grid) and not args.attrs:
         raise SystemExit("--facets/--histogram need --attrs (the table "
                          "carrying the index's order_cols + the "
                          "aggregated columns)")
+    if (args.sort or args.decay or args.fvf) and not args.attrs and args.shards:
+        # single-index sort/decay/fvf may serve the field from the
+        # index's doc_attrs sidecar (indexing/attrs.py; attach_attr
+        # raises its own guidance when the sidecar/column is absent);
+        # federation keeps the lakehouse join
+        raise SystemExit("--sort/--decay/--fvf over --shards need --attrs "
+                         "(the doc_attrs sidecar is per-index)")
     if args.explain:
         if args.ranker != "bm25":
             raise SystemExit("--explain is wired to --ranker bm25")

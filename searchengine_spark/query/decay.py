@@ -144,7 +144,7 @@ def field_value_factor_packed(
     pidx: PackedIndex,
     queries: Sequence[str],
     cfg: TokenizerConfig,
-    attrs: DataFrame,
+    attrs: DataFrame | None,
     field: str,
     factor: float = 1.0,
     modifier: str = "none",
@@ -160,42 +160,85 @@ def field_value_factor_packed(
     FULL matched set; docs with no value — NULL, absent from the attrs
     table, or an undefined modifier result — use ``missing`` (the ES
     option of the same name). Output (query_id, doc_id, *ext_cols,
-    value, score, rank), rounding on the combined score."""
+    value, score, rank), rounding on the combined score. ``attrs=None``
+    serves ``field`` from the index's doc_attrs sidecar
+    (indexing/attrs.py): zero-exchange broadcast chunk join, docmap
+    resolve after the cut — bit-identical to the lakehouse join (gated
+    in tests/test_decay.py)."""
     if modifier not in FVF_MODIFIERS:
         raise ValueError(
             f"modifier must be one of {FVF_MODIFIERS}, got {modifier!r}")
     if boost_mode not in BOOST_MODES:
         raise ValueError(
             f"boost_mode must be one of {BOOST_MODES}, got {boost_mode!r}")
+    fvf = F.coalesce(
+        fvf_expr(modifier, F.col("value"), factor),
+        F.lit(float(missing)))
+    return _function_score(
+        pidx, queries, cfg, attrs, field, fvf, boost_mode, k,
+        conjunctive, round_dp, exclude_terms)
+
+
+def _function_score(
+    pidx: PackedIndex,
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    attrs: DataFrame | None,
+    field: str,
+    fn_col,
+    boost_mode: str,
+    k: int,
+    conjunctive: bool,
+    round_dp: int | None,
+    exclude_terms: dict | None,
+) -> DataFrame:
+    """Shared function_score plan: score-all surface, attach the field
+    value as "value" (lakehouse attrs join, or the zero-exchange
+    doc_attrs sidecar when ``attrs is None``), combine via ``fn_col``
+    (a Column over "value"/"score"), rank by the combined rounded
+    score with doc_id tiebreak; the sidecar path resolves external ids
+    on the CUT rows only (k per query, AQE-broadcast) instead of the
+    whole matched set."""
     ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-    lacks = [c for c in ext_cols + [field] if c not in attrs.columns]
-    if lacks:
-        raise ValueError(f"attrs table lacks columns {lacks}")
+    if attrs is not None:
+        lacks = [c for c in ext_cols + [field] if c not in attrs.columns]
+        if lacks:
+            raise ValueError(f"attrs table lacks columns {lacks}")
 
     from .wand import bm25_scores_packed_batch
 
     scores = bm25_scores_packed_batch(
         pidx, list(queries), cfg, conjunctive=conjunctive,
         exclude_terms=exclude_terms)
+    if boost_mode == "multiply":
+        combined = F.col("score") * fn_col
+    elif boost_mode == "sum":
+        combined = F.col("score") + fn_col
+    else:
+        combined = fn_col
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    if attrs is None:
+        from ..indexing.attrs import attach_attr
+
+        out = attach_attr(pidx, scores, field, alias="value").withColumn(
+            "score", combined)
+        if round_dp is not None:
+            out = out.withColumn("score", F.round("score", round_dp))
+        cut = (
+            out.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+        return cut.join(pidx.docmap, "doc_id").select(
+            "query_id", "doc_id", *ext_cols, "value", "score", "rank")
     resolved = scores.join(pidx.docmap, "doc_id").select(
         "query_id", "doc_id", *ext_cols, "score")
     joined = resolved.join(
         attrs.select(*ext_cols, F.col(field).alias("value")),
         ext_cols, "left")
-    fvf = F.coalesce(
-        fvf_expr(modifier, F.col("value"), factor),
-        F.lit(float(missing)))
-    if boost_mode == "multiply":
-        combined = F.col("score") * fvf
-    elif boost_mode == "sum":
-        combined = F.col("score") + fvf
-    else:
-        combined = fvf
     out = joined.withColumn("score", combined)
     if round_dp is not None:
         out = out.withColumn("score", F.round("score", round_dp))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
     return (
         out.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -269,7 +312,7 @@ def decay_score_packed(
     pidx: PackedIndex,
     queries: Sequence[str],
     cfg: TokenizerConfig,
-    attrs: DataFrame,
+    attrs: DataFrame | None,
     field: str,
     origin: float,
     scale: float,
@@ -285,39 +328,14 @@ def decay_score_packed(
     """Top-k per query -> (query_id, doc_id, *ext_cols, value, score,
     rank) where score = boost_mode(BM25, decay(value)) over the FULL
     matched set. ``attrs`` is the attribute table keyed by the index's
-    external ids, carrying ``field``; rounding applies to the combined
-    score (the rounded-ranking contract)."""
+    external ids, carrying ``field`` — or ``None`` to serve ``field``
+    from the index's doc_attrs sidecar (indexing/attrs.py; zero
+    exchange on the attrs side, docmap resolve after the cut,
+    bit-identical — gated in tests/test_decay.py); rounding applies to
+    the combined score (the rounded-ranking contract)."""
     _check_params(fn, float(scale), float(decay), float(offset), boost_mode)
-    ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-    lacks = [c for c in ext_cols + [field] if c not in attrs.columns]
-    if lacks:
-        raise ValueError(f"attrs table lacks columns {lacks}")
-
-    from .wand import bm25_scores_packed_batch
-
-    scores = bm25_scores_packed_batch(
-        pidx, list(queries), cfg, conjunctive=conjunctive,
-        exclude_terms=exclude_terms)
-    resolved = scores.join(pidx.docmap, "doc_id").select(
-        "query_id", "doc_id", *ext_cols, "score")
-    joined = resolved.join(
-        attrs.select(*ext_cols, F.col(field).alias("value")),
-        ext_cols, "left")
     dec = decay_expr(fn, F.col("value"), float(origin), float(scale),
                      float(decay), float(offset))
-    if boost_mode == "multiply":
-        combined = F.col("score") * dec
-    elif boost_mode == "sum":
-        combined = F.col("score") + dec
-    else:  # replace: the function IS the score (query only filters)
-        combined = dec
-    out = joined.withColumn("score", combined)
-    if round_dp is not None:
-        out = out.withColumn("score", F.round("score", round_dp))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        out.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", *ext_cols, "value", "score", "rank")
-    )
+    return _function_score(
+        pidx, queries, cfg, attrs, field, dec, boost_mode, k,
+        conjunctive, round_dp, exclude_terms)

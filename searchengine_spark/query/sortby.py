@@ -45,11 +45,18 @@ from ..tokenizer import TokenizerConfig
 MISSING = ("last", "first")
 
 
+def _sort_key(ascending: bool, missing: str):
+    key = F.col("sort_value")
+    if ascending:
+        return key.asc_nulls_last() if missing == "last" else key.asc_nulls_first()
+    return key.desc_nulls_last() if missing == "last" else key.desc_nulls_first()
+
+
 def sort_by_attr_packed(
     pidx: PackedIndex,
     queries: Sequence[str],
     cfg: TokenizerConfig,
-    attrs: DataFrame,
+    attrs: DataFrame | None,
     sort_col: str,
     k: int = 10,
     ascending: bool = False,
@@ -62,16 +69,24 @@ def sort_by_attr_packed(
     *ext_cols, sort_value, score, rank).
 
     ``attrs``: the attribute table keyed by the index's external id
-    columns (order_cols), carrying ``sort_col``. ``round_dp`` rounds
-    the secondary score before it tiebreaks (the rounded-ranking
-    contract every surface here uses)."""
+    columns (order_cols), carrying ``sort_col`` — OR ``None`` to serve
+    ``sort_col`` from the index's ``doc_attrs`` sidecar
+    (indexing/attrs.py): the sort value attaches to the score-all
+    surface by a zero-exchange broadcast chunk join, and the docmap
+    resolve moves AFTER the top-k cut (k rows instead of the matched
+    set) — the scale path; the lakehouse join is the flexible path for
+    ad-hoc columns. Both produce bit-identical results (gated in
+    tests/test_sortby.py). ``round_dp`` rounds the secondary score
+    before it tiebreaks (the rounded-ranking contract every surface
+    here uses)."""
     if missing not in MISSING:
         raise ValueError(f"missing must be one of {MISSING}, got {missing!r}")
     ext_cols = [c for c in pidx.manifest["order_cols"] if c != "doc_id"]
-    need = ext_cols + [sort_col]
-    lacks = [c for c in need if c not in attrs.columns]
-    if lacks:
-        raise ValueError(f"attrs table lacks columns {lacks}")
+    if attrs is not None:
+        need = ext_cols + [sort_col]
+        lacks = [c for c in need if c not in attrs.columns]
+        if lacks:
+            raise ValueError(f"attrs table lacks columns {lacks}")
 
     from .wand import bm25_scores_packed_batch
 
@@ -80,18 +95,24 @@ def sort_by_attr_packed(
         exclude_terms=exclude_terms)
     if round_dp is not None:
         scores = scores.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query_id").orderBy(
+        _sort_key(ascending, missing), F.col("score").desc(),
+        F.col("doc_id").asc())
+    if attrs is None:
+        from ..indexing.attrs import attach_attr
+
+        valued = attach_attr(pidx, scores, sort_col, alias="sort_value")
+        cut = (
+            valued.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+        return cut.join(pidx.docmap, "doc_id").select(
+            "query_id", "doc_id", *ext_cols, "sort_value", "score", "rank")
     resolved = scores.join(pidx.docmap, "doc_id").select(
         "query_id", "doc_id", *ext_cols, "score")
     joined = resolved.join(
         attrs.select(*ext_cols, F.col(sort_col).alias("sort_value")),
         ext_cols, "left")
-    key = F.col("sort_value")
-    if ascending:
-        key = key.asc_nulls_last() if missing == "last" else key.asc_nulls_first()
-    else:
-        key = key.desc_nulls_last() if missing == "last" else key.desc_nulls_first()
-    w = Window.partitionBy("query_id").orderBy(
-        key, F.col("score").desc(), F.col("doc_id").asc())
     return (
         joined.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -157,13 +178,9 @@ def sort_by_attr_federated(
     joined = resolved.join(
         attrs.select(*ext_cols, F.col(sort_col).alias("sort_value")),
         ext_cols, "left")
-    key = F.col("sort_value")
-    if ascending:
-        key = key.asc_nulls_last() if missing == "last" else key.asc_nulls_first()
-    else:
-        key = key.desc_nulls_last() if missing == "last" else key.desc_nulls_first()
     w = Window.partitionBy("query_id").orderBy(
-        key, F.col("score").desc(), F.col("doc_id").asc())
+        _sort_key(ascending, missing), F.col("score").desc(),
+        F.col("doc_id").asc())
     return (
         joined.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
