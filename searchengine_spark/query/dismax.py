@@ -37,6 +37,7 @@ def dismax_topk_packed(
     k: int = 10,
     tie_breaker: float = 0.0,
     round_dp: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k per user query -> (query_id, doc_id, score, rank).
 
@@ -46,7 +47,19 @@ def dismax_topk_packed(
     times each other subquery's score; rounding (``round_dp``) applies
     to the COMBINED score — the ranking contract every surface here
     uses. Duplicate subqueries within a group are collapsed (scoring
-    one twice would double its tie_breaker contribution)."""
+    one twice would double its tie_breaker contribution).
+
+    ``prune=True`` (default) runs the BLOCK-MAX tier: dis_max is
+    monotone non-decreasing in every sub score (∂/∂s_max = 1,
+    ∂/∂s_other = tie ∈ [0, 1]), so per chunk
+    ``dismax(ub_1..ub_n) = max_i ub_i + tie·(Σ ub − max)`` with
+    ``ub_i = Σ_{t∈sub_i} idf_t · max_tfsat_t(chunk)`` upper-bounds
+    every doc's combined score in the chunk — the WAND skip rule
+    applies to the COMBINED score directly (score-all was never
+    semantically required, only a safe default: a doc's every sub
+    score lives inside its one chunk, so the combine is chunk-local).
+    Gated bit-identical to ``prune=False`` (the score-all composition)
+    in tests/test_dismax.py."""
     if not 0.0 <= float(tie_breaker) <= 1.0:
         raise ValueError(
             f"tie_breaker must be in [0, 1], got {tie_breaker}"
@@ -56,6 +69,9 @@ def dismax_topk_packed(
     out_schema = ("query_id int, doc_id long, score double, rank int")
     if not flat:
         return spark.createDataFrame([], out_schema)
+    if prune:
+        return _dismax_wand(pidx, flat, terms, float(tie_breaker),
+                            round_dp, k)
 
     from .wand import bm25_scores_packed_batch
 
@@ -65,6 +81,150 @@ def dismax_topk_packed(
         pidx, [""] * len(flat), cfg, query_terms=terms
     )
     return _combine(scores, flat, float(tie_breaker), round_dp, k)
+
+
+def _dismax_wand(
+    pidx: PackedIndex,
+    flat: Sequence[int],
+    terms: Sequence[Sequence[str]],
+    tie: float,
+    round_dp: int | None,
+    k: int,
+) -> DataFrame:
+    """Block-max dis_max: one pushed In(term) scan, a (term -> sub ids)
+    literal-map fan-out, ONE groupBy(user query) exchange, and a WAND
+    heap over chunks in descending combined-upper-bound order — the
+    same join-free plan shape and cost class as bm25_topk_packed_batch
+    (plan-gated in tests/test_plan_shapes.py)."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..indexing.codec import decode_postings, tf_saturation
+
+    spark = pidx.spark
+    schema = T.StructType([
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ])
+    all_terms = sorted({t for ts in terms for t in ts})
+    stats = pidx.term_stats.select("term", "idf").filter(
+        F.col("term").isin(all_terms))
+    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    subs_by_term: dict[str, list[int]] = {}
+    for sub, ts in enumerate(terms):
+        for t in ts:
+            if t in idf_map:
+                subs_by_term.setdefault(t, []).append(sub)
+    if not subs_by_term:
+        return spark.createDataFrame([], schema)
+    sub_user = {sub: int(uq) for sub, uq in enumerate(flat)}
+    map_entries = [
+        x
+        for t, ss in subs_by_term.items()
+        for x in (F.lit(t), F.array(*[F.lit(s) for s in ss]))
+    ]
+    user_entries = [
+        x for s, u in sub_user.items() for x in (F.lit(s), F.lit(u))
+    ]
+    matched = (
+        pidx.index.filter(F.col("term").isin(sorted(subs_by_term)))
+        .withColumn(
+            "sub_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+        )
+        .withColumn(
+            "query_id", F.create_map(*user_entries)[F.col("sub_id")]
+        )
+    )
+    mask = pidx.delete_mask()
+    dec = (mask.wrap_decoders()[0] if mask is not None
+           else (lambda buf: decode_postings(bytes(buf))))
+    kk, bb = float(pidx.params.k), float(pidx.params.b)
+    eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
+    k_top = int(k)
+    tie_l = float(tie)
+
+    def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        pdf = pdf.assign(idf=pdf["term"].map(idf_map))
+        # per-(chunk, sub) upper bound, then the chunk's COMBINED bound
+        # dismax(ub_1..ub_n) — monotone, so it bounds the combined score
+        ub_sub = (
+            (pdf["idf"] * pdf["max_tfsat"])
+            .groupby([pdf["chunk"], pdf["sub_id"]])
+            .sum()
+        )
+        smax = ub_sub.groupby(level=0).max()
+        ssum = ub_sub.groupby(level=0).sum()
+        bounds = (smax + tie_l * (ssum - smax)).sort_values(ascending=False)
+        by_chunk = dict(tuple(pdf.groupby("chunk")))
+        heap: list = []  # min-heap of (score, -doc_id)
+        for chunk, bound in bounds.items():
+            if len(heap) >= k_top and bound < heap[0][0] - eps:
+                continue  # safe skip: combined score <= combined bound
+            rows = by_chunk[chunk]
+            sub_docs: list = []
+            sub_scores: list = []
+            for _sub, srows in rows.groupby("sub_id"):
+                docs_all: list = []
+                contrib_all: list = []
+                for idf, buf in zip(srows["idf"].to_numpy(),
+                                    srows["postings"]):
+                    doc_ids, tfs, dl_norm = dec(buf)
+                    contrib_all.append(
+                        idf * tf_saturation(tfs, dl_norm, kk, bb))
+                    docs_all.append(doc_ids)
+                docs = np.concatenate(docs_all)
+                if docs.size == 0:
+                    continue
+                contribs = np.concatenate(contrib_all)
+                uniq, inv = np.unique(docs, return_inverse=True)
+                s = np.zeros(len(uniq))
+                np.add.at(s, inv, contribs)
+                sub_docs.append(uniq)
+                sub_scores.append(s)
+            if not sub_docs:
+                continue
+            docs = np.concatenate(sub_docs)
+            sc = np.concatenate(sub_scores)
+            order = np.argsort(docs, kind="stable")
+            docs, sc = docs[order], sc[order]
+            uniq, start = np.unique(docs, return_index=True)
+            s_sum = np.add.reduceat(sc, start)
+            s_max = np.maximum.reduceat(sc, start)
+            scores = s_max + tie_l * (s_sum - s_max)
+            if round_dp is not None:
+                scores = np.round(scores, round_dp)
+            n = len(uniq)
+            if n > k_top:
+                thresh = np.partition(scores, n - k_top)[n - k_top]
+                keep = scores >= thresh
+                uniq, scores = uniq[keep], scores[keep]
+            order = np.lexsort((uniq, -scores))[:k_top]
+            for i in order:
+                item = (float(scores[i]), -int(uniq[i]))
+                if len(heap) < k_top:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                else:
+                    break
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(out), qid, dtype=np.int32),
+                "doc_id": np.array([-d for _, d in out], dtype=np.int64),
+                "score": np.array([s for s, _ in out], dtype=np.float64),
+                "rank": np.arange(1, len(out) + 1, dtype=np.int32),
+            }
+        )
+
+    return matched.groupBy("query_id").applyInPandas(score_query,
+                                                     schema=schema)
 
 
 def _tokenize_groups(query_groups, cfg):

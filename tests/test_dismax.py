@@ -135,3 +135,31 @@ def test_dismax_federated(spark, cfg, tmp_path_factory):
     got = _rows(dismax_topk_federated(shards, GROUPS, cfg, k=8,
                                       tie_breaker=tie, round_dp=6))
     assert got == expect and got
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_prune_matches_score_all(packed, cfg, tie):
+    """The block-max tier (prune=True, default) is bit-identical to the
+    score-all composition (prune=False) — the WAND safety gate for the
+    combined-score bound dismax(ub_1..ub_n)."""
+    a = dismax_topk_packed(packed, GROUPS, cfg, k=15, tie_breaker=tie,
+                           round_dp=6, prune=True)
+    b = dismax_topk_packed(packed, GROUPS, cfg, k=15, tie_breaker=tie,
+                           round_dp=6, prune=False)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and ra
+
+
+def test_dismax_prune_oov_sub(packed, cfg):
+    """A subquery that is entirely out-of-vocabulary contributes nothing
+    on both tiers; a user query with ALL subs OOV returns no rows."""
+    groups = [["greatest rock album", "zzzz qqqq"], ["xxxx yyyy"]]
+    a = dismax_topk_packed(packed, groups, cfg, k=5, tie_breaker=0.4,
+                           round_dp=6, prune=True)
+    b = dismax_topk_packed(packed, groups, cfg, k=5, tie_breaker=0.4,
+                           round_dp=6, prune=False)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert {r[0] for r in ra} == {0}
