@@ -580,7 +580,9 @@ def run_esops(spark, sf: float) -> dict:
 
     sp_path = os.path.join(OUT, f"esops_sparse_sf{sf}")
     t3 = time.perf_counter()
-    if not os.path.exists(os.path.join(sp_path, "manifest.json")):
+    if not (os.path.exists(os.path.join(sp_path, "manifest.json"))
+            and os.path.exists(os.path.join(sp_path, "chunk_stats"))):
+        # (pre-chunk_stats layouts rebuild so the block-max cell serves)
         shutil.rmtree(sp_path, ignore_errors=True)
         toks = corpus.join(pidx.docmap, ["conv_id", "turn_idx"]).select(
             "doc_id", tokens_column(F.col("text"), cfg).alias("_toks"))
@@ -595,6 +597,12 @@ def run_esops(spark, sf: float) -> dict:
     sp_queries = [expand_text_deterministic(tokenize_text(q, cfg))
                   for q in QS]
     t("sparse_top10", lambda: sparse_topk_batch(
+        spark, sp_path, sp_queries, k=10))
+    # the block-max tier (chunk_stats ub pruning) — same results,
+    # gated bit-identical in tests/test_sparse.py; cost-class twin cell
+    from searchengine_spark.query.sparse import sparse_topk_blockmax_batch
+
+    t("sparse_top10_blockmax", lambda: sparse_topk_blockmax_batch(
         spark, sp_path, sp_queries, k=10))
 
     out["value"] = round(sum(v for k_, v in out["stages"].items()

@@ -88,7 +88,21 @@ def main() -> None:
             weight_threshold_micro=args.prune_weight_micro,
             rescore=not args.no_rescore)
     else:
-        out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
+        from searchengine_spark.indexing import fsio
+
+        if (fsio.exists(spark, fsio.join(args.index, "chunk_stats"))
+                and all(w >= 0 for w in qw.values())):
+            # block-max tier (bit-identical, prunes chunks by exact
+            # integer upper bounds); negative weights or pre-sidecar
+            # layouts fall back to the plain exact scorer
+            from searchengine_spark.query.sparse import (
+                sparse_topk_blockmax_batch,
+            )
+
+            out = sparse_topk_blockmax_batch(
+                spark, args.index, [qw], k=args.k)
+        else:
+            out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
     print(json.dumps({
         "query_weights": qw,
         "hits": [r.asDict() for r in out.collect()],

@@ -59,12 +59,16 @@ def build_sparse_index(
     pairs: DataFrame,
     path: str,
     n_partitions: int = 32,
+    chunk_docs: int = 65536,
 ) -> dict:
     """Write (term, doc_id, weight_micro) as a term-range-partitioned,
     term-sorted parquet layout under ``<path>/postings`` — the same
     physical idea as the packed index's dictionary ordering, so
     query-term pruning is a pushed scan filter — plus the
-    ``<path>/term_stats`` sidecar (term, df, max_weight_micro) and
+    ``<path>/term_stats`` sidecar (term, df, max_weight_micro), the
+    ``<path>/chunk_stats`` block-max sidecar (term, chunk,
+    max_weight_micro with chunk = doc_id // chunk_docs — what
+    :func:`sparse_topk_blockmax_batch` prunes with) and
     ``<path>/manifest.json`` corpus aggregates that the ES
     pruning_config decisions read. ``weight_micro`` must already be
     integer micro-units. Returns the manifest dict."""
@@ -76,6 +80,8 @@ def build_sparse_index(
                if c not in pairs.columns]
     if missing:
         raise ValueError(f"pairs table lacks columns {missing}")
+    if chunk_docs < 1:
+        raise ValueError(f"chunk_docs must be >= 1, got {chunk_docs}")
     clean = pairs.select("term", F.col("doc_id").cast("long"),
                          F.col("weight_micro").cast("long"))
     (
@@ -90,12 +96,22 @@ def build_sparse_index(
         F.max("weight_micro").cast("long").alias("max_weight_micro"),
     )
     stats.write.mode("overwrite").parquet(fsio.join(path, "term_stats"))
+    (
+        spark.read.parquet(fsio.join(path, "postings"))
+        .groupBy(
+            "term",
+            (F.col("doc_id") / F.lit(chunk_docs)).cast("long").alias("chunk"),
+        )
+        .agg(F.max("weight_micro").cast("long").alias("max_weight_micro"))
+        .write.mode("overwrite").parquet(fsio.join(path, "chunk_stats"))
+    )
     agg = spark.read.parquet(fsio.join(path, "term_stats")).agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("total")
     ).collect()[0]
     manifest = {"format": "searchengine_spark.sparse/1",
                 "n_terms": int(agg["n_terms"] or 0),
-                "total_postings": int(agg["total"] or 0)}
+                "total_postings": int(agg["total"] or 0),
+                "chunk_docs": int(chunk_docs)}
     # fsio (Hadoop FS), never open(): the layout must serve from
     # file:// / hdfs:// / s3a:// URIs like every other index sidecar
     fsio.write_text(spark, fsio.join(path, "manifest.json"),
@@ -190,6 +206,144 @@ def sparse_topk_batch(
         F.desc("score_micro2"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro2", "rank")
+    )
+
+
+def sparse_topk_blockmax_batch(
+    spark: SparkSession,
+    path: str,
+    query_weights: Sequence[Dict[str, int]],
+    k: int = 10,
+    seed_chunks: int = 4,
+) -> DataFrame:
+    """Block-max sparse top-k -> (query_id, doc_id, score_micro2, rank)
+    — bit-identical to :func:`sparse_topk_batch` (gated in
+    tests/test_sparse.py) but the scoring exchange only carries
+    postings from chunks that can still make the page.
+
+    The native-SQL WAND: per (query, chunk) the exact BIGINT bound
+    ``ub = Σ_t qw_t · max_weight(t, chunk)`` comes from the
+    dictionary-scale chunk_stats sidecar (n_chunks = n_docs/chunk_docs
+    rows per matched term — 128 rows per term at 8.4M docs). Two
+    phases, no iteration (SQL has no shared heap):
+
+    1. SEED: score exactly the top ``seed_chunks`` chunks per query by
+       ub; the kth seed score θ is a LOWER bound of the true kth score
+       (seed docs ⊆ all docs).
+    2. PRUNE: every chunk with ub < θ is dropped — any doc there
+       scores ≤ ub < θ ≤ true-kth, so it cannot enter the page (ties
+       keep their chunks: the cut is strict <). The surviving chunks
+       re-score exactly.
+
+    Queries whose seed page holds fewer than k docs keep every chunk
+    (θ undefined — no pruning, plain exact scoring). Query weights
+    must be NON-NEGATIVE: a negative weight would flip max_weight into
+    a lower bound and break the skip rule (the wand.py qweights
+    refusal, same argument)."""
+    import json as _json
+
+    from ..indexing import fsio
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if seed_chunks < 1:
+        raise ValueError(f"seed_chunks must be >= 1, got {seed_chunks}")
+    for qid, qw in enumerate(query_weights):
+        for t, w in qw.items():
+            if not isinstance(w, int):
+                raise ValueError(
+                    f"query {qid} term {t!r}: weights must be integer "
+                    f"micro-units (floor(w * 1e6)), got {type(w).__name__}")
+            if w < 0:
+                raise ValueError(
+                    f"query {qid} term {t!r}: block-max needs "
+                    f"non-negative query weights (got {w}) — a negative "
+                    "weight breaks the chunk upper bound; use "
+                    "sparse_topk_batch")
+    man_path = fsio.join(path, "manifest.json")
+    cs_path = fsio.join(path, "chunk_stats")
+    if not (fsio.exists(spark, man_path) and fsio.exists(spark, cs_path)):
+        raise ValueError(
+            f"{path}: no chunk_stats sidecar — block-max needs a "
+            "build_sparse_index layout with chunk stats (rebuild); "
+            "pre-sidecar layouts serve sparse_topk_batch")
+    man = _json.loads(fsio.read_text(spark, man_path))
+    chunk_docs = int(man["chunk_docs"])
+    out_schema = "query_id int, doc_id long, score_micro2 long, rank long"
+    all_terms = sorted({t for qw in query_weights for t in qw})
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+
+    def _fan_out(frame: DataFrame, value_col, out_name: str) -> DataFrame:
+        frames = []
+        for qid, qw in enumerate(query_weights):
+            if not qw:
+                continue
+            entries = [x for t, w in sorted(qw.items())
+                       for x in (F.lit(t), F.lit(int(w)))]
+            frames.append(
+                frame.withColumn("_qw", F.create_map(*entries)[F.col("term")])
+                .filter(F.col("_qw").isNotNull())
+                .select(F.lit(qid).alias("query_id"), "*")
+                .withColumn(out_name, value_col * F.col("_qw"))
+                .drop("_qw", "term")
+            )
+        if not frames:
+            return None
+        uni = frames[0]
+        for f in frames[1:]:
+            uni = uni.unionByName(f)
+        return uni
+
+    # per-(query, chunk) exact upper bound off the tiny sidecar
+    cs = spark.read.parquet(cs_path).filter(F.col("term").isin(all_terms))
+    ub_rows = _fan_out(cs, F.col("max_weight_micro"), "_c")
+    if ub_rows is None:
+        return spark.createDataFrame([], out_schema)
+    ub = ub_rows.groupBy("query_id", "chunk").agg(
+        F.sum("_c").cast("long").alias("_ub"))
+
+    scan = spark.read.parquet(_postings_path(spark, path)).filter(
+        F.col("term").isin(all_terms))
+    scored_rows = _fan_out(
+        scan.withColumn(
+            "chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long")),
+        F.col("weight_micro"), "_prod").drop("weight_micro")
+
+    wq = Window.partitionBy("query_id")
+    seed = (
+        ub.withColumn(
+            "_r",
+            F.row_number().over(wq.orderBy(F.desc("_ub"), F.asc("chunk"))))
+        .filter(F.col("_r") <= seed_chunks)
+        .select("query_id", "chunk")
+    )
+    rank_w = wq.orderBy(F.desc("score_micro2"), F.asc("doc_id"))
+    phase1 = (
+        scored_rows.join(F.broadcast(seed), ["query_id", "chunk"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_prod").cast("long").alias("score_micro2"))
+        .withColumn("_r", F.row_number().over(rank_w))
+    )
+    # θ exists only when the seed produced a FULL page of k docs
+    theta = (
+        phase1.filter(F.col("_r") == k)
+        .select("query_id", F.col("score_micro2").alias("_theta"))
+    )
+    live = (
+        ub.join(F.broadcast(theta), "query_id", "left")
+        .filter(F.col("_theta").isNull() | (F.col("_ub") >= F.col("_theta")))
+        .select("query_id", "chunk")
+    )
+    # live is chunk-count-bounded (never doc-count); AQE broadcasts it
+    # when small instead of a forced driver collect at 10^12-doc scale
+    return (
+        scored_rows.join(live, ["query_id", "chunk"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_prod").cast("long").alias("score_micro2"))
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_micro2", "rank")
     )

@@ -182,3 +182,77 @@ def test_all_pruned_query_empty(spark, pruned_index):
         spark, path, [{"the": 100_000}], k=5, freq_ratio_threshold=2,
         weight_threshold_micro=2_000_000)
     assert out.count() == 0
+
+
+@pytest.fixture(scope="module")
+def chunked_index(spark, tmp_path_factory):
+    """A larger deterministic corpus across MANY chunks (chunk_docs=16,
+    600 docs -> 38 chunks) so block-max pruning really skips chunks."""
+    import hashlib
+
+    path = str(tmp_path_factory.mktemp("sparse_bm") / "idx")
+    rows = []
+    for d in range(600):
+        for t in range(12):
+            h = int(hashlib.md5(f"{d}|{t}".encode()).hexdigest()[:8], 16)
+            if h % 3 == 0:
+                rows.append((f"tok{t}", d, 1 + h % 2_000_000))
+    pairs = spark.createDataFrame(
+        rows, "term string, doc_id long, weight_micro long")
+    build_sparse_index(pairs, path, n_partitions=4, chunk_docs=16)
+    return path, rows
+
+
+@pytest.mark.parametrize("seed_chunks", [1, 4])
+def test_blockmax_matches_exact(spark, chunked_index, seed_chunks):
+    """Block-max (seed -> θ -> chunk prune) is bit-identical to the
+    exact scorer for full pages, short pages (θ undefined -> no
+    pruning), OOV-only and empty queries."""
+    from searchengine_spark.query.sparse import sparse_topk_blockmax_batch
+
+    path, _rows = chunked_index
+    qws = [
+        expand_text_deterministic(["tok0", "tok3", "tok7"]),
+        expand_text_deterministic(["tok1"]),
+        {"tok11": 1},            # weak weights, many ties
+        {"nosuch": 500_000},     # OOV only
+        {},                      # empty
+    ]
+    a = sparse_topk_batch(spark, path, qws, k=10)
+    b = sparse_topk_blockmax_batch(spark, path, qws, k=10,
+                                   seed_chunks=seed_chunks)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and ra
+
+
+def test_blockmax_guards(spark, chunked_index, index_path, tmp_path):
+    from searchengine_spark.query.sparse import sparse_topk_blockmax_batch
+
+    path, _ = chunked_index
+    with pytest.raises(ValueError, match="non-negative"):
+        sparse_topk_blockmax_batch(spark, path, [{"tok0": -1}], k=3)
+    with pytest.raises(ValueError, match="micro-units"):
+        sparse_topk_blockmax_batch(spark, path, [{"tok0": 0.5}], k=3)
+    # a layout without the chunk_stats sidecar refuses loudly
+    import shutil
+
+    bare = str(tmp_path / "bare")
+    shutil.copytree(path, bare)
+    shutil.rmtree(bare + "/chunk_stats")
+    with pytest.raises(ValueError, match="chunk_stats"):
+        sparse_topk_blockmax_batch(spark, bare, [{"tok0": 1}], k=3)
+
+
+def test_chunk_stats_sidecar_contents(spark, chunked_index):
+    """chunk_stats holds the exact per-(term, chunk) max weight."""
+    path, rows = chunked_index
+    want: dict = {}
+    for t, d, w in rows:
+        key = (t, d // 16)
+        want[key] = max(want.get(key, 0), w)
+    got = {
+        (r["term"], r["chunk"]): r["max_weight_micro"]
+        for r in spark.read.parquet(path + "/chunk_stats").collect()
+    }
+    assert got == want
