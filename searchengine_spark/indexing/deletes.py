@@ -140,11 +140,39 @@ def tombstone_dirs(path: str, manifest: dict) -> list:
     ]
 
 
+#: tombstone-collect refusal cap: the mask ships to every scorer task as
+#: a closure array, so it must stay "tiny sidecar"-sized by design.
+#: 50M ids = 400 MB of int64 on the driver AND per-task — past that the
+#: delete-heavy workload (GDPR purge at 100x scale) needs a compaction,
+#: not a bigger driver; override via the env knob for a one-off rescue.
+MAX_TOMBSTONES_COLLECTED = 50_000_000
+
+
 def load_delete_mask(spark: SparkSession, path: str, manifest: dict) -> Optional[DeleteMask]:
-    """Collect the committed tombstone set (None when there are none)."""
+    """Collect the committed tombstone set (None when there are none).
+
+    REFUSES loudly past :data:`MAX_TOMBSTONES_COLLECTED` (the
+    temperature_weights refusal pattern): the ledger is documented as a
+    tiny sidecar, and collecting an unbounded delete set to the driver
+    would fail silently-slowly at scale. ``jobs/maintain.py --compact``
+    folds tombstones into the layout and clears the ledger."""
+    import os
+
     dirs = tombstone_dirs(path, manifest)
     if not dirs:
         return None
+    cap = int(os.environ.get(
+        "SPARK_GRAFT_MAX_TOMBSTONES", MAX_TOMBSTONES_COLLECTED))
+    # the ledger records each version's count — no Spark job to decide
+    n = sum(int(d.get("n_docs", 0)) for d in manifest.get("deletes", []))
+    if n > cap:
+        raise ValueError(
+            f"tombstone ledger holds {n} doc ids — past the "
+            f"driver-collect cap of {cap} (the mask ships in every "
+            "scorer closure; a delete set this large is no longer a "
+            "'tiny sidecar'). Run jobs/maintain.py --compact to fold "
+            "the deletes into the layout, or raise "
+            "SPARK_GRAFT_MAX_TOMBSTONES for a one-off rescue.")
     ids = np.array(
         [r["doc_id"] for r in spark.read.parquet(*dirs).select("doc_id").collect()],
         dtype=np.int64,

@@ -15,7 +15,9 @@ Two modes:
 - ``preload=True``: snapshot the whole index + sidecars + docmap at open
   (one Spark job each). Right for indexes that fit driver memory — the
   interactive/edge serving replica. ``preload="auto"`` preloads when the
-  manifest says < ``AUTO_PRELOAD_POSTINGS`` postings.
+  index's stored postings stay under ``AUTO_PRELOAD_BYTES`` — a BYTE
+  budget (exact from the lineage_index sidecar), so a wide positional
+  payload can't sneak past a postings-count gate.
 - ``preload=False`` (lazy): nothing is snapshotted; a query's UNSEEN terms
   cost one pruned-scan collect (pushed ``In(term, …)`` row-group pruning,
   same as the distributed path), then stay cached — cold ~a Spark job,
@@ -44,8 +46,37 @@ from ..tokenizer import TokenizerConfig, tokenize_text
 from .proximity import _query_ltc, _scorer, packed_prox_scorer, validate_schema
 from .wand import _member_mask, _wand_scorer
 
-AUTO_PRELOAD_POSTINGS = 200_000_000  # ~hundreds of MB varbyte — driver-safe
+#: preload="auto" budget in ENCODED bytes (the preload snapshots raw
+#: varbyte buffers; decode stays lazy/LRU). 1 GiB ≈ the old 200M-posting
+#: freq-payload heuristic, but honest on wide payloads: a positional
+#: index's stored positions count against it instead of hiding behind a
+#: postings COUNT that undercounts bytes 3-5x.
+AUTO_PRELOAD_BYTES = 1 << 30
 DECODED_CACHE_POSTINGS = 100_000_000  # decoded-postings LRU cap (~2.4 GB)
+
+
+def estimate_postings_bytes(pidx: PackedIndex) -> int:
+    """Stored postings bytes for the preload budget: EXACT from the
+    lineage_index sidecar (Σ postings_bytes — a tiny per-file metrics
+    read, never a postings scan); manifest-width heuristic only for
+    layouts predating the sidecar."""
+    from pyspark.sql import functions as F
+
+    from ..indexing import fsio
+
+    p = fsio.join(pidx.path, "lineage_index")
+    if fsio.exists(pidx.spark, p):
+        got = (
+            pidx.spark.read.parquet(p)
+            .agg(F.sum("postings_bytes")).collect()[0][0]
+        )
+        if got is not None:
+            return int(got)
+    width = {"boolean": 2, "freq": 5, "tfidf": 6}.get(
+        pidx.manifest.get("payload", "freq"), 5)
+    if pidx.manifest.get("positional"):
+        width *= 3
+    return int(pidx.manifest.get("n_postings", 0)) * width
 
 RANKERS = (
     "bm25", "bm25_and", "bm25_optimized", "tfidf", "tfidf_optimized",
@@ -116,7 +147,7 @@ class LocalSearcher:
             self._dec, self._dec_pos = self._decode_cached, self._decode_pos_cached
 
         if preload == "auto":
-            preload = self.manifest.get("n_postings", 0) <= AUTO_PRELOAD_POSTINGS
+            preload = estimate_postings_bytes(pidx) <= AUTO_PRELOAD_BYTES
         self._preloaded = bool(preload)
         if preload:
             self._preload()

@@ -267,3 +267,18 @@ def test_stash_survives_capacity_pressure():
     flat, starts = dec_pos(posbuf, first[1])
     assert flat.tolist() == [3] and starts.tolist() == [0]  # doc 1's occs dropped
     del held
+
+
+def test_tombstone_collect_cap_refuses(spark, deleted_idx, monkeypatch):
+    """The driver-collect of the tombstone set refuses loudly past the
+    documented cap (the 'tiny sidecar' contract; the temperature_weights
+    refusal pattern) — compaction is the answer, not a bigger driver."""
+    from searchengine_spark.indexing.deletes import load_delete_mask
+
+    path, pidx, manifest, _ = deleted_idx
+    assert manifest.get("deletes"), "fixture has committed deletes"
+    monkeypatch.setenv("SPARK_GRAFT_MAX_TOMBSTONES", "0")
+    with pytest.raises(ValueError, match="--compact"):
+        load_delete_mask(spark, path, manifest)
+    monkeypatch.delenv("SPARK_GRAFT_MAX_TOMBSTONES")
+    assert load_delete_mask(spark, path, manifest) is not None

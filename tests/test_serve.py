@@ -218,3 +218,36 @@ def test_tfidf_refuses_boolean_payload(spark, cfg, tmp_path_factory):
     ls = LocalSearcher(load_packed_index(spark, path), preload=True, cfg=cfg)
     with pytest.raises(ValueError, match="payload"):
         ls.search(QUERIES[0], ranker="tfidf", schema="lnn.ltc", resolve=False)
+
+
+def test_auto_preload_is_byte_budgeted(pidx, cfg, monkeypatch):
+    """preload="auto" gates on estimated stored BYTES (exact from the
+    lineage_index sidecar), so a wide positional payload above budget
+    stays lazy — and the same index preloads when it fits."""
+    import searchengine_spark.query.serve as serve_mod
+    from searchengine_spark.query.serve import estimate_postings_bytes
+
+    est = estimate_postings_bytes(pidx)
+    assert est > 0
+    monkeypatch.setattr(serve_mod, "AUTO_PRELOAD_BYTES", est - 1)
+    lazy = LocalSearcher(pidx, preload="auto", cfg=cfg)
+    assert not lazy._preloaded
+    monkeypatch.setattr(serve_mod, "AUTO_PRELOAD_BYTES", est)
+    hot = LocalSearcher(pidx, preload="auto", cfg=cfg)
+    assert hot._preloaded
+    # both tiers still answer identically
+    a = lazy.search(QUERIES[0], k=5, ranker="bm25", resolve=False)
+    b = hot.search(QUERIES[0], k=5, ranker="bm25", resolve=False)
+    assert a == b and a
+
+
+def test_estimate_prefers_exact_lineage_bytes(pidx, spark):
+    """The estimate equals the true stored postings bytes when the
+    lineage_index sidecar exists (never the count heuristic)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.serve import estimate_postings_bytes
+
+    true_bytes = int(
+        pidx.index.agg(F.sum(F.length("postings"))).collect()[0][0])
+    assert estimate_postings_bytes(pidx) == true_bytes
