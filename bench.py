@@ -443,6 +443,11 @@ def run_esops(spark, sf: float) -> dict:
     t("dismax_top10", lambda: dismax_topk_packed(
         pidx, [[a, b] for a, b in zip(QS, QS[1:] + QS[:1])], cfg, k=10,
         tie_breaker=0.3, round_dp=6))
+    # the pre-round-5 score-all composition (prune=False) — kept as the
+    # cost-class continuity cell for the block-max tier above
+    t("dismax_top10_scoreall", lambda: dismax_topk_packed(
+        pidx, [[a, b] for a, b in zip(QS, QS[1:] + QS[:1])], cfg, k=10,
+        tie_breaker=0.3, round_dp=6, prune=False))
     t("min_should_match2", lambda: bm25_topk_packed_batch(
         pidx, QS, cfg, k=10, round_dp=6, min_should_match=2))
     t("demote_half", lambda: bm25_topk_packed_batch(
@@ -483,6 +488,26 @@ def run_esops(spark, sf: float) -> dict:
         pidx, QS, cfg, attrs, "age", k=10, round_dp=6))
     t("decay_gauss", lambda: decay_score_packed(
         pidx, QS, cfg, attrs, "age", origin=50.0, scale=40.0, fn="gauss",
+        k=10, round_dp=6))
+    # doc_attrs sidecar tier (indexing/attrs.py): zero-exchange attrs
+    # side + post-cut docmap resolve — gated bit-identical to the
+    # lakehouse-join cells above; the cost-class fix for this family
+    from searchengine_spark.indexing.attrs import (
+        load_attrs_manifest,
+        write_attrs_sidecar,
+    )
+
+    t4 = time.perf_counter()
+    aman = load_attrs_manifest(pidx)
+    if not (aman and "age" in aman["cols"]
+            and int(aman["n_docs"]) == int(pidx.manifest["n_docs"])):
+        write_attrs_sidecar(pidx, attrs, ["age"])
+    out["stages"]["attrs_sidecar_build_or_reuse"] = round(
+        time.perf_counter() - t4, 3)
+    t("sort_by_attr_sidecar", lambda: sort_by_attr_packed(
+        pidx, QS, cfg, None, "age", k=10, round_dp=6))
+    t("decay_gauss_sidecar", lambda: decay_score_packed(
+        pidx, QS, cfg, None, "age", origin=50.0, scale=40.0, fn="gauss",
         k=10, round_dp=6))
     t("regexp_top10", lambda: bm25_regexp_packed_batch(
         pidx, [q + " /mus[a-z]+/" for q in QS], cfg, k=10, round_dp=6))

@@ -382,15 +382,19 @@ def cross_fields_topk(
     if not sub:
         return spark.createDataFrame([], out_schema)
     all_terms = sorted({t for _, t in sub})
-    df_max: Dict[str, int] = {}
+    # blended df in ONE Spark job: union the fields' pruned term_stats
+    # scans and take the max server-side (n_fields separate collect jobs
+    # would pay scheduling latency per field for dictionary-sized data)
+    dfu = None
     for pidx in fidx.values():
-        rows = (
-            pidx.term_stats.select("term", "df")
-            .filter(F.col("term").isin(all_terms))
-            .collect()
-        )
-        for r in rows:
-            df_max[r["term"]] = max(df_max.get(r["term"], 0), int(r["df"]))
+        part = pidx.term_stats.select("term", "df").filter(
+            F.col("term").isin(all_terms))
+        dfu = part if dfu is None else dfu.unionByName(part)
+    df_max: Dict[str, int] = {
+        r["term"]: int(r["df"])
+        for r in dfu.groupBy("term").agg(
+            F.max("df").alias("df")).collect()
+    }
     n = int(any_p.manifest.get("n_docs_live", any_p.manifest["n_docs"]))
     blended = {
         t: _round3_up(math.log(n / d)) for t, d in df_max.items() if d > 0
