@@ -142,10 +142,19 @@ def _make_stemmer(lang: str):
             from .stemmer_nl import DutchStemmer
 
             return DutchStemmer()
+        if lang == "swedish":
+            from .stemmer_sv import SwedishStemmer
+
+            return SwedishStemmer()
+        if lang == "russian":
+            from .stemmer_ru import RussianStemmer
+
+            return RussianStemmer()
         raise ImportError(
             f"stem_lang={lang!r} requires a working nltk (not installed); "
             "vendored fallbacks cover english/spanish/french/portuguese/"
-            "german/italian/dutch (stemmer.py, stemmer_{es,fr,pt,de,it,nl}.py)"
+            "german/italian/dutch/swedish/russian (stemmer.py, "
+            "stemmer_{es,fr,pt,de,it,nl,sv,ru}.py)"
         ) from exc
 
 

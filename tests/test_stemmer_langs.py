@@ -7,6 +7,8 @@ Golden vectors are hand-traced through the published specs
 each entry was verified step-by-step (regions, longest-match suffix, rule
 conditions). The nltk cross-check auto-activates when nltk is importable
 (the reference environment) — that is the full-vocabulary parity path.
+Round 5 adds swedish (stemmer_sv.py) and russian (stemmer_ru.py) — the
+two largest corpora among the previously-refused languages.
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ from searchengine_spark.stemmer_fr import stem_french
 from searchengine_spark.stemmer_it import stem_italian
 from searchengine_spark.stemmer_nl import stem_dutch
 from searchengine_spark.stemmer_pt import stem_portuguese
+from searchengine_spark.stemmer_ru import stem_russian
+from searchengine_spark.stemmer_sv import stem_swedish
 from searchengine_spark.tokenizer import TokenizerConfig, tokenize_text
 
 GOLDEN_ES = {
@@ -219,6 +223,72 @@ def test_golden_french(word, want):
     assert stem_french(word) == want
 
 
+GOLDEN_SV = {
+    # step 1 a-list longest match in R1
+    "jackor": "jack", "klubben": "klubb", "flickorna": "flick",
+    "bilar": "bil", "bilarna": "bil", "barnen": "barn",
+    "barnens": "barn", "villkoren": "villkor", "svenska": "svensk",
+    "sista": "sist", "vänner": "vänn", "vännernas": "vänn",
+    "arbetade": "arbet", "arbetande": "arbet", "vackra": "vackr",
+    "vackrast": "vackr", "trygghet": "trygg",
+    "verksamheten": "verksam",
+    # 'et' is NOT in the classic a-list — these stay put
+    "huset": "huset", "arbetet": "arbetet", "ärendet": "ärendet",
+    # step 1 s-rule: valid s-ending fires, vowel before s does not
+    "husets": "huset", "skolans": "skolan",
+    # step 2 double-ending shortening (R1-gated: snabbt/kallt have the
+    # ending outside or straddling R1 and stay; tryggt/hemskt fire)
+    "tryggt": "trygg", "hemskt": "hemsk", "friskt": "frisk",
+    "snabbt": "snabbt", "kallt": "kallt",
+    # step 3: lig/ig/els deletion, löst->lös (R1-gated: bare 'löst'
+    # keeps its t), fullt->full; chained after step 1 e-removal
+    "tillgänglig": "tillgäng", "tillgängligt": "tillgäng",
+    "väsentligt": "väsent", "betydelse": "betyd", "betydelsen": "betyd",
+    "upplöst": "upplös", "löst": "löst",
+    "meningsfullt": "meningsfull", "möjligheterna": "möj",
+    # short words unchanged
+    "de": "de", "en": "en", "": "",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GOLDEN_SV.items()))
+def test_golden_swedish(word, want):
+    assert stem_swedish(word) == want
+
+
+GOLDEN_RU = {
+    # step 1 perfective gerund (group 1 needs the preceding а/я, which
+    # stays on the stem; group 2 unconditional)
+    "прочитав": "прочита", "прочитавши": "прочита",
+    # reflexive then adjectival / verb / noun
+    "улыбаясь": "улыб", "стремится": "стрем", "даваться": "дава",
+    "говорила": "говор", "сказал": "сказа", "хорошо": "хорош",
+    "книгами": "книг", "программы": "программ", "программа": "программ",
+    "женщина": "женщин", "женщины": "женщин", "жизнью": "жизн",
+    # adjectival with participle strip (а/я-gated, RV-limited: ранними
+    # has its а OUTSIDE RV, so нн survives to step 4 undoubling)
+    "красивый": "красив", "сделанный": "сдела", "читающая": "чита",
+    "российский": "российск", "российская": "российск",
+    "ранними": "ран", "быстрее": "быстр", "лучший": "лучш",
+    # 'айш' is not the superlative 'ейш' — stays
+    "величайший": "величайш",
+    # step 3 derivational ость/ост strictly in R2 (важность keeps its
+    # ост — R2 starts after it; возможности loses it)
+    "важность": "важност", "важности": "важност", "новости": "новост",
+    "возможности": "возможн", "возможностей": "возможн",
+    "действительно": "действительн",
+    # ё -> е preliminary map
+    "ёжик": "ежик",  # ик is no listed ending — only the ё map fires
+    # no vowel / short words unchanged
+    "вскхз": "вскхз", "да": "да", "": "",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GOLDEN_RU.items()))
+def test_golden_russian(word, want):
+    assert stem_russian(word) == want
+
+
 def test_no_marker_leakage():
     """French prelude markers (U/I/Y) never escape; Spanish output carries
     no acute accents."""
@@ -251,8 +321,16 @@ def test_tokenizer_dispatch_langs():
     assert tokenize_text("de boeken openbare", cfg_nl) == [
         "de", "boek", "open"
     ]
+    cfg_sv = TokenizerConfig(min_token_length=2, stem_lang="swedish")
+    assert tokenize_text("flickorna i klubben", cfg_sv) == [
+        "flick", "klubb"
+    ]
+    cfg_ru = TokenizerConfig(min_token_length=2, stem_lang="russian")
+    assert tokenize_text("женщины говорила книгами", cfg_ru) == [
+        "женщин", "говор", "книг"
+    ]
     with pytest.raises(ImportError, match="english/spanish/french"):
-        tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="russian"))
+        tokenize_text("x y", TokenizerConfig(min_token_length=1, stem_lang="danish"))
 
 
 @pytest.mark.parametrize("lang,text,query,stem", [
@@ -262,6 +340,8 @@ def test_tokenizer_dispatch_langs():
     ("german", "die kinder lesen viele bücher", "kindes", "kind"),
     ("italian", "i libri della nazione italiana", "libro", "libr"),
     ("dutch", "de boeken over mogelijkheden", "mogelijkheid", "mogelijk"),
+    ("swedish", "flickorna läste i klubben", "flickor", "flick"),
+    ("russian", "женщины читают книгами", "женщина", "женщин"),
 ])
 def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
     """Build + query a stemmed index per language: a different inflection
@@ -282,6 +362,7 @@ def test_stemmed_index_end_to_end(spark, lang, text, query, stem):
     ("spanish", stem_spanish), ("french", stem_french),
     ("portuguese", stem_portuguese), ("german", stem_german),
     ("italian", stem_italian), ("dutch", stem_dutch),
+    ("swedish", stem_swedish), ("russian", stem_russian),
 ])
 def test_nltk_parity_when_available(lang, fn):
     """Full parity vs nltk's SnowballStemmer — the reference's stemmer —
@@ -296,7 +377,8 @@ def test_nltk_parity_when_available(lang, fn):
         pytest.skip("nltk absent or stubbed (ref_oracle shim)")
     vocab = sorted(
         {"spanish": GOLDEN_ES, "french": GOLDEN_FR, "portuguese": GOLDEN_PT,
-         "german": GOLDEN_DE, "italian": GOLDEN_IT, "dutch": GOLDEN_NL}[lang]
+         "german": GOLDEN_DE, "italian": GOLDEN_IT, "dutch": GOLDEN_NL,
+         "swedish": GOLDEN_SV, "russian": GOLDEN_RU}[lang]
     )
     mism = {w: (fn(w), ref.stem(w)) for w in vocab if fn(w) != ref.stem(w)}
     assert not mism, mism
