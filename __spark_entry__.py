@@ -2152,6 +2152,91 @@ def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIDECAR_WRITTEN: set = set()
+
+
+def _entry_packed_with_sidecar(spark: SparkSession, sf_dir: str):
+    """The shared packed documents index with an n_chars doc_attrs
+    sidecar written once per process (indexing/attrs.py)."""
+    import os
+    import tempfile
+
+    from searchengine_spark.indexing.attrs import write_attrs_sidecar
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+
+    docs = _documents(spark, sf_dir)
+    idx_in = docs.select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        idx_in, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    if path not in _SIDECAR_WRITTEN:
+        attrs = docs.select(F.col("doc_id").alias("ext_id"), "n_chars")
+        write_attrs_sidecar(pidx, attrs, ["n_chars"])
+        _SIDECAR_WRITTEN.add(path)
+    return pidx
+
+
+def q_sorted_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted_search served from the doc_attrs SIDECAR (attrs=None —
+    indexing/attrs.py attach_attr: broadcast chunk join, zero
+    attrs-side exchange, docmap resolve after the cut). Same oracle as
+    sorted_search — the two serving paths must hash-match, which is
+    exactly the sidecar's bit-identical contract."""
+    from searchengine_spark.query.sortby import sort_by_attr_packed
+
+    pidx = _entry_packed_with_sidecar(spark, sf_dir)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = sort_by_attr_packed(
+        pidx, qs, CFG, None, "n_chars", k=10, ascending=False,
+        missing="last", round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("sort_value").cast("long").alias("sort_value"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_decay_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decay_search (linear x multiply) served from the doc_attrs
+    SIDECAR (attrs=None). Same oracle as decay_search — serving-path
+    bit-identity is the claim under test."""
+    from searchengine_spark.query.decay import decay_score_packed
+
+    pidx = _entry_packed_with_sidecar(spark, sf_dir)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    out = decay_score_packed(
+        pidx, qs, CFG, None, "n_chars", DECAY_ORIGIN, DECAY_SCALE,
+        decay=DECAY_DECAY, offset=DECAY_OFFSET, fn="linear",
+        boost_mode="multiply", k=10, round_dp=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        F.col("value").cast("long").alias("value"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_sparse_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse_expansion served by the BLOCK-MAX tier (query/sparse.py
+    sparse_topk_blockmax_batch: chunk_stats upper bounds, seed-θ chunk
+    pruning, exact BIGINT arithmetic). Same oracle as sparse_expansion
+    — pruning must be invisible in the results."""
+    from searchengine_spark.query.sparse import sparse_topk_blockmax_batch
+
+    path = _sparse_index_path(spark, sf_dir)
+    return sparse_topk_blockmax_batch(
+        spark, path, _sparse_query_weights(), k=10)
+
+
 def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ES _count API analog (query/wand.py match_counts_packed):
     per-query matched-doc counts over the packed index WITHOUT ranking
@@ -5204,6 +5289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_search": q_snapshot_search,
         "temperature_mix": q_temperature_mix,
         "bloom_bits": q_bloom_bits,
+        "sorted_sidecar": q_sorted_sidecar,
+        "decay_sidecar": q_decay_sidecar,
+        "sparse_blockmax": q_sparse_blockmax,
         "facet_top_hits": q_facet_top_hits,
         "boolean_packed": q_boolean_packed,
         "approx_terms_agg": q_approx_terms_agg,
@@ -11429,4 +11517,10 @@ tv AS (
 SELECT tv.did AS doc_id, tv.term, tv.tf, term_stats.df, tv.positions
 FROM tv JOIN term_stats USING (term)
 """
+    # serving-path twins: the sidecar / block-max tiers must be
+    # bit-identical to their base paths, so they share the oracle
+    sqls["sorted_sidecar"] = sqls["sorted_search"]
+    sqls["decay_sidecar"] = sqls["decay_search"]
+    sqls["sparse_blockmax"] = sqls["sparse_expansion"]
+
     return sqls

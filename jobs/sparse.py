@@ -44,7 +44,15 @@ def main() -> None:
     ap.add_argument("--prune-freq-ratio", type=int, default=5)
     ap.add_argument("--prune-weight-micro", type=int, default=400_000)
     ap.add_argument("--no-rescore", action="store_true")
+    ap.add_argument("--blockmax", action="store_true",
+                    help="serve via chunk-upper-bound pruning "
+                         "(bit-identical; wins on SKEWED weight "
+                         "distributions, loses on uniform ones — see "
+                         "BENCH.md)")
     args = ap.parse_args()
+    if args.prune and args.blockmax:
+        ap.error("--prune and --blockmax are separate tiers — pick one "
+                 "(pruning drops query tokens, block-max skips chunks)")
 
     from pyspark.sql import SparkSession
 
@@ -87,22 +95,21 @@ def main() -> None:
             freq_ratio_threshold=args.prune_freq_ratio,
             weight_threshold_micro=args.prune_weight_micro,
             rescore=not args.no_rescore)
+    elif args.blockmax:
+        # block-max tier (bit-identical; prunes chunks by exact integer
+        # upper bounds). OPT-IN: it pays only when document weights are
+        # SKEWED across chunks (real ELSER/SPLADE output is; a uniform
+        # weight table gives flat bounds, nothing prunes, and the
+        # two-phase scan is pure overhead — measured 2.6x slower on the
+        # uniform synthetic bench corpus, BENCH.md sf1.0 table)
+        from searchengine_spark.query.sparse import (
+            sparse_topk_blockmax_batch,
+        )
+
+        out = sparse_topk_blockmax_batch(
+            spark, args.index, [qw], k=args.k)
     else:
-        from searchengine_spark.indexing import fsio
-
-        if (fsio.exists(spark, fsio.join(args.index, "chunk_stats"))
-                and all(w >= 0 for w in qw.values())):
-            # block-max tier (bit-identical, prunes chunks by exact
-            # integer upper bounds); negative weights or pre-sidecar
-            # layouts fall back to the plain exact scorer
-            from searchengine_spark.query.sparse import (
-                sparse_topk_blockmax_batch,
-            )
-
-            out = sparse_topk_blockmax_batch(
-                spark, args.index, [qw], k=args.k)
-        else:
-            out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
+        out = sparse_topk_batch(spark, args.index, [qw], k=args.k)
     print(json.dumps({
         "query_weights": qw,
         "hits": [r.asDict() for r in out.collect()],
