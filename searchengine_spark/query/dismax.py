@@ -83,84 +83,72 @@ def dismax_topk_packed(
     return _combine(scores, flat, float(tie_breaker), round_dp, k)
 
 
-def _dismax_wand(
-    pidx: PackedIndex,
-    flat: Sequence[int],
-    terms: Sequence[Sequence[str]],
-    tie: float,
-    round_dp: int | None,
-    k: int,
-) -> DataFrame:
-    """Block-max dis_max: one pushed In(term) scan, a (term -> sub ids)
-    literal-map fan-out, ONE groupBy(user query) exchange, and a WAND
-    heap over chunks in descending combined-upper-bound order — the
-    same join-free plan shape and cost class as bm25_topk_packed_batch
-    (plan-gated in tests/test_plan_shapes.py)."""
-    import heapq
-
-    import numpy as np
-    import pandas as pd
+#: output schema of the combined-WAND scorers (dis_max, multi_match)
+def _topk_schema():
     from pyspark.sql import types as T
 
-    from ..indexing.codec import decode_postings, tf_saturation
-
-    spark = pidx.spark
-    schema = T.StructType([
+    return T.StructType([
         T.StructField("query_id", T.IntegerType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
         T.StructField("rank", T.IntegerType(), False),
     ])
-    all_terms = sorted({t for ts in terms for t in ts})
-    stats = pidx.term_stats.select("term", "idf").filter(
-        F.col("term").isin(all_terms))
-    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
-    subs_by_term: dict[str, list[int]] = {}
-    for sub, ts in enumerate(terms):
-        for t in ts:
-            if t in idf_map:
-                subs_by_term.setdefault(t, []).append(sub)
-    if not subs_by_term:
-        return spark.createDataFrame([], schema)
-    sub_user = {sub: int(uq) for sub, uq in enumerate(flat)}
-    map_entries = [
-        x
-        for t, ss in subs_by_term.items()
-        for x in (F.lit(t), F.array(*[F.lit(s) for s in ss]))
-    ]
-    user_entries = [
-        x for s, u in sub_user.items() for x in (F.lit(s), F.lit(u))
-    ]
-    matched = (
-        pidx.index.filter(F.col("term").isin(sorted(subs_by_term)))
-        .withColumn(
-            "sub_id", F.explode(F.create_map(*map_entries)[F.col("term")])
-        )
-        .withColumn(
-            "query_id", F.create_map(*user_entries)[F.col("sub_id")]
-        )
-    )
-    mask = pidx.delete_mask()
-    dec = (mask.wrap_decoders()[0] if mask is not None
-           else (lambda buf: decode_postings(bytes(buf))))
-    kk, bb = float(pidx.params.k), float(pidx.params.b)
+
+
+def combined_wand_scorer(
+    k_top: int,
+    tie: float,
+    round_dp: int | None,
+    params,
+    decode=None,
+    decoders: dict | None = None,
+    combine: str = "dismax",
+):
+    """Per-(user query) group scorer for MONOTONE combines of per-sub
+    BM25 scores over a SHARED chunk grid. Expects columns (query_id,
+    sub_id, idf, chunk, postings, max_tfsat) — idf pre-attached (the
+    caller folds per-sub weights/boosts in, so the chunk bounds are
+    exact for the weighted scores too).
+
+    ``combine='dismax'``: score = max_i s_i + tie·(Σ s_i − max); the
+    chunk bound is dismax(ub_1..ub_n) — valid because dis_max is
+    monotone non-decreasing in every sub score (∂/∂s_max = 1, others
+    tie ∈ [0, 1]). ``combine='sum'``: score = Σ s_i (multi_match
+    most_fields; tie ignored), bound = Σ ub_i — same argument.
+
+    ``decoders``: {sub_id: decode hook} — the multi-field seam (each
+    field index carries its own tombstone mask); ``decode`` is the
+    single-index default."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    from ..indexing.codec import decode_postings, tf_saturation
+
+    if combine not in ("dismax", "sum"):
+        raise ValueError(f"unknown combine {combine!r}")
+    dec_default = decode or (lambda buf: decode_postings(bytes(buf)))
+    kk, bb = float(params.k), float(params.b)
     eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
-    k_top = int(k)
     tie_l = float(tie)
+    is_sum = combine == "sum"
 
     def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
-        pdf = pdf.assign(idf=pdf["term"].map(idf_map))
         # per-(chunk, sub) upper bound, then the chunk's COMBINED bound
-        # dismax(ub_1..ub_n) — monotone, so it bounds the combined score
         ub_sub = (
             (pdf["idf"] * pdf["max_tfsat"])
             .groupby([pdf["chunk"], pdf["sub_id"]])
             .sum()
         )
-        smax = ub_sub.groupby(level=0).max()
         ssum = ub_sub.groupby(level=0).sum()
-        bounds = (smax + tie_l * (ssum - smax)).sort_values(ascending=False)
+        if is_sum:
+            bounds = ssum.sort_values(ascending=False)
+        else:
+            smax = ub_sub.groupby(level=0).max()
+            bounds = (smax + tie_l * (ssum - smax)).sort_values(
+                ascending=False)
         by_chunk = dict(tuple(pdf.groupby("chunk")))
         heap: list = []  # min-heap of (score, -doc_id)
         for chunk, bound in bounds.items():
@@ -169,12 +157,14 @@ def _dismax_wand(
             rows = by_chunk[chunk]
             sub_docs: list = []
             sub_scores: list = []
-            for _sub, srows in rows.groupby("sub_id"):
+            for sub, srows in rows.groupby("sub_id"):
+                d = (decoders.get(int(sub), dec_default)
+                     if decoders is not None else dec_default)
                 docs_all: list = []
                 contrib_all: list = []
                 for idf, buf in zip(srows["idf"].to_numpy(),
                                     srows["postings"]):
-                    doc_ids, tfs, dl_norm = dec(buf)
+                    doc_ids, tfs, dl_norm = d(buf)
                     contrib_all.append(
                         idf * tf_saturation(tfs, dl_norm, kk, bb))
                     docs_all.append(doc_ids)
@@ -195,8 +185,11 @@ def _dismax_wand(
             docs, sc = docs[order], sc[order]
             uniq, start = np.unique(docs, return_index=True)
             s_sum = np.add.reduceat(sc, start)
-            s_max = np.maximum.reduceat(sc, start)
-            scores = s_max + tie_l * (s_sum - s_max)
+            if is_sum:
+                scores = s_sum
+            else:
+                s_max = np.maximum.reduceat(sc, start)
+                scores = s_max + tie_l * (s_sum - s_max)
             if round_dp is not None:
                 scores = np.round(scores, round_dp)
             n = len(uniq)
@@ -223,8 +216,66 @@ def _dismax_wand(
             }
         )
 
-    return matched.groupBy("query_id").applyInPandas(score_query,
-                                                     schema=schema)
+    return score_query
+
+
+def _dismax_wand(
+    pidx: PackedIndex,
+    flat: Sequence[int],
+    terms: Sequence[Sequence[str]],
+    tie: float,
+    round_dp: int | None,
+    k: int,
+) -> DataFrame:
+    """Block-max dis_max: one pushed In(term) scan, a (term -> sub ids)
+    literal-map fan-out, ONE groupBy(user query) exchange, and a WAND
+    heap over chunks in descending combined-upper-bound order — the
+    same join-free plan shape and cost class as bm25_topk_packed_batch
+    (plan-gated in tests/test_plan_shapes.py)."""
+    from ..indexing.codec import decode_postings
+
+    spark = pidx.spark
+    schema = _topk_schema()
+    all_terms = sorted({t for ts in terms for t in ts})
+    stats = pidx.term_stats.select("term", "idf").filter(
+        F.col("term").isin(all_terms))
+    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    subs_by_term: dict[str, list[int]] = {}
+    for sub, ts in enumerate(terms):
+        for t in ts:
+            if t in idf_map:
+                subs_by_term.setdefault(t, []).append(sub)
+    if not subs_by_term:
+        return spark.createDataFrame([], schema)
+    sub_user = {sub: int(uq) for sub, uq in enumerate(flat)}
+    map_entries = [
+        x
+        for t, ss in subs_by_term.items()
+        for x in (F.lit(t), F.array(*[F.lit(s) for s in ss]))
+    ]
+    user_entries = [
+        x for s, u in sub_user.items() for x in (F.lit(s), F.lit(u))
+    ]
+    idf_entries = [
+        x for t, v in sorted(idf_map.items()) for x in (F.lit(t), F.lit(v))
+    ]
+    matched = (
+        pidx.index.filter(F.col("term").isin(sorted(subs_by_term)))
+        .withColumn(
+            "sub_id", F.explode(F.create_map(*map_entries)[F.col("term")])
+        )
+        .withColumn(
+            "query_id", F.create_map(*user_entries)[F.col("sub_id")]
+        )
+        .withColumn("idf", F.create_map(*idf_entries)[F.col("term")])
+    )
+    mask = pidx.delete_mask()
+    dec = (mask.wrap_decoders()[0] if mask is not None
+           else (lambda buf: decode_postings(bytes(buf))))
+    scorer = combined_wand_scorer(
+        int(k), float(tie), round_dp, pidx.params, decode=dec,
+        combine="dismax")
+    return matched.groupBy("query_id").applyInPandas(scorer, schema=schema)
 
 
 def _tokenize_groups(query_groups, cfg):

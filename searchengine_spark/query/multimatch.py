@@ -137,6 +137,7 @@ def multi_match_topk(
     tie_breaker: float = 0.0,
     boosts: Mapping[str, float] | None = None,
     round_dp: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k per query -> (query_id, doc_id, score, rank) with doc_id in
     the shared field namespace (resolve with ANY field's docmap).
@@ -145,7 +146,18 @@ def multi_match_topk(
     (tie_breaker only meaningful here — refused under most_fields,
     where it has no ES meaning). ``mode='most_fields'``: the sum.
     ``boosts``: {field: non-negative multiplier}, default 1.0 — unknown
-    field names refuse (a typo must not silently un-boost)."""
+    field names refuse (a typo must not silently un-boost).
+
+    ``prune=True`` (default) runs the BLOCK-MAX tier when the field
+    indexes share one chunk grid (same chunk_docs — build_field_indexes
+    always does; aligned docIDs put a doc's every per-field score in
+    ONE shared chunk id): both combines are monotone in the per-field
+    scores, so combine(ub_field…) per chunk bounds the combined score —
+    the dis_max WAND argument with sub = field
+    (query/dismax.combined_wand_scorer; per-field tombstone decoders
+    ride the sub_id). One union of pushed per-field scans, ONE
+    exchange, join-free. Gated bit-identical to the score-all
+    composition (prune=False) in tests/test_multimatch.py."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     if mode == "most_fields" and tie_breaker:
@@ -161,6 +173,11 @@ def multi_match_topk(
             f"boosts name unknown fields {unknown} (have {list(fidx)})")
     if any(float(v) < 0 for v in bs.values()):
         raise ValueError(f"boosts must be non-negative, got {bs}")
+    if prune and len({
+        int(p.manifest["chunk_docs"]) for p in fidx.values()
+    }) == 1:
+        return _multi_match_wand(
+            fidx, queries, cfg, k, mode, float(tie_breaker), bs, round_dp)
 
     from .wand import bm25_scores_packed_batch
 
@@ -193,6 +210,84 @@ def multi_match_topk(
         combined.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _multi_match_wand(
+    fidx: Mapping[str, PackedIndex],
+    queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int,
+    mode: str,
+    tie: float,
+    boosts: Mapping[str, float],
+    round_dp: int | None,
+) -> DataFrame:
+    """Block-max multi_match: per field, a pushed In(term) scan with the
+    field's own idf × boost attached as a literal-map column and the
+    field ordinal as sub_id; one union, ONE groupBy(query) exchange
+    into the shared combined-WAND scorer. Per-field boosts fold into
+    idf BEFORE the chunk bounds, so pruning stays exact for the boosted
+    scores (the wand.py qweights rule)."""
+    from ..tokenizer import tokenize_text
+    from .dismax import _topk_schema, combined_wand_scorer
+
+    any_p = next(iter(fidx.values()))
+    spark = any_p.spark
+    schema = _topk_schema()
+    rows: list = []
+    for qid, q in enumerate(queries):
+        for t in dict.fromkeys(tokenize_text(q, cfg)):
+            rows.append((qid, t))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    all_terms = sorted({t for _, t in rows})
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t in rows:
+        qids_by_term.setdefault(t, []).append(qid)
+
+    parts = []
+    decoders: dict = {}
+    for fi, (f, pidx) in enumerate(fidx.items()):
+        stats = pidx.term_stats.select("term", "idf").filter(
+            F.col("term").isin(all_terms))
+        b = float(boosts.get(f, 1.0))
+        idf_f = {r["term"]: float(r["idf"]) * b for r in stats.collect()}
+        live = sorted(t for t in idf_f if t in qids_by_term)
+        if not live:
+            continue
+        map_entries = [
+            x
+            for t in live
+            for x in (F.lit(t),
+                      F.array(*[F.lit(q) for q in qids_by_term[t]]))
+        ]
+        idf_entries = [
+            x for t in live for x in (F.lit(t), F.lit(idf_f[t]))
+        ]
+        parts.append(
+            pidx.index.filter(F.col("term").isin(live))
+            .withColumn(
+                "query_id",
+                F.explode(F.create_map(*map_entries)[F.col("term")]),
+            )
+            .withColumn("sub_id", F.lit(fi))
+            .withColumn("idf", F.create_map(*idf_entries)[F.col("term")])
+            .select("query_id", "sub_id", "chunk", "idf", "postings",
+                    "max_tfsat")
+        )
+        mask = pidx.delete_mask()
+        if mask is not None:
+            decoders[fi] = mask.wrap_decoders()[0]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    scorer = combined_wand_scorer(
+        int(k), tie, round_dp, any_p.params,
+        decoders=decoders or None,
+        combine="sum" if mode == "most_fields" else "dismax")
+    return uni.groupBy("query_id").applyInPandas(scorer, schema=schema)
 
 
 def combined_fields_topk(

@@ -336,3 +336,35 @@ def test_combined_fields_validation(cfg, field_its):
     with pytest.raises(ValueError, match="non-negative"):
         combined_fields_topk(field_its, QUERIES, cfg, weights={"text": -1.0})
     assert combined_fields_topk(field_its, ["zzzznothing"], cfg).count() == 0
+
+
+@pytest.mark.parametrize("mode,tie,boosts", [
+    ("best_fields", 0.0, None),
+    ("best_fields", 0.4, {"role": 2.0}),
+    ("best_fields", 1.0, None),
+    ("most_fields", 0.0, {"text": 0.5, "tool": 3.0}),
+])
+def test_multi_match_prune_matches_score_all(fidx, cfg, mode, tie, boosts):
+    """The block-max tier (prune=True, default) is bit-identical to the
+    score-all composition for both combines, with and without boosts
+    (boosts fold into idf BEFORE the chunk bounds)."""
+    a = multi_match_topk(fidx, QUERIES, cfg, k=12, mode=mode,
+                         tie_breaker=tie, boosts=boosts, round_dp=6,
+                         prune=True)
+    b = multi_match_topk(fidx, QUERIES, cfg, k=12, mode=mode,
+                         tie_breaker=tie, boosts=boosts, round_dp=6,
+                         prune=False)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and ra
+
+
+def test_multi_match_prune_field_only_terms(fidx, cfg):
+    """Terms living in only ONE field's dictionary route correctly on
+    the pruned tier (the per-field statistics contract)."""
+    qs = ["nosuchword zzz", QUERIES[0]]
+    a = multi_match_topk(fidx, qs, cfg, k=8, mode="best_fields",
+                         tie_breaker=0.2, round_dp=6, prune=True)
+    b = multi_match_topk(fidx, qs, cfg, k=8, mode="best_fields",
+                         tie_breaker=0.2, round_dp=6, prune=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
