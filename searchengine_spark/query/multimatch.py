@@ -415,6 +415,171 @@ def combined_fields_topk(
     )
 
 
+def _cross_fields_wand(
+    fidx: Mapping[str, PackedIndex],
+    sub: Sequence,
+    blended: Dict[str, float],
+    tie: float,
+    boosts: Mapping[str, float],
+    round_dp: int | None,
+    k: int,
+) -> DataFrame:
+    """Block-max cross_fields: the combined score
+    Σ_t [max_f s_{t,f} + tie·(Σ_f s_{t,f} − max)] is monotone
+    non-decreasing in EVERY (term, field) contribution, so
+    Σ_t dismax_f(ub_{t,f}) per chunk — with ub_{t,f} =
+    blended_idf_t · boost_f · max_tfsat_{t,f}(chunk) — bounds it; the
+    WAND heap walks chunks in descending bound order on the shared
+    chunk grid (aligned docIDs put a doc's every per-field per-term
+    contribution inside one chunk id). One union of pushed per-field
+    scans with the blended idf × boost as a literal-map column, ONE
+    groupBy(query) exchange. Gated bit-identical to the score-all
+    composition in tests/test_multimatch.py."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    from ..indexing.codec import decode_postings, tf_saturation
+    from .dismax import _topk_schema
+
+    any_p = next(iter(fidx.values()))
+    spark = any_p.spark
+    schema = _topk_schema()
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t in sub:
+        if t in blended:
+            qids_by_term.setdefault(t, []).append(qid)
+    if not qids_by_term:
+        return spark.createDataFrame([], schema)
+    live = sorted(qids_by_term)
+    parts = []
+    decoders: dict = {}
+    for fi, (f, pidx) in enumerate(fidx.items()):
+        b = float(boosts.get(f, 1.0))
+        map_entries = [
+            x
+            for t in live
+            for x in (F.lit(t),
+                      F.array(*[F.lit(q) for q in qids_by_term[t]]))
+        ]
+        idf_entries = [
+            x for t in live for x in (F.lit(t), F.lit(blended[t] * b))
+        ]
+        parts.append(
+            pidx.index.filter(F.col("term").isin(live))
+            .withColumn(
+                "query_id",
+                F.explode(F.create_map(*map_entries)[F.col("term")]),
+            )
+            .withColumn("sub_id", F.lit(fi))
+            .withColumn("idf", F.create_map(*idf_entries)[F.col("term")])
+            .select("query_id", "sub_id", "term", "chunk", "idf",
+                    "postings", "max_tfsat")
+        )
+        mask = pidx.delete_mask()
+        if mask is not None:
+            decoders[fi] = mask.wrap_decoders()[0]
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    dec_default = lambda buf: decode_postings(bytes(buf))  # noqa: E731
+    params = any_p.params
+    kk, bb = float(params.k), float(params.b)
+    eps = (10.0 ** -round_dp) if round_dp is not None else 0.0
+    k_top, tie_l = int(k), float(tie)
+
+    def score_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        # ub per (chunk, term, field) -> per-term dismax -> per-chunk sum
+        ub = (
+            (pdf["idf"] * pdf["max_tfsat"])
+            .groupby([pdf["chunk"], pdf["term"], pdf["sub_id"]])
+            .sum()
+        )
+        t_max = ub.groupby(level=[0, 1]).max()
+        t_sum = ub.groupby(level=[0, 1]).sum()
+        t_dismax = t_max + tie_l * (t_sum - t_max)
+        bounds = t_dismax.groupby(level=0).sum().sort_values(
+            ascending=False)
+        by_chunk = dict(tuple(pdf.groupby("chunk")))
+        heap: list = []
+        for chunk, bound in bounds.items():
+            if len(heap) >= k_top and bound < heap[0][0] - eps:
+                continue
+            rows = by_chunk[chunk]
+            term_docs: list = []
+            term_scores: list = []
+            for _t, trows in rows.groupby("term"):
+                f_docs: list = []
+                f_scores: list = []
+                for sub_id, frows in trows.groupby("sub_id"):
+                    d = decoders.get(int(sub_id), dec_default)
+                    docs_all: list = []
+                    contrib_all: list = []
+                    for idf, buf in zip(frows["idf"].to_numpy(),
+                                        frows["postings"]):
+                        doc_ids, tfs, dl_norm = d(buf)
+                        contrib_all.append(
+                            idf * tf_saturation(tfs, dl_norm, kk, bb))
+                        docs_all.append(doc_ids)
+                    docs = np.concatenate(docs_all)
+                    if docs.size == 0:
+                        continue
+                    contribs = np.concatenate(contrib_all)
+                    uniq, inv = np.unique(docs, return_inverse=True)
+                    s = np.zeros(len(uniq))
+                    np.add.at(s, inv, contribs)
+                    f_docs.append(uniq)
+                    f_scores.append(s)
+                if not f_docs:
+                    continue
+                docs = np.concatenate(f_docs)
+                sc = np.concatenate(f_scores)
+                order = np.argsort(docs, kind="stable")
+                docs, sc = docs[order], sc[order]
+                uniq, start = np.unique(docs, return_index=True)
+                s_sum = np.add.reduceat(sc, start)
+                s_max = np.maximum.reduceat(sc, start)
+                term_docs.append(uniq)
+                term_scores.append(s_max + tie_l * (s_sum - s_max))
+            if not term_docs:
+                continue
+            docs = np.concatenate(term_docs)
+            sc = np.concatenate(term_scores)
+            order = np.argsort(docs, kind="stable")
+            docs, sc = docs[order], sc[order]
+            uniq, start = np.unique(docs, return_index=True)
+            scores = np.add.reduceat(sc, start)
+            if round_dp is not None:
+                scores = np.round(scores, round_dp)
+            n = len(uniq)
+            if n > k_top:
+                thresh = np.partition(scores, n - k_top)[n - k_top]
+                keep = scores >= thresh
+                uniq, scores = uniq[keep], scores[keep]
+            order = np.lexsort((uniq, -scores))[:k_top]
+            for i in order:
+                item = (float(scores[i]), -int(uniq[i]))
+                if len(heap) < k_top:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                else:
+                    break
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(out), qid, dtype=np.int32),
+                "doc_id": np.array([-d for _, d in out], dtype=np.int64),
+                "score": np.array([s for s, _ in out], dtype=np.float64),
+                "rank": np.arange(1, len(out) + 1, dtype=np.int32),
+            }
+        )
+
+    return uni.groupBy("query_id").applyInPandas(score_query, schema=schema)
+
+
 def _tf_saturation_col(tf, dl_norm, params: Bm25Params):
     k, b = float(params.k), float(params.b)
     return (tf * (k + 1.0)) / (tf + k * (1.0 - b + b * dl_norm))
@@ -428,6 +593,7 @@ def cross_fields_topk(
     tie_breaker: float = 0.0,
     boosts: Mapping[str, float] | None = None,
     round_dp: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """ES ``multi_match`` type ``cross_fields`` — TERM-centric blended
     statistics (Lucene BlendedTermQuery): the fields act as one big
@@ -496,6 +662,11 @@ def cross_fields_topk(
     }
     if not blended:
         return spark.createDataFrame([], out_schema)
+    if prune and len({
+        int(p.manifest["chunk_docs"]) for p in fidx.values()
+    }) == 1:
+        return _cross_fields_wand(
+            fidx, sub, blended, float(tie_breaker), bs, round_dp, k)
     sub_terms = [[t] for _, t in sub]
     parts = []
     for f, pidx in fidx.items():

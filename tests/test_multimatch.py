@@ -368,3 +368,20 @@ def test_multi_match_prune_field_only_terms(fidx, cfg):
     b = multi_match_topk(fidx, qs, cfg, k=8, mode="best_fields",
                          tie_breaker=0.2, round_dp=6, prune=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@pytest.mark.parametrize("tie,boosts", [
+    (0.0, None), (0.2, {"role": 2.0}), (1.0, {"text": 0.5}),
+])
+def test_cross_fields_prune_matches_score_all(fidx, cfg, tie, boosts):
+    """Block-max cross_fields (prune=True, default) is bit-identical to
+    the score-all composition — the Σ-of-per-term-dismax bound."""
+    from searchengine_spark.query.multimatch import cross_fields_topk
+
+    a = cross_fields_topk(fidx, QUERIES, cfg, k=12, tie_breaker=tie,
+                          boosts=boosts, round_dp=6, prune=True)
+    b = cross_fields_topk(fidx, QUERIES, cfg, k=12, tie_breaker=tie,
+                          boosts=boosts, round_dp=6, prune=False)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and ra
