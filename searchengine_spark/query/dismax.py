@@ -226,20 +226,26 @@ def _dismax_wand(
     tie: float,
     round_dp: int | None,
     k: int,
+    idf_override: dict | None = None,
 ) -> DataFrame:
     """Block-max dis_max: one pushed In(term) scan, a (term -> sub ids)
     literal-map fan-out, ONE groupBy(user query) exchange, and a WAND
     heap over chunks in descending combined-upper-bound order — the
     same join-free plan shape and cost class as bm25_topk_packed_batch
-    (plan-gated in tests/test_plan_shapes.py)."""
+    (plan-gated in tests/test_plan_shapes.py). ``idf_override``: the
+    federated seam — federation-global idf supplied by the caller
+    (terms absent from the map score nothing)."""
     from ..indexing.codec import decode_postings
 
     spark = pidx.spark
     schema = _topk_schema()
     all_terms = sorted({t for ts in terms for t in ts})
-    stats = pidx.term_stats.select("term", "idf").filter(
-        F.col("term").isin(all_terms))
-    idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
+    if idf_override is not None:
+        idf_map = {t: float(v) for t, v in idf_override.items()}
+    else:
+        stats = pidx.term_stats.select("term", "idf").filter(
+            F.col("term").isin(all_terms))
+        idf_map = {r["term"]: float(r["idf"]) for r in stats.collect()}
     subs_by_term: dict[str, list[int]] = {}
     for sub, ts in enumerate(terms):
         for t in ts:
@@ -304,14 +310,23 @@ def dismax_topk_federated(
     k: int = 10,
     tie_breaker: float = 0.0,
     round_dp: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Federated dis_max -> (query_id, doc_id, score, rank) with doc_id
-    in the federation namespace. EXACT: per-(user, sub, doc) scores come
-    from the federated score-all surface (federation-global idf, shard-
-    local dl_norm — the dfs_query_then_fetch contract), and a doc lives
-    in one shard, so the max/sum combine over the unioned scores is the
-    global one. One pushed per-shard scan union + one exchange for the
-    whole batch, like the packed path."""
+    in the federation namespace. EXACT either way: a doc lives in one
+    shard and scores ride the dfs_query_then_fetch contract
+    (federation-global idf, shard-local dl_norm).
+
+    ``prune=True`` (default): per-shard BLOCK-MAX dis_max with the
+    federation-global idf supplied via ``idf_override``, each shard's
+    top-k base-shifted into the federation namespace, then one bounded
+    global (score desc, doc_id asc) rank window — the has_child
+    bounded-merge shape: a global top-k doc has < k docs above it
+    IN ITS OWN SHARD, so per-shard k rows suffice (ties inside a shard
+    are already resolved by its own doc_id order, which base-shifting
+    preserves). ``prune=False``: the score-all composition (one
+    federated flat-scorer batch + native combine). Gated identical in
+    tests/test_dismax.py."""
     if not 0.0 <= float(tie_breaker) <= 1.0:
         raise ValueError(
             f"tie_breaker must be in [0, 1], got {tie_breaker}"
@@ -321,6 +336,32 @@ def dismax_topk_federated(
     if not flat:
         return spark.createDataFrame(
             [], "query_id int, doc_id long, score double, rank int")
+    if prune:
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        from .federated import _check_compat, _doc_bases, _global_idf
+
+        _check_compat(shards)
+        all_terms = sorted({t for ts in terms for t in ts})
+        idf_map = _global_idf(shards, all_terms)
+        parts = [
+            _dismax_wand(s, flat, terms, float(tie_breaker), round_dp,
+                         k, idf_override=idf_map)
+            .withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(int(base))).alias(
+                    "doc_id"))
+            .drop("rank")
+            for s, base in zip(shards, _doc_bases(shards))
+        ]
+        cand = reduce(DataFrame.unionByName, parts)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
     from .federated import bm25_scores_federated
 
     scores = bm25_scores_federated(

@@ -163,3 +163,31 @@ def test_dismax_prune_oov_sub(packed, cfg):
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
     assert {r[0] for r in ra} == {0}
+
+
+def test_dismax_federated_prune_matches_score_all(spark, cfg,
+                                                  tmp_path_factory):
+    """The per-shard block-max + bounded merge (prune=True, default)
+    equals the federated score-all composition bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.dismax import dismax_topk_federated
+
+    corpus = transcripts_df(spark, n_conv=30, n_partitions=4)
+    base = tmp_path_factory.mktemp("dismaxfedp")
+    shards = []
+    for i, part in enumerate(
+        [corpus.filter(F.col("turn_idx") % 2 == 0),
+         corpus.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        p = str(base / f"s{i}")
+        build_packed_index(part, cfg, p, params=PARAMS, chunk_docs=256)
+        shards.append(load_packed_index(spark, p))
+    for tie in (0.0, 0.5):
+        a = dismax_topk_federated(shards, GROUPS, cfg, k=12,
+                                  tie_breaker=tie, round_dp=6, prune=True)
+        b = dismax_topk_federated(shards, GROUPS, cfg, k=12,
+                                  tie_breaker=tie, round_dp=6, prune=False)
+        ra = sorted(tuple(r) for r in a.collect())
+        rb = sorted(tuple(r) for r in b.collect())
+        assert ra == rb and ra, tie
