@@ -505,3 +505,31 @@ def test_federated_has_child_windows_are_group_limits(spark, pidx,
     assert len(windows) == 3, plan
     assert group_limits >= len(windows), plan
     assert "CartesianProduct" not in plan
+
+
+def test_multi_match_prune_scans_eq_fields_join_free(spark, tmp_path_factory):
+    """Block-max multi_match: exactly ONE pushed scan per field index
+    (the fan-out is a literal map, idf a literal-map column — no
+    term_stats join, no docmap join) and one exchange into the scorer."""
+    import re
+
+    from searchengine_spark.query.multimatch import (
+        build_field_indexes,
+        load_field_indexes,
+        multi_match_topk,
+    )
+
+    root = str(tmp_path_factory.mktemp("mmplan") / "root")
+    build_field_indexes(
+        transcripts_df(spark, n_conv=10), CFG, root, ["text", "role"],
+        chunk_docs=128)
+    fidx = load_field_indexes(spark, root)
+    # the query must hit BOTH dictionaries (role holds user/assistant/
+    # tool) or the empty field legitimately drops out of the plan
+    df = multi_match_topk(fidx, ["greatest rock assistant"], CFG, k=5,
+                          mode="best_fields", tie_breaker=0.3,
+                          round_dp=6, prune=True)
+    plan = explain_str(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2, plan
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
