@@ -200,6 +200,46 @@ def verify_index(spark: SparkSession, path: str, deep: bool = False) -> dict:
         if nn != agg["n_nonempty"]:
             fail(f"doc_norms covers {nn} docs, {agg['n_nonempty']} docs have dl>0")
 
+    # doc_attrs sidecar (indexing/attrs.py), when present: manifest
+    # parseable, chunk grid matches the index, coverage == its recorded
+    # high-water mark (attach_attr refuses stale sidecars at serve time;
+    # fsck reports the staleness so operators see it BEFORE queries do)
+    from .attrs import ATTRS_DIR, ATTRS_MANIFEST
+
+    aman_path = fsio.join(path, ATTRS_MANIFEST)
+    if fsio.exists(spark, aman_path):
+        try:
+            aman = json.loads(fsio.read_text(spark, aman_path))
+        except Exception as exc:  # torn write
+            aman = None
+            fail(f"doc_attrs.json unreadable: {exc}")
+        if aman is not None:
+            if int(aman.get("chunk_docs", -1)) != int(manifest["chunk_docs"]):
+                fail(
+                    f"doc_attrs chunk_docs {aman.get('chunk_docs')} != "
+                    f"index chunk_docs {manifest['chunk_docs']}")
+            if not fsio.exists(spark, fsio.join(path, ATTRS_DIR)):
+                fail("doc_attrs.json present but doc_attrs/ dir missing")
+            else:
+                side = spark.read.parquet(fsio.join(path, ATTRS_DIR))
+                first = sorted(aman.get("cols", {}))[:1]
+                if first:
+                    covered = int(
+                        side.agg(
+                            F.sum(F.size(first[0]))).collect()[0][0] or 0)
+                    checks["doc_attrs_values"] = covered
+                    if covered != int(aman["n_docs"]):
+                        fail(
+                            f"doc_attrs holds {covered} values, its "
+                            f"manifest says n_docs={aman['n_docs']}")
+            if aman is not None and int(aman.get("n_docs", -1)) != int(
+                    manifest["n_docs"]):
+                fail(
+                    f"doc_attrs is STALE: written at n_docs="
+                    f"{aman.get('n_docs')}, index now at "
+                    f"{manifest['n_docs']} (rewrite with "
+                    "maintain.py --attrs-sidecar)")
+
     if not deep:
         return {"ok": not errors, "errors": errors, "checks": checks}
 

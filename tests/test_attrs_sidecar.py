@@ -182,3 +182,36 @@ def test_sidecar_attrs_side_is_broadcast(pidx, cfg):
     last_hx = seg.rfind("Exchange hashpartitioning")
     assert last_bx > last_hx, simple[max(0, i - 2000):i]
     assert "WindowGroupLimit" in simple
+
+
+def test_fsck_covers_doc_attrs(pidx, spark, monkeypatch):
+    """verify_index reports the doc_attrs sidecar: clean index passes;
+    a stale (n_docs-advanced) sidecar manifest fails with the STALE
+    message; a wrong chunk grid fails too."""
+    import json
+
+    from searchengine_spark.indexing import fsio
+    from searchengine_spark.indexing.fsck import verify_index
+
+    rep = verify_index(spark, pidx.path)
+    assert rep["ok"], rep["errors"]
+    assert rep["checks"]["doc_attrs_values"] == int(pidx.manifest["n_docs"])
+
+    aman_path = fsio.join(pidx.path, "doc_attrs.json")
+    orig = fsio.read_text(spark, aman_path)
+    try:
+        broken = json.loads(orig)
+        broken["n_docs"] = int(broken["n_docs"]) - 5
+        fsio.write_text(spark, aman_path, json.dumps(broken))
+        rep = verify_index(spark, pidx.path)
+        assert not rep["ok"]
+        assert any("STALE" in e or "holds" in e for e in rep["errors"])
+        broken = json.loads(orig)
+        broken["chunk_docs"] = 7
+        fsio.write_text(spark, aman_path, json.dumps(broken))
+        rep = verify_index(spark, pidx.path)
+        assert not rep["ok"]
+        assert any("chunk_docs" in e for e in rep["errors"])
+    finally:
+        fsio.write_text(spark, aman_path, orig)
+    assert verify_index(spark, pidx.path)["ok"]
