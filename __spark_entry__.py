@@ -2769,6 +2769,49 @@ FILTER_BUCKETS = (("english", "lang = 'en'"),
                   ("impossible", "n_chars < 0"))
 
 
+#: ES rescore fixture: one rescore query per primary query; weights
+#: integer-valued so every combined score stays an exact 6dp multiple
+#: (a fractional weight like 0.5 would manufacture exact .5-ulp rounding
+#: ties where Spark HALF_UP and DuckDB round diverge — CLAUDE.md)
+RESCORE_QUERIES = {0: "hash table", 1: "vector stream", 2: "merge join"}
+RESCORE_WINDOW, RESCORE_QW, RESCORE_RQW = 20, 1.0, 2.0
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore (query/rescore.py): the top RESCORE_WINDOW primary
+    hits re-ranked by a secondary query — combined = qw·p + rqw·s for
+    window docs the rescore query matches, qw·p for the rest (the
+    secondary term is ABSENT, not zero — Lucene QueryRescorer), docs
+    below the window can never enter the page. The oracle replicates
+    the window cut, the LEFT join and the combine; a score-all primary,
+    a zero-for-missing secondary, or a window-free rescore all
+    hash-mismatch."""
+    from searchengine_spark.indexing.packed import build_packed_index, load_packed_index
+    from searchengine_spark.query.rescore import rescore_topk
+    import os
+    import tempfile
+
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").alias("ext_id"), "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"se_entry_packed_{tag}")
+    _build_packed_once(path, lambda: build_packed_index(
+        docs, CFG, path, params=Bm25Params(K, B), text_col="text",
+        order_cols=("ext_id",), chunk_docs=256,
+    ))
+    pidx = load_packed_index(spark, path)
+    qs = [QUERY_STRINGS[q] for q in sorted(QUERY_STRINGS)]
+    rqs = [RESCORE_QUERIES[q] for q in sorted(RESCORE_QUERIES)]
+    out = rescore_topk(
+        pidx, qs, rqs, CFG, k=10, window_size=RESCORE_WINDOW,
+        query_weight=RESCORE_QW, rescore_query_weight=RESCORE_RQW,
+        score_mode="total", round_dp=6)
+    return out.join(pidx.docmap, "doc_id").select(
+        "query_id",
+        F.col("ext_id").alias("doc_id"),
+        "primary", "secondary", "score",
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-then-rerank (query/rerank.py — the two-stage ranking
     stack): BM25 top-RERANK_N_CAND window, texts via one pruned join,
@@ -5292,6 +5335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_sidecar": q_sorted_sidecar,
         "decay_sidecar": q_decay_sidecar,
         "sparse_blockmax": q_sparse_blockmax,
+        "rescore_topk": q_rescore_topk,
         "facet_top_hits": q_facet_top_hits,
         "boolean_packed": q_boolean_packed,
         "approx_terms_agg": q_approx_terms_agg,
@@ -5581,6 +5625,55 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # ---- ES rescore: primary WAND window (rank <= RESCORE_WINDOW over the
+    # rounded batch ranking), secondary score-all LEFT-joined onto the
+    # window, combined = qw*p + rqw*s when matched else qw*p, re-ranked
+    rq_selects = []
+    for qid in sorted(RESCORE_QUERIES):
+        rterms = _sql_term_list(
+            list(dict.fromkeys(tokenize_text(RESCORE_QUERIES[qid], CFG))))
+        rq_selects.append(
+            f"SELECT {qid} AS query_id, term FROM (SELECT unnest({rterms}) AS term)"
+        )
+    rbatch_q = " UNION ALL ".join(rq_selects)
+    sqls["rescore_topk"] = f"""
+WITH {_INDEX_CTES},
+q AS ({batch_q}),
+pscored AS (
+  SELECT q.query_id, idx.doc_id, sum({_bm25_contrib_sql()}) AS s
+  FROM idx JOIN q USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY q.query_id, idx.doc_id
+),
+pwin AS (
+  SELECT query_id, doc_id, round(s, 6) AS p,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, doc_id ASC) AS prank
+  FROM pscored
+),
+rq AS ({rbatch_q}),
+sscored AS (
+  SELECT rq.query_id, idx.doc_id, round(sum({_bm25_contrib_sql()}), 6) AS s2
+  FROM idx JOIN rq USING (term) JOIN term_stats USING (term) JOIN dln USING (doc_id)
+  GROUP BY rq.query_id, idx.doc_id
+),
+comb AS (
+  SELECT w.query_id, w.doc_id, w.p, s.s2,
+         round(CASE WHEN s.s2 IS NULL THEN {RESCORE_QW} * w.p
+                    ELSE {RESCORE_QW} * w.p + {RESCORE_RQW} * s.s2 END,
+               6) AS c
+  FROM pwin w LEFT JOIN sscored s USING (query_id, doc_id)
+  WHERE w.prank <= {RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT query_id, doc_id, p, s2, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, doc_id, p AS "primary", s2 AS secondary, c AS score, rank
+FROM ranked WHERE rank <= 10
 """
 
     # paging: the SAME ranking, page [10, 20) with absolute ranks

@@ -110,6 +110,23 @@ def _expand_pattern_batch(term_stats, batch, cfg, wildcard, regexp):
     return batch, q_terms
 
 
+def _rescore_spec(args):
+    """-> (subqueries, window, qw, rqw, mode) from the --rescore flags,
+    or None."""
+    if args.rescore is None:
+        return None
+    rqs = [p.strip() for p in args.rescore.split("|")]
+    try:
+        qw, rqw = (float(x) for x in args.rescore_weights.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--rescore-weights wants QW,RQW floats, got "
+            f"{args.rescore_weights!r}")
+    if args.rescore_window < 1:
+        raise SystemExit("--rescore-window must be >= 1")
+    return (rqs, args.rescore_window, qw, rqw, args.rescore_mode)
+
+
 def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 schema="lnc.ltc", fuzzy=False, doc_filter=None, prf=None,
                 doc_boost=None, synonyms=None, offset=0, wildcard=None,
@@ -118,7 +135,7 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                 regexp=None, sort_spec=None, attrs_path=None,
                 decay_spec=None, boost_mode="multiply", fvf_spec=None,
                 random_seed=None, inner_hits=None, pins=None,
-                constant_score=None, max_cost=None):
+                constant_score=None, max_cost=None, rescore_spec=None):
     """-> the resolved results DataFrame (query_id, doc_id, *ext, score,
     rank) — NOT collected, so huge query batches can stream straight to a
     parquet sink (--queries-file/--output) instead of the driver."""
@@ -179,6 +196,36 @@ def _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
     if demote is not None and (ranker not in ("bm25", "bm25_and") or prf):
         raise SystemExit("--demote is wired to the bm25* rankers "
                          "(does not combine with --prf)")
+    if rescore_spec is not None:
+        if (ranker != "bm25" or prf or fuzzy or wildcard is not None
+                or regexp is not None
+                or synonyms is not None or doc_filter is not None
+                or doc_boost is not None or offset
+                or search_after is not None or collapse is not None
+                or demote is not None or min_match is not None
+                or dismax is not None or sort_spec is not None
+                or decay_spec is not None or fvf_spec is not None):
+            raise SystemExit("--rescore combines only with plain bm25 "
+                             "retrieval")
+        from searchengine_spark.query.rescore import rescore_topk
+        from searchengine_spark.query.wand import resolve_docs as _resolve
+
+        rqs, window, qw, rqw, mode = rescore_spec
+        if len(rqs) == 1 and len(queries) > 1:
+            rqs = rqs * len(queries)
+        if len(rqs) != len(queries):
+            raise SystemExit(
+                f"--rescore gave {len(rqs)} subqueries for "
+                f"{len(queries)} queries (one per query, |-separated, "
+                "or a single one applied to all)")
+        out = rescore_topk(
+            pidx, queries, rqs, cfg, k=n, window_size=window,
+            query_weight=qw, rescore_query_weight=rqw,
+            score_mode=mode, round_dp=6)
+        return out.join(pidx.docmap, "doc_id").select(
+            "query_id", "doc_id",
+            *[c for c in pidx.manifest["order_cols"] if c != "doc_id"],
+            "primary", "secondary", "score", "rank")
     if dismax is not None:
         if (ranker != "bm25" or prf or fuzzy or wildcard is not None
                 or regexp is not None
@@ -464,7 +511,7 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                  regexp=None, sort_spec=None, attrs_path=None,
                  decay_spec=None, boost_mode="multiply", fvf_spec=None,
                 random_seed=None, inner_hits=None, pins=None,
-                constant_score=None, max_cost=None):
+                constant_score=None, max_cost=None, rescore_spec=None):
     """-> list per query of result-row dicts (rank-ordered)."""
     rows = _topk_frame(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        schema, fuzzy, doc_filter, prf, doc_boost,
@@ -478,7 +525,8 @@ def _run_queries(spark, pidx, cfg, queries, ranker, n, exhaustive,
                        fvf_spec=fvf_spec, random_seed=random_seed,
                        inner_hits=inner_hits, pins=pins,
                        constant_score=constant_score,
-                       max_cost=max_cost).collect()
+                       max_cost=max_cost,
+                       rescore_spec=rescore_spec).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r.asDict())
@@ -3070,6 +3118,22 @@ def main() -> None:
                          "TIE in [0,1] times each other subquery's score "
                          "(0 = pure best-of); --ranker bm25, distributed "
                          "tier, --index")
+    ap.add_argument("--rescore", default=None, metavar="RQ1|RQ2|...",
+                    help="ES rescore: re-rank the top --rescore-window "
+                         "primary hits with secondary |-separated queries "
+                         "(one per --query/batch line, or one for all); "
+                         "combined per --rescore-mode with "
+                         "--rescore-weights; window docs the secondary "
+                         "misses keep qw*primary; --ranker bm25, "
+                         "distributed tier, --index")
+    ap.add_argument("--rescore-window", type=int, default=50, metavar="N",
+                    help="primary hits entering the rescore (default 50)")
+    ap.add_argument("--rescore-weights", default="1,1", metavar="QW,RQW",
+                    help="query_weight,rescore_query_weight (default 1,1)")
+    ap.add_argument("--rescore-mode", default="total",
+                    choices=["total", "multiply", "avg", "max", "min"],
+                    help="score combine for matched window docs "
+                         "(ES score_mode; default total)")
     ap.add_argument("--demote", default=None, metavar="\"W1 W2\"",
                     help="ES boosting query: docs matching ANY of these "
                          "words still rank but their score multiplies by "
@@ -3779,6 +3843,7 @@ def main() -> None:
                 pins=(args.pin.split(",") if args.pin else None),
                 constant_score=args.constant_score,
                 max_cost=args.max_query_cost,
+                rescore_spec=_rescore_spec(args),
             )
             qdf = spark.createDataFrame(
                 list(enumerate(file_queries)), "query_id int, query string"
@@ -3804,6 +3869,12 @@ def main() -> None:
     if args.dismax is not None and args.serve_mode == "local":
         raise SystemExit("--dismax runs on the distributed tier "
                          "(serve-mode auto/spark)")
+    if args.rescore is not None and args.serve_mode == "local":
+        raise SystemExit("--rescore runs on the distributed tier "
+                         "(serve-mode auto/spark)")
+    if args.rescore is not None and args.shards:
+        raise SystemExit("--rescore serves from a single index "
+                         "(--index; federation not wired)")
     if (args.sort or args.decay or args.fvf
             or args.random_score) and args.serve_mode == "local":
         raise SystemExit("--sort/--decay/--fvf/--random-score run on the "
@@ -3939,7 +4010,8 @@ def main() -> None:
                                  pins=(args.pin.split(",")
                                        if args.pin else None),
                                  constant_score=args.constant_score,
-                                 max_cost=args.max_query_cost)
+                                 max_cost=args.max_query_cost,
+                                 rescore_spec=_rescore_spec(args))
         if args.snippet_source:
             if args.highlight:
                 _attach_highlights(spark, args.snippet_source, pidx, cfg,
