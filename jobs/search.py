@@ -2419,6 +2419,7 @@ def _serve_federated(spark, args) -> None:
                          "(serve-mode auto/spark)")
     use_local = (not prf and not synonyms and not args.output
                  and not args.collapse and args.dismax is None
+                 and args.rescore is None
                  and args.ranker != "bool_prefix" and (
         args.serve_mode == "local"
         or (args.serve_mode == "auto" and not queries)
@@ -2516,6 +2517,52 @@ def _serve_federated(spark, args) -> None:
                       for q in batch]
             frame = resolve_docs_federated(shards, dismax_topk_federated(
                 shards, groups, cfg, k=args.n, tie_breaker=args.dismax))
+        if args.rescore is not None:
+            if (args.ranker != "bm25" or prf or args.fuzzy or args.wildcard
+                    or args.regexp
+                    or synonyms is not None or doc_filters is not None
+                    or doc_boosts is not None or args.offset
+                    or cursor is not None or args.collapse or args.demote
+                    or args.min_should_match is not None
+                    or args.dismax is not None):
+                raise SystemExit("--rescore combines only with plain bm25 "
+                                 "retrieval")
+            from searchengine_spark.query.rescore import (
+                rescore_topk_federated,
+            )
+
+            rqs, window, qw, rqw, mode = _rescore_spec(args)
+            if len(rqs) == 1 and len(batch) > 1:
+                rqs = rqs * len(batch)
+            if len(rqs) != len(batch):
+                raise SystemExit(
+                    f"--rescore gave {len(rqs)} subqueries for "
+                    f"{len(batch)} queries")
+            from functools import reduce as _red
+
+            from pyspark.sql import DataFrame as _DF
+            from pyspark.sql import functions as _F
+
+            from searchengine_spark.query.federated import _doc_bases
+
+            out = rescore_topk_federated(
+                shards, batch, rqs, cfg, k=args.n,
+                window_size=window, query_weight=qw,
+                rescore_query_weight=rqw, score_mode=mode,
+                round_dp=6)
+            ext = [c for c in shards[0].manifest["order_cols"]
+                   if c != "doc_id"]
+            dm = _red(_DF.unionByName, [
+                sh.docmap.select(
+                    (_F.col("doc_id") + _F.lit(b)).cast("long")
+                    .alias("doc_id"), *ext)
+                for sh, b in zip(shards, _doc_bases(shards))
+            ])
+            # manual resolve keeps the primary/secondary columns the
+            # generic resolve_docs_federated would drop
+            frame = out.join(dm, "doc_id").select(
+                "query_id", "doc_id", *ext,
+                "primary", "secondary", "score", "rank")
         dem_fed = None
         if args.demote:
             from searchengine_spark.query.negation import negated_terms
@@ -2523,7 +2570,7 @@ def _serve_federated(spark, args) -> None:
             dts = set(negated_terms(args.demote.split(), cfg))
             dem_fed = ({i: dts for i in range(len(batch))}
                        if dts else None)
-        if args.dismax is not None:
+        if args.dismax is not None or args.rescore is not None:
             pass  # frame already computed above
         elif args.sort:
             if (args.ranker not in ("bm25", "bm25_and") or prf
@@ -2701,7 +2748,8 @@ def _serve_federated(spark, args) -> None:
                 topk = hits.join(F.broadcast(nq), "query_id").select(
                     "query_id", "doc_id", "score", F.lit(0).alias("rank"),
                 )
-        if not args.collapse and args.dismax is None and not args.sort:
+        if (not args.collapse and args.dismax is None and not args.sort
+                and args.rescore is None):
             frame = resolve_docs_federated(shards, topk)
         if args.output:
             qdf = spark.createDataFrame(
@@ -3872,9 +3920,6 @@ def main() -> None:
     if args.rescore is not None and args.serve_mode == "local":
         raise SystemExit("--rescore runs on the distributed tier "
                          "(serve-mode auto/spark)")
-    if args.rescore is not None and args.shards:
-        raise SystemExit("--rescore serves from a single index "
-                         "(--index; federation not wired)")
     if (args.sort or args.decay or args.fvf
             or args.random_score) and args.serve_mode == "local":
         raise SystemExit("--sort/--decay/--fvf/--random-score run on the "

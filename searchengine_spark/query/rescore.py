@@ -120,3 +120,78 @@ def rescore_topk(
         .select("query_id", "doc_id", "primary", "secondary", "score",
                 "rank")
     )
+
+
+def rescore_topk_federated(
+    shards,
+    queries: Sequence[str],
+    rescore_queries: Sequence[str],
+    cfg: TokenizerConfig,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    score_mode: str = "total",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Federated ES rescore -> (query_id, doc_id, primary, secondary,
+    score, rank) with doc_id in the federation namespace. EXACT: the
+    primary window is the federated WAND top-window (federation-global
+    idf, shard-local dl_norm — dfs_query_then_fetch), the secondary is
+    the federated score-all of the rescore query restricted to the
+    window candidates, and a doc lives in one shard so both scores are
+    per-doc complete. Same combine contract as the packed path."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {SCORE_MODES}, got {score_mode!r}")
+    if k > window_size:
+        raise ValueError(
+            f"k={k} > window_size={window_size}: the page must come from "
+            "the rescored window (ES pays window_size >= size too)")
+    if len(rescore_queries) != len(queries):
+        raise ValueError(
+            f"{len(queries)} queries but {len(rescore_queries)} rescore "
+            "queries — they align by position")
+    if query_weight < 0 or rescore_query_weight < 0:
+        raise ValueError("weights must be non-negative")
+
+    from .federated import bm25_scores_federated, bm25_topk_federated
+
+    primary = bm25_topk_federated(
+        shards, list(queries), cfg, k=window_size, round_dp=round_dp
+    ).select("query_id", "doc_id", F.col("score").alias("primary"))
+    secondary = bm25_scores_federated(
+        shards, list(rescore_queries), cfg, round_dp=round_dp
+    ).select("query_id", "doc_id", F.col("score").alias("secondary"))
+    joined = primary.join(
+        secondary.join(
+            F.broadcast(primary.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+        ),
+        ["query_id", "doc_id"],
+        "left",
+    )
+    qp = F.col("primary") * F.lit(float(query_weight))
+    rs = F.col("secondary") * F.lit(float(rescore_query_weight))
+    if score_mode == "total":
+        combined = qp + rs
+    elif score_mode == "multiply":
+        combined = qp * rs
+    elif score_mode == "avg":
+        combined = (qp + rs) / F.lit(2.0)
+    elif score_mode == "max":
+        combined = F.greatest(qp, rs)
+    else:
+        combined = F.least(qp, rs)
+    score = F.when(F.col("secondary").isNull(), qp).otherwise(combined)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "primary", "secondary", "score",
+                "rank")
+    )

@@ -117,3 +117,53 @@ def test_rescore_validation(packed, cfg):
         rescore_topk(packed, QUERIES, ["one"], cfg)
     with pytest.raises(ValueError, match="non-negative"):
         rescore_topk(packed, QUERIES, RESCORES, cfg, query_weight=-1.0)
+
+
+def test_rescore_federated_matches_brute(spark, cfg, tmp_path_factory):
+    """Federated rescore vs a brute over federated exhaustive primary +
+    secondary rankings (dfs_query_then_fetch statistics; federation
+    namespace ids)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.federated import bm25_topk_federated
+    from searchengine_spark.query.rescore import rescore_topk_federated
+
+    corpus = transcripts_df(spark, n_conv=30, n_partitions=4)
+    base = tmp_path_factory.mktemp("rescfed")
+    shards = []
+    for i, part in enumerate(
+        [corpus.filter(F.col("turn_idx") % 2 == 0),
+         corpus.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        p = str(base / f"s{i}")
+        build_packed_index(part, cfg, p, params=PARAMS, chunk_docs=256)
+        shards.append(load_packed_index(spark, p))
+    n = sum(s.manifest["n_docs"] for s in shards)
+
+    def full(queries):
+        rows = bm25_topk_federated(shards, queries, cfg, k=n,
+                                   exhaustive=True, round_dp=6).collect()
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+        return out
+
+    prim, sec = full(QUERIES), full(RESCORES)
+    window, k, qw, rqw = 15, 8, 1.0, 2.0
+    expect = []
+    for qid in prim:
+        ranked = sorted(prim[qid].items(), key=lambda kv: (-kv[1], kv[0]))
+        comb = []
+        for doc, p in ranked[:window]:
+            s = sec.get(qid, {}).get(doc)
+            c = qw * p if s is None else qw * p + rqw * s
+            comb.append((doc, p, s, np.round(c, 6)))
+        comb.sort(key=lambda t: (-t[3], t[0]))
+        for rk, (doc, p, s, c) in enumerate(comb[:k], start=1):
+            expect.append((qid, doc, p, s, c, rk))
+    got = sorted(
+        tuple(r) for r in rescore_topk_federated(
+            shards, QUERIES, RESCORES, cfg, k=k, window_size=window,
+            query_weight=qw, rescore_query_weight=rqw,
+            round_dp=6).collect())
+    assert got == sorted(expect) and got
