@@ -448,6 +448,13 @@ def run_esops(spark, sf: float) -> dict:
     t("dismax_top10_scoreall", lambda: dismax_topk_packed(
         pidx, [[a, b] for a, b in zip(QS, QS[1:] + QS[:1])], cfg, k=10,
         tie_breaker=0.3, round_dp=6, prune=False))
+    from searchengine_spark.query.rescore import rescore_topk
+
+    # ES rescore: WAND top-window primary + candidate-restricted
+    # score-all secondary (window 50, qw=1, rqw=2, total)
+    t("rescore_top10", lambda: rescore_topk(
+        pidx, QS, QS[1:] + QS[:1], cfg, k=10, window_size=50,
+        rescore_query_weight=2.0, round_dp=6))
     t("min_should_match2", lambda: bm25_topk_packed_batch(
         pidx, QS, cfg, k=10, round_dp=6, min_should_match=2))
     t("demote_half", lambda: bm25_topk_packed_batch(
