@@ -78,15 +78,22 @@ def rescore_topk(
 
     from .wand import bm25_scores_packed_batch, bm25_topk_packed_batch
 
-    primary = bm25_topk_packed_batch(
+    spark = pidx.spark
+    # the window is <= n_queries x window_size rows BY CONSTRUCTION —
+    # collect it once (the ES coordinator holds exactly this set) so the
+    # WAND pass runs once instead of re-executing under both sides of
+    # the restriction join; re-injected as a literal broadcast frame
+    win_rows = bm25_topk_packed_batch(
         pidx, list(queries), cfg, k=window_size, round_dp=round_dp
-    ).select("query_id", "doc_id", F.col("score").alias("primary"))
+    ).select("query_id", "doc_id", F.col("score").alias("primary")).collect()
+    primary = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["doc_id"]), float(r["primary"]))
+         for r in win_rows],
+        "query_id int, doc_id long, primary double")
 
     secondary = bm25_scores_packed_batch(
         pidx, list(rescore_queries), cfg, round_dp=round_dp
     ).select("query_id", "doc_id", F.col("score").alias("secondary"))
-    # restrict the score-all pass to the window candidates: the
-    # candidate set is (n_queries x window) rows — broadcast by size
     joined = primary.join(
         secondary.join(
             F.broadcast(primary.select("query_id", "doc_id")),
@@ -157,9 +164,15 @@ def rescore_topk_federated(
 
     from .federated import bm25_scores_federated, bm25_topk_federated
 
-    primary = bm25_topk_federated(
+    spark = shards[0].spark
+    # same window-collect as the packed path (coordinator-bounded)
+    win_rows = bm25_topk_federated(
         shards, list(queries), cfg, k=window_size, round_dp=round_dp
-    ).select("query_id", "doc_id", F.col("score").alias("primary"))
+    ).select("query_id", "doc_id", F.col("score").alias("primary")).collect()
+    primary = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["doc_id"]), float(r["primary"]))
+         for r in win_rows],
+        "query_id int, doc_id long, primary double")
     secondary = bm25_scores_federated(
         shards, list(rescore_queries), cfg, round_dp=round_dp
     ).select("query_id", "doc_id", F.col("score").alias("secondary"))
